@@ -1,0 +1,14 @@
+"""Named queries over the driver's synthetic tables.
+
+Importing this package populates the registry (see ``..registry``).
+Module map (SURVEY.md §2.B inventory):
+    relational  - X1-X15: scans, filters, joins, aggregates, rollup/cube,
+                  windows, sort/top-k, set ops, scalar/JSON functions
+    text        - X18 + text-analysis extensions over ``documents``
+    dedup       - X15/X16: exact + near-duplicate detection
+    similarity  - X17: vector similarity search over ``embeddings``
+    spotify     - the reference dataflow as queries (SURVEY.md §2.A)
+    streaming   - X20-X23 batch-equivalent checks
+"""
+
+from . import relational  # noqa: F401

@@ -1,0 +1,555 @@
+"""Relational operator battery (SURVEY.md §2.B X1-X15 + X14 JSON).
+
+Every query here is a lazy DataFrame plan — Catalyst handles predicate
+pushdown, column pruning, join strategy, and partial aggregation. Dims
+(region/nation/supplier at test SFs) are broadcast explicitly where a real
+100 TB run would want it; fact-fact joins shuffle on their keys and rely
+on AQE for skew/coalesce.
+
+Float policy: double aggregates are ROUND()ed identically on both sides
+(Spark + DuckDB oracle) so summation-order nondeterminism cannot flip the
+driver's value hash. Ints derived by date/string functions are cast to
+BIGINT on both sides (DuckDB's year() et al. return BIGINT).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# X1/X2/X7: scan → filter → groupBy aggregate (TPC-H Q1 shape).
+# Reference parity: the only agg in the reference is COUNT
+# (etl_pipeline.py:212-217); this is its scale-ready generalization.
+# --------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
+           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: filter -> hash agg (partial+final).",
+    tags=("X1", "X2", "X7"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X2: predicate battery — IN / BETWEEN / LIKE / null-safe, all pushed to
+# the parquet scan (verify with .explain: PushedFilters).
+# --------------------------------------------------------------------------
+@register(
+    "filter_battery",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('R', 'A')
+      AND l_linestatus LIKE 'F%'
+      AND l_discount IS NOT NULL
+      AND l_extendedprice > 1000.0
+    """,
+    doc="Compound predicate pushdown: BETWEEN + IN + LIKE + IS NOT NULL.",
+    tags=("X2",),
+)
+def filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("R", "A")
+        & F.col("l_linestatus").like("F%")
+        & F.col("l_discount").isNotNull()
+        & (F.col("l_extendedprice") > 1000.0)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+             "l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# X3+X7+X12: 3-way join -> agg -> deterministic top-k (TPC-H Q3 shape).
+# customer is the small side per-segment; orders⋈lineitem shuffles on
+# orderkey. Revenue ties broken by orderkey so LIMIT is deterministic.
+# --------------------------------------------------------------------------
+@register(
+    "top_revenue_orders",
+    """
+    SELECT o.o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '2000-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: selective 3-way join, agg, top-k with stable tiebreak.",
+    tags=("X3", "X7", "X12"),
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-03-15").cast("timestamp_ntz"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# X3: join how-type battery (left / semi / anti demonstrated separately so
+# each row-set is oracle-checkable).
+# --------------------------------------------------------------------------
+@register(
+    "join_left",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+    """,
+    doc="Left outer equi-join with a join-side predicate (null-extended rows kept).",
+    tags=("X3",),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "F"), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_semi_anti",
+    """
+    SELECT c_custkey, c_name, 'has_urgent' AS bucket FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT c_custkey, c_name, 'no_urgent' AS bucket FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+    doc="Left-semi + left-anti join, union-tagged so one result covers both.",
+    tags=("X3", "X13"),
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    semi = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi") \
+            .select("c_custkey", "c_name", F.lit("has_urgent").alias("bucket"))
+    anti = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti") \
+            .select("c_custkey", "c_name", F.lit("no_urgent").alias("bucket"))
+    return semi.unionByName(anti)
+
+
+# --------------------------------------------------------------------------
+# X4: broadcast-join star query — region->nation->customer->orders rollup.
+# nation/region are tiny at any SF: broadcast them explicitly (the plan
+# must show BroadcastHashJoin, no shuffle of the fact side for dims).
+# --------------------------------------------------------------------------
+@register(
+    "revenue_by_region",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_revenue,
+           ROUND(AVG(o.o_totalprice), 4) AS avg_revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="Star-schema rollup with explicitly broadcast dimensions.",
+    tags=("X4", "X7"),
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X5: non-equi (range/theta) join — parts priced within a band of each
+# lineitem's unit price. Banded to stay selective; at scale this is the
+# bucketize-then-equi-join pattern (bucket key keeps it from exploding).
+# --------------------------------------------------------------------------
+@register(
+    "range_join_price_band",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey,
+           ROUND(p.p_retailprice, 2) AS p_price
+    FROM lineitem l
+    JOIN part p
+      ON p.p_partkey = l.l_partkey
+     AND l.l_extendedprice / l.l_quantity
+         BETWEEN p.p_retailprice * 0.5 AND p.p_retailprice * 2.0
+    WHERE l.l_linenumber = 1 AND l.l_quantity > 0
+    """,
+    doc="Theta join: equi key + range residual predicate.",
+    tags=("X5",),
+)
+def range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_quantity") > 0))
+    p = _t(spark, sf_dir, "part")
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    return (
+        li.join(
+            p,
+            (p.p_partkey == li.l_partkey)
+            & unit.between(p.p_retailprice * 0.5, p.p_retailprice * 2.0),
+        )
+        .select("l_orderkey", "l_linenumber", "p_partkey",
+                F.round("p_retailprice", 2).alias("p_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# X7/X8: distinct + count-distinct per group.
+# --------------------------------------------------------------------------
+@register(
+    "segment_stats",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           ROUND(SUM(c_acctbal), 2) AS total_balance,
+           ROUND(MIN(c_acctbal), 2) AS min_balance,
+           ROUND(MAX(c_acctbal), 2) AS max_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="Group agg with exact count-distinct (expand+two-phase in Spark).",
+    tags=("X7", "X8"),
+)
+def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        F.round(F.min("c_acctbal"), 2).alias("min_balance"),
+        F.round(F.max("c_acctbal"), 2).alias("max_balance"),
+    )
+
+
+@register(
+    "distinct_rows",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipmode
+    FROM (SELECT l_returnflag, l_linestatus,
+                 CASE WHEN l_linenumber % 2 = 0 THEN 'EVEN' ELSE 'ODD' END AS l_shipmode
+          FROM lineitem)
+    """,
+    doc="DISTINCT over a derived projection.",
+    tags=("X8",),
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag", "l_linestatus",
+            F.when(F.col("l_linenumber") % 2 == 0, "EVEN").otherwise("ODD")
+            .alias("l_shipmode"),
+        ).distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# X9: rollup + cube + grouping sets.
+# --------------------------------------------------------------------------
+@register(
+    "rollup_returns",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (NULL-marked subtotal rows).",
+    tags=("X9",),
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "cube_order_status",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dimensions.",
+    tags=("X9",),
+)
+def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X10: ranking windows — top-3 orders per customer, fully deterministic.
+# --------------------------------------------------------------------------
+@register(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Top-k per group via ranking window (single shuffle on the group key).",
+    tags=("X10", "X12"),
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# X11: analytic windows — lag/lead + running aggregate. Frame order is made
+# total (orderdate, orderkey) so prefix sums are computed in the same order
+# by Spark and the oracle -> bit-identical doubles.
+# --------------------------------------------------------------------------
+@register(
+    "customer_order_history",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice, 2) AS price,
+           ROUND(SUM(o_totalprice) OVER w_run, 2) AS running_total,
+           ROUND(COALESCE(LAG(o_totalprice) OVER w_ord, 0.0), 2) AS prev_price,
+           ROUND(COALESCE(LEAD(o_totalprice) OVER w_ord, 0.0), 2) AS next_price,
+           CAST(ROW_NUMBER() OVER w_ord AS BIGINT) AS order_seq
+    FROM orders
+    WINDOW w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Running total + lag/lead over a totally-ordered per-customer frame.",
+    tags=("X11",),
+)
+def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w_ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w_ord), F.lit(0.0)), 2)
+        .alias("prev_price"),
+        F.round(F.coalesce(F.lead("o_totalprice").over(w_ord), F.lit(0.0)), 2)
+        .alias("next_price"),
+        F.row_number().over(w_ord).cast("long").alias("order_seq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X13: set operations.
+# --------------------------------------------------------------------------
+@register(
+    "setops_customers",
+    """
+    WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders
+                    WHERE o_orderstatus = 'O'),
+         f_buyers AS (SELECT DISTINCT o_custkey AS k FROM orders
+                      WHERE o_orderstatus = 'F')
+    SELECT 'both' AS tag, k FROM (SELECT k FROM buyers INTERSECT SELECT k FROM f_buyers)
+    UNION ALL
+    SELECT 'open_only' AS tag, k FROM (SELECT k FROM buyers EXCEPT SELECT k FROM f_buyers)
+    """,
+    doc="INTERSECT + EXCEPT + UNION ALL over derived key sets.",
+    tags=("X13",),
+)
+def setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    buyers = o.filter(F.col("o_orderstatus") == "O") \
+              .select(F.col("o_custkey").alias("k")).distinct()
+    f_buyers = o.filter(F.col("o_orderstatus") == "F") \
+                .select(F.col("o_custkey").alias("k")).distinct()
+    both = buyers.intersect(f_buyers).select(F.lit("both").alias("tag"), "k")
+    open_only = buyers.exceptAll(f_buyers).select(
+        F.lit("open_only").alias("tag"), "k")
+    return both.unionByName(open_only)
+
+
+# --------------------------------------------------------------------------
+# X14: scalar-function battery — string / date / math, types aligned with
+# DuckDB (BIGINT for date parts, DATE for truncation).
+# --------------------------------------------------------------------------
+@register(
+    "scalar_battery",
+    """
+    SELECT o_orderkey,
+           UPPER(o_orderpriority)                               AS pri_upper,
+           SUBSTRING(o_orderpriority, 1, 1)                     AS pri_code,
+           CAST(LENGTH(o_orderpriority) AS BIGINT)              AS pri_len,
+           CONCAT(o_orderstatus, '-', o_orderpriority)          AS status_pri,
+           REPLACE(o_orderpriority, ' ', '_')                   AS pri_snake,
+           CAST(YEAR(o_orderdate) AS BIGINT)                    AS order_year,
+           CAST(MONTH(o_orderdate) AS BIGINT)                   AS order_month,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE)       AS order_month_start,
+           ROUND(o_totalprice * 0.07, 2)                        AS est_tax,
+           CAST(o_orderkey % 7 AS BIGINT)                       AS key_mod,
+           ROUND(SQRT(ABS(o_totalprice)), 4)                    AS price_sqrt,
+           ROUND(LN(o_totalprice + 1), 6)                       AS price_ln
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+    doc="String/date/math scalar functions, all JVM-side (no UDFs).",
+    tags=("X14",),
+)
+def scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.length("o_orderpriority").cast("long").alias("pri_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_pri"),
+        F.replace(F.col("o_orderpriority"), F.lit(" "), F.lit("_")).alias("pri_snake"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date")
+        .alias("order_month_start"),
+        F.round(F.col("o_totalprice") * 0.07, 2).alias("est_tax"),
+        (F.col("o_orderkey") % 7).cast("long").alias("key_mod"),
+        F.round(F.sqrt(F.abs(F.col("o_totalprice"))), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("o_totalprice") + 1), 6).alias("price_ln"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X14: JSON extraction over events.props (a JSON string column).
+# --------------------------------------------------------------------------
+@register(
+    "events_json_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON field extraction (get_json_object) + per-type aggregates.",
+    tags=("X14",),
+)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X15: exact dedup — keep the first event per (user_id, event_type) by
+# time; dropDuplicates is nondeterministic about WHICH row survives, so at
+# engine level we use the window formulation (deterministic + oracle-safe).
+# --------------------------------------------------------------------------
+@register(
+    "dedup_first_event",
+    """
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+        SELECT event_id, user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Exact dedup with deterministic survivor (min ts, then min id).",
+    tags=("X15",),
+)
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )

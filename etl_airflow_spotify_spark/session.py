@@ -1,0 +1,73 @@
+"""SparkSession construction and per-session tuning.
+
+Two entry paths:
+  * ``get_session()`` - build our own tuned local session (tests, bench).
+  * ``configure(spark)`` - apply runtime-settable tuning to a session we
+    were handed (the driver owns the session for ``__spark_entry__``).
+
+Scale stance: every conf here is also the right default on a real
+multi-executor cluster; nothing assumes local mode except the master URL
+in ``get_session``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs (safe to apply to an existing session).
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic timestamp semantics vs the DuckDB oracle (UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores TIMESTAMP(NANOS) which the vectorized parquet
+    # reader rejects; read the physical int64 and convert in catalog.py.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # AQE: runtime partition coalescing, skew-join splitting, dynamic
+    # broadcast selection. Essential at 100 TB, harmless at sf0.001.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / applyInPandas path (the only Python hot
+    # paths we allow) and for toPandas in tests.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Nested-schema pruning so struct/array projections prune at the scan.
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime tuning to an externally-owned session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf may be static on some builds; never fail a query over tuning.
+            pass
+    return spark
+
+
+def get_session(app_name: str = "etl-airflow-spotify-spark",
+                cpus: int | None = None,
+                shuffle_partitions: int | None = None) -> SparkSession:
+    """Build a tuned local session. On a real cluster the same confs apply;
+    only the master URL changes (spark-submit supplies it)."""
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

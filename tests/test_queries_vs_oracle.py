@@ -1,0 +1,48 @@
+"""Every registered query with an oracle must hash-match DuckDB at sf0.001
+(the driver repeats this at sf0.01). Rows-only queries must at least run
+and return a stable schema."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_airflow_spotify_spark.oracle import compare
+from etl_airflow_spotify_spark.registry import all_queries
+
+SPECS = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
+    spec = SPECS[name]
+    sdf = spec.spark_fn(spark, sf_dir)
+    scols = [f.name for f in sdf.schema.fields]
+    srows = [tuple(r) for r in sdf.collect()]
+
+    if spec.oracle is None:
+        assert len(scols) > 0  # rows-only: runs + has a schema
+        return
+
+    res = oracle_con.execute(spec.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    problems = compare(srows, scols, orows, ocols)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_oracle_keys_subset_of_queries():
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q)
+    assert all(isinstance(s, str) and s.strip() for s in o.values())
