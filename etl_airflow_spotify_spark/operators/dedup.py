@@ -1,0 +1,254 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these ops at 100 TB):
+  * No all-pairs comparison anywhere. Candidates come from LSH band
+    buckets (MinHash/SimHash) or natural blocking keys; only candidates
+    are verified with the exact measure.
+  * Everything is JVM-side expressions (higher-order array functions +
+    xxhash64) — no Python in the hot path, so signatures are computed
+    inside whole-stage codegen during the scan.
+  * The only shuffles are the band-bucket groupBys and the verify join,
+    all on high-cardinality keys; AQE handles residual skew. Degenerate
+    buckets (boilerplate text) can be capped via ``max_bucket`` before
+    the self-join goes quadratic.
+
+Determinism: xxhash64 (fixed seed) + fixed-seed universal-hash
+coefficients make signatures stable across runs — required for the
+driver's value-hash checks and for incremental dedup.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark import StorageLevel
+
+
+# -- shingling --------------------------------------------------------------
+
+def token_shingles(tokens: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (space-joined) from a token array."""
+    positions = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(positions, lambda i: F.array_join(F.slice(tokens, i, k), " "))
+    )
+
+
+def char_ngrams(text: Column, n: int = 4) -> Column:
+    """Distinct character n-grams of the text."""
+    positions = F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(positions, lambda i: text.substr(i, F.lit(n)))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+# -- MinHash ----------------------------------------------------------------
+#
+# Aggregate formulation, NOT a num_hashes-wide array expression: a nested
+# array_min-per-hash column looks natural, but Catalyst's project collapse
+# inlines the whole signature expression into every band-key reference,
+# exponentially duplicating work (observed 270s for 500 docs). Computing
+# the signature as MIN aggregate columns keeps the plan linear — an
+# Aggregate is not a Project, so its outputs are never inlined downstream.
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition to full parallelism when the input arrived in
+    fewer splits than cores (tiny test files read as 1 partition would
+    otherwise serialize the fan-out stage). No-op shape at real scale,
+    where scans already produce >= cores partitions."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
+def minhash_band_keys(shingled: DataFrame, id_col: str = "_id",
+                      shingles_col: str = "shingles",
+                      num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """(id, shingle-set) -> (id, band, key) LSH bucket rows.
+
+    Explode shingles; ONE xxhash64 per shingle, then the ``num_hashes``
+    MinHash functions are derived by universal hashing (multiply-add mod
+    2^61-1) — arithmetic per function instead of re-hashing the string.
+    The wide MIN aggregate gets map-side partial aggregation, so the
+    shuffle carries one ``num_hashes``-column row per document
+    regardless of document size.
+    """
+    rows = num_hashes // bands
+    # 2-universal hashing over the two 32-bit halves of one xxhash64 per
+    # shingle, mod p = 2^61-1. Coefficients < 2^29 keep every
+    # intermediate under 2^63 (Spark 4 runs ANSI mode: overflow THROWS).
+    p = (1 << 61) - 1
+    rng = random.Random(0x5EED)
+    coef = [(rng.randrange(1, 1 << 29), rng.randrange(1, 1 << 29),
+             rng.randrange(0, p)) for _ in range(num_hashes)]
+    hi = F.shiftrightunsigned(F.col("base"), 32)
+    lo = F.col("base").bitwiseAND(F.lit(0xFFFFFFFF))
+    # One wide aggregate: num_hashes MIN columns in a single shuffle with
+    # map-side combine — no per-hash row fan-out, and since an aggregate
+    # is not a Project, Catalyst cannot inline the signature expressions
+    # into their downstream band-key uses.
+    sig = (
+        _spread(shingled.select(F.col(id_col).alias("_id"),
+                                F.col(shingles_col).alias("shingles")), "_id")
+        .select("_id", F.explode("shingles").alias("s"))
+        .select("_id", F.xxhash64("s").alias("base"))
+        .groupBy("_id")
+        .agg(*[
+            F.min((F.lit(a) * hi + F.lit(b) * lo + F.lit(c)) % p).alias(f"mh{j}")
+            for j, (a, b, c) in enumerate(coef)
+        ])
+    )
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(F.concat_ws(
+                ",", *[F.col(f"mh{bi * rows + i}").cast("string")
+                       for i in range(rows)])).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    return (
+        sig.select("_id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+
+
+def lsh_candidate_pairs(bucket_rows: DataFrame,
+                        max_bucket: int | None = None) -> DataFrame:
+    """(_id, band, key) bucket rows -> distinct candidate pairs
+    (id_a < id_b) via self-join within each (band, key) bucket.
+    ``max_bucket`` drops degenerate buckets (boilerplate content) before
+    the within-bucket join goes quadratic."""
+    e = bucket_rows
+    if max_bucket is not None:
+        counts = e.groupBy("band", "key").count().filter(F.col("count") <= max_bucket)
+        e = e.join(counts.select("band", "key"), ["band", "key"], "left_semi")
+    a = e.select(F.col("_id").alias("id_a"), "band", "key")
+    b = e.select(F.col("_id").alias("id_b"), "band", "key")
+    return (a.join(b, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct())
+
+
+def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            threshold: float = 0.8, shingle_k: int = 3,
+                            num_hashes: int = 64, bands: int = 16,
+                            max_bucket: int | None = None) -> DataFrame:
+    """End-to-end near-dup detection: shingle -> MinHash -> band-bucket
+    candidates -> exact-Jaccard verify. Returns (id_a, id_b, jaccard)
+    for verified pairs with jaccard >= threshold.
+
+    With 16 bands x 4 rows, P(miss) for a true pair at j=0.8 is
+    (1 - 0.8^4)^16 ~ 2e-4, at j=0.9 ~ 2e-9; raise num_hashes/bands for
+    tighter guarantees near the threshold. False positives cost only a
+    verify comparison (they are filtered exactly).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # The shingle frame feeds three subtrees (bucketing + both sides of
+    # the verify join); persist it so the tokenize/shingle scan runs once.
+    # MEMORY_AND_DISK: at 100 TB the shingle sets spill rather than OOM.
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        token_shingles(toks, shingle_k).alias("shingles"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = minhash_band_keys(shingled, num_hashes=num_hashes, bands=bands)
+    cands = lsh_candidate_pairs(buckets, max_bucket=max_bucket)
+    sh = shingled
+    verified = (
+        cands
+        .join(sh.select(F.col("_id").alias("id_a"),
+                        F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"),
+                        F.col("shingles").alias("sh_b")), "id_b")
+        .select("id_a", "id_b",
+                F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def with_simhash(df: DataFrame, text_col: str, out: str = "simhash",
+                 shingle_k: int = 3) -> DataFrame:
+    """Append a 64-bit SimHash packed into one BIGINT. Features are
+    k-token shingles (NOT bare tokens: on corpora with a small shared
+    vocabulary, token-level SimHash collapses to near-identical values
+    for every document). Single-pass, JVM-side."""
+    toks = f"split(trim(lower({text_col})), '\\\\s+')"
+    feats = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size({toks}) - {shingle_k - 1}, 1)), "
+        f"i -> array_join(slice({toks}, i, {shingle_k}), ' ')))"
+    )
+    counts = (
+        f"aggregate({feats}, array_repeat(0, 64), (acc, t) -> "
+        f"zip_with(acc, transform(sequence(0, 63), i -> "
+        f"IF((shiftrightunsigned(xxhash64(t), i) & 1) = 1, 1, -1)), "
+        f"(x, y) -> x + y))"
+    )
+    packed = (
+        f"aggregate(zip_with({counts}, sequence(0, 63), (c, i) -> "
+        f"IF(c > 0, shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), CAST(0 AS BIGINT))), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc | v)"
+    )
+    return df.withColumn(out, F.expr(packed))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            max_hamming: int = 6,
+                            max_bucket: int | None = None) -> DataFrame:
+    """SimHash near-dup: 4 bands of 16 bits generate candidates (a pair
+    within hamming<=3 of 64 bits must agree on >=1 full band by
+    pigeonhole when distance < 4; wider distances are caught with high
+    probability), then exact hamming verification."""
+    h = with_simhash(df.select(F.col(id_col).alias("_id"), text_col), text_col)
+    buckets = h.select(
+        "_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for b in range(4)
+        ])).alias("bk"),
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cands = lsh_candidate_pairs(buckets, max_bucket=max_bucket)
+    sig = h.select("_id", "simhash")
+    return (
+        cands
+        .join(sig.select(F.col("_id").alias("id_a"),
+                         F.col("simhash").alias("sh_a")), "id_a")
+        .join(sig.select(F.col("_id").alias("id_b"),
+                         F.col("simhash").alias("sh_b")), "id_b")
+        .select("id_a", "id_b",
+                hamming64(F.col("sh_a"), F.col("sh_b")).cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- exact ------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str, fingerprint: Column) -> DataFrame:
+    """Groups of rows sharing an exact fingerprint (hash-groupBy — the
+    trivially-distributed dedup). Returns (fingerprint, n, keep_id)."""
+    return (
+        df.select(F.col(id_col).alias("_id"), fingerprint.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"), F.min("_id").alias("keep_id"))
+    )

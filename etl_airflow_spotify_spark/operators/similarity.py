@@ -1,0 +1,114 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+Exact path: brute-force cosine between a (small, broadcast) query set and
+the full corpus — one scan of the corpus, JVM-side fold for the dot
+product, ranking window for top-k. Correct baseline at any scale where
+|queries| is modest.
+
+Approx path: random-hyperplane LSH. Signature bits come from fixed
+pseudo-random hyperplanes (seeded, reproducible); equal bucket keys feed
+a within-bucket verify. This is the 100 TB path: candidate generation is
+a hash-partitioned groupBy, never an all-pairs product.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float vectors, computed in double."""
+    ad, bd = as_double(a), as_double(b)
+    return dot(ad, bd) / (norm(ad) * norm(bd))
+
+
+def topk_cosine(corpus: DataFrame, queries: DataFrame, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                score_digits: int = 6) -> DataFrame:
+    """Exact top-k: broadcast the query set against the corpus, rank by
+    rounded cosine with id tiebreak (deterministic). Excludes self-pairs.
+    Returns (query_id, cand_id, score, rn)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("cand_id"),
+                      F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id",
+                F.round(cosine(F.col("q_vec"), F.col("c_vec")), score_digits)
+                .alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "cand_id", "score",
+                    F.col("rn").cast("long").alias("rn")))
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket(vec: Column, n_planes: int, dim: int,
+                      seed: int = 42) -> Column:
+    """Random-hyperplane signature packed into one BIGINT bucket key."""
+    vd = as_double(vec)
+    planes = _hyperplanes(n_planes, dim, seed)
+    bits = [
+        F.when(dot(vd, F.array(*[F.lit(w) for w in plane])) >= 0,
+               F.lit(1).cast("long") * (1 << p)).otherwise(F.lit(0).cast("long"))
+        for p, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def near_duplicate_vectors(df: DataFrame, threshold: float = 0.95,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           n_planes: int = 12, dim: int = 64,
+                           n_tables: int = 4) -> DataFrame:
+    """Approx near-dup pairs with cosine >= threshold. ``n_tables``
+    independent hyperplane tables raise recall (a pair is a candidate if
+    ANY table buckets it together); every candidate is exactly verified."""
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    bands = F.array(*[
+        F.struct(F.lit(t).alias("band"),
+                 hyperplane_bucket(F.col("_v"), n_planes, dim,
+                                   seed=42 + t).alias("key"))
+        for t in range(n_tables)
+    ])
+    keyed = base.select("_id", bands.alias("bands"))
+    e = (keyed.select("_id", F.explode("bands").alias("bk"))
+         .select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")))
+    a = e.select(F.col("_id").alias("id_a"), "band", "key")
+    b = e.select(F.col("_id").alias("id_b"), "band", "key")
+    cands = (a.join(b, ["band", "key"]).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    return (
+        cands
+        .join(base.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a")), "id_a")
+        .join(base.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b")), "id_b")
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

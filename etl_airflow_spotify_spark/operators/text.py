@@ -1,0 +1,95 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side expressions (split / regexp / higher-order
+array functions) — no Python UDFs — so they stay inside whole-stage
+codegen and scale linearly with input splits. Each builder returns a
+Column so callers compose them into a single projection (one scan).
+
+Design parity note: every formula here is also expressible in ANSI/DuckDB
+SQL, which is how the driver's oracle checks them (queries/text.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Fixed stopword profiles for the heuristic language classifier. The
+# lists are part of the operator contract (oracle SQL embeds the same
+# ones) — do not reorder/extend without updating queries/text.py.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "es": ("el", "la", "de", "y", "que", "en", "es", "un", "una", "los"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "im"),
+}
+
+# "BPE-ish" token pattern: runs of letters, runs of digits, or a single
+# non-space symbol — a deterministic stand-in for a real subword vocab.
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+PUNCT_RE = "[,.!?;:]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty input -> single empty token)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def n_bpe_tokens(text: Column) -> Column:
+    """Token count under the BPE-ish regex vocabulary."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast("long")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """How many tokens are stopwords of ``lang`` (case-insensitive)."""
+    words = STOPWORDS[lang]
+    return F.size(
+        F.filter(tokens(F.lower(text)), lambda t: t.isin(*words))
+    ).cast("long")
+
+
+def detect_language(text: Column) -> Column:
+    """Argmax over stopword-profile scores; 'und' (undetermined) when no
+    profile matches. Ties resolve in fixed order en > es > de."""
+    en, es, de = (stopword_hits(text, lang) for lang in ("en", "es", "de"))
+    return (
+        F.when((en >= es) & (en >= de) & (en > 0), "en")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("und")
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, f"[^{PUNCT_RE[1:-1]}]", ""))
+    return n_punct / F.greatest(F.length(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length saturation (40%),
+    English-stopword density (30%), low punctuation noise (30%)."""
+    nt = F.greatest(n_tokens(text), F.lit(1))
+    length_part = F.least(nt / F.lit(100.0), F.lit(1.0)) * 0.4
+    stop_part = F.least(stopword_hits(text, "en") / nt * F.lit(5.0), F.lit(1.0)) * 0.3
+    punct_part = (F.lit(1.0) - F.least(punct_ratio(text) * F.lit(10.0), F.lit(1.0))) * 0.3
+    return F.round(length_part + stop_part + punct_part, 6)
+
+
+def exact_fingerprint(text: Column) -> Column:
+    """Exact-duplicate fingerprint: md5 of the case/space-normalized text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def rolling_fingerprint(text: Column, width: int = 16) -> Column:
+    """Winnowing-style document fingerprint: the minimum md5 over all
+    ``width``-char windows of the text. One expression, no shuffle."""
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(text) - (width - 1), F.lit(1)))
+    hashes = F.transform(
+        positions, lambda i: F.md5(text.substr(i, F.lit(width)))
+    )
+    return F.array_min(hashes)

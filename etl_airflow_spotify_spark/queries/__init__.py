@@ -11,4 +11,4 @@ Module map (SURVEY.md §2.B inventory):
     streaming   - X20-X23 batch-equivalent checks
 """
 
-from . import relational  # noqa: F401
+from . import dedup, relational, similarity, text  # noqa: F401

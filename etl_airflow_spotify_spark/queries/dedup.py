@@ -1,0 +1,128 @@
+"""Dedup queries over ``documents`` (X15/X16 + north-star dedup suite).
+
+``near_dup_minhash`` is oracle-checked against an ALL-PAIRS exact-Jaccard
+DuckDB query: the Spark side only ever compares LSH candidates, so a pass
+proves the banding found every true pair (P(miss) ~ 2e-9 at the j>=0.9
+similarity of the planted pairs, 16x4 banding). SimHash has no SQL twin
+(xxhash64) -> rows-only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators import dedup as D
+from ..operators import text as T
+from ..registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+_ALL_PAIRS_JACCARD = """
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(len(ts) - 2, 1)),
+                   i -> ts[CAST(i AS INTEGER)] || ' ' ||
+                        ts[CAST(i AS INTEGER) + 1] || ' ' ||
+                        ts[CAST(i AS INTEGER) + 2])) AS sset
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS ts
+              FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+                 GREATEST(len(list_distinct(list_concat(a.sset, b.sset))), 1),
+                 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+          GREATEST(len(list_distinct(list_concat(a.sset, b.sset))), 1)
+          >= 0.8
+"""
+
+
+@register(
+    "near_dup_minhash",
+    _ALL_PAIRS_JACCARD,
+    doc="MinHash-LSH near-dup pairs (verified Jaccard >= 0.8); oracle is "
+        "exhaustive all-pairs Jaccard, so a pass certifies LSH recall.",
+    tags=("X16",),
+)
+def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_near_duplicates(
+        _docs(spark, sf_dir), "doc_id", "text",
+        threshold=0.8, shingle_k=3, num_hashes=64, bands=16)
+
+
+@register(
+    "near_dup_simhash",
+    None,  # xxhash64 has no DuckDB twin -> rows-only check
+    doc="SimHash near-dup candidates (64-bit, 4x16 banding, hamming<=3).",
+    tags=("X16",),
+)
+def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_duplicates(_docs(spark, sf_dir), "doc_id", "text",
+                                     max_hamming=3)
+
+
+@register(
+    "ngram_jaccard_blocked",
+    """
+    WITH ng AS (
+        SELECT doc_id, lang, source,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(len(text) - 3, 1)),
+                   i -> substr(text, CAST(i AS INTEGER), 4))) AS gset
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE) /
+                 GREATEST(len(list_distinct(list_concat(a.gset, b.gset))), 1),
+                 6) AS jaccard
+    FROM ng a
+    JOIN ng b ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE) /
+          GREATEST(len(list_distinct(list_concat(a.gset, b.gset))), 1)
+          >= 0.5
+    """,
+    doc="Char-4-gram Jaccard >= 0.5 within (lang, source) blocks — the "
+        "blocking-key pattern: quadratic only inside small blocks.",
+    tags=("X16",),
+)
+def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source",
+        D.char_ngrams(F.col("text"), 4).alias("gset"))
+    a = d.select(F.col("doc_id").alias("id_a"), "lang", "source",
+                 F.col("gset").alias("g_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), "lang", "source",
+                 F.col("gset").alias("g_b"))
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(D.jaccard(F.col("g_a"), F.col("g_b")), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+           COUNT(*) AS n,
+           MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact-duplicate groups by normalized-md5 fingerprint (hash groupBy).",
+    tags=("X15",),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return D.exact_duplicates(d, "doc_id", T.exact_fingerprint(F.col("text")))

@@ -1,0 +1,196 @@
+"""Text-analysis queries over ``documents`` (SURVEY.md §2.B X18 +
+north-star text ops: language-ID, quality scoring, token counting,
+fingerprinting). Oracle SQL embeds the exact same formulas so the driver
+hash-checks real values, not just row counts."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..operators import text as T
+from ..registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _sql_stop_filter(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return (f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            f"t -> t IN ({words})))")
+
+
+# --------------------------------------------------------------------------
+# Per-document stats battery: token counts (whitespace + BPE-ish regex),
+# punctuation ratio, quality score. One projection, one scan.
+# --------------------------------------------------------------------------
+@register(
+    "doc_stats",
+    f"""
+    SELECT doc_id, lang, source, n_chars,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens,
+           CAST({_sql_stop_filter('en')} AS BIGINT) AS en_stopwords,
+           ROUND(CAST(len(regexp_replace(text, '[^,.!?;:]', '', 'g')) AS DOUBLE)
+                 / GREATEST(len(text), 1), 6) AS punct_ratio,
+           ROUND(LEAST(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                       / 100.0, 1.0) * 0.4
+                 + LEAST({_sql_stop_filter('en')}
+                         / CAST(GREATEST(len(string_split_regex(trim(text), '\\s+')), 1) AS DOUBLE)
+                         * 5.0, 1.0) * 0.3
+                 + (1.0 - LEAST(CAST(len(regexp_replace(text, '[^,.!?;:]', '', 'g')) AS DOUBLE)
+                                / GREATEST(len(text), 1) * 10.0, 1.0)) * 0.3,
+                 6) AS quality
+    FROM documents
+    """,
+    doc="Per-doc token counts, punctuation ratio, quality score (X18).",
+    tags=("X18",),
+)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id", "lang", "source", "n_chars",
+        T.n_tokens(t).alias("n_tokens"),
+        T.n_bpe_tokens(t).alias("n_bpe_tokens"),
+        T.stopword_hits(t, "en").alias("en_stopwords"),
+        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
+        T.quality_score(t).alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus word frequencies: explode -> count -> deterministic top-k.
+# At 100 TB the explode fans out per token but partial aggregation
+# (map-side combine) collapses it before the shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "word_frequencies",
+    """
+    SELECT tok AS word, COUNT(*) AS freq,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+          FROM documents)
+    GROUP BY tok
+    ORDER BY freq DESC, word
+    LIMIT 25
+    """,
+    doc="Corpus top-25 word frequencies with document frequency.",
+    tags=("X18",),
+)
+def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"),
+             F.countDistinct("doc_id").cast("long").alias("n_docs"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: top term per document by tf * ln(N/df). Pure joins + windows —
+# the classic two-aggregation formulation that scales (no collect).
+# --------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf,
+           ROUND(tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                                        term) = 1
+    """,
+    doc="TF-IDF via two aggregations + broadcast df join; top term per doc.",
+    tags=("X18",),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id",
+                    F.explode(T.tokens(F.lower(F.col("text")))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"))
+    n_docs = d.count()  # scalar; at scale: a 1-row broadcast join instead
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc(tfidf), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", "tf", F.round(tfidf, 6).alias("tfidf"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Heuristic language-ID vs the labeled lang column (confusion profile).
+# --------------------------------------------------------------------------
+@register(
+    "language_id",
+    f"""
+    WITH scored AS (
+        SELECT lang AS labeled,
+               {_sql_stop_filter('en')} AS en_s,
+               {_sql_stop_filter('es')} AS es_s,
+               {_sql_stop_filter('de')} AS de_s
+        FROM documents
+    )
+    SELECT labeled,
+           CASE WHEN en_s >= es_s AND en_s >= de_s AND en_s > 0 THEN 'en'
+                WHEN es_s >= de_s AND es_s > 0 THEN 'es'
+                WHEN de_s > 0 THEN 'de'
+                ELSE 'und' END AS predicted,
+           COUNT(*) AS n
+    FROM scored
+    GROUP BY 1, 2
+    """,
+    doc="Stopword-profile language classifier, confusion counts vs labels.",
+    tags=("X18",),
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.col("lang").alias("labeled"),
+                 T.detect_language(F.col("text")).alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprints: exact md5 + winnowing-style rolling-min hash.
+# --------------------------------------------------------------------------
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS exact_fp,
+           list_min(list_transform(
+               generate_series(1, GREATEST(len(text) - 15, 1)),
+               i -> md5(substr(text, CAST(i AS INTEGER), 16)))) AS rolling_fp
+    FROM documents
+    """,
+    doc="Exact + rolling (winnowing-min) document fingerprints.",
+    tags=("X18", "X16"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.exact_fingerprint(t).alias("exact_fp"),
+        T.rolling_fingerprint(t, 16).alias("rolling_fp"),
+    )

@@ -1,0 +1,138 @@
+"""Operator-level tests with planted duplicates/neighbors — proves the
+rows-only (non-oracle) ops actually detect what they claim to."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+BASE = ("the quick brown fox jumps over the lazy dog while the spark engine "
+        "shuffles partitions across the cluster and the optimizer prunes "
+        "columns from the scan before the join runs at scale").split()
+
+
+def _mutate(words: list[str], n_swaps: int) -> str:
+    out = list(words)
+    for i in range(n_swaps):
+        out[(7 * i + 3) % len(out)] = f"tok{i}"
+    return " ".join(out)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    rows = [
+        (0, " ".join(BASE)),
+        (1, _mutate(BASE, 2)),          # near-dup of 0 (high jaccard)
+        (2, _mutate(BASE, 3)),          # near-dup of 0/1
+        (3, " ".join(reversed(BASE))),  # same vocab, different order
+        (4, "completely different words about databases indexes btrees "
+            "and write ahead logs living elsewhere entirely"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_finds_planted_pairs(planted_docs):
+    from etl_airflow_spotify_spark.operators.dedup import minhash_near_duplicates
+
+    # threshold 0.5 needs r=2 banding: 16x4 bands detect j~0.54 with only
+    # p~0.76, while 64x2 bands give P(miss) ~ 3e-10.
+    pairs = {(r.id_a, r.id_b) for r in
+             minhash_near_duplicates(planted_docs, "doc_id", "text",
+                                     threshold=0.5, num_hashes=128,
+                                     bands=64).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_simhash_contract(spark, planted_docs):
+    """4x16-bit banding GUARANTEES detection only for hamming <= 3
+    (pigeonhole); the operator must find exactly the <=max_hamming pairs
+    among its candidates and never emit a pair above the threshold."""
+    import itertools
+
+    from etl_airflow_spotify_spark.operators.dedup import (
+        simhash_near_duplicates, with_simhash)
+
+    docs = planted_docs.union(
+        spark.createDataFrame([(5, " ".join(BASE))], ["doc_id", "text"]))
+
+    h = {r.doc_id: r.simhash for r in
+         with_simhash(docs, "text").select("doc_id", "simhash").collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    guaranteed = {(x, y) for x, y in itertools.combinations(sorted(h), 2)
+                  if hamming(h[x], h[y]) <= 3}
+    assert (0, 5) in guaranteed  # exact dup -> distance 0
+
+    found = {(r.id_a, r.id_b) for r in
+             simhash_near_duplicates(docs, "doc_id", "text",
+                                     max_hamming=3).collect()}
+    assert guaranteed <= found
+    assert all(hamming(h[x], h[y]) <= 3 for x, y in found)
+
+
+def test_minhash_no_false_negatives_vs_exact(spark, sf_dir):
+    """LSH candidates must cover every true pair >= threshold found by
+    exhaustive comparison on the small SF."""
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators.dedup import (
+        char_ngrams, jaccard, minhash_near_duplicates, token_shingles)
+
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = {(r.id_a, r.id_b) for r in
+           minhash_near_duplicates(docs, "doc_id", "text",
+                                   threshold=0.8).collect()}
+    sh = docs.select(
+        F.col("doc_id").alias("_id"),
+        token_shingles(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 3)
+        .alias("s"))
+    a = sh.select(F.col("_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("s").alias("sb"))
+    exact = {(r.id_a, r.id_b) for r in
+             a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .filter(jaccard(F.col("sa"), F.col("sb")) >= 0.8)
+             .select("id_a", "id_b").collect()}
+    assert lsh == exact
+
+
+def test_vector_lsh_finds_planted_neighbors(spark):
+    import random
+
+    from etl_airflow_spotify_spark.operators.similarity import (
+        near_duplicate_vectors)
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + rng.gauss(0, 0.01) for x in base]          # cosine ~ 1
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near])]
+    rows += [(i, [float(rng.gauss(0, 1)) for _ in range(64)])
+             for i in range(2, 40)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    pairs = {(r.id_a, r.id_b) for r in
+             near_duplicate_vectors(df, threshold=0.95).collect()}
+    assert (0, 1) in pairs
+
+
+def test_topk_cosine_self_similarity(spark):
+    from etl_airflow_spotify_spark.operators.similarity import topk_cosine
+
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0]), (3, [-1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = topk_cosine(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r.cand_id for r in sorted(out, key=lambda r: r.rn)] == [1, 2]
+
+
+def test_exact_duplicates_groups(spark):
+    from etl_airflow_spotify_spark.operators.dedup import exact_duplicates
+    from etl_airflow_spotify_spark.operators.text import exact_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        ["doc_id", "text"])
+    groups = exact_duplicates(df, "doc_id", exact_fingerprint(F.col("text")))
+    dup = [r for r in groups.collect() if r.n == 2]
+    assert len(dup) == 1 and dup[0].keep_id == 1
