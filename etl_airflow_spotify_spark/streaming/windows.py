@@ -1,0 +1,129 @@
+"""Streaming window operators over the events table.
+
+Batch parity strategy: each operator is a *streaming* dataflow
+(readStream -> transform -> writeStream) driven to completion with an
+availableNow trigger and a memory sink, so the registered queries return
+ordinary DataFrames the driver can hash against batch-equivalent oracle
+SQL. At production scale the same plans run against Kafka/file streams
+with processing-time triggers — nothing here depends on the data being
+finite except the trigger choice.
+
+The events parquet stores TIMESTAMP(NANOS); streaming reads use an
+explicit schema with ts:long (via nanosAsLong) and convert to a proper
+timestamp column, because watermarks need an event-time column.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from ..session import configure
+
+# Physical schema of events.parquet under nanosAsLong.
+EVENTS_RAW_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),  # nanos since epoch
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of the events table with a proper event-time
+    column (TIMESTAMP, session tz UTC)."""
+    configure(spark)
+    reader = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+              .format("parquet")
+              # file stream sources take a directory; select just the
+              # events table out of the shared scale-factor dir
+              .option("pathGlobFilter", "events.parquet"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(sf_dir)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_to_table(stream_df: DataFrame, name: str,
+                 output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming frame to completion (availableNow) into a memory
+    sink; return the materialized result as a batch DataFrame."""
+    spark = stream_df.sparkSession
+    q = (stream_df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """X20: tumbling event-time window aggregate."""
+    return (
+        events
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "10 minutes",
+                   slide: str = "5 minutes") -> DataFrame:
+    """X20: sliding event-time window aggregate (each row lands in
+    width/slide overlapping windows). No exact count-distinct here:
+    streaming aggregation state must be mergeable, so Spark forbids it
+    (use approx_count_distinct when needed)."""
+    return (
+        events
+        .groupBy(F.window("ts", width, slide))
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "n", "total_value")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """X21: native streaming session windows (gap-based). Window end is
+    last-event + gap per Spark's session_window semantics."""
+    return (
+        events
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events")
+    )
+
+
+def watermarked_counts(events: DataFrame, delay: str = "1 hour",
+                       width: str = "10 minutes") -> DataFrame:
+    """X22: watermarked tumbling aggregate in append mode — only windows
+    the watermark has passed are emitted; rows older than the watermark
+    are dropped on arrival."""
+    return (
+        events
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", width))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str],
+                 delay: str = "1 hour") -> DataFrame:
+    """X23: stateful streaming dedup — duplicates of a key arriving
+    within the watermark horizon are dropped; state is purged as the
+    watermark advances (bounded memory on an infinite stream)."""
+    return events.withWatermark("ts", delay) \
+                 .dropDuplicatesWithinWatermark(keys)
