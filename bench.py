@@ -17,6 +17,7 @@ from etl_airflow_spotify_spark.registry import all_queries  # noqa: E402
 from etl_airflow_spotify_spark.session import get_session  # noqa: E402
 
 HEADLINE = [
+    # relational core
     "pricing_summary",
     "top_revenue_orders",
     "revenue_by_region",
@@ -25,6 +26,15 @@ HEADLINE = [
     "range_join_price_band",
     "events_json_stats",
     "dedup_first_event",
+    "asof_purchase_click",
+    "sessionize_events",
+    # LLM-data-pipeline extensions
+    "doc_stats",
+    "near_dup_minhash",
+    "vector_topk_exact",
+    "multimodal_metadata",
+    # streaming
+    "stream_tumbling_counts",
 ]
 
 

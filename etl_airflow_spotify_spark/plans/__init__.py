@@ -1,0 +1,67 @@
+"""Physical-plan inspection helpers.
+
+Used by tests to pin the plan properties that matter at 100 TB —
+predicate pushdown reaching the parquet scan, column pruning in
+ReadSchema, broadcast joins for dimensions, partial aggregation —
+so a refactor that silently regresses one of them fails CI, not the
+cluster bill.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (classic-mode private API with a
+    stdout-capture fallback)."""
+    try:
+        jqe = df._jdf.queryExecution()
+        jvm = df.sparkSession._jvm
+        explain_mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        return jqe.explainString(explain_mode)
+    except Exception:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode)
+        return buf.getvalue()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Every PushedFilters list in the formatted plan, flattened."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan_string(df)):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    return re.findall(r"ReadSchema: (struct<[^\n]*)", plan_string(df))
+
+
+def has_broadcast_hash_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in plan_string(df)
+
+
+def num_exchanges(df: DataFrame) -> int:
+    # count node-detail headers "(n) Exchange" — the tree section would
+    # double-count every node
+    return len(re.findall(r"\(\d+\) Exchange\b", plan_string(df)))
+
+
+def num_nodes(df: DataFrame, node: str) -> int:
+    return len(re.findall(rf"\(\d+\) {node}\b", plan_string(df)))
+
+
+def has_cartesian_product(df: DataFrame) -> bool:
+    return "CartesianProduct" in plan_string(df)
+
+
+def wholestage_codegen_ids(df: DataFrame) -> list[int]:
+    return sorted({int(m) for m in
+                   re.findall(r"WholeStageCodegen \((\d+)\)", plan_string(df))})

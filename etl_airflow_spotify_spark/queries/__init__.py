@@ -11,5 +11,5 @@ Module map (SURVEY.md §2.B inventory):
     streaming   - X20-X23 batch-equivalent checks
 """
 
-from . import (dedup, events_ops, relational, similarity,  # noqa: F401
-               streaming, text)
+from . import (dedup, events_ops, multimodal, relational,  # noqa: F401
+               similarity, streaming, text)

@@ -1,0 +1,184 @@
+"""Multimodal + UDF-surface queries (X19, X24) and the map battery
+(X14 maps).
+
+``multimodal_metadata`` is oracle-checked by rebuilding the same binary
+payloads in DuckDB SQL and extracting the same header fields — the
+whole binary pipeline (build -> sniff -> decode) is hash-verified, not
+just row-counted.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import load_table
+from ..operators import multimodal as M
+from ..registry import register
+
+
+@register(
+    "multimodal_metadata",
+    r"""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'RIFF'::BLOB
+                    ELSE '\x89PNG'::BLOB END
+               || unhex(lpad(hex(n_chars % 1024 + 1), 8, '0'))
+               || unhex(lpad(hex(doc_id % 512 + 1), 8, '0'))
+               || encode(text) AS content,
+               CASE WHEN doc_id % 7 = 0 THEN 'application/octet-stream'
+                    WHEN doc_id % 3 = 0 THEN 'audio/wav'
+                    ELSE 'image/png' END AS mime,
+               n_chars % 1024 + 1 AS exp_width,
+               doc_id % 512 + 1 AS exp_height
+        FROM documents
+    )
+    SELECT media_id, mime,
+           CASE WHEN substring(hex(content), 1, 8) = hex('\x89PNG'::BLOB)
+                    THEN 'image/png'
+                WHEN substring(hex(content), 1, 8) = hex('RIFF'::BLOB)
+                    THEN 'audio/wav'
+                ELSE 'application/octet-stream' END AS mime_sniffed,
+           CAST(octet_length(content) AS BIGINT) AS size_bytes,
+           CAST(exp_width AS BIGINT) AS width,
+           CAST(exp_height AS BIGINT) AS height
+    FROM media
+    """,
+    doc="Binary media columns: build + magic-sniff + header decode, all "
+        "JVM-side; oracle rebuilds the payloads in SQL and derives the "
+        "expected header fields independently from the source columns.",
+    tags=("X19",),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.build_media_from_documents(docs)
+    return M.with_media_metadata(media).select(
+        "media_id", "mime", "mime_sniffed", "size_bytes", "width", "height")
+
+
+@register(
+    "multimodal_decode",
+    None,  # decoder stub output shape is the contract; rows-only
+    doc="Arrow-batched media decode via mapInPandas (stub decoder).",
+    tags=("X19", "X24"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_media(M.build_media_from_documents(docs))
+
+
+# --------------------------------------------------------------------------
+# X24: the Python UDF surface — scalar pandas_udf + grouped-agg
+# pandas_udf in one query, hash-checked against a pure-SQL oracle.
+# (mapInPandas is exercised by multimodal_decode and the REST fetcher;
+# applyInPandas by udf_zscore below.)
+# --------------------------------------------------------------------------
+@register(
+    "udf_surface_stats",
+    """
+    WITH scored AS (
+        SELECT lang, n_chars,
+               LN(1 + n_chars) * (CASE WHEN lang = 'en' THEN 1.1 ELSE 1.0 END)
+               AS score
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n,
+           ROUND(SUM(score * n_chars) / SUM(n_chars), 6) AS weighted_score
+    FROM scored
+    GROUP BY lang
+    """,
+    doc="Scalar pandas_udf (Arrow-vectorized) + GROUPED_AGG pandas_udf, "
+        "oracle-checked against the same formulas in SQL.",
+    tags=("X24",),
+)
+def udf_surface_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @pandas_udf("double")
+    def score(lang: pd.Series, n_chars: pd.Series) -> pd.Series:
+        return np.log1p(n_chars) * np.where(lang == "en", 1.1, 1.0)
+
+    @pandas_udf("double")
+    def weighted_avg(score: pd.Series, weight: pd.Series) -> float:
+        return float((score * weight).sum() / weight.sum())
+
+    @pandas_udf("long")
+    def pd_count(v: pd.Series) -> int:
+        # GROUPED_AGG pandas UDFs can't mix with built-in aggregates in
+        # one agg() — so the count is a pandas agg too.
+        return len(v)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("score", score("lang", "n_chars"))
+        .groupBy("lang")
+        .agg(pd_count("doc_id").alias("n"),
+             F.round(weighted_avg("score", "n_chars"), 6)
+             .alias("weighted_score"))
+    )
+
+
+@register(
+    "udf_zscore_groups",
+    """
+    SELECT doc_id, source,
+           ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY source)) /
+                 NULLIF(STDDEV_SAMP(n_chars) OVER (PARTITION BY source), 0),
+                 6) AS z
+    FROM documents
+    """,
+    doc="applyInPandas grouped-map (per-group pandas frame in/out), "
+        "oracle-checked against the window formulation.",
+    tags=("X24",),
+)
+def udf_zscore_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["n_chars"].std(ddof=1)
+        z = (pdf["n_chars"] - pdf["n_chars"].mean()) / std if std else None
+        return pd.DataFrame({
+            "doc_id": pdf["doc_id"], "source": pdf["source"],
+            "z": z.round(6) if std else pd.Series([None] * len(pdf)),
+        })
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").applyInPandas(
+        zscore, schema="doc_id long, source string, z double")
+
+
+# --------------------------------------------------------------------------
+# X14 maps: map construction/access/introspection.
+# --------------------------------------------------------------------------
+@register(
+    "map_battery",
+    """
+    WITH m AS (
+        SELECT o_orderkey,
+               MAP {'status': o_orderstatus, 'pri': o_orderpriority} AS props
+        FROM orders WHERE o_orderkey % 25 = 0
+    )
+    SELECT o_orderkey,
+           props['status'][1] AS status_val,
+           props['pri'][1] AS pri_val,
+           list_sort(map_keys(props)) AS keys_sorted,
+           CAST(cardinality(props) AS BIGINT) AS n_keys
+    FROM m
+    """,
+    doc="MapType column: map_from_arrays, element access, keys, size.",
+    tags=("X14",),
+)
+def map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    props = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("pri"), F.col("o_orderpriority"))
+    return o.select(
+        "o_orderkey",
+        props["status"].alias("status_val"),
+        props["pri"].alias("pri_val"),
+        F.array_sort(F.map_keys(props)).alias("keys_sorted"),
+        F.size(props).cast("long").alias("n_keys"),
+    )

@@ -41,8 +41,40 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas UDF / mapInPandas closures that reference module-level names
+    are cloudpickled BY REFERENCE (module + qualname), so workers must
+    be able to import the package — true automatically when the driver
+    runs from the repo root, false otherwise. Shipping a zip via
+    addPyFile removes the cwd dependence (and is exactly what a
+    spark-submit --py-files deploy does on a real cluster)."""
+    if getattr(spark, "_etl_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(),
+                            "etl_airflow_spotify_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. Connect sessions; cwd-based import still works there
+    spark._etl_pkg_shipped = True
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime tuning to an externally-owned session (idempotent)."""
+    _ship_package(spark)
     confs = dict(RUNTIME_CONFS)
     # Size shuffles to the machine, not Spark's default 200: on local
     # test runs 200 partitions mean 200 state-store instances per

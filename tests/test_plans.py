@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: the properties that decide 100 TB
+viability, pinned at the smallest SF. A green result here means Catalyst
+produced the plan we designed for, not merely a correct one."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_airflow_spotify_spark.plans import (has_broadcast_hash_join,
+                                             has_cartesian_product,
+                                             num_exchanges, num_nodes,
+                                             plan_string, pushed_filters,
+                                             read_schemas)
+from etl_airflow_spotify_spark.registry import all_queries
+
+SPECS = all_queries()
+
+
+def _df(name, spark, sf_dir):
+    return SPECS[name].spark_fn(spark, sf_dir)
+
+
+def test_filter_battery_pushdown_and_pruning(spark, sf_dir):
+    df = _df("filter_battery", spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    # compound predicate reached the parquet scan
+    assert "l_extendedprice" in pf and "l_quantity" in pf
+    assert "IsNotNull" in pf
+    # column pruning: the scan reads only the referenced columns
+    (schema,) = read_schemas(df)
+    assert "l_partkey" not in schema and "l_shipdate" not in schema
+    assert "l_quantity" in schema
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir):
+    df = _df("pricing_summary", spark, sf_dir)
+    # partial+final hash aggregate around exactly one shuffle
+    assert num_nodes(df, "HashAggregate") == 2
+    assert num_exchanges(df) == 1
+    # the shipdate filter is pushed to the scan
+    assert "l_shipdate" in " ".join(pushed_filters(df))
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    df = _df("revenue_by_region", spark, sf_dir)
+    plan = plan_string(df)
+    assert has_broadcast_hash_join(df)
+    # nation and region must not shuffle the fact side: no sort-merge
+    # join anywhere in this star query at these dim sizes
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_window_single_shuffle(spark, sf_dir):
+    df = _df("top_orders_per_customer", spark, sf_dir)
+    # one hash-partitioning exchange on the group key feeds the window
+    assert num_exchanges(df) == 1
+
+
+def test_minhash_no_cartesian_product(spark, sf_dir):
+    df = _df("near_dup_minhash", spark, sf_dir)
+    assert not has_cartesian_product(df)
+
+
+def test_exact_dedup_prunes_scan(spark, sf_dir):
+    df = _df("dedup_first_event", spark, sf_dir)
+    (schema,) = read_schemas(df)
+    # props/value are not read for the dedup projection
+    assert "props" not in schema and "value" not in schema
+
+
+@pytest.mark.parametrize("name", ["join_left", "top_revenue_orders",
+                                  "segment_stats"])
+def test_no_cartesian_anywhere(name, spark, sf_dir):
+    assert not has_cartesian_product(_df(name, spark, sf_dir))
