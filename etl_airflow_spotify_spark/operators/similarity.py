@@ -43,16 +43,101 @@ def topk_cosine(corpus: DataFrame, queries: DataFrame, k: int,
                 score_digits: int = 6) -> DataFrame:
     """Exact top-k: broadcast the query set against the corpus, rank by
     rounded cosine with id tiebreak (deterministic). Excludes self-pairs.
-    Returns (query_id, cand_id, score, rn)."""
+    Returns (query_id, cand_id, score, rn).
+
+    Norms are projected per side BEFORE the product join, so each row's
+    norm is computed once (|Q| + |corpus| sqrt-folds) instead of once per
+    pair (|Q| x |corpus|) — only the dot product is per-pair work. The
+    join does not collapse the side projections, so Catalyst cannot
+    re-inline the norms into the pair expression.
+    """
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
+                       as_double(F.col(vec_col)).alias("q_vec")) \
+               .select("query_id", "q_vec", norm(F.col("q_vec")).alias("q_norm"))
     c = corpus.select(F.col(id_col).alias("cand_id"),
-                      F.col(vec_col).alias("c_vec"))
+                      as_double(F.col(vec_col)).alias("c_vec")) \
+              .select("cand_id", "c_vec", norm(F.col("c_vec")).alias("c_norm"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id",
-                F.round(cosine(F.col("q_vec"), F.col("c_vec")), score_digits)
+                F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                        / (F.col("q_norm") * F.col("c_norm")), score_digits)
+                .alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "cand_id", "score",
+                    F.col("rn").cast("long").alias("rn")))
+
+
+# -- IVF (inverted-file) approximate search ---------------------------------
+
+def _unit_centroids(n_cells: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Fixed seeded coarse quantizer: random unit vectors. A data-trained
+    (k-means) codebook drops in by replacing this list — the query plan
+    is identical either way."""
+    import math
+
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n_cells):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        s = math.sqrt(sum(x * x for x in v)) or 1.0
+        out.append([x / s for x in v])
+    return out
+
+
+def _cell_scores(vec_d: Column, cents: list[list[float]]) -> Column:
+    """array<struct<d: double, i: int>> of centroid dot-products, one
+    struct per cell. Struct ordering (d first) makes array_max /
+    array_sort rank cells by affinity with index tiebreak."""
+    return F.array(*[
+        F.struct(dot(vec_d, F.array(*[F.lit(w) for w in c])).alias("d"),
+                 F.lit(i).alias("i"))
+        for i, c in enumerate(cents)
+    ])
+
+
+def ivf_topk_cosine(corpus: DataFrame, queries: DataFrame, k: int,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_cells: int = 16, n_probe: int = 4,
+                    dim: int = 64, seed: int = 7,
+                    score_digits: int = 6) -> DataFrame:
+    """IVF approximate top-k: assign every corpus vector to its nearest
+    coarse-quantizer cell (argmax centroid dot — positive-scale
+    invariant, so cosine-consistent for unit centroids), probe each
+    query's ``n_probe`` best cells, score exactly inside probed cells.
+
+    This is the 100 TB path: the corpus shuffles once on ``cell`` (or is
+    written bucketed-by-cell), and each query touches ~n_probe/n_cells
+    of the data instead of all of it. Recall on structured data is
+    governed by n_probe; a vector's exact duplicate or scaled copy is
+    ALWAYS found (identical argmax cell = the query's top probe).
+    Returns (query_id, cand_id, score, rn) like ``topk_cosine``.
+    """
+    cents = _unit_centroids(n_cells, dim, seed)
+    c = corpus.select(F.col(id_col).alias("cand_id"),
+                      as_double(F.col(vec_col)).alias("c_vec"))
+    c = c.select(
+        "cand_id", "c_vec", norm(F.col("c_vec")).alias("c_norm"),
+        F.array_max(_cell_scores(F.col("c_vec"), cents))["i"].alias("cell"),
+    )
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("q_vec"))
+    q = q.select(
+        "query_id", "q_vec", norm(F.col("q_vec")).alias("q_norm"),
+        F.slice(F.reverse(F.array_sort(_cell_scores(F.col("q_vec"), cents))),
+                1, n_probe).alias("probes"),
+    ).select("query_id", "q_vec", "q_norm",
+             F.explode(F.transform("probes", lambda s: s["i"])).alias("cell"))
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id",
+                F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                        / (F.col("q_norm") * F.col("c_norm")), score_digits)
                 .alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))

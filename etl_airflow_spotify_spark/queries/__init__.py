@@ -7,9 +7,9 @@ Module map (SURVEY.md §2.B inventory):
     text        - X18 + text-analysis extensions over ``documents``
     dedup       - X15/X16: exact + near-duplicate detection
     similarity  - X17: vector similarity search over ``embeddings``
-    spotify     - the reference dataflow as queries (SURVEY.md §2.A)
+    subqueries  - EXISTS / NOT EXISTS / correlated-scalar SQL shapes
     streaming   - X20-X23 batch-equivalent checks
 """
 
 from . import (dedup, events_ops, multimodal, relational,  # noqa: F401
-               similarity, streaming, text)
+               similarity, streaming, subqueries, text)

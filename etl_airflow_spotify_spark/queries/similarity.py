@@ -44,12 +44,63 @@ def vector_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_cosine(emb, queries, K)
 
 
+N_PLANT = 100        # planted near-dup copies (standard recall-eval setup)
+PLANT_OFFSET = 1_000_000
+
+
+def _with_planted(emb: DataFrame) -> DataFrame:
+    """Corpus + deterministic near-duplicates: vec_id < N_PLANT gets a
+    copy at vec_id+PLANT_OFFSET with every component doubled. Scaling
+    preserves cosine (planted pairs score exactly 1.0) AND hyperplane /
+    IVF-cell signs, so any correct LSH/IVF implementation must recover
+    every planted pair — making the approx paths exactly checkable
+    against a brute-force oracle instead of vacuously rows-only on a
+    random corpus that has no natural near-dups (max pairwise cosine in
+    the testdata is ~0.46)."""
+    planted = (emb.filter(F.col("vec_id") < N_PLANT)
+               .select((F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+                       F.transform("embedding", lambda x: x * F.lit(2.0)
+                                   .cast("float")).alias("embedding")))
+    return emb.select("vec_id", "embedding").unionByName(planted)
+
+
 @register(
     "vector_near_dup_lsh",
-    None,  # approx candidate generation -> rows-only check
-    doc="Hyperplane-LSH near-duplicate vectors (cosine >= 0.95, verified).",
+    f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET},
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+        FROM embeddings WHERE vec_id < {N_PLANT}
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+    """,
+    doc="Hyperplane-LSH near-duplicate vectors (cosine >= 0.95, exact "
+        "verify) on a corpus with planted scaled-copy duplicates; the "
+        "oracle is the brute-force all-pairs scan, so LSH recall is "
+        "hash-checked, not assumed.",
     tags=("X17", "X16"),
 )
 def vector_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return S.near_duplicate_vectors(emb, threshold=0.95)
+    emb = _with_planted(load_table(spark, sf_dir, "embeddings"))
+    return S.near_duplicate_vectors(emb, threshold=0.95).select(
+        F.col("id_a"), F.col("id_b"), F.col("cos"))
+
+
+@register(
+    "vector_topk_ivf",
+    None,  # approx (probes n_probe/n_cells of the corpus) -> rows-only;
+    # recall vs. the exact path is asserted in tests/test_operators.py,
+    # including 100% planted-copy recall.
+    doc="IVF approximate cosine top-k: corpus bucketed by nearest "
+        "coarse-quantizer cell, queries probe their best 4 of 16 cells.",
+    tags=("X17",),
+)
+def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_planted(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.ivf_topk_cosine(emb, queries, K)

@@ -1,0 +1,113 @@
+"""SQL-subquery query shapes: EXISTS / NOT EXISTS / correlated scalar.
+
+These go through ``spark.sql`` on purpose: they exercise Catalyst's
+subquery rewrites (RewritePredicateSubquery -> left-semi/anti join,
+correlated scalar -> aggregate + left outer join) — plan shapes the
+DataFrame-API queries in ``relational.py`` never produce. The reference
+has no subqueries (its only relational op is one pandas left merge,
+/root/reference/scripts/transform.py:156-162); these are [EXT] coverage
+in the TPC-H Q4/Q17/Q22 mold over the driver's simplified schemas.
+
+Scale notes: all three decorrelate to shuffled joins on high-cardinality
+keys (o_orderkey / l_partkey / c_custkey), so they parallelize cleanly;
+the Q22-style global-average scalar subquery is a one-row broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..registry import register
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@register(
+    "late_ship_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS subquery (decorrelates to a left-semi "
+        "join on l_orderkey) counting orders with a late-shipping line.",
+    tags=("X2", "X3", "X7"),
+)
+def late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """)
+
+
+@register(
+    "small_qty_revenue",
+    """
+    SELECT CAST(ROUND(SUM(l_extendedprice) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+    doc="TPC-H Q17 shape: correlated scalar subquery (per-part average "
+        "quantity) decorrelated by Catalyst into an aggregate + join.",
+    tags=("X3", "X7"),
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql("""
+        SELECT CAST(ROUND(SUM(l_extendedprice) / 7.0, 2) AS DOUBLE) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+    """)
+
+
+@register(
+    "rich_idle_customers",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 6) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_totalprice > 400000.0)
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: uncorrelated scalar subquery (broadcast "
+        "one-row threshold) + NOT EXISTS anti join on o_custkey "
+        "(above-average-balance customers with no 400k+ order). The "
+        "threshold is rounded on both sides so cross-engine summation "
+        "order cannot flip a boundary membership.",
+    tags=("X2", "X3", "X7"),
+)
+def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql("""
+        SELECT c_mktsegment, COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 6) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_totalprice > 400000.0)
+        GROUP BY c_mktsegment
+    """)

@@ -116,6 +116,29 @@ def test_vector_lsh_finds_planted_neighbors(spark):
     assert (0, 1) in pairs
 
 
+def test_ivf_topk_planted_copy_recall(spark, sf_dir):
+    """A scaled copy shares its original's argmax cell, so IVF must rank
+    it first for every query; overall recall vs. exact stays useful even
+    on structureless random vectors."""
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators.similarity import (
+        ivf_topk_cosine, topk_cosine)
+    from etl_airflow_spotify_spark.queries.similarity import (
+        _with_planted, PLANT_OFFSET)
+
+    emb = _with_planted(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    ivf = ivf_topk_cosine(emb, queries, 5).collect()
+    # planted copy is always found and always rank 1
+    rank1 = {r.query_id: r.cand_id for r in ivf if r.rn == 1}
+    assert rank1 == {q: q + PLANT_OFFSET for q in range(10)}
+    exact = topk_cosine(emb, queries, 5).collect()
+    exact_pairs = {(r.query_id, r.cand_id) for r in exact}
+    ivf_pairs = {(r.query_id, r.cand_id) for r in ivf}
+    recall = len(ivf_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.3  # random corpus: ~n_probe/n_cells of true top-k
+
+
 def test_topk_cosine_self_similarity(spark):
     from etl_airflow_spotify_spark.operators.similarity import topk_cosine
 
