@@ -42,6 +42,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition to full parallelism when the input arrived in
+    fewer splits than cores — applied BEFORE expensive per-row work
+    (shingling, tokenizing, hashing) so that work parallelizes even when
+    a small test file reads as one split. No-op shape at real scale,
+    where scans already produce >= cores partitions."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}

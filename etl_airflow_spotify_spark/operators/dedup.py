@@ -25,6 +25,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark import StorageLevel
 
+from ..catalog import spread as _spread
+
 
 # -- shingling --------------------------------------------------------------
 
@@ -59,17 +61,6 @@ def jaccard(a: Column, b: Column) -> Column:
 # exponentially duplicating work (observed 270s for 500 docs). Computing
 # the signature as MIN aggregate columns keeps the plan linear — an
 # Aggregate is not a Project, so its outputs are never inlined downstream.
-
-
-def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Hash-repartition to full parallelism when the input arrived in
-    fewer splits than cores (tiny test files read as 1 partition would
-    otherwise serialize the fan-out stage). No-op shape at real scale,
-    where scans already produce >= cores partitions."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key)
-    return df
 
 
 def minhash_band_keys(shingled: DataFrame, id_col: str = "_id",
@@ -156,11 +147,16 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     verify comparison (they are filtered exactly).
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # Spread BEFORE shingling: the tokenize/shingle projection is the
+    # CPU-heavy stage, so it must run at full parallelism even when the
+    # input file arrived as a single split.
     # The shingle frame feeds three subtrees (bucketing + both sides of
     # the verify join); persist it so the tokenize/shingle scan runs once.
     # MEMORY_AND_DISK: at 100 TB the shingle sets spill rather than OOM.
-    shingled = df.select(
-        F.col(id_col).alias("_id"),
+    shingled = _spread(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id"
+    ).select(
+        "_id",
         token_shingles(toks, shingle_k).alias("shingles"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     buckets = minhash_band_keys(shingled, num_hashes=num_hashes, bands=bands)
@@ -218,7 +214,12 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     within hamming<=3 of 64 bits must agree on >=1 full band by
     pigeonhole when distance < 4; wider distances are caught with high
     probability), then exact hamming verification."""
-    h = with_simhash(df.select(F.col(id_col).alias("_id"), text_col), text_col)
+    h = with_simhash(
+        _spread(df.select(F.col(id_col).alias("_id"), text_col), "_id"),
+        text_col)
+    # The signature feeds both the bucketing and the verify join; persist
+    # the (id, 64-bit hash) pairs so the heavy shingle-aggregate runs once.
+    h = h.select("_id", "simhash").persist(StorageLevel.MEMORY_AND_DISK)
     buckets = h.select(
         "_id",
         F.explode(F.array(*[

@@ -12,14 +12,16 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..operators import dedup as D
 from ..operators import text as T
 from ..registry import register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # spread: the per-document expression batteries are CPU-bound, so
+    # run them at full parallelism even off a single-split test file.
+    return spread(load_table(spark, sf_dir, "documents"), "doc_id")
 
 
 _ALL_PAIRS_JACCARD = """
