@@ -28,11 +28,15 @@ HEADLINE = [
     "dedup_first_event",
     "asof_purchase_click",
     "sessionize_events",
+    "late_ship_priority",
+    "events_trailing_window",
     # LLM-data-pipeline extensions
     "doc_stats",
     "near_dup_minhash",
     "vector_topk_exact",
+    "vector_topk_ivf",
     "multimodal_metadata",
+    "multimodal_frames",
     # streaming
     "stream_tumbling_counts",
 ]

@@ -121,7 +121,12 @@ def lsh_candidate_pairs(bucket_rows: DataFrame,
     (id_a < id_b) via self-join within each (band, key) bucket.
     ``max_bucket`` drops degenerate buckets (boilerplate content) before
     the within-bucket join goes quadratic."""
-    e = bucket_rows
+    # The bucket frame feeds both sides of the self-join (and the bucket
+    # census when max_bucket is set); the alias-renamed projections
+    # defeat exchange reuse, so persist it rather than recompute the
+    # whole signature pipeline per consumer. It is bands-per-doc rows of
+    # three scalars — small at any scale.
+    e = bucket_rows.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket is not None:
         counts = e.groupBy("band", "key").count().filter(F.col("count") <= max_bucket)
         e = e.join(counts.select("band", "key"), ["band", "key"], "left_semi")

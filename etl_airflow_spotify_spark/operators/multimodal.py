@@ -24,8 +24,8 @@ from collections.abc import Iterator
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
-from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
+                               LongType, StringType, StructField, StructType)
 
 PNG_MAGIC = b"\x89PNG"
 WAV_MAGIC = b"RIFF"
@@ -123,3 +123,94 @@ def decode_media(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "content").mapInPandas(
         run, schema=DECODED_SCHEMA)
+
+
+# -- resize / frame-sample / feature-extract --------------------------------
+#
+# Same stubbing stance as decode_media: the Spark-side plumbing (schemas,
+# Arrow batch shape, 1->N row expansion, integer-exact arithmetic that an
+# oracle can replay) is real; pixel work is a deterministic fake.
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("thumb_w", IntegerType()),
+    StructField("thumb_h", IntegerType()),
+])
+
+FRAMES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_no", IntegerType()),
+    StructField("frame_len", IntegerType()),
+])
+
+def resize_media(media: DataFrame, max_dim: int = 128) -> DataFrame:
+    """Thumbnail-dimension computation via mapInPandas. Integer-only
+    arithmetic (floor scaling, aspect preserved) so an oracle can replay
+    it exactly; a real resampler (PIL.Image.thumbnail) slots into the
+    same batch contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["content"].map(lambda b: int.from_bytes(b[4:8], "big"))
+            h = pdf["content"].map(lambda b: int.from_bytes(b[8:12], "big"))
+            m = pd.concat([w, h], axis=1).max(axis=1).clip(lower=1)
+            scale_needed = m > max_dim
+            tw = w.where(~scale_needed, (w * max_dim // m).clip(lower=1))
+            th = h.where(~scale_needed, (h * max_dim // m).clip(lower=1))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": w.astype("int32"), "height": h.astype("int32"),
+                "thumb_w": tw.astype("int32"), "thumb_h": th.astype("int32"),
+            })
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 256,
+                  every: int = 4) -> DataFrame:
+    """Frame sampling as a 1->N mapInPandas expansion: the payload past
+    the 12-byte header is cut into ``frame_bytes`` frames and every
+    ``every``-th frame is emitted — the UDTF batch shape a real video
+    frame sampler (per-keyframe decode) uses."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, flens = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                payload = max(len(b) - 12, 0)
+                n_frames = -(-payload // frame_bytes)  # ceil
+                for fno in range(0, n_frames, every):
+                    ids.append(mid)
+                    fnos.append(fno)
+                    flens.append(min(frame_bytes, payload - fno * frame_bytes))
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "frame_no": pd.Series(fnos, dtype="int32"),
+                                "frame_len": pd.Series(flens, dtype="int32")})
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=FRAMES_SCHEMA)
+
+
+def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction stub: an md5-derived unit-free float vector
+    stands in for a real image/audio encoder, through the identical
+    mapInPandas -> array<float> contract the similarity suite consumes.
+    Deterministic, so downstream similarity results are reproducible."""
+    import hashlib
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            emb = pdf["content"].map(
+                lambda b: [x / 255.0 for x in hashlib.md5(b).digest()[:dim]])
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "embedding": emb})
+
+    return media.select("media_id", "content").mapInPandas(run, schema=schema)

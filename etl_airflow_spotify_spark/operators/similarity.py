@@ -16,7 +16,10 @@ from __future__ import annotations
 import random
 
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
+
+from ..catalog import spread
 
 
 def as_double(vec: Column) -> Column:
@@ -54,9 +57,10 @@ def topk_cosine(corpus: DataFrame, queries: DataFrame, k: int,
     q = queries.select(F.col(id_col).alias("query_id"),
                        as_double(F.col(vec_col)).alias("q_vec")) \
                .select("query_id", "q_vec", norm(F.col("q_vec")).alias("q_norm"))
-    c = corpus.select(F.col(id_col).alias("cand_id"),
-                      as_double(F.col(vec_col)).alias("c_vec")) \
-              .select("cand_id", "c_vec", norm(F.col("c_vec")).alias("c_norm"))
+    c = spread(corpus.select(F.col(id_col).alias("cand_id"),
+                             as_double(F.col(vec_col)).alias("c_vec")),
+               "cand_id") \
+        .select("cand_id", "c_vec", norm(F.col("c_vec")).alias("c_norm"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -93,9 +97,10 @@ def _cell_scores(vec_d: Column, cents: list[list[float]]) -> Column:
     """array<struct<d: double, i: int>> of centroid dot-products, one
     struct per cell. Struct ordering (d first) makes array_max /
     array_sort rank cells by affinity with index tiebreak."""
+    # One list literal per centroid (not 64 scalar literals): keeps the
+    # analyzed plan small, which is what dominates at interactive scale.
     return F.array(*[
-        F.struct(dot(vec_d, F.array(*[F.lit(w) for w in c])).alias("d"),
-                 F.lit(i).alias("i"))
+        F.struct(dot(vec_d, F.lit(c)).alias("d"), F.lit(i).alias("i"))
         for i, c in enumerate(cents)
     ])
 
@@ -118,8 +123,9 @@ def ivf_topk_cosine(corpus: DataFrame, queries: DataFrame, k: int,
     Returns (query_id, cand_id, score, rn) like ``topk_cosine``.
     """
     cents = _unit_centroids(n_cells, dim, seed)
-    c = corpus.select(F.col(id_col).alias("cand_id"),
-                      as_double(F.col(vec_col)).alias("c_vec"))
+    c = spread(corpus.select(F.col(id_col).alias("cand_id"),
+                             as_double(F.col(vec_col)).alias("c_vec")),
+               "cand_id")
     c = c.select(
         "cand_id", "c_vec", norm(F.col("c_vec")).alias("c_norm"),
         F.array_max(_cell_scores(F.col("c_vec"), cents))["i"].alias("cell"),
@@ -158,7 +164,7 @@ def hyperplane_bucket(vec: Column, n_planes: int, dim: int,
     vd = as_double(vec)
     planes = _hyperplanes(n_planes, dim, seed)
     bits = [
-        F.when(dot(vd, F.array(*[F.lit(w) for w in plane])) >= 0,
+        F.when(dot(vd, F.lit(plane)) >= 0,
                F.lit(1).cast("long") * (1 << p)).otherwise(F.lit(0).cast("long"))
         for p, plane in enumerate(planes)
     ]
@@ -175,7 +181,8 @@ def near_duplicate_vectors(df: DataFrame, threshold: float = 0.95,
     """Approx near-dup pairs with cosine >= threshold. ``n_tables``
     independent hyperplane tables raise recall (a pair is a candidate if
     ANY table buckets it together); every candidate is exactly verified."""
-    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    base = spread(df.select(F.col(id_col).alias("_id"),
+                            F.col(vec_col).alias("_v")), "_id")
     bands = F.array(*[
         F.struct(F.lit(t).alias("band"),
                  hyperplane_bucket(F.col("_v"), n_planes, dim,
@@ -183,8 +190,14 @@ def near_duplicate_vectors(df: DataFrame, threshold: float = 0.95,
         for t in range(n_tables)
     ])
     keyed = base.select("_id", bands.alias("bands"))
+    # Persist the tiny (id, band, key) frame: it feeds BOTH sides of the
+    # bucket self-join, whose alias-renamed projections defeat exchange
+    # reuse — without this the n_tables * n_planes hyperplane dots are
+    # computed twice per row.
     e = (keyed.select("_id", F.explode("bands").alias("bk"))
-         .select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")))
+         .select("_id", F.col("bk.band").alias("band"),
+                 F.col("bk.key").alias("key"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
     a = e.select(F.col("_id").alias("id_a"), "band", "key")
     b = e.select(F.col("_id").alias("id_b"), "band", "key")
     cands = (a.join(b, ["band", "key"]).filter(F.col("id_a") < F.col("id_b"))

@@ -12,4 +12,4 @@ Module map (SURVEY.md §2.B inventory):
 """
 
 from . import (dedup, events_ops, multimodal, relational,  # noqa: F401
-               similarity, streaming, subqueries, text)
+               similarity, spotify, streaming, subqueries, text)

@@ -229,3 +229,40 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                                 (l_returnflag, l_linestatus))
     """)
+
+
+# --------------------------------------------------------------------------
+# X11: time-interval RANGE window frame — per-user trailing-10-minute
+# stats on every event. Unlike the rowsBetween running totals above,
+# the frame is bounded by the ORDER-BY VALUE (a timestamp interval), the
+# frame shape real-time feature pipelines use ("activity in the last N
+# minutes as of each event").
+# --------------------------------------------------------------------------
+@register(
+    "events_trailing_window",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_10m,
+           ROUND(SUM(value) OVER w, 4) AS sum_10m
+    FROM events
+    WHERE user_id % 50 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '10 minutes' PRECEDING
+                           AND CURRENT ROW)
+    """,
+    doc="Value-bounded RANGE window frame (trailing 10-minute interval "
+        "per user). Scales as one shuffle on user_id; no self-join.",
+    tags=("X11",),
+)
+def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql("""
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_10m,
+               ROUND(SUM(value) OVER w, 4) AS sum_10m
+        FROM events
+        WHERE user_id % 50 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                               AND CURRENT ROW)
+    """)

@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import pandas_udf
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..operators import multimodal as M
 from ..registry import register
 
@@ -61,13 +61,84 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode",
-    None,  # decoder stub output shape is the contract; rows-only
-    doc="Arrow-batched media decode via mapInPandas (stub decoder).",
+    """
+    SELECT doc_id AS media_id,
+           CAST(n_chars % 1024 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 512 + 1 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_payload_bytes,
+           'fake' AS decoder
+    FROM documents
+    """,
+    doc="Arrow-batched media decode via mapInPandas (stub decoder). The "
+        "oracle derives the expected header fields straight from the "
+        "source columns, so the build->mapInPandas->decode chain is "
+        "hash-verified end to end.",
     tags=("X19", "X24"),
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return M.decode_media(M.build_media_from_documents(docs))
+
+
+@register(
+    "multimodal_resize",
+    """
+    WITH m AS (SELECT doc_id AS media_id,
+                      CAST(n_chars % 1024 + 1 AS BIGINT) AS w,
+                      CAST(doc_id % 512 + 1 AS BIGINT) AS h
+               FROM documents)
+    SELECT media_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(CASE WHEN GREATEST(w, h) <= 128 THEN w
+                     ELSE GREATEST(w * 128 // GREATEST(w, h), 1)
+                END AS INTEGER) AS thumb_w,
+           CAST(CASE WHEN GREATEST(w, h) <= 128 THEN h
+                     ELSE GREATEST(h * 128 // GREATEST(w, h), 1)
+                END AS INTEGER) AS thumb_h
+    FROM m
+    """,
+    doc="Thumbnail resize plumbing (mapInPandas, integer floor scaling, "
+        "aspect preserved); oracle replays the arithmetic exactly.",
+    tags=("X19", "X24"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return M.resize_media(M.build_media_from_documents(docs))
+
+
+@register(
+    "multimodal_frames",
+    """
+    WITH d AS (SELECT doc_id AS media_id,
+                      octet_length(encode(text)) AS p
+               FROM documents),
+    f AS (SELECT media_id, p,
+                 UNNEST(generate_series(0, ((p + 255) // 256) - 1, 4)) AS fno
+          FROM d)
+    SELECT media_id, CAST(fno AS INTEGER) AS frame_no,
+           CAST(LEAST(256, p - fno * 256) AS INTEGER) AS frame_len
+    FROM f
+    """,
+    doc="Video-style frame sampling as a 1->N mapInPandas expansion "
+        "(every 4th 256-byte frame of the payload); oracle replays the "
+        "frame arithmetic with a lateral range().",
+    tags=("X19", "X24"),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return M.sample_frames(M.build_media_from_documents(docs))
+
+
+@register(
+    "multimodal_embed",
+    None,  # md5-derived stub vectors: deterministic but not SQL-expressible
+    doc="Feature-extraction stub: media -> array<float> embedding via "
+        "mapInPandas, the contract a real image/audio encoder drops into.",
+    tags=("X19", "X24", "X17"),
+)
+def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return M.embed_media(M.build_media_from_documents(docs))
 
 
 # --------------------------------------------------------------------------
