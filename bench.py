@@ -39,6 +39,7 @@ HEADLINE = [
     "multimodal_frames",
     # streaming
     "stream_tumbling_counts",
+    "stream_stateful_user_stats",
 ]
 
 

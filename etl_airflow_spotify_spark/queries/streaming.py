@@ -115,3 +115,49 @@ def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = W.read_events_stream(spark, sf_dir)
     return W.run_to_table(W.watermarked_counts(ev), "t_watermark",
                           output_mode="append")
+
+
+@register(
+    "stream_stateful_user_stats",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="applyInPandasWithState custom stateful operator (X23/X24): "
+        "per-user running totals in explicit group state. The whole "
+        "input arrives in one availableNow batch here, so the final "
+        "emission per user equals the batch GROUP BY oracle.",
+    tags=("X23", "X24"),
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = W.read_events_stream(spark, sf_dir)
+    out = W.run_to_table(W.stateful_user_stats(ev), "t_stateful",
+                         output_mode="update")
+    return out.select("user_id", "n_events",
+                      F.round("total_value", 2).alias("total_value"))
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Watermarked stream-stream inner join (clicks x purchases within "
+        "30 min). The time-bound condition lets Spark purge join state "
+        "as the watermark advances; batch-equivalent oracle.",
+    tags=("X23",),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = W.read_events_stream(spark, sf_dir) \
+              .filter(F.col("event_type") == "click")
+    purchases = W.read_events_stream(spark, sf_dir) \
+                 .filter(F.col("event_type") == "purchase")
+    return W.run_to_table(W.stream_stream_join(clicks, purchases),
+                          "t_ssjoin", output_mode="append")

@@ -127,3 +127,59 @@ def stream_dedup(events: DataFrame, keys: list[str],
     watermark advances (bounded memory on an infinite stream)."""
     return events.withWatermark("ts", delay) \
                  .dropDuplicatesWithinWatermark(keys)
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum) kept in explicit group state across
+    micro-batches, current totals emitted per batch a user appears in.
+    This is the escape hatch for stateful semantics the built-in
+    windowed aggregates can't express (per-key ML feature state,
+    CEP-style patterns); state lives in the state store (RocksDB on a
+    real cluster), partitioned by the group key, bounded by key
+    cardinality — not stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "n_events": [n], "total_value": [s]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_stream_join(clicks: DataFrame, purchases: DataFrame,
+                       horizon: str = "30 minutes",
+                       delay: str = "1 hour") -> DataFrame:
+    """X23: watermarked stream-stream inner join — each click joined to
+    the purchases that follow it within ``horizon``. Both sides carry
+    watermarks plus a time-bound join condition, so Spark can purge
+    buffered state once the watermark passes the horizon (bounded state
+    on infinite streams)."""
+    c = (clicks.withWatermark("ts", delay)
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id"), F.col("ts").alias("click_ts")))
+    p = (purchases.withWatermark("ts", delay)
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user_id"),
+                 F.col("ts").alias("purchase_ts")))
+    return (
+        c.join(p, F.expr(f"""
+                  user_id = p_user_id AND
+                  purchase_ts BETWEEN click_ts AND
+                                      click_ts + INTERVAL {horizon}
+              """))
+        .select("click_id", "purchase_id", "user_id",
+                "click_ts", "purchase_ts")
+    )
