@@ -72,3 +72,32 @@ def test_exact_dedup_prunes_scan(spark, sf_dir):
                                   "segment_stats"])
 def test_no_cartesian_anywhere(name, spark, sf_dir):
     assert not has_cartesian_product(_df(name, spark, sf_dir))
+
+
+def test_exists_subquery_becomes_semi_join(spark, sf_dir):
+    df = _df("late_ship_priority", spark, sf_dir)
+    plan = plan_string(df)
+    # Catalyst decorrelates EXISTS into a semi join, never a subquery loop
+    assert "LeftSemi" in plan or "ExistenceJoin" in plan
+    # the order-date range predicate reaches the orders scan
+    assert "o_orderdate" in " ".join(pushed_filters(df))
+
+
+def test_not_exists_becomes_anti_join(spark, sf_dir):
+    df = _df("rich_idle_customers", spark, sf_dir)
+    assert "LeftAnti" in plan_string(df)
+
+
+def test_ivf_no_cartesian_and_broadcast_probe(spark, sf_dir):
+    # IVF replaces the exact path's product join with an equi-join on
+    # cell: no cartesian product, probe side broadcast
+    df = _df("vector_topk_ivf", spark, sf_dir)
+    assert not has_cartesian_product(df)
+    assert has_broadcast_hash_join(df)
+
+
+def test_trailing_window_single_shuffle(spark, sf_dir):
+    df = _df("events_trailing_window", spark, sf_dir)
+    # RANGE frame = one hash exchange on user_id, no self-join
+    assert num_exchanges(df) == 1
+    assert "Join" not in plan_string(df)
