@@ -195,21 +195,25 @@ def sample_frames(media: DataFrame, frame_bytes: int = 256,
 
 
 def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
-    """Feature extraction stub: an md5-derived unit-free float vector
-    stands in for a real image/audio encoder, through the identical
-    mapInPandas -> array<float> contract the similarity suite consumes.
-    Deterministic, so downstream similarity results are reproducible."""
+    """Feature extraction stub: an md5-derived int8-quantized vector
+    (byte values 0-255) stands in for a real image/audio encoder,
+    through the identical mapInPandas -> array column contract the
+    similarity suite consumes. The hash runs over the UPPERCASE HEX of
+    the payload — the one encoding Spark's hex(), DuckDB's hex() and
+    Python's bytes.hex() all agree on — so an SQL oracle can reproduce
+    every output byte exactly."""
     import hashlib
 
     schema = StructType([
         StructField("media_id", LongType()),
-        StructField("embedding", ArrayType(FloatType())),
+        StructField("embedding", ArrayType(LongType())),
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             emb = pdf["content"].map(
-                lambda b: [x / 255.0 for x in hashlib.md5(b).digest()[:dim]])
+                lambda b: [int(x) for x in hashlib.md5(
+                    b.hex().upper().encode()).digest()[:dim]])
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "embedding": emb})
 

@@ -131,9 +131,28 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_embed",
-    None,  # md5-derived stub vectors: deterministic but not SQL-expressible
-    doc="Feature-extraction stub: media -> array<float> embedding via "
-        "mapInPandas, the contract a real image/audio encoder drops into.",
+    r"""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'RIFF'::BLOB
+                    ELSE '\x89PNG'::BLOB END
+               || unhex(lpad(hex(n_chars % 1024 + 1), 8, '0'))
+               || unhex(lpad(hex(doc_id % 512 + 1), 8, '0'))
+               || encode(text) AS content
+        FROM documents
+    ),
+    h AS (SELECT media_id, md5(hex(content)) AS hh FROM media)
+    SELECT media_id,
+           list_transform(generate_series(0, 15), i ->
+               (strpos('0123456789abcdef', substr(hh, 2*i + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hh, 2*i + 2, 1)) - 1)
+           ) AS embedding
+    FROM h
+    """,
+    doc="Feature-extraction stub: media -> int8-quantized embedding via "
+        "mapInPandas, the contract a real image/audio encoder drops "
+        "into. Oracle rebuilds the payload and re-derives every "
+        "embedding byte from md5-over-hex in pure SQL.",
     tags=("X19", "X24", "X17"),
 )
 def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
