@@ -64,3 +64,25 @@ def spotify_tracks_with_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def spotify_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tables(spark)["categories"]
+
+
+@register(
+    "spotify_rest_scan",
+    None,  # source is the synthetic REST API, not a parquet table
+    doc="Spark 4 Python DataSource REST scan (S1/S2 at scale): driver "
+        "lists albums once, executors fetch tracks per album batch; "
+        "aggregated to per-album track stats.",
+    tags=("S1", "S2"),
+)
+def spotify_rest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from ..sources import rest_datasource as R
+
+    R.register(spark)
+    df = (spark.read.format("spotify_rest")
+          .option("seed", 42).option("albums_per_partition", 4).load())
+    return (df.groupBy("album_id", "album_name")
+            .agg(F.count("*").alias("n_tracks"),
+                 F.sum("duration_ms").alias("total_ms"))
+            .orderBy("album_id"))

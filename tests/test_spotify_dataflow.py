@@ -138,3 +138,23 @@ def test_distributed_feature_fetch(spark):
     rows = out.collect()
     assert len(rows) == 9  # the _3 ids return null -> dropped
     assert all(r.danceability is not None for r in rows)
+
+
+def test_rest_datasource_distributed_scan(spark):
+    """The Spark 4 Python DataSource fans per-album track fetches out
+    across partitions and returns exactly the rows the driver-side
+    client loop produces."""
+    from etl_airflow_spotify_spark.sources import rest_datasource as R
+    from etl_airflow_spotify_spark.sources.spotify_rest import FakeSpotifyClient
+
+    R.register(spark)
+    df = (spark.read.format("spotify_rest")
+          .option("seed", 42).option("albums_per_partition", 4).load())
+    # 12 albums / 4 per batch -> 3 fetch partitions
+    assert df.rdd.getNumPartitions() == 3
+    client = FakeSpotifyClient(seed=42)
+    expected = {(a["id"], t["id"])
+                for a in client.get_new_releases()
+                for t in client.get_tracks_from_album(a["id"])}
+    got = {(r.album_id, r.track_id) for r in df.collect()}
+    assert got == expected
