@@ -553,3 +553,148 @@ def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "ts")
     )
+
+
+# --------------------------------------------------------------------------
+# Classic TPC-H-shaped analytics over the simplified schemas: conditional
+# aggregation (Q14), multi-way join + share-of-total (Q8), disjunctive
+# compound pushdown (Q19), exact interpolated percentiles.
+# --------------------------------------------------------------------------
+@register(
+    "promo_revenue",
+    """
+    SELECT CAST(ROUND(
+               100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END)
+               / SUM(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE)
+           AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-02-01'
+    """,
+    doc="TPC-H Q14 shape: conditional aggregate ratio (promo revenue "
+        "share) over a month of shipments.",
+    tags=("X3", "X7", "X14"),
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") &
+        (F.col("l_shipdate") < "1997-02-01"))
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(F.round(
+            100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                          .otherwise(F.lit(0.0))) / F.sum(rev), 4)
+            .cast("double").alias("promo_pct"))
+    )
+
+
+@register(
+    "market_share",
+    """
+    WITH sales AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS rev,
+               r.r_name AS supp_region
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n ON s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           ROUND(SUM(CASE WHEN supp_region = 'ASIA' THEN rev ELSE 0 END)
+                 / SUM(rev), 6) AS asia_share
+    FROM sales GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: 5-table join (fact + orders + supplier dim "
+        "chain), year extraction, share-of-total per year. The dim "
+        "chain broadcasts; only the fact-orders join shuffles.",
+    tags=("X3", "X4", "X7", "X14"),
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sales = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                rev.alias("rev"), F.col("r_name").alias("supp_region"))
+    )
+    return (
+        sales.groupBy("o_year")
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_region") == "ASIA", F.col("rev"))
+                  .otherwise(F.lit(0.0))) / F.sum("rev"), 6)
+            .alias("asia_share"))
+    )
+
+
+@register(
+    "brand_filter_revenue",
+    """
+    SELECT CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+           AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunctive compound predicate across both "
+        "join sides; per-side conjuncts still push to each scan.",
+    tags=("X2", "X3", "X7"),
+)
+def brand_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & q.between(1, 11)) |
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+         & q.between(10, 20)) |
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+         & q.between(20, 30))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey).filter(cond)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "quantile_stats",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.9]),
+                          x -> ROUND(x, 4)) AS price_pctiles
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile == "
+        "DuckDB quantile_cont, both linear-interpolation). The approx "
+        "sketch path is approx_aggregates.",
+    tags=("X7", "X8"),
+)
+def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"),
+             F.transform(
+                 F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.9))"),
+                 lambda x: F.round(x, 4)).alias("price_pctiles"))
+    )
