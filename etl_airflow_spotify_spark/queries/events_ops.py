@@ -266,3 +266,40 @@ def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
                                AND CURRENT ROW)
     """)
+
+
+# --------------------------------------------------------------------------
+# X14 (Spark 4): VARIANT semi-structured type. parse_json once into an
+# open-schema VARIANT column, then typed variant_get extraction — the
+# shredding-friendly path for JSON at scale (vs per-field string
+# re-parsing with get_json_object).
+# --------------------------------------------------------------------------
+@register(
+    "events_variant_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS min_k
+    FROM events
+    WHERE CAST(props ->> '$.k' AS BIGINT) % 2 = 0
+    GROUP BY event_type
+    """,
+    doc="Spark 4 VARIANT: parse_json + typed variant_get extraction and "
+        "a filter on the extracted field; oracle uses DuckDB JSON "
+        "operators over the same column.",
+    tags=("X14",),
+)
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type",
+                  F.parse_json("props").alias("pv"))
+    k = F.variant_get(F.col("pv"), "$.k", "bigint")
+    return (
+        v.select("event_type", k.alias("k"))
+        .filter(F.col("k") % 2 == 0)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"))
+    )

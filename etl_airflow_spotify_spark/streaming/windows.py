@@ -183,3 +183,42 @@ def stream_stream_join(clicks: DataFrame, purchases: DataFrame,
         .select("click_id", "purchase_id", "user_id",
                 "click_ts", "purchase_ts")
     )
+
+
+def tws_user_stats(events: DataFrame) -> DataFrame:
+    """Same per-user running totals as ``stateful_user_stats``, on the
+    Spark 4 transformWithStateInPandas API: a StatefulProcessor with a
+    typed ValueState handle (the successor to applyInPandasWithState,
+    adding multiple named state variables, TTL, and timers).
+
+    NOTE: the TWS runner needs a working google.protobuf on Python
+    workers, which this container lacks — so no driver query is
+    registered for it; tests/test_streaming.py skips unless the
+    dependency imports. applyInPandasWithState (stateful_user_stats)
+    is the driver-checked custom-state path."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, s DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._agg.update((n, s))
+            yield pd.DataFrame({"user_id": [key[0]],
+                                "n_events": [n], "total_value": [s]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

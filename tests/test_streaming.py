@@ -112,3 +112,28 @@ def test_streaming_batch_parity(spark, sf_dir):
     batch = W.tumbling_counts(ev_batch)
     assert sorted(map(tuple, streamed.collect())) == \
            sorted(map(tuple, batch.collect()))
+
+
+def test_tws_user_stats_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas parity with the batch GROUP BY —
+    skipped where the TWS protobuf runtime dependency is unavailable."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: TWS runner cannot start")
+
+    import pyspark.sql.functions as F
+
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.streaming import windows as W
+
+    ev = W.read_events_stream(spark, sf_dir)
+    got = {(r.user_id, r.n_events)
+           for r in W.run_to_table(W.tws_user_stats(ev), "t_tws_test",
+                                   output_mode="update").collect()}
+    want = {(r.user_id, r.n)
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert got == want
