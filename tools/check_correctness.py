@@ -9,7 +9,6 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
@@ -17,45 +16,16 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-import duckdb  # noqa: E402
-
 import __spark_entry__ as entrymod  # noqa: E402
-from etl_airflow_spotify_spark.catalog import TABLES  # noqa: E402
+from etl_airflow_spotify_spark.oracle import compare, connect_oracle  # noqa: E402
 from etl_airflow_spotify_spark.session import get_session  # noqa: E402
-
-
-def _norm_cell(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # kill -0.0 and representation noise after the queries' own rounding
-        return round(v + 0.0, 9)
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
-    return str(v) if not isinstance(v, (int, bool)) else v
-
-
-def _multiset(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = {}
-    for row in rows:
-        key = tuple(_norm_cell(row[i]) for i in order)
-        out[key] = out.get(key, 0) + 1
-    return out
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = connect_oracle(sf_dir)
 
     spark = get_session("check-correctness")
     qs = entrymod.queries()
@@ -91,18 +61,7 @@ def main() -> int:
             n_fail += 1
             continue
 
-        problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
-        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
-            problems.append(f"columns spark={sorted(scols)} duckdb={sorted(ocols)}")
-        if not problems:
-            ms, mo = _multiset(srows, scols), _multiset(orows, ocols)
-            if ms != mo:
-                diff_keys = set(ms) ^ set(mo)
-                sample = list(diff_keys)[:3]
-                problems.append(f"values differ; {len(diff_keys)} distinct "
-                                f"mismatched rows, sample={sample}")
+        problems = compare(srows, scols, orows, ocols)
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
