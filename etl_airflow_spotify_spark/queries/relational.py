@@ -698,3 +698,28 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.9))"),
                  lambda x: F.round(x, 4)).alias("price_pctiles"))
     )
+
+
+@register(
+    "nullsafe_join_counts",
+    """
+    WITH o AS (SELECT NULLIF(o_orderstatus, 'P') AS status_n FROM orders),
+    d AS (SELECT DISTINCT status_n FROM o)
+    SELECT d.status_n, CAST(COUNT(*) AS BIGINT) AS n
+    FROM o JOIN d ON o.status_n IS NOT DISTINCT FROM d.status_n
+    GROUP BY d.status_n
+    """,
+    doc="Null-safe equi-join (eqNullSafe <=> IS NOT DISTINCT FROM): the "
+        "NULL key group joins and counts instead of dropping.",
+    tags=("X2", "X3"),
+)
+def nullsafe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_n"))
+    d = o.distinct().select(F.col("status_n").alias("d_status"))
+    return (
+        o.join(F.broadcast(d), o.status_n.eqNullSafe(d.d_status))
+        .groupBy("d_status")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("d_status").alias("status_n"), "n")
+    )

@@ -137,3 +137,29 @@ def test_tws_user_stats_matches_batch(spark, sf_dir):
             for r in load_table(spark, sf_dir, "events")
             .groupBy("user_id").agg(F.count("*").alias("n")).collect()}
     assert got == want
+
+
+def test_foreachbatch_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: the arbitrary-sink escape hatch — each micro-batch
+    lands as parquet via the batch writer; totals match the source."""
+    import pyspark.sql.functions as F
+
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.streaming import windows as W
+
+    out_dir = str(tmp_path / "fb_out")
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.append(batch_id)
+        batch_df.write.mode("append").parquet(out_dir)
+
+    ev = W.read_events_stream(spark, sf_dir).select("event_id", "user_id")
+    q = (ev.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(seen) >= 1
+    got = spark.read.parquet(out_dir).count()
+    want = load_table(spark, sf_dir, "events").count()
+    assert got == want
