@@ -723,3 +723,41 @@ def nullsafe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("d_status").alias("status_n"), "n")
     )
+
+
+@register(
+    "rank_battery",
+    """
+    WITH ranked AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    )
+    SELECT * FROM ranked WHERE o_orderkey % 20 = 0
+    """,
+    doc="Ranking-function battery (rank, dense_rank, ntile, "
+        "percent_rank, cume_dist) over a tie-free deterministic "
+        "ordering; one shuffle on the partition key.",
+    tags=("X10",),
+)
+def rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority") \
+              .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_orderkey", "o_orderpriority",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .filter(F.col("o_orderkey") % 20 == 0)
+    )
