@@ -93,3 +93,43 @@ def rolling_fingerprint(text: Column, width: int = 16) -> Column:
         positions, lambda i: F.md5(text.substr(i, F.lit(width)))
     )
     return F.array_min(hashes)
+
+
+def tfidf_cosine_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
+                       max_df: int = 100, threshold: float = 0.3):
+    """Document-similarity join on L2-normalized TF-IDF vectors via an
+    inverted-index term join — never an all-pairs product. Terms with
+    document frequency > ``max_df`` are pruned first: they carry ~zero
+    idf weight AND they are exactly the terms that make the term join
+    quadratic, so the cap is both the quality and the scale lever (at
+    100 TB this is the difference between a bounded join and a cross
+    product on the word 'the'). Deterministic and SQL-replicable.
+    Returns (id_a, id_b, cos) for pairs with cosine >= threshold."""
+    import pyspark.sql.functions as F
+
+    from ..catalog import spread
+
+    d = spread(docs.select(F.col(id_col).alias("_id"), text_col), "_id")
+    toks = d.select("_id", F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"))
+    tf = toks.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    dft = toks.groupBy("term").agg(
+        F.countDistinct("_id").cast("long").alias("df"))
+    n_docs = float(d.count())  # at scale: 1-row broadcast join instead
+    w = (tf.join(F.broadcast(dft.filter(F.col("df") <= max_df)), "term")
+         .select("_id", "term",
+                 (F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))).alias("w")))
+    nrm = w.groupBy("_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    wn = (w.join(nrm, "_id")
+          .select("_id", "term", (F.col("w") / F.col("nrm")).alias("wn"))
+          .persist())
+    a = wn.select(F.col("_id").alias("id_a"), "term", F.col("wn").alias("wa"))
+    b = wn.select(F.col("_id").alias("id_b"), "term", F.col("wn").alias("wb"))
+    return (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

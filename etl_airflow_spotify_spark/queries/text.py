@@ -196,3 +196,35 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.exact_fingerprint(t).alias("exact_fp"),
         T.rolling_fingerprint(t, 16).alias("rolling_fp"),
     )
+
+
+@register(
+    "tfidf_cosine_pairs",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    w AS (SELECT doc_id, term, tf * LN(n_docs / df) AS w
+          FROM tf JOIN dft USING (term) CROSS JOIN n
+          WHERE df <= 100),
+    nrm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+    wn AS (SELECT w.doc_id, term, w / nrm AS wn
+           FROM w JOIN nrm ON w.doc_id = nrm.doc_id),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 SUM(a.wn * b.wn) AS cos
+          FROM wn a JOIN wn b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM p WHERE cos >= 0.3
+    """,
+    doc="TF-IDF cosine document-similarity join via inverted-index term "
+        "join with df-capped term pruning (the quality AND scale lever: "
+        "high-df terms carry no idf weight and are what makes term joins "
+        "quadratic). Exact-formula DuckDB oracle.",
+    tags=("X18", "X16"),
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.tfidf_cosine_pairs(_docs(spark, sf_dir))
