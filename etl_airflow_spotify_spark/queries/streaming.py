@@ -161,3 +161,24 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .filter(F.col("event_type") == "purchase")
     return W.run_to_table(W.stream_stream_join(clicks, purchases),
                           "t_ssjoin", output_mode="append")
+
+
+@register(
+    "stream_static_enrich",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Stream-static join: the events stream enriched per micro-batch "
+        "against the broadcast customer dim, aggregated by segment.",
+    tags=("X23", "X3"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    ev = W.read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    return W.run_to_table(W.stream_static_enrich(ev, dim), "t_enrich")

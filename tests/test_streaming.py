@@ -163,3 +163,11 @@ def test_foreachbatch_sink(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out_dir).count()
     want = load_table(spark, sf_dir, "events").count()
     assert got == want
+
+    # exactly-once via checkpoint: restarting over the same checkpoint
+    # re-processes nothing, so the sink stays unchanged
+    q2 = (ev.writeStream.foreachBatch(sink)
+          .option("checkpointLocation", str(tmp_path / "ckpt"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == want
