@@ -27,11 +27,16 @@ from pyspark.sql import DataFrame, Window
 def asof_join_backward(left: DataFrame, right: DataFrame,
                        on: list[str], ts: str,
                        value_cols: list[str],
-                       strict: bool = False) -> DataFrame:
+                       strict: bool = False,
+                       tolerance_seconds: int | None = None) -> DataFrame:
     """Left as-of join: attach the latest ``value_cols`` from ``right``
     whose ``ts`` is <= (or < when ``strict``) the left row's ``ts``,
     matching on ``on`` keys. Left columns are preserved; right values
-    arrive as ``asof_<col>`` (null when no prior right row exists)."""
+    arrive as ``asof_<col>`` (null when no prior right row exists).
+    ``tolerance_seconds`` bounds the lookback: a matched right row older
+    than the tolerance yields nulls, exactly like pandas merge_asof's
+    ``tolerance`` (the carried ts is tracked as an internal column, so
+    the plan shape is unchanged — still one window, no range join)."""
     # side: right sorts before left at equal ts for inclusive semantics,
     # after left for strict semantics.
     right_side, left_side = (1, 0) if strict else (0, 1)
@@ -39,9 +44,15 @@ def asof_join_backward(left: DataFrame, right: DataFrame,
     for c in value_cols:
         l_tagged = l_tagged.withColumn(f"_rv_{c}", F.lit(None).cast(
             dict(right.dtypes)[c]))
+    carry_cols = list(value_cols)
+    if tolerance_seconds is not None:
+        carry_cols.append("__asofts")
+        right = right.withColumn("__asofts", F.col(ts))
+        l_tagged = l_tagged.withColumn("_rv___asofts", F.lit(None).cast(
+            dict(right.dtypes)[ts]))
     r_tagged = right.select(
         *on, ts,
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        *[F.col(c).alias(f"_rv_{c}") for c in carry_cols],
     ).withColumn("_side", F.lit(right_side))
     # align schemas: left keeps all its columns; right rows carry nulls
     # for the left-only columns.
@@ -58,7 +69,16 @@ def asof_join_backward(left: DataFrame, right: DataFrame,
     carried = u.select(
         "*",
         *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-          for c in value_cols],
+          for c in carry_cols],
     )
-    return (carried.filter(F.col("_side") == left_side)
-            .drop("_side", *[f"_rv_{c}" for c in value_cols]))
+    out = (carried.filter(F.col("_side") == left_side)
+           .drop("_side", *[f"_rv_{c}" for c in carry_cols]))
+    if tolerance_seconds is not None:
+        in_tol = F.expr(
+            f"timestampdiff(SECOND, asof___asofts, {ts})") <= tolerance_seconds
+        for c in value_cols:
+            out = out.withColumn(
+                f"asof_{c}",
+                F.when(in_tol, F.col(f"asof_{c}")))
+        out = out.drop("asof___asofts")
+    return out

@@ -303,3 +303,39 @@ def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("k").alias("sum_k"),
              F.min("k").alias("min_k"))
     )
+
+
+@register(
+    "asof_tolerance_click",
+    """
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, ts, MIN(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN date_diff('second', c.ts, p.ts) <= 1800
+                THEN c.click_id END AS asof_click_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    doc="Tolerance-bounded as-of join (30-minute lookback, pandas "
+        "merge_asof tolerance semantics): matches older than the "
+        "tolerance become nulls; same single-window plan.",
+    tags=("X6",),
+)
+def asof_tolerance_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("event_id", "user_id", "ts")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.min("event_id").alias("click_id")))
+    return asof_join_backward(purchases, clicks, on=["user_id"], ts="ts",
+                              value_cols=["click_id"],
+                              tolerance_seconds=1800)

@@ -761,3 +761,27 @@ def rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("o_orderkey") % 20 == 0)
     )
+
+
+@register(
+    "agg_lists",
+    """
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Collection aggregates: collect_set sorted for determinism "
+        "(collect order is partition-dependent; the sort makes the "
+        "result value-stable) + distinct count.",
+    tags=("X7", "X8", "X14"),
+)
+def agg_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+             F.countDistinct("o_orderstatus").cast("long").alias("n_statuses"),
+             F.count("*").alias("n"))
+    )
