@@ -258,3 +258,63 @@ def exact_duplicates(df: DataFrame, id_col: str, fingerprint: Column) -> DataFra
         .groupBy("fp")
         .agg(F.count("*").alias("n"), F.min("_id").alias("keep_id"))
     )
+
+
+# -- incremental ------------------------------------------------------------
+#
+# The production 100 TB flow: the historical corpus's shingle sets and
+# band buckets are built once and persisted (in practice: written to
+# bucketed tables keyed by (band, key)); each new increment only
+# computes ITS OWN signatures and joins them against the index —
+# new-vs-corpus and new-vs-new pairs, never corpus-vs-corpus again.
+
+
+def build_minhash_index(df: DataFrame, id_col: str, text_col: str,
+                        shingle_k: int = 3, num_hashes: int = 64,
+                        bands: int = 16) -> tuple[DataFrame, DataFrame]:
+    """(shingles, bucket-rows) for a corpus — the persisted dedup index.
+    Signatures are fixed-seed deterministic, so an index built today
+    candidates correctly against increments hashed tomorrow."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    shingled = _spread(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id"
+    ).select(
+        "_id", token_shingles(toks, shingle_k).alias("shingles"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = minhash_band_keys(shingled, num_hashes=num_hashes,
+                                bands=bands).persist(StorageLevel.MEMORY_AND_DISK)
+    return shingled, buckets
+
+
+def incremental_near_duplicates(index: tuple[DataFrame, DataFrame],
+                                new_df: DataFrame, id_col: str,
+                                text_col: str, threshold: float = 0.8,
+                                shingle_k: int = 3, num_hashes: int = 64,
+                                bands: int = 16) -> DataFrame:
+    """Near-dup pairs introduced by an increment: each pair touches at
+    least one new document (new-vs-corpus or new-vs-new); existing
+    corpus-vs-corpus pairs are never recomputed. Equals the full run's
+    output restricted to pairs involving a new id (asserted in tests).
+    Ids must be unique across corpus and increment."""
+    idx_sh, idx_bk = index
+    new_sh, new_bk = build_minhash_index(new_df, id_col, text_col,
+                                         shingle_k, num_hashes, bands)
+    all_bk = idx_bk.unionByName(new_bk)
+    a = new_bk.select(F.col("_id").alias("id_n"), "band", "key")
+    b = all_bk.select(F.col("_id").alias("id_o"), "band", "key")
+    cands = (a.join(b, ["band", "key"])
+             .filter(F.col("id_n") != F.col("id_o"))
+             .select(F.least("id_n", "id_o").alias("id_a"),
+                     F.greatest("id_n", "id_o").alias("id_b"))
+             .distinct())
+    sh = idx_sh.unionByName(new_sh)
+    return (
+        cands
+        .join(sh.select(F.col("_id").alias("id_a"),
+                        F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"),
+                        F.col("shingles").alias("sh_b")), "id_b")
+        .select("id_a", "id_b",
+                F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -159,3 +159,26 @@ def test_exact_duplicates_groups(spark):
     groups = exact_duplicates(df, "doc_id", exact_fingerprint(F.col("text")))
     dup = [r for r in groups.collect() if r.n == 2]
     assert len(dup) == 1 and dup[0].keep_id == 1
+
+
+def test_incremental_minhash_equals_full_run(spark, sf_dir):
+    """Incremental dedup over an 80/20 corpus split reports exactly the
+    full run's pairs that involve a new document."""
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators.dedup import (
+        build_minhash_index, incremental_near_duplicates,
+        minhash_near_duplicates)
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = 40  # sf0.001 has 50 docs
+    old = docs.filter(F.col("doc_id") < cut)
+    new = docs.filter(F.col("doc_id") >= cut)
+    full = {(r.id_a, r.id_b, r.jaccard)
+            for r in minhash_near_duplicates(docs, "doc_id", "text").collect()}
+    want = {t for t in full if t[0] >= cut or t[1] >= cut}
+    index = build_minhash_index(old, "doc_id", "text")
+    got = {(r.id_a, r.id_b, r.jaccard)
+           for r in incremental_near_duplicates(index, new, "doc_id", "text")
+           .collect()}
+    assert got == want
+    assert len(full) > 0  # the corpus does contain near-dups
