@@ -318,3 +318,46 @@ def incremental_near_duplicates(index: tuple[DataFrame, DataFrame],
                 F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# -- clustering -------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over undirected near-dup pairs (id_a, id_b)
+    by iterative min-label propagation: every node's label becomes the
+    minimum of its own and its neighbors' labels until a fixpoint.
+    Returns (id, cluster_id) where cluster_id = min id in the component
+    — the canonical representative a dedup KEEP policy uses.
+
+    Iterations needed = graph diameter; near-dup components are small
+    dense cliques, so this converges in 2-3 rounds. The driver loop
+    checks convergence with a cheap count; each round is two shuffles
+    (join + min-aggregate) on the id key. For web-scale graphs swap in
+    large-star/small-star — the interface stays (pairs) -> (id, cluster).
+    """
+    # Persist the directed edges BEFORE mirroring them: both union
+    # branches reference the same (potentially expensive) pairs plan,
+    # and without the persist each branch re-evaluates it.
+    edges = pairs.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
+    und = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"),
+                     F.col("id_a").alias("id_b"))).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    labels = (und.select(F.col("id_a").alias("id")).distinct()
+              .withColumn("lab", F.col("id")).persist(
+                  StorageLevel.MEMORY_AND_DISK))
+    for _ in range(max_iters):
+        neigh = (und.join(labels, und.id_a == labels.id)
+                 .select(F.col("id_b").alias("id"), "lab"))
+        new = (labels.select("id", "lab").unionByName(neigh)
+               .groupBy("id").agg(F.min("lab").alias("lab"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.lab") != F.col("o.lab")).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lab").alias("cluster_id"))

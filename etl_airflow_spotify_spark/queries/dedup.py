@@ -128,3 +128,54 @@ def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return D.exact_duplicates(d, "doc_id", T.exact_fingerprint(F.col("text")))
+
+
+@register(
+    "dedup_cluster_assign",
+    """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(len(ts) - 2, 1)),
+                   i -> ts[CAST(i AS INTEGER)] || ' ' ||
+                        ts[CAST(i AS INTEGER) + 1] || ' ' ||
+                        ts[CAST(i AS INTEGER) + 2])) AS sset
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS ts
+              FROM documents)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+              GREATEST(len(list_distinct(list_concat(a.sset, b.sset))), 1)
+              >= 0.8
+    ),
+    edges AS (
+        SELECT id_a, id_b FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lab) AS (
+        SELECT DISTINCT id_a, id_a FROM edges
+        UNION
+        SELECT e.id_b, r.lab FROM reach r JOIN edges e ON e.id_a = r.id
+    )
+    SELECT id, CAST(MIN(lab) AS BIGINT) AS cluster_id,
+           CAST(MIN(lab) = id AS BOOLEAN) AS is_keeper
+    FROM reach GROUP BY id
+    """,
+    doc="Near-dup pairs -> canonical dedup clusters via iterative "
+        "min-label propagation (connected components); keeper = min id "
+        "per component. Oracle: exhaustive pairs + recursive-CTE "
+        "reachability.",
+    tags=("X16", "X15"),
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.minhash_near_duplicates(
+        _docs(spark, sf_dir), "doc_id", "text",
+        threshold=0.8, shingle_k=3, num_hashes=64, bands=16)
+    cc = D.connected_components(pairs)
+    return cc.select(
+        "id", "cluster_id",
+        (F.col("cluster_id") == F.col("id")).alias("is_keeper"))
