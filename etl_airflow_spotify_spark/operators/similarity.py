@@ -109,7 +109,8 @@ def ivf_topk_cosine(corpus: DataFrame, queries: DataFrame, k: int,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_cells: int = 16, n_probe: int = 4,
                     dim: int = 64, seed: int = 7,
-                    score_digits: int = 6) -> DataFrame:
+                    score_digits: int = 6,
+                    centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF approximate top-k: assign every corpus vector to its nearest
     coarse-quantizer cell (argmax centroid dot — positive-scale
     invariant, so cosine-consistent for unit centroids), probe each
@@ -122,7 +123,8 @@ def ivf_topk_cosine(corpus: DataFrame, queries: DataFrame, k: int,
     ALWAYS found (identical argmax cell = the query's top probe).
     Returns (query_id, cand_id, score, rn) like ``topk_cosine``.
     """
-    cents = _unit_centroids(n_cells, dim, seed)
+    cents = centroids if centroids is not None \
+        else _unit_centroids(n_cells, dim, seed)
     c = spread(corpus.select(F.col(id_col).alias("cand_id"),
                              as_double(F.col(vec_col)).alias("c_vec")),
                "cand_id")
@@ -210,3 +212,46 @@ def near_duplicate_vectors(df: DataFrame, threshold: float = 0.95,
                 F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def train_kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
+                           dim: int = 64, iters: int = 5,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> list[list[float]]:
+    """Train the IVF coarse quantizer with Lloyd's k-means expressed as
+    DataFrame ops: assign each vector to its best current cell (argmax
+    dot against unit centroids), average per cell, re-normalize,
+    repeat. Initialization is the first ``n_cells`` vectors by id —
+    deterministic, no RNG. Each iteration is one scan + one groupBy;
+    only k x dim doubles ever reach the driver, so training cost is
+    iters scans of the corpus regardless of cluster size.
+
+    Returns a plain list ready to pass to ``ivf_topk_cosine`` — the
+    query plan is identical to the random-codebook path.
+    """
+    import math
+
+    first = (corpus.orderBy(id_col).limit(n_cells)
+             .select(as_double(F.col(vec_col)).alias("v")).collect())
+    cents = [row["v"] for row in first]
+
+    def unit(v: list[float]) -> list[float]:
+        s = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / s for x in v]
+
+    cents = [unit(v) for v in cents]
+    base = corpus.select(as_double(F.col(vec_col)).alias("v"))
+    for _ in range(iters):
+        cell = F.array_max(_cell_scores(F.col("v"), cents))["i"]
+        means = (base.withColumn("cell", cell)
+                 .groupBy("cell")
+                 .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}")
+                        for i in range(dim)])
+                 .collect())
+        new = list(cents)
+        for row in means:
+            new[row["cell"]] = unit([row[f"m{i}"] for i in range(dim)])
+        if new == cents:
+            break
+        cents = new
+    return cents

@@ -104,3 +104,19 @@ def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_planted(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return S.ivf_topk_cosine(emb, queries, K)
+
+
+@register(
+    "vector_topk_ivf_kmeans",
+    None,  # approximate (probes 4/16 cells); recall asserted in pytest
+    doc="IVF top-k with a k-means-TRAINED coarse quantizer (Lloyd's "
+        "iterations as DataFrame scans; deterministic first-k init). "
+        "On the sf0.01 corpus the trained codebook lifts recall@5 from "
+        "~0.5 (random hyperplane cells) to ~0.9 at the same n_probe.",
+    tags=("X17",),
+)
+def vector_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.train_kmeans_centroids(emb, iters=3)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.ivf_topk_cosine(emb, queries, K, centroids=cents)

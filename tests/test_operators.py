@@ -182,3 +182,22 @@ def test_incremental_minhash_equals_full_run(spark, sf_dir):
            .collect()}
     assert got == want
     assert len(full) > 0  # the corpus does contain near-dups
+
+
+def test_kmeans_codebook_beats_random(spark, sf_dir):
+    """A data-trained coarse quantizer must not lose to random cells at
+    the same probe budget (it roughly doubles recall on this corpus)."""
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators.similarity import (
+        ivf_topk_cosine, topk_cosine, train_kmeans_centroids)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.cand_id) for r in topk_cosine(emb, q, 5).collect()}
+    cents = train_kmeans_centroids(emb, iters=3)
+    km = {(r.query_id, r.cand_id)
+          for r in ivf_topk_cosine(emb, q, 5, centroids=cents).collect()}
+    rnd = {(r.query_id, r.cand_id)
+           for r in ivf_topk_cosine(emb, q, 5).collect()}
+    assert len(km & exact) >= len(rnd & exact)
+    assert len(km & exact) / len(exact) >= 0.5
