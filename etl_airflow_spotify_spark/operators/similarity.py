@@ -93,16 +93,28 @@ def _unit_centroids(n_cells: int, dim: int, seed: int = 7) -> list[list[float]]:
     return out
 
 
-def _cell_scores(vec_d: Column, cents: list[list[float]]) -> Column:
-    """array<struct<d: double, i: int>> of centroid dot-products, one
-    struct per cell. Struct ordering (d first) makes array_max /
-    array_sort rank cells by affinity with index tiebreak."""
-    # One list literal per centroid (not 64 scalar literals): keeps the
-    # analyzed plan small, which is what dominates at interactive scale.
-    return F.array(*[
-        F.struct(dot(vec_d, F.lit(c)).alias("d"), F.lit(i).alias("i"))
-        for i, c in enumerate(cents)
-    ])
+def _codebook_df(spark, cents: list[list[float]]) -> DataFrame:
+    """One-row DataFrame carrying the flattened codebook. The centroids
+    travel as broadcast DATA, not as plan literals: a k x dim literal
+    tree made Catalyst re-analyze ~2s of expression per plan build,
+    tripling the wall time of an otherwise sub-second query — and at
+    real codebook sizes (k=4096) a literal plan would not be viable at
+    all. A broadcast-joined row keeps the plan O(1) in codebook size."""
+    flat = [x for c in cents for x in c]
+    return spark.createDataFrame([(flat,)], "__cents: array<double>")
+
+
+def _cell_scores(vec_d: Column, n_cells: int, dim: int) -> Column:
+    """array<struct<d: double, i: int>> of codebook dot-products, one
+    struct per cell, reading the codebook from the broadcast ``__cents``
+    column. Struct ordering (d first) makes array_max / array_sort rank
+    cells by affinity with index tiebreak."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_cells - 1)),
+        lambda ci: F.struct(
+            dot(vec_d, F.slice(F.col("__cents"), ci * dim + 1, dim)).alias("d"),
+            ci.cast("int").alias("i"),
+        ))
 
 
 def ivf_topk_cosine(corpus: DataFrame, queries: DataFrame, k: int,
@@ -123,20 +135,24 @@ def ivf_topk_cosine(corpus: DataFrame, queries: DataFrame, k: int,
     ALWAYS found (identical argmax cell = the query's top probe).
     Returns (query_id, cand_id, score, rn) like ``topk_cosine``.
     """
-    cents = centroids if centroids is not None \
-        else _unit_centroids(n_cells, dim, seed)
+    if centroids is not None:
+        cents = centroids
+        n_cells, dim = len(cents), len(cents[0])
+    else:
+        cents = _unit_centroids(n_cells, dim, seed)
+    book = _codebook_df(corpus.sparkSession, cents)
     c = spread(corpus.select(F.col(id_col).alias("cand_id"),
                              as_double(F.col(vec_col)).alias("c_vec")),
                "cand_id")
-    c = c.select(
+    c = c.crossJoin(F.broadcast(book)).select(
         "cand_id", "c_vec", norm(F.col("c_vec")).alias("c_norm"),
-        F.array_max(_cell_scores(F.col("c_vec"), cents))["i"].alias("cell"),
+        F.array_max(_cell_scores(F.col("c_vec"), n_cells, dim))["i"].alias("cell"),
     )
     q = queries.select(F.col(id_col).alias("query_id"),
                        as_double(F.col(vec_col)).alias("q_vec"))
-    q = q.select(
+    q = q.crossJoin(F.broadcast(book)).select(
         "query_id", "q_vec", norm(F.col("q_vec")).alias("q_norm"),
-        F.slice(F.reverse(F.array_sort(_cell_scores(F.col("q_vec"), cents))),
+        F.slice(F.reverse(F.array_sort(_cell_scores(F.col("q_vec"), n_cells, dim))),
                 1, n_probe).alias("probes"),
     ).select("query_id", "q_vec", "q_norm",
              F.explode(F.transform("probes", lambda s: s["i"])).alias("cell"))
@@ -242,8 +258,10 @@ def train_kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
     cents = [unit(v) for v in cents]
     base = corpus.select(as_double(F.col(vec_col)).alias("v"))
     for _ in range(iters):
-        cell = F.array_max(_cell_scores(F.col("v"), cents))["i"]
-        means = (base.withColumn("cell", cell)
+        book = _codebook_df(corpus.sparkSession, cents)
+        cell = F.array_max(_cell_scores(F.col("v"), n_cells, dim))["i"]
+        means = (base.crossJoin(F.broadcast(book))
+                 .withColumn("cell", cell)
                  .groupBy("cell")
                  .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}")
                         for i in range(dim)])
