@@ -91,13 +91,71 @@ def vector_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a"), F.col("id_b"), F.col("cos"))
 
 
+def _ivf_oracle_sql() -> str:
+    """DuckDB twin of the FULL IVF algorithm. The coarse quantizer is
+    seeded and deterministic, so its centroids can be inlined as SQL
+    literals and the oracle replays every step — argmax cell assignment
+    (tiebreak: higher cell index, matching Spark's struct array_max),
+    top-``n_probe`` probe selection, in-cell exact scoring — making the
+    approximate path hash-checked end to end, not merely rows-counted."""
+    cents = S._unit_centroids(16, 64, 7)
+    vals = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET},
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+        FROM embeddings WHERE vec_id < {N_PLANT}
+    ),
+    cents(ci, cv) AS (VALUES
+        {vals}
+    ),
+    assign AS (
+        SELECT vec_id, v, ci AS cell FROM (
+            SELECT c.vec_id, c.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_inner_product(c.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus c CROSS JOIN cents ce
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, ci AS cell FROM (
+            SELECT q.vec_id, q.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_inner_product(q.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus q CROSS JOIN cents ce
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS cand_id,
+               ROUND(list_cosine_similarity(p.qv, a.v), 6) AS score
+        FROM probes p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, cand_id, score, rn FROM (
+        SELECT query_id, cand_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, cand_id) AS BIGINT) AS rn
+        FROM scored
+    ) WHERE rn <= {K}
+    """
+
+
 @register(
     "vector_topk_ivf",
-    None,  # approx (probes n_probe/n_cells of the corpus) -> rows-only;
-    # recall vs. the exact path is asserted in tests/test_operators.py,
-    # including 100% planted-copy recall.
+    _ivf_oracle_sql(),
     doc="IVF approximate cosine top-k: corpus bucketed by nearest "
-        "coarse-quantizer cell, queries probe their best 4 of 16 cells.",
+        "coarse-quantizer cell, queries probe their best 4 of 16 cells. "
+        "The seeded codebook is inlined into the oracle SQL, so the "
+        "whole approximate algorithm is hash-checked against DuckDB.",
     tags=("X17",),
 )
 def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

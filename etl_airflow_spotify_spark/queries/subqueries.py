@@ -111,3 +111,109 @@ def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AND o_totalprice > 400000.0)
         GROUP BY c_mktsegment
     """)
+
+
+@register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: left outer join with an extra ON-clause "
+        "predicate (non-urgent orders only) feeding a two-level "
+        "aggregation — per-customer order count, then a histogram of "
+        "those counts. The ON-predicate placement matters: filtering "
+        "in WHERE would silently drop the zero-order customers the "
+        "histogram exists to show.",
+    tags=("X3", "X7"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql("""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """)
+
+
+@register(
+    "top_supplier_revenue",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: an aggregate CTE referenced twice — once as "
+        "the join input, once inside an uncorrelated scalar MAX "
+        "subquery (one-row broadcast). Revenue is rounded at the "
+        "aggregate so the max-equality predicate cannot be flipped by "
+        "cross-engine summation order.",
+    tags=("X3", "X7"),
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql("""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """)
+
+
+@register(
+    "lateral_recent_orders",
+    """
+    SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice, o_orderdate
+    FROM customer,
+         LATERAL (SELECT o_orderkey, o_totalprice, o_orderdate
+                  FROM orders
+                  WHERE o_custkey = c_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey
+                  LIMIT 2) recent
+    WHERE c_acctbal > 9000.0
+    """,
+    doc="Correlated LATERAL subquery: each qualifying customer joined "
+        "to its two most recent orders. Catalyst rewrites the lateral "
+        "limit into a ranked window over a single shuffled join — no "
+        "per-row re-execution, unlike the reference's per-album loop "
+        "fetch (/root/reference/scripts/extract.py:212-231).",
+    tags=("X3", "X12"),
+)
+def lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql("""
+        SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice, o_orderdate
+        FROM customer,
+             LATERAL (SELECT o_orderkey, o_totalprice, o_orderdate
+                      FROM orders
+                      WHERE o_custkey = c_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey
+                      LIMIT 2) recent
+        WHERE c_acctbal > 9000.0
+    """)
