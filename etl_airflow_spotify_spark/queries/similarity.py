@@ -165,6 +165,29 @@ def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vector_topk_ivf_persisted",
+    _ivf_oracle_sql(),
+    doc="Top-k against a PERSISTED IVF index: the corpus is written "
+        "once as parquet partitioned by coarse-quantizer cell, and the "
+        "search scan partition-prunes to the batch's probed cells — at "
+        "a 4096-cell production codebook that is ~0.1% of the files "
+        "read per query batch. Same seeded codebook as "
+        "vector_topk_ivf, so the same end-to-end DuckDB oracle "
+        "hash-checks it.",
+    tags=("X17", "X1"),
+)
+def vector_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    emb = _with_planted(load_table(spark, sf_dir, "embeddings"))
+    path = os.path.join("spark-warehouse",
+                        f"ivf_index_{os.path.basename(os.path.normpath(sf_dir))}")
+    S.build_ivf_index(emb, path)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.search_ivf_index(spark, path, queries, K)
+
+
+@register(
     "vector_topk_ivf_kmeans",
     None,  # approximate (probes 4/16 cells); recall asserted in pytest
     doc="IVF top-k with a k-means-TRAINED coarse quantizer (Lloyd's "

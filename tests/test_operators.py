@@ -201,3 +201,21 @@ def test_kmeans_codebook_beats_random(spark, sf_dir):
            for r in ivf_topk_cosine(emb, q, 5).collect()}
     assert len(km & exact) >= len(rnd & exact)
     assert len(km & exact) / len(exact) >= 0.5
+
+
+def test_ivf_persisted_matches_in_job_ivf(spark, sf_dir, tmp_path):
+    """build_ivf_index + search_ivf_index is a pure re-layout of the
+    one-job IVF: same codebook, same probes, identical (query, cand,
+    score, rn) rows."""
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators.similarity import (
+        build_ivf_index, ivf_topk_cosine, search_ivf_index)
+    from etl_airflow_spotify_spark.queries.similarity import _with_planted
+
+    emb = _with_planted(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, path)
+    got = {tuple(r) for r in search_ivf_index(spark, path, queries, 5).collect()}
+    want = {tuple(r) for r in ivf_topk_cosine(emb, queries, 5).collect()}
+    assert got == want

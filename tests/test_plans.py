@@ -101,3 +101,14 @@ def test_trailing_window_single_shuffle(spark, sf_dir):
     # RANGE frame = one hash exchange on user_id, no self-join
     assert num_exchanges(df) == 1
     assert "Join" not in plan_string(df)
+
+
+def test_ivf_persisted_search_partition_prunes(spark, sf_dir):
+    # the persisted-index search must plan only the probed cell
+    # directories: the isin filter lands in PartitionFilters on the
+    # index scan, not as a post-scan Filter over all cells
+    df = _df("vector_topk_ivf_persisted", spark, sf_dir)
+    plan = plan_string(df)
+    import re
+    pf = re.findall(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan)
+    assert pf, f"no cell partition filter in scan:\n{plan[:2000]}"
