@@ -187,6 +187,154 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "big_volume_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 300.0)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    doc="TPC-H Q18 shape: IN over a grouped-HAVING subquery "
+        "(decorrelates to a left-semi join against the aggregated "
+        "lineitem), then a three-table join re-aggregated per order. "
+        "The semi-join input is the agg output (one row per orderkey), "
+        "so the probe side shrinks before the expensive join. "
+        "l_quantity values are integral, so the double SUM is exact "
+        "and the >300 boundary cannot be flipped by summation order.",
+    tags=("X2", "X3", "X7"),
+)
+def big_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey HAVING SUM(l_quantity) > 300.0)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """)
+
+
+@register(
+    "part_supplier_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 9, 13)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0.0
+                              AND s_suppkey IS NOT NULL)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: NOT IN subquery (null-aware anti join — the "
+        "explicit IS NOT NULL lets Catalyst use the broadcast "
+        "single-column NAAJ fast path instead of a nested-loop plan) "
+        "plus COUNT(DISTINCT) per group. The excluded-supplier list is "
+        "dimension-sized at any SF, so the anti join broadcasts.",
+    tags=("X2", "X3", "X7", "X8"),
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "part", "lineitem", "supplier")
+    return spark.sql("""
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part JOIN lineitem ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 9, 13)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0.0
+                                  AND s_suppkey IS NOT NULL)
+        GROUP BY p_brand, p_type, p_size
+    """)
+
+
+@register(
+    "important_part_value",
+    """
+    WITH pv AS (
+        SELECT l_partkey,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                    AS DECIMAL(18,2)) AS part_value
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM pv
+    WHERE part_value > (SELECT SUM(part_value) * 0.0005 FROM pv)
+    """,
+    doc="TPC-H Q11 shape: groups whose value exceeds a fraction of the "
+        "global total, via an uncorrelated scalar subquery over the "
+        "same CTE (one-row broadcast). Per-part values are rounded then "
+        "cast to DECIMAL so the global SUM — and therefore the "
+        "threshold — is bit-identical across engines regardless of "
+        "summation order; a double global sum could flip boundary "
+        "membership.",
+    tags=("X7",),
+)
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql("""
+        WITH pv AS (
+            SELECT l_partkey,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                        AS DECIMAL(18,2)) AS part_value
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+        FROM pv
+        WHERE part_value > (SELECT SUM(part_value) * 0.0005 FROM pv)
+    """)
+
+
+@register(
+    "sole_fault_suppliers",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape (adapted to this schema's columns: returnflag "
+        "stands in for receipt>commit): two correlated subqueries on "
+        "the SAME fact table — an EXISTS (other suppliers touched the "
+        "order) and a NOT EXISTS (none of them also returned) — i.e. "
+        "suppliers solely at fault on multi-supplier orders. Catalyst "
+        "decorrelates both into semi/anti self-joins shuffled on "
+        "l_orderkey, so all three lineitem sides co-partition.",
+    tags=("X2", "X3", "X7"),
+)
+def sole_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql("""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+    """)
+
+
+@register(
     "lateral_recent_orders",
     """
     SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice, o_orderdate

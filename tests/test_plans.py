@@ -112,3 +112,33 @@ def test_ivf_persisted_search_partition_prunes(spark, sf_dir):
     import re
     pf = re.findall(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan)
     assert pf, f"no cell partition filter in scan:\n{plan[:2000]}"
+
+
+def test_not_in_is_null_aware_anti_join(spark, sf_dir):
+    # NOT IN must land as a single-column null-aware BroadcastHashJoin
+    # LeftAnti (the supplier exclusion list is dimension-sized at any
+    # SF) — never a BroadcastNestedLoopJoin, which is quadratic
+    df = _df("part_supplier_variety", spark, sf_dir)
+    plan = plan_string(df)
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan
+    assert not has_cartesian_product(df)
+
+
+def test_double_correlated_exists_decorrelates(spark, sf_dir):
+    # both correlated subqueries decorrelate to hash semi/anti joins on
+    # l_orderkey — co-partitioned self-joins at scale, no re-execution
+    # per outer row
+    df = _df("sole_fault_suppliers", spark, sf_dir)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "NestedLoop" not in plan and not has_cartesian_product(df)
+
+
+def test_in_grouped_having_semi_join(spark, sf_dir):
+    # the IN (... GROUP BY ... HAVING) probe becomes a semi join against
+    # the AGGREGATED per-order rows, not against raw lineitem
+    df = _df("big_volume_orders", spark, sf_dir)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan
