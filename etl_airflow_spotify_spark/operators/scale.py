@@ -17,6 +17,10 @@ table catalog: saveAsTable, not bare parquet paths.)
 
 from __future__ import annotations
 
+import os
+import shutil
+from urllib.parse import urlparse
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -43,6 +47,16 @@ def write_bucketed(df: DataFrame, table: str, key: str,
     """Persist ``df`` hash-bucketed (and sorted) by ``key`` so future
     joins/aggregations on ``key`` against an equally-bucketed table plan
     with NO shuffle on either side."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    # with the default in-memory catalog, a previous SESSION's managed
+    # table leaves its warehouse dir behind with no catalog entry, and
+    # saveAsTable refuses the location; clear it (no-op on a deployment
+    # with a persistent metastore, where DROP TABLE removed it)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    loc = os.path.join(wh, table.lower())
+    if wh and os.path.isdir(loc):
+        shutil.rmtree(loc)
     (df.write.mode("overwrite")
        .bucketBy(n_buckets, key)
        .sortBy(key)

@@ -12,4 +12,4 @@ Module map (SURVEY.md §2.B inventory):
 """
 
 from . import (dedup, events_ops, multimodal, relational,  # noqa: F401
-               similarity, spotify, streaming, subqueries, text)
+               scale, similarity, spotify, streaming, subqueries, text)

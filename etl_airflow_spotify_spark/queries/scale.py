@@ -1,0 +1,103 @@
+"""Scale-lever queries: the operators/scale.py levers surfaced through
+the driver contract, each hash-checked against the PLAIN join it must
+equal. The reference's only join is a single-threaded pandas merge
+(/root/reference/scripts/transform.py:156-162); these are the two
+distributed-join strategies that replace it at 100 TB — explicit salting
+for hot keys, and bucketed co-location to delete the shuffle entirely.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators.scale import salted_join, write_bucketed
+from ..registry import register
+
+_PLAIN_JOIN_AGG_SQL = """
+    SELECT o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "skew_salted_join",
+    _PLAIN_JOIN_AGG_SQL,
+    doc="lineitem-orders join executed through salted_join: the fact "
+        "side gains a deterministic 8-way salt (xxhash64 of the row, so "
+        "task retries re-derive it) and the other side is replicated, "
+        "splitting any hot orderkey across 8 reducers. The oracle is "
+        "the PLAIN join — salting must be invisible in the result. At "
+        "100 TB this is the fix for a hot key AQE can't split because "
+        "its rows genuinely belong in one group.",
+    tags=("X3", "X7"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    joined = salted_join(li, o, "l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2).alias("revenue"),
+        F.count("*").alias("n_lines"))
+
+
+@register(
+    "bucketed_zero_shuffle_join",
+    """
+    WITH j AS (
+        SELECT l_orderkey, o_orderpriority,
+               CAST(l_extendedprice AS DECIMAL(18,6))
+               * (1 - CAST(l_discount AS DECIMAL(18,6))) AS val
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT l_orderkey, o_orderpriority,
+           CAST(ROUND(SUM(val), 2) AS DOUBLE) AS revenue
+    FROM j
+    GROUP BY l_orderkey, o_orderpriority
+    HAVING ROUND(SUM(val), 2) > 250000.0
+    """,
+    doc="High-value orders via a join with ZERO Exchange: both inputs "
+        "are first persisted hash-bucketed+sorted by their join key "
+        "(write_bucketed), so Spark proves co-partitioning from the "
+        "catalog and plans sort-merge join AND the per-order aggregate "
+        "without any shuffle (asserted in tests/test_plans.py). The "
+        "bucketed write is a once-per-corpus build cost like an index; "
+        "every later run of any query joining or grouping on the key "
+        "skips its most expensive stage. Oracle is the plain join; the "
+        "per-order money math runs in DECIMAL on both engines because "
+        "with thousands of fine-grained groups some double sums land "
+        "exactly on a .005 rounding boundary, where last-bit summation "
+        "dust flips ROUND across engines.",
+    tags=("X3", "X7", "X1"),
+)
+def bucketed_zero_shuffle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    li_t, o_t = f"li_bkt_{suffix}", f"o_bkt_{suffix}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    write_bucketed(li, li_t, "l_orderkey", n_buckets=16)
+    write_bucketed(o, o_t, "o_orderkey", n_buckets=16)
+    # hint("merge"): at test SF orders is broadcast-sized, which would
+    # hide the property under test; at 100 TB both sides are fact-sized
+    # and sort-merge over buckets IS the plan, with zero Exchange
+    j = spark.table(li_t).hint("merge").join(
+        spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey"))
+    val = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (F.lit(1).cast("decimal(18,6)")
+              - F.col("l_discount").cast("decimal(18,6)")))
+    return (j.groupBy("l_orderkey", "o_orderpriority")
+             .agg(F.round(F.sum(val), 2).alias("rev_d"))
+             .filter(F.col("rev_d") > 250000.0)
+             .select("l_orderkey", "o_orderpriority",
+                     F.col("rev_d").cast("double").alias("revenue")))

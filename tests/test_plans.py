@@ -142,3 +142,22 @@ def test_in_grouped_having_semi_join(spark, sf_dir):
     plan = plan_string(df)
     assert "LeftSemi" in plan
     assert "NestedLoop" not in plan
+
+
+def test_bucketed_join_zero_exchange(spark, sf_dir):
+    # both sides bucketed+sorted on the join key -> sort-merge join AND
+    # the per-order aggregate plan with NO Exchange anywhere: the
+    # catalog proves co-partitioning. This is the plan property that
+    # deletes the shuffle stage at 100 TB.
+    df = _df("bucketed_zero_shuffle_join", spark, sf_dir)
+    assert num_exchanges(df) == 0
+    plan = plan_string(df)
+    assert "SortMergeJoin" in plan
+
+
+def test_salted_join_no_plain_key_shuffle(spark, sf_dir):
+    # the join key must be the composite (key, salt) — a shuffle on the
+    # bare hot key would defeat the whole point
+    df = _df("skew_salted_join", spark, sf_dir)
+    plan = plan_string(df)
+    assert "_salt" in plan
