@@ -179,3 +179,111 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         "id", "cluster_id",
         (F.col("cluster_id") == F.col("id")).alias("is_keeper"))
+
+
+def _quality_sql() -> str:
+    from .text import _sql_stop_filter
+    stop = _sql_stop_filter("en")
+    return f"""ROUND(LEAST(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                       / 100.0, 1.0) * 0.4
+                 + LEAST({stop}
+                         / CAST(GREATEST(len(string_split_regex(trim(text), '\\s+')), 1) AS DOUBLE)
+                         * 5.0, 1.0) * 0.3
+                 + (1.0 - LEAST(CAST(len(regexp_replace(text, '[^,.!?;:]', '', 'g')) AS DOUBLE)
+                                / GREATEST(len(text), 1) * 10.0, 1.0)) * 0.3,
+                 6)"""
+
+
+def _training_prep_oracle() -> str:
+    return f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, source, text, {_quality_sql()} AS quality
+        FROM documents
+        WHERE lang = 'en' AND {_quality_sql()} >= 0.5
+    ),
+    exact AS (
+        SELECT doc_id, source, text, quality FROM (
+            SELECT b.*,
+                   MIN(doc_id) OVER (PARTITION BY
+                       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                   ) AS keep_id
+            FROM base b)
+        WHERE doc_id = keep_id
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(len(ts) - 2, 1)),
+                   i -> ts[CAST(i AS INTEGER)] || ' ' ||
+                        ts[CAST(i AS INTEGER) + 1] || ' ' ||
+                        ts[CAST(i AS INTEGER) + 2])) AS sset
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS ts
+              FROM exact)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+              GREATEST(len(list_distinct(list_concat(a.sset, b.sset))), 1)
+              >= 0.8
+    ),
+    edges AS (
+        SELECT id_a, id_b FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lab) AS (
+        SELECT DISTINCT id_a, id_a FROM edges
+        UNION
+        SELECT e.id_b, r.lab FROM reach r JOIN edges e ON e.id_a = r.id
+    ),
+    drops AS (SELECT id FROM reach GROUP BY id HAVING MIN(lab) <> id)
+    SELECT doc_id, source,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens,
+           quality
+    FROM exact
+    WHERE doc_id NOT IN (SELECT id FROM drops)
+    """
+
+
+@register(
+    "training_data_prep",
+    _training_prep_oracle(),
+    doc="End-to-end training-data curation pipeline, hash-checked as one "
+        "query: language filter (lang='en') -> quality-score gate "
+        "(>=0.5) -> exact dedup (min doc_id per normalized-md5 "
+        "fingerprint) -> MinHash-LSH near-dup dedup (clusters via "
+        "connected components, keep min id) -> per-doc token stats for "
+        "the survivors. Every stage is a shuffle-on-key DataFrame op: "
+        "the quality/fingerprint projections are scan-local, dedup "
+        "shuffles on fingerprint, LSH shuffles on (band, bucket) — no "
+        "all-pairs stage anywhere, so the same plan runs at 100 TB. "
+        "Oracle replays the pipeline in DuckDB with exhaustive-pairs "
+        "clustering, so a pass also re-proves LSH recall on this slice.",
+    tags=("X15", "X16", "X18", "X2"),
+)
+def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    base = (d.filter(F.col("lang") == "en")
+             .withColumn("quality", T.quality_score(t))
+             .filter(F.col("quality") >= 0.5))
+    exact = (base.withColumn("fp", T.exact_fingerprint(t))
+                 .withColumn("keep_id",
+                             F.min("doc_id").over(Window.partitionBy("fp")))
+                 .filter(F.col("doc_id") == F.col("keep_id")))
+    pairs = D.minhash_near_duplicates(
+        exact, "doc_id", "text",
+        threshold=0.8, shingle_k=3, num_hashes=64, bands=16)
+    cc = D.connected_components(pairs)
+    drops = cc.filter(F.col("cluster_id") != F.col("id")) \
+              .select(F.col("id").alias("doc_id"))
+    return (exact.join(drops, "doc_id", "left_anti")
+                 .select("doc_id", "source",
+                         T.n_tokens(t).alias("n_tokens"),
+                         T.n_bpe_tokens(t).alias("n_bpe_tokens"),
+                         "quality"))
