@@ -1,0 +1,122 @@
+"""Mergeable-sketch rollups (Apache DataSketches via Spark 4 built-ins).
+
+The scale story: at 100 TB you cannot re-scan history to count distinct
+users or recompute quantiles per reporting window. Mergeable sketches
+fix the access pattern — each partition (day, file, shard) reduces to a
+KB-sized sketch once, and any rollup window is then a merge of sketches,
+never a rescan. HLL/theta unions are register-wise max / k-smallest-hash
+set ops: commutative and associative, so merge order (and therefore AQE
+partitioning) cannot change the result.
+
+The estimates are engine-specific (DataSketches internals), so no DuckDB
+oracle exists -> rows-only driver checks; accuracy vs exact answers and
+bit-exact mergeability are asserted in tests/test_sketches.py.
+
+The reference has no sketches (its only aggregate is ``len(df)``,
+/root/reference/scripts/etl_pipeline.py:212-217); [EXT] north-star ops.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..registry import register
+
+LG_K = 14  # 2^14 registers -> ~0.8% HLL standard error
+
+
+@register(
+    "hll_distinct_rollup",
+    None,  # DataSketches-specific estimates; accuracy in tests/test_sketches.py
+    doc="Distinct customers per order priority computed the incremental "
+        "way: one HLL sketch per (priority, month) partial — the unit a "
+        "daily pipeline would persist — then hll_union_agg across "
+        "months. Register-wise-max union is order-insensitive, so the "
+        "rollup equals the one-shot sketch bit-for-bit (asserted in "
+        "pytest) while never holding more than lg_k=14 registers per "
+        "group in memory.",
+    tags=("X8",),
+)
+def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy("o_orderpriority",
+                  F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(F.hll_sketch_agg("o_custkey", F.lit(LG_K)).alias("sk")))
+    return (monthly.groupBy("o_orderpriority")
+            .agg(F.hll_sketch_estimate(
+                     F.hll_union_agg("sk", F.lit(False))).alias("est_customers"),
+                 F.count("*").cast("long").alias("n_partials")))
+
+
+@register(
+    "theta_customer_overlap",
+    None,  # DataSketches-specific estimates; accuracy in tests/test_sketches.py
+    doc="Customer-set algebra WITHOUT materializing the sets: theta "
+        "sketches of first-half vs second-half 1996 orderers per "
+        "priority, combined with theta_union / theta_intersection / "
+        "theta_difference to estimate retention overlap. Exact set ops "
+        "on key columns shuffle the full key space; sketch set ops "
+        "move KBs per group regardless of cardinality.",
+    tags=("X8", "X13"),
+)
+def theta_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def half(lo: str, hi: str, name: str) -> DataFrame:
+        return (o.filter((F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                         & (F.col("o_orderdate") < F.lit(hi).cast("timestamp")))
+                 .groupBy("o_orderpriority")
+                 .agg(F.theta_sketch_agg("o_custkey").alias(name)))
+
+    h1 = half("1996-01-01", "1996-07-01", "sk1")
+    h2 = half("1996-07-01", "1997-01-01", "sk2")
+    j = h1.join(h2, "o_orderpriority")
+    return j.select(
+        "o_orderpriority",
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("sk1"), F.col("sk2"))).alias("either_est"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk1"), F.col("sk2"))).alias("both_est"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk1"), F.col("sk2"))).alias("churned_est"),
+    )
+
+
+@register(
+    "kll_price_quantiles",
+    None,  # DataSketches-specific estimates; accuracy in tests/test_sketches.py
+    doc="Streaming-mergeable quantiles: KLL sketches of l_extendedprice "
+        "built separately for early/late ship-date halves per return "
+        "flag — two independently-computable partials — merged with "
+        "kll_sketch_merge_double before querying median and p90. The "
+        "exact-percentile twin (quantile_stats) needs a full sort per "
+        "group; the KLL path is one scan plus KB-sized state, the only "
+        "viable shape on an unbounded stream.",
+    tags=("X8", "X24"),
+)
+def kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pivot = F.lit("1996-01-01").cast("timestamp")
+
+    def side(cond, name: str) -> DataFrame:
+        return (li.filter(cond)
+                  .groupBy("l_returnflag")
+                  .agg(F.kll_sketch_agg_double("l_extendedprice").alias(name)))
+
+    early = side(F.col("l_shipdate") < pivot, "sk_early")
+    late = side(F.col("l_shipdate") >= pivot, "sk_late")
+    merged = (early.join(late, "l_returnflag")
+              .select("l_returnflag",
+                      F.kll_sketch_merge_double("sk_early", "sk_late")
+                       .alias("sk")))
+    return merged.select(
+        "l_returnflag",
+        F.kll_sketch_get_n_double("sk").alias("n_values"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 2)
+         .alias("median_est"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 2)
+         .alias("p90_est"),
+    )
