@@ -12,5 +12,5 @@ Module map (SURVEY.md §2.B inventory):
 """
 
 from . import (dedup, events_ops, multimodal, relational,  # noqa: F401
-               scale, similarity, sketches, spotify, streaming, subqueries,
-               text)
+               sampling, scale, similarity, sketches, spotify, streaming,
+               subqueries, text)

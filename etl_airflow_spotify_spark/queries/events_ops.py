@@ -339,3 +339,78 @@ def asof_tolerance_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_backward(purchases, clicks, on=["user_id"], ts="ts",
                               value_cols=["click_id"],
                               tolerance_seconds=1800)
+
+
+@register(
+    "resample_gap_fill",
+    """
+    WITH bounds AS (
+        SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT u.user_id, g.day
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN bounds
+        CROSS JOIN UNNEST(generate_series(bounds.lo, bounds.hi,
+                                          INTERVAL 1 DAY)) AS g(day)
+    ),
+    counts AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    last_per_day AS (
+        SELECT user_id, day, value FROM (
+            SELECT user_id, date_trunc('day', ts) AS day, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+        WHERE rn = 1
+    )
+    SELECT g.user_id, g.day,
+           COALESCE(c.n, 0) AS n_events,
+           LAST_VALUE(l.value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+    FROM grid g
+    LEFT JOIN counts c USING (user_id, day)
+    LEFT JOIN last_per_day l USING (user_id, day)
+    """,
+    doc="Hypertable-style resample to a daily grid with forward fill: "
+        "every (user, day) cell exists even with no events, carrying "
+        "the last observed value across gaps. The grid is GENERATED "
+        "(distinct users x sequence of days, bounds via a broadcast "
+        "1-row aggregate) — never materialized wider than the output; "
+        "the fill is one last(ignoreNulls) window per user, so the "
+        "whole query shuffles twice (grid join, fill window) no matter "
+        "how long the time range grows.",
+    tags=("X11", "X14", "X3"),
+)
+def resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    bounds = ev.agg(F.date_trunc("day", F.min("ts")).alias("lo"),
+                    F.date_trunc("day", F.max("ts")).alias("hi"))
+    grid = (ev.select("user_id").distinct()
+              .crossJoin(F.broadcast(bounds))
+              .select("user_id",
+                      F.explode(F.sequence(
+                          "lo", "hi", F.expr("interval 1 day"))).alias("day")))
+    day = F.date_trunc("day", F.col("ts"))
+    counts = (ev.groupBy("user_id", day.alias("day"))
+                .agg(F.count("*").alias("n_events")))
+    w_last = Window.partitionBy("user_id", "day") \
+                   .orderBy(F.desc("ts"), F.desc("event_id"))
+    last_per_day = (ev.select("user_id", day.alias("day"), "value", "ts",
+                              "event_id")
+                      .withColumn("rn", F.row_number().over(w_last))
+                      .filter(F.col("rn") == 1)
+                      .select("user_id", "day", "value"))
+    w_fill = (Window.partitionBy("user_id").orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(counts, ["user_id", "day"], "left")
+                .join(last_per_day, ["user_id", "day"], "left")
+                .select("user_id", "day",
+                        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                        F.last("value", ignorenulls=True).over(w_fill)
+                         .alias("value_ffill")))

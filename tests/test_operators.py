@@ -219,3 +219,20 @@ def test_ivf_persisted_matches_in_job_ivf(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in search_ivf_index(spark, path, queries, 5).collect()}
     want = {tuple(r) for r in ivf_topk_cosine(emb, queries, 5).collect()}
     assert got == want
+
+
+def test_dataset_split_stable_under_repartition(spark, sf_dir):
+    """The hash split is a pure function of doc_id: repartitioning (or
+    any cluster-layout change) must not move a single document — the
+    property rand()-based sample() does not have."""
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.queries.sampling import assign_split
+
+    d = load_table(spark, sf_dir, "documents")
+    a = {(r["doc_id"], r["split"])
+         for r in assign_split(d, "doc_id").select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"])
+         for r in assign_split(d.repartition(7), "doc_id")
+         .select("doc_id", "split").collect()}
+    assert a == b
+    assert {s for _, s in a} == {"train", "val", "test"}
