@@ -414,3 +414,57 @@ def resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.coalesce("n_events", F.lit(0)).alias("n_events"),
                         F.last("value", ignorenulls=True).over(w_fill)
                          .alias("value_ffill")))
+
+
+@register(
+    "concurrent_orders",
+    """
+    WITH iv AS (
+        SELECT o_orderkey, o_custkey, o_orderdate AS s,
+               GREATEST(o_orderdate, MAX(l_shipdate)) AS e
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3
+    )
+    SELECT a.o_custkey AS o_custkey,
+           a.o_orderkey AS okey_a, b.o_orderkey AS okey_b,
+           date_diff('day', CAST(GREATEST(a.s, b.s) AS DATE),
+                            CAST(LEAST(a.e, b.e) AS DATE)) AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+    doc="Interval-overlap self-join (X5): pairs of 1996 orders by the "
+        "same customer whose [orderdate, last-shipdate] spans overlap, "
+        "with the overlap length (spans clamped to end no earlier than "
+        "they start: synthetic rows can ship before ordering). Executed "
+        "via month-bucketed candidate "
+        "generation (operators/intervals.py) — an equi-join on "
+        "(custkey, month-bucket) plus exact verification — because the "
+        "raw overlap predicate has no equi-key and would plan a "
+        "quadratic nested-loop join. The oracle IS the naive all-pairs "
+        "formulation, so a pass proves the binning loses no pair.",
+    tags=("X5", "X3"),
+)
+def concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.intervals import interval_overlap_self_join
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+           .groupBy("o_orderkey", "o_custkey", "o_orderdate")
+           .agg(F.greatest(F.first("o_orderdate"),
+                           F.max("l_shipdate")).alias("e"))
+           .select("o_orderkey", "o_custkey",
+                   F.col("o_orderdate").alias("s"), "e"))
+    pairs = interval_overlap_self_join(iv, "o_custkey", "o_orderkey",
+                                       "s", "e")
+    return pairs.select(
+        "o_custkey",
+        F.col("a_id").alias("okey_a"), F.col("b_id").alias("okey_b"),
+        F.datediff(F.least("a_e", "b_e").cast("date"),
+                   F.greatest("a_s", "b_s").cast("date"))
+         .alias("overlap_days"))

@@ -161,3 +161,14 @@ def test_salted_join_no_plain_key_shuffle(spark, sf_dir):
     df = _df("skew_salted_join", spark, sf_dir)
     plan = plan_string(df)
     assert "_salt" in plan
+
+
+def test_interval_overlap_join_is_equi_bucketed(spark, sf_dir):
+    # the overlap predicate alone would plan BroadcastNestedLoopJoin;
+    # month-bucketing must turn it into a hash equi-join on
+    # (custkey, bucket) with the exact predicate as a residual
+    df = _df("concurrent_orders", spark, sf_dir)
+    plan = plan_string(df)
+    assert "NestedLoop" not in plan
+    assert not has_cartesian_product(df)
+    assert "bucket" in plan
