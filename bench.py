@@ -37,6 +37,14 @@ HEADLINE = [
     "vector_topk_ivf",
     "multimodal_metadata",
     "multimodal_frames",
+    "training_data_prep",
+    "dataset_split",
+    # scale levers + sketches + time series
+    "skew_salted_join",
+    "bucketed_zero_shuffle_join",
+    "hll_distinct_rollup",
+    "resample_gap_fill",
+    "concurrent_orders",
     # streaming
     "stream_tumbling_counts",
     "stream_stateful_user_stats",

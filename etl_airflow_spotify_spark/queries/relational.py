@@ -785,3 +785,37 @@ def agg_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("o_orderstatus").cast("long").alias("n_statuses"),
              F.count("*").alias("n"))
     )
+
+
+@register(
+    "unpivot_metrics",
+    """
+    SELECT l_returnflag, metric, ROUND(SUM(val), 2) AS total
+    FROM (
+        SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY l_returnflag, metric
+    """,
+    doc="Unpivot (wide->long melt) of four lineitem measures into "
+        "(metric, val) rows, aggregated per flag+metric. Spark's "
+        "unpivot is a zero-shuffle expression-level expansion "
+        "(internally Expand: each input row emits 4) feeding one "
+        "partial+final aggregate; the oracle spells it as the "
+        "equivalent UNION ALL, which scans 4x instead.",
+    tags=("X7", "X14", "X13"),
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric", "val")
+    return (long.groupBy("l_returnflag", "metric")
+                .agg(F.round(F.sum("val"), 2).alias("total")))
