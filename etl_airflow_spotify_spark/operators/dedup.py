@@ -336,27 +336,28 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     (join + min-aggregate) on the id key. For web-scale graphs swap in
     large-star/small-star — the interface stays (pairs) -> (id, cluster).
     """
-    # Persist the directed edges BEFORE mirroring them: both union
-    # branches reference the same (potentially expensive) pairs plan,
-    # and without the persist each branch re-evaluates it.
-    edges = pairs.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint (not persist): persist caches DATA but the logical
+    # plan still accumulates one join+agg layer per iteration, so
+    # Catalyst re-analyzes an ever-deeper lineage each round and the
+    # loop goes superlinear in planning time. Checkpointing truncates
+    # the lineage: every iteration plans against a constant-depth plan.
+    # (Executor-local checkpoint is fine: on executor loss the whole
+    # driver job retries, which re-runs the loop from its input.)
+    edges = pairs.select("id_a", "id_b")
     und = edges.unionByName(
         edges.select(F.col("id_b").alias("id_a"),
-                     F.col("id_a").alias("id_b"))).persist(
-        StorageLevel.MEMORY_AND_DISK)
+                     F.col("id_a").alias("id_b"))).localCheckpoint()
     labels = (und.select(F.col("id_a").alias("id")).distinct()
-              .withColumn("lab", F.col("id")).persist(
-                  StorageLevel.MEMORY_AND_DISK))
+              .withColumn("lab", F.col("id")).localCheckpoint())
     for _ in range(max_iters):
         neigh = (und.join(labels, und.id_a == labels.id)
                  .select(F.col("id_b").alias("id"), "lab"))
         new = (labels.select("id", "lab").unionByName(neigh)
                .groupBy("id").agg(F.min("lab").alias("lab"))
-               .persist(StorageLevel.MEMORY_AND_DISK))
+               .localCheckpoint())
         changed = (new.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.col("n.lab") != F.col("o.lab")).count())
-        labels.unpersist()
         labels = new
         if changed == 0:
             break
