@@ -33,8 +33,15 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     random: retries/speculative tasks must re-derive the same salt);
     small is replicated n_salts times; the join key becomes
     (key, salt), splitting each hot key across n_salts reducers.
-    Result equals ``big.join(small, key, how)`` exactly.
+    Result equals ``big.join(small, key, how)`` for how in
+    {inner, left}: replicating ``small`` breaks right/full (each
+    unmatched small row would surface n_salts times) and inverts
+    semi/anti semantics, so those are rejected.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "replicating the small side breaks right/full/semi/anti")
     salt = (F.abs(F.xxhash64(*big.columns)) % n_salts).cast("int")
     b = big.withColumn("_salt", salt)
     s = small.withColumn(
@@ -62,3 +69,57 @@ def write_bucketed(df: DataFrame, table: str, key: str,
        .sortBy(key)
        .format("parquet")
        .saveAsTable(table))
+
+
+def build_bloom(keys: DataFrame, key: str, n_bits: int = 1 << 16,
+                n_hashes: int = 3) -> DataFrame:
+    """Build a Bloom filter over ``keys[key]`` as a ONE-ROW DataFrame
+    carrying the bitmap (``__bloom``: array<long>, ``n_bits/64`` words).
+
+    The heavy work — hashing every key n_hashes times and OR-ing bits
+    per 64-bit word — is a distributed groupBy; only the finished
+    word->mask rows (<= n_bits/64, metadata scale) reach the driver,
+    exactly like Spark's own runtime bloom-filter exchange
+    (spark.sql.optimizer.runtime.bloomFilter.*) collects its bitmap to
+    the driver for broadcast. Hashes are seeded xxhash64 — deterministic
+    across retries.
+    """
+    spark = keys.sparkSession
+    n_words = n_bits // 64
+    pos = keys.select(
+        F.explode(F.array(*[
+            # pmod, not abs-%: abs(Long.MIN_VALUE) is still negative
+            F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits)).alias("p")
+            for i in range(n_hashes)
+        ])).alias("p"))
+    words = (pos.select((F.col("p") / 64).cast("int").alias("w"),
+                        F.expr("shiftleft(1L, cast(p % 64 as int))").alias("m"))
+             .groupBy("w").agg(F.expr("bit_or(m)").alias("mask"))
+             .collect())
+    bitmap = [0] * n_words
+    for row in words:
+        bitmap[row["w"]] = row["mask"]
+    return spark.createDataFrame([(bitmap,)], "__bloom: array<long>")
+
+
+def bloom_prune(fact: DataFrame, key: str, bloom: DataFrame,
+                n_bits: int = 1 << 16, n_hashes: int = 3) -> DataFrame:
+    """Drop ``fact`` rows whose ``key`` is definitely absent from the
+    Bloom filter built by ``build_bloom`` (same n_bits/n_hashes).
+
+    No false negatives, so ``bloom_prune(fact, k, bloom).join(dim, k)``
+    equals ``fact.join(dim, k)`` exactly — the filter only deletes rows
+    the join would drop anyway, BEFORE they are shuffled. At 100 TB
+    against a selective dim this is the difference between shuffling the
+    whole fact table and shuffling the ~matching fraction; it is the
+    manual form of AQE's runtime bloom pruning, usable where that can't
+    reach (e.g. a dim produced by arbitrary upstream logic).
+    """
+    conds = []
+    for i in range(n_hashes):
+        p = f"pmod(xxhash64(`{key}`, {i}), {n_bits})"
+        conds.append(f"(element_at(__bloom, cast(({p}) / 64 as int) + 1)"
+                     f" & shiftleft(1L, cast(({p}) % 64 as int))) != 0")
+    return (fact.crossJoin(F.broadcast(bloom))
+            .filter(F.expr(" AND ".join(conds)))
+            .drop("__bloom"))

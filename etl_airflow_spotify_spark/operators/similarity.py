@@ -297,6 +297,143 @@ def near_duplicate_vectors(df: DataFrame, threshold: float = 0.95,
     )
 
 
+# -- IVF-PQ (product quantization) ------------------------------------------
+
+def _pq_codebook(m: int, k_pq: int, sub_dim: int,
+                 seed: int = 13) -> list[list[float]]:
+    """Seeded per-subspace PQ codebook: m * k_pq codewords of sub_dim
+    doubles, flattened in (subspace, code) order. Deterministic, so a
+    SQL oracle can inline it and replay encoding exactly. A k-means
+    residual-trained codebook drops in by replacing this list."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(sub_dim)]
+            for _ in range(m * k_pq)]
+
+
+def _pq_book_df(spark, m: int, k_pq: int, sub_dim: int,
+                seed: int = 13) -> DataFrame:
+    flat = [x for c in _pq_codebook(m, k_pq, sub_dim, seed) for x in c]
+    return spark.createDataFrame([(flat,)], "__pq: array<double>")
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _pq_codes(vec_d: Column, m: int, k_pq: int, sub_dim: int) -> Column:
+    """array<int> of length m: per subspace, the index of the nearest
+    (squared-L2) codeword, reading the codebook from the broadcast
+    ``__pq`` column. Tiebreak: lower codeword index (struct array_min
+    orders by distance, then index)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.array_min(F.transform(
+            F.sequence(F.lit(0), F.lit(k_pq - 1)),
+            lambda j: F.struct(
+                _sqdist(F.slice(vec_d, s * sub_dim + 1, sub_dim),
+                        F.slice(F.col("__pq"),
+                                (s * k_pq + j) * sub_dim + 1, sub_dim))
+                .alias("d"),
+                j.cast("int").alias("i"),
+            )))["i"])
+
+
+def _adc_score(q_vec: Column, codes: Column, m: int, k_pq: int,
+               sub_dim: int) -> Column:
+    """Asymmetric-distance (ADC) approximate dot product: the query's
+    exact subvectors against the candidate's CODEWORDS. Each subspace
+    term is rounded and accumulated in DECIMAL so the sum is exact and
+    order-independent — selection by ADC then compares identically in
+    any engine (the SQL oracle sums the same decimals relationally)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("decimal(28,9)"),
+        lambda acc, s: (acc + F.round(
+            dot(F.slice(q_vec, s * sub_dim + 1, sub_dim),
+                F.slice(F.col("__pq"),
+                        (s * k_pq + F.element_at(codes, s + 1))
+                        * sub_dim + 1, sub_dim)),
+            9).cast("decimal(28,9)")).cast("decimal(28,9)"))
+
+
+def ivfpq_topk_cosine(corpus: DataFrame, queries: DataFrame, k: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_cells: int = 16, n_probe: int = 4,
+                      m: int = 8, k_pq: int = 16,
+                      dim: int = 64, overfetch: int = 4,
+                      seed: int = 7, pq_seed: int = 13,
+                      score_digits: int = 6) -> DataFrame:
+    """IVF-PQ top-k: IVF cells prune WHICH vectors are considered; PQ
+    codes prune WHAT is read to score them. Inside probed cells,
+    candidates are ranked by ADC (query subvectors x candidate
+    codewords — m lookups instead of a dim-wide dot against the full
+    vector), the top ``overfetch * k`` per query survive, and only
+    those rows join back to the corpus to fetch exact vectors for
+    cosine re-ranking.
+
+    At 100 TB the ADC pass reads m bytes of codes + one norm per
+    candidate instead of 4*dim bytes of floats — the classic memory
+    bandwidth win of Jegou et al.'s product quantization — and exact
+    vectors are fetched for only |Q| * overfetch * k rows. Both
+    codebooks are seeded, so the full pipeline (cell assignment, PQ
+    encoding, decimal-exact ADC selection, re-rank) is deterministic
+    and SQL-oracle-checkable end to end.
+    Returns (query_id, cand_id, score, rn) like ``topk_cosine``.
+    """
+    sub_dim = dim // m
+    spark = corpus.sparkSession
+    cents = _unit_centroids(n_cells, dim, seed)
+    book = _codebook_df(spark, cents)
+    pq_book = _pq_book_df(spark, m, k_pq, sub_dim, pq_seed)
+
+    base = spread(corpus.select(F.col(id_col).alias("cand_id"),
+                                as_double(F.col(vec_col)).alias("c_vec")),
+                  "cand_id")
+    # Compact index rows: id, cell, norm, m PQ codes — NO full vector.
+    c = (base.crossJoin(F.broadcast(book)).crossJoin(F.broadcast(pq_book))
+         .select("cand_id",
+                 norm(F.col("c_vec")).alias("c_norm"),
+                 F.array_max(_cell_scores(F.col("c_vec"), n_cells, dim))["i"]
+                 .alias("cell"),
+                 _pq_codes(F.col("c_vec"), m, k_pq, sub_dim).alias("codes")))
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("q_vec"))
+    q = q.crossJoin(F.broadcast(book)).select(
+        "query_id", "q_vec", norm(F.col("q_vec")).alias("q_norm"),
+        F.slice(F.reverse(F.array_sort(
+            _cell_scores(F.col("q_vec"), n_cells, dim))), 1, n_probe)
+        .alias("probes"),
+    ).select("query_id", "q_vec", "q_norm",
+             F.explode(F.transform("probes", lambda s: s["i"])).alias("cell"))
+
+    sel_w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("cand_id"))
+    cand = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(pq_book))
+        .select("query_id", "q_vec", "q_norm", "cand_id", "c_norm",
+                _adc_score(F.col("q_vec"), F.col("codes"), m, k_pq, sub_dim)
+                .alias("adc"))
+        .withColumn("sel_rn", F.row_number().over(sel_w))
+        .filter(F.col("sel_rn") <= overfetch * k)
+    )
+    # Fetch exact vectors ONLY for the selected candidates and re-rank.
+    exact = cand.join(base, "cand_id").select(
+        "query_id", "cand_id",
+        F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")), score_digits)
+        .alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("cand_id"))
+    return (exact.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "cand_id", "score",
+                    F.col("rn").cast("long").alias("rn")))
+
+
 def train_kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
                            dim: int = 64, iters: int = 5,
                            id_col: str = "vec_id",

@@ -11,6 +11,6 @@ Module map (SURVEY.md §2.B inventory):
     streaming   - X20-X23 batch-equivalent checks
 """
 
-from . import (dedup, events_ops, multimodal, relational,  # noqa: F401
-               sampling, scale, similarity, sketches, spotify, streaming,
-               subqueries, text)
+from . import (dedup, events_ops, maintenance, multimodal,  # noqa: F401
+               relational, sampling, scale, similarity, sketches, spotify,
+               streaming, subqueries, text)

@@ -176,8 +176,10 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS dim,
-           list_transform(embedding[1:3],
-                          x -> ROUND(CAST(x AS DOUBLE), 4)) AS head3,
+           array_to_string(
+               list_transform(embedding[1:3],
+                              x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000)
+                                        AS BIGINT)), ',') AS head3,
            ROUND(list_max(CAST(embedding AS DOUBLE[])), 4) AS vmax,
            ROUND(list_min(CAST(embedding AS DOUBLE[])), 4) AS vmin,
            ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vsum,
@@ -195,8 +197,14 @@ def array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.transform(F.slice("embedding", 1, 3),
-                    lambda x: F.round(x.cast("double"), 4)).alias("head3"),
+        # Driver canonicalizer hashes cells via pandas sort_values, which
+        # chokes on array cells (round-1 red row).  Render the slice as an
+        # integer-scaled CSV string: stable across engines, hashable.
+        F.array_join(
+            F.transform(F.slice("embedding", 1, 3),
+                        lambda x: F.round(x.cast("double") * 10000)
+                        .cast("long").cast("string")),
+            ",").alias("head3"),
         F.round(F.array_max(vd), 4).alias("vmax"),
         F.round(F.array_min(vd), 4).alias("vmin"),
         F.round(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x), 4).alias("vsum"),

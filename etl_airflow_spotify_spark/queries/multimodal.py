@@ -143,10 +143,10 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     h AS (SELECT media_id, md5(hex(content)) AS hh FROM media)
     SELECT media_id,
-           list_transform(generate_series(0, 15), i ->
+           array_to_string(list_transform(generate_series(0, 15), i ->
                (strpos('0123456789abcdef', substr(hh, 2*i + 1, 1)) - 1) * 16
              + (strpos('0123456789abcdef', substr(hh, 2*i + 2, 1)) - 1)
-           ) AS embedding
+           ), ',') AS embedding
     FROM h
     """,
     doc="Feature-extraction stub: media -> int8-quantized embedding via "
@@ -157,7 +157,14 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    return M.embed_media(M.build_media_from_documents(docs))
+    emb = M.embed_media(M.build_media_from_documents(docs))
+    # CSV-joined embedding: the driver canonicalizer needs hashable
+    # scalar cells (array cells crashed it in round 1).
+    return emb.select(
+        "media_id",
+        F.array_join(F.transform("embedding",
+                                 lambda x: x.cast("string")),
+                     ",").alias("embedding"))
 
 
 # --------------------------------------------------------------------------
@@ -253,7 +260,7 @@ def udf_zscore_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            props['status'][1] AS status_val,
            props['pri'][1] AS pri_val,
-           list_sort(map_keys(props)) AS keys_sorted,
+           array_to_string(list_sort(map_keys(props)), ',') AS keys_sorted,
            CAST(cardinality(props) AS BIGINT) AS n_keys
     FROM m
     """,
@@ -269,6 +276,8 @@ def map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         props["status"].alias("status_val"),
         props["pri"].alias("pri_val"),
-        F.array_sort(F.map_keys(props)).alias("keys_sorted"),
+        # CSV-joined so the driver canonicalizer gets a hashable scalar
+        # cell (arrays crash its pandas sort_values — round-1 red row).
+        F.array_join(F.array_sort(F.map_keys(props)), ",").alias("keys_sorted"),
         F.size(props).cast("long").alias("n_keys"),
     )

@@ -680,8 +680,10 @@ def brand_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.9]),
-                          x -> ROUND(x, 4)) AS price_pctiles
+           array_to_string(
+               list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.9]),
+                              x -> CAST(ROUND(x * 10000) AS BIGINT)),
+               ',') AS price_pctiles
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Exact interpolated percentiles per group (Spark percentile == "
@@ -694,9 +696,16 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(F.count("*").alias("n"),
-             F.transform(
-                 F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.9))"),
-                 lambda x: F.round(x, 4)).alias("price_pctiles"))
+             # Integer-scaled CSV: hashable for the driver canonicalizer
+             # (array cells crash it) and immune to float-to-string
+             # formatting skew between engines.
+             F.array_join(
+                 F.transform(
+                     F.expr("percentile(l_extendedprice, "
+                            "array(0.25, 0.5, 0.9))"),
+                     lambda x: F.round(x * 10000).cast("long")
+                     .cast("string")),
+                 ",").alias("price_pctiles"))
     )
 
 
@@ -767,7 +776,8 @@ def rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_lists",
     """
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+               AS statuses,
            CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders GROUP BY o_orderpriority
@@ -781,7 +791,8 @@ def agg_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
-        .agg(F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        .agg(F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",")
+             .alias("statuses"),
              F.countDistinct("o_orderstatus").cast("long").alias("n_statuses"),
              F.count("*").alias("n"))
     )

@@ -187,6 +187,127 @@ def vector_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.search_ivf_index(spark, path, queries, K)
 
 
+def _ivfpq_oracle_sql() -> str:
+    """DuckDB twin of the FULL IVF-PQ pipeline: IVF cell assignment and
+    probing (as _ivf_oracle_sql), then PQ encoding (argmin squared-L2
+    codeword per subspace, lower-index tiebreak = Spark's struct
+    array_min), ADC candidate selection with the per-subspace terms
+    rounded and summed in DECIMAL (exact, order-independent — the one
+    cross-row sum in the pipeline), and exact cosine re-rank of the
+    top overfetch*k. Both codebooks are seeded and inlined as SQL
+    literals, so the approximate path is hash-checked end to end."""
+    m, k_pq, sub_dim = 8, 16, 8
+    cents = S._unit_centroids(16, 64, 7)
+    cvals = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    pq = S._pq_codebook(m, k_pq, sub_dim, 13)
+    pvals = ",\n        ".join(
+        f"({i // k_pq}, {i % k_pq}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(pq))
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET},
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+        FROM embeddings WHERE vec_id < {N_PLANT}
+    ),
+    cents(ci, cv) AS (VALUES
+        {cvals}
+    ),
+    pqcents(s, j, pv) AS (VALUES
+        {pvals}
+    ),
+    assign AS (
+        SELECT vec_id, v, ci AS cell FROM (
+            SELECT c.vec_id, c.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_inner_product(c.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus c CROSS JOIN cents ce
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, ci AS cell FROM (
+            SELECT q.vec_id, q.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_inner_product(q.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus q CROSS JOIN cents ce
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= 4
+    ),
+    codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT a.vec_id, pc.s, pc.j,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id, pc.s
+                       ORDER BY list_aggregate(
+                           list_transform(generate_series(1, {sub_dim}),
+                               i -> (a.v[pc.s * {sub_dim} + i] - pc.pv[i])
+                                  * (a.v[pc.s * {sub_dim} + i] - pc.pv[i])),
+                           'sum') ASC, pc.j ASC
+                   ) AS rn
+            FROM assign a CROSS JOIN pqcents pc
+        ) WHERE rn = 1
+    ),
+    adc AS (
+        SELECT p.query_id, a.vec_id AS cand_id,
+               SUM(CAST(ROUND(list_inner_product(
+                       p.qv[pc.s * {sub_dim} + 1 : pc.s * {sub_dim} + {sub_dim}],
+                       pc.pv), 9) AS DECIMAL(28,9))) AS adc
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN codes k ON k.vec_id = a.vec_id
+        JOIN pqcents pc ON pc.s = k.s AND pc.j = k.code
+        GROUP BY p.query_id, a.vec_id
+    ),
+    sel AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc DESC, cand_id) AS rn
+            FROM adc
+        ) WHERE rn <= {4 * K}
+    ),
+    rerank AS (
+        SELECT s.query_id, s.cand_id,
+               ROUND(list_cosine_similarity(qc.v, cc.v), 6) AS score
+        FROM sel s
+        JOIN corpus qc ON qc.vec_id = s.query_id
+        JOIN corpus cc ON cc.vec_id = s.cand_id
+    )
+    SELECT query_id, cand_id, score, rn FROM (
+        SELECT query_id, cand_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, cand_id) AS BIGINT) AS rn
+        FROM rerank
+    ) WHERE rn <= {K}
+    """
+
+
+@register(
+    "vector_topk_ivfpq",
+    _ivfpq_oracle_sql(),
+    doc="IVF-PQ approximate cosine top-k: IVF cells prune WHICH vectors "
+        "are considered, 8x16 product-quantization codes prune WHAT is "
+        "read to score them (ADC: query subvectors x codewords, decimal "
+        "-exact accumulation), and only the top overfetch*k candidates "
+        "per query fetch their exact vectors for cosine re-ranking — "
+        "the Jegou et al. memory-bandwidth win, expressed as DataFrame "
+        "ops with both seeded codebooks inlined into a DuckDB oracle "
+        "that replays encoding, selection and re-rank end to end.",
+    tags=("X17", "X24"),
+)
+def vector_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_planted(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.ivfpq_topk_cosine(emb, queries, K)
+
+
 @register(
     "vector_topk_ivf_kmeans",
     None,  # approximate (probes 4/16 cells); recall asserted in pytest
