@@ -47,9 +47,17 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     fewer splits than cores — applied BEFORE expensive per-row work
     (shingling, tokenizing, hashing) so that work parallelizes even when
     a small test file reads as one split. No-op shape at real scale,
-    where scans already produce >= cores partitions."""
+    where scans already produce >= cores partitions.
+
+    Gated on ``inputFiles()`` (a file listing), NOT
+    ``df.rdd.getNumPartitions()``: the RDD conversion materializes the
+    physical plan at query-BUILD time, driver-side work paid on every
+    plan construction. File count under-estimates split count (big
+    files split further by maxPartitionBytes), so this only ever errs
+    toward repartitioning — and once file count reaches core count the
+    shuffle is correctly skipped."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target, key)
     return df
 

@@ -14,7 +14,8 @@ non-trivial, and it is the formulation that survives 100 TB (the window
 state is a single carried row).
 
 Determinism: if multiple right rows share (key, ts), the carried one is
-the last in (ts, side, *order_cols) order — pass ``right_order_cols`` or
+the one with the GREATEST ``right_order_cols`` tuple (those columns are
+appended to the window ordering) — pass ``right_order_cols`` or
 pre-dedupe the right side to make results reproducible.
 """
 
@@ -28,7 +29,8 @@ def asof_join_backward(left: DataFrame, right: DataFrame,
                        on: list[str], ts: str,
                        value_cols: list[str],
                        strict: bool = False,
-                       tolerance_seconds: int | None = None) -> DataFrame:
+                       tolerance_seconds: int | None = None,
+                       right_order_cols: list[str] | None = None) -> DataFrame:
     """Left as-of join: attach the latest ``value_cols`` from ``right``
     whose ``ts`` is <= (or < when ``strict``) the left row's ``ts``,
     matching on ``on`` keys. Left columns are preserved; right values
@@ -36,7 +38,11 @@ def asof_join_backward(left: DataFrame, right: DataFrame,
     ``tolerance_seconds`` bounds the lookback: a matched right row older
     than the tolerance yields nulls, exactly like pandas merge_asof's
     ``tolerance`` (the carried ts is tracked as an internal column, so
-    the plan shape is unchanged — still one window, no range join)."""
+    the plan shape is unchanged — still one window, no range join).
+    ``right_order_cols`` breaks ties among right rows sharing
+    (key, ts): the row with the greatest tuple wins; without it (and
+    without pre-deduping), which equal-ts row carries is plan-dependent.
+    """
     # side: right sorts before left at equal ts for inclusive semantics,
     # after left for strict semantics.
     right_side, left_side = (1, 0) if strict else (0, 1)
@@ -50,9 +56,14 @@ def asof_join_backward(left: DataFrame, right: DataFrame,
         right = right.withColumn("__asofts", F.col(ts))
         l_tagged = l_tagged.withColumn("_rv___asofts", F.lit(None).cast(
             dict(right.dtypes)[ts]))
+    order_cols = right_order_cols or []
+    for c in order_cols:
+        l_tagged = l_tagged.withColumn(f"_ord_{c}", F.lit(None).cast(
+            dict(right.dtypes)[c]))
     r_tagged = right.select(
         *on, ts,
         *[F.col(c).alias(f"_rv_{c}") for c in carry_cols],
+        *[F.col(c).alias(f"_ord_{c}") for c in order_cols],
     ).withColumn("_side", F.lit(right_side))
     # align schemas: left keeps all its columns; right rows carry nulls
     # for the left-only columns.
@@ -64,7 +75,13 @@ def asof_join_backward(left: DataFrame, right: DataFrame,
     u = l_tagged.select(sorted(l_tagged.columns)).unionByName(
         r_tagged.select(sorted(l_tagged.columns)))
 
-    w = (Window.partitionBy(*on).orderBy(ts, "_side")
+    # Order columns only reorder right rows WITHIN an equal (ts, _side)
+    # group (left rows hold null there, and nulls_first keeps them ahead
+    # of any non-null right ordering value at the same ts in the strict
+    # case) — so the greatest right_order_cols tuple is the carried row.
+    w = (Window.partitionBy(*on)
+         .orderBy(ts, "_side",
+                  *[F.asc_nulls_first(f"_ord_{c}") for c in order_cols])
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = u.select(
         "*",
@@ -72,7 +89,8 @@ def asof_join_backward(left: DataFrame, right: DataFrame,
           for c in carry_cols],
     )
     out = (carried.filter(F.col("_side") == left_side)
-           .drop("_side", *[f"_rv_{c}" for c in carry_cols]))
+           .drop("_side", *[f"_rv_{c}" for c in carry_cols],
+                 *[f"_ord_{c}" for c in order_cols]))
     if tolerance_seconds is not None:
         in_tol = F.expr(
             f"timestampdiff(SECOND, asof___asofts, {ts})") <= tolerance_seconds

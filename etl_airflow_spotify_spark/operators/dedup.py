@@ -23,7 +23,7 @@ import random
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
-from pyspark import StorageLevel
+from ..caching import persist_tracked
 
 from ..catalog import spread as _spread
 
@@ -126,7 +126,7 @@ def lsh_candidate_pairs(bucket_rows: DataFrame,
     # defeat exchange reuse, so persist it rather than recompute the
     # whole signature pipeline per consumer. It is bands-per-doc rows of
     # three scalars — small at any scale.
-    e = bucket_rows.persist(StorageLevel.MEMORY_AND_DISK)
+    e = persist_tracked(bucket_rows)
     if max_bucket is not None:
         counts = e.groupBy("band", "key").count().filter(F.col("count") <= max_bucket)
         e = e.join(counts.select("band", "key"), ["band", "key"], "left_semi")
@@ -158,12 +158,12 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     # The shingle frame feeds three subtrees (bucketing + both sides of
     # the verify join); persist it so the tokenize/shingle scan runs once.
     # MEMORY_AND_DISK: at 100 TB the shingle sets spill rather than OOM.
-    shingled = _spread(
+    shingled = persist_tracked(_spread(
         df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id"
     ).select(
         "_id",
         token_shingles(toks, shingle_k).alias("shingles"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     buckets = minhash_band_keys(shingled, num_hashes=num_hashes, bands=bands)
     cands = lsh_candidate_pairs(buckets, max_bucket=max_bucket)
     sh = shingled
@@ -224,7 +224,7 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
         text_col)
     # The signature feeds both the bucketing and the verify join; persist
     # the (id, 64-bit hash) pairs so the heavy shingle-aggregate runs once.
-    h = h.select("_id", "simhash").persist(StorageLevel.MEMORY_AND_DISK)
+    h = persist_tracked(h.select("_id", "simhash"))
     buckets = h.select(
         "_id",
         F.explode(F.array(*[
@@ -276,13 +276,13 @@ def build_minhash_index(df: DataFrame, id_col: str, text_col: str,
     Signatures are fixed-seed deterministic, so an index built today
     candidates correctly against increments hashed tomorrow."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    shingled = _spread(
+    shingled = persist_tracked(_spread(
         df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id"
     ).select(
         "_id", token_shingles(toks, shingle_k).alias("shingles"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    buckets = minhash_band_keys(shingled, num_hashes=num_hashes,
-                                bands=bands).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
+    buckets = persist_tracked(minhash_band_keys(shingled, num_hashes=num_hashes,
+                                bands=bands))
     return shingled, buckets
 
 
@@ -349,6 +349,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                      F.col("id_a").alias("id_b"))).localCheckpoint()
     labels = (und.select(F.col("id_a").alias("id")).distinct()
               .withColumn("lab", F.col("id")).localCheckpoint())
+    changed = 0
     for _ in range(max_iters):
         neigh = (und.join(labels, und.id_a == labels.id)
                  .select(F.col("id_b").alias("id"), "lab"))
@@ -361,4 +362,14 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    if changed:
+        # Unconverged labels over-keep documents downstream (a cluster
+        # split in two keeps two "representatives") — never fail silently.
+        import warnings
+        warnings.warn(
+            f"connected_components hit max_iters={max_iters} with "
+            f"{changed} labels still changing (component diameter > "
+            f"max_iters); labels are NOT a fixpoint — raise max_iters "
+            f"or switch to large-star/small-star", RuntimeWarning,
+            stacklevel=2)
     return labels.select("id", F.col("lab").alias("cluster_id"))

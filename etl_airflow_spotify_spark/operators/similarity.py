@@ -16,9 +16,9 @@ from __future__ import annotations
 import random
 
 import pyspark.sql.functions as F
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 
+from ..caching import persist_tracked
 from ..catalog import spread
 
 
@@ -279,10 +279,10 @@ def near_duplicate_vectors(df: DataFrame, threshold: float = 0.95,
     # bucket self-join, whose alias-renamed projections defeat exchange
     # reuse — without this the n_tables * n_planes hyperplane dots are
     # computed twice per row.
-    e = (keyed.select("_id", F.explode("bands").alias("bk"))
-         .select("_id", F.col("bk.band").alias("band"),
-                 F.col("bk.key").alias("key"))
-         .persist(StorageLevel.MEMORY_AND_DISK))
+    e = persist_tracked(
+        keyed.select("_id", F.explode("bands").alias("bk"))
+        .select("_id", F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key")))
     a = e.select(F.col("_id").alias("id_a"), "band", "key")
     b = e.select(F.col("_id").alias("id_b"), "band", "key")
     cands = (a.join(b, ["band", "key"]).filter(F.col("id_a") < F.col("id_b"))

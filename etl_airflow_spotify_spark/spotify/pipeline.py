@@ -23,13 +23,25 @@ from .normalize import snapshot_tables
 
 @dataclass
 class PipelineConfig:
-    """O7-lite: the knobs the reference reads from YAML/env
-    (config/config.py:44-51) that matter to the dataflow."""
+    """The knobs that matter to the dataflow, sourced either directly
+    or from the full O7 config engine via ``from_config``."""
     output_dir: str = "data"
     fmt: str = "parquet"
     limit: int = 50
     country: str | None = None
     save_raw: bool = True
+
+    @classmethod
+    def from_config(cls, cfg) -> "PipelineConfig":
+        """Bind the layered YAML/.env/env ``config.Config`` (O7,
+        reference config/config.py:44-223) to the dataflow knobs."""
+        params = cfg.get_parameters()
+        return cls(output_dir=cfg.get("paths.base", "data"),
+                   fmt=cfg.get("output.format", "parquet"),
+                   limit=params["limit"] if isinstance(params["limit"], int)
+                   else 50,
+                   country=params["country"],
+                   save_raw=bool(cfg.get("output.save_raw", True)))
 
 
 @dataclass

@@ -236,3 +236,80 @@ def test_dataset_split_stable_under_repartition(spark, sf_dir):
          .select("doc_id", "split").collect()}
     assert a == b
     assert {s for _, s in a} == {"train", "val", "test"}
+
+
+# -- round-2 ADVICE fixes ----------------------------------------------------
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    from etl_airflow_spotify_spark.operators.scale import salted_join
+
+    big = spark.createDataFrame([(1, "a")], ["k", "v"])
+    small = spark.createDataFrame([(1, "x")], ["k", "w"])
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", how=how)
+
+
+def test_asof_right_order_cols_breaks_ties(spark):
+    """Two right rows at the SAME (key, ts): right_order_cols must make
+    the greater-tuple row the deterministic carry."""
+    from etl_airflow_spotify_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 100)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, 50, 5, "low"), (1, 50, 9, "high")],
+        ["k", "ts", "seq", "val"])
+    out = asof_join_backward(left, right, on=["k"], ts="ts",
+                             value_cols=["val"],
+                             right_order_cols=["seq"]).collect()
+    assert len(out) == 1 and out[0]["asof_val"] == "high"
+    # and the order columns do not leak into the output schema
+    assert not [c for c in out[0].asDict() if c.startswith("_ord_")]
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    import warnings
+
+    from etl_airflow_spotify_spark.operators.dedup import connected_components
+
+    # a 5-node path graph has diameter 4 > max_iters=1
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["id_a", "id_b"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iters=1)
+        assert any("max_iters" in str(x.message) for x in w)
+
+
+def test_persist_tracking_releases(spark, planted_docs):
+    from etl_airflow_spotify_spark.caching import _TRACKED, release_all
+    from etl_airflow_spotify_spark.operators.dedup import minhash_near_duplicates
+
+    release_all()
+    minhash_near_duplicates(planted_docs, "doc_id", "text",
+                            threshold=0.5).collect()
+    assert len(_TRACKED) >= 2  # shingles + bucket rows
+    assert release_all() >= 2
+    assert not _TRACKED
+
+
+def test_cdc_merge_semantics(spark):
+    from etl_airflow_spotify_spark.operators.cdc import cdc_merge
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "name", "bal"])
+    changes = spark.createDataFrame(
+        [(2, 1, "U", None, 25.0),   # partial update: name stays "b"
+         (3, 1, "U", "c2", None),   # later change below wins
+         (3, 2, "D", None, None),   # delete key 3
+         (4, 1, "U", "d", 40.0)],   # insert new key
+        ["k", "seq", "op", "name", "bal"])
+    out = {r["k"]: r for r in
+           cdc_merge(snap, changes, "k", seq_cols=["seq"]).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["name"] == "a" and out[1]["bal"] == 10.0
+    assert out[2]["name"] == "b" and out[2]["bal"] == 25.0
+    assert out[4]["name"] == "d" and out[4]["bal"] == 40.0
