@@ -16,11 +16,23 @@ import sys
 
 
 def load(path: str) -> dict:
+    """Accept either bench.py's raw one-line JSON or the driver's
+    BENCH_r{N}.json wrapper (whole-file JSON with the bench line under
+    "parsed")."""
     with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if line.startswith("{"):
+        text = f.read()
+    try:
+        obj = json.loads(text)
+        return obj.get("parsed", obj) if isinstance(obj, dict) else obj
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
                 return json.loads(line)
+            except json.JSONDecodeError:
+                continue
     raise SystemExit(f"no JSON line found in {path}")
 
 
@@ -48,14 +60,19 @@ def main() -> int:
             failed = True
         print(f"{name:32s} {oq[name]:8.3f} {nq[name]:8.3f} {d:+7.1f}%{flag}")
 
-    ot, nt = old.get("value"), new.get("value")
-    if ot and nt:
+    # Like-for-like total: only queries present in BOTH runs, so adding
+    # queries between rounds can't read as a total regression.
+    shared = set(oq) & set(nq)
+    if shared:
+        ot = sum(oq[n] for n in shared)
+        nt = sum(nq[n] for n in shared)
         d = (nt - ot) / ot * 100
         flag = ""
         if d > pct / 2:
             flag = "  << TOTAL REGRESSION"
             failed = True
-        print(f"{'TOTAL':32s} {ot:8.3f} {nt:8.3f} {d:+7.1f}%{flag}")
+        print(f"{'TOTAL (shared queries)':32s} {ot:8.3f} {nt:8.3f} "
+              f"{d:+7.1f}%{flag}")
     return 1 if failed else 0
 
 
