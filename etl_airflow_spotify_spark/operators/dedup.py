@@ -373,3 +373,86 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             f"or switch to large-star/small-star", RuntimeWarning,
             stacklevel=2)
     return labels.select("id", F.col("lab").alias("cluster_id"))
+
+
+def connected_components_star(pairs: DataFrame,
+                              max_rounds: int = 25) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the web-scale path promised by ``connected_components``'
+    docstring. Same contract: undirected (id_a, id_b) pairs in, (id,
+    cluster_id = min id in component) out.
+
+    Why it scales where min-label propagation doesn't: label propagation
+    needs diameter-many rounds (a 10M-link chain needs 10M rounds);
+    star operations HALVE tree heights each round, converging in
+    O(log^2 n) rounds on any graph. Each round is two shuffles keyed by
+    node id (groupBy min + join), both with map-side partial min, and
+    the edge set only ever shrinks toward one star per component, so
+    round cost decreases monotonically. localCheckpoint truncates the
+    per-round lineage exactly as in the label-prop loop.
+
+    large-star(u): connect every neighbor v > u to m = min(N(u) + {u})
+    small-star(u): connect every neighbor v < u, and u, to
+                   m = min(N-(u) + {u})
+    Fixpoint = edges form a star per component rooted at its min id.
+    """
+    # Node universe BEFORE dropping self-loops: a node whose only pair
+    # is (x, x) is still a singleton component (label-prop keeps it).
+    nodes = (pairs.select(F.col("id_a").alias("id"))
+             .unionByName(pairs.select(F.col("id_b").alias("id")))
+             .distinct())
+    e = (pairs.select(F.least("id_a", "id_b").alias("u"),
+                      F.greatest("id_a", "id_b").alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
+    if not e.take(1):
+        return nodes.select("id", F.col("id").alias("cluster_id"))
+
+    def _sym(ed: DataFrame) -> DataFrame:
+        return ed.unionByName(ed.select(F.col("v").alias("u"),
+                                        F.col("u").alias("v")))
+
+    def _sig(ed: DataFrame):
+        # order-insensitive edge-set fingerprint for convergence checks
+        # (XOR aggregate: no overflow under ANSI, distinct edges only)
+        row = ed.agg(F.count("*").alias("n"),
+                     F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
+        return row["n"], row["h"]
+
+    sig = _sig(e)
+    for _ in range(max_rounds):
+        # large-star: m(u) joined back to u's STRICTLY LARGER neighbors;
+        # m <= u < v, so (m, v) is already canonical u<v form.
+        sym = _sym(e)
+        m = (sym.groupBy("u")
+             .agg(F.min("v").alias("mn"))
+             .select("u", F.least("mn", "u").alias("m")))
+        e = (sym.join(m, "u").filter(F.col("v") > F.col("u"))
+             .select(F.col("m").alias("u"), "v")
+             .distinct().localCheckpoint())
+        # small-star over edges directed larger->smaller: every u with
+        # smaller neighbors N-, plus u itself, connects to min(N-).
+        down = _sym(e).filter(F.col("v") < F.col("u"))
+        m2 = down.groupBy("u").agg(F.min("v").alias("m"))
+        e = (down.select("u", "v").unionByName(
+                 m2.select("u", F.col("u").alias("v")))
+             .join(m2, "u")
+             .filter(F.col("v") != F.col("m"))
+             .select(F.col("m").alias("u"), "v")
+             .distinct().localCheckpoint())
+        new_sig = _sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        import warnings
+        warnings.warn(
+            f"connected_components_star hit max_rounds={max_rounds} "
+            "without a stable edge set; labels may not be a fixpoint",
+            RuntimeWarning, stacklevel=2)
+    # fixpoint edges are stars (min, v): label leaves by their root,
+    # roots (and self-loop-only singletons, via the node universe) by
+    # themselves.
+    return (e.select(F.col("v").alias("id"), F.col("u").alias("lab"))
+            .unionByName(nodes.select("id", F.col("id").alias("lab")))
+            .groupBy("id").agg(F.min("lab").alias("cluster_id")))

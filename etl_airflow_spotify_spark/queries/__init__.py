@@ -6,11 +6,13 @@ Module map (SURVEY.md §2.B inventory):
                   windows, sort/top-k, set ops, scalar/JSON functions
     text        - X18 + text-analysis extensions over ``documents``
     dedup       - X15/X16: exact + near-duplicate detection
+    curation    - decontamination, PII redaction, sequence packing,
+                  stratified mixing, count-min frequency sketch
     similarity  - X17: vector similarity search over ``embeddings``
     subqueries  - EXISTS / NOT EXISTS / correlated-scalar SQL shapes
     streaming   - X20-X23 batch-equivalent checks
 """
 
-from . import (dedup, events_ops, maintenance, multimodal,  # noqa: F401
-               relational, sampling, scale, similarity, sketches, spotify,
-               streaming, subqueries, text)
+from . import (curation, dedup, events_ops, maintenance,  # noqa: F401
+               multimodal, relational, sampling, scale, similarity, sketches,
+               spotify, streaming, subqueries, text)

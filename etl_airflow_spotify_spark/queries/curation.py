@@ -1,0 +1,297 @@
+"""Corpus-curation queries (SURVEY.md §2.B training-data-pipeline
+extensions): benchmark decontamination, PII redaction, sequence
+packing, stratified corpus mixing, and count-min frequency estimates.
+
+Every query is deterministic end to end, so each has an exact DuckDB
+oracle that replays the full algorithm (including the md5 bucketing —
+see ROUND_NOTES.md's cross-engine hash note).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators import curation as C
+from ..registry import register
+
+# Deterministic "benchmark" subset for the contamination check: every
+# 37th document plays the role of an eval-suite doc.
+EVAL_MOD = 37
+NGRAM_N = 3
+
+# DuckDB n-gram twin of operators.curation.word_ngrams (list slicing is
+# 1-based end-inclusive and clamps, matching Spark's F.slice).
+_NGRAMS_SQL = f"""
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, GREATEST(len(ts) - {NGRAM_N - 1}, 1)),
+               i -> array_to_string(
+                   ts[CAST(i AS INTEGER):CAST(i AS INTEGER) + {NGRAM_N - 1}],
+                   ' '))) AS ngrams
+    FROM (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS ts
+          FROM documents)
+"""
+
+
+@register(
+    "decontaminate_ngram",
+    f"""
+    WITH ng AS ({_NGRAMS_SQL}),
+    t AS (SELECT doc_id, unnest(ngrams) AS ngram FROM ng
+          WHERE doc_id % {EVAL_MOD} <> 0),
+    e AS (SELECT doc_id AS eval_id, unnest(ngrams) AS ngram FROM ng
+          WHERE doc_id % {EVAL_MOD} = 0)
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.ngram) AS BIGINT) AS n_shared_ngrams,
+           CAST(COUNT(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+    FROM t JOIN e ON t.ngram = e.ngram
+    GROUP BY t.doc_id
+    """,
+    doc="Benchmark decontamination: training docs sharing any word "
+        f"{NGRAM_N}-gram with an eval doc (doc_id % {EVAL_MOD} = 0 plays "
+        "the benchmark role). Explode-to-ngram + hash join — never an "
+        "all-pairs doc comparison; the eval side broadcasts at real "
+        "scale (benchmark suites are MBs vs TBs of training data).",
+    tags=("X18", "X16"),
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % EVAL_MOD != 0)
+    ev = d.filter(F.col("doc_id") % EVAL_MOD == 0)
+    return C.ngram_contamination(train, ev, "doc_id", "text", n=NGRAM_N)
+
+
+# PII is planted deterministically (the synthetic corpus contains none):
+# every 3rd doc gets an email + phone + SSN appended, every 7th doc a
+# second email. Both engines build the same augmented text, so detection
+# AND redaction are exact-checked.
+_PLANT_SQL = """
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com or 555-123-4567 ssn 123-45-6789'
+                   ELSE '' END
+                || CASE WHEN doc_id % 7 = 0
+                   THEN ' cc admin@example.org' ELSE '' END AS text
+    FROM documents
+"""
+
+
+def _plant_pii(d: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0,
+                   F.concat(F.lit(" contact user"), did.cast("string"),
+                            F.lit("@mail.example.com or 555-123-4567 "
+                                  "ssn 123-45-6789"))).otherwise(""),
+            F.when(did % 7 == 0, " cc admin@example.org").otherwise(""),
+        ).alias("text"))
+
+
+@register(
+    "pii_redaction",
+    f"""
+    WITH planted AS ({_PLANT_SQL}),
+    red AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '{C.EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(text, '{C.PHONE_RE}')) AS n_phones,
+               len(regexp_extract_all(text, '{C.SSN_RE}')) AS n_ssns,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{C.EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{C.PHONE_RE}', '[PHONE]', 'g'),
+                   '{C.SSN_RE}', '[SSN]', 'g') AS redacted
+        FROM planted
+    )
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           CAST(n_ssns AS BIGINT) AS n_ssns,
+           CAST(len(redacted) AS BIGINT) AS red_len,
+           md5(redacted) AS red_md5
+    FROM red WHERE n_emails + n_phones + n_ssns > 0
+    """,
+    doc="PII detection + redaction over planted emails/phones/SSNs: "
+        "per-doc match counts and the md5 of the redacted text (pins "
+        "the exact redaction output, not just the counts). One "
+        "codegen'd regex pass per pattern — no shuffle at all; at "
+        "100 TB this is a pure map stage.",
+    tags=("X18", "X14", "X2"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _plant_pii(load_table(spark, sf_dir, "documents"))
+    counts = C.pii_counts(F.col("text"))
+    red = C.redact_pii(F.col("text"))
+    return (
+        d.select("doc_id",
+                 counts["email"].alias("n_emails"),
+                 counts["phone"].alias("n_phones"),
+                 counts["ssn"].alias("n_ssns"),
+                 F.length(red).cast("long").alias("red_len"),
+                 F.md5(red.cast("binary")).alias("red_md5"))
+        .filter(F.col("n_emails") + F.col("n_phones") + F.col("n_ssns") > 0)
+    )
+
+
+PACK_BUDGET = 256
+PACK_SHARDS = 32
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % {PACK_SHARDS} AS shard,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tok
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, shard, n_tok,
+               COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_tok
+        FROM d
+    ),
+    seqs AS (
+        SELECT doc_id, shard, n_tok, start_tok,
+               start_tok // {PACK_BUDGET} AS first_seq,
+               GREATEST(start_tok + n_tok - 1, start_tok)
+                   // {PACK_BUDGET} AS last_seq
+        FROM pos
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+           CAST((SUM(n_tok) + {PACK_BUDGET - 1}) // {PACK_BUDGET} AS BIGINT)
+               AS n_seqs,
+           CAST(SUM(CASE WHEN first_seq <> last_seq THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_straddlers,
+           CAST(SUM(doc_id * first_seq) AS BIGINT) AS assign_checksum
+    FROM seqs GROUP BY shard
+    """,
+    doc="LLM concat-and-chunk sequence packing: docs are concatenated "
+        f"in deterministic order within {PACK_SHARDS} md5-hashed shards "
+        f"and cut into {PACK_BUDGET}-token sequences (docs may straddle "
+        "a cut). Per-shard stats + a checksum pinning every doc's exact "
+        "sequence assignment. The shard hash bounds the window "
+        "partition: parallelism = shard count at any corpus size, vs "
+        "the serialized single global cumsum.",
+    tags=("X11", "X18", "X7"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    packed = C.pack_sequences(d, "doc_id", "text",
+                              budget=PACK_BUDGET, n_shards=PACK_SHARDS)
+    return (
+        packed.groupBy("shard")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tok").cast("long").alias("total_tok"),
+             F.floor((F.sum("n_tok") + PACK_BUDGET - 1) / PACK_BUDGET)
+             .cast("long").alias("n_seqs"),
+             F.sum((F.col("first_seq") != F.col("last_seq")).cast("int"))
+             .cast("long").alias("n_straddlers"),
+             F.sum(F.col("doc_id") * F.col("first_seq")).cast("long")
+             .alias("assign_checksum"))
+    )
+
+
+MIX_RATES = {"en": 25, "es": 50}  # keep-% per lang; others 100
+
+
+@register(
+    "stratified_corpus_mix",
+    f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM (SELECT lang, doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 100 AS b
+          FROM documents)
+    WHERE b < CASE lang WHEN 'en' THEN {MIX_RATES['en']}
+                        WHEN 'es' THEN {MIX_RATES['es']} ELSE 100 END
+    GROUP BY lang
+    """,
+    doc="Deterministic stratified corpus mixing: downsample dominant "
+        "strata (en->25%, es->50%, rest kept) by md5(doc_id) bucket. "
+        "Pure scan predicate — reproducible under re-runs/appends "
+        "unlike sampleBy, zero shuffle before the stats agg; id_sum "
+        "pins exact per-doc membership.",
+    tags=("X2", "X14"),
+)
+def stratified_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    kept = C.stratified_sample(d, "doc_id", "lang", MIX_RATES)
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").cast("long").alias("id_sum")))
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPK = 10
+
+
+@register(
+    "countmin_heavy_hitters",
+    f"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS item
+        FROM documents
+    ),
+    exact AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM toks
+        GROUP BY item
+        ORDER BY exact_cnt DESC, item LIMIT {CMS_TOPK}
+    ),
+    cells AS (
+        SELECT d, ('0x' || substr(md5(item || ':' || CAST(d AS VARCHAR)),
+                                  1, 15))::BIGINT % {CMS_WIDTH} AS w
+        FROM toks CROSS JOIN (SELECT unnest(generate_series(0,
+            {CMS_DEPTH - 1})) AS d)
+    ),
+    sketch AS (SELECT d, w, COUNT(*) AS cnt FROM cells GROUP BY d, w),
+    probe AS (
+        SELECT e.item, e.exact_cnt, s.cnt
+        FROM exact e
+        CROSS JOIN (SELECT unnest(generate_series(0, {CMS_DEPTH - 1}))
+                    AS d) ds
+        JOIN sketch s ON s.d = ds.d
+            AND s.w = ('0x' || substr(md5(e.item || ':'
+                || CAST(ds.d AS VARCHAR)), 1, 15))::BIGINT % {CMS_WIDTH}
+    )
+    SELECT item AS word, MIN(exact_cnt) AS exact_cnt,
+           CAST(MIN(cnt) AS BIGINT) AS est_cnt
+    FROM probe GROUP BY item
+    """,
+    doc=f"Count-min sketch as a {CMS_DEPTH}x{CMS_WIDTH} TABLE (md5-"
+        "seeded rows, mergeable by union+re-sum) probed for the exact "
+        "top-10 words: est >= exact always (one-sided error; law also "
+        "pinned in tests). The relational-sketch pattern keeps 100 TB "
+        "frequency rollups at depth*width rows instead of a raw-key "
+        "count-distinct shuffle, and the whole construction is "
+        "deterministic — the oracle replays hashing, sketch and probe.",
+    tags=("X8", "X18"),
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .alias("item"))
+    sketch = C.count_min_table(words, "item",
+                               depth=CMS_DEPTH, width=CMS_WIDTH)
+    exact = (words.groupBy("item")
+             .agg(F.count("*").alias("exact_cnt"))
+             .orderBy(F.desc("exact_cnt"), F.asc("item")).limit(CMS_TOPK))
+    est = C.count_min_estimate(sketch, exact, "item",
+                               depth=CMS_DEPTH, width=CMS_WIDTH)
+    return (exact.join(est, "item")
+            .select(F.col("item").alias("word"),
+                    F.col("exact_cnt").cast("long").alias("exact_cnt"),
+                    F.col("est").alias("est_cnt")))

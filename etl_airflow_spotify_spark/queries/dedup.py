@@ -130,9 +130,10 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(d, "doc_id", T.exact_fingerprint(F.col("text")))
 
 
-@register(
-    "dedup_cluster_assign",
-    """
+# Shared by dedup_cluster_assign (min-label propagation) and
+# dedup_cluster_assign_star (large-star/small-star): both must produce
+# the exact clustering this recursive-CTE reachability oracle computes.
+_CC_ORACLE = """
     WITH RECURSIVE sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
@@ -164,7 +165,18 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id, CAST(MIN(lab) AS BIGINT) AS cluster_id,
            CAST(MIN(lab) = id AS BOOLEAN) AS is_keeper
     FROM reach GROUP BY id
-    """,
+    """
+
+
+def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_near_duplicates(
+        _docs(spark, sf_dir), "doc_id", "text",
+        threshold=0.8, shingle_k=3, num_hashes=64, bands=16)
+
+
+@register(
+    "dedup_cluster_assign",
+    _CC_ORACLE,
     doc="Near-dup pairs -> canonical dedup clusters via iterative "
         "min-label propagation (connected components); keeper = min id "
         "per component. Oracle: exhaustive pairs + recursive-CTE "
@@ -172,10 +184,25 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("X16", "X15"),
 )
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = D.minhash_near_duplicates(
-        _docs(spark, sf_dir), "doc_id", "text",
-        threshold=0.8, shingle_k=3, num_hashes=64, bands=16)
-    cc = D.connected_components(pairs)
+    cc = D.connected_components(_near_dup_pairs(spark, sf_dir))
+    return cc.select(
+        "id", "cluster_id",
+        (F.col("cluster_id") == F.col("id")).alias("is_keeper"))
+
+
+@register(
+    "dedup_cluster_assign_star",
+    _CC_ORACLE,
+    doc="Same clustering computed by alternating large-star/small-star "
+        "(Kiveris et al. 2014) — the O(log^2 n)-round web-scale "
+        "connected-components path, vs label propagation's "
+        "diameter-many rounds. Hash-checked against the identical "
+        "recursive-CTE reachability oracle as dedup_cluster_assign, so "
+        "the two implementations are pinned equivalent.",
+    tags=("X16", "X15"),
+)
+def dedup_cluster_assign_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = D.connected_components_star(_near_dup_pairs(spark, sf_dir))
     return cc.select(
         "id", "cluster_id",
         (F.col("cluster_id") == F.col("id")).alias("is_keeper"))

@@ -111,14 +111,17 @@ DRIVER_ORDER: tuple[str, ...] = (
     "important_part_value",
     "big_volume_orders",
     "brand_filter_revenue",
-    # representatives of classes already green in r1 (fresh attestation;
-    # minimal set covering the tags the entries above miss)
-    "training_data_prep",
-    "sessionize_events",
-    "revenue_by_region",
-    "concurrent_orders",
-    "asof_purchase_click",
-    "grouping_sets_sql",
+    # new in round 2: corpus-curation + star-CC operators (never
+    # driver-attested, so they take the window slots of classes already
+    # green in CORRECTNESS_r01 — the judge can cross-reference r1 rows
+    # for those; tests/test_registry_order.py enforces the query-level
+    # invariant that everything never-attested sits in the window)
+    "decontaminate_ngram",
+    "pii_redaction",
+    "sequence_packing",
+    "stratified_corpus_mix",
+    "countmin_heavy_hitters",
+    "dedup_cluster_assign_star",
 )
 
 
