@@ -51,6 +51,11 @@ HEADLINE = [
     "training_data_prep",
     "dataset_split",
     "cdc_merge_upsert",
+    "decontaminate_ngram",
+    "pii_redaction",
+    "sequence_packing",
+    "countmin_heavy_hitters",
+    "dedup_cluster_assign_star",
     # scale levers + sketches + time series
     "skew_salted_join",
     "bucketed_zero_shuffle_join",

@@ -55,7 +55,7 @@ _NGRAMS_SQL = f"""
         "the benchmark role). Explode-to-ngram + hash join — never an "
         "all-pairs doc comparison; the eval side broadcasts at real "
         "scale (benchmark suites are MBs vs TBs of training data).",
-    tags=("X18", "X16"),
+    tags=("X25", "X18", "X16"),
 )
 def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -122,7 +122,7 @@ def _plant_pii(d: DataFrame) -> DataFrame:
         "the exact redaction output, not just the counts). One "
         "codegen'd regex pass per pattern — no shuffle at all; at "
         "100 TB this is a pure map stage.",
-    tags=("X18", "X14", "X2"),
+    tags=("X26", "X18", "X14", "X2"),
 )
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _plant_pii(load_table(spark, sf_dir, "documents"))
@@ -183,7 +183,7 @@ PACK_SHARDS = 32
         "sequence assignment. The shard hash bounds the window "
         "partition: parallelism = shard count at any corpus size, vs "
         "the serialized single global cumsum.",
-    tags=("X11", "X18", "X7"),
+    tags=("X27", "X11", "X18", "X7"),
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -223,7 +223,7 @@ MIX_RATES = {"en": 25, "es": 50}  # keep-% per lang; others 100
         "Pure scan predicate — reproducible under re-runs/appends "
         "unlike sampleBy, zero shuffle before the stats agg; id_sum "
         "pins exact per-doc membership.",
-    tags=("X2", "X14"),
+    tags=("X28", "X2", "X14"),
 )
 def stratified_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -277,7 +277,7 @@ CMS_TOPK = 10
         "frequency rollups at depth*width rows instead of a raw-key "
         "count-distinct shuffle, and the whole construction is "
         "deterministic — the oracle replays hashing, sketch and probe.",
-    tags=("X8", "X18"),
+    tags=("X29", "X8", "X18"),
 )
 def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

@@ -199,7 +199,7 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "diameter-many rounds. Hash-checked against the identical "
         "recursive-CTE reachability oracle as dedup_cluster_assign, so "
         "the two implementations are pinned equivalent.",
-    tags=("X16", "X15"),
+    tags=("X30", "X16", "X15"),
 )
 def dedup_cluster_assign_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = D.connected_components_star(_near_dup_pairs(spark, sf_dir))

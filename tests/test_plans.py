@@ -172,3 +172,37 @@ def test_interval_overlap_join_is_equi_bucketed(spark, sf_dir):
     assert "NestedLoop" not in plan
     assert not has_cartesian_product(df)
     assert "bucket" in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The benchmark/eval n-gram side is MBs against TBs of training
+    docs: it must broadcast, never shuffle the training explode."""
+    df = _df("decontaminate_ngram", spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    assert not has_cartesian_product(df)
+
+
+def test_countmin_sketch_broadcast_and_partial_agg(spark, sf_dir):
+    """Sketch build collapses via map-side partial aggregation; the
+    depth*width sketch broadcasts to the probe join."""
+    df = _df("countmin_heavy_hitters", spark, sf_dir)
+    plan = plan_string(df)
+    assert has_broadcast_hash_join(df)
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_packing_single_exchange(spark, sf_dir):
+    """One hash exchange on the shard key serves both the running-total
+    window and the per-shard aggregate — parallelism == shard count,
+    independent of corpus size."""
+    df = _df("sequence_packing", spark, sf_dir)
+    assert num_exchanges(df) == 1
+
+
+def test_stratified_mix_filters_before_shuffle(spark, sf_dir):
+    """Membership is a scan predicate: exactly the stats aggregation's
+    exchange, nothing upstream."""
+    df = _df("stratified_corpus_mix", spark, sf_dir)
+    assert num_exchanges(df) == 1
+    assert not has_cartesian_product(df)
