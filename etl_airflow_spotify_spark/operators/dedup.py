@@ -405,8 +405,6 @@ def connected_components_star(pairs: DataFrame,
     e = (pairs.select(F.least("id_a", "id_b").alias("u"),
                       F.greatest("id_a", "id_b").alias("v"))
          .filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
-    if not e.take(1):
-        return nodes.select("id", F.col("id").alias("cluster_id"))
 
     def _sym(ed: DataFrame) -> DataFrame:
         return ed.unionByName(ed.select(F.col("v").alias("u"),
@@ -420,19 +418,24 @@ def connected_components_star(pairs: DataFrame,
         return row["n"], row["h"]
 
     sig = _sig(e)
+    if sig[0] == 0:
+        return nodes.select("id", F.col("id").alias("cluster_id"))
     for _ in range(max_rounds):
         # large-star: m(u) joined back to u's STRICTLY LARGER neighbors;
-        # m <= u < v, so (m, v) is already canonical u<v form.
+        # m <= u < v, so (m, v) is already canonical u<v form. Stays
+        # lazy — it is consumed exactly once by the small-star below, so
+        # materializing it would only add a round-trip; one
+        # localCheckpoint per ROUND keeps lineage constant-depth.
         sym = _sym(e)
         m = (sym.groupBy("u")
              .agg(F.min("v").alias("mn"))
              .select("u", F.least("mn", "u").alias("m")))
-        e = (sym.join(m, "u").filter(F.col("v") > F.col("u"))
-             .select(F.col("m").alias("u"), "v")
-             .distinct().localCheckpoint())
+        large = (sym.join(m, "u").filter(F.col("v") > F.col("u"))
+                 .select(F.col("m").alias("u"), "v")
+                 .distinct())
         # small-star over edges directed larger->smaller: every u with
         # smaller neighbors N-, plus u itself, connects to min(N-).
-        down = _sym(e).filter(F.col("v") < F.col("u"))
+        down = _sym(large).filter(F.col("v") < F.col("u"))
         m2 = down.groupBy("u").agg(F.min("v").alias("m"))
         e = (down.select("u", "v").unionByName(
                  m2.select("u", F.col("u").alias("v")))
