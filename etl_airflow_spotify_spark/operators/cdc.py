@@ -53,3 +53,90 @@ def cdc_merge(snapshot: DataFrame, changes: DataFrame, key: str,
             .select(F.coalesce("_k", "_ck").alias(key),
                     *[F.coalesce(f"_c_{col}", f"_s_{col}").alias(col)
                       for col in data_cols]))
+
+
+# -- incremental, order-independent CDC -------------------------------------
+#
+# cdc_merge above consumes a COMPLETE changelog (latest change per key
+# wins). A 100 TB pipeline instead receives the changelog in arbitrary
+# slices (micro-batches, backfills, late partitions) and must converge
+# to the same snapshot no matter how the slices arrive. That needs two
+# pieces of per-key metadata carried IN the snapshot:
+#
+#   * the sequence of the last applied change (`_seq_<col>`): a slice
+#     holding an OLDER change for a key must not overwrite a newer one
+#     already applied (out-of-order delivery);
+#   * deletes as tombstones (`_deleted`), not row removal: if 'D' at
+#     seq 10 arrives before 'U' at seq 7, dropping the row would let
+#     the late 'U' resurrect it.
+#
+# With those, fold(cdc_apply_versioned, any partition of the changelog)
+# == cdc one-shot — the law pinned by tests/test_curation.py and the
+# cdc_merge_incremental query's DuckDB oracle. Upserts are full-row
+# (replace, not column-coalesce): partial updates are inherently
+# order-DEPENDENT, so an order-independent fold must carry whole rows.
+
+
+def init_versioned(snapshot: DataFrame, changes: DataFrame,
+                   seq_cols: list[str]) -> DataFrame:
+    """Add the versioning metadata columns to a plain snapshot, typed
+    from the changelog's seq columns."""
+    types = dict(changes.dtypes)
+    out = snapshot
+    for c in seq_cols:
+        out = out.withColumn(f"_seq_{c}", F.lit(None).cast(types[c]))
+    return out.withColumn("_deleted", F.lit(False))
+
+
+def cdc_apply_versioned(snapshot: DataFrame, changes: DataFrame, key: str,
+                        seq_cols: list[str], op_col: str = "op") -> DataFrame:
+    """Apply one changelog slice to a versioned snapshot; returns the
+    new versioned snapshot. Idempotent and order-independent across
+    slices (see module comment). One window shuffle on the slice + one
+    full-outer join on the key — with snapshot and changelog bucketed
+    by key the join plans shuffle-free, which is the steady-state shape
+    of a 100 TB maintained table."""
+    meta = [f"_seq_{c}" for c in seq_cols]
+    data_cols = [c for c in snapshot.columns
+                 if c != key and c not in meta and c != "_deleted"]
+
+    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in seq_cols])
+    latest = (changes.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+    s = snapshot.select(F.col(key).alias("_k"), "_deleted",
+                        *[F.col(c).alias(f"_s_{c}") for c in data_cols],
+                        *[F.col(m).alias(f"_s{m}") for m in meta])
+    c = latest.select(
+        F.col(key).alias("_ck"), F.col(op_col).alias("_op"),
+        *[(F.col(col) if col in latest.columns else F.lit(None))
+          .alias(f"_c_{col}") for col in data_cols],
+        *[F.col(sc).alias(f"_c_seq_{sc}") for sc in seq_cols])
+
+    m = s.join(c, s["_k"] == c["_ck"], "full_outer")
+    # change applies iff the row is new to the snapshot OR the change's
+    # seq tuple beats the stored one (lexicographic over seq_cols)
+    stored = F.struct(*[F.col(f"_s_seq_{sc}") for sc in seq_cols])
+    incoming = F.struct(*[F.col(f"_c_seq_{sc}") for sc in seq_cols])
+    apply_change = F.col("_ck").isNotNull() & (
+        F.col("_k").isNull()
+        | F.col(f"_s_seq_{seq_cols[0]}").isNull()
+        | (incoming > stored))
+    return m.select(
+        F.coalesce("_k", "_ck").alias(key),
+        *[F.when(apply_change, F.col(f"_c_{col}"))
+          .otherwise(F.col(f"_s_{col}")).alias(col) for col in data_cols],
+        *[F.when(apply_change, F.col(f"_c_seq_{sc}"))
+          .otherwise(F.col(f"_s_seq_{sc}")).alias(f"_seq_{sc}")
+          for sc in seq_cols],
+        F.when(apply_change, F.col("_op") == F.lit("D"))
+        .otherwise(F.coalesce(F.col("_deleted"), F.lit(False)))
+        .alias("_deleted"),
+    )
+
+
+def finalize_versioned(snapshot: DataFrame, seq_cols: list[str]) -> DataFrame:
+    """Drop tombstones and versioning metadata: the user-facing table."""
+    meta = [f"_seq_{c}" for c in seq_cols]
+    return (snapshot.filter(~F.col("_deleted"))
+            .drop("_deleted", *meta))

@@ -110,7 +110,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sole_fault_suppliers",
     "important_part_value",
     "big_volume_orders",
-    "brand_filter_revenue",
+    "cdc_merge_incremental",
     # new in round 2: corpus-curation + star-CC operators (never
     # driver-attested, so they take the window slots of classes already
     # green in CORRECTNESS_r01 — the judge can cross-reference r1 rows

@@ -191,3 +191,67 @@ def test_stratified_sample_deterministic_and_rate(spark):
     ids2 = {r.doc_id for r in
             C.stratified_sample(df, "doc_id", "lang", {"en": 20}).collect()}
     assert ids1 == ids2
+
+
+# -- incremental CDC fold law ------------------------------------------------
+
+
+def _fold_cdc(spark, snapshot_rows, change_rows, batch_of):
+    """Fold change slices (grouped by batch_of(row)) into the snapshot."""
+    from etl_airflow_spotify_spark.operators.cdc import (
+        cdc_apply_versioned, finalize_versioned, init_versioned)
+
+    snap = spark.createDataFrame(snapshot_rows, "k: long, val: string")
+    ch = spark.createDataFrame(
+        change_rows, "k: long, seq: long, op: string, val: string")
+    versioned = init_versioned(snap, ch, ["seq"])
+    batches: dict[int, list] = {}
+    for r in change_rows:
+        batches.setdefault(batch_of(r), []).append(r)
+    for b in sorted(batches):
+        sl = spark.createDataFrame(
+            batches[b], "k: long, seq: long, op: string, val: string")
+        versioned = cdc_apply_versioned(versioned, sl, "k", ["seq"])
+    return {(r.k, r.val) for r in
+            finalize_versioned(versioned, ["seq"]).collect()}
+
+
+def test_cdc_fold_order_independent(spark):
+    """fold(slices) == one-shot, for adversarial slicings: newest-first,
+    interleaved, and one-change-per-batch."""
+    snapshot = [(1, "old1"), (2, "old2"), (3, "old3"), (4, "old4")]
+    changes = [
+        (1, 10, "U", "a"), (1, 20, "D", None), (1, 15, "U", "b"),
+        (2, 5, "U", "x"), (2, 6, "U", "y"),
+        (5, 7, "U", "new"), (5, 3, "D", None),
+        (6, 1, "D", None),          # delete of a key never in snapshot
+        (3, 9, "D", None), (3, 11, "U", "z"),  # resurrect after delete
+    ]
+    # one-shot truth: latest per key -> 1 deleted, 2->y, 3->z, 4 kept,
+    # 5->new, 6 never exists
+    expected = {(2, "y"), (3, "z"), (4, "old4"), (5, "new")}
+    slicings = {
+        "one_shot": lambda r: 0,
+        "by_seq_desc": lambda r: -r[1],       # newest changes first
+        "interleaved": lambda r: r[1] % 3,
+        "singletons": lambda r: r[1],
+    }
+    for name, batch_of in slicings.items():
+        got = _fold_cdc(spark, snapshot, changes, batch_of)
+        assert got == expected, f"slicing {name!r}: {got} != {expected}"
+
+
+def test_cdc_fold_idempotent_redelivery(spark):
+    """Re-applying an already-applied slice must be a no-op (at-least-
+    once delivery safety)."""
+    from etl_airflow_spotify_spark.operators.cdc import (
+        cdc_apply_versioned, finalize_versioned, init_versioned)
+
+    snap = spark.createDataFrame([(1, "old")], "k: long, val: string")
+    ch = spark.createDataFrame([(1, 10, "U", "new")],
+                               "k: long, seq: long, op: string, val: string")
+    v = init_versioned(snap, ch, ["seq"])
+    v = cdc_apply_versioned(v, ch, "k", ["seq"])
+    v = cdc_apply_versioned(v, ch, "k", ["seq"])  # redelivered
+    assert {(r.k, r.val) for r in finalize_versioned(v, ["seq"]).collect()} \
+        == {(1, "new")}

@@ -19,6 +19,18 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
     scols = [f.name for f in sdf.schema.fields]
     srows = [tuple(r) for r in sdf.collect()]
 
+    # The DRIVER's canonicalizer (pandas sort_values hasher) dies on
+    # array/map/struct cells (round-1 evidence: array_battery et al.) —
+    # our own compare() tolerates them, so pin atomic output schemas
+    # here or a local pass would not predict a driver pass. Nested
+    # outputs must be rendered (to_json / array_join) in the query.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+    nested = [f.name for f in sdf.schema.fields
+              if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    assert not nested, (
+        f"{name}: nested output columns {nested} would crash the "
+        "driver's canonicalizer — render them to strings")
+
     if spec.oracle is None:
         assert len(scols) > 0  # rows-only: runs + has a schema
         return

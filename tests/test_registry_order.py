@@ -18,7 +18,7 @@ WINDOW = 50
 
 # Queries deliberately left dark this round (window is full; these are
 # redundant variants of classes with multiple green rows already).
-DEFERRED = {"small_qty_revenue"}
+DEFERRED = {"small_qty_revenue", "brand_filter_revenue"}
 
 
 def _r1_attested() -> set[str]:
