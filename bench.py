@@ -46,11 +46,13 @@ HEADLINE = [
     "vector_topk_ivf",
     "vector_topk_ivf_persisted",
     "vector_topk_ivfpq",
+    "vector_topk_ivfpq_persisted",
     "multimodal_metadata",
     "multimodal_frames",
     "training_data_prep",
     "dataset_split",
     "cdc_merge_upsert",
+    "cdc_merge_incremental",
     "decontaminate_ngram",
     "pii_redaction",
     "sequence_packing",
@@ -75,6 +77,8 @@ BUILD_PROBE = {
                                    scale_q.bucketed_join_probe),
     "vector_topk_ivf_persisted": (sim_q.build_persisted_ivf,
                                   sim_q.probe_persisted_ivf),
+    "vector_topk_ivfpq_persisted": (sim_q.build_persisted_ivfpq,
+                                    sim_q.probe_persisted_ivfpq),
 }
 
 

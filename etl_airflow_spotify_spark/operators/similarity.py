@@ -13,6 +13,7 @@ a hash-partitioned groupBy, never an all-pairs product.
 
 from __future__ import annotations
 
+import os
 import random
 
 import pyspark.sql.functions as F
@@ -477,3 +478,111 @@ def train_kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
             break
         cents = new
     return cents
+
+
+def build_ivfpq_index(corpus: DataFrame, path: str,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_cells: int = 16, dim: int = 64, seed: int = 7,
+                      m: int = 8, k_pq: int = 16,
+                      pq_seed: int = 13) -> None:
+    """Materialize the IVF-PQ serving layout, two sub-tables:
+
+      ``<path>/codes``   — PARTITIONED BY cell: (cand_id, c_norm,
+                           codes array<int> of length m). m bytes of
+                           code + one norm per vector: at dim=64 floats
+                           this is a ~30x smaller scan than the vectors
+                           themselves, and the ADC candidate pass reads
+                           ONLY this table (partition-pruned to the
+                           probed cells).
+      ``<path>/vectors`` — (cand_id, c_vec): full vectors, touched only
+                           by the exact re-rank of the top
+                           overfetch*k survivors per query, fetched by
+                           an id filter pushed to the parquet scan (the
+                           row-store point-lookup a serving deployment
+                           would use).
+
+    Same seeded codebooks as ``ivfpq_topk_cosine``, so a search over
+    this layout returns bit-identical results to the in-job pipeline
+    and shares its end-to-end DuckDB oracle."""
+    sub_dim = dim // m
+    spark = corpus.sparkSession
+    book = _codebook_df(spark, _unit_centroids(n_cells, dim, seed))
+    pq_book = _pq_book_df(spark, m, k_pq, sub_dim, pq_seed)
+    base = corpus.select(F.col(id_col).alias("cand_id"),
+                         as_double(F.col(vec_col)).alias("c_vec"))
+    codes = (base.crossJoin(F.broadcast(book))
+             .crossJoin(F.broadcast(pq_book))
+             .select("cand_id",
+                     norm(F.col("c_vec")).alias("c_norm"),
+                     F.array_max(_cell_scores(F.col("c_vec"), n_cells, dim))["i"]
+                     .alias("cell"),
+                     _pq_codes(F.col("c_vec"), m, k_pq, sub_dim)
+                     .alias("codes")))
+    (codes.repartition("cell").write.mode("overwrite")
+     .partitionBy("cell").parquet(os.path.join(path, "codes")))
+    (base.write.mode("overwrite")
+     .parquet(os.path.join(path, "vectors")))
+
+
+def search_ivfpq_index(spark, path: str, queries: DataFrame, k: int,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       n_cells: int = 16, n_probe: int = 4,
+                       dim: int = 64, seed: int = 7,
+                       m: int = 8, k_pq: int = 16, pq_seed: int = 13,
+                       overfetch: int = 4,
+                       score_digits: int = 6) -> DataFrame:
+    """IVF-PQ search over a ``build_ivfpq_index`` layout: partition-
+    pruned code scan -> ADC ranking -> id-filtered vector fetch ->
+    exact cosine re-rank. The scan cost per batch is n_probe/n_cells of
+    the CODES table (not the vectors), plus |Q| * overfetch * k vector
+    point-reads — the Jegou et al. memory-bandwidth economics, now
+    visible in the physical plan (PartitionFilters on cell; pushed id
+    filter on the vector fetch)."""
+    sub_dim = dim // m
+    book = _codebook_df(spark, _unit_centroids(n_cells, dim, seed))
+    pq_book = _pq_book_df(spark, m, k_pq, sub_dim, pq_seed)
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("q_vec"))
+    q = q.crossJoin(F.broadcast(book)).select(
+        "query_id", "q_vec", norm(F.col("q_vec")).alias("q_norm"),
+        F.slice(F.reverse(F.array_sort(
+            _cell_scores(F.col("q_vec"), n_cells, dim))), 1, n_probe)
+        .alias("probes"),
+    ).select("query_id", "q_vec", "q_norm",
+             F.explode(F.transform("probes", lambda s: s["i"]))
+             .alias("cell"))
+
+    cells = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+    codes = (spark.read.parquet(os.path.join(path, "codes"))
+             .filter(F.col("cell").isin(cells)))
+
+    sel_w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("cand_id"))
+    cand = (
+        codes.join(F.broadcast(q), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(pq_book))
+        .select("query_id", "q_vec", "q_norm", "cand_id",
+                _adc_score(F.col("q_vec"), F.col("codes"), m, k_pq, sub_dim)
+                .alias("adc"))
+        .withColumn("sel_rn", F.row_number().over(sel_w))
+        .filter(F.col("sel_rn") <= overfetch * k)
+    )
+    # the candidate id set is |Q| * overfetch * k — metadata-sized; an
+    # isin literal filter reaches the parquet scan (row-group pruning),
+    # emulating the row-store point lookup of a serving tier
+    ids = sorted({r["cand_id"] for r in cand.select("cand_id").collect()})
+    vecs = (spark.read.parquet(os.path.join(path, "vectors"))
+            .filter(F.col("cand_id").isin(ids)))
+    exact = cand.join(F.broadcast(vecs), "cand_id").select(
+        "query_id", "cand_id",
+        F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * norm(F.col("c_vec"))), score_digits)
+        .alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("cand_id"))
+    return (exact.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "cand_id", "score",
+                    F.col("rn").cast("long").alias("rn")))

@@ -71,9 +71,7 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .otherwise("updated").alias("merge_action")))
 
 
-@register(
-    "cdc_merge_incremental",
-    """
+_ONE_SHOT_ORACLE = """
     WITH latest AS (
         SELECT user_id, event_type, value FROM (
             SELECT user_id, event_type, value,
@@ -99,7 +97,43 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE ch.c_mktsegment END AS c_mktsegment
     FROM customer s FULL OUTER JOIN ch ON s.c_custkey = ch.c_custkey
     WHERE ch.op IS NULL OR ch.op <> 'D'
-    """,
+    """
+
+
+def _customer_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events changelog projected as full-row customer changes."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("c_custkey"), "ts", "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U")
+        .alias("op"),
+        F.concat(F.lit("cdc:"), F.col("user_id").cast("string"))
+        .alias("c_name"),
+        F.round(F.col("value") * 1000, 2).alias("c_acctbal"),
+        F.upper("event_type").alias("c_mktsegment"))
+
+
+def _versioned_customer(spark: SparkSession, sf_dir: str,
+                        changes: DataFrame) -> DataFrame:
+    from ..operators.cdc import init_versioned
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    return init_versioned(cust, changes, ["ts", "event_id"])
+
+
+def _finalized(snap: DataFrame) -> DataFrame:
+    from ..operators.cdc import finalize_versioned
+
+    out = finalize_versioned(snap, ["ts", "event_id"])
+    return out.select("c_custkey", "c_name",
+                      F.round("c_acctbal", 2).alias("c_acctbal"),
+                      "c_mktsegment")
+
+
+@register(
+    "cdc_merge_incremental",
+    _ONE_SHOT_ORACLE,
     doc="Order-independent incremental CDC: the events changelog is "
         "deliberately split into 4 INTERLEAVED slices (event_id % 4 — "
         "each slice spans the whole time range, so changes arrive out "
@@ -113,26 +147,62 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("X31", "X3", "X10", "X13"),
 )
 def cdc_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.cdc import (cdc_apply_versioned, finalize_versioned,
-                                 init_versioned)
+    from ..operators.cdc import cdc_apply_versioned
 
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
-    ev = load_table(spark, sf_dir, "events")
-    changes = ev.select(
-        F.col("user_id").alias("c_custkey"), "ts", "event_id",
-        F.when(F.col("event_type") == "error", "D").otherwise("U")
-        .alias("op"),
-        F.concat(F.lit("cdc:"), F.col("user_id").cast("string"))
-        .alias("c_name"),
-        F.round(F.col("value") * 1000, 2).alias("c_acctbal"),
-        F.upper("event_type").alias("c_mktsegment"))
-    snap = init_versioned(cust, changes, ["ts", "event_id"])
+    changes = _customer_changes(spark, sf_dir)
+    snap = _versioned_customer(spark, sf_dir, changes)
     for i in range(4):
         snap = cdc_apply_versioned(
             snap, changes.filter(F.pmod("event_id", F.lit(4)) == i),
             "c_custkey", seq_cols=["ts", "event_id"])
-    out = finalize_versioned(snap, ["ts", "event_id"])
-    return out.select("c_custkey", "c_name",
-                      F.round("c_acctbal", 2).alias("c_acctbal"),
-                      "c_mktsegment")
+    return _finalized(snap)
+
+
+@register(
+    "stream_cdc_upsert",
+    _ONE_SHOT_ORACLE,
+    doc="Streaming CDC sink: the changelog arrives as a file stream "
+        "(4 interleaved slice files, maxFilesPerTrigger=1 -> 4 real "
+        "micro-batches in whatever order the source discovers them) and "
+        "foreachBatch folds each batch into the versioned snapshot with "
+        "cdc_apply_versioned — the foreachBatch-MERGE pattern behind "
+        "every streaming-upsert sink. Because the fold is "
+        "order-independent (seq guard + tombstones), the final table is "
+        "EXACTLY the one-shot merge, so a streaming query with "
+        "nondeterministic batch boundaries still hash-checks against a "
+        "deterministic SQL oracle.",
+    tags=("X23", "X31", "X3"),
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.cdc import cdc_apply_versioned
+    from ..streaming.windows import fold_stream_foreachbatch
+
+    changes = _customer_changes(spark, sf_dir)
+    suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    feed = os.path.join("spark-warehouse", f"cdc_feed_{suffix}")
+    ckpt = os.path.join("spark-warehouse", f"cdc_ckpt_{suffix}")
+    # fresh feed + checkpoint per run: a reused checkpoint would replay
+    # nothing and the fold would see zero batches
+    for d in (feed, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    for i in range(4):
+        (changes.filter(F.pmod("event_id", F.lit(4)) == i)
+         .coalesce(1).write.mode("append").parquet(feed))
+
+    stream = (spark.readStream.schema(changes.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    init = _versioned_customer(spark, sf_dir, changes)
+
+    def fold(state, batch_df):
+        snap = state if state is not None else init
+        # localCheckpoint: the fold's lineage would otherwise deepen by
+        # one window+join per micro-batch for the stream's lifetime
+        return cdc_apply_versioned(
+            snap, batch_df, "c_custkey",
+            seq_cols=["ts", "event_id"]).localCheckpoint()
+
+    (final,) = fold_stream_foreachbatch(stream, fold, ckpt)
+    return _finalized(final if final is not None else init)

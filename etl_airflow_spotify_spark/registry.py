@@ -109,8 +109,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "part_supplier_variety",
     "sole_fault_suppliers",
     "important_part_value",
-    "big_volume_orders",
     "cdc_merge_incremental",
+    "stream_cdc_upsert",
     # new in round 2: corpus-curation + star-CC operators (never
     # driver-attested, so they take the window slots of classes already
     # green in CORRECTNESS_r01 — the judge can cross-reference r1 rows

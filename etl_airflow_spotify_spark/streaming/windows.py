@@ -236,3 +236,26 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame,
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+def fold_stream_foreachbatch(stream_df: DataFrame, fold_fn,
+                             checkpoint_dir: str) -> list:
+    """Drive a stream to completion (availableNow), folding each
+    micro-batch into driver-held state with ``fold_fn(state, batch_df)
+    -> state`` — the foreachBatch pattern behind streaming MERGE/upsert
+    sinks. Returns the final state (a one-element list cell, because
+    foreachBatch runs in a callback).
+
+    The checkpoint dir must be FRESH per logical run (a reused
+    checkpoint replays nothing — the source thinks it already processed
+    the files); callers own that lifecycle."""
+    state: list = [None]
+
+    def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state[0] = fold_fn(state[0], batch_df)
+
+    q = (stream_df.writeStream.foreachBatch(_on_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return state

@@ -206,3 +206,17 @@ def test_stratified_mix_filters_before_shuffle(spark, sf_dir):
     df = _df("stratified_corpus_mix", spark, sf_dir)
     assert num_exchanges(df) == 1
     assert not has_cartesian_product(df)
+
+
+def test_ivfpq_persisted_prunes_codes_and_pushes_id_fetch(spark, sf_dir):
+    """The IVF-PQ serving layout must (a) partition-prune the CODES
+    scan to the probed cells and (b) push the candidate-id filter into
+    the vectors scan (the point-lookup fetch) — the two properties that
+    make the layout a memory-bandwidth win at scale."""
+    df = _df("vector_topk_ivfpq_persisted", spark, sf_dir)
+    plan = plan_string(df)
+    import re
+    assert re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan), \
+        "codes scan is not partition-pruned to probed cells"
+    assert re.search(r"PushedFilters: \[[^\]]*[Ii]n\(cand_id[^\]]*\]", plan), \
+        "candidate-id fetch filter not pushed to the vectors scan"
