@@ -295,3 +295,51 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("item").alias("word"),
                     F.col("exact_cnt").cast("long").alias("exact_cnt"),
                     F.col("est").alias("est_cnt")))
+
+
+@register(
+    "heavy_hitters_twopass",
+    f"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS item
+        FROM documents
+    ),
+    thr AS (SELECT GREATEST(COUNT(*) // 1000, 2) AS t FROM toks)
+    SELECT item AS word, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+    FROM toks CROSS JOIN thr
+    GROUP BY item, thr.t
+    HAVING COUNT(*) >= thr.t
+    """,
+    doc="Two-pass heavy hitters: pass 1 builds the count-min table and "
+        "keeps words whose ESTIMATE reaches the (relative) threshold — "
+        "CMS estimates are upper bounds, so no true heavy hitter can be "
+        "dropped; pass 2 exact-counts only the surviving tokens "
+        "(semi-join BEFORE the shuffle, so shuffle volume is candidate "
+        "tokens, not the corpus). The oracle is the plain HAVING query: "
+        "a hash match proves the no-false-negative law end to end. At "
+        "100 TB this is how you find frequent items without shuffling "
+        "every token: the sketch is depth*width rows, the exact pass "
+        "moves only the (rare) heavy candidates.",
+    tags=("X29", "X8", "X18", "X7"),
+)
+def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .alias("item"))
+    thr = words.agg(F.greatest(F.expr("COUNT(*) DIV 1000"), F.lit(2))
+                    .alias("t"))
+    sketch = C.count_min_table(words, "item",
+                               depth=CMS_DEPTH, width=CMS_WIDTH)
+    est = C.count_min_estimate(sketch, words.distinct(), "item",
+                               depth=CMS_DEPTH, width=CMS_WIDTH)
+    cand = (est.crossJoin(F.broadcast(thr))
+            .filter(F.col("est") >= F.col("t"))
+            .select("item"))
+    return (words.join(F.broadcast(cand), "item", "left_semi")
+            .groupBy("item")
+            .agg(F.count("*").alias("exact_cnt"))
+            .crossJoin(F.broadcast(thr))
+            .filter(F.col("exact_cnt") >= F.col("t"))
+            .select(F.col("item").alias("word"),
+                    F.col("exact_cnt").cast("long").alias("exact_cnt")))

@@ -19,7 +19,8 @@ WINDOW = 50
 # Queries deliberately left dark this round (window is full; these are
 # redundant variants of classes with multiple green rows already).
 DEFERRED = {"small_qty_revenue", "brand_filter_revenue",
-            "big_volume_orders", "vector_topk_ivfpq_persisted"}
+            "big_volume_orders", "vector_topk_ivfpq_persisted",
+            "heavy_hitters_twopass"}
 
 
 def _r1_attested() -> set[str]:
