@@ -57,6 +57,7 @@ HEADLINE = [
     "pii_redaction",
     "sequence_packing",
     "countmin_heavy_hitters",
+    "heavy_hitters_twopass",
     "dedup_cluster_assign_star",
     # scale levers + sketches + time series
     "skew_salted_join",
