@@ -312,8 +312,11 @@ def _pq_codebook(m: int, k_pq: int, sub_dim: int,
 
 
 def _pq_book_df(spark, m: int, k_pq: int, sub_dim: int,
-                seed: int = 13) -> DataFrame:
-    flat = [x for c in _pq_codebook(m, k_pq, sub_dim, seed) for x in c]
+                seed: int = 13,
+                codebook: list[list[float]] | None = None) -> DataFrame:
+    book = codebook if codebook is not None \
+        else _pq_codebook(m, k_pq, sub_dim, seed)
+    flat = [x for c in book for x in c]
     return spark.createDataFrame([(flat,)], "__pq: array<double>")
 
 
@@ -364,7 +367,9 @@ def ivfpq_topk_cosine(corpus: DataFrame, queries: DataFrame, k: int,
                       m: int = 8, k_pq: int = 16,
                       dim: int = 64, overfetch: int = 4,
                       seed: int = 7, pq_seed: int = 13,
-                      score_digits: int = 6) -> DataFrame:
+                      score_digits: int = 6,
+                      pq_codebook: list[list[float]] | None = None
+                      ) -> DataFrame:
     """IVF-PQ top-k: IVF cells prune WHICH vectors are considered; PQ
     codes prune WHAT is read to score them. Inside probed cells,
     candidates are ranked by ADC (query subvectors x candidate
@@ -386,7 +391,8 @@ def ivfpq_topk_cosine(corpus: DataFrame, queries: DataFrame, k: int,
     spark = corpus.sparkSession
     cents = _unit_centroids(n_cells, dim, seed)
     book = _codebook_df(spark, cents)
-    pq_book = _pq_book_df(spark, m, k_pq, sub_dim, pq_seed)
+    pq_book = _pq_book_df(spark, m, k_pq, sub_dim, pq_seed,
+                          codebook=pq_codebook)
 
     base = spread(corpus.select(F.col(id_col).alias("cand_id"),
                                 as_double(F.col(vec_col)).alias("c_vec")),
@@ -478,6 +484,74 @@ def train_kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
             break
         cents = new
     return cents
+
+
+def train_pq_codebook(corpus: DataFrame, m: int = 8, k_pq: int = 16,
+                      dim: int = 64, iters: int = 5,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> list[list[float]]:
+    """Train the product-quantization codebook with per-subspace Lloyd's
+    k-means, expressed as DataFrame ops over the EXPLODED subvectors:
+    every corpus vector contributes m rows (subspace, subvector); one
+    scan assigns each row to its nearest current codeword (argmin
+    squared-L2, lower-index tiebreak — the same rule ``_pq_codes``
+    applies at encode time) and one groupBy averages per (subspace,
+    code). All m subspaces train in the SAME scan/shuffle — k-means
+    over m independent datasets for the price of one.
+
+    Initialization is deterministic (the first ``k_pq`` vectors by id
+    provide each subspace's seed codewords); only m * k_pq * sub_dim
+    doubles ever reach the driver per iteration, so cluster size never
+    matters. Codewords whose cell empties keep their previous value.
+
+    Returns the (subspace, code)-ordered list ``_pq_codebook`` would —
+    drop-in for ``ivfpq_topk_cosine(pq_codebook=...)``; the serving
+    plan is identical to the seeded-codebook path. Trained codewords
+    sit where the data actually lies (Jegou et al. train on samples for
+    exactly this reason), which tightens ADC ranking and lifts recall
+    at the same overfetch.
+    """
+    sub_dim = dim // m
+    spark = corpus.sparkSession
+
+    first = (corpus.orderBy(id_col).limit(k_pq)
+             .select(as_double(F.col(vec_col)).alias("v")).collect())
+    book = [list(row["v"][s * sub_dim:(s + 1) * sub_dim])
+            for s in range(m) for row in first]
+
+    subs = corpus.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.slice(as_double(F.col(vec_col)),
+                             s * sub_dim + 1, sub_dim).alias("sv"))
+            for s in range(m)])).alias("e")
+    ).select(F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+
+    for _ in range(iters):
+        flat = [x for c in book for x in c]
+        bdf = spark.createDataFrame([(flat,)], "__pq: array<double>")
+        code = F.array_min(F.transform(
+            F.sequence(F.lit(0), F.lit(k_pq - 1)),
+            lambda j: F.struct(
+                _sqdist(F.col("sv"),
+                        F.slice(F.col("__pq"),
+                                (F.col("s") * k_pq + j) * sub_dim + 1,
+                                sub_dim)).alias("d"),
+                j.cast("int").alias("i"))))["i"]
+        means = (subs.crossJoin(F.broadcast(bdf))
+                 .withColumn("code", code)
+                 .groupBy("s", "code")
+                 .agg(*[F.avg(F.col("sv")[i]).alias(f"m{i}")
+                        for i in range(sub_dim)])
+                 .collect())
+        new = list(book)
+        for row in means:
+            new[row["s"] * k_pq + row["code"]] = \
+                [row[f"m{i}"] for i in range(sub_dim)]
+        if new == book:
+            break
+        book = new
+    return book
 
 
 def build_ivfpq_index(corpus: DataFrame, path: str,

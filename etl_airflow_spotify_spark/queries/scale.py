@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
+from ..operators.layout import write_zordered
 from ..operators.scale import (bloom_prune, build_bloom, salted_join,
                                write_bucketed)
 from ..registry import register
@@ -159,3 +160,94 @@ def bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 * (1 - F.col("l_discount"))), 2)
                   .alias("revenue"),
                   F.count("*").alias("n_lines")))
+
+
+# -- z-order layout ---------------------------------------------------------
+
+# Rectangle bounds as fractions of each key's [min, max] span — the same
+# double arithmetic on both engines, so the cutoffs agree bit-for-bit.
+_ZRECT = {"l_partkey": (0.10, 0.30), "l_suppkey": (0.40, 0.60)}
+
+
+@register(
+    "zorder_rectangle_scan",
+    """
+    WITH b AS (
+        SELECT MIN(l_partkey) AS plo, MAX(l_partkey) AS phi,
+               MIN(l_suppkey) AS slo, MAX(l_suppkey) AS shi
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(l_partkey) AS BIGINT) AS part_sum
+    FROM lineitem, b
+    WHERE l_partkey >= plo + CAST(FLOOR(0.10 * (phi - plo)) AS BIGINT)
+      AND l_partkey <  plo + CAST(FLOOR(0.30 * (phi - plo)) AS BIGINT)
+      AND l_suppkey >= slo + CAST(FLOOR(0.40 * (shi - slo)) AS BIGINT)
+      AND l_suppkey <  slo + CAST(FLOOR(0.60 * (shi - slo)) AS BIGINT)
+    GROUP BY l_returnflag
+    """,
+    doc="2-D rectangle scan (l_partkey x l_suppkey range conjunction) "
+        "over a Z-ORDERED rewrite of lineitem: the copy is range-"
+        "partitioned and sorted by the Morton interleave of both keys, "
+        "so every file/row group covers a tight hypercube and the "
+        "pushed-down rectangle prunes most row groups on footer stats "
+        "alone — a single-column sort can prune only its own dimension "
+        "(measured, not assumed: tests/test_layout.py compares pruning "
+        "fractions from the parquet footers; the filters are "
+        "plan-asserted as PushedFilters). Layout never changes results: "
+        "the oracle is the same rectangle over the ORIGINAL table. "
+        "Build (one full shuffle-sort) amortizes across every later "
+        "rectangle query — bench.py times it under index_build.",
+    tags=("X1", "X2", "X7"),
+)
+def zorder_rectangle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build_zorder_layout(spark, sf_dir)
+    return zorder_probe(spark, sf_dir)
+
+
+def _zorder_path(sf_dir: str) -> str:
+    suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    return os.path.join("spark-warehouse", f"zorder_lineitem_{suffix}")
+
+
+def build_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Index-build half: one range-partitioned Morton-sorted rewrite of
+    lineitem (the layout analog of the bucketed-table build)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+        "l_extendedprice", "l_discount")
+    path = _zorder_path(sf_dir)
+    # small row groups so pruning granularity exists inside files even
+    # at test scale; bits=8 per dim is plenty for 16 files
+    write_zordered(li, path, ["l_partkey", "l_suppkey"],
+                   n_files=16, bits=8, block_bytes=256 * 1024)
+    return path
+
+
+def zorder_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state half: the rectangle aggregate over the z-ordered
+    copy. Bounds are two driver-side scalars from a min/max scan
+    (footer-only at scale); the rectangle itself is LITERAL predicates,
+    so it reaches the parquet reader as PushedFilters and row groups
+    outside the hypercube are skipped before any I/O."""
+    import math
+
+    df = spark.read.parquet(_zorder_path(sf_dir))
+    b = df.agg(F.min("l_partkey").alias("plo"), F.max("l_partkey").alias("phi"),
+               F.min("l_suppkey").alias("slo"), F.max("l_suppkey").alias("shi")
+               ).first()
+    (pf_lo, pf_hi), (sf_lo, sf_hi) = _ZRECT["l_partkey"], _ZRECT["l_suppkey"]
+    p1 = b["plo"] + math.floor(pf_lo * (b["phi"] - b["plo"]))
+    p2 = b["plo"] + math.floor(pf_hi * (b["phi"] - b["plo"]))
+    s1 = b["slo"] + math.floor(sf_lo * (b["shi"] - b["slo"]))
+    s2 = b["slo"] + math.floor(sf_hi * (b["shi"] - b["slo"]))
+    return (df.filter((F.col("l_partkey") >= p1) & (F.col("l_partkey") < p2)
+                      & (F.col("l_suppkey") >= s1) & (F.col("l_suppkey") < s2))
+            .groupBy("l_returnflag")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_lines"),
+                 F.sum("l_partkey").cast("long").alias("part_sum")))

@@ -344,6 +344,28 @@ def vector_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vector_topk_ivfpq_trained",
+    None,  # approximate; recall-vs-seeded-codebook asserted in pytest
+    doc="IVF-PQ top-k with a k-means-TRAINED product-quantization "
+        "codebook: per-subspace Lloyd's over the exploded subvectors "
+        "(all 8 subspaces train in one scan + one groupBy per "
+        "iteration; deterministic first-k init, only m*k_pq*sub_dim "
+        "doubles on the driver). Trained codewords sit where the data "
+        "lies, so ADC ranks candidates more faithfully than the seeded "
+        "random codebook — recall@5 vs the exact top-k is asserted "
+        ">= the seeded variant's in pytest. The serving plan is "
+        "IDENTICAL to vector_topk_ivfpq; only the broadcast codebook "
+        "row changes.",
+    tags=("X17", "X24"),
+)
+def vector_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = S.train_pq_codebook(emb, iters=3)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.ivfpq_topk_cosine(emb, queries, K, pq_codebook=book)
+
+
+@register(
     "vector_topk_ivfpq_persisted",
     _ivfpq_oracle_sql(),
     doc="IVF-PQ search against a PERSISTED two-table layout: a "

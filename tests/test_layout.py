@@ -1,0 +1,133 @@
+"""Z-order layout: Morton key correctness and a MEASURED pruning win.
+
+The point of a layout operator is row-group pruning, so the tests read
+the parquet footers and compare the fraction of row groups a rectangle
+predicate must touch under (a) z-order and (b) a single-column sort —
+the claim "z-order prunes both dimensions" is asserted on real stats,
+not taken from the docstring.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_airflow_spotify_spark.catalog import load_table
+from etl_airflow_spotify_spark.operators.layout import (rowgroup_prune_stats,
+                                                        write_zordered,
+                                                        zorder_key)
+
+
+def _morton_ref(vals: list[int], bits: int) -> int:
+    """Driver-side reference interleave for already-scaled values."""
+    n = len(vals)
+    out = 0
+    for i, v in enumerate(vals):
+        for b in range(bits):
+            out |= ((v >> b) & 1) << (b * n + (n - 1 - i))
+    return out
+
+
+def test_zorder_key_matches_reference(spark):
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x: long, y: long")
+    got = {(r["x"], r["y"]): r["z"] for r in df.select(
+        "x", "y",
+        zorder_key([F.col("x"), F.col("y")],
+                   [F.lit(0), F.lit(0)], [F.lit(15), F.lit(15)],
+                   bits=4).alias("z")).collect()}
+    for x, y in rows:
+        # _scale_to_bits maps [0,15] onto [0,15] with floor(v*16/16)=v
+        assert got[(x, y)] == _morton_ref([x, y], 4), (x, y)
+
+
+def test_zorder_key_rejects_overflow(spark):
+    with pytest.raises(ValueError):
+        zorder_key([F.col("a"), F.col("b")], [F.lit(0), F.lit(0)],
+                   [F.lit(1), F.lit(1)], bits=32)
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, sf_dir, tmp_path_factory):
+    """lineitem written two ways: z-ordered on (partkey, suppkey) vs
+    sorted on partkey alone, same file count and row-group size."""
+    base = str(tmp_path_factory.mktemp("layouts"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+    zpath = os.path.join(base, "zorder")
+    lpath = os.path.join(base, "linear")
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"],
+                   n_files=16, bits=8, block_bytes=64 * 1024)
+    (li.repartitionByRange(16, "l_partkey")
+     .sortWithinPartitions("l_partkey")
+     .write.mode("overwrite").option("parquet.block.size", 64 * 1024)
+     .parquet(lpath))
+    b = li.agg(F.min("l_partkey"), F.max("l_partkey"),
+               F.min("l_suppkey"), F.max("l_suppkey")).first()
+    return zpath, lpath, tuple(b)
+
+
+def _rect(lo: int, hi: int, f1: float, f2: float) -> tuple[int, int]:
+    return (lo + math.floor(f1 * (hi - lo)), lo + math.floor(f2 * (hi - lo)))
+
+
+def test_zorder_prunes_suppkey_dimension(layouts):
+    """A rectangle selective on BOTH keys: the partkey-sorted layout can
+    prune only via partkey, the z-order layout prunes on both. The
+    suppkey-only rectangle is the sharp case — linear layout reads
+    everything, z-order skips most row groups."""
+    zpath, lpath, (plo, phi, slo, shi) = layouts
+    s1, s2 = _rect(slo, shi, 0.40, 0.60)
+    ranges = {"l_suppkey": (s1, s2 - 1)}
+    z = rowgroup_prune_stats(zpath, ranges)
+    lin = rowgroup_prune_stats(lpath, ranges)
+    assert z["total"] >= 16 and lin["total"] >= 16
+    # single-column sort on partkey gives suppkey stats no structure
+    assert lin["fraction"] >= 0.9, lin
+    # Morton clustering bounds each row group's suppkey span
+    assert z["fraction"] <= 0.6, z
+    assert z["fraction"] < lin["fraction"]
+
+
+def test_zorder_still_prunes_sorted_dimension(layouts):
+    """The z-order layout must also retain most of the pruning a
+    dedicated partkey sort gives on partkey rectangles (it trades a
+    little per-dimension sharpness for coverage of both)."""
+    zpath, lpath, (plo, phi, slo, shi) = layouts
+    p1, p2 = _rect(plo, phi, 0.10, 0.30)
+    ranges = {"l_partkey": (p1, p2 - 1)}
+    z = rowgroup_prune_stats(zpath, ranges)
+    lin = rowgroup_prune_stats(lpath, ranges)
+    assert lin["fraction"] <= 0.45, lin  # the dedicated sort is sharp
+    assert z["fraction"] <= 0.7, z       # z-order still prunes well
+
+
+def test_zorder_rewrite_preserves_rows(spark, sf_dir, layouts):
+    zpath, _, _ = layouts
+    li = load_table(spark, sf_dir, "lineitem")
+    z = spark.read.parquet(zpath)
+    assert z.count() == li.count()
+    a = li.agg(F.sum("l_partkey"), F.sum("l_suppkey"),
+               F.round(F.sum("l_extendedprice"), 2)).first()
+    b = z.agg(F.sum("l_partkey"), F.sum("l_suppkey"),
+              F.round(F.sum("l_extendedprice"), 2)).first()
+    assert tuple(a) == tuple(b)
+
+
+def test_zorder_probe_pushes_rectangle_filters(spark, sf_dir):
+    from etl_airflow_spotify_spark.queries.scale import (build_zorder_layout,
+                                                         zorder_probe)
+
+    build_zorder_layout(spark, sf_dir)
+    plan = zorder_probe(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # both rectangle dimensions reach the scan as pushed data filters
+    # (the PushedFilters list itself is display-truncated, so assert on
+    # the untruncated Filter node + the PushedFilters prefix)
+    assert "PushedFilters: [IsNotNull(l_partkey)" in plan, plan
+    import re
+    assert re.search(r"l_partkey#\d+L? >= ", plan), plan
+    assert re.search(r"l_suppkey#\d+L? >= ", plan), plan

@@ -203,6 +203,58 @@ def test_kmeans_codebook_beats_random(spark, sf_dir):
     assert len(km & exact) / len(exact) >= 0.5
 
 
+def test_trained_pq_codebook_tightens_quantization(spark, sf_dir):
+    """Per-subspace Lloyd's must (a) cut the PQ quantization error well
+    below the seeded random codebook's — that is its objective — and
+    (b) not lose end-to-end recall at the same overfetch. Everything
+    here is deterministic (fixed data, first-k init), so the measured
+    margins are stable, not flaky."""
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators.similarity import (
+        _pq_codebook, as_double, ivfpq_topk_cosine, topk_cosine,
+        train_pq_codebook)
+
+    m, k_pq, sub_dim = 8, 16, 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    trained = train_pq_codebook(emb, iters=3)
+    seeded = _pq_codebook(m, k_pq, sub_dim, 13)
+    assert len(trained) == len(seeded) == m * k_pq
+
+    def sq_err(book: list[list[float]]) -> float:
+        """Mean squared distance of each subvector to the nearest
+        codeword OF ITS OWN SUBSPACE — the k-means objective."""
+        flat = [x for c in book for x in c]
+        bdf = emb.sparkSession.createDataFrame(
+            [(flat,)], "__pq: array<double>")
+        subs = emb.select(F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.slice(as_double(F.col("embedding")),
+                             s * sub_dim + 1, sub_dim).alias("sv"))
+            for s in range(m)])).alias("e"),
+        ).select(F.col("e.s").alias("s"), F.col("e.sv").alias("sv")) \
+         .crossJoin(F.broadcast(bdf))
+        best = F.array_min(F.transform(
+            F.sequence(F.lit(0), F.lit(k_pq - 1)),
+            lambda j: F.aggregate(
+                F.zip_with(F.col("sv"),
+                           F.slice(F.col("__pq"),
+                                   (F.col("s") * k_pq + j) * sub_dim + 1,
+                                   sub_dim),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, v: a + v)))
+        return subs.agg(F.avg(best)).first()[0]
+
+    assert sq_err(trained) < 0.5 * sq_err(seeded)
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.cand_id) for r in topk_cosine(emb, q, 5).collect()}
+    tr = {(r.query_id, r.cand_id)
+          for r in ivfpq_topk_cosine(emb, q, 5, pq_codebook=trained).collect()}
+    sd = {(r.query_id, r.cand_id)
+          for r in ivfpq_topk_cosine(emb, q, 5).collect()}
+    assert len(tr & exact) >= len(sd & exact)
+
+
 def test_ivf_persisted_matches_in_job_ivf(spark, sf_dir, tmp_path):
     """build_ivf_index + search_ivf_index is a pure re-layout of the
     one-job IVF: same codebook, same probes, identical (query, cand,

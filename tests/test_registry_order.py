@@ -20,7 +20,11 @@ WINDOW = 50
 # redundant variants of classes with multiple green rows already).
 DEFERRED = {"small_qty_revenue", "brand_filter_revenue",
             "big_volume_orders", "vector_topk_ivfpq_persisted",
-            "heavy_hitters_twopass"}
+            "heavy_hitters_twopass",
+            # round-3 additions, registered after the window filled;
+            # all pytest-oracle-green — first in line for r3's window
+            "zorder_rectangle_scan", "vector_topk_ivfpq_trained",
+            "stream_decontaminate", "hll_sliding_distinct"}
 
 
 def _r1_attested() -> set[str]:
