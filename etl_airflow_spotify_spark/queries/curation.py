@@ -36,9 +36,9 @@ _NGRAMS_SQL = f"""
 """
 
 
-@register(
-    "decontaminate_ngram",
-    f"""
+# Shared by the batch query below and the streaming variant in
+# queries/streaming.py (same semantics, same oracle).
+DECON_ORACLE = f"""
     WITH ng AS ({_NGRAMS_SQL}),
     t AS (SELECT doc_id, unnest(ngrams) AS ngram FROM ng
           WHERE doc_id % {EVAL_MOD} <> 0),
@@ -49,7 +49,12 @@ _NGRAMS_SQL = f"""
            CAST(COUNT(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
     FROM t JOIN e ON t.ngram = e.ngram
     GROUP BY t.doc_id
-    """,
+    """
+
+
+@register(
+    "decontaminate_ngram",
+    DECON_ORACLE,
     doc="Benchmark decontamination: training docs sharing any word "
         f"{NGRAM_N}-gram with an eval doc (doc_id % {EVAL_MOD} = 0 plays "
         "the benchmark role). Explode-to-ngram + hash join — never an "

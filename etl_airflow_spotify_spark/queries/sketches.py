@@ -86,6 +86,43 @@ def theta_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_sliding_distinct",
+    None,  # DataSketches estimates; accuracy + merge law in tests/test_sketches.py
+    doc="Sliding-window distinct users (1 h window, 30 min slide) "
+        "computed the ONLY way that works on unbounded data: one HLL "
+        "sketch per 30-min bucket — the persisted partial — and each "
+        "sliding window is the union of the 2 buckets it covers. Exact "
+        "sliding count-distinct must re-shuffle every event into every "
+        "covering window (width/slide x the data, and streaming forbids "
+        "it outright); the sketch path shuffles KB-sized registers per "
+        "bucket instead, and register-wise-max union is order- and "
+        "overlap-insensitive, so the rollup equals a direct sketch of "
+        "each window bit-for-bit (law pinned in pytest alongside <=5% "
+        "accuracy vs exact).",
+    tags=("X8", "X20"),
+)
+def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    partials = (ev.groupBy(F.window("ts", "30 minutes").alias("w"))
+                .agg(F.hll_sketch_agg("user_id", F.lit(LG_K)).alias("sk")))
+    # each 30-min bucket contributes to the 2 sliding windows covering it
+    exploded = partials.select(
+        F.explode(F.array(
+            F.col("w.start"),
+            F.col("w.start") - F.expr("INTERVAL 30 MINUTES")))
+        .alias("window_start"),
+        "sk")
+    return (exploded.groupBy("window_start")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False)))
+                 .alias("est_users"),
+                 F.count("*").cast("long").alias("n_partials"))
+            .select("window_start",
+                    (F.col("window_start") + F.expr("INTERVAL 1 HOUR"))
+                    .alias("window_end"),
+                    "est_users", "n_partials"))
+
+
+@register(
     "kll_price_quantiles",
     None,  # DataSketches-specific estimates; accuracy in tests/test_sketches.py
     doc="Streaming-mergeable quantiles: KLL sketches of l_extendedprice "

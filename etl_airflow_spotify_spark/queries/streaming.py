@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
 from ..streaming import windows as W
+from . import curation as _curation
 
 
 @register(
@@ -161,6 +162,66 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .filter(F.col("event_type") == "purchase")
     return W.run_to_table(W.stream_stream_join(clicks, purchases),
                           "t_ssjoin", output_mode="append")
+
+
+@register(
+    "stream_decontaminate",
+    _curation.DECON_ORACLE,  # identical semantics to the batch twin
+    doc="STREAMING benchmark decontamination: training documents arrive "
+        "as a file stream and are checked per-row against the broadcast "
+        "benchmark n-gram set — the shape of contamination-filtering an "
+        "incoming crawl feed. The eval suite (MBs in practice) rides in "
+        "ONE static row of (eval_id, ngrams) structs + the distinct "
+        "n-gram union, so the check is array_intersect / arrays_overlap "
+        "HOFs per document: completely STATELESS (append mode, no "
+        "watermark, no shuffle) — batch boundaries cannot affect "
+        "results, which is why the batch oracle is exact. Same "
+        "semantics and oracle as the batch decontaminate_ngram.",
+    tags=("X23", "X25", "X18"),
+)
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from ..catalog import load_table
+    from ..operators.curation import word_ngrams
+    from ..queries.curation import EVAL_MOD, NGRAM_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    evals = (docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+             .select(F.col("doc_id").alias("eval_id"),
+                     word_ngrams(F.col("text"), NGRAM_N).alias("ngrams")))
+    suite = (evals.agg(F.collect_list(F.struct("eval_id", "ngrams"))
+                       .alias("evals"))
+             .select("evals",
+                     F.array_distinct(F.flatten(
+                         F.transform("evals", lambda e: e["ngrams"])))
+                     .alias("all_ng")))
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("pathGlobFilter", "documents.parquet").load(sf_dir)
+              .filter(F.col("doc_id") % EVAL_MOD != 0)
+              .select("doc_id",
+                      word_ngrams(F.col("text"), NGRAM_N).alias("ngrams")))
+    flagged = (
+        stream.join(F.broadcast(suite))  # stream-static, 1-row static side
+        .select("doc_id",
+                F.size(F.array_intersect("ngrams", "all_ng"))
+                .cast("long").alias("n_shared_ngrams"),
+                F.size(F.filter(
+                    "evals",
+                    lambda e: F.arrays_overlap(F.col("ngrams"), e["ngrams"])))
+                .cast("long").alias("n_eval_docs"))
+        .filter(F.col("n_shared_ngrams") > 0)
+    )
+    return W.run_to_table(flagged, "t_decontaminate", output_mode="append")
 
 
 @register(

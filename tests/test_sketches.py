@@ -44,6 +44,46 @@ def test_hll_monthly_rollup_equals_one_shot(spark, sf_dir):
     assert rolled == oneshot
 
 
+def _events_by_sliding_window(spark, sf_dir):
+    """Each event expanded into its 2 covering (1 h / 30 min slide)
+    windows — the exact-twin input for the HLL sliding rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.select("user_id", F.window("ts", "30 minutes").alias("w"))
+            .select("user_id",
+                    F.explode(F.array(
+                        F.col("w.start"),
+                        F.col("w.start") - F.expr("INTERVAL 30 MINUTES")))
+                    .alias("ws")))
+
+
+def test_hll_sliding_matches_exact_within_error(spark, sf_dir):
+    got = {r["window_start"]: r["est_users"]
+           for r in _rows("hll_sliding_distinct", spark, sf_dir)}
+    exact = {r["ws"]: r["exact"] for r in
+             _events_by_sliding_window(spark, sf_dir)
+             .groupBy("ws").agg(F.countDistinct("user_id").alias("exact"))
+             .collect()}
+    assert set(got) == set(exact)
+    for ws, est in got.items():
+        assert abs(est - exact[ws]) <= max(3, 0.03 * exact[ws]), (ws, est)
+
+
+def test_hll_sliding_union_equals_direct_window_sketch(spark, sf_dir):
+    """Merge law: the union of 30-min partials must equal a DIRECT
+    sketch over each sliding window's raw rows, bit-for-bit — partial
+    granularity is invisible, which is what makes incremental rollups
+    safe."""
+    rolled = {r["window_start"]: r["est_users"]
+              for r in _rows("hll_sliding_distinct", spark, sf_dir)}
+    direct = {r["ws"]: r["est"] for r in
+              _events_by_sliding_window(spark, sf_dir)
+              .groupBy("ws")
+              .agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("user_id", F.lit(14))).alias("est"))
+              .collect()}
+    assert rolled == direct
+
+
 def test_theta_overlap_matches_exact_set_ops(spark, sf_dir):
     got = {r["o_orderpriority"]: r for r in
            _rows("theta_customer_overlap", spark, sf_dir)}
