@@ -63,12 +63,15 @@ HEADLINE = [
     "skew_salted_join",
     "bucketed_zero_shuffle_join",
     "bloom_join_pruning",
+    "zorder_rectangle_scan",
     "hll_distinct_rollup",
+    "hll_sliding_distinct",
     "resample_gap_fill",
     "concurrent_orders",
     # streaming
     "stream_tumbling_counts",
     "stream_stateful_user_stats",
+    "stream_decontaminate",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).
@@ -80,6 +83,8 @@ BUILD_PROBE = {
                                   sim_q.probe_persisted_ivf),
     "vector_topk_ivfpq_persisted": (sim_q.build_persisted_ivfpq,
                                     sim_q.probe_persisted_ivfpq),
+    "zorder_rectangle_scan": (scale_q.build_zorder_layout,
+                              scale_q.zorder_probe),
 }
 
 

@@ -200,7 +200,7 @@ _ZRECT = {"l_partkey": (0.10, 0.30), "l_suppkey": (0.40, 0.60)}
         "the oracle is the same rectangle over the ORIGINAL table. "
         "Build (one full shuffle-sort) amortizes across every later "
         "rectangle query — bench.py times it under index_build.",
-    tags=("X1", "X2", "X7"),
+    tags=("X32", "X1", "X2", "X7"),
 )
 def zorder_rectangle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_zorder_layout(spark, sf_dir)

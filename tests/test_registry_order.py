@@ -59,15 +59,21 @@ def test_every_query_attested_or_windowed():
 
 def test_first_window_covers_every_tag():
     """Tag-level invariant: every operator class has a driver row this
-    round or a green row from round 1."""
+    round or a green row from round 1 — EXCEPT classes introduced after
+    the window filled, all of whose queries must then be explicitly
+    DEFERRED (they claim the freed slots next round)."""
     qs = all_queries()
-    all_tags = {t for s in qs.values() for t in s.tags}
     attested = _r1_attested()
     covered = {t for s in list(qs.values())[:WINDOW] for t in s.tags}
     covered |= {t for n, s in qs.items() if n in attested for t in s.tags}
-    assert covered == all_tags, (
+    uncovered_ok = {t for s in qs.values() for t in s.tags
+                    if t not in covered
+                    and all(q.name in DEFERRED
+                            for q in qs.values() if t in q.tags)}
+    all_tags = {t for s in qs.values() for t in s.tags}
+    assert covered | uncovered_ok == all_tags, (
         f"tags with no driver attestation past or present: "
-        f"{sorted(all_tags - covered)}"
+        f"{sorted(all_tags - covered - uncovered_ok)}"
     )
 
 
