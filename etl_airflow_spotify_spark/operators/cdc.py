@@ -140,3 +140,54 @@ def finalize_versioned(snapshot: DataFrame, seq_cols: list[str]) -> DataFrame:
     meta = [f"_seq_{c}" for c in seq_cols]
     return (snapshot.filter(~F.col("_deleted"))
             .drop("_deleted", *meta))
+
+
+def scd2_history(snapshot: DataFrame, changes: DataFrame, key: str,
+                 ts_col: str, seq_cols: list[str],
+                 op_col: str = "op") -> DataFrame:
+    """Slowly-Changing-Dimension TYPE 2: instead of overwriting (type
+    1 = ``cdc_merge``), every change OPENS a new row version and CLOSES
+    the previous one, so any historical state remains queryable with
+    ``valid_from <= t < valid_to`` — the audit/backfill table every
+    regulated or reproducible-training pipeline keeps next to its
+    current snapshot.
+
+    ``snapshot`` provides each key's initial version (``valid_from`` =
+    NULL, i.e. "since before history began"); ``changes`` carries
+    ``key``, ``ts_col``, ``seq_cols`` (total order), ``op_col`` and
+    full replacement values. One union + ONE window (lead over the
+    per-key change order — a single shuffle on key, no join at all):
+    each version's ``valid_to`` is the next version's timestamp, NULL =
+    still current. Delete rows ('D') close the preceding version and
+    are then dropped — a deleted key has no current row. At 100 TB the
+    history table appends per run and is naturally partitioned by
+    ``valid_from`` date; point-in-time reads prune to one partition
+    range.
+
+    Deterministic (window order is the caller's total order), so the
+    whole construction has an exact SQL twin via LEAD.
+    """
+    data_cols = [c for c in snapshot.columns if c != key]
+    base = snapshot.select(
+        F.col(key),
+        F.lit(None).cast(dict(changes.dtypes)[ts_col]).alias(ts_col),
+        *[F.lit(None).cast(dict(changes.dtypes).get(sc, "long")).alias(sc)
+          for sc in seq_cols if sc != ts_col],
+        F.lit("I").alias(op_col),
+        *[F.col(c) for c in data_cols])
+    ch = changes.select(
+        F.col(key), F.col(ts_col),
+        *[F.col(sc) for sc in seq_cols if sc != ts_col],
+        F.col(op_col),
+        *[(F.col(c) if c in changes.columns else F.lit(None)).alias(c)
+          for c in data_cols])
+    hist = base.unionByName(ch)
+    # NULLs (the initial version) must sort FIRST in the per-key order
+    w = Window.partitionBy(key).orderBy(
+        *[F.asc_nulls_first(sc) for sc in seq_cols])
+    return (hist
+            .withColumn("valid_to", F.lead(ts_col).over(w))
+            .filter(F.col(op_col) != "D")
+            .select(F.col(key), *data_cols,
+                    F.col(ts_col).alias("valid_from"), "valid_to",
+                    F.col("valid_to").isNull().alias("is_current")))

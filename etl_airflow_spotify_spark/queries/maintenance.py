@@ -159,6 +159,114 @@ def cdc_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_customer_history",
+    """
+    WITH ch AS (
+        SELECT user_id AS c_custkey, ts, event_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               'cdc:' || CAST(user_id AS VARCHAR) AS c_name,
+               ROUND(value * 1000, 2) AS c_acctbal,
+               upper(event_type) AS c_mktsegment
+        FROM events
+    ),
+    base AS (
+        SELECT c_custkey, CAST(NULL AS TIMESTAMP) AS ts,
+               CAST(NULL AS BIGINT) AS event_id, 'I' AS op,
+               c_name, c_acctbal, c_mktsegment
+        FROM customer
+    ),
+    hist AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
+    v AS (
+        SELECT *, LEAD(ts) OVER (
+                   PARTITION BY c_custkey
+                   ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+               ) AS valid_to
+        FROM hist
+    )
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal,
+           c_mktsegment, ts AS valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM v WHERE op <> 'D'
+    """,
+    doc="SCD TYPE 2: every change to a customer opens a new row version "
+        "and closes the previous one (valid_from/valid_to/is_current), "
+        "keeping ALL history point-in-time queryable — the audit table "
+        "a reproducible-training pipeline pairs with its current "
+        "snapshot ('which profile did the model see on date t?'). "
+        "One union + ONE window (lead over the per-key change order): "
+        "a single shuffle on the key, no join at all. Deletes close "
+        "the preceding version and vanish — a deleted key has no "
+        "current row until a later re-insert opens one. Exact LEAD "
+        "replay as the DuckDB oracle.",
+    tags=("X31", "X10", "X11"),
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import scd2_history
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    changes = _customer_changes(spark, sf_dir)
+    hist = scd2_history(cust, changes, "c_custkey", "ts",
+                        seq_cols=["ts", "event_id"])
+    return hist.select(
+        "c_custkey", "c_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment", "valid_from", "valid_to", "is_current")
+
+
+@register(
+    "ivm_signed_aggregate",
+    """
+    WITH e AS (
+        SELECT user_id, ROUND(value, 2) AS v,
+               CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS w
+        FROM events
+    )
+    SELECT c_mktsegment,
+           CAST(SUM(w) AS BIGINT) AS net_events,
+           CAST(ROUND(SUM(w * CAST(v AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS net_value
+    FROM e JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Incremental view maintenance by SIGNED MULTIPLICITIES (the "
+        "z-set/abelian-group trick of differential dataflow / DBSP): "
+        "the per-segment revenue view is maintained by folding 4 "
+        "INTERLEAVED changelog slices — each slice aggregates to "
+        "(group, net_rows, net_value) partials and merges into the "
+        "state by addition; 'error' events carry weight -1, i.e. "
+        "RETRACTIONS, and fully-retracted groups net to zero and drop "
+        "out. Weighted value sums run in DECIMAL so the group "
+        "operation is exact and the fold provably order-independent — "
+        "the oracle replays the ONE-SHOT aggregate, so a hash match "
+        "proves fold(any slicing) == recompute. At 100 TB the view "
+        "never re-reads history: each batch shuffles only its own "
+        "groups (map-side combined).",
+    tags=("X31", "X7", "X13"),
+)
+def ivm_signed_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivm import merge_state, signed_partial
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.round("value", 2).alias("v"),
+        F.when(F.col("event_type") == "error", -1).otherwise(1).alias("w"))
+    enriched = ev.join(cust, ev.user_id == cust.c_custkey)
+    state = None
+    for i in range(4):
+        part = signed_partial(
+            enriched.filter(F.pmod("event_id", F.lit(4)) == i),
+            ["c_mktsegment"], F.col("w"), F.col("v"))
+        state = merge_state(state, part, ["c_mktsegment"])
+    return state.select(
+        "c_mktsegment",
+        F.col("_net_rows").alias("net_events"),
+        F.round("_net_val", 2).cast("double").alias("net_value"))
+
+
+@register(
     "stream_cdc_upsert",
     _ONE_SHOT_ORACLE,
     doc="Streaming CDC sink: the changelog arrives as a file stream "

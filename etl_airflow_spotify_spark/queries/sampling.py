@@ -70,3 +70,52 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lang", "split")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("doc_id").cast("long").alias("id_sum")))
+
+
+GROUP_SAMPLE_K = 20
+
+
+def group_sample(df: DataFrame, group_col: str, key: str,
+                 k: int) -> DataFrame:
+    """Keep a deterministic uniform sample of exactly min(k, |group|)
+    rows per group: rank rows inside each group by md5(key) — a pure
+    function of the row, so membership is stable across runs, engines
+    and repartitioning, and APPENDING rows only ever swaps members in/
+    out by hash order (no global reshuffle of the sample). This is the
+    reproducible replacement for per-group reservoir sampling: one
+    window shuffle on the group key, no RNG state, no driver loop."""
+    w_ = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15),
+                16, 10).cast("long")
+    from pyspark.sql import Window
+    win = Window.partitionBy(group_col).orderBy(w_.asc(), F.col(key).asc())
+    return (df.withColumn("rk", F.row_number().over(win).cast("long"))
+            .filter(F.col("rk") <= k))
+
+
+@register(
+    "per_group_sample",
+    f"""
+    SELECT lang, doc_id, rk FROM (
+        SELECT lang, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 15))::BIGINT, doc_id
+               ) AS BIGINT) AS rk
+        FROM documents
+    ) WHERE rk <= {GROUP_SAMPLE_K}
+    """,
+    doc=f"Exactly-{GROUP_SAMPLE_K}-per-language uniform document sample "
+        "chosen by md5(doc_id) rank — the deterministic replacement for "
+        "per-group reservoir sampling (inspection samples, eval slices, "
+        "per-domain spot checks). Membership is a pure function of the "
+        "row id: re-runs, engines and repartitionings agree, and the "
+        "oracle hash-checks the EXACT member set, not just counts. One "
+        "window shuffle on the group key; at 100 TB group count, not "
+        "data size, bounds the output.",
+    tags=("X10", "X12", "X28"),
+)
+def per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (group_sample(d, "lang", "doc_id", GROUP_SAMPLE_K)
+            .select("lang", "doc_id", "rk"))

@@ -255,3 +255,35 @@ def test_cdc_fold_idempotent_redelivery(spark):
     v = cdc_apply_versioned(v, ch, "k", ["seq"])  # redelivered
     assert {(r.k, r.val) for r in finalize_versioned(v, ["seq"]).collect()} \
         == {(1, "new")}
+
+
+def test_ivm_fold_order_independent_with_retractions(spark):
+    """Signed-multiplicity IVM law: fold(any slicing of the changelog)
+    == one-shot aggregate, retractions cancel exactly (DECIMAL group
+    op), and fully-retracted groups leave NO residue row."""
+    import pyspark.sql.functions as F
+
+    from etl_airflow_spotify_spark.operators.ivm import (merge_state,
+                                                         signed_partial)
+
+    rows = [  # (group, weight, value); group 'b' fully retracts
+        ("a", 1, 10.50), ("a", 1, 2.25), ("a", -1, 10.50),
+        ("b", 1, 7.00), ("b", -1, 7.00),
+        ("c", 1, 1.10), ("c", 1, 2.20),
+    ]
+    expected = {("a", 1, 2.25), ("c", 2, 3.30)}
+    for name, batch_of in {"one_shot": lambda i: 0,
+                           "reversed_pairs": lambda i: -(i // 2),
+                           "singletons": lambda i: i}.items():
+        batched = [(batch_of(i), g, w, v)
+                   for i, (g, w, v) in enumerate(rows)]
+        df = spark.createDataFrame(
+            batched, "b: long, g: string, w: int, v: double")
+        state = None
+        for b in sorted({r[0] for r in batched}):
+            part = signed_partial(df.filter(F.col("b") == b),
+                                  ["g"], F.col("w"), F.col("v"))
+            state = merge_state(state, part, ["g"])
+        got = {(r["g"], r["_net_rows"], float(r["_net_val"]))
+               for r in state.collect()}
+        assert got == expected, f"slicing {name!r}: {got}"

@@ -24,7 +24,9 @@ DEFERRED = {"small_qty_revenue", "brand_filter_revenue",
             # round-3 additions, registered after the window filled;
             # all pytest-oracle-green — first in line for r3's window
             "zorder_rectangle_scan", "vector_topk_ivfpq_trained",
-            "stream_decontaminate", "hll_sliding_distinct"}
+            "stream_decontaminate", "hll_sliding_distinct",
+            "scd2_customer_history", "ivm_signed_aggregate",
+            "per_group_sample"}
 
 
 def _r1_attested() -> set[str]:
