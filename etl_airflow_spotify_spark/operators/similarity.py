@@ -118,6 +118,21 @@ def _cell_scores(vec_d: Column, n_cells: int, dim: int) -> Column:
         ))
 
 
+def _cell_scores_l2(vec_d: Column, n_cells: int, dim: int) -> Column:
+    """L2 variant of ``_cell_scores``: d = NEGATED squared distance to
+    each centroid, so array_max still ranks best-first (nearest cell).
+    Used by the residual (IVFADC) path, whose coarse quantizer must be
+    a plain L2 k-means — residuals only shrink when the centroid is the
+    cell MEAN, not a unit direction."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_cells - 1)),
+        lambda ci: F.struct(
+            (-_sqdist(vec_d, F.slice(F.col("__cents"), ci * dim + 1, dim)))
+            .alias("d"),
+            ci.cast("int").alias("i"),
+        ))
+
+
 def ivf_topk_cosine(corpus: DataFrame, queries: DataFrame, k: int,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_cells: int = 16, n_probe: int = 4,
@@ -444,17 +459,25 @@ def ivfpq_topk_cosine(corpus: DataFrame, queries: DataFrame, k: int,
 def train_kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
                            dim: int = 64, iters: int = 5,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> list[list[float]]:
+                           vec_col: str = "embedding",
+                           metric: str = "dot") -> list[list[float]]:
     """Train the IVF coarse quantizer with Lloyd's k-means expressed as
-    DataFrame ops: assign each vector to its best current cell (argmax
-    dot against unit centroids), average per cell, re-normalize,
-    repeat. Initialization is the first ``n_cells`` vectors by id —
-    deterministic, no RNG. Each iteration is one scan + one groupBy;
-    only k x dim doubles ever reach the driver, so training cost is
-    iters scans of the corpus regardless of cluster size.
+    DataFrame ops: assign each vector to its best current cell, average
+    per cell, repeat. Initialization is the first ``n_cells`` vectors
+    by id — deterministic, no RNG. Each iteration is one scan + one
+    groupBy; only k x dim doubles ever reach the driver, so training
+    cost is iters scans of the corpus regardless of cluster size.
 
-    Returns a plain list ready to pass to ``ivf_topk_cosine`` — the
-    query plan is identical to the random-codebook path.
+    ``metric="dot"`` (default): spherical k-means for cosine IVF —
+    assignment by argmax dot, centroids re-normalized to unit length
+    each round. ``metric="l2"``: plain Lloyd's — assignment by argmin
+    squared distance, centroids are cell MEANS. The l2 form is what the
+    residual (IVFADC) path needs: residuals v - mean shrink; residuals
+    against a unit direction generally don't.
+
+    Returns a plain list ready to pass to ``ivf_topk_cosine`` /
+    ``ivfpq_residual_topk`` — the query plan is identical to the
+    random-codebook path.
     """
     import math
 
@@ -466,11 +489,13 @@ def train_kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
         s = math.sqrt(sum(x * x for x in v)) or 1.0
         return [x / s for x in v]
 
-    cents = [unit(v) for v in cents]
+    post = unit if metric == "dot" else (lambda v: v)
+    scorer = _cell_scores if metric == "dot" else _cell_scores_l2
+    cents = [post(v) for v in cents]
     base = corpus.select(as_double(F.col(vec_col)).alias("v"))
     for _ in range(iters):
         book = _codebook_df(corpus.sparkSession, cents)
-        cell = F.array_max(_cell_scores(F.col("v"), n_cells, dim))["i"]
+        cell = F.array_max(scorer(F.col("v"), n_cells, dim))["i"]
         means = (base.crossJoin(F.broadcast(book))
                  .withColumn("cell", cell)
                  .groupBy("cell")
@@ -479,17 +504,26 @@ def train_kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
                  .collect())
         new = list(cents)
         for row in means:
-            new[row["cell"]] = unit([row[f"m{i}"] for i in range(dim)])
+            new[row["cell"]] = post([row[f"m{i}"] for i in range(dim)])
         if new == cents:
             break
         cents = new
     return cents
 
 
+def _residual(vec_d: Column, cell: Column, dim: int) -> Column:
+    """vec - coarse_centroid[cell], reading the centroid from the
+    broadcast ``__cents`` column."""
+    cent = F.slice(F.col("__cents"), cell * dim + 1, dim)
+    return F.zip_with(vec_d, cent, lambda x, y: x - y)
+
+
 def train_pq_codebook(corpus: DataFrame, m: int = 8, k_pq: int = 16,
                       dim: int = 64, iters: int = 5,
                       id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> list[list[float]]:
+                      vec_col: str = "embedding",
+                      coarse: list[list[float]] | None = None
+                      ) -> list[list[float]]:
     """Train the product-quantization codebook with per-subspace Lloyd's
     k-means, expressed as DataFrame ops over the EXPLODED subvectors:
     every corpus vector contributes m rows (subspace, subvector); one
@@ -510,20 +544,42 @@ def train_pq_codebook(corpus: DataFrame, m: int = 8, k_pq: int = 16,
     sit where the data actually lies (Jegou et al. train on samples for
     exactly this reason), which tightens ADC ranking and lifts recall
     at the same overfetch.
+
+    With ``coarse`` set (a list of coarse-quantizer centroids) the
+    codebook is trained on RESIDUALS v - centroid[cell(v)] — the
+    IVFADC formulation: residuals concentrate near zero once the coarse
+    quantizer has absorbed the between-cell variance, so the same
+    k_pq codewords cover them more tightly than the raw vectors
+    (reconstruction-MSE win asserted in pytest).
     """
     sub_dim = dim // m
     spark = corpus.sparkSession
 
-    first = (corpus.orderBy(id_col).limit(k_pq)
-             .select(as_double(F.col(vec_col)).alias("v")).collect())
+    base = corpus.select(F.col(id_col).alias("_id"),
+                         as_double(F.col(vec_col)).alias("v"))
+    if coarse is not None:
+        # residual mode: coarse must be L2-trained cell MEANS
+        # (train_kmeans_centroids(metric="l2")); assignment mirrors
+        # ivfpq_residual_topk's encode-time rule exactly
+        n_cells = len(coarse)
+        book_df = _codebook_df(spark, coarse)
+        base = (base.crossJoin(F.broadcast(book_df))
+                .withColumn(
+                    "cell",
+                    F.array_max(
+                        _cell_scores_l2(F.col("v"), n_cells, dim))["i"])
+                .select("_id",
+                        _residual(F.col("v"), F.col("cell"), dim).alias("v")))
+
+    first = base.orderBy("_id").limit(k_pq).select("v").collect()
     book = [list(row["v"][s * sub_dim:(s + 1) * sub_dim])
             for s in range(m) for row in first]
 
-    subs = corpus.select(
+    subs = base.select(
         F.explode(F.array(*[
             F.struct(F.lit(s).alias("s"),
-                     F.slice(as_double(F.col(vec_col)),
-                             s * sub_dim + 1, sub_dim).alias("sv"))
+                     F.slice(F.col("v"), s * sub_dim + 1, sub_dim)
+                     .alias("sv"))
             for s in range(m)])).alias("e")
     ).select(F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
 
@@ -552,6 +608,96 @@ def train_pq_codebook(corpus: DataFrame, m: int = 8, k_pq: int = 16,
             break
         book = new
     return book
+
+
+def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                        coarse: list[list[float]],
+                        pq_codebook: list[list[float]],
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_probe: int = 4, m: int = 8, k_pq: int = 16,
+                        dim: int = 64, overfetch: int = 4,
+                        score_digits: int = 6) -> DataFrame:
+    """IVFADC proper (Jegou et al. 2011): PQ codes quantize the
+    RESIDUAL v - centroid[cell], and the ADC estimate of dot(q, v)
+    decomposes as dot(q, centroid[cell]) + dot(q, decode(codes)) — the
+    centroid term is one dot per (query, probed cell), the residual
+    term the usual m codeword lookups. ``coarse`` must be L2 cell
+    MEANS (``train_kmeans_centroids(metric="l2")``): cell assignment
+    here is nearest-mean, the only rule under which residuals shrink. Residuals cluster near zero
+    after a trained coarse quantizer absorbs between-cell variance, so
+    the same m x k_pq code budget reconstructs v more tightly than
+    direct PQ (MSE law pinned in pytest) and ADC ranks candidates more
+    faithfully at the same overfetch.
+
+    Same scale shape as ``ivfpq_topk_cosine``: candidates are ranked
+    from codes + norms only (decimal-exact, order-independent sums),
+    exact vectors fetched just for the overfetch*k survivors.
+    Returns (query_id, cand_id, score, rn).
+    """
+    sub_dim = dim // m
+    n_cells = len(coarse)
+    spark = corpus.sparkSession
+    book = _codebook_df(spark, coarse)
+    pq_book = _pq_book_df(spark, m, k_pq, sub_dim, codebook=pq_codebook)
+
+    base = spread(corpus.select(F.col(id_col).alias("cand_id"),
+                                as_double(F.col(vec_col)).alias("c_vec")),
+                  "cand_id")
+    c = (base.crossJoin(F.broadcast(book))
+         .withColumn("cell",
+                     F.array_max(_cell_scores_l2(F.col("c_vec"),
+                                                 n_cells, dim))["i"])
+         .crossJoin(F.broadcast(pq_book))
+         .select("cand_id", "cell",
+                 norm(F.col("c_vec")).alias("c_norm"),
+                 _pq_codes(_residual(F.col("c_vec"), F.col("cell"), dim),
+                           m, k_pq, sub_dim).alias("codes")))
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("q_vec"))
+    q = q.crossJoin(F.broadcast(book)).select(
+        "query_id", "q_vec", norm(F.col("q_vec")).alias("q_norm"),
+        F.slice(F.reverse(F.array_sort(
+            _cell_scores_l2(F.col("q_vec"), n_cells, dim))), 1, n_probe)
+        .alias("probes"),
+        "__cents",
+    ).select("query_id", "q_vec", "q_norm", "__cents",
+             F.explode(F.transform("probes", lambda s: s["i"])).alias("cell"))
+    # dot(q, centroid[cell]) — the residual decomposition's first term,
+    # one value per (query, probed cell)
+    q = q.select("query_id", "q_vec", "q_norm", "cell",
+                 F.round(F.aggregate(
+                     F.zip_with(F.col("q_vec"),
+                                F.slice(F.col("__cents"),
+                                        F.col("cell") * dim + 1, dim),
+                                lambda x, y: x * y),
+                     F.lit(0.0), lambda a, v: a + v), 9)
+                 .cast("decimal(28,9)").alias("q_cent_dot"))
+
+    sel_w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("cand_id"))
+    cand = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(pq_book))
+        .select("query_id", "q_vec", "q_norm", "cand_id",
+                (F.col("q_cent_dot")
+                 + _adc_score(F.col("q_vec"), F.col("codes"), m, k_pq,
+                              sub_dim)).cast("decimal(28,9)").alias("adc"))
+        .withColumn("sel_rn", F.row_number().over(sel_w))
+        .filter(F.col("sel_rn") <= overfetch * k)
+    )
+    exact = cand.join(base, "cand_id").select(
+        "query_id", "cand_id",
+        F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * norm(F.col("c_vec"))), score_digits)
+        .alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("cand_id"))
+    return (exact.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "cand_id", "score",
+                    F.col("rn").cast("long").alias("rn")))
 
 
 def build_ivfpq_index(corpus: DataFrame, path: str,

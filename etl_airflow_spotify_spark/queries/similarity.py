@@ -366,6 +366,29 @@ def vector_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vector_topk_ivfpq_residual",
+    None,  # approximate + data-trained codebooks; laws in pytest
+    doc="Full IVFADC (Jegou et al. 2011): k-means-trained coarse "
+        "quantizer + PQ codebook trained on RESIDUALS "
+        "v - centroid[cell], ADC decomposed as dot(q, centroid) + "
+        "dot(q, decode(residual codes)). Residuals concentrate near "
+        "zero once the coarse quantizer absorbs between-cell variance, "
+        "so the same 8x16 code budget reconstructs vectors more "
+        "tightly than direct PQ — reconstruction-MSE and recall laws "
+        "pinned in pytest (deterministic: Lloyd's from first-k init, "
+        "no RNG). Same serving shape as vector_topk_ivfpq: rank from "
+        "codes, fetch exact vectors only for overfetch*k survivors.",
+    tags=("X17", "X24"),
+)
+def vector_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = S.train_kmeans_centroids(emb, iters=3, metric="l2")
+    book = S.train_pq_codebook(emb, iters=3, coarse=coarse)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.ivfpq_residual_topk(emb, queries, K, coarse, book)
+
+
+@register(
     "vector_topk_ivfpq_persisted",
     _ivfpq_oracle_sql(),
     doc="IVF-PQ search against a PERSISTED two-table layout: a "

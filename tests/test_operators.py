@@ -255,6 +255,87 @@ def test_trained_pq_codebook_tightens_quantization(spark, sf_dir):
     assert len(tr & exact) >= len(sd & exact)
 
 
+def _clustered_corpus(spark, n_clusters=16, per_cluster=40, dim=64):
+    """Deterministic corpus WITH cluster structure — the data regime
+    IVFADC is designed for (residuals shrink once the coarse quantizer
+    absorbs between-cluster variance). Seeded RNG, so every run builds
+    the identical corpus."""
+    import random
+
+    rng = random.Random(99)
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)]
+               for _ in range(n_clusters)]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            rows.append((vid, [x + rng.gauss(0.0, 0.05) for x in c]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+
+def test_residual_pq_beats_direct_pq_reconstruction(spark):
+    """IVFADC law on clustered data: with an L2-trained coarse
+    quantizer, PQ over residuals must reconstruct vectors (centroid +
+    decoded residual) with materially lower MSE than direct PQ over raw
+    vectors at the same m x k_pq budget — and end-to-end recall must
+    not lose to the seeded-codebook path. Deterministic end to end
+    (seeded corpus, Lloyd's from first-k inits)."""
+    from etl_airflow_spotify_spark.operators.similarity import (
+        _cell_scores_l2, _codebook_df, _pq_codes, _residual, as_double,
+        ivfpq_residual_topk, ivfpq_topk_cosine, topk_cosine,
+        train_kmeans_centroids, train_pq_codebook)
+
+    m, k_pq, sub_dim, dim = 8, 16, 8, 64
+    emb = _clustered_corpus(spark)
+    coarse = train_kmeans_centroids(emb, iters=3, metric="l2")
+    res_book = train_pq_codebook(emb, iters=3, coarse=coarse)
+    raw_book = train_pq_codebook(emb, iters=3)
+
+    def recon_mse(book, use_residual):
+        flat = [x for c in book for x in c]
+        pq = spark.createDataFrame([(flat,)], "__pq: array<double>")
+        df = (emb.select(as_double(F.col("embedding")).alias("v"))
+              .crossJoin(F.broadcast(_codebook_df(spark, coarse)))
+              .crossJoin(F.broadcast(pq)))
+        if use_residual:
+            cell = F.array_max(_cell_scores_l2(F.col("v"), len(coarse),
+                                               dim))["i"]
+            target = _residual(F.col("v"), cell, dim)
+        else:
+            target = F.col("v")
+        codes = _pq_codes(target, m, k_pq, sub_dim)
+        # reconstruction error = sum over subspaces of ||t_s - cw_s||^2
+        err = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc + F.aggregate(
+                F.zip_with(
+                    F.slice(target, s * sub_dim + 1, sub_dim),
+                    F.slice(F.col("__pq"),
+                            (s * k_pq + F.element_at(codes, s + 1))
+                            * sub_dim + 1, sub_dim),
+                    lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, v: a + v))
+        return df.agg(F.avg(err)).first()[0]
+
+    # on clustered data residual PQ should dominate by a wide margin
+    assert recon_mse(res_book, True) < 0.25 * recon_mse(raw_book, False)
+
+    # overfetch must cover the cluster size here: within a cluster all
+    # vectors are near-identical, so ADC differences are sub-noise and
+    # selection below cluster size is effectively arbitrary among them
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.cand_id) for r in topk_cosine(emb, q, 5).collect()}
+    res = {(r.query_id, r.cand_id)
+           for r in ivfpq_residual_topk(emb, q, 5, coarse, res_book,
+                                        overfetch=8).collect()}
+    seeded = {(r.query_id, r.cand_id)
+              for r in ivfpq_topk_cosine(emb, q, 5, overfetch=8).collect()}
+    assert len(res & exact) >= len(seeded & exact)
+    assert len(res & exact) / len(exact) >= 0.8
+
+
 def test_ivf_persisted_matches_in_job_ivf(spark, sf_dir, tmp_path):
     """build_ivf_index + search_ivf_index is a pure re-layout of the
     one-job IVF: same codebook, same probes, identical (query, cand,
