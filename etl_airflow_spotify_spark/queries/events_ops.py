@@ -476,3 +476,123 @@ def concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.least("a_e", "b_e").cast("date"),
                    F.greatest("a_s", "b_s").cast("date"))
          .alias("overlap_days"))
+
+
+# --------------------------------------------------------------------------
+# Funnel + cohort analytics: the two workhorse event-analytics shapes.
+# --------------------------------------------------------------------------
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    u1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+    u2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN u1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > u1.t1
+           GROUP BY e.user_id),
+    u3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+           JOIN u2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+           GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_stage,
+           t1, t2, t3
+    FROM u LEFT JOIN u1 USING (user_id)
+           LEFT JOIN u2 USING (user_id)
+           LEFT JOIN u3 USING (user_id)
+    """,
+    doc="Ordered-funnel analysis (view -> click -> purchase, strictly "
+        "increasing timestamps): each user's event stream is folded "
+        "ONCE — collect_list(struct) -> array_sort -> F.aggregate state "
+        "machine, all JVM HOFs — so the whole funnel costs ONE shuffle "
+        "on user_id regardless of stage count. The relational "
+        "formulation (the oracle) needs a join + re-aggregation PER "
+        "STAGE, which at 100 TB is k shuffles of the full event table "
+        "vs this plan's one; strict '>' stage transitions make "
+        "tie-order irrelevant, so both formulations provably agree "
+        "(the hash match is that proof).",
+    tags=("X7", "X11", "X14", "X21"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    ts_t = "timestamp_ntz"
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.lit(None).cast(ts_t).alias("t1"),
+        F.lit(None).cast(ts_t).alias("t2"),
+        F.lit(None).cast(ts_t).alias("t3"))
+
+    def step(st, e):
+        adv1 = (st["stage"] == 0) & (e["event_type"] == "view")
+        adv2 = ((st["stage"] == 1) & (e["event_type"] == "click")
+                & (e["ts"] > st["t1"]))
+        adv3 = ((st["stage"] == 2) & (e["event_type"] == "purchase")
+                & (e["ts"] > st["t2"]))
+        return F.struct(
+            F.when(adv1, 1).when(adv2, 2).when(adv3, 3)
+            .otherwise(st["stage"]).cast("int").alias("stage"),
+            F.when(adv1, e["ts"]).otherwise(st["t1"]).alias("t1"),
+            F.when(adv2, e["ts"]).otherwise(st["t2"]).alias("t2"),
+            F.when(adv3, e["ts"]).otherwise(st["t3"]).alias("t3"))
+
+    folded = (
+        ev.groupBy("user_id")
+        # struct field order (ts, event_id, ...) = the sort key: ts
+        # first, unique event_id second -> total order, ties resolved
+        .agg(F.array_sort(F.collect_list(
+            F.struct("ts", "event_id", "event_type"))).alias("evs"))
+        .select("user_id",
+                F.aggregate("evs", init, step).alias("f")))
+    return folded.select(
+        "user_id",
+        F.col("f.stage").cast("long").alias("funnel_stage"),
+        F.col("f.t1").alias("t1"), F.col("f.t2").alias("t2"),
+        F.col("f.t3").alias("t3"))
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH first_seen AS (
+        SELECT user_id, time_bucket(INTERVAL 7 DAYS, MIN(ts),
+                                    TIMESTAMP '2024-01-01') AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day',
+                          cohort_week,
+                          time_bucket(INTERVAL 7 DAYS, e.ts,
+                                      TIMESTAMP '2024-01-01')) // 7
+                AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN first_seen USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users grouped by first-activity week "
+        "(anchored 7-day buckets), distinct active users per (cohort, "
+        "week offset) — THE standard retention triangle. Two shuffles "
+        "total: min-ts per user (map-side combined), then the "
+        "count-distinct agg; the first_seen side is user-cardinality "
+        "(small) and broadcasts at real scale.",
+    tags=("X7", "X8", "X14"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("user_id", "ts")
+    anchor = "2024-01-01"
+    week = lambda c: F.timestamp_seconds(  # noqa: E731
+        F.unix_timestamp(F.lit(anchor).cast("timestamp"))
+        + (F.floor((F.unix_timestamp(c)
+                    - F.unix_timestamp(F.lit(anchor).cast("timestamp")))
+                   / (7 * 86400)) * 7 * 86400)).cast("timestamp_ntz")
+    first_seen = (ev.groupBy("user_id")
+                  .agg(week(F.min("ts")).alias("cohort_week")))
+    j = ev.join(first_seen, "user_id")
+    return (j.groupBy(
+                "cohort_week",
+                F.floor(F.datediff(week(F.col("ts")), F.col("cohort_week"))
+                        / 7).cast("long").alias("week_offset"))
+            .agg(F.count_distinct("user_id").cast("long").alias("n_active")))

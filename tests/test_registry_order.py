@@ -26,7 +26,8 @@ DEFERRED = {"small_qty_revenue", "brand_filter_revenue",
             "zorder_rectangle_scan", "vector_topk_ivfpq_trained",
             "stream_decontaminate", "hll_sliding_distinct",
             "scd2_customer_history", "ivm_signed_aggregate",
-            "per_group_sample", "vector_topk_ivfpq_residual"}
+            "per_group_sample", "vector_topk_ivfpq_residual",
+            "funnel_view_click_purchase", "cohort_retention"}
 
 
 def _r1_attested() -> set[str]:
