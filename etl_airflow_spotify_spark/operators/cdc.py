@@ -191,3 +191,36 @@ def scd2_history(snapshot: DataFrame, changes: DataFrame, key: str,
             .select(F.col(key), *data_cols,
                     F.col(ts_col).alias("valid_from"), "valid_to",
                     F.col("valid_to").isNull().alias("is_current")))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Row-level diff of two snapshot versions sharing a schema: one
+    FULL OUTER join on the key, null-safe column comparison, rows
+    classified 'added' / 'deleted' / 'changed' ('unchanged' rows are
+    dropped — the diff of a 100 TB table is change-sized, not
+    table-sized). Returns (key, change_type, old_<col>..., new_<col>...).
+
+    The audit primitive behind "what did this pipeline run actually
+    change?" — pairs with cdc_merge (diff of input vs merged output ==
+    the effective changelog) and with table fingerprints for
+    cheap-first verification (compare fingerprints, diff only on
+    mismatch). With both versions bucketed by key the join plans
+    shuffle-free."""
+    data_cols = [c for c in old.columns if c != key]
+    o = old.select(F.col(key).alias("_ok"),
+                   *[F.col(c).alias(f"_o_{c}") for c in data_cols])
+    n = new.select(F.col(key).alias("_nk"),
+                   *[F.col(c).alias(f"_n_{c}") for c in data_cols])
+    j = o.join(n, o["_ok"] == n["_nk"], "full_outer")
+    same = F.lit(True)
+    for c in data_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    change = (F.when(F.col("_ok").isNull(), "added")
+              .when(F.col("_nk").isNull(), "deleted")
+              .when(~same, "changed")
+              .otherwise("unchanged"))
+    return (j.withColumn("change_type", change)
+            .filter(F.col("change_type") != "unchanged")
+            .select(F.coalesce("_ok", "_nk").alias(key), "change_type",
+                    *[F.col(f"_o_{c}").alias(f"old_{c}") for c in data_cols],
+                    *[F.col(f"_n_{c}").alias(f"new_{c}") for c in data_cols]))

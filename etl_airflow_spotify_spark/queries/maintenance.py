@@ -215,6 +215,133 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_diff_audit",
+    """
+    WITH latest AS (
+        SELECT user_id, event_type, value FROM (
+            SELECT user_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    ch AS (
+        SELECT user_id AS c_custkey,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               'cdc:' || CAST(user_id AS VARCHAR) AS c_name,
+               ROUND(value * 1000, 2) AS c_acctbal,
+               upper(event_type) AS c_mktsegment
+        FROM latest
+    ),
+    merged AS (
+        SELECT COALESCE(s.c_custkey, ch.c_custkey) AS c_custkey,
+               CASE WHEN ch.c_custkey IS NULL THEN s.c_name
+                    ELSE ch.c_name END AS c_name,
+               CASE WHEN ch.c_custkey IS NULL THEN s.c_acctbal
+                    ELSE ch.c_acctbal END AS c_acctbal,
+               CASE WHEN ch.c_custkey IS NULL THEN s.c_mktsegment
+                    ELSE ch.c_mktsegment END AS c_mktsegment
+        FROM customer s FULL OUTER JOIN ch ON s.c_custkey = ch.c_custkey
+        WHERE ch.op IS NULL OR ch.op <> 'D'
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'deleted'
+                ELSE 'changed' END AS change_type,
+           ROUND(o.c_acctbal, 2) AS old_acctbal,
+           ROUND(n.c_acctbal, 2) AS new_acctbal,
+           o.c_mktsegment AS old_segment, n.c_mktsegment AS new_segment
+    FROM customer o FULL OUTER JOIN merged n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR NOT (o.c_name IS NOT DISTINCT FROM n.c_name
+               AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+               AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
+    """,
+    doc="Pipeline-run audit: the row-level diff between the customer "
+        "snapshot BEFORE and AFTER a full-row CDC merge — one "
+        "null-safe FULL OUTER join classifying rows added / deleted / "
+        "changed, unchanged rows dropped so the output is change-"
+        "sized, never table-sized. This is 'what did this run actually "
+        "do?': diff(input, merge(input, changelog)) recovers the "
+        "EFFECTIVE changelog, and the oracle replays merge + diff "
+        "relationally, hash-pinning both. Pairs with bucketed layouts "
+        "(both sides keyed alike -> shuffle-free join at 100 TB).",
+    tags=("X31", "X3", "X13"),
+)
+def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import cdc_merge, snapshot_diff
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    # full-row changes (cdc_merge coalesces, so supply every column)
+    changes = _customer_changes(spark, sf_dir)
+    merged = cdc_merge(cust, changes, "c_custkey",
+                       seq_cols=["ts", "event_id"])
+    d = snapshot_diff(cust, merged, "c_custkey")
+    return d.select(
+        "c_custkey", "change_type",
+        F.round("old_c_acctbal", 2).alias("old_acctbal"),
+        F.round("new_c_acctbal", 2).alias("new_acctbal"),
+        F.col("old_c_mktsegment").alias("old_segment"),
+        F.col("new_c_mktsegment").alias("new_segment"))
+
+
+@register(
+    "table_fingerprints",
+    """
+    SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5(
+               COALESCE(CAST(c_custkey AS VARCHAR), '∅') || '|' ||
+               COALESCE(c_name, '∅') || '|' ||
+               COALESCE(CAST(c_acctbal AS VARCHAR), '∅') || '|' ||
+               COALESCE(c_mktsegment, '∅')), 1, 15))::BIGINT)
+           AS fingerprint
+    FROM customer
+    UNION ALL
+    SELECT 'nation', CAST(COUNT(*) AS BIGINT),
+           bit_xor(('0x' || substr(md5(
+               COALESCE(CAST(n_nationkey AS VARCHAR), '∅') || '|' ||
+               COALESCE(n_name, '∅')), 1, 15))::BIGINT)
+    FROM nation
+    UNION ALL
+    SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+           bit_xor(('0x' || substr(md5(
+               COALESCE(CAST(o_orderkey AS VARCHAR), '∅') || '|' ||
+               COALESCE(CAST(o_custkey AS VARCHAR), '∅') || '|' ||
+               COALESCE(o_orderstatus, '∅')), 1, 15))::BIGINT)
+    FROM orders
+    """,
+    doc="Order-independent table fingerprints: per row, a 60-bit "
+        "md5 of the null-sentineled column rendering; per table, the "
+        "XOR-aggregate of row hashes + exact count. XOR is commutative/"
+        "associative with no overflow, so the fingerprint is invariant "
+        "to row order, partitioning and merge plan — two replicas (or "
+        "two engines, as the oracle proves) agree iff their row "
+        "multisets agree (up to XOR collision). THE cheap cross-"
+        "replica/post-migration verification at 100 TB: one scan, one "
+        "8-byte answer per table, no sort; on mismatch, "
+        "snapshot_diff_audit localizes the rows.",
+    tags=("X7", "X14", "X13"),
+)
+def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def fp(name: str, cols: list[str]) -> DataFrame:
+        t = load_table(spark, sf_dir, name)
+        rendered = F.concat_ws(
+            "|", *[F.coalesce(F.col(c).cast("string"), F.lit("∅"))
+                   for c in cols])
+        h = F.conv(F.substring(F.md5(rendered), 1, 15), 16, 10).cast("long")
+        return (t.agg(F.count("*").cast("long").alias("n_rows"),
+                      F.bit_xor(h).alias("fingerprint"))
+                .select(F.lit(name).alias("tbl"), "n_rows", "fingerprint"))
+
+    return (fp("customer", ["c_custkey", "c_name", "c_acctbal",
+                            "c_mktsegment"])
+            .unionByName(fp("nation", ["n_nationkey", "n_name"]))
+            .unionByName(fp("orders", ["o_orderkey", "o_custkey",
+                                       "o_orderstatus"])))
+
+
+@register(
     "ivm_signed_aggregate",
     """
     WITH e AS (

@@ -27,7 +27,8 @@ DEFERRED = {"small_qty_revenue", "brand_filter_revenue",
             "stream_decontaminate", "hll_sliding_distinct",
             "scd2_customer_history", "ivm_signed_aggregate",
             "per_group_sample", "vector_topk_ivfpq_residual",
-            "funnel_view_click_purchase", "cohort_retention"}
+            "funnel_view_click_purchase", "cohort_retention",
+            "snapshot_diff_audit", "table_fingerprints"}
 
 
 def _r1_attested() -> set[str]:
