@@ -220,3 +220,62 @@ def test_ivfpq_persisted_prunes_codes_and_pushes_id_fetch(spark, sf_dir):
         "codes scan is not partition-pruned to probed cells"
     assert re.search(r"PushedFilters: \[[^\]]*[Ii]n\(cand_id[^\]]*\]", plan), \
         "candidate-id fetch filter not pushed to the vectors scan"
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    """The funnel's whole point: sorted-array fold = ONE exchange on
+    user_id for the entire multi-stage state machine (the relational
+    formulation would shuffle once per stage)."""
+    df = _df("funnel_view_click_purchase", spark, sf_dir)
+    assert num_exchanges(df) == 1
+    assert not has_cartesian_product(df)
+
+
+def test_zorder_probe_prunes_and_partial_aggs(spark, sf_dir):
+    from etl_airflow_spotify_spark.queries.scale import (build_zorder_layout,
+                                                         zorder_probe)
+
+    build_zorder_layout(spark, sf_dir)
+    df = zorder_probe(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_partkey" in pf and "l_suppkey" in pf
+    # scan reads only the probe's columns
+    (schema,) = read_schemas(df)
+    assert "l_orderkey" not in schema
+    assert num_nodes(df, "HashAggregate") == 2  # partial + final
+
+
+def test_ivm_partials_are_map_side_combined(spark, sf_dir):
+    """Each IVM slice must plan partial+final aggregates (map-side
+    combine) — the property that keeps per-batch shuffle volume at
+    group count, not row count. 4 slices + 4 merges, each pair
+    2 HashAggregates; the final projection adds none."""
+    df = _df("ivm_signed_aggregate", spark, sf_dir)
+    assert num_nodes(df, "HashAggregate") >= 8
+    assert not has_cartesian_product(df)
+
+
+def test_snapshot_diff_is_change_sized(spark, sf_dir):
+    """snapshot_diff must emit only changed rows (its 100 TB contract:
+    diff output is change-sized, not table-sized) and plan without a
+    cartesian product."""
+    import pyspark.sql.functions as F
+
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators.cdc import snapshot_diff
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    # new version: one key changed, one deleted, one added
+    changed = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") == 1, F.col("c_acctbal") + 1)
+        .otherwise(F.col("c_acctbal"))).filter(F.col("c_custkey") != 2)
+    added = cust.filter(F.col("c_custkey") == 3).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        "c_name", "c_acctbal")
+    new = changed.unionByName(added)
+    d = snapshot_diff(cust, new, "c_custkey")
+    assert not has_cartesian_product(d)
+    rows = {r["change_type"]: r["c_custkey"] for r in d.collect()}
+    assert rows == {"changed": 1, "deleted": 2, "added": 1_000_003}
