@@ -131,3 +131,35 @@ def rowgroup_prune_stats(path: str,
             matching += hit
     return {"total": total, "matching": matching,
             "fraction": (matching / total) if total else 1.0}
+
+
+def compact_files(spark, src_path: str, dst_path: str,
+                  target_bytes: int = 1 << 30) -> dict:
+    """Small-files compaction: rewrite a fragmented parquet directory
+    into ceil(total_bytes / target_bytes) files via ``coalesce`` — NO
+    shuffle (coalesce only merges read splits), so compaction cost is
+    one read + one write regardless of fragment count. The operational
+    fix for the classic small-files problem (a 100 TB table ingested in
+    10k micro-batches accumulates millions of KB-sized files whose
+    open/footer overhead dominates scans; Delta OPTIMIZE / Iceberg
+    rewrite_data_files are this same operation).
+
+    File sizes come from the Hadoop FileSystem API (works on HDFS/S3/
+    local alike). Returns {"files_before", "files_after", "bytes"}.
+    """
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    sizes = [st.getLen() for st in fs.listStatus(hpath)
+             if st.getPath().getName().endswith(".parquet")]
+    total = sum(sizes)
+    n_out = max(1, math.ceil(total / target_bytes))
+    (spark.read.parquet(src_path).coalesce(n_out)
+     .write.mode("overwrite").parquet(dst_path))
+    dpath = jvm.org.apache.hadoop.fs.Path(dst_path)
+    after = [st for st in fs.listStatus(dpath)
+             if st.getPath().getName().endswith(".parquet")]
+    return {"files_before": len(sizes), "files_after": len(after),
+            "bytes": total}

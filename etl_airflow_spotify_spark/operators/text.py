@@ -133,3 +133,46 @@ def tfidf_cosine_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def chunk_documents(docs, id_col: str, text_col: str,
+                    chunk_tokens: int = 64, overlap: int = 16):
+    """Split documents into overlapping fixed-token chunks — the
+    RAG-ingestion / context-window prep step. Chunk i of a doc covers
+    tokens [1 + i*stride, 1 + i*stride + chunk_tokens) with stride =
+    chunk_tokens - overlap; every doc yields >= 1 chunk; the final
+    chunk may be short. All JVM HOFs: tokenize once, explode a
+    ``sequence`` of chunk indices, slice per chunk — no UDF, and the
+    explode keeps per-row memory at one chunk, not one document, so a
+    100 TB corpus chunks as a pure map stage (zero shuffle).
+
+    Chunk count uses the integer identity ceil((n-o)/s) ==
+    (n - o + s - 1) DIV s (operands always positive here), which both
+    Spark and an exact SQL oracle compute identically — no float ceil.
+
+    Returns (id, chunk_id, start_tok, chunk_tok, chunk_text).
+    """
+    import pyspark.sql.functions as F
+
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.expr(f"(size(split(trim({text_col}), '\\\\s+')) - {overlap} "
+               f"+ {stride - 1}) DIV {stride}"))
+    d = docs.select(F.col(id_col), toks.alias("_toks"),
+                    n_chunks.alias("_k"))
+    return (d.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.col("_k") - 1)).alias("chunk_id"),
+        F.col("_toks"))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("chunk_id") * stride + 1).cast("long").alias("start_tok"),
+            F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1,
+                    chunk_tokens).alias("_chunk"))
+        .select(
+            id_col, "chunk_id", "start_tok",
+            F.size("_chunk").cast("long").alias("chunk_tok"),
+            F.array_join(F.col("_chunk"), " ").alias("chunk_text")))

@@ -228,3 +228,59 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.tfidf_cosine_pairs(_docs(spark, sf_dir))
+
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@register(
+    "document_chunking",
+    rf"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, ts,
+               GREATEST(1, (len(ts) - {CHUNK_OVERLAP} + {_STRIDE - 1})
+                           // {_STRIDE}) AS n_chunks
+        FROM d
+    ),
+    c AS (
+        SELECT doc_id, ts,
+               unnest(generate_series(0, CAST(n_chunks - 1 AS INTEGER)))
+                   AS chunk_id
+        FROM k
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * {_STRIDE} + 1 AS BIGINT) AS start_tok,
+           CAST(len(ts[CAST(chunk_id * {_STRIDE} + 1 AS INTEGER)
+                       :CAST(chunk_id * {_STRIDE} + {CHUNK_TOKENS} AS INTEGER)])
+                AS BIGINT) AS chunk_tok,
+           md5(array_to_string(
+               ts[CAST(chunk_id * {_STRIDE} + 1 AS INTEGER)
+                  :CAST(chunk_id * {_STRIDE} + {CHUNK_TOKENS} AS INTEGER)], ' '))
+               AS chunk_md5
+    FROM c
+    """,
+    doc=f"RAG-ingestion chunking: every document split into overlapping "
+        f"{CHUNK_TOKENS}-token windows (stride {_STRIDE}, overlap "
+        f"{CHUNK_OVERLAP}; short docs yield one short chunk). Tokenize "
+        "once -> explode a sequence of chunk indices -> slice: all JVM "
+        "HOFs, zero shuffle — a pure map stage at 100 TB whose explode "
+        "keeps task memory at one chunk, not one document. chunk_md5 "
+        "pins the EXACT chunk text in the hash check; chunk counts use "
+        "an integer ceil identity both engines compute identically.",
+    tags=("X18", "X14", "X27"),
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import chunk_documents
+
+    d = _docs(spark, sf_dir)
+    ch = chunk_documents(d, "doc_id", "text",
+                         chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP)
+    return ch.select(
+        "doc_id", "chunk_id", "start_tok", "chunk_tok",
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"))

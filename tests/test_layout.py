@@ -131,3 +131,40 @@ def test_zorder_probe_pushes_rectangle_filters(spark, sf_dir):
     import re
     assert re.search(r"l_partkey#\d+L? >= ", plan), plan
     assert re.search(r"l_suppkey#\d+L? >= ", plan), plan
+
+
+def test_compact_files_merges_without_shuffle(spark, sf_dir, tmp_path):
+    """Compaction contract: fragment count collapses to the byte-target
+    count, data survives bit-for-bit (count + checksums), and the plan
+    has NO Exchange — coalesce merges read splits instead of shuffling."""
+    from etl_airflow_spotify_spark.operators.layout import compact_files
+    from etl_airflow_spotify_spark.plans import num_exchanges
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice")
+    frag = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(frag)
+
+    compacted = str(tmp_path / "compacted")
+    stats = compact_files(spark, frag, compacted,
+                          target_bytes=max(1, stats_bytes(spark, frag) // 4))
+    assert stats["files_before"] == 64
+    assert 1 <= stats["files_after"] <= 5
+
+    a = li.agg(F.count("*"), F.sum("l_orderkey"),
+               F.round(F.sum("l_extendedprice"), 2)).first()
+    b = spark.read.parquet(compacted).agg(
+        F.count("*"), F.sum("l_orderkey"),
+        F.round(F.sum("l_extendedprice"), 2)).first()
+    assert tuple(a) == tuple(b)
+
+    # plan-level: the coalesced read itself contains no Exchange
+    assert num_exchanges(spark.read.parquet(frag).coalesce(4)) == 0
+
+
+def stats_bytes(spark, path: str) -> int:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return sum(st.getLen() for st in fs.listStatus(p)
+               if st.getPath().getName().endswith(".parquet"))

@@ -28,7 +28,8 @@ DEFERRED = {"small_qty_revenue", "brand_filter_revenue",
             "scd2_customer_history", "ivm_signed_aggregate",
             "per_group_sample", "vector_topk_ivfpq_residual",
             "funnel_view_click_purchase", "cohort_retention",
-            "snapshot_diff_audit", "table_fingerprints"}
+            "snapshot_diff_audit", "table_fingerprints",
+            "document_chunking"}
 
 
 def _r1_attested() -> set[str]:
