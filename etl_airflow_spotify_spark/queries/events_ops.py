@@ -596,3 +596,49 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.datediff(week(F.col("ts")), F.col("cohort_week"))
                         / 7).cast("long").alias("week_offset"))
             .agg(F.count_distinct("user_id").cast("long").alias("n_active")))
+
+
+EWMA_ALPHA = 0.3
+
+
+@register(
+    "ewma_user_value",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_events,
+           ROUND(list_reduce(vs,
+                 (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc), 4)
+               AS ewma
+    FROM ordered
+    """,
+    doc="Per-user exponentially-weighted moving average of event value "
+        "— an ORDER-DEPENDENT recurrence (ewma_t = a*x_t + (1-a)*"
+        "ewma_{{t-1}}) that window frames cannot express and naive "
+        "closed forms ((1-a)^-i weights) overflow on. Spark shape: "
+        "collect_list sorted by (ts, event_id) -> F.aggregate fold — "
+        "ONE shuffle per key, exact recurrence, all JVM. The oracle "
+        "replays the identical fold with DuckDB's list_reduce: both "
+        "engines execute the same double ops in the same order, so "
+        "even a floating-point recurrence hash-matches.",
+    tags=("X11", "X14", "X21"),
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    folded = (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("ts", "event_id", "value"))).alias("evs"))
+        .select("user_id",
+                F.size("evs").cast("long").alias("n_events"),
+                F.aggregate(
+                    F.slice(F.transform("evs", lambda e: e["value"]), 2,
+                            F.greatest(F.size("evs") - 1, F.lit(0))),
+                    F.element_at(F.transform("evs", lambda e: e["value"]), 1),
+                    lambda acc, x: F.lit(EWMA_ALPHA) * x
+                    + F.lit(1 - EWMA_ALPHA) * acc).alias("raw")))
+    return folded.select("user_id", "n_events",
+                         F.round("raw", 4).alias("ewma"))

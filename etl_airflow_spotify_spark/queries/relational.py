@@ -830,3 +830,77 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric", "val")
     return (long.groupBy("l_returnflag", "metric")
                 .agg(F.round(F.sum("val"), 2).alias("total")))
+
+
+_PROFILE_NUM = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_PROFILE_STR = ("l_returnflag", "l_linestatus")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM:
+        parts.append(f"""
+        SELECT '{c}' AS col_name,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_s,
+               CAST(MAX({c}) AS VARCHAR) AS max_s,
+               ROUND(AVG({c}), 4) AS mean,
+               ROUND(STDDEV_SAMP({c}), 4) AS stddev
+        FROM lineitem""")
+    for c in _PROFILE_STR:
+        parts.append(f"""
+        SELECT '{c}', CAST(COUNT(*) - COUNT({c}) AS BIGINT),
+               CAST(COUNT(DISTINCT {c}) AS BIGINT),
+               MIN({c}), MAX({c}),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "profile_lineitem",
+    _profile_oracle(),
+    doc="Column-profiling sweep over lineitem (the data-quality pass "
+        "every ingestion pipeline runs first): per column, null count, "
+        "exact distinct count, min/max, mean and sample stddev — ONE "
+        "row per profiled column. Everything computes in a handful of "
+        "scans with map-side partial aggregation; at 100 TB swap the "
+        "exact count_distinct for approx_count_distinct/HLL (the "
+        "sketch queries demonstrate that path) and the shape is "
+        "unchanged. Doubles rounded to 4 on both engines: stddev "
+        "accumulation order differs across engines, so low-order dust "
+        "is rounded away exactly like every other money aggregate.",
+    tags=("X7", "X8", "X14"),
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def num_profile(c: str) -> DataFrame:
+        return li.agg(
+            F.lit(c).alias("col_name"),
+            F.sum(F.col(c).isNull().cast("int")).cast("long")
+            .alias("n_nulls"),
+            F.count_distinct(F.col(c)).cast("long").alias("n_distinct"),
+            F.min(c).cast("string").alias("min_s"),
+            F.max(c).cast("string").alias("max_s"),
+            F.round(F.avg(c), 4).alias("mean"),
+            F.round(F.stddev_samp(c), 4).alias("stddev"))
+
+    def str_profile(c: str) -> DataFrame:
+        return li.agg(
+            F.lit(c).alias("col_name"),
+            F.sum(F.col(c).isNull().cast("int")).cast("long")
+            .alias("n_nulls"),
+            F.count_distinct(F.col(c)).cast("long").alias("n_distinct"),
+            F.min(c).alias("min_s"),
+            F.max(c).alias("max_s"),
+            F.lit(None).cast("double").alias("mean"),
+            F.lit(None).cast("double").alias("stddev"))
+
+    out = num_profile(_PROFILE_NUM[0])
+    for c in _PROFILE_NUM[1:]:
+        out = out.unionByName(num_profile(c))
+    for c in _PROFILE_STR:
+        out = out.unionByName(str_profile(c))
+    return out
