@@ -33,12 +33,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # int64 nanos -> TIMESTAMP_NTZ micros (matches DuckDB exactly).
-        # Integer DIV, not `/`: float division loses low bits at 1e18 nanos.
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
-        )
+        # The driver has generated events.ts two ways across rounds:
+        # parquet TIMESTAMP(NANOS) (read as int64 via nanosAsLong) and
+        # plain TIMESTAMP(MICROS). Normalize both to TIMESTAMP_NTZ
+        # micros — bit-identical to DuckDB's read of the same file.
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            # Integer DIV, not `/`: float division loses low bits at
+            # 1e18 nanos.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

@@ -8,29 +8,21 @@ SQL. At production scale the same plans run against Kafka/file streams
 with processing-time triggers — nothing here depends on the data being
 finite except the trigger choice.
 
-The events parquet stores TIMESTAMP(NANOS); streaming reads use an
-explicit schema with ts:long (via nanosAsLong) and convert to a proper
-timestamp column, because watermarks need an event-time column.
+The events parquet has stored ts two ways across driver rounds:
+TIMESTAMP(NANOS) (readable only as int64 via nanosAsLong) and plain
+TIMESTAMP(MICROS). File streams need an explicit schema, so we probe
+the footer with a batch read (metadata only, no scan) and adapt —
+watermarks need a true event-time TIMESTAMP column either way.
 """
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
-                               StructType)
 
 from ..session import configure
-
-# Physical schema of events.parquet under nanosAsLong.
-EVENTS_RAW_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),  # nanos since epoch
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
@@ -38,7 +30,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     """File-source stream of the events table with a proper event-time
     column (TIMESTAMP, session tz UTC)."""
     configure(spark)
-    reader = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    # Footer-only batch read to discover the physical ts encoding.
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")).schema
+    reader = (spark.readStream.schema(raw_schema)
               .format("parquet")
               # file stream sources take a directory; select just the
               # events table out of the shared scale-factor dir
@@ -46,8 +41,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(sf_dir)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if raw_schema["ts"].dataType.simpleString() == "bigint":
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_table(stream_df: DataFrame, name: str,
