@@ -806,3 +806,57 @@ def search_ivfpq_index(spark, path: str, queries: DataFrame, k: int,
             .filter(F.col("rn") <= k)
             .select("query_id", "cand_id", "score",
                     F.col("rn").cast("long").alias("rn")))
+
+
+# -- nearest-centroid (Rocchio) classification ------------------------------
+
+def label_centroids(vecs: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding",
+                    digits: int = 6) -> DataFrame:
+    """Per-label mean vector (class prototype), as (label, centroid
+    array<double>). One posexplode + a map-side-combinable (label, pos)
+    average — the only shuffle is k x dim groups — then re-assembled
+    into an array via sorted collect_list (k rows, dim elements each;
+    never row-per-dimension downstream).
+
+    Centroid components are rounded to ``digits`` so the downstream
+    scores hash identically cross-engine (avg summation order differs
+    between engines by float dust).
+    """
+    v = vecs.select(
+        F.col(label_col),
+        F.posexplode(as_double(F.col(vec_col))).alias("pos", "val"))
+    per_dim = (v.groupBy(label_col, "pos")
+               .agg(F.round(F.avg("val"), digits).alias("cval")))
+    return (per_dim.groupBy(label_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"]).alias("centroid")))
+
+
+def assign_nearest_centroid(vecs: DataFrame, centroids: DataFrame,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            label_col: str = "label",
+                            score_digits: int = 4) -> DataFrame:
+    """Rocchio assignment: each vector goes to the label whose centroid
+    maximizes the inner product (rounded, label-ascending tiebreak —
+    deterministic cross-engine). ``centroids`` is ``label_centroids``
+    output (k rows) and travels as a broadcast, so the scan of ``vecs``
+    is a pure map stage: k fused dot products per row, zero shuffle
+    before the (tiny) per-vector argmax window on (id, k) rows.
+
+    Returns (id_col, <original label if present>, pred, score).
+    """
+    carry = [c for c in vecs.columns if c != vec_col]
+    cents = centroids.select(F.col(label_col).alias("pred"),
+                             F.col("centroid"))
+    scored = (
+        vecs.select(*carry, as_double(F.col(vec_col)).alias("_v"))
+        .crossJoin(F.broadcast(cents))
+        .select(*carry, "pred",
+                F.round(dot(F.col("_v"), F.col("centroid")), score_digits)
+                .alias("score")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("pred"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))

@@ -176,3 +176,56 @@ def chunk_documents(docs, id_col: str, text_col: str,
             id_col, "chunk_id", "start_tok",
             F.size("_chunk").cast("long").alias("chunk_tok"),
             F.array_join(F.col("_chunk"), " ").alias("chunk_text")))
+
+
+def repetition_metrics(docs, id_col: str, text_col: str):
+    """Gopher-style intra-document repetition statistics (Rae et al.
+    2021 §A1.1: documents dominated by a few repeated words/phrases are
+    low-quality training data and get filtered).
+
+    Per document:
+      * ``n_words`` / ``n_distinct`` — token counts;
+      * ``top_word_frac`` — share of the single most frequent token
+        (Gopher's "fraction of the most common word");
+      * ``dup_bigram_frac`` — 1 - distinct_bigrams/total_bigrams
+        (Gopher's duplicate n-gram fraction, n=2).
+
+    All-JVM expressions: one tokenize, the word histogram is a
+    map-side-combinable groupBy(doc, word), bigrams are built by array
+    indexing (``transform(sequence(...))``) — deterministic positions,
+    no window-over-unordered-rows. At corpus scale the only shuffle is
+    the (doc_id, word) aggregate, keyed finer than doc_id so one giant
+    document cannot skew a reducer.
+
+    Ratios are exact single divisions of exact BIGINT counts — no
+    summation-order dust, so they hash cross-engine after rounding.
+    """
+    import pyspark.sql.functions as F
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(F.col(id_col), toks.alias("_toks"))
+
+    wc = (d.select(id_col, F.explode("_toks").alias("_w"))
+          .groupBy(id_col, "_w").agg(F.count("*").alias("_c")))
+    word_stats = wc.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_distinct"),
+        (F.max("_c").cast("double") / F.sum("_c")).alias("top_word_frac"))
+
+    # CASE guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than
+    # returning empty, so a 1-token doc must short-circuit to array().
+    bigrams = F.expr(
+        "CASE WHEN size(_toks) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(_toks) - 1), "
+        "i -> concat(_toks[i-1], ' ', _toks[i])) END")
+    bg_stats = (d.select(id_col, bigrams.alias("_bgs"))
+                .select(id_col,
+                        F.size("_bgs").cast("long").alias("n_bigrams"),
+                        F.size(F.array_distinct("_bgs")).cast("long")
+                        .alias("n_distinct_bigrams"))
+                .withColumn(
+                    "dup_bigram_frac",
+                    F.when(F.col("n_bigrams") > 0,
+                           1.0 - F.col("n_distinct_bigrams").cast("double")
+                           / F.col("n_bigrams")).otherwise(F.lit(0.0))))
+    return word_stats.join(bg_stats, id_col)

@@ -428,3 +428,52 @@ def probe_persisted_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_planted(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return S.search_ivfpq_index(spark, _ivfpq_index_path(sf_dir), queries, K)
+
+
+DIM = 64
+
+
+@register(
+    "nearest_centroid_confusion",
+    f"""
+    WITH v AS (
+        SELECT vec_id, label, pos, embedding[pos]::DOUBLE AS val
+        FROM embeddings, generate_series(1, {DIM}) AS g(pos)
+    ),
+    cent AS (
+        SELECT label AS pred, pos, ROUND(AVG(val), 6) AS cval
+        FROM v GROUP BY label, pos
+    ),
+    score AS (
+        SELECT v.vec_id, v.label, c.pred,
+               ROUND(SUM(v.val * c.cval), 4) AS s
+        FROM v JOIN cent c ON v.pos = c.pos
+        GROUP BY v.vec_id, v.label, c.pred
+    ),
+    best AS (
+        SELECT vec_id, label, pred
+        FROM (SELECT vec_id, label, pred,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY s DESC, pred) AS rn
+              FROM score)
+        WHERE rn = 1
+    )
+    SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM best GROUP BY label, pred
+    """,
+    doc="X35 nearest-centroid (Rocchio) classification: per-label mean "
+        "centroids (one k x dim shuffle), broadcast to a map-only "
+        "scoring stage (k fused dot products per vector), argmax with "
+        "rounded-score + label tiebreak, aggregated to a confusion "
+        "matrix. Centroids rounded to 6, scores to 4, so the argmax "
+        "hashes cross-engine.",
+    tags=("X35", "X17", "X7"),
+)
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(e, "label", "embedding", digits=6)
+    best = S.assign_nearest_centroid(
+        e, cents, id_col="vec_id", vec_col="embedding",
+        label_col="label", score_digits=4)
+    return (best.groupBy("label", "pred")
+            .agg(F.count("*").cast("long").alias("n")))

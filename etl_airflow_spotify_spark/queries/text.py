@@ -284,3 +284,56 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch.select(
         "doc_id", "chunk_id", "start_tok", "chunk_tok",
         F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"))
+
+
+TOP_WORD_MAX = 0.12
+DUP_BIGRAM_MAX = 0.05
+
+
+@register(
+    "repetition_filter",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents),
+    b AS (SELECT doc_id,
+                 list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i+1]) AS bgs
+          FROM d),
+    toks AS (SELECT doc_id, unnest(toks) AS w FROM d),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w),
+    ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                  MAX(c)::DOUBLE / SUM(c) AS top_frac
+           FROM wc GROUP BY doc_id),
+    bgs AS (SELECT doc_id, CAST(len(bgs) AS BIGINT) AS n_bigrams,
+                   CASE WHEN len(bgs) > 0
+                        THEN 1.0 - len(list_distinct(bgs))::DOUBLE / len(bgs)
+                        ELSE 0.0 END AS dupf
+            FROM b)
+    SELECT doc_id, n_words, n_distinct,
+           ROUND(top_frac, 4) AS top_word_frac,
+           n_bigrams,
+           ROUND(dupf, 4) AS dup_bigram_frac,
+           CASE WHEN top_frac <= {TOP_WORD_MAX} AND dupf <= {DUP_BIGRAM_MAX}
+                THEN 1 ELSE 0 END AS keep
+    FROM ws JOIN bgs USING (doc_id)
+    """,
+    doc="X34 Gopher-style repetition filter (Rae et al. 2021 A1.1): "
+        "per-doc top-word fraction and duplicate-bigram fraction; keep "
+        "flag under fixed thresholds. One fine-keyed (doc, word) "
+        "aggregate + per-row array expressions; flags are exact "
+        "single divisions so they hash cross-engine.",
+    tags=("X34", "X18", "X14"),
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    m = T.repetition_metrics(d, "doc_id", "text")
+    return m.select(
+        "doc_id", "n_words", "n_distinct",
+        F.round("top_word_frac", 4).alias("top_word_frac"),
+        "n_bigrams",
+        F.round("dup_bigram_frac", 4).alias("dup_bigram_frac"),
+        F.when((F.col("top_word_frac") <= TOP_WORD_MAX)
+               & (F.col("dup_bigram_frac") <= DUP_BIGRAM_MAX), 1)
+        .otherwise(0).alias("keep"))

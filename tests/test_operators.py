@@ -446,3 +446,72 @@ def test_cdc_merge_semantics(spark):
     assert out[1]["name"] == "a" and out[1]["bal"] == 10.0
     assert out[2]["name"] == "b" and out[2]["bal"] == 25.0
     assert out[4]["name"] == "d" and out[4]["bal"] == 40.0
+
+
+def test_blocked_fuzzy_pairs_planted(spark):
+    from etl_airflow_spotify_spark.operators.linkage import \
+        blocked_fuzzy_pairs
+
+    rows = [("acme corp", 3), ("acme c0rp", 1),   # dist 1, share token 1
+            ("acme widgets", 2),                   # too far from corp
+            ("blue corp", 1),                      # shares token 2 w/ acme corp
+            ("zzz unrelated", 5)]
+    vals = spark.createDataFrame(rows, "nm string, n long")
+    out = blocked_fuzzy_pairs(
+        vals, "nm", "n",
+        [lambda c: F.split_part(c, F.lit(" "), F.lit(1)),
+         lambda c: F.split_part(c, F.lit(" "), F.lit(2))],
+        max_dist=4).collect()
+    pairs = {(r.value_a, r.value_b): (r.edit_dist, r.pair_weight) for r in out}
+    # typo pair found via block 1, weight = 3*1
+    assert pairs[("acme c0rp", "acme corp")] == (1, 3)
+    # cross-first-token pair found ONLY via the second blocking pass
+    assert ("acme corp", "blue corp") in pairs
+    # unrelated value pairs with nothing
+    assert not any("zzz" in a or "zzz" in b for a, b in pairs)
+
+
+def test_repetition_metrics_edges(spark):
+    from etl_airflow_spotify_spark.operators.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"),        # top word 4/5, bigram 'a a' x3 dup
+         (2, "one two three"),    # no repetition
+         (3, "solo")],            # 1 token: zero bigrams, frac 0.0
+        "doc_id long, text string")
+    m = {r.doc_id: r for r in repetition_metrics(docs, "doc_id", "text")
+         .collect()}
+    assert m[1].n_words == 5 and m[1].n_distinct == 2
+    assert abs(m[1].top_word_frac - 0.8) < 1e-12
+    # bigrams of doc1: aa aa aa ab -> 4 total, 2 distinct -> dup 0.5
+    assert m[1].n_bigrams == 4 and abs(m[1].dup_bigram_frac - 0.5) < 1e-12
+    assert m[2].dup_bigram_frac == 0.0 and m[2].top_word_frac < 0.34
+    assert m[3].n_bigrams == 0 and m[3].dup_bigram_frac == 0.0
+
+
+def test_nearest_centroid_recovers_planted_clusters(spark):
+    import random
+
+    from etl_airflow_spotify_spark.operators.similarity import (
+        assign_nearest_centroid, label_centroids)
+
+    rng = random.Random(11)
+    dim, per = 16, 30
+    protos = {0: [1.0] * dim,
+              1: [(-1.0) ** i for i in range(dim)],
+              2: [-1.0] * dim}
+    rows = []
+    vid = 0
+    for lab, proto in protos.items():
+        for _ in range(per):
+            rows.append((vid, lab,
+                         [x + rng.gauss(0, 0.2) for x in proto]))
+            vid += 1
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    cents = label_centroids(vecs, "label", "embedding")
+    assert cents.count() == 3
+    best = assign_nearest_centroid(vecs, cents)
+    acc = (best.filter(F.col("label") == F.col("pred")).count()
+           / float(vid))
+    assert acc == 1.0, "well-separated planted clusters must classify cleanly"

@@ -279,3 +279,28 @@ def test_snapshot_diff_is_change_sized(spark, sf_dir):
     assert not has_cartesian_product(d)
     rows = {r["change_type"]: r["c_custkey"] for r in d.collect()}
     assert rows == {"changed": 1, "deleted": 2, "added": 1_000_003}
+
+
+def test_fuzzy_linkage_no_cartesian(spark, sf_dir):
+    """X33: every blocking pass must candidate-join on the block key —
+    an unblocked similarity join would be a cartesian product."""
+    df = _df("fuzzy_name_pairs", spark, sf_dir)
+    assert not has_cartesian_product(df)
+
+
+def test_nearest_centroid_scoring_is_broadcast(spark, sf_dir):
+    """X35: the vector scan must meet the k centroids via a broadcast
+    (map-only scoring); a shuffle join per (vector, dim) row would move
+    N x dim rows at corpus scale."""
+    df = _df("nearest_centroid_confusion", spark, sf_dir)
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert not has_cartesian_product(df)
+
+
+def test_repetition_filter_single_wide_agg(spark, sf_dir):
+    """X34: word histogram is keyed (doc, word) — finer than doc — and
+    bigram stats are per-row array ops; no join back to the base table,
+    no cartesian."""
+    df = _df("repetition_filter", spark, sf_dir)
+    assert not has_cartesian_product(df)

@@ -29,7 +29,9 @@ DEFERRED = {"small_qty_revenue", "brand_filter_revenue",
             "per_group_sample", "vector_topk_ivfpq_residual",
             "funnel_view_click_purchase", "cohort_retention",
             "snapshot_diff_audit", "table_fingerprints",
-            "document_chunking", "ewma_user_value", "profile_lineitem"}
+            "document_chunking", "ewma_user_value", "profile_lineitem",
+            "fuzzy_name_pairs", "repetition_filter",
+            "nearest_centroid_confusion"}
 
 
 def _r1_attested() -> set[str]:
