@@ -459,3 +459,47 @@ def connected_components_star(pairs: DataFrame,
     return (e.select(F.col("v").alias("id"), F.col("u").alias("lab"))
             .unionByName(nodes.select("id", F.col("id").alias("lab")))
             .groupBy("id").agg(F.min("lab").alias("cluster_id")))
+
+
+def duplicated_ngram_coverage(docs: DataFrame, id_col: str, text_col: str,
+                              n: int = 8, digits: int = 4) -> DataFrame:
+    """Per-document duplicated-text fraction via corpus-wide repeated
+    n-gram instances — the distributed approximation of exact-substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): a token position is 'duplicated' if the n-gram
+    starting there occurs anywhere else in the corpus (any doc,
+    including elsewhere in the same one).
+
+    Dataflow: explode positional n-gram hashes (md5 of the joined
+    window), count occurrences per hash, join the counts back, fold to
+    per-doc (n_shingles, n_dup, dup_frac). Both the count aggregate and
+    the join shuffle on the hash, so the join is co-partitioned with
+    the aggregate output (exchange reuse, no extra shuffle of the big
+    side) — and the count side is one row per distinct hash, so even a
+    degenerate corpus-wide hot n-gram fans out counts, never rows.
+
+    Docs shorter than ``n`` tokens carry zero shingles and report
+    dup_frac 0.0 (left join keeps them).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(F.col(id_col), toks.alias("_toks"))
+    shingle_hashes = F.expr(
+        f"CASE WHEN size(_toks) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> md5(array_join(slice(_toks, i, {n}), ' '))) END")
+    sh = (_spread(d.select(id_col, shingle_hashes.alias("_hs")), id_col)
+          .select(id_col, F.explode("_hs").alias("_h")))
+    counts = sh.groupBy("_h").agg(F.count("*").alias("_c"))
+    per_doc = (sh.join(counts, "_h")
+               .groupBy(id_col)
+               .agg(F.count("*").cast("long").alias("n_shingles"),
+                    F.sum((F.col("_c") >= 2).cast("int")).cast("long")
+                    .alias("n_dup")))
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+                F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+                F.when(F.coalesce("n_shingles", F.lit(0)) > 0,
+                       F.round(F.col("n_dup") / F.col("n_shingles"), digits))
+                .otherwise(F.lit(0.0)).alias("dup_frac")))

@@ -314,3 +314,50 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                          T.n_tokens(t).alias("n_tokens"),
                          T.n_bpe_tokens(t).alias("n_bpe_tokens"),
                          "quality"))
+
+
+NGRAM_COVER_N = 8
+
+
+@register(
+    "dup_ngram_coverage",
+    f"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(toks) - {NGRAM_COVER_N - 2}),
+                   i -> md5(array_to_string(
+                            toks[i:i + {NGRAM_COVER_N - 1}], ' ')))) AS h
+        FROM d WHERE len(toks) >= {NGRAM_COVER_N}
+    ),
+    counts AS (SELECT h, COUNT(*) AS c FROM sh GROUP BY h),
+    pd AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup
+        FROM sh JOIN counts USING (h) GROUP BY doc_id
+    )
+    SELECT d0.doc_id,
+           COALESCE(n_shingles, 0) AS n_shingles,
+           COALESCE(n_dup, 0) AS n_dup,
+           CASE WHEN COALESCE(n_shingles, 0) > 0
+                THEN ROUND(n_dup::DOUBLE / n_shingles, 4)
+                ELSE 0.0 END AS dup_frac
+    FROM documents d0 LEFT JOIN pd USING (doc_id)
+    """,
+    doc="X36 duplicated-text fraction per doc via corpus-wide repeated "
+        "8-gram instances (Lee et al. 2022 exact-substring "
+        "approximation): positional shingle hashes -> per-hash counts "
+        "-> co-partitioned join back -> per-doc coverage. Count side "
+        "is one row per distinct hash, so hot n-grams fan out counts, "
+        "never rows.",
+    tags=("X36", "X16", "X18"),
+)
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return D.duplicated_ngram_coverage(d, "doc_id", "text",
+                                       n=NGRAM_COVER_N)

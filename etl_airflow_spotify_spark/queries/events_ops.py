@@ -642,3 +642,42 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(1 - EWMA_ALPHA) * acc).alias("raw")))
     return folded.select("user_id", "n_events",
                          F.round("raw", 4).alias("ewma"))
+
+
+@register(
+    "robust_value_outliers",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY event_type
+    ),
+    wm AS (
+        SELECT e.event_type, e.value, m.m
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(abs(value - m), 0.5) AS d
+        FROM wm GROUP BY event_type
+    )
+    SELECT w.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(w.m), 4) AS med,
+           ROUND(MIN(a.d), 4) AS mad,
+           CAST(SUM(CASE WHEN abs(w.value - w.m) > (3.5 / 0.6745) * a.d
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(SUM(CASE WHEN abs(w.value - w.m) > (3.5 / 0.6745) * a.d
+                          THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4)
+               AS outlier_frac
+    FROM wm w JOIN mad a ON w.event_type = a.event_type
+    GROUP BY w.event_type
+    """,
+    doc="X36 robust outlier detection: per-type median + MAD (exact "
+        "percentile, matched to DuckDB quantile_cont), flag modified "
+        "z-score > 3.5 (Iglewicz-Hoaglin). Group-sized med/MAD frames "
+        "broadcast back, so the fact scan never shuffles.",
+    tags=("X36", "X7", "X11"),
+)
+def robust_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robust import grouped_robust_stats
+
+    return grouped_robust_stats(_ev(spark, sf_dir), "event_type", "value")

@@ -515,3 +515,36 @@ def test_nearest_centroid_recovers_planted_clusters(spark):
     acc = (best.filter(F.col("label") == F.col("pred")).count()
            / float(vid))
     assert acc == 1.0, "well-separated planted clusters must classify cleanly"
+
+
+def test_grouped_robust_stats_flags_planted_outliers(spark):
+    from etl_airflow_spotify_spark.operators.robust import grouped_robust_stats
+
+    base = [("a", float(v)) for v in range(1, 102)]      # 1..101, med=51
+    spiked = base + [("a", 1e6), ("b", 5.0), ("b", 5.0), ("b", 5.0),
+                     ("b", 99.0)]
+    df = spark.createDataFrame(spiked, "k string, v double")
+    out = {r.k: r for r in grouped_robust_stats(df, "k", "v").collect()}
+    # group a: med ~51.5, MAD ~25.75 -> only the 1e6 spike flags
+    assert out["a"].n_outliers == 1
+    # group b: MAD = 0 (majority identical) -> any v != med flags
+    assert out["b"].mad == 0.0 and out["b"].n_outliers == 1
+
+
+def test_duplicated_ngram_coverage_planted(spark):
+    from etl_airflow_spotify_spark.operators.dedup import \
+        duplicated_ngram_coverage
+
+    shared = "one two three four"          # the 4-gram both docs carry
+    docs = spark.createDataFrame(
+        [(1, shared + " alpha beta"),      # positions 1..3 (n=4)
+         (2, "gamma delta " + shared),     # shared 4-gram at position 3
+         (3, "totally different words here entirely"),
+         (4, "tiny doc")],                 # < n tokens -> zero shingles
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           duplicated_ngram_coverage(docs, "doc_id", "text", n=4).collect()}
+    assert out[1].n_shingles == 3 and out[1].n_dup == 1
+    assert out[2].n_shingles == 3 and out[2].n_dup == 1
+    assert out[3].n_dup == 0
+    assert out[4].n_shingles == 0 and out[4].dup_frac == 0.0

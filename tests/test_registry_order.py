@@ -31,7 +31,8 @@ DEFERRED = {"small_qty_revenue", "brand_filter_revenue",
             "snapshot_diff_audit", "table_fingerprints",
             "document_chunking", "ewma_user_value", "profile_lineitem",
             "fuzzy_name_pairs", "repetition_filter",
-            "nearest_centroid_confusion"}
+            "nearest_centroid_confusion", "robust_value_outliers",
+            "dup_ngram_coverage"}
 
 
 def _r1_attested() -> set[str]:
