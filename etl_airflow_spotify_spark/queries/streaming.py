@@ -168,35 +168,36 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_decontaminate",
     _curation.DECON_ORACLE,  # identical semantics to the batch twin
     doc="STREAMING benchmark decontamination: training documents arrive "
-        "as a file stream and are checked per-row against the broadcast "
-        "benchmark n-gram set — the shape of contamination-filtering an "
-        "incoming crawl feed. The eval suite (MBs in practice) rides in "
-        "ONE static row of (eval_id, ngrams) structs + the distinct "
-        "n-gram union, so the check is array_intersect / arrays_overlap "
-        "HOFs per document: completely STATELESS (append mode, no "
-        "watermark, no shuffle) — batch boundaries cannot affect "
-        "results, which is why the batch oracle is exact. Same "
-        "semantics and oracle as the batch decontaminate_ngram.",
+        "as a file stream and each micro-batch is checked against the "
+        "static benchmark suite — the shape of contamination-filtering "
+        "an incoming crawl feed. foreachBatch runs the BATCH explode + "
+        "ngram hash-join per micro-batch (same operator as "
+        "decontaminate_ngram), so per-doc cost is O(doc ngrams), not "
+        "O(suite ngrams): the previous per-row array_intersect-"
+        "against-the-whole-suite HOF probed ~270k suite n-grams per "
+        "document (13s at sf0.1; 1.4s as a join). Every doc lives in "
+        "exactly one batch and the check is row-local, so batch "
+        "boundaries cannot affect results — the batch oracle is exact. "
+        "The eval side re-broadcasts per micro-batch from a persisted "
+        "frame (benchmark suites are MBs vs TBs of stream).",
     tags=("X23", "X25", "X18"),
 )
 def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
 
+    from ..caching import persist_tracked
     from ..catalog import load_table
-    from ..operators.curation import word_ngrams
+    from ..operators.curation import ngram_contamination
     from ..queries.curation import EVAL_MOD, NGRAM_N
+    from ..streaming.windows import fold_stream_foreachbatch
 
     docs = load_table(spark, sf_dir, "documents")
-    evals = (docs.filter(F.col("doc_id") % EVAL_MOD == 0)
-             .select(F.col("doc_id").alias("eval_id"),
-                     word_ngrams(F.col("text"), NGRAM_N).alias("ngrams")))
-    suite = (evals.agg(F.collect_list(F.struct("eval_id", "ngrams"))
-                       .alias("evals"))
-             .select("evals",
-                     F.array_distinct(F.flatten(
-                         F.transform("evals", lambda e: e["ngrams"])))
-                     .alias("all_ng")))
+    evals = persist_tracked(docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+                            .select("doc_id", "text"))
 
     schema = StructType([
         StructField("doc_id", LongType()),
@@ -207,21 +208,33 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     stream = (spark.readStream.schema(schema).format("parquet")
               .option("pathGlobFilter", "documents.parquet").load(sf_dir)
+              # The file-stream source parallelizes per FILE (no
+              # byte-range splitting like the batch scan), so a
+              # few-big-files feed funnels each micro-batch into a few
+              # tasks. Rebalance BEFORE the expensive per-doc n-gram
+              # explode; shuffling raw text is cheap next to the
+              # under-parallelized compute.
+              .repartition(spark.sparkContext.defaultParallelism)
               .filter(F.col("doc_id") % EVAL_MOD != 0)
-              .select("doc_id",
-                      word_ngrams(F.col("text"), NGRAM_N).alias("ngrams")))
-    flagged = (
-        stream.join(F.broadcast(suite))  # stream-static, 1-row static side
-        .select("doc_id",
-                F.size(F.array_intersect("ngrams", "all_ng"))
-                .cast("long").alias("n_shared_ngrams"),
-                F.size(F.filter(
-                    "evals",
-                    lambda e: F.arrays_overlap(F.col("ngrams"), e["ngrams"])))
-                .cast("long").alias("n_eval_docs"))
-        .filter(F.col("n_shared_ngrams") > 0)
-    )
-    return W.run_to_table(flagged, "t_decontaminate", output_mode="append")
+              .select("doc_id", "text"))
+
+    suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    ckpt = os.path.join("spark-warehouse", f"decon_ckpt_{suffix}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def fold(state, batch_df):
+        found = ngram_contamination(batch_df, evals, "doc_id", "text",
+                                    n=NGRAM_N)
+        # union of per-batch results; localCheckpoint keeps the plan
+        # depth constant over the stream's lifetime
+        out = found if state is None else state.unionAll(found)
+        return out.localCheckpoint()
+
+    (result,) = fold_stream_foreachbatch(stream, fold, ckpt)
+    if result is None:
+        return spark.createDataFrame(
+            [], "doc_id long, n_shared_ngrams long, n_eval_docs long")
+    return result
 
 
 @register(
