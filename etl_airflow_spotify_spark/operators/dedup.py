@@ -187,17 +187,32 @@ def with_simhash(df: DataFrame, text_col: str, out: str = "simhash",
     """Append a 64-bit SimHash packed into one BIGINT. Features are
     k-token shingles (NOT bare tokens: on corpora with a small shared
     vocabulary, token-level SimHash collapses to near-identical values
-    for every document). Single-pass, JVM-side."""
+    for every document). Single-pass, JVM-side.
+
+    Bit source is md5, not xxhash64: md5 is the one hash DuckDB and
+    Spark share, which makes the whole signature — and therefore the
+    banded near-dup pipeline on top of it — EXACTLY replayable by the
+    SQL oracle. Bits 0-59 come from the first 15 hex chars
+    (conv(...,16,10), the repo-wide 60-bit idiom), bits 60-63 from hex
+    char 16.
+    """
     toks = f"split(trim(lower({text_col})), '\\\\s+')"
     feats = (
         f"array_distinct(transform("
         f"sequence(1, greatest(size({toks}) - {shingle_k - 1}, 1)), "
         f"i -> array_join(slice({toks}, i, {shingle_k}), ' ')))"
     )
+    # one md5 per feature, split into a 60-bit word + a 4-bit word
+    hashed = (
+        f"transform({feats}, t -> named_struct("
+        f"'h1', CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT), "
+        f"'h2', CAST(conv(substring(md5(t), 16, 1), 16, 10) AS BIGINT)))"
+    )
     counts = (
-        f"aggregate({feats}, array_repeat(0, 64), (acc, t) -> "
+        f"aggregate({hashed}, array_repeat(0, 64), (acc, s) -> "
         f"zip_with(acc, transform(sequence(0, 63), i -> "
-        f"IF((shiftrightunsigned(xxhash64(t), i) & 1) = 1, 1, -1)), "
+        f"IF((shiftrightunsigned(IF(i < 60, s.h1, s.h2), "
+        f"CAST(IF(i < 60, i, i - 60) AS INT)) & 1) = 1, 1, -1)), "
         f"(x, y) -> x + y))"
     )
     packed = (

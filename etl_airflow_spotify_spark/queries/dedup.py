@@ -3,8 +3,8 @@
 ``near_dup_minhash`` is oracle-checked against an ALL-PAIRS exact-Jaccard
 DuckDB query: the Spark side only ever compares LSH candidates, so a pass
 proves the banding found every true pair (P(miss) ~ 2e-9 at the j>=0.9
-similarity of the planted pairs, 16x4 banding). SimHash has no SQL twin
-(xxhash64) -> rows-only.
+similarity of the planted pairs, 16x4 banding). ``near_dup_simhash``'s
+md5 bit source lets its oracle bit-replay the signature exactly.
 """
 
 from __future__ import annotations
@@ -60,10 +60,53 @@ def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.8, shingle_k=3, num_hashes=64, bands=16)
 
 
+def _simhash_oracle() -> str:
+    """Exact DuckDB replay of operators.dedup.with_simhash (md5 bit
+    source, bits 0-59 from hex chars 1-15, bits 60-63 from char 16) +
+    the 4x16 banding and hamming<=3 verify — generated as 64
+    conditional SUMs (one scan over the exploded shingle hashes)
+    because DuckDB lacks lateral generate_series over columns. Bit 63
+    is set via (1<<62)*(-2): a direct 1<<63 overflows BIGINT."""
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (({'h1' if i < 60 else 'h2'} >> "
+        f"{i if i < 60 else i - 60}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64))
+    pack = " | ".join(
+        ("CASE WHEN b63 > 0 THEN ((1::BIGINT << 62) * (-2)) ELSE 0 END"
+         if i == 63 else
+         f"CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END")
+        for i in range(64))
+    bands = " OR ".join(
+        f"((a.simhash >> {16 * b}) & 65535) = ((b.simhash >> {16 * b}) & 65535)"
+        for b in range(4))
+    return f"""
+    WITH d AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), '\\s+') AS ts
+               FROM documents),
+    f AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(ts) - 1, 2)),
+              i -> array_to_string(ts[i:i + 2], ' ')))) AS t
+          FROM d),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h1,
+                 ('0x' || substr(md5(t), 16, 1))::BIGINT AS h2 FROM f),
+    bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+    sh AS (SELECT doc_id, {pack} AS simhash FROM bits)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 AND ({bands})
+    """
+
+
 @register(
     "near_dup_simhash",
-    None,  # xxhash64 has no DuckDB twin -> rows-only check
-    doc="SimHash near-dup candidates (64-bit, 4x16 banding, hamming<=3).",
+    _simhash_oracle(),
+    doc="SimHash near-dup candidates (64-bit, 4x16 banding, hamming<=3). "
+        "md5 bit source makes the signature bit-replayable by the SQL "
+        "oracle (the previous xxhash64 source had no DuckDB twin, "
+        "demoting this to a rows-only check); the oracle brute-forces "
+        "pairs and applies the identical band-agreement + hamming "
+        "predicate, certifying the banded LSH end to end.",
     tags=("X16",),
 )
 def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

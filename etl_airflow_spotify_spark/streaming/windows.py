@@ -225,10 +225,14 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame,
                          dim_key: str = "c_custkey") -> DataFrame:
     """Stream-static join: each micro-batch joins against a batch dim
     table (re-read per batch, so slowly-changing dims stay current
-    without restarting the query). The dim side broadcasts; no stream
-    state is kept for the join itself."""
+    without restarting the query). The dim side is broadcast-HINTED,
+    not left to the planner: micro-batch plans run without AQE, and
+    static size estimation only works for direct file scans — any
+    derived dim (filter/project/agg) loses stats and would fall back
+    to shuffling the stream side. No stream state is kept for the
+    join itself."""
     return (
-        events.join(dim, events.user_id == dim[dim_key])
+        events.join(F.broadcast(dim), events.user_id == dim[dim_key])
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum("value"), 2).alias("total_value"))
