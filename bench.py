@@ -59,6 +59,11 @@ HEADLINE = [
     "countmin_heavy_hitters",
     "heavy_hitters_twopass",
     "dedup_cluster_assign_star",
+    "dup_ngram_coverage",
+    "repetition_filter",
+    "fuzzy_name_pairs",
+    "nearest_centroid_confusion",
+    "robust_value_outliers",
     # scale levers + sketches + time series
     "skew_salted_join",
     "bucketed_zero_shuffle_join",

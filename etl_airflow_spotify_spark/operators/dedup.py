@@ -498,10 +498,15 @@ def duplicated_ngram_coverage(docs: DataFrame, id_col: str, text_col: str,
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     d = docs.select(F.col(id_col), toks.alias("_toks"))
+    # 60-bit md5 ints, not 32-char hex strings: the hash is the shuffle
+    # key of BOTH the count aggregate and the join back, so key width
+    # sets the shuffle byte volume (4x narrower as a BIGINT), and the
+    # conv idiom keeps it exactly replayable in DuckDB.
     shingle_hashes = F.expr(
         f"CASE WHEN size(_toks) < {n} THEN array() "
         f"ELSE transform(sequence(1, size(_toks) - {n - 1}), "
-        f"i -> md5(array_join(slice(_toks, i, {n}), ' '))) END")
+        f"i -> CAST(conv(substring(md5(array_join(slice(_toks, i, {n}), "
+        f"' ')), 1, 15), 16, 10) AS BIGINT)) END")
     sh = (_spread(d.select(id_col, shingle_hashes.alias("_hs")), id_col)
           .select(id_col, F.explode("_hs").alias("_h")))
     counts = sh.groupBy("_h").agg(F.count("*").alias("_c"))

@@ -373,8 +373,9 @@ NGRAM_COVER_N = 8
         SELECT doc_id,
                unnest(list_transform(
                    range(1, len(toks) - {NGRAM_COVER_N - 2}),
-                   i -> md5(array_to_string(
-                            toks[i:i + {NGRAM_COVER_N - 1}], ' ')))) AS h
+                   i -> ('0x' || substr(md5(array_to_string(
+                            toks[i:i + {NGRAM_COVER_N - 1}], ' ')),
+                            1, 15))::BIGINT)) AS h
         FROM d WHERE len(toks) >= {NGRAM_COVER_N}
     ),
     counts AS (SELECT h, COUNT(*) AS c FROM sh GROUP BY h),

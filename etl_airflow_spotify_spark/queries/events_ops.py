@@ -681,3 +681,51 @@ def robust_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.robust import grouped_robust_stats
 
     return grouped_robust_stats(_ev(spark, sf_dir), "event_type", "value")
+
+
+@register(
+    "twap_user_value",
+    """
+    WITH seq AS (
+        SELECT user_id, value, ts,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id, value,
+               date_diff('microsecond', ts, nxt) AS dt_us
+        FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+           CAST(SUM(dt_us) // 1000000 AS BIGINT) AS span_seconds,
+           ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS twap
+    FROM seg GROUP BY user_id
+    """,
+    doc="Time-weighted average price/value per user (TWAP): each "
+        "observation is weighted by how long it was 'current' (lead "
+        "window over event time, event_id tiebreak for deterministic "
+        "duplicate-ts ordering). ONE shuffle total: the lead window "
+        "partitions by user_id and the aggregate reuses that "
+        "partitioning. Weights are exact microsecond integers, so the "
+        "weighted sum is reproducible cross-engine after rounding.",
+    tags=("X11", "X7"),
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (ev.withColumn("nxt", F.lead("ts").over(w))
+           .filter(F.col("nxt").isNotNull())
+           .withColumn(
+               # unix_micros takes TIMESTAMP, not NTZ; session tz is
+               # pinned UTC so the cast is value-preserving
+               "dt_us",
+               (F.unix_micros(F.col("nxt").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp")))))
+    return (seg.groupBy("user_id")
+            .agg((F.count("*") + 1).cast("long").alias("n_events"),
+                 F.expr("SUM(dt_us) DIV 1000000").cast("long")
+                 .alias("span_seconds"),
+                 F.round(F.sum(F.col("value") * F.col("dt_us"))
+                         / F.sum("dt_us"), 4).alias("twap")))

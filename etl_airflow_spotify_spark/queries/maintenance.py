@@ -441,3 +441,127 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (final,) = fold_stream_foreachbatch(stream, fold, ckpt)
     return _finalized(final if final is not None else init)
+
+
+# (child_table, fk_col, parent_table, pk_col) — the test schema's FK web.
+FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "fk_integrity_audit",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{child}.{fk}' AS fk_edge,
+               CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+               CAST(SUM(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_fk,
+               CAST(SUM(CASE WHEN {fk} IS NOT NULL AND p.{pk} IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}"""
+        for child, fk, parent, pk in FK_EDGES),
+    doc="Referential-integrity audit over the whole FK web: per edge, "
+        "child rowcount, NULL FKs, and orphans (child keys missing in "
+        "the parent). Each edge is a broadcast/left join + conditional "
+        "counts — the orphan probe ships only (fk) columns, and small "
+        "parents broadcast, so the audit costs one pruned scan per "
+        "table at 100 TB. The standard pre-flight data-quality gate "
+        "before any star-schema join pipeline.",
+    tags=("X14", "X3"),
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for child, fk, parent, pk in FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(fk)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("_pk"))
+        edge = (c.join(F.broadcast(p), F.col(fk) == F.col("_pk"), "left")
+                .agg(F.lit(f"{child}.{fk}").alias("fk_edge"),
+                     F.count("*").cast("long").alias("n_child_rows"),
+                     F.sum(F.col(fk).isNull().cast("int")).cast("long")
+                     .alias("n_null_fk"),
+                     F.sum((F.col(fk).isNotNull()
+                            & F.col("_pk").isNull()).cast("int"))
+                     .cast("long").alias("n_orphans")))
+        out = edge if out is None else out.unionAll(edge)
+    return out
+
+
+SKEW_TOPK = 5
+
+
+@register(
+    "join_key_skew_profile",
+    f"""
+    WITH keys AS (
+        SELECT 'l_partkey' AS key_col, l_partkey AS k FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey' AS key_col, l_suppkey AS k FROM lineitem
+        UNION ALL
+        SELECT 'o_custkey' AS key_col, o_custkey AS k FROM orders
+    ),
+    freq AS (
+        SELECT key_col, k, COUNT(*) AS c FROM keys GROUP BY key_col, k
+    ),
+    tot AS (
+        SELECT key_col, CAST(SUM(c) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS max_c
+        FROM freq GROUP BY key_col
+    ),
+    top AS (
+        SELECT key_col,
+               CAST(SUM(c) AS BIGINT) AS topk_rows
+        FROM (SELECT key_col, c,
+                     row_number() OVER (PARTITION BY key_col
+                                        ORDER BY c DESC, k) AS rn
+              FROM freq)
+        WHERE rn <= {SKEW_TOPK}
+        GROUP BY key_col
+    )
+    SELECT t.key_col, total, n_distinct, max_c,
+           ROUND(max_c::DOUBLE * n_distinct / total, 4) AS skew_ratio,
+           ROUND(topk_rows::DOUBLE / total, 4) AS topk_share
+    FROM tot t JOIN top USING (key_col)
+    """,
+    doc="Join-key skew profiler: per candidate shuffle key, distinct "
+        "count, heaviest-key weight, skew ratio (max/mean multiplicity) "
+        "and top-5 key share. One map-side-combinable count per key "
+        "column + a tiny per-key-column fold — the diagnostic that "
+        "decides between plain, salted, and broadcast join strategies "
+        "BEFORE burning a 100 TB shuffle.",
+    tags=("X14", "X7", "X10"),
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    keys = (li.select(F.lit("l_partkey").alias("key_col"),
+                      F.col("l_partkey").alias("k"))
+            .unionAll(li.select(F.lit("l_suppkey"),
+                                F.col("l_suppkey")))
+            .unionAll(od.select(F.lit("o_custkey"),
+                                F.col("o_custkey"))))
+    freq = keys.groupBy("key_col", "k").agg(F.count("*").alias("c"))
+    tot = freq.groupBy("key_col").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("max_c"))
+    w = Window.partitionBy("key_col").orderBy(F.desc("c"), F.asc("k"))
+    top = (freq.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= SKEW_TOPK)
+           .groupBy("key_col")
+           .agg(F.sum("c").cast("long").alias("topk_rows")))
+    return (tot.join(top, "key_col")
+            .select("key_col", "total", "n_distinct", "max_c",
+                    F.round(F.col("max_c") * F.col("n_distinct")
+                            / F.col("total"), 4).alias("skew_ratio"),
+                    F.round(F.col("topk_rows") / F.col("total"), 4)
+                    .alias("topk_share")))

@@ -32,7 +32,8 @@ DEFERRED = {"small_qty_revenue", "brand_filter_revenue",
             "document_chunking", "ewma_user_value", "profile_lineitem",
             "fuzzy_name_pairs", "repetition_filter",
             "nearest_centroid_confusion", "robust_value_outliers",
-            "dup_ngram_coverage"}
+            "dup_ngram_coverage", "fk_integrity_audit",
+            "join_key_skew_profile", "twap_user_value"}
 
 
 def _r1_attested() -> set[str]:
