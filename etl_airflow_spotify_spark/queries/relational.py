@@ -904,3 +904,59 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in _PROFILE_STR:
         out = out.unionByName(str_profile(c))
     return out
+
+
+N_HIST_BUCKETS = 10
+
+
+@register(
+    "equidepth_price_histogram",
+    f"""
+    WITH bounds AS (
+        SELECT quantile_cont(l_extendedprice,
+                             [x * 1.0 / {N_HIST_BUCKETS}
+                              FOR x IN range(1, {N_HIST_BUCKETS})]) AS qs
+        FROM lineitem
+    ),
+    bucketed AS (
+        SELECT CAST(len(list_filter(b.qs, q -> l.l_extendedprice > q))
+                    AS BIGINT) AS bucket,
+               l.l_extendedprice AS p
+        FROM lineitem l, bounds b
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(p), 4) AS lo,
+           ROUND(MAX(p), 4) AS hi,
+           ROUND(SUM(p), 2) AS total
+    FROM bucketed GROUP BY bucket
+    """,
+    doc="Equi-depth price histogram WITHOUT a global sort: exact decile "
+        "boundaries from one percentile aggregate (matches DuckDB "
+        "quantile_cont bit-for-bit), then a map-only bucket assignment "
+        "(count of boundaries below the value) + per-bucket fold. A "
+        "window-ntile formulation would ORDER BY the whole table "
+        "through one reducer — this shape scans twice but never "
+        "serializes, the difference between a profiling query that "
+        "works at 100 TB and one that doesn't.",
+    tags=("X7", "X14", "X12"),
+)
+def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    fr = [i / N_HIST_BUCKETS for i in range(1, N_HIST_BUCKETS)]
+    bounds = li.agg(F.expr(
+        f"percentile(l_extendedprice, array({', '.join(map(str, fr))}))")
+        .alias("qs"))
+    bucketed = (li.select("l_extendedprice")
+                .crossJoin(F.broadcast(bounds))
+                .select(
+                    F.size(F.filter(
+                        "qs",
+                        lambda q: F.col("l_extendedprice") > q))
+                    .cast("long").alias("bucket"),
+                    F.col("l_extendedprice").alias("p")))
+    return (bucketed.groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.round(F.min("p"), 4).alias("lo"),
+                 F.round(F.max("p"), 4).alias("hi"),
+                 F.round(F.sum("p"), 2).alias("total")))

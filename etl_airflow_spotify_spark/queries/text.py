@@ -337,3 +337,48 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("top_word_frac") <= TOP_WORD_MAX)
                & (F.col("dup_bigram_frac") <= DUP_BIGRAM_MAX), 1)
         .otherwise(0).alias("keep"))
+
+
+@register(
+    "word_entropy",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM wc GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(t.n AS BIGINT) AS n_words,
+           ROUND(-SUM((c::DOUBLE / t.n) * log2(c::DOUBLE / t.n)), 4)
+               AS word_entropy,
+           ROUND(-SUM((c::DOUBLE / t.n) * log2(c::DOUBLE / t.n))
+                 / log2(GREATEST(t.n, 2)), 4) AS normalized_entropy
+    FROM wc w JOIN tot t ON w.doc_id = t.doc_id
+    GROUP BY w.doc_id, t.n
+    """,
+    doc="Per-doc Shannon entropy of the word distribution plus the "
+        "0-1 normalized form — the information-density quality signal "
+        "(low entropy == repetitive/templated text, a standard corpus "
+        "filter alongside the Gopher ratios). One fine-keyed (doc, "
+        "word) aggregate then a per-doc fold; entropy terms are "
+        "rounded post-sum (dust ~1e-14 on <=4k-term docs vs 1e-4 "
+        "grid).",
+    tags=("X18", "X7", "X34"),
+)
+def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    wc = (d.select("doc_id", F.explode(toks).alias("w"))
+          .groupBy("doc_id", "w").agg(F.count("*").alias("c")))
+    tot = wc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    ent = -F.sum(p * F.log2(p))
+    return (wc.join(tot, "doc_id")
+            .groupBy("doc_id", "n")
+            .agg(F.round(ent, 4).alias("word_entropy"),
+                 F.round(ent / F.log2(F.greatest(F.col("n"), F.lit(2))), 4)
+                 .alias("normalized_entropy"))
+            .select("doc_id", F.col("n").cast("long").alias("n_words"),
+                    "word_entropy", "normalized_entropy"))

@@ -304,3 +304,20 @@ def test_repetition_filter_single_wide_agg(spark, sf_dir):
     no cartesian."""
     df = _df("repetition_filter", spark, sf_dir)
     assert not has_cartesian_product(df)
+
+
+def test_equidepth_histogram_no_global_sort(spark, sf_dir):
+    """The equi-depth histogram must assign buckets via broadcast
+    boundaries, never a whole-table window sort (one-reducer killer)."""
+    df = _df("equidepth_price_histogram", spark, sf_dir)
+    plan = plan_string(df)
+    assert "Window" not in plan, "ntile/window formulation leaked in"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert not has_cartesian_product(df)
+
+
+def test_word_entropy_single_exchange_chain(spark, sf_dir):
+    """Entropy folds (doc, word) -> doc; both aggregates and the join
+    hash on doc-prefixed keys — no cartesian, no broadcast explosion."""
+    df = _df("word_entropy", spark, sf_dir)
+    assert not has_cartesian_product(df)

@@ -33,7 +33,8 @@ DEFERRED = {"small_qty_revenue", "brand_filter_revenue",
             "fuzzy_name_pairs", "repetition_filter",
             "nearest_centroid_confusion", "robust_value_outliers",
             "dup_ngram_coverage", "fk_integrity_audit",
-            "join_key_skew_profile", "twap_user_value"}
+            "join_key_skew_profile", "twap_user_value",
+            "word_entropy", "equidepth_price_histogram"}
 
 
 def _r1_attested() -> set[str]:
