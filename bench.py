@@ -69,6 +69,7 @@ HEADLINE = [
     "bucketed_zero_shuffle_join",
     "bloom_join_pruning",
     "zorder_rectangle_scan",
+    "dpp_partitioned_join",
     "hll_distinct_rollup",
     "hll_sliding_distinct",
     "resample_gap_fill",
@@ -90,6 +91,8 @@ BUILD_PROBE = {
                                     sim_q.probe_persisted_ivfpq),
     "zorder_rectangle_scan": (scale_q.build_zorder_layout,
                               scale_q.zorder_probe),
+    "dpp_partitioned_join": (scale_q.build_partitioned_orders,
+                             scale_q.dpp_probe),
 }
 
 

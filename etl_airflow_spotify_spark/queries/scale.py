@@ -251,3 +251,66 @@ def zorder_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("revenue"),
                  F.count("*").alias("n_lines"),
                  F.sum("l_partkey").cast("long").alias("part_sum")))
+
+
+# -- dynamic partition pruning ----------------------------------------------
+
+def _dpp_path(sf_dir: str) -> str:
+    suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    return os.path.join("spark-warehouse", f"orders_by_priority_{suffix}")
+
+
+def build_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Index-build half: orders rewritten hive-partitioned by
+    o_orderpriority (the layout every date-/category-partitioned fact
+    table uses at scale)."""
+    path = _dpp_path(sf_dir)
+    (load_table(spark, sf_dir, "orders")
+     .write.mode("overwrite").partitionBy("o_orderpriority")
+     .parquet(path))
+    return path
+
+
+def dpp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state half: join the partitioned fact against a dim whose
+    qualifying keys exist only at RUNTIME (the filter is on a non-key
+    dim column), forcing dynamic partition pruning: Spark plans a
+    dynamicpruning subquery on the fact's partition column and skips
+    non-qualifying partition directories before any fact I/O. A static
+    planner would scan all 5 priority partitions; DPP reads 2."""
+    dim = (spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+         ("4-NOT SPECIFIED", 4), ("5-LOW", 5)],
+        "priority string, urgency_rank int")
+        .filter(F.col("urgency_rank") <= 2))
+    fact = spark.read.parquet(_dpp_path(sf_dir))
+    return (fact.join(dim, fact.o_orderpriority == dim.priority)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+@register(
+    "dpp_partitioned_join",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3),
+                 ('4-NOT SPECIFIED', 4), ('5-LOW', 5)) AS dim(priority, r)
+      ON o_orderpriority = dim.priority
+    WHERE dim.r <= 2
+    GROUP BY o_orderpriority
+    """,
+    doc="X38 dynamic partition pruning: hive-partitioned fact joined "
+        "against a runtime-filtered dim; Spark injects a dynamicpruning "
+        "subquery on the partition column so only qualifying partition "
+        "directories are read (2 of 5 here) — the mechanism that makes "
+        "date-partitioned 100 TB fact scans affordable. Plan-asserted "
+        "in tests/test_plans.py; oracle replays the same join on the "
+        "unpartitioned table (layout is invisible to results).",
+    tags=("X38", "X1", "X3"),
+)
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build_partitioned_orders(spark, sf_dir)
+    return dpp_probe(spark, sf_dir)

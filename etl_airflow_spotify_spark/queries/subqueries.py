@@ -365,3 +365,50 @@ def lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                       LIMIT 2) recent
         WHERE c_acctbal > 9000.0
     """)
+
+
+@register(
+    "hierarchy_rollup",
+    """
+    WITH RECURSIVE walk AS (
+        SELECT c_custkey AS node, c_custkey AS root, 0 AS depth,
+               c_acctbal AS bal
+        FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, w.root, w.depth + 1, c.c_acctbal
+        FROM customer c JOIN walk w
+          ON c.c_custkey // 10 = w.node AND c.c_custkey >= 10
+    )
+    SELECT root, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MAX(depth) AS BIGINT) AS max_depth,
+           ROUND(SUM(bal), 2) AS total_bal
+    FROM walk GROUP BY root
+    """,
+    doc="Recursive-CTE hierarchy rollup (Spark 4 WITH RECURSIVE): walk "
+        "a synthetic management tree (parent = custkey DIV 10) from the "
+        "roots and fold each subtree's size, depth and balance. Each "
+        "recursion step is one hash join of the frontier against the "
+        "base table — depth is log10(max key), so the plan is a short "
+        "chain of joins, never a driver loop. Exact DuckDB recursive "
+        "twin.",
+    tags=("X37", "X3", "X7"),
+)
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql("""
+        WITH RECURSIVE walk AS (
+            SELECT c_custkey AS node, c_custkey AS root, 0 AS depth,
+                   c_acctbal AS bal
+            FROM customer WHERE c_custkey < 10
+            UNION ALL
+            SELECT c.c_custkey, w.root, w.depth + 1, c.c_acctbal
+            FROM customer c JOIN walk w
+              ON c.c_custkey DIV 10 = w.node AND c.c_custkey >= 10
+        )
+        SELECT root, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MAX(depth) AS BIGINT) AS max_depth,
+               ROUND(SUM(bal), 2) AS total_bal
+        FROM walk GROUP BY root
+    """)

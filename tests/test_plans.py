@@ -321,3 +321,21 @@ def test_word_entropy_single_exchange_chain(spark, sf_dir):
     hash on doc-prefixed keys — no cartesian, no broadcast explosion."""
     df = _df("word_entropy", spark, sf_dir)
     assert not has_cartesian_product(df)
+
+
+def test_dpp_partitioned_join_prunes_at_runtime(spark, sf_dir):
+    """X38: the partitioned-fact join must plan a dynamicpruning
+    subquery on the partition column — without it every partition
+    directory of a 100 TB fact is scanned."""
+    from etl_airflow_spotify_spark.queries.scale import dpp_partitioned_join
+
+    df = dpp_partitioned_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_hierarchy_rollup_no_cartesian(spark, sf_dir):
+    """X37: each recursion step must be a hash join of the frontier
+    against the base table."""
+    df = _df("hierarchy_rollup", spark, sf_dir)
+    assert not has_cartesian_product(df)

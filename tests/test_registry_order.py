@@ -34,7 +34,8 @@ DEFERRED = {"small_qty_revenue", "brand_filter_revenue",
             "nearest_centroid_confusion", "robust_value_outliers",
             "dup_ngram_coverage", "fk_integrity_audit",
             "join_key_skew_profile", "twap_user_value",
-            "word_entropy", "equidepth_price_histogram"}
+            "word_entropy", "equidepth_price_histogram",
+            "hierarchy_rollup", "dpp_partitioned_join"}
 
 
 def _r1_attested() -> set[str]:
