@@ -729,3 +729,43 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("span_seconds"),
                  F.round(F.sum(F.col("value") * F.col("dt_us"))
                          / F.sum("dt_us"), 4).alias("twap")))
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    pairs AS (SELECT event_type, nxt FROM seq WHERE nxt IS NOT NULL),
+    tot AS (SELECT event_type, COUNT(*) AS n FROM pairs GROUP BY event_type)
+    SELECT p.event_type AS from_type, p.nxt AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*)::DOUBLE / MIN(t.n), 4) AS prob
+    FROM pairs p JOIN tot t ON p.event_type = t.event_type
+    GROUP BY p.event_type, p.nxt
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences (the next-event-prediction training target): lead "
+        "window keyed by user, pair counts, row-normalized "
+        "probabilities. ONE shuffle for the window; the count and "
+        "normalizer aggregates are map-side-combinable on tiny "
+        "(type, type) keys. Probabilities are exact count ratios.",
+    tags=("X11", "X7", "X10"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.withColumn("nxt", F.lead("event_type").over(w))
+             .filter(F.col("nxt").isNotNull())
+             .select(F.col("event_type").alias("from_type"),
+                     F.col("nxt").alias("to_type")))
+    tot = pairs.groupBy("from_type").agg(F.count("*").alias("n_from"))
+    return (pairs.groupBy("from_type", "to_type")
+            .agg(F.count("*").cast("long").alias("n"))
+            .join(F.broadcast(tot), "from_type")
+            .select("from_type", "to_type", "n",
+                    F.round(F.col("n") / F.col("n_from"), 4).alias("prob")))

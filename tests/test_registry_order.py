@@ -35,7 +35,8 @@ DEFERRED = {"small_qty_revenue", "brand_filter_revenue",
             "dup_ngram_coverage", "fk_integrity_audit",
             "join_key_skew_profile", "twap_user_value",
             "word_entropy", "equidepth_price_histogram",
-            "hierarchy_rollup", "dpp_partitioned_join"}
+            "hierarchy_rollup", "dpp_partitioned_join",
+            "event_transition_matrix"}
 
 
 def _r1_attested() -> set[str]:
