@@ -48,3 +48,30 @@ def merge_state(state: DataFrame | None, partial: DataFrame,
             .agg(F.sum("_net_rows").cast("long").alias("_net_rows"),
                  F.sum("_net_val").alias("_net_val"))
             .filter(F.col("_net_rows") != 0))
+
+
+def delta_join_terms(a_old: DataFrame, da: DataFrame,
+                     b_old: DataFrame, db: DataFrame,
+                     on: str, a_w: str = "_wa",
+                     b_w: str = "_wb") -> DataFrame:
+    """Signed delta of a JOIN view (the bilinear rule of z-set algebra):
+
+        d(A join B) = dA join B_old  +  A_old join dB  +  dA join dB
+
+    with each joined row weighted by the PRODUCT of its input signs —
+    insert x insert = +1, insert x retract = -1, retract x retract = +1.
+    ``da``/``db`` carry their sign in ``a_w``/``b_w``; the old
+    snapshots have implicit weight +1. Returns the union of the three
+    terms with a combined ``_w`` column; feed it to ``signed_partial``
+    to maintain any distributive aggregate over the join without ever
+    re-joining the full snapshots — at 100 TB each maintenance step
+    joins only delta-sized inputs against the base (two one-sided
+    joins) plus a delta-sized self term.
+    """
+    t1 = da.join(b_old, on).withColumn("_w", F.col(a_w))
+    t2 = a_old.join(db, on).withColumn("_w", F.col(b_w))
+    t3 = da.join(db, on).withColumn("_w", F.col(a_w) * F.col(b_w))
+    cols = [c for c in t1.columns if c not in (a_w, b_w)]
+    return (t1.select(*cols)
+            .unionByName(t2.select(*cols))
+            .unionByName(t3.select(*cols)))

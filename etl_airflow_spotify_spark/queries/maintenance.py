@@ -565,3 +565,58 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("total"), 4).alias("skew_ratio"),
                     F.round(F.col("topk_rows") / F.col("total"), 4)
                     .alias("topk_share")))
+
+
+@register(
+    "ivm_join_delta",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_orderkey % 89 <> 0
+    GROUP BY o_orderpriority
+    """,
+    doc="X31 incremental JOIN-view maintenance (z-set bilinear rule): "
+        "revenue-by-priority over orders x lineitem, maintained from a "
+        "planted changelog (orderkey%97=0 orders arrive, lineitems with "
+        "orderkey%89=0 retract) as view_old + d(AxB), where d(AxB) = "
+        "dAxB + AxdB + dAxdB with sign products — never re-joining the "
+        "new snapshots. DECIMAL value sums keep signed cancellation "
+        "exact, so the incremental result hash-matches the oracle's "
+        "DIRECT recompute on the updated tables: the strongest "
+        "equivalence an IVM path can claim.",
+    tags=("X31", "X3", "X7"),
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivm import delta_join_terms, merge_state, signed_partial
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice", "l_discount")
+
+    a_old = orders.filter(F.col("o_orderkey") % 97 != 0)
+    da = (orders.filter(F.col("o_orderkey") % 97 == 0)
+          .withColumn("_wa", F.lit(1)))
+    b_old = lines
+    db = (lines.filter(F.col("o_orderkey") % 89 == 0)
+          .withColumn("_wb", F.lit(-1)))
+
+    val = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)")))
+
+    view_old = signed_partial(
+        a_old.join(b_old, "o_orderkey").withColumn("_w", F.lit(1)),
+        ["o_orderpriority"], F.col("_w"), val)
+    delta = signed_partial(
+        delta_join_terms(a_old, da, b_old, db, "o_orderkey"),
+        ["o_orderpriority"], F.col("_w"), val)
+    final = merge_state(view_old, delta, ["o_orderpriority"])
+    return final.select(
+        "o_orderpriority",
+        F.col("_net_rows").alias("n_lines"),
+        F.round(F.col("_net_val"), 2).cast("double").alias("revenue"))

@@ -287,3 +287,25 @@ def test_ivm_fold_order_independent_with_retractions(spark):
         got = {(r["g"], r["_net_rows"], float(r["_net_val"]))
                for r in state.collect()}
         assert got == expected, f"slicing {name!r}: {got}"
+
+
+def test_delta_join_full_retraction_nets_zero(spark):
+    """Bilinear rule sanity: retracting every B row must cancel the
+    view exactly (empty state, no residue)."""
+    import pyspark.sql.functions as F
+
+    from etl_airflow_spotify_spark.operators.ivm import (delta_join_terms,
+                                                         merge_state,
+                                                         signed_partial)
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, g string")
+    b = spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 7.0)],
+                              "k long, v double")
+    a_old, da = a, a.limit(0).withColumn("_wa", F.lit(1))
+    db = b.withColumn("_wb", F.lit(-1))
+    val = F.col("v").cast("decimal(18,6)")
+    view = signed_partial(a_old.join(b, "k").withColumn("_w", F.lit(1)),
+                          ["g"], F.col("_w"), val)
+    delta = signed_partial(delta_join_terms(a_old, da, b, db, "k"),
+                           ["g"], F.col("_w"), val)
+    assert merge_state(view, delta, ["g"]).count() == 0
