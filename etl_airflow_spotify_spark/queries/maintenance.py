@@ -11,6 +11,8 @@ hash-checked against a DuckDB replay of the same merge.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -620,3 +622,51 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.col("_net_rows").alias("n_lines"),
         F.round(F.col("_net_val"), 2).cast("double").alias("revenue"))
+
+
+@register(
+    "schema_evolution_read",
+    """
+    WITH unioned AS (
+        SELECT event_id, user_id, value, NULL AS event_type
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL BY NAME
+        SELECT event_id, user_id, value, event_type
+        FROM events WHERE event_id % 2 = 1
+    )
+    SELECT COALESCE(event_type, '<pre-schema>') AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM unioned GROUP BY COALESCE(event_type, '<pre-schema>')
+    """,
+    doc="Schema-evolution read: two parquet batches written with "
+        "DIFFERENT schemas (the old ingest lacked event_type) are read "
+        "as one table via mergeSchema — Spark unions footers and "
+        "null-fills missing columns per file, the capability every "
+        "long-lived 100 TB table needs when producers add fields. "
+        "Missing-column rows are bucketed under '<pre-schema>'. The "
+        "oracle replays the split with UNION ALL BY NAME on the "
+        "original table (layout is invisible to results).",
+    tags=("X1", "X14", "S7"),
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join("spark-warehouse", f"evolved_events_{suffix}")
+    shutil.rmtree(path, ignore_errors=True)
+    # batch 1: the "old producer" schema (no event_type column)
+    (ev.filter(F.col("event_id") % 2 == 0)
+     .select("event_id", "user_id", "value")
+     .coalesce(4).write.mode("append").parquet(path))
+    # batch 2: the evolved schema
+    (ev.filter(F.col("event_id") % 2 == 1)
+     .select("event_id", "user_id", "value", "event_type")
+     .coalesce(4).write.mode("append").parquet(path))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return (merged.groupBy(
+        F.coalesce("event_type", F.lit("<pre-schema>")).alias("event_type"))
+        .agg(F.count("*").cast("long").alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value")))

@@ -36,7 +36,8 @@ DEFERRED = {"small_qty_revenue", "brand_filter_revenue",
             "join_key_skew_profile", "twap_user_value",
             "word_entropy", "equidepth_price_histogram",
             "hierarchy_rollup", "dpp_partitioned_join",
-            "event_transition_matrix", "ivm_join_delta"}
+            "event_transition_matrix", "ivm_join_delta",
+            "schema_evolution_read"}
 
 
 def _r1_attested() -> set[str]:
