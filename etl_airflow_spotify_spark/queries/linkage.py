@@ -58,3 +58,69 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_fns=[lambda c: F.split_part(c, F.lit(" "), F.lit(1)),
                    lambda c: F.split_part(c, F.lit(" "), F.lit(2))],
         max_dist=MAX_EDIT)
+
+
+_FUZZY_EDGES_SQL = f"""
+    WITH names AS (
+        SELECT p_name AS nm, CAST(COUNT(*) AS BIGINT) AS n
+        FROM part GROUP BY p_name
+    ),
+    blocked AS (
+        SELECT split_part(nm, ' ', 1) AS blk, nm FROM names
+        UNION ALL
+        SELECT split_part(nm, ' ', 2) AS blk, nm FROM names
+    ),
+    edges AS (
+        SELECT DISTINCT a.nm AS va, b.nm AS vb
+        FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.nm < b.nm
+        WHERE levenshtein(a.nm, b.nm) <= {MAX_EDIT}
+    )
+"""
+
+
+@register(
+    "fuzzy_cluster_triangles",
+    _FUZZY_EDGES_SQL + """
+    , tri AS (
+        SELECT e1.va AS a, e1.vb AS b, e2.vb AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.va = e1.vb
+        JOIN edges e3 ON e3.va = e1.va AND e3.vb = e2.vb
+    ),
+    corners AS (
+        SELECT a AS v FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL
+        SELECT c FROM tri
+    )
+    SELECT v AS value, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY v
+    """,
+    doc="X39 triangle counting over the fuzzy-similarity graph: how "
+        "densely interlinked each near-duplicate value cluster is "
+        "(mutual-similarity triangles are the strongest merge "
+        "evidence in entity resolution). The value_a < value_b edge "
+        "orientation makes each triangle countable exactly once via "
+        "two hash joins — the standard oriented-wedge formulation; at "
+        "web scale the orientation key becomes (degree, id), bounding "
+        "wedge fan-out by max out-degree ~ sqrt(edges).",
+    tags=("X39", "X3", "X7"),
+)
+def fuzzy_cluster_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = (part.groupBy(F.col("p_name").alias("nm"))
+             .agg(F.count("*").cast("long").alias("n")))
+    edges = blocked_fuzzy_pairs(
+        names, value_col="nm", weight_col="n",
+        block_fns=[lambda c: F.split_part(c, F.lit(" "), F.lit(1)),
+                   lambda c: F.split_part(c, F.lit(" "), F.lit(2))],
+        max_dist=MAX_EDIT).select(F.col("value_a").alias("va"),
+                                  F.col("value_b").alias("vb"))
+    e1 = edges.select(F.col("va").alias("a"), F.col("vb").alias("b"))
+    e2 = edges.select(F.col("va").alias("b"), F.col("vb").alias("c"))
+    e3 = edges.select(F.col("va").alias("a"), F.col("vb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (tri.select(F.col("a").alias("v"))
+               .unionAll(tri.select(F.col("b")))
+               .unionAll(tri.select(F.col("c"))))
+    return (corners.groupBy(F.col("v").alias("value"))
+            .agg(F.count("*").cast("long").alias("n_triangles")))
