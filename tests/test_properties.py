@@ -75,3 +75,79 @@ def test_salted_join_matches_plain_join(spark, pairs, n_salts):
     salted = sorted((r.k, r.v, r.name)
                     for r in salted_join(big, small, "k", n_salts).collect())
     assert salted == plain
+
+
+# (key, group, value) base rows for IVM join-delta equivalence
+ivm_base_strategy = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 2),
+              st.integers(-50, 50)),
+    min_size=0, max_size=12)
+ivm_flags_strategy = st.lists(st.booleans(), min_size=12, max_size=12)
+
+
+@PROP
+@given(a_rows=ivm_base_strategy, b_rows=ivm_base_strategy,
+       a_new=ivm_flags_strategy, b_del=ivm_flags_strategy)
+def test_delta_join_equals_direct_recompute(spark, a_rows, b_rows,
+                                            a_new, b_del):
+    """Bilinear-rule law: view_old + d(AxB) == direct aggregate over
+    (A_new x B_new), for ANY split of rows into base/arriving and
+    kept/retracted. Integer values make equality exact."""
+    from etl_airflow_spotify_spark.operators.ivm import (delta_join_terms,
+                                                         merge_state,
+                                                         signed_partial)
+
+    a = [(k, g, v, bool(a_new[i % 12])) for i, (k, g, v) in enumerate(a_rows)]
+    b = [(k, g, v, bool(b_del[i % 12])) for i, (k, g, v) in enumerate(b_rows)]
+    adf = spark.createDataFrame(
+        a or [(0, 0, 0, True)], "k long, g long, av long, is_new boolean")
+    bdf = spark.createDataFrame(
+        b or [(9, 0, 0, True)], "k long, g long, bv long, is_del boolean")
+    bdf = bdf.drop("g")
+
+    a_old = adf.filter(~F.col("is_new")).drop("is_new")
+    da = adf.filter(F.col("is_new")).drop("is_new") \
+            .withColumn("_wa", F.lit(1))
+    b_old = bdf.drop("is_del")
+    db = bdf.filter(F.col("is_del")).drop("is_del") \
+            .withColumn("_wb", F.lit(-1))
+
+    val = (F.col("av") * F.col("bv")).cast("decimal(18,6)")
+    view_old = signed_partial(
+        a_old.join(b_old, "k").withColumn("_w", F.lit(1)),
+        ["g"], F.col("_w"), val)
+    delta = signed_partial(delta_join_terms(a_old, da, b_old, db, "k"),
+                           ["g"], F.col("_w"), val)
+    inc = {(r.g): (r._net_rows, r._net_val)
+           for r in merge_state(view_old, delta, ["g"]).collect()}
+
+    direct_rows = (adf.drop("is_new")
+                   .join(bdf.filter(~F.col("is_del")).drop("is_del"), "k"))
+    direct = {(r.g): (r.n, r.s) for r in
+              direct_rows.groupBy("g")
+              .agg(F.count("*").cast("long").alias("n"),
+                   F.sum(val).alias("s"))
+              .collect() if r.n != 0}
+    assert inc == direct
+
+
+@PROP
+@given(vals=st.lists(
+    st.tuples(st.text(alphabet="abcd ", min_size=1, max_size=12),
+              st.integers(1, 5)),
+    min_size=0, max_size=10, unique_by=lambda t: t[0]))
+def test_blocked_fuzzy_pairs_laws(spark, vals):
+    """Every emitted pair respects the distance bound, is ordered
+    (value_a < value_b), and carries weight n_a * n_b."""
+    from etl_airflow_spotify_spark.operators.linkage import \
+        blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(vals or [("zz", 1)], "nm string, n long")
+    out = blocked_fuzzy_pairs(
+        df, "nm", "n",
+        [lambda c: F.substring(c, 1, 2)], max_dist=3).collect()
+    weights = dict(((v, n) for v, n in (vals or [("zz", 1)])))
+    for r in out:
+        assert r.value_a < r.value_b
+        assert r.edit_dist <= 3
+        assert r.pair_weight == weights[r.value_a] * weights[r.value_b]
