@@ -71,6 +71,10 @@ HEADLINE = [
     "zorder_rectangle_scan",
     "dpp_partitioned_join",
     "hll_distinct_rollup",
+    "hierarchy_rollup",
+    "ivm_join_delta",
+    "twap_user_value",
+    "equidepth_price_histogram",
     "hll_sliding_distinct",
     "resample_gap_fill",
     "concurrent_orders",

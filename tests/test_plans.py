@@ -339,3 +339,9 @@ def test_hierarchy_rollup_no_cartesian(spark, sf_dir):
     against the base table."""
     df = _df("hierarchy_rollup", spark, sf_dir)
     assert not has_cartesian_product(df)
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """X39: the oriented-wedge triangle count must be pure hash joins."""
+    df = _df("fuzzy_cluster_triangles", spark, sf_dir)
+    assert not has_cartesian_product(df)
