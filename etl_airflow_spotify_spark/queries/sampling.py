@@ -119,3 +119,46 @@ def per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (group_sample(d, "lang", "doc_id", GROUP_SAMPLE_K)
             .select("lang", "doc_id", "rk"))
+
+
+@register(
+    "quality_weighted_sample",
+    """
+    WITH scored AS (
+        SELECT doc_id, lang,
+               LEAST(len(string_split_regex(trim(lower(text)), '\\s+')),
+                     1000) AS w,
+               ('0x' || substr(md5('qws:' || CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT % 1000 AS u
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(w) AS BIGINT) AS weight_kept
+    FROM scored WHERE u < w
+    GROUP BY lang
+    """,
+    doc="Deterministic QUALITY-WEIGHTED corpus sampling: each doc is "
+        "kept with probability w/1000 where w = its (capped) token "
+        "count — the importance-sampling step that upweights long/"
+        "high-quality documents in a training mix. The keep decision "
+        "is a pure scan predicate on md5(doc_id) (same u across runs, "
+        "engines, and appends — unlike rand()-based sampling), so "
+        "membership is exactly replayable: id_sum pins the precise "
+        "kept set, not just counts.",
+    tags=("X28", "X2", "X14"),
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = F.least(F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")),
+                F.lit(1000))
+    u = (F.expr("CAST(conv(substring(md5(concat('qws:', "
+                "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+         % 1000)
+    return (d.select("doc_id", "lang", w.alias("w"), u.alias("u"))
+            .filter(F.col("u") < F.col("w"))
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_kept"),
+                 F.sum("doc_id").cast("long").alias("id_sum"),
+                 F.sum("w").cast("long").alias("weight_kept")))

@@ -477,3 +477,65 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_col="label", score_digits=4)
     return (best.groupBy("label", "pred")
             .agg(F.count("*").cast("long").alias("n")))
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS cand_id,
+               CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS same_label,
+               ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])),
+                     6) AS score
+        FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, query_label, same_label, cand_id, score
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id, same_label
+              ORDER BY score DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    doc="Hard-example mining for contrastive embedding training: per "
+        "query vector, the nearest SAME-label neighbor (positive) and "
+        "the nearest DIFFERENT-label neighbor (hard negative) — the "
+        "pair-construction step behind triplet/InfoNCE training data. "
+        "One broadcast of the query set, per-row fused cosine, then a "
+        "tiny (query, same_label) argmax window; at corpus scale the "
+        "exact scan swaps for the IVF probe with identical downstream "
+        "shape.",
+    tags=("X17", "X10"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("label").alias("query_label"),
+                 S.as_double(F.col("embedding")).alias("q_vec")))
+    q = q.select("query_id", "query_label", "q_vec",
+                 S.norm(F.col("q_vec")).alias("q_norm"))
+    c = e.select(F.col("vec_id").alias("cand_id"),
+                 F.col("label").alias("c_label"),
+                 S.as_double(F.col("embedding")).alias("c_vec"))
+    c = c.select("cand_id", "c_label", "c_vec",
+                 S.norm(F.col("c_vec")).alias("c_norm"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "query_label",
+                (F.col("c_label") == F.col("query_label"))
+                .cast("int").alias("same_label"),
+                "cand_id",
+                F.round(S.dot(F.col("q_vec"), F.col("c_vec"))
+                        / (F.col("q_norm") * F.col("c_norm")), 6)
+                .alias("score")))
+    w = Window.partitionBy("query_id", "same_label") \
+              .orderBy(F.desc("score"), F.asc("cand_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))

@@ -37,7 +37,8 @@ DEFERRED = {"small_qty_revenue", "brand_filter_revenue",
             "word_entropy", "equidepth_price_histogram",
             "hierarchy_rollup", "dpp_partitioned_join",
             "event_transition_matrix", "ivm_join_delta",
-            "schema_evolution_read", "fuzzy_cluster_triangles"}
+            "schema_evolution_read", "fuzzy_cluster_triangles",
+            "quality_weighted_sample", "hard_negative_mining"}
 
 
 def _r1_attested() -> set[str]:
