@@ -38,7 +38,8 @@ DEFERRED = {"small_qty_revenue", "brand_filter_revenue",
             "hierarchy_rollup", "dpp_partitioned_join",
             "event_transition_matrix", "ivm_join_delta",
             "schema_evolution_read", "fuzzy_cluster_triangles",
-            "quality_weighted_sample", "hard_negative_mining"}
+            "quality_weighted_sample", "hard_negative_mining",
+            "sliding_distinct_exact"}
 
 
 def _r1_attested() -> set[str]:
