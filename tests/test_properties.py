@@ -151,3 +151,44 @@ def test_blocked_fuzzy_pairs_laws(spark, vals):
         assert r.value_a < r.value_b
         assert r.edit_dist <= 3
         assert r.pair_weight == weights[r.value_a] * weights[r.value_b]
+
+
+@PROP
+@given(texts=st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=30),
+    min_size=1, max_size=6))
+def test_repetition_metric_bounds(spark, texts):
+    """0 <= top_word_frac <= 1, 0 <= dup_bigram_frac < 1, counts
+    consistent, for arbitrary whitespace-noisy text."""
+    from etl_airflow_spotify_spark.operators.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    for r in repetition_metrics(docs, "doc_id", "text").collect():
+        assert 0.0 < r.top_word_frac <= 1.0
+        assert 0.0 <= r.dup_bigram_frac < 1.0
+        assert r.n_distinct <= r.n_words
+        assert r.n_bigrams == max(r.n_words - 1, 0)
+
+
+@PROP
+@given(perm_seed=st.integers(0, 5))
+def test_dup_ngram_coverage_order_independent(spark, perm_seed):
+    """Corpus-wide duplicate marking cannot depend on document order or
+    partitioning."""
+    import random
+
+    from etl_airflow_spotify_spark.operators.dedup import \
+        duplicated_ngram_coverage
+
+    base = [(1, "a b c d e f"), (2, "x y a b c d"), (3, "p q r s t u")]
+    rng = random.Random(perm_seed)
+    shuffled = base[:]
+    rng.shuffle(shuffled)
+    out1 = {(r.doc_id, r.n_dup) for r in duplicated_ngram_coverage(
+        spark.createDataFrame(base, "doc_id long, text string"),
+        "doc_id", "text", n=4).collect()}
+    out2 = {(r.doc_id, r.n_dup) for r in duplicated_ngram_coverage(
+        spark.createDataFrame(shuffled, "doc_id long, text string")
+        .repartition(3), "doc_id", "text", n=4).collect()}
+    assert out1 == out2
