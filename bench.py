@@ -50,6 +50,7 @@ HEADLINE = [
     "multimodal_metadata",
     "multimodal_frames",
     "training_data_prep",
+    "training_data_prep_v2",
     "dataset_split",
     "cdc_merge_upsert",
     "cdc_merge_incremental",

@@ -348,3 +348,130 @@ def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("exact_cnt") >= F.col("t"))
             .select(F.col("item").alias("word"),
                     F.col("exact_cnt").cast("long").alias("exact_cnt")))
+
+
+# Thresholds for the v2 curation pipeline (matching queries/text.py's
+# repetition filter plus an entropy floor).
+V2_TOP_WORD_MAX = 0.12
+V2_DUP_BIGRAM_MAX = 0.05
+V2_ENTROPY_MIN = 4.0
+
+
+@register(
+    "training_data_prep_v2",
+    f"""
+    WITH d AS (
+        SELECT doc_id, lang, source, text,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(toks) AS w FROM d)
+           GROUP BY doc_id, w),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM wc GROUP BY doc_id),
+    ws AS (SELECT wc.doc_id,
+                  CAST(t.n AS BIGINT) AS n_words,
+                  MAX(c)::DOUBLE / t.n AS top_frac,
+                  -SUM((c::DOUBLE / t.n) * log2(c::DOUBLE / t.n))
+                      AS entropy
+           FROM wc JOIN tot t ON wc.doc_id = t.doc_id
+           GROUP BY wc.doc_id, t.n),
+    bg AS (SELECT doc_id,
+                  CASE WHEN len(bgs) > 0
+                       THEN 1.0 - len(list_distinct(bgs))::DOUBLE / len(bgs)
+                       ELSE 0.0 END AS dupf
+           FROM (SELECT doc_id,
+                        list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])
+                            AS bgs
+                 FROM d)),
+    gated AS (
+        SELECT d.doc_id, d.lang, d.source, d.text, ws.n_words
+        FROM d JOIN ws ON d.doc_id = ws.doc_id
+               JOIN bg ON d.doc_id = bg.doc_id
+        WHERE ws.top_frac <= {V2_TOP_WORD_MAX}
+          AND bg.dupf <= {V2_DUP_BIGRAM_MAX}
+          AND ws.entropy >= {V2_ENTROPY_MIN}
+          AND d.doc_id % {EVAL_MOD} <> 0
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT g.*,
+                   MIN(doc_id) OVER (
+                       PARTITION BY md5(regexp_replace(
+                           trim(lower(text)), '\\s+', ' ', 'g'))) AS keep_id
+            FROM gated g)
+        WHERE doc_id = keep_id
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(len(toks) - 1, 2)),
+                  i -> array_to_string(toks[i:i + 2], ' ')))) AS ng
+              FROM d WHERE doc_id % {EVAL_MOD} <> 0) t
+        JOIN (SELECT unnest(list_distinct(list_transform(
+                  range(1, greatest(len(toks) - 1, 2)),
+                  i -> array_to_string(toks[i:i + 2], ' ')))) AS ng
+              FROM d WHERE doc_id % {EVAL_MOD} = 0) e
+          ON t.ng = e.ng
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM deduped LEFT JOIN contaminated USING (doc_id)
+    WHERE contaminated.doc_id IS NULL
+    GROUP BY lang
+    """,
+    doc="End-to-end curation pipeline v2, composing this round's "
+        "quality signals as ONE hash-checked query: Gopher repetition "
+        "gates (top-word, dup-bigram) + word-entropy floor -> exact "
+        "dedup (min id per normalized fingerprint) -> benchmark "
+        "decontamination (3-gram overlap vs the eval slice) -> per-"
+        "lang corpus stats with exact membership (id_sum). Every "
+        "stage is scan-local or shuffle-on-key (doc/word histogram, "
+        "fingerprint, n-gram); no all-pairs anywhere, so the plan "
+        "shape survives 100 TB.",
+    tags=("X34", "X15", "X25", "X18", "X2"),
+)
+def training_data_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.text import repetition_metrics
+    from ..queries.text import _docs as _text_docs
+
+    d = _text_docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+    rep = repetition_metrics(d, "doc_id", "text")
+    wc = (d.select("doc_id", F.explode(toks).alias("w"))
+          .groupBy("doc_id", "w").agg(F.count("*").alias("c")))
+    tot = wc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    ent = (wc.join(tot, "doc_id").groupBy("doc_id")
+           .agg((-F.sum(p * F.log2(p))).alias("entropy")))
+
+    gated = (d.join(rep.select("doc_id", "top_word_frac",
+                               "dup_bigram_frac", "n_words"), "doc_id")
+             .join(ent, "doc_id")
+             .filter((F.col("top_word_frac") <= V2_TOP_WORD_MAX)
+                     & (F.col("dup_bigram_frac") <= V2_DUP_BIGRAM_MAX)
+                     & (F.col("entropy") >= V2_ENTROPY_MIN)
+                     & (F.col("doc_id") % EVAL_MOD != 0)))
+
+    from ..operators.text import exact_fingerprint
+    deduped = (gated.withColumn("fp", exact_fingerprint(F.col("text")))
+               .withColumn("keep_id",
+                           F.min("doc_id").over(Window.partitionBy("fp")))
+               .filter(F.col("doc_id") == F.col("keep_id")))
+
+    train = d.filter(F.col("doc_id") % EVAL_MOD != 0)
+    evals = d.filter(F.col("doc_id") % EVAL_MOD == 0)
+    contaminated = C.ngram_contamination(
+        train, evals, "doc_id", "text", n=NGRAM_N).select("doc_id")
+
+    return (deduped.join(contaminated, "doc_id", "left_anti")
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("doc_id").cast("long").alias("id_sum"),
+                 F.sum("n_words").cast("long").alias("total_words")))
