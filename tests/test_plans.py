@@ -345,3 +345,9 @@ def test_triangle_count_no_cartesian(spark, sf_dir):
     """X39: the oriented-wedge triangle count must be pure hash joins."""
     df = _df("fuzzy_cluster_triangles", spark, sf_dir)
     assert not has_cartesian_product(df)
+
+
+def test_training_prep_v2_no_cartesian(spark, sf_dir):
+    """The composed curation pipeline must stay all-hash-join."""
+    df = _df("training_data_prep_v2", spark, sf_dir)
+    assert not has_cartesian_product(df)
