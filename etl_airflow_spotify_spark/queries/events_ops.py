@@ -769,3 +769,67 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(tot), "from_type")
             .select("from_type", "to_type", "n",
                     F.round(F.col("n") / F.col("n_from"), 4).alias("prob")))
+
+
+@register(
+    "rolling_corr_click_purchase",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS clicks,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS purchases
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    sums AS (
+        SELECT day, clicks, purchases,
+               COUNT(*) OVER w AS n,
+               SUM(clicks) OVER w AS sx, SUM(purchases) OVER w AS sy,
+               SUM(clicks * purchases) OVER w AS sxy,
+               SUM(clicks * clicks) OVER w AS sx2,
+               SUM(purchases * purchases) OVER w AS sy2
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, clicks, purchases,
+           ROUND((n * sxy - sx * sy)
+                 / NULLIF(sqrt((n * sx2 - sx * sx)
+                               * (n * sy2 - sy * sy)), 0), 4)
+               AS corr7d
+    FROM sums WHERE n = 7
+    """,
+    doc="7-day rolling Pearson correlation between daily click and "
+        "purchase volumes, computed from EXACT integer window sums "
+        "(n, sx, sy, sxy, sx2, sy2) instead of a float corr aggregate: "
+        "integer sums are order-independent and engine-exact, the "
+        "single final expression is deterministic, and degenerate "
+        "(zero-variance) windows give NULL identically on both "
+        "engines — no NaN-vs-NULL ambiguity. One shuffle for the "
+        "daily rollup; the ordered day frame is tiny (one row per "
+        "day) so the single-partition window is safe at any corpus "
+        "size.",
+    tags=("X11", "X7", "X14"),
+)
+def rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.col("ts").cast("date").alias("day"))
+             .agg(F.sum((F.col("event_type") == "click").cast("int"))
+                  .cast("long").alias("clicks"),
+                  F.sum((F.col("event_type") == "purchase").cast("int"))
+                  .cast("long").alias("purchases")))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    s = (daily
+         .withColumn("n", F.count("*").over(w))
+         .withColumn("sx", F.sum("clicks").over(w))
+         .withColumn("sy", F.sum("purchases").over(w))
+         .withColumn("sxy", F.sum(F.col("clicks") * F.col("purchases")).over(w))
+         .withColumn("sx2", F.sum(F.col("clicks") * F.col("clicks")).over(w))
+         .withColumn("sy2", F.sum(F.col("purchases") * F.col("purchases")).over(w)))
+    denom = F.sqrt((F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"))
+                   * (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")))
+    corr = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.when(denom != 0, denom))
+    return (s.filter(F.col("n") == 7)
+            .select("day", "clicks", "purchases",
+                    F.round(corr, 4).alias("corr7d")))

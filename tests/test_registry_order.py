@@ -39,7 +39,8 @@ DEFERRED = {"small_qty_revenue", "brand_filter_revenue",
             "event_transition_matrix", "ivm_join_delta",
             "schema_evolution_read", "fuzzy_cluster_triangles",
             "quality_weighted_sample", "hard_negative_mining",
-            "sliding_distinct_exact", "training_data_prep_v2"}
+            "sliding_distinct_exact", "training_data_prep_v2",
+            "rolling_corr_click_purchase"}
 
 
 def _r1_attested() -> set[str]:
