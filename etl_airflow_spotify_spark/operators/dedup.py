@@ -507,6 +507,10 @@ def duplicated_ngram_coverage(docs: DataFrame, id_col: str, text_col: str,
         f"ELSE transform(sequence(1, size(_toks) - {n - 1}), "
         f"i -> CAST(conv(substring(md5(array_join(slice(_toks, i, {n}), "
         f"' ')), 1, 15), 16, 10) AS BIGINT)) END")
+    # The exploded hashes feed both the count aggregate and the join
+    # probe; the explode+md5 runs once per consumer (measured: caching
+    # the 10M-row exploded frame costs as much as recomputing it — the
+    # shuffles, not the hash CPU, dominate — so no persist here).
     sh = (_spread(d.select(id_col, shingle_hashes.alias("_hs")), id_col)
           .select(id_col, F.explode("_hs").alias("_h")))
     counts = sh.groupBy("_h").agg(F.count("*").alias("_c"))

@@ -351,3 +351,10 @@ def test_training_prep_v2_no_cartesian(spark, sf_dir):
     """The composed curation pipeline must stay all-hash-join."""
     df = _df("training_data_prep_v2", spark, sf_dir)
     assert not has_cartesian_product(df)
+
+
+def test_twap_single_exchange(spark, sf_dir):
+    """TWAP's docstring claims ONE shuffle: the lead window partitions
+    by user and the aggregate reuses that partitioning."""
+    df = _df("twap_user_value", spark, sf_dir)
+    assert num_exchanges(df) == 1
