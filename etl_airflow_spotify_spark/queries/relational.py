@@ -960,3 +960,93 @@ def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("p"), 4).alias("lo"),
                  F.round(F.max("p"), 4).alias("hi"),
                  F.round(F.sum("p"), 2).alias("total")))
+
+
+@register(
+    "benford_price_profile",
+    """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                                AS VARCHAR),
+                           1, 1) AS BIGINT) AS d
+        FROM lineitem WHERE l_extendedprice >= 1
+    ),
+    counts AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT SUM(n) AS t FROM counts)
+    SELECT d, n,
+           ROUND(n::DOUBLE / t, 4) AS observed,
+           ROUND(log10(1.0 + 1.0 / d), 4) AS benford_expected,
+           ROUND(n::DOUBLE / t - log10(1.0 + 1.0 / d), 4) AS deviation
+    FROM counts, tot
+    """,
+    doc="Benford first-digit profile of prices: observed leading-digit "
+        "frequencies vs the log10(1+1/d) Benford expectation — the "
+        "classic distributional screen for fabricated or truncated "
+        "numeric columns. Digit extraction is a per-row string op, the "
+        "profile is one 9-group aggregate, and the total joins back as "
+        "a broadcast scalar: a pure map + tiny-agg plan at any scale.",
+    tags=("X14", "X7", "X2"),
+)
+def benford_price_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = (li.filter(F.col("l_extendedprice") >= 1)
+         .select(F.substring(F.floor("l_extendedprice")
+                             .cast("string"), 1, 1).cast("long").alias("d")))
+    counts = d.groupBy("d").agg(F.count("*").cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    expected = F.log10(1.0 + 1.0 / F.col("d"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("d", "n",
+                    F.round(F.col("n") / F.col("t"), 4).alias("observed"),
+                    F.round(expected, 4).alias("benford_expected"),
+                    F.round(F.col("n") / F.col("t") - expected, 4)
+                    .alias("deviation")))
+
+
+@register(
+    "weighted_median_price",
+    """
+    WITH ordered AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS p,
+               l_quantity AS w,
+               SUM(l_quantity) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+        FROM lineitem
+    )
+    SELECT flag,
+           ROUND(MIN(p), 4) AS weighted_median,
+           ROUND(MIN(totw), 2) AS total_weight
+    FROM ordered WHERE cumw >= totw / 2
+    GROUP BY flag
+    """,
+    doc="Quantity-weighted median price per return flag: order by "
+        "(price, row id) within the group, running weight sum, first "
+        "row whose cumulative weight crosses half the total. The "
+        "crossing row is deterministic (full tiebreak in the ORDER "
+        "BY), so the result is engine-exact without any percentile "
+        "interpolation convention. One shuffle per group for the "
+        "window; groups are few, and at giant-group scale the same "
+        "crossing rule runs over a pre-bucketed weight histogram "
+        "instead of row-level cumsum.",
+    tags=("X11", "X7", "X12"),
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (li.select(F.col("l_returnflag").alias("flag"),
+                   F.col("l_extendedprice").alias("p"),
+                   F.col("l_quantity").alias("w"),
+                   "l_orderkey", "l_linenumber")
+         .withColumn("cumw", F.sum("w").over(
+             Window.partitionBy("flag")
+             .orderBy("p", "l_orderkey", "l_linenumber")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+         .withColumn("totw", F.sum("w").over(Window.partitionBy("flag"))))
+    return (o.filter(F.col("cumw") >= F.col("totw") / 2)
+            .groupBy("flag")
+            .agg(F.round(F.min("p"), 4).alias("weighted_median"),
+                 F.round(F.min("totw"), 2).alias("total_weight")))

@@ -40,7 +40,8 @@ DEFERRED = {"small_qty_revenue", "brand_filter_revenue",
             "schema_evolution_read", "fuzzy_cluster_triangles",
             "quality_weighted_sample", "hard_negative_mining",
             "sliding_distinct_exact", "training_data_prep_v2",
-            "rolling_corr_click_purchase"}
+            "rolling_corr_click_purchase", "benford_price_profile",
+            "weighted_median_price"}
 
 
 def _r1_attested() -> set[str]:
