@@ -58,70 +58,67 @@ def register(name: str, oracle: str | None, doc: str = "",
 # class in SURVEY.md §2; queries not listed here keep their registration
 # order after the listed ones.  tests/test_registry_order.py pins the
 # invariant that the first 50 cover every tag in the registry.
+# Round 3: every query with a hash-green (or declared rows-only) row in
+# CORRECTNESS_r01/r02 vacates its slot; the window is exactly the 43
+# never-attested queries, plus near_dup_simhash (r1 row was rows-only but
+# it has since gained an exact md5-bit oracle), plus the round-3
+# additions.  With r1+r2 cross-referenced this makes every registered
+# query driver-attested.
 DRIVER_ORDER: tuple[str, ...] = (
-    # X17 vector similarity (dark in r1)
-    "vector_topk_exact",
-    "vector_topk_ivf",
-    "vector_topk_ivf_persisted",
-    "vector_topk_ivf_kmeans",
-    "vector_near_dup_lsh",
-    # X20-X23 streaming (dark in r1)
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_dedup_watermark",
-    "stream_watermark_append",
-    "stream_stateful_user_stats",
-    "stream_stream_join",
-    "stream_static_enrich",
-    # X8 sketches (dark in r1)
-    "hll_distinct_rollup",
-    "theta_customer_overlap",
-    "kll_price_quantiles",
-    # S/P/J Spotify dataflow (dark in r1)
-    "spotify_albums",
-    "spotify_tracks_with_features",
-    "spotify_categories",
-    "spotify_rest_scan",
-    # scale patterns (dark in r1)
-    "skew_salted_join",
-    "bucketed_zero_shuffle_join",
-    "dataset_split",
-    # canonicalizer errors in r1, fixed via to_json projection
-    "array_battery",
-    "map_battery",
-    "multimodal_embed",
-    # new in round 2
-    "bloom_join_pruning",
-    "vector_topk_ivfpq",
-    "cdc_merge_upsert",
-    # relational / window / subquery shapes dark in r1
-    "rank_battery",
-    "quantile_stats",
-    "nullsafe_join_counts",
-    "agg_lists",
-    "unpivot_metrics",
-    "lateral_recent_orders",
-    "late_ship_priority",
-    "rich_idle_customers",
-    "customer_order_distribution",
-    "top_supplier_revenue",
-    "part_supplier_variety",
-    "sole_fault_suppliers",
-    "important_part_value",
-    "cdc_merge_incremental",
-    "stream_cdc_upsert",
-    # new in round 2: corpus-curation + star-CC operators (never
-    # driver-attested, so they take the window slots of classes already
-    # green in CORRECTNESS_r01 — the judge can cross-reference r1 rows
-    # for those; tests/test_registry_order.py enforces the query-level
-    # invariant that everything never-attested sits in the window)
-    "decontaminate_ngram",
-    "pii_redaction",
-    "sequence_packing",
-    "stratified_corpus_mix",
-    "countmin_heavy_hitters",
-    "dedup_cluster_assign_star",
+    # X32-X39 round-2 additions that landed after the r2 window filled
+    "zorder_rectangle_scan",
+    "dpp_partitioned_join",
+    "hierarchy_rollup",
+    "twap_user_value",
+    "ivm_join_delta",
+    "ivm_signed_aggregate",
+    "scd2_customer_history",
+    "snapshot_diff_audit",
+    "table_fingerprints",
+    "fk_integrity_audit",
+    "join_key_skew_profile",
+    "fuzzy_name_pairs",
+    "fuzzy_cluster_triangles",
+    "robust_value_outliers",
+    # text / curation driver-dark rows
+    "dup_ngram_coverage",
+    "repetition_filter",
+    "word_entropy",
+    "training_data_prep_v2",
+    "document_chunking",
+    "heavy_hitters_twopass",
+    "near_dup_simhash",
+    # relational shapes never green (incl. the two re-planned this round)
+    "equidepth_price_histogram",
+    "weighted_median_price",
+    "benford_price_profile",
+    "profile_lineitem",
+    "brand_filter_revenue",
+    "small_qty_revenue",
+    "big_volume_orders",
+    "schema_evolution_read",
+    # events/ops analytics dark rows
+    "funnel_view_click_purchase",
+    "cohort_retention",
+    "ewma_user_value",
+    "event_transition_matrix",
+    "rolling_corr_click_purchase",
+    # sampling
+    "per_group_sample",
+    "quality_weighted_sample",
+    # vector round-2 additions
+    "vector_topk_ivfpq_persisted",
+    "vector_topk_ivfpq_trained",
+    "vector_topk_ivfpq_residual",
+    "nearest_centroid_confusion",
+    "hard_negative_mining",
+    # streaming / sketch round-2 additions
+    "stream_decontaminate",
+    "hll_sliding_distinct",
+    "sliding_distinct_exact",
+    # round-3 additions fill the remaining slots (kept inside the first
+    # 50 as they are registered; tests/test_registry_order.py enforces
+    # the invariant)
 )
 
 

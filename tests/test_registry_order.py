@@ -6,7 +6,13 @@ first 50 registrations). These tests guarantee the curated order gets
 every query a driver row at least once across rounds: everything never
 attested by a prior round's CORRECTNESS file must sit inside the
 window, and every operator tag must be covered by the window or by a
-prior green row.
+prior attested row.
+
+Round 3: CORRECTNESS_r01 + r02 together attest 97 queries (86
+hash-green, 11 rows-only). The window is now exactly the remaining 43
+never-attested queries, plus near_dup_simhash (re-attested: its r1 row
+was rows-only but the query has since gained an exact md5-bit oracle),
+plus any round-3 additions.
 """
 
 import json
@@ -17,40 +23,25 @@ from etl_airflow_spotify_spark.registry import DRIVER_ORDER, all_queries
 WINDOW = 50
 
 # Queries deliberately left dark this round (window is full; these are
-# redundant variants of classes with multiple green rows already).
-DEFERRED = {"small_qty_revenue", "brand_filter_revenue",
-            "big_volume_orders", "vector_topk_ivfpq_persisted",
-            "heavy_hitters_twopass",
-            # round-3 additions, registered after the window filled;
-            # all pytest-oracle-green — first in line for r3's window
-            "zorder_rectangle_scan", "vector_topk_ivfpq_trained",
-            "stream_decontaminate", "hll_sliding_distinct",
-            "scd2_customer_history", "ivm_signed_aggregate",
-            "per_group_sample", "vector_topk_ivfpq_residual",
-            "funnel_view_click_purchase", "cohort_retention",
-            "snapshot_diff_audit", "table_fingerprints",
-            "document_chunking", "ewma_user_value", "profile_lineitem",
-            "fuzzy_name_pairs", "repetition_filter",
-            "nearest_centroid_confusion", "robust_value_outliers",
-            "dup_ngram_coverage", "fk_integrity_audit",
-            "join_key_skew_profile", "twap_user_value",
-            "word_entropy", "equidepth_price_histogram",
-            "hierarchy_rollup", "dpp_partitioned_join",
-            "event_transition_matrix", "ivm_join_delta",
-            "schema_evolution_read", "fuzzy_cluster_triangles",
-            "quality_weighted_sample", "hard_negative_mining",
-            "sliding_distinct_exact", "training_data_prep_v2",
-            "rolling_corr_click_purchase", "benford_price_profile",
-            "weighted_median_price"}
+# redundant variants of classes with multiple attested rows already).
+DEFERRED: set[str] = set()
 
 
-def _r1_attested() -> set[str]:
-    path = os.path.join(os.path.dirname(__file__), "..",
-                        "CORRECTNESS_r01.json")
-    with open(path) as f:
-        r1 = json.load(f)
-    # err == None -> hash-checked green; 'no_oracle' -> rows-only row.
-    return {k for k, v in r1.items() if v.get("err") in (None, "no_oracle")}
+def _attested() -> set[str]:
+    """Queries with a driver row (hash-green or declared rows-only) in
+    any prior round's CORRECTNESS file."""
+    root = os.path.join(os.path.dirname(__file__), "..")
+    out: set[str] = set()
+    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        path = os.path.join(root, fname)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            rows = json.load(f)
+        # err == None -> hash-checked green; 'no_oracle' -> rows-only row.
+        out |= {k for k, v in rows.items()
+                if v.get("err") in (None, "no_oracle")}
+    return out
 
 
 def test_driver_order_no_duplicates():
@@ -64,44 +55,53 @@ def test_driver_order_names_exist():
 
 
 def test_every_query_attested_or_windowed():
-    """Query-level invariant: anything without a green row in round 1
-    must be inside this round's checked window (or explicitly deferred)."""
+    """Query-level invariant: anything without a driver row in a prior
+    round must be inside this round's checked window (or explicitly
+    deferred)."""
     qs = all_queries()
     window = set(list(qs)[:WINDOW])
-    attested = _r1_attested()
+    attested = _attested()
     dark = [n for n in qs
             if n not in attested and n not in window and n not in DEFERRED]
     assert not dark, f"never-attested queries outside the window: {dark}"
 
 
-def test_first_window_covers_every_tag():
-    """Tag-level invariant: every operator class has a driver row this
-    round or a green row from round 1 — EXCEPT classes introduced after
-    the window filled, all of whose queries must then be explicitly
-    DEFERRED (they claim the freed slots next round)."""
+def test_window_holds_every_never_attested_query():
+    """Round-3 goal: with r1+r2 cross-referenced, this round's window
+    closes the attestation gap completely — no DEFERRED backlog."""
     qs = all_queries()
-    attested = _r1_attested()
-    covered = {t for s in list(qs.values())[:WINDOW] for t in s.tags}
-    covered |= {t for n, s in qs.items() if n in attested for t in s.tags}
-    uncovered_ok = {t for s in qs.values() for t in s.tags
-                    if t not in covered
-                    and all(q.name in DEFERRED
-                            for q in qs.values() if t in q.tags)}
-    all_tags = {t for s in qs.values() for t in s.tags}
-    assert covered | uncovered_ok == all_tags, (
-        f"tags with no driver attestation past or present: "
-        f"{sorted(all_tags - covered - uncovered_ok)}"
+    window = set(list(qs)[:WINDOW])
+    attested = _attested()
+    never = {n for n in qs if n not in attested}
+    assert never <= window, (
+        f"never-attested queries left out of the window: "
+        f"{sorted(never - window)}"
     )
 
 
-def test_window_prioritizes_round1_dark_queries():
-    """Every query class dark in round 1 must now sit inside the window."""
+def test_first_window_covers_every_tag():
+    """Tag-level invariant: every operator class has a driver row this
+    round or an attested row from a prior round."""
+    qs = all_queries()
+    attested = _attested()
+    covered = {t for s in list(qs.values())[:WINDOW] for t in s.tags}
+    covered |= {t for n, s in qs.items() if n in attested for t in s.tags}
+    all_tags = {t for s in qs.values() for t in s.tags}
+    assert covered == all_tags, (
+        f"tags with no driver attestation past or present: "
+        f"{sorted(all_tags - covered)}"
+    )
+
+
+def test_window_prioritizes_never_attested():
+    """Representatives of every class dark after r2 sit in the window."""
     qs = list(all_queries())[:WINDOW]
-    for name in ("vector_topk_exact", "stream_tumbling_counts",
-                 "hll_distinct_rollup", "spotify_albums",
-                 "skew_salted_join", "bucketed_zero_shuffle_join",
-                 "dataset_split", "lateral_recent_orders",
-                 "decontaminate_ngram", "pii_redaction",
-                 "sequence_packing", "stratified_corpus_mix",
-                 "countmin_heavy_hitters", "dedup_cluster_assign_star"):
+    for name in ("zorder_rectangle_scan", "dpp_partitioned_join",
+                 "hierarchy_rollup", "twap_user_value", "ivm_join_delta",
+                 "scd2_customer_history", "fuzzy_name_pairs",
+                 "robust_value_outliers", "dup_ngram_coverage",
+                 "equidepth_price_histogram", "weighted_median_price",
+                 "vector_topk_ivfpq_trained", "stream_decontaminate",
+                 "hll_sliding_distinct", "near_dup_simhash",
+                 "training_data_prep_v2"):
         assert name in qs, f"{name} fell outside the driver window"
