@@ -65,3 +65,31 @@ def has_cartesian_product(df: DataFrame) -> bool:
 def wholestage_codegen_ids(df: DataFrame) -> list[int]:
     return sorted({int(m) for m in
                    re.findall(r"WholeStageCodegen \((\d+)\)", plan_string(df))})
+
+
+def scan_paths(df: DataFrame) -> list[tuple[str, ...]]:
+    """Root-to-scan node-label paths through the simple-mode plan tree.
+
+    Lets tests assert *where* in the tree an operator sits — e.g. "every
+    Window has an aggregate or join between it and the file scan" (the
+    property separating a bucketed two-pass plan from a full-table
+    window sort). Depth is recovered from the tree-drawing margin
+    (every level indents by 3 columns).
+    """
+    paths: list[tuple[str, ...]] = []
+    stack: list[str] = []
+    for line in plan_string(df, mode="simple").splitlines():
+        m = re.search(r"[+:]- ", line)
+        if m:
+            depth = m.start() // 3 + 1
+            label = line[m.end():].strip()
+        elif line.strip() and not line.startswith("=="):
+            depth, label = 0, line.strip()
+        else:
+            continue
+        del stack[depth:]
+        stack.append(label)
+        if label.startswith(("Scan ", "FileScan", "BatchScan")) or \
+                "Scan parquet" in label:
+            paths.append(tuple(stack))
+    return paths

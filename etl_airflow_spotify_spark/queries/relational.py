@@ -907,6 +907,10 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_HIST_BUCKETS = 10
+# above this row count the exact-percentile aggregation buffer (which
+# grows with distinct values) gives way to the bounded-memory sketch
+EQUIDEPTH_EXACT_MAX_ROWS = 50_000_000
+EQUIDEPTH_APPROX_ACCURACY = 10_000
 
 
 @register(
@@ -931,22 +935,33 @@ N_HIST_BUCKETS = 10
            ROUND(SUM(p), 2) AS total
     FROM bucketed GROUP BY bucket
     """,
-    doc="Equi-depth price histogram WITHOUT a global sort: exact decile "
-        "boundaries from one percentile aggregate (matches DuckDB "
-        "quantile_cont bit-for-bit), then a map-only bucket assignment "
-        "(count of boundaries below the value) + per-bucket fold. A "
-        "window-ntile formulation would ORDER BY the whole table "
-        "through one reducer — this shape scans twice but never "
-        "serializes, the difference between a profiling query that "
-        "works at 100 TB and one that doesn't.",
+    doc="Equi-depth price histogram WITHOUT a global sort: decile "
+        "boundaries from one percentile aggregate, then a map-only "
+        "bucket assignment (count of boundaries below the value) + "
+        "per-bucket fold. A window-ntile formulation would ORDER BY "
+        "the whole table through one reducer — this shape scans twice "
+        "but never serializes. Boundary computation switches on input "
+        "size: exact percentile (matches DuckDB quantile_cont "
+        "bit-for-bit — the oracle twin) buffers a value->count map "
+        "that grows with distinct prices, so above "
+        "EQUIDEPTH_EXACT_MAX_ROWS the query uses approx_percentile "
+        "(KLL-style sketch, bounded memory at any scale; boundaries "
+        "within the accuracy budget, bucket assignment unchanged).",
     tags=("X7", "X14", "X12"),
 )
-def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def equidepth_price_histogram(spark: SparkSession, sf_dir: str,
+                              exact: bool | None = None) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    if exact is None:
+        # one column-less count scan — trivial next to the query's own
+        # two full passes — picks the boundary algorithm
+        exact = li.count() <= EQUIDEPTH_EXACT_MAX_ROWS
     fr = [i / N_HIST_BUCKETS for i in range(1, N_HIST_BUCKETS)]
-    bounds = li.agg(F.expr(
-        f"percentile(l_extendedprice, array({', '.join(map(str, fr))}))")
-        .alias("qs"))
+    fr_sql = ", ".join(map(str, fr))
+    pct = (f"percentile(l_extendedprice, array({fr_sql}))" if exact
+           else f"approx_percentile(l_extendedprice, array({fr_sql}), "
+                f"{EQUIDEPTH_APPROX_ACCURACY})")
+    bounds = li.agg(F.expr(pct).cast("array<double>").alias("qs"))
     bucketed = (li.select("l_extendedprice")
                 .crossJoin(F.broadcast(bounds))
                 .select(
@@ -1024,29 +1039,54 @@ def benford_price_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ordered WHERE cumw >= totw / 2
     GROUP BY flag
     """,
-    doc="Quantity-weighted median price per return flag: order by "
-        "(price, row id) within the group, running weight sum, first "
-        "row whose cumulative weight crosses half the total. The "
-        "crossing row is deterministic (full tiebreak in the ORDER "
-        "BY), so the result is engine-exact without any percentile "
-        "interpolation convention. One shuffle per group for the "
-        "window; groups are few, and at giant-group scale the same "
-        "crossing rule runs over a pre-bucketed weight histogram "
-        "instead of row-level cumsum.",
+    doc="Quantity-weighted median price per return flag, computed as a "
+        "bucketed two-pass crossing search. Pass 1: per-(flag, "
+        "floor(price)) weight mass — a map-side-combinable aggregate; "
+        "the running-sum window then runs over that tiny bucket table "
+        "(|flags| x |price integers| rows, never the fact table) to "
+        "locate the bucket where cumulative weight crosses half the "
+        "total. Pass 2: only the crossing bucket's rows (1/|buckets| "
+        "of the data) are sorted by (price, row id) with the bucket's "
+        "base weight as offset; the first row crossing totw/2 is the "
+        "median. l_quantity is integer-valued so every fp64 sum is "
+        "exact and the crossing row matches the oracle's row-level "
+        "cumsum bit-for-bit. Replaces a PARTITION BY l_returnflag "
+        "running-sum window over the full table — 3 partitions means "
+        "3 tasks sort everything at scale; here no full-table sort "
+        "exists at any scale.",
     tags=("X11", "X7", "X12"),
 )
 def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    o = (li.select(F.col("l_returnflag").alias("flag"),
-                   F.col("l_extendedprice").alias("p"),
-                   F.col("l_quantity").alias("w"),
-                   "l_orderkey", "l_linenumber")
-         .withColumn("cumw", F.sum("w").over(
-             Window.partitionBy("flag")
-             .orderBy("p", "l_orderkey", "l_linenumber")
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-         .withColumn("totw", F.sum("w").over(Window.partitionBy("flag"))))
-    return (o.filter(F.col("cumw") >= F.col("totw") / 2)
+    rows = li.select(F.col("l_returnflag").alias("flag"),
+                     F.col("l_extendedprice").alias("p"),
+                     F.col("l_quantity").alias("w"),
+                     "l_orderkey", "l_linenumber",
+                     F.floor("l_extendedprice").cast("long").alias("bucket"))
+    # pass 1: bucket weight histogram (partial+final hash aggregate),
+    # then locate the crossing bucket on the aggregated table
+    bkt = rows.groupBy("flag", "bucket").agg(F.sum("w").alias("bw"))
+    located = (bkt
+               .withColumn("cum", F.sum("bw").over(
+                   Window.partitionBy("flag").orderBy("bucket")
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow)))
+               .withColumn("totw",
+                           F.sum("bw").over(Window.partitionBy("flag"))))
+    crossing = (located
+                .filter((F.col("cum") >= F.col("totw") / 2)
+                        & (F.col("cum") - F.col("bw") < F.col("totw") / 2))
+                .select("flag", "bucket",
+                        (F.col("cum") - F.col("bw")).alias("base"), "totw"))
+    # pass 2: broadcast the (|flags|-row) crossing table; only rows in
+    # the crossing bucket survive to the sort
+    in_bucket = rows.join(F.broadcast(crossing), ["flag", "bucket"])
+    cumw = F.col("base") + F.sum("w").over(
+        Window.partitionBy("flag")
+        .orderBy("p", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (in_bucket.withColumn("cumw", cumw)
+            .filter(F.col("cumw") >= F.col("totw") / 2)
             .groupBy("flag")
             .agg(F.round(F.min("p"), 4).alias("weighted_median"),
                  F.round(F.min("totw"), 2).alias("total_weight")))

@@ -358,3 +358,30 @@ def test_twap_single_exchange(spark, sf_dir):
     by user and the aggregate reuses that partitioning."""
     df = _df("twap_user_value", spark, sf_dir)
     assert num_exchanges(df) == 1
+
+
+def test_weighted_median_no_full_table_window(spark, sf_dir):
+    """The weighted median must never window-sort the raw fact table
+    partitioned by the 3-value l_returnflag (3 tasks would sort
+    everything at scale). Every Window in the plan must sit above an
+    aggregate (the bucket histogram) or a broadcast join (the
+    crossing-bucket filter) on its path to the scan."""
+    from etl_airflow_spotify_spark.plans import scan_paths
+
+    df = _df("weighted_median_price", spark, sf_dir)
+    paths = scan_paths(df)
+    assert paths, "no scan found in plan"
+    windowed = 0
+    for path in paths:
+        widx = [i for i, label in enumerate(path)
+                if label.startswith("Window")]
+        if not widx:
+            continue
+        windowed += 1
+        below = path[max(widx) + 1:]
+        assert any(label.startswith(("HashAggregate", "SortAggregate",
+                                     "ObjectHashAggregate",
+                                     "BroadcastHashJoin"))
+                   for label in below), (
+            f"Window directly over the raw scan: {path}")
+    assert windowed, "expected at least one windowed scan path"

@@ -49,3 +49,21 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     assert j.count() > 0
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_equidepth_approx_path_matches_exact_shape(spark, sf_dir):
+    """The bounded-memory approx_percentile boundary path (the 100 TB
+    default above EQUIDEPTH_EXACT_MAX_ROWS) must partition every row
+    into the same number of buckets as the exact path; at sf0.001 the
+    sketch is exact, so buckets coincide entirely."""
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.queries.relational import (
+        equidepth_price_histogram)
+
+    exact = {r["bucket"]: r for r in
+             equidepth_price_histogram(spark, sf_dir, exact=True).collect()}
+    approx = {r["bucket"]: r for r in
+              equidepth_price_histogram(spark, sf_dir, exact=False).collect()}
+    n = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r["n_rows"] for r in approx.values()) == n
+    assert set(approx) == set(exact)
