@@ -456,17 +456,45 @@ def ivfpq_topk_cosine(corpus: DataFrame, queries: DataFrame, k: int,
                     F.col("rn").cast("long").alias("rn")))
 
 
+# Lloyd training is bounded to a deterministic sample of this many
+# vectors; beyond it more training data moves centroids negligibly
+# (Jegou et al. train PQ codebooks on samples for the same reason)
+TRAIN_MAX_ROWS = 1 << 17
+
+
+def _bounded_training_sample(df: DataFrame, key: str,
+                             max_rows: int) -> DataFrame:
+    """Deterministic ~max_rows sample via an md5-threshold scan
+    predicate on the id — membership is a pure function of the row
+    (stable across runs/repartitioning, same idiom as
+    queries/sampling.py), and the filter runs map-side: no shuffle, no
+    RNG state. Returns df unchanged when it is already small enough."""
+    n = df.count()
+    if n <= max_rows:
+        return df
+    u = (F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15),
+                16, 10).cast("double") / float(1 << 60))
+    return df.filter(u < F.lit(max_rows / n))
+
+
 def train_kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
                            dim: int = 64, iters: int = 5,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           metric: str = "dot") -> list[list[float]]:
+                           metric: str = "dot",
+                           train_max_rows: int = TRAIN_MAX_ROWS
+                           ) -> list[list[float]]:
     """Train the IVF coarse quantizer with Lloyd's k-means expressed as
     DataFrame ops: assign each vector to its best current cell, average
     per cell, repeat. Initialization is the first ``n_cells`` vectors
     by id — deterministic, no RNG. Each iteration is one scan + one
-    groupBy; only k x dim doubles ever reach the driver, so training
-    cost is iters scans of the corpus regardless of cluster size.
+    groupBy; only k x dim doubles ever reach the driver.
+
+    Training is bounded to a deterministic md5-threshold sample of
+    ``train_max_rows`` vectors (identity below the bound — all test
+    SFs), so at 100 TB the Lloyd iterations scan a fixed-size sample,
+    never the corpus; only the one-time ENCODE pass touches every
+    vector.
 
     ``metric="dot"`` (default): spherical k-means for cosine IVF —
     assignment by argmax dot, centroids re-normalized to unit length
@@ -481,8 +509,11 @@ def train_kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
     """
     import math
 
-    first = (corpus.orderBy(id_col).limit(n_cells)
-             .select(as_double(F.col(vec_col)).alias("v")).collect())
+    sampled = _bounded_training_sample(
+        corpus.select(F.col(id_col).alias("_id"),
+                      as_double(F.col(vec_col)).alias("v")),
+        "_id", train_max_rows)
+    first = sampled.orderBy("_id").limit(n_cells).select("v").collect()
     cents = [row["v"] for row in first]
 
     def unit(v: list[float]) -> list[float]:
@@ -492,7 +523,7 @@ def train_kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
     post = unit if metric == "dot" else (lambda v: v)
     scorer = _cell_scores if metric == "dot" else _cell_scores_l2
     cents = [post(v) for v in cents]
-    base = corpus.select(as_double(F.col(vec_col)).alias("v"))
+    base = sampled.select("v")
     for _ in range(iters):
         book = _codebook_df(corpus.sparkSession, cents)
         cell = F.array_max(scorer(F.col("v"), n_cells, dim))["i"]
@@ -522,7 +553,8 @@ def train_pq_codebook(corpus: DataFrame, m: int = 8, k_pq: int = 16,
                       dim: int = 64, iters: int = 5,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      coarse: list[list[float]] | None = None
+                      coarse: list[list[float]] | None = None,
+                      train_max_rows: int = TRAIN_MAX_ROWS
                       ) -> list[list[float]]:
     """Train the product-quantization codebook with per-subspace Lloyd's
     k-means, expressed as DataFrame ops over the EXPLODED subvectors:
@@ -543,7 +575,11 @@ def train_pq_codebook(corpus: DataFrame, m: int = 8, k_pq: int = 16,
     plan is identical to the seeded-codebook path. Trained codewords
     sit where the data actually lies (Jegou et al. train on samples for
     exactly this reason), which tightens ADC ranking and lifts recall
-    at the same overfetch.
+    at the same overfetch. Training is bounded to a deterministic
+    md5-threshold sample of ``train_max_rows`` vectors (identity below
+    the bound — all test SFs): at 100 TB the Lloyd iterations and the
+    residual computation scan a fixed-size sample; only the one-time
+    encode pass touches every vector.
 
     With ``coarse`` set (a list of coarse-quantizer centroids) the
     codebook is trained on RESIDUALS v - centroid[cell(v)] — the
@@ -555,8 +591,10 @@ def train_pq_codebook(corpus: DataFrame, m: int = 8, k_pq: int = 16,
     sub_dim = dim // m
     spark = corpus.sparkSession
 
-    base = corpus.select(F.col(id_col).alias("_id"),
-                         as_double(F.col(vec_col)).alias("v"))
+    base = _bounded_training_sample(
+        corpus.select(F.col(id_col).alias("_id"),
+                      as_double(F.col(vec_col)).alias("v")),
+        "_id", train_max_rows)
     if coarse is not None:
         # residual mode: coarse must be L2-trained cell MEANS
         # (train_kmeans_centroids(metric="l2")); assignment mirrors

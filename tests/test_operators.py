@@ -548,3 +548,31 @@ def test_duplicated_ngram_coverage_planted(spark):
     assert out[2].n_shingles == 3 and out[2].n_dup == 1
     assert out[3].n_dup == 0
     assert out[4].n_shingles == 0 and out[4].dup_frac == 0.0
+
+
+def test_training_sample_bound_is_deterministic(spark, sf_dir):
+    """Above the bound the Lloyd trainers see a fixed-size md5-threshold
+    sample: membership is a pure function of the id (two evaluations
+    agree row-for-row) and the sample is within sampling error of the
+    target; below the bound the input passes through untouched."""
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators.similarity import (
+        _bounded_training_sample, train_kmeans_centroids)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    assert _bounded_training_sample(emb, "vec_id", n + 1).count() == n
+
+    bound = max(50, n // 4)
+    s1 = {r["vec_id"] for r in
+          _bounded_training_sample(emb, "vec_id", bound)
+          .select("vec_id").collect()}
+    s2 = {r["vec_id"] for r in
+          _bounded_training_sample(emb.repartition(7), "vec_id", bound)
+          .select("vec_id").collect()}
+    assert s1 == s2, "sample membership must survive repartitioning"
+    assert 0.5 * bound <= len(s1) <= 1.5 * bound
+
+    cents = train_kmeans_centroids(emb, n_cells=4, dim=64, iters=2,
+                                   train_max_rows=bound)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
