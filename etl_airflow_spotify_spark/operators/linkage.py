@@ -25,10 +25,13 @@ Scale design (the part that matters at 100 TB):
 3. **Verify exactly.** ``levenshtein`` runs only on candidate pairs
    (JVM expression, no Python), so cost is O(candidates), not O(n^2).
 
-Skew note: a degenerate block (every value sharing one token) would
-re-create the quadratic blow-up; cap block width upstream by salting
-or dropping blocks above a width threshold, same as the LSH
-``max_bucket`` cap in ``dedup.lsh_candidate_pairs``.
+Skew note: a degenerate block (every value sharing one token, or a
+block function returning '' for one-token values) would re-create the
+quadratic blow-up; ``max_block`` drops blocks above a width threshold
+before the self-join, same as the LSH ``max_bucket`` cap in
+``dedup.lsh_candidate_pairs``. Pairs inside a dropped block can still
+surface through the OTHER blocking passes — the usual blocking-union
+recall argument.
 """
 
 from __future__ import annotations
@@ -43,7 +46,8 @@ def blocked_fuzzy_pairs(values: DataFrame,
                         value_col: str,
                         weight_col: str,
                         block_fns: list[Callable[[Column], Column]],
-                        max_dist: int) -> DataFrame:
+                        max_dist: int,
+                        max_block: int | None = 1000) -> DataFrame:
     """Candidate-verified fuzzy self-join over a distinct-value frame.
 
     ``values`` must be distinct on ``value_col`` (one row per value,
@@ -52,15 +56,29 @@ def blocked_fuzzy_pairs(values: DataFrame,
     value pair (value_a < value_b) within ``max_dist`` edit distance,
     with ``edit_dist`` and ``pair_weight = n_a * n_b`` (the number of
     base-row pairs the value pair represents).
+
+    ``max_block`` caps the width of any (pass, block key) group before
+    the self-join: a degenerate block — every one-token value landing
+    in the '' second-token block, say — would otherwise contribute
+    width² candidate pairs. Dropped blocks lose no pair that another
+    blocking pass still catches. ``None`` disables the cap.
     """
     blocked = None
-    for fn in block_fns:
+    for i, fn in enumerate(block_fns):
         pass_df = values.select(
-            fn(F.col(value_col)).alias("_blk"),
+            # block keys are scoped per pass so a cap on one pass's
+            # degenerate block never suppresses another pass's block
+            # that happens to share the key string
+            F.concat_ws(":", F.lit(str(i)),
+                        fn(F.col(value_col))).alias("_blk"),
             F.col(value_col).alias("_val"),
             F.col(weight_col).alias("_n"))
         blocked = pass_df if blocked is None else blocked.unionAll(pass_df)
 
+    if max_block is not None:
+        ok = (blocked.groupBy("_blk").count()
+              .filter(F.col("count") <= max_block).select("_blk"))
+        blocked = blocked.join(ok, "_blk", "left_semi")
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (
         a.join(b, (F.col("a._blk") == F.col("b._blk"))

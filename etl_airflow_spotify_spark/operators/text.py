@@ -193,15 +193,17 @@ def repetition_metrics(docs, id_col: str, text_col: str):
     All-JVM expressions: one tokenize, the word histogram is a
     map-side-combinable groupBy(doc, word), bigrams are built by array
     indexing (``transform(sequence(...))``) — deterministic positions,
-    no window-over-unordered-rows. At corpus scale the only shuffle is
-    the (doc_id, word) aggregate, keyed finer than doc_id so one giant
-    document cannot skew a reducer.
+    no window-over-unordered-rows. Shuffles: the (doc_id, word)
+    histogram — keyed finer than doc_id so one giant document cannot
+    skew a reducer — then its doc_id-keyed fold and the doc_id join
+    with the per-row bigram stats (all narrow, stat-width rows; the
+    corpus text itself shuffles only once, for the histogram).
+    ``training_data_prep_v2`` shows the fused single-pass alternative
+    when these metrics feed a gate rather than a report.
 
     Ratios are exact single divisions of exact BIGINT counts — no
     summation-order dust, so they hash cross-engine after rounding.
     """
-    import pyspark.sql.functions as F
-
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     d = docs.select(F.col(id_col), toks.alias("_toks"))
 

@@ -371,14 +371,15 @@ V2_ENTROPY_MIN = 4.0
     tot AS (SELECT doc_id, SUM(c) AS n FROM wc GROUP BY doc_id),
     ws AS (SELECT wc.doc_id,
                   CAST(t.n AS BIGINT) AS n_words,
-                  MAX(c)::DOUBLE / t.n AS top_frac,
-                  -SUM((c::DOUBLE / t.n) * log2(c::DOUBLE / t.n))
-                      AS entropy
+                  ROUND(MAX(c)::DOUBLE / t.n, 4) AS top_frac,
+                  ROUND(-SUM((c::DOUBLE / t.n) * log2(c::DOUBLE / t.n)),
+                        4) AS entropy
            FROM wc JOIN tot t ON wc.doc_id = t.doc_id
            GROUP BY wc.doc_id, t.n),
     bg AS (SELECT doc_id,
                   CASE WHEN len(bgs) > 0
-                       THEN 1.0 - len(list_distinct(bgs))::DOUBLE / len(bgs)
+                       THEN ROUND(1.0 - len(list_distinct(bgs))::DOUBLE
+                                  / len(bgs), 4)
                        ELSE 0.0 END AS dupf
            FROM (SELECT doc_id,
                         list_transform(range(1, len(toks)),
@@ -459,11 +460,11 @@ def training_data_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("c").cast("double") / F.col("n")
     stats = (wc.join(tot, "doc_id").groupBy("doc_id", "n")
              .agg(F.max("c").alias("_maxc"),
-                  (-F.sum(p * F.log2(p))).alias("entropy"))
+                  F.round(-F.sum(p * F.log2(p)), 4).alias("entropy"))
              .select("doc_id",
                      F.col("n").cast("long").alias("n_words"),
-                     (F.col("_maxc").cast("double") / F.col("n"))
-                     .alias("top_word_frac"),
+                     F.round(F.col("_maxc").cast("double") / F.col("n"),
+                             4).alias("top_word_frac"),
                      "entropy"))
 
     bigrams = F.expr(
@@ -473,8 +474,8 @@ def training_data_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = (d.select("doc_id", bigrams.alias("_bgs"))
           .select("doc_id",
                   F.when(F.size("_bgs") > 0,
-                         1.0 - F.size(F.array_distinct("_bgs"))
-                         .cast("double") / F.size("_bgs"))
+                         F.round(1.0 - F.size(F.array_distinct("_bgs"))
+                                 .cast("double") / F.size("_bgs"), 4))
                   .otherwise(F.lit(0.0)).alias("dup_bigram_frac")))
 
     gated = (d.join(stats, "doc_id").join(bg, "doc_id")

@@ -470,20 +470,27 @@ FK_EDGES = [
         for child, fk, parent, pk in FK_EDGES),
     doc="Referential-integrity audit over the whole FK web: per edge, "
         "child rowcount, NULL FKs, and orphans (child keys missing in "
-        "the parent). Each edge is a broadcast/left join + conditional "
-        "counts — the orphan probe ships only (fk) columns, and small "
-        "parents broadcast, so the audit costs one pruned scan per "
-        "table at 100 TB. The standard pre-flight data-quality gate "
-        "before any star-schema join pipeline.",
+        "the parent). Each edge is a left join + conditional counts "
+        "shipping only the (fk, pk) columns. Only the fixed-cardinality "
+        "dimensions (nation, region) carry an explicit broadcast hint; "
+        "SF-scaled parents (orders, part, customer, supplier) are left "
+        "to AQE, which broadcasts them while they fit and shuffles "
+        "when they don't — a forced broadcast of a fact-sized parent "
+        "would OOM at exactly the scale an audit matters. The standard "
+        "pre-flight data-quality gate before any star-schema join "
+        "pipeline.",
     tags=("X14", "X3"),
 )
 def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fixed_card_parents = {"nation", "region"}
     out = None
     for child, fk, parent, pk in FK_EDGES:
         c = load_table(spark, sf_dir, child).select(fk)
         p = load_table(spark, sf_dir, parent).select(
             F.col(pk).alias("_pk"))
-        edge = (c.join(F.broadcast(p), F.col(fk) == F.col("_pk"), "left")
+        if parent in fixed_card_parents:
+            p = F.broadcast(p)
+        edge = (c.join(p, F.col(fk) == F.col("_pk"), "left")
                 .agg(F.lit(f"{child}.{fk}").alias("fk_edge"),
                      F.count("*").cast("long").alias("n_child_rows"),
                      F.sum(F.col(fk).isNull().cast("int")).cast("long")

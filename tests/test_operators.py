@@ -471,6 +471,39 @@ def test_blocked_fuzzy_pairs_planted(spark):
     assert not any("zzz" in a or "zzz" in b for a, b in pairs)
 
 
+def test_blocked_fuzzy_pairs_block_cap(spark):
+    """A degenerate block (every one-token value mapping to the ''
+    second-token block) must be dropped by max_block before the
+    self-join goes quadratic; pairs it covered still surface through
+    the other blocking pass."""
+    import pyspark.sql.functions as F
+
+    from etl_airflow_spotify_spark.operators.linkage import \
+        blocked_fuzzy_pairs
+
+    # 8 one-token values -> second-token block fn returns '' for ALL of
+    # them (one 8-wide degenerate block); the acme pair blocks cleanly
+    # under BOTH passes
+    rows = ([(f"x{i}", 1) for i in range(8)]
+            + [("acme corp", 3), ("acme c0rp", 1)])
+    vals = spark.createDataFrame(rows, "nm string, n long")
+    fns = [lambda c: F.split_part(c, F.lit(" "), F.lit(1)),
+           lambda c: F.split_part(c, F.lit(" "), F.lit(2))]
+
+    capped = {(r.value_a, r.value_b) for r in
+              blocked_fuzzy_pairs(vals, "nm", "n", fns, max_dist=1,
+                                  max_block=4).collect()}
+    uncapped = {(r.value_a, r.value_b) for r in
+                blocked_fuzzy_pairs(vals, "nm", "n", fns, max_dist=1,
+                                    max_block=None).collect()}
+    # the typo pair survives the cap via the 2-wide 'acme' block
+    assert ("acme c0rp", "acme corp") in capped
+    # x-pairs (dist 1 from each other) were reachable only through the
+    # dropped 8-wide '' block: present uncapped, gone capped
+    assert ("x0", "x1") in uncapped and ("x0", "x1") not in capped
+    assert capped == {("acme c0rp", "acme corp")}
+
+
 def test_repetition_metrics_edges(spark):
     from etl_airflow_spotify_spark.operators.text import repetition_metrics
 
