@@ -52,6 +52,42 @@ class TransportError(Exception):
     """Network-level failure (timeout / connection error)."""
 
 
+def requests_transport(timeout_s: float = 30.0) -> Transport:
+    """The production ``Transport``: a thin wrapper over ``requests``.
+
+    Import-gated so this network-free container (and CI) never needs
+    the package; enable by constructing the client with
+    ``HttpSpotifyClient(..., transport=requests_transport())`` — or set
+    ``SPOTIFY_REAL_TRANSPORT=1`` and use ``default_transport``. Network
+    failures are normalized to ``TransportError`` so the client's
+    bounded-backoff retry loop sees one exception type.
+    """
+    import requests  # deferred: not installed in the test container
+
+    def call(method: str, url: str, *,
+             headers: dict[str, str] | None = None,
+             params: dict[str, Any] | None = None,
+             data: dict[str, Any] | None = None) -> TransportResponse:
+        try:
+            return requests.request(method, url, headers=headers,
+                                    params=params, data=data,
+                                    timeout=timeout_s)
+        except requests.RequestException as e:
+            raise TransportError(str(e)) from e
+
+    return call
+
+
+def default_transport() -> Transport | None:
+    """``requests_transport()`` when SPOTIFY_REAL_TRANSPORT=1, else None
+    (callers fall back to the fake — the in-container default)."""
+    import os
+
+    if os.environ.get("SPOTIFY_REAL_TRANSPORT") == "1":
+        return requests_transport()
+    return None
+
+
 class HttpError(Exception):
     def __init__(self, status_code: int, url: str):
         self.status_code = status_code

@@ -221,3 +221,29 @@ parameters: {limit: 20, country: MX}
     pc = PipelineConfig.from_config(cfg)
     assert (pc.output_dir, pc.fmt, pc.limit, pc.country) == \
         ("/out", "csv", 20, "MX")
+
+
+def test_default_transport_off_by_default(monkeypatch):
+    from etl_airflow_spotify_spark.sources.http_client import \
+        default_transport
+
+    monkeypatch.delenv("SPOTIFY_REAL_TRANSPORT", raising=False)
+    assert default_transport() is None
+
+
+def test_requests_transport_normalizes_network_errors(monkeypatch):
+    """Production integration point: the wrapper's only logic is the
+    RequestException -> TransportError normalization, checked here with
+    a patched requests.request (no socket; skipped if the production-
+    only requests package is absent)."""
+    requests = pytest.importorskip("requests")
+    from etl_airflow_spotify_spark.sources.http_client import (
+        TransportError, requests_transport)
+
+    def boom(method, url, **kw):
+        raise requests.ConnectionError("nope")
+
+    monkeypatch.setattr(requests, "request", boom)
+    t = requests_transport(timeout_s=0.5)
+    with pytest.raises(TransportError):
+        t("GET", "http://example.invalid/none")
