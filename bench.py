@@ -42,6 +42,12 @@ HEADLINE = [
     # LLM-data-pipeline extensions
     "doc_stats",
     "near_dup_minhash",
+    "inverted_index_postings",
+    "cooccurrence_pmi",
+    "bm25_relevance",
+    "vector_range_search",
+    "seqlen_packing_profile",
+    "global_topk_orders",
     "vector_topk_exact",
     "vector_topk_ivf",
     "vector_topk_ivf_persisted",
@@ -49,7 +55,8 @@ HEADLINE = [
     "vector_topk_ivfpq_persisted",
     "multimodal_metadata",
     "multimodal_frames",
-    "training_data_prep",
+    # training_data_prep v1 stays registered (oracle twin) but v2 — same
+    # contract, tokenize-once single-pass, ~8x faster — is the headline
     "training_data_prep_v2",
     "dataset_split",
     "cdc_merge_upsert",

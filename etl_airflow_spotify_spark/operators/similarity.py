@@ -77,6 +77,35 @@ def topk_cosine(corpus: DataFrame, queries: DataFrame, k: int,
                     F.col("rn").cast("long").alias("rn")))
 
 
+def range_cosine(corpus: DataFrame, queries: DataFrame, tau: float,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 score_digits: int = 6) -> DataFrame:
+    """Exact range (radius) search: every (query, corpus) pair with
+    cosine >= ``tau``, self-pairs excluded. Returns (query_id, cand_id,
+    score). Same broadcast-query x corpus-scan shape as
+    ``topk_cosine`` (norms projected once per side), but the filter is
+    a fixed threshold instead of a per-group rank — no window, so the
+    output is produced map-side in one pass. The threshold compares the
+    RAW double score (rounding only the reported value) so the kept set
+    matches an oracle computing the same sequential fold exactly."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("q_vec")) \
+               .select("query_id", "q_vec",
+                       norm(F.col("q_vec")).alias("q_norm"))
+    c = spread(corpus.select(F.col(id_col).alias("cand_id"),
+                             as_double(F.col(vec_col)).alias("c_vec")),
+               "cand_id") \
+        .select("cand_id", "c_vec", norm(F.col("c_vec")).alias("c_norm"))
+    raw = (dot(F.col("q_vec"), F.col("c_vec"))
+           / (F.col("q_norm") * F.col("c_norm")))
+    return (c.crossJoin(F.broadcast(q))
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .withColumn("_raw", raw)
+            .filter(F.col("_raw") >= F.lit(tau))
+            .select("query_id", "cand_id",
+                    F.round(F.col("_raw"), score_digits).alias("score")))
+
+
 # -- IVF (inverted-file) approximate search ---------------------------------
 
 def _unit_centroids(n_cells: int, dim: int, seed: int = 7) -> list[list[float]]:

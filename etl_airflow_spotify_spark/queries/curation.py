@@ -499,3 +499,57 @@ def training_data_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("doc_id").cast("long").alias("id_sum"),
                  F.sum("n_words").cast("long").alias("total_words")))
+
+
+PACK_MAX_LEN = 128
+
+
+@register(
+    "seqlen_packing_profile",
+    f"""
+    WITH lens AS (
+        SELECT lang,
+               len(string_split_regex(trim(lower(text)), '\\s+')) AS n
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           ROUND(quantile_cont(n, 0.5), 4) AS p50,
+           ROUND(quantile_cont(n, 0.9), 4) AS p90,
+           ROUND(quantile_cont(n, 0.99), 4) AS p99,
+           ROUND(SUM({PACK_MAX_LEN} - LEAST(n, {PACK_MAX_LEN}))::DOUBLE
+                 / (COUNT(*) * {PACK_MAX_LEN}), 4) AS pad_waste_frac,
+           ROUND(SUM(GREATEST(n - {PACK_MAX_LEN}, 0))::DOUBLE / SUM(n), 4)
+               AS truncation_frac
+    FROM lens GROUP BY lang
+    """,
+    doc="Sequence-length profile for training-batch planning: per-lang "
+        "token-count percentiles plus the two numbers that size a "
+        f"packing config at max_len={PACK_MAX_LEN} — pad_waste_frac "
+        "(fraction of batch slots burned on padding if each doc is "
+        "padded alone, the number sequence_packing exists to reclaim) "
+        "and truncation_frac (fraction of tokens lost to clipping). "
+        "One map-side-combinable aggregate per lang; the exact "
+        "percentile buffers one group per lang (bounded group count), "
+        "the same exact/approx trade documented on "
+        "equidepth_price_histogram applies if the group count grows.",
+    tags=("X27", "X7", "X18"),
+)
+def seqlen_packing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    lens = d.select("lang", n.alias("n"))
+    pad = F.lit(PACK_MAX_LEN) - F.least(F.col("n"), F.lit(PACK_MAX_LEN))
+    trunc = F.greatest(F.col("n") - PACK_MAX_LEN, F.lit(0))
+    return (lens.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n").cast("long").alias("total_tokens"),
+                 F.round(F.expr("percentile(n, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(n, 0.9)"), 4).alias("p90"),
+                 F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99"),
+                 F.round(F.sum(pad).cast("double")
+                         / (F.count("*") * PACK_MAX_LEN), 4)
+                 .alias("pad_waste_frac"),
+                 F.round(F.sum(trunc).cast("double") / F.sum("n"), 4)
+                 .alias("truncation_frac")))

@@ -1090,3 +1090,32 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("flag")
             .agg(F.round(F.min("p"), 4).alias("weighted_median"),
                  F.round(F.min("totw"), 2).alias("total_weight")))
+
+
+GLOBAL_TOPK_N = 100
+
+
+@register(
+    "global_topk_orders",
+    f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT {GLOBAL_TOPK_N}
+    """,
+    doc=f"Global top-{GLOBAL_TOPK_N} orders by value: the orderBy+limit "
+        "shape Spark executes as TakeOrderedAndProject — every "
+        "partition keeps an N-row heap and the driver merges P heaps, "
+        "so a '100 TB table, top 100 rows' question moves P x N rows, "
+        "never a global sort (plan-asserted in tests/test_plans.py). "
+        "Full tiebreak (orderkey) makes the row SET deterministic "
+        "cross-engine.",
+    tags=("X12",),
+)
+def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_custkey", "o_orderstatus",
+                     F.round("o_totalprice", 2).alias("total_price"))
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(GLOBAL_TOPK_N))

@@ -539,3 +539,40 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy(F.desc("score"), F.asc("cand_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1).drop("rn"))
+
+
+RANGE_TAU = 0.4
+
+
+@register(
+    "vector_range_search",
+    f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET},
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+        FROM embeddings WHERE vec_id < {N_PLANT}
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           ROUND(list_cosine_similarity(q.v, c.v), 6) AS score
+    FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+      AND list_cosine_similarity(q.v, c.v) >= {RANGE_TAU}
+    """,
+    doc=f"Range (radius) search: ALL corpus vectors within cosine >= "
+        f"{RANGE_TAU} of each query — the fixed-threshold complement "
+        "of top-k (dedup-by-radius, near-neighbor harvesting for "
+        "contrastive positives). Planted scaled copies guarantee "
+        "non-trivial matches; natural ~0.4x neighbors exercise the "
+        "threshold boundary. Plan: per-side norms projected once, "
+        "broadcast query side x corpus scan, filter on the raw "
+        "double score (same fold order as the oracle) — the "
+        "brute-force baseline; the LSH-bucketed variant "
+        "(vector_near_dup_lsh) is the all-pairs scale path.",
+    tags=("X17",),
+)
+def vector_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_planted(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.range_cosine(emb, queries, RANGE_TAU)

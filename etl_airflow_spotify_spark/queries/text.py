@@ -382,3 +382,199 @@ def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("normalized_entropy"))
             .select("doc_id", F.col("n").cast("long").alias("n_words"),
                     "word_entropy", "normalized_entropy"))
+
+
+POSTINGS_CAP = 5
+POSTINGS_MIN_DF = 2
+
+
+@register(
+    "inverted_index_postings",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    )
+    SELECT w AS token,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           CAST(COUNT(*) AS BIGINT) AS total_occurrences,
+           array_to_string(list_sort(list(DISTINCT doc_id))
+                           [1:{POSTINGS_CAP}], ',') AS postings_head
+    FROM toks
+    GROUP BY w
+    HAVING COUNT(DISTINCT doc_id) >= {POSTINGS_MIN_DF}
+    """,
+    doc="Inverted-index build: token -> (document frequency, total "
+        "occurrences, head of the sorted posting list). The retrieval-"
+        "side primitive for corpus search/dedup tooling. One (token) "
+        "aggregate over the exploded tokens — map-side combinable, "
+        "keyed by token so hot documents can't skew a reducer; the "
+        "posting head is capped at a constant so output rows stay "
+        "bounded however large the corpus (full posting lists would "
+        "be a sink-side artifact, not a query result). Postings "
+        "serialize as a joined string: flat columns, engine-exact.",
+    tags=("X18", "X7"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return (d.select("doc_id", F.explode(toks).alias("token"))
+            .groupBy("token")
+            .agg(F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+                 F.count("*").cast("long").alias("total_occurrences"),
+                 F.array_join(
+                     F.slice(F.sort_array(F.collect_set("doc_id")),
+                             1, POSTINGS_CAP), ",").alias("postings_head"))
+            .filter(F.col("doc_freq") >= POSTINGS_MIN_DF))
+
+
+PMI_MIN_PAIR = 5
+
+
+@register(
+    "cooccurrence_pmi",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT w, COUNT(*) AS nw
+        FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w
+    ),
+    n_tok AS (SELECT SUM(nw)::DOUBLE AS n FROM uni),
+    bg AS (
+        SELECT bg[1] AS w1, bg[2] AS w2, COUNT(*) AS nab
+        FROM (SELECT unnest(list_transform(
+                  range(1, len(toks)),
+                  i -> [toks[i], toks[i + 1]])) AS bg
+              FROM d)
+        GROUP BY bg[1], bg[2]
+    ),
+    n_bg AS (SELECT SUM(nab)::DOUBLE AS b FROM bg)
+    SELECT w1, w2, CAST(nab AS BIGINT) AS n_pair,
+           ROUND(log2((nab / b) / ((u1.nw / n) * (u2.nw / n))), 4) AS pmi
+    FROM bg, n_bg, n_tok
+    JOIN uni u1 ON bg.w1 = u1.w
+    JOIN uni u2 ON bg.w2 = u2.w
+    WHERE nab >= {PMI_MIN_PAIR}
+    """,
+    doc="Adjacent-word collocation mining via pointwise mutual "
+        "information: PMI(a,b) = log2(P(ab) / (P(a)P(b))) over "
+        "corpus-wide unigram and bigram counts — the classic "
+        "collocation/phrase-detection signal (Church & Hanks 1990) "
+        "used to pick merge candidates for tokenizer vocabularies. "
+        "Two map-side-combinable aggregates (unigrams keyed by word, "
+        "bigrams by pair); the unigram table joins back to the bigram "
+        "table on each side — word-cardinality frames, broadcast-"
+        "eligible under AQE; the two scalar totals broadcast. No "
+        "full-corpus shuffle other than the two count aggregates.",
+    tags=("X18", "X7", "X3"),
+)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"))
+    uni = (d.select(F.explode("toks").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("nw")))
+    n_tok = uni.agg(F.sum("nw").cast("double").alias("n"))
+    pairs = F.expr(
+        "CASE WHEN size(toks) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(toks) - 1), "
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) END")
+    bg = (d.select(F.explode(pairs).alias("p"))
+          .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+          .agg(F.count("*").alias("nab")))
+    # the bigram total is over ALL pairs (the probability denominator),
+    # computed before the reporting filter
+    n_bg = bg.agg(F.sum("nab").cast("double").alias("b"))
+    bg = bg.filter(F.col("nab") >= PMI_MIN_PAIR)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("nw").alias("nw1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("nw").alias("nw2"))
+    return (bg.crossJoin(F.broadcast(n_bg)).crossJoin(F.broadcast(n_tok))
+            .join(u1, "w1").join(u2, "w2")
+            .select("w1", "w2",
+                    F.col("nab").cast("long").alias("n_pair"),
+                    F.round(F.log2((F.col("nab") / F.col("b"))
+                                   / ((F.col("nw1") / F.col("n"))
+                                      * (F.col("nw2") / F.col("n")))), 4)
+                    .alias("pmi")))
+
+
+BM25_TERMS = ("spark", "join", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPN = 20
+
+
+@register(
+    "bm25_relevance",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+    stats AS (SELECT AVG(dl)::DOUBLE AS avgdl,
+                     COUNT(*)::DOUBLE AS n FROM dl),
+    tf AS (
+        SELECT doc_id, w, COUNT(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, unnest(toks) AS w FROM d)
+        WHERE w IN {BM25_TERMS!r}
+        GROUP BY doc_id, w
+    ),
+    idf AS (
+        SELECT w, ln((n - df + 0.5) / (df + 0.5) + 1) AS idf
+        FROM (SELECT w, COUNT(DISTINCT doc_id)::DOUBLE AS df
+              FROM tf GROUP BY w), stats
+    )
+    SELECT doc_id,
+           ROUND(SUM(idf * tf * ({BM25_K1} + 1)
+                     / (tf + {BM25_K1} * (1 - {BM25_B}
+                                          + {BM25_B} * dl / avgdl))),
+                 4) AS bm25
+    FROM tf
+    JOIN idf USING (w) JOIN dl USING (doc_id), stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOPN}
+    """,
+    doc="BM25 relevance ranking for a fixed term set (Robertson/Lucene "
+        "idf variant, k1=1.2 b=0.75) — the lexical-retrieval scorer "
+        "used for relevance-filtering web corpora against a topic "
+        "seed list. Plan shape: tf is one (doc, term) aggregate over "
+        "tokens PRE-FILTERED to the query terms (the IN predicate "
+        "prunes the explode before any shuffle); idf and the corpus "
+        "stats are term-/scalar-sized broadcasts; the final top-N is "
+        "orderBy+limit, which Spark executes as TakeOrderedAndProject "
+        "— per-partition heaps + driver merge of N rows, never a "
+        "global sort (plan-asserted).",
+    tags=("X18", "X7", "X12"),
+)
+def bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"))
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"),
+                   F.count("*").cast("double").alias("n"))
+    tf = (d.select("doc_id", F.explode("toks").alias("w"))
+          .filter(F.col("w").isin(*BM25_TERMS))
+          .groupBy("doc_id", "w")
+          .agg(F.count("*").cast("double").alias("tf")))
+    df_t = tf.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("double").alias("df"))
+    idf = (df_t.crossJoin(F.broadcast(stats.select("n")))
+           .select("w", F.log((F.col("n") - F.col("df") + 0.5)
+                              / (F.col("df") + 0.5) + 1).alias("idf")))
+    term_score = (F.col("idf") * F.col("tf") * (BM25_K1 + 1)
+                  / (F.col("tf") + BM25_K1 * (1 - BM25_B
+                                              + BM25_B * F.col("dl")
+                                              / F.col("avgdl"))))
+    return (tf.join(F.broadcast(idf), "w").join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats.select("avgdl")))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(term_score), 4).alias("bm25"))
+            .orderBy(F.desc("bm25"), F.asc("doc_id"))
+            .limit(BM25_TOPN))

@@ -116,9 +116,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stream_decontaminate",
     "hll_sliding_distinct",
     "sliding_distinct_exact",
-    # round-3 additions fill the remaining slots (kept inside the first
-    # 50 as they are registered; tests/test_registry_order.py enforces
-    # the invariant)
+    # round-3 additions fill the remaining slots to exactly 50
+    "inverted_index_postings",
+    "cooccurrence_pmi",
+    "bm25_relevance",
+    "vector_range_search",
+    "seqlen_packing_profile",
+    "global_topk_orders",
 )
 
 

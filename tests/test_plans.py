@@ -385,3 +385,41 @@ def test_weighted_median_no_full_table_window(spark, sf_dir):
                    for label in below), (
             f"Window directly over the raw scan: {path}")
     assert windowed, "expected at least one windowed scan path"
+
+
+def test_global_topk_uses_heap_merge_not_sort(spark, sf_dir):
+    """orderBy+limit must plan as TakeOrderedAndProject (per-partition
+    heaps, driver merges P x N rows) — a global Sort would serialize
+    the table through one reducer at scale."""
+    df = _df("global_topk_orders", spark, sf_dir)
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan
+    assert num_nodes(df, "Sort") == 0
+
+
+def test_bm25_prunes_explode_and_heap_merges(spark, sf_dir):
+    """BM25: the query-term IN predicate must filter the exploded
+    tokens before any shuffle, idf/stats must broadcast, and the final
+    top-N must be TakeOrderedAndProject."""
+    df = _df("bm25_relevance", spark, sf_dir)
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan
+    assert has_broadcast_hash_join(df)
+    assert not has_cartesian_product(df)
+
+
+def test_cooccurrence_pmi_no_cartesian(spark, sf_dir):
+    """PMI: unigram/bigram aggregates + word-keyed joins; the two
+    scalar totals ride broadcast nested-loop single-row joins, never a
+    CartesianProduct."""
+    df = _df("cooccurrence_pmi", spark, sf_dir)
+    assert not has_cartesian_product(df)
+
+
+def test_range_search_broadcasts_queries(spark, sf_dir):
+    """Range search: the query side must broadcast; corpus side stays
+    a scan (no shuffle of the big side, no window)."""
+    df = _df("vector_range_search", spark, sf_dir)
+    plan = plan_string(df)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
