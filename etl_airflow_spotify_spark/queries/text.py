@@ -414,7 +414,7 @@ POSTINGS_MIN_DF = 2
         "bounded however large the corpus (full posting lists would "
         "be a sink-side artifact, not a query result). Postings "
         "serialize as a joined string: flat columns, engine-exact.",
-    tags=("X18", "X7"),
+    tags=("X40", "X18", "X7"),
 )
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -471,7 +471,7 @@ PMI_MIN_PAIR = 5
         "table on each side — word-cardinality frames, broadcast-"
         "eligible under AQE; the two scalar totals broadcast. No "
         "full-corpus shuffle other than the two count aggregates.",
-    tags=("X18", "X7", "X3"),
+    tags=("X41", "X18", "X7", "X3"),
 )
 def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
@@ -551,7 +551,7 @@ BM25_TOPN = 20
         "orderBy+limit, which Spark executes as TakeOrderedAndProject "
         "— per-partition heaps + driver merge of N rows, never a "
         "global sort (plan-asserted).",
-    tags=("X18", "X7", "X12"),
+    tags=("X40", "X18", "X7", "X12"),
 )
 def bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
