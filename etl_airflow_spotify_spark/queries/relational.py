@@ -907,9 +907,14 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_HIST_BUCKETS = 10
-# above this row count the exact-percentile aggregation buffer (which
-# grows with distinct values) gives way to the bounded-memory sketch
-EQUIDEPTH_EXACT_MAX_ROWS = 50_000_000
+# Above this row count the exact-percentile aggregation buffer (which
+# grows with distinct values, all on ONE reducer) gives way to the
+# bounded-memory approx_percentile sketch. Measured at sf0.1 (600k
+# rows): exact 3.76s vs approx 0.98s warm — the buffer is already the
+# query's dominant cost one decade above the threshold, and at 100 TB
+# the exact form simply dies; the sketch is the real default, the exact
+# form the sub-threshold oracle twin.
+EQUIDEPTH_EXACT_MAX_ROWS = 100_000
 EQUIDEPTH_APPROX_ACCURACY = 10_000
 
 
