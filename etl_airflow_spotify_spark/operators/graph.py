@@ -1,0 +1,103 @@
+"""Graph analytics operators: co-occurrence graph construction and
+fixed-point-integer PageRank (SURVEY.md §2.B X42).
+
+PageRank is the canonical iterative-join workload: rank flows along
+edges, each step one (join + aggregate) pair. Two design decisions make
+it both 100 TB-shaped and exactly oracle-checkable:
+
+* **Fixed-point integer arithmetic.** Ranks live as BIGINT in units of
+  1/SCALE (1e-12). Per-edge contribution is ``pr DIV degree`` (integer
+  division), the damped update is ``teleport + (85 * SUM(contrib)) DIV
+  100`` — every operation is exact integer math, so the result is
+  byte-identical no matter what order partial sums combine in, on Spark
+  AND on a SQL oracle replaying the same recurrence. Float PageRank
+  cannot promise that (summation-order dust), integer PageRank can.
+* **Edges persisted once, partitioned on the join key.** The edge set
+  is static across iterations; persisting it hash-partitioned by src
+  means each iteration reshuffles only the rank frame (one row per
+  node) into place, then one edge-sized shuffle for the dst aggregate —
+  the classic two-shuffle PageRank step. Lineage stays a short chain
+  (ITERS joins), no checkpoint needed at fixed small depth.
+
+Mass lost to integer-floor is ~degree ulps per node per step (1e-12
+units) — irrelevant to ranking and, critically, identical on both
+engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..caching import persist_tracked
+
+SCALE = 10**12
+DAMP_NUM = 85  # damping factor 0.85 as an integer percentage
+
+
+def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
+    """Distinct undirected co-occurrence edges (emitted in both
+    directions) between items sharing a group: the part co-purchase
+    graph when called on (l_orderkey, l_partkey).
+
+    Group sizes are bounded (TPC-H orders hold <= 7 lineitems), so the
+    within-group self-join fans out O(k^2) with tiny k — linear in input
+    at any scale, keyed by the group so it shuffles once.
+    """
+    gi = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("i")).distinct()
+    a, b = gi.alias("a"), gi.alias("b")
+    return (a.join(b, (F.col("a.g") == F.col("b.g"))
+                   & (F.col("a.i") != F.col("b.i")))
+            .select(F.col("a.i").alias("src"), F.col("b.i").alias("dst"))
+            .distinct())
+
+
+def pagerank_fixed(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Fixed-iteration integer PageRank over a symmetric edge set.
+
+    Returns (node, pr, degree) with pr a BIGINT in 1/SCALE units.
+    Requires every node to appear as src (true for undirected edge
+    sets), so there are no dangling nodes and no rank sinks.
+
+    The node count feeding the teleport constant is a one-scalar
+    aggregate — the only driver round-trip, O(1) bytes.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # Persist edges pre-joined with out-degree, partitioned on src: the
+    # static side of every iteration's join, shuffled exactly once.
+    ed = persist_tracked(
+        edges.join(deg, "src").repartition("src"))
+    n_nodes = deg.count()
+    teleport = (15 * SCALE) // (100 * n_nodes)
+    r = deg.select(F.col("src").alias("node"),
+                   F.lit(SCALE // n_nodes).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = (ed.join(r, ed["src"] == r["node"])
+                   .select(F.col("dst"), F.expr("pr DIV d").alias("c")))
+        r = (contrib.groupBy(F.col("dst").alias("node"))
+             .agg((F.lit(teleport)
+                   + F.expr(f"({DAMP_NUM} * sum(c)) DIV 100"))
+                  .cast("long").alias("pr")))
+    return r.join(deg, r["node"] == deg["src"]).select(
+        "node", "pr", F.col("d").cast("long").alias("degree"))
+
+
+def pagerank_oracle_sql(edge_cte: str, iters: int = 5) -> str:
+    """DuckDB twin of :func:`pagerank_fixed`: the same integer
+    recurrence unrolled as chained CTEs. ``edge_cte`` must define a
+    relation ``e(src, dst)`` (symmetric, distinct)."""
+    parts = [edge_cte,
+             "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d "
+             "FROM e GROUP BY src)",
+             "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg)",
+             f"r0 AS (SELECT src AS node, CAST({SCALE} // n AS BIGINT) AS pr "
+             "FROM deg, nn)"]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"r{k} AS (SELECT e.dst AS node, "
+            f"CAST((15 * {SCALE}) // (100 * nn.n) "
+            f"+ ({DAMP_NUM} * SUM(r.pr // deg.d)) // 100 AS BIGINT) AS pr "
+            f"FROM e JOIN r{k - 1} r ON e.src = r.node "
+            "JOIN deg ON deg.src = e.src CROSS JOIN nn "
+            "GROUP BY e.dst, nn.n)")
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, pr, d AS degree FROM r{iters} JOIN deg ON deg.src = node"

@@ -13,6 +13,6 @@ Module map (SURVEY.md §2.B inventory):
     streaming   - X20-X23 batch-equivalent checks
 """
 
-from . import (curation, dedup, events_ops, linkage,  # noqa: F401
+from . import (curation, dedup, events_ops, graph, linkage,  # noqa: F401
                maintenance, multimodal, relational, sampling, scale,
                similarity, sketches, spotify, streaming, subqueries, text)

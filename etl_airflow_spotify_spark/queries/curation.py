@@ -553,3 +553,99 @@ def seqlen_packing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("pad_waste_frac"),
                  F.round(F.sum(trunc).cast("double") / F.sum("n"), 4)
                  .alias("truncation_frac")))
+
+
+BOILER_CHUNK = 3
+BOILER_MIN_DOCS = 5
+
+
+@register(
+    "boilerplate_removal",
+    f"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, cid,
+               array_to_string(
+                   ts[CAST(cid * {BOILER_CHUNK} + 1 AS INTEGER)
+                      :CAST(cid * {BOILER_CHUNK} + {BOILER_CHUNK} AS INTEGER)],
+                   ' ') AS ct
+        FROM (SELECT doc_id, ts,
+                     unnest(generate_series(
+                         0, CAST((len(ts) + {BOILER_CHUNK} - 1)
+                                 // {BOILER_CHUNK} - 1 AS INTEGER))) AS cid
+              FROM d)
+    ),
+    boiler AS (
+        SELECT ct FROM ch GROUP BY ct
+        HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+    ),
+    kept AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               md5(string_agg(ct, ' ' ORDER BY cid)) AS cleaned_md5
+        FROM ch ANTI JOIN boiler USING (ct)
+        GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+            FROM ch GROUP BY doc_id)
+    SELECT t.doc_id, t.n_chunks,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           ROUND(COALESCE(k.n_kept, 0)::DOUBLE / t.n_chunks, 4) AS kept_frac,
+           COALESCE(k.cleaned_md5, md5('')) AS cleaned_md5
+    FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    """,
+    doc="X43 CCNet-style boilerplate removal at chunk granularity: "
+        f"every doc splits into fixed {BOILER_CHUNK}-token chunks; a "
+        f"chunk text appearing in >= {BOILER_MIN_DOCS} distinct docs is "
+        "corpus boilerplate and is dropped from every doc; docs are "
+        "reassembled in chunk order. The frequency pass is one "
+        "chunk-keyed map-side-combinable aggregate; the removal is a "
+        "chunk-keyed LEFT ANTI join (no broadcast assumption — the "
+        "boilerplate set is frequency-thresholded but unbounded at "
+        "corpus scale); reassembly state is bounded by one document. "
+        "cleaned_md5 pins the exact reassembled text in the hash check.",
+    tags=("X43", "X18", "X16", "X7"),
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import spread
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = d.select("doc_id", ts.alias("ts"))
+    n_chunks = (F.size("ts") + BOILER_CHUNK - 1).cast("int")
+    ch = (base
+          .select("doc_id", "ts",
+                  F.explode(F.sequence(
+                      F.lit(0),
+                      ((F.size("ts") + BOILER_CHUNK - 1) / BOILER_CHUNK)
+                      .cast("int") - 1)).alias("cid"))
+          .select("doc_id", "cid",
+                  F.array_join(
+                      F.slice(F.col("ts"),
+                              F.col("cid") * BOILER_CHUNK + 1,
+                              F.lit(BOILER_CHUNK)),
+                      " ").alias("ct")))
+    boiler = (ch.groupBy("ct")
+              .agg(F.countDistinct("doc_id").alias("df"))
+              .filter(F.col("df") >= BOILER_MIN_DOCS)
+              .select("ct"))
+    kept = (ch.join(boiler, "ct", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_kept"),
+                 F.md5(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("cid", "ct"))),
+                         lambda x: x["ct"]),
+                     " ").cast("binary")).alias("cleaned_md5")))
+    tot = ch.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_chunks"))
+    return (tot.join(kept, "doc_id", "left")
+            .select("doc_id", "n_chunks",
+                    F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+                    F.round(F.coalesce("n_kept", F.lit(0)).cast("double")
+                            / F.col("n_chunks"), 4).alias("kept_frac"),
+                    F.coalesce("cleaned_md5",
+                               F.md5(F.lit("").cast("binary")))
+                    .alias("cleaned_md5")))

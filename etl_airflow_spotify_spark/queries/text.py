@@ -578,3 +578,62 @@ def bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum(term_score), 4).alias("bm25"))
             .orderBy(F.desc("bm25"), F.asc("doc_id"))
             .limit(BM25_TOPN))
+
+
+LM_HEAD_MAX = 3.40
+LM_TAIL_MIN = 3.41
+
+
+@register(
+    "unigram_lm_quality",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS v FROM cnt),
+    doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(-AVG(ln((c + 0.5) / (t + 0.5 * v))), 4) AS nll_nats
+        FROM toks JOIN cnt USING (w) CROSS JOIN tot
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, nll_nats,
+           CASE WHEN nll_nats < {LM_HEAD_MAX} THEN 'head'
+                WHEN nll_nats > {LM_TAIL_MIN} THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM doc
+    """,
+    doc="X44 CCNet-style unigram-LM quality scoring: train add-half-"
+        "smoothed unigram probabilities on the corpus itself, score "
+        "each doc by mean negative log-likelihood, bucket into head/"
+        "middle/tail on FIXED nll cutoffs (the CCNet deployment shape — "
+        "cutoffs come from a reference corpus, so scoring stays a "
+        "token-keyed join + doc-keyed fold with no global sort/ntile, "
+        "which would serialize the corpus through one task). Totals "
+        "broadcast as a one-row cross join; nll rounded post-fold "
+        "(dust ~1e-14 vs the 1e-4 grid).",
+    tags=("X44", "X18", "X7"),
+)
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = (d.select("doc_id",
+                     F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                       r"\s+")).alias("w")))
+    cnt = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("t"),
+                  F.count("*").cast("long").alias("v"))
+    logp = F.log((F.col("c") + 0.5) / (F.col("t") + 0.5 * F.col("v")))
+    doc = (toks.join(cnt, "w")
+           .crossJoin(F.broadcast(tot))
+           .groupBy("doc_id")
+           .agg(F.count("*").cast("long").alias("n_tokens"),
+                F.round(-F.avg(logp), 4).alias("nll_nats")))
+    return doc.select(
+        "doc_id", "n_tokens", "nll_nats",
+        F.when(F.col("nll_nats") < LM_HEAD_MAX, "head")
+        .when(F.col("nll_nats") > LM_TAIL_MIN, "tail")
+        .otherwise("middle").alias("bucket"))
