@@ -1,0 +1,100 @@
+"""BPE tokenizer training on a distributed corpus (SURVEY.md §2.B X45).
+
+Classic byte-pair-encoding vocabulary induction (Sennrich et al. 2016):
+start from characters, repeatedly merge the most frequent adjacent
+symbol pair. The 100 TB shape:
+
+* The corpus collapses FIRST into a (word, freq) table — one
+  map-side-combinable aggregate; everything after runs on the vocabulary
+  (distinct words), which is orders of magnitude smaller than the corpus
+  and stays distributed (web-scale vocabularies reach 1e8+ rows).
+* Each merge round is: explode adjacent pairs (weighted by word freq) ->
+  one pair-keyed aggregate -> a ONE-ROW collect of the argmax (ties
+  broken lexicographically, so training is deterministic) -> apply the
+  merge to every word with a JVM-side ``aggregate`` fold (left-to-right,
+  non-overlapping — the reference BPE semantics). No Python UDF anywhere.
+* The vocab frame is re-persisted each round and the previous round
+  released, keeping lineage short and memory flat; rounds are bounded by
+  the requested vocab size, and each round's driver traffic is one
+  (pair, count) row.
+
+No SQL oracle can replay the data-dependent merge loop, so the query is
+rows-only; tests/test_bpe.py pins the merge table EXACTLY against a
+pure-Python reference implementation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..caching import persist_tracked
+
+EOW = "▁"  # end-of-word sentinel appended to each word's last char
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> (word, freq): the only corpus-sized pass."""
+    toks = F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    return (docs.select(toks.alias("word"))
+            .groupBy("word").agg(F.count("*").alias("freq")))
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    # chars, with the sentinel glued to the final char so merges can
+    # distinguish word-final units (standard BPE end-of-word marking)
+    syms = F.expr(
+        "transform(split(word, ''), "
+        f"(c, i) -> if(i = length(word) - 1, concat(c, '{EOW}'), c))")
+    return words.select("word", "freq", syms.alias("syms"))
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    pairs = F.expr(
+        "transform(slice(syms, 1, size(syms) - 1), "
+        "(s, i) -> struct(s as a, element_at(syms, i + 2) as b))")
+    return (vocab.filter(F.size("syms") >= 2)
+            .select(F.explode(pairs).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt")))
+
+
+def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
+    # Left-to-right non-overlapping merge as a JVM fold: append each
+    # symbol, collapsing it into the accumulator tail when the tail is
+    # `a` and the symbol is `b`. A freshly fused tail (the string a+b)
+    # can never fuse again this round — it would require a+b == a, i.e.
+    # an empty b — so no fused-flag bookkeeping is needed. Symbols pass
+    # through F.lit, never string-interpolated SQL, so arbitrary symbol
+    # text is safe.
+    fuse = (lambda acc, s:
+            F.when((F.size(acc) > 0)
+                   & (F.element_at(acc, -1) == F.lit(a))
+                   & (s == F.lit(b)),
+                   F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                            F.array(F.lit(a + b))))
+            .otherwise(F.concat(acc, F.array(s))))
+    merged = F.aggregate(F.col("syms"),
+                         F.array().cast("array<string>"), fuse)
+    return vocab.select("word", "freq", merged.alias("syms"))
+
+
+def train_bpe(docs: DataFrame, n_merges: int,
+              text_col: str = "text") -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns
+    [(rank, left, right, weighted_count), ...] in training order."""
+    vocab = persist_tracked(_initial_symbols(word_freqs(docs, text_col)))
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (_pair_counts(vocab)
+               .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+               .limit(1).collect())
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append((rank, a, b, cnt))
+        nxt = persist_tracked(_apply_merge(vocab, a, b))
+        nxt.count()  # materialize before releasing the parent
+        vocab.unpersist()
+        vocab = nxt
+    return merges

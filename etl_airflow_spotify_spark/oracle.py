@@ -63,5 +63,5 @@ def compare(spark_rows: list[tuple], spark_cols: list[str],
             diff = set(ms) ^ set(mo)
             problems.append(
                 f"values differ; {len(diff)} distinct mismatched rows, "
-                f"sample={sorted(diff)[:3]}")
+                f"sample={sorted(diff, key=repr)[:3]}")
     return problems

@@ -649,3 +649,73 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("cleaned_md5",
                                F.md5(F.lit("").cast("binary")))
                     .alias("cleaned_md5")))
+
+
+SFT_PROMPT_TOKS = 32
+SFT_COMPL_TOKS = 16
+SFT_TRAIN_PCT = 90
+SFT_VAL_PCT = 5
+
+
+@register(
+    "sft_example_assembly",
+    f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '\\s+') AS ts
+        FROM documents
+    ),
+    eligible AS (
+        SELECT doc_id, lang, ts FROM d
+        WHERE len(ts) >= {SFT_PROMPT_TOKS + SFT_COMPL_TOKS}
+    ),
+    ex AS (
+        SELECT doc_id, lang,
+               'summarize (' || lang || '): ' ||
+               array_to_string(ts[1:{SFT_PROMPT_TOKS}], ' ') AS prompt,
+               array_to_string(
+                   ts[{SFT_PROMPT_TOKS + 1}
+                      :{SFT_PROMPT_TOKS + SFT_COMPL_TOKS}], ' ') AS completion,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS b
+        FROM eligible
+    )
+    SELECT doc_id, lang,
+           CASE WHEN b < {SFT_TRAIN_PCT} THEN 'train'
+                WHEN b < {SFT_TRAIN_PCT + SFT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST({SFT_PROMPT_TOKS} + 3 AS BIGINT) AS n_prompt_tokens,
+           CAST({SFT_COMPL_TOKS} AS BIGINT) AS n_completion_tokens,
+           md5(prompt) AS prompt_md5,
+           md5(completion) AS completion_md5
+    FROM ex
+    """,
+    doc="X50 SFT training-example assembly: eligible docs (enough "
+        "tokens) become (prompt, completion) records — a templated "
+        "instruction plus the leading token window, completion the "
+        "following window — with the reproducible md5 90/5/5 split. "
+        "Pure per-row projection after one scan (map-only plan, no "
+        "shuffle at any scale); prompt/completion md5s pin the exact "
+        "assembled strings in the hash check.",
+    tags=("X50", "X18", "X14", "X27"),
+)
+def sft_example_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    eligible = (d.select("doc_id", "lang", ts.alias("ts"))
+                .filter(F.size("ts") >= SFT_PROMPT_TOKS + SFT_COMPL_TOKS))
+    prompt = F.concat(F.lit("summarize ("), F.col("lang"), F.lit("): "),
+                      F.array_join(F.slice("ts", 1, SFT_PROMPT_TOKS), " "))
+    completion = F.array_join(
+        F.slice("ts", SFT_PROMPT_TOKS + 1, SFT_COMPL_TOKS), " ")
+    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10).cast("long") % 100)
+    return eligible.select(
+        "doc_id", "lang",
+        F.when(b < SFT_TRAIN_PCT, "train")
+        .when(b < SFT_TRAIN_PCT + SFT_VAL_PCT, "val")
+        .otherwise("test").alias("split"),
+        F.lit(SFT_PROMPT_TOKS + 3).cast("long").alias("n_prompt_tokens"),
+        F.lit(SFT_COMPL_TOKS).cast("long").alias("n_completion_tokens"),
+        F.md5(prompt.cast("binary")).alias("prompt_md5"),
+        F.md5(completion.cast("binary")).alias("completion_md5"))

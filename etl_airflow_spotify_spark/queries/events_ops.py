@@ -833,3 +833,157 @@ def rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.filter(F.col("n") == 7)
             .select("day", "clicks", "purchases",
                     F.round(corr, 4).alias("corr7d")))
+
+
+@register(
+    "order_interval_coverage",
+    """
+    WITH iv AS (
+        SELECT o.o_custkey AS custkey,
+               CAST(o.o_orderdate AS DATE) AS s,
+               GREATEST(CAST(MAX(l.l_shipdate) AS DATE),
+                        CAST(o.o_orderdate AS DATE)) AS e
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate
+    ),
+    marked AS (
+        SELECT custkey, s, e,
+               CASE WHEN s > MAX(e) OVER (
+                        PARTITION BY custkey ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_seg
+        FROM iv
+    ),
+    seg AS (
+        SELECT custkey, s, e,
+               SUM(new_seg) OVER (PARTITION BY custkey ORDER BY s, e
+                                  ROWS UNBOUNDED PRECEDING) AS seg_id
+        FROM marked
+    ),
+    spans AS (
+        SELECT custkey, seg_id,
+               datediff('day', MIN(s), MAX(e)) + 1 AS seg_days
+        FROM seg GROUP BY custkey, seg_id
+    )
+    SELECT custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(seg_days) AS BIGINT) AS covered_days
+    FROM spans GROUP BY custkey
+    """,
+    doc="X46 sweep-line interval union: each order spans "
+        "[o_orderdate, max(l_shipdate)] (clamped — synthetic data has "
+        "shipdates before the order date); per customer, merge "
+        "overlapping spans into segments and total the covered days. "
+        "The classic algorithm, expressed as windows PARTITIONED BY "
+        "CUSTOMER — per-partition data is one customer's orders, so no "
+        "global sort exists anywhere and the shape survives any corpus "
+        "size. New-segment detection = start beyond the running max end "
+        "over preceding rows; all-day integer arithmetic, exact "
+        "cross-engine.",
+    tags=("X46", "X11", "X7", "X5"),
+)
+def order_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (o.join(li, li["l_orderkey"] == o["o_orderkey"])
+          .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+          .agg(F.greatest(F.max(F.col("l_shipdate").cast("date")),
+                          F.min(F.col("o_orderdate").cast("date")))
+               .alias("e"))
+          .select(F.col("o_custkey").alias("custkey"),
+                  F.col("o_orderdate").cast("date").alias("s"), "e"))
+    order_w = Window.partitionBy("custkey").orderBy("s", "e")
+    prev_max_e = (F.max("e").over(
+        order_w.rowsBetween(Window.unboundedPreceding, -1)))
+    marked = iv.withColumn(
+        "new_seg", F.when(F.col("s") > prev_max_e, 1).otherwise(0))
+    seg = marked.withColumn(
+        "seg_id", F.sum("new_seg").over(
+            order_w.rowsBetween(Window.unboundedPreceding, 0)))
+    spans = (seg.groupBy("custkey", "seg_id")
+             .agg((F.datediff(F.max("e"), F.min("s")) + 1).alias("seg_days")))
+    return (spans.groupBy("custkey")
+            .agg(F.count("*").cast("long").alias("n_segments"),
+                 F.sum("seg_days").cast("long").alias("covered_days")))
+
+
+ANOM_Z = 2.5
+SHIFT_MIN = 50.0
+
+
+@register(
+    "event_anomaly_days",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    dowd AS (
+        SELECT day, n, (day - DATE '1970-01-01') % 7 AS dow FROM daily
+    ),
+    base AS (
+        SELECT dow, AVG(n) AS mu, stddev_samp(n) AS sd
+        FROM dowd GROUP BY dow
+    ),
+    shifted AS (
+        SELECT day, n, dow,
+               AVG(n) OVER (ORDER BY day
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS pre,
+               COUNT(*) OVER (ORDER BY day
+                              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS npre,
+               AVG(n) OVER (ORDER BY day
+                            ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING) AS post,
+               COUNT(*) OVER (ORDER BY day
+                              ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING) AS npost
+        FROM dowd
+    )
+    SELECT s.day, s.n, CAST(s.dow AS BIGINT) AS dow,
+           ROUND((s.n - b.mu) / b.sd, 4) AS z,
+           CASE WHEN ABS((s.n - b.mu) / b.sd) > {ANOM_Z} THEN 1 ELSE 0 END
+               AS is_anomaly,
+           CASE WHEN npre = 7 AND npost = 7
+                THEN ROUND(post - pre, 4) END AS level_shift,
+           CASE WHEN npre = 7 AND npost = 7
+                     AND ABS(post - pre) > {SHIFT_MIN}
+                THEN 1 ELSE 0 END AS is_shift
+    FROM shifted s JOIN base b USING (dow)
+    """,
+    doc="X49 time-series anomaly detection on the event stream: "
+        "day-of-week seasonal z-scores (per-dow mean/stddev baseline) "
+        "plus a 7-day-before vs 7-day-after level-shift probe. The "
+        "corpus-sized pass is ONE day-keyed aggregate; every window "
+        "after it runs on the daily table, whose cardinality is "
+        "calendar-bounded (|days|), so the global ORDER BY day frame "
+        "is safe at any event volume. Day-of-week from epoch-day "
+        "modulus — identical integer on both engines (their dayofweek "
+        "builtins disagree on numbering).",
+    tags=("X49", "X11", "X7"),
+)
+def event_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+             .agg(F.count("*").cast("long").alias("n")))
+    dowd = daily.withColumn(
+        "dow", F.datediff("day", F.lit("1970-01-01").cast("date")) % 7)
+    base = dowd.groupBy("dow").agg(F.avg("n").alias("mu"),
+                                   F.stddev_samp("n").alias("sd"))
+    wd = Window.orderBy("day")
+    pre_f = wd.rowsBetween(-7, -1)
+    post_f = wd.rowsBetween(1, 7)
+    s = (dowd
+         .withColumn("pre", F.avg("n").over(pre_f))
+         .withColumn("npre", F.count("*").over(pre_f))
+         .withColumn("post", F.avg("n").over(post_f))
+         .withColumn("npost", F.count("*").over(post_f)))
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    full = (F.col("npre") == 7) & (F.col("npost") == 7)
+    shift = F.col("post") - F.col("pre")
+    return (s.join(base, "dow")
+            .select("day", "n", F.col("dow").cast("long").alias("dow"),
+                    F.round(z, 4).alias("z"),
+                    F.when(F.abs(z) > ANOM_Z, 1).otherwise(0)
+                    .alias("is_anomaly"),
+                    F.when(full, F.round(shift, 4)).alias("level_shift"),
+                    F.when(full & (F.abs(shift) > SHIFT_MIN), 1).otherwise(0)
+                    .alias("is_shift")))

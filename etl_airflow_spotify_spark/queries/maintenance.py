@@ -677,3 +677,92 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("event_type", F.lit("<pre-schema>")).alias("event_type"))
         .agg(F.count("*").cast("long").alias("n"),
              F.round(F.sum("value"), 2).alias("total_value")))
+
+
+DQ_CHECKS = (
+    ("completeness_l_quantity", 1.0),
+    ("range_l_quantity_1_50", 1.0),
+    ("range_l_discount_0_01", 1.0),
+    ("domain_l_returnflag", 1.0),
+    ("unique_orderkey_linenumber", 0.999),
+    ("fk_lineitem_orders", 1.0),
+    ("ship_after_order", 0.99),
+)
+
+
+@register(
+    "data_quality_audit",
+    f"""
+    WITH j AS (
+        SELECT l.*, o.o_orderkey AS ok, o.o_orderdate
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               COUNT(l_quantity) AS qty_nonnull,
+               COUNT(*) FILTER (l_quantity BETWEEN 1 AND 50) AS qty_in,
+               COUNT(*) FILTER (l_discount BETWEEN 0 AND 0.1) AS disc_in,
+               COUNT(*) FILTER (l_returnflag IN ('A', 'N', 'R')) AS flag_in,
+               COUNT(DISTINCT (l_orderkey, l_linenumber)) AS pk_distinct,
+               COUNT(ok) AS fk_matched,
+               COUNT(*) FILTER (l_shipdate >= o_orderdate) AS ship_ok
+        FROM j
+    ),
+    long AS (
+        SELECT 'completeness_l_quantity' AS check_name,
+               qty_nonnull::DOUBLE / n AS metric, 1.0::DOUBLE AS threshold FROM m
+        UNION ALL SELECT 'range_l_quantity_1_50', qty_in::DOUBLE / n, 1.0::DOUBLE FROM m
+        UNION ALL SELECT 'range_l_discount_0_01', disc_in::DOUBLE / n, 1.0::DOUBLE FROM m
+        UNION ALL SELECT 'domain_l_returnflag', flag_in::DOUBLE / n, 1.0::DOUBLE FROM m
+        UNION ALL SELECT 'unique_orderkey_linenumber',
+                         pk_distinct::DOUBLE / n, 0.999::DOUBLE FROM m
+        UNION ALL SELECT 'fk_lineitem_orders', fk_matched::DOUBLE / n, 1.0::DOUBLE FROM m
+        UNION ALL SELECT 'ship_after_order', ship_ok::DOUBLE / n, 0.99::DOUBLE FROM m
+    )
+    SELECT check_name, ROUND(metric, 6) AS metric, threshold,
+           CASE WHEN metric >= threshold THEN 1 ELSE 0 END AS passed
+    FROM long
+    """,
+    doc="X47 Deequ-style data-quality constraint suite: completeness, "
+        "value-range, domain-membership, key-uniqueness, referential "
+        "and temporal-sanity checks over lineitem in ONE wide aggregate "
+        "(plus the distinct-PK count) unpivoted to a (check, metric, "
+        "threshold, passed) report. The synthetic data genuinely fails "
+        "two checks — (orderkey, linenumber) is only ~76% unique and "
+        "~49% of shipdates precede the order date — so the audit "
+        "demonstrates real violations, not vacuous passes. Single scan "
+        "+ one broadcast-size join; all metrics are count ratios, "
+        "exact cross-engine.",
+    tags=("X47", "X7", "X14", "X2"),
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"], "left")
+    m = j.agg(
+        F.count("*").alias("n"),
+        F.count("l_quantity").alias("qty_nonnull"),
+        F.count(F.when(F.col("l_quantity").between(1, 50), 1)).alias("qty_in"),
+        F.count(F.when(F.col("l_discount").between(0.0, 0.1), 1)).alias("disc_in"),
+        F.count(F.when(F.col("l_returnflag").isin("A", "N", "R"), 1)).alias("flag_in"),
+        F.countDistinct("l_orderkey", "l_linenumber").alias("pk_distinct"),
+        F.count("o_orderkey").alias("fk_matched"),
+        F.count(F.when(F.col("l_shipdate") >= F.col("o_orderdate"), 1)).alias("ship_ok"),
+    )
+    num = {"completeness_l_quantity": "qty_nonnull",
+           "range_l_quantity_1_50": "qty_in",
+           "range_l_discount_0_01": "disc_in",
+           "domain_l_returnflag": "flag_in",
+           "unique_orderkey_linenumber": "pk_distinct",
+           "fk_lineitem_orders": "fk_matched",
+           "ship_after_order": "ship_ok"}
+    stack_args = ", ".join(
+        f"'{name}', cast({num[name]} as double) / n, cast({thr} as double)"
+        for name, thr in DQ_CHECKS)
+    long_df = m.select(F.expr(
+        f"stack({len(DQ_CHECKS)}, {stack_args}) "
+        "as (check_name, metric, threshold)"))
+    return long_df.select(
+        "check_name", F.round("metric", 6).alias("metric"), "threshold",
+        F.when(F.col("metric") >= F.col("threshold"), 1).otherwise(0)
+        .alias("passed"))

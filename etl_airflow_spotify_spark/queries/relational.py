@@ -1124,3 +1124,65 @@ def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round("o_totalprice", 2).alias("total_price"))
             .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
             .limit(GLOBAL_TOPK_N))
+
+
+SKYLINE_BUCKET_CENTS = 10_000  # $100 price buckets for the prefix pass
+
+
+@register(
+    "part_skyline",
+    """
+    WITH p AS (
+        SELECT p_partkey, p_size,
+               CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+               ROUND(p_retailprice, 2) AS price
+        FROM part
+    ),
+    w AS (
+        SELECT p_partkey, price, p_size, price_c,
+               MAX(p_size) OVER (ORDER BY price_c
+                                 RANGE BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS m1,
+               MAX(p_size) OVER (PARTITION BY price_c) AS m2
+        FROM p
+    )
+    SELECT p_partkey, price, CAST(p_size AS BIGINT) AS p_size
+    FROM w
+    WHERE (m1 IS NULL OR p_size > m1) AND p_size = m2
+    """,
+    doc="X48 skyline / Pareto frontier: parts not dominated on "
+        "(min price, max size). The ORACLE uses the textbook global "
+        "range-frame window; the SPARK plan replaces the global sort "
+        "with the two-pass bucket scheme — per-$100-bucket max sizes "
+        "(tiny table, bounded by the price domain), an exclusive "
+        "prefix-max over buckets, broadcast the carry back, then "
+        "per-BUCKET windows for the strictly-cheaper and equal-price "
+        "maxima. No window in the Spark plan partitions wider than one "
+        "price bucket, so the shape survives any row count; the oracle "
+        "equality proves the decomposition exact.",
+    tags=("X48", "X11", "X12", "X7"),
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (load_table(spark, sf_dir, "part")
+         .select("p_partkey", "p_size",
+                 F.round(F.col("p_retailprice") * 100, 0).cast("long")
+                 .alias("price_c"),
+                 F.round("p_retailprice", 2).alias("price")))
+    p = p.withColumn("bucket", F.expr(f"price_c DIV {SKYLINE_BUCKET_CENTS}"))
+    bmax = (p.groupBy("bucket").agg(F.max("p_size").alias("bmax")))
+    carry = bmax.select(
+        "bucket",
+        F.max("bmax").over(
+            Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)).alias("carry"))
+    wb = Window.partitionBy("bucket").orderBy("price_c")
+    m1b = F.max("p_size").over(
+        wb.rangeBetween(Window.unboundedPreceding, -1))
+    m2 = F.max("p_size").over(Window.partitionBy("price_c"))
+    w = (p.join(F.broadcast(carry), "bucket", "left")
+         .withColumn("m1", F.greatest(m1b, F.col("carry")))
+         .withColumn("m2", m2))
+    return (w.filter((F.col("m1").isNull() | (F.col("p_size") > F.col("m1")))
+                     & (F.col("p_size") == F.col("m2")))
+            .select("p_partkey", "price",
+                    F.col("p_size").cast("long").alias("p_size")))

@@ -637,3 +637,31 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("nll_nats") < LM_HEAD_MAX, "head")
         .when(F.col("nll_nats") > LM_TAIL_MIN, "tail")
         .otherwise("middle").alias("bucket"))
+
+
+BPE_MERGES = 10
+
+
+@register(
+    "bpe_merge_table",
+    None,  # data-dependent iterative argmax: no SQL replay possible;
+           # tests/test_bpe.py pins the table exactly vs pure-Python BPE
+    doc=f"X45 BPE tokenizer training: learn the first {BPE_MERGES} "
+        "byte-pair merges from the corpus (Sennrich et al. 2016). The "
+        "corpus collapses once into a (word, freq) vocabulary; each "
+        "round is a pair-keyed weighted aggregate, a one-row argmax "
+        "collect (ties lexicographic -> deterministic), and a JVM fold "
+        "applying the merge left-to-right non-overlapping. Rows-only by "
+        "necessity — the merge loop's argmax is data-dependent — with "
+        "the exact merge table golden-pinned against a reference "
+        "Python implementation in pytest.",
+    tags=("X45", "X18", "X7"),
+)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import train_bpe
+
+    d = _docs(spark, sf_dir)
+    merges = train_bpe(d, BPE_MERGES)
+    return spark.createDataFrame(
+        [(r, a, b, a + b, int(c)) for r, a, b, c in merges],
+        "rank int, left string, right string, merged string, weighted_count long")
