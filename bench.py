@@ -90,6 +90,16 @@ HEADLINE = [
     "stream_tumbling_counts",
     "stream_stateful_user_stats",
     "stream_decontaminate",
+    # round-3 additions: graph, curation v3, quality audit
+    "part_pagerank",
+    "boilerplate_removal",
+    "unigram_lm_quality",
+    "bpe_merge_table",
+    "order_interval_coverage",
+    "data_quality_audit",
+    "part_skyline",
+    "event_anomaly_days",
+    "sft_example_assembly",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -79,12 +79,20 @@ def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
     return vocab.select("word", "freq", merged.alias("syms"))
 
 
-def train_bpe(docs: DataFrame, n_merges: int,
-              text_col: str = "text") -> list[tuple[int, str, str, int]]:
+def _total_symbols(vocab: DataFrame) -> int:
+    return vocab.select(
+        F.sum(F.col("freq") * F.size("syms")).alias("s")).collect()[0]["s"]
+
+
+def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text",
+              with_stats: bool = False) -> list[tuple]:
     """Learn ``n_merges`` BPE merges; returns
-    [(rank, left, right, weighted_count), ...] in training order."""
+    [(rank, left, right, weighted_count), ...] in training order —
+    with ``with_stats`` each tuple gains the corpus-wide symbol count
+    AFTER the merge (one extra tiny aggregate per round off the cached
+    vocab), charting the marginal compression each merge buys."""
     vocab = persist_tracked(_initial_symbols(word_freqs(docs, text_col)))
-    merges: list[tuple[int, str, str, int]] = []
+    merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
         top = (_pair_counts(vocab)
                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
@@ -92,9 +100,12 @@ def train_bpe(docs: DataFrame, n_merges: int,
         if not top:
             break
         a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
-        merges.append((rank, a, b, cnt))
         nxt = persist_tracked(_apply_merge(vocab, a, b))
         nxt.count()  # materialize before releasing the parent
         vocab.unpersist()
         vocab = nxt
+        if with_stats:
+            merges.append((rank, a, b, cnt, _total_symbols(vocab)))
+        else:
+            merges.append((rank, a, b, cnt))
     return merges

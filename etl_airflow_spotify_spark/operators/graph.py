@@ -62,17 +62,20 @@ def pagerank_fixed(edges: DataFrame, iters: int = 5) -> DataFrame:
     The node count feeding the teleport constant is a one-scalar
     aggregate — the only driver round-trip, O(1) bytes.
     """
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    # Persist edges pre-joined with out-degree, partitioned on src: the
-    # static side of every iteration's join, shuffled exactly once.
-    ed = persist_tracked(
-        edges.join(deg, "src").repartition("src"))
+    # Materialize the (possibly expensive) edge derivation exactly once,
+    # hash-partitioned on src. The degree aggregate and the per-
+    # iteration static join then reuse that partitioning with ZERO
+    # additional exchanges — each iteration shuffles only the rank
+    # frame (node-sized) in, and the contributions (edge-sized) out.
+    ed = persist_tracked(edges.repartition("src"))
+    deg = persist_tracked(ed.groupBy("src").agg(F.count("*").alias("d")))
     n_nodes = deg.count()
     teleport = (15 * SCALE) // (100 * n_nodes)
+    edd = ed.join(deg, "src")  # co-partitioned: no exchange
     r = deg.select(F.col("src").alias("node"),
                    F.lit(SCALE // n_nodes).cast("long").alias("pr"))
     for _ in range(iters):
-        contrib = (ed.join(r, ed["src"] == r["node"])
+        contrib = (edd.join(r, edd["src"] == r["node"])
                    .select(F.col("dst"), F.expr("pr DIV d").alias("c")))
         r = (contrib.groupBy(F.col("dst").alias("node"))
              .agg((F.lit(teleport)

@@ -40,3 +40,38 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pr.select(F.col("node"), F.col("pr"), F.col("degree"))
             .orderBy(F.desc("pr"), F.asc("node"))
             .limit(PAGERANK_TOPK))
+
+
+@register(
+    "copurchase_degree_profile",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                FROM lineitem),
+    e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+          FROM op a JOIN op b ON a.g = b.g AND a.i <> b.i),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src)
+    SELECT CAST(FLOOR(log2(d)) AS BIGINT) AS degree_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           CAST(SUM(d) AS BIGINT) AS total_edges
+    FROM deg GROUP BY 1
+    """,
+    doc="X42 co-purchase graph degree distribution in log2 buckets — "
+        "the power-law profile that decides whether PageRank/triangle "
+        "workloads need hub-splitting at scale. Two keyed aggregates "
+        "(edge build + degree, then bounded bucket rollup); "
+        "floor(log2(int)) is exact for any BIGINT degree on both "
+        "engines.",
+    tags=("X42", "X7"),
+)
+def copurchase_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    return (deg.groupBy(F.floor(F.log2("d")).cast("long")
+                        .alias("degree_bucket"))
+            .agg(F.count("*").cast("long").alias("n_nodes"),
+                 F.min("d").cast("long").alias("min_degree"),
+                 F.max("d").cast("long").alias("max_degree"),
+                 F.sum("d").cast("long").alias("total_edges")))

@@ -661,7 +661,8 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import train_bpe
 
     d = _docs(spark, sf_dir)
-    merges = train_bpe(d, BPE_MERGES)
+    merges = train_bpe(d, BPE_MERGES, with_stats=True)
     return spark.createDataFrame(
-        [(r, a, b, a + b, int(c)) for r, a, b, c in merges],
-        "rank int, left string, right string, merged string, weighted_count long")
+        [(r, a, b, a + b, int(c), int(s)) for r, a, b, c, s in merges],
+        "rank int, left string, right string, merged string, "
+        "weighted_count long, total_symbols_after long")

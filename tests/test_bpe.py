@@ -8,7 +8,7 @@ from collections import Counter, defaultdict
 from etl_airflow_spotify_spark.operators.bpe import EOW, train_bpe
 
 
-def _py_bpe(texts, n_merges):
+def _py_bpe(texts, n_merges, with_stats=False):
     wf = Counter()
     for t in texts:
         for w in t.strip().lower().split():
@@ -28,7 +28,6 @@ def _py_bpe(texts, n_merges):
             break
         # max count, ties -> lexicographically smallest pair
         (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-        merges.append((rank, a, b, cnt))
         ab = a + b
         for w, (syms, f) in vocab.items():
             out = []
@@ -38,6 +37,11 @@ def _py_bpe(texts, n_merges):
                 else:
                     out.append(s)
             vocab[w] = (tuple(out), f)
+        if with_stats:
+            total = sum(len(syms) * f for syms, f in vocab.values())
+            merges.append((rank, a, b, cnt, total))
+        else:
+            merges.append((rank, a, b, cnt))
     return merges
 
 
@@ -50,6 +54,9 @@ def test_bpe_matches_python_reference_toy(spark):
              "wide wider widest low new"]
     got = train_bpe(_corpus_df(spark, texts), 8)
     assert got == _py_bpe(texts, 8)
+    got_s = [tuple(t) for t in
+             train_bpe(_corpus_df(spark, texts), 4, with_stats=True)]
+    assert got_s == _py_bpe(texts, 4, with_stats=True)
 
 
 def test_bpe_overlapping_runs_merge_left_to_right(spark):

@@ -16,14 +16,25 @@ import sys
 
 
 def load(path: str) -> dict:
-    """Accept either bench.py's raw one-line JSON or the driver's
-    BENCH_r{N}.json wrapper (whole-file JSON with the bench line under
-    "parsed")."""
+    """Accept bench.py's raw one-line JSON, the driver's BENCH_r{N}.json
+    wrapper (bench line under "parsed" — which can be null when the
+    driver truncated the line; then we fall back), or a previous
+    BENCH_COMPARE_*.txt whose "new" column carries that round's
+    steady-state numbers."""
     with open(path) as f:
         text = f.read()
+    if path.endswith(".txt"):
+        import re
+        qs = {m.group(1): float(m.group(3)) for m in re.finditer(
+            r"^(\S+)\s+([\d.]+|-)\s+([\d.]+)\s+", text, re.M)}
+        return {"queries": qs, "value": sum(qs.values())}
     try:
         obj = json.loads(text)
-        return obj.get("parsed", obj) if isinstance(obj, dict) else obj
+        if isinstance(obj, dict):
+            parsed = obj.get("parsed", obj)
+            return parsed if parsed is not None else {
+                "queries": {}, "value": obj.get("value")}
+        return obj
     except json.JSONDecodeError:
         pass
     for line in text.splitlines():
