@@ -58,3 +58,35 @@ def grouped_robust_stats(df: DataFrame, key: str, col: str,
                  F.sum("_is_out").cast("long").alias("n_outliers"),
                  F.round(F.sum("_is_out") / F.count("*"), digits)
                  .alias("outlier_frac")))
+
+
+def winsorized_stats(df: DataFrame, key: str, col: str,
+                     lo: float = 0.05, hi: float = 0.95,
+                     exact: bool = True, digits: int = 4) -> DataFrame:
+    """Per-group winsorization report: clip ``col`` to its group's
+    [lo, hi] percentile band and compare moments before/after —
+    (key, n, p_lo, p_hi, n_clipped, mean_raw, mean_winsorized).
+
+    Same scale shape as :func:`grouped_robust_stats`: the percentile
+    frame is group-cardinality sized and broadcasts back onto the fact
+    scan, which never shuffles; for million-row groups flip ``exact``
+    to switch the boundary aggregate to ``approx_percentile`` (bounded
+    memory, identical plan).
+    """
+    q = (f"percentile({col}, array({lo}, {hi}))" if exact
+         else f"approx_percentile({col}, array({lo}, {hi}), 10000)")
+    band = (df.groupBy(key)
+            .agg(F.expr(q).alias("_b"))
+            .select(key, F.col("_b")[0].alias("_lo"),
+                    F.col("_b")[1].alias("_hi")))
+    c = F.col(col)
+    clipped = F.least(F.greatest(c, F.col("_lo")), F.col("_hi"))
+    return (df.join(F.broadcast(band), key)
+            .groupBy(key)
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.first("_lo"), digits).alias("p_lo"),
+                 F.round(F.first("_hi"), digits).alias("p_hi"),
+                 F.sum(((c < F.col("_lo")) | (c > F.col("_hi")))
+                       .cast("int")).cast("long").alias("n_clipped"),
+                 F.round(F.avg(c), digits).alias("mean_raw"),
+                 F.round(F.avg(clipped), digits).alias("mean_winsorized")))

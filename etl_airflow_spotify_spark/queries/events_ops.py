@@ -987,3 +987,133 @@ def event_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(full, F.round(shift, 4)).alias("level_shift"),
                     F.when(full & (F.abs(shift) > SHIFT_MIN), 1).otherwise(0)
                     .alias("is_shift")))
+
+
+@register(
+    "winsorized_brand_price",
+    """
+    WITH j AS (
+        SELECT p.p_brand AS brand, l.l_extendedprice AS price
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    band AS (
+        SELECT brand,
+               quantile_cont(price, 0.05) AS lo,
+               quantile_cont(price, 0.95) AS hi
+        FROM j GROUP BY brand
+    )
+    SELECT j.brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(b.lo), 4) AS p_lo,
+           ROUND(MIN(b.hi), 4) AS p_hi,
+           CAST(SUM(CASE WHEN j.price < b.lo OR j.price > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           ROUND(AVG(j.price), 4) AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(j.price, b.lo), b.hi)), 4)
+               AS mean_winsorized
+    FROM j JOIN band b ON j.brand = b.brand
+    GROUP BY j.brand
+    """,
+    doc="X52 per-brand winsorization of extended price: clip to the "
+        "[p5, p95] band and report moments before/after — the standard "
+        "heavy-tail feature-preprocessing transform. Brand-keyed "
+        "percentile frame (bounded group count) broadcasts back onto "
+        "the fact scan; operators/robust.py's exact/approx switch "
+        "bounds the boundary-aggregate memory for million-row groups. "
+        "Spark's exact percentile interpolates identically to DuckDB "
+        "quantile_cont (bit-parity pinned by robust_value_outliers).",
+    tags=("X52", "X7", "X3", "X11"),
+)
+def winsorized_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robust import winsorized_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = (li.join(p, li["l_partkey"] == p["p_partkey"])
+         .select(F.col("p_brand").alias("brand"),
+                 F.col("l_extendedprice").alias("price")))
+    return winsorized_stats(j, "brand", "price")
+
+
+QN_BUCKET = 10.0
+
+
+@register(
+    "quantile_normalized_values",
+    f"""
+    WITH vb AS (
+        SELECT event_type, CAST(FLOOR(value / {QN_BUCKET}) AS BIGINT) AS b,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, b, cnt,
+               COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY b
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS cum_before,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n_t
+        FROM vb
+    ),
+    g AS (
+        SELECT b, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM vb GROUP BY b
+    ),
+    gc AS (
+        SELECT b AS gb, gcnt,
+               COALESCE(SUM(gcnt) OVER (ORDER BY b
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS gcum,
+               SUM(gcnt) OVER () AS gn
+        FROM g
+    )
+    SELECT t.event_type, t.b AS bucket, t.cnt AS n,
+           ROUND((2 * t.cum_before + t.cnt)::DOUBLE / (2 * t.n_t), 6)
+               AS p_mid,
+           (gc.gb::DOUBLE + 0.5) * {QN_BUCKET} AS norm_value
+    FROM t JOIN gc
+      ON (2 * t.cum_before + t.cnt)::DOUBLE / (2 * t.n_t)
+         >= gc.gcum::DOUBLE / gc.gn
+     AND (2 * t.cum_before + t.cnt)::DOUBLE / (2 * t.n_t)
+         < (gc.gcum + gc.gcnt)::DOUBLE / gc.gn
+    """,
+    doc="X53 quantile normalization at bucket granularity: per-type "
+        "value-bucket mid percentiles remapped onto the pooled "
+        "distribution — the standard cross-source feature equalizer, "
+        "decomposed so every corpus-sized pass is ONE (type, bucket) "
+        "aggregate and everything after runs on bucket tables bounded "
+        "by the value domain (<= ~50 rows here). The percentile-range "
+        "lookup is a theta join between two bounded tables (broadcast "
+        "nested loop by construction); comparisons use IEEE divisions "
+        "of exact integers — identical doubles on both engines.",
+    tags=("X53", "X7", "X11", "X5"),
+)
+def quantile_normalized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    vb = (e.groupBy("event_type",
+                    F.floor(F.col("value") / QN_BUCKET).cast("long")
+                    .alias("b"))
+          .agg(F.count("*").cast("long").alias("cnt")))
+    wt = Window.partitionBy("event_type").orderBy("b")
+    t = (vb.withColumn("cum_before",
+                       F.coalesce(F.sum("cnt").over(
+                           wt.rowsBetween(Window.unboundedPreceding, -1)),
+                           F.lit(0)))
+         .withColumn("n_t", F.sum("cnt").over(
+             Window.partitionBy("event_type"))))
+    g = vb.groupBy("b").agg(F.sum("cnt").cast("long").alias("gcnt"))
+    wg = Window.orderBy("b")
+    gc = (g.select(F.col("b").alias("gb"), "gcnt")
+          .withColumn("gcum", F.coalesce(F.sum("gcnt").over(
+              Window.orderBy("gb")
+              .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+          .withColumn("gn", F.sum("gcnt").over(
+              Window.orderBy("gb").rowsBetween(
+                  Window.unboundedPreceding, Window.unboundedFollowing))))
+    p = (2 * F.col("cum_before") + F.col("cnt")).cast("double") \
+        / (2 * F.col("n_t"))
+    glo = F.col("gcum").cast("double") / F.col("gn")
+    ghi = (F.col("gcum") + F.col("gcnt")).cast("double") / F.col("gn")
+    return (t.join(F.broadcast(gc), (p >= glo) & (p < ghi))
+            .select("event_type", F.col("b").alias("bucket"),
+                    F.col("cnt").alias("n"),
+                    F.round(p, 6).alias("p_mid"),
+                    ((F.col("gb") + 0.5) * QN_BUCKET).alias("norm_value")))

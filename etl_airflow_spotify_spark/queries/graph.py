@@ -75,3 +75,78 @@ def copurchase_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("d").cast("long").alias("min_degree"),
                  F.max("d").cast("long").alias("max_degree"),
                  F.sum("d").cast("long").alias("total_edges")))
+
+
+RULE_MIN_PAIR_SUP = 3
+RULE_MIN_CONF = 0.05
+
+
+@register(
+    "association_rules",
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+    item AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS sup FROM op GROUP BY p),
+    pair AS (
+        SELECT a.p AS x, b.p AS y, CAST(COUNT(*) AS BIGINT) AS sup_ab
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+        HAVING COUNT(*) >= {RULE_MIN_PAIR_SUP}
+    ),
+    rules AS (
+        SELECT x AS antecedent, y AS consequent, sup_ab FROM pair
+        UNION ALL
+        SELECT y, x, sup_ab FROM pair
+    )
+    SELECT r.antecedent, r.consequent, r.sup_ab,
+           ROUND(r.sup_ab::DOUBLE / ia.sup, 6) AS confidence,
+           ROUND(r.sup_ab::DOUBLE * n.n_orders / (ia.sup * ic.sup), 6)
+               AS lift
+    FROM rules r
+    JOIN item ia ON ia.p = r.antecedent
+    JOIN item ic ON ic.p = r.consequent
+    CROSS JOIN n
+    WHERE r.sup_ab::DOUBLE / ia.sup >= {RULE_MIN_CONF}
+    """,
+    doc="X51 association-rule mining (Apriori level 2): frequent part "
+        "pairs within order baskets -> directed rules with support, "
+        "confidence and lift. Pair generation fans out O(k^2) with "
+        "basket-bounded k (TPC-H <= 7 lineitems/order) and the support "
+        "threshold prunes before the rule join; item supports join "
+        "part-keyed (unhinted — item tables are unbounded at corpus "
+        "scale). Confidence/lift are single exact-integer-ratio "
+        "divisions, rounded on both engines.",
+    tags=("X51", "X7", "X3"),
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (li.select(F.col("l_orderkey").alias("o"),
+                    F.col("l_partkey").alias("p")).distinct())
+    n_orders = op.select(F.countDistinct("o").alias("n"))
+    item = op.groupBy("p").agg(F.count("*").cast("long").alias("sup"))
+    a, b = op.alias("a"), op.alias("b")
+    pair = (a.join(b, (F.col("a.o") == F.col("b.o"))
+                   & (F.col("a.p") < F.col("b.p")))
+            .groupBy(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+            .agg(F.count("*").cast("long").alias("sup_ab"))
+            .filter(F.col("sup_ab") >= RULE_MIN_PAIR_SUP))
+    rules = (pair.select(F.col("x").alias("antecedent"),
+                         F.col("y").alias("consequent"), "sup_ab")
+             .unionAll(pair.select(F.col("y").alias("antecedent"),
+                                   F.col("x").alias("consequent"),
+                                   "sup_ab")))
+    ia = item.select(F.col("p").alias("antecedent"),
+                     F.col("sup").alias("sup_a"))
+    ic = item.select(F.col("p").alias("consequent"),
+                     F.col("sup").alias("sup_c"))
+    return (rules.join(ia, "antecedent").join(ic, "consequent")
+            .crossJoin(F.broadcast(n_orders))
+            .filter(F.col("sup_ab").cast("double") / F.col("sup_a")
+                    >= RULE_MIN_CONF)
+            .select("antecedent", "consequent", "sup_ab",
+                    F.round(F.col("sup_ab").cast("double")
+                            / F.col("sup_a"), 6).alias("confidence"),
+                    F.round(F.col("sup_ab").cast("double") * F.col("n")
+                            / (F.col("sup_a") * F.col("sup_c")), 6)
+                    .alias("lift")))

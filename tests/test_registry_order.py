@@ -38,6 +38,9 @@ DEFERRED: set[str] = {
     "part_skyline",            # X48
     "event_anomaly_days",      # X49
     "sft_example_assembly",    # X50
+    "association_rules",       # X51
+    "winsorized_brand_price",  # X52
+    "quantile_normalized_values",  # X53
 }
 
 
