@@ -1100,7 +1100,6 @@ def quantile_normalized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
          .withColumn("n_t", F.sum("cnt").over(
              Window.partitionBy("event_type"))))
     g = vb.groupBy("b").agg(F.sum("cnt").cast("long").alias("gcnt"))
-    wg = Window.orderBy("b")
     gc = (g.select(F.col("b").alias("gb"), "gcnt")
           .withColumn("gcum", F.coalesce(F.sum("gcnt").over(
               Window.orderBy("gb")
