@@ -766,3 +766,73 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "check_name", F.round("metric", 6).alias("metric"), "threshold",
         F.when(F.col("metric") >= F.col("threshold"), 1).otherwise(0)
         .alias("passed"))
+
+
+@register(
+    "orders_pointintime_dim",
+    """
+    WITH ch AS (
+        SELECT user_id AS c_custkey, ts, event_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               'cdc:' || CAST(user_id AS VARCHAR) AS c_name,
+               ROUND(value * 1000, 2) AS c_acctbal,
+               upper(event_type) AS c_mktsegment
+        FROM events
+    ),
+    base AS (
+        SELECT c_custkey, CAST(NULL AS TIMESTAMP) AS ts,
+               CAST(NULL AS BIGINT) AS event_id, 'I' AS op,
+               c_name, c_acctbal, c_mktsegment
+        FROM customer
+    ),
+    hist AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
+    v AS (
+        SELECT *, LEAD(ts) OVER (
+                   PARTITION BY c_custkey
+                   ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+               ) AS valid_to
+        FROM hist
+    ),
+    versions AS (SELECT * FROM v WHERE op <> 'D')
+    SELECT COALESCE(h.c_mktsegment, '<deleted-gap>') AS segment_at_order,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o LEFT JOIN versions h
+      ON o.o_custkey = h.c_custkey
+     AND (h.ts IS NULL OR o.o_orderdate >= h.ts)
+     AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    GROUP BY 1
+    """,
+    doc="X55 point-in-time dimension join: every order joins the SCD2 "
+        "customer version that was valid ON ITS ORDER DATE ('which "
+        "profile did the model see when this example was generated?'). "
+        "Equi-join on the customer key with the interval containment "
+        "as a residual predicate — per-key version counts are change-"
+        "bounded, so the fan-out is bounded and the only shuffle is "
+        "the key shuffle; orders falling inside a deleted period "
+        "surface as '<deleted-gap>' via the LEFT join. Exact LEAD-"
+        "replay oracle.",
+    tags=("X55", "X31", "X3", "X11"),
+)
+def orders_pointintime_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import scd2_history
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    changes = _customer_changes(spark, sf_dir)
+    hist = scd2_history(cust, changes, "c_custkey", "ts",
+                        seq_cols=["ts", "event_id"])
+    h = hist.select("c_custkey", "c_mktsegment",
+                    F.col("valid_from").cast("timestamp_ntz").alias("vf"),
+                    F.col("valid_to").cast("timestamp_ntz").alias("vt"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("timestamp_ntz").alias("od"),
+        "o_totalprice")
+    cond = ((o["o_custkey"] == h["c_custkey"])
+            & (h["vf"].isNull() | (o["od"] >= h["vf"]))
+            & (h["vt"].isNull() | (o["od"] < h["vt"])))
+    return (o.join(h, cond, "left")
+            .groupBy(F.coalesce("c_mktsegment", F.lit("<deleted-gap>"))
+                     .alias("segment_at_order"))
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price")))

@@ -576,3 +576,93 @@ def vector_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_planted(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return S.range_cosine(emb, queries, RANGE_TAU)
+
+
+@register(
+    "cluster_quality_metrics",
+    """
+    WITH pe AS (
+        SELECT label,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    cen AS (
+        SELECT label, list(ROUND(c, 6) ORDER BY pos) AS centroid
+        FROM (SELECT label, pos, AVG(v) AS c FROM pe GROUP BY label, pos)
+        GROUP BY label
+    ),
+    disp AS (
+        SELECT e.label,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(list_distance(e.embedding, c.centroid)), 6) AS s
+        FROM embeddings e JOIN cen c ON e.label = c.label
+        GROUP BY e.label
+    ),
+    cd AS (
+        SELECT a.label AS i, b.label AS j,
+               ROUND(list_distance(a.centroid, b.centroid), 6) AS d
+        FROM cen a JOIN cen b ON a.label <> b.label
+    ),
+    db AS (
+        SELECT cd.i AS label, cd.j, cd.d,
+               (si.s + sj.s) / cd.d AS term
+        FROM cd JOIN disp si ON si.label = cd.i
+                JOIN disp sj ON sj.label = cd.j
+    )
+    SELECT d.label, d.n, ROUND(d.s, 4) AS dispersion,
+           FIRST(db.j ORDER BY db.d, db.j) AS nearest_label,
+           ROUND(MIN(db.d), 4) AS nearest_centroid_dist,
+           ROUND(MAX(db.term), 4) AS davies_bouldin
+    FROM disp d JOIN db ON db.label = d.label
+    GROUP BY d.label, d.n, d.s
+    """,
+    doc="X54 clustering-quality evaluation over the embedding corpus: "
+        "per-label centroids (position-keyed aggregate, rounded to a "
+        "fixed grid so both engines score against identical centroids), "
+        "intra-cluster dispersion, nearest-centroid separation and the "
+        "Davies-Bouldin index. The only corpus-sized passes are the "
+        "position explode and one broadcast-centroid distance scan; "
+        "everything else runs on label-cardinality tables. Distances "
+        "are JVM zip_with/aggregate folds — no Python UDF.",
+    tags=("X54", "X17", "X7"),
+)
+def cluster_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pe = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cen = (pe.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("c"))
+           .groupBy("label")
+           .agg(F.transform(F.array_sort(F.collect_list(
+               F.struct("pos", "c"))), lambda x: x["c"]).alias("centroid")))
+
+    def dist(a, b):
+        d2 = F.aggregate(F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+                         F.lit(0.0), lambda acc, t: acc + t)
+        return F.sqrt(d2)
+
+    disp = (e.join(F.broadcast(cen), "label")
+            .groupBy("label")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.avg(dist(F.col("embedding").cast("array<double>"),
+                                    F.col("centroid"))), 6).alias("s")))
+    a = cen.select(F.col("label").alias("i"), F.col("centroid").alias("ca"))
+    b = cen.select(F.col("label").alias("j"), F.col("centroid").alias("cb"))
+    cd = (a.join(b, F.col("i") != F.col("j"))
+          .select("i", "j", F.round(dist(F.col("ca"), F.col("cb")), 6)
+                  .alias("d")))
+    si = disp.select(F.col("label").alias("i"), F.col("s").alias("si"))
+    sj = disp.select(F.col("label").alias("j"), F.col("s").alias("sj"))
+    db = (cd.join(si, "i").join(sj, "j")
+          .select(F.col("i").alias("label"), "j", "d",
+                  ((F.col("si") + F.col("sj")) / F.col("d")).alias("term")))
+    w = Window.partitionBy("label").orderBy("d", "j")
+    nearest = (db.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") == 1)
+               .select("label", F.col("j").alias("nearest_label"),
+                       F.round(F.col("d"), 4).alias("nearest_centroid_dist")))
+    dbmax = (db.groupBy("label")
+             .agg(F.round(F.max("term"), 4).alias("davies_bouldin")))
+    return (disp.select("label", "n", F.round("s", 4).alias("dispersion"))
+            .join(nearest, "label").join(dbmax, "label"))

@@ -41,6 +41,8 @@ DEFERRED: set[str] = {
     "association_rules",       # X51
     "winsorized_brand_price",  # X52
     "quantile_normalized_values",  # X53
+    "cluster_quality_metrics",  # X54
+    "orders_pointintime_dim",   # X55
 }
 
 
