@@ -100,6 +100,13 @@ HEADLINE = [
     "part_skyline",
     "event_anomaly_days",
     "sft_example_assembly",
+    "copurchase_degree_profile",
+    "association_rules",
+    "winsorized_brand_price",
+    "quantile_normalized_values",
+    "cluster_quality_metrics",
+    "orders_pointintime_dim",
+    "ab_test_cuped",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -93,19 +93,23 @@ def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text",
     vocab), charting the marginal compression each merge buys."""
     vocab = persist_tracked(_initial_symbols(word_freqs(docs, text_col)))
     merges: list[tuple] = []
+    prev: DataFrame | None = None
     for rank in range(1, n_merges + 1):
         top = (_pair_counts(vocab)
                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
                .limit(1).collect())
         if not top:
             break
+        # this round's argmax (or stats) job materialized `vocab`, so
+        # the round BEFORE it can release its cache now — one job per
+        # round instead of an extra count() materialization each round
+        if prev is not None:
+            prev.unpersist()
         a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
         nxt = persist_tracked(_apply_merge(vocab, a, b))
-        nxt.count()  # materialize before releasing the parent
-        vocab.unpersist()
-        vocab = nxt
         if with_stats:
-            merges.append((rank, a, b, cnt, _total_symbols(vocab)))
+            merges.append((rank, a, b, cnt, _total_symbols(nxt)))
         else:
             merges.append((rank, a, b, cnt))
+        prev, vocab = vocab, nxt
     return merges

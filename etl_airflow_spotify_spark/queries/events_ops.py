@@ -1116,3 +1116,140 @@ def quantile_normalized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cnt").alias("n"),
                     F.round(p, 6).alias("p_mid"),
                     ((F.col("gb") + 0.5) * QN_BUCKET).alias("norm_value")))
+
+
+AB_SPLIT_TS = "2024-01-16 00:00:00"
+AB_CONV_MIN = 7  # interior conversion rates at every SF (median y ~6-7)
+
+
+@register(
+    "ab_test_cuped",
+    f"""
+    WITH u AS (
+        SELECT user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS variant,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '{AB_SPLIT_TS}'
+                             AND event_type = 'click'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '{AB_SPLIT_TS}'
+                             AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM u
+    ),
+    v AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS nv,
+               CAST(SUM(x) AS BIGINT) AS sxv, CAST(SUM(y) AS BIGINT) AS syv,
+               CAST(SUM(CASE WHEN y >= {AB_CONV_MIN} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS converted
+        FROM u GROUP BY variant
+    ),
+    wide AS (
+        SELECT s.*,
+               MAX(CASE WHEN variant = 0 THEN nv END) AS n_c,
+               MAX(CASE WHEN variant = 0 THEN sxv END) AS sx_c,
+               MAX(CASE WHEN variant = 0 THEN syv END) AS sy_c,
+               MAX(CASE WHEN variant = 0 THEN converted END) AS conv_c,
+               MAX(CASE WHEN variant = 1 THEN nv END) AS n_t,
+               MAX(CASE WHEN variant = 1 THEN sxv END) AS sx_t,
+               MAX(CASE WHEN variant = 1 THEN syv END) AS sy_t,
+               MAX(CASE WHEN variant = 1 THEN converted END) AS conv_t
+        FROM v CROSS JOIN s
+        GROUP BY s.n, s.sx, s.sy, s.sxy, s.sxx, s.syy
+    )
+    SELECT n_c, n_t,
+           ROUND(sy_t::DOUBLE / n_t - sy_c::DOUBLE / n_c, 6) AS lift,
+           ROUND((sy_t::DOUBLE / n_t
+                  - ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx))
+                    * (sx_t::DOUBLE / n_t - sx::DOUBLE / n))
+                 - (sy_c::DOUBLE / n_c
+                    - ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx))
+                      * (sx_c::DOUBLE / n_c - sx::DOUBLE / n)), 6)
+               AS lift_cuped,
+           ROUND(((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)), 6)
+               AS var_reduction,
+           ROUND((conv_t::DOUBLE / n_t - conv_c::DOUBLE / n_c)
+                 / NULLIF(sqrt(((conv_c + conv_t)::DOUBLE / (n_c + n_t))
+                        * (1 - (conv_c + conv_t)::DOUBLE / (n_c + n_t))
+                        * (1.0 / n_c + 1.0 / n_t)), 0), 4) AS z_conversion
+    FROM wide
+    """,
+    doc="X56 experimentation analytics: md5-bucketed A/B assignment, "
+        "post-period purchase lift, CUPED variance-reduced lift "
+        "(theta = cov/var from the pre-period click covariate), the "
+        "rho-squared variance-reduction factor, and a two-proportion "
+        "z-test on conversion. EVERY statistic derives from exact "
+        "BIGINT sums (one user-keyed aggregate, then scalar math), so "
+        "no float-summation dust exists anywhere — the hash check pins "
+        "the full analysis. Var(Y - theta*X) expands analytically to "
+        "var(Y)(1 - rho^2): no second pass over adjusted rows.",
+    tags=("X56", "X7", "X14"),
+)
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(AB_SPLIT_TS).cast("timestamp_ntz")
+    u = (e.groupBy("user_id")
+         .agg(F.sum(F.when((F.col("ts") < split)
+                           & (F.col("event_type") == "click"), 1)
+                    .otherwise(0)).cast("long").alias("x"),
+              F.sum(F.when((F.col("ts") >= split)
+                           & (F.col("event_type") == "purchase"), 1)
+                    .otherwise(0)).cast("long").alias("y"))
+         .withColumn("variant",
+                     F.conv(F.substring(F.md5(F.col("user_id")
+                                              .cast("string")), 1, 15),
+                            16, 10).cast("long") % 2))
+    s = u.agg(F.count("*").cast("long").alias("n"),
+              F.sum("x").cast("long").alias("sx"),
+              F.sum("y").cast("long").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+    v = (u.groupBy("variant")
+         .agg(F.count("*").cast("long").alias("nv"),
+              F.sum("x").cast("long").alias("sxv"),
+              F.sum("y").cast("long").alias("syv"),
+              F.sum(F.when(F.col("y") >= AB_CONV_MIN, 1).otherwise(0))
+              .cast("long").alias("converted")))
+    pick = lambda var, col: F.max(F.when(F.col("variant") == var,
+                                         F.col(col)))
+    wide = (v.crossJoin(F.broadcast(s))
+            .groupBy("n", "sx", "sy", "sxy", "sxx", "syy")
+            .agg(pick(0, "nv").alias("n_c"), pick(0, "sxv").alias("sx_c"),
+                 pick(0, "syv").alias("sy_c"),
+                 pick(0, "converted").alias("conv_c"),
+                 pick(1, "nv").alias("n_t"), pick(1, "sxv").alias("sx_t"),
+                 pick(1, "syv").alias("sy_t"),
+                 pick(1, "converted").alias("conv_t")))
+    d = lambda c: F.col(c).cast("double")
+    theta = ((d("n") * d("sxy") - d("sx") * d("sy"))
+             / (d("n") * d("sxx") - d("sx") * d("sx")))
+    mean = lambda sc, nc: d(sc) / d(nc)
+    p_pool = (d("conv_c") + d("conv_t")) / (d("n_c") + d("n_t"))
+    return wide.select(
+        "n_c", "n_t",
+        F.round(mean("sy_t", "n_t") - mean("sy_c", "n_c"), 6).alias("lift"),
+        F.round((mean("sy_t", "n_t")
+                 - theta * (mean("sx_t", "n_t") - mean("sx", "n")))
+                - (mean("sy_c", "n_c")
+                   - theta * (mean("sx_c", "n_c") - mean("sx", "n"))), 6)
+        .alias("lift_cuped"),
+        F.round((d("n") * d("sxy") - d("sx") * d("sy"))
+                * (d("n") * d("sxy") - d("sx") * d("sy"))
+                / ((d("n") * d("sxx") - d("sx") * d("sx"))
+                   * (d("n") * d("syy") - d("sy") * d("sy"))), 6)
+        .alias("var_reduction"),
+        F.round((mean("conv_t", "n_t") - mean("conv_c", "n_c"))
+                / F.nullif(F.sqrt(p_pool * (1 - p_pool)
+                                  * (1.0 / d("n_c") + 1.0 / d("n_t"))),
+                           F.lit(0.0)), 4)
+        .alias("z_conversion"))

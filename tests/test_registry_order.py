@@ -43,6 +43,7 @@ DEFERRED: set[str] = {
     "quantile_normalized_values",  # X53
     "cluster_quality_metrics",  # X54
     "orders_pointintime_dim",   # X55
+    "ab_test_cuped",            # X56
 }
 
 
