@@ -1208,23 +1208,27 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.conv(F.substring(F.md5(F.col("user_id")
                                               .cast("string")), 1, 15),
                             16, 10).cast("long") % 2))
-    s = u.agg(F.count("*").cast("long").alias("n"),
-              F.sum("x").cast("long").alias("sx"),
-              F.sum("y").cast("long").alias("sy"),
-              F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-              F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-              F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+    # one pass: per-variant moment sums; the pooled sums are exact
+    # BIGINT additions of the two variant rows, so events scans ONCE
     v = (u.groupBy("variant")
          .agg(F.count("*").cast("long").alias("nv"),
               F.sum("x").cast("long").alias("sxv"),
               F.sum("y").cast("long").alias("syv"),
+              F.sum(F.col("x") * F.col("y")).cast("long").alias("sxyv"),
+              F.sum(F.col("x") * F.col("x")).cast("long").alias("sxxv"),
+              F.sum(F.col("y") * F.col("y")).cast("long").alias("syyv"),
               F.sum(F.when(F.col("y") >= AB_CONV_MIN, 1).otherwise(0))
               .cast("long").alias("converted")))
     pick = lambda var, col: F.max(F.when(F.col("variant") == var,
                                          F.col(col)))
-    wide = (v.crossJoin(F.broadcast(s))
-            .groupBy("n", "sx", "sy", "sxy", "sxx", "syy")
-            .agg(pick(0, "nv").alias("n_c"), pick(0, "sxv").alias("sx_c"),
+    wide = (v.groupBy()
+            .agg(F.sum("nv").cast("long").alias("n"),
+                 F.sum("sxv").cast("long").alias("sx"),
+                 F.sum("syv").cast("long").alias("sy"),
+                 F.sum("sxyv").cast("long").alias("sxy"),
+                 F.sum("sxxv").cast("long").alias("sxx"),
+                 F.sum("syyv").cast("long").alias("syy"),
+                 pick(0, "nv").alias("n_c"), pick(0, "sxv").alias("sx_c"),
                  pick(0, "syv").alias("sy_c"),
                  pick(0, "converted").alias("conv_c"),
                  pick(1, "nv").alias("n_t"), pick(1, "sxv").alias("sx_t"),

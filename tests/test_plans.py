@@ -479,3 +479,32 @@ def test_boilerplate_anti_join_unhinted(spark, sf_dir):
     df = _df("boilerplate_removal", spark, sf_dir)
     assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
     assert not has_cartesian_product(df)
+
+
+def test_ab_test_single_user_aggregate(spark, sf_dir):
+    df = _df("ab_test_cuped", spark, sf_dir)
+    # one scan of events feeds everything (user agg -> scalar math)
+    assert len(read_schemas(df)) == 1
+    assert not has_cartesian_product(df)
+
+
+def test_pointintime_join_no_cartesian(spark, sf_dir):
+    df = _df("orders_pointintime_dim", spark, sf_dir)
+    # interval containment rides the custkey equi-join as a residual
+    # predicate — never a cartesian/nested-loop over the fact table
+    assert not has_cartesian_product(df)
+
+
+def test_cluster_quality_broadcasts_centroids(spark, sf_dir):
+    df = _df("cluster_quality_metrics", spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    assert not has_cartesian_product(df)
+
+
+def test_association_rules_prunes_before_rule_join(spark, sf_dir):
+    df = _df("association_rules", spark, sf_dir)
+    plan = plan_string(df)
+    # the support threshold filters the pair aggregate BEFORE the item
+    # joins (a Filter on sup_ab/count sits under the rule join)
+    assert "sup_ab" in plan
+    assert not has_cartesian_product(df)
