@@ -1257,3 +1257,56 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   * (1.0 / d("n_c") + 1.0 / d("n_t"))),
                            F.lit(0.0)), 4)
         .alias("z_conversion"))
+
+
+@register(
+    "markov_prediction_accuracy",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    pairs AS (SELECT event_type AS a, nxt AS b FROM seq
+              WHERE nxt IS NOT NULL),
+    counts AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+               FROM pairs GROUP BY a, b),
+    pred AS (
+        SELECT a, FIRST(b ORDER BY n DESC, b) AS predicted,
+               FIRST(n ORDER BY n DESC, b) AS n_hit,
+               CAST(SUM(n) AS BIGINT) AS n_total
+        FROM counts GROUP BY a
+    )
+    SELECT a AS from_type, predicted AS predicted_next,
+           n_total AS n_transitions,
+           ROUND(n_hit::DOUBLE / n_total, 6) AS hit_rate
+    FROM pred
+    """,
+    doc="X57 next-event-prediction evaluation: the argmax-next-type "
+        "Markov predictor per current type (ties lexicographic) and "
+        "its in-sample top-1 hit rate. One user-keyed lead window, one "
+        "(type,type) aggregate, one type-keyed argmax fold — the model "
+        "AND its eval in a single plan, everything past the window on "
+        "type-cardinality tables. Exact count-ratio accuracy.",
+    tags=("X57", "X11", "X10", "X7"),
+)
+def markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.withColumn("nxt", F.lead("event_type").over(w))
+             .filter(F.col("nxt").isNotNull())
+             .select(F.col("event_type").alias("a"),
+                     F.col("nxt").alias("b")))
+    counts = pairs.groupBy("a", "b").agg(F.count("*").cast("long").alias("n"))
+    wp = Window.partitionBy("a").orderBy(F.desc("n"), F.asc("b"))
+    pred = (counts
+            .withColumn("rk", F.row_number().over(wp))
+            .withColumn("n_total", F.sum("n").over(Window.partitionBy("a")))
+            .filter(F.col("rk") == 1))
+    return pred.select(
+        F.col("a").alias("from_type"),
+        F.col("b").alias("predicted_next"),
+        F.col("n_total").cast("long").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.col("n_total"), 6)
+        .alias("hit_rate"))

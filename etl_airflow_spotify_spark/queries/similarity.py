@@ -666,3 +666,79 @@ def cluster_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.round(F.max("term"), 4).alias("davies_bouldin")))
     return (disp.select("label", "n", F.round("s", 4).alias("dispersion"))
             .join(nearest, "label").join(dbmax, "label"))
+
+
+RP_OUT_DIMS = 16
+
+
+@register(
+    "random_projection_jl",
+    f"""
+    WITH signs AS (
+        SELECT i.i, j.j,
+               CASE WHEN ('0x' || substr(md5(i.i || '_' || j.j), 1, 15))
+                         ::BIGINT % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM range(1, 65) i(i) CROSS JOIN range(1, {RP_OUT_DIMS + 1}) j(j)
+    ),
+    pe AS (
+        SELECT vec_id,
+               unnest(range(1, len(embedding) + 1)) AS i,
+               unnest(embedding) AS val
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT pe.vec_id, s.j,
+               SUM(pe.val * s.s) / sqrt({RP_OUT_DIMS}) AS c
+        FROM pe JOIN signs s ON pe.i = s.i
+        GROUP BY pe.vec_id, s.j
+    ),
+    norms AS (
+        SELECT vec_id, SUM(val * val) AS x2 FROM pe GROUP BY vec_id
+    ),
+    pnorms AS (
+        SELECT vec_id, SUM(c * c) AS p2 FROM comp GROUP BY vec_id
+    )
+    SELECT n.vec_id,
+           ROUND(n.x2, 4) AS x_norm2,
+           ROUND(p.p2, 4) AS p_norm2,
+           ROUND(p.p2 / n.x2, 4) AS jl_ratio
+    FROM norms n JOIN pnorms p ON n.vec_id = p.vec_id
+    """,
+    doc=f"X58 signed random projection (Achlioptas 2003) from 64 to "
+        f"{RP_OUT_DIMS} dims with an in-data Johnson-Lindenstrauss "
+        "check: the +-1/sqrt(k) matrix derives from md5 (reproducible "
+        "on any engine/run — no RNG state to ship), the projection is "
+        "the distributed matmul shape (position explode, broadcast "
+        "sign join, (vec, out-dim) aggregate), and jl_ratio = "
+        "||Px||^2/||x||^2 concentrates around 1 as the lemma "
+        "promises. The sign matrix is dims*k rows — broadcast-sized "
+        "at ANY corpus scale.",
+    tags=("X58", "X17", "X24", "X7"),
+)
+def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    spark_signs = spark.range(1, 65).select(
+        F.col("id").alias("i")).crossJoin(
+        spark.range(1, RP_OUT_DIMS + 1).select(F.col("id").alias("j")))
+    signs = spark_signs.select(
+        "i", "j",
+        F.when(F.conv(F.substring(F.md5(F.concat_ws(
+            "_", F.col("i"), F.col("j"))), 1, 15), 16, 10)
+            .cast("long") % 2 == 0, 1.0).otherwise(-1.0).alias("s"))
+    pe = e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    pe = pe.select("vec_id", (F.col("pos") + 1).alias("i"),
+                   F.col("val").cast("double").alias("val"))
+    comp = (pe.join(F.broadcast(signs), "i")
+            .groupBy("vec_id", "j")
+            .agg((F.sum(F.col("val") * F.col("s"))
+                  / F.sqrt(F.lit(float(RP_OUT_DIMS)))).alias("c")))
+    norms = pe.groupBy("vec_id").agg(F.sum(F.col("val") * F.col("val"))
+                                     .alias("x2"))
+    pnorms = comp.groupBy("vec_id").agg(F.sum(F.col("c") * F.col("c"))
+                                        .alias("p2"))
+    return (norms.join(pnorms, "vec_id")
+            .select("vec_id",
+                    F.round("x2", 4).alias("x_norm2"),
+                    F.round("p2", 4).alias("p_norm2"),
+                    F.round(F.col("p2") / F.col("x2"), 4).alias("jl_ratio")))

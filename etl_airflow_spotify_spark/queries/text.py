@@ -666,3 +666,63 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, a, b, a + b, int(c), int(s)) for r, a, b, c, s in merges],
         "rank int, left string, right string, merged string, "
         "weighted_count long, total_symbols_after long")
+
+
+FH_BUCKETS = 64
+
+
+@register(
+    "feature_hash_scores",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 15))::BIGINT % {FH_BUCKETS} AS b,
+               CAST(COUNT(*) AS BIGINT) AS f
+        FROM toks GROUP BY doc_id, b
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS nnz,
+               CAST(SUM(f) AS BIGINT) AS total_f,
+               CAST(SUM(f * (('0x' || substr(md5('w_' || b), 1, 15))::BIGINT
+                             % 1000 - 500)) AS BIGINT) AS score_scaled
+        FROM feats GROUP BY doc_id
+    )
+    SELECT doc_id, nnz, total_f,
+           score_scaled / 1000.0 AS score,
+           CASE WHEN score_scaled > 0 THEN 1 ELSE 0 END AS predicted
+    FROM scored
+    """,
+    doc=f"X59 feature hashing (Weinberger et al. 2009): tokens hash "
+        f"into {FH_BUCKETS} buckets (md5 — engine/run reproducible, no "
+        "vocabulary build pass), bucket counts form the feature vector, "
+        "and a fixed md5-derived weight vector scores each doc — the "
+        "vocabulary-free featurizer for streaming/low-memory training. "
+        "One (doc, bucket) aggregate then a doc fold; weights are "
+        "exact integer rationals so the score is BIGINT math divided "
+        "once — zero float dust, full hash pinning.",
+    tags=("X59", "X18", "X14", "X7"),
+)
+def feature_hash_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    h60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    toks = d.select("doc_id",
+                    F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                      r"\s+")).alias("w"))
+    feats = (toks.groupBy("doc_id", (h60(F.col("w")) % FH_BUCKETS).alias("b"))
+             .agg(F.count("*").cast("long").alias("f")))
+    weight = h60(F.concat(F.lit("w_"), F.col("b").cast("string"))) % 1000 - 500
+    scored = (feats.groupBy("doc_id")
+              .agg(F.count("*").cast("long").alias("nnz"),
+                   F.sum("f").cast("long").alias("total_f"),
+                   F.sum(F.col("f") * weight).cast("long")
+                   .alias("score_scaled")))
+    return scored.select(
+        "doc_id", "nnz", "total_f",
+        (F.col("score_scaled") / 1000.0).alias("score"),
+        F.when(F.col("score_scaled") > 0, 1).otherwise(0).alias("predicted"))

@@ -44,6 +44,9 @@ DEFERRED: set[str] = {
     "cluster_quality_metrics",  # X54
     "orders_pointintime_dim",   # X55
     "ab_test_cuped",            # X56
+    "markov_prediction_accuracy",  # X57
+    "random_projection_jl",     # X58
+    "feature_hash_scores",      # X59
 }
 
 
