@@ -256,3 +256,66 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment")
     return W.run_to_table(W.stream_static_enrich(ev, dim), "t_enrich")
+
+
+TOPK_USERS = 10
+
+
+@register(
+    "stream_topk_users",
+    f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT {TOPK_USERS}
+    """,
+    doc="X61 streaming incremental top-k: the event feed arrives as 4 "
+        "interleaved micro-batches; foreachBatch APPENDS each batch's "
+        "partial per-user aggregate to a mergeable parquet rollup "
+        "store (partials, not raw rows — the store grows with users x "
+        "batches, not events), and the final read merges partials and "
+        "takes the exact top-10. Counts/sums merge associatively, so "
+        "batch boundaries cannot change the answer and the batch "
+        "GROUP BY oracle is exact. This is the mergeable-rollup shape "
+        "every streaming leaderboard/compaction pipeline uses at "
+        "scale.",
+    tags=("X61", "X23", "X20", "X12"),
+)
+def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..catalog import load_table
+    from ..streaming.windows import fold_stream_foreachbatch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value")
+    suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    feed = os.path.join("spark-warehouse", f"topk_feed_{suffix}")
+    store = os.path.join("spark-warehouse", f"topk_store_{suffix}")
+    ckpt = os.path.join("spark-warehouse", f"topk_ckpt_{suffix}")
+    for d in (feed, store, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    for i in range(4):
+        (ev.filter(F.pmod("event_id", F.lit(4)) == i)
+         .coalesce(1).write.mode("append").parquet(feed))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+
+    def fold(state, batch_df):
+        (batch_df.groupBy("user_id")
+         .agg(F.count("*").alias("cnt"), F.sum("value").alias("val"))
+         .write.mode("append").parquet(store))
+        return (state or 0) + 1
+
+    fold_stream_foreachbatch(stream, fold, ckpt)
+    merged = (spark.read.parquet(store)
+              .groupBy("user_id")
+              .agg(F.sum("cnt").cast("long").alias("n_events"),
+                   F.round(F.sum("val"), 2).alias("total_value")))
+    return (merged.orderBy(F.desc("n_events"), F.asc("user_id"))
+            .limit(TOPK_USERS))

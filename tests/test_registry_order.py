@@ -47,6 +47,8 @@ DEFERRED: set[str] = {
     "markov_prediction_accuracy",  # X57
     "random_projection_jl",     # X58
     "feature_hash_scores",      # X59
+    "grouped_ols_price_qty",    # X60
+    "stream_topk_users",        # X61
 }
 
 
