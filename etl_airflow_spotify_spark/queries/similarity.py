@@ -742,3 +742,187 @@ def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("x2", 4).alias("x_norm2"),
                     F.round("p2", 4).alias("p_norm2"),
                     F.round(F.col("p2") / F.col("x2"), 4).alias("jl_ratio")))
+
+
+def _recall_oracle_sql() -> str:
+    """Exact-vs-IVF recall: both rankings replayed in SQL over the
+    planted corpus (the IVF chain reuses the inlined seeded codebook),
+    then the per-query overlap count."""
+    cents = S._unit_centroids(16, 64, 7)
+    vals = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET},
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+        FROM embeddings WHERE vec_id < {N_PLANT}
+    ),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                c.vec_id) AS rn
+            FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {K}
+    ),
+    cents(ci, cv) AS (VALUES
+        {vals}
+    ),
+    assign AS (
+        SELECT vec_id, v, ci AS cell FROM (
+            SELECT c.vec_id, c.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_inner_product(c.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus c CROSS JOIN cents ce
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, ci AS cell FROM (
+            SELECT q.vec_id, q.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_inner_product(q.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus q CROSS JOIN cents ce
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= 4
+    ),
+    ivf AS (
+        SELECT query_id, cand_id FROM (
+            SELECT p.query_id, a.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY list_cosine_similarity(p.qv, a.v) DESC,
+                                a.vec_id) AS rn
+            FROM probes p JOIN assign a ON a.cell = p.cell
+            WHERE a.vec_id <> p.query_id
+        ) WHERE rn <= {K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(i.cand_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(i.cand_id)::DOUBLE / {K}, 4) AS recall_at_k
+    FROM exact e LEFT JOIN ivf i
+      ON e.query_id = i.query_id AND e.cand_id = i.cand_id
+    GROUP BY e.query_id
+    """
+
+
+@register(
+    "ivf_recall_at_k",
+    _recall_oracle_sql(),
+    doc=f"X62 index-quality measurement: recall@{K} of the 4-of-16-"
+        "probe IVF index against the exact ranking, per query, on the "
+        "planted corpus. Both rankings are deterministic (seeded "
+        "codebook inlined into the SQL twin), so the recall numbers "
+        "themselves hash-check — the accuracy/cost tradeoff becomes a "
+        "first-class, regression-gated query instead of a pytest-only "
+        "law. The join is on (query, candidate) pairs — query-"
+        "cardinality work after two top-k plans.",
+    tags=("X62", "X17", "X12"),
+)
+def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_planted(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = S.topk_cosine(emb, queries, K).select("query_id", "cand_id")
+    ivf = (S.ivf_topk_cosine(emb, queries, K)
+           .select(F.col("query_id").alias("qi"),
+                   F.col("cand_id").alias("ci")))
+    j = exact.join(ivf, (exact["query_id"] == ivf["qi"])
+                   & (exact["cand_id"] == ivf["ci"]), "left")
+    return (j.groupBy("query_id")
+            .agg(F.count("ci").cast("long").alias("n_hits"),
+                 F.round(F.count("ci").cast("double") / K, 4)
+                 .alias("recall_at_k")))
+
+
+RRF_C = 60
+
+
+@register(
+    "hybrid_rank_fusion",
+    f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos_s,
+               ROUND(list_distance(q.v, c.v), 6) AS l2_d
+        FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_s DESC, cand_id) AS r_cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY l2_d ASC, cand_id) AS r_l2
+        FROM pairs
+    ),
+    fused AS (
+        SELECT query_id, cand_id,
+               ROUND(1.0 / ({RRF_C} + r_cos) + 1.0 / ({RRF_C} + r_l2), 6)
+                   AS rrf
+        FROM ranked
+    )
+    SELECT query_id, cand_id, rrf, rn FROM (
+        SELECT query_id, cand_id, rrf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, cand_id) AS BIGINT)
+                   AS rn
+        FROM fused
+    ) WHERE rn <= {K}
+    """,
+    doc=f"X63 reciprocal-rank fusion (Cormack et al. 2009): two "
+        "rankers over the same candidates (cosine and euclidean) fuse "
+        f"via 1/({RRF_C}+rank) sums — the standard hybrid-retrieval "
+        "combiner (dense + lexical in production; two metrics here). "
+        "Both rank windows partition per query; RRF scores are exact "
+        "small rationals so the fused ordering hash-checks. Top-"
+        f"{K} per query.",
+    tags=("X63", "X17", "X11", "X12"),
+)
+def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv")))
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda col: F.sqrt(F.aggregate(
+        F.transform(col, lambda x: x * x), F.lit(0.0),
+        lambda acc, x: acc + x))
+    d2 = F.aggregate(F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    pairs = (q.crossJoin(c)
+             .filter(F.col("cand_id") != F.col("query_id"))
+             .select("query_id", "cand_id",
+                     F.round(dot / (nrm(F.col("qv")) * nrm(F.col("cv"))), 6)
+                     .alias("cos_s"),
+                     F.round(F.sqrt(d2), 6).alias("l2_d")))
+    wq = Window.partitionBy("query_id")
+    ranked = (pairs
+              .withColumn("r_cos", F.row_number().over(
+                  wq.orderBy(F.desc("cos_s"), F.asc("cand_id"))))
+              .withColumn("r_l2", F.row_number().over(
+                  wq.orderBy(F.asc("l2_d"), F.asc("cand_id")))))
+    fused = ranked.select(
+        "query_id", "cand_id",
+        F.round(1.0 / (RRF_C + F.col("r_cos"))
+                + 1.0 / (RRF_C + F.col("r_l2")), 6).alias("rrf"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("rrf"),
+                                                F.asc("cand_id"))
+    return (fused.withColumn("rn", F.row_number().over(wr).cast("long"))
+            .filter(F.col("rn") <= K))

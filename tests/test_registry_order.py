@@ -49,6 +49,8 @@ DEFERRED: set[str] = {
     "feature_hash_scores",      # X59
     "grouped_ols_price_qty",    # X60
     "stream_topk_users",        # X61
+    "ivf_recall_at_k",          # X62
+    "hybrid_rank_fusion",       # X63
 }
 
 
