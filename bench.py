@@ -107,6 +107,13 @@ HEADLINE = [
     "cluster_quality_metrics",
     "orders_pointintime_dim",
     "ab_test_cuped",
+    "markov_prediction_accuracy",
+    "random_projection_jl",
+    "feature_hash_scores",
+    "grouped_ols_price_qty",
+    "stream_topk_users",
+    "ivf_recall_at_k",
+    "hybrid_rank_fusion",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).
