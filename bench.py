@@ -114,6 +114,7 @@ HEADLINE = [
     "stream_topk_users",
     "ivf_recall_at_k",
     "hybrid_rank_fusion",
+    "target_encoding_loo",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

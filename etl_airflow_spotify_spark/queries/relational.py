@@ -1244,3 +1244,56 @@ def grouped_ols_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sy") / F.col("n")
                 - slope * F.col("sx") / F.col("n"), 4).alias("intercept"),
         F.round(cov * cov / (varx * vary), 4).alias("r_squared"))
+
+
+@register(
+    "target_encoding_loo",
+    """
+    WITH g AS (
+        SELECT l_returnflag AS category,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(l_extendedprice) AS sy
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    enc AS (
+        SELECT l.l_returnflag AS category,
+               (g.sy - l.l_extendedprice) / (g.n - 1) AS loo
+        FROM lineitem l JOIN g ON l.l_returnflag = g.category
+        WHERE g.n > 1
+    )
+    SELECT category,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(loo), 4) AS loo_mean,
+           ROUND(MIN(loo), 4) AS loo_min,
+           ROUND(MAX(loo), 4) AS loo_max,
+           ROUND(stddev_samp(loo), 4) AS loo_std
+    FROM enc GROUP BY category
+    """,
+    doc="X64 leave-one-out target encoding (the leakage-safe "
+        "categorical featurizer): each row's category encodes as the "
+        "mean target of all OTHER rows in its category, "
+        "(sum - y_i)/(n - 1). One group aggregate broadcasts back onto "
+        "the fact scan (category cardinality bounded), so the encode "
+        "pass is map-only — no window, no self-join. The summary "
+        "verifies the identity avg(LOO) == group mean and pins the "
+        "encoding spread.",
+    tags=("X64", "X7", "X3"),
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (li.groupBy(F.col("l_returnflag").alias("category"))
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum("l_extendedprice").alias("sy")))
+    enc = (li.select(F.col("l_returnflag").alias("category"),
+                     F.col("l_extendedprice").alias("y"))
+           .join(F.broadcast(g), "category")
+           .filter(F.col("n") > 1)
+           .select("category",
+                   ((F.col("sy") - F.col("y")) / (F.col("n") - 1))
+                   .alias("loo")))
+    return (enc.groupBy("category")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.avg("loo"), 4).alias("loo_mean"),
+                 F.round(F.min("loo"), 4).alias("loo_min"),
+                 F.round(F.max("loo"), 4).alias("loo_max"),
+                 F.round(F.stddev_samp("loo"), 4).alias("loo_std")))

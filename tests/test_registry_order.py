@@ -51,6 +51,7 @@ DEFERRED: set[str] = {
     "stream_topk_users",        # X61
     "ivf_recall_at_k",          # X62
     "hybrid_rank_fusion",       # X63
+    "target_encoding_loo",      # X64
 }
 
 
