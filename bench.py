@@ -115,6 +115,11 @@ HEADLINE = [
     "ivf_recall_at_k",
     "hybrid_rank_fusion",
     "target_encoding_loo",
+    # fourth-session additions: leakage audit, semantic dedup, LM scoring
+    "split_leakage_audit",
+    "semantic_dedup_clusters",
+    "bigram_lm_perplexity",
+    "source_overlap_matrix",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -85,12 +85,20 @@ def _total_symbols(vocab: DataFrame) -> int:
 
 
 def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text",
-              with_stats: bool = False) -> list[tuple]:
+              with_stats: bool = False,
+              return_vocab: bool = False) -> list[tuple] | tuple:
     """Learn ``n_merges`` BPE merges; returns
     [(rank, left, right, weighted_count), ...] in training order —
     with ``with_stats`` each tuple gains the corpus-wide symbol count
     AFTER the merge (one extra tiny aggregate per round off the cached
-    vocab), charting the marginal compression each merge buys."""
+    vocab), charting the marginal compression each merge buys.
+
+    ``return_vocab`` additionally returns the final encoded vocabulary
+    frame (word, freq, syms) — training has already applied every merge
+    to every word, so the tokenizer APPLICATION table is free: encoding
+    a corpus is then one join of its (doc, word) pairs against this
+    frame (see queries/text.bpe_encode_stats), never a per-document
+    merge loop."""
     vocab = persist_tracked(_initial_symbols(word_freqs(docs, text_col)))
     merges: list[tuple] = []
     prev: DataFrame | None = None
@@ -112,4 +120,6 @@ def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text",
         else:
             merges.append((rank, a, b, cnt))
         prev, vocab = vocab, nxt
+    if return_vocab:
+        return merges, vocab
     return merges

@@ -405,3 +405,61 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return D.duplicated_ngram_coverage(d, "doc_id", "text",
                                        n=NGRAM_COVER_N)
+
+
+# --------------------------------------------------------------------------
+# X65: train/test split leakage audit. Near-duplicate pairs that straddle
+# dataset splits silently inflate eval numbers; this query surfaces every
+# such pair. Splits are a pure md5 function of the id (queries/sampling),
+# so labelling the pair list is MAP-ONLY post-processing — no join back
+# to the corpus, the only heavy work is the (already-bucketed) LSH.
+# --------------------------------------------------------------------------
+def _split_case_sql(id_col: str) -> str:
+    from .sampling import TRAIN_PCT, VAL_PCT
+    b = (f"(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT"
+         f" % 100)")
+    return (f"CASE WHEN {b} < {TRAIN_PCT} THEN 'train' "
+            f"WHEN {b} < {TRAIN_PCT + VAL_PCT} THEN 'val' "
+            f"ELSE 'test' END")
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH pairs AS ({_ALL_PAIRS_JACCARD}),
+    lab AS (
+        SELECT id_a, id_b, jaccard,
+               {_split_case_sql('id_a')} AS split_a,
+               {_split_case_sql('id_b')} AS split_b
+        FROM pairs
+    )
+    SELECT id_a, id_b, jaccard, split_a, split_b
+    FROM lab WHERE split_a <> split_b
+    """,
+    doc="X65 split-leakage audit: MinHash-LSH near-dup pairs (exact "
+        "Jaccard >= 0.8 verify) whose two documents land in DIFFERENT "
+        "md5 train/val/test splits — the eval-contamination check every "
+        "training pipeline needs before trusting held-out metrics. The "
+        "oracle is exhaustive all-pairs Jaccard plus the same split "
+        "function, so both LSH recall and split assignment are "
+        "hash-checked. Split labels are a pure id function: labelling "
+        "is map-only on the pair list, no corpus re-join.",
+    tags=("X65", "X16", "X28"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import TRAIN_PCT, VAL_PCT, hash_bucket
+
+    def split_of(col: str) -> F.Column:
+        b = hash_bucket(F.col(col))
+        return (F.when(b < TRAIN_PCT, "train")
+                .when(b < TRAIN_PCT + VAL_PCT, "val")
+                .otherwise("test"))
+
+    pairs = D.minhash_near_duplicates(
+        _docs(spark, sf_dir), "doc_id", "text",
+        threshold=0.8, shingle_k=3, num_hashes=64, bands=16)
+    return (pairs
+            .withColumn("split_a", split_of("id_a"))
+            .withColumn("split_b", split_of("id_b"))
+            .filter(F.col("split_a") != F.col("split_b"))
+            .select("id_a", "id_b", "jaccard", "split_a", "split_b"))

@@ -1310,3 +1310,144 @@ def markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_total").cast("long").alias("n_transitions"),
         F.round(F.col("n").cast("double") / F.col("n_total"), 6)
         .alias("hit_rate"))
+
+
+# --------------------------------------------------------------------------
+# X71: multi-touch marketing attribution. Each purchase splits its value
+# equally across the user's clicks in the preceding 7 days (linear
+# attribution). The join is equi on user_id with a time-band residual —
+# per-user fan-out is bounded by clicks x purchases per user, never a
+# cross product; AQE handles hot users. Timestamps compare as exact
+# epoch-microsecond BIGINTs (unix_micros == epoch_us cross-engine).
+# --------------------------------------------------------------------------
+ATTR_WINDOW_US = 7 * 86_400 * 1_000_000
+
+
+@register(
+    "attribution_multitouch",
+    f"""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, value,
+               epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, epoch_us(ts) AS c_us
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT purchase_id, p.user_id AS user_id,
+           CAST(COUNT(c_us) AS BIGINT) AS n_touches,
+           CASE WHEN COUNT(c_us) > 0
+                THEN ROUND(ANY_VALUE(value) / COUNT(c_us), 4) END
+               AS credit_per_touch,
+           CAST((ANY_VALUE(p_us) - MIN(c_us)) // 1000000 AS BIGINT)
+               AS first_lag_s,
+           CAST((ANY_VALUE(p_us) - MAX(c_us)) // 1000000 AS BIGINT)
+               AS last_lag_s
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.c_us >= p.p_us - {ATTR_WINDOW_US} AND c.c_us < p.p_us
+    GROUP BY purchase_id, p.user_id
+    """,
+    doc="X71 linear multi-touch attribution: every purchase splits its "
+        "value across the user's clicks in the prior 7 days; purchases "
+        "with no touches surface with n_touches = 0 (the LEFT join). "
+        "Equi-join on user_id + residual time band — bounded per-user "
+        "fan-out, no window over the full event stream; lags compared "
+        "and reported as exact epoch-microsecond integers.",
+    tags=("X71", "X5", "X7", "X3"),
+)
+def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    # unix_micros takes TIMESTAMP, not NTZ; only DIFFERENCES of these
+    # micros are compared/reported, so a non-UTC driver session's cast
+    # offset cancels (events span one month — one constant offset).
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"), "user_id", "value",
+                 us.alias("p_us")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("c_user"), us.alias("c_us")))
+    j = p.join(
+        c, (p.user_id == c.c_user)
+        & (c.c_us >= p.p_us - ATTR_WINDOW_US) & (c.c_us < p.p_us), "left")
+    agg = (j.groupBy("purchase_id", "user_id")
+           .agg(F.count("c_us").cast("long").alias("n_touches"),
+                F.any_value("value").alias("val"),
+                F.any_value("p_us").alias("p_us"),
+                F.min("c_us").alias("min_cus"),
+                F.max("c_us").alias("max_cus")))
+    return agg.select(
+        "purchase_id", "user_id", "n_touches",
+        F.when(F.col("n_touches") > 0,
+               F.round(F.col("val") / F.col("n_touches"), 4))
+        .alias("credit_per_touch"),
+        F.expr("(p_us - min_cus) div 1000000").cast("long")
+        .alias("first_lag_s"),
+        F.expr("(p_us - max_cus) div 1000000").cast("long")
+        .alias("last_lag_s"))
+
+
+# --------------------------------------------------------------------------
+# X73: chi-square test of independence between event type and day of
+# week. The corpus-sized pass is ONE (type, dow) aggregate; marginals
+# and the statistic derive FROM the contingency table (|types| x 7
+# rows), so every post-aggregate step is broadcast-sized at any event
+# volume. Expected counts are double products of exact BIGINTs — the
+# same IEEE operations on both engines.
+# --------------------------------------------------------------------------
+@register(
+    "chi2_event_dow",
+    """
+    WITH cells AS (
+        SELECT event_type,
+               (CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01') % 7
+                   AS dow,
+               CAST(COUNT(*) AS BIGINT) AS observed
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS row_tot
+           FROM cells GROUP BY 1),
+    ct AS (SELECT dow, CAST(SUM(observed) AS BIGINT) AS col_tot
+           FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS t FROM cells)
+    SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow, c.observed,
+           ROUND(CAST(row_tot AS DOUBLE) * col_tot / t, 4) AS expected,
+           ROUND((c.observed - CAST(row_tot AS DOUBLE) * col_tot / t)
+                 * (c.observed - CAST(row_tot AS DOUBLE) * col_tot / t)
+                 / (CAST(row_tot AS DOUBLE) * col_tot / t), 6) AS contrib
+    FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow)
+    CROSS JOIN tot
+    """,
+    doc="X73 chi-square independence cells for event_type x day-of-week: "
+        "one corpus aggregate builds the contingency table; marginals, "
+        "expected counts and per-cell contributions all fold from it "
+        "(type-cardinality tables, broadcast joins). Day-of-week via "
+        "epoch-day modulus — engine builtins disagree on numbering. "
+        "The per-cell contribs sum to the chi-square statistic a "
+        "drift/seasonality monitor thresholds.",
+    tags=("X73", "X7", "X11"),
+)
+def chi2_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    cells = (ev.groupBy(
+        "event_type",
+        (F.datediff(F.date_trunc("day", "ts").cast("date"),
+                    F.lit("1970-01-01").cast("date")) % 7).alias("dow"))
+        .agg(F.count("*").cast("long").alias("observed")))
+    from ..caching import persist_tracked
+    cells = persist_tracked(cells)
+    rt = cells.groupBy("event_type").agg(F.sum("observed").cast("long")
+                                         .alias("row_tot"))
+    ct = cells.groupBy("dow").agg(F.sum("observed").cast("long")
+                                  .alias("col_tot"))
+    tot = cells.agg(F.sum("observed").cast("long").alias("t"))
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("t")
+    return (cells.join(F.broadcast(rt), "event_type")
+            .join(F.broadcast(ct), "dow")
+            .crossJoin(F.broadcast(tot))
+            .select("event_type", F.col("dow").cast("long").alias("dow"),
+                    "observed",
+                    F.round(e, 4).alias("expected"),
+                    F.round((F.col("observed") - e) * (F.col("observed") - e)
+                            / e, 6).alias("contrib")))

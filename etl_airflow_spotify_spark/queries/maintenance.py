@@ -836,3 +836,147 @@ def orders_pointintime_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("segment_at_order"))
             .agg(F.count("*").cast("long").alias("n_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+# --------------------------------------------------------------------------
+# X72: k-anonymity generalization ladder. One ROLLUP pass counts every
+# quasi-identifier group at three generalization levels; each finest
+# group then learns the minimal generalization that reaches k=5. The
+# coarser level tables are category-cardinality — broadcast joins — so
+# the privacy audit costs one corpus aggregate at any scale.
+# --------------------------------------------------------------------------
+K_ANON = 5
+
+
+@register(
+    "k_anonymity_generalization",
+    f"""
+    WITH base AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+        FROM customer
+    ),
+    l0 AS (SELECT c_mktsegment, c_nationkey, bal_band,
+                  CAST(COUNT(*) AS BIGINT) AS n0
+           FROM base GROUP BY 1, 2, 3),
+    l1 AS (SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n1
+           FROM base GROUP BY 1, 2),
+    l2 AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n2
+           FROM base GROUP BY 1)
+    SELECT l0.c_mktsegment, l0.c_nationkey, l0.bal_band, n0, n1, n2,
+           CASE WHEN n0 >= {K_ANON} THEN 0
+                WHEN n1 >= {K_ANON} THEN 1
+                WHEN n2 >= {K_ANON} THEN 2
+                ELSE 3 END AS level_needed
+    FROM l0 JOIN l1 USING (c_mktsegment, c_nationkey)
+    JOIN l2 USING (c_mktsegment)
+    """,
+    doc=f"X72 k-anonymity (k={K_ANON}) generalization ladder over the "
+        "quasi-identifiers (segment, nation, account-balance band): one "
+        "ROLLUP aggregate produces group sizes at all three "
+        "generalization levels; each finest group reports the minimal "
+        "level that reaches k. Level tables after the single corpus "
+        "pass are category-cardinality and broadcast. The privacy audit "
+        "that decides how much a public data release must coarsen.",
+    tags=("X72", "X9", "X7"),
+)
+def k_anonymity_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_mktsegment", "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"))
+    # ONE pass: rollup emits all three levels (+ grand total, dropped)
+    r = (base.rollup("c_mktsegment", "c_nationkey", "bal_band")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.grouping_id().alias("gid")))
+    l0 = (r.filter(F.col("gid") == 0)
+          .select("c_mktsegment", "c_nationkey", "bal_band",
+                  F.col("n").alias("n0")))
+    l1 = (r.filter(F.col("gid") == 1)
+          .select("c_mktsegment", "c_nationkey", F.col("n").alias("n1")))
+    l2 = (r.filter(F.col("gid") == 3)
+          .select("c_mktsegment", F.col("n").alias("n2")))
+    lvl = (F.when(F.col("n0") >= K_ANON, 0)
+           .when(F.col("n1") >= K_ANON, 1)
+           .when(F.col("n2") >= K_ANON, 2)
+           .otherwise(3))
+    return (l0.join(F.broadcast(l1), ["c_mktsegment", "c_nationkey"])
+            .join(F.broadcast(l2), "c_mktsegment")
+            .select("c_mktsegment", "c_nationkey", "bal_band",
+                    "n0", "n1", "n2", lvl.alias("level_needed")))
+
+
+# --------------------------------------------------------------------------
+# X74: GDPR right-to-be-forgotten cascade audit. The deletion set is a
+# pure md5 function of the customer key, so customer and orders never
+# join anything — ONE conditional aggregate per table; only lineitem
+# (which lacks the customer key) joins its parent orders to inherit the
+# verdict, the real FK-cascade shape. Reports per-table blast radius.
+# --------------------------------------------------------------------------
+GDPR_DEL_PCT = 5
+
+
+def _gdpr_bucket_sql(col: str) -> str:
+    return (f"(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+            f" % 100)")
+
+
+@register(
+    "gdpr_delete_cascade",
+    f"""
+    WITH c AS (
+        SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN {_gdpr_bucket_sql('c_custkey')}
+                             < {GDPR_DEL_PCT} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_deleted
+        FROM customer
+    ),
+    o AS (
+        SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN {_gdpr_bucket_sql('o_custkey')}
+                             < {GDPR_DEL_PCT} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_deleted
+        FROM orders
+    ),
+    l AS (
+        SELECT 'lineitem' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN {_gdpr_bucket_sql('o_custkey')}
+                             < {GDPR_DEL_PCT} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_deleted
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT tbl, n_total, n_deleted, n_total - n_deleted AS n_remaining
+    FROM (SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL
+          SELECT * FROM l)
+    """,
+    doc=f"X74 GDPR delete-cascade audit: a deterministic md5 "
+        f"{GDPR_DEL_PCT}% of customers is marked for erasure; the "
+        "audit reports total/deleted/remaining per table down the FK "
+        "chain. The deletion verdict is a pure key function, so "
+        "customer and orders are single conditional aggregates (no "
+        "join, no second scan); lineitem inherits via its parent-order "
+        "join — the one genuinely required cascade join.",
+    tags=("X74", "X3", "X7", "X13"),
+)
+def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import hash_bucket
+
+    def audit(df: DataFrame, tbl: str, key: str) -> DataFrame:
+        deleted = F.when(hash_bucket(F.col(key)) < GDPR_DEL_PCT, 1) \
+                   .otherwise(0)
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(deleted).cast("long").alias("n_deleted"))
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = (load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+          .join(orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey")))
+    out = (audit(cust, "customer", "c_custkey")
+           .unionByName(audit(orders, "orders", "o_custkey"))
+           .unionByName(audit(li, "lineitem", "o_custkey")))
+    return out.select("tbl", "n_total", "n_deleted",
+                      (F.col("n_total") - F.col("n_deleted"))
+                      .alias("n_remaining"))

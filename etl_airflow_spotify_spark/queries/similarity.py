@@ -926,3 +926,85 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 F.asc("cand_id"))
     return (fused.withColumn("rn", F.row_number().over(wr).cast("long"))
             .filter(F.col("rn") <= K))
+
+
+# --------------------------------------------------------------------------
+# X66: semantic dedup — embedding near-dup pairs clustered into groups
+# with a canonical representative (min id), the embedding-space twin of
+# text MinHash dedup (SemDeDup-style curation). The corpus plants TWO
+# scaled copies (x2, x4 — powers of two, so cosine is EXACTLY 1.0 in
+# IEEE on both engines) of the first N_PLANT vectors, giving non-trivial
+# 3-node components instead of vacuous pairs.
+# --------------------------------------------------------------------------
+PLANT2_OFFSET = 2_000_000
+
+
+def _semantic_corpus_sql() -> str:
+    return f"""
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET},
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+        FROM embeddings WHERE vec_id < {N_PLANT}
+        UNION ALL
+        SELECT vec_id + {PLANT2_OFFSET},
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 4.0)
+        FROM embeddings WHERE vec_id < {N_PLANT}
+    """
+
+
+@register(
+    "semantic_dedup_clusters",
+    f"""
+    WITH RECURSIVE corpus AS ({_semantic_corpus_sql()}),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS v FROM edges),
+    reach(v, r) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
+    ),
+    lab AS (SELECT v AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT vec_id, cluster_id, CAST(n AS BIGINT) AS cluster_size
+    FROM lab JOIN (SELECT cluster_id, COUNT(*) AS n
+                   FROM lab GROUP BY cluster_id) USING (cluster_id)
+    """,
+    doc="X66 semantic dedup (SemDeDup-style): hyperplane-LSH near-dup "
+        "pairs (cosine >= 0.95, exact verify on candidates only) -> "
+        "min-label connected components -> (vec_id, cluster_id = min id "
+        "in component, cluster_size). The canonical-representative table "
+        "a KEEP-one dedup policy consumes. Oracle: brute-force all-pairs "
+        "cosine + a recursive-CTE transitive closure — LSH recall, the "
+        "CC fixpoint, and cluster sizes are all hash-checked. Planted "
+        "x2/x4 copies make every component a 3-clique.",
+    tags=("X66", "X17", "X16", "X30"),
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = lambda factor, offset: (
+        emb.filter(F.col("vec_id") < N_PLANT)
+        .select((F.col("vec_id") + offset).alias("vec_id"),
+                F.transform("embedding",
+                            lambda x: (x * F.lit(factor)).cast("float"))
+                .alias("embedding")))
+    corpus = (emb.select("vec_id", "embedding")
+              .unionByName(scaled(2.0, PLANT_OFFSET))
+              .unionByName(scaled(4.0, PLANT2_OFFSET)))
+    pairs = S.near_duplicate_vectors(corpus, threshold=0.95)
+    cc = D.connected_components(pairs.select("id_a", "id_b"))
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").cast("long")
+                                         .alias("cluster_size"))
+    return (cc.select(F.col("id").alias("vec_id"), "cluster_id")
+            .join(F.broadcast(sizes), "cluster_id")
+            .select("vec_id", "cluster_id", "cluster_size"))

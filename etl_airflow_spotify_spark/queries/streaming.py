@@ -319,3 +319,80 @@ def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.round(F.sum("val"), 2).alias("total_value")))
     return (merged.orderBy(F.desc("n_events"), F.asc("user_id"))
             .limit(TOPK_USERS))
+
+
+@register(
+    "stream_anomaly_days",
+    """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    dowd AS (
+        SELECT day, n, (day - DATE '1970-01-01') % 7 AS dow FROM daily
+    ),
+    base AS (
+        SELECT dow, AVG(n) AS mu, stddev_samp(n) AS sd
+        FROM dowd GROUP BY dow
+    )
+    SELECT d.day, d.n, CAST(d.dow AS BIGINT) AS dow,
+           ROUND((d.n - b.mu) / b.sd, 4) AS z,
+           CASE WHEN ABS((d.n - b.mu) / b.sd) > 2.5 THEN 1 ELSE 0 END
+               AS is_anomaly
+    FROM dowd d JOIN base b USING (dow)
+    """,
+    doc="X70 streaming anomaly detection over a mergeable daily rollup: "
+        "the event feed arrives as 4 interleaved micro-batches; "
+        "foreachBatch appends each batch's per-day partial counts to a "
+        "parquet store (grows with days x batches, never events), and "
+        "the detector — dow-seasonal z-scores, the X49 formula — runs "
+        "on the merged calendar-bounded daily table. Counts merge "
+        "associatively, so batch boundaries cannot change the answer "
+        "and the batch GROUP BY oracle stays exact: the streaming path "
+        "is hash-checked, not demoed.",
+    tags=("X70", "X49", "X23", "X20"),
+)
+def stream_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..catalog import load_table
+    from ..streaming.windows import fold_stream_foreachbatch
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id",
+                  F.date_trunc("day", "ts").cast("date").alias("day")))
+    suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    feed = os.path.join("spark-warehouse", f"anom_feed_{suffix}")
+    store = os.path.join("spark-warehouse", f"anom_store_{suffix}")
+    ckpt = os.path.join("spark-warehouse", f"anom_ckpt_{suffix}")
+    for d in (feed, store, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    for i in range(4):
+        (ev.filter(F.pmod("event_id", F.lit(4)) == i)
+         .coalesce(1).write.mode("append").parquet(feed))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+
+    def fold(state, batch_df):
+        (batch_df.groupBy("day").agg(F.count("*").alias("cnt"))
+         .write.mode("append").parquet(store))
+        return (state or 0) + 1
+
+    fold_stream_foreachbatch(stream, fold, ckpt)
+    daily = (spark.read.parquet(store)
+             .groupBy("day").agg(F.sum("cnt").cast("long").alias("n")))
+    dowd = daily.withColumn(
+        "dow", F.datediff("day", F.lit("1970-01-01").cast("date")) % 7)
+    base = dowd.groupBy("dow").agg(F.avg("n").alias("mu"),
+                                   F.stddev_samp("n").alias("sd"))
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (dowd.join(F.broadcast(base), "dow")
+            .select("day", "n", F.col("dow").cast("long").alias("dow"),
+                    F.round(z, 4).alias("z"),
+                    F.when(F.abs(z) > 2.5, 1).otherwise(0)
+                    .alias("is_anomaly")))

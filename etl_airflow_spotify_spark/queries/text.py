@@ -726,3 +726,232 @@ def feature_hash_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "nnz", "total_f",
         (F.col("score_scaled") / 1000.0).alias("score"),
         F.when(F.col("score_scaled") > 0, 1).otherwise(0).alias("predicted"))
+
+
+# --------------------------------------------------------------------------
+# X67: bigram language-model scoring. The whole model is ONE pass: the
+# corpus collapses into (prev, cur) bigram counts (map-side combinable),
+# context counts derive FROM the bigram table (not a second corpus scan),
+# and docs re-join the model on narrow string keys. Per-bigram surprisal
+# is snapped to an integer micro-bit grid before the per-doc SUM, so the
+# aggregate is exact BIGINT math — order-independent and hash-identical
+# across engines (the ROUND_NOTES fixed-point discipline).
+# --------------------------------------------------------------------------
+LM_ADD_K = 0.5  # add-k smoothing
+
+
+@register(
+    "bigram_lm_perplexity",
+    f"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(ts[1:len(ts) - 1]) AS a,
+               unnest(ts[2:len(ts)]) AS b
+        FROM d WHERE len(ts) >= 2
+    ),
+    docbg AS (
+        SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bg GROUP BY doc_id, a, b
+    ),
+    cnt AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY a, b),
+    ctx AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM cnt GROUP BY a),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+        FROM (SELECT unnest(ts) AS tok FROM d)
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_bigrams,
+               CAST(SUM(n * CAST(ROUND(log2(
+                        (ca + {LM_ADD_K} * v) / (c + {LM_ADD_K})
+                    ) * 1000000) AS BIGINT)) AS BIGINT) AS nll_micro
+        FROM docbg
+        JOIN cnt USING (a, b) JOIN ctx USING (a) CROSS JOIN vocab
+        GROUP BY doc_id
+    )
+    SELECT d0.doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           CASE WHEN COALESCE(n_bigrams, 0) > 0
+                THEN ROUND(nll_micro / (n_bigrams * 1000000.0), 6)
+                ELSE 0.0 END AS avg_nll_bits,
+           CASE WHEN COALESCE(n_bigrams, 0) > 0
+                THEN ROUND(POWER(2.0, nll_micro / (n_bigrams * 1000000.0)), 3)
+                ELSE 1.0 END AS ppl
+    FROM documents d0 LEFT JOIN scored ON d0.doc_id = scored.doc_id
+    """,
+    doc=f"X67 bigram LM perplexity per document (add-{LM_ADD_K} "
+        "smoothing, model trained on the corpus itself): tokens -> "
+        "positional bigram instances -> (prev,cur) counts; context "
+        "counts fold FROM the bigram table, so the corpus is scanned "
+        "once for the model and once for scoring. Per-bigram surprisal "
+        "-log2 p snaps to an integer micro-bit grid before the per-doc "
+        "sum: the aggregate is exact BIGINT math, immune to float "
+        "summation order on either engine. The standard fluency / "
+        "quality signal for pre-training corpus filtering (cf. CCNet's "
+        "LM filtering).",
+    tags=("X67", "X18", "X44", "X7"),
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = d.select("doc_id", ts.alias("ts"))
+    bigrams = F.expr(
+        "transform(slice(ts, 1, size(ts) - 1), "
+        "(t, i) -> struct(t AS a, element_at(ts, i + 2) AS b))")
+    bg = (toks.filter(F.size("ts") >= 2)
+          .select("doc_id", F.explode(bigrams).alias("p"))
+          .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")))
+    docbg = bg.groupBy("doc_id", "a", "b").agg(F.count("*").alias("n"))
+    cnt = bg.groupBy("a", "b").agg(F.count("*").alias("c"))
+    ctx = cnt.groupBy("a").agg(F.sum("c").alias("ca"))
+    vocab = (toks.select(F.explode("ts").alias("tok"))
+             .agg(F.countDistinct("tok").alias("v")))
+    surprisal_micro = (
+        F.round(F.log2((F.col("ca") + LM_ADD_K * F.col("v"))
+                       / (F.col("c") + F.lit(LM_ADD_K))) * 1e6, 0)
+        .cast("long"))
+    scored = (docbg.join(cnt, ["a", "b"]).join(ctx, "a")
+              .crossJoin(F.broadcast(vocab))
+              .groupBy("doc_id")
+              .agg(F.sum("n").cast("long").alias("n_bigrams"),
+                   F.sum(F.col("n") * surprisal_micro).cast("long")
+                   .alias("nll_micro")))
+    avg = F.col("nll_micro") / (F.col("n_bigrams") * 1e6)
+    return (d.select("doc_id").join(scored, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+                F.when(F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                       F.round(avg, 6)).otherwise(F.lit(0.0))
+                .alias("avg_nll_bits"),
+                F.when(F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                       F.round(F.pow(F.lit(2.0), avg), 3)).otherwise(F.lit(1.0))
+                .alias("ppl")))
+
+
+# --------------------------------------------------------------------------
+# X68: cross-source n-gram overlap matrix — "how much does source A's
+# content appear in source B?" (corpus provenance / contamination audit;
+# the source-level twin of doc-level decontamination). Distinct-first is
+# the scale move: (source, shingle-hash) collapses before the self-join,
+# so a shingle repeated a billion times inside one source is ONE row,
+# and per-hash join fan-out is bounded by the number of sources.
+# --------------------------------------------------------------------------
+OVERLAP_SHINGLE_K = 5
+
+
+def _overlap_shingle_sql() -> str:
+    k = OVERLAP_SHINGLE_K
+    return f"""
+    WITH d AS (
+        SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(sg), 1, 15))::BIGINT AS h
+        FROM (SELECT source,
+                     unnest(list_distinct(list_transform(
+                         generate_series(1, GREATEST(len(ts) - {k - 1}, 1)),
+                         i -> array_to_string(
+                             ts[CAST(i AS INTEGER):CAST(i AS INTEGER) + {k - 1}],
+                             ' ')))) AS sg
+              FROM d)
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """
+
+
+@register(
+    "source_overlap_matrix",
+    _overlap_shingle_sql(),
+    doc=f"X68 cross-source {OVERLAP_SHINGLE_K}-gram overlap matrix: "
+        "distinct (source, shingle-md5) rows -> hash-keyed self-join -> "
+        "per-source-pair intersection counts and Jaccard via "
+        "inclusion-exclusion. Distinct-first bounds per-hash fan-out at "
+        "the source count, so the join never goes quadratic in rows; "
+        "shuffle keys are 60-bit BIGINTs. The corpus-provenance audit "
+        "that tells you two 'independent' crawls are the same data "
+        "before you over-sample them.",
+    tags=("X68", "X16", "X25", "X18"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+    from ..operators import dedup as D
+
+    d = _docs(spark, sf_dir)
+    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sh = persist_tracked(
+        d.select("source",
+                 F.explode(D.token_shingles(ts, OVERLAP_SHINGLE_K))
+                 .alias("sg"))
+        .select("source",
+                F.conv(F.substring(F.md5("sg"), 1, 15), 16, 10)
+                .cast("long").alias("h"))
+        .distinct())
+    sizes = sh.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "h")
+    b = sh.select(F.col("source").alias("src_b"), "h")
+    inter = (a.join(b, "h").filter(F.col("src_a") < F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.count("*").cast("long").alias("n_common")))
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (inter.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+            .select("src_a", "src_b", "n_a", "n_b", "n_common",
+                    F.round(F.col("n_common")
+                            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                            6).alias("jaccard")))
+
+
+@register(
+    "bpe_encode_stats",
+    None,  # merges are a data-dependent training artifact: no SQL
+           # replay; tests/test_bpe.py pins per-doc encodings EXACTLY
+           # against the pure-Python reference tokenizer
+    doc=f"X69 BPE tokenizer APPLICATION: train {BPE_MERGES} merges "
+        "(X45), then encode the corpus with them. The scale shape: "
+        "training already left every distinct word fully merged, so "
+        "encoding is ONE join of (doc, word, count) pairs against the "
+        "(word, n_symbols) vocabulary — per-word work happens once per "
+        "DISTINCT word, never per occurrence, and no per-document merge "
+        "loop exists anywhere. Returns per-doc token counts and "
+        "chars-per-token compression, the numbers a token-budgeted "
+        "training pipeline actually consumes.",
+    tags=("X69", "X45", "X18", "X7"),
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import train_bpe
+
+    d = _docs(spark, sf_dir)
+    _, vocab = train_bpe(d, BPE_MERGES, return_vocab=True)
+    words = (d.select("doc_id", "n_chars",
+                      F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                        r"\s+")).alias("word"))
+             .groupBy("doc_id", "n_chars", "word")
+             .agg(F.count("*").alias("cnt")))
+    enc = words.join(vocab.select("word", F.size("syms").alias("n_syms")),
+                     "word")
+    return (enc.groupBy("doc_id", "n_chars")
+            .agg(F.sum("cnt").cast("long").alias("n_words"),
+                 F.sum(F.col("cnt") * F.col("n_syms")).cast("long")
+                 .alias("n_bpe_tokens"))
+            .select("doc_id", "n_words", "n_bpe_tokens",
+                    F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 4)
+                    .alias("chars_per_token")))

@@ -508,3 +508,42 @@ def test_association_rules_prunes_before_rule_join(spark, sf_dir):
     # joins (a Filter on sup_ab/count sits under the rule join)
     assert "sup_ab" in plan
     assert not has_cartesian_product(df)
+
+
+def test_split_leakage_labels_are_map_only(spark, sf_dir):
+    # split labels derive from the pair ids by md5 — the plan must not
+    # join back to documents to fetch them (one extra corpus join per
+    # label would double the heavy side at scale)
+    df = _df("split_leakage_audit", spark, sf_dir)
+    assert not has_cartesian_product(df)
+    plan = plan_string(df)
+    # exactly the dedup pipeline's scans of documents; no extra scan
+    # for the split labels
+    assert plan.count("documents.parquet") <= 2
+
+
+def test_semantic_dedup_no_cartesian_and_broadcast_sizes(spark, sf_dir):
+    df = _df("semantic_dedup_clusters", spark, sf_dir)
+    assert not has_cartesian_product(df)
+    # cluster sizes are a component-cardinality table: broadcast onto
+    # the assignment, never a shuffle join
+    assert has_broadcast_hash_join(df)
+
+
+def test_bigram_lm_single_corpus_model_no_cartesian(spark, sf_dir):
+    df = _df("bigram_lm_perplexity", spark, sf_dir)
+    plan = plan_string(df)
+    # the vocab-size scalar enters via broadcast, not a shuffled join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_distinct_before_self_join(spark, sf_dir):
+    df = _df("source_overlap_matrix", spark, sf_dir)
+    assert not has_cartesian_product(df)
+    plan = plan_string(df)
+    # per-source set sizes broadcast onto the pair counts
+    assert has_broadcast_hash_join(df)
+    # the self-join runs on the persisted distinct frame, not on two
+    # recomputations of the shingle pipeline
+    assert plan.count("InMemoryTableScan") >= 2

@@ -52,6 +52,16 @@ DEFERRED: set[str] = {
     "ivf_recall_at_k",          # X62
     "hybrid_rank_fusion",       # X63
     "target_encoding_loo",      # X64
+    "split_leakage_audit",      # X65
+    "semantic_dedup_clusters",  # X66
+    "bigram_lm_perplexity",     # X67
+    "source_overlap_matrix",    # X68
+    "bpe_encode_stats",         # X69 (rows-only + exact pytest golden)
+    "stream_anomaly_days",      # X70
+    "attribution_multitouch",   # X71
+    "k_anonymity_generalization",  # X72
+    "chi2_event_dow",           # X73
+    "gdpr_delete_cascade",      # X74
 }
 
 

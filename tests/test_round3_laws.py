@@ -108,3 +108,132 @@ def test_ols_r_squared_bounds(spark, sf_dir):
     # only the r^2 algebra is a law here
     for r in _rows("grouped_ols_price_qty", spark, sf_dir):
         assert 0.0 <= r["r_squared"] <= 1.0
+
+
+# ---- X65-X69 (fourth session) ------------------------------------------
+
+def test_split_leakage_pairs_are_near_dups_with_differing_splits(spark, sf_dir):
+    leak = _rows("split_leakage_audit", spark, sf_dir)
+    dups = {(r["id_a"], r["id_b"]) for r in
+            _rows("near_dup_minhash", spark, sf_dir)}
+    for r in leak:
+        assert (r["id_a"], r["id_b"]) in dups
+        assert r["split_a"] != r["split_b"]
+        assert r["jaccard"] >= 0.8
+
+
+def test_semantic_clusters_planted_triples(spark, sf_dir):
+    from etl_airflow_spotify_spark.queries.similarity import (
+        N_PLANT, PLANT2_OFFSET, PLANT_OFFSET)
+    rows = _rows("semantic_dedup_clusters", spark, sf_dir)
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["vec_id"])
+        assert r["cluster_size"] >= 2
+    # every planted base vector anchors a cluster containing its two
+    # scaled copies, labelled by the min id (= the base id)
+    for i in range(N_PLANT):
+        assert by_cluster.get(i, set()) >= {
+            i, i + PLANT_OFFSET, i + PLANT2_OFFSET}
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        assert all(len({r["cluster_size"] for r in rows
+                        if r["cluster_id"] == cid}) == 1 for _ in (0,))
+
+
+def test_bigram_ppl_laws(spark, sf_dir):
+    import math
+    rows = _rows("bigram_lm_perplexity", spark, sf_dir)
+    stats = {r["doc_id"]: r["n_tokens"] for r in
+             _rows("doc_stats", spark, sf_dir)}
+    assert len(rows) == len(stats)
+    for r in rows:
+        # bigram count is exactly tokens-1 (all sf docs have >= 2 tokens)
+        assert r["n_bigrams"] == max(stats[r["doc_id"]] - 1, 0)
+        assert r["ppl"] >= 1.0
+        if r["n_bigrams"]:
+            assert abs(r["ppl"] - 2 ** r["avg_nll_bits"]) < 0.01 * r["ppl"]
+            assert r["avg_nll_bits"] >= 0.0
+            assert not math.isnan(r["avg_nll_bits"])
+
+
+def test_source_overlap_matrix_laws(spark, sf_dir):
+    rows = _rows("source_overlap_matrix", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert 1 <= r["n_common"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["jaccard"] <= 1.0
+        expect = r["n_common"] / (r["n_a"] + r["n_b"] - r["n_common"])
+        assert abs(r["jaccard"] - expect) < 1e-6
+
+
+def test_bpe_encode_compression_laws(spark, sf_dir):
+    rows = _rows("bpe_encode_stats", spark, sf_dir)
+    assert rows
+    for r in rows:
+        # merging can only shrink the symbol count, never below one
+        # symbol per word; chars-per-token stays positive
+        assert r["n_words"] <= r["n_bpe_tokens"]
+        assert r["chars_per_token"] > 0
+
+
+# ---- X71-X74 -------------------------------------------------------------
+
+def test_attribution_credit_conserves_value(spark, sf_dir):
+    import duckdb
+    rows = _rows("attribution_multitouch", spark, sf_dir)
+    vals = dict(duckdb.sql(
+        f"SELECT event_id, value FROM '{sf_dir}/events.parquet' "
+        f"WHERE event_type = 'purchase'").fetchall())
+    assert len(rows) == len(vals)
+    for r in rows:
+        if r["n_touches"] == 0:
+            assert r["credit_per_touch"] is None
+            assert r["first_lag_s"] is None and r["last_lag_s"] is None
+        else:
+            # linear attribution conserves the purchase value (up to
+            # the per-touch rounding grid)
+            total = r["credit_per_touch"] * r["n_touches"]
+            assert abs(total - vals[r["purchase_id"]]) <= r["n_touches"] * 5e-5
+            assert 0 <= r["last_lag_s"] <= r["first_lag_s"]
+            assert r["first_lag_s"] < 7 * 86_400
+
+
+def test_chi2_cells_reconstruct_marginals(spark, sf_dir):
+    rows = _rows("chi2_event_dow", spark, sf_dir)
+    total_obs = sum(r["observed"] for r in rows)
+    total_exp = sum(r["expected"] for r in rows)
+    # expected counts reproduce the grand total (rounding grid x cells)
+    assert abs(total_obs - total_exp) < 0.01 * len(rows)
+    for r in rows:
+        assert r["contrib"] >= 0
+        assert r["expected"] > 0
+
+
+def test_k_anonymity_ladder_monotone(spark, sf_dir):
+    import duckdb
+    rows = _rows("k_anonymity_generalization", spark, sf_dir)
+    n_cust = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/customer.parquet'").fetchone()[0]
+    assert sum(r["n0"] for r in rows) == n_cust
+    from etl_airflow_spotify_spark.queries.maintenance import K_ANON
+    for r in rows:
+        assert 1 <= r["n0"] <= r["n1"] <= r["n2"]
+        expect = (0 if r["n0"] >= K_ANON else
+                  1 if r["n1"] >= K_ANON else
+                  2 if r["n2"] >= K_ANON else 3)
+        assert r["level_needed"] == expect
+
+
+def test_gdpr_cascade_counts(spark, sf_dir):
+    import duckdb
+    rows = {r["tbl"]: r for r in _rows("gdpr_delete_cascade", spark, sf_dir)}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for t in rows.values():
+        assert t["n_deleted"] + t["n_remaining"] == t["n_total"]
+        assert 0 <= t["n_deleted"] <= t["n_total"]
+    for tbl in ("customer", "orders", "lineitem"):
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/{tbl}.parquet'").fetchone()[0]
+        assert rows[tbl]["n_total"] == n
