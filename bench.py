@@ -120,6 +120,8 @@ HEADLINE = [
     "semantic_dedup_clusters",
     "bigram_lm_perplexity",
     "source_overlap_matrix",
+    "sq4_recall_at_k",
+    "join_size_profile",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -980,3 +980,106 @@ def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("tbl", "n_total", "n_deleted",
                       (F.col("n_total") - F.col("n_deleted"))
                       .alias("n_remaining"))
+
+
+# --------------------------------------------------------------------------
+# X77: join-size profiler — the planner question "how many rows will
+# this join emit?" answered WITHOUT running the join: per-key counts on
+# each side (map-side combinable), then sum-of-products over the
+# (small) key-count tables. The third estimate prices a self-join,
+# where the naive answer (run it) is quadratic.
+# --------------------------------------------------------------------------
+@register(
+    "join_size_profile",
+    """
+    WITH lo AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem
+                GROUP BY 1),
+    oo AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+    lp AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+    oc AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+    cc AS (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY 1),
+    est AS (
+        SELECT 'lineitem*orders@orderkey' AS join_name,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM lo) AS left_rows,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM oo) AS right_rows,
+               CAST(COALESCE(SUM(lo.c * oo.c), 0) AS BIGINT) AS out_rows,
+               CAST(COALESCE(MAX(lo.c * oo.c), 0) AS BIGINT) AS max_key_rows
+        FROM lo JOIN oo USING (k)
+        UNION ALL
+        SELECT 'lineitem*lineitem@partkey',
+               (SELECT CAST(SUM(c) AS BIGINT) FROM lp),
+               (SELECT CAST(SUM(c) AS BIGINT) FROM lp),
+               CAST(COALESCE(SUM(lp.c * lp.c), 0) AS BIGINT),
+               CAST(COALESCE(MAX(lp.c * lp.c), 0) AS BIGINT)
+        FROM lp
+        UNION ALL
+        SELECT 'orders*customer@custkey',
+               (SELECT CAST(SUM(c) AS BIGINT) FROM oc),
+               (SELECT CAST(SUM(c) AS BIGINT) FROM cc),
+               CAST(COALESCE(SUM(oc.c * cc.c), 0) AS BIGINT),
+               CAST(COALESCE(MAX(oc.c * cc.c), 0) AS BIGINT)
+        FROM oc JOIN cc USING (k)
+    )
+    SELECT join_name, left_rows, right_rows, out_rows,
+           ROUND(out_rows::DOUBLE / GREATEST(left_rows, right_rows), 4)
+               AS amplification,
+           max_key_rows
+    FROM est
+    """,
+    doc="X77 join-size profiler: exact output cardinality of three "
+        "join shapes (FK join, self-join on a non-unique key, "
+        "dimension join) from per-key count tables and sum-of-products "
+        "— no join is ever materialized, so pricing a quadratic "
+        "self-join costs two aggregates. max_key_rows is the hot-key "
+        "contribution that decides salting. The pre-flight check every "
+        "scheduled 100 TB join should run.",
+    tags=("X77", "X7", "X3"),
+)
+def join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def counts(df: DataFrame, key: str) -> DataFrame:
+        return (df.groupBy(F.col(key).alias("k"))
+                .agg(F.count("*").alias("c")))
+
+    def est(name: str, a: DataFrame, b: DataFrame | None) -> DataFrame:
+        if b is None:  # self-join: one count table, products of itself
+            prod = a.select(F.lit(name).alias("join_name"),
+                            (F.col("c") * F.col("c")).alias("p"),
+                            F.col("c").alias("ca"), F.col("c").alias("cb"))
+        else:
+            prod = (a.join(b.select(F.col("k"), F.col("c").alias("c_b")),
+                           "k")
+                    .select(F.lit(name).alias("join_name"),
+                            (F.col("c") * F.col("c_b")).alias("p"),
+                            F.col("c").alias("ca"), F.col("c_b").alias("cb")))
+        sides = (a.agg(F.sum("c").alias("l")),
+                 (b if b is not None else a).agg(F.sum("c").alias("r")))
+        return (prod.groupBy("join_name")
+                .agg(F.coalesce(F.sum("p"), F.lit(0)).cast("long")
+                     .alias("out_rows"),
+                     F.coalesce(F.max("p"), F.lit(0)).cast("long")
+                     .alias("max_key_rows"))
+                .crossJoin(F.broadcast(sides[0]))
+                .crossJoin(F.broadcast(sides[1]))
+                .select("join_name",
+                        F.col("l").cast("long").alias("left_rows"),
+                        F.col("r").cast("long").alias("right_rows"),
+                        "out_rows", "max_key_rows"))
+
+    lo = counts(li, "l_orderkey")
+    oo = counts(orders, "o_orderkey")
+    lp = counts(li, "l_partkey")
+    oc = counts(orders, "o_custkey")
+    cc = counts(cust, "c_custkey")
+    out = (est("lineitem*orders@orderkey", lo, oo)
+           .unionByName(est("lineitem*lineitem@partkey", lp, None))
+           .unionByName(est("orders*customer@custkey", oc, cc)))
+    return out.select(
+        "join_name", "left_rows", "right_rows", "out_rows",
+        F.round(F.col("out_rows").cast("double")
+                / F.greatest("left_rows", "right_rows"), 4)
+        .alias("amplification"),
+        "max_key_rows")

@@ -1008,3 +1008,183 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cc.select(F.col("id").alias("vec_id"), "cluster_id")
             .join(F.broadcast(sizes), "cluster_id")
             .select("vec_id", "cluster_id", "cluster_size"))
+
+
+# --------------------------------------------------------------------------
+# X75: 4-bit scalar quantization (SQ4) with measured recall@k. Per-dim
+# min/max come from ONE wide aggregate (map-side combinable, no
+# explode); codes/reconstruction are a map-only transform under the
+# broadcast stats row. Asymmetric search (full-precision queries vs
+# reconstructed corpus) — the FAISS SQ serving shape at 1/8 the vector
+# memory; 4 bits (not 8) so the accuracy cost is actually visible:
+# recall@5 lands at 0.8-1.0 per query here, where SQ8 was a vacuous
+# all-1.0. Both rankings replay in SQL, so recall numbers hash-check.
+# --------------------------------------------------------------------------
+SQ_LEVELS = 15  # 4-bit codes: 16 levels -> 15 intervals
+
+
+def _sq4_recall_oracle() -> str:
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    flat AS (
+        SELECT vec_id, unnest(range(1, {DIM} + 1)) AS pos, unnest(v) AS val
+        FROM corpus
+    ),
+    stats AS (SELECT pos, MIN(val) AS mn, MAX(val) AS mx
+              FROM flat GROUP BY pos),
+    recon AS (
+        SELECT vec_id,
+               list(CASE WHEN mx > mn
+                         THEN mn + LEAST(GREATEST(
+                                  ROUND((val - mn) / (mx - mn) * {SQ_LEVELS}),
+                                  0), {SQ_LEVELS}) * (mx - mn) / {SQ_LEVELS}
+                         ELSE mn END ORDER BY pos) AS rv
+        FROM flat JOIN stats USING (pos) GROUP BY vec_id
+    ),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6)
+                                DESC, c.vec_id) AS rn
+            FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {K}
+    ),
+    sq AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, r.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(q.v, r.rv), 6)
+                                DESC, r.vec_id) AS rn
+            FROM corpus q JOIN recon r ON r.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(s.cand_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(s.cand_id)::DOUBLE / {K}, 4) AS recall_at_k
+    FROM exact e LEFT JOIN sq s
+      ON e.query_id = s.query_id AND e.cand_id = s.cand_id
+    GROUP BY e.query_id
+    """
+
+
+@register(
+    "sq4_recall_at_k",
+    _sq4_recall_oracle(),
+    doc=f"X75 scalar quantization (SQ4: 4-bit per-dim min/max linear "
+        f"codes, 1/8 the float32 memory) with measured recall@{K} "
+        "against the exact ranking. Stats are "
+        "one wide min/max aggregate; quantize-reconstruct is a map-only "
+        "transform under a broadcast stats row; search is asymmetric "
+        "(full-precision query x reconstructed corpus). Every step — "
+        "codes, reconstruction, both rankings, the recall ratio — "
+        "replays in the SQL twin, so the accuracy of the compressed "
+        "index is hash-checked, not asserted.",
+    tags=("X75", "X17", "X12"),
+)
+def sq4_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+    stats = d.agg(
+        F.array(*[F.min(F.element_at("v", i + 1)) for i in range(DIM)])
+        .alias("mn"),
+        F.array(*[F.max(F.element_at("v", i + 1)) for i in range(DIM)])
+        .alias("mx"))
+
+    def recon(x, i):
+        mn = F.element_at("mn", i + 1)
+        mx = F.element_at("mx", i + 1)
+        rng = mx - mn
+        q = F.least(F.greatest(F.round((x - mn) / rng * SQ_LEVELS, 0),
+                               F.lit(0.0)), F.lit(float(SQ_LEVELS)))
+        return F.when(rng > 0, mn + q * rng / SQ_LEVELS).otherwise(mn)
+
+    rec = (d.crossJoin(F.broadcast(stats))
+           .select("vec_id", F.transform("v", recon).alias("embedding")))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = S.topk_cosine(emb, queries, K).select("query_id", "cand_id")
+    sq = (S.topk_cosine(rec, queries, K)
+          .select(F.col("query_id").alias("qi"),
+                  F.col("cand_id").alias("ci")))
+    j = exact.join(sq, (exact["query_id"] == sq["qi"])
+                   & (exact["cand_id"] == sq["ci"]), "left")
+    return (j.groupBy("query_id")
+            .agg(F.count("ci").cast("long").alias("n_hits"),
+                 F.round(F.count("ci").cast("double") / K, 4)
+                 .alias("recall_at_k")))
+
+
+# --------------------------------------------------------------------------
+# X76: classifier score calibration (reliability bins). Fixed-width
+# score bins — NEVER a global ntile, which would serialize the corpus
+# through one window partition — so the binning is a map-only
+# expression and the reliability table is one aggregate over
+# bin-cardinality groups.
+# --------------------------------------------------------------------------
+CALIB_BIN_W = 0.05
+
+
+@register(
+    "score_calibration_bins",
+    f"""
+    WITH v AS (
+        SELECT vec_id, label, pos, embedding[pos]::DOUBLE AS val
+        FROM embeddings, generate_series(1, {DIM}) AS g(pos)
+    ),
+    cent AS (
+        SELECT label AS pred, pos, ROUND(AVG(val), 6) AS cval
+        FROM v GROUP BY label, pos
+    ),
+    score AS (
+        SELECT v.vec_id, v.label, c.pred,
+               ROUND(SUM(v.val * c.cval), 4) AS s
+        FROM v JOIN cent c ON v.pos = c.pos
+        GROUP BY v.vec_id, v.label, c.pred
+    ),
+    best AS (
+        SELECT vec_id, label, pred, s
+        FROM (SELECT vec_id, label, pred, s,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY s DESC, pred) AS rn
+              FROM score)
+        WHERE rn = 1
+    )
+    SELECT CAST(FLOOR(s / {CALIB_BIN_W}) AS BIGINT) AS bin,
+           ROUND(CAST(FLOOR(s / {CALIB_BIN_W}) AS BIGINT)
+                 * {CALIB_BIN_W}::DOUBLE, 2) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           ROUND(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 4) AS accuracy
+    FROM best GROUP BY 1, 2
+    """,
+    doc="X76 score calibration / reliability table for the Rocchio "
+        "classifier: winning-centroid scores fall into fixed-width "
+        "bins (map-only — a global ntile would single-thread the "
+        "corpus), each bin reporting volume and empirical accuracy. "
+        "The monitoring query that decides whether a model's "
+        "confidence can gate auto-labelling; scores/centroids on the "
+        "established rounding grid so bins hash cross-engine.",
+    tags=("X76", "X35", "X7"),
+)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(e, "label", "embedding", digits=6)
+    best = S.assign_nearest_centroid(
+        e, cents, id_col="vec_id", vec_col="embedding",
+        label_col="label", score_digits=4)
+    b = F.floor(F.col("score") / CALIB_BIN_W).cast("long")
+    correct = F.when(F.col("pred") == F.col("label"), 1).otherwise(0)
+    return (best.groupBy(b.alias("bin"),
+                         F.round(b * CALIB_BIN_W, 2).alias("bin_lo"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(correct).cast("long").alias("n_correct"),
+                 F.round(F.sum(correct).cast("double") / F.count("*"), 4)
+                 .alias("accuracy")))

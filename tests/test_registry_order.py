@@ -62,6 +62,9 @@ DEFERRED: set[str] = {
     "k_anonymity_generalization",  # X72
     "chi2_event_dow",           # X73
     "gdpr_delete_cascade",      # X74
+    "sq4_recall_at_k",          # X75
+    "score_calibration_bins",   # X76
+    "join_size_profile",        # X77
 }
 
 

@@ -237,3 +237,51 @@ def test_gdpr_cascade_counts(spark, sf_dir):
         n = duckdb.sql(
             f"SELECT COUNT(*) FROM '{sf_dir}/{tbl}.parquet'").fetchone()[0]
         assert rows[tbl]["n_total"] == n
+
+
+# ---- X75-X77 -------------------------------------------------------------
+
+def test_sq4_recall_bounds_and_nontriviality(spark, sf_dir):
+    from etl_airflow_spotify_spark.queries.similarity import K
+    rows = _rows("sq4_recall_at_k", spark, sf_dir)
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["n_hits"] <= K
+        assert abs(r["recall_at_k"] - r["n_hits"] / K) < 1e-9
+    # 4-bit quantization must stay useful (recall well above chance)
+    assert sum(r["n_hits"] for r in rows) >= 0.5 * K * len(rows)
+
+
+def test_calibration_bins_partition_the_corpus(spark, sf_dir):
+    import duckdb
+    rows = _rows("score_calibration_bins", spark, sf_dir)
+    n_vec = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'").fetchone()[0]
+    assert sum(r["n"] for r in rows) == n_vec
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n"]
+        assert abs(r["accuracy"] - r["n_correct"] / r["n"]) < 1e-4
+
+
+def test_join_size_profile_matches_materialized_joins(spark, sf_dir):
+    import duckdb
+    rows = {r["join_name"]: r for r in
+            _rows("join_size_profile", spark, sf_dir)}
+    real = {
+        "lineitem*orders@orderkey": duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/lineitem.parquet' l "
+            f"JOIN '{sf_dir}/orders.parquet' o "
+            f"ON l.l_orderkey = o.o_orderkey").fetchone()[0],
+        "lineitem*lineitem@partkey": duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/lineitem.parquet' a "
+            f"JOIN '{sf_dir}/lineitem.parquet' b "
+            f"ON a.l_partkey = b.l_partkey").fetchone()[0],
+        "orders*customer@custkey": duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/orders.parquet' o "
+            f"JOIN '{sf_dir}/customer.parquet' c "
+            f"ON o.o_custkey = c.c_custkey").fetchone()[0],
+    }
+    # the profiler's sum-of-products IS the exact join cardinality
+    for name, n in real.items():
+        assert rows[name]["out_rows"] == n
+        assert rows[name]["max_key_rows"] <= rows[name]["out_rows"]
