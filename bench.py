@@ -122,6 +122,9 @@ HEADLINE = [
     "source_overlap_matrix",
     "sq4_recall_at_k",
     "join_size_profile",
+    "copurchase_hop_distance",
+    "psi_value_drift",
+    "lineitem_corr_matrix",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

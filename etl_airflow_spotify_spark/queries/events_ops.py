@@ -1451,3 +1451,74 @@ def chi2_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(e, 4).alias("expected"),
                     F.round((F.col("observed") - e) * (F.col("observed") - e)
                             / e, 6).alias("contrib")))
+
+
+# --------------------------------------------------------------------------
+# X79: population stability index (PSI) — the standard ML-monitoring
+# drift score — between the first and second half of the month. One
+# (half, bin) aggregate is the only corpus pass; probabilities are
+# add-0.5-smoothed so empty bins stay defined; everything downstream
+# runs on the bin-cardinality table.
+# --------------------------------------------------------------------------
+PSI_BIN_W = 25.0
+
+
+@register(
+    "psi_value_drift",
+    f"""
+    WITH binned AS (
+        SELECT CASE WHEN date_part('day', ts) <= 15 THEN 'expected'
+                    ELSE 'actual' END AS half,
+               CAST(FLOOR(value / {PSI_BIN_W}) AS BIGINT) AS bin
+        FROM events
+    ),
+    cells AS (SELECT bin,
+                     CAST(SUM(CASE WHEN half = 'expected' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ce,
+                     CAST(SUM(CASE WHEN half = 'actual' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ca
+              FROM binned GROUP BY bin),
+    tot AS (SELECT CAST(SUM(ce) AS BIGINT) AS ne,
+                   CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(COUNT(*) AS BIGINT) AS b
+            FROM cells)
+    SELECT bin, ce AS n_expected, ca AS n_actual,
+           ROUND(((ca + 0.5::DOUBLE) / (na + 0.5::DOUBLE * b)
+                  - (ce + 0.5::DOUBLE) / (ne + 0.5::DOUBLE * b))
+                 * ln(((ca + 0.5::DOUBLE) / (na + 0.5::DOUBLE * b))
+                      / ((ce + 0.5::DOUBLE) / (ne + 0.5::DOUBLE * b))), 6)
+               AS psi_contrib
+    FROM cells CROSS JOIN tot
+    """,
+    doc="X79 population stability index between the month's first and "
+        "second half of event values: one (half, bin) aggregate, "
+        "add-0.5 smoothing so empty bins stay defined, per-bin "
+        "(pa-pe)*ln(pa/pe) contributions on the bin-cardinality table. "
+        "PSI > 0.2 is the classic retrain trigger; the contributions "
+        "localize WHICH value range drifted.",
+    tags=("X79", "X7", "X2"),
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    half = (F.when(F.dayofmonth("ts") <= 15, "expected")
+            .otherwise("actual"))
+    cells = (ev.select(half.alias("half"),
+                       F.floor(F.col("value") / PSI_BIN_W).cast("long")
+                       .alias("bin"))
+             .groupBy("bin")
+             .agg(F.sum(F.when(F.col("half") == "expected", 1).otherwise(0))
+                  .cast("long").alias("ce"),
+                  F.sum(F.when(F.col("half") == "actual", 1).otherwise(0))
+                  .cast("long").alias("ca")))
+    from ..caching import persist_tracked
+    cells = persist_tracked(cells)
+    tot = cells.agg(F.sum("ce").cast("long").alias("ne"),
+                    F.sum("ca").cast("long").alias("na"),
+                    F.count("*").cast("long").alias("b"))
+    pe = (F.col("ce") + 0.5) / (F.col("ne") + 0.5 * F.col("b"))
+    pa = (F.col("ca") + 0.5) / (F.col("na") + 0.5 * F.col("b"))
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("bin", F.col("ce").alias("n_expected"),
+                    F.col("ca").alias("n_actual"),
+                    F.round((pa - pe) * F.log(pa / pe), 6)
+                    .alias("psi_contrib")))

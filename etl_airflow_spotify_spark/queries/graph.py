@@ -150,3 +150,67 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("sup_ab").cast("double") * F.col("n")
                             / (F.col("sup_a") * F.col("sup_c")), 6)
                     .alias("lift")))
+
+
+# --------------------------------------------------------------------------
+# X78: bounded BFS hop distance from a seed set over the co-purchase
+# graph — "how far is every product from the promoted set?" Frontier
+# expansion is one join + one anti-join per hop (never a transitive
+# closure materialization); labels localCheckpoint per hop so plan
+# depth stays constant. The oracle replays it as a recursive CTE whose
+# UNION dedups (node, depth) pairs, so the fan-out stays node-bounded.
+# --------------------------------------------------------------------------
+BFS_MAX_HOPS = 3
+BFS_SEED_MOD = 50
+
+
+@register(
+    "copurchase_hop_distance",
+    f"""
+    WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                          FROM lineitem),
+    e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+          FROM op a JOIN op b ON a.g = b.g AND a.i <> b.i),
+    seeds AS (SELECT DISTINCT src AS node FROM e
+              WHERE src % {BFS_SEED_MOD} = 0),
+    reach(node, d) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.dst, r.d + 1
+        FROM reach r JOIN e ON e.src = r.node
+        WHERE r.d < {BFS_MAX_HOPS}
+    )
+    SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+    FROM reach GROUP BY node
+    """,
+    doc=f"X78 bounded BFS ({BFS_MAX_HOPS} hops) from the seed parts "
+        f"(partkey % {BFS_SEED_MOD} = 0) over the co-purchase graph: "
+        "per-hop frontier join + anti-join against settled labels, "
+        "localCheckpoint per hop (constant plan depth), min-distance "
+        "semantics for free because BFS settles each node at first "
+        "visit. The reachability/radius primitive behind recommendation "
+        "spread and recall-set construction.",
+    tags=("X78", "X42", "X3", "X37"),
+)
+def copurchase_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = persist_tracked(
+        G.cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+    seeds = (edges.filter(F.col("src") % BFS_SEED_MOD == 0)
+             .select("src").distinct()
+             .select(F.col("src").alias("node"), F.lit(0).alias("dist")))
+    labels = seeds.localCheckpoint()
+    frontier = labels
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (frontier.join(edges, frontier.node == edges.src)
+               .select(F.col("dst").alias("node")).distinct()
+               .join(labels.select("node"), "node", "left_anti")
+               .select("node", F.lit(hop).alias("dist")))
+        nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        labels = labels.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return labels.select("node", F.col("dist").cast("long").alias("dist"))

@@ -1297,3 +1297,86 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("loo"), 4).alias("loo_min"),
                  F.round(F.max("loo"), 4).alias("loo_max"),
                  F.round(F.stddev_samp("loo"), 4).alias("loo_std")))
+
+
+# --------------------------------------------------------------------------
+# X80: Pearson correlation MATRIX of lineitem's numeric measures from
+# ONE corpus aggregate. Moments accumulate as exact DECIMAL sums (the
+# inputs are 2-decimal money/rate values, so every product is exactly
+# representable and the sums are order-independent — no float-summation
+# dust for the hash check to trip on); the 6 pairwise correlations fold
+# from the single moment row, map-side combinable end to end.
+# --------------------------------------------------------------------------
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_oracle_sql() -> str:
+    cols = _CORR_COLS
+    moments = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in cols:
+        moments.append(f"SUM(CAST({c} AS DECIMAL(18,2))) AS s_{c}")
+        moments.append(f"SUM(CAST({c} AS DECIMAL(18,2))"
+                       f" * CAST({c} AS DECIMAL(18,2))) AS q_{c}")
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            moments.append(f"SUM(CAST({a} AS DECIMAL(18,2))"
+                           f" * CAST({b} AS DECIMAL(18,2))) AS x_{a}_{b}")
+            pairs.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, n,\n"
+                f"       ROUND((n * CAST(x_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))\n"
+                f"             / (SQRT(n * CAST(q_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))\n"
+                f"                * SQRT(n * CAST(q_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6)"
+                f" AS corr\n"
+                f"FROM m")
+    return ("WITH m AS (SELECT " + ", ".join(moments) + " FROM lineitem)\n"
+            + "\nUNION ALL\n".join(pairs))
+
+
+@register(
+    "lineitem_corr_matrix",
+    _corr_oracle_sql(),
+    doc="X80 Pearson correlation matrix (6 pairs over quantity, price, "
+        "discount, tax) from ONE wide moment aggregate — count, 4 sums, "
+        "4 sums of squares, 6 cross-products — accumulated as exact "
+        "DECIMAL (2-decimal inputs make every product exactly "
+        "representable, so the moments are order-independent and the "
+        "correlations hash bit-for-bit cross-engine). The feature-"
+        "redundancy screen a feature-store pipeline runs before "
+        "training; never materializes a pairwise row fan-out.",
+    tags=("X80", "X7", "X14"),
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = _CORR_COLS
+    dec = {c: F.col(c).cast("decimal(18,2)") for c in cols}
+    aggs = [F.count("*").cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(dec[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(dec[c] * dec[c]).alias(f"q_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum(dec[a] * dec[b]).alias(f"x_{a}_{b}"))
+    m = li.agg(*aggs)
+
+    def corr(a: str, b: str) -> F.Column:
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        qa, qb = F.col(f"q_{a}").cast("double"), F.col(f"q_{b}").cast("double")
+        x = F.col(f"x_{a}_{b}").cast("double")
+        return F.round((n * x - sa * sb)
+                       / (F.sqrt(n * qa - sa * sa)
+                          * F.sqrt(n * qb - sb * sb)), 6)
+
+    rows = F.array(*[
+        F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                 F.col("n").alias("n"), corr(a, b).alias("corr"))
+        for a, b in pairs])
+    return (m.select(F.explode(rows).alias("r"))
+            .select(F.col("r.col_a").alias("col_a"),
+                    F.col("r.col_b").alias("col_b"),
+                    F.col("r.n").alias("n"),
+                    F.col("r.corr").alias("corr")))

@@ -65,6 +65,9 @@ DEFERRED: set[str] = {
     "sq4_recall_at_k",          # X75
     "score_calibration_bins",   # X76
     "join_size_profile",        # X77
+    "copurchase_hop_distance",  # X78
+    "psi_value_drift",          # X79
+    "lineitem_corr_matrix",     # X80
 }
 
 

