@@ -125,6 +125,8 @@ HEADLINE = [
     "copurchase_hop_distance",
     "psi_value_drift",
     "lineitem_corr_matrix",
+    "ols_crossval_r2",
+    "stl_decompose_daily",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -1522,3 +1522,68 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ca").alias("n_actual"),
                     F.round((pa - pe) * F.log(pa / pe), 6)
                     .alias("psi_contrib")))
+
+
+# --------------------------------------------------------------------------
+# X82: classical seasonal decomposition (trend / seasonal / residual)
+# of the daily event series. The corpus-sized pass is the one day-keyed
+# aggregate; every window after it runs on the calendar-bounded daily
+# table, so the centered moving average's global ORDER BY day frame is
+# safe at any event volume (same argument as event_anomaly_days).
+# --------------------------------------------------------------------------
+@register(
+    "stl_decompose_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT day, n, (day - DATE '1970-01-01') % 7 AS dow,
+               CASE WHEN COUNT(*) OVER w = 7
+                    THEN AVG(CAST(n AS DOUBLE)) OVER w END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seas AS (
+        SELECT dow, AVG(n - trend) AS s
+        FROM tr WHERE trend IS NOT NULL GROUP BY dow
+    )
+    SELECT t.day, t.n, CAST(t.dow AS BIGINT) AS dow,
+           ROUND(t.trend, 4) AS trend,
+           ROUND(s.s, 4) AS seasonal,
+           ROUND(t.n - t.trend - s.s, 4) AS residual
+    FROM tr t JOIN seas s USING (dow)
+    """,
+    doc="X82 seasonal-trend decomposition of the daily event series: "
+        "centered 7-day moving-average trend (NULL at the edges where "
+        "the window is partial), day-of-week seasonal means of the "
+        "detrended series, residual = n - trend - seasonal. One corpus "
+        "aggregate; all windows on the calendar-bounded daily table; "
+        "dow via epoch-day modulus. The decomposition behind capacity "
+        "planning and the anomaly detector's baseline.",
+    tags=("X82", "X49", "X11", "X7"),
+)
+def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+             .agg(F.count("*").cast("long").alias("n")))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day", "n",
+        (F.datediff("day", F.lit("1970-01-01").cast("date")) % 7)
+        .alias("dow"),
+        F.when(F.count("*").over(w) == 7,
+               F.avg(F.col("n").cast("double")).over(w)).alias("trend"))
+    from ..caching import persist_tracked
+    tr = persist_tracked(tr)
+    seas = (tr.filter(F.col("trend").isNotNull())
+            .groupBy("dow").agg(F.avg(F.col("n") - F.col("trend"))
+                                .alias("s")))
+    return (tr.join(F.broadcast(seas), "dow")
+            .select("day", "n", F.col("dow").cast("long").alias("dow"),
+                    F.round("trend", 4).alias("trend"),
+                    F.round("s", 4).alias("seasonal"),
+                    F.round(F.col("n") - F.col("trend") - F.col("s"), 4)
+                    .alias("residual")))

@@ -1380,3 +1380,107 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("r.col_b").alias("col_b"),
                     F.col("r.n").alias("n"),
                     F.col("r.corr").alias("corr")))
+
+
+# --------------------------------------------------------------------------
+# X81: k-fold cross-validation of the OLS price~quantity model WITHOUT
+# k training passes: one (fold, moments) aggregate; each fold's
+# training moments are total-minus-fold (moment subtraction), so train
+# AND test statistics for all folds fold from a k-row table. Fold
+# assignment is md5 of the row key — reproducible under any partitioning.
+# --------------------------------------------------------------------------
+CV_FOLDS = 5
+
+
+@register(
+    "ols_crossval_r2",
+    f"""
+    WITH rows_k AS (
+        SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                   CAST(l_linenumber AS VARCHAR)), 1, 15))
+                   ::BIGINT % {CV_FOLDS} AS fold,
+               l_quantity AS x, l_extendedprice AS y
+        FROM lineitem
+    ),
+    fm AS (
+        SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM rows_k GROUP BY fold
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, SUM(sx) AS tsx,
+                   SUM(sy) AS tsy, SUM(sxy) AS tsxy, SUM(sxx) AS tsxx,
+                   SUM(syy) AS tsyy
+            FROM fm),
+    tr AS (
+        SELECT fold, n AS n_test, tn - n AS n_train,
+               tsx - sx AS rx, tsy - sy AS ry, tsxy - sxy AS rxy,
+               tsxx - sxx AS rxx,
+               n, sx, sy, sxy, sxx, syy
+        FROM fm CROSS JOIN tot
+    ),
+    fit AS (
+        SELECT fold, n_train, n_test, n, sx, sy, sxy, sxx, syy,
+               (n_train * rxy - rx * ry) / (n_train * rxx - rx * rx) AS b,
+               ry / n_train - ((n_train * rxy - rx * ry)
+                               / (n_train * rxx - rx * rx)) * rx / n_train
+                   AS a
+        FROM tr
+    )
+    SELECT fold, n_train, n_test,
+           ROUND(b, 4) AS slope, ROUND(a, 4) AS intercept,
+           ROUND(1 - (syy - 2 * b * sxy - 2 * a * sy + b * b * sxx
+                      + 2 * a * b * sx + n * a * a)
+                     / (syy - sy * sy / n), 4) AS r2_test
+    FROM fit
+    """,
+    doc=f"X81 {CV_FOLDS}-fold cross-validated OLS (price ~ quantity) "
+        "with ONE corpus pass: per-fold moment aggregates; each fold "
+        "trains on total-minus-fold moments (moment subtraction — no "
+        "second scan, no per-fold job) and evaluates held-out R^2 from "
+        "its own moments. md5 fold assignment is stable under "
+        "repartitioning and engines. The generalization-gap check that "
+        "catches 'the model only fits its own fold' before anything "
+        "ships; out-of-sample R^2 here hovers near 0 because the "
+        "synthetic prices are independent of quantity (the honest "
+        "answer).",
+    tags=("X81", "X60", "X7", "X28"),
+)
+def ols_crossval_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    fold = (F.conv(F.substring(F.md5(F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % CV_FOLDS)
+    r = li.select(fold.alias("fold"),
+                  F.col("l_quantity").alias("x"),
+                  F.col("l_extendedprice").alias("y"))
+    fm = (r.groupBy("fold")
+          .agg(F.count("*").cast("long").alias("n"),
+               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+               F.sum(F.col("x") * F.col("y")).alias("sxy"),
+               F.sum(F.col("x") * F.col("x")).alias("sxx"),
+               F.sum(F.col("y") * F.col("y")).alias("syy")))
+    from ..caching import persist_tracked
+    fm = persist_tracked(fm)
+    tot = fm.agg(F.sum("n").cast("long").alias("tn"),
+                 F.sum("sx").alias("tsx"), F.sum("sy").alias("tsy"),
+                 F.sum("sxy").alias("tsxy"), F.sum("sxx").alias("tsxx"),
+                 F.sum("syy").alias("tsyy"))
+    t = fm.crossJoin(F.broadcast(tot))
+    n_tr = (F.col("tn") - F.col("n")).alias("n_train")
+    rx = F.col("tsx") - F.col("sx")
+    ry = F.col("tsy") - F.col("sy")
+    rxy = F.col("tsxy") - F.col("sxy")
+    rxx = F.col("tsxx") - F.col("sxx")
+    ntr = F.col("tn") - F.col("n")
+    b = (ntr * rxy - rx * ry) / (ntr * rxx - rx * rx)
+    a = ry / ntr - b * rx / ntr
+    sse = (F.col("syy") - 2 * b * F.col("sxy") - 2 * a * F.col("sy")
+           + b * b * F.col("sxx") + 2 * a * b * F.col("sx")
+           + F.col("n") * a * a)
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return t.select(
+        "fold", n_tr.cast("long"), F.col("n").alias("n_test"),
+        F.round(b, 4).alias("slope"), F.round(a, 4).alias("intercept"),
+        F.round(1 - sse / sst, 4).alias("r2_test"))

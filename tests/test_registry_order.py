@@ -68,6 +68,8 @@ DEFERRED: set[str] = {
     "copurchase_hop_distance",  # X78
     "psi_value_drift",          # X79
     "lineitem_corr_matrix",     # X80
+    "ols_crossval_r2",          # X81
+    "stl_decompose_daily",      # X82
 }
 
 

@@ -324,3 +324,33 @@ def test_corr_matrix_bounds_and_symmetry_free(spark, sf_dir):
         f"SELECT corr(l_quantity, l_extendedprice) "
         f"FROM '{sf_dir}/lineitem.parquet'").fetchone()[0]
     assert abs(got[("l_quantity", "l_extendedprice")] - ref) < 1e-4
+
+
+# ---- X81-X82 -------------------------------------------------------------
+
+def test_crossval_folds_partition_lineitem(spark, sf_dir):
+    import duckdb
+    rows = _rows("ols_crossval_r2", spark, sf_dir)
+    from etl_airflow_spotify_spark.queries.relational import CV_FOLDS
+    assert len(rows) == CV_FOLDS
+    n_li = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/lineitem.parquet'").fetchone()[0]
+    assert sum(r["n_test"] for r in rows) == n_li
+    for r in rows:
+        assert r["n_train"] + r["n_test"] == n_li
+        # out-of-sample R^2 can be negative but never above 1
+        assert r["r2_test"] <= 1.0
+
+
+def test_stl_components_reassemble(spark, sf_dir):
+    rows = _rows("stl_decompose_daily", spark, sf_dir)
+    assert rows
+    interior = [r for r in rows if r["trend"] is not None]
+    assert len(interior) == len(rows) - 6  # 3 edge days each side
+    for r in interior:
+        # decomposition identity on the rounding grid
+        assert abs((r["trend"] + r["seasonal"] + r["residual"]) - r["n"]) \
+            < 5e-4 * 3
+    # seasonal means of the detrended series sum to ~0 across dows
+    seas = {r["dow"]: r["seasonal"] for r in interior}
+    assert len(seas) == 7
