@@ -127,6 +127,7 @@ HEADLINE = [
     "lineitem_corr_matrix",
     "ols_crossval_r2",
     "stl_decompose_daily",
+    "km_survival_purchase",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

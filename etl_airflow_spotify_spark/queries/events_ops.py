@@ -1587,3 +1587,122 @@ def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("s", 4).alias("seasonal"),
                     F.round(F.col("n") - F.col("trend") - F.col("s"), 4)
                     .alias("residual")))
+
+
+# --------------------------------------------------------------------------
+# X83: Kaplan-Meier survival of time-to-first-purchase after signup.
+# The corpus collapses to one duration row per user (two min-aggregates);
+# the KM table then lives on distinct-duration cardinality. At-risk
+# counts are a descending cumulative sum (no per-time re-scan); the
+# survival product is exp of a running sum of ln-factors snapped to an
+# integer NANO grid — order-deterministic (the window is ordered) and
+# engine-exact. Users with no qualifying purchase would enter censored
+# at the observation horizon (event = 0) through the same fold.
+# --------------------------------------------------------------------------
+@register(
+    "km_survival_purchase",
+    """
+    WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS s_us
+               FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+          FROM events e JOIN s ON e.user_id = s.user_id
+                            AND epoch_us(e.ts) > s.s_us
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    horizon AS (SELECT MAX(epoch_us(ts)) AS h_us FROM events),
+    durs AS (
+        SELECT s.user_id,
+               CAST(CASE WHEN p.p_us IS NOT NULL
+                         THEN (p.p_us - s.s_us) // 3600000000
+                         ELSE (h.h_us - s.s_us) // 3600000000 END AS BIGINT)
+                   AS t_hours,
+               CASE WHEN p.p_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM s LEFT JOIN p ON s.user_id = p.user_id CROSS JOIN horizon h
+    ),
+    grouped AS (
+        SELECT t_hours, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS total
+        FROM durs GROUP BY t_hours
+    ),
+    risk AS (
+        SELECT t_hours, d, c,
+               CAST(SUM(total) OVER (ORDER BY t_hours DESC) AS BIGINT)
+                   AS at_risk
+        FROM grouped
+    ),
+    km AS (
+        SELECT t_hours, d, c, at_risk,
+               MIN(CASE WHEN d < at_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t_hours) AS alive,
+               SUM(CASE WHEN d < at_risk
+                        THEN CAST(ROUND(ln(1 - d::DOUBLE / at_risk)
+                                        * 1000000000) AS BIGINT)
+                        ELSE 0 END)
+                   OVER (ORDER BY t_hours) AS lnsum_nano
+        FROM risk WHERE d > 0
+    )
+    SELECT t_hours, d, c, at_risk,
+           CASE WHEN alive = 1
+                THEN ROUND(EXP(lnsum_nano / 1000000000.0), 4)
+                ELSE 0.0 END AS survival
+    FROM km
+    """,
+    doc="X83 Kaplan-Meier estimator for time from signup to first "
+        "purchase (hours): one duration row per user, at-risk counts "
+        "as a descending cumulative sum, survival as exp of an ordered "
+        "running sum of ln(1 - d/n) factors snapped to integer "
+        "nano-units (deterministic across engines; a factor of zero "
+        "pins survival to exactly 0 from then on). The time-to-convert "
+        "curve growth/activation teams threshold.",
+    tags=("X83", "X11", "X7", "X6"),
+)
+def km_survival_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min(us).alias("s_us")))
+    from ..caching import persist_tracked
+    s = persist_tracked(s)
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", us.alias("e_us"))
+         .join(s, "user_id")
+         .filter(F.col("e_us") > F.col("s_us"))
+         .groupBy("user_id").agg(F.min("e_us").alias("p_us")))
+    horizon = ev.agg(F.max(us).alias("h_us"))
+    dur_us = F.when(F.col("p_us").isNotNull(),
+                    F.col("p_us") - F.col("s_us")) \
+              .otherwise(F.col("h_us") - F.col("s_us"))
+    durs = (s.join(p, "user_id", "left").crossJoin(F.broadcast(horizon))
+            .select(dur_us.alias("dur_us"),
+                    F.when(F.col("p_us").isNotNull(), 1).otherwise(0)
+                    .alias("ev"))
+            # true integer division (Spark `div`), matching DuckDB `//`
+            # — a double divide + cast can round UP across an integer
+            # boundary when the remainder is within an ulp of the divisor
+            .select(F.expr("dur_us div 3600000000").cast("long")
+                    .alias("t_hours"), "ev"))
+    grouped = (durs.groupBy("t_hours")
+               .agg(F.sum("ev").cast("long").alias("d"),
+                    F.sum(1 - F.col("ev")).cast("long").alias("c"),
+                    F.count("*").cast("long").alias("total")))
+    w_desc = Window.orderBy(F.desc("t_hours")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = grouped.select(
+        "t_hours", "d", "c",
+        F.sum("total").over(w_desc).cast("long").alias("at_risk"))
+    km = risk.filter(F.col("d") > 0)
+    w_asc = Window.orderBy("t_hours") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ln_nano = F.when(
+        F.col("d") < F.col("at_risk"),
+        F.round(F.log(1 - F.col("d").cast("double") / F.col("at_risk"))
+                * 1e9, 0).cast("long")).otherwise(F.lit(0))
+    alive = F.min(F.when(F.col("d") < F.col("at_risk"), 1).otherwise(0)) \
+        .over(w_asc)
+    km = (km.withColumn("alive", alive)
+          .withColumn("lnsum_nano", F.sum(ln_nano).over(w_asc)))
+    return km.select(
+        "t_hours", "d", "c", "at_risk",
+        F.when(F.col("alive") == 1,
+               F.round(F.exp(F.col("lnsum_nano") / 1e9), 4))
+        .otherwise(F.lit(0.0)).alias("survival"))

@@ -70,6 +70,7 @@ DEFERRED: set[str] = {
     "lineitem_corr_matrix",     # X80
     "ols_crossval_r2",          # X81
     "stl_decompose_daily",      # X82
+    "km_survival_purchase",     # X83
 }
 
 

@@ -354,3 +354,23 @@ def test_stl_components_reassemble(spark, sf_dir):
     # seasonal means of the detrended series sum to ~0 across dows
     seas = {r["dow"]: r["seasonal"] for r in interior}
     assert len(seas) == 7
+
+
+def test_km_survival_monotone_to_zero(spark, sf_dir):
+    rows = sorted(_rows("km_survival_purchase", spark, sf_dir),
+                  key=lambda r: r["t_hours"])
+    assert rows
+    prev = 1.0
+    for r in rows:
+        assert r["d"] >= 1
+        assert r["at_risk"] >= r["d"]
+        assert 0.0 <= r["survival"] <= prev + 1e-9  # non-increasing
+        prev = r["survival"]
+    # every user in this dataset converts -> the curve must end at 0
+    assert rows[-1]["survival"] == 0.0
+    # at-risk at the earliest event time = the full cohort
+    import duckdb
+    n_users = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{sf_dir}/events.parquet' "
+        f"WHERE event_type = 'signup'").fetchone()[0]
+    assert max(r["at_risk"] for r in rows) <= n_users
