@@ -872,12 +872,12 @@ K_ANON = 5
     JOIN l2 USING (c_mktsegment)
     """,
     doc=f"X72 k-anonymity (k={K_ANON}) generalization ladder over the "
-        "quasi-identifiers (segment, nation, account-balance band): one "
-        "ROLLUP aggregate produces group sizes at all three "
-        "generalization levels; each finest group reports the minimal "
-        "level that reaches k. Level tables after the single corpus "
-        "pass are category-cardinality and broadcast. The privacy audit "
-        "that decides how much a public data release must coarsen.",
+        "quasi-identifiers (segment, nation, account-balance band): ONE "
+        "corpus aggregate builds the finest groups; the coarser levels "
+        "nest, so they fold as window sums over the group-cardinality "
+        "table (no second scan, no Expand). Each finest group reports "
+        "the minimal level that reaches k — the privacy audit that "
+        "decides how much a public data release must coarsen.",
     tags=("X72", "X9", "X7"),
 )
 def k_anonymity_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,25 +885,22 @@ def k_anonymity_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = cust.select(
         "c_mktsegment", "c_nationkey",
         F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"))
-    # ONE pass: rollup emits all three levels (+ grand total, dropped)
-    r = (base.rollup("c_mktsegment", "c_nationkey", "bal_band")
-         .agg(F.count("*").cast("long").alias("n"),
-              F.grouping_id().alias("gid")))
-    l0 = (r.filter(F.col("gid") == 0)
-          .select("c_mktsegment", "c_nationkey", "bal_band",
-                  F.col("n").alias("n0")))
-    l1 = (r.filter(F.col("gid") == 1)
-          .select("c_mktsegment", "c_nationkey", F.col("n").alias("n1")))
-    l2 = (r.filter(F.col("gid") == 3)
-          .select("c_mktsegment", F.col("n").alias("n2")))
+    # ONE corpus aggregate builds the finest level; the coarser levels
+    # NEST, so they fold as window sums over the group-cardinality
+    # table — no second scan, no Expand, no rollup-cache juggling.
+    from pyspark.sql import Window
+    l0 = (base.groupBy("c_mktsegment", "c_nationkey", "bal_band")
+          .agg(F.count("*").cast("long").alias("n0")))
+    w1 = Window.partitionBy("c_mktsegment", "c_nationkey")
+    w2 = Window.partitionBy("c_mktsegment")
+    out = (l0.withColumn("n1", F.sum("n0").over(w1).cast("long"))
+           .withColumn("n2", F.sum("n0").over(w2).cast("long")))
     lvl = (F.when(F.col("n0") >= K_ANON, 0)
            .when(F.col("n1") >= K_ANON, 1)
            .when(F.col("n2") >= K_ANON, 2)
            .otherwise(3))
-    return (l0.join(F.broadcast(l1), ["c_mktsegment", "c_nationkey"])
-            .join(F.broadcast(l2), "c_mktsegment")
-            .select("c_mktsegment", "c_nationkey", "bal_band",
-                    "n0", "n1", "n2", lvl.alias("level_needed")))
+    return out.select("c_mktsegment", "c_nationkey", "bal_band",
+                      "n0", "n1", "n2", lvl.alias("level_needed"))
 
 
 # --------------------------------------------------------------------------

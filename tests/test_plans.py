@@ -547,3 +547,39 @@ def test_source_overlap_distinct_before_self_join(spark, sf_dir):
     # the self-join runs on the persisted distinct frame, not on two
     # recomputations of the shingle pipeline
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_k_anonymity_single_rollup_pass(spark, sf_dir):
+    # the three generalization levels must come from ONE Expand-based
+    # rollup over customer, not three separate scans
+    df = _df("k_anonymity_generalization", spark, sf_dir)
+    plan = plan_string(df)
+    # one corpus scan; coarser levels fold as window sums over the
+    # group-cardinality table — no Expand, no second scan, no join
+    assert plan.count("customer.parquet") == 1
+    assert "Expand" not in plan
+    assert "Join" not in plan
+
+
+def test_attribution_no_cartesian_bounded_fanout(spark, sf_dir):
+    df = _df("attribution_multitouch", spark, sf_dir)
+    assert not has_cartesian_product(df)
+    # the time band is a residual on the user equi-join, so the join
+    # itself must be a hash/sort-merge join on user_id, not a BNLJ
+    assert "BroadcastNestedLoopJoin" not in plan_string(df)
+
+
+def test_corr_matrix_one_wide_aggregate(spark, sf_dir):
+    df = _df("lineitem_corr_matrix", spark, sf_dir)
+    # partial+final pair around a single-row exchange; one lineitem scan
+    plan = plan_string(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert num_exchanges(df) == 1
+
+
+def test_sq4_stats_broadcast_map_only_quantize(spark, sf_dir):
+    df = _df("sq4_recall_at_k", spark, sf_dir)
+    plan = plan_string(df)
+    # the per-dim stats row reaches the corpus as a broadcast
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert not has_cartesian_product(df)
