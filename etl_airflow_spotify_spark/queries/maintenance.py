@@ -1038,8 +1038,12 @@ def join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
 
     def counts(df: DataFrame, key: str) -> DataFrame:
-        return (df.groupBy(F.col(key).alias("k"))
-                .agg(F.count("*").alias("c")))
+        # persisted: each count table feeds the product join AND the
+        # side-total aggregates — without this the fact scan + count
+        # shuffle would run once per consumer
+        from ..caching import persist_tracked
+        return persist_tracked(df.groupBy(F.col(key).alias("k"))
+                               .agg(F.count("*").alias("c")))
 
     def est(name: str, a: DataFrame, b: DataFrame | None) -> DataFrame:
         if b is None:  # self-join: one count table, products of itself
