@@ -128,6 +128,7 @@ HEADLINE = [
     "ols_crossval_r2",
     "stl_decompose_daily",
     "km_survival_purchase",
+    "dedup_keep_best",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -463,3 +463,94 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("split_b", split_of("id_b"))
             .filter(F.col("split_a") != F.col("split_b"))
             .select("id_a", "id_b", "jaccard", "split_a", "split_b"))
+
+
+# --------------------------------------------------------------------------
+# X84: quality-aware KEEP policy — the step after clustering that
+# decides WHICH duplicate survives. Min-id keepers discard the best
+# copy whenever a near-dup cluster mixes quality levels; this keeps the
+# argmax-quality member instead. Cluster labels come from the same CC;
+# the quality argmax is a cluster-keyed window over cluster-cardinality
+# rows, never a second corpus shuffle.
+# --------------------------------------------------------------------------
+from .text import sql_quality_expr as _sql_quality_expr
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(len(ts) - 2, 1)),
+                   i -> ts[CAST(i AS INTEGER)] || ' ' ||
+                        ts[CAST(i AS INTEGER) + 1] || ' ' ||
+                        ts[CAST(i AS INTEGER) + 2])) AS sset
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS ts
+              FROM documents)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+              GREATEST(len(list_distinct(list_concat(a.sset, b.sset))), 1)
+              >= 0.8
+    ),
+    edges AS (
+        SELECT id_a, id_b FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lab) AS (
+        SELECT DISTINCT id_a, id_a FROM edges
+        UNION
+        SELECT e.id_b, r.lab FROM reach r JOIN edges e ON e.id_a = r.id
+    ),
+    cc AS (SELECT id AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+           FROM reach GROUP BY id),
+    q AS (SELECT doc_id, {_sql_quality_expr()} AS quality
+          FROM documents),
+    ranked AS (
+        SELECT cc.cluster_id, cc.doc_id, q.quality,
+               ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                                  ORDER BY q.quality DESC, cc.doc_id)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY cc.cluster_id) AS sz
+        FROM cc JOIN q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id, quality AS kept_quality,
+           CAST(sz AS BIGINT) AS cluster_size,
+           CAST(sz - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1
+    """,
+    doc="X84 quality-aware dedup KEEP policy: near-dup clusters (same "
+        "MinHash-LSH + CC as dedup_cluster_assign) each keep their "
+        "argmax-quality member (rounded-quality + id tiebreak) instead "
+        "of the arbitrary min id — the policy that stops dedup from "
+        "discarding the cleanest copy. The argmax is a cluster-keyed "
+        "window over cluster-cardinality rows; quality scores come "
+        "from the established rounded formula, so the oracle replays "
+        "pairs, closure, scoring and the pick exactly.",
+    tags=("X84", "X16", "X30", "X18", "X12"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    pairs = _near_dup_pairs(spark, sf_dir)
+    cc = D.connected_components(pairs.select("id_a", "id_b"))
+    q = d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+    ranked = (cc.select(F.col("id").alias("doc_id"), "cluster_id")
+              .join(q, "doc_id"))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"),
+                                                 F.asc("doc_id"))
+    sz = Window.partitionBy("cluster_id")
+    return (ranked
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("sz", F.count("*").over(sz))
+            .filter(F.col("rn") == 1)
+            .select("cluster_id", F.col("doc_id").alias("kept_doc_id"),
+                    F.col("quality").alias("kept_quality"),
+                    F.col("sz").cast("long").alias("cluster_size"),
+                    (F.col("sz") - 1).cast("long").alias("n_dropped")))

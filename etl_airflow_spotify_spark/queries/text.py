@@ -25,6 +25,19 @@ def _sql_stop_filter(lang: str) -> str:
             f"t -> t IN ({words})))")
 
 
+def sql_quality_expr() -> str:
+    """DuckDB expression for T.quality_score(text) — shared by every
+    oracle that scores documents (doc_stats, dedup keep-best)."""
+    return f"""ROUND(LEAST(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                       / 100.0, 1.0) * 0.4
+                 + LEAST({_sql_stop_filter('en')}
+                         / CAST(GREATEST(len(string_split_regex(trim(text), '\\s+')), 1) AS DOUBLE)
+                         * 5.0, 1.0) * 0.3
+                 + (1.0 - LEAST(CAST(len(regexp_replace(text, '[^,.!?;:]', '', 'g')) AS DOUBLE)
+                                / GREATEST(len(text), 1) * 10.0, 1.0)) * 0.3,
+                 6)"""
+
+
 # --------------------------------------------------------------------------
 # Per-document stats battery: token counts (whitespace + BPE-ish regex),
 # punctuation ratio, quality score. One projection, one scan.
@@ -38,14 +51,7 @@ def _sql_stop_filter(lang: str) -> str:
            CAST({_sql_stop_filter('en')} AS BIGINT) AS en_stopwords,
            ROUND(CAST(len(regexp_replace(text, '[^,.!?;:]', '', 'g')) AS DOUBLE)
                  / GREATEST(len(text), 1), 6) AS punct_ratio,
-           ROUND(LEAST(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
-                       / 100.0, 1.0) * 0.4
-                 + LEAST({_sql_stop_filter('en')}
-                         / CAST(GREATEST(len(string_split_regex(trim(text), '\\s+')), 1) AS DOUBLE)
-                         * 5.0, 1.0) * 0.3
-                 + (1.0 - LEAST(CAST(len(regexp_replace(text, '[^,.!?;:]', '', 'g')) AS DOUBLE)
-                                / GREATEST(len(text), 1) * 10.0, 1.0)) * 0.3,
-                 6) AS quality
+           {sql_quality_expr()} AS quality
     FROM documents
     """,
     doc="Per-doc token counts, punctuation ratio, quality score (X18).",

@@ -71,6 +71,7 @@ DEFERRED: set[str] = {
     "ols_crossval_r2",          # X81
     "stl_decompose_daily",      # X82
     "km_survival_purchase",     # X83
+    "dedup_keep_best",          # X84
 }
 
 

@@ -374,3 +374,24 @@ def test_km_survival_monotone_to_zero(spark, sf_dir):
         f"SELECT COUNT(DISTINCT user_id) FROM '{sf_dir}/events.parquet' "
         f"WHERE event_type = 'signup'").fetchone()[0]
     assert max(r["at_risk"] for r in rows) <= n_users
+
+
+def test_keep_best_keeps_the_argmax_quality_member(spark, sf_dir):
+    kept = {r["cluster_id"]: r for r in
+            _rows("dedup_keep_best", spark, sf_dir)}
+    # same clustering as dedup_cluster_assign; kept member must carry
+    # the maximal quality among its cluster (doc_stats is the oracle
+    # for per-doc quality)
+    clusters: dict = {}
+    for r in _rows("dedup_cluster_assign", spark, sf_dir):
+        clusters.setdefault(r["cluster_id"], set()).add(r["id"])
+    quality = {r["doc_id"]: r["quality"] for r in
+               _rows("doc_stats", spark, sf_dir)}
+    assert set(kept) == set(clusters)
+    for cid, members in clusters.items():
+        k = kept[cid]
+        assert k["kept_doc_id"] in members
+        assert k["cluster_size"] == len(members)
+        assert k["n_dropped"] == len(members) - 1
+        best = max(quality[m] for m in members)
+        assert abs(k["kept_quality"] - best) < 1e-9
