@@ -129,6 +129,7 @@ HEADLINE = [
     "stl_decompose_daily",
     "km_survival_purchase",
     "dedup_keep_best",
+    "cusum_changepoint",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

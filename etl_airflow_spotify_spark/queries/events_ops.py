@@ -1706,3 +1706,80 @@ def km_survival_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("alive") == 1,
                F.round(F.exp(F.col("lnsum_nano") / 1e9), 4))
         .otherwise(F.lit(0.0)).alias("survival"))
+
+
+# --------------------------------------------------------------------------
+# X85: CUSUM change-point detection on the daily event series. The
+# textbook recurrence S+_t = max(0, S+_{t-1} + dev_t) looks inherently
+# sequential, but it equals C_t - min_{j<=t} C_j for the plain prefix
+# sum C of deviations — so the whole detector is two ORDERED windows
+# (cumsum + running min) on the calendar-bounded daily table. Same
+# trick for the downward side with max.
+# --------------------------------------------------------------------------
+CUSUM_K = 5.0     # slack per day (absorbs noise)
+CUSUM_H = 50.0    # alarm threshold
+
+
+@register(
+    "cusum_changepoint",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    mu AS (SELECT AVG(CAST(n AS DOUBLE)) AS m FROM daily),
+    c AS (
+        SELECT day, n,
+               SUM(n - m - {CUSUM_K}) OVER (ORDER BY day) AS cp,
+               SUM(n - m + {CUSUM_K}) OVER (ORDER BY day) AS cm
+        FROM daily CROSS JOIN mu
+    ),
+    s AS (
+        -- LEAST/GREATEST with 0: the virtual C_0 = 0 baseline before
+        -- any data (S starts at 0 in the textbook recurrence)
+        SELECT day, n,
+               cp - LEAST(0, MIN(cp) OVER (ORDER BY day)) AS s_pos,
+               GREATEST(0, MAX(cm) OVER (ORDER BY day)) - cm AS s_neg
+        FROM c
+    )
+    SELECT day, n, ROUND(s_pos, 4) AS cusum_pos,
+           ROUND(s_neg, 4) AS cusum_neg,
+           CASE WHEN s_pos > {CUSUM_H} OR s_neg > {CUSUM_H}
+                THEN 1 ELSE 0 END AS alarm
+    FROM s
+    """,
+    doc=f"X85 CUSUM change-point detector (k={CUSUM_K}, h={CUSUM_H}) "
+        "over daily event counts. The sequential max(0, S+dev) "
+        "recurrence is re-expressed as prefix-sum minus running "
+        "prefix-min (and the mirrored max for the downward side), so "
+        "the detector is two ordered windows on the calendar-bounded "
+        "daily table — no per-row loop, no UDF, deterministic "
+        "cross-engine because both windows are fully ordered. The "
+        "sequential-analysis alarm that catches sustained small shifts "
+        "the per-day z-score misses.",
+    tags=("X85", "X49", "X11"),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+             .agg(F.count("*").cast("long").alias("n")))
+    mu = daily.agg(F.avg(F.col("n").cast("double")).alias("m"))
+    w = Window.orderBy("day") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = (daily.crossJoin(F.broadcast(mu))
+         .select("day", "n",
+                 F.sum(F.col("n") - F.col("m") - CUSUM_K).over(w)
+                 .alias("cp"),
+                 F.sum(F.col("n") - F.col("m") + CUSUM_K).over(w)
+                 .alias("cm")))
+    # least/greatest with 0 = the virtual C_0 = 0 starting state
+    s_pos = F.col("cp") - F.least(F.lit(0.0), F.min("cp").over(w))
+    s_neg = F.greatest(F.lit(0.0), F.max("cm").over(w)) - F.col("cm")
+    s = c.select("day", "n", s_pos.alias("s_pos"), s_neg.alias("s_neg"))
+    return s.select(
+        "day", "n",
+        F.round("s_pos", 4).alias("cusum_pos"),
+        F.round("s_neg", 4).alias("cusum_neg"),
+        F.when((F.col("s_pos") > CUSUM_H) | (F.col("s_neg") > CUSUM_H), 1)
+        .otherwise(0).alias("alarm"))

@@ -72,6 +72,7 @@ DEFERRED: set[str] = {
     "stl_decompose_daily",      # X82
     "km_survival_purchase",     # X83
     "dedup_keep_best",          # X84
+    "cusum_changepoint",        # X85
 }
 
 

@@ -395,3 +395,26 @@ def test_keep_best_keeps_the_argmax_quality_member(spark, sf_dir):
         assert k["n_dropped"] == len(members) - 1
         best = max(quality[m] for m in members)
         assert abs(k["kept_quality"] - best) < 1e-9
+
+
+def test_cusum_recurrence_identity(spark, sf_dir):
+    """The window reformulation must equal the textbook sequential
+    recurrence exactly (up to the output rounding grid)."""
+    import duckdb
+    rows = sorted(_rows("cusum_changepoint", spark, sf_dir),
+                  key=lambda r: r["day"])
+    daily = dict(duckdb.sql(
+        f"SELECT CAST(date_trunc('day', ts) AS DATE), COUNT(*) "
+        f"FROM '{sf_dir}/events.parquet' GROUP BY 1").fetchall())
+    from etl_airflow_spotify_spark.queries.events_ops import (CUSUM_H,
+                                                              CUSUM_K)
+    mu = sum(daily.values()) / len(daily)
+    sp = sn = 0.0
+    for r in rows:
+        n = daily[r["day"]]
+        assert r["n"] == n
+        sp = max(0.0, sp + (n - mu - CUSUM_K))
+        sn = max(0.0, sn + (mu - n - CUSUM_K))
+        assert abs(r["cusum_pos"] - sp) < 1e-3
+        assert abs(r["cusum_neg"] - sn) < 1e-3
+        assert r["alarm"] == (1 if (sp > CUSUM_H or sn > CUSUM_H) else 0)
