@@ -130,6 +130,7 @@ HEADLINE = [
     "km_survival_purchase",
     "dedup_keep_best",
     "cusum_changepoint",
+    "mutual_knn_pairs",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

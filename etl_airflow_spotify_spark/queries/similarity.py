@@ -1188,3 +1188,60 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(correct).cast("long").alias("n_correct"),
                  F.round(F.sum(correct).cast("double") / F.count("*"), 4)
                  .alias("accuracy")))
+
+
+# --------------------------------------------------------------------------
+# X86: mutual k-NN (reciprocal nearest neighbors). A pair qualifies only
+# if each side ranks the other inside its own top-k — the standard
+# high-precision matching rule for dataset alignment and dedup
+# confidence (one-directional kNN is noisy exactly where corpora are
+# dense). Composition: one top-k pass over the corpus, self-joined
+# reversed on (query, cand) — the join runs on top-k-sized rows, never
+# on the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "mutual_knn_pairs",
+    f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    topk AS (
+        SELECT query_id, cand_id, score, rn FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROUND(list_cosine_similarity(q.v, c.v), 6) AS score,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6)
+                                DESC, c.vec_id) AS BIGINT) AS rn
+            FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+        ) WHERE rn <= {K}
+    )
+    SELECT a.query_id AS id_a, a.cand_id AS id_b,
+           a.rn AS rank_ab, b.rn AS rank_ba, a.score
+    FROM topk a JOIN topk b
+      ON b.query_id = a.cand_id AND b.cand_id = a.query_id
+    WHERE a.query_id < a.cand_id
+    """,
+    doc=f"X86 mutual k-NN pairs (reciprocal top-{K} cosine): kept only "
+        "when each vector ranks the other inside its own top-k — the "
+        "high-precision matching rule behind dataset alignment and "
+        "dedup confidence scoring. One top-k pass; the reciprocity "
+        "check is a self-join on top-k-sized rows (corpus never "
+        "re-scanned). Brute-force scoring here; at corpus scale the "
+        "same reciprocity join runs over the IVF probe's top-k output "
+        "unchanged.",
+    tags=("X86", "X17", "X12", "X3"),
+)
+def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..caching import persist_tracked
+    topk = persist_tracked(S.topk_cosine(emb, emb, K))
+    a = topk.select(F.col("query_id").alias("id_a"),
+                    F.col("cand_id").alias("id_b"),
+                    F.col("rn").alias("rank_ab"), "score")
+    b = topk.select(F.col("query_id").alias("id_b"),
+                    F.col("cand_id").alias("id_a"),
+                    F.col("rn").alias("rank_ba"))
+    return (a.join(b, ["id_a", "id_b"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "rank_ab", "rank_ba", "score"))

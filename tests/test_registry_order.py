@@ -73,6 +73,7 @@ DEFERRED: set[str] = {
     "km_survival_purchase",     # X83
     "dedup_keep_best",          # X84
     "cusum_changepoint",        # X85
+    "mutual_knn_pairs",         # X86
 }
 
 

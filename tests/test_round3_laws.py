@@ -418,3 +418,15 @@ def test_cusum_recurrence_identity(spark, sf_dir):
         assert abs(r["cusum_pos"] - sp) < 1e-3
         assert abs(r["cusum_neg"] - sn) < 1e-3
         assert r["alarm"] == (1 if (sp > CUSUM_H or sn > CUSUM_H) else 0)
+
+
+def test_mutual_knn_is_symmetric_subset_of_topk(spark, sf_dir):
+    from etl_airflow_spotify_spark.queries.similarity import K
+    rows = _rows("mutual_knn_pairs", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 1 <= r["rank_ab"] <= K and 1 <= r["rank_ba"] <= K
+    # reciprocity: each unordered pair appears exactly once
+    pairs = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
