@@ -131,6 +131,8 @@ HEADLINE = [
     "dedup_keep_best",
     "cusum_changepoint",
     "mutual_knn_pairs",
+    "phrase_search",
+    "pareto_revenue_cut",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -1484,3 +1484,79 @@ def ols_crossval_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fold", n_tr.cast("long"), F.col("n").alias("n_test"),
         F.round(b, 4).alias("slope"), F.round(a, 4).alias("intercept"),
         F.round(1 - sse / sst, 4).alias("r2_test"))
+
+
+# --------------------------------------------------------------------------
+# X88: Pareto contribution cut — the smallest set of parts covering 80%
+# of revenue. The corpus pass is one part-keyed aggregate; the global
+# cumulative-share window runs on the PART-cardinality revenue table
+# (bounded by the part domain, not the fact volume), the same
+# bounded-window argument as the daily-table detectors.
+# --------------------------------------------------------------------------
+PARETO_TARGET = 0.80
+
+
+@register(
+    "pareto_revenue_cut",
+    f"""
+    WITH rev AS (
+        -- cast the EXACT 2-decimal inputs to DECIMAL before the
+        -- multiply: casting the double product instead hits engine
+        -- rounding-mode differences on half-way cents
+        SELECT l_partkey,
+               SUM(l_extendedprice::DECIMAL(12,2)
+                   * (1 - l_discount::DECIMAL(4,2))) AS r
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, CAST(r AS DOUBLE) AS revenue,
+               -- round in the exact DECIMAL domain: ROUND(double, 2)
+               -- breaks half-cent ties differently across engines
+               CAST(ROUND(r, 2) AS DOUBLE) AS revenue_out,
+               SUM(CAST(r AS DOUBLE)) OVER (ORDER BY r DESC, l_partkey)
+                   AS cum,
+               SUM(CAST(r AS DOUBLE)) OVER () AS tot,
+               CAST(ROW_NUMBER() OVER (ORDER BY r DESC, l_partkey)
+                    AS BIGINT) AS rnk
+        FROM rev
+    )
+    SELECT l_partkey, rnk, revenue_out AS revenue,
+           ROUND(cum / tot, 6) AS cum_share
+    FROM ranked
+    WHERE cum - revenue < tot * {PARETO_TARGET}
+    """,
+    doc=f"X88 Pareto 80/20 cut: the minimal prefix of parts (by "
+        "discounted revenue) whose cumulative share reaches "
+        f"{PARETO_TARGET:.0%}. Per-part revenue folds as exact DECIMAL "
+        "(money sums over thousands of groups flip ROUND otherwise); "
+        "the cumulative window runs on the part-cardinality table. A "
+        "row is kept while the share BEFORE it is under the target, "
+        "which is exactly the minimal covering prefix. The "
+        "concentration query behind assortment and storage-tiering "
+        "decisions.",
+    tags=("X88", "X11", "X12", "X7"),
+)
+def pareto_revenue_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rev = (li.groupBy("l_partkey")
+           .agg(F.sum(price * (F.lit(1) - disc)).alias("r")))
+    wd = Window.orderBy(F.desc("r"), F.asc("l_partkey"))
+    cum = Window.orderBy(F.desc("r"), F.asc("l_partkey")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = rev.select(
+        "l_partkey", F.col("r").cast("double").alias("revenue"),
+        # round in the exact DECIMAL domain, then cast (half-cent ties)
+        F.round(F.col("r"), 2).cast("double").alias("revenue_out"),
+        F.sum(F.col("r").cast("double")).over(cum).alias("cum"),
+        F.sum(F.col("r").cast("double")).over(
+            Window.partitionBy()).alias("tot"),
+        F.row_number().over(wd).cast("long").alias("rnk"))
+    return (ranked
+            .filter(F.col("cum") - F.col("revenue")
+                    < F.col("tot") * PARETO_TARGET)
+            .select("l_partkey", "rnk",
+                    F.col("revenue_out").alias("revenue"),
+                    F.round(F.col("cum") / F.col("tot"), 6)
+                    .alias("cum_share")))

@@ -961,3 +961,60 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_words", "n_bpe_tokens",
                     F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 4)
                     .alias("chars_per_token")))
+
+
+# --------------------------------------------------------------------------
+# X87: positional phrase search — conjunctive posting-list intersection
+# with position adjacency, the IR primitive behind exact-phrase and
+# proximity queries. The postings frame is term-filtered BEFORE any
+# join (two narrow posting lists, not the corpus), and the adjacency
+# check is an equi-join on (doc, position+1) — index semantics, not a
+# rescan; a LIKE/regex scan of every document is the anti-pattern this
+# operator exists to replace.
+# --------------------------------------------------------------------------
+PHRASE = ("table", "scan")
+
+
+@register(
+    "phrase_search",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(range(1, len(ts) + 1)) AS pos, unnest(ts) AS w
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS ts
+              FROM documents)
+    ),
+    a AS (SELECT doc_id, pos FROM toks WHERE w = '{PHRASE[0]}'),
+    b AS (SELECT doc_id, pos FROM toks WHERE w = '{PHRASE[1]}')
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(a.pos) AS BIGINT) AS first_pos
+    FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.doc_id
+    """,
+    doc=f"X87 positional phrase search for '{PHRASE[0]} {PHRASE[1]}': "
+        "term-filtered posting lists (doc, position) intersected on "
+        "(doc, pos+1) — the conjunctive positional-index primitive "
+        "behind exact-phrase and proximity retrieval. The join inputs "
+        "are term-selective posting lists, never the corpus; extending "
+        "to n terms chains the same adjacency join. Reports per-doc "
+        "match counts and first occurrence.",
+    tags=("X87", "X18", "X3", "X12"),
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .alias("pos0", "w")).select(
+            "doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    a = toks.filter(F.col("w") == PHRASE[0]).select("doc_id", "pos")
+    b = toks.filter(F.col("w") == PHRASE[1]) \
+            .select(F.col("doc_id").alias("doc_b"),
+                    F.col("pos").alias("pos_b"))
+    return (a.join(b, (F.col("doc_b") == F.col("doc_id"))
+                   & (F.col("pos_b") == F.col("pos") + 1))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_matches"),
+                 F.min("pos").cast("long").alias("first_pos")))

@@ -74,6 +74,8 @@ DEFERRED: set[str] = {
     "dedup_keep_best",          # X84
     "cusum_changepoint",        # X85
     "mutual_knn_pairs",         # X86
+    "phrase_search",            # X87
+    "pareto_revenue_cut",       # X88
 }
 
 

@@ -430,3 +430,36 @@ def test_mutual_knn_is_symmetric_subset_of_topk(spark, sf_dir):
     # reciprocity: each unordered pair appears exactly once
     pairs = [(r["id_a"], r["id_b"]) for r in rows]
     assert len(pairs) == len(set(pairs))
+
+
+def test_phrase_search_matches_direct_scan(spark, sf_dir):
+    import duckdb
+    from etl_airflow_spotify_spark.queries.text import PHRASE
+    rows = {r["doc_id"]: r for r in _rows("phrase_search", spark, sf_dir)}
+    ref = duckdb.sql(f"""
+        SELECT doc_id, ts FROM (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+            FROM '{sf_dir}/documents.parquet')""").fetchall()
+    for doc_id, ts in ref:
+        n = sum(1 for i in range(len(ts) - 1)
+                if ts[i] == PHRASE[0] and ts[i + 1] == PHRASE[1])
+        if n:
+            assert rows[doc_id]["n_matches"] == n
+        else:
+            assert doc_id not in rows
+
+
+def test_pareto_cut_is_minimal_covering_prefix(spark, sf_dir):
+    from etl_airflow_spotify_spark.queries.relational import PARETO_TARGET
+    rows = sorted(_rows("pareto_revenue_cut", spark, sf_dir),
+                  key=lambda r: r["rnk"])
+    assert rows
+    # ranks form a contiguous prefix 1..n
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    # last kept row crosses the target; the one before it does not
+    assert rows[-1]["cum_share"] >= PARETO_TARGET - 1e-6
+    if len(rows) > 1:
+        assert rows[-2]["cum_share"] < PARETO_TARGET
+    # shares strictly increase
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_share"] > a["cum_share"]
