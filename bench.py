@@ -133,6 +133,7 @@ HEADLINE = [
     "mutual_knn_pairs",
     "phrase_search",
     "pareto_revenue_cut",
+    "multimodal_ahash_dedup",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

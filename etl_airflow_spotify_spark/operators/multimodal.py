@@ -225,3 +225,62 @@ def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
                                 "embedding": emb})
 
     return media.select("media_id", "content").mapInPandas(run, schema=schema)
+
+
+AHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("h1", LongType()),   # perceptual-hash bits 0-59
+    StructField("h2", LongType()),   # bits 60-63
+])
+
+
+def perceptual_ahash(media: DataFrame,
+                     content_col: str = "content") -> DataFrame:
+    """Average-hash (aHash) of the decoded payload via Arrow-batched
+    mapInPandas — the perceptual-dedup signature for media columns.
+    The payload stream splits into 64 contiguous chunks; bit k is set
+    when chunk k's mean exceeds the global mean. All comparisons are
+    cross-multiplied integer sums (no float means), so the signature
+    is EXACTLY reproducible by a SQL twin — unusual for a perceptual
+    hash, and what lets the dedup be hash-checked end to end. With a
+    real decoder the chunk means come from pixel/sample values; the
+    chunking, packing and banding stay identical."""
+    cols = media.select(F.col("media_id"), F.col(content_col).alias("c"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            h1s, h2s = [], []
+            for b in pdf["c"]:
+                codes = [ord(ch) for ch in bytes(b)[12:].decode("utf-8")]
+                L = len(codes)
+                if L == 0:
+                    h1s.append(0); h2s.append(0)
+                    continue
+                sums = [0] * 64
+                cnts = [0] * 64
+                for i, c in enumerate(codes):
+                    k = (i * 64) // L
+                    sums[k] += c
+                    cnts[k] += 1
+                ts, tn = sum(sums), L
+                bits = [1 if sums[k] * tn > ts * cnts[k] else 0
+                        for k in range(64)]
+                h1s.append(sum(bits[k] << k for k in range(60)))
+                h2s.append(sum(bits[60 + k] << k for k in range(4)))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "h1": h1s, "h2": h2s})
+
+    return cols.mapInPandas(run, AHASH_SCHEMA)
+
+
+def ahash_band_cols(h1: Column, h2: Column) -> list[Column]:
+    """4 x 16-bit LSH bands over the packed (h1 bits 0-59, h2 bits
+    60-63) signature."""
+    m16 = F.lit(0xFFFF)
+    return [
+        h1.bitwiseAND(m16),
+        F.shiftrightunsigned(h1, 16).bitwiseAND(m16),
+        F.shiftrightunsigned(h1, 32).bitwiseAND(m16),
+        F.shiftrightunsigned(h1, 48).bitwiseAND(F.lit(0xFFF))
+        .bitwiseOR(F.shiftleft(h2, 12)),
+    ]

@@ -281,3 +281,135 @@ def map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(props)), ",").alias("keys_sorted"),
         F.size(props).cast("long").alias("n_keys"),
     )
+
+
+# --------------------------------------------------------------------------
+# X89: perceptual near-dup detection on MEDIA columns — the multimodal
+# twin of text MinHash. aHash signatures come out of the Arrow decode
+# UDF; candidates from 4x16-bit band buckets (JVM-side, the SimHash
+# idiom); hamming verify only on candidates. The corpus plants
+# "re-encoded" copies whose every code point is shifted by +1 — the
+# brightness-shift invariance aHash is FAMOUS for (a uniform shift
+# cancels exactly in the cross-multiplied mean comparison, so planted
+# pairs land at hamming 0 while the nearest natural pair sits at 10).
+# The integer-exact chunk comparison makes the whole perceptual
+# pipeline SQL-replayable, so the dedup is hash-checked, not demoed.
+# --------------------------------------------------------------------------
+AHASH_MAX_HAMMING = 4
+AHASH_N_PLANT = 40
+AHASH_PLANT_OFFSET = 1_000_000
+
+
+def _ahash_oracle() -> str:
+    bands = " OR ".join([
+        "(a.h1 & 65535) = (b.h1 & 65535)",
+        "((a.h1 >> 16) & 65535) = ((b.h1 >> 16) & 65535)",
+        "((a.h1 >> 32) & 65535) = ((b.h1 >> 32) & 65535)",
+        "(((a.h1 >> 48) & 4095) | (a.h2 << 12)) = "
+        "(((b.h1 >> 48) & 4095) | (b.h2 << 12))",
+    ])
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text, 0 AS sh FROM documents
+        UNION ALL
+        SELECT doc_id + {AHASH_PLANT_OFFSET}, text, 1 FROM documents
+        WHERE doc_id < {AHASH_N_PLANT}
+    ),
+    d AS (SELECT doc_id, text, sh, length(text) AS L FROM corpus
+          WHERE length(text) > 0),
+    ch AS (
+        SELECT doc_id, L, sh, unnest(range(1, L + 1)) AS i, text
+        FROM d
+    ),
+    cs AS (
+        SELECT doc_id, ((i - 1) * 64) // L AS k,
+               SUM(unicode(substr(text, CAST(i AS INTEGER), 1)) + sh) AS s,
+               COUNT(*) AS n
+        FROM ch GROUP BY doc_id, ((i - 1) * 64) // L
+    ),
+    tot AS (SELECT doc_id, SUM(s) AS ts, SUM(n) AS tn
+            FROM cs GROUP BY doc_id),
+    bits AS (
+        SELECT cs.doc_id, k,
+               CASE WHEN s * tn > ts * n THEN 1::BIGINT ELSE 0 END AS bit
+        FROM cs JOIN tot ON cs.doc_id = tot.doc_id
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN k < 60 THEN bit << k ELSE 0 END)
+                    AS BIGINT) AS h1,
+               CAST(SUM(CASE WHEN k >= 60 THEN bit << (k - 60) ELSE 0 END)
+                    AS BIGINT) AS h2
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2))
+                AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2))
+          <= {AHASH_MAX_HAMMING}
+      AND ({bands})
+    """
+
+
+@register(
+    "multimodal_ahash_dedup",
+    _ahash_oracle(),
+    doc=f"X89 perceptual near-dup media pairs: average-hash signatures "
+        "from the Arrow-batched decode UDF (64 payload chunks, bit = "
+        "chunk mean > global mean via cross-multiplied INTEGER sums — "
+        "no float means, so the perceptual hash is SQL-replayable), "
+        "4x16-bit band buckets for candidates, hamming <= "
+        f"{AHASH_MAX_HAMMING} verify on candidates only. The corpus "
+        f"plants {AHASH_N_PLANT} re-encoded copies with every code "
+        "point shifted +1 — the brightness-shift invariance aHash "
+        "exists for (uniform shifts cancel exactly in the integer "
+        "mean comparison), so every plant must surface at hamming 0 "
+        "while the nearest natural pair sits at 10. The oracle "
+        "brute-forces pairs under the identical band + hamming "
+        "predicate, certifying the banded pipeline end to end.",
+    tags=("X89", "X19", "X16", "X24"),
+)
+def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import StringType
+
+    from ..caching import persist_tracked
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+
+    @pandas_udf(StringType())
+    def brighten(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: "".join(chr(ord(c) + 1) for c in t))
+
+    plants = (docs.filter(F.col("doc_id") < AHASH_N_PLANT)
+              .select((F.col("doc_id") + AHASH_PLANT_OFFSET).alias("doc_id"),
+                      brighten(F.col("text")).alias("text"),
+                      "source", "lang",
+                      # header width differs too, so a bytewise
+                      # content-md5 match could never find these pairs
+                      # — only the perceptual hash can
+                      (F.col("n_chars") + 1).alias("n_chars")))
+    corpus = docs.select("doc_id", "text", "source", "lang", "n_chars")         .unionByName(plants)
+    media = M.build_media_from_documents(corpus)
+    sig = persist_tracked(M.perceptual_ahash(media))
+    bands = M.ahash_band_cols(F.col("h1"), F.col("h2"))
+    keyed = sig.select(
+        "media_id", "h1", "h2",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"), b.alias("key"))
+            for i, b in enumerate(bands)])).alias("bk"))         .select("media_id", "h1", "h2",
+                F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = keyed.select(F.col("media_id").alias("id_a"),
+                     F.col("h1").alias("h1a"), F.col("h2").alias("h2a"),
+                     "band", "key")
+    b = keyed.select(F.col("media_id").alias("id_b"),
+                     F.col("h1").alias("h1b"), F.col("h2").alias("h2b"),
+                     "band", "key")
+    ham = (F.bit_count(F.col("h1a").bitwiseXOR(F.col("h1b")))
+           + F.bit_count(F.col("h2a").bitwiseXOR(F.col("h2b"))))
+    return (a.join(b, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= AHASH_MAX_HAMMING))

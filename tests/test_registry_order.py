@@ -76,6 +76,7 @@ DEFERRED: set[str] = {
     "mutual_knn_pairs",         # X86
     "phrase_search",            # X87
     "pareto_revenue_cut",       # X88
+    "multimodal_ahash_dedup",   # X89
 }
 
 

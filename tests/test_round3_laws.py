@@ -463,3 +463,14 @@ def test_pareto_cut_is_minimal_covering_prefix(spark, sf_dir):
     # shares strictly increase
     for a, b in zip(rows, rows[1:]):
         assert b["cum_share"] > a["cum_share"]
+
+
+def test_ahash_finds_every_brightness_plant(spark, sf_dir):
+    from etl_airflow_spotify_spark.queries.multimodal import (
+        AHASH_N_PLANT, AHASH_PLANT_OFFSET)
+    rows = _rows("multimodal_ahash_dedup", spark, sf_dir)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    for i in range(AHASH_N_PLANT):
+        # the uniform +1 shift cancels exactly in the integer mean
+        # comparison -> identical signature, hamming 0
+        assert pairs.get((i, i + AHASH_PLANT_OFFSET)) == 0
