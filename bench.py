@@ -134,6 +134,7 @@ HEADLINE = [
     "phrase_search",
     "pareto_revenue_cut",
     "multimodal_ahash_dedup",
+    "isotonic_calibration",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -1245,3 +1245,132 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (a.join(b, ["id_a", "id_b"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "rank_ab", "rank_ba", "score"))
+
+
+# --------------------------------------------------------------------------
+# X90: isotonic regression (PAV) over the reliability bins — the
+# calibration step that turns raw scores into monotone probabilities.
+# The sequential pool-adjacent-violators loop is replaced by its
+# minimax identity fitted_i = max_{j<=i} min_{k>=i} avg(y[j..k]) over
+# prefix sums, so the whole fit is three joins on the BIN-cardinality
+# table (bounded by score range / bin width, independent of corpus
+# size). Averages fold from exact BIGINT prefix sums.
+# --------------------------------------------------------------------------
+ISO_BIN_W = 0.01  # finer than X76: the isotonic pool needs >2 bins
+
+
+def _iso_bins_sql() -> str:
+    """The reliability cells (bin, n, n_correct) as a CTE, on the
+    finer ISO_BIN_W grid."""
+    return f"""
+    v AS (
+        SELECT vec_id, label, pos, embedding[pos]::DOUBLE AS val
+        FROM embeddings, generate_series(1, {DIM}) AS g(pos)
+    ),
+    cent AS (
+        SELECT label AS pred, pos, ROUND(AVG(val), 6) AS cval
+        FROM v GROUP BY label, pos
+    ),
+    score AS (
+        SELECT v.vec_id, v.label, c.pred,
+               ROUND(SUM(v.val * c.cval), 4) AS s
+        FROM v JOIN cent c ON v.pos = c.pos
+        GROUP BY v.vec_id, v.label, c.pred
+    ),
+    best AS (
+        SELECT vec_id, label, pred, s
+        FROM (SELECT vec_id, label, pred, s,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY s DESC, pred) AS rn
+              FROM score)
+        WHERE rn = 1
+    ),
+    cells AS (
+        SELECT CAST(FLOOR(s / {ISO_BIN_W}) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct
+        FROM best GROUP BY 1
+    )"""
+
+
+@register(
+    "isotonic_calibration",
+    f"""
+    WITH {_iso_bins_sql()},
+    pre AS (
+        SELECT bin, n, n_correct,
+               CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cw,
+               CAST(SUM(n_correct) OVER (ORDER BY bin) AS BIGINT) AS cy
+        FROM cells
+    ),
+    seg AS (  -- avg over the bin segment [j..k], from prefix sums
+        SELECT j.bin AS jb, k.bin AS kb,
+               CAST(k.cy - j.cy + j.n_correct AS DOUBLE)
+               / (k.cw - j.cw + j.n) AS seg_avg
+        FROM pre j JOIN pre k ON j.bin <= k.bin
+    ),
+    inner_min AS (  -- for each (i, j<=i): min over k>=i
+        SELECT i.bin AS ib, s.jb, MIN(s.seg_avg) AS m
+        FROM pre i JOIN seg s ON s.jb <= i.bin AND s.kb >= i.bin
+        GROUP BY i.bin, s.jb
+    ),
+    fit AS (SELECT ib AS bin, MAX(m) AS iso FROM inner_min GROUP BY ib)
+    SELECT c.bin, c.n, c.n_correct,
+           ROUND(CAST(c.n_correct AS DOUBLE) / c.n, 4) AS emp_accuracy,
+           ROUND(f.iso, 6) AS iso_accuracy
+    FROM cells c JOIN fit f ON f.bin = c.bin
+    """,
+    doc="X90 isotonic calibration (pool-adjacent-violators) of the "
+        "Rocchio reliability curve: the sequential PAV loop becomes "
+        "the minimax identity max_(j<=i) min_(k>=i) avg(y[j..k]) over "
+        "prefix sums — three joins on the bin-cardinality table "
+        "(bounded by the score range, independent of corpus size), no "
+        "loop, no UDF. Averages fold from exact BIGINT prefix sums. "
+        "The monotone score->probability map a confidence-gated "
+        "auto-labeller actually deploys.",
+    tags=("X90", "X76", "X35", "X7"),
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(e, "label", "embedding", digits=6)
+    best = S.assign_nearest_centroid(
+        e, cents, id_col="vec_id", vec_col="embedding",
+        label_col="label", score_digits=4)
+    correct = F.when(F.col("pred") == F.col("label"), 1).otherwise(0)
+    cells = persist_tracked(
+        best.groupBy(F.floor(F.col("score") / ISO_BIN_W).cast("long")
+                     .alias("bin"))
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum(correct).cast("long").alias("n_correct")))
+    from pyspark.sql import Window
+    w = Window.orderBy("bin") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = cells.select(
+        "bin", "n", "n_correct",
+        F.sum("n").over(w).cast("long").alias("cw"),
+        F.sum("n_correct").over(w).cast("long").alias("cy"))
+    pre = persist_tracked(pre)
+    j = pre.select(F.col("bin").alias("jb"), F.col("n").alias("jn"),
+                   F.col("n_correct").alias("jy"),
+                   F.col("cw").alias("jcw"), F.col("cy").alias("jcy"))
+    k = pre.select(F.col("bin").alias("kb"),
+                   F.col("cw").alias("kcw"), F.col("cy").alias("kcy"))
+    seg = (j.join(k, F.col("jb") <= F.col("kb"))
+           .select("jb", "kb",
+                   ((F.col("kcy") - F.col("jcy") + F.col("jy"))
+                    .cast("double")
+                    / (F.col("kcw") - F.col("jcw") + F.col("jn")))
+                   .alias("seg_avg")))
+    i = pre.select(F.col("bin").alias("ib"))
+    inner = (i.join(seg, (F.col("jb") <= F.col("ib"))
+                    & (F.col("kb") >= F.col("ib")))
+             .groupBy("ib", "jb").agg(F.min("seg_avg").alias("m")))
+    fit = inner.groupBy("ib").agg(F.max("m").alias("iso"))
+    return (cells.join(fit, cells.bin == fit.ib)
+            .select("bin", "n", "n_correct",
+                    F.round(F.col("n_correct").cast("double") / F.col("n"),
+                            4).alias("emp_accuracy"),
+                    F.round("iso", 6).alias("iso_accuracy")))

@@ -77,6 +77,7 @@ DEFERRED: set[str] = {
     "phrase_search",            # X87
     "pareto_revenue_cut",       # X88
     "multimodal_ahash_dedup",   # X89
+    "isotonic_calibration",     # X90
 }
 
 

@@ -474,3 +474,17 @@ def test_ahash_finds_every_brightness_plant(spark, sf_dir):
         # the uniform +1 shift cancels exactly in the integer mean
         # comparison -> identical signature, hamming 0
         assert pairs.get((i, i + AHASH_PLANT_OFFSET)) == 0
+
+
+def test_isotonic_fit_is_monotone_and_mass_preserving(spark, sf_dir):
+    rows = sorted(_rows("isotonic_calibration", spark, sf_dir),
+                  key=lambda r: r["bin"])
+    assert len(rows) >= 3
+    for a, b in zip(rows, rows[1:]):
+        assert b["iso_accuracy"] >= a["iso_accuracy"] - 1e-9  # monotone
+    for r in rows:
+        assert 0.0 <= r["iso_accuracy"] <= 1.0
+    # PAV preserves the weighted mean of the response
+    tot_w = sum(r["n"] for r in rows)
+    assert abs(sum(r["n"] * r["iso_accuracy"] for r in rows)
+               - sum(r["n_correct"] for r in rows)) < 1e-3 * tot_w
