@@ -135,6 +135,7 @@ HEADLINE = [
     "pareto_revenue_cut",
     "multimodal_ahash_dedup",
     "isotonic_calibration",
+    "multimodal_silence_segments",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -413,3 +413,94 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", ham.cast("long").alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= AHASH_MAX_HAMMING))
+
+
+# --------------------------------------------------------------------------
+# X91: silence segmentation on audio media — runs of low-amplitude
+# samples become (start, end) segments via the gap-and-island trick
+# (pos - row_number is constant within a run), entirely on the decoded
+# sample stream. The islands window partitions BY MEDIA, so no window
+# ever spans more than one recording — the bounded-window argument that
+# makes it safe at any corpus size.
+# --------------------------------------------------------------------------
+SILENCE_THRESHOLD = 101   # sample value (code point) strictly below
+SILENCE_MIN_LEN = 3       # minimum run length to report
+
+
+@register(
+    "multimodal_silence_segments",
+    f"""
+    WITH wav AS (
+        SELECT doc_id AS media_id, text, length(text) AS L
+        FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0
+    ),
+    samples AS (
+        SELECT media_id, unnest(range(1, L + 1)) AS pos, text
+        FROM wav
+    ),
+    quiet AS (
+        SELECT media_id, pos
+        FROM samples
+        WHERE unicode(substr(text, CAST(pos AS INTEGER), 1))
+              < {SILENCE_THRESHOLD}
+    ),
+    isl AS (
+        SELECT media_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY media_id
+                                        ORDER BY pos) AS grp
+        FROM quiet
+    )
+    SELECT media_id, CAST(MIN(pos) AS BIGINT) AS seg_start,
+           CAST(MAX(pos) AS BIGINT) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS seg_len
+    FROM isl GROUP BY media_id, grp
+    HAVING COUNT(*) >= {SILENCE_MIN_LEN}
+    """,
+    doc=f"X91 silence segmentation for audio media: decoded samples "
+        f"below {SILENCE_THRESHOLD} collapse into maximal runs via "
+        "gap-and-island (pos - row_number constant within a run), "
+        f"keeping runs of length >= {SILENCE_MIN_LEN}. All windows "
+        "partition by media_id, so nothing ever spans one recording — "
+        "the per-media bounded-window shape. The preprocessing step "
+        "behind voice-activity detection and audio chunking for ASR "
+        "training data; with a real decoder only the amplitude source "
+        "changes.",
+    tags=("X91", "X19", "X11", "X24"),
+)
+def multimodal_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    media = M.build_media_from_documents(docs).filter(
+        M.sniff_mime(F.col("content")) == "audio/wav")
+
+    # Arrow decode: payload bytes -> per-sample rows (media_id, pos, amp)
+    out_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("pos", LongType()),
+        StructField("amp", IntegerType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            ids, poss, amps = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                codes = bytes(b)[12:].decode("utf-8")
+                for i, c in enumerate(codes, start=1):
+                    ids.append(mid)
+                    poss.append(i)
+                    amps.append(ord(c))
+            yield pd.DataFrame({"media_id": ids, "pos": poss, "amp": amps})
+
+    samples = media.select("media_id", "content").mapInPandas(run, out_schema)
+    quiet = samples.filter(F.col("amp") < SILENCE_THRESHOLD)
+    w = Window.partitionBy("media_id").orderBy("pos")
+    isl = quiet.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (isl.groupBy("media_id", "grp")
+            .agg(F.min("pos").cast("long").alias("seg_start"),
+                 F.max("pos").cast("long").alias("seg_end"),
+                 F.count("*").cast("long").alias("seg_len"))
+            .filter(F.col("seg_len") >= SILENCE_MIN_LEN)
+            .select("media_id", "seg_start", "seg_end", "seg_len"))

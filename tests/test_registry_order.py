@@ -78,6 +78,7 @@ DEFERRED: set[str] = {
     "pareto_revenue_cut",       # X88
     "multimodal_ahash_dedup",   # X89
     "isotonic_calibration",     # X90
+    "multimodal_silence_segments",  # X91
 }
 
 

@@ -488,3 +488,32 @@ def test_isotonic_fit_is_monotone_and_mass_preserving(spark, sf_dir):
     tot_w = sum(r["n"] for r in rows)
     assert abs(sum(r["n"] * r["iso_accuracy"] for r in rows)
                - sum(r["n_correct"] for r in rows)) < 1e-3 * tot_w
+
+
+def test_silence_segments_are_maximal_disjoint_runs(spark, sf_dir):
+    import duckdb
+    from etl_airflow_spotify_spark.queries.multimodal import (
+        SILENCE_MIN_LEN, SILENCE_THRESHOLD)
+    rows = _rows("multimodal_silence_segments", spark, sf_dir)
+    assert rows
+    texts = dict(duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE doc_id % 3 = 0").fetchall())
+    by_media: dict = {}
+    for r in rows:
+        assert r["seg_len"] == r["seg_end"] - r["seg_start"] + 1
+        assert r["seg_len"] >= SILENCE_MIN_LEN
+        t = texts[r["media_id"]]
+        # every position inside the run is quiet; boundaries are maximal
+        for p in range(r["seg_start"], r["seg_end"] + 1):
+            assert ord(t[p - 1]) < SILENCE_THRESHOLD
+        if r["seg_start"] > 1:
+            assert ord(t[r["seg_start"] - 2]) >= SILENCE_THRESHOLD
+        if r["seg_end"] < len(t):
+            assert ord(t[r["seg_end"]]) >= SILENCE_THRESHOLD
+        by_media.setdefault(r["media_id"], []).append(
+            (r["seg_start"], r["seg_end"]))
+    for segs in by_media.values():
+        segs.sort()
+        for (s1, e1), (s2, e2) in zip(segs, segs[1:]):
+            assert e1 < s2  # disjoint
