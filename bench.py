@@ -136,6 +136,7 @@ HEADLINE = [
     "multimodal_ahash_dedup",
     "isotonic_calibration",
     "multimodal_silence_segments",
+    "classifier_auc",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

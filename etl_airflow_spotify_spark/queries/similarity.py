@@ -1259,9 +1259,9 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ISO_BIN_W = 0.01  # finer than X76: the isotonic pool needs >2 bins
 
 
-def _iso_bins_sql() -> str:
-    """The reliability cells (bin, n, n_correct) as a CTE, on the
-    finer ISO_BIN_W grid."""
+def _rocchio_best_sql() -> str:
+    """CTE chain computing the Rocchio winner (vec_id, label, pred, s)
+    — shared by the calibration (X90) and AUC (X92) oracles."""
     return f"""
     v AS (
         SELECT vec_id, label, pos, embedding[pos]::DOUBLE AS val
@@ -1284,7 +1284,13 @@ def _iso_bins_sql() -> str:
                                         ORDER BY s DESC, pred) AS rn
               FROM score)
         WHERE rn = 1
-    ),
+    )"""
+
+
+def _iso_bins_sql() -> str:
+    """The reliability cells (bin, n, n_correct) as a CTE, on the
+    finer ISO_BIN_W grid."""
+    return _rocchio_best_sql() + f""",
     cells AS (
         SELECT CAST(FLOOR(s / {ISO_BIN_W}) AS BIGINT) AS bin,
                CAST(COUNT(*) AS BIGINT) AS n,
@@ -1374,3 +1380,78 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_correct").cast("double") / F.col("n"),
                             4).alias("emp_accuracy"),
                     F.round("iso", 6).alias("iso_accuracy")))
+
+
+# --------------------------------------------------------------------------
+# X92: ROC AUC by the Mann-Whitney rank-sum identity, computed on the
+# SCORE-VALUE table: scores sit on the 1e-4 rounding grid, so distinct
+# values are bounded by the score range — the cumulative window runs on
+# value-cardinality rows, never a global sort of the corpus. Tie
+# handling is the exact midrank convention, and 2U stays in BIGINT all
+# the way (AUC = one division at the end).
+# --------------------------------------------------------------------------
+@register(
+    "classifier_auc",
+    f"""
+    WITH {_rocchio_best_sql()},
+    vals AS (
+        SELECT s,
+               CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN pred <> label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_neg
+        FROM best GROUP BY s
+    ),
+    cum AS (
+        SELECT s, n_pos, n_neg,
+               CAST(COALESCE(SUM(n_neg) OVER (
+                   ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+        FROM vals
+    ),
+    u AS (
+        SELECT CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS u2,
+               CAST(SUM(n_pos) AS BIGINT) AS p,
+               CAST(SUM(n_neg) AS BIGINT) AS n
+        FROM cum
+    )
+    SELECT p AS n_pos, n AS n_neg,
+           ROUND(u2 / (2.0 * p * n), 6) AS auc
+    FROM u
+    """,
+    doc="X92 ROC AUC of the Rocchio confidence score separating correct "
+        "from incorrect predictions, via the Mann-Whitney identity "
+        "AUC = U/(P*N) with exact midrank tie handling. Computed on the "
+        "score-VALUE table (scores live on the 1e-4 grid, so distinct "
+        "values are range-bounded): one value aggregate, one ordered "
+        "cumulative window on value-cardinality rows, 2U in BIGINT "
+        "end to end — no global sort of the corpus, no float until the "
+        "single final division. The discrimination metric every "
+        "confidence-gating decision starts from.",
+    tags=("X92", "X76", "X35", "X7"),
+)
+def classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(e, "label", "embedding", digits=6)
+    best = S.assign_nearest_centroid(
+        e, cents, id_col="vec_id", vec_col="embedding",
+        label_col="label", score_digits=4)
+    pos = F.when(F.col("pred") == F.col("label"), 1).otherwise(0)
+    vals = (best.groupBy("score")
+            .agg(F.sum(pos).cast("long").alias("n_pos"),
+                 F.sum(1 - pos).cast("long").alias("n_neg")))
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.select(
+        "n_pos", "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).cast("long")
+        .alias("neg_below"))
+    u = cum.agg(
+        F.sum(F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg")))
+        .cast("long").alias("u2"),
+        F.sum("n_pos").cast("long").alias("p"),
+        F.sum("n_neg").cast("long").alias("n"))
+    return u.select(F.col("p").alias("n_pos"), F.col("n").alias("n_neg"),
+                    F.round(F.col("u2") / (2.0 * F.col("p") * F.col("n")),
+                            6).alias("auc"))

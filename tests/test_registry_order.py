@@ -79,6 +79,7 @@ DEFERRED: set[str] = {
     "multimodal_ahash_dedup",   # X89
     "isotonic_calibration",     # X90
     "multimodal_silence_segments",  # X91
+    "classifier_auc",           # X92
 }
 
 

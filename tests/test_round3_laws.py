@@ -517,3 +517,20 @@ def test_silence_segments_are_maximal_disjoint_runs(spark, sf_dir):
         segs.sort()
         for (s1, e1), (s2, e2) in zip(segs, segs[1:]):
             assert e1 < s2  # disjoint
+
+
+def test_auc_matches_direct_pairwise_computation(spark, sf_dir):
+    (row,) = _rows("classifier_auc", spark, sf_dir)
+    # recompute AUC pairwise from the assignment itself
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators import similarity as S
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(e, "label", "embedding", digits=6)
+    best = S.assign_nearest_centroid(e, cents).collect()
+    pos = [r["score"] for r in best if r["pred"] == r["label"]]
+    neg = [r["score"] for r in best if r["pred"] != r["label"]]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0
+               for p in pos for n in neg)
+    assert abs(row["auc"] - wins / (len(pos) * len(neg))) < 1e-6
+    assert 0.0 <= row["auc"] <= 1.0
