@@ -137,6 +137,8 @@ HEADLINE = [
     "isotonic_calibration",
     "multimodal_silence_segments",
     "classifier_auc",
+    "trending_parts_decay",
+    "user_burstiness",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -1783,3 +1783,72 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s_neg", 4).alias("cusum_neg"),
         F.when((F.col("s_pos") > CUSUM_H) | (F.col("s_neg") > CUSUM_H), 1)
         .otherwise(0).alias("alarm"))
+
+
+# --------------------------------------------------------------------------
+# X94: burstiness profile — are a user's events Poisson-spread or
+# bursty? Inter-arrival gaps (exact integer seconds from ordered
+# epoch-micro differences), then Fano factor (var/mean) and CV per
+# user, every statistic folding from exact BIGINT gap sums. One lag
+# window partitioned BY USER (bounded), one aggregate.
+# --------------------------------------------------------------------------
+MIN_GAPS = 5
+
+
+@register(
+    "user_burstiness",
+    f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us FROM events
+    ),
+    gaps AS (
+        SELECT user_id,
+               (us - LAG(us) OVER (PARTITION BY user_id ORDER BY us))
+               // 1000000 AS g
+        FROM ev
+    ),
+    stats AS (
+        SELECT user_id, CAST(COUNT(g) AS BIGINT) AS n,
+               CAST(SUM(g) AS BIGINT) AS s,
+               CAST(SUM(g * g) AS BIGINT) AS q
+        FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n AS n_gaps,
+           ROUND(CAST(s AS DOUBLE) / n, 2) AS mean_gap_s,
+           ROUND((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                 / (n - 1) / (CAST(s AS DOUBLE) / n), 4) AS fano,
+           ROUND(SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                      / (n - 1)) / (CAST(s AS DOUBLE) / n), 4) AS cv
+    FROM stats WHERE n >= {MIN_GAPS}
+    """,
+    doc=f"X94 burstiness per user (>= {MIN_GAPS} gaps): inter-arrival "
+        "gaps as exact integer seconds (ordered epoch-micro "
+        "differences, so any session-tz offset cancels), then Fano "
+        "factor (variance/mean — 1 for a Poisson process, >> 1 for "
+        "bursts) and coefficient of variation, all folded from exact "
+        "BIGINT gap sums with floats only in the final divisions. The "
+        "temporal feature separating scripted/bot traffic from humans.",
+    tags=("X94", "X11", "X7"),
+)
+def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    gaps = (ev.select("user_id", us.alias("us"))
+            .withColumn("prev", F.lag("us").over(w))
+            .filter(F.col("prev").isNotNull())
+            .select("user_id",
+                    F.expr("(us - prev) div 1000000").alias("g")))
+    stats = (gaps.groupBy("user_id")
+             .agg(F.count("g").cast("long").alias("n"),
+                  F.sum("g").cast("long").alias("s"),
+                  F.sum(F.col("g") * F.col("g")).cast("long").alias("q")))
+    n, sm, q = (F.col("n").cast("double"), F.col("s").cast("double"),
+                F.col("q").cast("double"))
+    var = (q - sm * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    mean = sm / F.col("n")
+    return (stats.filter(F.col("n") >= MIN_GAPS)
+            .select("user_id", F.col("n").alias("n_gaps"),
+                    F.round(mean, 2).alias("mean_gap_s"),
+                    F.round(var / mean, 4).alias("fano"),
+                    F.round(F.sqrt(var) / mean, 4).alias("cv")))

@@ -1560,3 +1560,77 @@ def pareto_revenue_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("revenue_out").alias("revenue"),
                     F.round(F.col("cum") / F.col("tot"), 6)
                     .alias("cum_share")))
+
+
+# --------------------------------------------------------------------------
+# X93: trending ranking under exponential time decay — "what is hot
+# NOW", the leaderboard variant where yesterday counts 0.9x as much.
+# The corpus pass is one (part, order-day) aggregate; decay weights
+# apply per (part, day) row (day-cardinality, not order-cardinality)
+# and snap to an integer micro grid, so the per-part fold is exact
+# BIGINT math regardless of partial-sum order.
+# --------------------------------------------------------------------------
+TREND_DECAY = 0.9
+TREND_TOPK = 20
+
+
+@register(
+    "trending_parts_decay",
+    f"""
+    WITH pd AS (
+        SELECT l.l_partkey,
+               (CAST(MAX(o.o_orderdate) OVER () AS DATE)
+                - CAST(o.o_orderdate AS DATE)) AS age_days,
+               l.l_orderkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    counts AS (
+        SELECT l_partkey, age_days, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pd GROUP BY l_partkey, age_days
+    ),
+    scored AS (
+        SELECT l_partkey,
+               CAST(SUM(cnt) AS BIGINT) AS n_lines,
+               CAST(SUM(cnt * CAST(ROUND(POWER({TREND_DECAY}, age_days)
+                                         * 1000000) AS BIGINT))
+                    AS BIGINT) AS score_micro
+        FROM counts GROUP BY l_partkey
+    )
+    SELECT l_partkey, n_lines,
+           ROUND(score_micro / 1000000.0, 4) AS decayed_score
+    FROM scored
+    ORDER BY score_micro DESC, l_partkey
+    LIMIT {TREND_TOPK}
+    """,
+    doc=f"X93 trending parts under exponential decay ({TREND_DECAY}/day "
+        "relative to the newest order date): one (part, age) aggregate, "
+        "decay weights snapped to an integer micro grid on the "
+        "day-cardinality rows, per-part folds in exact BIGINT — "
+        "partial-sum order cannot move the ranking. Deterministic "
+        f"top-{TREND_TOPK}. The freshness-weighted leaderboard every "
+        "recommendation home page runs.",
+    tags=("X93", "X7", "X12", "X3"),
+)
+def trending_parts_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od"))
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    mx = j.agg(F.max("od").alias("mx"))
+    counts = (j.crossJoin(F.broadcast(mx))
+              .select("l_partkey", F.datediff("mx", "od").alias("age_days"))
+              .groupBy("l_partkey", "age_days")
+              .agg(F.count("*").alias("cnt")))
+    w_micro = F.round(F.pow(F.lit(TREND_DECAY), F.col("age_days")) * 1e6,
+                      0).cast("long")
+    scored = (counts.groupBy("l_partkey")
+              .agg(F.sum("cnt").cast("long").alias("n_lines"),
+                   F.sum(F.col("cnt") * w_micro).cast("long")
+                   .alias("score_micro")))
+    return (scored
+            .orderBy(F.desc("score_micro"), F.asc("l_partkey"))
+            .limit(TREND_TOPK)
+            .select("l_partkey", "n_lines",
+                    F.round(F.col("score_micro") / 1e6, 4)
+                    .alias("decayed_score")))

@@ -80,6 +80,8 @@ DEFERRED: set[str] = {
     "isotonic_calibration",     # X90
     "multimodal_silence_segments",  # X91
     "classifier_auc",           # X92
+    "trending_parts_decay",     # X93
+    "user_burstiness",          # X94
 }
 
 

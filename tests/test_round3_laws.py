@@ -534,3 +534,24 @@ def test_auc_matches_direct_pairwise_computation(spark, sf_dir):
                for p in pos for n in neg)
     assert abs(row["auc"] - wins / (len(pos) * len(neg))) < 1e-6
     assert 0.0 <= row["auc"] <= 1.0
+
+
+def test_trending_decay_favors_recency(spark, sf_dir):
+    rows = _rows("trending_parts_decay", spark, sf_dir)
+    from etl_airflow_spotify_spark.queries.relational import TREND_TOPK
+    assert len(rows) == TREND_TOPK
+    for r in rows:
+        # the decayed score can never exceed the raw line count, and is
+        # positive whenever the part has any line at all
+        assert 0 < r["decayed_score"] <= r["n_lines"]
+
+
+def test_burstiness_statistics_are_consistent(spark, sf_dir):
+    rows = _rows("user_burstiness", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert r["mean_gap_s"] > 0
+        assert r["fano"] >= 0 and r["cv"] >= 0
+        # fano = cv^2 * mean (identity between the two dispersion forms)
+        assert abs(r["fano"] - r["cv"] ** 2 * r["mean_gap_s"]) \
+            < 0.02 * max(r["fano"], 1.0)
