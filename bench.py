@@ -139,6 +139,7 @@ HEADLINE = [
     "classifier_auc",
     "trending_parts_decay",
     "user_burstiness",
+    "stream_cdc_scd2",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

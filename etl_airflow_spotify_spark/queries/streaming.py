@@ -396,3 +396,83 @@ def stream_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(z, 4).alias("z"),
                     F.when(F.abs(z) > 2.5, 1).otherwise(0)
                     .alias("is_anomaly")))
+
+
+@register(
+    "stream_cdc_scd2",
+    """
+    WITH ch AS (
+        SELECT user_id AS c_custkey, ts, event_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               'cdc:' || CAST(user_id AS VARCHAR) AS c_name,
+               ROUND(value * 1000, 2) AS c_acctbal,
+               upper(event_type) AS c_mktsegment
+        FROM events
+    ),
+    base AS (
+        SELECT c_custkey, CAST(NULL AS TIMESTAMP) AS ts,
+               CAST(NULL AS BIGINT) AS event_id, 'I' AS op,
+               c_name, c_acctbal, c_mktsegment
+        FROM customer
+    ),
+    hist AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
+    v AS (
+        SELECT *, LEAD(ts) OVER (
+                   PARTITION BY c_custkey
+                   ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+               ) AS valid_to
+        FROM hist
+    )
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal,
+           c_mktsegment, ts AS valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM v WHERE op <> 'D'
+    """,
+    doc="X95 streaming CDC feed folded into an SCD2 history table: the "
+        "changelog arrives as 4 interleaved micro-batches; foreachBatch "
+        "appends each batch's change rows to a change store (a CDC "
+        "store grows with CHANGES, the dimension's churn, never the "
+        "fact volume), and the SCD2 fold — one union + one LEAD window "
+        "per key — runs on the accumulated store. SCD2 is a pure "
+        "function of the change multiset, so batch boundaries cannot "
+        "move a single validity interval and the batch oracle is "
+        "exact. The lakehouse dimension-history ingestion pattern.",
+    tags=("X95", "X31", "X23", "X11"),
+)
+def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..catalog import load_table
+    from ..operators.cdc import scd2_history
+    from ..streaming.windows import fold_stream_foreachbatch
+    from .maintenance import _customer_changes
+
+    changes = _customer_changes(spark, sf_dir)
+    suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    feed = os.path.join("spark-warehouse", f"scd2_feed_{suffix}")
+    store = os.path.join("spark-warehouse", f"scd2_store_{suffix}")
+    ckpt = os.path.join("spark-warehouse", f"scd2_ckpt_{suffix}")
+    for d in (feed, store, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    for i in range(4):
+        (changes.filter(F.pmod("event_id", F.lit(4)) == i)
+         .coalesce(1).write.mode("append").parquet(feed))
+
+    stream = (spark.readStream.schema(
+        changes.schema).option("maxFilesPerTrigger", 1).parquet(feed))
+
+    def fold(state, batch_df):
+        batch_df.write.mode("append").parquet(store)
+        return (state or 0) + 1
+
+    fold_stream_foreachbatch(stream, fold, ckpt)
+    acc = spark.read.parquet(store)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    hist = scd2_history(cust, acc, "c_custkey", "ts",
+                        seq_cols=["ts", "event_id"])
+    return hist.select(
+        "c_custkey", "c_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment", "valid_from", "valid_to", "is_current")

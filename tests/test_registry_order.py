@@ -82,6 +82,7 @@ DEFERRED: set[str] = {
     "classifier_auc",           # X92
     "trending_parts_decay",     # X93
     "user_burstiness",          # X94
+    "stream_cdc_scd2",          # X95
 }
 
 

@@ -555,3 +555,11 @@ def test_burstiness_statistics_are_consistent(spark, sf_dir):
         # fano = cv^2 * mean (identity between the two dispersion forms)
         assert abs(r["fano"] - r["cv"] ** 2 * r["mean_gap_s"]) \
             < 0.02 * max(r["fano"], 1.0)
+
+
+def test_stream_scd2_equals_batch_scd2(spark, sf_dir):
+    """Batch-boundary independence: the streaming fold must reproduce
+    the batch SCD2 table row for row."""
+    a = sorted(map(tuple, _rows("stream_cdc_scd2", spark, sf_dir)))
+    b = sorted(map(tuple, _rows("scd2_customer_history", spark, sf_dir)))
+    assert a == b
