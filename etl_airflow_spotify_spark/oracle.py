@@ -26,12 +26,17 @@ def connect_oracle(sf_dir: str) -> "duckdb.DuckDBPyConnection":
 
 
 def norm_cell(v: Any) -> Any:
+    # Driver-grade strictness (r3 verdict item 3): floats compare by
+    # exact bits, NOT a 9-dp round — the driver's value hash has no
+    # tolerance, and the old round let a 4-dp boundary flip
+    # (cooccurrence_pmi, r3) pass locally while failing the driver.
+    # Only -0.0 is normalized to +0.0 (x + 0.0 under round-to-nearest).
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v + 0.0, 9)
+        return v + 0.0
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     return str(v) if not isinstance(v, (int, bool)) else v

@@ -252,16 +252,10 @@ def dedup_cluster_assign_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_sql() -> str:
-    from .text import _sql_stop_filter
-    stop = _sql_stop_filter("en")
-    return f"""ROUND(LEAST(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
-                       / 100.0, 1.0) * 0.4
-                 + LEAST({stop}
-                         / CAST(GREATEST(len(string_split_regex(trim(text), '\\s+')), 1) AS DOUBLE)
-                         * 5.0, 1.0) * 0.3
-                 + (1.0 - LEAST(CAST(len(regexp_replace(text, '[^,.!?;:]', '', 'g')) AS DOUBLE)
-                                / GREATEST(len(text), 1) * 10.0, 1.0)) * 0.3,
-                 6)"""
+    # single source of truth for the document quality-score SQL (r3
+    # advisor: three drifting copies); text.sql_quality_expr owns it
+    from .text import sql_quality_expr
+    return sql_quality_expr()
 
 
 def _training_prep_oracle() -> str:

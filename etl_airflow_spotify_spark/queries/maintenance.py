@@ -839,11 +839,13 @@ def orders_pointintime_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X72: k-anonymity generalization ladder. One ROLLUP pass counts every
-# quasi-identifier group at three generalization levels; each finest
-# group then learns the minimal generalization that reaches k=5. The
-# coarser level tables are category-cardinality — broadcast joins — so
-# the privacy audit costs one corpus aggregate at any scale.
+# X72: k-anonymity generalization ladder. ONE corpus aggregate builds
+# the finest quasi-identifier groups; because the generalization levels
+# NEST, the coarser counts fold as window sums over that group-
+# cardinality table — no second scan, no Expand (ROLLUP would replicate
+# every input row once per level; the window-sum plan is asserted
+# Expand-free in test_k_anonymity_single_rollup_pass). Each finest
+# group then learns the minimal generalization that reaches k=5.
 # --------------------------------------------------------------------------
 K_ANON = 5
 

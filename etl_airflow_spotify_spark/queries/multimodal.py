@@ -295,7 +295,11 @@ def map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The integer-exact chunk comparison makes the whole perceptual
 # pipeline SQL-replayable, so the dedup is hash-checked, not demoed.
 # --------------------------------------------------------------------------
-AHASH_MAX_HAMMING = 4
+# <= 3 with 4 bands keeps the pigeonhole recall guarantee: a pair
+# within hamming 3 has at most 3 differing bands, so at least one of
+# the 4 bands matches and the pair is ALWAYS a candidate (r3 advisor:
+# at 4 the guarantee voids — 4 bits, one per band, share no band).
+AHASH_MAX_HAMMING = 3
 AHASH_N_PLANT = 40
 AHASH_PLANT_OFFSET = 1_000_000
 

@@ -327,6 +327,327 @@ def vector_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_topk_cosine(emb, queries, K)
 
 
+# -- exact-replay training SQL (r3 verdict item 5) --------------------------
+# The *_exact trainers (operators/similarity.py) run Lloyd's entirely
+# on the TRAIN_GRID integer grid, so DuckDB can replay the FULL
+# training loop — sample, init, every assignment and every rounded
+# mean — and land on the bit-identical codebook. These generators emit
+# that replay as a CTE chain ending in the trained codebook table(s).
+
+def _int_round_div_sql(sum_expr: str, n_expr: str) -> str:
+    """SQL twin of operators.similarity._int_round_div: round(sum/n)
+    ties away from zero in exact integer arithmetic."""
+    return (f"CASE WHEN {sum_expr} >= 0 "
+            f"THEN (2 * {sum_expr} + {n_expr}) // (2 * {n_expr}) "
+            f"ELSE -((2 * -({sum_expr}) + {n_expr}) // (2 * {n_expr})) END")
+
+
+def _sq_sql(a: str, b: str, width: int) -> str:
+    """Integer squared L2 distance between two BIGINT lists."""
+    return (f"list_aggregate(list_transform(range(1, {width + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')")
+
+
+def _exact_train_ctes(residual: bool, iters: int = 3, n_cells: int = 16,
+                      dim: int = 64, m: int = 8, k_pq: int = 16) -> str:
+    """CTE chain: quantized stride sample -> (coarse Lloyd's if
+    ``residual``) -> per-subspace PQ Lloyd's -> ``pqcents(s, j, pv)``
+    (+ ``ccents(ci, cv)`` when residual). Mirrors
+    train_kmeans_centroids_exact / train_pq_codebook_exact exactly."""
+    from ..operators.similarity import TRAIN_GRID, TRAIN_MAX_ROWS
+    sub_dim = dim // m
+    ctes = [f"""
+    train AS (
+        SELECT vec_id AS _id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(ROUND(x * {TRAIN_GRID}) AS BIGINT)) AS qv
+        FROM embeddings
+        WHERE vec_id % (SELECT GREATEST(CAST(CEIL(COUNT(*) / {TRAIN_MAX_ROWS}.0)
+                                             AS BIGINT), 1)
+                        FROM embeddings) = 0
+    )"""]
+    if residual:
+        ctes.append(f"""
+    cinit AS (
+        SELECT (ROW_NUMBER() OVER (ORDER BY _id)) - 1 AS ci, qv AS cw
+        FROM train ORDER BY _id LIMIT {n_cells}
+    )""")
+        prev = "cinit"
+        for it in range(1, iters + 1):
+            ctes.append(f"""
+    ca{it} AS (
+        SELECT qv, grp FROM (
+            SELECT t.qv, cb.ci AS grp,
+                   ROW_NUMBER() OVER (PARTITION BY t._id
+                       ORDER BY {_sq_sql('t.qv', 'cb.cw', dim)} ASC,
+                                cb.ci DESC) AS rn
+            FROM train t CROSS JOIN {prev} cb
+        ) WHERE rn = 1
+    ),
+    cm{it} AS (
+        SELECT grp, i, {_int_round_div_sql('SUM(qv[i])', 'COUNT(*)')} AS c
+        FROM ca{it}, range(1, {dim + 1}) AS d(i)
+        GROUP BY grp, i
+    ),
+    cb{it} AS (
+        SELECT p.ci, COALESCE(nm.cw, p.cw) AS cw
+        FROM {prev} p LEFT JOIN (
+            SELECT grp AS ci, list(c ORDER BY i) AS cw
+            FROM cm{it} GROUP BY grp) nm USING (ci)
+    )""")
+            prev = f"cb{it}"
+        # residual training rows: integer qv - coarse centroid
+        ctes.append(f"""
+    ptrain AS (
+        SELECT _id, list_transform(range(1, {dim + 1}),
+                                   i -> qv[i] - cw[i]) AS qv
+        FROM (
+            SELECT t._id, t.qv, cb.cw,
+                   ROW_NUMBER() OVER (PARTITION BY t._id
+                       ORDER BY {_sq_sql('t.qv', 'cb.cw', dim)} ASC,
+                                cb.ci DESC) AS rn
+            FROM train t CROSS JOIN {prev} cb
+        ) WHERE rn = 1
+    ),
+    ccents AS (
+        SELECT ci, list_transform(cw, x -> x / {TRAIN_GRID}.0) AS cv
+        FROM {prev}
+    )""")
+        src = "ptrain"
+    else:
+        src = "train"
+    ctes.append(f"""
+    psub AS (
+        SELECT _id, s, qv[s * {sub_dim} + 1 : s * {sub_dim} + {sub_dim}] AS sv
+        FROM {src}, range(0, {m}) AS rs(s)
+    ),
+    pinit AS (
+        SELECT rs.s, seeds.j,
+               seeds.qv[rs.s * {sub_dim} + 1 : rs.s * {sub_dim} + {sub_dim}]
+                   AS cw
+        FROM (SELECT qv, (ROW_NUMBER() OVER (ORDER BY _id)) - 1 AS j
+              FROM {src} ORDER BY _id LIMIT {k_pq}) seeds,
+             range(0, {m}) AS rs(s)
+    )""")
+    prev = "pinit"
+    for it in range(1, iters + 1):
+        ctes.append(f"""
+    pa{it} AS (
+        SELECT s, sv, code FROM (
+            SELECT p._id, p.s, p.sv, cb.j AS code,
+                   ROW_NUMBER() OVER (PARTITION BY p._id, p.s
+                       ORDER BY {_sq_sql('p.sv', 'cb.cw', sub_dim)} ASC,
+                                cb.j ASC) AS rn
+            FROM psub p JOIN {prev} cb ON cb.s = p.s
+        ) WHERE rn = 1
+    ),
+    pm{it} AS (
+        SELECT s, code, i, {_int_round_div_sql('SUM(sv[i])', 'COUNT(*)')} AS c
+        FROM pa{it}, range(1, {sub_dim + 1}) AS d(i)
+        GROUP BY s, code, i
+    ),
+    pb{it} AS (
+        SELECT p.s, p.j, COALESCE(nm.cw, p.cw) AS cw
+        FROM {prev} p LEFT JOIN (
+            SELECT s, code AS j, list(c ORDER BY i) AS cw
+            FROM pm{it} GROUP BY s, code) nm USING (s, j)
+    )""")
+        prev = f"pb{it}"
+    ctes.append(f"""
+    pqcents AS (
+        SELECT s, j, list_transform(cw, x -> x / {TRAIN_GRID}.0) AS pv
+        FROM {prev}
+    )""")
+    return ",".join(ctes)
+
+
+def _ivfpq_trained_oracle_sql() -> str:
+    """Full replay of vector_topk_ivfpq_trained: exact-integer PQ
+    training (3 Lloyd rounds, SQL CTEs above) + the seeded coarse
+    quantizer + the serving pipeline of _ivfpq_oracle_sql, over the raw
+    corpus (no planted copies — the trained codebook's recall is
+    measured in pytest; the oracle checks the exact pipeline replay)."""
+    m, k_pq, sub_dim = 8, 16, 8
+    cents = S._unit_centroids(16, 64, 7)
+    cvals = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    return f"""
+    WITH {_exact_train_ctes(residual=False)},
+    corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents(ci, cv) AS (VALUES
+        {cvals}
+    ),
+    assign AS (
+        SELECT vec_id, v, ci AS cell FROM (
+            SELECT c.vec_id, c.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_inner_product(c.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus c CROSS JOIN cents ce
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, ci AS cell FROM (
+            SELECT q.vec_id, q.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_inner_product(q.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus q CROSS JOIN cents ce
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= 4
+    ),
+    codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT a.vec_id, pc.s, pc.j,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id, pc.s
+                       ORDER BY list_aggregate(
+                           list_transform(generate_series(1, {sub_dim}),
+                               i -> (a.v[pc.s * {sub_dim} + i] - pc.pv[i])
+                                  * (a.v[pc.s * {sub_dim} + i] - pc.pv[i])),
+                           'sum') ASC, pc.j ASC
+                   ) AS rn
+            FROM assign a CROSS JOIN pqcents pc
+        ) WHERE rn = 1
+    ),
+    adc AS (
+        SELECT p.query_id, a.vec_id AS cand_id,
+               SUM(CAST(ROUND(list_inner_product(
+                       p.qv[pc.s * {sub_dim} + 1 : pc.s * {sub_dim} + {sub_dim}],
+                       pc.pv), 9) AS DECIMAL(28,9))) AS adc
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN codes k ON k.vec_id = a.vec_id
+        JOIN pqcents pc ON pc.s = k.s AND pc.j = k.code
+        GROUP BY p.query_id, a.vec_id
+    ),
+    sel AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc DESC, cand_id) AS rn
+            FROM adc
+        ) WHERE rn <= {4 * K}
+    ),
+    rerank AS (
+        SELECT s.query_id, s.cand_id,
+               ROUND(list_cosine_similarity(qc.v, cc.v), 6) AS score
+        FROM sel s
+        JOIN corpus qc ON qc.vec_id = s.query_id
+        JOIN corpus cc ON cc.vec_id = s.cand_id
+    )
+    SELECT query_id, cand_id, score, rn FROM (
+        SELECT query_id, cand_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, cand_id) AS BIGINT) AS rn
+        FROM rerank
+    ) WHERE rn <= {K}
+    """
+
+
+def _ivfpq_residual_oracle_sql() -> str:
+    """Full replay of vector_topk_ivfpq_residual (IVFADC): exact-integer
+    coarse L2 Lloyd's AND residual PQ training (SQL CTEs above), then
+    the serving pipeline of ivfpq_residual_topk — L2 cell assignment,
+    residual PQ encoding, ADC decomposed as the centroid dot plus the
+    codeword dots (decimal-exact sums), exact cosine re-rank."""
+    sub_dim = 8
+    return f"""
+    WITH {_exact_train_ctes(residual=True)},
+    corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    assign AS (
+        SELECT vec_id, v, ci AS cell FROM (
+            SELECT c.vec_id, c.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_aggregate(
+                           list_transform(range(1, 65),
+                               i -> (c.v[i] - ce.cv[i]) * (c.v[i] - ce.cv[i])),
+                           'sum') ASC, ce.ci DESC
+                   ) AS rn
+            FROM corpus c CROSS JOIN ccents ce
+        ) WHERE rn = 1
+    ),
+    resid AS (
+        SELECT a.vec_id, a.cell,
+               list_transform(range(1, 65),
+                              i -> a.v[i] - ce.cv[i]) AS rv
+        FROM assign a JOIN ccents ce ON ce.ci = a.cell
+    ),
+    codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT r.vec_id, pc.s, pc.j,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY r.vec_id, pc.s
+                       ORDER BY list_aggregate(
+                           list_transform(generate_series(1, {sub_dim}),
+                               i -> (r.rv[pc.s * {sub_dim} + i] - pc.pv[i])
+                                  * (r.rv[pc.s * {sub_dim} + i] - pc.pv[i])),
+                           'sum') ASC, pc.j ASC
+                   ) AS rn
+            FROM resid r CROSS JOIN pqcents pc
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, ci AS cell,
+               CAST(ROUND(list_inner_product(v, cv), 9) AS DECIMAL(28,9))
+                   AS q_cent_dot
+        FROM (
+            SELECT q.vec_id, q.v, ce.ci, ce.cv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_aggregate(
+                           list_transform(range(1, 65),
+                               i -> (q.v[i] - ce.cv[i]) * (q.v[i] - ce.cv[i])),
+                           'sum') ASC, ce.ci DESC
+                   ) AS rn
+            FROM corpus q CROSS JOIN ccents ce
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= 4
+    ),
+    adc AS (
+        SELECT p.query_id, a.vec_id AS cand_id,
+               MIN(p.q_cent_dot)
+               + SUM(CAST(ROUND(list_inner_product(
+                     p.qv[pc.s * {sub_dim} + 1 : pc.s * {sub_dim} + {sub_dim}],
+                     pc.pv), 9) AS DECIMAL(28,9))) AS adc
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN codes k ON k.vec_id = a.vec_id
+        JOIN pqcents pc ON pc.s = k.s AND pc.j = k.code
+        GROUP BY p.query_id, a.vec_id
+    ),
+    sel AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc DESC, cand_id) AS rn
+            FROM adc
+        ) WHERE rn <= {4 * K}
+    ),
+    rerank AS (
+        SELECT s.query_id, s.cand_id,
+               ROUND(list_cosine_similarity(qc.v, cc.v), 6) AS score
+        FROM sel s
+        JOIN corpus qc ON qc.vec_id = s.query_id
+        JOIN corpus cc ON cc.vec_id = s.cand_id
+    )
+    SELECT query_id, cand_id, score, rn FROM (
+        SELECT query_id, cand_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, cand_id) AS BIGINT) AS rn
+        FROM rerank
+    ) WHERE rn <= {K}
+    """
+
+
 @register(
     "vector_topk_ivf_kmeans",
     None,  # approximate (probes 4/16 cells); recall asserted in pytest
@@ -345,45 +666,54 @@ def vector_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vector_topk_ivfpq_trained",
-    None,  # approximate; recall-vs-seeded-codebook asserted in pytest
+    _ivfpq_trained_oracle_sql(),
     doc="IVF-PQ top-k with a k-means-TRAINED product-quantization "
         "codebook: per-subspace Lloyd's over the exploded subvectors "
         "(all 8 subspaces train in one scan + one groupBy per "
         "iteration; deterministic first-k init, only m*k_pq*sub_dim "
-        "doubles on the driver). Trained codewords sit where the data "
-        "lies, so ADC ranks candidates more faithfully than the seeded "
-        "random codebook — recall@5 vs the exact top-k is asserted "
-        ">= the seeded variant's in pytest. The serving plan is "
-        "IDENTICAL to vector_topk_ivfpq; only the broadcast codebook "
-        "row changes.",
+        "values on the driver). Training runs on the TRAIN_GRID "
+        "integer grid (exact BIGINT sums, integer half-away mean "
+        "rounding), so the DuckDB oracle replays the FULL Lloyd loop "
+        "and lands on the bit-identical codebook — the r3 rows-only "
+        "row is now hash-checked end to end, training included. "
+        "Trained codewords sit where the data lies, so ADC ranks "
+        "candidates more faithfully than the seeded random codebook — "
+        "recall law in pytest. The serving plan is IDENTICAL to "
+        "vector_topk_ivfpq; only the broadcast codebook row changes.",
     tags=("X17", "X24"),
 )
 def vector_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    book = S.train_pq_codebook(emb, iters=3)
+    book_int = S.train_pq_codebook_exact(emb, iters=3)
+    book = [[x / S.TRAIN_GRID for x in cw] for cw in book_int]
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return S.ivfpq_topk_cosine(emb, queries, K, pq_codebook=book)
 
 
 @register(
     "vector_topk_ivfpq_residual",
-    None,  # approximate + data-trained codebooks; laws in pytest
+    _ivfpq_residual_oracle_sql(),
     doc="Full IVFADC (Jegou et al. 2011): k-means-trained coarse "
         "quantizer + PQ codebook trained on RESIDUALS "
         "v - centroid[cell], ADC decomposed as dot(q, centroid) + "
         "dot(q, decode(residual codes)). Residuals concentrate near "
         "zero once the coarse quantizer absorbs between-cell variance, "
         "so the same 8x16 code budget reconstructs vectors more "
-        "tightly than direct PQ — reconstruction-MSE and recall laws "
-        "pinned in pytest (deterministic: Lloyd's from first-k init, "
-        "no RNG). Same serving shape as vector_topk_ivfpq: rank from "
-        "codes, fetch exact vectors only for overfetch*k survivors.",
+        "tightly than direct PQ — reconstruction-MSE law pinned in "
+        "pytest. BOTH trainings run on the TRAIN_GRID integer grid, so "
+        "the DuckDB oracle replays coarse Lloyd's, residual PQ "
+        "Lloyd's, encoding, decomposed ADC and the re-rank end to end "
+        "— hash-checked, training included (r3 verdict item 5). Same "
+        "serving shape as vector_topk_ivfpq: rank from codes, fetch "
+        "exact vectors only for overfetch*k survivors.",
     tags=("X17", "X24"),
 )
 def vector_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    coarse = S.train_kmeans_centroids(emb, iters=3, metric="l2")
-    book = S.train_pq_codebook(emb, iters=3, coarse=coarse)
+    coarse_int = S.train_kmeans_centroids_exact(emb, iters=3)
+    book_int = S.train_pq_codebook_exact(emb, iters=3, coarse_int=coarse_int)
+    coarse = [[x / S.TRAIN_GRID for x in c] for c in coarse_int]
+    book = [[x / S.TRAIN_GRID for x in cw] for cw in book_int]
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return S.ivfpq_residual_topk(emb, queries, K, coarse, book)
 
@@ -846,18 +1176,51 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 RRF_C = 60
 
 
-@register(
-    "hybrid_rank_fusion",
-    f"""
+def _hybrid_fusion_oracle() -> str:
+    """DuckDB twin of the IVF-candidate RRF fusion: the seeded codebook
+    is inlined so the oracle replays cell assignment, probe selection,
+    both metric rankings over the probed candidate set, and the fused
+    top-k — the whole approximate pipeline hash-checks (the
+    mutual_knn_pairs pattern; the r3 verdict flagged the old
+    full-crossJoin plan as a scale-killer)."""
+    cents = S._unit_centroids(16, 64, 7)
+    vals = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    return f"""
     WITH corpus AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
+    cents(ci, cv) AS (VALUES
+        {vals}
+    ),
+    assign AS (
+        SELECT vec_id, v, ci AS cell FROM (
+            SELECT c.vec_id, c.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_inner_product(c.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus c CROSS JOIN cents ce
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, ci AS cell FROM (
+            SELECT q.vec_id, q.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_inner_product(q.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus q CROSS JOIN cents ce
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= 4
+    ),
     pairs AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-               ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos_s,
-               ROUND(list_distance(q.v, c.v), 6) AS l2_d
-        FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
-        WHERE q.vec_id < {N_QUERIES}
+        SELECT p.query_id, a.vec_id AS cand_id,
+               ROUND(list_cosine_similarity(p.qv, a.v), 6) AS cos_s,
+               ROUND(list_distance(p.qv, a.v), 6) AS l2_d
+        FROM probes p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
     ),
     ranked AS (
         SELECT query_id, cand_id,
@@ -880,38 +1243,31 @@ RRF_C = 60
                    AS rn
         FROM fused
     ) WHERE rn <= {K}
-    """,
+    """
+
+
+@register(
+    "hybrid_rank_fusion",
+    _hybrid_fusion_oracle(),
     doc=f"X63 reciprocal-rank fusion (Cormack et al. 2009): two "
-        "rankers over the same candidates (cosine and euclidean) fuse "
-        f"via 1/({RRF_C}+rank) sums — the standard hybrid-retrieval "
-        "combiner (dense + lexical in production; two metrics here). "
-        "Both rank windows partition per query; RRF scores are exact "
-        "small rationals so the fused ordering hash-checks. Top-"
-        f"{K} per query.",
+        "rankers over the same candidate set (cosine and euclidean) "
+        f"fuse via 1/({RRF_C}+rank) sums — the standard hybrid-"
+        "retrieval combiner (dense + lexical in production; two "
+        "metrics here). Candidates come from the IVF index (4-of-16 "
+        "probed cells), NOT a full crossJoin — per-query work is "
+        "~1/4 of the corpus and cell-bucketed, the 100 TB path; the "
+        "seeded codebook is inlined into the oracle so the candidate "
+        "set AND both rankings hash-check. Rank windows partition per "
+        "query over candidate-set-sized rows; RRF scores are exact "
+        f"small rationals. Top-{K} per query.",
     tags=("X63", "X17", "X11", "X12"),
 )
 def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    q = (emb.filter(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("v").alias("qv")))
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
-    dot = F.aggregate(F.zip_with("qv", "cv", lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nrm = lambda col: F.sqrt(F.aggregate(
-        F.transform(col, lambda x: x * x), F.lit(0.0),
-        lambda acc, x: acc + x))
-    d2 = F.aggregate(F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-                     F.lit(0.0), lambda acc, x: acc + x)
-    pairs = (q.crossJoin(c)
-             .filter(F.col("cand_id") != F.col("query_id"))
-             .select("query_id", "cand_id",
-                     F.round(dot / (nrm(F.col("qv")) * nrm(F.col("cv"))), 6)
-                     .alias("cos_s"),
-                     F.round(F.sqrt(d2), 6).alias("l2_d")))
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    pairs = S.ivf_candidate_pairs(emb, queries)
     wq = Window.partitionBy("query_id")
     ranked = (pairs
               .withColumn("r_cos", F.row_number().over(
@@ -1005,8 +1361,13 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = D.connected_components(pairs.select("id_a", "id_b"))
     sizes = cc.groupBy("cluster_id").agg(F.count("*").cast("long")
                                          .alias("cluster_size"))
+    # no broadcast hint: cluster count scales with the corpus's near-dup
+    # volume (potentially a large fraction of rows), so the size lookup
+    # must stay a shuffle join on cluster_id (r3 advisor — a broadcast
+    # here risks driver OOM at corpus scale); AQE may still elect to
+    # broadcast when the table is actually small.
     return (cc.select(F.col("id").alias("vec_id"), "cluster_id")
-            .join(F.broadcast(sizes), "cluster_id")
+            .join(sizes, "cluster_id")
             .select("vec_id", "cluster_id", "cluster_size"))
 
 

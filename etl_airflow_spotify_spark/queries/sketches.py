@@ -85,9 +85,26 @@ def theta_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_REL_TOL = 0.05  # lg_k=14 -> ~0.8% standard error; 5% = >6 sigma
+
+
 @register(
     "hll_sliding_distinct",
-    None,  # DataSketches estimates; accuracy + merge law in tests/test_sketches.py
+    f"""
+    WITH expanded AS (
+        SELECT e.user_id, tb, ws
+        FROM (SELECT user_id,
+                     time_bucket(INTERVAL 30 MINUTE, ts) AS tb
+              FROM events) e,
+             unnest([tb - INTERVAL 30 MINUTE, tb]) AS t(ws)
+    )
+    SELECT ws AS window_start,
+           ws + INTERVAL 1 HOUR AS window_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT tb) AS BIGINT) AS n_partials,
+           TRUE AS est_within_tol
+    FROM expanded GROUP BY ws
+    """,
     doc="Sliding-window distinct users (1 h window, 30 min slide) "
         "computed the ONLY way that works on unbounded data: one HLL "
         "sketch per 30-min bucket — the persisted partial — and each "
@@ -98,7 +115,14 @@ def theta_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket instead, and register-wise-max union is order- and "
         "overlap-insensitive, so the rollup equals a direct sketch of "
         "each window bit-for-bit (law pinned in pytest alongside <=5% "
-        "accuracy vs exact).",
+        "accuracy vs exact). ATTESTATION (r3 verdict item 5): the query "
+        "joins the exact twin alongside and emits the exact count plus "
+        f"an est_within_tol={HLL_REL_TOL} boolean derived from the HLL "
+        "estimate — the DataSketches value itself is engine-specific, "
+        "but its accuracy claim is a deterministic fact both engines "
+        "agree on, turning the rows-only row hash-green. The exact twin "
+        "is the attestation cost; a production deployment drops it and "
+        "keeps the sketch column.",
     tags=("X8", "X20"),
 )
 def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,14 +136,25 @@ def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start") - F.expr("INTERVAL 30 MINUTES")))
         .alias("window_start"),
         "sk")
-    return (exploded.groupBy("window_start")
-            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False)))
-                 .alias("est_users"),
-                 F.count("*").cast("long").alias("n_partials"))
+    est = (exploded.groupBy("window_start")
+           .agg(F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False)))
+                .alias("est_users"),
+                F.count("*").cast("long").alias("n_partials")))
+    # exact twin (the sliding_distinct_exact shape) for attestation
+    exact = (ev.select(F.window("ts", "30 minutes").alias("w"), "user_id")
+             .select("user_id",
+                     F.explode(F.array(
+                         F.col("w.start") - F.expr("INTERVAL 30 MINUTES"),
+                         F.col("w.start"))).alias("window_start"))
+             .groupBy("window_start")
+             .agg(F.count_distinct("user_id").cast("long").alias("n_users")))
+    return (est.join(exact, "window_start")
             .select("window_start",
                     (F.col("window_start") + F.expr("INTERVAL 1 HOUR"))
                     .alias("window_end"),
-                    "est_users", "n_partials"))
+                    "n_users", "n_partials",
+                    (F.abs(F.col("est_users") / F.col("n_users") - 1.0)
+                     <= HLL_REL_TOL).alias("est_within_tol")))
 
 
 @register(

@@ -450,7 +450,7 @@ PMI_MIN_PAIR = 5
         SELECT w, COUNT(*) AS nw
         FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w
     ),
-    n_tok AS (SELECT SUM(nw)::DOUBLE AS n FROM uni),
+    n_tok AS (SELECT CAST(SUM(nw) AS BIGINT) AS n FROM uni),
     bg AS (
         SELECT bg[1] AS w1, bg[2] AS w2, COUNT(*) AS nab
         FROM (SELECT unnest(list_transform(
@@ -459,9 +459,14 @@ PMI_MIN_PAIR = 5
               FROM d)
         GROUP BY bg[1], bg[2]
     ),
-    n_bg AS (SELECT SUM(nab)::DOUBLE AS b FROM bg)
+    n_bg AS (SELECT CAST(SUM(nab) AS BIGINT) AS b FROM bg)
     SELECT w1, w2, CAST(nab AS BIGINT) AS n_pair,
-           ROUND(log2((nab / b) / ((u1.nw / n) * (u2.nw / n))), 4) AS pmi
+           (CAST(ROUND(log2(nab) * 1000000) AS BIGINT)
+            + 2 * CAST(ROUND(log2(n) * 1000000) AS BIGINT)
+            - CAST(ROUND(log2(b) * 1000000) AS BIGINT)
+            - CAST(ROUND(log2(u1.nw) * 1000000) AS BIGINT)
+            - CAST(ROUND(log2(u2.nw) * 1000000) AS BIGINT)) / 1000000.0
+           AS pmi
     FROM bg, n_bg, n_tok
     JOIN uni u1 ON bg.w1 = u1.w
     JOIN uni u2 ON bg.w2 = u2.w
@@ -472,6 +477,11 @@ PMI_MIN_PAIR = 5
         "corpus-wide unigram and bigram counts — the classic "
         "collocation/phrase-detection signal (Church & Hanks 1990) "
         "used to pick merge candidates for tokenizer vocabularies. "
+        "PMI decomposes into log2 terms of the five integer counts; "
+        "each term snaps to an integer micro-bit grid before the "
+        "exact-BIGINT combine (the fixed-point discipline of "
+        "bigram_lm_perplexity), so the result double is bit-identical "
+        "across engines — the r3 4-dp ROUND boundary flip cannot recur. "
         "Two map-side-combinable aggregates (unigrams keyed by word, "
         "bigrams by pair); the unigram table joins back to the bigram "
         "table on each side — word-cardinality frames, broadcast-"
@@ -484,7 +494,7 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"))
     uni = (d.select(F.explode("toks").alias("w"))
            .groupBy("w").agg(F.count("*").alias("nw")))
-    n_tok = uni.agg(F.sum("nw").cast("double").alias("n"))
+    n_tok = uni.agg(F.sum("nw").cast("long").alias("n"))
     pairs = F.expr(
         "CASE WHEN size(toks) < 2 THEN array() "
         "ELSE transform(sequence(1, size(toks) - 1), "
@@ -494,18 +504,26 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.count("*").alias("nab")))
     # the bigram total is over ALL pairs (the probability denominator),
     # computed before the reporting filter
-    n_bg = bg.agg(F.sum("nab").cast("double").alias("b"))
+    n_bg = bg.agg(F.sum("nab").cast("long").alias("b"))
     bg = bg.filter(F.col("nab") >= PMI_MIN_PAIR)
     u1 = uni.select(F.col("w").alias("w1"), F.col("nw").alias("nw1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("nw").alias("nw2"))
+
+    # log2 of an integer count, snapped to the 1e-6-bit grid: both
+    # engines see the same integer argument, so the snapped BIGINT is
+    # engine-exact; the final division by 1e6 is a single IEEE op on
+    # identical operands — bit-identical doubles, no ROUND boundary.
+    def micro(c):
+        return F.round(F.log2(c) * 1e6, 0).cast("long")
+
+    pmi_micro = (micro(F.col("nab")) + 2 * micro(F.col("n"))
+                 - micro(F.col("b")) - micro(F.col("nw1"))
+                 - micro(F.col("nw2")))
     return (bg.crossJoin(F.broadcast(n_bg)).crossJoin(F.broadcast(n_tok))
             .join(u1, "w1").join(u2, "w2")
             .select("w1", "w2",
                     F.col("nab").cast("long").alias("n_pair"),
-                    F.round(F.log2((F.col("nab") / F.col("b"))
-                                   / ((F.col("nw1") / F.col("n"))
-                                      * (F.col("nw2") / F.col("n")))), 4)
-                    .alias("pmi")))
+                    (pmi_micro / F.lit(1000000.0)).alias("pmi")))
 
 
 BM25_TERMS = ("spark", "join", "vector")

@@ -58,71 +58,78 @@ def register(name: str, oracle: str | None, doc: str = "",
 # class in SURVEY.md §2; queries not listed here keep their registration
 # order after the listed ones.  tests/test_registry_order.py pins the
 # invariant that the first 50 cover every tag in the registry.
-# Round 3: every query with a hash-green (or declared rows-only) row in
-# CORRECTNESS_r01/r02 vacates its slot; the window is exactly the 43
-# never-attested queries, plus near_dup_simhash (r1 row was rows-only but
-# it has since gained an exact md5-bit oracle), plus the round-3
-# additions.  With r1+r2 cross-referenced this makes every registered
-# query driver-attested.
+# Round 4 (r3 verdict item 1): attestation is the single bottleneck —
+# CORRECTNESS_r01-03 leave 54 oracle-checked queries driver-dark (the
+# X42-X95 additions that outgrew the r3 window) plus the r3 hash FAIL
+# (cooccurrence_pmi, re-planned onto the integer micro-grid this round).
+# The window is exactly 50 of those 54, all oracle-checked — zero slots
+# burned on rows-only `err: no_oracle` rows.  Deferred to r5 (see
+# tests/test_registry_order.py DEFERRED): copurchase_degree_profile
+# (same X42 class as the windowed part_pagerank) and three queries the
+# r3 judge independently re-ran green (dedup_keep_best,
+# km_survival_purchase, trending_parts_decay).
 DRIVER_ORDER: tuple[str, ...] = (
-    # X32-X39 round-2 additions that landed after the r2 window filled
-    "zorder_rectangle_scan",
-    "dpp_partitioned_join",
-    "hierarchy_rollup",
-    "twap_user_value",
-    "ivm_join_delta",
-    "ivm_signed_aggregate",
-    "scd2_customer_history",
-    "snapshot_diff_audit",
-    "table_fingerprints",
-    "fk_integrity_audit",
-    "join_key_skew_profile",
-    "fuzzy_name_pairs",
-    "fuzzy_cluster_triangles",
-    "robust_value_outliers",
-    # text / curation driver-dark rows
-    "dup_ngram_coverage",
-    "repetition_filter",
-    "word_entropy",
-    "training_data_prep_v2",
-    "document_chunking",
-    "heavy_hitters_twopass",
-    "near_dup_simhash",
-    # relational shapes never green (incl. the two re-planned this round)
-    "equidepth_price_histogram",
-    "weighted_median_price",
-    "benford_price_profile",
-    "profile_lineitem",
-    "brand_filter_revenue",
-    "small_qty_revenue",
-    "big_volume_orders",
-    "schema_evolution_read",
-    # events/ops analytics dark rows
-    "funnel_view_click_purchase",
-    "cohort_retention",
-    "ewma_user_value",
-    "event_transition_matrix",
-    "rolling_corr_click_purchase",
-    # sampling
-    "per_group_sample",
-    "quality_weighted_sample",
-    # vector round-2 additions
-    "vector_topk_ivfpq_persisted",
-    "vector_topk_ivfpq_trained",
-    "vector_topk_ivfpq_residual",
-    "nearest_centroid_confusion",
-    "hard_negative_mining",
-    # streaming / sketch round-2 additions
-    "stream_decontaminate",
-    "hll_sliding_distinct",
-    "sliding_distinct_exact",
-    # round-3 additions fill the remaining slots to exactly 50
-    "inverted_index_postings",
+    # the round-3 wrong answer, fixed this round — re-attest first
     "cooccurrence_pmi",
-    "bm25_relevance",
-    "vector_range_search",
-    "seqlen_packing_profile",
-    "global_topk_orders",
+    # text / curation (X43-X45, X50, X59, X67-X69, X87)
+    "boilerplate_removal",
+    "unigram_lm_quality",
+    "sft_example_assembly",
+    "feature_hash_scores",
+    "bigram_lm_perplexity",
+    "source_overlap_matrix",
+    "phrase_search",
+    "split_leakage_audit",
+    # events / ops analytics (X46, X49, X52-X53, X56-X57, X71, X73,
+    # X79, X82, X85, X94)
+    "order_interval_coverage",
+    "event_anomaly_days",
+    "winsorized_brand_price",
+    "quantile_normalized_values",
+    "ab_test_cuped",
+    "markov_prediction_accuracy",
+    "attribution_multitouch",
+    "chi2_event_dow",
+    "psi_value_drift",
+    "stl_decompose_daily",
+    "cusum_changepoint",
+    "user_burstiness",
+    # graph (X42, X51, X78)
+    "part_pagerank",
+    "association_rules",
+    "copurchase_hop_distance",
+    # maintenance / governance (X47, X55, X72, X74, X77)
+    "data_quality_audit",
+    "orders_pointintime_dim",
+    "k_anonymity_generalization",
+    "gdpr_delete_cascade",
+    "join_size_profile",
+    # multimodal (X89, X91)
+    "multimodal_ahash_dedup",
+    "multimodal_silence_segments",
+    # relational / stats (X48, X60, X64, X80-X81, X88)
+    "part_skyline",
+    "grouped_ols_price_qty",
+    "target_encoding_loo",
+    "lineitem_corr_matrix",
+    "ols_crossval_r2",
+    "pareto_revenue_cut",
+    # similarity / calibration (X54, X58, X62-X63, X66, X75-X76,
+    # X86, X90, X92)
+    "cluster_quality_metrics",
+    "random_projection_jl",
+    "ivf_recall_at_k",
+    "hybrid_rank_fusion",
+    "semantic_dedup_clusters",
+    "sq4_recall_at_k",
+    "score_calibration_bins",
+    "mutual_knn_pairs",
+    "isotonic_calibration",
+    "classifier_auc",
+    # streaming (X61, X70, X95)
+    "stream_topk_users",
+    "stream_anomaly_days",
+    "stream_cdc_scd2",
 )
 
 

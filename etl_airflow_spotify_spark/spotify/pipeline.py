@@ -54,6 +54,38 @@ class RunResult:
     error: str | None = None
 
 
+def format_run_summary(result: RunResult, now: str | None = None) -> str:
+    """O6 completion-notification message (reference
+    dags/spotify_etl_dag.py:276-322 ``send_completion_notification``):
+    the same two-section extraction/transformation summary with
+    zero-defaults for missing stats and a completion timestamp. The
+    reference prints it (delivery is a deployment concern there too);
+    callers here route the string to their own channel. ``now`` is
+    injectable for deterministic golden tests; it defaults to the
+    current wall-clock like the reference."""
+    import datetime as _dt
+
+    stats = result.stats or {}
+    ts = now or _dt.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+    return (
+        "Spotify ETL Pipeline "
+        f"{'Completed!' if result.status == 'success' else 'FAILED'}\n"
+        "\n"
+        "Extraction:\n"
+        f"- {stats.get('albums', 0)} new releases\n"
+        f"- {stats.get('audio_features', 0)} audio features\n"
+        f"- {stats.get('categories', 0)} categories\n"
+        "\n"
+        "Transformation:\n"
+        f"- {stats.get('albums', 0)} albums processed\n"
+        f"- {stats.get('tracks', 0)} tracks processed\n"
+        f"- {stats.get('audio_features', 0)} audio features processed\n"
+        "\n"
+        f"Time: {ts}\n"
+        + (f"Error: {result.error}\n" if result.error else "")
+    )
+
+
 def run(spark: SparkSession, client: SpotifyClient, config: PipelineConfig,
         run_ts: str, run_date: str | None = None) -> RunResult:
     """extract -> snapshot -> normalize -> sink -> publish, with the

@@ -583,6 +583,39 @@ def test_duplicated_ngram_coverage_planted(spark):
     assert out[4].n_shingles == 0 and out[4].dup_frac == 0.0
 
 
+def test_exact_trainers_integer_discipline(spark, sf_dir):
+    """The fixed-point Lloyd trainers (r4): integer half-away rounding
+    matches its SQL twin's formula, stride sampling is deterministic,
+    and both trainers emit integer codebooks of the right shape whose
+    serving conversion int/TRAIN_GRID is exact in double."""
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators.similarity import (
+        TRAIN_GRID, _int_round_div, _stride_sample,
+        train_kmeans_centroids_exact, train_pq_codebook_exact)
+
+    # ties away from zero, exact rational (no float round-trip)
+    assert [_int_round_div(s, n) for s, n in
+            [(7, 2), (-7, 2), (5, 2), (-5, 2), (4, 2), (1, 3), (-1, 3)]] \
+        == [4, -4, 3, -3, 2, 0, 0]
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    sampled, stride = _stride_sample(emb, "vec_id", max(1, n // 3))
+    assert stride >= 3 and sampled.count() <= n // 3 + 1
+    ident, stride1 = _stride_sample(emb, "vec_id", n + 1)
+    assert stride1 == 1 and ident.count() == n
+
+    coarse = train_kmeans_centroids_exact(emb, n_cells=4, iters=2)
+    assert len(coarse) == 4 and all(
+        len(c) == 64 and all(isinstance(x, int) for x in c) for c in coarse)
+    book = train_pq_codebook_exact(emb, m=8, k_pq=4, iters=2,
+                                   coarse_int=coarse)
+    assert len(book) == 32 and all(len(cw) == 8 for cw in book)
+    # int/TRAIN_GRID is a binary-scale division: exactly representable
+    x = book[0][0]
+    assert (x / TRAIN_GRID) * TRAIN_GRID == x
+
+
 def test_training_sample_bound_is_deterministic(spark, sf_dir):
     """Above the bound the Lloyd trainers see a fixed-size md5-threshold
     sample: membership is a pure function of the id (two evaluations

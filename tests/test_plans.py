@@ -522,12 +522,18 @@ def test_split_leakage_labels_are_map_only(spark, sf_dir):
     assert plan.count("documents.parquet") <= 2
 
 
-def test_semantic_dedup_no_cartesian_and_broadcast_sizes(spark, sf_dir):
+def test_semantic_dedup_no_cartesian_and_no_forced_broadcast(spark, sf_dir):
     df = _df("semantic_dedup_clusters", spark, sf_dir)
     assert not has_cartesian_product(df)
-    # cluster sizes are a component-cardinality table: broadcast onto
-    # the assignment, never a shuffle join
-    assert has_broadcast_hash_join(df)
+    # r3 advisor: cluster count scales with the corpus's near-dup
+    # volume, so the size lookup must NOT carry a broadcast HINT (a
+    # driver-OOM risk at corpus scale); AQE may still elect a broadcast
+    # at runtime when the table is actually small, so the assertion is
+    # on the logical plan's hints, not the physical join choice.
+    from pyspark.sql.functions import broadcast  # noqa: F401 (doc only)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical
+    assert "hint" not in logical.lower() or "broadcast" not in logical.lower()
 
 
 def test_bigram_lm_single_corpus_model_no_cartesian(spark, sf_dir):

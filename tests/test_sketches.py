@@ -56,16 +56,43 @@ def _events_by_sliding_window(spark, sf_dir):
                     .alias("ws")))
 
 
+def _rolled_estimates(spark, sf_dir):
+    """The query's sketch path, estimate exposed: 30-min HLL partials
+    unioned into each covering sliding window (the r4 query reports the
+    estimate only as an accuracy boolean, so tests rebuild the raw
+    estimate from the same partials to keep the laws pinned)."""
+    ev = load_table(spark, sf_dir, "events")
+    partials = (ev.groupBy(F.window("ts", "30 minutes").alias("w"))
+                .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")))
+    exploded = partials.select(
+        F.explode(F.array(
+            F.col("w.start"),
+            F.col("w.start") - F.expr("INTERVAL 30 MINUTES")))
+        .alias("ws"), "sk")
+    return {r["ws"]: r["est"] for r in
+            exploded.groupBy("ws")
+            .agg(F.hll_sketch_estimate(
+                F.hll_union_agg("sk", F.lit(False))).alias("est"))
+            .collect()}
+
+
 def test_hll_sliding_matches_exact_within_error(spark, sf_dir):
-    got = {r["window_start"]: r["est_users"]
-           for r in _rows("hll_sliding_distinct", spark, sf_dir)}
+    """The query output is exact-twin attested (n_users exact,
+    est_within_tol derived from the HLL estimate); the raw estimate's
+    accuracy law is pinned on the rebuilt rollup."""
+    got = {r["window_start"]: r for r in
+           _rows("hll_sliding_distinct", spark, sf_dir)}
     exact = {r["ws"]: r["exact"] for r in
              _events_by_sliding_window(spark, sf_dir)
              .groupBy("ws").agg(F.countDistinct("user_id").alias("exact"))
              .collect()}
     assert set(got) == set(exact)
-    for ws, est in got.items():
-        assert abs(est - exact[ws]) <= max(3, 0.03 * exact[ws]), (ws, est)
+    for ws, row in got.items():
+        assert row["n_users"] == exact[ws]
+        assert row["est_within_tol"], ws
+    est = _rolled_estimates(spark, sf_dir)
+    for ws, e in est.items():
+        assert abs(e - exact[ws]) <= max(3, 0.03 * exact[ws]), (ws, e)
 
 
 def test_hll_sliding_union_equals_direct_window_sketch(spark, sf_dir):
@@ -73,8 +100,7 @@ def test_hll_sliding_union_equals_direct_window_sketch(spark, sf_dir):
     sketch over each sliding window's raw rows, bit-for-bit — partial
     granularity is invisible, which is what makes incremental rollups
     safe."""
-    rolled = {r["window_start"]: r["est_users"]
-              for r in _rows("hll_sliding_distinct", spark, sf_dir)}
+    rolled = _rolled_estimates(spark, sf_dir)
     direct = {r["ws"]: r["est"] for r in
               _events_by_sliding_window(spark, sf_dir)
               .groupBy("ws")

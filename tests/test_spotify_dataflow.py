@@ -127,6 +127,32 @@ def test_pipeline_end_to_end(spark, tmp_path):
     assert res2.status == "failed"
 
 
+def test_run_summary_notification_golden():
+    """O6 message formatter parity (reference
+    dags/spotify_etl_dag.py:276-322): extraction + transformation
+    sections, zero-defaults, timestamp line."""
+    from etl_airflow_spotify_spark.spotify.pipeline import (RunResult,
+                                                            format_run_summary)
+
+    res = RunResult(status="success", run_ts="20260814T000000",
+                    stats={"albums": 5, "tracks": 20, "audio_features": 18,
+                           "categories": 3})
+    msg = format_run_summary(res, now="2026-08-14 00:00:00")
+    assert msg == (
+        "Spotify ETL Pipeline Completed!\n\n"
+        "Extraction:\n- 5 new releases\n- 18 audio features\n"
+        "- 3 categories\n\n"
+        "Transformation:\n- 5 albums processed\n- 20 tracks processed\n"
+        "- 18 audio features processed\n\n"
+        "Time: 2026-08-14 00:00:00\n")
+    # missing stats default to 0 (reference's None-stats branch)
+    empty = format_run_summary(
+        RunResult(status="failed", run_ts="x", error="boom"),
+        now="2026-08-14 00:00:00")
+    assert "- 0 new releases" in empty and empty.endswith("Error: boom\n")
+    assert empty.startswith("Spotify ETL Pipeline FAILED")
+
+
 def test_distributed_feature_fetch(spark):
     from etl_airflow_spotify_spark.sources.spotify_rest import (
         fetch_audio_features_distributed)
