@@ -85,6 +85,111 @@ def pagerank_fixed(edges: DataFrame, iters: int = 5) -> DataFrame:
         "node", "pr", F.col("d").cast("long").alias("degree"))
 
 
+def edge_weights(edges: DataFrame) -> DataFrame:
+    """Deterministic BIGINT edge weights 1..7 as a pure function of the
+    endpoints (``1 + (src + dst) % 7``) — replayable by any SQL engine,
+    no stored weight column needed. Stands in for a real affinity score
+    (co-purchase count, distance, cost) while keeping every downstream
+    relaxation exact integer math."""
+    return edges.select("src", "dst",
+                        (F.lit(1) + (F.col("src") + F.col("dst")) % 7)
+                        .cast("long").alias("w"))
+
+
+def sssp_bounded(edges_w: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame:
+    """Bounded-round Bellman-Ford single-source-shortest-path from a
+    seed SET over a weighted edge list (src, dst, w).
+
+    Each round is one (join + union + min-aggregate): relax every edge
+    out of the current label set, fold with the previous labels, keep
+    the per-node minimum. ``rounds`` bounds path length in HOPS, so the
+    result is "cheapest path using <= rounds edges" — exactly what the
+    chained-CTE oracle replays. Labels are localCheckpointed per round
+    (constant plan depth); all arithmetic is BIGINT, so partial-
+    aggregation order can't perturb the result.
+
+    At 100 TB: edges arrive persisted + hash-partitioned on src by the
+    caller; per round the only moving frame is node-sized labels.
+    """
+    labels = seeds.localCheckpoint()
+    for _ in range(rounds):
+        relaxed = (labels.join(edges_w, labels["node"] == edges_w["src"])
+                   .select(F.col("dst").alias("node"),
+                           (F.col("d") + F.col("w")).alias("d")))
+        labels = (labels.unionByName(relaxed)
+                  .groupBy("node").agg(F.min("d").cast("long").alias("d"))
+                  .localCheckpoint())
+    return labels
+
+
+def sssp_oracle_sql(edge_cte: str, seed_mod: int, rounds: int) -> str:
+    """DuckDB twin of :func:`sssp_bounded`: the same bounded relaxation
+    unrolled as chained CTEs. ``edge_cte`` must define ``e(src, dst)``;
+    weights and seeds are re-derived by the shared pure functions."""
+    parts = [edge_cte,
+             "ew AS (SELECT src, dst, "
+             "CAST(1 + (src + dst) % 7 AS BIGINT) AS w FROM e)",
+             f"d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS d "
+             f"FROM ew WHERE src % {seed_mod} = 0)"]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"d{k} AS (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM ("
+            f"SELECT node, d FROM d{k - 1} "
+            f"UNION ALL "
+            f"SELECT ew.dst, p.d + ew.w FROM d{k - 1} p "
+            f"JOIN ew ON ew.src = p.node) GROUP BY node)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, d AS dist FROM d{rounds}")
+
+
+def label_propagation(edges_w: DataFrame, rounds: int) -> DataFrame:
+    """Weighted semi-synchronous label propagation, fixed rounds,
+    deterministic: every node starts labelled with its own id; each
+    round every node adopts the label with the largest incident weight
+    sum among its neighbours, ties broken toward the SMALLEST label.
+
+    The per-round argmax is expressed as two engine-safe aggregates
+    (per-(node,label) weight sum; then min label among those hitting
+    the per-node max) instead of ``max_by`` — struct-ordered argmax
+    aggregates have engine-specific tie semantics, two plain aggregates
+    do not. Labels localCheckpoint per round.
+    """
+    labels = (edges_w.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").cast("long").alias("lab"))
+              .localCheckpoint())
+    for _ in range(rounds):
+        cand = (edges_w.join(labels, edges_w["src"] == labels["node"])
+                .groupBy(F.col("dst").alias("n"), F.col("lab"))
+                .agg(F.sum("w").alias("s")))
+        mx = cand.groupBy("n").agg(F.max("s").alias("ms")) \
+            .withColumnRenamed("n", "mn")
+        labels = (cand.join(mx, (cand["n"] == mx["mn"])
+                            & (cand["s"] == mx["ms"]))
+                  .groupBy(F.col("n").alias("node"))
+                  .agg(F.min("lab").cast("long").alias("lab"))
+                  .localCheckpoint())
+    return labels
+
+
+def label_propagation_oracle_sql(edge_cte: str, rounds: int) -> str:
+    """DuckDB twin of :func:`label_propagation` (same weights, same
+    two-aggregate argmax, same tie-break), unrolled as chained CTEs."""
+    parts = [edge_cte,
+             "ew AS (SELECT src, dst, "
+             "CAST(1 + (src + dst) % 7 AS BIGINT) AS w FROM e)",
+             "l0 AS (SELECT DISTINCT src AS node, "
+             "CAST(src AS BIGINT) AS lab FROM ew)"]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"c{k} AS (SELECT ew.dst AS n, l.lab, SUM(ew.w) AS s "
+            f"FROM ew JOIN l{k - 1} l ON ew.src = l.node GROUP BY 1, 2)")
+        parts.append(
+            f"l{k} AS (SELECT c.n AS node, CAST(MIN(c.lab) AS BIGINT) AS lab "
+            f"FROM c{k} c JOIN (SELECT n, MAX(s) AS ms FROM c{k} GROUP BY n) m "
+            f"ON c.n = m.n AND c.s = m.ms GROUP BY c.n)")
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, lab FROM l{rounds}"
+
+
 def pagerank_oracle_sql(edge_cte: str, iters: int = 5) -> str:
     """DuckDB twin of :func:`pagerank_fixed`: the same integer
     recurrence unrolled as chained CTEs. ``edge_cte`` must define a

@@ -214,3 +214,70 @@ def copurchase_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = labels.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return labels.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+SSSP_ROUNDS = 4
+SSSP_SEED_MOD = 50
+LP_ROUNDS = 3
+
+
+@register(
+    "copurchase_weighted_sssp",
+    G.sssp_oracle_sql(_EDGE_CTE, SSSP_SEED_MOD, SSSP_ROUNDS),
+    doc=f"X96 bounded Bellman-Ford shortest path ({SSSP_ROUNDS} relaxation "
+        f"rounds) from the seed parts (partkey % {SSSP_SEED_MOD} = 0) over "
+        "the WEIGHTED co-purchase graph — weights are a pure integer "
+        "function of the endpoints, so both engines re-derive them. Each "
+        "round is one edge join + union + min-aggregate over node-sized "
+        "labels; all-BIGINT arithmetic makes the distances partial-sum-"
+        "order-proof. The weighted generalization of X78's BFS: cheapest "
+        "route cost, not hop count.",
+    tags=("X96", "X42", "X3", "X7"),
+)
+def copurchase_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ew = persist_tracked(
+        G.edge_weights(G.cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+        .repartition("src"))
+    seeds = (ew.filter(F.col("src") % SSSP_SEED_MOD == 0)
+             .select("src").distinct()
+             .select(F.col("src").alias("node"),
+                     F.lit(0).cast("long").alias("d")))
+    out = G.sssp_bounded(ew, seeds, SSSP_ROUNDS)
+    return out.select("node", F.col("d").alias("dist"))
+
+
+@register(
+    "copurchase_communities",
+    G.label_propagation_oracle_sql(_EDGE_CTE, LP_ROUNDS)
+    .replace(f"\nSELECT node, lab FROM l{LP_ROUNDS}",
+             f""",
+    sz AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS community_size
+           FROM l{LP_ROUNDS} GROUP BY lab)
+    SELECT f.node, f.lab AS community, sz.community_size
+    FROM l{LP_ROUNDS} f JOIN sz ON sz.lab = f.lab"""),
+    doc=f"X97 community detection by weighted label propagation "
+        f"({LP_ROUNDS} fixed semi-synchronous rounds, min-label ties) "
+        "over the co-purchase graph. The per-round argmax is two plain "
+        "aggregates (label weight sums, then min label at the per-node "
+        "max) — deterministic and engine-portable where struct-ordered "
+        "max_by is not. Output: every node's community plus its size. "
+        "Community structure powers assortment planning and "
+        "recommendation diversity at catalog scale.",
+    tags=("X97", "X42", "X3", "X7"),
+)
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ew = persist_tracked(
+        G.edge_weights(G.cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+        .repartition("src"))
+    labels = G.label_propagation(ew, LP_ROUNDS)
+    sz = labels.groupBy("lab").agg(
+        F.count("*").cast("long").alias("community_size"))
+    return (labels.join(sz, "lab")
+            .select("node", F.col("lab").alias("community"),
+                    "community_size"))

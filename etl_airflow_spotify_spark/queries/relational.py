@@ -1634,3 +1634,109 @@ def trending_parts_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("l_partkey", "n_lines",
                     F.round(F.col("score_micro") / 1e6, 4)
                     .alias("decayed_score")))
+
+
+# --------------------------------------------------------------------------
+# X98: RFM customer segmentation — the standard CRM scoring: Recency /
+# Frequency / Monetary per customer, FIXED-threshold scores (a global
+# ntile would serialize the corpus through one partition; fixed cutoffs
+# are map-side and stable as data grows), then a segment rollup. One
+# orders scan -> customer-keyed aggregate; the reference date is the
+# corpus max order date (one scalar aggregate, broadcast).
+# --------------------------------------------------------------------------
+RFM_R_DAYS = (180, 540)      # recency <= 180d -> 3, <= 540d -> 2, else 1
+RFM_F_ORDERS = (12, 6)       # frequency >= 12 -> 3, >= 6 -> 2, else 1
+RFM_M_TOTAL = (600000, 200000)  # monetary >= cutoffs, same ladder
+
+
+@register(
+    "rfm_segments",
+    f"""
+    WITH ref AS (SELECT MAX(o_orderdate) AS ref_d FROM orders),
+    cust AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate), ref.ref_d) AS rec_days,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               SUM(o_totalprice::DECIMAL(12,2)) AS mon
+        FROM orders CROSS JOIN ref
+        GROUP BY o_custkey, ref.ref_d
+    ),
+    scored AS (
+        SELECT o_custkey, rec_days, freq, mon,
+               CASE WHEN rec_days <= {RFM_R_DAYS[0]} THEN 3
+                    WHEN rec_days <= {RFM_R_DAYS[1]} THEN 2
+                    ELSE 1 END AS r_score,
+               CASE WHEN freq >= {RFM_F_ORDERS[0]} THEN 3
+                    WHEN freq >= {RFM_F_ORDERS[1]} THEN 2
+                    ELSE 1 END AS f_score,
+               CASE WHEN mon >= {RFM_M_TOTAL[0]} THEN 3
+                    WHEN mon >= {RFM_M_TOTAL[1]} THEN 2
+                    ELSE 1 END AS m_score
+        FROM cust
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CASE WHEN r_score = 3 AND f_score = 3 AND m_score = 3
+                    THEN 'champion'
+                WHEN r_score = 1 AND f_score <= 2 AND m_score <= 2
+                    THEN 'hibernating'
+                WHEN r_score = 1 THEN 'at_risk'
+                WHEN f_score = 3 THEN 'loyal'
+                WHEN m_score = 3 THEN 'big_spender'
+                ELSE 'regular' END AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(rec_days), 4) AS avg_recency_days,
+           ROUND(AVG(freq), 4) AS avg_frequency,
+           CAST(ROUND(SUM(mon), 2) AS DOUBLE) AS total_monetary
+    FROM scored
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="X98 RFM customer segmentation: per-customer recency/frequency/"
+        "monetary from one orders scan, fixed-cutoff 1-3 scores (never "
+        "a global ntile — cutoffs are map-side and rank-stable at any "
+        "scale), business segment labels, then a bounded 27-cell "
+        "rollup. Money folds as exact DECIMAL and rounds in the "
+        "DECIMAL domain; recency is exact integer day arithmetic "
+        "against the corpus max order date (one broadcast scalar).",
+    tags=("X98", "X7", "X14", "X2"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("ref_d"))
+    cust = (o.crossJoin(F.broadcast(ref))
+            .groupBy("o_custkey", "ref_d")
+            .agg(F.datediff(F.first("ref_d"), F.max("o_orderdate"))
+                 .alias("rec_days"),
+                 F.count("*").cast("long").alias("freq"),
+                 F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                 .alias("mon")))
+    scored = cust.select(
+        "rec_days", "freq", "mon",
+        F.when(F.col("rec_days") <= RFM_R_DAYS[0], 3)
+        .when(F.col("rec_days") <= RFM_R_DAYS[1], 2)
+        .otherwise(1).alias("r_score"),
+        F.when(F.col("freq") >= RFM_F_ORDERS[0], 3)
+        .when(F.col("freq") >= RFM_F_ORDERS[1], 2)
+        .otherwise(1).alias("f_score"),
+        F.when(F.col("mon") >= RFM_M_TOTAL[0], 3)
+        .when(F.col("mon") >= RFM_M_TOTAL[1], 2)
+        .otherwise(1).alias("m_score"))
+    seg = (F.when((F.col("r_score") == 3) & (F.col("f_score") == 3)
+                  & (F.col("m_score") == 3), "champion")
+           .when((F.col("r_score") == 1) & (F.col("f_score") <= 2)
+                 & (F.col("m_score") <= 2), "hibernating")
+           .when(F.col("r_score") == 1, "at_risk")
+           .when(F.col("f_score") == 3, "loyal")
+           .when(F.col("m_score") == 3, "big_spender")
+           .otherwise("regular"))
+    return (scored
+            .groupBy(F.col("r_score").cast("long").alias("r_score"),
+                     F.col("f_score").cast("long").alias("f_score"),
+                     F.col("m_score").cast("long").alias("m_score"),
+                     seg.alias("segment"))
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 F.round(F.avg("rec_days"), 4).alias("avg_recency_days"),
+                 F.round(F.avg("freq"), 4).alias("avg_frequency"),
+                 F.round(F.sum("mon"), 2).cast("double")
+                 .alias("total_monetary")))

@@ -1851,3 +1851,150 @@ def classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.select(F.col("p").alias("n_pos"), F.col("n").alias("n_neg"),
                     F.round(F.col("u2") / (2.0 * F.col("p") * F.col("n")),
                             6).alias("auc"))
+
+
+# --------------------------------------------------------------------------
+# X99: graded ranking-quality metrics (MRR + nDCG@k) of the IVF index
+# against the exact ranking — the evaluation suite behind any retrieval
+# deployment decision, complementing X62's binary recall. The log2
+# position discounts are irrational, so BOTH engines read them from the
+# same Python-precomputed integer micro-table (inlined as CASE arms):
+# DCG folds as exact BIGINT sums, and the only float op is one final
+# BIGINT/BIGINT division, IEEE-identical everywhere.
+# --------------------------------------------------------------------------
+import math as _math
+
+_NDCG_DISC = {p: round(1e6 / _math.log2(p + 1)) for p in range(1, K + 1)}
+_IDCG_MICRO = sum((K - p + 1) * _NDCG_DISC[p] for p in range(1, K + 1))
+_RR_MICRO = {p: round(1e6 / p) for p in range(1, K + 1)}
+
+_DISC_CASE = ("CASE p " + " ".join(
+    f"WHEN {p} THEN {v}" for p, v in _NDCG_DISC.items()) + " ELSE 0 END")
+_RR_CASE = ("CASE first_rel_rank " + " ".join(
+    f"WHEN {p} THEN {v}" for p, v in _RR_MICRO.items()) + " ELSE 0 END")
+
+
+def _ranking_metrics_oracle_sql() -> str:
+    """Exact and IVF rankings replayed in SQL (seeded codebook inlined,
+    as in X62), joined into graded gains, folded to MRR / nDCG@k."""
+    cents = S._unit_centroids(16, 64, 7)
+    vals = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET},
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+        FROM embeddings WHERE vec_id < {N_PLANT}
+    ),
+    exact AS (
+        SELECT query_id, cand_id, rn FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                c.vec_id) AS rn
+            FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {K}
+    ),
+    cents(ci, cv) AS (VALUES
+        {vals}
+    ),
+    assign AS (
+        SELECT vec_id, v, ci AS cell FROM (
+            SELECT c.vec_id, c.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_inner_product(c.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus c CROSS JOIN cents ce
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, ci AS cell FROM (
+            SELECT q.vec_id, q.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_inner_product(q.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus q CROSS JOIN cents ce
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= 4
+    ),
+    ivf AS (
+        SELECT query_id, cand_id, rn FROM (
+            SELECT p.query_id, a.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY list_cosine_similarity(p.qv, a.v) DESC,
+                                a.vec_id) AS rn
+            FROM probes p JOIN assign a ON a.cell = p.cell
+            WHERE a.vec_id <> p.query_id
+        ) WHERE rn <= {K}
+    ),
+    graded AS (
+        SELECT i.query_id, i.rn AS p,
+               CAST(COALESCE({K} - e.rn + 1, 0) AS BIGINT) AS gain
+        FROM ivf i LEFT JOIN exact e
+          ON e.query_id = i.query_id AND e.cand_id = i.cand_id
+    ),
+    folded AS (
+        SELECT query_id,
+               CAST(COUNT(CASE WHEN gain > 0 THEN 1 END) AS BIGINT)
+                   AS n_rel,
+               CAST(COALESCE(MIN(CASE WHEN gain > 0 THEN p END), 0)
+                    AS BIGINT) AS first_rel_rank,
+               CAST(SUM(gain * ({_DISC_CASE})) AS BIGINT) AS dcg_micro
+        FROM graded GROUP BY query_id
+    )
+    SELECT query_id, n_rel, first_rel_rank, dcg_micro,
+           ROUND(({_RR_CASE})::DOUBLE / 1000000, 6) AS reciprocal_rank,
+           ROUND(dcg_micro::DOUBLE / {_IDCG_MICRO}, 6) AS ndcg_at_k
+    FROM folded
+    """
+
+
+@register(
+    "ivf_ranking_metrics",
+    _ranking_metrics_oracle_sql(),
+    doc=f"X99 graded ranking metrics: MRR and nDCG@{K} of the "
+        "4-of-16-probe IVF ranking against the exact ranking (graded "
+        f"relevance = {K}-exact_rank+1). Position discounts 1/log2(p+1) "
+        "come from one Python-precomputed integer micro-table inlined "
+        "into BOTH engines, so DCG folds as exact BIGINT and the final "
+        "normalization is a single IEEE-exact integer division. The "
+        "per-query join runs on two top-k outputs — query-cardinality "
+        "work after the index probes, any-scale shape.",
+    tags=("X99", "X62", "X17", "X12"),
+)
+def ivf_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_planted(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = (S.topk_cosine(emb, queries, K)
+             .select("query_id", "cand_id",
+                     (F.lit(K) - F.col("rn") + 1).cast("long").alias("gain")))
+    ivf = (S.ivf_topk_cosine(emb, queries, K)
+           .select(F.col("query_id").alias("qi"),
+                   F.col("cand_id").alias("ci"),
+                   F.col("rn").alias("p")))
+    j = (ivf.join(exact, (ivf["qi"] == exact["query_id"])
+                  & (ivf["ci"] == exact["cand_id"]), "left")
+         .select(F.col("qi").alias("query_id"), "p",
+                 F.coalesce(F.col("gain"), F.lit(0)).alias("gain")))
+    disc = F.expr(_DISC_CASE)
+    folded = (j.groupBy("query_id")
+              .agg(F.count(F.when(F.col("gain") > 0, 1)).cast("long")
+                   .alias("n_rel"),
+                   F.coalesce(F.min(F.when(F.col("gain") > 0, F.col("p"))),
+                              F.lit(0)).cast("long").alias("first_rel_rank"),
+                   F.sum(F.col("gain") * disc).cast("long")
+                   .alias("dcg_micro")))
+    return folded.select(
+        "query_id", "n_rel", "first_rel_rank", "dcg_micro",
+        F.round(F.expr(_RR_CASE).cast("double") / 1000000, 6)
+        .alias("reciprocal_rank"),
+        F.round(F.col("dcg_micro").cast("double") / _IDCG_MICRO, 6)
+        .alias("ndcg_at_k"))
