@@ -145,6 +145,11 @@ HEADLINE = [
     "copurchase_communities",
     "rfm_segments",
     "ivf_ranking_metrics",
+    "logodds_keywords",
+    "incremental_corpus_dedup",
+    "mutual_information_features",
+    "bootstrap_ci_mean",
+    "event_epsilon_pairs",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

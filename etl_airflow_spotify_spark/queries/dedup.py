@@ -548,3 +548,61 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("quality").alias("kept_quality"),
                     F.col("sz").cast("long").alias("cluster_size"),
                     (F.col("sz") - 1).cast("long").alias("n_dropped")))
+
+
+# --------------------------------------------------------------------------
+# X101: incremental dedup of a NEW BATCH against an existing corpus —
+# the daily-ingest shape at 100 TB: the corpus index (shingle sets +
+# LSH bucket rows) is built once and persisted; each increment hashes
+# only its own documents and candidates new-vs-(corpus + new) via the
+# band-bucket join. Corpus-vs-corpus pairs are NEVER recomputed. The
+# oracle is exhaustive all-pairs Jaccard restricted to pairs touching
+# the increment (the md5 batch predicate is a pure id function), so
+# LSH recall AND the batch split both hash-check.
+# --------------------------------------------------------------------------
+INCR_NEW_BUCKET = 90  # md5 bucket >= 90 -> the 10% "new batch"
+
+
+@register(
+    "incremental_corpus_dedup",
+    f"""
+    WITH pairs AS ({_ALL_PAIRS_JACCARD}),
+    lab AS (
+        SELECT id_a, id_b, jaccard,
+               (('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 15))::BIGINT
+                % 100) >= {INCR_NEW_BUCKET} AS new_a,
+               (('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 15))::BIGINT
+                % 100) >= {INCR_NEW_BUCKET} AS new_b
+        FROM pairs
+    )
+    SELECT id_a, id_b, jaccard,
+           CASE WHEN new_a AND new_b THEN 'new_new'
+                ELSE 'new_corpus' END AS pair_type
+    FROM lab WHERE new_a OR new_b
+    """,
+    doc="X101 incremental near-dup detection: a deterministic 10% md5 "
+        "batch of documents deduped against the persisted corpus "
+        "MinHash index (shingles + band buckets built once on the 90% "
+        "side). Candidates come from the new side's bucket rows joined "
+        "to corpus+new buckets — per-increment cost scales with the "
+        "INCREMENT, not the corpus; corpus-vs-corpus pairs are never "
+        "touched. Exact-Jaccard verify >= 0.8; pair_type labels "
+        "new-vs-corpus vs new-vs-new.",
+    tags=("X101", "X16", "X31"),
+)
+def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    bucket = hash_bucket(F.col("doc_id"))
+    corpus = docs.filter(bucket < INCR_NEW_BUCKET)
+    new = docs.filter(bucket >= INCR_NEW_BUCKET)
+    index = D.build_minhash_index(corpus, "doc_id", "text")
+    pairs = D.incremental_near_duplicates(index, new, "doc_id", "text",
+                                          threshold=0.8)
+    new_a = hash_bucket(F.col("id_a")) >= INCR_NEW_BUCKET
+    new_b = hash_bucket(F.col("id_b")) >= INCR_NEW_BUCKET
+    return pairs.select(
+        "id_a", "id_b", "jaccard",
+        F.when(new_a & new_b, "new_new").otherwise("new_corpus")
+        .alias("pair_type"))

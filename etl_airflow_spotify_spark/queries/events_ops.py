@@ -1852,3 +1852,97 @@ def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(mean, 2).alias("mean_gap_s"),
                     F.round(var / mean, 4).alias("fano"),
                     F.round(F.sqrt(var) / mean, 4).alias("cv")))
+
+
+# --------------------------------------------------------------------------
+# X104: grid-bucketed epsilon join — all event pairs close in BOTH
+# time and value (|dt| <= eps_t, |dv| <= eps_v), the 2-D similarity
+# join behind correlated-event mining and sensor-coincidence detection.
+# Never the quadratic theta self-join: each event lands in one
+# (time, value) grid cell sized exactly (eps_t, eps_v); one side
+# explodes to its 3x3 neighbor cells, the equi-join on cell keys is
+# hash-partitioned, and the exact predicate verifies inside buckets.
+# Time buckets are RELATIVE to the corpus min timestamp, so the
+# session-timezone offset in raw epoch micros cancels cross-engine.
+# --------------------------------------------------------------------------
+EPS_T_US = 600 * 1_000_000  # 10 minutes, in microseconds
+EPS_V = 2.0
+
+
+@register(
+    "event_epsilon_pairs",
+    f"""
+    WITH base AS (
+        SELECT event_id, epoch_us(ts) AS us, value FROM events
+    ),
+    m AS (SELECT MIN(us) AS mn FROM base),
+    cells AS (
+        SELECT event_id, us - m.mn AS rel, value,
+               (us - m.mn) // {EPS_T_US} AS ct,
+               CAST(FLOOR(value / {EPS_V}) AS BIGINT) AS cv
+        FROM base CROSS JOIN m
+    ),
+    probe AS (
+        SELECT event_id, rel, value,
+               ct + dt.o AS ct, cv + dv.o AS cv
+        FROM cells,
+             (SELECT unnest([-1, 0, 1]) AS o) dt,
+             (SELECT unnest([-1, 0, 1]) AS o) dv
+    )
+    SELECT DISTINCT a.event_id AS id_a, b.event_id AS id_b,
+           CAST(abs(a.rel - b.rel) AS BIGINT) AS dt_us,
+           ROUND(abs(a.value - b.value), 4) AS dv
+    FROM probe a JOIN cells b ON a.ct = b.ct AND a.cv = b.cv
+    WHERE a.event_id < b.event_id
+      AND abs(a.rel - b.rel) <= {EPS_T_US}
+      AND abs(a.value - b.value) <= {EPS_V}
+    """,
+    doc=f"X104 grid epsilon join: event pairs within "
+        f"{EPS_T_US // 1_000_000}s AND {EPS_V} value units of each "
+        "other. Grid cells are one (eps_t, eps_v) rectangle each; a "
+        "3x3 neighbor-cell explode on the probe side guarantees every "
+        "qualifying pair shares a join key (pigeonhole: max one cell "
+        "boundary per axis within one epsilon), the cell equi-join "
+        "shuffles hash-partitioned, and the exact predicate + "
+        "DISTINCT dedups multi-cell matches. Work scales with "
+        "occupied-cell density, never corpus^2.",
+    tags=("X104", "X5", "X3"),
+)
+def event_epsilon_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    # unix_micros takes TIMESTAMP, not NTZ; the session-tz offset the
+    # cast injects cancels in rel = us - min(us) below.
+    ev = _ev(spark, sf_dir).select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), "value")
+    mn = ev.agg(F.min("us").alias("mn"))
+    cells = persist_tracked(
+        ev.crossJoin(F.broadcast(mn))
+        .select("event_id", (F.col("us") - F.col("mn")).alias("rel"),
+                "value",
+                F.expr(f"(us - mn) DIV {EPS_T_US}").alias("ct"),
+                F.floor(F.col("value") / EPS_V).cast("long").alias("cv")))
+    offs = spark.createDataFrame([(o,) for o in (-1, 0, 1)], "o long")
+    probe = (cells
+             .crossJoin(F.broadcast(offs.select(F.col("o").alias("dt"))))
+             .crossJoin(F.broadcast(offs.select(F.col("o").alias("dv"))))
+             .select("event_id", "rel", "value",
+                     (F.col("ct") + F.col("dt")).alias("ct"),
+                     (F.col("cv") + F.col("dv")).alias("cv")))
+    a = probe.select(F.col("event_id").alias("id_a"),
+                     F.col("rel").alias("rel_a"),
+                     F.col("value").alias("val_a"), "ct", "cv")
+    b = cells.select(F.col("event_id").alias("id_b"),
+                     F.col("rel").alias("rel_b"),
+                     F.col("value").alias("val_b"), "ct", "cv")
+    return (a.join(b, ["ct", "cv"])
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.abs(F.col("rel_a") - F.col("rel_b")) <= EPS_T_US)
+                    & (F.abs(F.col("val_a") - F.col("val_b")) <= EPS_V))
+            .select("id_a", "id_b",
+                    F.abs(F.col("rel_a") - F.col("rel_b")).cast("long")
+                    .alias("dt_us"),
+                    F.round(F.abs(F.col("val_a") - F.col("val_b")), 4)
+                    .alias("dv"))
+            .distinct())

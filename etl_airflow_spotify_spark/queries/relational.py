@@ -1740,3 +1740,222 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("freq"), 4).alias("avg_frequency"),
                  F.round(F.sum("mon"), 2).cast("double")
                  .alias("total_monetary")))
+
+
+# --------------------------------------------------------------------------
+# X102: mutual-information feature scoring — "which categorical
+# features predict the label", the feature-selection/information-gain
+# primitive. MI(X;Y) = sum_xy c_xy * [log2(c_xy) + log2(N) - log2(c_x)
+# - log2(c_y)] / N. Every log takes an INTEGER count and snaps to the
+# 1e-6-bit grid; each cell's contribution is then a BIGINT product
+# (count x micro-bits), so the per-feature fold is EXACT integer
+# summation in any order — the one float op is the final division.
+# One orders scan builds all (feature, value, label) cells via an
+# inline unpivot; marginals derive from the cell table, never a
+# second scan.
+# --------------------------------------------------------------------------
+MI_LABEL_PRICE = 150000  # label: high-value order
+
+
+@register(
+    "mutual_information_features",
+    f"""
+    WITH base AS (
+        SELECT CASE WHEN o_totalprice >= {MI_LABEL_PRICE} THEN 1 ELSE 0 END
+                   AS y,
+               o_orderstatus, o_orderpriority,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS oyear
+        FROM orders
+    ),
+    unpv AS (
+        SELECT 'order_status' AS feature, o_orderstatus AS val, y FROM base
+        UNION ALL
+        SELECT 'order_priority', o_orderpriority, y FROM base
+        UNION ALL
+        SELECT 'order_year', oyear, y FROM base
+    ),
+    cells AS (
+        SELECT feature, val, y, CAST(COUNT(*) AS BIGINT) AS c
+        FROM unpv GROUP BY feature, val, y
+    ),
+    mx AS (SELECT feature, val, CAST(SUM(c) AS BIGINT) AS cx
+           FROM cells GROUP BY feature, val),
+    my AS (SELECT feature, y, CAST(SUM(c) AS BIGINT) AS cy
+           FROM cells GROUP BY feature, y),
+    n AS (SELECT feature, CAST(SUM(c) AS BIGINT) AS nn
+          FROM cells GROUP BY feature),
+    terms AS (
+        SELECT cells.feature,
+               cells.c * (ROUND(log2(cells.c) * 1e6, 0)::BIGINT
+                          + ROUND(log2(n.nn) * 1e6, 0)::BIGINT
+                          - ROUND(log2(mx.cx) * 1e6, 0)::BIGINT
+                          - ROUND(log2(my.cy) * 1e6, 0)::BIGINT) AS t,
+               n.nn
+        FROM cells
+        JOIN mx ON mx.feature = cells.feature AND mx.val = cells.val
+        JOIN my ON my.feature = cells.feature AND my.y = cells.y
+        JOIN n ON n.feature = cells.feature
+    )
+    SELECT feature,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mx
+            WHERE mx.feature = terms.feature) AS n_values,
+           ROUND(CAST(SUM(t) AS BIGINT)::DOUBLE / (1000000.0 * nn), 6)
+               AS mi_bits
+    FROM terms GROUP BY feature, nn
+    """,
+    doc="X102 mutual information between categorical order features "
+        "(status, priority, order year) and the high-value label "
+        f"(totalprice >= {MI_LABEL_PRICE}): the feature-selection "
+        "score sheet. One scan unpivots to (feature, value, label) "
+        "cells; marginals and totals fold FROM the cell table; each "
+        "cell contributes count x micro-grid-log2 bits as an exact "
+        "BIGINT, so partial-sum order cannot perturb the result. "
+        "Cell cardinality is feature-bounded — every post-scan frame "
+        "is tiny at any corpus scale.",
+    tags=("X102", "X7", "X14", "X18"),
+)
+def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        (F.col("o_totalprice") >= MI_LABEL_PRICE).cast("int").alias("y"),
+        "o_orderstatus", "o_orderpriority",
+        F.year("o_orderdate").cast("string").alias("oyear"))
+    unpv = base.select(F.expr(
+        "stack(3, 'order_status', o_orderstatus, y, "
+        "'order_priority', o_orderpriority, y, "
+        "'order_year', oyear, y) AS (feature, val, y)"))
+    cells = (unpv.groupBy("feature", "val", "y")
+             .agg(F.count("*").cast("long").alias("c")))
+    mx = cells.groupBy("feature", "val").agg(
+        F.sum("c").cast("long").alias("cx"))
+    my = cells.groupBy("feature", "y").agg(
+        F.sum("c").cast("long").alias("cy"))
+    n = cells.groupBy("feature").agg(F.sum("c").cast("long").alias("nn"))
+    nv = mx.groupBy("feature").agg(F.count("*").cast("long")
+                                   .alias("n_values"))
+
+    def micro(c):
+        return F.round(F.log2(c) * 1e6, 0).cast("long")
+
+    terms = (cells
+             .join(mx, ["feature", "val"])
+             .join(my, ["feature", "y"])
+             .join(n, "feature")
+             .select("feature", "nn",
+                     (F.col("c") * (micro(F.col("c")) + micro(F.col("nn"))
+                                    - micro(F.col("cx"))
+                                    - micro(F.col("cy")))).alias("t")))
+    return (terms.groupBy("feature", "nn")
+            .agg(F.sum("t").cast("long").alias("st"))
+            .join(nv, "feature")
+            .select("feature", "n_values",
+                    F.round(F.col("st").cast("double")
+                            / (F.lit(1000000.0) * F.col("nn")), 6)
+                    .alias("mi_bits")))
+
+
+# --------------------------------------------------------------------------
+# X103: Poisson bootstrap CI for the mean — the distributed bootstrap
+# (Chamandy et al. / Kleiner-era pattern): instead of resampling rows
+# (impossible without a global index), each row draws a Poisson(1)
+# replicate weight, so every replicate is one weighted map-side-
+# combinable aggregate. Weights come from an md5 uniform against the
+# Python-precomputed cumulative-Poisson thresholds in exact 2^60
+# units — pure integer comparisons, replayable by any engine. The
+# row x B fan-out is a map-only explode; the shuffle carries B rows.
+# --------------------------------------------------------------------------
+BOOT_B = 64
+# P(Poisson(1) <= k) for k = 0..8, scaled by 2^60 (truncation at 9 is
+# part of the spec: P(X > 9) ~ 1e-7, identically on both engines).
+_POIS_TH = (424136118829305344, 848272237658610688, 1060340297073263360,
+            1131029650211480960, 1148701988496035328, 1152236456152946176,
+            1152825534095764608, 1152909688087595776, 1152920207336574720)
+
+
+def _pois_w_sql(h: str) -> str:
+    return "(" + " + ".join(
+        f"CASE WHEN {h} >= {t} THEN 1 ELSE 0 END" for t in _POIS_TH) + ")"
+
+
+@register(
+    "bootstrap_ci_mean",
+    f"""
+    WITH rep AS (
+        SELECT o_orderkey, o_totalprice::DECIMAL(12,2) AS price, b,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '_' ||
+                                   CAST(b AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM orders, generate_series(0, {BOOT_B - 1}) AS g(b)
+    ),
+    means AS (
+        SELECT b,
+               CAST(SUM({_pois_w_sql('h')}) AS BIGINT) AS n_eff,
+               SUM({_pois_w_sql('h')} * price) AS wp
+        FROM rep GROUP BY b
+    ),
+    ranked AS (
+        SELECT b, n_eff, wp::DOUBLE / n_eff AS m,
+               ROW_NUMBER() OVER (ORDER BY wp::DOUBLE / n_eff, b) AS rn
+        FROM means
+    ),
+    point AS (
+        SELECT SUM(o_totalprice::DECIMAL(12,2)) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+    )
+    SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
+           point.n AS n_rows,
+           ROUND(point.s::DOUBLE / point.n, 4) AS point_mean,
+           ROUND((SELECT m FROM ranked WHERE rn = 2), 4) AS boot_ci_lo,
+           ROUND((SELECT m FROM ranked WHERE rn = {BOOT_B - 1}), 4)
+               AS boot_ci_hi
+    FROM point
+    """,
+    doc=f"X103 Poisson-bootstrap ({BOOT_B} replicates) percentile CI "
+        "for the mean order price: each row draws a deterministic "
+        "Poisson(1) weight per replicate (md5 uniform vs precomputed "
+        "integer 2^60-unit thresholds — exact integer comparisons on "
+        "both engines), replicate means fold as one weighted DECIMAL "
+        "aggregate, and the ~2.5%/97.5% CI is the 2nd/63rd order "
+        "statistic. The resampling-without-an-index pattern that "
+        "makes bootstrap feasible on sharded corpora.",
+    tags=("X103", "X7", "X24", "X28"),
+)
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    rep = (o.select(F.col("o_orderkey"),
+                    F.col("o_totalprice").cast("decimal(12,2)")
+                    .alias("price"))
+           .select("o_orderkey", "price",
+                   F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1)))
+                   .alias("b")))
+    h = (F.conv(F.substring(F.md5(F.concat_ws(
+        "_", F.col("o_orderkey"), F.col("b"))), 1, 15), 16, 10)
+        .cast("long"))
+    w = None
+    for t in _POIS_TH:
+        term = (h >= F.lit(t)).cast("int")
+        w = term if w is None else w + term
+    means = (rep.withColumn("w", w)
+             .groupBy("b")
+             .agg(F.sum("w").cast("long").alias("n_eff"),
+                  F.sum(F.col("w") * F.col("price")).alias("wp")))
+    ranked = means.select(
+        "b", "n_eff",
+        (F.col("wp").cast("double") / F.col("n_eff")).alias("m"))
+    ranked = ranked.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.asc("m"), F.asc("b"))))
+    lo = ranked.filter(F.col("rn") == 2).select(
+        F.round("m", 4).alias("boot_ci_lo"))
+    hi = ranked.filter(F.col("rn") == BOOT_B - 1).select(
+        F.round("m", 4).alias("boot_ci_hi"))
+    point = o.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("s"),
+        F.count("*").cast("long").alias("n"))
+    return (point.crossJoin(lo).crossJoin(hi)
+            .select(F.lit(BOOT_B).cast("long").alias("n_replicates"),
+                    F.col("n").alias("n_rows"),
+                    F.round(F.col("s").cast("double") / F.col("n"), 4)
+                    .alias("point_mean"),
+                    "boot_ci_lo", "boot_ci_hi"))

@@ -1036,3 +1036,112 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_matches"),
                  F.min("pos").cast("long").alias("first_pos")))
+
+
+# --------------------------------------------------------------------------
+# X100: distinctive-keyword extraction via weighted log-odds with an
+# add-one Dirichlet prior (Monroe, Colaresi & Quinn 2008) — "which
+# words characterize THIS source vs the rest of the corpus", the
+# principled alternative to raw tf-idf for corpus-vs-corpus contrast.
+# Every log term takes an INTEGER argument (counts + integer prior)
+# and snaps to the 1e-6-bit grid (the PMI pattern), so the z-scores
+# are bit-identical across engines; the variance is two exact IEEE
+# divisions of integers.
+# --------------------------------------------------------------------------
+LOGODDS_MIN_COUNT = 5
+LOGODDS_TOPK = 15
+
+
+@register(
+    "logodds_keywords",
+    f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS w
+        FROM documents
+    ),
+    sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS y
+           FROM tok GROUP BY source, w),
+    st AS (SELECT source, CAST(SUM(y) AS BIGINT) AS ns FROM sw
+           GROUP BY source),
+    wt AS (SELECT w, CAST(SUM(y) AS BIGINT) AS yw FROM sw GROUP BY w),
+    tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS n,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM wt) AS v
+            FROM st),
+    scored AS (
+        SELECT sw.source, sw.w, sw.y,
+               -- micro-grid log2 terms of pure integer arguments
+               (ROUND(log2(sw.y + 1) * 1e6, 0)::BIGINT
+                - ROUND(log2(st.ns + tot.v - sw.y - 1) * 1e6, 0)::BIGINT
+                - ROUND(log2(wt.yw - sw.y + 1) * 1e6, 0)::BIGINT
+                + ROUND(log2(tot.n - st.ns + tot.v - (wt.yw - sw.y) - 1)
+                        * 1e6, 0)::BIGINT) AS delta_micro,
+               (1.0 / (sw.y + 1) + 1.0 / (wt.yw - sw.y + 1)) AS var
+        FROM sw JOIN st ON st.source = sw.source
+                JOIN wt ON wt.w = sw.w
+                CROSS JOIN tot
+        WHERE sw.y >= {LOGODDS_MIN_COUNT}
+    ),
+    z AS (
+        SELECT source, w, y,
+               ROUND((delta_micro / 1000000.0) / sqrt(var), 6) AS z_logodds
+        FROM scored
+    )
+    SELECT source, w AS word, y AS n_occurrences, z_logodds,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY source ORDER BY z_logodds DESC, w) AS rn
+          FROM z)
+    WHERE rn <= {LOGODDS_TOPK}
+    """,
+    doc=f"X100 per-source distinctive keywords: weighted log-odds "
+        "ratio with an add-one Dirichlet prior (Monroe et al. 2008) "
+        "of each word in a source vs the rest of the corpus, z-scored "
+        f"by the delta's variance; top {LOGODDS_TOPK} per source with "
+        f"count >= {LOGODDS_MIN_COUNT}. All four log terms take "
+        "integer arguments and snap to the 1e-6-bit grid, the "
+        "variance is two exact integer divisions — cross-engine "
+        "bit-identical. Word/source tables are the only shuffles; "
+        "scalars broadcast; the rank window partitions per source.",
+    tags=("X100", "X18", "X7", "X10"),
+)
+def logodds_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tok = _docs(spark, sf_dir).select(
+        "source", F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                    r"\s+")).alias("w"))
+    sw = tok.groupBy("source", "w").agg(F.count("*").cast("long").alias("y"))
+    st = sw.groupBy("source").agg(F.sum("y").cast("long").alias("ns"))
+    wt = sw.groupBy("w").agg(F.sum("y").cast("long").alias("yw"))
+    tot = (st.agg(F.sum("ns").cast("long").alias("n"))
+           .crossJoin(wt.agg(F.count("*").cast("long").alias("v"))))
+
+    def micro(c):
+        return F.round(F.log2(c) * 1e6, 0).cast("long")
+
+    scored = (sw.filter(F.col("y") >= LOGODDS_MIN_COUNT)
+              .join(st, "source").join(wt, "w")
+              .crossJoin(F.broadcast(tot))
+              .select(
+                  "source", "w", "y",
+                  (micro(F.col("y") + 1)
+                   - micro(F.col("ns") + F.col("v") - F.col("y") - 1)
+                   - micro(F.col("yw") - F.col("y") + 1)
+                   + micro(F.col("n") - F.col("ns") + F.col("v")
+                           - (F.col("yw") - F.col("y")) - 1))
+                  .alias("delta_micro"),
+                  (F.lit(1.0) / (F.col("y") + 1)
+                   + F.lit(1.0) / (F.col("yw") - F.col("y") + 1))
+                  .alias("var")))
+    z = scored.select(
+        "source", "w", "y",
+        F.round((F.col("delta_micro") / F.lit(1000000.0))
+                / F.sqrt(F.col("var")), 6).alias("z_logodds"))
+    w_rank = Window.partitionBy("source").orderBy(F.desc("z_logodds"),
+                                                  F.asc("w"))
+    return (z.withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") <= LOGODDS_TOPK)
+            .select("source", F.col("w").alias("word"),
+                    F.col("y").alias("n_occurrences"), "z_logodds",
+                    F.col("rn").cast("long").alias("rank")))

@@ -51,6 +51,11 @@ NEW_R4: dict[str, str] = {
     "copurchase_communities": "X97",
     "rfm_segments": "X98",
     "ivf_ranking_metrics": "X99",
+    "logodds_keywords": "X100",
+    "incremental_corpus_dedup": "X101",
+    "mutual_information_features": "X102",
+    "bootstrap_ci_mean": "X103",
+    "event_epsilon_pairs": "X104",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -66,6 +66,84 @@ def test_rfm_partitions_customers(spark, sf_dir):
             assert r["segment"] in {"hibernating", "at_risk"}
 
 
+def test_logodds_keywords_sum_to_topk_per_source(spark, sf_dir):
+    from collections import Counter
+    rows = _rows("logodds_keywords", spark, sf_dir)
+    per_source = Counter(r["source"] for r in rows)
+    for src, n in per_source.items():
+        ranks = sorted(r["rank"] for r in rows if r["source"] == src)
+        assert ranks == list(range(1, n + 1))  # dense 1..k
+    # z-scores within a source strictly ordered with the rank
+    for src in per_source:
+        zs = [r["z_logodds"] for r in
+              sorted((r for r in rows if r["source"] == src),
+                     key=lambda r: r["rank"])]
+        assert zs == sorted(zs, reverse=True)
+
+
+def test_incremental_dedup_every_pair_touches_new_batch(spark, sf_dir):
+    from etl_airflow_spotify_spark.queries.dedup import INCR_NEW_BUCKET
+    import hashlib
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15],
+                   16) % 100
+
+    rows = _rows("incremental_corpus_dedup", spark, sf_dir)
+    for r in rows:
+        new_a = bucket(r["id_a"]) >= INCR_NEW_BUCKET
+        new_b = bucket(r["id_b"]) >= INCR_NEW_BUCKET
+        assert new_a or new_b
+        want = "new_new" if (new_a and new_b) else "new_corpus"
+        assert r["pair_type"] == want
+        assert r["jaccard"] >= 0.8
+
+
+def test_mutual_information_nonnegative_and_bounded(spark, sf_dir):
+    import math
+    rows = _rows("mutual_information_features", spark, sf_dir)
+    assert {r["feature"] for r in rows} \
+        == {"order_status", "order_priority", "order_year"}
+    for r in rows:
+        # micro-grid snapping can push an exactly-zero MI a hair negative
+        assert r["mi_bits"] >= -1e-4
+        # MI <= H(X) <= log2(n_values)
+        assert r["mi_bits"] <= math.log2(max(r["n_values"], 2)) + 1e-6
+
+
+def test_bootstrap_ci_brackets_point_mean(spark, sf_dir):
+    import duckdb
+    (r,) = _rows("bootstrap_ci_mean", spark, sf_dir)
+    want_mean = duckdb.sql(
+        f"SELECT SUM(o_totalprice::DECIMAL(12,2))::DOUBLE / COUNT(*) "
+        f"FROM '{sf_dir}/orders.parquet'").fetchone()[0]
+    assert abs(r["point_mean"] - want_mean) < 1e-3
+    assert r["boot_ci_lo"] <= r["boot_ci_hi"]
+    # the 2.5-97.5 percentile interval should bracket the point mean
+    assert r["boot_ci_lo"] <= r["point_mean"] <= r["boot_ci_hi"]
+    assert r["n_replicates"] == 64
+
+
+def test_epsilon_pairs_equal_brute_force(spark, sf_dir):
+    """The grid join must find EXACTLY the brute-force pair set — the
+    3x3 neighbor explode's pigeonhole recall guarantee, checked against
+    an exhaustive DuckDB self-join ground truth (not the grid replay
+    the oracle uses)."""
+    import duckdb
+    from etl_airflow_spotify_spark.queries.events_ops import EPS_T_US, EPS_V
+    got = {(r["id_a"], r["id_b"]) for r in
+           _rows("event_epsilon_pairs", spark, sf_dir)}
+    brute = duckdb.sql(f"""
+        WITH b AS (SELECT event_id, epoch_us(ts) AS us, value
+                   FROM '{sf_dir}/events.parquet')
+        SELECT a.event_id, c.event_id
+        FROM b a JOIN b c ON a.event_id < c.event_id
+        WHERE abs(a.us - c.us) <= {EPS_T_US}
+          AND abs(a.value - c.value) <= {EPS_V}
+    """).fetchall()
+    assert got == set(brute)
+
+
 def test_ranking_metrics_bounds_and_recall_consistency(spark, sf_dir):
     from etl_airflow_spotify_spark.queries.similarity import K
     metrics = {r["query_id"]: r
