@@ -150,6 +150,9 @@ HEADLINE = [
     "mutual_information_features",
     "bootstrap_ci_mean",
     "event_epsilon_pairs",
+    "pooled_doc_topk",
+    "weighted_bottomk_sample",
+    "survivorship_golden_record",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

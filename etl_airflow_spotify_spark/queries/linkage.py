@@ -124,3 +124,120 @@ def fuzzy_cluster_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                .unionAll(tri.select(F.col("c"))))
     return (corners.groupBy(F.col("v").alias("value"))
             .agg(F.count("*").cast("long").alias("n_triangles")))
+
+
+# --------------------------------------------------------------------------
+# X107: survivorship ("golden record" construction) — the step AFTER
+# entity resolution: each fuzzy-name cluster merges into one master
+# record by per-FIELD rules (most-frequent value for name/brand with
+# min-value ties, max for price), the MDM complement to dedup's
+# keep-one-row policy. Clusters come from min-label connected
+# components over the blocked fuzzy edges; every argmax is the
+# engine-portable two-aggregate form; all per-cluster frames are
+# cluster-cardinality.
+# --------------------------------------------------------------------------
+@register(
+    "survivorship_golden_record",
+    f"""
+    WITH RECURSIVE names AS (
+        SELECT p_name AS nm, CAST(COUNT(*) AS BIGINT) AS n
+        FROM part GROUP BY p_name
+    ),
+    blocked AS (
+        SELECT split_part(nm, ' ', 1) AS blk, nm FROM names
+        UNION ALL
+        SELECT split_part(nm, ' ', 2) AS blk, nm FROM names
+    ),
+    fpairs AS (
+        SELECT DISTINCT a.nm AS va, b.nm AS vb
+        FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.nm < b.nm
+        WHERE levenshtein(a.nm, b.nm) <= {MAX_EDIT}
+    ),
+    edges AS (
+        SELECT va, vb FROM fpairs UNION ALL SELECT vb, va FROM fpairs
+    ),
+    reach(id, lab) AS (
+        SELECT DISTINCT va, va FROM edges
+        UNION
+        SELECT e.vb, r.lab FROM reach r JOIN edges e ON e.va = r.id
+    ),
+    cc AS (SELECT id AS nm, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+    rws AS (
+        SELECT cc.cluster_id, p.p_name, p.p_brand, p.p_retailprice
+        FROM part p JOIN cc ON cc.nm = p.p_name
+    ),
+    nmc AS (SELECT cluster_id, p_name, CAST(COUNT(*) AS BIGINT) AS c
+            FROM rws GROUP BY cluster_id, p_name),
+    nmx AS (SELECT cluster_id, MAX(c) AS mc FROM nmc GROUP BY cluster_id),
+    canon AS (
+        SELECT nmc.cluster_id, MIN(nmc.p_name) AS canonical_name
+        FROM nmc JOIN nmx ON nmx.cluster_id = nmc.cluster_id
+                         AND nmc.c = nmx.mc
+        GROUP BY nmc.cluster_id
+    ),
+    brc AS (SELECT cluster_id, p_brand, CAST(COUNT(*) AS BIGINT) AS c
+            FROM rws GROUP BY cluster_id, p_brand),
+    brx AS (SELECT cluster_id, MAX(c) AS mc FROM brc GROUP BY cluster_id),
+    gbrand AS (
+        SELECT brc.cluster_id, MIN(brc.p_brand) AS golden_brand
+        FROM brc JOIN brx ON brx.cluster_id = brc.cluster_id
+                         AND brc.c = brx.mc
+        GROUP BY brc.cluster_id
+    ),
+    stats AS (
+        SELECT cluster_id,
+               CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_names,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(MAX(p_retailprice), 2) AS max_price
+        FROM rws GROUP BY cluster_id
+    )
+    SELECT s.cluster_id, c.canonical_name, g.golden_brand,
+           s.n_names, s.n_rows, s.max_price
+    FROM stats s JOIN canon c ON c.cluster_id = s.cluster_id
+                 JOIN gbrand g ON g.cluster_id = s.cluster_id
+    """,
+    doc="X107 survivorship: fuzzy-name clusters (blocked edit-distance "
+        "edges -> min-label connected components) merge into golden "
+        "records by per-field rules — most-frequent name and brand "
+        "(min-value ties, two-aggregate argmax), max price, member "
+        "counts. The master-data-management step after entity "
+        "resolution; oracle replays blocking, closure (recursive CTE) "
+        "and every field rule.",
+    tags=("X107", "X33", "X30", "X7"),
+)
+def survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    names = (part.groupBy(F.col("p_name").alias("nm"))
+             .agg(F.count("*").cast("long").alias("n")))
+    edges = blocked_fuzzy_pairs(
+        names, value_col="nm", weight_col="n",
+        block_fns=[lambda c: F.split_part(c, F.lit(" "), F.lit(1)),
+                   lambda c: F.split_part(c, F.lit(" "), F.lit(2))],
+        max_dist=MAX_EDIT).select(F.col("value_a").alias("id_a"),
+                                  F.col("value_b").alias("id_b"))
+    cc = connected_components(edges).select(
+        F.col("id").alias("nm"), "cluster_id")
+    rws = (part.join(cc, part["p_name"] == cc["nm"])
+           .select("cluster_id", "p_name", "p_brand", "p_retailprice"))
+
+    def mode_of(col: str, out: str) -> DataFrame:
+        cnt = (rws.groupBy("cluster_id", col)
+               .agg(F.count("*").cast("long").alias("c")))
+        mx = (cnt.groupBy("cluster_id").agg(F.max("c").alias("mc"))
+              .withColumnRenamed("cluster_id", "cid"))
+        return (cnt.join(mx, (cnt["cluster_id"] == mx["cid"])
+                         & (cnt["c"] == mx["mc"]))
+                .groupBy("cluster_id")
+                .agg(F.min(col).alias(out)))
+
+    canon = mode_of("p_name", "canonical_name")
+    gbrand = mode_of("p_brand", "golden_brand")
+    stats = (rws.groupBy("cluster_id")
+             .agg(F.countDistinct("p_name").cast("long").alias("n_names"),
+                  F.count("*").cast("long").alias("n_rows"),
+                  F.round(F.max("p_retailprice"), 2).alias("max_price")))
+    return (stats.join(canon, "cluster_id").join(gbrand, "cluster_id")
+            .select("cluster_id", "canonical_name", "golden_brand",
+                    "n_names", "n_rows", "max_price"))

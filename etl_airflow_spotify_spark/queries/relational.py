@@ -1855,42 +1855,77 @@ def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X103: Poisson bootstrap CI for the mean — the distributed bootstrap
-# (Chamandy et al. / Kleiner-era pattern): instead of resampling rows
-# (impossible without a global index), each row draws a Poisson(1)
-# replicate weight, so every replicate is one weighted map-side-
-# combinable aggregate. Weights come from an md5 uniform against the
-# Python-precomputed cumulative-Poisson thresholds in exact 2^60
-# units — pure integer comparisons, replayable by any engine. The
-# row x B fan-out is a map-only explode; the shuffle carries B rows.
+# X103: Poisson bootstrap CI for the mean — the distributed bootstrap:
+# instead of resampling rows (impossible without a global index), each
+# row draws a Poisson(1) weight per replicate, so every replicate is
+# one weighted map-side-combinable aggregate. ONE md5 per row yields a
+# 60-bit integer; each replicate then applies its own 4-round Feistel
+# permutation (30-bit halves, xor + odd-multiplier round function,
+# Python-seeded round keys) — a BIJECTION on [0, 2^60), so every
+# replicate uniform is EXACTLY uniform, with only portable integer
+# ops (DIV, %, *, xor) both engines execute identically. Weights are
+# integer-threshold lookups against the precomputed Poisson CDF in
+# 2^60 units. (The first cut md5-hashed every (row, replicate) pair:
+# 21 s at sf0.1 — hashing, not aggregation, was the entire cost.)
 # --------------------------------------------------------------------------
 BOOT_B = 64
-# P(Poisson(1) <= k) for k = 0..8, scaled by 2^60 (truncation at 9 is
-# part of the spec: P(X > 9) ~ 1e-7, identically on both engines).
+_FEISTEL_M = 1 << 30
+# P(Poisson(1) <= k), k = 0..8, scaled by 2^60.
 _POIS_TH = (424136118829305344, 848272237658610688, 1060340297073263360,
             1131029650211480960, 1148701988496035328, 1152236456152946176,
             1152825534095764608, 1152909688087595776, 1152920207336574720)
 
 
-def _pois_w_sql(h: str) -> str:
-    return "(" + " + ".join(
-        f"CASE WHEN {h} >= {t} THEN 1 ELSE 0 END" for t in _POIS_TH) + ")"
+def _boot_keys() -> list[tuple[int, ...]]:
+    """Per-replicate Feistel round keys: 4 x (30-bit key, odd 30-bit
+    multiplier), deterministic seed."""
+    import random
+    rng = random.Random(0xFE157E1)
+    out = []
+    for _ in range(BOOT_B):
+        ks = []
+        for _ in range(4):
+            ks.append(rng.randrange(0, _FEISTEL_M))
+            ks.append(rng.randrange(0, _FEISTEL_M) | 1)
+        out.append(tuple(ks))
+    return out
 
 
-@register(
-    "bootstrap_ci_mean",
-    f"""
-    WITH rep AS (
-        SELECT o_orderkey, o_totalprice::DECIMAL(12,2) AS price, b,
-               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '_' ||
-                                   CAST(b AS VARCHAR)), 1, 15))::BIGINT AS h
-        FROM orders, generate_series(0, {BOOT_B - 1}) AS g(b)
+def _boot_oracle_sql() -> str:
+    coef_vals = ",\n        ".join(
+        "({}, {})".format(b, ", ".join(str(k) for k in ks))
+        for b, ks in enumerate(_boot_keys()))
+    # unrolled 4-round Feistel on (l, r), DuckDB side
+    rounds = ""
+    keys = ", ".join(f"k{j}, m{j}" for j in range(1, 5))
+    for i in range(1, 5):
+        li, ri = f"l{i - 1}", f"r{i - 1}"
+        rounds += (f", f{i} AS (SELECT b, price, {keys}, {ri} AS l{i}, "
+                   f"xor({li}, (xor({ri}, k{i}) * m{i}) % {_FEISTEL_M}) "
+                   f"AS r{i} FROM f{i - 1})")
+    w_expr = "(" + " + ".join(
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in _POIS_TH) + ")"
+    return f"""
+    WITH base AS (
+        SELECT o_totalprice::DECIMAL(12,2) AS price,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h
+        FROM orders
     ),
+    coef(b, k1, m1, k2, m2, k3, m3, k4, m4) AS (VALUES
+        {coef_vals}
+    ),
+    f0 AS (
+        SELECT coef.*, base.price,
+               base.h // {_FEISTEL_M} AS l0, base.h % {_FEISTEL_M} AS r0
+        FROM base CROSS JOIN coef
+    ){rounds},
+    uu AS (SELECT b, price, l4 * {_FEISTEL_M} + r4 AS u FROM f4),
     means AS (
         SELECT b,
-               CAST(SUM({_pois_w_sql('h')}) AS BIGINT) AS n_eff,
-               SUM({_pois_w_sql('h')} * price) AS wp
-        FROM rep GROUP BY b
+               CAST(SUM({w_expr}) AS BIGINT) AS n_eff,
+               SUM({w_expr} * price) AS wp
+        FROM uu GROUP BY b
     ),
     ranked AS (
         SELECT b, n_eff, wp::DOUBLE / n_eff AS m,
@@ -1909,35 +1944,53 @@ def _pois_w_sql(h: str) -> str:
            ROUND((SELECT m FROM ranked WHERE rn = {BOOT_B - 1}), 4)
                AS boot_ci_hi
     FROM point
-    """,
+    """
+
+
+@register(
+    "bootstrap_ci_mean",
+    _boot_oracle_sql(),
     doc=f"X103 Poisson-bootstrap ({BOOT_B} replicates) percentile CI "
-        "for the mean order price: each row draws a deterministic "
-        "Poisson(1) weight per replicate (md5 uniform vs precomputed "
-        "integer 2^60-unit thresholds — exact integer comparisons on "
-        "both engines), replicate means fold as one weighted DECIMAL "
-        "aggregate, and the ~2.5%/97.5% CI is the 2nd/63rd order "
-        "statistic. The resampling-without-an-index pattern that "
-        "makes bootstrap feasible on sharded corpora.",
+        "for the mean order price: one md5 per row; each replicate "
+        "derives its uniform via a 4-round Feistel permutation of the "
+        "60-bit hash (a bijection -> exactly uniform marginals, pure "
+        "portable integer ops), weights are Poisson-CDF threshold "
+        "lookups, and replicates fold in one 64-group aggregate over "
+        "a map-only explode of light integer rows. The ~2.5%/97.5% CI "
+        "is the 2nd/63rd order statistic of replicate means. The "
+        "resampling-without-an-index pattern that makes bootstrap "
+        "feasible on sharded corpora.",
     tags=("X103", "X7", "X24", "X28"),
 )
 def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = _t(spark, sf_dir, "orders")
-    rep = (o.select(F.col("o_orderkey"),
-                    F.col("o_totalprice").cast("decimal(12,2)")
-                    .alias("price"))
-           .select("o_orderkey", "price",
+    h = (F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")),
+                            1, 15), 16, 10).cast("long"))
+    coef = spark.createDataFrame(
+        [(b,) + ks for b, ks in enumerate(_boot_keys())],
+        "b long, k1 long, m1 long, k2 long, m2 long, "
+        "k3 long, m3 long, k4 long, m4 long")
+    rep = (o.select(F.col("o_totalprice").cast("decimal(12,2)")
+                    .alias("price"), h.alias("h"))
+           .select("price",
+                   F.expr(f"h DIV {_FEISTEL_M}").alias("l"),
+                   (F.col("h") % _FEISTEL_M).alias("r"),
                    F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1)))
-                   .alias("b")))
-    h = (F.conv(F.substring(F.md5(F.concat_ws(
-        "_", F.col("o_orderkey"), F.col("b"))), 1, 15), 16, 10)
-        .cast("long"))
+                   .alias("b"))
+           .join(F.broadcast(coef), "b"))
+    for i in range(1, 5):
+        rep = rep.select(
+            "b", "price", "k1", "m1", "k2", "m2", "k3", "m3", "k4", "m4",
+            F.col("r").alias("l"),
+            F.expr(f"l ^ ((r ^ k{i}) * m{i}) % {_FEISTEL_M}").alias("r"))
+    u = F.col("l") * _FEISTEL_M + F.col("r")
     w = None
     for t in _POIS_TH:
-        term = (h >= F.lit(t)).cast("int")
+        term = (u >= F.lit(t)).cast("int")
         w = term if w is None else w + term
-    means = (rep.withColumn("w", w)
+    means = (rep.select("b", "price", w.alias("w"))
              .groupBy("b")
              .agg(F.sum("w").cast("long").alias("n_eff"),
                   F.sum(F.col("w") * F.col("price")).alias("wp")))

@@ -162,3 +162,85 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_kept"),
                  F.sum("doc_id").cast("long").alias("id_sum"),
                  F.sum("w").cast("long").alias("weight_kept")))
+
+
+# --------------------------------------------------------------------------
+# X106: weighted bottom-k sampling WITHOUT replacement — the exact-k
+# companion to quality_weighted_sample's Bernoulli keep: every document
+# enters a hash race with ticket count proportional to its (capped)
+# length, its key is the MIN ticket hash, and the global bottom-k keys
+# win. Selection probability rises with weight, the sample size is
+# exactly k, and — because tickets are md5 integers — the whole draw
+# is a pure function of ids: engines, re-runs and appends agree
+# bit-for-bit (no rand(), no log-of-float Efraimidis keys whose libm
+# ulps could swap near-ties). Ticket fan-out is bounded (<= 64/doc),
+# map-only; the race is one bottom-k.
+# --------------------------------------------------------------------------
+WTS_K = 200
+WTS_DIV = 50   # one extra ticket per 50 words
+WTS_MAX = 63   # ticket cap
+
+
+@register(
+    "weighted_bottomk_sample",
+    f"""
+    WITH w AS (
+        SELECT doc_id, lang,
+               1 + LEAST(len(string_split_regex(trim(lower(text)),
+                                                '\\s+')) // {WTS_DIV},
+                         {WTS_MAX}) AS n_tickets
+        FROM documents
+    ),
+    keys AS (
+        SELECT doc_id, lang, n_tickets,
+               MIN(('0x' || substr(md5('wts:' || CAST(doc_id AS VARCHAR)
+                                       || ':' || CAST(g.t AS VARCHAR)),
+                                   1, 15))::BIGINT) AS race_key
+        -- constant series + filter: DuckDB's generate_series cannot
+        -- take a correlated column bound
+        FROM w, generate_series(0, {WTS_MAX}) AS g(t)
+        WHERE g.t < n_tickets
+        GROUP BY doc_id, lang, n_tickets
+    )
+    SELECT doc_id, lang, CAST(n_tickets AS BIGINT) AS n_tickets,
+           race_key, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY race_key, doc_id) AS rn
+          FROM keys)
+    WHERE rn <= {WTS_K}
+    """,
+    doc=f"X106 weighted bottom-k sampling: exactly {WTS_K} documents "
+        "drawn with probability increasing in (capped) length via an "
+        "integer md5 ticket race — 1 + words/50 tickets each (max 64), "
+        "key = min ticket hash, keep the global bottom-k. Pure integer "
+        "keys make the draw engine- and re-run-stable where float "
+        "exponential-race keys are one libm ulp from flipping. The "
+        "exact-size weighted-subset primitive for corpus mixing and "
+        "eval-slice construction.",
+    tags=("X106", "X28", "X12", "X14"),
+)
+def weighted_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    nt = (F.lit(1)
+          + F.least(F.expr(f"size(split(trim(lower(text)), '\\\\s+')) "
+                           f"DIV {WTS_DIV}"), F.lit(WTS_MAX)))
+    w = d.select("doc_id", "lang", nt.alias("n_tickets"))
+    keys = (w.select("doc_id", "lang", "n_tickets",
+                     F.explode(F.sequence(F.lit(0),
+                                          F.col("n_tickets") - 1))
+                     .alias("t"))
+            .select("doc_id", "lang", "n_tickets",
+                    F.conv(F.substring(F.md5(F.concat_ws(
+                        "", F.lit("wts:"), F.col("doc_id").cast("string"),
+                        F.lit(":"), F.col("t").cast("string"))), 1, 15),
+                        16, 10).cast("long").alias("h"))
+            .groupBy("doc_id", "lang", "n_tickets")
+            .agg(F.min("h").alias("race_key")))
+    rn = F.row_number().over(Window.orderBy(F.asc("race_key"),
+                                            F.asc("doc_id")))
+    return (keys.withColumn("rn", rn)
+            .filter(F.col("rn") <= WTS_K)
+            .select("doc_id", "lang",
+                    F.col("n_tickets").cast("long").alias("n_tickets"),
+                    "race_key", F.col("rn").cast("long").alias("rank")))

@@ -1998,3 +1998,112 @@ def ivf_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("reciprocal_rank"),
         F.round(F.col("dcg_micro").cast("double") / _IDCG_MICRO, 6)
         .alias("ndcg_at_k"))
+
+
+# --------------------------------------------------------------------------
+# X105: chunk-to-document embedding pooling + pooled retrieval — the
+# long-document pattern: models embed CHUNKS, retrieval wants DOC
+# vectors, so chunk embeddings mean-pool into document embeddings and
+# top-k runs over the pooled space. Components snap to integer micro
+# units BEFORE pooling, so the pooled vector is an exact BIGINT sum
+# vector (cosine is invariant to the 1/n_chunks scale, so sums stand
+# in for means); dot products and norms are then EXACT integer
+# arithmetic in the distributed-matmul shape (position-keyed join +
+# (doc_q, doc_c) aggregate), with one IEEE division at the end.
+# --------------------------------------------------------------------------
+POOL_CHUNKS = 8   # chunks per pseudo-document (vec_id DIV 8)
+POOL_N_Q = 10     # pooled query documents
+POOL_K = 5
+
+
+@register(
+    "pooled_doc_topk",
+    f"""
+    WITH micro AS (
+        SELECT vec_id // {POOL_CHUNKS} AS doc,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               unnest(list_transform(embedding,
+                      x -> ROUND(x * 1e6, 0)::BIGINT)) AS vi
+        FROM embeddings
+    ),
+    pooled AS (
+        SELECT doc, pos, CAST(SUM(vi) AS BIGINT) AS s
+        FROM micro GROUP BY doc, pos
+    ),
+    norm AS (
+        SELECT doc, CAST(SUM(s * s) AS BIGINT) AS n2
+        FROM pooled GROUP BY doc
+    ),
+    dots AS (
+        SELECT q.doc AS query_doc, c.doc AS cand_doc,
+               CAST(SUM(q.s * c.s) AS BIGINT) AS dp
+        FROM pooled q JOIN pooled c ON q.pos = c.pos
+        WHERE q.doc < {POOL_N_Q} AND c.doc <> q.doc
+        GROUP BY q.doc, c.doc
+    ),
+    scored AS (
+        SELECT d.query_doc, d.cand_doc,
+               ROUND(d.dp::DOUBLE / (sqrt(nq.n2::DOUBLE)
+                                     * sqrt(nc.n2::DOUBLE)), 6) AS cosine
+        FROM dots d JOIN norm nq ON nq.doc = d.query_doc
+                    JOIN norm nc ON nc.doc = d.cand_doc
+    )
+    SELECT query_doc, cand_doc, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_doc
+              ORDER BY cosine DESC, cand_doc) AS rn
+          FROM scored)
+    WHERE rn <= {POOL_K}
+    """,
+    doc=f"X105 chunk-to-doc embedding pooling: {POOL_CHUNKS} chunk "
+        "vectors mean-pool into one document vector (integer micro "
+        f"units -> exact BIGINT sums), then top-{POOL_K} cosine "
+        "retrieval over the pooled space for the first "
+        f"{POOL_N_Q} documents. Dots/norms are exact integer "
+        "arithmetic in the position-keyed distributed-matmul shape; "
+        "the only float op is the final normalize. The aggregation "
+        "layer every long-document retrieval system needs between "
+        "chunk embedding and the ANN index.",
+    tags=("X105", "X17", "X7", "X24"),
+)
+def pooled_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    micro = (e.select(
+        F.expr(f"vec_id DIV {POOL_CHUNKS}").alias("doc"),
+        F.posexplode(F.col("embedding")).alias("pos0", "val"))
+        .select("doc", (F.col("pos0") + 1).alias("pos"),
+                F.round(F.col("val").cast("double") * 1e6, 0)
+                .cast("long").alias("vi")))
+    pooled = (micro.groupBy("doc", "pos")
+              .agg(F.sum("vi").cast("long").alias("s")))
+    from ..caching import persist_tracked
+    pooled = persist_tracked(pooled)
+    norm = (pooled.groupBy("doc")
+            .agg(F.sum(F.col("s") * F.col("s")).cast("long").alias("n2")))
+    q = (pooled.filter(F.col("doc") < POOL_N_Q)
+         .select(F.col("doc").alias("query_doc"), "pos",
+                 F.col("s").alias("sq")))
+    c = pooled.select(F.col("doc").alias("cand_doc"), "pos",
+                      F.col("s").alias("sc"))
+    dots = (q.join(c, "pos")
+            .filter(F.col("cand_doc") != F.col("query_doc"))
+            .groupBy("query_doc", "cand_doc")
+            .agg(F.sum(F.col("sq") * F.col("sc")).cast("long").alias("dp")))
+    nq = norm.select(F.col("doc").alias("query_doc"),
+                     F.col("n2").alias("nq2"))
+    nc = norm.select(F.col("doc").alias("cand_doc"),
+                     F.col("n2").alias("nc2"))
+    scored = (dots.join(nq, "query_doc").join(nc, "cand_doc")
+              .select("query_doc", "cand_doc",
+                      F.round(F.col("dp").cast("double")
+                              / (F.sqrt(F.col("nq2").cast("double"))
+                                 * F.sqrt(F.col("nc2").cast("double"))), 6)
+                      .alias("cosine")))
+    w = Window.partitionBy("query_doc").orderBy(F.desc("cosine"),
+                                                F.asc("cand_doc"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= POOL_K)
+            .select("query_doc", "cand_doc", "cosine",
+                    F.col("rn").cast("long").alias("rank")))

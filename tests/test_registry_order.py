@@ -56,6 +56,9 @@ NEW_R4: dict[str, str] = {
     "mutual_information_features": "X102",
     "bootstrap_ci_mean": "X103",
     "event_epsilon_pairs": "X104",
+    "pooled_doc_topk": "X105",
+    "weighted_bottomk_sample": "X106",
+    "survivorship_golden_record": "X107",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -144,6 +144,55 @@ def test_epsilon_pairs_equal_brute_force(spark, sf_dir):
     assert got == set(brute)
 
 
+def test_pooled_topk_within_doc_chunks_most_similar(spark, sf_dir):
+    from etl_airflow_spotify_spark.queries.similarity import POOL_K, POOL_N_Q
+    rows = _rows("pooled_doc_topk", spark, sf_dir)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_doc"], []).append(r)
+    assert set(by_q) == set(range(POOL_N_Q))
+    for q, rs in by_q.items():
+        assert len(rs) == POOL_K
+        rs = sorted(rs, key=lambda r: r["rank"])
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        for r in rs:
+            assert -1.0 <= r["cosine"] <= 1.0 + 1e-9
+            assert r["cand_doc"] != q
+
+
+def test_weighted_bottomk_exact_size_and_weight_bias(spark, sf_dir):
+    import duckdb
+    from etl_airflow_spotify_spark.queries.sampling import WTS_K
+    rows = _rows("weighted_bottomk_sample", spark, sf_dir)
+    assert len(rows) == WTS_K
+    assert sorted(r["rank"] for r in rows) == list(range(1, WTS_K + 1))
+    # selection must favor weight: sampled docs average more tickets
+    # than the corpus (each ticket is an independent chance to win)
+    corpus_avg = duckdb.sql(f"""
+        SELECT AVG(1 + LEAST(len(string_split_regex(trim(lower(text)),
+                                                    '\\s+')) // 50, 63))
+        FROM '{sf_dir}/documents.parquet'""").fetchone()[0]
+    sample_avg = sum(r["n_tickets"] for r in rows) / len(rows)
+    assert sample_avg > corpus_avg
+
+
+def test_survivorship_golden_records_consistent(spark, sf_dir):
+    import duckdb
+    rows = _rows("survivorship_golden_record", spark, sf_dir)
+    assert rows
+    name_rows = duckdb.sql(
+        f"SELECT p_name, COUNT(*) FROM '{sf_dir}/part.parquet' "
+        f"GROUP BY 1").fetchall()
+    counts = dict(name_rows)
+    for r in rows:
+        assert r["n_names"] >= 2          # clusters only (edges exist)
+        assert r["n_rows"] >= r["n_names"]
+        # cluster_id is the min member name, canonical is a member
+        assert r["cluster_id"] <= r["canonical_name"]
+        assert r["canonical_name"] in counts
+
+
 def test_ranking_metrics_bounds_and_recall_consistency(spark, sf_dir):
     from etl_airflow_spotify_spark.queries.similarity import K
     metrics = {r["query_id"]: r

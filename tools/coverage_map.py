@@ -72,6 +72,49 @@ X_TITLES = {
     "X62": "Index-quality measurement (recall@k)",
     "X63": "Hybrid retrieval fusion (RRF)",
     "X64": "Leave-one-out target encoding",
+    "X65": "Train/test split leakage audit",
+    "X66": "Semantic dedup (embedding clusters)",
+    "X67": "Bigram LM perplexity scoring",
+    "X68": "Cross-source n-gram overlap matrix",
+    "X69": "BPE tokenizer application",
+    "X70": "Streaming anomaly detection (mergeable rollup)",
+    "X71": "Multi-touch attribution (linear)",
+    "X72": "k-anonymity generalization ladder",
+    "X73": "Chi-square independence (type x dow)",
+    "X74": "GDPR delete-cascade audit",
+    "X75": "Scalar quantization (SQ4) + recall@k",
+    "X76": "Score calibration (reliability bins)",
+    "X77": "Join-size profiler",
+    "X78": "Bounded BFS hop distance",
+    "X79": "Population stability index (drift)",
+    "X80": "Pearson correlation matrix (single-pass)",
+    "X81": "k-fold cross-validated OLS",
+    "X82": "Seasonal-trend decomposition (daily)",
+    "X83": "Kaplan-Meier survival (time-to-convert)",
+    "X84": "Quality-aware dedup KEEP policy",
+    "X85": "CUSUM change-point detection",
+    "X86": "Mutual k-NN (reciprocal nearest neighbors)",
+    "X87": "Positional phrase search",
+    "X88": "Pareto contribution cut (80/20)",
+    "X89": "Perceptual media dedup (aHash)",
+    "X90": "Isotonic calibration (PAV)",
+    "X91": "Audio silence segmentation",
+    "X92": "ROC AUC (Mann-Whitney rank-sum)",
+    "X93": "Trending ranking (exponential decay)",
+    "X94": "Burstiness / Fano factor per user",
+    "X95": "Streaming CDC -> SCD2 history ingestion",
+    "X96": "Weighted shortest path (bounded Bellman-Ford)",
+    "X97": "Community detection (weighted label propagation)",
+    "X98": "RFM customer segmentation",
+    "X99": "Graded ranking metrics (MRR + nDCG@k)",
+    "X100": "Distinctive keywords (Dirichlet log-odds)",
+    "X101": "Incremental new-batch dedup vs corpus index",
+    "X102": "Mutual-information feature scoring",
+    "X103": "Poisson bootstrap confidence intervals",
+    "X104": "Grid-bucketed epsilon join (2-D similarity)",
+    "X105": "Chunk-to-doc embedding pooling + retrieval",
+    "X106": "Weighted bottom-k sampling (ticket race)",
+    "X107": "Survivorship / golden-record construction",
 }
 
 
