@@ -153,6 +153,8 @@ HEADLINE = [
     "pooled_doc_topk",
     "weighted_bottomk_sample",
     "survivorship_golden_record",
+    "personalized_pagerank",
+    "compaction_plan",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -209,3 +209,61 @@ def pagerank_oracle_sql(edge_cte: str, iters: int = 5) -> str:
             "JOIN deg ON deg.src = e.src CROSS JOIN nn "
             "GROUP BY e.dst, nn.n)")
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, pr, d AS degree FROM r{iters} JOIN deg ON deg.src = node"
+
+
+def ppr_fixed(edges: DataFrame, seeds: DataFrame, iters: int = 4) -> DataFrame:
+    """Fixed-iteration integer PERSONALIZED PageRank: teleport mass
+    returns only to the seed set, so rank concentrates around the
+    seeds — the recommendation/affinity variant of X42's global
+    PageRank. Same BIGINT 1/SCALE fixed-point discipline (bit-exact
+    across engines and partial-sum orders).
+
+    The rank frame stays SPARSE: only nodes that have received mass
+    carry rows, so early iterations touch the seed neighborhood, not
+    the whole graph — at 100 TB this is the difference between a
+    seed-local walk and |V| full passes. ``seeds`` must be a (node)
+    frame; every seed must appear in ``edges`` as src.
+    """
+    ed = persist_tracked(edges.repartition("src"))
+    deg = persist_tracked(ed.groupBy("src").agg(F.count("*").alias("d")))
+    n_seeds = seeds.count()
+    teleport = (15 * SCALE) // (100 * n_seeds)
+    tele_rows = seeds.select(F.col("node"),
+                             F.lit(SCALE // n_seeds).cast("long").alias("v"))
+    edd = ed.join(deg, "src")
+    r = tele_rows.select("node", F.col("v").alias("pr")).localCheckpoint()
+    tele = seeds.select("node", F.lit(teleport).cast("long").alias("v")) \
+        .localCheckpoint()
+    for _ in range(iters):
+        contrib = (edd.join(r, edd["src"] == r["node"])
+                   .select(F.col("dst").alias("node"),
+                           F.expr(f"(85 * (pr DIV d)) DIV 100")
+                           .cast("long").alias("v")))
+        r = (tele.unionByName(contrib)
+             .groupBy("node").agg(F.sum("v").cast("long").alias("pr"))
+             .localCheckpoint())
+    return r
+
+
+def ppr_oracle_sql(edge_cte: str, seed_mod: int, iters: int = 4) -> str:
+    """DuckDB twin of :func:`ppr_fixed` as chained CTEs. Note the damp
+    factor applies INSIDE each contribution (85 * (pr // d)) // 100 —
+    exactly as the Spark side — so partial sums stay exact."""
+    parts = [edge_cte,
+             "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d "
+             "FROM e GROUP BY src)",
+             f"seeds AS (SELECT DISTINCT src AS node FROM e "
+             f"WHERE src % {seed_mod} = 0)",
+             "ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seeds)",
+             f"r0 AS (SELECT node, CAST({SCALE} // n AS BIGINT) AS pr "
+             "FROM seeds, ns)"]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"r{k} AS (SELECT node, CAST(SUM(v) AS BIGINT) AS pr FROM ("
+            f"SELECT node, CAST((15 * {SCALE}) // (100 * ns.n) AS BIGINT) "
+            f"AS v FROM seeds, ns "
+            f"UNION ALL "
+            f"SELECT e.dst, (85 * (r.pr // deg.d)) // 100 "
+            f"FROM e JOIN r{k - 1} r ON e.src = r.node "
+            f"JOIN deg ON deg.src = e.src) GROUP BY node)")
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, pr FROM r{iters}"

@@ -1923,12 +1923,16 @@ def event_epsilon_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value",
                 F.expr(f"(us - mn) DIV {EPS_T_US}").alias("ct"),
                 F.floor(F.col("value") / EPS_V).cast("long").alias("cv")))
-    offs = spark.createDataFrame([(o,) for o in (-1, 0, 1)], "o long")
+    # neighbor offsets via explode of a literal array (a map-side
+    # expression, not a join — keeps the plan free of nested-loop nodes)
+    off = F.explode(F.array(*[F.lit(o) for o in (-1, 0, 1)]))
     probe = (cells
-             .crossJoin(F.broadcast(offs.select(F.col("o").alias("dt"))))
-             .crossJoin(F.broadcast(offs.select(F.col("o").alias("dv"))))
+             .select("event_id", "rel", "value", "ct", "cv",
+                     off.alias("dt"))
              .select("event_id", "rel", "value",
-                     (F.col("ct") + F.col("dt")).alias("ct"),
+                     (F.col("ct") + F.col("dt")).alias("ct"), "cv",
+                     off.alias("dv"))
+             .select("event_id", "rel", "value", "ct",
                      (F.col("cv") + F.col("dv")).alias("cv")))
     a = probe.select(F.col("event_id").alias("id_a"),
                      F.col("rel").alias("rel_a"),

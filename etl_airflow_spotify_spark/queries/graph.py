@@ -281,3 +281,38 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (labels.join(sz, "lab")
             .select("node", F.col("lab").alias("community"),
                     "community_size"))
+
+
+# --------------------------------------------------------------------------
+# X108: personalized PageRank — teleport mass returns only to a seed
+# set, so rank measures affinity TO THE SEEDS (the "customers who
+# bought X" recommendation walk), not global centrality. Sparse rank
+# frame: only reached nodes carry rows, so early iterations cost the
+# seed neighborhood, not |V|.
+# --------------------------------------------------------------------------
+PPR_ITERS = 4
+PPR_SEED_MOD = 97
+PPR_TOPK = 30
+
+
+@register(
+    "personalized_pagerank",
+    G.ppr_oracle_sql(_EDGE_CTE, PPR_SEED_MOD, PPR_ITERS)
+    + f"\nORDER BY pr DESC, node LIMIT {PPR_TOPK}",
+    doc=f"X108 personalized PageRank ({PPR_ITERS} fixed iterations, "
+        f"damping 0.85, seeds = parts with partkey % {PPR_SEED_MOD} = 0) "
+        "over the co-purchase graph: teleport returns only to seeds, "
+        "rank = affinity to the seed set. Integer 1/1e12 fixed point "
+        "(bit-exact cross-engine); the rank frame stays sparse "
+        "(reached nodes only); top-30 by rank. The walk behind "
+        "'related products' recommendations.",
+    tags=("X108", "X42", "X3", "X7", "X12"),
+)
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    seeds = (edges.filter(F.col("src") % PPR_SEED_MOD == 0)
+             .select(F.col("src").alias("node")).distinct())
+    pr = G.ppr_fixed(edges, seeds, iters=PPR_ITERS)
+    return (pr.orderBy(F.desc("pr"), F.asc("node")).limit(PPR_TOPK)
+            .select("node", "pr"))

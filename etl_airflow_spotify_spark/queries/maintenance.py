@@ -1086,3 +1086,70 @@ def join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.greatest("left_rows", "right_rows"), 4)
         .alias("amplification"),
         "max_key_rows")
+
+
+# --------------------------------------------------------------------------
+# X109: small-file compaction planner — the lakehouse maintenance op:
+# a partitioned table accumulates one small file per ingest tick (here:
+# one per order day); the planner groups CONSECUTIVE files inside each
+# partition (order month) into output files of ~target size, preserving
+# sort order and partition locality. Bin assignment is the running
+# prefix sum DIV target — one window per partition, no driver loop; the
+# plan itself is partition+file-cardinality metadata, never data rows.
+# --------------------------------------------------------------------------
+COMPACT_TARGET_ROWS = 2000
+
+
+@register(
+    "compaction_plan",
+    f"""
+    WITH files AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS part,
+               o_orderdate AS file_day,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders GROUP BY 1, 2
+    ),
+    binned AS (
+        SELECT part, file_day, n_rows,
+               CAST((SUM(n_rows) OVER (PARTITION BY part ORDER BY file_day
+                                       ROWS UNBOUNDED PRECEDING) - n_rows)
+                    // {COMPACT_TARGET_ROWS} AS BIGINT) AS bin
+        FROM files
+    )
+    SELECT part, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_input_files,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           MIN(file_day) AS first_day,
+           MAX(file_day) AS last_day
+    FROM binned GROUP BY part, bin
+    """,
+    doc=f"X109 compaction planning: per-day ingest 'files' (row counts "
+        "by order day) coalesce into ~{target}-row output files within "
+        "each month partition, preserving day order — bin = preceding "
+        "prefix sum DIV target, one ordered window per partition. "
+        "Output is the compaction manifest (inputs, rows, day range "
+        "per planned file): metadata-sized at any table size, the "
+        "standard OPTIMIZE/rewrite planner every parquet lake needs."
+        .format(target=COMPACT_TARGET_ROWS),
+    tags=("X109", "X11", "X7", "X1"),
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    files = (o.groupBy(F.date_trunc("month", F.col("o_orderdate"))
+                       .cast("date").alias("part"),
+                       F.col("o_orderdate").alias("file_day"))
+             .agg(F.count("*").cast("long").alias("n_rows")))
+    w = (Window.partitionBy("part").orderBy("file_day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    binned = files.select(
+        "part", "file_day", "n_rows",
+        F.expr(f"(sum(n_rows) OVER (PARTITION BY part ORDER BY file_day "
+               f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+               f"- n_rows) DIV {COMPACT_TARGET_ROWS}").alias("bin"))
+    return (binned.groupBy("part", "bin")
+            .agg(F.count("*").cast("long").alias("n_input_files"),
+                 F.sum("n_rows").cast("long").alias("total_rows"),
+                 F.min("file_day").alias("first_day"),
+                 F.max("file_day").alias("last_day")))

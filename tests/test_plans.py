@@ -589,3 +589,44 @@ def test_sq4_stats_broadcast_map_only_quantize(spark, sf_dir):
     # the per-dim stats row reaches the corpus as a broadcast
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert not has_cartesian_product(df)
+
+
+def test_epsilon_join_no_cartesian_product(spark, sf_dir):
+    """X104 must join on grid-cell keys, never a nested-loop over the
+    full theta predicate. The single allowed nested-loop is the 1-row
+    corpus-min scalar broadcast; neighbor offsets are explodes, not
+    joins."""
+    from etl_airflow_spotify_spark.plans import num_nodes
+    df = _df("event_epsilon_pairs", spark, sf_dir)
+    assert not has_cartesian_product(df)
+    plan = plan_string(df)
+    # the min-scalar broadcast appears on both sides of the persisted
+    # cell frame; the cell join itself must be a hash join
+    assert num_nodes(df, "BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pooled_topk_no_cartesian_product(spark, sf_dir):
+    """X105 retrieval is a position-keyed matmul join, not a pairwise
+    vector crossJoin."""
+    df = _df("pooled_doc_topk", spark, sf_dir)
+    assert not has_cartesian_product(df)
+    assert "BroadcastNestedLoopJoin" not in plan_string(df)
+
+
+def test_bootstrap_single_scan_partial_aggregation(spark, sf_dir):
+    """X103: the replicate fold must partial-aggregate map-side (the
+    shuffle carries 64 groups, not 64x rows)."""
+    df = _df("bootstrap_ci_mean", spark, sf_dir)
+    plan = plan_string(df)
+    # partial + final aggregate pairs exist (HashAggregate x2 around
+    # the replicate groupBy); no md5 inside the explode fan-out
+    assert "HashAggregate" in plan
+    assert plan.count("md5") <= 2  # one per point/replicate scan branch
+
+
+def test_incremental_dedup_probe_is_increment_sided(spark, sf_dir):
+    """X101's candidate join probes the corpus with the NEW side only —
+    no corpus-vs-corpus self-join."""
+    df = _df("incremental_corpus_dedup", spark, sf_dir)
+    assert not has_cartesian_product(df)

@@ -59,6 +59,8 @@ NEW_R4: dict[str, str] = {
     "pooled_doc_topk": "X105",
     "weighted_bottomk_sample": "X106",
     "survivorship_golden_record": "X107",
+    "personalized_pagerank": "X108",
+    "compaction_plan": "X109",
 }
 DEFERRED |= set(NEW_R4)
 

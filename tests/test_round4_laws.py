@@ -193,6 +193,43 @@ def test_survivorship_golden_records_consistent(spark, sf_dir):
         assert r["canonical_name"] in counts
 
 
+def test_personalized_pagerank_concentrates_on_seeds(spark, sf_dir):
+    from etl_airflow_spotify_spark.queries.graph import PPR_SEED_MOD
+    rows = _rows("personalized_pagerank", spark, sf_dir)
+    assert rows
+    prs = [r["pr"] for r in rows]
+    assert prs == sorted(prs, reverse=True)      # top-k ordering
+    assert all(p > 0 for p in prs)
+    # seeds receive direct teleport mass: at least one seed in the top-k
+    assert any(r["node"] % PPR_SEED_MOD == 0 for r in rows)
+
+
+def test_compaction_plan_conserves_rows_and_respects_target(spark, sf_dir):
+    import duckdb
+    from etl_airflow_spotify_spark.queries.maintenance import (
+        COMPACT_TARGET_ROWS)
+    rows = _rows("compaction_plan", spark, sf_dir)
+    n_orders = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/orders.parquet'").fetchone()[0]
+    assert sum(r["total_rows"] for r in rows) == n_orders
+    for r in rows:
+        assert r["first_day"] <= r["last_day"]
+        assert r["n_input_files"] >= 1
+    # within each partition, bins cover disjoint, ORDERED day ranges
+    # (compaction preserves sort order), and bin sizes are bounded by
+    # target + the largest single input file
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["part"], []).append(r)
+    for part, bins in by_part.items():
+        bins = sorted(bins, key=lambda r: r["bin"])
+        for a, b in zip(bins, bins[1:]):
+            assert a["last_day"] < b["first_day"]
+        max_file = max(r["total_rows"] for r in bins)  # upper bound proxy
+        for r in bins:
+            assert r["total_rows"] < COMPACT_TARGET_ROWS + max_file
+
+
 def test_ranking_metrics_bounds_and_recall_consistency(spark, sf_dir):
     from etl_airflow_spotify_spark.queries.similarity import K
     metrics = {r["query_id"]: r

@@ -115,6 +115,8 @@ X_TITLES = {
     "X105": "Chunk-to-doc embedding pooling + retrieval",
     "X106": "Weighted bottom-k sampling (ticket race)",
     "X107": "Survivorship / golden-record construction",
+    "X108": "Personalized PageRank (seed-teleport walk)",
+    "X109": "Small-file compaction planner",
 }
 
 
