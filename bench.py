@@ -155,6 +155,8 @@ HEADLINE = [
     "survivorship_golden_record",
     "personalized_pagerank",
     "compaction_plan",
+    "woe_price_bins",
+    "ivf_probe_sweep",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -2012,3 +2012,94 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("s").cast("double") / F.col("n"), 4)
                     .alias("point_mean"),
                     "boot_ci_lo", "boot_ci_hi"))
+
+
+# --------------------------------------------------------------------------
+# X110: weight-of-evidence (WOE) binning + information value — the
+# credit-risk featurization standard: bin a numeric driver, score each
+# bin by ln(P(bin|good)/P(bin|bad)), and grade the whole feature by
+# IV = sum (P(g)-P(b)) * WOE. Bins are FIXED-width (map-side, rank-
+# stable at any scale); every log argument is an integer count on the
+# 1e-6-bit grid; the IV numerator folds as exact BIGINT products
+# (g_b*B - b_b*G) * woe_micro, so partial-sum order cannot move it.
+# --------------------------------------------------------------------------
+WOE_BIN_WIDTH = 25000  # o_totalprice bin width
+
+
+@register(
+    "woe_price_bins",
+    f"""
+    WITH base AS (
+        SELECT CAST(FLOOR(o_totalprice / {WOE_BIN_WIDTH}) AS BIGINT)
+                   AS bin,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+        FROM orders
+    ),
+    cells AS (
+        SELECT bin,
+               CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+               CAST(SUM(bad) AS BIGINT) AS n_bad
+        FROM base GROUP BY bin
+    ),
+    tot AS (SELECT CAST(SUM(n_good) AS BIGINT) AS g,
+                   CAST(SUM(n_bad) AS BIGINT) AS b FROM cells),
+    woe AS (
+        SELECT c.bin, c.n_good, c.n_bad,
+               -- ln(g_b/G / (b_b/B)) in micro-nats from integer args;
+               -- add-one smoothing keeps empty cells finite
+               (ROUND(ln(c.n_good + 1) * 1e6, 0)::BIGINT
+                - ROUND(ln(t.g + 1) * 1e6, 0)::BIGINT
+                - ROUND(ln(c.n_bad + 1) * 1e6, 0)::BIGINT
+                + ROUND(ln(t.b + 1) * 1e6, 0)::BIGINT) AS woe_micro,
+               t.g, t.b
+        FROM cells c CROSS JOIN tot t
+    )
+    SELECT bin, n_good, n_bad,
+           ROUND(woe_micro / 1000000.0, 6) AS woe,
+           ROUND(SUM((n_good * b - n_bad * g) * woe_micro) OVER ()
+                 ::DOUBLE / (g::DOUBLE * b * 1000000.0), 6)
+               AS feature_iv
+    FROM woe
+    """,
+    doc=f"X110 weight-of-evidence binning of order price (fixed "
+        f"{WOE_BIN_WIDTH}-wide bins) against the finished-status "
+        "label, plus the feature-level information value. WOE log "
+        "terms take integer counts on the 1e-6-nat grid (add-one "
+        "smoothed); the IV sum folds exact BIGINT products and "
+        "normalizes once. All post-scan frames are bin-cardinality; "
+        "the scoring table a risk/segmentation pipeline joins back "
+        "map-only.",
+    tags=("X110", "X7", "X14", "X102"),
+)
+def woe_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.floor(F.col("o_totalprice") / WOE_BIN_WIDTH).cast("long")
+        .alias("bin"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("bad"))
+    cells = (base.groupBy("bin")
+             .agg(F.sum(F.lit(1) - F.col("bad")).cast("long")
+                  .alias("n_good"),
+                  F.sum("bad").cast("long").alias("n_bad")))
+    tot = cells.agg(F.sum("n_good").cast("long").alias("g"),
+                    F.sum("n_bad").cast("long").alias("b"))
+
+    def micro_ln(c):
+        return F.round(F.log(c) * 1e6, 0).cast("long")
+
+    woe = (cells.crossJoin(F.broadcast(tot))
+           .select("bin", "n_good", "n_bad", "g", "b",
+                   (micro_ln(F.col("n_good") + 1) - micro_ln(F.col("g") + 1)
+                    - micro_ln(F.col("n_bad") + 1)
+                    + micro_ln(F.col("b") + 1)).alias("woe_micro")))
+    w_all = Window.partitionBy()
+    return woe.select(
+        "bin", "n_good", "n_bad",
+        F.round(F.col("woe_micro") / F.lit(1000000.0), 6).alias("woe"),
+        F.round(F.sum((F.col("n_good") * F.col("b")
+                       - F.col("n_bad") * F.col("g"))
+                      * F.col("woe_micro")).over(w_all).cast("double")
+                / (F.col("g").cast("double") * F.col("b")
+                   * F.lit(1000000.0)), 6).alias("feature_iv"))

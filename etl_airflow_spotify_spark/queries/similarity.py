@@ -2107,3 +2107,163 @@ def pooled_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= POOL_K)
             .select("query_doc", "cand_doc", "cosine",
                     F.col("rn").cast("long").alias("rank")))
+
+
+# --------------------------------------------------------------------------
+# X111: IVF probe sweep — the recall-vs-cost CURVE (n_probe in 1,2,4,8)
+# that index tuning actually consumes, not one point. One corpus
+# assignment pass serves every probe count: query probes keep their
+# RANK, candidate pairs inherit it, and each sweep point filters
+# probe_rank <= p — at 100 TB the corpus is scanned once, not once per
+# point. Recall folds as exact integer hit counts over the exact
+# top-k; candidate totals are the scan-cost axis.
+# --------------------------------------------------------------------------
+SWEEP_PROBES = (1, 2, 4, 8)
+
+
+def _probe_sweep_oracle_sql() -> str:
+    cents = S._unit_centroids(16, 64, 7)
+    vals = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    point_sqls = []
+    for p in SWEEP_PROBES:
+        point_sqls.append(f"""
+        SELECT CAST({p} AS BIGINT) AS n_probe,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs
+                WHERE probe_rank <= {p}) AS total_candidates,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                   SELECT query_id, cand_id FROM (
+                       SELECT query_id, cand_id,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY query_id
+                                  ORDER BY cos_s DESC, cand_id) AS rn
+                       FROM pairs WHERE probe_rank <= {p}
+                   ) WHERE rn <= {K}
+               ) i JOIN exact e
+                 ON e.query_id = i.query_id AND e.cand_id = i.cand_id)
+                   AS n_hits
+        """)
+    union = "\nUNION ALL\n".join(point_sqls)
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET},
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+        FROM embeddings WHERE vec_id < {N_PLANT}
+    ),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                c.vec_id) AS rn
+            FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {K}
+    ),
+    cents(ci, cv) AS (VALUES
+        {vals}
+    ),
+    assign AS (
+        SELECT vec_id, v, ci AS cell FROM (
+            SELECT c.vec_id, c.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_inner_product(c.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus c CROSS JOIN cents ce
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, ci AS cell, rn AS probe_rank
+        FROM (
+            SELECT q.vec_id, q.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_inner_product(q.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus q CROSS JOIN cents ce
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {max(SWEEP_PROBES)}
+    ),
+    pairs AS (
+        SELECT p.query_id, a.vec_id AS cand_id, p.probe_rank,
+               ROUND(list_cosine_similarity(p.qv, a.v), 6) AS cos_s
+        FROM probes p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT n_probe, total_candidates, n_hits,
+           ROUND(n_hits::DOUBLE / {K * N_QUERIES}, 6) AS mean_recall
+    FROM ({union})
+    """
+
+
+@register(
+    "ivf_probe_sweep",
+    _probe_sweep_oracle_sql(),
+    doc=f"X111 IVF probe sweep: recall@{K} and candidate-scan cost at "
+        f"n_probe = {SWEEP_PROBES} from ONE corpus assignment pass — "
+        "query probes carry their rank, pairs inherit it, each sweep "
+        "point is a probe_rank filter. The accuracy/cost curve that "
+        "picks an index operating point; monotone recall by "
+        "construction (law-tested). Exact integer hit counts; the "
+        "codebook is inlined into the oracle so every point "
+        "hash-checks.",
+    tags=("X111", "X62", "X17", "X12"),
+)
+def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _with_planted(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = S.topk_cosine(emb, queries, K).select("query_id", "cand_id")
+
+    cents = S._unit_centroids(16, 64, 7)
+    book = S._codebook_df(spark, cents)
+    c = (emb.select(F.col("vec_id").alias("cand_id"),
+                    S.as_double(F.col("embedding")).alias("c_vec")))
+    c = c.crossJoin(F.broadcast(book)).select(
+        "cand_id", "c_vec", S.norm(F.col("c_vec")).alias("c_norm"),
+        F.array_max(S._cell_scores(F.col("c_vec"), 16, 64))["i"]
+        .alias("cell"))
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       S.as_double(F.col("embedding")).alias("q_vec"))
+    q = q.crossJoin(F.broadcast(book)).select(
+        "query_id", "q_vec", S.norm(F.col("q_vec")).alias("q_norm"),
+        F.slice(F.reverse(F.array_sort(
+            S._cell_scores(F.col("q_vec"), 16, 64))), 1,
+            max(SWEEP_PROBES)).alias("probes"))
+    q = q.select("query_id", "q_vec", "q_norm",
+                 F.posexplode(F.transform("probes", lambda s: s["i"]))
+                 .alias("pr0", "cell")) \
+         .select("query_id", "q_vec", "q_norm",
+                 (F.col("pr0") + 1).alias("probe_rank"), "cell")
+    pairs = (c.join(F.broadcast(q), "cell")
+             .filter(F.col("cand_id") != F.col("query_id"))
+             .select("query_id", "cand_id", "probe_rank",
+                     F.round(S.dot(F.col("q_vec"), F.col("c_vec"))
+                             / (F.col("q_norm") * F.col("c_norm")), 6)
+                     .alias("cos_s")))
+    from ..caching import persist_tracked
+    pairs = persist_tracked(pairs)
+
+    rows = None
+    for p in SWEEP_PROBES:
+        sub = pairs.filter(F.col("probe_rank") <= p)
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos_s"),
+                                                   F.asc("cand_id"))
+        topk = (sub.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= K).select("query_id", "cand_id"))
+        hits = topk.join(exact, ["query_id", "cand_id"], "left_semi")
+        row = (sub.agg(F.count("*").cast("long").alias("total_candidates"))
+               .crossJoin(hits.agg(F.count("*").cast("long")
+                                   .alias("n_hits")))
+               .select(F.lit(p).cast("long").alias("n_probe"),
+                       "total_candidates", "n_hits",
+                       F.round(F.col("n_hits").cast("double")
+                               / (K * N_QUERIES), 6).alias("mean_recall")))
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -61,6 +61,8 @@ NEW_R4: dict[str, str] = {
     "survivorship_golden_record": "X107",
     "personalized_pagerank": "X108",
     "compaction_plan": "X109",
+    "woe_price_bins": "X110",
+    "ivf_probe_sweep": "X111",
 }
 DEFERRED |= set(NEW_R4)
 

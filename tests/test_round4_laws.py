@@ -230,6 +230,39 @@ def test_compaction_plan_conserves_rows_and_respects_target(spark, sf_dir):
             assert r["total_rows"] < COMPACT_TARGET_ROWS + max_file
 
 
+def test_woe_bins_conserve_orders_and_iv_nonnegative(spark, sf_dir):
+    import duckdb
+    rows = _rows("woe_price_bins", spark, sf_dir)
+    n_orders = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/orders.parquet'").fetchone()[0]
+    assert sum(r["n_good"] + r["n_bad"] for r in rows) == n_orders
+    ivs = {r["feature_iv"] for r in rows}
+    assert len(ivs) == 1                  # one IV per feature
+    # IV is a sum of (p_g - p_b) * ln(p_g/p_b) terms — nonnegative up
+    # to add-one smoothing and micro-grid dust
+    assert ivs.pop() >= -1e-3
+
+
+def test_probe_sweep_monotone_in_probes(spark, sf_dir):
+    rows = sorted(_rows("ivf_probe_sweep", spark, sf_dir),
+                  key=lambda r: r["n_probe"])
+    assert [r["n_probe"] for r in rows] == [1, 2, 4, 8]
+    cands = [r["total_candidates"] for r in rows]
+    recalls = [r["mean_recall"] for r in rows]
+    hits = [r["n_hits"] for r in rows]
+    # more probes -> superset candidates -> recall and cost both
+    # monotone non-decreasing
+    assert cands == sorted(cands)
+    assert recalls == sorted(recalls)
+    assert hits == sorted(hits)
+    assert all(0.0 <= r <= 1.0 for r in recalls)
+    # the 4-probe point must agree with ivf_recall_at_k's mean
+    from etl_airflow_spotify_spark.queries.similarity import K, N_QUERIES
+    rec4 = {r["n_probe"]: r["n_hits"] for r in rows}[4]
+    recall_rows = _rows("ivf_recall_at_k", spark, sf_dir)
+    assert rec4 == sum(r["n_hits"] for r in recall_rows)
+
+
 def test_ranking_metrics_bounds_and_recall_consistency(spark, sf_dir):
     from etl_airflow_spotify_spark.queries.similarity import K
     metrics = {r["query_id"]: r

@@ -117,6 +117,8 @@ X_TITLES = {
     "X107": "Survivorship / golden-record construction",
     "X108": "Personalized PageRank (seed-teleport walk)",
     "X109": "Small-file compaction planner",
+    "X110": "Weight-of-evidence binning + information value",
+    "X111": "IVF probe sweep (recall-vs-cost curve)",
 }
 
 
