@@ -157,6 +157,9 @@ HEADLINE = [
     "compaction_plan",
     "woe_price_bins",
     "ivf_probe_sweep",
+    "compression_quality",
+    "process_conformance",
+    "corpus_datasheet",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

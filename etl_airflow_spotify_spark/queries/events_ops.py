@@ -1950,3 +1950,94 @@ def event_epsilon_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.abs(F.col("val_a") - F.col("val_b")), 4)
                     .alias("dv"))
             .distinct())
+
+
+# --------------------------------------------------------------------------
+# X113: process-conformance checking — event traces audited against
+# the expected funnel model signup -> view -> click -> purchase
+# (process mining's conformance step, on top of X57's raw transition
+# matrix): each adjacent transition in a user's trace is classified
+# advance / repeat / REWORK (backward move); purchases with no prior
+# click in the trace are SKIP violations. One user-partitioned ordered
+# window pass + one running-max window — no self-joins, trace order
+# pinned by (ts, event_id).
+# --------------------------------------------------------------------------
+_STAGE_CASE = ("CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2 "
+               "WHEN 'click' THEN 3 WHEN 'purchase' THEN 4 "
+               "ELSE 0 END")
+
+
+@register(
+    "process_conformance",
+    f"""
+    WITH tr AS (
+        SELECT user_id, ts, event_id, {_STAGE_CASE} AS stage
+        FROM events WHERE {_STAGE_CASE} > 0
+    ),
+    seq AS (
+        SELECT user_id, stage,
+               LAG(stage) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_stage,
+               MAX(CASE WHEN stage = 3 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS saw_click
+        FROM tr
+    ),
+    labelled AS (
+        SELECT user_id,
+               CASE WHEN prev_stage IS NULL THEN 'trace_start'
+                    WHEN stage > prev_stage THEN 'advance'
+                    WHEN stage = prev_stage THEN 'repeat'
+                    ELSE 'rework' END AS transition_kind
+        FROM seq
+        UNION ALL
+        SELECT user_id, 'skip_purchase_no_click'
+        FROM seq
+        WHERE stage = 4 AND COALESCE(saw_click, 0) = 0
+    )
+    SELECT transition_kind,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM labelled GROUP BY transition_kind
+    """,
+    doc="X113 conformance checking of user event traces against the "
+        "signup->view->click->purchase funnel model: adjacent "
+        "transitions classify as advance/repeat/rework (backward "
+        "move), and purchases with no earlier click flag as skip "
+        "violations. One ordered window pass per user (lag + running "
+        "click flag), rollup by violation kind — the process-mining "
+        "audit behind funnel-health dashboards.",
+    tags=("X113", "X10", "X11", "X57"),
+)
+def process_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    stage = (F.when(F.col("event_type") == "signup", 1)
+             .when(F.col("event_type") == "view", 2)
+             .when(F.col("event_type") == "click", 3)
+             .when(F.col("event_type") == "purchase", 4)
+             .otherwise(0))
+    tr = (ev.select("user_id", "ts", "event_id", stage.alias("stage"))
+          .filter(F.col("stage") > 0))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    seq = tr.select(
+        "user_id", "stage",
+        F.lag("stage").over(w).alias("prev_stage"),
+        F.max(F.when(F.col("stage") == 3, 1).otherwise(0)).over(wprev)
+        .alias("saw_click"))
+    kind = (F.when(F.col("prev_stage").isNull(), "trace_start")
+            .when(F.col("stage") > F.col("prev_stage"), "advance")
+            .when(F.col("stage") == F.col("prev_stage"), "repeat")
+            .otherwise("rework"))
+    labelled = (seq.select("user_id", kind.alias("transition_kind"))
+                .unionByName(
+                    seq.filter((F.col("stage") == 4)
+                               & (F.coalesce(F.col("saw_click"),
+                                             F.lit(0)) == 0))
+                    .select("user_id",
+                            F.lit("skip_purchase_no_click")
+                            .alias("transition_kind"))))
+    return (labelled.groupBy("transition_kind")
+            .agg(F.count("*").cast("long").alias("n_occurrences"),
+                 F.countDistinct("user_id").cast("long").alias("n_users")))

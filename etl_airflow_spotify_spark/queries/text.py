@@ -1145,3 +1145,142 @@ def logodds_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", F.col("w").alias("word"),
                     F.col("y").alias("n_occurrences"), "z_logodds",
                     F.col("rn").cast("long").alias("rank")))
+
+
+# --------------------------------------------------------------------------
+# X112: compression-ratio quality signal — the cheap, model-free
+# repetition/entropy proxy production pretraining filters use (highly
+# compressible text = boilerplate/template/spam; incompressible =
+# natural prose or noise). zlib runs in an Arrow-batched mapInPandas
+# (stdlib, deterministic bytes-in -> length-out; never row-at-a-time
+# Python), so the per-doc cost is one C-speed deflate call; the gate
+# itself is a map-only predicate. No SQL engine can replay deflate, so
+# the driver check is rows-only; an exact pytest golden replays every
+# document through the same zlib.
+# --------------------------------------------------------------------------
+COMPRESS_LEVEL = 6
+REPETITIVE_RATIO = 0.30
+
+
+def compression_signal(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, n_bytes, n_compressed) via Arrow-batched zlib deflate."""
+    import pandas as pd
+
+    from ..catalog import spread
+
+    def run(batches):
+        import zlib
+        for pdf in batches:
+            texts = pdf[text_col].astype(str)
+            raw = [t.encode("utf-8") for t in texts]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_bytes": [len(b) for b in raw],
+                "n_compressed": [len(zlib.compress(b, COMPRESS_LEVEL))
+                                 for b in raw],
+            })
+
+    d = spread(docs.select(id_col, text_col), id_col)
+    return d.mapInPandas(run, f"{id_col} long, n_bytes long, "
+                              "n_compressed long")
+
+
+@register(
+    "compression_quality",
+    None,  # deflate is not SQL-replayable; exact pytest golden instead
+    doc=f"X112 compression-ratio quality signal: per-document zlib "
+        f"(level {COMPRESS_LEVEL}) deflate ratio via Arrow-batched "
+        "mapInPandas — the model-free repetition proxy (ratio < "
+        f"{REPETITIVE_RATIO} flags template/boilerplate text). "
+        "Map-only at any corpus scale; rows-only driver check (no SQL "
+        "deflate) with an exact per-document pytest golden replaying "
+        "the same zlib.",
+    tags=("X112", "X18", "X24", "X2"),
+)
+def compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = compression_signal(_docs(spark, sf_dir))
+    return sig.select(
+        "doc_id", "n_bytes", "n_compressed",
+        F.round(F.col("n_compressed") / F.greatest(F.col("n_bytes"),
+                                                   F.lit(1)), 6)
+        .alias("ratio"),
+        (F.col("n_compressed")
+         < F.col("n_bytes") * REPETITIVE_RATIO).alias("is_repetitive"))
+
+
+# --------------------------------------------------------------------------
+# X114: corpus datasheet — the "datasheets for datasets" composition
+# report every training corpus ships with: per (lang, source) document
+# and token counts, mean quality, short-doc and exact-duplicate and
+# PII-bearing fractions. ONE corpus projection feeds everything; the
+# duplicate flag joins a fingerprint-count table hash-keyed on md5;
+# per-doc quality (already 6-dp-rounded, hash-attested by doc_stats)
+# snaps to integer micro units so the group mean folds as exact BIGINT.
+# --------------------------------------------------------------------------
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+SHORT_DOC_TOKENS = 5
+
+
+@register(
+    "corpus_datasheet",
+    f"""
+    WITH base AS (
+        SELECT lang, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               CAST(ROUND({sql_quality_expr()} * 1e6, 0) AS BIGINT)
+                   AS q_micro,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fp,
+               CASE WHEN regexp_matches(text, '{_EMAIL_RE}')
+                    THEN 1 ELSE 0 END AS has_email
+        FROM documents
+    ),
+    fpc AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS c FROM base
+            GROUP BY fp)
+    SELECT base.lang, base.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(base.n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(base.q_micro) AS BIGINT)::DOUBLE
+                 / (COUNT(*) * 1000000.0), 6) AS mean_quality,
+           CAST(SUM(CASE WHEN base.n_tokens < {SHORT_DOC_TOKENS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           CAST(SUM(CASE WHEN fpc.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dup,
+           CAST(SUM(base.has_email) AS BIGINT) AS n_with_email
+    FROM base JOIN fpc ON fpc.fp = base.fp
+    GROUP BY base.lang, base.source
+    """,
+    doc="X114 corpus datasheet: per (lang, source) doc/token counts, "
+        "mean quality (per-doc 6-dp scores snapped to integer micro "
+        "units -> exact BIGINT group folds), short-doc, exact-"
+        "duplicate (md5 fingerprint multiplicity) and email-bearing "
+        "PII fractions — the dataset documentation report. One corpus "
+        "projection + one fingerprint-keyed count join; output is "
+        "(lang x source)-cardinality.",
+    tags=("X114", "X18", "X7", "X15", "X26"),
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "lang", "source",
+        T.n_tokens(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(T.quality_score(F.col("text")) * 1e6, 0).cast("long")
+        .alias("q_micro"),
+        T.exact_fingerprint(F.col("text")).alias("fp"),
+        F.when(F.col("text").rlike(_EMAIL_RE), 1).otherwise(0)
+        .alias("has_email"))
+    fpc = base.groupBy("fp").agg(F.count("*").cast("long").alias("c"))
+    return (base.join(fpc, "fp")
+            .groupBy("lang", "source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 F.round(F.sum("q_micro").cast("double")
+                         / (F.count("*") * F.lit(1000000.0)), 6)
+                 .alias("mean_quality"),
+                 F.sum(F.when(F.col("n_tokens") < SHORT_DOC_TOKENS, 1)
+                       .otherwise(0)).cast("long").alias("n_short"),
+                 F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+                 .cast("long").alias("n_exact_dup"),
+                 F.sum("has_email").cast("long").alias("n_with_email")))

@@ -63,6 +63,9 @@ NEW_R4: dict[str, str] = {
     "compaction_plan": "X109",
     "woe_price_bins": "X110",
     "ivf_probe_sweep": "X111",
+    "compression_quality": "X112",
+    "process_conformance": "X113",
+    "corpus_datasheet": "X114",
 }
 DEFERRED |= set(NEW_R4)
 

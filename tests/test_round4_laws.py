@@ -263,6 +263,66 @@ def test_probe_sweep_monotone_in_probes(spark, sf_dir):
     assert rec4 == sum(r["n_hits"] for r in recall_rows)
 
 
+def test_compression_quality_matches_zlib_exactly(spark, sf_dir):
+    """X112 golden: every document's deflate length must equal a direct
+    replay through the same zlib (the rows-only driver check's exact
+    local complement)."""
+    import zlib
+
+    import duckdb
+    from etl_airflow_spotify_spark.queries.text import COMPRESS_LEVEL
+    rows = {r["doc_id"]: r for r in _rows("compression_quality",
+                                          spark, sf_dir)}
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    assert len(rows) == len(docs)
+    for doc_id, text in docs:
+        raw = text.encode("utf-8")
+        r = rows[doc_id]
+        assert r["n_bytes"] == len(raw)
+        assert r["n_compressed"] == len(zlib.compress(raw, COMPRESS_LEVEL))
+        assert 0.0 < r["ratio"] <= 1.2
+        assert r["is_repetitive"] == (
+            r["n_compressed"] < r["n_bytes"] * 0.30)
+
+
+def test_conformance_partitions_transitions(spark, sf_dir):
+    import duckdb
+    rows = {r["transition_kind"]: r for r in
+            _rows("process_conformance", spark, sf_dir)}
+    n_events = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet' WHERE "
+        f"event_type IN ('signup','view','click','purchase')"
+    ).fetchone()[0]
+    n_users = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{sf_dir}/events.parquet' "
+        f"WHERE event_type IN ('signup','view','click','purchase')"
+    ).fetchone()[0]
+    # every stage event is exactly one of start/advance/repeat/rework
+    core = ("trace_start", "advance", "repeat", "rework")
+    assert sum(rows[k]["n_occurrences"] for k in core
+               if k in rows) == n_events
+    assert rows["trace_start"]["n_occurrences"] == n_users
+    for r in rows.values():
+        assert r["n_users"] <= r["n_occurrences"]
+
+
+def test_datasheet_conserves_corpus(spark, sf_dir):
+    import duckdb
+    rows = _rows("corpus_datasheet", spark, sf_dir)
+    n_docs, n_tok = duckdb.sql(
+        f"SELECT COUNT(*), SUM(len(string_split_regex(trim(text), "
+        f"'\\s+'))) FROM '{sf_dir}/documents.parquet'").fetchone()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["total_tokens"] for r in rows) == n_tok
+    for r in rows:
+        assert 0.0 <= r["mean_quality"] <= 1.0
+        assert r["n_short"] <= r["n_docs"]
+        assert r["n_exact_dup"] <= r["n_docs"]
+        assert r["n_with_email"] <= r["n_docs"]
+
+
 def test_ranking_metrics_bounds_and_recall_consistency(spark, sf_dir):
     from etl_airflow_spotify_spark.queries.similarity import K
     metrics = {r["query_id"]: r

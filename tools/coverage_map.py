@@ -119,6 +119,9 @@ X_TITLES = {
     "X109": "Small-file compaction planner",
     "X110": "Weight-of-evidence binning + information value",
     "X111": "IVF probe sweep (recall-vs-cost curve)",
+    "X112": "Compression-ratio quality signal (deflate proxy)",
+    "X113": "Process-conformance checking (funnel model audit)",
+    "X114": "Corpus datasheet (composition report)",
 }
 
 
