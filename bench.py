@@ -160,6 +160,7 @@ HEADLINE = [
     "compression_quality",
     "process_conformance",
     "corpus_datasheet",
+    "als_user_factors",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

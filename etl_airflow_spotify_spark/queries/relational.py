@@ -2103,3 +2103,98 @@ def woe_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * F.col("woe_micro")).over(w_all).cast("double")
                 / (F.col("g").cast("double") * F.col("b")
                    * F.lit(1000000.0)), 6).alias("feature_iv"))
+
+
+# --------------------------------------------------------------------------
+# X115: ALS collaborative filtering, one exact half-step — the
+# recommender-system training shape: with item factors fixed, every
+# user's factor vector is an independent closed-form ridge solve from
+# that user's ratings. Item factors are md5-derived small INTEGERS, so
+# the per-user normal equations (A = sum v v^T + lambda I, b = sum
+# r v) fold as exact BIGINT sums in ONE user-keyed aggregate; the 2x2
+# Cramer solve is two divisions of exact integers. The full ALS loop
+# is this query alternated user/item — each half-step identical in
+# shape, each embarrassingly parallel over the solved side.
+# --------------------------------------------------------------------------
+ALS_LAMBDA = 1
+
+
+def _als_factor_sql(tag: str, col: str) -> str:
+    return (f"((('0x' || substr(md5('{tag}:' || CAST({col} AS VARCHAR)), "
+            f"1, 15))::BIGINT % 9) - 4)")
+
+
+@register(
+    "als_user_factors",
+    f"""
+    WITH ratings AS (
+        SELECT o.o_custkey AS u, l.l_partkey AS p,
+               CAST(SUM(l.l_quantity) AS BIGINT) AS r
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_custkey, l.l_partkey
+    ),
+    rv AS (
+        SELECT u, r,
+               {_als_factor_sql('als1', 'p')} AS v1,
+               {_als_factor_sql('als2', 'p')} AS v2
+        FROM ratings
+    ),
+    norm AS (
+        SELECT u,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(v1 * v1) AS BIGINT) + {ALS_LAMBDA} AS a11,
+               CAST(SUM(v1 * v2) AS BIGINT) AS a12,
+               CAST(SUM(v2 * v2) AS BIGINT) + {ALS_LAMBDA} AS a22,
+               CAST(SUM(r * v1) AS BIGINT) AS b1,
+               CAST(SUM(r * v2) AS BIGINT) AS b2
+        FROM rv GROUP BY u
+    )
+    SELECT u AS custkey, n_items,
+           ROUND((b1 * a22 - b2 * a12)::DOUBLE
+                 / (a11 * a22 - a12 * a12), 6) AS u1,
+           ROUND((b2 * a11 - b1 * a12)::DOUBLE
+                 / (a11 * a22 - a12 * a12), 6) AS u2
+    FROM norm
+    """,
+    doc=f"X115 ALS half-step (k=2, lambda={ALS_LAMBDA}): per-user "
+        "factor vectors solved in closed form against md5-seeded "
+        "INTEGER item factors — the normal-equation moments fold as "
+        "exact BIGINT in one user-keyed aggregate and the 2x2 Cramer "
+        "solve is two IEEE divisions of exact integers, so the whole "
+        "training step hash-checks. Alternating this shape user/item "
+        "IS distributed ALS; each half-step is one shuffle on the "
+        "solved side's key.",
+    tags=("X115", "X60", "X7", "X3"),
+)
+def als_user_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ratings = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+               .groupBy(F.col("o_custkey").alias("u"),
+                        F.col("l_partkey").alias("p"))
+               .agg(F.sum("l_quantity").cast("long").alias("r")))
+
+    def factor(tag: str) -> F.Column:
+        return (F.conv(F.substring(F.md5(F.concat_ws(
+            "", F.lit(f"{tag}:"), F.col("p").cast("string"))), 1, 15),
+            16, 10).cast("long") % 9 - 4)
+
+    rv = ratings.select("u", "r", factor("als1").alias("v1"),
+                        factor("als2").alias("v2"))
+    lam = F.lit(ALS_LAMBDA)
+    norm = (rv.groupBy("u")
+            .agg(F.count("*").cast("long").alias("n_items"),
+                 (F.sum(F.col("v1") * F.col("v1")).cast("long") + lam)
+                 .alias("a11"),
+                 F.sum(F.col("v1") * F.col("v2")).cast("long").alias("a12"),
+                 (F.sum(F.col("v2") * F.col("v2")).cast("long") + lam)
+                 .alias("a22"),
+                 F.sum(F.col("r") * F.col("v1")).cast("long").alias("b1"),
+                 F.sum(F.col("r") * F.col("v2")).cast("long").alias("b2")))
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    return norm.select(
+        F.col("u").alias("custkey"), "n_items",
+        F.round((F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12"))
+                .cast("double") / det, 6).alias("u1"),
+        F.round((F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12"))
+                .cast("double") / det, 6).alias("u2"))

@@ -66,6 +66,7 @@ NEW_R4: dict[str, str] = {
     "compression_quality": "X112",
     "process_conformance": "X113",
     "corpus_datasheet": "X114",
+    "als_user_factors": "X115",
 }
 DEFERRED |= set(NEW_R4)
 

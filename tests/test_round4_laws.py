@@ -323,6 +323,41 @@ def test_datasheet_conserves_corpus(spark, sf_dir):
         assert r["n_with_email"] <= r["n_docs"]
 
 
+def test_als_factors_satisfy_normal_equations(spark, sf_dir):
+    """X115: each user's solved factors must satisfy the ridge normal
+    equations A u = b (replayed independently from the raw tables)."""
+    import hashlib
+
+    import duckdb
+    from etl_airflow_spotify_spark.queries.relational import ALS_LAMBDA
+    rows = {r["custkey"]: r for r in _rows("als_user_factors",
+                                           spark, sf_dir)}
+    ratings = duckdb.sql(f"""
+        SELECT o.o_custkey, l.l_partkey, SUM(l.l_quantity)
+        FROM '{sf_dir}/lineitem.parquet' l
+        JOIN '{sf_dir}/orders.parquet' o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2""").fetchall()
+
+    def fac(tag, p):
+        return int(hashlib.md5(f"{tag}:{p}".encode()).hexdigest()[:15],
+                   16) % 9 - 4
+
+    from collections import defaultdict
+    acc = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for u, p, r in ratings:
+        v1, v2 = fac("als1", p), fac("als2", p)
+        a = acc[u]
+        a[0] += v1 * v1; a[1] += v1 * v2; a[2] += v2 * v2
+        a[3] += int(r) * v1; a[4] += int(r) * v2
+    assert set(rows) == set(acc)
+    for u, (a11, a12, a22, b1, b2) in acc.items():
+        a11 += ALS_LAMBDA; a22 += ALS_LAMBDA
+        u1, u2 = rows[u]["u1"], rows[u]["u2"]
+        # A u = b within the 1e-6 output rounding
+        assert abs(a11 * u1 + a12 * u2 - b1) <= (abs(a11) + abs(a12)) * 1e-5
+        assert abs(a12 * u1 + a22 * u2 - b2) <= (abs(a12) + abs(a22)) * 1e-5
+
+
 def test_ranking_metrics_bounds_and_recall_consistency(spark, sf_dir):
     from etl_airflow_spotify_spark.queries.similarity import K
     metrics = {r["query_id"]: r

@@ -122,6 +122,7 @@ X_TITLES = {
     "X112": "Compression-ratio quality signal (deflate proxy)",
     "X113": "Process-conformance checking (funnel model audit)",
     "X114": "Corpus datasheet (composition report)",
+    "X115": "ALS collaborative filtering (exact half-step)",
 }
 
 
