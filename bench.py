@@ -161,6 +161,8 @@ HEADLINE = [
     "process_conformance",
     "corpus_datasheet",
     "als_user_factors",
+    "dedup_threshold_sweep",
+    "conformal_interval_coverage",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

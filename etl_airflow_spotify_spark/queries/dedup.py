@@ -606,3 +606,78 @@ def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", "jaccard",
         F.when(new_a & new_b, "new_new").otherwise("new_corpus")
         .alias("pair_type"))
+
+
+# --------------------------------------------------------------------------
+# X116: dedup threshold sweep — the operating curve (pairs, affected
+# docs, dedup rate at jaccard >= 0.7 / 0.8 / 0.9) that picks a
+# near-dup threshold, from ONE shingle + LSH candidate pass: banding
+# generates candidates once, the exact-Jaccard verify is computed
+# once, and each curve point is a filter over the verified pairs —
+# the X111 sweep pattern applied to dedup tuning. Thresholds stay
+# >= 0.8 because the oracle is exhaustive all-pairs Jaccard: at the
+# fixed 16x4 banding the candidate miss probability is (1-j^4)^16 —
+# ~2e-4 at j=0.8, but >1% at j=0.7, which would let the oracle count
+# pairs the LSH legitimately skips.
+# --------------------------------------------------------------------------
+SWEEP_THRESHOLDS = (0.8, 0.85, 0.9)
+
+
+@register(
+    "dedup_threshold_sweep",
+    f"""
+    WITH pairs AS (
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, GREATEST(len(ts) - 2, 1)),
+                       i -> ts[CAST(i AS INTEGER)] || ' ' ||
+                            ts[CAST(i AS INTEGER) + 1] || ' ' ||
+                            ts[CAST(i AS INTEGER) + 2])) AS sset
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(lower(text)), '\\s+') AS ts
+                  FROM documents)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+               GREATEST(len(list_distinct(list_concat(a.sset, b.sset))), 1)
+                   AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ),
+    pts(threshold) AS (VALUES {", ".join(f"({t})" for t in SWEEP_THRESHOLDS)})
+    SELECT CAST(pts.threshold AS DOUBLE) AS threshold,
+           CAST(COUNT(CASE WHEN p.j >= pts.threshold THEN 1 END)
+                AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN p.j >= pts.threshold
+                                    THEN p.id_b END) AS BIGINT)
+               AS n_docs_droppable
+    FROM pts LEFT JOIN pairs p ON p.j >= pts.threshold
+    GROUP BY pts.threshold
+    """,
+    doc="X116 dedup threshold operating curve: verified near-dup pair "
+        "and droppable-doc counts at jaccard >= "
+        f"{SWEEP_THRESHOLDS} from ONE shingle + MinHash-LSH candidate "
+        "pass — each curve point is a filter over the single verified "
+        "pair set, never a re-shingle. n_docs_droppable counts higher-"
+        "id pair members (the min-id KEEP policy's drop set upper "
+        "bound). The tuning sheet that picks a production dedup "
+        "threshold.",
+    tags=("X116", "X16", "X15"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.minhash_near_duplicates(
+        _docs(spark, sf_dir), "doc_id", "text",
+        threshold=min(SWEEP_THRESHOLDS), shingle_k=3,
+        num_hashes=64, bands=16)
+    from ..caching import persist_tracked
+    pairs = persist_tracked(pairs)
+    pts = None
+    for t in SWEEP_THRESHOLDS:
+        sub = pairs.filter(F.col("jaccard") >= t)
+        row = sub.agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.countDistinct("id_b").cast("long").alias("n_docs_droppable")
+        ).select(F.lit(float(t)).alias("threshold"), "n_pairs",
+                 "n_docs_droppable")
+        pts = row if pts is None else pts.unionByName(row)
+    return pts

@@ -2198,3 +2198,149 @@ def als_user_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double") / det, 6).alias("u1"),
         F.round((F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12"))
                 .cast("double") / det, 6).alias("u2"))
+
+
+# --------------------------------------------------------------------------
+# X117: split-conformal prediction intervals — the distribution-free
+# uncertainty wrapper modern ML serving uses: fit on a train split,
+# take the ceil((n+1)(1-alpha))-th absolute residual on a CALIBRATION
+# split as the interval half-width q, and verify ~(1-alpha) coverage
+# on a held-out test split. Splits are pure md5 id functions; the OLS
+# fit comes from exact DECIMAL/BIGINT moments (one aggregate); q is
+# one order statistic of the calibration residuals (a selection — at
+# corpus scale a top-k, not a full sort); coverage is one test-split
+# aggregate against the broadcast scalar q.
+# --------------------------------------------------------------------------
+CONF_ALPHA = 0.1
+CONF_TRAIN_PCT, CONF_CAL_PCT = 60, 20  # remainder -> test
+
+
+def _conf_bucket_sql(col: str) -> str:
+    return (f"(('0x' || substr(md5('conf:' || CAST({col} AS VARCHAR)), "
+            f"1, 15))::BIGINT % 100)")
+
+
+@register(
+    "conformal_interval_coverage",
+    f"""
+    WITH base AS (
+        SELECT o.o_orderkey AS k,
+               o.o_totalprice::DECIMAL(12,2) AS y,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               {_conf_bucket_sql('o.o_orderkey')} AS b
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               SUM(y) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               SUM(x * y) AS sxy
+        FROM base WHERE b < {CONF_TRAIN_PCT}
+    ),
+    coefs AS (
+        SELECT (n * sxy::DOUBLE - sx * sy::DOUBLE)
+                   / (n * sxx - sx * sx) AS b1,
+               (sy::DOUBLE - (n * sxy::DOUBLE - sx * sy::DOUBLE)
+                   / (n * sxx - sx * sx) * sx) / n AS b0,
+               n AS n_train
+        FROM fit
+    ),
+    cal AS (
+        SELECT base.k, abs(base.y::DOUBLE - (c.b0 + c.b1 * base.x)) AS r
+        FROM base CROSS JOIN coefs c
+        WHERE b >= {CONF_TRAIN_PCT} AND b < {CONF_TRAIN_PCT + CONF_CAL_PCT}
+    ),
+    ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+    q AS (
+        SELECT r AS q_alpha FROM (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r, k) AS rn FROM cal
+        ), ncal
+        WHERE rn = CAST(CEIL((ncal.n_cal + 1) * {1 - CONF_ALPHA}) AS BIGINT)
+    ),
+    test AS (
+        SELECT base.k,
+               CASE WHEN abs(base.y::DOUBLE - (c.b0 + c.b1 * base.x))
+                         <= q.q_alpha THEN 1 ELSE 0 END AS covered
+        FROM base CROSS JOIN coefs c CROSS JOIN q
+        WHERE b >= {CONF_TRAIN_PCT + CONF_CAL_PCT}
+    )
+    SELECT c.n_train, ncal.n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(c.b0, 6) AS b0, ROUND(c.b1, 6) AS b1,
+           ROUND(q.q_alpha, 4) AS q_alpha,
+           CAST(SUM(covered) AS BIGINT) AS n_covered,
+           ROUND(SUM(covered)::DOUBLE / COUNT(*), 6) AS coverage
+    FROM test CROSS JOIN coefs c CROSS JOIN ncal CROSS JOIN q
+    GROUP BY c.n_train, ncal.n_cal, c.b0, c.b1, q.q_alpha
+    """,
+    doc=f"X117 split-conformal intervals (alpha={CONF_ALPHA}): OLS of "
+        "order price on line count fit on a 60% md5 train split from "
+        "exact moments, interval half-width = the ceil((n+1)(1-a))-th "
+        "calibration residual (one order statistic), coverage verified "
+        "on the 20% test split — the distribution-free guarantee that "
+        "the interval contains ~90% of unseen orders. One base "
+        "aggregate + three split-filtered passes over it; every "
+        "scalar broadcasts.",
+    tags=("X117", "X60", "X7", "X28"),
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..caching import persist_tracked
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = (F.conv(F.substring(F.md5(F.concat_ws(
+        "", F.lit("conf:"), F.col("k").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 100)
+    base = persist_tracked(
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("o_orderkey").alias("k"),
+                 F.col("o_totalprice").cast("decimal(12,2)").alias("y"))
+        .agg(F.count("*").cast("long").alias("x"))
+        .withColumn("b", bucket))
+    fit = (base.filter(F.col("b") < CONF_TRAIN_PCT)
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("x").cast("long").alias("sx"),
+                F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    b1 = ((F.col("n") * F.col("sxy").cast("double")
+           - F.col("sx") * F.col("sy").cast("double"))
+          / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    coefs = fit.select(b1.alias("b1"),
+                       ((F.col("sy").cast("double") - b1 * F.col("sx"))
+                        / F.col("n")).alias("b0"),
+                       F.col("n").alias("n_train"))
+    cal = (base.filter((F.col("b") >= CONF_TRAIN_PCT)
+                       & (F.col("b") < CONF_TRAIN_PCT + CONF_CAL_PCT))
+           .crossJoin(F.broadcast(coefs))
+           .select("k", F.abs(F.col("y").cast("double")
+                              - (F.col("b0") + F.col("b1") * F.col("x")))
+                   .alias("r")))
+    ncal = cal.agg(F.count("*").cast("long").alias("n_cal"))
+    ranked = cal.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.asc("r"), F.asc("k"))))
+    q = (ranked.crossJoin(F.broadcast(ncal))
+         .filter(F.col("rn") == F.ceil((F.col("n_cal") + 1)
+                                       * (1 - CONF_ALPHA)).cast("long"))
+         .select(F.col("r").alias("q_alpha")))
+    test = (base.filter(F.col("b") >= CONF_TRAIN_PCT + CONF_CAL_PCT)
+            .crossJoin(F.broadcast(coefs)).crossJoin(F.broadcast(q))
+            .select((F.abs(F.col("y").cast("double")
+                           - (F.col("b0") + F.col("b1") * F.col("x")))
+                     <= F.col("q_alpha")).cast("int").alias("covered"),
+                    "n_train", "b0", "b1", "q_alpha"))
+    return (test.crossJoin(F.broadcast(ncal))
+            .groupBy("n_train", "n_cal", "b0", "b1", "q_alpha")
+            .agg(F.count("*").cast("long").alias("n_test"),
+                 F.sum("covered").cast("long").alias("n_covered"),
+                 F.round(F.sum("covered").cast("double") / F.count("*"), 6)
+                 .alias("coverage"))
+            .select("n_train", "n_cal", "n_test",
+                    F.round("b0", 6).alias("b0"),
+                    F.round("b1", 6).alias("b1"),
+                    F.round("q_alpha", 4).alias("q_alpha"),
+                    "n_covered", "coverage"))

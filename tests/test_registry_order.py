@@ -67,6 +67,8 @@ NEW_R4: dict[str, str] = {
     "process_conformance": "X113",
     "corpus_datasheet": "X114",
     "als_user_factors": "X115",
+    "dedup_threshold_sweep": "X116",
+    "conformal_interval_coverage": "X117",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -358,6 +358,33 @@ def test_als_factors_satisfy_normal_equations(spark, sf_dir):
         assert abs(a12 * u1 + a22 * u2 - b2) <= (abs(a12) + abs(a22)) * 1e-5
 
 
+def test_dedup_sweep_monotone_in_threshold(spark, sf_dir):
+    rows = sorted(_rows("dedup_threshold_sweep", spark, sf_dir),
+                  key=lambda r: r["threshold"])
+    assert [r["threshold"] for r in rows] == [0.8, 0.85, 0.9]
+    pairs = [r["n_pairs"] for r in rows]
+    docs = [r["n_docs_droppable"] for r in rows]
+    # tighter threshold -> subset of pairs -> both counts non-increasing
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    for r in rows:
+        assert r["n_docs_droppable"] <= r["n_pairs"] or r["n_pairs"] == 0
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    from etl_airflow_spotify_spark.queries.relational import CONF_ALPHA
+    (r,) = _rows("conformal_interval_coverage", spark, sf_dir)
+    assert r["n_train"] > r["n_cal"] > 0 and r["n_test"] > 0
+    assert r["q_alpha"] > 0
+    assert r["n_covered"] <= r["n_test"]
+    # split-conformal guarantee: coverage ~ 1 - alpha; allow finite-
+    # sample slack ~ 3 binomial sigmas
+    import math
+    p = 1 - CONF_ALPHA
+    slack = 3 * math.sqrt(p * (1 - p) / max(r["n_test"], 1)) + 0.02
+    assert abs(r["coverage"] - p) <= slack
+
+
 def test_ranking_metrics_bounds_and_recall_consistency(spark, sf_dir):
     from etl_airflow_spotify_spark.queries.similarity import K
     metrics = {r["query_id"]: r

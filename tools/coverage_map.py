@@ -123,6 +123,8 @@ X_TITLES = {
     "X113": "Process-conformance checking (funnel model audit)",
     "X114": "Corpus datasheet (composition report)",
     "X115": "ALS collaborative filtering (exact half-step)",
+    "X116": "Dedup threshold operating curve",
+    "X117": "Split-conformal prediction intervals",
 }
 
 
