@@ -163,6 +163,7 @@ HEADLINE = [
     "als_user_factors",
     "dedup_threshold_sweep",
     "conformal_interval_coverage",
+    "linkage_eval_planted",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -241,3 +241,115 @@ def survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (stats.join(canon, "cluster_id").join(gbrand, "cluster_id")
             .select("cluster_id", "canonical_name", "golden_brand",
                     "n_names", "n_rows", "max_price"))
+
+
+# --------------------------------------------------------------------------
+# X118: entity-resolution evaluation with planted ground truth — the
+# measurement harness every linkage deployment needs: plant a
+# deterministic one-character typo in 10% of part names (md5-chosen,
+# mutation position = len-2, so both blocking tokens survive), run
+# the SAME blocked fuzzy pipeline over originals + typos, and score
+# recovered vs planted pairs. Plants and truth are pure functions of
+# the name, so the oracle replays generation, blocking, verify and
+# the metrics; natural near-dup pairs are reported separately (they
+# are not errors — they are the pipeline's normal output).
+# --------------------------------------------------------------------------
+LKEV_PLANT_PCT = 10
+
+
+@register(
+    "linkage_eval_planted",
+    f"""
+    WITH names AS (
+        SELECT p_name AS nm, CAST(COUNT(*) AS BIGINT) AS n
+        FROM part GROUP BY p_name
+    ),
+    plants AS (
+        SELECT nm,
+               substr(nm, 1, length(nm) - 2)
+               || chr(unicode(substr(nm, length(nm) - 1, 1)) + 1)
+               || substr(nm, length(nm), 1) AS typo
+        FROM names
+        WHERE (('0x' || substr(md5('lk:' || nm), 1, 15))::BIGINT % 100)
+              < {LKEV_PLANT_PCT}
+    ),
+    allnames AS (
+        SELECT nm, n FROM names
+        UNION ALL
+        SELECT typo, CAST(1 AS BIGINT) FROM plants
+    ),
+    vals AS (SELECT nm, CAST(SUM(n) AS BIGINT) AS n FROM allnames
+             GROUP BY nm),
+    blocked AS (
+        SELECT split_part(nm, ' ', 1) AS blk, nm FROM vals
+        UNION ALL
+        SELECT split_part(nm, ' ', 2) AS blk, nm FROM vals
+    ),
+    pred AS (
+        SELECT DISTINCT a.nm AS va, b.nm AS vb
+        FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.nm < b.nm
+        WHERE levenshtein(a.nm, b.nm) <= {MAX_EDIT}
+    ),
+    truth AS (
+        SELECT LEAST(nm, typo) AS va, GREATEST(nm, typo) AS vb
+        FROM plants
+    ),
+    hit AS (
+        SELECT t.va FROM truth t
+        JOIN pred p ON p.va = t.va AND p.vb = t.vb
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_planted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_recovered,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pred) AS n_predicted,
+           ROUND((SELECT COUNT(*) FROM hit)::DOUBLE /
+                 GREATEST((SELECT COUNT(*) FROM truth), 1), 6)
+               AS planted_recall
+    """,
+    doc=f"X118 linkage evaluation: {LKEV_PLANT_PCT}% of part names "
+        "gain a deterministic one-char typo (md5-chosen, position "
+        "len-2 so blocking tokens survive); the SAME blocked "
+        "edit-distance pipeline runs over originals + plants and is "
+        "scored on planted-pair recall (expected 1.0 — substitution "
+        "distance 1, shared blocks) alongside total predictions. The "
+        "ground-truth harness that turns entity resolution from "
+        "vibes into a regression-gated metric.",
+    tags=("X118", "X33", "X2"),
+)
+def linkage_eval_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = (part.groupBy(F.col("p_name").alias("nm"))
+             .agg(F.count("*").cast("long").alias("n")))
+    bucket = (F.conv(F.substring(F.md5(F.concat(F.lit("lk:"),
+                                                F.col("nm"))), 1, 15),
+                     16, 10).cast("long") % 100)
+    typo = F.expr(
+        "concat(substr(nm, 1, length(nm) - 2), "
+        "char(ascii(substr(nm, length(nm) - 1, 1)) + 1), "
+        "substr(nm, length(nm), 1))")
+    plants = (names.filter(bucket < LKEV_PLANT_PCT)
+              .select("nm", typo.alias("typo")))
+    allnames = (names.select("nm", "n")
+                .unionByName(plants.select(F.col("typo").alias("nm"),
+                                           F.lit(1).cast("long")
+                                           .alias("n"))))
+    vals = allnames.groupBy("nm").agg(F.sum("n").cast("long").alias("n"))
+    pred = blocked_fuzzy_pairs(
+        vals, value_col="nm", weight_col="n",
+        block_fns=[lambda c: F.split_part(c, F.lit(" "), F.lit(1)),
+                   lambda c: F.split_part(c, F.lit(" "), F.lit(2))],
+        max_dist=MAX_EDIT).select(F.col("value_a").alias("va"),
+                                  F.col("value_b").alias("vb"))
+    from ..caching import persist_tracked
+    pred = persist_tracked(pred)
+    truth = plants.select(F.least("nm", "typo").alias("va"),
+                          F.greatest("nm", "typo").alias("vb"))
+    hit = truth.join(pred, ["va", "vb"], "left_semi")
+    return (truth.agg(F.count("*").cast("long").alias("n_planted"))
+            .crossJoin(hit.agg(F.count("*").cast("long")
+                               .alias("n_recovered")))
+            .crossJoin(pred.agg(F.count("*").cast("long")
+                                .alias("n_predicted")))
+            .select("n_planted", "n_recovered", "n_predicted",
+                    F.round(F.col("n_recovered").cast("double")
+                            / F.greatest(F.col("n_planted"), F.lit(1)), 6)
+                    .alias("planted_recall")))

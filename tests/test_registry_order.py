@@ -69,6 +69,7 @@ NEW_R4: dict[str, str] = {
     "als_user_factors": "X115",
     "dedup_threshold_sweep": "X116",
     "conformal_interval_coverage": "X117",
+    "linkage_eval_planted": "X118",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -385,6 +385,17 @@ def test_conformal_coverage_near_nominal(spark, sf_dir):
     assert abs(r["coverage"] - p) <= slack
 
 
+def test_linkage_eval_recovers_every_plant(spark, sf_dir):
+    """X118: a 1-substitution typo at position len-2 shares both
+    blocking tokens with its original, so the pipeline must recover
+    EVERY planted pair."""
+    (r,) = _rows("linkage_eval_planted", spark, sf_dir)
+    assert r["n_planted"] > 0
+    assert r["n_recovered"] == r["n_planted"]
+    assert r["planted_recall"] == 1.0
+    assert r["n_predicted"] >= r["n_planted"]
+
+
 def test_ranking_metrics_bounds_and_recall_consistency(spark, sf_dir):
     from etl_airflow_spotify_spark.queries.similarity import K
     metrics = {r["query_id"]: r

@@ -125,6 +125,7 @@ X_TITLES = {
     "X115": "ALS collaborative filtering (exact half-step)",
     "X116": "Dedup threshold operating curve",
     "X117": "Split-conformal prediction intervals",
+    "X118": "Entity-resolution evaluation (planted truth)",
 }
 
 
