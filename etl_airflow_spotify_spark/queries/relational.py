@@ -2314,18 +2314,37 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ((F.col("sy").cast("double") - b1 * F.col("sx"))
                         / F.col("n")).alias("b0"),
                        F.col("n").alias("n_train"))
-    cal = (base.filter((F.col("b") >= CONF_TRAIN_PCT)
-                       & (F.col("b") < CONF_TRAIN_PCT + CONF_CAL_PCT))
-           .crossJoin(F.broadcast(coefs))
-           .select("k", F.abs(F.col("y").cast("double")
-                              - (F.col("b0") + F.col("b1") * F.col("x")))
-                   .alias("r")))
+    cal = persist_tracked(
+        base.filter((F.col("b") >= CONF_TRAIN_PCT)
+                    & (F.col("b") < CONF_TRAIN_PCT + CONF_CAL_PCT))
+        .crossJoin(F.broadcast(coefs))
+        .select(F.col("k").alias("okey"),
+                F.abs(F.col("y").cast("double")
+                      - (F.col("b0") + F.col("b1") * F.col("x")))
+                .alias("r")))
     ncal = cal.agg(F.count("*").cast("long").alias("n_cal"))
-    ranked = cal.withColumn(
-        "rn", F.row_number().over(Window.orderBy(F.asc("r"), F.asc("k"))))
-    q = (ranked.crossJoin(F.broadcast(ncal))
-         .filter(F.col("rn") == F.ceil((F.col("n_cal") + 1)
-                                       * (1 - CONF_ALPHA)).cast("long"))
+    # Two-pass SELECTION of the k-th residual, never a global-order
+    # window (a global row_number serializes the calibration split
+    # through one partition at scale): 1024 fixed buckets locate the
+    # target rank, then only the selected bucket sorts.
+    mx = cal.agg(F.greatest(F.max("r"), F.lit(1e-12)).alias("mx"))
+    binned = (cal.crossJoin(F.broadcast(mx))
+              .withColumn("bkt", F.least(
+                  F.floor(F.col("r") / F.col("mx") * 1024),
+                  F.lit(1023)).cast("long")))
+    hist = binned.groupBy("bkt").agg(F.count("*").alias("c"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    cum = (hist.withColumn("cb", F.coalesce(F.sum("c").over(wb), F.lit(0)))
+           .crossJoin(F.broadcast(ncal))
+           .withColumn("tgt", F.ceil((F.col("n_cal") + 1)
+                                     * (1 - CONF_ALPHA)).cast("long")))
+    bsel = (cum.filter((F.col("cb") < F.col("tgt"))
+                       & (F.col("tgt") <= F.col("cb") + F.col("c")))
+            .select("bkt", (F.col("tgt") - F.col("cb")).alias("off")))
+    wq = Window.orderBy(F.asc("r"), F.asc("okey"))  # selected bucket only
+    q = (binned.join(F.broadcast(bsel), "bkt")
+         .withColumn("rn", F.row_number().over(wq))
+         .filter(F.col("rn") == F.col("off"))
          .select(F.col("r").alias("q_alpha")))
     test = (base.filter(F.col("b") >= CONF_TRAIN_PCT + CONF_CAL_PCT)
             .crossJoin(F.broadcast(coefs)).crossJoin(F.broadcast(q))

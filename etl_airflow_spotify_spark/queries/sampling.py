@@ -237,10 +237,14 @@ def weighted_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                         16, 10).cast("long").alias("h"))
             .groupBy("doc_id", "lang", "n_tickets")
             .agg(F.min("h").alias("race_key")))
+    # Distributed bottom-k FIRST (TakeOrdered: per-partition heaps, no
+    # global sort), THEN rank the K survivors — a global-order
+    # row_number window would serialize the corpus through one
+    # partition at scale.
+    topk = keys.orderBy(F.asc("race_key"), F.asc("doc_id")).limit(WTS_K)
     rn = F.row_number().over(Window.orderBy(F.asc("race_key"),
                                             F.asc("doc_id")))
-    return (keys.withColumn("rn", rn)
-            .filter(F.col("rn") <= WTS_K)
+    return (topk.withColumn("rn", rn)
             .select("doc_id", "lang",
                     F.col("n_tickets").cast("long").alias("n_tickets"),
                     "race_key", F.col("rn").cast("long").alias("rank")))

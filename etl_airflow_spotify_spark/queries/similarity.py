@@ -2087,7 +2087,10 @@ def pooled_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("s").alias("sq")))
     c = pooled.select(F.col("doc").alias("cand_doc"), "pos",
                       F.col("s").alias("sc"))
-    dots = (q.join(c, "pos")
+    # the query side is query-set-sized (POOL_N_Q docs x dim rows) at
+    # ANY corpus scale — broadcast it so the matmul join never
+    # shuffles the corpus side
+    dots = (F.broadcast(q).join(c, "pos")
             .filter(F.col("cand_doc") != F.col("query_doc"))
             .groupBy("query_doc", "cand_doc")
             .agg(F.sum(F.col("sq") * F.col("sc")).cast("long").alias("dp")))
