@@ -164,6 +164,7 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "conformal_interval_coverage",
     "linkage_eval_planted",
+    "rules_wilson_ranked",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -316,3 +316,106 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = G.ppr_fixed(edges, seeds, iters=PPR_ITERS)
     return (pr.orderBy(F.desc("pr"), F.asc("node")).limit(PPR_TOPK)
             .select("node", "pr"))
+
+
+# --------------------------------------------------------------------------
+# X119: uncertainty-aware rule ranking — raw confidence over-ranks
+# rules with tiny support (3/3 beats 95/100); the Wilson score lower
+# bound is the standard fix (the reddit/CTR "sort by best" ranking).
+# Every input to the bound is an exact integer ratio, so both engines
+# compute bit-identical doubles through the one sqrt; ranking uses
+# the 6-dp-rounded bound with id tiebreaks.
+# --------------------------------------------------------------------------
+WILSON_Z = 1.96
+WILSON_TOPK = 50
+
+
+@register(
+    "rules_wilson_ranked",
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    item AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS sup FROM op GROUP BY p),
+    pair AS (
+        SELECT a.p AS x, b.p AS y, CAST(COUNT(*) AS BIGINT) AS sup_ab
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+        HAVING COUNT(*) >= {RULE_MIN_PAIR_SUP}
+    ),
+    rules AS (
+        SELECT x AS antecedent, y AS consequent, sup_ab FROM pair
+        UNION ALL
+        SELECT y, x, sup_ab FROM pair
+    ),
+    scored AS (
+        SELECT r.antecedent, r.consequent, r.sup_ab, ia.sup AS n,
+               r.sup_ab::DOUBLE / ia.sup AS p
+        FROM rules r JOIN item ia ON ia.p = r.antecedent
+    ),
+    wb AS (
+        SELECT antecedent, consequent, sup_ab, n,
+               ROUND(p, 6) AS confidence,
+               ROUND((p + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                      - {WILSON_Z} * sqrt(p * (1 - p) / n
+                          + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)))
+                     / (1 + {WILSON_Z} * {WILSON_Z} / n), 6) AS wilson_lb
+        FROM scored
+    )
+    SELECT antecedent, consequent, sup_ab, n, confidence, wilson_lb,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              ORDER BY wilson_lb DESC, antecedent, consequent) AS rn
+          FROM wb)
+    WHERE rn <= {WILSON_TOPK}
+    """,
+    doc=f"X119 Wilson-bound rule ranking: the X51 association rules "
+        f"re-ranked by the {WILSON_Z}-z Wilson score LOWER bound on "
+        "confidence — a 3/3 rule no longer outranks 95/100. All bound "
+        "inputs are exact integer ratios (identical doubles through "
+        "one IEEE sqrt); ranked top-"
+        f"{WILSON_TOPK} with deterministic tiebreaks. The "
+        "small-sample-safe ranking layer every recommendation surface "
+        "needs over raw confidence.",
+    tags=("X119", "X51", "X12", "X7"),
+)
+def rules_wilson_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (li.select(F.col("l_orderkey").alias("o"),
+                    F.col("l_partkey").alias("p")).distinct())
+    item = op.groupBy("p").agg(F.count("*").cast("long").alias("sup"))
+    a, b = op.alias("a"), op.alias("b")
+    pair = (a.join(b, (F.col("a.o") == F.col("b.o"))
+                   & (F.col("a.p") < F.col("b.p")))
+            .groupBy(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+            .agg(F.count("*").cast("long").alias("sup_ab"))
+            .filter(F.col("sup_ab") >= RULE_MIN_PAIR_SUP))
+    rules = (pair.select(F.col("x").alias("antecedent"),
+                         F.col("y").alias("consequent"), "sup_ab")
+             .unionAll(pair.select(F.col("y").alias("antecedent"),
+                                   F.col("x").alias("consequent"),
+                                   "sup_ab")))
+    ia = item.select(F.col("p").alias("antecedent"),
+                     F.col("sup").alias("n"))
+    z = WILSON_Z
+    scored = (rules.join(ia, "antecedent")
+              .withColumn("p", F.col("sup_ab").cast("double") / F.col("n")))
+    wlb = ((F.col("p") + F.lit(z * z) / (2 * F.col("n"))
+            - F.lit(z) * F.sqrt(F.col("p") * (1 - F.col("p")) / F.col("n")
+                                + F.lit(z * z)
+                                / (4.0 * F.col("n") * F.col("n"))))
+           / (1 + F.lit(z * z) / F.col("n")))
+    wb = scored.select("antecedent", "consequent", "sup_ab", "n",
+                       F.round("p", 6).alias("confidence"),
+                       F.round(wlb, 6).alias("wilson_lb"))
+    # distributed top-k FIRST (per-partition heaps), then rank the K
+    # survivors — never a global-order window over the full rule table
+    topk = wb.orderBy(F.desc("wilson_lb"), F.asc("antecedent"),
+                      F.asc("consequent")).limit(WILSON_TOPK)
+    w = Window.orderBy(F.desc("wilson_lb"), F.asc("antecedent"),
+                       F.asc("consequent"))
+    return (topk.withColumn("rn", F.row_number().over(w))
+            .select("antecedent", "consequent", "sup_ab", "n",
+                    "confidence", "wilson_lb",
+                    F.col("rn").cast("long").alias("rank")))

@@ -70,6 +70,7 @@ NEW_R4: dict[str, str] = {
     "dedup_threshold_sweep": "X116",
     "conformal_interval_coverage": "X117",
     "linkage_eval_planted": "X118",
+    "rules_wilson_ranked": "X119",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -396,6 +396,21 @@ def test_linkage_eval_recovers_every_plant(spark, sf_dir):
     assert r["n_predicted"] >= r["n_planted"]
 
 
+def test_wilson_bound_below_confidence_and_support_aware(spark, sf_dir):
+    rows = _rows("rules_wilson_ranked", spark, sf_dir)
+    assert rows
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    wlbs = [r["wilson_lb"] for r in
+            sorted(rows, key=lambda r: r["rank"])]
+    assert wlbs == sorted(wlbs, reverse=True)
+    for r in rows:
+        # the lower bound never exceeds the point estimate
+        assert r["wilson_lb"] <= r["confidence"] + 1e-9
+        assert 0.0 <= r["wilson_lb"] <= 1.0
+        assert r["sup_ab"] <= r["n"]
+
+
 def test_ranking_metrics_bounds_and_recall_consistency(spark, sf_dir):
     from etl_airflow_spotify_spark.queries.similarity import K
     metrics = {r["query_id"]: r

@@ -126,6 +126,7 @@ X_TITLES = {
     "X116": "Dedup threshold operating curve",
     "X117": "Split-conformal prediction intervals",
     "X118": "Entity-resolution evaluation (planted truth)",
+    "X119": "Uncertainty-aware ranking (Wilson lower bound)",
 }
 
 
