@@ -165,6 +165,7 @@ HEADLINE = [
     "conformal_interval_coverage",
     "linkage_eval_planted",
     "rules_wilson_ranked",
+    "fellegi_sunter_bands",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

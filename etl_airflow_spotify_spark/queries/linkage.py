@@ -353,3 +353,196 @@ def linkage_eval_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_recovered").cast("double")
                             / F.greatest(F.col("n_planted"), F.lit(1)), 6)
                     .alias("planted_recall")))
+
+
+# --------------------------------------------------------------------------
+# X120: Fellegi-Sunter probabilistic linkage scoring — the classical
+# model behind every production record-linkage system: each candidate
+# pair scores sum_f log2(m_f/u_f) over AGREEING comparison fields plus
+# log2((1-m_f)/(1-u_f)) over disagreeing ones, where m = P(agree |
+# match) and u = P(agree | non-match). The planted typos (X118) supply
+# labeled matches, so m/u estimate from data (add-one smoothed); all
+# probabilities are integer-count ratios, so every log term is a
+# difference of micro-grid log2s of INTEGERS and pair scores fold as
+# exact BIGINT. Output: the score-band separation histogram (the FS
+# decision plot) with truth counts per band.
+# --------------------------------------------------------------------------
+FS_FIELDS = (
+    ("tok1", "split_part({v}, ' ', 1)"),
+    ("tok2", "split_part({v}, ' ', 2)"),
+    ("length", "CAST(length({v}) AS VARCHAR)"),
+    ("tail4", "substr({v}, GREATEST(length({v}) - 3, 1))"),
+)
+# Spark twins of the field expressions (same semantics; substr with a
+# start beyond 1 clamps identically, split_part/length agree)
+_FS_SPARK = {
+    "tok1": "split_part({v}, ' ', 1)",
+    "tok2": "split_part({v}, ' ', 2)",
+    "length": "CAST(length({v}) AS STRING)",
+    "tail4": "substr({v}, GREATEST(length({v}) - 3, 1))",
+}
+
+
+def _fs_oracle_sql() -> str:
+    agree_cols = ",\n               ".join(
+        f"CASE WHEN {expr.format(v='p.va')} = {expr.format(v='p.vb')} "
+        f"THEN 1 ELSE 0 END AS ag_{name}"
+        for name, expr in FS_FIELDS)
+    m_aggs = ", ".join(
+        f"CAST(SUM(CASE WHEN is_match = 1 THEN ag_{n} ELSE 0 END) + 1 "
+        f"AS BIGINT) AS m_{n}" for n, _ in FS_FIELDS)
+    u_aggs = ", ".join(
+        f"CAST(SUM(CASE WHEN is_match = 0 THEN ag_{n} ELSE 0 END) + 1 "
+        f"AS BIGINT) AS u_{n}" for n, _ in FS_FIELDS)
+
+    def micro(x):
+        return f"ROUND(log2({x}) * 1e6, 0)::BIGINT"
+
+    terms = " + ".join(
+        f"CASE WHEN l.ag_{n} = 1 THEN "
+        f"({micro(f's.m_{n}')} - {micro('s.nm2')} "
+        f"- {micro(f's.u_{n}')} + {micro('s.nu2')}) "
+        f"ELSE ({micro(f's.nm2 - s.m_{n} + 1')} - {micro('s.nm2')} "
+        f"- {micro(f's.nu2 - s.u_{n} + 1')} + {micro('s.nu2')}) END"
+        for n, _ in FS_FIELDS)
+    return f"""
+    WITH names AS (
+        SELECT p_name AS nm FROM part GROUP BY p_name
+    ),
+    plants AS (
+        SELECT nm,
+               substr(nm, 1, length(nm) - 2)
+               || chr(unicode(substr(nm, length(nm) - 1, 1)) + 1)
+               || substr(nm, length(nm), 1) AS typo
+        FROM names
+        WHERE (('0x' || substr(md5('lk:' || nm), 1, 15))::BIGINT % 100)
+              < {LKEV_PLANT_PCT}
+    ),
+    vals AS (
+        SELECT nm FROM names
+        UNION
+        SELECT typo FROM plants
+    ),
+    blocked AS (
+        SELECT split_part(nm, ' ', 1) AS blk, nm FROM vals
+        UNION ALL
+        SELECT split_part(nm, ' ', 2) AS blk, nm FROM vals
+    ),
+    cand AS (
+        SELECT DISTINCT a.nm AS va, b.nm AS vb
+        FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.nm < b.nm
+    ),
+    truth AS (
+        SELECT LEAST(nm, typo) AS va, GREATEST(nm, typo) AS vb
+        FROM plants
+    ),
+    lab AS (
+        SELECT p.va, p.vb,
+               CASE WHEN t.va IS NOT NULL THEN 1 ELSE 0 END AS is_match,
+               {agree_cols}
+        FROM cand p LEFT JOIN truth t ON t.va = p.va AND t.vb = p.vb
+    ),
+    stats AS (
+        SELECT {m_aggs}, {u_aggs},
+               CAST(SUM(is_match) + 2 AS BIGINT) AS nm2,
+               CAST(SUM(1 - is_match) + 2 AS BIGINT) AS nu2
+        FROM lab
+    ),
+    scored AS (
+        SELECT l.is_match, ({terms}) AS score_micro
+        FROM lab l CROSS JOIN stats s
+    )
+    SELECT CAST(FLOOR(score_micro / 1000000.0) AS BIGINT) AS score_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(is_match) AS BIGINT) AS n_matches
+    FROM scored GROUP BY 1
+    """
+
+
+@register(
+    "fellegi_sunter_bands",
+    _fs_oracle_sql(),
+    doc="X120 Fellegi-Sunter probabilistic linkage: blocking candidates "
+        "score sum log2(m/u) over four agreement fields (token1, "
+        "token2, length, last-4-chars), with m/u estimated from the "
+        "planted-typo labels (add-one smoothed integer ratios -> every "
+        "log term is micro-grid-exact, pair scores fold as BIGINT). "
+        "Output is the score-band histogram with match counts — the "
+        "separation plot that sets FS accept/review/reject thresholds. "
+        "Candidates come from the same bounded blocking as X33; stats "
+        "are one scalar row broadcast onto a map-only scoring pass.",
+    tags=("X120", "X33", "X118", "X7"),
+)
+def fellegi_sunter_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("nm")).distinct()
+    bucket = (F.conv(F.substring(F.md5(F.concat(F.lit("lk:"),
+                                                F.col("nm"))), 1, 15),
+                     16, 10).cast("long") % 100)
+    typo = F.expr(
+        "concat(substr(nm, 1, length(nm) - 2), "
+        "char(ascii(substr(nm, length(nm) - 1, 1)) + 1), "
+        "substr(nm, length(nm), 1))")
+    plants = (names.filter(bucket < LKEV_PLANT_PCT)
+              .select("nm", typo.alias("typo")))
+    vals = (names.select("nm")
+            .unionByName(plants.select(F.col("typo").alias("nm")))
+            .distinct())
+    blocked = (vals.select(F.expr("split_part(nm, ' ', 1)").alias("blk"),
+                           "nm")
+               .unionByName(
+                   vals.select(F.expr("split_part(nm, ' ', 2)")
+                               .alias("blk"), "nm")))
+    a = blocked.select("blk", F.col("nm").alias("va"))
+    b = blocked.select("blk", F.col("nm").alias("vb"))
+    cand = (a.join(b, "blk").filter(F.col("va") < F.col("vb"))
+            .select("va", "vb").distinct())
+    truth = plants.select(F.least("nm", "typo").alias("va"),
+                          F.greatest("nm", "typo").alias("vb"),
+                          F.lit(1).alias("t"))
+    agree_cols = [
+        (F.expr(_FS_SPARK[n].format(v="va"))
+         == F.expr(_FS_SPARK[n].format(v="vb"))).cast("int")
+        .alias(f"ag_{n}")
+        for n, _ in FS_FIELDS]
+    lab = persist_tracked(
+        cand.join(truth, ["va", "vb"], "left")
+        .select("va", "vb",
+                F.coalesce(F.col("t"), F.lit(0)).alias("is_match"),
+                *agree_cols))
+    aggs = []
+    for n, _ in FS_FIELDS:
+        aggs.append((F.sum(F.when(F.col("is_match") == 1,
+                                  F.col(f"ag_{n}")).otherwise(0))
+                     .cast("long") + 1).alias(f"m_{n}"))
+        aggs.append((F.sum(F.when(F.col("is_match") == 0,
+                                  F.col(f"ag_{n}")).otherwise(0))
+                     .cast("long") + 1).alias(f"u_{n}"))
+    aggs.append((F.sum("is_match").cast("long") + 2).alias("nm2"))
+    aggs.append((F.sum(F.lit(1) - F.col("is_match")).cast("long") + 2)
+                .alias("nu2"))
+    stats = lab.agg(*aggs)
+
+    def micro(c):
+        return F.round(F.log2(c) * 1e6, 0).cast("long")
+
+    score = None
+    for n, _ in FS_FIELDS:
+        agree_term = (micro(F.col(f"m_{n}")) - micro(F.col("nm2"))
+                      - micro(F.col(f"u_{n}")) + micro(F.col("nu2")))
+        dis_term = (micro(F.col("nm2") - F.col(f"m_{n}") + 1)
+                    - micro(F.col("nm2"))
+                    - micro(F.col("nu2") - F.col(f"u_{n}") + 1)
+                    + micro(F.col("nu2")))
+        term = F.when(F.col(f"ag_{n}") == 1, agree_term) \
+            .otherwise(dis_term)
+        score = term if score is None else score + term
+    scored = (lab.crossJoin(F.broadcast(stats))
+              .select("is_match", score.alias("score_micro")))
+    return (scored
+            .groupBy(F.floor(F.col("score_micro") / 1000000.0)
+                     .cast("long").alias("score_band"))
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.sum("is_match").cast("long").alias("n_matches")))

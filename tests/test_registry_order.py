@@ -71,6 +71,7 @@ NEW_R4: dict[str, str] = {
     "conformal_interval_coverage": "X117",
     "linkage_eval_planted": "X118",
     "rules_wilson_ranked": "X119",
+    "fellegi_sunter_bands": "X120",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -411,6 +411,29 @@ def test_wilson_bound_below_confidence_and_support_aware(spark, sf_dir):
         assert r["sup_ab"] <= r["n"]
 
 
+def test_fellegi_sunter_separates_matches(spark, sf_dir):
+    """X120: FS scores must separate — every labeled match scores in a
+    band at or above every band that is match-free majority, and the
+    top band is match-dominated (the model's whole point)."""
+    rows = sorted(_rows("fellegi_sunter_bands", spark, sf_dir),
+                  key=lambda r: r["score_band"])
+    assert rows
+    total_matches = sum(r["n_matches"] for r in rows)
+    assert total_matches > 0
+    for r in rows:
+        assert 0 <= r["n_matches"] <= r["n_pairs"]
+    # matches concentrate at the top: every labeled match scores in
+    # the HIGHEST band (typos agree on tok1/tok2/length — natural
+    # near-identical names share the band, so it need not be pure),
+    # the bottom band is match-free, and the top band's match rate
+    # beats the overall rate
+    top = rows[-1]
+    assert top["n_matches"] == total_matches
+    assert rows[0]["n_matches"] == 0
+    overall = total_matches / sum(r["n_pairs"] for r in rows)
+    assert top["n_matches"] / top["n_pairs"] > overall
+
+
 def test_ranking_metrics_bounds_and_recall_consistency(spark, sf_dir):
     from etl_airflow_spotify_spark.queries.similarity import K
     metrics = {r["query_id"]: r

@@ -127,6 +127,7 @@ X_TITLES = {
     "X117": "Split-conformal prediction intervals",
     "X118": "Entity-resolution evaluation (planted truth)",
     "X119": "Uncertainty-aware ranking (Wilson lower bound)",
+    "X120": "Fellegi-Sunter probabilistic linkage",
 }
 
 
