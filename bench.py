@@ -166,6 +166,8 @@ HEADLINE = [
     "linkage_eval_planted",
     "rules_wilson_ranked",
     "fellegi_sunter_bands",
+    "watermark_lateness_sweep",
+    "source_length_emd",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -2041,3 +2041,75 @@ def process_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (labelled.groupBy("transition_kind")
             .agg(F.count("*").cast("long").alias("n_occurrences"),
                  F.countDistinct("user_id").cast("long").alias("n_users")))
+
+
+# --------------------------------------------------------------------------
+# X121: watermark lateness sweep — "which watermark delay should this
+# stream use?" answered from history: replay events in arrival order
+# (event_id — the ingest sequence), track the running max event time,
+# and for each candidate delay count the events that would arrive
+# LATER than (running_max - delay), i.e. the rows a streaming job
+# would drop. One ordered window builds the running max; each sweep
+# point is a filter (the X111 pattern); all arithmetic is exact
+# epoch-microsecond BIGINT differences (tz offset cancels).
+# --------------------------------------------------------------------------
+WM_DELAYS_S = (60, 300, 900, 3600)
+
+
+@register(
+    "watermark_lateness_sweep",
+    f"""
+    WITH seq AS (
+        SELECT event_id, epoch_us(ts) AS us,
+               MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS wm_base
+        FROM events
+    ),
+    pts(delay_s) AS (VALUES {", ".join(f"({d})" for d in WM_DELAYS_S)})
+    SELECT CAST(pts.delay_s AS BIGINT) AS delay_s,
+           CAST(COUNT(CASE WHEN seq.us < seq.wm_base
+                                 - pts.delay_s * CAST(1000000 AS BIGINT) THEN 1 END)
+                AS BIGINT) AS n_late,
+           ROUND(COUNT(CASE WHEN seq.us < seq.wm_base
+                                 - pts.delay_s * CAST(1000000 AS BIGINT) THEN 1 END)
+                 ::DOUBLE / (SELECT COUNT(*) FROM events), 6)
+               AS late_frac
+    FROM pts CROSS JOIN seq
+    GROUP BY pts.delay_s
+    """,
+    doc=f"X121 watermark tuning sweep: for candidate delays "
+        f"{WM_DELAYS_S} seconds, how many historical events arrived "
+        "later than (running max event time - delay) in ingest order — "
+        "exactly the rows Structured Streaming's watermark would drop. "
+        "One ordered running-max window; each sweep point is a filter; "
+        "exact integer microsecond arithmetic (offsets cancel in the "
+        "difference). The completeness/latency tradeoff sheet behind "
+        "every withWatermark() choice (complements X22's live "
+        "streaming drop path).",
+    tags=("X121", "X22", "X11", "X7"),
+)
+def watermark_lateness_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    ev = _ev(spark, sf_dir).select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding,
+                                               -1)
+    # the ordered running max is one global-order window; at stream
+    # scale this replay runs per ingest partition — here the history
+    # table is the bounded input by definition
+    seq = persist_tracked(ev.withColumn("wm_base", F.max("us").over(w)))
+    total = seq.count()
+    rows = None
+    for d in WM_DELAYS_S:
+        late = (seq.filter(F.col("us")
+                           < F.col("wm_base") - d * 1_000_000)
+                .agg(F.count("*").cast("long").alias("n_late")))
+        row = late.select(F.lit(d).cast("long").alias("delay_s"),
+                          "n_late",
+                          F.round(F.col("n_late").cast("double") / total,
+                                  6).alias("late_frac"))
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -1284,3 +1284,97 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
                  .cast("long").alias("n_exact_dup"),
                  F.sum("has_email").cast("long").alias("n_with_email")))
+
+
+# --------------------------------------------------------------------------
+# X122: corpus drift matrix — pairwise 1-D Wasserstein (earth-mover)
+# distance between per-source document-length distributions, the
+# principled "how different are these two sources" number behind mix
+# rebalancing and drift alarms (PSI's X79 cousin, but a true metric).
+# On a fixed 64-bin grid, EMD = sum_bins |CumA/nA - CumB/nB|; the
+# numerator folds as |cumA*nB - cumB*nA| — exact BIGINT — and the one
+# division happens per PAIR, not per bin. Dense (source x bin) grids
+# are source-cardinality; the pair join is on the bin key.
+# --------------------------------------------------------------------------
+EMD_BIN_W = 16
+EMD_BINS = 64
+
+
+@register(
+    "source_length_emd",
+    f"""
+    WITH d AS (
+        SELECT source,
+               LEAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                     // {EMD_BIN_W}, {EMD_BINS - 1}) AS bin
+        FROM documents
+    ),
+    cnt AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c
+            FROM d GROUP BY source, bin),
+    srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt
+             GROUP BY source),
+    grid AS (
+        SELECT s.source, s.n, g.b AS bin, COALESCE(cnt.c, 0) AS c
+        FROM srcs s
+        CROSS JOIN (SELECT unnest(range(0, {EMD_BINS})) AS b) g
+        LEFT JOIN cnt ON cnt.source = s.source AND cnt.bin = g.b
+    ),
+    cum AS (
+        SELECT source, n, bin,
+               CAST(SUM(c) OVER (PARTITION BY source ORDER BY bin
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cc
+        FROM grid
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.n AS n_a, b.n AS n_b,
+           ROUND(CAST(SUM(ABS(a.cc * b.n - b.cc * a.n)) AS BIGINT)::DOUBLE
+                 / (a.n::DOUBLE * b.n), 6) AS emd_bins
+    FROM cum a JOIN cum b ON a.bin = b.bin AND a.source < b.source
+    GROUP BY a.source, b.source, a.n, b.n
+    """,
+    doc=f"X122 drift matrix: pairwise earth-mover distance (in bin "
+        f"units, {EMD_BINS} x {EMD_BIN_W}-token bins) between every "
+        "two sources' document-length distributions. Cumulative "
+        "histograms live on dense source x bin grids (source-"
+        "cardinality); the |cumA*nB - cumB*nA| numerator folds as "
+        "exact BIGINT so partial-sum order cannot move the metric; "
+        "one division per pair. A true metric (unlike PSI), so "
+        "downstream clustering of sources is well-defined.",
+    tags=("X122", "X79", "X18", "X7"),
+)
+def source_length_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.least(F.expr(f"size(split(trim(lower(text)), '\\\\s+')) "
+                       f"DIV {EMD_BIN_W}"),
+                F.lit(EMD_BINS - 1)).alias("bin"))
+    cnt = d.groupBy("source", "bin").agg(F.count("*").cast("long")
+                                         .alias("c"))
+    srcs = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    bins = spark.range(0, EMD_BINS).select(F.col("id").alias("bin"))
+    grid = (srcs.crossJoin(F.broadcast(bins))
+            .join(cnt, ["source", "bin"], "left")
+            .select("source", "n", "bin",
+                    F.coalesce(F.col("c"), F.lit(0)).alias("c")))
+    w = (Window.partitionBy("source").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = grid.select("source", "n", "bin",
+                      F.sum("c").over(w).cast("long").alias("cc"))
+    a = cum.select(F.col("source").alias("source_a"),
+                   F.col("n").alias("n_a"), "bin",
+                   F.col("cc").alias("cc_a"))
+    b = cum.select(F.col("source").alias("source_b"),
+                   F.col("n").alias("n_b"), "bin",
+                   F.col("cc").alias("cc_b"))
+    return (a.join(b, "bin")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b", "n_a", "n_b")
+            .agg(F.round(
+                F.sum(F.abs(F.col("cc_a") * F.col("n_b")
+                            - F.col("cc_b") * F.col("n_a")))
+                .cast("long").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b")), 6)
+                .alias("emd_bins")))

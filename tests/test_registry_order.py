@@ -72,6 +72,8 @@ NEW_R4: dict[str, str] = {
     "linkage_eval_planted": "X118",
     "rules_wilson_ranked": "X119",
     "fellegi_sunter_bands": "X120",
+    "watermark_lateness_sweep": "X121",
+    "source_length_emd": "X122",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -434,6 +434,36 @@ def test_fellegi_sunter_separates_matches(spark, sf_dir):
     assert top["n_matches"] / top["n_pairs"] > overall
 
 
+def test_watermark_sweep_monotone_in_delay(spark, sf_dir):
+    rows = sorted(_rows("watermark_lateness_sweep", spark, sf_dir),
+                  key=lambda r: r["delay_s"])
+    assert [r["delay_s"] for r in rows] == [60, 300, 900, 3600]
+    lates = [r["n_late"] for r in rows]
+    # longer delay -> weaker watermark -> fewer drops
+    assert lates == sorted(lates, reverse=True)
+    for r in rows:
+        assert 0.0 <= r["late_frac"] <= 1.0
+
+
+def test_emd_is_a_metric_on_sources(spark, sf_dir):
+    rows = _rows("source_length_emd", spark, sf_dir)
+    assert rows
+    d = {}
+    srcs = set()
+    for r in rows:
+        assert r["emd_bins"] >= 0.0
+        d[(r["source_a"], r["source_b"])] = r["emd_bins"]
+        srcs |= {r["source_a"], r["source_b"]}
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2   # full pairwise matrix
+    # triangle inequality on a few triples (EMD is a true metric)
+    import itertools
+    def dist(x, y):
+        return d[(min(x, y), max(x, y))]
+    for a, b, c in itertools.islice(itertools.combinations(sorted(srcs), 3), 50):
+        assert dist(a, c) <= dist(a, b) + dist(b, c) + 1e-6
+
+
 def test_ranking_metrics_bounds_and_recall_consistency(spark, sf_dir):
     from etl_airflow_spotify_spark.queries.similarity import K
     metrics = {r["query_id"]: r

@@ -128,6 +128,8 @@ X_TITLES = {
     "X118": "Entity-resolution evaluation (planted truth)",
     "X119": "Uncertainty-aware ranking (Wilson lower bound)",
     "X120": "Fellegi-Sunter probabilistic linkage",
+    "X121": "Watermark lateness sweep (delay tuning)",
+    "X122": "Corpus drift matrix (1-D Wasserstein)",
 }
 
 
