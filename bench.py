@@ -168,6 +168,8 @@ HEADLINE = [
     "fellegi_sunter_bands",
     "watermark_lateness_sweep",
     "source_length_emd",
+    "kcore_peeling_profile",
+    "shapley_channel_attribution",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

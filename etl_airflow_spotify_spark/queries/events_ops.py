@@ -2113,3 +2113,132 @@ def watermark_lateness_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   6).alias("late_frac"))
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+# --------------------------------------------------------------------------
+# X124: exact Shapley-value channel attribution. The channel universe
+# is 4 marketing touchpoints, so the 2^4 = 16 coalition values are
+# computed EXACTLY (no Monte-Carlo sampling): one corpus-sized pass
+# folds each (user, day) journey to a (touch-bitmask, converted) row
+# (per-user-lifetime masks saturate to all-channels on this corpus,
+# which would make every marginal zero), a 16x map-side
+# fan-out scores every coalition, and the Shapley formula runs over
+# the 16-row table with factorial weights as exact integers
+# (denominator 4! = 24). Coalition value v(S) = the share of touched
+# journeys (mask != 0) that converted AND are reachable using only
+# channels in S — the standard "attributable conversions" value
+# function, with v(empty) = 0 by construction (untouched journeys
+# carry no attribution signal and are excluded). Values snap to the
+# 1e-6 micro-grid (exact integer ratio -> identical double ->
+# identical round), so the weighted Shapley sum is a BIGINT fold and
+# the hash pins every credit value.
+# --------------------------------------------------------------------------
+SHAPLEY_CHANNELS = (("view", 1), ("click", 2), ("signup", 4), ("error", 8))
+
+
+def _shapley_oracle_sql() -> str:
+    bits = " ".join(
+        f"WHEN '{name}' THEN {bit}" for name, bit in SHAPLEY_CHANNELS)
+    chans = ", ".join(f"('{name}', {bit})" for name, bit in SHAPLEY_CHANNELS)
+    return f"""
+    WITH u0 AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(bit_or(CASE event_type {bits} ELSE 0 END) AS BIGINT)
+                   AS mask,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    u AS (SELECT * FROM u0 WHERE mask <> 0),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+    coal AS (
+        SELECT s.s,
+               CAST(ROUND(1000000.0 * COALESCE(SUM(u.conv), 0)
+                          / MAX(tot.n), 0) AS BIGINT) AS v_micro
+        FROM (SELECT range AS s FROM range(0, 16)) s
+        CROSS JOIN tot
+        LEFT JOIN u ON (u.mask | s.s) = s.s
+        GROUP BY s.s
+    ),
+    ch(channel, bit) AS (VALUES {chans}),
+    exposed AS (
+        SELECT ch.channel,
+               CAST(SUM(CASE WHEN (u.mask & ch.bit) > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exposed
+        FROM ch CROSS JOIN u GROUP BY ch.channel
+    ),
+    terms AS (
+        SELECT ch.channel,
+               (CASE ((c0.s >> 0) & 1) + ((c0.s >> 1) & 1)
+                     + ((c0.s >> 2) & 1) + ((c0.s >> 3) & 1)
+                WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+               * (c1.v_micro - c0.v_micro) AS t
+        FROM ch
+        JOIN coal c0 ON (c0.s & ch.bit) = 0
+        JOIN coal c1 ON c1.s = (c0.s | ch.bit)
+    )
+    SELECT t.channel, e.n_exposed,
+           ROUND(SUM(t.t) / 24000000.0, 6) AS shapley
+    FROM terms t JOIN exposed e ON e.channel = t.channel
+    GROUP BY t.channel, e.n_exposed
+    """
+
+
+@register(
+    "shapley_channel_attribution",
+    _shapley_oracle_sql(),
+    doc="X124 exact Shapley-value attribution over the 4-channel touch "
+        "universe: v(S) = share of touched (user, day) journeys that "
+        "converted and whose touch set fits inside coalition S (16 "
+        "coalitions, enumerated exactly; v(empty)=0), per-channel "
+        "credit = the classic "
+        "factorial-weighted marginal sum. One corpus pass builds "
+        "per-journey bitmasks; everything "
+        "after is 16-row arithmetic, so the op is map-reduce-shaped at "
+        "any event volume. Credits satisfy the efficiency axiom "
+        "(sum = v(full) - v(empty)) — law-tested.",
+    tags=("X124", "X71", "X7", "X14"),
+)
+def shapley_channel_attribution(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    u = (ev.groupBy("user_id", F.to_date("ts").alias("d"))
+         .agg(F.expr("cast(bit_or(CASE event_type "
+                     + " ".join(f"WHEN '{n}' THEN {b}"
+                                for n, b in SHAPLEY_CHANNELS)
+                     + " ELSE 0 END) as bigint)").alias("mask"),
+              F.max(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("conv")))
+    u = u.filter(F.col("mask") != 0)
+    masks = spark.range(0, 16).select(F.col("id").alias("s"))
+    # nc per coalition is a 16-row frame; the denominator is the
+    # constant touched-journey count, folded in the same aggregate via
+    # an unconditional counter (one corpus pass, no collect).
+    coal = (u.crossJoin(F.broadcast(masks))
+            .groupBy("s")
+            .agg(F.sum(F.when(F.expr("(mask | s) = s"), F.col("conv"))
+                       .otherwise(0)).cast("long").alias("nc"),
+                 F.count("*").cast("long").alias("n_tot")))
+    coal = coal.withColumn(
+        "v_micro",
+        F.round(1000000.0 * F.col("nc") / F.col("n_tot"), 0).cast("long"))
+    ch = spark.createDataFrame(list(SHAPLEY_CHANNELS), "channel STRING, bit INT")
+    exposed = (ch.crossJoin(u)
+               .groupBy("channel")
+               .agg(F.sum(F.when(F.expr("(mask & bit) > 0"), 1)
+                          .otherwise(0)).cast("long").alias("n_exposed")))
+    c0 = coal.select(F.col("s").alias("s0"),
+                     F.col("v_micro").alias("v0"))
+    c1 = coal.select(F.col("s").alias("s1"),
+                     F.col("v_micro").alias("v1"))
+    popcnt = ("((s0 >> 0) & 1) + ((s0 >> 1) & 1) + "
+              "((s0 >> 2) & 1) + ((s0 >> 3) & 1)")
+    w = F.expr(f"CASE {popcnt} WHEN 0 THEN 6 WHEN 1 THEN 2 "
+               "WHEN 2 THEN 2 ELSE 6 END")
+    terms = (ch.join(c0, F.expr("(s0 & bit) = 0"))
+             .join(c1, F.expr("s1 = (s0 | bit)"))
+             .select("channel", (w * (F.col("v1") - F.col("v0"))).alias("t")))
+    return (terms.groupBy("channel")
+            .agg(F.round(F.sum("t") / F.lit(24000000.0), 6).alias("shapley"))
+            .join(exposed, "channel")
+            .select("channel", "n_exposed", "shapley"))

@@ -419,3 +419,89 @@ def rules_wilson_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("antecedent", "consequent", "sup_ab", "n",
                     "confidence", "wilson_lb",
                     F.col("rn").cast("long").alias("rank")))
+
+
+# --------------------------------------------------------------------------
+# X123: k-core decomposition by iterative peeling — the standard
+# distributed algorithm (each round: one keyed degree aggregate + two
+# semi-joins; never a global structure). Rounds are FIXED (KCORE_ROUNDS)
+# so both engines replay the identical prefix of the peel sequence; the
+# per-round survivor/edge counts ARE the result, so a converged graph
+# simply repeats its fixed point. Peeling is how k-core runs at any
+# scale (GraphX / Galois do the same); round cost is linear in the
+# surviving edge set, and edges localCheckpoint per round so the plan
+# stays constant-depth.
+# --------------------------------------------------------------------------
+KCORE_K = 72
+KCORE_ROUNDS = 8
+
+
+def _kcore_oracle_sql() -> str:
+    # Every e{r}/s{r} is referenced 3x downstream; without MATERIALIZED
+    # DuckDB inlines the chain and the parquet scan count grows ~3^rounds
+    # (observed: "Too many open files" at 8 rounds). Materializing each
+    # round makes the oracle linear, mirroring the Spark localCheckpoint.
+    parts = [f"WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g,"
+             f" l_partkey AS i FROM lineitem),\n"
+             f"e0 AS MATERIALIZED (SELECT DISTINCT a.i AS src, b.i AS dst\n"
+             f"       FROM op a JOIN op b ON a.g = b.g AND a.i <> b.i)"]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT src FROM (SELECT src,"
+            f" COUNT(*) AS d\n"
+            f"         FROM e{r-1} GROUP BY src) WHERE d >= {KCORE_K})")
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r-1} e\n"
+            f"         JOIN s{r} a ON e.src = a.src\n"
+            f"         JOIN s{r} b ON e.dst = b.src)")
+    rows = [f"SELECT {r} AS round,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM s{r}) AS nodes_kept,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS edges_kept"
+            for r in range(1, KCORE_ROUNDS + 1)]
+    return (",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(rows) + "\nORDER BY round")
+
+
+@register(
+    "kcore_peeling_profile",
+    _kcore_oracle_sql(),
+    doc=f"X123 k-core decomposition (k={KCORE_K}, {KCORE_ROUNDS} fixed "
+        "peel rounds) of the part co-purchase graph: each round drops "
+        "nodes with degree < k and the edges touching them, then "
+        "re-counts. Output is the peel profile (survivors + directed "
+        "edges per round) — the dense-subgraph extraction primitive "
+        "behind community cores and spam-cluster mining. One degree "
+        "aggregate + two semi-joins per round, edges localCheckpoint "
+        "per round; integer counts, no floats anywhere.",
+    tags=("X123", "X42", "X7", "X3"),
+)
+def kcore_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey") \
+        .localCheckpoint()
+    summaries = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+        # Survivors are consumed 3x (count + both semi-joins);
+        # checkpointing runs the degree aggregate once per round.
+        surv = (deg.filter(F.col("d") >= KCORE_K).select("src")
+                .localCheckpoint())
+        edges = (edges.join(surv, "src", "left_semi")
+                 .join(surv.select(F.col("src").alias("dst")),
+                       "dst", "left_semi")
+                 .select("src", "dst").localCheckpoint())
+        n_nodes = surv.count()
+        n_edges = edges.count()
+        summaries.append((r, n_nodes, n_edges))
+        # Peeling only removes rows, so an unchanged (nodes, edges)
+        # count pair means the SETS are unchanged — a fixed point.
+        # Every later round repeats it verbatim; emit without running.
+        if len(summaries) >= 2 and summaries[-2][1:] == (n_nodes, n_edges):
+            summaries.extend(
+                (rr, n_nodes, n_edges)
+                for rr in range(r + 1, KCORE_ROUNDS + 1))
+            break
+    return spark.createDataFrame(
+        summaries, "round INT, nodes_kept BIGINT, edges_kept BIGINT") \
+        .select(F.col("round").cast("int").alias("round"),
+                "nodes_kept", "edges_kept")

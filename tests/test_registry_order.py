@@ -74,6 +74,8 @@ NEW_R4: dict[str, str] = {
     "fellegi_sunter_bands": "X120",
     "watermark_lateness_sweep": "X121",
     "source_length_emd": "X122",
+    "kcore_peeling_profile": "X123",
+    "shapley_channel_attribution": "X124",
 }
 DEFERRED |= set(NEW_R4)
 

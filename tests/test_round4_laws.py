@@ -479,3 +479,55 @@ def test_ranking_metrics_bounds_and_recall_consistency(spark, sf_dir):
         # MRR positive iff something relevant was retrieved
         assert (r["reciprocal_rank"] > 0) == (r["n_rel"] > 0)
         assert (r["first_rel_rank"] > 0) == (r["n_rel"] > 0)
+
+
+def test_kcore_profile_monotone_and_fixed_point(spark, sf_dir):
+    """X123: peeling can only shrink the graph; once a round changes
+    nothing the profile must repeat verbatim; and at a fixed point
+    every survivor has directed degree >= k among survivors, so
+    edges_kept >= k * nodes_kept."""
+    from etl_airflow_spotify_spark.queries.graph import (KCORE_K,
+                                                        KCORE_ROUNDS)
+    rows = sorted(_rows("kcore_peeling_profile", spark, sf_dir),
+                  key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == list(range(1, KCORE_ROUNDS + 1))
+    nodes = [r["nodes_kept"] for r in rows]
+    edges = [r["edges_kept"] for r in rows]
+    assert nodes == sorted(nodes, reverse=True)
+    assert edges == sorted(edges, reverse=True)
+    for a, b in zip(rows, rows[1:]):
+        if (a["nodes_kept"], a["edges_kept"]) == \
+                (b["nodes_kept"], b["edges_kept"]):
+            # converged: the tail is the fixed point, repeated
+            assert (b["nodes_kept"], b["edges_kept"]) == \
+                (rows[-1]["nodes_kept"], rows[-1]["edges_kept"])
+    last, prev = rows[-1], rows[-2]
+    if (last["nodes_kept"], last["edges_kept"]) == \
+            (prev["nodes_kept"], prev["edges_kept"]):
+        assert last["edges_kept"] >= KCORE_K * last["nodes_kept"]
+
+
+def test_shapley_credits_satisfy_efficiency(spark, sf_dir):
+    """X124: the Shapley efficiency axiom — credits sum to
+    v(full) - v(empty) = the touched-journey conversion share
+    (each credit is rounded to 1e-6, so tolerance is 4 half-ulps)."""
+    from pyspark.sql import functions as F
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.queries.events_ops import \
+        SHAPLEY_CHANNELS
+    rows = _rows("shapley_channel_attribution", spark, sf_dir)
+    assert {r["channel"] for r in rows} == \
+        {n for n, _ in SHAPLEY_CHANNELS}
+    assert all(r["n_exposed"] > 0 for r in rows)
+    bits = " ".join(f"WHEN '{n}' THEN {b}" for n, b in SHAPLEY_CHANNELS)
+    u = (load_table(spark, sf_dir, "events")
+         .groupBy("user_id", F.to_date("ts").alias("d"))
+         .agg(F.expr(f"bit_or(CASE event_type {bits} ELSE 0 END)")
+              .alias("mask"),
+              F.max(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("conv"))
+         .filter("mask <> 0"))
+    agg = u.agg(F.count("*").alias("n"), F.sum("conv").alias("c")) \
+        .collect()[0]
+    v_full = round(1e6 * agg["c"] / agg["n"]) / 1e6
+    assert abs(sum(r["shapley"] for r in rows) - v_full) <= 4 * 5e-7 + 1e-9

@@ -130,6 +130,8 @@ X_TITLES = {
     "X120": "Fellegi-Sunter probabilistic linkage",
     "X121": "Watermark lateness sweep (delay tuning)",
     "X122": "Corpus drift matrix (1-D Wasserstein)",
+    "X123": "k-core decomposition (iterative peeling)",
+    "X124": "Exact Shapley channel attribution",
 }
 
 
