@@ -170,6 +170,7 @@ HEADLINE = [
     "source_length_emd",
     "kcore_peeling_profile",
     "shapley_channel_attribution",
+    "decision_stump_gini",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -14,5 +14,5 @@ Module map (SURVEY.md §2.B inventory):
 """
 
 from . import (curation, dedup, events_ops, graph, linkage,  # noqa: F401
-               maintenance, multimodal, relational, sampling, scale,
+               maintenance, ml, multimodal, relational, sampling, scale,
                similarity, sketches, spotify, streaming, subqueries, text)

@@ -1,0 +1,171 @@
+"""Distributed classical-ML training/evaluation primitives (SURVEY.md
+§2.B X125+): operators a training-data platform runs ON the corpus to
+fit or score simple models — decision-stump split search, forecast
+backtesting — as opposed to the statistics (X56/X60/X80/X81) and
+calibration (X76/X90) families that evaluate externally-given scores.
+
+Exactness strategy: every model quantity is derived from integer
+counts; the only floating-point steps are single divisions /
+multiplications of those identical integers, which IEEE-754 makes
+bit-identical on both engines (no transcendental, no order-dependent
+float summation). Ordering decisions (argmax over candidate splits)
+therefore agree bit-for-bit between Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..registry import register
+
+# --------------------------------------------------------------------------
+# X125: decision-stump training — exact exhaustive split search.
+# The classic distributed tree-node algorithm (every tree library's
+# inner loop): ONE corpus pass builds per-(feature, value) label
+# histograms, a per-feature prefix-sum window turns them into
+# left/right counts for EVERY candidate threshold at once (never one
+# pass per threshold), and the argmin of weighted Gini impurity picks
+# the split. Minimizing weighted Gini == maximizing
+# score(t) = (posL^2+negL^2)/nL + (posR^2+negR^2)/nR; both engines
+# compute that score with the same IEEE divisions of the same BIGINT
+# counts, so the argmax (and the reported impurity micro-values) are
+# bit-identical — no rounding boundary to straddle. Candidate count is
+# bounded by the feature's distinct-value count (<= 50 qty + 11
+# discount cells here); corpus size only affects the one histogram
+# pass, so the op is map-reduce-shaped at any scale.
+# --------------------------------------------------------------------------
+STUMP_LABEL = "R"  # predict l_returnflag = 'R'
+
+
+def _stump_oracle_sql() -> str:
+    return f"""
+    WITH base AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty,
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc,
+               CASE WHEN l_returnflag = '{STUMP_LABEL}' THEN 1 ELSE 0 END
+                   AS pos
+        FROM lineitem
+    ),
+    long AS (
+        SELECT 'qty' AS feature, qty AS v, pos FROM base
+        UNION ALL
+        SELECT 'disc' AS feature, disc AS v, pos FROM base
+    ),
+    hist AS (
+        SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS p
+        FROM long GROUP BY feature, v
+    ),
+    cum AS (
+        SELECT feature, v,
+               SUM(n) OVER (PARTITION BY feature ORDER BY v) AS n_left,
+               SUM(p) OVER (PARTITION BY feature ORDER BY v) AS pos_left,
+               SUM(n) OVER (PARTITION BY feature) AS n_tot,
+               SUM(p) OVER (PARTITION BY feature) AS pos_tot
+        FROM hist
+    ),
+    cand AS (
+        SELECT feature, v AS split_at,
+               n_left, pos_left,
+               n_tot - n_left AS n_right,
+               pos_tot - pos_left AS pos_right,
+               n_tot, pos_tot,
+               (CAST(pos_left * pos_left
+                     + (n_left - pos_left) * (n_left - pos_left)
+                     AS DOUBLE) / n_left)
+               + (CAST(pos_right * pos_right
+                       + ((n_tot - n_left) - (pos_tot - pos_left))
+                         * ((n_tot - n_left) - (pos_tot - pos_left))
+                       AS DOUBLE) / (n_tot - n_left)) AS score
+        FROM cum WHERE n_left > 0 AND n_tot - n_left > 0
+    ),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY feature
+                                     ORDER BY score DESC, split_at) AS rn
+        FROM cand
+    )
+    SELECT feature, CAST(split_at AS BIGINT) AS split_at,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(pos_left AS BIGINT) AS pos_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(pos_right AS BIGINT) AS pos_right,
+           CAST(ROUND(1000000.0 * (n_tot - score) / n_tot, 0) AS BIGINT)
+               AS gini_micro,
+           CAST(ROUND(1000000.0
+                      * (n_tot
+                         - (CAST(pos_tot * pos_tot
+                                 + (n_tot - pos_tot) * (n_tot - pos_tot)
+                                 AS DOUBLE) / n_tot))
+                      / n_tot, 0) AS BIGINT) AS parent_gini_micro
+    FROM best WHERE rn = 1
+    """
+
+
+@register(
+    "decision_stump_gini",
+    _stump_oracle_sql(),
+    doc="X125 exact decision-stump training: exhaustive best-split "
+        "search predicting l_returnflag='R' from l_quantity and the "
+        "discount percent. One histogram pass per corpus; per-feature "
+        "prefix-sum windows evaluate every candidate threshold from "
+        "the <=61 histogram cells; argmax of the Gini score "
+        "(posL^2+negL^2)/nL + (posR^2+negR^2)/nR — identical IEEE "
+        "divisions of identical BIGINT counts on both engines, so the "
+        "chosen split and the reported weighted/parent Gini "
+        "micro-values are bit-exact. The standard distributed "
+        "tree-node step (histogram then split-scan), never "
+        "one-pass-per-threshold.",
+    tags=("X125", "X7", "X11", "X2"),
+)
+def decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc"),
+        F.when(F.col("l_returnflag") == STUMP_LABEL, 1).otherwise(0)
+        .alias("pos"))
+    long_ = base.selectExpr(
+        "stack(2, 'qty', qty, 'disc', disc) AS (feature, v)", "pos")
+    hist = (long_.groupBy("feature", "v")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("pos").cast("long").alias("p")))
+    w_cum = Window.partitionBy("feature").orderBy("v")
+    w_all = Window.partitionBy("feature")
+    cum = hist.select(
+        "feature", "v",
+        F.sum("n").over(w_cum).alias("n_left"),
+        F.sum("p").over(w_cum).alias("pos_left"),
+        F.sum("n").over(w_all).alias("n_tot"),
+        F.sum("p").over(w_all).alias("pos_tot"))
+    cand = (cum.filter((F.col("n_left") > 0)
+                       & (F.col("n_tot") - F.col("n_left") > 0))
+            .withColumn("n_right", F.col("n_tot") - F.col("n_left"))
+            .withColumn("pos_right", F.col("pos_tot") - F.col("pos_left"))
+            .withColumn(
+                "score",
+                (F.expr("cast(pos_left*pos_left + "
+                        "(n_left-pos_left)*(n_left-pos_left) as double)")
+                 / F.col("n_left"))
+                + (F.expr("cast(pos_right*pos_right + "
+                          "(n_right-pos_right)*(n_right-pos_right) "
+                          "as double)")
+                   / F.col("n_right"))))
+    w_best = Window.partitionBy("feature").orderBy(
+        F.desc("score"), F.asc("v"))
+    return (cand.withColumn("rn", F.row_number().over(w_best))
+            .filter(F.col("rn") == 1)
+            .select(
+                "feature", F.col("v").alias("split_at"),
+                "n_left", "pos_left", "n_right", "pos_right",
+                F.round(1000000.0 * (F.col("n_tot") - F.col("score"))
+                        / F.col("n_tot"), 0).cast("long")
+                .alias("gini_micro"),
+                F.round(1000000.0
+                        * (F.col("n_tot")
+                           - (F.expr("cast(pos_tot*pos_tot + "
+                                     "(n_tot-pos_tot)*(n_tot-pos_tot) "
+                                     "as double)") / F.col("n_tot")))
+                        / F.col("n_tot"), 0).cast("long")
+                .alias("parent_gini_micro")))

@@ -76,6 +76,7 @@ NEW_R4: dict[str, str] = {
     "source_length_emd": "X122",
     "kcore_peeling_profile": "X123",
     "shapley_channel_attribution": "X124",
+    "decision_stump_gini": "X125",
 }
 DEFERRED |= set(NEW_R4)
 

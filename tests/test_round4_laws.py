@@ -531,3 +531,54 @@ def test_shapley_credits_satisfy_efficiency(spark, sf_dir):
         .collect()[0]
     v_full = round(1e6 * agg["c"] / agg["n"]) / 1e6
     assert abs(sum(r["shapley"] for r in rows) - v_full) <= 4 * 5e-7 + 1e-9
+
+
+def test_decision_stump_beats_every_candidate_split(spark, sf_dir):
+    """X125: the returned split per feature must (a) have counts that
+    add to the corpus, (b) reduce impurity vs the parent, and (c) score
+    at least as well as EVERY other candidate threshold, recomputed
+    here from an independent histogram."""
+    from collections import defaultdict
+    from pyspark.sql import functions as F
+    from etl_airflow_spotify_spark.catalog import load_table
+
+    rows = {r["feature"]: r
+            for r in _rows("decision_stump_gini", spark, sf_dir)}
+    assert set(rows) == {"qty", "disc"}
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = (li.select(
+                F.col("l_quantity").cast("long").alias("qty"),
+                F.round(F.col("l_discount") * 100, 0).cast("long")
+                .alias("disc"),
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+                .alias("pos"))
+            .selectExpr("stack(2, 'qty', qty, 'disc', disc) "
+                        "AS (feature, v)", "pos")
+            .groupBy("feature", "v")
+            .agg(F.count("*").alias("n"), F.sum("pos").alias("p"))
+            .collect())
+    by_feat = defaultdict(list)
+    for h in hist:
+        by_feat[h["feature"]].append((h["v"], h["n"], h["p"]))
+    for feat, cells in by_feat.items():
+        cells.sort()
+        n_tot = sum(n for _, n, _ in cells)
+        p_tot = sum(p for _, _, p in cells)
+        best = rows[feat]
+        assert best["n_left"] + best["n_right"] == n_tot
+        assert best["pos_left"] + best["pos_right"] == p_tot
+        assert best["gini_micro"] <= best["parent_gini_micro"]
+
+        def score(nl, pl):
+            nr, pr = n_tot - nl, p_tot - pl
+            return (pl * pl + (nl - pl) * (nl - pl)) / nl \
+                + (pr * pr + (nr - pr) * (nr - pr)) / nr
+
+        best_score = score(best["n_left"], best["pos_left"])
+        nl = pl = 0
+        for v, n, p in cells:
+            nl, pl = nl + n, pl + p
+            if nl == n_tot:
+                continue
+            assert score(nl, pl) <= best_score + 1e-9

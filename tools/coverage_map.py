@@ -132,6 +132,7 @@ X_TITLES = {
     "X122": "Corpus drift matrix (1-D Wasserstein)",
     "X123": "k-core decomposition (iterative peeling)",
     "X124": "Exact Shapley channel attribution",
+    "X125": "Decision-stump training (exact Gini split search)",
 }
 
 
