@@ -171,6 +171,7 @@ HEADLINE = [
     "kcore_peeling_profile",
     "shapley_channel_attribution",
     "decision_stump_gini",
+    "greedy_source_cover",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

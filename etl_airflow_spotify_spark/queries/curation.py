@@ -719,3 +719,113 @@ def sft_example_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(SFT_COMPL_TOKS).cast("long").alias("n_completion_tokens"),
         F.md5(prompt.cast("binary")).alias("prompt_md5"),
         F.md5(completion.cast("binary")).alias("completion_md5"))
+
+
+# --------------------------------------------------------------------------
+# X126: greedy set-cover corpus selection — the submodular
+# coverage-maximization primitive behind "pick the K sources that
+# together cover the most distinct content" (facility-location /
+# coreset selection for training mixes). Greedy is the canonical
+# (1 - 1/e)-approximation and its distributed form is exactly this
+# loop: each round one anti-join (drop already-covered shingles) +
+# one per-source count + a 1-ROW argmax collect (bounded by the
+# source count, never corpus-sized), then fold the winner's shingles
+# into the covered set (localCheckpoint keeps plan depth constant).
+# Round count is fixed (COVER_ROUNDS) and every quantity is a BIGINT
+# count, so the DuckDB oracle replays the identical greedy trace.
+# --------------------------------------------------------------------------
+COVER_ROUNDS = 6
+COVER_K = 3  # shingle width
+
+
+def _setcover_oracle_sql() -> str:
+    k = COVER_K
+    parts = [f"""WITH d AS (
+        SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS ts
+        FROM documents
+    ),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(sg), 1, 15))::BIGINT AS h
+        FROM (SELECT source,
+                     unnest(list_distinct(list_transform(
+                         generate_series(1, GREATEST(len(ts) - {k - 1}, 1)),
+                         i -> array_to_string(
+                             ts[CAST(i AS INTEGER):CAST(i AS INTEGER) + {k - 1}],
+                             ' ')))) AS sg
+              FROM d)
+    ),
+    uni AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS u FROM sh),
+    c0 AS MATERIALIZED (SELECT h FROM sh WHERE 1 = 0),
+    p0 AS (SELECT source FROM sh WHERE 1 = 0)"""]
+    for r in range(1, COVER_ROUNDS + 1):
+        parts.append(f"""b{r} AS MATERIALIZED (
+        SELECT sh.source, CAST(COUNT(*) AS BIGINT) AS gain
+        FROM sh
+        WHERE NOT EXISTS (SELECT 1 FROM c{r-1} c WHERE c.h = sh.h)
+          AND NOT EXISTS (SELECT 1 FROM p{r-1} p WHERE p.source = sh.source)
+        GROUP BY sh.source
+        ORDER BY gain DESC, source LIMIT 1)""")
+        parts.append(f"""c{r} AS MATERIALIZED (
+        SELECT h FROM c{r-1}
+        UNION
+        SELECT sh.h FROM sh JOIN b{r} ON sh.source = b{r}.source)""")
+        parts.append(f"""p{r} AS (
+        SELECT source FROM p{r-1} UNION ALL SELECT source FROM b{r})""")
+    rows = [f"SELECT {r} AS round, b{r}.source, b{r}.gain,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM c{r}) AS covered,"
+            f" (SELECT u FROM uni) AS universe FROM b{r}"
+            for r in range(1, COVER_ROUNDS + 1)]
+    return (",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(rows) + "\nORDER BY round")
+
+
+@register(
+    "greedy_source_cover",
+    _setcover_oracle_sql(),
+    doc=f"X126 greedy set-cover corpus selection: {COVER_ROUNDS} rounds "
+        f"choosing the source whose distinct {COVER_K}-gram shingles "
+        "add the most uncovered content (gain DESC, source ASC "
+        "tie-break). Emits the greedy trace — source, marginal gain, "
+        "cumulative coverage, universe size. Distinct (source, "
+        "shingle-hash) collapses before any join, each round is one "
+        "anti-join + count, and the only collect is the 1-row argmax; "
+        "the covered set localCheckpoints so plan depth stays "
+        "constant.",
+    tags=("X126", "X28", "X16", "X7"),
+)
+def greedy_source_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+    from ..operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sh = persist_tracked(
+        d.select("source",
+                 F.explode(D.token_shingles(ts, COVER_K)).alias("sg"))
+        .select("source",
+                F.conv(F.substring(F.md5("sg"), 1, 15), 16, 10)
+                .cast("long").alias("h"))
+        .distinct())
+    universe = sh.select("h").distinct().count()
+    covered = sh.select("h").filter(F.lit(False)).localCheckpoint()
+    chosen: list[str] = []
+    out: list[tuple[int, str, int, int]] = []
+    for r in range(1, COVER_ROUNDS + 1):
+        gain = (sh.filter(~F.col("source").isin(chosen))
+                .join(covered, "h", "left_anti")
+                .groupBy("source")
+                .agg(F.count("*").cast("long").alias("gain"))
+                .orderBy(F.desc("gain"), F.asc("source"))
+                .limit(1).collect())
+        if not gain:
+            break
+        best = gain[0]
+        chosen.append(best["source"])
+        covered = (covered.unionByName(
+            sh.filter(F.col("source") == best["source"]).select("h"))
+            .distinct().localCheckpoint())
+        out.append((r, best["source"], best["gain"], covered.count()))
+    return spark.createDataFrame(
+        out, "round INT, source STRING, gain BIGINT, covered BIGINT") \
+        .withColumn("universe", F.lit(universe).cast("long"))

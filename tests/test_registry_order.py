@@ -77,6 +77,7 @@ NEW_R4: dict[str, str] = {
     "kcore_peeling_profile": "X123",
     "shapley_channel_attribution": "X124",
     "decision_stump_gini": "X125",
+    "greedy_source_cover": "X126",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -582,3 +582,21 @@ def test_decision_stump_beats_every_candidate_split(spark, sf_dir):
             if nl == n_tot:
                 continue
             assert score(nl, pl) <= best_score + 1e-9
+
+
+def test_greedy_cover_trace_is_submodular(spark, sf_dir):
+    """X126: greedy marginal gains are non-increasing (submodularity of
+    coverage), cumulative coverage is exactly the gain prefix-sum and
+    never exceeds the universe, and no source repeats."""
+    rows = sorted(_rows("greedy_source_cover", spark, sf_dir),
+                  key=lambda r: r["round"])
+    from etl_airflow_spotify_spark.queries.curation import COVER_ROUNDS
+    assert [r["round"] for r in rows] == list(range(1, COVER_ROUNDS + 1))
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    assert len({r["source"] for r in rows}) == len(rows)
+    run = 0
+    for r in rows:
+        run += r["gain"]
+        assert r["covered"] == run
+        assert r["covered"] <= r["universe"]

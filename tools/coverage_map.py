@@ -133,6 +133,7 @@ X_TITLES = {
     "X123": "k-core decomposition (iterative peeling)",
     "X124": "Exact Shapley channel attribution",
     "X125": "Decision-stump training (exact Gini split search)",
+    "X126": "Greedy set-cover corpus selection (submodular)",
 }
 
 
