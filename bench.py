@@ -172,6 +172,7 @@ HEADLINE = [
     "shapley_channel_attribution",
     "decision_stump_gini",
     "greedy_source_cover",
+    "hits_supplier_part",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -505,3 +505,97 @@ def kcore_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         summaries, "round INT, nodes_kept BIGINT, edges_kept BIGINT") \
         .select(F.col("round").cast("int").alias("round"),
                 "nodes_kept", "edges_kept")
+
+
+# --------------------------------------------------------------------------
+# X127: HITS hubs & authorities on the bipartite supplier -> part
+# supply graph — the second classic eigenvector centrality (distinct
+# from PageRank's random surfer: mutual hub/authority reinforcement).
+# Scale-safe integer fixed point: after every half-step, scores are
+# L-infinity-normalized on an integer grid (x * 1000 DIV max_x), so
+# magnitudes stay in [0, 1000] for ANY corpus size and ANY iteration
+# count — no overflow, no float division, and both engines fold the
+# identical BIGINT recurrence (the max is a 1-row aggregate, the
+# integer analog of the normalization every HITS implementation does
+# in floats). Each half-step is one hash join + keyed aggregate over
+# the distinct edge set (persisted once); the only collects are 1-row
+# maxima.
+# --------------------------------------------------------------------------
+HITS_ITERS = 3
+HITS_TOPK = 20
+HITS_SCALE = 1000
+
+
+def _hits_oracle_sql() -> str:
+    s = HITS_SCALE
+    parts = ["""WITH e AS MATERIALIZED (
+        SELECT DISTINCT l_suppkey AS hub, l_partkey AS auth FROM lineitem
+    ),
+    h0 AS (SELECT DISTINCT hub, CAST(1 AS BIGINT) AS h FROM e)"""]
+    prev_h = "h0"
+    for r in range(1, HITS_ITERS + 1):
+        parts.append(f"""a{r}r AS MATERIALIZED (
+        SELECT e.auth, CAST(SUM(p.h) AS BIGINT) AS a
+        FROM e JOIN {prev_h} p ON p.hub = e.hub GROUP BY e.auth)""")
+        parts.append(f"""a{r} AS MATERIALIZED (
+        SELECT auth, a * {s} // (SELECT MAX(a) FROM a{r}r) AS a FROM a{r}r)""")
+        parts.append(f"""h{r}r AS MATERIALIZED (
+        SELECT e.hub, CAST(SUM(q.a) AS BIGINT) AS h
+        FROM e JOIN a{r} q ON q.auth = e.auth GROUP BY e.hub)""")
+        parts.append(f"""h{r} AS MATERIALIZED (
+        SELECT hub, h * {s} // (SELECT MAX(h) FROM h{r}r) AS h FROM h{r}r)""")
+        prev_h = f"h{r}"
+    last = HITS_ITERS
+    return (",\n".join(parts) + f"""
+    SELECT * FROM (
+        SELECT 'authority' AS kind, auth AS node, a AS score
+        FROM a{last} ORDER BY a DESC, auth LIMIT {HITS_TOPK})
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'hub' AS kind, hub AS node, h AS score
+        FROM h{last} ORDER BY h DESC, hub LIMIT {HITS_TOPK})
+    ORDER BY kind, score DESC, node""")
+
+
+@register(
+    "hits_supplier_part",
+    _hits_oracle_sql(),
+    doc=f"X127 HITS ({HITS_ITERS} iterations) on the distinct "
+        "supplier->part supply graph: authority(part) = sum of its "
+        "suppliers' hub scores, hub(supplier) = sum of its parts' "
+        "authority scores, each half-step L-inf-normalized on the "
+        f"integer grid (x * {HITS_SCALE} DIV max). Top-{HITS_TOPK} "
+        "hubs and authorities. Edges persist once; every step is one "
+        "shuffle join + aggregate; integer normalization bounds "
+        "magnitudes at any scale so the recurrence never overflows "
+        "and the oracle hash pins every score.",
+    tags=("X127", "X42", "X3", "X7", "X12"),
+)
+def hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = persist_tracked(
+        li.select(F.col("l_suppkey").alias("hub"),
+                  F.col("l_partkey").alias("auth")).distinct())
+    h = e.select("hub").distinct().withColumn("h", F.lit(1).cast("long"))
+    a = None
+    for _ in range(HITS_ITERS):
+        ar = (e.join(h, "hub")
+              .groupBy("auth").agg(F.sum("h").cast("long").alias("a")))
+        max_a = ar.agg(F.max("a")).collect()[0][0]
+        a = ar.select("auth", F.expr(f"a * {HITS_SCALE} div {max_a}")
+                      .alias("a")).localCheckpoint()
+        hr = (e.join(a, "auth")
+              .groupBy("hub").agg(F.sum("a").cast("long").alias("h")))
+        max_h = hr.agg(F.max("h")).collect()[0][0]
+        h = hr.select("hub", F.expr(f"h * {HITS_SCALE} div {max_h}")
+                      .alias("h")).localCheckpoint()
+    top_a = (a.select(F.lit("authority").alias("kind"),
+                      F.col("auth").alias("node"), F.col("a").alias("score"))
+             .orderBy(F.desc("score"), F.asc("node")).limit(HITS_TOPK))
+    top_h = (h.select(F.lit("hub").alias("kind"),
+                      F.col("hub").alias("node"), F.col("h").alias("score"))
+             .orderBy(F.desc("score"), F.asc("node")).limit(HITS_TOPK))
+    return (top_a.unionByName(top_h)
+            .orderBy("kind", F.desc("score"), F.asc("node")))

@@ -78,6 +78,7 @@ NEW_R4: dict[str, str] = {
     "shapley_channel_attribution": "X124",
     "decision_stump_gini": "X125",
     "greedy_source_cover": "X126",
+    "hits_supplier_part": "X127",
 }
 DEFERRED |= set(NEW_R4)
 

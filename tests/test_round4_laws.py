@@ -600,3 +600,28 @@ def test_greedy_cover_trace_is_submodular(spark, sf_dir):
         run += r["gain"]
         assert r["covered"] == run
         assert r["covered"] <= r["universe"]
+
+
+def test_hits_scores_normalized_and_typed(spark, sf_dir):
+    """X127: integer L-inf normalization bounds every score in
+    [0, HITS_SCALE] with the max attained for each kind; hubs are
+    supplier keys, authorities are part keys; top lists are sorted
+    and deduplicated."""
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.queries.graph import (HITS_SCALE,
+                                                         HITS_TOPK)
+    rows = _rows("hits_supplier_part", spark, sf_dir)
+    by_kind = {"hub": [], "authority": []}
+    for r in rows:
+        by_kind[r["kind"]].append(r)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = {r[0] for r in li.select("l_suppkey").distinct().collect()}
+    part = {r[0] for r in li.select("l_partkey").distinct().collect()}
+    for kind, rs in by_kind.items():
+        assert 0 < len(rs) <= HITS_TOPK
+        scores = [r["score"] for r in rs]
+        assert max(scores) == HITS_SCALE
+        assert all(0 <= s <= HITS_SCALE for s in scores)
+        nodes = [r["node"] for r in rs]
+        assert len(set(nodes)) == len(nodes)
+        assert set(nodes) <= (supp if kind == "hub" else part)

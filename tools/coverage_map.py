@@ -134,6 +134,7 @@ X_TITLES = {
     "X124": "Exact Shapley channel attribution",
     "X125": "Decision-stump training (exact Gini split search)",
     "X126": "Greedy set-cover corpus selection (submodular)",
+    "X127": "HITS hubs/authorities (integer-normalized fixed point)",
 }
 
 
