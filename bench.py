@@ -173,6 +173,7 @@ HEADLINE = [
     "decision_stump_gini",
     "greedy_source_cover",
     "hits_supplier_part",
+    "pattern_funnel_negation",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -2242,3 +2242,100 @@ def shapley_channel_attribution(spark: SparkSession,
             .agg(F.round(F.sum("t") / F.lit(24000000.0), 6).alias("shapley"))
             .join(exposed, "channel")
             .select("channel", "n_exposed", "shapley"))
+
+
+# --------------------------------------------------------------------------
+# X128: sequence-pattern matching with NEGATION — the MATCH_RECOGNIZE /
+# complex-event-processing shape Spark lacks natively: per (user, day)
+# journey, does a purchase complete a view -> click -> purchase chain
+# with NO error event between the click and the purchase? Expressed
+# with running-state window functions (never a self-join): one pass
+# carries last-view / last-qualified-click / last-error timestamps
+# over ROWS UNBOUNDED PRECEDING .. 1 PRECEDING frames; a purchase
+# matches iff a view-backed click exists and the most recent error
+# precedes it (choosing the LATEST qualified click implements the
+# standard greedy skip-till-next-match semantics: a match survives iff
+# ANY qualifying click has no later error). Window state is O(1) per
+# row, partitions are (user, day) — embarrassingly parallel at any
+# event volume.
+# --------------------------------------------------------------------------
+@register(
+    "pattern_funnel_negation",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, ts, event_type, CAST(ts AS DATE) AS d
+        FROM events
+    ),
+    s1 AS (
+        SELECT *,
+               MAX(CASE WHEN event_type = 'view' THEN ts END) OVER w
+                   AS last_view,
+               MAX(CASE WHEN event_type = 'error' THEN ts END) OVER w
+                   AS last_error
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id, d ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    s2 AS (
+        SELECT *,
+               MAX(CASE WHEN event_type = 'click' AND last_view IS NOT NULL
+                        THEN ts END) OVER w AS last_qual_click
+        FROM s1
+        WINDOW w AS (PARTITION BY user_id, d ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    p AS (
+        SELECT d, user_id,
+               CASE WHEN last_qual_click IS NOT NULL
+                         AND (last_error IS NULL
+                              OR last_error < last_qual_click)
+                    THEN 1 ELSE 0 END AS matched
+        FROM s2 WHERE event_type = 'purchase'
+    )
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(matched) AS BIGINT) AS n_matched,
+           CAST(COUNT(DISTINCT CASE WHEN matched = 1 THEN user_id END)
+                AS BIGINT) AS n_users_matched
+    FROM p GROUP BY d
+    """,
+    doc="X128 CEP pattern with negation (MATCH_RECOGNIZE emulation): "
+        "per (user, day), purchases completing view -> click -> "
+        "purchase with no error between the click and the purchase, "
+        "via running-state windows (last-view / last-qualified-click / "
+        "last-error over preceding-rows frames) — one sort per "
+        "partition, zero self-joins, O(1) state per row. Daily "
+        "purchase/match/user counts.",
+    tags=("X128", "X11", "X10", "X8"),
+)
+def pattern_funnel_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type",
+        F.to_date("ts").alias("d"))
+    w = (Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    s1 = ev.select(
+        "*",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        .alias("last_view"),
+        F.max(F.when(F.col("event_type") == "error", F.col("ts"))).over(w)
+        .alias("last_error"))
+    s2 = s1.select(
+        "*",
+        F.max(F.when((F.col("event_type") == "click")
+                     & F.col("last_view").isNotNull(), F.col("ts")))
+        .over(w).alias("last_qual_click"))
+    p = (s2.filter(F.col("event_type") == "purchase")
+         .select("d", "user_id",
+                 F.when(F.col("last_qual_click").isNotNull()
+                        & (F.col("last_error").isNull()
+                           | (F.col("last_error")
+                              < F.col("last_qual_click"))), 1)
+                 .otherwise(0).alias("matched")))
+    return (p.groupBy("d")
+            .agg(F.count("*").cast("long").alias("n_purchases"),
+                 F.sum("matched").cast("long").alias("n_matched"),
+                 F.countDistinct(
+                     F.when(F.col("matched") == 1, F.col("user_id")))
+                 .cast("long").alias("n_users_matched")))

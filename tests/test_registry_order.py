@@ -79,6 +79,7 @@ NEW_R4: dict[str, str] = {
     "decision_stump_gini": "X125",
     "greedy_source_cover": "X126",
     "hits_supplier_part": "X127",
+    "pattern_funnel_negation": "X128",
 }
 DEFERRED |= set(NEW_R4)
 

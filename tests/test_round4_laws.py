@@ -625,3 +625,48 @@ def test_hits_scores_normalized_and_typed(spark, sf_dir):
         nodes = [r["node"] for r in rs]
         assert len(set(nodes)) == len(nodes)
         assert set(nodes) <= (supp if kind == "hub" else part)
+
+
+def test_pattern_negation_matches_bruteforce_simulation(spark, sf_dir):
+    """X128: the window-function plan must agree exactly with a
+    per-journey brute-force simulation of the pattern semantics
+    (exists click c with a view before c and no error in (c, p))."""
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.queries.events_ops import _ev
+
+    evs = (_ev(spark, sf_dir)
+           .selectExpr("user_id", "event_id", "ts", "event_type",
+                       "cast(ts as date) AS d").collect())
+    journeys = defaultdict(list)
+    for e in evs:
+        journeys[(e["user_id"], e["d"])].append(e)
+    exp = defaultdict(lambda: [0, 0, set()])
+    for (uid, d), rows in journeys.items():
+        rows.sort(key=lambda e: (e["ts"], e["event_id"]))
+        for i, e in enumerate(rows):
+            if e["event_type"] != "purchase":
+                continue
+            exp[d][0] += 1
+            ok = False
+            for j in range(i):
+                if rows[j]["event_type"] != "click":
+                    continue
+                if not any(rows[v]["event_type"] == "view"
+                           for v in range(j)):
+                    continue
+                if any(rows[k]["event_type"] == "error"
+                       and rows[j]["ts"] < rows[k]["ts"]
+                       for k in range(j + 1, i)):
+                    continue
+                ok = True
+                break
+            if ok:
+                exp[d][1] += 1
+                exp[d][2].add(uid)
+    got = {r["d"]: r for r in _rows("pattern_funnel_negation",
+                                    spark, sf_dir)}
+    assert set(got) == set(exp)
+    for d, (n_p, n_m, users) in exp.items():
+        assert got[d]["n_purchases"] == n_p
+        assert got[d]["n_matched"] == n_m
+        assert got[d]["n_users_matched"] == len(users)

@@ -135,6 +135,7 @@ X_TITLES = {
     "X125": "Decision-stump training (exact Gini split search)",
     "X126": "Greedy set-cover corpus selection (submodular)",
     "X127": "HITS hubs/authorities (integer-normalized fixed point)",
+    "X128": "CEP pattern matching w/ negation (MATCH_RECOGNIZE)",
 }
 
 
