@@ -174,6 +174,7 @@ HEADLINE = [
     "greedy_source_cover",
     "hits_supplier_part",
     "pattern_funnel_negation",
+    "ks_drift_matrix",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -80,6 +80,7 @@ NEW_R4: dict[str, str] = {
     "greedy_source_cover": "X126",
     "hits_supplier_part": "X127",
     "pattern_funnel_negation": "X128",
+    "ks_drift_matrix": "X129",
 }
 DEFERRED |= set(NEW_R4)
 

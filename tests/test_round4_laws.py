@@ -670,3 +670,38 @@ def test_pattern_negation_matches_bruteforce_simulation(spark, sf_dir):
         assert got[d]["n_purchases"] == n_p
         assert got[d]["n_matched"] == n_m
         assert got[d]["n_users_matched"] == len(users)
+
+
+def test_ks_matrix_is_a_metric_and_matches_bruteforce(spark, sf_dir):
+    """X129: KS as integers must equal a brute-force CDF sup computed
+    in Python from the raw values, and the rescaled distances must
+    satisfy the triangle inequality (KS is a true metric)."""
+    from collections import Counter, defaultdict
+    from etl_airflow_spotify_spark.queries.events_ops import _ev
+
+    vals = defaultdict(list)
+    for r in (_ev(spark, sf_dir).filter("value IS NOT NULL")
+              .select("event_type", "value").collect()):
+        vals[r["event_type"]].append(r["value"])
+    rows = _rows("ks_drift_matrix", spark, sf_dir)
+    d = {}
+    for r in rows:
+        a, b = r["type_a"], r["type_b"]
+        assert len(vals[a]) == r["n_a"] and len(vals[b]) == r["n_b"]
+        ca, cb = Counter(vals[a]), Counter(vals[b])
+        grid = sorted(set(ca) | set(cb))
+        cum_a = cum_b = 0
+        sup = 0
+        for v in grid:
+            cum_a += ca.get(v, 0)
+            cum_b += cb.get(v, 0)
+            sup = max(sup, abs(cum_a * r["n_b"] - cum_b * r["n_a"]))
+        assert sup == r["ks_num"]
+        d[(a, b)] = d[(b, a)] = r["ks_num"] / (r["n_a"] * r["n_b"])
+    types = sorted(vals)
+    assert len(rows) == len(types) * (len(types) - 1) // 2
+    for x in types:
+        for y in types:
+            for z in types:
+                if len({x, y, z}) == 3:
+                    assert d[(x, z)] <= d[(x, y)] + d[(y, z)] + 1e-12

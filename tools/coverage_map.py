@@ -136,6 +136,7 @@ X_TITLES = {
     "X126": "Greedy set-cover corpus selection (submodular)",
     "X127": "HITS hubs/authorities (integer-normalized fixed point)",
     "X128": "CEP pattern matching w/ negation (MATCH_RECOGNIZE)",
+    "X129": "Two-sample KS drift matrix (exact sup-norm)",
 }
 
 
