@@ -175,6 +175,7 @@ HEADLINE = [
     "hits_supplier_part",
     "pattern_funnel_negation",
     "ks_drift_matrix",
+    "forecast_backtest_naive",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

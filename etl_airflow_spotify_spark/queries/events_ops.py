@@ -2432,3 +2432,69 @@ def ks_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("ks_num"))
             .withColumn("ks", F.round(F.col("ks_num").cast("double")
                                       / (F.col("n_a") * F.col("n_b")), 6)))
+
+
+# --------------------------------------------------------------------------
+# X130: forecast backtesting — the model-evaluation loop every
+# capacity/demand pipeline runs: roll a forecaster over history and
+# score absolute errors on the days it could have predicted. Two
+# classical baselines: naive-1 (yesterday's count) and
+# seasonal-naive-7 (same weekday last week), the standard yardsticks
+# MASE is defined against. Counts are integers, forecasts are joins
+# on date arithmetic (never row-lag, so missing days can't silently
+# shift the season), errors fold as BIGINTs; the only division is the
+# final MAE. Per-(event_type, model) scores.
+# --------------------------------------------------------------------------
+@register(
+    "forecast_backtest_naive",
+    """
+    WITH daily AS (
+        SELECT event_type AS t, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT m.model, a.t,
+               CAST(ABS(a.c - f.c) AS BIGINT) AS abs_err
+        FROM (SELECT 'naive1' AS model, 1 AS lag_days
+              UNION ALL SELECT 'snaive7', 7) m
+        JOIN daily a ON TRUE
+        JOIN daily f ON f.t = a.t AND f.d = a.d - m.lag_days
+    )
+    SELECT model, t AS event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(abs_err) AS BIGINT) AS total_abs_err,
+           ROUND(CAST(SUM(abs_err) AS DOUBLE) / COUNT(*), 6) AS mae
+    FROM scored GROUP BY model, t
+    """,
+    doc="X130 forecast backtest: naive-1 and seasonal-naive-7 "
+        "forecasters rolled over the daily per-type event counts, "
+        "scored by MAE on every day with an available forecast. "
+        "Forecast = equi-join of the daily-count table to itself on "
+        "date arithmetic (gap-safe, unlike LAG over rows); daily "
+        "aggregation is the one corpus pass, everything after runs on "
+        "the day-cardinality table. The \"is your fancy model beating "
+        "last-week-same-day\" number every forecasting system needs.",
+    tags=("X130", "X82", "X49", "X7", "X3"),
+)
+def forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.col("event_type").alias("t"),
+                        F.to_date("ts").alias("d"))
+             .agg(F.count("*").cast("long").alias("c")))
+    models = spark.createDataFrame(
+        [("naive1", 1), ("snaive7", 7)], "model STRING, lag_days INT")
+    actual = daily.select("t", "d", F.col("c").alias("c_act"))
+    fcst = daily.select(F.col("t").alias("tf"), F.col("d").alias("df"),
+                        F.col("c").alias("c_fc"))
+    scored = (F.broadcast(models).crossJoin(actual)
+              .join(fcst, (F.col("tf") == F.col("t"))
+                    & (F.col("df")
+                       == F.date_sub(F.col("d"), F.col("lag_days"))))
+              .select("model", "t",
+                      F.abs(F.col("c_act") - F.col("c_fc")).cast("long")
+                      .alias("abs_err")))
+    return (scored.groupBy("model", F.col("t").alias("event_type"))
+            .agg(F.count("*").cast("long").alias("n_days"),
+                 F.sum("abs_err").cast("long").alias("total_abs_err"))
+            .withColumn("mae", F.round(F.col("total_abs_err").cast("double")
+                                       / F.col("n_days"), 6)))

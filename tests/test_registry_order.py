@@ -81,6 +81,7 @@ NEW_R4: dict[str, str] = {
     "hits_supplier_part": "X127",
     "pattern_funnel_negation": "X128",
     "ks_drift_matrix": "X129",
+    "forecast_backtest_naive": "X130",
 }
 DEFERRED |= set(NEW_R4)
 

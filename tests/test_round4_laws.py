@@ -705,3 +705,22 @@ def test_ks_matrix_is_a_metric_and_matches_bruteforce(spark, sf_dir):
             for z in types:
                 if len({x, y, z}) == 3:
                     assert d[(x, z)] <= d[(x, y)] + d[(y, z)] + 1e-12
+
+
+def test_forecast_backtest_eval_windows_and_errors(spark, sf_dir):
+    """X130: each model's eval-day count equals (days with a forecast
+    source); snaive7 evaluates exactly 6 fewer days per type than
+    naive1 on a gap-free month; mae * n == total_abs_err (exact
+    integer check after unscaling the 6-dp round)."""
+    rows = _rows("forecast_backtest_naive", spark, sf_dir)
+    by = {(r["model"], r["event_type"]): r for r in rows}
+    types = {r["event_type"] for r in rows}
+    assert len(rows) == 2 * len(types)
+    for t in types:
+        n1 = by[("naive1", t)]["n_days"]
+        n7 = by[("snaive7", t)]["n_days"]
+        assert n1 - n7 == 6
+    for r in rows:
+        assert r["total_abs_err"] >= 0
+        assert abs(r["mae"] * r["n_days"] - r["total_abs_err"]) \
+            <= r["n_days"] * 5e-7 + 1e-9

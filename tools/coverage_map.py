@@ -137,6 +137,7 @@ X_TITLES = {
     "X127": "HITS hubs/authorities (integer-normalized fixed point)",
     "X128": "CEP pattern matching w/ negation (MATCH_RECOGNIZE)",
     "X129": "Two-sample KS drift matrix (exact sup-norm)",
+    "X130": "Forecast backtesting (naive / seasonal-naive MAE)",
 }
 
 
