@@ -176,6 +176,7 @@ HEADLINE = [
     "pattern_funnel_negation",
     "ks_drift_matrix",
     "forecast_backtest_naive",
+    "allen_interval_profile",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

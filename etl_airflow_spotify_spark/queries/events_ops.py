@@ -2498,3 +2498,82 @@ def forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("abs_err").cast("long").alias("total_abs_err"))
             .withColumn("mae", F.round(F.col("total_abs_err").cast("double")
                                        / F.col("n_days"), 6)))
+
+
+# --------------------------------------------------------------------------
+# X131: Allen interval-algebra relation profile — classify every pair
+# of a customer's order fulfilment intervals [first ship, last ship]
+# into the 7 canonical forward relations (before / meets / overlaps /
+# finished_by / contains / starts / equals; converses collapse by
+# ordering each pair canonically on (start, end, orderkey)). The
+# temporal-reasoning primitive behind overlap audits and process
+# mining. Pair generation is an equi-join on the customer key, so
+# fan-out is bounded by per-customer order count (never global
+# O(n^2)); the case ladder is exhaustive, so relation counts
+# partition the pair set exactly (law-tested).
+# --------------------------------------------------------------------------
+_ALLEN_CASE = """CASE
+    WHEN a_e < b_s THEN 'before'
+    WHEN a_s < b_s AND a_e = b_s THEN 'meets'
+    WHEN a_s < b_s AND a_e > b_s AND a_e < b_e THEN 'overlaps'
+    WHEN a_s < b_s AND a_e = b_e THEN 'finished_by'
+    WHEN a_s < b_s AND a_e > b_e THEN 'contains'
+    WHEN a_s = b_s AND a_e < b_e THEN 'starts'
+    ELSE 'equals' END"""
+
+
+@register(
+    "allen_interval_profile",
+    f"""
+    WITH iv AS (
+        SELECT o.o_custkey AS ck, l.l_orderkey AS k,
+               MIN(l.l_shipdate) AS s, MAX(l.l_shipdate) AS e
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.s AS a_s, a.e AS a_e, b.s AS b_s, b.e AS b_e
+        FROM iv a JOIN iv b
+          ON a.ck = b.ck
+         AND (a.s < b.s OR (a.s = b.s AND a.e < b.e)
+              OR (a.s = b.s AND a.e = b.e AND a.k < b.k))
+    ),
+    rel AS (SELECT {_ALLEN_CASE} AS relation FROM pairs),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rel)
+    SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(tot.n), 6) AS share
+    FROM rel CROSS JOIN tot
+    GROUP BY relation
+    """,
+    doc="X131 Allen interval-algebra profile: every same-customer pair "
+        "of order fulfilment intervals [min ship, max ship], "
+        "canonically ordered on (start, end, key) and classified into "
+        "the 7 forward Allen relations by an exhaustive case ladder. "
+        "Counts + shares per relation. Pair fan-out rides the "
+        "customer equi-join (per-key bounded); one aggregate after.",
+    tags=("X131", "X5", "X46", "X7", "X3"),
+)
+def allen_interval_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    iv = (li.join(orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                                "o_custkey"), "l_orderkey")
+          .groupBy(F.col("o_custkey").alias("ck"),
+                   F.col("l_orderkey").alias("k"))
+          .agg(F.min("l_shipdate").alias("s"),
+               F.max("l_shipdate").alias("e")))
+    a = iv.select(F.col("ck"), F.col("k").alias("a_k"),
+                  F.col("s").alias("a_s"), F.col("e").alias("a_e"))
+    b = iv.select(F.col("ck"), F.col("k").alias("b_k"),
+                  F.col("s").alias("b_s"), F.col("e").alias("b_e"))
+    pairs = a.join(b, "ck").filter(
+        (F.col("a_s") < F.col("b_s"))
+        | ((F.col("a_s") == F.col("b_s")) & (F.col("a_e") < F.col("b_e")))
+        | ((F.col("a_s") == F.col("b_s")) & (F.col("a_e") == F.col("b_e"))
+           & (F.col("a_k") < F.col("b_k"))))
+    rel = pairs.select(F.expr(_ALLEN_CASE).alias("relation"))
+    tot = rel.count()
+    return (rel.groupBy("relation")
+            .agg(F.count("*").cast("long").alias("n_pairs"))
+            .withColumn("share",
+                        F.round(F.col("n_pairs").cast("double") / tot, 6)))

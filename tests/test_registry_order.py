@@ -82,6 +82,7 @@ NEW_R4: dict[str, str] = {
     "pattern_funnel_negation": "X128",
     "ks_drift_matrix": "X129",
     "forecast_backtest_naive": "X130",
+    "allen_interval_profile": "X131",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -724,3 +724,28 @@ def test_forecast_backtest_eval_windows_and_errors(spark, sf_dir):
         assert r["total_abs_err"] >= 0
         assert abs(r["mae"] * r["n_days"] - r["total_abs_err"]) \
             <= r["n_days"] * 5e-7 + 1e-9
+
+
+def test_allen_relations_partition_the_pair_set(spark, sf_dir):
+    """X131: relation counts must sum to sum_c C(n_c, 2) over
+    per-customer interval counts (the case ladder is exhaustive and
+    each unordered pair is classified exactly once), shares to 1."""
+    from pyspark.sql import functions as F
+    from etl_airflow_spotify_spark.catalog import load_table
+
+    rows = _rows("allen_interval_profile", spark, sf_dir)
+    allowed = {"before", "meets", "overlaps", "finished_by", "contains",
+               "starts", "equals"}
+    assert {r["relation"] for r in rows} <= allowed
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    per_ck = (li.join(orders.select(
+                  F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
+                  "l_orderkey")
+              .select("o_custkey", "l_orderkey").distinct()
+              .groupBy("o_custkey").count().collect())
+    expected_pairs = sum(r["count"] * (r["count"] - 1) // 2
+                         for r in per_ck)
+    assert sum(r["n_pairs"] for r in rows) == expected_pairs
+    assert abs(sum(r["share"] for r in rows) - 1.0) \
+        <= len(rows) * 5e-7 + 1e-9

@@ -138,6 +138,7 @@ X_TITLES = {
     "X128": "CEP pattern matching w/ negation (MATCH_RECOGNIZE)",
     "X129": "Two-sample KS drift matrix (exact sup-norm)",
     "X130": "Forecast backtesting (naive / seasonal-naive MAE)",
+    "X131": "Allen interval-algebra relation profile",
 }
 
 
