@@ -177,6 +177,7 @@ HEADLINE = [
     "ks_drift_matrix",
     "forecast_backtest_naive",
     "allen_interval_profile",
+    "consistent_hash_rebalance",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

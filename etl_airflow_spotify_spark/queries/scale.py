@@ -314,3 +314,95 @@ def dpp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_partitioned_orders(spark, sf_dir)
     return dpp_probe(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# X132: consistent-hash shard rebalance audit — the data-placement
+# primitive behind shard/partition topology changes: how much data
+# actually moves when the ring grows from N to N+1 shards? Ring
+# tokens are md5-derived CONSTANTS of the shard config (computed once
+# in Python, inlined into both engines — nothing data-dependent), so
+# per-document assignment is a pure scalar expression over a sorted
+# token array: first token >= h, wrapping to the global minimum. No
+# join, no fan-out — a map-only pass at any corpus size. The defining
+# consistent-hashing guarantee (documents only ever move TO the new
+# shard) is law-tested; the audit reports per-shard occupancy before/
+# after and the moved-in volume.
+# --------------------------------------------------------------------------
+RING_SHARDS = 8
+RING_VNODES = 24  # virtual nodes per shard
+
+
+def _ring_tokens(n_shards: int) -> list[tuple[int, int]]:
+    """Sorted (token, shard) pairs; token = first 15 md5 hex digits of
+    'shard:<s>#<v>' as a 60-bit integer (the house hash idiom)."""
+    import hashlib
+
+    toks = []
+    for s in range(n_shards):
+        for v in range(RING_VNODES):
+            h = hashlib.md5(f"shard:{s}#{v}".encode()).hexdigest()
+            toks.append((int(h[:15], 16), s))
+    toks.sort()
+    return toks
+
+
+def _ring_case(n_shards: int, h_expr: str) -> str:
+    """Portable SQL picking the owner shard of hash ``h_expr``: the
+    shard of the first ring token >= h, else the first token's shard
+    (wrap). Emitted as a nested CASE over the sorted constant ring —
+    pure scalar logic, identical text on both engines."""
+    toks = _ring_tokens(n_shards)
+    branches = " ".join(
+        f"WHEN {h_expr} <= {t} THEN {s}" for t, s in toks)
+    return f"(CASE {branches} ELSE {toks[0][1]} END)"
+
+
+def _rebalance_oracle_sql() -> str:
+    a = _ring_case(RING_SHARDS, "h")
+    b = _ring_case(RING_SHARDS + 1, "h")
+    return f"""
+    WITH d AS (
+        SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM documents
+    ),
+    asg AS (SELECT {a} AS shard_before, {b} AS shard_after FROM d)
+    SELECT shard_after AS shard,
+           CAST(SUM(CASE WHEN shard_before = shard_after THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stayed,
+           CAST(SUM(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved_in,
+           CAST(COUNT(*) AS BIGINT) AS n_after
+    FROM asg GROUP BY shard_after
+    """
+
+
+@register(
+    "consistent_hash_rebalance",
+    _rebalance_oracle_sql(),
+    doc=f"X132 consistent-hash rebalance audit: documents placed on an "
+        f"md5 token ring ({RING_SHARDS} shards x {RING_VNODES} vnodes), "
+        f"then the ring grows to {RING_SHARDS + 1} shards and the audit "
+        "reports per-shard stayed/moved-in/after occupancy. Ring "
+        "tokens are config constants inlined into both engines; "
+        "assignment is a scalar CASE over the sorted ring — map-only, "
+        "no join, no shuffle beyond the final per-shard count. "
+        "Law-tested: documents only move TO the new shard.",
+    tags=("X132", "X28", "X14", "X7"),
+)
+def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long").alias("h"))
+    asg = d.select(
+        F.expr(_ring_case(RING_SHARDS, "h")).alias("shard_before"),
+        F.expr(_ring_case(RING_SHARDS + 1, "h")).alias("shard_after"))
+    return (asg.groupBy(F.col("shard_after").alias("shard"))
+            .agg(F.sum(F.when(F.col("shard_before") == F.col("shard_after"),
+                              1).otherwise(0)).cast("long")
+                 .alias("n_stayed"),
+                 F.sum(F.when(F.col("shard_before") != F.col("shard_after"),
+                              1).otherwise(0)).cast("long")
+                 .alias("n_moved_in"),
+                 F.count("*").cast("long").alias("n_after")))

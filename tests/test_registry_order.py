@@ -83,6 +83,7 @@ NEW_R4: dict[str, str] = {
     "ks_drift_matrix": "X129",
     "forecast_backtest_naive": "X130",
     "allen_interval_profile": "X131",
+    "consistent_hash_rebalance": "X132",
 }
 DEFERRED |= set(NEW_R4)
 

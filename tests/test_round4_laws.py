@@ -749,3 +749,22 @@ def test_allen_relations_partition_the_pair_set(spark, sf_dir):
     assert sum(r["n_pairs"] for r in rows) == expected_pairs
     assert abs(sum(r["share"] for r in rows) - 1.0) \
         <= len(rows) * 5e-7 + 1e-9
+
+
+def test_consistent_hashing_only_moves_to_the_new_shard(spark, sf_dir):
+    """X132: the defining consistent-hashing property — growing the
+    ring N -> N+1 moves documents ONLY onto the new shard; occupancy
+    identities hold; totals cover the corpus."""
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.queries.scale import RING_SHARDS
+
+    rows = _rows("consistent_hash_rebalance", spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_after"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_stayed"] + r["n_moved_in"] == r["n_after"]
+        if r["shard"] != RING_SHARDS:  # pre-existing shard
+            assert r["n_moved_in"] == 0
+    new = [r for r in rows if r["shard"] == RING_SHARDS]
+    assert len(new) == 1 and new[0]["n_stayed"] == 0
+    assert new[0]["n_moved_in"] > 0

@@ -139,6 +139,7 @@ X_TITLES = {
     "X129": "Two-sample KS drift matrix (exact sup-norm)",
     "X130": "Forecast backtesting (naive / seasonal-naive MAE)",
     "X131": "Allen interval-algebra relation profile",
+    "X132": "Consistent-hash shard rebalance audit",
 }
 
 
