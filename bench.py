@@ -178,6 +178,7 @@ HEADLINE = [
     "forecast_backtest_naive",
     "allen_interval_profile",
     "consistent_hash_rebalance",
+    "frequent_brand_triples",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -599,3 +599,133 @@ def hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy(F.desc("score"), F.asc("node")).limit(HITS_TOPK))
     return (top_a.unionByName(top_h)
             .orderBy("kind", F.desc("score"), F.asc("node")))
+
+
+# --------------------------------------------------------------------------
+# X133: Apriori LEVEL-3 frequent-itemset mining over brand baskets —
+# the level-wise candidate-pruning step that X51 (pairs) stops short
+# of, and the part that makes Apriori scale: candidate triples are
+# generated ONLY from frequent pairs sharing a prefix and pruned by
+# requiring ALL THREE sub-pairs frequent (the downward-closure
+# property), and per-order triple fan-out is semi-joined against that
+# candidate set BEFORE the support aggregate, so the count shuffle
+# carries candidates, not the full C(k,3) cross. Support threshold is
+# RELATIVE (ceil of TRIPLE_MINSUP_FRAC * orders), so the operator's
+# selectivity is scale-invariant. Confidence/lift are single integer
+# ratios.
+# --------------------------------------------------------------------------
+TRIPLE_MINSUP_FRAC = 0.003  # of distinct baskets
+TRIPLE_TOPK = 20
+
+
+def _triples_oracle_sql() -> str:
+    return f"""
+    WITH ob AS MATERIALIZED (
+        SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders,
+                 CAST(CEIL({TRIPLE_MINSUP_FRAC} * COUNT(DISTINCT o))
+                      AS BIGINT) AS t
+          FROM ob),
+    l2 AS MATERIALIZED (
+        SELECT a.b AS x, c.b AS y, CAST(COUNT(*) AS BIGINT) AS sup
+        FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+        GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT t FROM n)
+    ),
+    c3 AS MATERIALIZED (
+        -- one row per candidate (pairs are unique), so the t3 JOIN
+        -- below is an exact semi-join, never a row multiplier
+        SELECT p.x, p.y, q.y AS z
+        FROM l2 p
+        JOIN l2 q ON p.x = q.x AND p.y < q.y
+        JOIN l2 r ON r.x = p.y AND r.y = q.y
+    ),
+    t3 AS MATERIALIZED (
+        SELECT a.b AS x, c.b AS y, d.b AS z, CAST(COUNT(*) AS BIGINT)
+                   AS sup_xyz
+        FROM ob a
+        JOIN ob c ON a.o = c.o AND a.b < c.b
+        JOIN ob d ON a.o = d.o AND c.b < d.b
+        JOIN c3 ON c3.x = a.b AND c3.y = c.b AND c3.z = d.b
+        GROUP BY 1, 2, 3 HAVING COUNT(*) >= (SELECT t FROM n)
+    ),
+    ib AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS sup FROM ob GROUP BY b)
+    SELECT t3.x, t3.y, t3.z, sup_xyz, l2.sup AS sup_xy,
+           ROUND(CAST(sup_xyz AS DOUBLE) / l2.sup, 6) AS conf_xy_z,
+           ROUND((CAST(sup_xyz AS DOUBLE) / l2.sup)
+                 / (CAST(ib.sup AS DOUBLE) / (SELECT n_orders FROM n)), 6)
+               AS lift
+    FROM t3
+    JOIN l2 ON l2.x = t3.x AND l2.y = t3.y
+    JOIN ib ON ib.b = t3.z
+    ORDER BY sup_xyz DESC, t3.x, t3.y, t3.z LIMIT {TRIPLE_TOPK}
+    """
+
+
+@register(
+    "frequent_brand_triples",
+    _triples_oracle_sql(),
+    doc="X133 Apriori level-3: frequent brand triples in order "
+        "baskets with true downward-closure pruning (candidates only "
+        "from frequent prefix-sharing pairs, all three sub-pairs "
+        "frequent, semi-join BEFORE the support aggregate). Relative "
+        f"minsup {TRIPLE_MINSUP_FRAC:.1%} of baskets keeps selectivity "
+        f"scale-invariant; top-{TRIPLE_TOPK} by support with the "
+        "(x,y)->z confidence and lift as exact integer ratios.",
+    tags=("X133", "X51", "X3", "X7", "X12"),
+)
+def frequent_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = persist_tracked(
+        li.join(F.broadcast(part.select(
+            F.col("p_partkey").alias("l_partkey"), "p_brand")),
+            "l_partkey")
+        .select(F.col("l_orderkey").alias("o"),
+                F.col("p_brand").alias("b")).distinct())
+    n_orders = ob.select("o").distinct().count()
+    t = math.ceil(TRIPLE_MINSUP_FRAC * n_orders)
+    a, c = ob.alias("a"), ob.alias("c")
+    l2 = persist_tracked(
+        a.join(c, (F.col("a.o") == F.col("c.o"))
+               & (F.col("a.b") < F.col("c.b")))
+        .groupBy(F.col("a.b").alias("x"), F.col("c.b").alias("y"))
+        .agg(F.count("*").cast("long").alias("sup"))
+        .filter(F.col("sup") >= t))
+    p, q = l2.alias("p"), l2.alias("q")
+    c3 = (p.join(q, (F.col("p.x") == F.col("q.x"))
+                 & (F.col("p.y") < F.col("q.y")))
+          .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"),
+                  F.col("q.y").alias("z"))
+          .join(l2.select(F.col("x").alias("y"), F.col("y").alias("z")),
+                ["y", "z"], "left_semi"))
+    d = ob.alias("d")
+    triples = (a.join(c, (F.col("a.o") == F.col("c.o"))
+                      & (F.col("a.b") < F.col("c.b")))
+               .join(d, (F.col("a.o") == F.col("d.o"))
+                     & (F.col("c.b") < F.col("d.b")))
+               .select(F.col("a.b").alias("x"), F.col("c.b").alias("y"),
+                       F.col("d.b").alias("z")))
+    t3 = (triples.join(c3, ["x", "y", "z"], "left_semi")
+          .groupBy("x", "y", "z")
+          .agg(F.count("*").cast("long").alias("sup_xyz"))
+          .filter(F.col("sup_xyz") >= t))
+    ib = ob.groupBy(F.col("b").alias("z")) \
+        .agg(F.count("*").cast("long").alias("sup_z"))
+    out = (t3.join(l2.select("x", "y", F.col("sup").alias("sup_xy")),
+                   ["x", "y"])
+           .join(ib, "z")
+           .select("x", "y", "z", "sup_xyz", "sup_xy",
+                   F.round(F.col("sup_xyz").cast("double")
+                           / F.col("sup_xy"), 6).alias("conf_xy_z"),
+                   F.round((F.col("sup_xyz").cast("double")
+                            / F.col("sup_xy"))
+                           / (F.col("sup_z").cast("double") / n_orders),
+                           6).alias("lift")))
+    return out.orderBy(F.desc("sup_xyz"), "x", "y", "z") \
+        .limit(TRIPLE_TOPK)

@@ -84,6 +84,7 @@ NEW_R4: dict[str, str] = {
     "forecast_backtest_naive": "X130",
     "allen_interval_profile": "X131",
     "consistent_hash_rebalance": "X132",
+    "frequent_brand_triples": "X133",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -768,3 +768,46 @@ def test_consistent_hashing_only_moves_to_the_new_shard(spark, sf_dir):
     new = [r for r in rows if r["shard"] == RING_SHARDS]
     assert len(new) == 1 and new[0]["n_stayed"] == 0
     assert new[0]["n_moved_in"] > 0
+
+
+def test_frequent_triples_downward_closure(spark, sf_dir):
+    """X133: every reported triple's support obeys downward closure —
+    sup(xyz) <= sup of each sub-pair, all sub-pairs meet the relative
+    minsup, confidence = sup_xyz/sup_xy exactly, ordering is by
+    support descending."""
+    import math
+    from pyspark.sql import functions as F
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.queries.graph import \
+        TRIPLE_MINSUP_FRAC
+
+    rows = _rows("frequent_brand_triples", spark, sf_dir)
+    if not rows:  # tiny SFs may clear no triple over minsup
+        return
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (li.join(part.select(F.col("p_partkey").alias("l_partkey"),
+                              "p_brand"), "l_partkey")
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("p_brand").alias("b")).distinct())
+    n_orders = ob.select("o").distinct().count()
+    t = math.ceil(TRIPLE_MINSUP_FRAC * n_orders)
+    pair_sup = {(r["x"], r["y"]): r["n"] for r in
+                (ob.alias("a").join(
+                    ob.alias("c"),
+                    (F.col("a.o") == F.col("c.o"))
+                    & (F.col("a.b") < F.col("c.b")))
+                 .groupBy(F.col("a.b").alias("x"),
+                          F.col("c.b").alias("y"))
+                 .agg(F.count("*").alias("n")).collect())}
+    sups = [r["sup_xyz"] for r in rows]
+    assert sups == sorted(sups, reverse=True)
+    for r in rows:
+        x, y, z = r["x"], r["y"], r["z"]
+        assert x < y < z
+        subs = [pair_sup[(x, y)], pair_sup[(x, z)], pair_sup[(y, z)]]
+        assert r["sup_xyz"] >= t
+        assert all(r["sup_xyz"] <= s for s in subs)
+        assert all(s >= t for s in subs)
+        assert r["sup_xy"] == pair_sup[(x, y)]
+        assert abs(r["conf_xy_z"] - r["sup_xyz"] / r["sup_xy"]) <= 5e-7

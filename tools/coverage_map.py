@@ -140,6 +140,7 @@ X_TITLES = {
     "X130": "Forecast backtesting (naive / seasonal-naive MAE)",
     "X131": "Allen interval-algebra relation profile",
     "X132": "Consistent-hash shard rebalance audit",
+    "X133": "Frequent triples (Apriori level 3, downward closure)",
 }
 
 
