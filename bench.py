@@ -179,6 +179,7 @@ HEADLINE = [
     "allen_interval_profile",
     "consistent_hash_rebalance",
     "frequent_brand_triples",
+    "snm_blocking_eval",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

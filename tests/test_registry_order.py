@@ -85,6 +85,7 @@ NEW_R4: dict[str, str] = {
     "allen_interval_profile": "X131",
     "consistent_hash_rebalance": "X132",
     "frequent_brand_triples": "X133",
+    "snm_blocking_eval": "X134",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -811,3 +811,19 @@ def test_frequent_triples_downward_closure(spark, sf_dir):
         assert all(s >= t for s in subs)
         assert r["sup_xy"] == pair_sup[(x, y)]
         assert abs(r["conf_xy_z"] - r["sup_xyz"] / r["sup_xy"]) <= 5e-7
+
+
+def test_snm_candidate_volume_is_linear_and_recall_positive(spark, sf_dir):
+    """X134: SNM's defining property — candidate pairs <= (w-1) *
+    records regardless of block-size skew (strictly fewer: bucket
+    tails); predicted pairs are a subset of candidates; recovered <=
+    planted; recall consistent with the counts."""
+    from etl_airflow_spotify_spark.queries.linkage import SNM_W
+
+    r = _rows("snm_blocking_eval", spark, sf_dir)[0]
+    assert r["n_candidates"] <= (SNM_W - 1) * r["n_records"]
+    assert r["n_predicted"] <= r["n_candidates"]
+    assert 0 <= r["n_recovered"] <= r["n_planted"]
+    assert abs(r["planted_recall"]
+               - r["n_recovered"] / max(r["n_planted"], 1)) <= 1e-6
+    assert r["planted_recall"] > 0.5  # prefix-preserving plants

@@ -141,6 +141,7 @@ X_TITLES = {
     "X131": "Allen interval-algebra relation profile",
     "X132": "Consistent-hash shard rebalance audit",
     "X133": "Frequent triples (Apriori level 3, downward closure)",
+    "X134": "Sorted-neighborhood ER blocking (skew-immune)",
 }
 
 
