@@ -180,6 +180,7 @@ HEADLINE = [
     "consistent_hash_rebalance",
     "frequent_brand_triples",
     "snm_blocking_eval",
+    "rake_keyphrases",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

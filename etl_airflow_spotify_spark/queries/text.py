@@ -1378,3 +1378,139 @@ def source_length_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long").cast("double")
                 / (F.col("n_a").cast("double") * F.col("n_b")), 6)
                 .alias("emd_bins")))
+
+
+# --------------------------------------------------------------------------
+# X135: RAKE keyphrase extraction (Rose et al.) — the classic
+# unsupervised keyword miner: candidate phrases are maximal stopword-
+# free token runs, each scored by the sum of its words' degree/
+# frequency ratios (degree = total length of phrases the word appears
+# in). Distributed shape: one posexplode pass; phrase segmentation is
+# a running stopword-count window (per-document partitions, O(1)
+# state); word stats are one keyed aggregate; phrase re-scoring joins
+# the DISTINCT phrase vocabulary (not occurrences) against the word
+# table. Word scores snap to a 1e-6 integer grid BEFORE the phrase
+# sum, so the fold is BIGINT-exact and order-independent; phrase
+# ranking is top-k with deterministic tie-breaks.
+# --------------------------------------------------------------------------
+RAKE_STOPWORDS = ("the", "a")
+RAKE_MAX_LEN = 4
+RAKE_TOPK = 20
+
+
+def _rake_oracle_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, u.w, u.pos
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS ts
+              FROM documents) d,
+             LATERAL (SELECT UNNEST(d.ts) AS w,
+                             generate_subscripts(d.ts, 1) AS pos) u
+    ),
+    seg AS (
+        SELECT doc_id, w, pos,
+               CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END AS is_stop,
+               SUM(CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+        FROM toks
+    ),
+    pw AS (
+        SELECT doc_id, phrase_id, w, pos,
+               COUNT(*) OVER (PARTITION BY doc_id, phrase_id)
+                   AS phrase_len
+        FROM seg WHERE is_stop = 0
+    ),
+    bounded AS (SELECT * FROM pw WHERE phrase_len <= {RAKE_MAX_LEN}),
+    wstat AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(phrase_len) AS BIGINT) AS degree
+        FROM bounded GROUP BY w
+    ),
+    wscore AS (
+        SELECT w, CAST(ROUND(1000000.0 * degree / freq, 0) AS BIGINT)
+                   AS s_micro
+        FROM wstat
+    ),
+    phrases AS (
+        SELECT doc_id, phrase_id,
+               string_agg(w, ' ' ORDER BY pos) AS phrase
+        FROM bounded GROUP BY doc_id, phrase_id
+    ),
+    pvocab AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM phrases GROUP BY phrase
+    ),
+    scored AS (
+        SELECT p.phrase, p.n_occurrences,
+               CAST(len(string_split(p.phrase, ' ')) AS BIGINT) AS n_words,
+               CAST(SUM(ws.s_micro) AS BIGINT) AS score_micro
+        FROM (SELECT phrase, n_occurrences, UNNEST(string_split(phrase, ' '))
+                     AS w
+              FROM pvocab) p
+        JOIN wscore ws ON ws.w = p.w
+        GROUP BY p.phrase, p.n_occurrences
+    )
+    SELECT phrase, n_words, n_occurrences, score_micro
+    FROM scored
+    ORDER BY score_micro DESC, phrase LIMIT {RAKE_TOPK}
+    """
+
+
+@register(
+    "rake_keyphrases",
+    _rake_oracle_sql(),
+    doc=f"X135 RAKE keyphrase extraction: stopword-delimited phrase "
+        f"runs (stopwords: {', '.join(RAKE_STOPWORDS)}; max length "
+        f"{RAKE_MAX_LEN}), word score = degree/frequency snapped to a "
+        "1e-6 integer grid, phrase score = exact BIGINT sum of its "
+        f"words' grid scores; top-{RAKE_TOPK}. One posexplode pass + "
+        "per-doc running-count windows; phrase scoring joins the "
+        "distinct phrase vocabulary only.",
+    tags=("X135", "X18", "X40", "X11", "X12"),
+)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = (d.select("doc_id",
+                     F.posexplode(F.split(F.trim(F.lower("text")), r"\s+"))
+                     .alias("pos0", "w"))
+            .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w"))
+    is_stop = F.col("w").isin(*RAKE_STOPWORDS).cast("int")
+    wseg = (Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    seg = toks.select("doc_id", "w", "pos", is_stop.alias("is_stop"),
+                      F.sum(is_stop).over(wseg).alias("phrase_id"))
+    wlen = Window.partitionBy("doc_id", "phrase_id")
+    pw = (seg.filter(F.col("is_stop") == 0)
+          .select("doc_id", "phrase_id", "w", "pos",
+                  F.count("*").over(wlen).alias("phrase_len"))
+          .filter(F.col("phrase_len") <= RAKE_MAX_LEN))
+    wstat = (pw.groupBy("w")
+             .agg(F.count("*").cast("long").alias("freq"),
+                  F.sum("phrase_len").cast("long").alias("degree")))
+    wscore = wstat.select(
+        "w", F.round(1000000.0 * F.col("degree") / F.col("freq"), 0)
+        .cast("long").alias("s_micro"))
+    phrases = (pw.groupBy("doc_id", "phrase_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", "w"))),
+                       lambda s: s["w"]), " ").alias("phrase")))
+    pvocab = (phrases.groupBy("phrase")
+              .agg(F.count("*").cast("long").alias("n_occurrences")))
+    exploded = pvocab.select(
+        "phrase", "n_occurrences",
+        F.explode(F.split("phrase", " ")).alias("w"))
+    scored = (exploded.join(wscore, "w")
+              .groupBy("phrase", "n_occurrences")
+              .agg(F.sum("s_micro").cast("long").alias("score_micro"))
+              .withColumn("n_words",
+                          F.size(F.split("phrase", " ")).cast("long")))
+    return (scored.select("phrase", "n_words", "n_occurrences",
+                          "score_micro")
+            .orderBy(F.desc("score_micro"), F.asc("phrase"))
+            .limit(RAKE_TOPK))

@@ -86,6 +86,7 @@ NEW_R4: dict[str, str] = {
     "consistent_hash_rebalance": "X132",
     "frequent_brand_triples": "X133",
     "snm_blocking_eval": "X134",
+    "rake_keyphrases": "X135",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -827,3 +827,42 @@ def test_snm_candidate_volume_is_linear_and_recall_positive(spark, sf_dir):
     assert abs(r["planted_recall"]
                - r["n_recovered"] / max(r["n_planted"], 1)) <= 1e-6
     assert r["planted_recall"] > 0.5  # prefix-preserving plants
+
+
+def test_rake_scores_consistent_with_word_stats(spark, sf_dir):
+    """X135: recompute word degree/freq from raw text in Python and
+    verify each reported phrase's micro score is exactly the sum of
+    its words' snapped degree/freq scores; phrase lengths respect the
+    cap; ranking is by score."""
+    from collections import Counter
+    from etl_airflow_spotify_spark.queries.text import (_docs,
+                                                        RAKE_MAX_LEN,
+                                                        RAKE_STOPWORDS)
+    docs = _docs(spark, sf_dir).select("text").collect()
+    freq, degree = Counter(), Counter()
+    for (text,) in docs:
+        phrase, phrases = [], []
+        for w in text.strip().lower().split():
+            if w in RAKE_STOPWORDS:
+                if phrase:
+                    phrases.append(phrase)
+                phrase = []
+            else:
+                phrase.append(w)
+        if phrase:
+            phrases.append(phrase)
+        for p in phrases:
+            if len(p) > RAKE_MAX_LEN:
+                continue
+            for w in p:
+                freq[w] += 1
+                degree[w] += len(p)
+    score = {w: round(1e6 * degree[w] / freq[w]) for w in freq}
+    rows = _rows("rake_keyphrases", spark, sf_dir)
+    scores = [r["score_micro"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        ws = r["phrase"].split(" ")
+        assert 1 <= len(ws) == r["n_words"] <= RAKE_MAX_LEN
+        assert r["score_micro"] == sum(score[w] for w in ws)
+        assert r["n_occurrences"] >= 1

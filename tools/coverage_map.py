@@ -142,6 +142,7 @@ X_TITLES = {
     "X132": "Consistent-hash shard rebalance audit",
     "X133": "Frequent triples (Apriori level 3, downward closure)",
     "X134": "Sorted-neighborhood ER blocking (skew-immune)",
+    "X135": "RAKE keyphrase extraction (degree/frequency)",
 }
 
 
