@@ -181,6 +181,7 @@ HEADLINE = [
     "frequent_brand_triples",
     "snm_blocking_eval",
     "rake_keyphrases",
+    "event_acf_profile",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -2577,3 +2577,99 @@ def allen_interval_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_pairs"))
             .withColumn("share",
                         F.round(F.col("n_pairs").cast("double") / tot, 6)))
+
+
+# --------------------------------------------------------------------------
+# X136: exact autocorrelation function (ACF, lags 1..ACF_MAX_LAG) of
+# the daily per-type event-count series — the seasonality detector
+# behind lag selection for X130's seasonal-naive and X82's STL
+# period. Everything is integer algebra: with S = sum c, Q = sum c^2,
+# and per-lag sums P_k = sum c_t*c_{t+k}, A_k/B_k = lag-window sums,
+# the mean-centered ACF is
+#   [n^2*P_k - n*S*(A_k + B_k) + (n-k)*S^2] / [n^2*Q - n*S^2]
+# — numerator and denominator are BIGINTs (counts up to ~1e8/day fit
+# comfortably), so both engines agree bit-for-bit and the only double
+# is the final division. Lag pairing is a date-arithmetic equi-join
+# (gap-safe); the corpus is touched once for the daily histogram.
+# --------------------------------------------------------------------------
+ACF_MAX_LAG = 7
+
+
+@register(
+    "event_acf_profile",
+    f"""
+    WITH daily AS (
+        SELECT event_type AS t, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS q
+        FROM daily GROUP BY t
+    ),
+    lagged AS (
+        SELECT a.t, k.k,
+               CAST(SUM(a.c * b.c) AS BIGINT) AS p,
+               CAST(SUM(a.c) AS BIGINT) AS a_sum,
+               CAST(SUM(b.c) AS BIGINT) AS b_sum
+        FROM (SELECT UNNEST(generate_series(1, {ACF_MAX_LAG})) AS k) k
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.t = a.t AND b.d = a.d + CAST(k.k AS INTEGER)
+        GROUP BY a.t, k.k
+    )
+    SELECT l.t AS event_type, CAST(l.k AS BIGINT) AS lag,
+           tot.n AS n_days,
+           CAST(tot.n * tot.n * l.p
+                - tot.n * tot.s * (l.a_sum + l.b_sum)
+                + (tot.n - l.k) * tot.s * tot.s AS BIGINT) AS acf_num,
+           CAST(tot.n * tot.n * tot.q - tot.n * tot.s * tot.s AS BIGINT)
+               AS acf_den,
+           ROUND(CAST(tot.n * tot.n * l.p
+                      - tot.n * tot.s * (l.a_sum + l.b_sum)
+                      + (tot.n - l.k) * tot.s * tot.s AS DOUBLE)
+                 / (tot.n * tot.n * tot.q - tot.n * tot.s * tot.s), 6)
+               AS acf
+    FROM lagged l JOIN tot ON tot.t = l.t
+    """,
+    doc=f"X136 exact ACF (lags 1..{ACF_MAX_LAG}) of daily per-type "
+        "event counts: mean-centered autocorrelation as a ratio of "
+        "two BIGINTs derived from integer sums (S, Q, per-lag "
+        "products), divided once. Daily histogram is the only corpus "
+        "pass; lag pairs come from a date-arithmetic equi-join, so "
+        "gaps in the calendar never misalign the series.",
+    tags=("X136", "X82", "X80", "X7", "X3"),
+)
+def event_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.col("event_type").alias("t"),
+                        F.to_date("ts").alias("d"))
+             .agg(F.count("*").cast("long").alias("c")))
+    tot = (daily.groupBy("t")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("c").cast("long").alias("s"),
+                F.sum(F.col("c") * F.col("c")).cast("long").alias("q")))
+    ks = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("k"))
+    b = daily.select(F.col("t").alias("tb"), F.col("d").alias("db"),
+                     F.col("c").alias("cb"))
+    lagged = (F.broadcast(ks).crossJoin(daily)
+              .join(b, (F.col("tb") == F.col("t"))
+                    & (F.col("db") == F.expr("date_add(d, k)")))
+              .groupBy("t", "k")
+              .agg(F.sum(F.col("c") * F.col("cb")).cast("long").alias("p"),
+                   F.sum("c").cast("long").alias("a_sum"),
+                   F.sum("cb").cast("long").alias("b_sum")))
+    j = lagged.join(tot, "t")
+    num = (F.col("n") * F.col("n") * F.col("p")
+           - F.col("n") * F.col("s") * (F.col("a_sum") + F.col("b_sum"))
+           + (F.col("n") - F.col("k")) * F.col("s") * F.col("s"))
+    den = (F.col("n") * F.col("n") * F.col("q")
+           - F.col("n") * F.col("s") * F.col("s"))
+    return j.select(F.col("t").alias("event_type"),
+                    F.col("k").cast("long").alias("lag"),
+                    F.col("n").alias("n_days"),
+                    num.cast("long").alias("acf_num"),
+                    den.cast("long").alias("acf_den"),
+                    F.round(num.cast("double") / den, 6).alias("acf"))

@@ -87,6 +87,7 @@ NEW_R4: dict[str, str] = {
     "frequent_brand_triples": "X133",
     "snm_blocking_eval": "X134",
     "rake_keyphrases": "X135",
+    "event_acf_profile": "X136",
 }
 DEFERRED |= set(NEW_R4)
 

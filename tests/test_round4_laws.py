@@ -866,3 +866,33 @@ def test_rake_scores_consistent_with_word_stats(spark, sf_dir):
         assert 1 <= len(ws) == r["n_words"] <= RAKE_MAX_LEN
         assert r["score_micro"] == sum(score[w] for w in ws)
         assert r["n_occurrences"] >= 1
+
+
+def test_acf_matches_bruteforce_and_is_bounded(spark, sf_dir):
+    """X136: the integer-ratio ACF must equal a float brute force on
+    the collected daily series to 1e-9, and |acf| <= 1 + ulp slack."""
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.queries.events_ops import _ev
+    import pyspark.sql.functions as F
+
+    daily = defaultdict(dict)
+    for r in (_ev(spark, sf_dir)
+              .groupBy("event_type", F.to_date("ts").alias("d"))
+              .count().collect()):
+        daily[r["event_type"]][r["d"]] = r["count"]
+    rows = _rows("event_acf_profile", spark, sf_dir)
+    assert rows
+    for r in rows:
+        series = daily[r["event_type"]]
+        days = sorted(series)
+        n = len(days)
+        assert r["n_days"] == n
+        m = sum(series.values()) / n
+        den = sum((series[d] - m) ** 2 for d in days)
+        num = sum((series[d] - m) * (series[d2] - m)
+                  for d in days
+                  for d2 in [d + __import__("datetime")
+                             .timedelta(days=r["lag"])]
+                  if d2 in series)
+        assert abs(r["acf_num"] / r["acf_den"] - num / den) <= 1e-9
+        assert abs(r["acf"]) <= 1.0 + 1e-9

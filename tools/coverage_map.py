@@ -143,6 +143,7 @@ X_TITLES = {
     "X133": "Frequent triples (Apriori level 3, downward closure)",
     "X134": "Sorted-neighborhood ER blocking (skew-immune)",
     "X135": "RAKE keyphrase extraction (degree/frequency)",
+    "X136": "Autocorrelation function (exact integer ACF)",
 }
 
 
