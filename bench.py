@@ -182,6 +182,7 @@ HEADLINE = [
     "snm_blocking_eval",
     "rake_keyphrases",
     "event_acf_profile",
+    "optimal_threshold_selection",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

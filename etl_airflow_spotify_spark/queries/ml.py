@@ -169,3 +169,114 @@ def decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      "as double)") / F.col("n_tot")))
                         / F.col("n_tot"), 0).cast("long")
                 .alias("parent_gini_micro")))
+
+
+# --------------------------------------------------------------------------
+# X137: decision-threshold selection — the step between X92's AUC
+# (threshold-free ranking quality) and deployment: pick the operating
+# threshold maximizing Youden's J = TPR - FPR (the ROC point farthest
+# from chance) and, separately, F1. Exact shape: score histogram
+# (one corpus pass, distinct-score cardinality after), suffix-sum
+# windows give (TP, FP) at EVERY candidate threshold at once, and the
+# Youden argmax runs entirely on BIGINTs via cross-multiplication
+# (J * P * N = TP*N - FP*P — no division before the argmax, so no
+# float boundary can flip the winner); F1's argmax divides identical
+# integers (IEEE-deterministic). Scores are exact price cents.
+# --------------------------------------------------------------------------
+STUMP_THRESH_LABEL = "R"
+
+
+def _threshold_oracle_sql() -> str:
+    return f"""
+    WITH h AS (
+        SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_returnflag = '{STUMP_THRESH_LABEL}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p,
+                   CAST(SUM(n - pos) AS BIGINT) AS neg
+            FROM h),
+    cand AS (
+        SELECT s,
+               SUM(pos) OVER (ORDER BY s DESC) AS tp,
+               SUM(n - pos) OVER (ORDER BY s DESC) AS fp
+        FROM h
+    ),
+    scored AS (
+        SELECT c.s, c.tp, c.fp, t.p - c.tp AS fn, t.neg - c.fp AS tn,
+               c.tp * t.neg - c.fp * t.p AS j_num,
+               t.p * t.neg AS j_den,
+               CAST(2 * c.tp AS DOUBLE) / (2 * c.tp + c.fp + (t.p - c.tp))
+                   AS f1
+        FROM cand c CROSS JOIN tot t
+    ),
+    youden AS (
+        SELECT 'youden' AS criterion, s, tp, fp, fn, tn,
+               CAST(ROUND(1000000.0 * j_num / j_den, 0) AS BIGINT)
+                   AS metric_micro
+        FROM scored ORDER BY j_num DESC, s LIMIT 1
+    ),
+    f1best AS (
+        SELECT 'f1' AS criterion, s, tp, fp, fn, tn,
+               CAST(ROUND(1000000.0 * f1, 0) AS BIGINT) AS metric_micro
+        FROM scored ORDER BY f1 DESC, s LIMIT 1
+    )
+    SELECT criterion, s AS threshold_cents, tp, fp, fn, tn, metric_micro
+    FROM youden
+    UNION ALL
+    SELECT criterion, s, tp, fp, fn, tn, metric_micro FROM f1best
+    """
+
+
+@register(
+    "optimal_threshold_selection",
+    _threshold_oracle_sql(),
+    doc="X137 operating-threshold selection for the price-cents score "
+        "predicting l_returnflag='R': Youden's J argmax runs on the "
+        "cross-multiplied BIGINT TP*N - FP*P (never a float before "
+        "the winner is chosen), F1 argmax on IEEE-identical divisions "
+        "of identical integers. Score histogram + suffix-sum windows "
+        "evaluate every candidate threshold in one pass over the "
+        "distinct-score table; full confusion matrix at each winner.",
+    tags=("X137", "X92", "X11", "X7", "X12"),
+)
+def optimal_threshold_selection(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    h = (load_table(spark, sf_dir, "lineitem")
+         .groupBy(F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                  .alias("s"))
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum(F.when(F.col("l_returnflag") == STUMP_THRESH_LABEL,
+                           1).otherwise(0)).cast("long").alias("pos")))
+    tot = h.agg(F.sum("pos").cast("long").alias("p"),
+                F.sum(F.col("n") - F.col("pos")).cast("long")
+                .alias("neg"))
+    w = (Window.orderBy(F.desc("s"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cand = h.select("s", F.sum("pos").over(w).alias("tp"),
+                    F.sum(F.col("n") - F.col("pos")).over(w).alias("fp"))
+    scored = (cand.crossJoin(F.broadcast(tot))
+              .select("s", "tp", "fp",
+                      (F.col("p") - F.col("tp")).alias("fn"),
+                      (F.col("neg") - F.col("fp")).alias("tn"),
+                      (F.col("tp") * F.col("neg")
+                       - F.col("fp") * F.col("p")).alias("j_num"),
+                      (F.col("p") * F.col("neg")).alias("j_den"),
+                      ((2 * F.col("tp")).cast("double")
+                       / (2 * F.col("tp") + F.col("fp")
+                          + (F.col("p") - F.col("tp")))).alias("f1")))
+    youden = (scored.orderBy(F.desc("j_num"), F.asc("s")).limit(1)
+              .select(F.lit("youden").alias("criterion"),
+                      F.col("s").alias("threshold_cents"),
+                      "tp", "fp", "fn", "tn",
+                      F.round(1000000.0 * F.col("j_num") / F.col("j_den"),
+                              0).cast("long").alias("metric_micro")))
+    f1best = (scored.orderBy(F.desc("f1"), F.asc("s")).limit(1)
+              .select(F.lit("f1").alias("criterion"),
+                      F.col("s").alias("threshold_cents"),
+                      "tp", "fp", "fn", "tn",
+                      F.round(1000000.0 * F.col("f1"), 0).cast("long")
+                      .alias("metric_micro")))
+    return youden.unionByName(f1best)

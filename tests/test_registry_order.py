@@ -88,6 +88,7 @@ NEW_R4: dict[str, str] = {
     "snm_blocking_eval": "X134",
     "rake_keyphrases": "X135",
     "event_acf_profile": "X136",
+    "optimal_threshold_selection": "X137",
 }
 DEFERRED |= set(NEW_R4)
 

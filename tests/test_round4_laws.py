@@ -896,3 +896,45 @@ def test_acf_matches_bruteforce_and_is_bounded(spark, sf_dir):
                   if d2 in series)
         assert abs(r["acf_num"] / r["acf_den"] - num / den) <= 1e-9
         assert abs(r["acf"]) <= 1.0 + 1e-9
+
+
+def test_threshold_selection_beats_all_candidates(spark, sf_dir):
+    """X137: recompute the full candidate sweep in Python from the raw
+    (score, label) pairs — each winner must attain the global optimum
+    of its criterion, and confusion counts must be internally
+    consistent."""
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select(F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                  .alias("s"),
+                  (F.col("l_returnflag") == "R").cast("int").alias("y"))
+          .collect())
+    hist = defaultdict(lambda: [0, 0])
+    for r in li:
+        hist[r["s"]][0] += 1
+        hist[r["s"]][1] += r["y"]
+    p = sum(v[1] for v in hist.values())
+    neg = sum(v[0] - v[1] for v in hist.values())
+    best_j, best_f1 = None, None
+    tp = fp = 0
+    for s in sorted(hist, reverse=True):
+        tp += hist[s][1]
+        fp += hist[s][0] - hist[s][1]
+        j = tp * neg - fp * p
+        f1 = 2 * tp / (2 * tp + fp + (p - tp))
+        if best_j is None or j > best_j[0]:
+            best_j = (j, s, tp, fp)
+        if best_f1 is None or f1 > best_f1[0] + 1e-15:
+            best_f1 = (f1, s, tp, fp)
+    rows = {r["criterion"]: r
+            for r in _rows("optimal_threshold_selection", spark, sf_dir)}
+    ry, rf = rows["youden"], rows["f1"]
+    assert ry["tp"] * neg - ry["fp"] * p == best_j[0]
+    assert abs(2 * rf["tp"] / (2 * rf["tp"] + rf["fp"] + rf["fn"])
+               - best_f1[0]) <= 1e-12
+    for r in rows.values():
+        assert r["tp"] + r["fn"] == p
+        assert r["fp"] + r["tn"] == neg

@@ -144,6 +144,7 @@ X_TITLES = {
     "X134": "Sorted-neighborhood ER blocking (skew-immune)",
     "X135": "RAKE keyphrase extraction (degree/frequency)",
     "X136": "Autocorrelation function (exact integer ACF)",
+    "X137": "Decision-threshold selection (Youden J / F1)",
 }
 
 
