@@ -183,6 +183,7 @@ HEADLINE = [
     "rake_keyphrases",
     "event_acf_profile",
     "optimal_threshold_selection",
+    "rater_agreement_kappa",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

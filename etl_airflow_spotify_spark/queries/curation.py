@@ -829,3 +829,93 @@ def greedy_source_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "round INT, source STRING, gain BIGINT, covered BIGINT") \
         .withColumn("universe", F.lit(universe).cast("long"))
+
+
+# --------------------------------------------------------------------------
+# X138: inter-annotator agreement (Cohen's kappa) between two
+# independent document-quality raters — the metric that tells a
+# curation team whether its heuristic gates actually measure the same
+# thing before they're ensembled. Rater A keeps docs with n_chars >=
+# KAPPA_LEN_MIN; rater B keeps docs whose stopword ratio clears a
+# threshold compared by integer cross-multiplication (n_stop * 100 <=
+# n_tokens * KAPPA_STOP_PCT — no float ratio ever forms). Kappa
+# reduces to a ratio of BIGINTs:
+#   kappa = (n*agree - sum_k nA_k*nB_k) / (n^2 - sum_k nA_k*nB_k)
+# so the 2x2 contingency fold is the whole computation — one corpus
+# pass, a 4-cell aggregate, exact at any scale.
+# --------------------------------------------------------------------------
+KAPPA_LEN_MIN = 300
+KAPPA_STOP_PCT = 6  # percent
+
+
+@register(
+    "rater_agreement_kappa",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN n_chars >= {KAPPA_LEN_MIN} THEN 1 ELSE 0 END AS a,
+               CASE WHEN CAST(len(list_filter(
+                        string_split_regex(trim(lower(text)), '\\s+'),
+                        w -> w IN ('the', 'a'))) AS BIGINT) * 100
+                        <= CAST(len(string_split_regex(
+                               trim(lower(text)), '\\s+')) AS BIGINT)
+                           * {KAPPA_STOP_PCT}
+                    THEN 1 ELSE 0 END AS b
+        FROM documents
+    ),
+    cells AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree,
+               CAST(SUM(a) AS BIGINT) AS a_keep,
+               CAST(SUM(b) AS BIGINT) AS b_keep
+        FROM toks
+    )
+    SELECT n, n_agree, a_keep, b_keep,
+           CAST(n * n_agree - (a_keep * b_keep
+                               + (n - a_keep) * (n - b_keep))
+                AS BIGINT) AS kappa_num,
+           CAST(n * n - (a_keep * b_keep + (n - a_keep) * (n - b_keep))
+                AS BIGINT) AS kappa_den,
+           ROUND(CAST(n * n_agree - (a_keep * b_keep
+                                     + (n - a_keep) * (n - b_keep))
+                      AS DOUBLE)
+                 / (n * n - (a_keep * b_keep
+                             + (n - a_keep) * (n - b_keep))), 6)
+               AS kappa
+    FROM cells
+    """,
+    doc=f"X138 Cohen's kappa between a length rater (n_chars >= "
+        f"{KAPPA_LEN_MIN}) and a stopword-density rater (stop ratio "
+        f"<= {KAPPA_STOP_PCT}% via integer cross-multiplication): "
+        "chance-corrected agreement as an exact BIGINT ratio from the "
+        "2x2 contingency counts — one corpus pass, one 4-cell "
+        "aggregate, one division.",
+    tags=("X138", "X18", "X2", "X7"),
+)
+def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_stop = F.size(F.filter(ts, lambda w: w.isin("the", "a")))
+    rated = d.select(
+        F.when(F.col("n_chars") >= KAPPA_LEN_MIN, 1).otherwise(0)
+        .alias("a"),
+        F.when(n_stop.cast("long") * 100
+               <= F.size(ts).cast("long") * KAPPA_STOP_PCT, 1)
+        .otherwise(0).alias("b"))
+    cells = rated.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast("long").alias("n_agree"),
+        F.sum("a").cast("long").alias("a_keep"),
+        F.sum("b").cast("long").alias("b_keep"))
+    chance = (F.col("a_keep") * F.col("b_keep")
+              + (F.col("n") - F.col("a_keep"))
+              * (F.col("n") - F.col("b_keep")))
+    num = F.col("n") * F.col("n_agree") - chance
+    den = F.col("n") * F.col("n") - chance
+    return cells.select(
+        "n", "n_agree", "a_keep", "b_keep",
+        num.cast("long").alias("kappa_num"),
+        den.cast("long").alias("kappa_den"),
+        F.round(num.cast("double") / den, 6).alias("kappa"))

@@ -89,6 +89,7 @@ NEW_R4: dict[str, str] = {
     "rake_keyphrases": "X135",
     "event_acf_profile": "X136",
     "optimal_threshold_selection": "X137",
+    "rater_agreement_kappa": "X138",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -938,3 +938,32 @@ def test_threshold_selection_beats_all_candidates(spark, sf_dir):
     for r in rows.values():
         assert r["tp"] + r["fn"] == p
         assert r["fp"] + r["tn"] == neg
+
+
+def test_kappa_matches_bruteforce_and_bounds(spark, sf_dir):
+    """X138: recompute both raters in Python over the raw documents,
+    rebuild kappa from the contingency table, and check the exact
+    integer identity plus the -1 <= kappa <= 1 bound."""
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.queries.curation import (
+        KAPPA_LEN_MIN, KAPPA_STOP_PCT)
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("text", "n_chars").collect()
+    n = len(docs)
+    agree = a_keep = b_keep = 0
+    for r in docs:
+        toks = r["text"].strip().lower().split()
+        a = 1 if r["n_chars"] >= KAPPA_LEN_MIN else 0
+        n_stop = sum(1 for w in toks if w in ("the", "a"))
+        b = 1 if n_stop * 100 <= len(toks) * KAPPA_STOP_PCT else 0
+        agree += a == b
+        a_keep += a
+        b_keep += b
+    got = _rows("rater_agreement_kappa", spark, sf_dir)[0]
+    assert (got["n"], got["n_agree"], got["a_keep"], got["b_keep"]) \
+        == (n, agree, a_keep, b_keep)
+    chance = a_keep * b_keep + (n - a_keep) * (n - b_keep)
+    assert got["kappa_num"] == n * agree - chance
+    assert got["kappa_den"] == n * n - chance
+    assert -1.0 - 1e-9 <= got["kappa"] <= 1.0 + 1e-9

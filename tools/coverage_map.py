@@ -145,6 +145,7 @@ X_TITLES = {
     "X135": "RAKE keyphrase extraction (degree/frequency)",
     "X136": "Autocorrelation function (exact integer ACF)",
     "X137": "Decision-threshold selection (Youden J / F1)",
+    "X138": "Inter-annotator agreement (Cohen's kappa)",
 }
 
 
