@@ -184,6 +184,7 @@ HEADLINE = [
     "event_acf_profile",
     "optimal_threshold_selection",
     "rater_agreement_kappa",
+    "nation_revenue_gini",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -2363,3 +2363,85 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("b1", 6).alias("b1"),
                     F.round("q_alpha", 4).alias("q_alpha"),
                     "n_covered", "coverage"))
+
+
+# --------------------------------------------------------------------------
+# X139: inequality metrics — the Gini coefficient of customer revenue
+# within each nation (the Lorenz-curve summary behind "how
+# concentrated is our revenue", the continuous generalization of
+# X88's 80/20 cut). Revenue folds to exact BIGINT cents; with
+# ascending per-nation ranks i (ROW_NUMBER, ties broken by custkey —
+# the rank-weighted sum is tie-permutation-invariant), the population
+# Gini is the pure-integer ratio
+#   G = (2 * sum_i i*x_i - (n+1) * sum x) / (n * sum x)
+# — one corpus aggregate to customer grain, one partitioned window,
+# one division. Partition-parallel over nations at any scale.
+# --------------------------------------------------------------------------
+@register(
+    "nation_revenue_gini",
+    """
+    WITH cust AS (
+        SELECT c.c_nationkey AS nk, c.c_custkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT nk, cents,
+               ROW_NUMBER() OVER (PARTITION BY nk
+                                  ORDER BY cents, c_custkey) AS i
+        FROM cust
+    ),
+    agg AS (
+        SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS total,
+               CAST(SUM(i * cents) AS BIGINT) AS iw
+        FROM ranked GROUP BY nk
+    )
+    SELECT n2.n_name AS nation, n AS n_customers, total AS total_cents,
+           CAST(2 * iw - (n + 1) * total AS BIGINT) AS gini_num,
+           CAST(n * total AS BIGINT) AS gini_den,
+           ROUND(CAST(2 * iw - (n + 1) * total AS DOUBLE) / (n * total),
+                 6) AS gini
+    FROM agg JOIN nation n2 ON n2.n_nationkey = agg.nk
+    """,
+    doc="X139 per-nation Gini coefficient of customer revenue: exact "
+        "BIGINT cents, per-nation ascending ranks (partitioned "
+        "window, never global), and the rank-weighted integer Gini "
+        "ratio divided once. The revenue-concentration audit behind "
+        "Lorenz dashboards; nations are independent partitions, so "
+        "the operator scales with the customer aggregate, not the "
+        "order count.",
+    tags=("X139", "X88", "X10", "X7", "X3"),
+)
+def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = (orders.join(customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+                "o_custkey")
+            .groupBy(F.col("c_nationkey").alias("nk"),
+                     F.col("o_custkey").alias("c_custkey"))
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                       .cast("long")).cast("long").alias("cents")))
+    w = Window.partitionBy("nk").orderBy("cents", "c_custkey")
+    ranked = cust.withColumn("i", F.row_number().over(w))
+    agg = (ranked.groupBy("nk")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("total"),
+                F.sum(F.col("i") * F.col("cents")).cast("long")
+                .alias("iw")))
+    num = 2 * F.col("iw") - (F.col("n") + 1) * F.col("total")
+    den = F.col("n") * F.col("total")
+    return (agg.join(F.broadcast(nation.select(
+                F.col("n_nationkey").alias("nk"), "n_name")), "nk")
+            .select(F.col("n_name").alias("nation"),
+                    F.col("n").alias("n_customers"),
+                    F.col("total").alias("total_cents"),
+                    num.cast("long").alias("gini_num"),
+                    den.cast("long").alias("gini_den"),
+                    F.round(num.cast("double") / den, 6).alias("gini")))

@@ -90,6 +90,7 @@ NEW_R4: dict[str, str] = {
     "event_acf_profile": "X136",
     "optimal_threshold_selection": "X137",
     "rater_agreement_kappa": "X138",
+    "nation_revenue_gini": "X139",
 }
 DEFERRED |= set(NEW_R4)
 

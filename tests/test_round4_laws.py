@@ -967,3 +967,37 @@ def test_kappa_matches_bruteforce_and_bounds(spark, sf_dir):
     assert got["kappa_num"] == n * agree - chance
     assert got["kappa_den"] == n * n - chance
     assert -1.0 - 1e-9 <= got["kappa"] <= 1.0 + 1e-9
+
+
+def test_gini_matches_bruteforce_and_bounds(spark, sf_dir):
+    """X139: recompute each nation's Gini from raw per-customer cents
+    in Python and verify the integer numerator/denominator exactly;
+    0 <= G < 1 for all-positive revenues."""
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in load_table(spark, sf_dir, "nation").collect()}
+    per = defaultdict(lambda: defaultdict(int))
+    for r in (orders.join(customer.select(
+                  F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+                  "o_custkey")
+              .select("c_nationkey", "o_custkey",
+                      F.round(F.col("o_totalprice") * 100, 0)
+                      .cast("long").alias("cents")).collect()):
+        per[r["c_nationkey"]][r["o_custkey"]] += r["cents"]
+    got = {r["nation"]: r
+           for r in _rows("nation_revenue_gini", spark, sf_dir)}
+    assert set(got) == {nation[nk] for nk in per}
+    for nk, custs in per.items():
+        xs = sorted(custs.values())
+        n, total = len(xs), sum(xs)
+        iw = sum((i + 1) * x for i, x in enumerate(xs))
+        r = got[nation[nk]]
+        assert r["n_customers"] == n and r["total_cents"] == total
+        assert r["gini_num"] == 2 * iw - (n + 1) * total
+        assert r["gini_den"] == n * total
+        assert 0.0 <= r["gini"] < 1.0

@@ -146,6 +146,7 @@ X_TITLES = {
     "X136": "Autocorrelation function (exact integer ACF)",
     "X137": "Decision-threshold selection (Youden J / F1)",
     "X138": "Inter-annotator agreement (Cohen's kappa)",
+    "X139": "Inequality metrics (Gini / Lorenz concentration)",
 }
 
 
