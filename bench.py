@@ -185,6 +185,7 @@ HEADLINE = [
     "optimal_threshold_selection",
     "rater_agreement_kappa",
     "nation_revenue_gini",
+    "token_budget_selection",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

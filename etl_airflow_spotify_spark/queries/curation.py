@@ -919,3 +919,132 @@ def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.cast("long").alias("kappa_num"),
         den.cast("long").alias("kappa_den"),
         F.round(num.cast("double") / den, 6).alias("kappa"))
+
+
+# --------------------------------------------------------------------------
+# X140: token-budget corpus selection — "fill a training-token budget
+# with the best documents": the global take-in-quality-order prefix,
+# computed WITHOUT a global sort. Two-pass histogram-cutoff shape
+# (the same discipline as the equidepth/heavy-hitter ops): pass 1
+# folds per-quality-level token totals (quality on a 1e-6 integer
+# grid), a level-cardinality window finds the cutoff level; only the
+# single boundary level needs per-doc ordering (doc_id-ranked prefix
+# inside one level — a partitioned-by-nothing-but-level window over a
+# level-sized slice), and the two bounded scalars (cutoff, residual
+# budget) ride a 1-row collect. Budget is a FRACTION of corpus
+# tokens, so selectivity is scale-invariant. Exact integers
+# everywhere; the greedy-prefix optimality law is pytest-pinned.
+# --------------------------------------------------------------------------
+BUDGET_FRAC_PCT = 40  # percent of total whitespace tokens
+
+
+def _budget_oracle_sql() -> str:
+    from .text import sql_quality_expr
+
+    q = sql_quality_expr()
+    return f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS ntok,
+               CAST(ROUND(1000000.0 * {q}, 0) AS BIGINT) AS qm
+        FROM documents
+    ),
+    b AS (SELECT CAST(SUM(ntok) * {BUDGET_FRAC_PCT} // 100 AS BIGINT)
+                     AS budget
+          FROM base),
+    hist AS (
+        SELECT qm, CAST(SUM(ntok) AS BIGINT) AS tok
+        FROM base GROUP BY qm
+    ),
+    cum AS (
+        SELECT qm, tok,
+               SUM(tok) OVER (ORDER BY qm DESC) - tok AS cum_before
+        FROM hist
+    ),
+    boundary AS (
+        SELECT qm, (SELECT budget FROM b) - cum_before AS residual
+        FROM cum
+        WHERE cum_before <= (SELECT budget FROM b)
+          AND cum_before + tok > (SELECT budget FROM b)
+    ),
+    full_sel AS (
+        SELECT base.* FROM base
+        WHERE qm > COALESCE((SELECT qm FROM boundary), -1)
+          AND (SELECT COUNT(*) FROM boundary) = 1
+    ),
+    bdocs AS (
+        SELECT base.*,
+               SUM(ntok) OVER (ORDER BY doc_id) AS run
+        FROM base JOIN boundary ON base.qm = boundary.qm
+    ),
+    part_sel AS (
+        SELECT doc_id, source, ntok, qm FROM bdocs
+        WHERE run <= (SELECT residual FROM boundary)
+    ),
+    sel AS (SELECT * FROM full_sel UNION ALL SELECT * FROM part_sel)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(ntok) AS BIGINT) AS tokens_selected,
+           CAST(MIN(qm) AS BIGINT) AS min_quality_micro,
+           (SELECT budget FROM b) AS budget_tokens
+    FROM sel GROUP BY source
+    """
+
+
+@register(
+    "token_budget_selection",
+    _budget_oracle_sql(),
+    doc=f"X140 token-budget corpus selection ({BUDGET_FRAC_PCT}% of "
+        "corpus tokens): per-quality-level token histogram -> "
+        "descending cumulative window -> cutoff level; only the "
+        "boundary level is doc-ranked (doc_id prefix against the "
+        "residual budget). Per-source composition of the selected "
+        "set. The global best-first prefix without a global sort — "
+        "the selection shape every token-budgeted pretraining mix "
+        "needs.",
+    tags=("X140", "X28", "X18", "X11", "X12"),
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("ntok"),
+        F.round(1000000.0 * T.quality_score(F.col("text")), 0)
+        .cast("long").alias("qm"))
+    base = base.persist()
+    budget = base.agg(
+        F.expr(f"sum(ntok) * {BUDGET_FRAC_PCT} div 100").cast("long")
+        .alias("b")).collect()[0]["b"]
+    hist = base.groupBy("qm").agg(F.sum("ntok").cast("long").alias("tok"))
+    w = Window.orderBy(F.desc("qm")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("qm", "tok",
+                      (F.sum("tok").over(w) - F.col("tok"))
+                      .alias("cum_before"))
+    brow = (cum.filter((F.col("cum_before") <= budget)
+                       & (F.col("cum_before") + F.col("tok") > budget))
+            .select("qm", (F.lit(budget) - F.col("cum_before"))
+                    .alias("residual")).collect())
+    if brow:
+        q_b, residual = brow[0]["qm"], brow[0]["residual"]
+        full_sel = base.filter(F.col("qm") > q_b)
+        wrun = Window.orderBy("doc_id") \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        part_sel = (base.filter(F.col("qm") == q_b)
+                    .withColumn("run", F.sum("ntok").over(wrun))
+                    .filter(F.col("run") <= residual)
+                    .drop("run"))
+        sel = full_sel.unionByName(part_sel)
+    else:  # budget >= corpus: everything selected
+        sel = base
+    return (sel.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_selected"),
+                 F.sum("ntok").cast("long").alias("tokens_selected"),
+                 F.min("qm").cast("long").alias("min_quality_micro"))
+            .withColumn("budget_tokens", F.lit(budget).cast("long")))

@@ -91,6 +91,7 @@ NEW_R4: dict[str, str] = {
     "optimal_threshold_selection": "X137",
     "rater_agreement_kappa": "X138",
     "nation_revenue_gini": "X139",
+    "token_budget_selection": "X140",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -1001,3 +1001,47 @@ def test_gini_matches_bruteforce_and_bounds(spark, sf_dir):
         assert r["gini_num"] == 2 * iw - (n + 1) * total
         assert r["gini_den"] == n * total
         assert 0.0 <= r["gini"] < 1.0
+
+
+def test_token_budget_selection_is_the_greedy_prefix(spark, sf_dir):
+    """X140: the selected set must equal the Python greedy best-first
+    prefix (quality desc, doc_id asc within a level) under the same
+    budget — per-source counts, token totals, and the budget itself."""
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators import text as T
+    from etl_airflow_spotify_spark.queries.curation import \
+        BUDGET_FRAC_PCT
+    import pyspark.sql.functions as F
+
+    base = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+                    .alias("ntok"),
+                    F.round(1000000.0 * T.quality_score(F.col("text")), 0)
+                    .cast("long").alias("qm")).collect())
+    budget = sum(r["ntok"] for r in base) * BUDGET_FRAC_PCT // 100
+    order = sorted(base, key=lambda r: (-r["qm"], r["doc_id"]))
+    run = 0
+    exp = defaultdict(lambda: [0, 0, None])
+    for r in order:
+        if run + r["ntok"] > budget:
+            # greedy prefix stops INSIDE the boundary level only
+            # for docs that no longer fit; later same-level docs may
+            # still fit? No: prefix semantics — stop at first overflow
+            # within the level ordering.
+            break
+        run += r["ntok"]
+        e = exp[r["source"]]
+        e[0] += 1
+        e[1] += r["ntok"]
+        e[2] = r["qm"] if e[2] is None else min(e[2], r["qm"])
+    got = {r["source"]: r
+           for r in _rows("token_budget_selection", spark, sf_dir)}
+    assert set(got) == set(exp)
+    for src, (n, toks, minq) in exp.items():
+        r = got[src]
+        assert r["budget_tokens"] == budget
+        assert (r["n_selected"], r["tokens_selected"],
+                r["min_quality_micro"]) == (n, toks, minq)
+    assert sum(r["tokens_selected"] for r in got.values()) <= budget

@@ -147,6 +147,7 @@ X_TITLES = {
     "X137": "Decision-threshold selection (Youden J / F1)",
     "X138": "Inter-annotator agreement (Cohen's kappa)",
     "X139": "Inequality metrics (Gini / Lorenz concentration)",
+    "X140": "Token-budget corpus selection (histogram cutoff)",
 }
 
 
