@@ -186,6 +186,7 @@ HEADLINE = [
     "rater_agreement_kappa",
     "nation_revenue_gini",
     "token_budget_selection",
+    "source_venn_regions",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

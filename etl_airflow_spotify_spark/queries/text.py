@@ -1514,3 +1514,81 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "score_micro")
             .orderBy(F.desc("score_micro"), F.asc("phrase"))
             .limit(RAKE_TOPK))
+
+
+# --------------------------------------------------------------------------
+# X141: multi-set Venn decomposition — the 7-region breakdown of
+# shingle content across three named sources, the provenance picture
+# X68's pairwise matrix can't show (pairwise Jaccard cannot
+# distinguish "A∩B∩C mass" from three disjoint pairwise overlaps).
+# One distinct (source, hash) pass -> per-hash membership BITMASK
+# (bit_or of per-source bits, one keyed aggregate) -> 7-region count
+# table. Inclusion-exclusion identities against the pairwise view are
+# law-tested. Mask aggregation is associative/commutative, so the op
+# is a plain map-side-combinable aggregate at any corpus size.
+# --------------------------------------------------------------------------
+VENN_SOURCES = ("src0", "src1", "src2")
+
+
+def _venn_oracle_sql() -> str:
+    k = OVERLAP_SHINGLE_K
+    bits = " ".join(f"WHEN '{s}' THEN {1 << i}"
+                    for i, s in enumerate(VENN_SOURCES))
+    srcs = ", ".join(f"'{s}'" for s in VENN_SOURCES)
+    return f"""
+    WITH d AS (
+        SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS ts
+        FROM documents WHERE source IN ({srcs})
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(sg), 1, 15))::BIGINT AS h
+        FROM (SELECT source,
+                     unnest(list_distinct(list_transform(
+                         generate_series(1, GREATEST(len(ts) - {k - 1}, 1)),
+                         i -> array_to_string(
+                             ts[CAST(i AS INTEGER):CAST(i AS INTEGER) + {k - 1}],
+                             ' ')))) AS sg
+              FROM d)
+    ),
+    masked AS (
+        SELECT h, CAST(bit_or(CASE source {bits} ELSE 0 END) AS BIGINT)
+                   AS mask
+        FROM sh GROUP BY h
+    )
+    SELECT mask AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles
+    FROM masked GROUP BY mask
+    """
+
+
+@register(
+    "source_venn_regions",
+    _venn_oracle_sql(),
+    doc=f"X141 Venn decomposition of distinct {OVERLAP_SHINGLE_K}-gram "
+        f"shingles across sources {', '.join(VENN_SOURCES)}: per-hash "
+        "membership bitmask (bit_or aggregate) -> exact counts for "
+        "all 7 regions. Distinct-first, one mask aggregate, one "
+        "7-row rollup; inclusion-exclusion against the X68 pairwise "
+        "matrix is law-tested.",
+    tags=("X141", "X68", "X16", "X7"),
+)
+def source_venn_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    d = _docs(spark, sf_dir).filter(F.col("source").isin(*VENN_SOURCES))
+    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sh = (d.select("source",
+                   F.explode(D.token_shingles(ts, OVERLAP_SHINGLE_K))
+                   .alias("sg"))
+          .select("source",
+                  F.conv(F.substring(F.md5("sg"), 1, 15), 16, 10)
+                  .cast("long").alias("h"))
+          .distinct())
+    bits = " ".join(f"WHEN '{s}' THEN {1 << i}"
+                    for i, s in enumerate(VENN_SOURCES))
+    masked = (sh.groupBy("h")
+              .agg(F.expr(f"cast(bit_or(CASE source {bits} ELSE 0 END) "
+                          "as bigint)").alias("mask")))
+    return (masked.groupBy(F.col("mask").alias("region"))
+            .agg(F.count("*").cast("long").alias("n_shingles")))

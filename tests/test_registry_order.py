@@ -92,6 +92,7 @@ NEW_R4: dict[str, str] = {
     "rater_agreement_kappa": "X138",
     "nation_revenue_gini": "X139",
     "token_budget_selection": "X140",
+    "source_venn_regions": "X141",
 }
 DEFERRED |= set(NEW_R4)
 

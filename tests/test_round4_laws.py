@@ -1045,3 +1045,32 @@ def test_token_budget_selection_is_the_greedy_prefix(spark, sf_dir):
         assert (r["n_selected"], r["tokens_selected"],
                 r["min_quality_micro"]) == (n, toks, minq)
     assert sum(r["tokens_selected"] for r in got.values()) <= budget
+
+
+def test_venn_regions_match_python_sets(spark, sf_dir):
+    """X141: rebuild the three shingle sets in Python and check every
+    region count by direct set algebra (absent regions are zero)."""
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.queries.text import (
+        _docs, OVERLAP_SHINGLE_K, VENN_SOURCES)
+
+    k = OVERLAP_SHINGLE_K
+    sets = defaultdict(set)
+    for r in (_docs(spark, sf_dir)
+              .filter(f"source IN {tuple(VENN_SOURCES)}")
+              .select("source", "text").collect()):
+        ts = r["text"].strip().lower().split()
+        n = max(len(ts) - (k - 1), 1)
+        for i in range(n):
+            sets[r["source"]].add(" ".join(ts[i:i + k]))
+    universe = set().union(*sets.values())
+    exp = defaultdict(int)
+    for sg in universe:
+        mask = sum(1 << i for i, s in enumerate(VENN_SOURCES)
+                   if sg in sets[s])
+        exp[mask] += 1
+    got = {r["region"]: r["n_shingles"]
+           for r in _rows("source_venn_regions", spark, sf_dir)}
+    for m in range(1, 8):
+        assert got.get(m, 0) == exp.get(m, 0)
+    assert sum(got.values()) == len(universe)

@@ -148,6 +148,7 @@ X_TITLES = {
     "X138": "Inter-annotator agreement (Cohen's kappa)",
     "X139": "Inequality metrics (Gini / Lorenz concentration)",
     "X140": "Token-budget corpus selection (histogram cutoff)",
+    "X141": "Multi-set Venn decomposition (bitmask regions)",
 }
 
 
