@@ -187,6 +187,7 @@ HEADLINE = [
     "nation_revenue_gini",
     "token_budget_selection",
     "source_venn_regions",
+    "bagged_stump_forest",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -280,3 +280,206 @@ def optimal_threshold_selection(spark: SparkSession,
                       F.round(1000000.0 * F.col("f1"), 0).cast("long")
                       .alias("metric_micro")))
     return youden.unionByName(f1best)
+
+
+# --------------------------------------------------------------------------
+# X142: bagged ensemble training + out-of-bag evaluation — random-
+# forest mechanics on the X125 stump learner, fully deterministic:
+# bag membership is an md5 coin per (row, bag) (p = 63/100,
+# approximating bootstrap's 1 - 1/e inclusion), so both engines grow
+# IDENTICAL forests and score the IDENTICAL OOB set — the free
+# validation estimate bagging is loved for, no holdout split needed.
+# Training is ONE pass: membership explode -> per-(bag, feature,
+# value) histogram -> per-bag prefix-window split scan (same
+# integer-exact Gini argmax as X125). OOB scoring fans each row out
+# to the BAGS stump rows (a broadcast of BAGS constants), votes with
+# an integer majority rule, and folds accuracy as BIGINT counts.
+# --------------------------------------------------------------------------
+FOREST_BAGS = 8
+FOREST_BAG_PCT = 63
+
+
+def _forest_oracle_sql() -> str:
+    return f"""
+    WITH base AS (
+        SELECT CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS rid,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc,
+               CASE WHEN l_returnflag = '{STUMP_LABEL}' THEN 1 ELSE 0 END
+                   AS pos
+        FROM lineitem
+    ),
+    bags AS (SELECT UNNEST(generate_series(0, {FOREST_BAGS - 1})) AS bag),
+    member AS (
+        SELECT b.bag, base.*
+        FROM base CROSS JOIN bags b
+        WHERE (('0x' || substr(md5('bag' || b.bag || ':' || base.rid),
+                               1, 15))::BIGINT % 100) < {FOREST_BAG_PCT}
+    ),
+    long AS (
+        SELECT bag, 'qty' AS feature, qty AS v, pos FROM member
+        UNION ALL
+        SELECT bag, 'disc', disc, pos FROM member
+    ),
+    hist AS (
+        SELECT bag, feature, v, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS p
+        FROM long GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT bag, feature, v,
+               SUM(n) OVER (PARTITION BY bag, feature ORDER BY v)
+                   AS n_left,
+               SUM(p) OVER (PARTITION BY bag, feature ORDER BY v)
+                   AS pos_left,
+               SUM(n) OVER (PARTITION BY bag, feature) AS n_tot,
+               SUM(p) OVER (PARTITION BY bag, feature) AS pos_tot
+        FROM hist
+    ),
+    cand AS (
+        SELECT bag, feature, v,
+               n_left, pos_left,
+               n_tot - n_left AS n_right,
+               pos_tot - pos_left AS pos_right,
+               (CAST(pos_left * pos_left
+                     + (n_left - pos_left) * (n_left - pos_left)
+                     AS DOUBLE) / n_left)
+               + (CAST((pos_tot - pos_left) * (pos_tot - pos_left)
+                       + ((n_tot - n_left) - (pos_tot - pos_left))
+                         * ((n_tot - n_left) - (pos_tot - pos_left))
+                       AS DOUBLE) / (n_tot - n_left)) AS score
+        FROM cum WHERE n_left > 0 AND n_tot - n_left > 0
+    ),
+    stumps AS (
+        SELECT bag, feature, v AS split_at,
+               CASE WHEN pos_left * 2 > n_left THEN 1 ELSE 0 END
+                   AS left_pred,
+               CASE WHEN pos_right * 2 > n_right THEN 1 ELSE 0 END
+                   AS right_pred
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY bag
+                                           ORDER BY score DESC,
+                                                    feature, v) AS rn
+              FROM cand)
+        WHERE rn = 1
+    ),
+    votes AS (
+        SELECT base.rid, base.pos,
+               CAST(COUNT(*) AS BIGINT) AS n_votes,
+               CAST(SUM(CASE WHEN (CASE WHEN s.feature = 'qty'
+                                        THEN base.qty ELSE base.disc END)
+                                  <= s.split_at
+                             THEN s.left_pred ELSE s.right_pred END)
+                    AS BIGINT) AS votes1
+        FROM base CROSS JOIN stumps s
+        WHERE (('0x' || substr(md5('bag' || s.bag || ':' || base.rid),
+                               1, 15))::BIGINT % 100) >= {FOREST_BAG_PCT}
+        GROUP BY base.rid, base.pos
+    ),
+    oob AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS oob_n,
+               CAST(SUM(CASE WHEN (CASE WHEN votes1 * 2 > n_votes
+                                        THEN 1 ELSE 0 END) = pos
+                             THEN 1 ELSE 0 END) AS BIGINT) AS oob_correct
+        FROM votes
+    )
+    SELECT s.bag, s.feature, s.split_at, s.left_pred, s.right_pred,
+           o.oob_n, o.oob_correct,
+           ROUND(CAST(o.oob_correct AS DOUBLE) / o.oob_n, 6) AS oob_acc
+    FROM stumps s CROSS JOIN oob o
+    """
+
+
+@register(
+    "bagged_stump_forest",
+    _forest_oracle_sql(),
+    doc=f"X142 bagged stump forest ({FOREST_BAGS} bags, "
+        f"{FOREST_BAG_PCT}% deterministic md5 inclusion) with "
+        "out-of-bag accuracy: one membership-exploded histogram pass "
+        "trains every bag's stump simultaneously (per-bag prefix "
+        "windows, integer-exact Gini argmax), OOB rows vote by "
+        "integer majority against the stumps they never trained on. "
+        "The forest, its per-bag splits, and the OOB estimate are "
+        "bit-identical across engines.",
+    tags=("X142", "X125", "X7", "X11", "X14"),
+)
+def bagged_stump_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = persist_tracked(li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+        .alias("rid"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc"),
+        F.when(F.col("l_returnflag") == STUMP_LABEL, 1).otherwise(0)
+        .alias("pos")))
+    bags = spark.range(FOREST_BAGS).select(F.col("id").alias("bag"))
+    coin = F.conv(F.substring(
+        F.md5(F.concat(F.lit("bag"), F.col("bag"), F.lit(":"),
+                       F.col("rid"))), 1, 15), 16, 10).cast("long") % 100
+    member = (base.crossJoin(F.broadcast(bags))
+              .filter(coin < FOREST_BAG_PCT))
+    long_ = member.selectExpr(
+        "bag", "stack(2, 'qty', qty, 'disc', disc) AS (feature, v)",
+        "pos")
+    hist = (long_.groupBy("bag", "feature", "v")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("pos").cast("long").alias("p")))
+    w_cum = Window.partitionBy("bag", "feature").orderBy("v")
+    w_all = Window.partitionBy("bag", "feature")
+    cum = hist.select(
+        "bag", "feature", "v",
+        F.sum("n").over(w_cum).alias("n_left"),
+        F.sum("p").over(w_cum).alias("pos_left"),
+        F.sum("n").over(w_all).alias("n_tot"),
+        F.sum("p").over(w_all).alias("pos_tot"))
+    cand = (cum.filter((F.col("n_left") > 0)
+                       & (F.col("n_tot") - F.col("n_left") > 0))
+            .withColumn("n_right", F.col("n_tot") - F.col("n_left"))
+            .withColumn("pos_right",
+                        F.col("pos_tot") - F.col("pos_left"))
+            .withColumn(
+                "score",
+                (F.expr("cast(pos_left*pos_left + "
+                        "(n_left-pos_left)*(n_left-pos_left) as double)")
+                 / F.col("n_left"))
+                + (F.expr("cast(pos_right*pos_right + "
+                          "(n_right-pos_right)*(n_right-pos_right) "
+                          "as double)") / F.col("n_right"))))
+    w_best = Window.partitionBy("bag").orderBy(
+        F.desc("score"), F.asc("feature"), F.asc("v"))
+    stumps = (cand.withColumn("rn", F.row_number().over(w_best))
+              .filter(F.col("rn") == 1)
+              .select("bag", "feature", F.col("v").alias("split_at"),
+                      F.when(F.col("pos_left") * 2 > F.col("n_left"), 1)
+                      .otherwise(0).alias("left_pred"),
+                      F.when(F.col("pos_right") * 2 > F.col("n_right"), 1)
+                      .otherwise(0).alias("right_pred")))
+    s = stumps.select(F.col("bag").alias("s_bag"),
+                      F.col("feature").alias("s_feature"),
+                      F.col("split_at").alias("s_split"),
+                      F.col("left_pred").alias("s_left"),
+                      F.col("right_pred").alias("s_right"))
+    oob_coin = F.conv(F.substring(
+        F.md5(F.concat(F.lit("bag"), F.col("s_bag"), F.lit(":"),
+                       F.col("rid"))), 1, 15), 16, 10).cast("long") % 100
+    fv = F.when(F.col("s_feature") == "qty", F.col("qty")) \
+        .otherwise(F.col("disc"))
+    pred = F.when(fv <= F.col("s_split"), F.col("s_left")) \
+        .otherwise(F.col("s_right"))
+    votes = (base.crossJoin(F.broadcast(s))
+             .filter(oob_coin >= FOREST_BAG_PCT)
+             .groupBy("rid", "pos")
+             .agg(F.count("*").cast("long").alias("n_votes"),
+                  F.sum(pred).cast("long").alias("votes1")))
+    oob = votes.agg(
+        F.count("*").cast("long").alias("oob_n"),
+        F.sum(F.when(
+            (F.when(F.col("votes1") * 2 > F.col("n_votes"), 1)
+             .otherwise(0)) == F.col("pos"), 1).otherwise(0))
+        .cast("long").alias("oob_correct"))
+    return (stumps.crossJoin(F.broadcast(oob))
+            .select("bag", "feature", "split_at", "left_pred",
+                    "right_pred", "oob_n", "oob_correct",
+                    F.round(F.col("oob_correct").cast("double")
+                            / F.col("oob_n"), 6).alias("oob_acc")))

