@@ -188,6 +188,7 @@ HEADLINE = [
     "token_budget_selection",
     "source_venn_regions",
     "bagged_stump_forest",
+    "boosted_stumps_l2",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -483,3 +483,212 @@ def bagged_stump_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "right_pred", "oob_n", "oob_correct",
                     F.round(F.col("oob_correct").cast("double")
                             / F.col("oob_n"), 6).alias("oob_acc")))
+
+
+# --------------------------------------------------------------------------
+# X143: L2 gradient boosting, two stages of regression stumps — the
+# additive-model step beyond X125's classifier: stage 1 fits price
+# cents from (qty, disc) by the exact SSE-optimal stump (argmax of
+# (sum_yL)^2/nL + (sum_yR)^2/nR over histogram prefix sums — the
+# regression twin of the Gini scan), stage 2 fits the INTEGER
+# residuals, predictions add. Leaf values are ROUND(sum/n) on
+# IEEE-identical doubles of exact integer sums; SSE folds in
+# DECIMAL(38,0) (Spark decimal sum == DuckDB HUGEINT — no BIGINT
+# overflow at any SF, no float summation anywhere). The boosting
+# invariant MSE(stage0) >= MSE(1) >= MSE(2) is law-tested. Three
+# corpus passes total (one histogram per stage + one final scoring
+# scan); each stage's model is a 1-row bounded collect.
+# --------------------------------------------------------------------------
+BOOST_STAGES = 2
+
+
+def _boost_stage_sql(y_expr: str, stage: int) -> str:
+    """CTE block choosing the SSE-optimal stump for ``y_expr`` (an
+    integer expression over base) — emits s{stage} (1 row: feature,
+    split_at, leaf_lo, leaf_hi)."""
+    return f"""
+    long{stage} AS (
+        SELECT 'qty' AS feature, qty AS v, {y_expr} AS y FROM base
+        UNION ALL
+        SELECT 'disc', disc, {y_expr} FROM base
+    ),
+    hist{stage} AS (
+        SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy
+        FROM long{stage} GROUP BY 1, 2
+    ),
+    cum{stage} AS (
+        SELECT feature, v,
+               SUM(n) OVER (PARTITION BY feature ORDER BY v) AS nl,
+               SUM(sy) OVER (PARTITION BY feature ORDER BY v) AS syl,
+               SUM(n) OVER (PARTITION BY feature) AS nt,
+               SUM(sy) OVER (PARTITION BY feature) AS syt
+        FROM hist{stage}
+    ),
+    s{stage} AS (
+        SELECT feature, v AS split_at,
+               CAST(ROUND(CAST(syl AS DOUBLE) / nl, 0) AS BIGINT)
+                   AS leaf_lo,
+               CAST(ROUND(CAST(syt - syl AS DOUBLE) / (nt - nl), 0)
+                    AS BIGINT) AS leaf_hi
+        FROM (SELECT *,
+                     ROW_NUMBER() OVER (ORDER BY
+                         (CAST(syl AS DOUBLE) * syl / nl)
+                         + (CAST(syt - syl AS DOUBLE) * (syt - syl)
+                            / (nt - nl)) DESC,
+                         feature, v) AS rn
+              FROM cum{stage}
+              WHERE nl > 0 AND nt - nl > 0)
+        WHERE rn = 1
+    )"""
+
+
+def _boost_oracle_sql() -> str:
+    pred1 = """(SELECT CASE WHEN (CASE WHEN s1.feature = 'qty'
+                                  THEN base.qty ELSE base.disc END)
+                            <= s1.split_at
+                       THEN s1.leaf_lo ELSE s1.leaf_hi END FROM s1)"""
+    pred2 = """(SELECT CASE WHEN (CASE WHEN s2.feature = 'qty'
+                                  THEN base.qty ELSE base.disc END)
+                            <= s2.split_at
+                       THEN s2.leaf_lo ELSE s2.leaf_hi END FROM s2)"""
+    return f"""
+    WITH base AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty,
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    {_boost_stage_sql("y", 1).lstrip()},
+    {_boost_stage_sql(f"y - {pred1}", 2).lstrip()},
+    mean AS (SELECT CAST(ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 0)
+                         AS BIGINT) AS m,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM base),
+    scored AS (
+        SELECT y, (SELECT m FROM mean) AS p0,
+               {pred1} AS p1,
+               {pred1} + {pred2} AS p12
+        FROM base
+    ),
+    mse AS (
+        SELECT CAST(ROUND(CAST(SUM(CAST((y - p0) * (y - p0)
+                                        AS HUGEINT)) AS DOUBLE)
+                          / COUNT(*), 0) AS BIGINT) AS mse0,
+               CAST(ROUND(CAST(SUM(CAST((y - p1) * (y - p1)
+                                        AS HUGEINT)) AS DOUBLE)
+                          / COUNT(*), 0) AS BIGINT) AS mse1,
+               CAST(ROUND(CAST(SUM(CAST((y - p12) * (y - p12)
+                                        AS HUGEINT)) AS DOUBLE)
+                          / COUNT(*), 0) AS BIGINT) AS mse2
+        FROM scored
+    )
+    SELECT 0 AS stage, 'mean' AS feature,
+           CAST(NULL AS BIGINT) AS split_at,
+           (SELECT m FROM mean) AS leaf_lo, (SELECT m FROM mean)
+               AS leaf_hi,
+           (SELECT mse0 FROM mse) AS mse_cents2
+    UNION ALL
+    SELECT 1, feature, split_at, leaf_lo, leaf_hi,
+           (SELECT mse1 FROM mse)
+    FROM s1
+    UNION ALL
+    SELECT 2, feature, split_at, leaf_lo, leaf_hi,
+           (SELECT mse2 FROM mse)
+    FROM s2
+    ORDER BY stage
+    """
+
+
+@register(
+    "boosted_stumps_l2",
+    _boost_oracle_sql(),
+    doc="X143 two-stage L2 gradient boosting with regression stumps "
+        "on price cents: per-stage SSE-optimal split via histogram "
+        "prefix sums (regression twin of the X125 Gini scan), integer "
+        "residual handoff, additive prediction. SSE folds in "
+        "DECIMAL(38,0)/HUGEINT so no float summation or BIGINT "
+        "overflow exists at any scale; per-stage MSE is the lone "
+        "division. Law-pinned: MSE never increases across stages.",
+    tags=("X143", "X125", "X60", "X7", "X11"),
+)
+def boosted_stumps_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = persist_tracked(li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("y")))
+
+    def fit_stump(df, y_col):
+        long_ = df.selectExpr(
+            "stack(2, 'qty', qty, 'disc', disc) AS (feature, v)",
+            f"{y_col} AS y")
+        hist = (long_.groupBy("feature", "v")
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.sum("y").cast("long").alias("sy")))
+        w_cum = Window.partitionBy("feature").orderBy("v")
+        w_all = Window.partitionBy("feature")
+        cum = hist.select(
+            "feature", "v",
+            F.sum("n").over(w_cum).alias("nl"),
+            F.sum("sy").over(w_cum).alias("syl"),
+            F.sum("n").over(w_all).alias("nt"),
+            F.sum("sy").over(w_all).alias("syt"))
+        cand = cum.filter((F.col("nl") > 0)
+                          & (F.col("nt") - F.col("nl") > 0))
+        score = (F.col("syl").cast("double") * F.col("syl")
+                 / F.col("nl")
+                 + (F.col("syt") - F.col("syl")).cast("double")
+                 * (F.col("syt") - F.col("syl"))
+                 / (F.col("nt") - F.col("nl")))
+        best = (cand.withColumn(
+            "rn", F.row_number().over(
+                Window.orderBy(score.desc(), F.asc("feature"),
+                               F.asc("v"))))
+            .filter(F.col("rn") == 1)
+            .select("feature", F.col("v").alias("split_at"),
+                    F.round(F.col("syl").cast("double") / F.col("nl"), 0)
+                    .cast("long").alias("leaf_lo"),
+                    F.round((F.col("syt") - F.col("syl")).cast("double")
+                            / (F.col("nt") - F.col("nl")), 0)
+                    .cast("long").alias("leaf_hi"))
+            .collect()[0])
+        return best
+
+    def pred_expr(s):
+        fv = F.when(F.lit(s["feature"]) == "qty", F.col("qty")) \
+            .otherwise(F.col("disc"))
+        return F.when(fv <= s["split_at"], F.lit(s["leaf_lo"])) \
+            .otherwise(F.lit(s["leaf_hi"]))
+
+    s1 = fit_stump(base, "y")
+    with_p1 = base.withColumn("p1", pred_expr(s1))
+    s2 = fit_stump(with_p1.withColumn("r", F.col("y") - F.col("p1"))
+                   .select("qty", "disc", F.col("r")), "r")
+    mean_row = base.agg(
+        F.round(F.sum("y").cast("double") / F.count("*"), 0)
+        .cast("long").alias("m")).collect()[0]
+    m = mean_row["m"]
+    scored = with_p1.withColumn("p12", F.col("p1") + pred_expr(s2))
+
+    def mse(col):
+        d = (F.col("y") - F.col(col)).cast("decimal(38,0)")
+        return F.round(F.sum(d * d).cast("double") / F.count("*"), 0) \
+            .cast("long")
+
+    mrow = (scored.withColumn("p0", F.lit(m))
+            .agg(mse("p0").alias("mse0"), mse("p1").alias("mse1"),
+                 mse("p12").alias("mse2")).collect()[0])
+    rows = [
+        (0, "mean", None, m, m, mrow["mse0"]),
+        (1, s1["feature"], s1["split_at"], s1["leaf_lo"], s1["leaf_hi"],
+         mrow["mse1"]),
+        (2, s2["feature"], s2["split_at"], s2["leaf_lo"], s2["leaf_hi"],
+         mrow["mse2"]),
+    ]
+    return spark.createDataFrame(
+        rows, "stage INT, feature STRING, split_at BIGINT, "
+              "leaf_lo BIGINT, leaf_hi BIGINT, mse_cents2 BIGINT")

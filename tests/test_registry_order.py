@@ -94,6 +94,7 @@ NEW_R4: dict[str, str] = {
     "token_budget_selection": "X140",
     "source_venn_regions": "X141",
     "bagged_stump_forest": "X142",
+    "boosted_stumps_l2": "X143",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -1093,3 +1093,45 @@ def test_forest_bags_and_oob_disjointness(spark, sf_dir):
     for r in rows:
         assert r["feature"] in ("qty", "disc")
         assert r["left_pred"] in (0, 1) and r["right_pred"] in (0, 1)
+
+
+def test_boosting_never_increases_mse(spark, sf_dir):
+    """X143: the additive-stage invariant — MSE(mean) >= MSE(stage 1)
+    >= MSE(stage 1+2); stage rows are well-formed; stage-1 split is
+    the SSE optimum (verified by an independent histogram sweep)."""
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    rows = {r["stage"]: r for r in _rows("boosted_stumps_l2",
+                                         spark, sf_dir)}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["mse_cents2"] >= rows[1]["mse_cents2"] \
+        >= rows[2]["mse_cents2"]
+    assert rows[0]["split_at"] is None
+    # independent SSE sweep for stage 1
+    hist = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for r in (load_table(spark, sf_dir, "lineitem")
+              .select(F.col("l_quantity").cast("long").alias("qty"),
+                      F.round(F.col("l_discount") * 100, 0).cast("long")
+                      .alias("disc"),
+                      F.round(F.col("l_extendedprice") * 100, 0)
+                      .cast("long").alias("y")).collect()):
+        for feat in ("qty", "disc"):
+            cell = hist[feat][r[feat]]
+            cell[0] += 1
+            cell[1] += r["y"]
+    best = None
+    for feat, cells in hist.items():
+        n_tot = sum(c[0] for c in cells.values())
+        sy_tot = sum(c[1] for c in cells.values())
+        nl = syl = 0
+        for v in sorted(cells):
+            nl += cells[v][0]
+            syl += cells[v][1]
+            if nl == n_tot:
+                continue
+            sc = syl * syl / nl + (sy_tot - syl) ** 2 / (n_tot - nl)
+            if best is None or sc > best[0] + 1e-9:
+                best = (sc, feat, v)
+    assert (rows[1]["feature"], rows[1]["split_at"]) == best[1:]

@@ -150,6 +150,7 @@ X_TITLES = {
     "X140": "Token-budget corpus selection (histogram cutoff)",
     "X141": "Multi-set Venn decomposition (bitmask regions)",
     "X142": "Bagged ensemble training + OOB evaluation",
+    "X143": "Gradient boosting (L2 regression stumps)",
 }
 
 
