@@ -189,6 +189,7 @@ HEADLINE = [
     "source_venn_regions",
     "bagged_stump_forest",
     "boosted_stumps_l2",
+    "simpson_paradox_audit",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

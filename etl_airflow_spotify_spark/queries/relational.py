@@ -2445,3 +2445,82 @@ def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                     num.cast("long").alias("gini_num"),
                     den.cast("long").alias("gini_den"),
                     F.round(num.cast("double") / den, 6).alias("gini")))
+
+
+# --------------------------------------------------------------------------
+# X144: Simpson's-paradox audit — the aggregation-reversal detector
+# every analytics platform needs before anyone trusts a pooled trend:
+# does the discount/quantity association FLIP when conditioned on
+# brand? Association sign = sign of the covariance numerator
+# n*sum(xy) - sum(x)*sum(y), folded per brand AND pooled, entirely in
+# DECIMAL(38,0) (exact at any scale, no float summation); signs come
+# from integer comparison, never a float epsilon. One lineitem+part
+# scan, one keyed aggregate, a broadcast 1-row pooled frame.
+# --------------------------------------------------------------------------
+@register(
+    "simpson_paradox_audit",
+    """
+    WITH base AS (
+        SELECT p.p_brand AS brand,
+               CAST(ROUND(l.l_discount * 100, 0) AS HUGEINT) AS x,
+               CAST(l.l_quantity AS HUGEINT) AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    grp AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+               COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS cov_num
+        FROM base GROUP BY brand
+    ),
+    pooled AS (
+        SELECT COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS cov_num
+        FROM base
+    )
+    SELECT g.brand, g.n,
+           CAST(CASE WHEN g.cov_num > 0 THEN 1
+                     WHEN g.cov_num < 0 THEN -1 ELSE 0 END AS BIGINT)
+               AS brand_sign,
+           CAST(CASE WHEN p.cov_num > 0 THEN 1
+                     WHEN p.cov_num < 0 THEN -1 ELSE 0 END AS BIGINT)
+               AS pooled_sign,
+           CAST(CASE WHEN (CASE WHEN g.cov_num > 0 THEN 1
+                                WHEN g.cov_num < 0 THEN -1 ELSE 0 END)
+                          * (CASE WHEN p.cov_num > 0 THEN 1
+                                  WHEN p.cov_num < 0 THEN -1 ELSE 0 END)
+                          = -1
+                     THEN 1 ELSE 0 END AS BIGINT) AS reversed
+    FROM grp g CROSS JOIN pooled p
+    """,
+    doc="X144 Simpson's-paradox audit of the discount->quantity "
+        "association: per-brand vs pooled covariance-numerator signs "
+        "(n*Sxy - Sx*Sy in DECIMAL(38,0)/HUGEINT — exact, "
+        "overflow-free, order-independent), reversal flag where the "
+        "conditioned sign opposes the pooled sign. The canonical "
+        "warning light for trend conclusions drawn across a "
+        "confounded grouping.",
+    tags=("X144", "X80", "X7", "X3"),
+)
+def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    base = (li.join(F.broadcast(part.select(
+                F.col("p_partkey").alias("l_partkey"), "p_brand")),
+                "l_partkey")
+            .select(F.col("p_brand").alias("brand"),
+                    F.round(F.col("l_discount") * 100, 0)
+                    .cast("decimal(38,0)").alias("x"),
+                    F.col("l_quantity").cast("decimal(38,0)").alias("y")))
+    grp = (base.groupBy("brand")
+           .agg(F.count("*").cast("long").alias("n"),
+                (F.count("*") * F.sum(F.col("x") * F.col("y"))
+                 - F.sum("x") * F.sum("y")).alias("cov_num")))
+    pooled = base.agg(
+        (F.count("*") * F.sum(F.col("x") * F.col("y"))
+         - F.sum("x") * F.sum("y")).alias("p_cov"))
+    sign = (lambda c: F.when(F.col(c) > 0, 1)
+            .when(F.col(c) < 0, -1).otherwise(0).cast("long"))
+    return (grp.crossJoin(F.broadcast(pooled))
+            .select("brand", "n",
+                    sign("cov_num").alias("brand_sign"),
+                    sign("p_cov").alias("pooled_sign"),
+                    F.when(sign("cov_num") * sign("p_cov") == -1, 1)
+                    .otherwise(0).cast("long").alias("reversed")))

@@ -95,6 +95,7 @@ NEW_R4: dict[str, str] = {
     "source_venn_regions": "X141",
     "bagged_stump_forest": "X142",
     "boosted_stumps_l2": "X143",
+    "simpson_paradox_audit": "X144",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -1135,3 +1135,44 @@ def test_boosting_never_increases_mse(spark, sf_dir):
             if best is None or sc > best[0] + 1e-9:
                 best = (sc, feat, v)
     assert (rows[1]["feature"], rows[1]["split_at"]) == best[1:]
+
+
+def test_simpson_audit_signs_match_bruteforce(spark, sf_dir):
+    """X144: recompute per-brand and pooled covariance numerators with
+    Python integers and verify every sign and reversal flag."""
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rows = (li.join(part.select(F.col("p_partkey").alias("l_partkey"),
+                                "p_brand"), "l_partkey")
+            .select("p_brand",
+                    F.round(F.col("l_discount") * 100, 0).cast("long")
+                    .alias("x"),
+                    F.col("l_quantity").cast("long").alias("y"))
+            .collect())
+    acc = defaultdict(lambda: [0, 0, 0, 0])  # n, sx, sy, sxy
+    pooled = [0, 0, 0, 0]
+    for r in rows:
+        for a in (acc[r["p_brand"]], pooled):
+            a[0] += 1
+            a[1] += r["x"]
+            a[2] += r["y"]
+            a[3] += r["x"] * r["y"]
+
+    def s(a):
+        c = a[0] * a[3] - a[1] * a[2]
+        return (c > 0) - (c < 0)
+
+    got = {r["brand"]: r
+           for r in _rows("simpson_paradox_audit", spark, sf_dir)}
+    assert set(got) == set(acc)
+    ps = s(pooled)
+    for brand, a in acc.items():
+        r = got[brand]
+        assert r["n"] == a[0]
+        assert r["brand_sign"] == s(a)
+        assert r["pooled_sign"] == ps
+        assert r["reversed"] == (1 if s(a) * ps == -1 else 0)

@@ -151,6 +151,7 @@ X_TITLES = {
     "X141": "Multi-set Venn decomposition (bitmask regions)",
     "X142": "Bagged ensemble training + OOB evaluation",
     "X143": "Gradient boosting (L2 regression stumps)",
+    "X144": "Simpson's-paradox audit (sign-reversal detection)",
 }
 
 
