@@ -190,6 +190,7 @@ HEADLINE = [
     "bagged_stump_forest",
     "boosted_stumps_l2",
     "simpson_paradox_audit",
+    "curve_layout_fragmentation",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -406,3 +406,167 @@ def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                               1).otherwise(0)).cast("long")
                  .alias("n_moved_in"),
                  F.count("*").cast("long").alias("n_after")))
+
+
+# --------------------------------------------------------------------------
+# X145: space-filling-curve layout comparison — Hilbert vs Z-order
+# (Morton) range-scan fragmentation. Data files sorted by a curve key
+# serve a rectangle predicate with as many contiguous reads as the
+# rectangle has index RUNS, so runs-per-rectangle IS the locality
+# metric that decides the layout (the reason Hilbert beats Morton for
+# square-ish predicates). Both indexes are generated-once SQL over
+# the bounded CELL table (distinct price-bucket x quantity, <= 64x64
+# — the corpus is touched once for the distinct aggregate): the
+# Hilbert transform is the classic xy2d recurrence UNROLLED into
+# HILBERT_BITS chained stages (pure &/CASE/arithmetic, the identical
+# generated text runs on both engines; bijectivity + unit-step
+# adjacency of the implementation are law-tested), Z is bit
+# interleaving. Fragmentation = LAG-gap run counting per (rectangle,
+# curve).
+# --------------------------------------------------------------------------
+HILBERT_BITS = 6  # 64 x 64 grid
+HILBERT_N = 1 << HILBERT_BITS
+CURVE_PRICE_W = 1600.0  # price-bucket width -> 0..63 over ~[900,102k]
+CURVE_RECTS = ((0, 15, 0, 15), (20, 50, 10, 30),
+               (0, 63, 24, 27), (40, 43, 0, 49))
+
+
+def hilbert_stage_exprs() -> list[tuple[str, str, str]]:
+    """Per-stage (hx, hy, hd) SQL expressions for the unrolled xy2d
+    recurrence — identical text executes on Spark and DuckDB."""
+    n1 = HILBERT_N - 1
+    stages = []
+    s = HILBERT_N // 2
+    while s > 0:
+        quad = (f"CASE WHEN (hx & {s}) = 0 AND (hy & {s}) = 0 THEN 0 "
+                f"WHEN (hx & {s}) = 0 THEN 1 "
+                f"WHEN (hy & {s}) > 0 THEN 2 ELSE 3 END")
+        new_x = (f"CASE WHEN (hy & {s}) > 0 THEN hx "
+                 f"WHEN (hx & {s}) > 0 THEN {n1} - hy ELSE hy END")
+        new_y = (f"CASE WHEN (hy & {s}) > 0 THEN hy "
+                 f"WHEN (hx & {s}) > 0 THEN {n1} - hx ELSE hx END")
+        stages.append((new_x, new_y, f"hd + {s * s} * ({quad})"))
+        s //= 2
+    return stages
+
+
+def zorder_bit_expr(xcol: str, ycol: str) -> str:
+    """Morton interleave as shared &/multiply text."""
+    parts = []
+    for i in range(HILBERT_BITS):
+        parts.append(f"(CASE WHEN ({xcol} & {1 << i}) > 0 "
+                     f"THEN {1 << (2 * i)} ELSE 0 END)")
+        parts.append(f"(CASE WHEN ({ycol} & {1 << i}) > 0 "
+                     f"THEN {1 << (2 * i + 1)} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+def _curve_cells_sql() -> str:
+    sql = f"""
+    WITH cells AS (
+        SELECT DISTINCT
+               CAST(LEAST(FLOOR(l_extendedprice / {CURVE_PRICE_W}),
+                          {HILBERT_N - 1}) AS BIGINT) AS px,
+               CAST(l_quantity - 1 AS BIGINT) AS qy
+        FROM lineitem
+    ),
+    h0 AS (SELECT px, qy, px AS hx, qy AS hy,
+                  CAST(0 AS BIGINT) AS hd FROM cells)"""
+    for i, (ex, ey, ed) in enumerate(hilbert_stage_exprs(), start=1):
+        prev = "h0" if i == 1 else f"hh{i - 1}"
+        sql += f""",
+    s{i} AS (SELECT px, qy, {ex} AS nhx, {ey} AS nhy, {ed} AS nhd
+             FROM {prev})"""
+        sql += f""",
+    hh{i} AS (SELECT px, qy, nhx AS hx, nhy AS hy, nhd AS hd FROM s{i})"""
+    last = len(hilbert_stage_exprs())
+    sql += f""",
+    idx AS (SELECT px, qy, hd AS h,
+                   CAST({zorder_bit_expr('px', 'qy')} AS BIGINT) AS z
+            FROM hh{last})"""
+    return sql
+
+
+def _fragment_oracle_sql() -> str:
+    rect_rows = " UNION ALL ".join(
+        f"SELECT {i} AS rect_id, {xl} AS xl, {xh} AS xh, {yl} AS yl,"
+        f" {yh} AS yh"
+        for i, (xl, xh, yl, yh) in enumerate(CURVE_RECTS))
+    return _curve_cells_sql() + f""",
+    rects AS ({rect_rows}),
+    hits AS (
+        SELECT r.rect_id, c.curve, c.i
+        FROM rects r
+        JOIN (SELECT px, qy, 'hilbert' AS curve, h AS i FROM idx
+              UNION ALL
+              SELECT px, qy, 'zorder', z FROM idx) c
+          ON c.px BETWEEN r.xl AND r.xh AND c.qy BETWEEN r.yl AND r.yh
+    ),
+    runs AS (
+        SELECT rect_id, curve,
+               CASE WHEN i - LAG(i) OVER (PARTITION BY rect_id, curve
+                                          ORDER BY i) = 1
+                    THEN 0 ELSE 1 END AS run_start
+        FROM hits
+    )
+    SELECT rect_id, curve, CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(run_start) AS BIGINT) AS n_runs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(run_start), 6)
+               AS avg_run_len
+    FROM runs GROUP BY rect_id, curve
+    """
+
+
+@register(
+    "curve_layout_fragmentation",
+    _fragment_oracle_sql(),
+    doc=f"X145 Hilbert-vs-Z-order layout audit on the "
+        f"{HILBERT_N}x{HILBERT_N} (price-bucket, quantity) cell grid: "
+        "per query-rectangle contiguous-run counts under each curve "
+        "(fewer runs = fewer seeks for a range scan over curve-sorted "
+        "files). Hilbert index = the classic xy2d recurrence unrolled "
+        "into generated stages whose text runs verbatim on both "
+        "engines (bijectivity + unit-step adjacency law-tested); "
+        "corpus is touched once for the distinct cell aggregate.",
+    tags=("X145", "X32", "X11", "X7"),
+)
+def curve_layout_fragmentation(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (li.selectExpr(
+        f"CAST(LEAST(FLOOR(l_extendedprice / {CURVE_PRICE_W}), "
+        f"{HILBERT_N - 1}) AS BIGINT) AS px",
+        "CAST(l_quantity - 1 AS BIGINT) AS qy").distinct())
+    h = cells.selectExpr("px", "qy", "px AS hx", "qy AS hy",
+                         "CAST(0 AS BIGINT) AS hd")
+    for ex, ey, ed in hilbert_stage_exprs():
+        h = h.selectExpr("px", "qy", f"{ex} AS nhx", f"{ey} AS nhy",
+                         f"{ed} AS nhd") \
+             .selectExpr("px", "qy", "nhx AS hx", "nhy AS hy",
+                         "nhd AS hd")
+    idx = h.selectExpr(
+        "px", "qy", "hd AS h",
+        f"CAST({zorder_bit_expr('px', 'qy')} AS BIGINT) AS z")
+    rects = spark.createDataFrame(
+        [(i,) + r for i, r in enumerate(CURVE_RECTS)],
+        "rect_id INT, xl INT, xh INT, yl INT, yh INT")
+    both = (idx.selectExpr("px", "qy", "'hilbert' AS curve", "h AS i")
+            .unionByName(idx.selectExpr("px", "qy", "'zorder' AS curve",
+                                        "z AS i")))
+    hits = (F.broadcast(rects).crossJoin(both)
+            .filter(F.col("px").between(F.col("xl"), F.col("xh"))
+                    & F.col("qy").between(F.col("yl"), F.col("yh")))
+            .select("rect_id", "curve", "i"))
+    w = Window.partitionBy("rect_id", "curve").orderBy("i")
+    runs = hits.select(
+        "rect_id", "curve",
+        F.when(F.col("i") - F.lag("i").over(w) == 1, 0).otherwise(1)
+        .alias("run_start"))
+    return (runs.groupBy("rect_id", "curve")
+            .agg(F.count("*").cast("long").alias("n_cells"),
+                 F.sum("run_start").cast("long").alias("n_runs"))
+            .withColumn("avg_run_len",
+                        F.round(F.col("n_cells").cast("double")
+                                / F.col("n_runs"), 6)))

@@ -96,6 +96,7 @@ NEW_R4: dict[str, str] = {
     "bagged_stump_forest": "X142",
     "boosted_stumps_l2": "X143",
     "simpson_paradox_audit": "X144",
+    "curve_layout_fragmentation": "X145",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -1176,3 +1176,66 @@ def test_simpson_audit_signs_match_bruteforce(spark, sf_dir):
         assert r["brand_sign"] == s(a)
         assert r["pooled_sign"] == ps
         assert r["reversed"] == (1 if s(a) * ps == -1 else 0)
+
+
+def test_hilbert_index_is_a_true_hilbert_curve(spark, sf_dir):
+    """X145: the generated-SQL Hilbert transform must be a bijection
+    on the full grid with unit-step adjacency between consecutive
+    indices (the defining Hilbert property), verified by replaying
+    the generated stage expressions in Python; and per-rectangle run
+    counts must match a brute-force recomputation for both curves."""
+    from etl_airflow_spotify_spark.queries.scale import (
+        CURVE_PRICE_W, CURVE_RECTS, HILBERT_N)
+    from etl_airflow_spotify_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    def xy2d(x, y):
+        d = 0
+        s = HILBERT_N // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = HILBERT_N - 1 - x, HILBERT_N - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pos = {}
+    for x in range(HILBERT_N):
+        for y in range(HILBERT_N):
+            pos[xy2d(x, y)] = (x, y)
+    assert sorted(pos) == list(range(HILBERT_N * HILBERT_N))
+    for d in range(1, HILBERT_N * HILBERT_N):
+        (x1, y1), (x2, y2) = pos[d - 1], pos[d]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+    cells = {(r["px"], r["qy"]) for r in
+             (load_table(spark, sf_dir, "lineitem")
+              .selectExpr(
+                  f"CAST(LEAST(FLOOR(l_extendedprice / {CURVE_PRICE_W}),"
+                  f" {HILBERT_N - 1}) AS BIGINT) AS px",
+                  "CAST(l_quantity - 1 AS BIGINT) AS qy")
+              .distinct().collect())}
+
+    def zidx(x, y):
+        z = 0
+        for i in range(6):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    got = {(r["rect_id"], r["curve"]): r
+           for r in _rows("curve_layout_fragmentation", spark, sf_dir)}
+    for rid, (xl, xh, yl, yh) in enumerate(CURVE_RECTS):
+        inside = [(x, y) for (x, y) in cells
+                  if xl <= x <= xh and yl <= y <= yh]
+        for curve, f in (("hilbert", xy2d), ("zorder", zidx)):
+            idxs = sorted(f(x, y) for x, y in inside)
+            runs = sum(1 for j, v in enumerate(idxs)
+                       if j == 0 or v - idxs[j - 1] != 1)
+            r = got[(rid, curve)]
+            assert r["n_cells"] == len(idxs)
+            assert r["n_runs"] == runs

@@ -152,6 +152,7 @@ X_TITLES = {
     "X142": "Bagged ensemble training + OOB evaluation",
     "X143": "Gradient boosting (L2 regression stumps)",
     "X144": "Simpson's-paradox audit (sign-reversal detection)",
+    "X145": "Space-filling-curve layout audit (Hilbert vs Z)",
 }
 
 
