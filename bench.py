@@ -191,6 +191,7 @@ HEADLINE = [
     "boosted_stumps_l2",
     "simpson_paradox_audit",
     "curve_layout_fragmentation",
+    "gformula_ate_standardization",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -692,3 +692,141 @@ def boosted_stumps_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "stage INT, feature STRING, split_at BIGINT, "
               "leaf_lo BIGINT, leaf_hi BIGINT, mse_cents2 BIGINT")
+
+
+# --------------------------------------------------------------------------
+# X146: causal standardization (the g-formula) — the confounder-
+# adjusted treatment-effect estimate X56's CUPED doesn't give you:
+# ATE = sum_s (n_s / n) * (ybar_treated,s - ybar_control,s), adjusting
+# the discount -> quantity effect for brand composition. Exactness:
+# per-stratum means divide exact BIGINT sums (IEEE-identical), each
+# stratum's weighted term snaps to a 1e-6 integer grid BEFORE the
+# cross-stratum fold, so the final sum is BIGINT — no float summation
+# across strata, no order dependence. One scan, one (stratum,
+# treatment) aggregate; strata table is group-cardinality. Also
+# reports the UNADJUSTED difference so the confounding gap is
+# visible.
+# --------------------------------------------------------------------------
+ATE_TREAT_PCT = 5  # treated = discount >= 5%
+
+
+def _gformula_oracle_sql() -> str:
+    return f"""
+    WITH base AS (
+        SELECT p.p_brand AS s,
+               CASE WHEN l.l_discount >= {ATE_TREAT_PCT} / 100.0
+                    THEN 1 ELSE 0 END AS t,
+               CAST(l.l_quantity AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    cell AS (
+        SELECT s, t, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy
+        FROM base GROUP BY s, t
+    ),
+    strata AS (
+        SELECT s,
+               CAST(SUM(n) AS BIGINT) AS n_s,
+               CAST(SUM(CASE WHEN t = 1 THEN n END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN t = 1 THEN sy END) AS BIGINT) AS sy1,
+               CAST(SUM(CASE WHEN t = 0 THEN n END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN t = 0 THEN sy END) AS BIGINT) AS sy0
+        FROM cell GROUP BY s
+        HAVING SUM(CASE WHEN t = 1 THEN n END) > 0
+           AND SUM(CASE WHEN t = 0 THEN n END) > 0
+    ),
+    terms AS (
+        SELECT s, n_s, n1, n0,
+               CAST(ROUND(1000000.0 * n_s
+                          * (CAST(sy1 AS DOUBLE) / n1
+                             - CAST(sy0 AS DOUBLE) / n0), 0) AS BIGINT)
+                   AS term_micro
+        FROM strata
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+               CAST(SUM(term_micro) AS BIGINT) AS sum_terms
+        FROM terms
+    ),
+    naive AS (
+        SELECT CAST(SUM(CASE WHEN t = 1 THEN sy END) AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN t = 1 THEN n END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN t = 0 THEN sy END) AS BIGINT) AS s0,
+               CAST(SUM(CASE WHEN t = 0 THEN n END) AS BIGINT) AS c0
+        FROM cell
+    )
+    SELECT t.s AS stratum, t.n_s, t.n1 AS n_treated, t.n0 AS n_control,
+           t.term_micro,
+           ROUND(CAST((SELECT sum_terms FROM tot) AS DOUBLE)
+                 / (SELECT n FROM tot) / 1000000.0, 6) AS ate_adjusted,
+           ROUND((SELECT CAST(s1 AS DOUBLE) / c1 - CAST(s0 AS DOUBLE)
+                         / c0
+                  FROM naive), 6) AS ate_naive
+    FROM terms t
+    """
+
+
+@register(
+    "gformula_ate_standardization",
+    _gformula_oracle_sql(),
+    doc=f"X146 g-formula standardization of the discount(>= "
+        f"{ATE_TREAT_PCT}%) -> quantity effect, adjusting for brand: "
+        "per-stratum treated/control means from exact BIGINT sums, "
+        "stratum terms snapped to the 1e-6 grid before the BIGINT "
+        "cross-stratum fold (no float summation), adjusted ATE = "
+        "term-sum / n. Unadjusted difference reported alongside so "
+        "the confounding gap is visible. One scan + one (stratum, "
+        "arm) aggregate.",
+    tags=("X146", "X56", "X144", "X7", "X3"),
+)
+def gformula_ate_standardization(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    base = (li.join(F.broadcast(part.select(
+                F.col("p_partkey").alias("l_partkey"), "p_brand")),
+                "l_partkey")
+            .select(F.col("p_brand").alias("s"),
+                    F.when(F.col("l_discount")
+                           >= ATE_TREAT_PCT / 100.0, 1).otherwise(0)
+                    .alias("t"),
+                    F.col("l_quantity").cast("long").alias("y")))
+    cell = (base.groupBy("s", "t")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("y").cast("long").alias("sy")))
+    strata = (cell.groupBy("s")
+              .agg(F.sum("n").cast("long").alias("n_s"),
+                   F.sum(F.when(F.col("t") == 1, F.col("n")))
+                   .cast("long").alias("n1"),
+                   F.sum(F.when(F.col("t") == 1, F.col("sy")))
+                   .cast("long").alias("sy1"),
+                   F.sum(F.when(F.col("t") == 0, F.col("n")))
+                   .cast("long").alias("n0"),
+                   F.sum(F.when(F.col("t") == 0, F.col("sy")))
+                   .cast("long").alias("sy0"))
+              .filter(F.col("n1").isNotNull() & (F.col("n1") > 0)
+                      & F.col("n0").isNotNull() & (F.col("n0") > 0)))
+    terms = strata.select(
+        "s", "n_s", "n1", "n0",
+        F.round(1000000.0 * F.col("n_s")
+                * (F.col("sy1").cast("double") / F.col("n1")
+                   - F.col("sy0").cast("double") / F.col("n0")), 0)
+        .cast("long").alias("term_micro"))
+    tot = terms.agg(F.sum("n_s").cast("long").alias("n"),
+                    F.sum("term_micro").cast("long").alias("sum_terms"))
+    naive = cell.agg(
+        (F.sum(F.when(F.col("t") == 1, F.col("sy"))).cast("double")
+         / F.sum(F.when(F.col("t") == 1, F.col("n")))
+         - F.sum(F.when(F.col("t") == 0, F.col("sy"))).cast("double")
+         / F.sum(F.when(F.col("t") == 0, F.col("n"))))
+        .alias("naive_diff"))
+    return (terms.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(naive))
+            .select(F.col("s").alias("stratum"), "n_s",
+                    F.col("n1").alias("n_treated"),
+                    F.col("n0").alias("n_control"),
+                    "term_micro",
+                    F.round(F.col("sum_terms").cast("double")
+                            / F.col("n") / 1000000.0, 6)
+                    .alias("ate_adjusted"),
+                    F.round(F.col("naive_diff"), 6).alias("ate_naive")))

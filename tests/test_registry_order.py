@@ -97,6 +97,7 @@ NEW_R4: dict[str, str] = {
     "boosted_stumps_l2": "X143",
     "simpson_paradox_audit": "X144",
     "curve_layout_fragmentation": "X145",
+    "gformula_ate_standardization": "X146",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -1239,3 +1239,47 @@ def test_hilbert_index_is_a_true_hilbert_curve(spark, sf_dir):
             r = got[(rid, curve)]
             assert r["n_cells"] == len(idxs)
             assert r["n_runs"] == runs
+
+
+def test_gformula_ate_matches_bruteforce(spark, sf_dir):
+    """X146: recompute the standardized and naive ATEs in Python from
+    raw rows; the adjusted estimate must equal the weighted stratum
+    fold, and every stratum term must match its snapped value."""
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.queries.ml import ATE_TREAT_PCT
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rows = (li.join(part.select(F.col("p_partkey").alias("l_partkey"),
+                                "p_brand"), "l_partkey")
+            .select("p_brand", "l_discount",
+                    F.col("l_quantity").cast("long").alias("y"))
+            .collect())
+    acc = defaultdict(lambda: [0, 0, 0, 0])  # n1, sy1, n0, sy0
+    for r in rows:
+        t = 1 if r["l_discount"] >= ATE_TREAT_PCT / 100.0 else 0
+        a = acc[r["p_brand"]]
+        if t:
+            a[0] += 1
+            a[1] += r["y"]
+        else:
+            a[2] += 1
+            a[3] += r["y"]
+    terms, n_tot = {}, 0
+    for s, (n1, sy1, n0, sy0) in acc.items():
+        if n1 > 0 and n0 > 0:
+            n_s = n1 + n0
+            n_tot += n_s
+            terms[s] = (n_s, n1, n0,
+                        round(1e6 * n_s * (sy1 / n1 - sy0 / n0)))
+    got = _rows("gformula_ate_standardization", spark, sf_dir)
+    assert {r["stratum"] for r in got} == set(terms)
+    ate = sum(t[3] for t in terms.values()) / n_tot / 1e6
+    for r in got:
+        n_s, n1, n0, tm = terms[r["stratum"]]
+        assert (r["n_s"], r["n_treated"], r["n_control"],
+                r["term_micro"]) == (n_s, n1, n0, tm)
+        assert abs(r["ate_adjusted"] - ate) <= 1e-6
+        assert r["ate_naive"] is not None

@@ -153,6 +153,7 @@ X_TITLES = {
     "X143": "Gradient boosting (L2 regression stumps)",
     "X144": "Simpson's-paradox audit (sign-reversal detection)",
     "X145": "Space-filling-curve layout audit (Hilbert vs Z)",
+    "X146": "Causal standardization (g-formula ATE)",
 }
 
 
