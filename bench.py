@@ -192,6 +192,7 @@ HEADLINE = [
     "simpson_paradox_audit",
     "curve_layout_fragmentation",
     "gformula_ate_standardization",
+    "capture_recapture_daily",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

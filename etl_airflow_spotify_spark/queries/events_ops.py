@@ -2673,3 +2673,80 @@ def event_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     num.cast("long").alias("acf_num"),
                     den.cast("long").alias("acf_den"),
                     F.round(num.cast("double") / den, 6).alias("acf"))
+
+
+# --------------------------------------------------------------------------
+# X147: capture-recapture population estimation (Chapman's
+# bias-corrected Lincoln-Petersen) — estimate the true daily active
+# population from two overlapping "capture" samples (users seen
+# viewing vs users seen clicking): N_hat = (n1+1)(n2+1)/(m+1) - 1.
+# The ecology estimator data teams reuse to size populations no
+# single log covers (total users when each event stream sees only a
+# subset). One distinct-(day, user, kind) aggregate -> per-day
+# integer counts -> one division; the true daily population rides
+# the same pass for calibration. Law-tested against Python set
+# algebra, plus m <= min(n1, n2) and N_hat >= max(n1, n2) whenever
+# the overlap is nonempty.
+# --------------------------------------------------------------------------
+@register(
+    "capture_recapture_daily",
+    """
+    WITH marks AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS cap
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    per_user AS (
+        SELECT d, user_id,
+               MAX(CASE WHEN cap = 1 THEN 1 ELSE 0 END) AS c1,
+               MAX(CASE WHEN cap = 2 THEN 1 ELSE 0 END) AS c2
+        FROM marks GROUP BY d, user_id
+    ),
+    caps AS (
+        SELECT d, CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(c1 * c2) AS BIGINT) AS m
+        FROM per_user GROUP BY d
+    ),
+    act AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_true
+        FROM events GROUP BY 1
+    )
+    SELECT caps.d, n1, n2, m,
+           ROUND((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1, 6)
+               AS n_hat,
+           act.n_true
+    FROM caps JOIN act ON act.d = caps.d
+    """,
+    doc="X147 Chapman capture-recapture: daily active-population "
+        "estimate from the view-capture and click-capture user sets, "
+        "N_hat = (n1+1)(n2+1)/(m+1) - 1 on exact integer counts, "
+        "with the true distinct-user count alongside for "
+        "calibration. Distinct-first aggregates only; no joins wider "
+        "than the day-cardinality tables.",
+    tags=("X147", "X8", "X56", "X7"),
+)
+def capture_recapture_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    per_user = (ev.filter(F.col("event_type").isin("view", "click"))
+                .select(F.to_date("ts").alias("d"), "user_id",
+                        (F.col("event_type") == "view").cast("int")
+                        .alias("v"),
+                        (F.col("event_type") == "click").cast("int")
+                        .alias("c"))
+                .groupBy("d", "user_id")
+                .agg(F.max("v").alias("c1"), F.max("c").alias("c2")))
+    caps = (per_user.groupBy("d")
+            .agg(F.sum("c1").cast("long").alias("n1"),
+                 F.sum("c2").cast("long").alias("n2"),
+                 F.sum(F.col("c1") * F.col("c2")).cast("long")
+                 .alias("m")))
+    act = (ev.groupBy(F.to_date("ts").alias("d"))
+           .agg(F.countDistinct("user_id").cast("long").alias("n_true")))
+    return (caps.join(act, "d")
+            .select("d", "n1", "n2", "m",
+                    F.round((F.col("n1") + 1).cast("double")
+                            * (F.col("n2") + 1) / (F.col("m") + 1) - 1,
+                            6).alias("n_hat"),
+                    "n_true"))

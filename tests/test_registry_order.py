@@ -98,6 +98,7 @@ NEW_R4: dict[str, str] = {
     "simpson_paradox_audit": "X144",
     "curve_layout_fragmentation": "X145",
     "gformula_ate_standardization": "X146",
+    "capture_recapture_daily": "X147",
 }
 DEFERRED |= set(NEW_R4)
 

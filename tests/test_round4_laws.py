@@ -1283,3 +1283,35 @@ def test_gformula_ate_matches_bruteforce(spark, sf_dir):
                 r["term_micro"]) == (n_s, n1, n0, tm)
         assert abs(r["ate_adjusted"] - ate) <= 1e-6
         assert r["ate_naive"] is not None
+
+
+def test_capture_recapture_matches_set_algebra(spark, sf_dir):
+    """X147: daily capture sets recomputed in Python must reproduce
+    n1/n2/m/n_true exactly; Chapman estimate honors m <= min(n1, n2)
+    and exceeds each single capture when overlap exists."""
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.queries.events_ops import _ev
+
+    views, clicks, active = (defaultdict(set), defaultdict(set),
+                             defaultdict(set))
+    for e in (_ev(spark, sf_dir)
+              .selectExpr("cast(ts as date) AS d", "user_id",
+                          "event_type").collect()):
+        active[e["d"]].add(e["user_id"])
+        if e["event_type"] == "view":
+            views[e["d"]].add(e["user_id"])
+        elif e["event_type"] == "click":
+            clicks[e["d"]].add(e["user_id"])
+    got = {r["d"]: r for r in _rows("capture_recapture_daily",
+                                    spark, sf_dir)}
+    assert set(got) == set(active)
+    for d, r in got.items():
+        n1, n2 = len(views[d]), len(clicks[d])
+        m = len(views[d] & clicks[d])
+        assert (r["n1"], r["n2"], r["m"]) == (n1, n2, m)
+        assert r["n_true"] == len(active[d])
+        assert m <= min(n1, n2)
+        est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+        assert abs(r["n_hat"] - est) <= 5e-7
+        if m > 0:
+            assert r["n_hat"] >= max(n1, n2) - 1e-9

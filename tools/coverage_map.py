@@ -154,6 +154,7 @@ X_TITLES = {
     "X144": "Simpson's-paradox audit (sign-reversal detection)",
     "X145": "Space-filling-curve layout audit (Hilbert vs Z)",
     "X146": "Causal standardization (g-formula ATE)",
+    "X147": "Capture-recapture estimation (Chapman)",
 }
 
 
