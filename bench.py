@@ -193,6 +193,7 @@ HEADLINE = [
     "curve_layout_fragmentation",
     "gformula_ate_standardization",
     "capture_recapture_daily",
+    "stratum_seat_apportionment",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

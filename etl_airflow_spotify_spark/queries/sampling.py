@@ -248,3 +248,95 @@ def weighted_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang",
                     F.col("n_tickets").cast("long").alias("n_tickets"),
                     "race_key", F.col("rn").cast("long").alias("rank")))
+
+
+# --------------------------------------------------------------------------
+# X148: proportional apportionment by largest remainder (Hamilton's
+# method) — the exact-integer answer to "split this sampling budget
+# across strata proportionally": floor the quotas, then hand the
+# leftover seats to the largest remainders (ties broken by stratum
+# size then name — fully deterministic). All arithmetic is BIGINT
+# (quota numerator seats*n_s, integer DIV/MOD against the corpus
+# total); the remainder ranking is a window over the STRATUM table
+# (group cardinality, never rows). Hamilton satisfies the quota
+# property — every stratum gets floor(quota) or ceil(quota) —
+# law-tested along with the exact-sum invariant.
+# --------------------------------------------------------------------------
+APPORTION_SEATS = 1000
+
+
+def _apportion_oracle_sql() -> str:
+    return f"""
+    WITH strata AS (
+        SELECT lang || '/' || source AS stratum,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM strata),
+    quotas AS (
+        SELECT stratum, n_docs,
+               {APPORTION_SEATS} * n_docs // tot.n AS floor_seats,
+               {APPORTION_SEATS} * n_docs % tot.n AS rem
+        FROM strata CROSS JOIN tot
+    ),
+    leftover AS (
+        SELECT {APPORTION_SEATS} - CAST(SUM(floor_seats) AS BIGINT)
+                   AS k
+        FROM quotas
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, n_docs DESC,
+                                              stratum) AS rk
+        FROM quotas
+    )
+    SELECT stratum, n_docs,
+           CAST(floor_seats AS BIGINT) AS floor_seats,
+           CAST(rem AS BIGINT) AS remainder_num,
+           CAST(CASE WHEN rk <= (SELECT k FROM leftover)
+                     THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           CAST(floor_seats + CASE WHEN rk <= (SELECT k FROM leftover)
+                                   THEN 1 ELSE 0 END AS BIGINT)
+               AS seats
+    FROM ranked
+    """
+
+
+@register(
+    "stratum_seat_apportionment",
+    _apportion_oracle_sql(),
+    doc=f"X148 Hamilton largest-remainder apportionment of "
+        f"{APPORTION_SEATS} sample seats across (lang, source) "
+        "strata: BIGINT quota numerators with integer DIV/MOD, "
+        "leftover seats to the largest remainders with deterministic "
+        "tie-breaks. Exact-sum and quota-property laws pinned. The "
+        "allocation step every stratified sampling budget needs "
+        "before the per-stratum draw.",
+    tags=("X148", "X28", "X10", "X7"),
+)
+def stratum_seat_apportionment(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    strata = (d.groupBy(F.concat_ws("/", "lang", "source")
+                        .alias("stratum"))
+              .agg(F.count("*").cast("long").alias("n_docs")))
+    tot = strata.agg(F.sum("n_docs").cast("long").alias("n"))
+    quotas = (strata.crossJoin(F.broadcast(tot))
+              .select("stratum", "n_docs",
+                      F.expr(f"{APPORTION_SEATS} * n_docs div n")
+                      .alias("floor_seats"),
+                      F.expr(f"{APPORTION_SEATS} * n_docs % n")
+                      .alias("rem")))
+    k = APPORTION_SEATS - quotas.agg(
+        F.sum("floor_seats")).collect()[0][0]
+    w = Window.orderBy(F.desc("rem"), F.desc("n_docs"), F.asc("stratum"))
+    return (quotas.withColumn("rk", F.row_number().over(w))
+            .select("stratum", "n_docs",
+                    F.col("floor_seats").cast("long"),
+                    F.col("rem").cast("long").alias("remainder_num"),
+                    F.when(F.col("rk") <= k, 1).otherwise(0)
+                    .cast("long").alias("extra"),
+                    (F.col("floor_seats")
+                     + F.when(F.col("rk") <= k, 1).otherwise(0))
+                    .cast("long").alias("seats")))

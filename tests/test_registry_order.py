@@ -99,6 +99,7 @@ NEW_R4: dict[str, str] = {
     "curve_layout_fragmentation": "X145",
     "gformula_ate_standardization": "X146",
     "capture_recapture_daily": "X147",
+    "stratum_seat_apportionment": "X148",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -1315,3 +1315,25 @@ def test_capture_recapture_matches_set_algebra(spark, sf_dir):
         assert abs(r["n_hat"] - est) <= 5e-7
         if m > 0:
             assert r["n_hat"] >= max(n1, n2) - 1e-9
+
+
+def test_apportionment_sums_and_quota_property(spark, sf_dir):
+    """X148: seats sum exactly to the budget; every stratum receives
+    floor(quota) or ceil(quota) (Hamilton's quota property); the
+    extra seats go precisely to the top-k remainders under the
+    deterministic ordering."""
+    from etl_airflow_spotify_spark.queries.sampling import \
+        APPORTION_SEATS
+
+    rows = _rows("stratum_seat_apportionment", spark, sf_dir)
+    n = sum(r["n_docs"] for r in rows)
+    assert sum(r["seats"] for r in rows) == APPORTION_SEATS
+    order = sorted(rows, key=lambda r: (-r["remainder_num"],
+                                        -r["n_docs"], r["stratum"]))
+    k = APPORTION_SEATS - sum(r["floor_seats"] for r in rows)
+    for i, r in enumerate(order):
+        assert r["extra"] == (1 if i < k else 0)
+        assert r["seats"] == r["floor_seats"] + r["extra"]
+        quota = APPORTION_SEATS * r["n_docs"] / n
+        assert r["floor_seats"] == int(quota)
+        assert int(quota) <= r["seats"] <= int(quota) + 1

@@ -155,6 +155,7 @@ X_TITLES = {
     "X145": "Space-filling-curve layout audit (Hilbert vs Z)",
     "X146": "Causal standardization (g-formula ATE)",
     "X147": "Capture-recapture estimation (Chapman)",
+    "X148": "Proportional apportionment (largest remainder)",
 }
 
 
