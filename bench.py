@@ -194,6 +194,7 @@ HEADLINE = [
     "gformula_ate_standardization",
     "capture_recapture_daily",
     "stratum_seat_apportionment",
+    "join_order_cost_explorer",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -1153,3 +1153,109 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_rows").cast("long").alias("total_rows"),
                  F.min("file_day").alias("first_day"),
                  F.max("file_day").alias("last_day")))
+
+
+# --------------------------------------------------------------------------
+# X149: join-order cost exploration — the Selinger cardinality model
+# every cost-based optimizer runs, surfaced as a query so its
+# estimates can be AUDITED against actuals: for the 3-way
+# lineitem |x| orders |x| customer join, estimate each left-deep
+# order's intermediate sizes with the independence formula
+# |A |x| B| = |A|*|B| / max(d_A(k), d_B(k)) (pure integer DIV over
+# exact distinct counts), rank orders by total intermediate volume,
+# and report the TRUE first-join size next to the estimate. The
+# stats pass is a handful of count/count-distinct aggregates; plan
+# arithmetic is scalar. Includes the keyless (lineitem x customer)
+# order so the cross-product blowup the model exists to avoid is
+# visible in numbers.
+# --------------------------------------------------------------------------
+@register(
+    "join_order_cost_explorer",
+    """
+    WITH s AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS nl,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS no,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS nc,
+               (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                FROM lineitem) AS dl_ok,
+               (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+                FROM orders) AS do_ok,
+               (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                FROM orders) AS do_ck,
+               (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+                FROM customer) AS dc_ck,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+                   AS act_lo,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM orders JOIN customer ON c_custkey = o_custkey)
+                   AS act_oc
+    ),
+    plans AS (
+        SELECT 'LO_C' AS plan,
+               nl * no // GREATEST(dl_ok, do_ok) AS est_first,
+               nl * no // GREATEST(dl_ok, do_ok)
+               + (nl * no // GREATEST(dl_ok, do_ok)) * nc
+                 // GREATEST(do_ck, dc_ck) AS est_cost,
+               act_lo AS actual_first
+        FROM s
+        UNION ALL
+        SELECT 'OC_L',
+               no * nc // GREATEST(do_ck, dc_ck),
+               no * nc // GREATEST(do_ck, dc_ck)
+               + (no * nc // GREATEST(do_ck, dc_ck)) * nl
+                 // GREATEST(do_ok, dl_ok),
+               act_oc
+        FROM s
+        UNION ALL
+        SELECT 'LC_O', nl * nc,
+               nl * nc + (nl * nc) * no // GREATEST(do_ok, dl_ok),
+               nl * nc
+        FROM s
+    )
+    SELECT plan, CAST(est_first AS BIGINT) AS est_first,
+           CAST(est_cost AS BIGINT) AS est_cost,
+           CAST(actual_first AS BIGINT) AS actual_first,
+           CAST(ROW_NUMBER() OVER (ORDER BY est_cost, plan) AS BIGINT)
+               AS rank
+    FROM plans
+    """,
+    doc="X149 Selinger join-order cost audit for lineitem-orders-"
+        "customer: independence-model size estimates (|A|*|B| DIV "
+        "max distinct) for each left-deep order including the "
+        "cross-product one, ranked by total intermediate volume, "
+        "with the true first-join cardinalities alongside. Exact "
+        "integer arithmetic over a bounded stats pass — the "
+        "estimate-vs-actual gap is the operator's whole point.",
+    tags=("X149", "X77", "X7", "X8"),
+)
+def join_order_cost_explorer(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nl, no, nc = li.count(), orders.count(), customer.count()
+    dl_ok = li.select("l_orderkey").distinct().count()
+    do_ok = orders.select("o_orderkey").distinct().count()
+    do_ck = orders.select("o_custkey").distinct().count()
+    dc_ck = customer.select("c_custkey").distinct().count()
+    act_lo = li.join(orders,
+                     orders.o_orderkey == li.l_orderkey).count()
+    act_oc = orders.join(customer,
+                         customer.c_custkey == orders.o_custkey).count()
+    est_lo = nl * no // max(dl_ok, do_ok)
+    est_oc = no * nc // max(do_ck, dc_ck)
+    plans = [
+        ("LO_C", est_lo, est_lo + est_lo * nc // max(do_ck, dc_ck),
+         act_lo),
+        ("OC_L", est_oc, est_oc + est_oc * nl // max(do_ok, dl_ok),
+         act_oc),
+        ("LC_O", nl * nc, nl * nc + (nl * nc) * no // max(do_ok, dl_ok),
+         nl * nc),
+    ]
+    ranked = sorted(plans, key=lambda p: (p[2], p[0]))
+    rows = [p + (i + 1,) for p in plans
+            for i, q in enumerate(ranked) if q[0] == p[0]]
+    return spark.createDataFrame(
+        rows, "plan STRING, est_first BIGINT, est_cost BIGINT, "
+              "actual_first BIGINT, rank BIGINT")

@@ -100,6 +100,7 @@ NEW_R4: dict[str, str] = {
     "gformula_ate_standardization": "X146",
     "capture_recapture_daily": "X147",
     "stratum_seat_apportionment": "X148",
+    "join_order_cost_explorer": "X149",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -1337,3 +1337,38 @@ def test_apportionment_sums_and_quota_property(spark, sf_dir):
         quota = APPORTION_SEATS * r["n_docs"] / n
         assert r["floor_seats"] == int(quota)
         assert int(quota) <= r["seats"] <= int(quota) + 1
+
+
+def test_join_order_estimates_and_ranks(spark, sf_dir):
+    """X149: replay the Selinger arithmetic from independently
+    collected stats; ranks must order by est_cost; the keyed plans'
+    actual first-join sizes must equal true join counts."""
+    from etl_airflow_spotify_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nl, no, nc = li.count(), orders.count(), customer.count()
+    dl = li.select("l_orderkey").distinct().count()
+    do_ = orders.select("o_orderkey").distinct().count()
+    dck = orders.select("o_custkey").distinct().count()
+    dcc = customer.select("c_custkey").distinct().count()
+    est_lo = nl * no // max(dl, do_)
+    est_oc = no * nc // max(dck, dcc)
+    exp = {
+        "LO_C": (est_lo, est_lo + est_lo * nc // max(dck, dcc)),
+        "OC_L": (est_oc, est_oc + est_oc * nl // max(do_, dl)),
+        "LC_O": (nl * nc, nl * nc + nl * nc * no // max(do_, dl)),
+    }
+    rows = {r["plan"]: r for r in _rows("join_order_cost_explorer",
+                                        spark, sf_dir)}
+    assert set(rows) == set(exp)
+    for plan, (ef, ec) in exp.items():
+        assert (rows[plan]["est_first"], rows[plan]["est_cost"]) \
+            == (ef, ec)
+    order = sorted(rows.values(), key=lambda r: (r["est_cost"],
+                                                 r["plan"]))
+    assert [r["rank"] for r in order] == [1, 2, 3]
+    act_lo = li.join(orders, orders.o_orderkey == li.l_orderkey).count()
+    assert rows["LO_C"]["actual_first"] == act_lo
+    assert rows["LC_O"]["actual_first"] == nl * nc

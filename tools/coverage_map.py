@@ -156,6 +156,7 @@ X_TITLES = {
     "X146": "Causal standardization (g-formula ATE)",
     "X147": "Capture-recapture estimation (Chapman)",
     "X148": "Proportional apportionment (largest remainder)",
+    "X149": "Join-order cost exploration (Selinger estimates)",
 }
 
 
