@@ -195,6 +195,7 @@ HEADLINE = [
     "capture_recapture_daily",
     "stratum_seat_apportionment",
     "join_order_cost_explorer",
+    "bradley_terry_suppliers",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

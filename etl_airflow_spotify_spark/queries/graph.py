@@ -729,3 +729,156 @@ def frequent_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
                            6).alias("lift")))
     return out.orderBy(F.desc("sup_xyz"), "x", "y", "z") \
         .limit(TRIPLE_TOPK)
+
+
+# --------------------------------------------------------------------------
+# X150: Bradley-Terry pairwise-preference ranking via the classic MM
+# (minorization-maximization) update — the principled "who's best"
+# model for pairwise outcomes (LLM eval arenas, ranker A/B logs).
+# Contests: for every part two suppliers both sell, the cheaper
+# average price wins — decided by EXACT cross-multiplication
+# (S_i * n_j < S_j * n_i on BIGINT cents, never a float mean). Two MM
+# rounds, each: gamma'_i = W_i * 1e12 / sum_j round(n_ij * 1e12 /
+# (gamma_i + gamma_j)) — every pair term snaps to an integer BEFORE
+# the per-supplier fold, so no float summation exists and both
+# engines replay the identical trajectory. Pair table is bounded by
+# per-part supplier fan-out; each round is one join + one keyed
+# aggregate over it.
+# --------------------------------------------------------------------------
+BT_ITERS = 2
+BT_SCALE = 1000000  # gamma fixed-point units
+BT_TOPK = 20
+
+
+def _bt_oracle_sql() -> str:
+    sql = f"""
+    WITH ps AS (
+        SELECT l_partkey AS p, l_suppkey AS s,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2
+    ),
+    duels AS (
+        SELECT a.s AS i, b.s AS j,
+               CASE WHEN a.cents * b.n < b.cents * a.n THEN 1
+                    WHEN a.cents * b.n > b.cents * a.n THEN -1
+                    ELSE 0 END AS res
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    ),
+    pairs AS (
+        SELECT i, j,
+               CAST(SUM(CASE WHEN res = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS w_i,
+               CAST(SUM(CASE WHEN res = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS w_j
+        FROM duels WHERE res <> 0 GROUP BY i, j
+    ),
+    sym AS (
+        SELECT i AS s, j AS o, w_i AS w, w_i + w_j AS n FROM pairs
+        UNION ALL
+        SELECT j, i, w_j, w_i + w_j FROM pairs
+    ),
+    wins AS (
+        SELECT s, CAST(SUM(w) AS BIGINT) AS w_tot,
+               CAST(SUM(n) AS BIGINT) AS n_tot
+        FROM sym GROUP BY s
+    ),
+    g0 AS (SELECT s, CAST({BT_SCALE} AS BIGINT) AS g FROM wins)"""
+    for r in range(1, BT_ITERS + 1):
+        sql += f""",
+    t{r} AS (
+        SELECT sym.s,
+               CAST(SUM(CAST(ROUND(sym.n * 1000000000000.0
+                                   / (gi.g + gj.g), 0) AS BIGINT))
+                    AS BIGINT) AS denom
+        FROM sym
+        JOIN g{r - 1} gi ON gi.s = sym.s
+        JOIN g{r - 1} gj ON gj.s = sym.o
+        GROUP BY sym.s
+    ),
+    g{r} AS (
+        SELECT w.s,
+               CAST(ROUND(w.w_tot * 1000000000000.0
+                          / GREATEST(t{r}.denom, 1), 0) AS BIGINT) AS g
+        FROM wins w JOIN t{r} ON t{r}.s = w.s
+    )"""
+    return sql + f"""
+    SELECT s AS supplier, w_tot AS wins, n_tot AS games,
+           g AS rating_micro
+    FROM g{BT_ITERS} JOIN wins USING (s)
+    ORDER BY g DESC, s LIMIT {BT_TOPK}
+    """
+
+
+@register(
+    "bradley_terry_suppliers",
+    _bt_oracle_sql(),
+    doc=f"X150 Bradley-Terry supplier ranking ({BT_ITERS} MM rounds) "
+        "from cheaper-average-price duels on shared parts (winners by "
+        "exact cents cross-multiplication). Pair terms snap to "
+        "integers before every fold; ratings are 1e-6 fixed-point, "
+        f"top-{BT_TOPK} with deterministic ties. Duel generation is a "
+        "part-keyed self-join (per-part bounded); each MM round is "
+        "one join + aggregate over the supplier-pair table.",
+    tags=("X150", "X42", "X3", "X7", "X12"),
+)
+def bradley_terry_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (li.groupBy(F.col("l_partkey").alias("p"),
+                     F.col("l_suppkey").alias("s"))
+          .agg(F.sum(F.round(F.col("l_extendedprice") * 100, 0)
+                     .cast("long")).cast("long").alias("cents"),
+               F.count("*").cast("long").alias("n")))
+    a = ps.select(F.col("p"), F.col("s").alias("i"),
+                  F.col("cents").alias("ci"), F.col("n").alias("ni"))
+    b = ps.select(F.col("p"), F.col("s").alias("j"),
+                  F.col("cents").alias("cj"), F.col("n").alias("nj"))
+    duels = (a.join(b, "p").filter(F.col("i") < F.col("j"))
+             .select("i", "j",
+                     F.when(F.col("ci") * F.col("nj")
+                            < F.col("cj") * F.col("ni"), 1)
+                     .when(F.col("ci") * F.col("nj")
+                           > F.col("cj") * F.col("ni"), -1)
+                     .otherwise(0).alias("res"))
+             .filter(F.col("res") != 0))
+    pairs = (duels.groupBy("i", "j")
+             .agg(F.sum(F.when(F.col("res") == 1, 1).otherwise(0))
+                  .cast("long").alias("w_i"),
+                  F.sum(F.when(F.col("res") == -1, 1).otherwise(0))
+                  .cast("long").alias("w_j")))
+    sym = persist_tracked(
+        pairs.select(F.col("i").alias("s"), F.col("j").alias("o"),
+                     F.col("w_i").alias("w"),
+                     (F.col("w_i") + F.col("w_j")).alias("n"))
+        .unionByName(
+            pairs.select(F.col("j").alias("s"), F.col("i").alias("o"),
+                         F.col("w_j").alias("w"),
+                         (F.col("w_i") + F.col("w_j")).alias("n"))))
+    wins = persist_tracked(
+        sym.groupBy("s").agg(F.sum("w").cast("long").alias("w_tot"),
+                             F.sum("n").cast("long").alias("n_tot")))
+    g = wins.select("s", F.lit(BT_SCALE).cast("long").alias("g"))
+    for _ in range(BT_ITERS):
+        gi = g.select(F.col("s"), F.col("g").alias("gi"))
+        gj = g.select(F.col("s").alias("o"), F.col("g").alias("gj"))
+        denom = (sym.join(gi, "s").join(gj, "o")
+                 .select("s", F.round(F.col("n") * 1000000000000.0
+                                      / (F.col("gi") + F.col("gj")), 0)
+                         .cast("long").alias("term"))
+                 .groupBy("s")
+                 .agg(F.sum("term").cast("long").alias("denom")))
+        g = (wins.join(denom, "s")
+             .select("s", F.round(F.col("w_tot") * 1000000000000.0
+                                  / F.greatest(F.col("denom"), F.lit(1)),
+                                  0).cast("long").alias("g"))
+             .localCheckpoint())
+    return (g.join(wins, "s")
+            .select(F.col("s").alias("supplier"),
+                    F.col("w_tot").alias("wins"),
+                    F.col("n_tot").alias("games"),
+                    F.col("g").alias("rating_micro"))
+            .orderBy(F.desc("rating_micro"), F.asc("supplier"))
+            .limit(BT_TOPK))

@@ -101,6 +101,7 @@ NEW_R4: dict[str, str] = {
     "capture_recapture_daily": "X147",
     "stratum_seat_apportionment": "X148",
     "join_order_cost_explorer": "X149",
+    "bradley_terry_suppliers": "X150",
 }
 DEFERRED |= set(NEW_R4)
 

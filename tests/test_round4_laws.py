@@ -1372,3 +1372,56 @@ def test_join_order_estimates_and_ranks(spark, sf_dir):
     act_lo = li.join(orders, orders.o_orderkey == li.l_orderkey).count()
     assert rows["LO_C"]["actual_first"] == act_lo
     assert rows["LC_O"]["actual_first"] == nl * nc
+
+
+def test_bradley_terry_replays_mm_trajectory(spark, sf_dir):
+    """X150: rebuild duels and the 2-round MM fixed-point arithmetic
+    in Python integers; ratings, wins and games must match exactly
+    for every reported supplier."""
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.queries.graph import (BT_ITERS,
+                                                         BT_SCALE)
+    import pyspark.sql.functions as F
+
+    ps = (load_table(spark, sf_dir, "lineitem")
+          .groupBy(F.col("l_partkey").alias("p"),
+                   F.col("l_suppkey").alias("s"))
+          .agg(F.sum(F.round(F.col("l_extendedprice") * 100, 0)
+                     .cast("long")).alias("cents"),
+               F.count("*").alias("n")).collect())
+    by_part = defaultdict(list)
+    for r in ps:
+        by_part[r["p"]].append((r["s"], r["cents"], r["n"]))
+    wins = defaultdict(int)
+    games = defaultdict(lambda: defaultdict(int))
+    for rows in by_part.values():
+        rows.sort()
+        for x in range(len(rows)):
+            for y in range(x + 1, len(rows)):
+                si, ci, ni = rows[x]
+                sj, cj, nj = rows[y]
+                if ci * nj == cj * ni:
+                    continue
+                w = si if ci * nj < cj * ni else sj
+                loser = sj if w == si else si
+                wins[w] += 1
+                games[si][sj] += 1
+                games[sj][si] += 1
+    supp = set(games)
+    g = {s: BT_SCALE for s in supp}
+    for _ in range(BT_ITERS):
+        denom = {}
+        for s in supp:
+            denom[s] = sum(round(n * 1e12 / (g[s] + g[o]))
+                           for o, n in games[s].items())
+        g = {s: round(wins.get(s, 0) * 1e12 / max(denom[s], 1))
+             for s in supp}
+    got = _rows("bradley_terry_suppliers", spark, sf_dir)
+    order = sorted(supp, key=lambda s: (-g[s], s))
+    assert [r["supplier"] for r in got] == order[:len(got)]
+    for r in got:
+        s = r["supplier"]
+        assert r["rating_micro"] == g[s]
+        assert r["wins"] == wins.get(s, 0)
+        assert r["games"] == sum(games[s].values())

@@ -157,6 +157,7 @@ X_TITLES = {
     "X147": "Capture-recapture estimation (Chapman)",
     "X148": "Proportional apportionment (largest remainder)",
     "X149": "Join-order cost exploration (Selinger estimates)",
+    "X150": "Pairwise preference ranking (Bradley-Terry MM)",
 }
 
 
