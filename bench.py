@@ -196,6 +196,7 @@ HEADLINE = [
     "stratum_seat_apportionment",
     "join_order_cost_explorer",
     "bradley_terry_suppliers",
+    "source_weighted_jaccard",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -1592,3 +1592,82 @@ def source_venn_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "as bigint)").alias("mask")))
     return (masked.groupBy(F.col("mask").alias("region"))
             .agg(F.count("*").cast("long").alias("n_shingles")))
+
+
+# --------------------------------------------------------------------------
+# X151: weighted-set similarity — the multiset generalization the X68
+# overlap matrix can't see: weighted Jaccard J_W(A,B) =
+# sum_t min(wA_t, wB_t) / sum_t max(wA_t, wB_t) over token FREQUENCY
+# vectors, so a token repeated a million times in one crawl and once
+# in another no longer counts as full overlap. Per-(source, token)
+# counts first (one corpus pass; token cardinality after), then the
+# per-pair full-outer merge folds min/max sums as BIGINTs — the same
+# pair-merge shape as the KS matrix, never an all-rows join. The
+# ratio is the lone division; J_W <= plain Jaccard is law-tested.
+# --------------------------------------------------------------------------
+@register(
+    "source_weighted_jaccard",
+    """
+    WITH tok AS (
+        SELECT source AS s, u.w AS t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source,
+                     string_split_regex(trim(lower(text)), '\\s+') AS ts
+              FROM documents) d,
+             LATERAL (SELECT UNNEST(d.ts) AS w) u
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.s AS src_a, b.s AS src_b
+        FROM (SELECT DISTINCT s FROM tok) a
+        JOIN (SELECT DISTINCT s FROM tok) b ON a.s < b.s
+    ),
+    merged AS (
+        SELECT p.src_a, p.src_b, tok.t,
+               SUM(CASE WHEN tok.s = p.src_a THEN tok.c ELSE 0 END)
+                   AS ca,
+               SUM(CASE WHEN tok.s = p.src_b THEN tok.c ELSE 0 END)
+                   AS cb
+        FROM pairs p JOIN tok ON tok.s IN (p.src_a, p.src_b)
+        GROUP BY 1, 2, 3
+    )
+    SELECT src_a, src_b,
+           CAST(SUM(LEAST(ca, cb)) AS BIGINT) AS w_inter,
+           CAST(SUM(GREATEST(ca, cb)) AS BIGINT) AS w_union,
+           ROUND(CAST(SUM(LEAST(ca, cb)) AS DOUBLE)
+                 / SUM(GREATEST(ca, cb)), 6) AS weighted_jaccard
+    FROM merged GROUP BY src_a, src_b
+    """,
+    doc="X151 weighted Jaccard between source token-frequency "
+        "multisets: per-(source, token) histogram -> per-pair merge "
+        "-> BIGINT min/max sums, one division. Multiplicity-aware "
+        "corpus-provenance similarity (J_W <= set Jaccard, "
+        "law-tested); work scales with distinct (source, token), "
+        "never raw tokens.",
+    tags=("X151", "X68", "X18", "X7"),
+)
+def source_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = (d.select("source",
+                    F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                    .alias("t"))
+           .groupBy(F.col("source").alias("s"), "t")
+           .agg(F.count("*").cast("long").alias("c")))
+    srcs = tok.select("s").distinct()
+    pairs = (srcs.select(F.col("s").alias("src_a"))
+             .join(srcs.select(F.col("s").alias("src_b")),
+                   F.col("src_a") < F.col("src_b")))
+    merged = (pairs.join(tok, F.col("s").isin(F.col("src_a"),
+                                              F.col("src_b")))
+              .groupBy("src_a", "src_b", "t")
+              .agg(F.sum(F.when(F.col("s") == F.col("src_a"),
+                                F.col("c")).otherwise(0)).alias("ca"),
+                   F.sum(F.when(F.col("s") == F.col("src_b"),
+                                F.col("c")).otherwise(0)).alias("cb")))
+    return (merged.groupBy("src_a", "src_b")
+            .agg(F.sum(F.least("ca", "cb")).cast("long")
+                 .alias("w_inter"),
+                 F.sum(F.greatest("ca", "cb")).cast("long")
+                 .alias("w_union"))
+            .withColumn("weighted_jaccard",
+                        F.round(F.col("w_inter").cast("double")
+                                / F.col("w_union"), 6)))

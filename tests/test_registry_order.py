@@ -102,6 +102,7 @@ NEW_R4: dict[str, str] = {
     "stratum_seat_apportionment": "X148",
     "join_order_cost_explorer": "X149",
     "bradley_terry_suppliers": "X150",
+    "source_weighted_jaccard": "X151",
 }
 DEFERRED |= set(NEW_R4)
 

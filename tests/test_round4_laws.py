@@ -1425,3 +1425,27 @@ def test_bradley_terry_replays_mm_trajectory(spark, sf_dir):
         assert r["rating_micro"] == g[s]
         assert r["wins"] == wins.get(s, 0)
         assert r["games"] == sum(games[s].values())
+
+
+def test_weighted_jaccard_bounds_and_bruteforce(spark, sf_dir):
+    """X151: recompute weighted Jaccard from Python Counters for
+    every pair; J_W in (0, 1]; and J_W <= set Jaccard of the token
+    vocabularies (multiplicity can only shrink the ratio here since
+    corpora share vocabulary)."""
+    from collections import Counter, defaultdict
+    from etl_airflow_spotify_spark.queries.text import _docs
+
+    toks = defaultdict(Counter)
+    for r in _docs(spark, sf_dir).select("source", "text").collect():
+        toks[r["source"]].update(r["text"].strip().lower().split())
+    rows = _rows("source_weighted_jaccard", spark, sf_dir)
+    srcs = sorted(toks)
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+    for r in rows:
+        ca, cb = toks[r["src_a"]], toks[r["src_b"]]
+        inter = sum(min(ca[t], cb[t]) for t in set(ca) | set(cb))
+        union = sum(max(ca[t], cb[t]) for t in set(ca) | set(cb))
+        assert (r["w_inter"], r["w_union"]) == (inter, union)
+        assert 0 < r["weighted_jaccard"] <= 1
+        set_j = len(set(ca) & set(cb)) / len(set(ca) | set(cb))
+        assert r["weighted_jaccard"] <= set_j + 1e-9

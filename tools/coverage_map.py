@@ -158,6 +158,7 @@ X_TITLES = {
     "X148": "Proportional apportionment (largest remainder)",
     "X149": "Join-order cost exploration (Selinger estimates)",
     "X150": "Pairwise preference ranking (Bradley-Terry MM)",
+    "X151": "Weighted-set similarity (weighted Jaccard)",
 }
 
 
