@@ -197,6 +197,7 @@ HEADLINE = [
     "join_order_cost_explorer",
     "bradley_terry_suppliers",
     "source_weighted_jaccard",
+    "event_ccf_leadlag",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -2750,3 +2750,126 @@ def capture_recapture_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * (F.col("n2") + 1) / (F.col("m") + 1) - 1,
                             6).alias("n_hat"),
                     "n_true"))
+
+
+# --------------------------------------------------------------------------
+# X152: lead-lag cross-correlation (CCF) between daily event-type
+# series — X136's ACF generalized across series: does viewing LEAD
+# purchasing, and by how many days? For each (driver, response) pair
+# and lag k in [-CCF_MAX_LAG, +CCF_MAX_LAG], the mean-centered
+# cross-correlation expands to pure integers (P_k, window sums A_k /
+# B_k, overlap size, and full-series S/Q totals):
+#   num = na*nb*P_k - na*Sb*A_k - nb*Sa*B_k + |O_k|*Sa*Sb
+#   r_k = num / sqrt((na*Qa - Sa^2) * (nb*Qb - Sb^2) * na * nb)
+# — the only floats are one IEEE sqrt and one division of identical
+# integers. Lag pairing is a date-arithmetic equi-join (gap-safe);
+# the corpus is touched once for the daily histogram.
+# --------------------------------------------------------------------------
+CCF_MAX_LAG = 7
+CCF_PAIRS = (("view", "purchase"), ("click", "purchase"),
+             ("view", "click"))
+
+
+def _ccf_oracle_sql() -> str:
+    pair_rows = " UNION ALL ".join(
+        f"SELECT '{a}' AS ta, '{b}' AS tb" for a, b in CCF_PAIRS)
+    return f"""
+    WITH daily AS (
+        SELECT event_type AS t, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS q
+        FROM daily GROUP BY t
+    ),
+    prs AS ({pair_rows}),
+    lagged AS (
+        SELECT p.ta, p.tb, k.k,
+               CAST(COUNT(*) AS BIGINT) AS o,
+               CAST(SUM(a.c * b.c) AS BIGINT) AS pk,
+               CAST(SUM(a.c) AS BIGINT) AS ak,
+               CAST(SUM(b.c) AS BIGINT) AS bk
+        FROM prs p
+        JOIN (SELECT UNNEST(generate_series({-CCF_MAX_LAG},
+                                            {CCF_MAX_LAG})) AS k) k
+          ON TRUE
+        JOIN daily a ON a.t = p.ta
+        JOIN daily b ON b.t = p.tb
+         AND b.d = a.d + CAST(k.k AS INTEGER)
+        GROUP BY p.ta, p.tb, k.k
+    )
+    SELECT l.ta AS driver, l.tb AS response,
+           CAST(l.k AS BIGINT) AS lag, l.o AS n_overlap,
+           ROUND(CAST(na.n * nb.n * l.pk - na.n * nb.s * l.ak
+                      - nb.n * na.s * l.bk + l.o * na.s * nb.s
+                      AS DOUBLE)
+                 / SQRT(CAST((na.n * na.q - na.s * na.s)
+                             * (nb.n * nb.q - nb.s * nb.s)
+                             AS DOUBLE) * na.n * nb.n), 6) AS ccf
+    FROM lagged l
+    JOIN tot na ON na.t = l.ta
+    JOIN tot nb ON nb.t = l.tb
+    """
+
+
+@register(
+    "event_ccf_leadlag",
+    _ccf_oracle_sql(),
+    doc=f"X152 lead-lag cross-correlation (lags +-{CCF_MAX_LAG}) "
+        "between daily event-type series for "
+        f"{len(CCF_PAIRS)} driver->response pairs: integer-expanded "
+        "mean-centered CCF (one IEEE sqrt + one division at the "
+        "end), lag pairing by date arithmetic. The does-X-lead-Y "
+        "diagnostic behind attribution and forecasting feature "
+        "choices.",
+    tags=("X152", "X136", "X80", "X7", "X3"),
+)
+def event_ccf_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.col("event_type").alias("t"),
+                        F.to_date("ts").alias("d"))
+             .agg(F.count("*").cast("long").alias("c")))
+    tot = (daily.groupBy("t")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("c").cast("long").alias("s"),
+                F.sum(F.col("c") * F.col("c")).cast("long").alias("q")))
+    prs = spark.createDataFrame(list(CCF_PAIRS), "ta STRING, tb STRING")
+    ks = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("k"))
+    a = daily.select(F.col("t").alias("ta"), F.col("d").alias("da"),
+                     F.col("c").alias("ca"))
+    b = daily.select(F.col("t").alias("tb2"), F.col("d").alias("db"),
+                     F.col("c").alias("cb"))
+    lagged = (F.broadcast(prs).crossJoin(F.broadcast(ks))
+              .join(a, "ta")
+              .join(b, (F.col("tb") == F.col("tb2"))
+                    & (F.col("db") == F.expr("date_add(da, k)")))
+              .groupBy("ta", "tb", "k")
+              .agg(F.count("*").cast("long").alias("o"),
+                   F.sum(F.col("ca") * F.col("cb")).cast("long")
+                   .alias("pk"),
+                   F.sum("ca").cast("long").alias("ak"),
+                   F.sum("cb").cast("long").alias("bk")))
+    na = tot.select(F.col("t").alias("ta"), F.col("n").alias("n_a"),
+                    F.col("s").alias("s_a"), F.col("q").alias("q_a"))
+    nb = tot.select(F.col("t").alias("tb"), F.col("n").alias("n_b"),
+                    F.col("s").alias("s_b"), F.col("q").alias("q_b"))
+    num = (F.col("n_a") * F.col("n_b") * F.col("pk")
+           - F.col("n_a") * F.col("s_b") * F.col("ak")
+           - F.col("n_b") * F.col("s_a") * F.col("bk")
+           + F.col("o") * F.col("s_a") * F.col("s_b"))
+    den = F.sqrt(((F.col("n_a") * F.col("q_a")
+                   - F.col("s_a") * F.col("s_a"))
+                  * (F.col("n_b") * F.col("q_b")
+                     - F.col("s_b") * F.col("s_b"))).cast("double")
+                 * F.col("n_a") * F.col("n_b"))
+    return (lagged.join(F.broadcast(na), "ta")
+            .join(F.broadcast(nb), "tb")
+            .select(F.col("ta").alias("driver"),
+                    F.col("tb").alias("response"),
+                    F.col("k").cast("long").alias("lag"),
+                    F.col("o").alias("n_overlap"),
+                    F.round(num.cast("double") / den, 6).alias("ccf")))

@@ -103,6 +103,7 @@ NEW_R4: dict[str, str] = {
     "join_order_cost_explorer": "X149",
     "bradley_terry_suppliers": "X150",
     "source_weighted_jaccard": "X151",
+    "event_ccf_leadlag": "X152",
 }
 DEFERRED |= set(NEW_R4)
 

