@@ -198,6 +198,7 @@ HEADLINE = [
     "bradley_terry_suppliers",
     "source_weighted_jaccard",
     "event_ccf_leadlag",
+    "haar_energy_profile",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

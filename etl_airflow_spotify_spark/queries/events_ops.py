@@ -2873,3 +2873,125 @@ def event_ccf_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("k").cast("long").alias("lag"),
                     F.col("o").alias("n_overlap"),
                     F.round(num.cast("double") / den, 6).alias("ccf")))
+
+
+# --------------------------------------------------------------------------
+# X153: Haar wavelet energy decomposition of the daily per-type
+# series — the multi-resolution profile (which timescales carry the
+# variance?) behind wavelet-based anomaly detection and series
+# compression. Unnormalized integer Haar: each level pairs adjacent
+# values into approx = a + b and detail = a - b (pure BIGINT; the
+# 1/2^level normalization is applied only in the final reported
+# energy, as one division), over the first HAAR_N = 2^HAAR_LEVELS
+# days. Parseval's identity — sum of level energies + final approx
+# energy == raw series energy — holds EXACTLY in these units and is
+# law-tested. Each level is one tiny keyed aggregate (index DIV 2);
+# the corpus is touched once for the daily histogram.
+# --------------------------------------------------------------------------
+HAAR_LEVELS = 4
+HAAR_N = 1 << HAAR_LEVELS
+
+
+def _haar_oracle_sql() -> str:
+    sql = f"""
+    WITH daily AS (
+        SELECT event_type AS t, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT t, c AS v,
+               ROW_NUMBER() OVER (PARTITION BY t ORDER BY d) - 1 AS i
+        FROM daily
+    ),
+    v0 AS (SELECT t, i, v FROM idx WHERE i < {HAAR_N})"""
+    for lv in range(1, HAAR_LEVELS + 1):
+        sql += f""",
+    v{lv} AS (
+        SELECT t, i // 2 AS i,
+               CAST(SUM(v) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN i % 2 = 0 THEN v ELSE -v END)
+                    AS BIGINT) AS det
+        FROM v{lv - 1} GROUP BY t, i // 2
+    ),
+    e{lv} AS (
+        SELECT t, {lv} AS level,
+               CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+               CAST(SUM(det * det) AS BIGINT) AS energy_num
+        FROM v{lv} GROUP BY t
+    )"""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT t, level, n_coeffs, energy_num,"
+        f" ROUND(CAST(energy_num AS DOUBLE) / {1 << lv}, 6) AS energy"
+        f" FROM e{lv}" for lv in range(1, HAAR_LEVELS + 1))
+    sql += f""",
+    approx AS (
+        SELECT t, 0 AS level, CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+               CAST(SUM(v * v) AS BIGINT) AS energy_num
+        FROM v{HAAR_LEVELS} GROUP BY t
+    )
+    SELECT t AS event_type, CAST(level AS BIGINT) AS level, n_coeffs,
+           energy_num, energy
+    FROM ({unions}
+          UNION ALL
+          SELECT t, level, n_coeffs, energy_num,
+                 ROUND(CAST(energy_num AS DOUBLE) / {1 << HAAR_LEVELS},
+                       6) AS energy
+          FROM approx)
+    """
+    return sql
+
+
+@register(
+    "haar_energy_profile",
+    _haar_oracle_sql(),
+    doc=f"X153 integer Haar wavelet energy profile over the first "
+        f"{HAAR_N} days of each event-type series: per-level detail "
+        "energies (level 0 row = the final approximation energy) as "
+        "exact BIGINT numerators with the 1/2^level normalization "
+        "applied once at the end. Parseval's identity is law-tested "
+        "exactly. One daily-histogram pass + "
+        f"{HAAR_LEVELS} tiny DIV-2 aggregates.",
+    tags=("X153", "X82", "X136", "X7", "X11"),
+)
+def haar_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.col("event_type").alias("t"),
+                        F.to_date("ts").alias("d"))
+             .agg(F.count("*").cast("long").alias("c")))
+    w = Window.partitionBy("t").orderBy("d")
+    v = (daily.withColumn("i", F.row_number().over(w) - 1)
+         .filter(F.col("i") < HAAR_N)
+         .select("t", "i", F.col("c").alias("v")))
+    levels = []
+    for lv in range(1, HAAR_LEVELS + 1):
+        nxt = (v.groupBy("t", (F.col("i") / 2).cast("long").alias("i"))
+               .agg(F.sum("v").cast("long").alias("v"),
+                    F.sum(F.when(F.col("i") % 2 == 0, F.col("v"))
+                          .otherwise(-F.col("v"))).cast("long")
+                    .alias("det")))
+        levels.append(
+            nxt.groupBy("t")
+            .agg(F.count("*").cast("long").alias("n_coeffs"),
+                 F.sum(F.col("det") * F.col("det")).cast("long")
+                 .alias("energy_num"))
+            .select("t", F.lit(lv).cast("long").alias("level"),
+                    "n_coeffs", "energy_num",
+                    F.round(F.col("energy_num").cast("double")
+                            / (1 << lv), 6).alias("energy")))
+        v = nxt.select("t", "i", "v")
+    approx = (v.groupBy("t")
+              .agg(F.count("*").cast("long").alias("n_coeffs"),
+                   F.sum(F.col("v") * F.col("v")).cast("long")
+                   .alias("energy_num"))
+              .select("t", F.lit(0).cast("long").alias("level"),
+                      "n_coeffs", "energy_num",
+                      F.round(F.col("energy_num").cast("double")
+                              / (1 << HAAR_LEVELS), 6).alias("energy")))
+    out = levels[0]
+    for frame in levels[1:] + [approx]:
+        out = out.unionByName(frame)
+    return out.select(F.col("t").alias("event_type"), "level",
+                      "n_coeffs", "energy_num", "energy")

@@ -104,6 +104,7 @@ NEW_R4: dict[str, str] = {
     "bradley_terry_suppliers": "X150",
     "source_weighted_jaccard": "X151",
     "event_ccf_leadlag": "X152",
+    "haar_energy_profile": "X153",
 }
 DEFERRED |= set(NEW_R4)
 

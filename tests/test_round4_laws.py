@@ -1482,3 +1482,35 @@ def test_ccf_matches_bruteforce_and_symmetry(spark, sf_dir):
                * sum((y - mb) ** 2 for y in sb.values())) ** 0.5
         assert abs(r["ccf"] - num / den) <= 1e-6
         assert -1.0 - 1e-9 <= r["ccf"] <= 1.0 + 1e-9
+
+
+def test_haar_parseval_identity_exact(spark, sf_dir):
+    """X153: Parseval in unnormalized Haar units — for each type,
+    sum over levels of energy_num / 2^level plus approx energy_num /
+    2^LEVELS equals the raw series energy sum(v^2) EXACTLY (as a
+    Fraction); also each level halves the coefficient count."""
+    from collections import defaultdict
+    from fractions import Fraction
+    from etl_airflow_spotify_spark.queries.events_ops import (_ev,
+                                                              HAAR_N,
+                                                              HAAR_LEVELS)
+    import pyspark.sql.functions as F
+
+    daily = defaultdict(list)
+    for r in (_ev(spark, sf_dir)
+              .groupBy("event_type", F.to_date("ts").alias("d"))
+              .count().collect()):
+        daily[r["event_type"]].append((r["d"], r["count"]))
+    rows = _rows("haar_energy_profile", spark, sf_dir)
+    by_type = defaultdict(dict)
+    for r in rows:
+        by_type[r["event_type"]][r["level"]] = r
+    for t, levels in by_type.items():
+        series = [c for _, c in sorted(daily[t])[:HAAR_N]]
+        raw = sum(v * v for v in series)
+        total = Fraction(0)
+        for lv in range(1, HAAR_LEVELS + 1):
+            total += Fraction(levels[lv]["energy_num"], 1 << lv)
+            assert levels[lv]["n_coeffs"] == HAAR_N >> lv
+        total += Fraction(levels[0]["energy_num"], 1 << HAAR_LEVELS)
+        assert total == raw

@@ -160,6 +160,7 @@ X_TITLES = {
     "X150": "Pairwise preference ranking (Bradley-Terry MM)",
     "X151": "Weighted-set similarity (weighted Jaccard)",
     "X152": "Lead-lag cross-correlation (exact CCF)",
+    "X153": "Haar wavelet energy decomposition (Parseval-exact)",
 }
 
 
