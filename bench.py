@@ -199,6 +199,7 @@ HEADLINE = [
     "source_weighted_jaccard",
     "event_ccf_leadlag",
     "haar_energy_profile",
+    "sequential_ab_obf_monitor",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

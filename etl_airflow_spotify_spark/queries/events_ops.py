@@ -2995,3 +2995,144 @@ def haar_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(frame)
     return out.select(F.col("t").alias("event_type"), "level",
                       "n_coeffs", "energy_num", "energy")
+
+
+# --------------------------------------------------------------------------
+# X154: group-sequential A/B monitoring — the peek-safely machinery
+# (O'Brien-Fleming spending shape) an experimentation platform runs
+# nightly: arms by md5 user coin, per-day CUMULATIVE (user, day)
+# journey counts and conversions per arm via prefix-sum windows over
+# the daily aggregate, pooled two-proportion z at each look, and the
+# OBF boundary b(t) = C / sqrt(t) at information fraction t = k / K.
+# Boundary values are PYTHON-precomputed micro-integers inlined into
+# both engines (the X99 irrational-constant discipline — neither
+# engine computes 1/sqrt(t)); z itself is IEEE sqrt + divisions of
+# identical BIGINTs, and the crossing decision compares z_micro
+# against the integer boundary. One corpus pass; everything after is
+# day-cardinality.
+# --------------------------------------------------------------------------
+SEQ_OBF_C = 2.24  # K=5-style OBF constant, alpha ~ 0.05
+SEQ_LOOKS = 30    # daily looks over the month
+
+
+def _obf_boundaries_micro() -> list[tuple[int, int]]:
+    """(day_idx, boundary_micro): C / sqrt(k / K) on the 1e-6 grid,
+    computed once in Python."""
+    return [(k, round(1e6 * SEQ_OBF_C / ((k / SEQ_LOOKS) ** 0.5)))
+            for k in range(1, SEQ_LOOKS + 1)]
+
+
+def _seq_oracle_sql() -> str:
+    btab = ", ".join(f"({k}, {b})" for k, b in _obf_boundaries_micro())
+    return f"""
+    WITH j AS (
+        SELECT CAST(ts AS DATE) AS d, user_id,
+               CAST(('0x' || substr(md5('arm:' || user_id), 1, 15))
+                    ::BIGINT % 2 AS BIGINT) AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY 1, 2, 3
+    ),
+    daily AS (
+        SELECT d, arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(conv) AS BIGINT) AS x
+        FROM j GROUP BY d, arm
+    ),
+    piv AS (
+        SELECT d,
+               SUM(CASE WHEN arm = 0 THEN n END) AS na,
+               SUM(CASE WHEN arm = 0 THEN x END) AS xa,
+               SUM(CASE WHEN arm = 1 THEN n END) AS nb,
+               SUM(CASE WHEN arm = 1 THEN x END) AS xb
+        FROM daily GROUP BY d
+    ),
+    looks AS (
+        SELECT d,
+               ROW_NUMBER() OVER (ORDER BY d) AS day_idx,
+               CAST(SUM(na) OVER w AS BIGINT) AS n_a,
+               CAST(SUM(xa) OVER w AS BIGINT) AS x_a,
+               CAST(SUM(nb) OVER w AS BIGINT) AS n_b,
+               CAST(SUM(xb) OVER w AS BIGINT) AS x_b
+        FROM piv
+        WINDOW w AS (ORDER BY d)
+    ),
+    bounds(day_idx, boundary_micro) AS (VALUES {btab}),
+    scored AS (
+        SELECT l.d, l.day_idx, l.n_a, l.x_a, l.n_b, l.x_b,
+               (CAST(l.x_a AS DOUBLE) / l.n_a
+                - CAST(l.x_b AS DOUBLE) / l.n_b)
+               / SQRT((CAST(l.x_a + l.x_b AS DOUBLE) / (l.n_a + l.n_b))
+                      * (1 - CAST(l.x_a + l.x_b AS DOUBLE)
+                             / (l.n_a + l.n_b))
+                      * (1.0 / l.n_a + 1.0 / l.n_b)) AS z
+        FROM looks l
+    )
+    SELECT s.d, CAST(s.day_idx AS BIGINT) AS day_idx,
+           s.n_a, s.x_a, s.n_b, s.x_b,
+           ROUND(s.z, 6) AS z,
+           CAST(b.boundary_micro AS BIGINT) AS boundary_micro,
+           CAST(CASE WHEN ABS(CAST(ROUND(1000000.0 * s.z, 0) AS BIGINT))
+                          > b.boundary_micro
+                     THEN 1 ELSE 0 END AS BIGINT) AS crossed
+    FROM scored s JOIN bounds b ON b.day_idx = s.day_idx
+    """
+
+
+@register(
+    "sequential_ab_obf_monitor",
+    _seq_oracle_sql(),
+    doc=f"X154 group-sequential A/B monitor: md5 arm coin, daily "
+        "cumulative journeys/conversions per arm (prefix windows over "
+        "the day table), pooled two-proportion z at each of "
+        f"{SEQ_LOOKS} looks, O'Brien-Fleming boundary C/sqrt(t) with "
+        f"C={SEQ_OBF_C} precomputed in Python as micro-integers "
+        "inlined into both engines. Crossing compares z_micro to the "
+        "integer boundary — the peek-without-inflating-alpha sheet.",
+    tags=("X154", "X56", "X11", "X7", "X14"),
+)
+def sequential_ab_obf_monitor(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    arm = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("arm:"), F.col("user_id"))), 1, 15),
+        16, 10).cast("long") % 2)
+    j = (ev.groupBy(F.to_date("ts").alias("d"), "user_id",
+                    arm.alias("arm"))
+         .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("conv")))
+    daily = (j.groupBy("d", "arm")
+             .agg(F.count("*").cast("long").alias("n"),
+                  F.sum("conv").cast("long").alias("x")))
+    piv = (daily.groupBy("d")
+           .agg(F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("na"),
+                F.sum(F.when(F.col("arm") == 0, F.col("x"))).alias("xa"),
+                F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("nb"),
+                F.sum(F.when(F.col("arm") == 1, F.col("x")))
+                .alias("xb")))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = piv.select(
+        "d", F.row_number().over(Window.orderBy("d")).alias("day_idx"),
+        F.sum("na").over(w).cast("long").alias("n_a"),
+        F.sum("xa").over(w).cast("long").alias("x_a"),
+        F.sum("nb").over(w).cast("long").alias("n_b"),
+        F.sum("xb").over(w).cast("long").alias("x_b"))
+    p = (F.col("x_a") + F.col("x_b")).cast("double") \
+        / (F.col("n_a") + F.col("n_b"))
+    z = ((F.col("x_a").cast("double") / F.col("n_a")
+          - F.col("x_b").cast("double") / F.col("n_b"))
+         / F.sqrt(p * (1 - p)
+                  * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))))
+    bounds = spark.createDataFrame(
+        _obf_boundaries_micro(), "day_idx INT, boundary_micro BIGINT")
+    return (cum.withColumn("z_raw", z)
+            .join(F.broadcast(bounds), "day_idx")
+            .select("d", F.col("day_idx").cast("long"),
+                    "n_a", "x_a", "n_b", "x_b",
+                    F.round("z_raw", 6).alias("z"),
+                    "boundary_micro",
+                    F.when(F.abs(F.round(1000000.0 * F.col("z_raw"), 0)
+                                 .cast("long"))
+                           > F.col("boundary_micro"), 1).otherwise(0)
+                    .cast("long").alias("crossed")))

@@ -105,6 +105,7 @@ NEW_R4: dict[str, str] = {
     "source_weighted_jaccard": "X151",
     "event_ccf_leadlag": "X152",
     "haar_energy_profile": "X153",
+    "sequential_ab_obf_monitor": "X154",
 }
 DEFERRED |= set(NEW_R4)
 

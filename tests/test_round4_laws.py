@@ -1514,3 +1514,51 @@ def test_haar_parseval_identity_exact(spark, sf_dir):
             assert levels[lv]["n_coeffs"] == HAAR_N >> lv
         total += Fraction(levels[0]["energy_num"], 1 << HAAR_LEVELS)
         assert total == raw
+
+
+def test_sequential_monitor_z_and_boundaries(spark, sf_dir):
+    """X154: recompute the cumulative per-arm counts and pooled z in
+    Python; OBF boundaries strictly decrease over looks; crossing
+    flags agree with the integer comparison."""
+    from collections import defaultdict
+    import hashlib
+    from etl_airflow_spotify_spark.queries.events_ops import (
+        _ev, _obf_boundaries_micro)
+    import pyspark.sql.functions as F
+
+    journeys = defaultdict(lambda: defaultdict(lambda: [0, 0, 0, 0]))
+    per_day = defaultdict(set)
+    conv = defaultdict(int)
+    for e in (_ev(spark, sf_dir)
+              .selectExpr("cast(ts as date) AS d", "user_id",
+                          "event_type").collect()):
+        per_day[e["d"]].add(e["user_id"])
+        if e["event_type"] == "purchase":
+            conv[(e["d"], e["user_id"])] = 1
+    days = sorted(per_day)
+    bounds = dict(_obf_boundaries_micro())
+    got = sorted(_rows("sequential_ab_obf_monitor", spark, sf_dir),
+                 key=lambda r: r["day_idx"])
+    assert [r["day_idx"] for r in got] == list(range(1, len(days) + 1))
+    na = xa = nb = xb = 0
+    bvals = [bounds[k] for k in range(1, len(days) + 1)]
+    assert bvals == sorted(bvals, reverse=True)
+    for i, d in enumerate(days):
+        for u in per_day[d]:
+            arm = int(hashlib.md5(f"arm:{u}".encode())
+                      .hexdigest()[:15], 16) % 2
+            if arm == 0:
+                na += 1
+                xa += conv[(d, u)]
+            else:
+                nb += 1
+                xb += conv[(d, u)]
+        r = got[i]
+        assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) \
+            == (na, xa, nb, xb)
+        p = (xa + xb) / (na + nb)
+        z = (xa / na - xb / nb) / (p * (1 - p)
+                                   * (1 / na + 1 / nb)) ** 0.5
+        assert abs(r["z"] - z) <= 1e-6
+        assert r["crossed"] == (1 if abs(round(1e6 * z))
+                                > r["boundary_micro"] else 0)

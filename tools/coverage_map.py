@@ -161,6 +161,7 @@ X_TITLES = {
     "X151": "Weighted-set similarity (weighted Jaccard)",
     "X152": "Lead-lag cross-correlation (exact CCF)",
     "X153": "Haar wavelet energy decomposition (Parseval-exact)",
+    "X154": "Group-sequential A/B monitoring (OBF boundaries)",
 }
 
 
