@@ -75,6 +75,13 @@ SHOW = [
     "ks_drift_matrix",           # histogram-first, pair joins on tiny frames
     "forecast_backtest_naive",   # date-arithmetic keys extracted to equi-join
     "allen_interval_profile",    # customer-keyed SMJ, case-ladder classify
+    "optimal_threshold_selection",  # suffix-sum sweep, integer argmax
+    "token_budget_selection",    # histogram cutoff, no global sort
+    "curve_layout_fragmentation",  # generated Hilbert stages, cell-table only
+    "event_ccf_leadlag",         # date-arithmetic lag equi-join
+    "source_weighted_jaccard",   # histogram-first pair merge
+    "simpson_paradox_audit",     # decimal moment aggregate + pooled broadcast
+    "sequential_ab_obf_monitor",  # day-table prefix windows, const boundaries
 ]
 
 
