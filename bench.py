@@ -200,6 +200,7 @@ HEADLINE = [
     "event_ccf_leadlag",
     "haar_energy_profile",
     "sequential_ab_obf_monitor",
+    "ppjoin_prefix_similarity",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -681,3 +681,141 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "n_docs_droppable")
         pts = row if pts is None else pts.unionByName(row)
     return pts
+
+
+# --------------------------------------------------------------------------
+# X155: set-similarity join via PREFIX FILTERING (PPJoin family) —
+# the third classical candidate generator next to LSH banding (X16)
+# and sorted neighborhoods (X134), and the only one of the three
+# that is LOSSLESS: order every document's shingles by ascending
+# global document frequency (rarest first, hash tie-break) and keep
+# only the first n - ceil(t*n) + 1 as its "prefix"; any pair with
+# Jaccard >= t MUST share a prefix shingle (pigeonhole on the
+# (1-t)-fraction a match may miss), so candidates = prefix-token
+# equi-join, exact by construction — law-tested equal to the
+# all-pairs join. Verification counts intersections for candidate
+# pairs only and decides J >= 4/5 by the integer test 9*i >= 4*(na+nb)
+# (never a float ratio). df ordering makes prefixes rare tokens, so
+# the equi-join fan-out is small exactly where the corpus is big.
+# --------------------------------------------------------------------------
+PPJ_K = 3          # token-shingle width
+PPJ_T_NUM, PPJ_T_DEN = 4, 5  # threshold t = 4/5
+
+
+def _ppjoin_oracle_sql() -> str:
+    k = PPJ_K
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(sg), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                         generate_series(1, GREATEST(len(ts) - {k - 1}, 1)),
+                         i -> array_to_string(
+                             ts[CAST(i AS INTEGER):CAST(i AS INTEGER) + {k - 1}],
+                             ' ')))) AS sg
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(lower(text)), '\\s+')
+                               AS ts
+                    FROM documents))
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM sh GROUP BY doc_id),
+    df AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY h),
+    ranked AS (
+        SELECT sh.doc_id, sh.h,
+               ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+                                  ORDER BY df.df, sh.h) AS rk,
+               s.n
+        FROM sh JOIN df ON df.h = sh.h
+        JOIN sizes s ON s.doc_id = sh.doc_id
+    ),
+    prefix AS (
+        SELECT doc_id, h FROM ranked
+        WHERE rk <= n - (({PPJ_T_NUM} * n + {PPJ_T_DEN} - 1)
+                         // {PPJ_T_DEN}) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM prefix a JOIN prefix b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT t.id_a, t.id_b, t.i AS n_inter,
+           na.n AS size_a, nb.n AS size_b,
+           ROUND(CAST(t.i AS DOUBLE) / (na.n + nb.n - t.i), 6)
+               AS jaccard
+    FROM inter t
+    JOIN sizes na ON na.doc_id = t.id_a
+    JOIN sizes nb ON nb.doc_id = t.id_b
+    WHERE ({PPJ_T_DEN} + {PPJ_T_NUM}) * t.i
+          >= {PPJ_T_NUM} * (na.n + nb.n)
+    """
+
+
+@register(
+    "ppjoin_prefix_similarity",
+    _ppjoin_oracle_sql(),
+    doc=f"X155 lossless set-similarity join at Jaccard >= "
+        f"{PPJ_T_NUM}/{PPJ_T_DEN} via df-ordered prefix filtering "
+        f"({PPJ_K}-token shingles): prefixes of size n - ceil(t*n) + 1 "
+        "guarantee every qualifying pair shares a prefix shingle "
+        "(law-tested equal to the all-pairs join); verification "
+        "counts intersections for candidates only and decides by the "
+        "integer test (t_den + t_num)*i >= t_num*(na + nb).",
+    tags=("X155", "X16", "X3", "X7"),
+)
+def ppjoin_prefix_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..caching import persist_tracked
+    from ..operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sh = persist_tracked(
+        d.select("doc_id", F.explode(D.token_shingles(ts, PPJ_K))
+                 .alias("sg"))
+        .select("doc_id",
+                F.conv(F.substring(F.md5("sg"), 1, 15), 16, 10)
+                .cast("long").alias("h"))
+        .distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    df = sh.groupBy("h").agg(F.count("*").cast("long").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    ranked = (sh.join(df, "h").join(sizes, "doc_id")
+              .withColumn("rk", F.row_number().over(w)))
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n")
+        - F.expr(f"({PPJ_T_NUM} * n + {PPJ_T_DEN} - 1) "
+                 f"div {PPJ_T_DEN}") + 1).select("doc_id", "h")
+    a = prefix.select(F.col("doc_id").alias("id_a"), "h")
+    b = prefix.select(F.col("doc_id").alias("id_b"), "h")
+    cand = (a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    sa = sh.select(F.col("doc_id").alias("id_a"), "h")
+    sb = sh.select(F.col("doc_id").alias("id_b2"),
+                   F.col("h").alias("hb"))
+    inter = (cand.join(sa, "id_a")
+             .join(sb, (F.col("id_b") == F.col("id_b2"))
+                   & (F.col("h") == F.col("hb")))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").cast("long").alias("n_inter")))
+    na = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("n").alias("size_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("n").alias("size_b"))
+    return (inter.join(na, "id_a").join(nb, "id_b")
+            .filter((PPJ_T_DEN + PPJ_T_NUM) * F.col("n_inter")
+                    >= PPJ_T_NUM * (F.col("size_a") + F.col("size_b")))
+            .select("id_a", "id_b", "n_inter", "size_a", "size_b",
+                    F.round(F.col("n_inter").cast("double")
+                            / (F.col("size_a") + F.col("size_b")
+                               - F.col("n_inter")), 6)
+                    .alias("jaccard")))

@@ -106,6 +106,7 @@ NEW_R4: dict[str, str] = {
     "event_ccf_leadlag": "X152",
     "haar_energy_profile": "X153",
     "sequential_ab_obf_monitor": "X154",
+    "ppjoin_prefix_similarity": "X155",
 }
 DEFERRED |= set(NEW_R4)
 

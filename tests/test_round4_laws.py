@@ -1562,3 +1562,39 @@ def test_sequential_monitor_z_and_boundaries(spark, sf_dir):
         assert abs(r["z"] - z) <= 1e-6
         assert r["crossed"] == (1 if abs(round(1e6 * z))
                                 > r["boundary_micro"] else 0)
+
+
+def test_ppjoin_prefix_filter_is_lossless(spark, sf_dir):
+    """X155: the prefix-filtered join must return EXACTLY the pairs an
+    all-pairs Python brute force finds at J >= t, with exact
+    intersection counts — the losslessness theorem, verified."""
+    from etl_airflow_spotify_spark.queries.dedup import (PPJ_K,
+                                                         PPJ_T_DEN,
+                                                         PPJ_T_NUM)
+    from etl_airflow_spotify_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    sets = {}
+    for r in docs:
+        ts = r["text"].strip().lower().split()
+        n = max(len(ts) - (PPJ_K - 1), 1)
+        sets[r["doc_id"]] = {" ".join(ts[i:i + PPJ_K])
+                             for i in range(n)}
+    ids = sorted(sets)
+    exp = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            i = len(sets[a] & sets[b])
+            if (PPJ_T_DEN + PPJ_T_NUM) * i \
+                    >= PPJ_T_NUM * (len(sets[a]) + len(sets[b])):
+                exp[(a, b)] = i
+    got = {(r["id_a"], r["id_b"]): r
+           for r in _rows("ppjoin_prefix_similarity", spark, sf_dir)}
+    assert set(got) == set(exp)
+    for (a, b), i in exp.items():
+        r = got[(a, b)]
+        assert r["n_inter"] == i
+        assert (r["size_a"], r["size_b"]) == (len(sets[a]),
+                                              len(sets[b]))

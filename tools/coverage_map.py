@@ -162,6 +162,7 @@ X_TITLES = {
     "X152": "Lead-lag cross-correlation (exact CCF)",
     "X153": "Haar wavelet energy decomposition (Parseval-exact)",
     "X154": "Group-sequential A/B monitoring (OBF boundaries)",
+    "X155": "Set-similarity join (lossless prefix filtering)",
 }
 
 
