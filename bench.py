@@ -201,6 +201,7 @@ HEADLINE = [
     "haar_energy_profile",
     "sequential_ab_obf_monitor",
     "ppjoin_prefix_similarity",
+    "copurchase_assortativity",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

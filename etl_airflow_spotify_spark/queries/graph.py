@@ -882,3 +882,82 @@ def bradley_terry_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("g").alias("rating_micro"))
             .orderBy(F.desc("rating_micro"), F.asc("supplier"))
             .limit(BT_TOPK))
+
+
+# --------------------------------------------------------------------------
+# X156: degree assortativity (Newman's r) of the co-purchase graph —
+# do high-degree products co-occur with other hubs (assortative,
+# r > 0) or with niche parts (disassortative, r < 0)? The structural
+# scalar that predicts hub-splitting and partition-skew behaviour for
+# every other graph op in this repo. Over the SYMMETRIC directed edge
+# list, r is the Pearson correlation of (deg(src), deg(dst)), and
+# symmetry collapses it to pure integers:
+#   r = (M * S_jk - S_j^2) / (M * S_j2 - S_j^2)
+# with S_jk = sum deg_src*deg_dst, S_j = sum deg_src, S_j2 = sum
+# deg_src^2 — three DECIMAL(38,0) folds over the degree-joined edge
+# list (overflow-free at any scale), one division at the end.
+# --------------------------------------------------------------------------
+@register(
+    "copurchase_assortativity",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                FROM lineitem),
+    e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+          FROM op a JOIN op b ON a.g = b.g AND a.i <> b.i),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e GROUP BY src),
+    j AS (
+        SELECT CAST(ds.d AS HUGEINT) AS dj, CAST(dd.d AS HUGEINT) AS dk
+        FROM e
+        JOIN deg ds ON ds.node = e.src
+        JOIN deg dd ON dd.node = e.dst
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+               SUM(dj * dk) AS s_jk,
+               SUM(dj) AS s_j,
+               SUM(dj * dj) AS s_j2
+        FROM j
+    )
+    SELECT CAST(m AS BIGINT) AS n_directed_edges,
+           CAST(s_j AS BIGINT) AS sum_deg,
+           CAST(s_jk AS BIGINT) AS sum_deg_prod,
+           CAST(s_j2 AS BIGINT) AS sum_deg_sq,
+           ROUND(CAST(m * s_jk - s_j * s_j AS DOUBLE)
+                 / CAST(m * s_j2 - s_j * s_j AS DOUBLE), 6)
+               AS assortativity
+    FROM s
+    """,
+    doc="X156 Newman degree assortativity of the part co-purchase "
+        "graph: Pearson correlation of endpoint degrees over the "
+        "symmetric edge list, collapsed by symmetry to the integer "
+        "ratio (M*S_jk - S_j^2) / (M*S_j2 - S_j^2) — three decimal "
+        "folds on the degree-joined edges, one division. The "
+        "hub-mixing scalar that forecasts skew for every graph "
+        "workload here.",
+    tags=("X156", "X42", "X7", "X3"),
+)
+def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    e = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    deg = e.groupBy(F.col("src").alias("node")) \
+        .agg(F.count("*").cast("long").alias("d"))
+    j = (e.join(deg.select(F.col("node").alias("src"),
+                           F.col("d").alias("dj")), "src")
+         .join(deg.select(F.col("node").alias("dst"),
+                          F.col("d").alias("dk")), "dst")
+         .select(F.col("dj").cast("decimal(38,0)").alias("dj"),
+                 F.col("dk").cast("decimal(38,0)").alias("dk")))
+    s = j.agg(F.count("*").cast("decimal(38,0)").alias("m"),
+              F.sum(F.col("dj") * F.col("dk")).alias("s_jk"),
+              F.sum("dj").alias("s_j"),
+              F.sum(F.col("dj") * F.col("dj")).alias("s_j2"))
+    num = F.col("m") * F.col("s_jk") - F.col("s_j") * F.col("s_j")
+    den = F.col("m") * F.col("s_j2") - F.col("s_j") * F.col("s_j")
+    return s.select(
+        F.col("m").cast("long").alias("n_directed_edges"),
+        F.col("s_j").cast("long").alias("sum_deg"),
+        F.col("s_jk").cast("long").alias("sum_deg_prod"),
+        F.col("s_j2").cast("long").alias("sum_deg_sq"),
+        F.round(num.cast("double") / den.cast("double"), 6)
+        .alias("assortativity"))

@@ -107,6 +107,7 @@ NEW_R4: dict[str, str] = {
     "haar_energy_profile": "X153",
     "sequential_ab_obf_monitor": "X154",
     "ppjoin_prefix_similarity": "X155",
+    "copurchase_assortativity": "X156",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -1598,3 +1598,36 @@ def test_ppjoin_prefix_filter_is_lossless(spark, sf_dir):
         assert r["n_inter"] == i
         assert (r["size_a"], r["size_b"]) == (len(sets[a]),
                                               len(sets[b]))
+
+
+def test_assortativity_matches_bruteforce_and_bounds(spark, sf_dir):
+    """X156: rebuild the co-purchase edge list and degree correlation
+    with Python integers; all four sums and the ratio must match;
+    |r| <= 1."""
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.catalog import load_table
+
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct().collect())
+    orders = defaultdict(set)
+    for r in li:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for parts in orders.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    edges.add((a, b))
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    m = len(edges)
+    s_jk = sum(deg[a] * deg[b] for a, b in edges)
+    s_j = sum(deg[a] for a, _ in edges)
+    s_j2 = sum(deg[a] ** 2 for a, _ in edges)
+    r = _rows("copurchase_assortativity", spark, sf_dir)[0]
+    assert (r["n_directed_edges"], r["sum_deg"], r["sum_deg_prod"],
+            r["sum_deg_sq"]) == (m, s_j, s_jk, s_j2)
+    expected = (m * s_jk - s_j * s_j) / (m * s_j2 - s_j * s_j)
+    assert abs(r["assortativity"] - expected) <= 1e-6
+    assert -1.0 - 1e-9 <= r["assortativity"] <= 1.0 + 1e-9

@@ -163,6 +163,7 @@ X_TITLES = {
     "X153": "Haar wavelet energy decomposition (Parseval-exact)",
     "X154": "Group-sequential A/B monitoring (OBF boundaries)",
     "X155": "Set-similarity join (lossless prefix filtering)",
+    "X156": "Degree assortativity (graph mixing audit)",
 }
 
 
