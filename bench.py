@@ -202,6 +202,7 @@ HEADLINE = [
     "sequential_ab_obf_monitor",
     "ppjoin_prefix_similarity",
     "copurchase_assortativity",
+    "percolation_robustness",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -961,3 +961,139 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_j2").cast("long").alias("sum_deg_sq"),
         F.round(num.cast("double") / den.cast("double"), 6)
         .alias("assortativity"))
+
+
+# --------------------------------------------------------------------------
+# X157: percolation / robustness sweep — how does the co-purchase
+# graph fragment when hubs die? Three scenarios (intact; targeted
+# attack removing the top-1% degree hubs; random removal of the same
+# count by md5 order — the classic Albert-Barabasi attack-vs-failure
+# contrast) each re-run the SAME fixed-round min-label component
+# labelling (LPCC_ROUNDS synchronous rounds from label = self; the
+# fixed prefix is deterministic on both engines whether or not it has
+# converged — the kcore X123 discipline — and on this dense
+# small-diameter graph it converges, which the sf0.001 law test
+# verifies against true Python components). Per scenario: node/edge
+# survivors, component count, largest component — the
+# giant-component collapse curve operators read before relying on
+# graph connectivity.
+# --------------------------------------------------------------------------
+LPCC_ROUNDS = 6
+ATTACK_PCT = 1  # remove top ceil(n/100) hubs
+
+
+def _percolation_oracle_sql() -> str:
+    base = """WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT a.i AS src, b.i AS dst
+        FROM op a JOIN op b ON a.g = b.g AND a.i <> b.i),
+    deg AS MATERIALIZED (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM e0 GROUP BY src),
+    nn AS (SELECT CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS h FROM deg),
+    attack_rm AS MATERIALIZED (
+        SELECT node FROM deg
+        ORDER BY d DESC, node LIMIT (SELECT h FROM nn)),
+    random_rm AS MATERIALIZED (
+        SELECT node FROM deg
+        ORDER BY ('0x' || substr(md5('rm:' || node), 1, 15))::BIGINT,
+                 node
+        LIMIT (SELECT h FROM nn))"""
+    parts = [base]
+    for scen in ("intact", "attack", "random"):
+        rm = {"intact": "SELECT NULL WHERE 1=0",
+              "attack": "SELECT node FROM attack_rm",
+              "random": "SELECT node FROM random_rm"}[scen]
+        parts.append(f"""e_{scen} AS MATERIALIZED (
+        SELECT src, dst FROM e0
+        WHERE src NOT IN ({rm}) AND dst NOT IN ({rm}))""")
+        parts.append(f"""l_{scen}_0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS lab FROM e_{scen})""")
+        for r in range(1, LPCC_ROUNDS + 1):
+            parts.append(f"""l_{scen}_{r} AS MATERIALIZED (
+        SELECT l.node,
+               LEAST(l.lab, COALESCE(MIN(n.lab), l.lab)) AS lab
+        FROM l_{scen}_{r - 1} l
+        LEFT JOIN e_{scen} e ON e.src = l.node
+        LEFT JOIN l_{scen}_{r - 1} n ON n.node = e.dst
+        GROUP BY l.node, l.lab)""")
+    rows = []
+    for scen in ("intact", "attack", "random"):
+        last = f"l_{scen}_{LPCC_ROUNDS}"
+        rows.append(f"""SELECT '{scen}' AS scenario,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {last}) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e_{scen}) AS n_edges,
+           (SELECT CAST(COUNT(DISTINCT lab) AS BIGINT) FROM {last})
+               AS n_components,
+           (SELECT CAST(MAX(c) AS BIGINT)
+            FROM (SELECT COUNT(*) AS c FROM {last} GROUP BY lab))
+               AS largest_cc""")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@register(
+    "percolation_robustness",
+    _percolation_oracle_sql(),
+    doc=f"X157 robustness sweep of the co-purchase graph: intact vs "
+        f"top-{ATTACK_PCT}% hub attack vs equal-count md5-random "
+        f"removal, each labelled by {LPCC_ROUNDS} fixed synchronous "
+        "min-label rounds (deterministic prefix; converges on this "
+        "dense graph — law-verified against true Python components). "
+        "Per scenario: survivors, components, giant-component size. "
+        "Each round is one join + keyed min aggregate; removal sets "
+        "are bounded top-k selections.",
+    tags=("X157", "X30", "X42", "X3", "X7"),
+)
+def percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = persist_tracked(
+        G.cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+    deg = e0.groupBy(F.col("src").alias("node")) \
+        .agg(F.count("*").alias("d"))
+    n_nodes = deg.count()
+    h = math.ceil(n_nodes / 100.0)
+    attack_rm = [r["node"] for r in
+                 deg.orderBy(F.desc("d"), F.asc("node")).limit(h)
+                 .collect()]
+    random_rm = [r["node"] for r in
+                 deg.select("node",
+                            F.conv(F.substring(
+                                F.md5(F.concat(F.lit("rm:"),
+                                               F.col("node"))), 1, 15),
+                                16, 10).cast("long").alias("k"))
+                 .orderBy("k", "node").limit(h).collect()]
+    out = []
+    for scen, rm in (("intact", []), ("attack", attack_rm),
+                     ("random", random_rm)):
+        e = e0
+        if rm:
+            e = e0.filter(~F.col("src").isin(rm)
+                          & ~F.col("dst").isin(rm))
+        e = e.localCheckpoint()
+        lab = e.select(F.col("src").alias("node")).distinct() \
+            .withColumn("lab", F.col("node"))
+        for _ in range(LPCC_ROUNDS):
+            nbr = (e.join(lab.select(F.col("node").alias("dst"),
+                                     F.col("lab").alias("nlab")), "dst")
+                   .groupBy(F.col("src").alias("node"))
+                   .agg(F.min("nlab").alias("min_nlab")))
+            lab = (lab.join(nbr, "node", "left")
+                   .select("node",
+                           F.least(F.col("lab"),
+                                   F.coalesce(F.col("min_nlab"),
+                                              F.col("lab")))
+                           .alias("lab"))
+                   .localCheckpoint())
+        comp = lab.groupBy("lab").count()
+        stats = comp.agg(F.count("*").alias("nc"),
+                         F.max("count").alias("big")).collect()[0]
+        out.append((scen, lab.count(), e.count(),
+                    stats["nc"], stats["big"]))
+    return spark.createDataFrame(
+        out, "scenario STRING, n_nodes BIGINT, n_edges BIGINT, "
+             "n_components BIGINT, largest_cc BIGINT")

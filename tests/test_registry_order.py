@@ -108,6 +108,7 @@ NEW_R4: dict[str, str] = {
     "sequential_ab_obf_monitor": "X154",
     "ppjoin_prefix_similarity": "X155",
     "copurchase_assortativity": "X156",
+    "percolation_robustness": "X157",
 }
 DEFERRED |= set(NEW_R4)
 

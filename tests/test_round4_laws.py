@@ -1631,3 +1631,68 @@ def test_assortativity_matches_bruteforce_and_bounds(spark, sf_dir):
     expected = (m * s_jk - s_j * s_j) / (m * s_j2 - s_j * s_j)
     assert abs(r["assortativity"] - expected) <= 1e-6
     assert -1.0 - 1e-9 <= r["assortativity"] <= 1.0 + 1e-9
+
+
+def test_percolation_labels_converge_to_true_components(spark, sf_dir):
+    """X157: at test SF the fixed-round labelling must have converged —
+    scenario stats must equal true components computed in Python
+    (union-find) on the same filtered graphs; attack removes at least
+    as many edges as random removal."""
+    import hashlib
+    import math
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.catalog import load_table
+
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct().collect())
+    orders = defaultdict(set)
+    for r in li:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for parts in orders.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    edges.add((a, b))
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    nodes = sorted(deg)
+    h = math.ceil(len(nodes) / 100.0)
+    attack = set(sorted(nodes, key=lambda n: (-deg[n], n))[:h])
+    rnd = set(sorted(nodes, key=lambda n: (
+        int(hashlib.md5(f"rm:{n}".encode()).hexdigest()[:15], 16),
+        n))[:h])
+
+    def stats(removed):
+        es = [(a, b) for a, b in edges
+              if a not in removed and b not in removed]
+        ns = sorted({a for a, _ in es})
+        parent = {n: n for n in ns}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in es:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comps = defaultdict(int)
+        for n in ns:
+            comps[find(n)] += 1
+        return (len(ns), len(es), len(comps),
+                max(comps.values()) if comps else 0)
+
+    exp = {"intact": stats(set()), "attack": stats(attack),
+           "random": stats(rnd)}
+    got = {r["scenario"]: r
+           for r in _rows("percolation_robustness", spark, sf_dir)}
+    assert set(got) == set(exp)
+    for scen, (n, e, c, big) in exp.items():
+        r = got[scen]
+        assert (r["n_nodes"], r["n_edges"], r["n_components"],
+                r["largest_cc"]) == (n, e, c, big)
+    assert got["attack"]["n_edges"] <= got["random"]["n_edges"]

@@ -164,6 +164,7 @@ X_TITLES = {
     "X154": "Group-sequential A/B monitoring (OBF boundaries)",
     "X155": "Set-similarity join (lossless prefix filtering)",
     "X156": "Degree assortativity (graph mixing audit)",
+    "X157": "Percolation robustness sweep (attack vs failure)",
 }
 
 
