@@ -203,6 +203,7 @@ HEADLINE = [
     "ppjoin_prefix_similarity",
     "copurchase_assortativity",
     "percolation_robustness",
+    "did_brand_quantity",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -830,3 +830,113 @@ def gformula_ate_standardization(spark: SparkSession,
                             / F.col("n") / 1000000.0, 6)
                     .alias("ate_adjusted"),
                     F.round(F.col("naive_diff"), 6).alias("ate_naive")))
+
+
+# --------------------------------------------------------------------------
+# X158: difference-in-differences — the panel-data causal design
+# (X146's cross-sectional standardization can't difference away
+# time-invariant group confounding; DiD can): md5-coin treated brand
+# group, pre/post periods split mid-month on ship date,
+#   DiD = (post - pre)_treated - (post - pre)_control
+# from four exact BIGINT (sum, count) cells — one scan, one 4-cell
+# aggregate, three subtractions of IEEE-identical means. A PLACEBO
+# row re-runs the identical estimator entirely inside the pre period
+# (split at its midpoint); parallel trends predicts ~0 and the law
+# test pins both estimates to a Python replay.
+# --------------------------------------------------------------------------
+DID_SPLIT_DAY = 16        # post = ship day-of-month >= 16
+DID_PLACEBO_DAY = 8       # placebo: pre split at day 8
+
+
+def _did_cells_sql(lo: str, hi: str, split: int, name: str) -> str:
+    return f"""
+    {name} AS (
+        SELECT CASE WHEN (('0x' || substr(md5('did:' || p.p_brand),
+                                          1, 15))::BIGINT % 2) = 0
+                    THEN 1 ELSE 0 END AS treated,
+               CASE WHEN date_part('day', l.l_shipdate) >= {split}
+                    THEN 1 ELSE 0 END AS post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sq
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE date_part('day', l.l_shipdate) BETWEEN {lo} AND {hi}
+        GROUP BY 1, 2
+    )"""
+
+
+def _did_select_sql(name: str, label: str) -> str:
+    def m(t, p):
+        return (f"(SELECT CAST(sq AS DOUBLE) / n FROM {name} "
+                f"WHERE treated = {t} AND post = {p})")
+
+    return f"""
+    SELECT '{label}' AS analysis,
+           (SELECT n FROM {name} WHERE treated = 1 AND post = 0)
+               AS n_t_pre,
+           (SELECT n FROM {name} WHERE treated = 1 AND post = 1)
+               AS n_t_post,
+           (SELECT n FROM {name} WHERE treated = 0 AND post = 0)
+               AS n_c_pre,
+           (SELECT n FROM {name} WHERE treated = 0 AND post = 1)
+               AS n_c_post,
+           ROUND(({m(1, 1)} - {m(1, 0)}) - ({m(0, 1)} - {m(0, 0)}), 6)
+               AS did_estimate"""
+
+
+@register(
+    "did_brand_quantity",
+    f"""
+    WITH {_did_cells_sql('1', '31', DID_SPLIT_DAY, 'main').lstrip()},
+    {_did_cells_sql('1', str(DID_SPLIT_DAY - 1), DID_PLACEBO_DAY,
+                    'plac').lstrip()}
+    {_did_select_sql('main', 'did')}
+    UNION ALL
+    {_did_select_sql('plac', 'placebo')}
+    """,
+    doc=f"X158 difference-in-differences on brand quantity: md5-coin "
+        f"treated brands, post = ship day >= {DID_SPLIT_DAY}; DiD "
+        "from four exact (sum, count) cells in one aggregate, plus a "
+        f"placebo replay inside the pre period (split at day "
+        f"{DID_PLACEBO_DAY}) — the parallel-trends check every DiD "
+        "needs. Means are IEEE-identical divisions of identical "
+        "BIGINTs; the estimate is three subtractions.",
+    tags=("X158", "X146", "X56", "X7", "X3"),
+)
+def did_brand_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    base = (li.join(F.broadcast(part.select(
+                F.col("p_partkey").alias("l_partkey"), "p_brand")),
+                "l_partkey")
+            .select(
+                F.when(F.conv(F.substring(
+                    F.md5(F.concat(F.lit("did:"), F.col("p_brand"))),
+                    1, 15), 16, 10).cast("long") % 2 == 0, 1)
+                .otherwise(0).alias("treated"),
+                F.dayofmonth("l_shipdate").alias("dom"),
+                F.col("l_quantity").cast("long").alias("q")))
+
+    def cells(lo, hi, split):
+        return (base.filter(F.col("dom").between(lo, hi))
+                .groupBy("treated",
+                         F.when(F.col("dom") >= split, 1).otherwise(0)
+                         .alias("post"))
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.sum("q").cast("long").alias("sq")).collect())
+
+    def one(label, rows):
+        c = {(r["treated"], r["post"]): r for r in rows}
+
+        def mean(t, p):
+            return c[(t, p)]["sq"] / c[(t, p)]["n"]
+
+        return (label, c[(1, 0)]["n"], c[(1, 1)]["n"],
+                c[(0, 0)]["n"], c[(0, 1)]["n"],
+                round((mean(1, 1) - mean(1, 0))
+                      - (mean(0, 1) - mean(0, 0)), 6))
+
+    out = [one("did", cells(1, 31, DID_SPLIT_DAY)),
+           one("placebo", cells(1, DID_SPLIT_DAY - 1, DID_PLACEBO_DAY))]
+    return spark.createDataFrame(
+        out, "analysis STRING, n_t_pre BIGINT, n_t_post BIGINT, "
+             "n_c_pre BIGINT, n_c_post BIGINT, did_estimate DOUBLE")

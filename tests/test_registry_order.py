@@ -109,6 +109,7 @@ NEW_R4: dict[str, str] = {
     "ppjoin_prefix_similarity": "X155",
     "copurchase_assortativity": "X156",
     "percolation_robustness": "X157",
+    "did_brand_quantity": "X158",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -1696,3 +1696,51 @@ def test_percolation_labels_converge_to_true_components(spark, sf_dir):
         assert (r["n_nodes"], r["n_edges"], r["n_components"],
                 r["largest_cc"]) == (n, e, c, big)
     assert got["attack"]["n_edges"] <= got["random"]["n_edges"]
+
+
+def test_did_matches_python_replay(spark, sf_dir):
+    """X158: replay both the main and placebo DiD from raw rows; all
+    four cell counts and both estimates must match exactly."""
+    import hashlib
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.queries.ml import (DID_PLACEBO_DAY,
+                                                      DID_SPLIT_DAY)
+    import pyspark.sql.functions as F
+
+    rows = (load_table(spark, sf_dir, "lineitem")
+            .join(load_table(spark, sf_dir, "part")
+                  .select(F.col("p_partkey").alias("l_partkey"),
+                          "p_brand"), "l_partkey")
+            .select("p_brand", F.dayofmonth("l_shipdate").alias("dom"),
+                    F.col("l_quantity").cast("long").alias("q"))
+            .collect())
+
+    def run(lo, hi, split):
+        c = defaultdict(lambda: [0, 0])
+        for r in rows:
+            if not (lo <= r["dom"] <= hi):
+                continue
+            t = 1 if int(hashlib.md5(f"did:{r['p_brand']}".encode())
+                         .hexdigest()[:15], 16) % 2 == 0 else 0
+            p = 1 if r["dom"] >= split else 0
+            c[(t, p)][0] += 1
+            c[(t, p)][1] += r["q"]
+
+        def mean(t, p):
+            return c[(t, p)][1] / c[(t, p)][0]
+
+        return c, round((mean(1, 1) - mean(1, 0))
+                        - (mean(0, 1) - mean(0, 0)), 6)
+
+    got = {r["analysis"]: r
+           for r in _rows("did_brand_quantity", spark, sf_dir)}
+    for label, (lo, hi, split) in (
+            ("did", (1, 31, DID_SPLIT_DAY)),
+            ("placebo", (1, DID_SPLIT_DAY - 1, DID_PLACEBO_DAY))):
+        c, est = run(lo, hi, split)
+        r = got[label]
+        assert (r["n_t_pre"], r["n_t_post"], r["n_c_pre"],
+                r["n_c_post"]) == (c[(1, 0)][0], c[(1, 1)][0],
+                                   c[(0, 0)][0], c[(0, 1)][0])
+        assert abs(r["did_estimate"] - est) <= 1e-9

@@ -165,6 +165,7 @@ X_TITLES = {
     "X155": "Set-similarity join (lossless prefix filtering)",
     "X156": "Degree assortativity (graph mixing audit)",
     "X157": "Percolation robustness sweep (attack vs failure)",
+    "X158": "Difference-in-differences (panel causal design)",
 }
 
 
