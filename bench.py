@@ -204,6 +204,7 @@ HEADLINE = [
     "copurchase_assortativity",
     "percolation_robustness",
     "did_brand_quantity",
+    "mannkendall_sen_trend",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

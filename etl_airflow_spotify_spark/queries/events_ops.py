@@ -3136,3 +3136,176 @@ def sequential_ab_obf_monitor(spark: SparkSession,
                                  .cast("long"))
                            > F.col("boundary_micro"), 1).otherwise(0)
                     .cast("long").alias("crossed")))
+
+
+# --------------------------------------------------------------------------
+# X159: Mann-Kendall trend test + Theil-Sen slope — the
+# distribution-free trend detector (no linearity or normality
+# assumption; robust to outliers) over the daily per-type event
+# series. All pairwise statistics are EXACT integers because the
+# series is calendar-bounded (n days never grows with corpus size, so
+# the P = n(n-1)/2 pair fan-out and the P x P Sen-median selection
+# are CONSTANT cost at any SF — the corpus is touched once for the
+# daily histogram):
+#   S        = sum over i<j of sign(c_j - c_i)              (BIGINT)
+#   var18    = n(n-1)(2n+5) - sum_g t_g(t_g-1)(2t_g+5)      (BIGINT,
+#              tie-corrected; true variance is var18/18)
+#   z        = (S - sign(S)) / sqrt(var18/18)   (one IEEE sqrt + div)
+#   sen      = median of pairwise slopes (c_j-c_i)/(d_j-d_i); the
+#              k-th smallest slope is selected by EXACT BIGINT
+#              cross-multiplied rank counts (dy_q*dx_p < dy_p*dx_q,
+#              dx > 0), and equal rationals divide to the IDENTICAL
+#              double on both engines, so the median is hash-exact.
+# --------------------------------------------------------------------------
+@register(
+    "mannkendall_sen_trend",
+    """
+    WITH daily AS (
+        SELECT event_type AS t,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.t, a.d AS da, b.d AS db,
+               b.c - a.c AS dy, b.d - a.d AS dx
+        FROM daily a JOIN daily b ON b.t = a.t AND b.d > a.d
+    ),
+    stat AS (
+        SELECT t,
+               CAST(SUM(CASE WHEN dy > 0 THEN 1
+                             WHEN dy < 0 THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS p
+        FROM pairs GROUP BY t
+    ),
+    nn AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY t),
+    ties AS (
+        SELECT t, CAST(SUM(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tcorr
+        FROM (SELECT t, CAST(COUNT(*) AS BIGINT) AS tg
+              FROM daily GROUP BY t, c) GROUP BY t
+    ),
+    ranks AS (
+        SELECT p.t, p.da, p.db, p.dy, p.dx,
+               CAST(SUM(CASE WHEN q.dy * p.dx < p.dy * q.dx
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r_lt,
+               CAST(SUM(CASE WHEN q.dy * p.dx <= p.dy * q.dx
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r_le
+        FROM pairs p JOIN pairs q ON q.t = p.t
+        GROUP BY p.t, p.da, p.db, p.dy, p.dx
+    ),
+    sen AS (
+        SELECT r.t,
+               MIN(CASE WHEN r.r_lt < (s.p + 1) // 2
+                         AND (s.p + 1) // 2 <= r.r_le
+                        THEN CAST(r.dy AS DOUBLE) / r.dx END) AS v1,
+               MIN(CASE WHEN r.r_lt < s.p // 2 + 1
+                         AND s.p // 2 + 1 <= r.r_le
+                        THEN CAST(r.dy AS DOUBLE) / r.dx END) AS v2
+        FROM ranks r JOIN stat s ON s.t = r.t GROUP BY r.t
+    )
+    SELECT stat.t AS event_type, nn.n AS n_days, stat.p AS n_pairs,
+           stat.s AS s_stat,
+           CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tcorr
+                AS BIGINT) AS var18_num,
+           ROUND(CASE WHEN stat.s = 0
+                        OR nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                           - ties.tcorr = 0 THEN 0.0::DOUBLE
+                      ELSE (CAST(stat.s AS DOUBLE)
+                            - CASE WHEN stat.s > 0 THEN 1
+                                   WHEN stat.s < 0 THEN -1
+                                   ELSE 0 END)
+                           / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                       - ties.tcorr AS DOUBLE) / 18.0)
+                 END, 6) AS z,
+           ROUND((sen.v1 + sen.v2) / 2.0, 6) AS sen_slope,
+           CASE WHEN (CAST(stat.s AS DOUBLE)
+                      - CASE WHEN stat.s > 0 THEN 1
+                             WHEN stat.s < 0 THEN -1 ELSE 0 END)
+                     > 1.959964
+                          * sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                      - ties.tcorr AS DOUBLE) / 18.0)
+                THEN 'increasing'
+                WHEN (CAST(stat.s AS DOUBLE)
+                      - CASE WHEN stat.s > 0 THEN 1
+                             WHEN stat.s < 0 THEN -1 ELSE 0 END)
+                     < -1.959964
+                          * sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                      - ties.tcorr AS DOUBLE) / 18.0)
+                THEN 'decreasing' ELSE 'no_trend' END AS trend
+    FROM stat JOIN nn ON nn.t = stat.t JOIN ties ON ties.t = stat.t
+    JOIN sen ON sen.t = stat.t
+    ORDER BY event_type
+    """,
+    doc="X159 Mann-Kendall trend test with tie-corrected variance and "
+        "Theil-Sen slope over the daily per-type event series: S and "
+        "var18 are exact BIGINT pairwise folds; the Sen median is "
+        "selected by cross-multiplied BIGINT rank counts so equal "
+        "rationals divide to identical doubles on both engines. The "
+        "daily series is calendar-bounded, so every pairwise step is "
+        "constant cost regardless of SF; the corpus is scanned once.",
+    tags=("X159", "X136", "X82", "X49", "X7"),
+)
+def mannkendall_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.col("event_type").alias("t"),
+                        F.datediff(F.to_date("ts"),
+                                   F.lit("1970-01-01").cast("date"))
+                        .cast("long").alias("d"))
+             .agg(F.count("*").cast("long").alias("c")))
+    b = daily.select(F.col("t").alias("tb"), F.col("d").alias("db"),
+                     F.col("c").alias("cb"))
+    pairs = (daily.join(b, (F.col("tb") == F.col("t"))
+                        & (F.col("db") > F.col("d")))
+             .select("t", F.col("d").alias("da"), "db",
+                     (F.col("cb") - F.col("c")).alias("dy"),
+                     (F.col("db") - F.col("d")).alias("dx")))
+    sign = (F.when(F.col("dy") > 0, 1)
+            .when(F.col("dy") < 0, -1).otherwise(0))
+    stat = (pairs.groupBy("t")
+            .agg(F.sum(sign).cast("long").alias("s"),
+                 F.count("*").cast("long").alias("p")))
+    nn = daily.groupBy("t").agg(F.count("*").cast("long").alias("n"))
+    ties = (daily.groupBy("t", "c")
+            .agg(F.count("*").cast("long").alias("tg"))
+            .groupBy("t")
+            .agg(F.sum(F.col("tg") * (F.col("tg") - 1)
+                       * (2 * F.col("tg") + 5))
+                 .cast("long").alias("tcorr")))
+    q = pairs.select(F.col("t").alias("tq"), F.col("dy").alias("qdy"),
+                     F.col("dx").alias("qdx"))
+    ranks = (pairs.join(q, F.col("tq") == F.col("t"))
+             .groupBy("t", "da", "db", "dy", "dx")
+             .agg(F.sum(F.when(F.col("qdy") * F.col("dx")
+                               < F.col("dy") * F.col("qdx"), 1)
+                        .otherwise(0)).cast("long").alias("r_lt"),
+                  F.sum(F.when(F.col("qdy") * F.col("dx")
+                               <= F.col("dy") * F.col("qdx"), 1)
+                        .otherwise(0)).cast("long").alias("r_le")))
+    k1 = F.expr("(p + 1) div 2")
+    k2 = F.expr("p div 2 + 1")
+    val = F.col("dy").cast("double") / F.col("dx")
+    sen = (ranks.join(stat, "t")
+           .groupBy("t")
+           .agg(F.min(F.when((F.col("r_lt") < k1) & (k1 <= F.col("r_le")),
+                             val)).alias("v1"),
+                F.min(F.when((F.col("r_lt") < k2) & (k2 <= F.col("r_le")),
+                             val)).alias("v2")))
+    j = (stat.join(nn, "t").join(ties, "t").join(sen, "t"))
+    var18 = (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+             - F.col("tcorr"))
+    s_adj = (F.col("s").cast("double")
+             - F.when(F.col("s") > 0, 1)
+             .when(F.col("s") < 0, -1).otherwise(0))
+    sd = F.sqrt(var18.cast("double") / 18.0)
+    return (j.select(
+        F.col("t").alias("event_type"), F.col("n").alias("n_days"),
+        F.col("p").alias("n_pairs"), F.col("s").alias("s_stat"),
+        var18.cast("long").alias("var18_num"),
+        F.round(F.when((F.col("s") == 0) | (var18 == 0),
+                       F.lit(0.0)).otherwise(s_adj / sd), 6).alias("z"),
+        F.round((F.col("v1") + F.col("v2")) / 2.0, 6).alias("sen_slope"),
+        F.when(s_adj > 1.959964 * sd, "increasing")
+        .when(s_adj < -1.959964 * sd, "decreasing")
+        .otherwise("no_trend").alias("trend"))
+        .orderBy("event_type"))

@@ -110,6 +110,7 @@ NEW_R4: dict[str, str] = {
     "copurchase_assortativity": "X156",
     "percolation_robustness": "X157",
     "did_brand_quantity": "X158",
+    "mannkendall_sen_trend": "X159",
 }
 DEFERRED |= set(NEW_R4)
 

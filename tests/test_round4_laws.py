@@ -1744,3 +1744,57 @@ def test_did_matches_python_replay(spark, sf_dir):
                 r["n_c_post"]) == (c[(1, 0)][0], c[(1, 1)][0],
                                    c[(0, 0)][0], c[(0, 1)][0])
         assert abs(r["did_estimate"] - est) <= 1e-9
+
+
+def test_mannkendall_matches_bruteforce_replay(spark, sf_dir):
+    """X159: S, tie-corrected variance numerator, z, the Theil-Sen
+    median (computed with exact Fractions) and the trend label all
+    match an independent Python replay of the daily series."""
+    import duckdb
+    from fractions import Fraction
+
+    rows = {r["event_type"]: r
+            for r in _rows("mannkendall_sen_trend", spark, sf_dir)}
+    daily = duckdb.sql(
+        f"SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c "
+        f"FROM '{sf_dir}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    from collections import defaultdict
+    series = defaultdict(list)
+    for t, d, c in daily:
+        series[t].append((d.toordinal(), c))
+    assert set(series) == set(rows)
+    for t, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        s = 0
+        slopes = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                dy = pts[j][1] - pts[i][1]
+                dx = pts[j][0] - pts[i][0]
+                s += (dy > 0) - (dy < 0)
+                slopes.append(Fraction(dy, dx))
+        from collections import Counter
+        tie = sum(g * (g - 1) * (2 * g + 5)
+                  for g in Counter(c for _, c in pts).values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie
+        slopes.sort()
+        p = len(slopes)
+        med = (slopes[(p - 1) // 2] + slopes[p // 2]) / 2
+        r = rows[t]
+        assert r["n_days"] == n and r["n_pairs"] == p
+        assert r["s_stat"] == s
+        assert r["var18_num"] == var18
+        assert abs(r["sen_slope"] - float(med)) <= 1e-6
+        s_adj = s - (s > 0) + (s < 0)
+        z = 0.0 if s == 0 or var18 == 0 else s_adj / (var18 / 18.0) ** 0.5
+        assert abs(r["z"] - z) <= 1e-5
+        want = ("increasing" if s_adj > 1.959964 * (var18 / 18.0) ** 0.5
+                else "decreasing"
+                if s_adj < -1.959964 * (var18 / 18.0) ** 0.5
+                else "no_trend")
+        assert r["trend"] == want
+        # Sen slope is bracketed by the extreme pairwise slopes
+        assert float(slopes[0]) - 1e-9 <= r["sen_slope"] \
+            <= float(slopes[-1]) + 1e-9
