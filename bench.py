@@ -205,6 +205,7 @@ HEADLINE = [
     "percolation_robustness",
     "did_brand_quantity",
     "mannkendall_sen_trend",
+    "fdr_brand_returns",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -940,3 +940,147 @@ def did_brand_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "analysis STRING, n_t_pre BIGINT, n_t_post BIGINT, "
              "n_c_pre BIGINT, n_c_post BIGINT, did_estimate DOUBLE")
+
+
+# --------------------------------------------------------------------------
+# X160: multiple-testing correction (Benjamini-Hochberg step-up FDR +
+# Bonferroni) — the guardrail every metrics platform needs once it
+# runs one test per segment: m = 25 brand-level two-proportion tests
+# ("does this brand's return rate differ from the rest?") corrected
+# so the FAMILY of discoveries is FDR-controlled.
+#
+# Cross-engine exactness: z is an IEEE-identical function of the four
+# BIGINT cells; the normal tail p = erfc(|z|/sqrt(2)) is TRANSCENDENTAL,
+# so neither engine computes it — |z| is snapped to a 0.1 grid and the
+# 81-entry tail table (nano-units) is precomputed ONCE in Python and
+# inlined into BOTH engines (the X99/X103 pattern: irrational
+# constants are shared, never recomputed). The BH step-up decision
+#   reject i  <=>  exists j >= i with m * p_(j) <= j * alpha
+# is then pure BIGINT cross-multiplication (alpha = 0.05 in nano
+# units), evaluated with a suffix-min window over the p-sorted ranks.
+# One corpus pass (the brand histogram); everything after is 25 rows.
+# --------------------------------------------------------------------------
+def _normal_tail_nano() -> list[tuple[int, int]]:
+    """(z_decigrid, p_nano): two-sided tail 2*(1-Phi(z)) for z = k/10,
+    k = 0..80, in 1e-9 units. math.erfc is correctly rounded enough
+    that the ROUNDED nano value is stable; the table is data-free."""
+    import math
+
+    return [(k, round(math.erfc((k / 10.0) / math.sqrt(2.0)) * 1e9))
+            for k in range(81)]
+
+
+_TAIL_SQL = "VALUES " + ", ".join(
+    f"({k}, {p})" for k, p in _normal_tail_nano())
+FDR_ALPHA_NANO = 50_000_000  # alpha = 0.05 in nano units
+
+
+@register(
+    "fdr_brand_returns",
+    f"""
+    WITH tail(zg, p_nano) AS ({_TAIL_SQL}),
+    cells AS (
+        SELECT p.p_brand AS brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(r) AS BIGINT) AS rr,
+                   CAST(COUNT(*) AS BIGINT) AS m FROM cells),
+    z AS (
+        SELECT brand, n, r,
+               (CAST(r AS DOUBLE) / n
+                - CAST(rr - r AS DOUBLE) / (nn - n))
+               / sqrt((CAST(rr AS DOUBLE) / nn)
+                      * (1.0 - CAST(rr AS DOUBLE) / nn)
+                      * (1.0 / n + 1.0 / (nn - n))) AS zval,
+               tot.m AS m
+        FROM cells CROSS JOIN tot
+    ),
+    p AS (
+        SELECT brand, n, r, zval, m,
+               (SELECT p_nano FROM tail
+                WHERE zg = LEAST(CAST(ROUND(ABS(zval) * 10.0) AS BIGINT),
+                                 80)) AS p_nano
+        FROM z
+    ),
+    ranked AS (
+        SELECT brand, n, r, zval, m, p_nano,
+               ROW_NUMBER() OVER (ORDER BY p_nano, brand) AS rk
+        FROM p
+    ),
+    bh AS (
+        SELECT *,
+               MAX(CASE WHEN m * p_nano <= rk * {FDR_ALPHA_NANO}
+                        THEN rk ELSE 0 END) OVER () AS k_star
+        FROM ranked
+    )
+    SELECT brand, n, r AS returns,
+           ROUND(CAST(r AS DOUBLE) / n, 6) AS rate,
+           ROUND(zval, 6) AS z,
+           p_nano, CAST(rk AS BIGINT) AS p_rank,
+           CAST(CASE WHEN rk <= k_star THEN 1 ELSE 0 END AS BIGINT)
+               AS bh_reject,
+           CAST(CASE WHEN m * p_nano <= {FDR_ALPHA_NANO} THEN 1 ELSE 0 END
+                AS BIGINT) AS bonf_reject
+    FROM bh ORDER BY p_rank
+    """,
+    doc="X160 Benjamini-Hochberg FDR + Bonferroni over 25 per-brand "
+        "two-proportion return-rate tests: z from four BIGINT cells "
+        "(IEEE-identical), |z| snapped to a 0.1 grid, the normal tail "
+        "taken from an 81-entry Python-precomputed nano-unit table "
+        "inlined into both engines, and the step-up cutoff k* as a "
+        "windowed max over BIGINT cross-multiplications. One corpus "
+        "pass; the hypothesis frame is 25 rows.",
+    tags=("X160", "X73", "X56", "X7", "X10"),
+)
+def fdr_brand_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cells = (li.join(F.broadcast(part.select(
+                 F.col("p_partkey").alias("l_partkey"), "p_brand")),
+                 "l_partkey")
+             .groupBy(F.col("p_brand").alias("brand"))
+             .agg(F.count("*").cast("long").alias("n"),
+                  F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                        .otherwise(0)).cast("long").alias("r")))
+    tot = cells.agg(F.sum("n").cast("long").alias("nn"),
+                    F.sum("r").cast("long").alias("rr"),
+                    F.count("*").cast("long").alias("m"))
+    pp = F.col("rr").cast("double") / F.col("nn")
+    z = ((F.col("r").cast("double") / F.col("n")
+          - (F.col("rr") - F.col("r")).cast("double")
+          / (F.col("nn") - F.col("n")))
+         / F.sqrt(pp * (1.0 - pp)
+                  * (1.0 / F.col("n")
+                     + 1.0 / (F.col("nn") - F.col("n")))))
+    tail = spark.createDataFrame(_normal_tail_nano(),
+                                 "zg BIGINT, p_nano BIGINT")
+    zg = F.least(F.round(F.abs(F.col("zval")) * 10.0, 0).cast("long"),
+                 F.lit(80))
+    p = (cells.crossJoin(F.broadcast(tot))
+         .withColumn("zval", z)
+         .withColumn("zg", zg)
+         .join(F.broadcast(tail), "zg"))
+    ranked = p.withColumn(
+        "rk", F.row_number().over(Window.orderBy("p_nano", "brand")))
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    bh = ranked.withColumn(
+        "k_star",
+        F.max(F.when(F.col("m") * F.col("p_nano")
+                     <= F.col("rk") * FDR_ALPHA_NANO, F.col("rk"))
+              .otherwise(0)).over(wall))
+    return (bh.select(
+        "brand", "n", F.col("r").alias("returns"),
+        F.round(F.col("r").cast("double") / F.col("n"), 6).alias("rate"),
+        F.round("zval", 6).alias("z"),
+        "p_nano", F.col("rk").cast("long").alias("p_rank"),
+        F.when(F.col("rk") <= F.col("k_star"), 1).otherwise(0)
+        .cast("long").alias("bh_reject"),
+        F.when(F.col("m") * F.col("p_nano") <= FDR_ALPHA_NANO, 1)
+        .otherwise(0).cast("long").alias("bonf_reject"))
+        .orderBy("p_rank"))

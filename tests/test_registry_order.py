@@ -111,6 +111,7 @@ NEW_R4: dict[str, str] = {
     "percolation_robustness": "X157",
     "did_brand_quantity": "X158",
     "mannkendall_sen_trend": "X159",
+    "fdr_brand_returns": "X160",
 }
 DEFERRED |= set(NEW_R4)
 

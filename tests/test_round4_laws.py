@@ -1798,3 +1798,45 @@ def test_mannkendall_matches_bruteforce_replay(spark, sf_dir):
         # Sen slope is bracketed by the extreme pairwise slopes
         assert float(slopes[0]) - 1e-9 <= r["sen_slope"] \
             <= float(slopes[-1]) + 1e-9
+
+
+def test_fdr_bh_matches_replay_and_dominates_bonferroni(spark, sf_dir):
+    """X160: the BH rejection set equals an independent Python replay
+    (erfc tails on the same 0.1 z-grid), is a prefix of the p-sorted
+    order, and contains the Bonferroni set."""
+    import duckdb
+    import math
+
+    rows = _rows("fdr_brand_returns", spark, sf_dir)
+    cells = duckdb.sql(
+        f"SELECT p.p_brand, COUNT(*), "
+        f"SUM(CASE WHEN l.l_returnflag='R' THEN 1 ELSE 0 END) "
+        f"FROM '{sf_dir}/lineitem.parquet' l "
+        f"JOIN '{sf_dir}/part.parquet' p ON p.p_partkey = l.l_partkey "
+        f"GROUP BY 1").fetchall()
+    nn = sum(c[1] for c in cells)
+    rr = sum(c[2] for c in cells)
+    m = len(cells)
+    ps = {}
+    for brand, n, r in cells:
+        pp = rr / nn
+        z = (r / n - (rr - r) / (nn - n)) / math.sqrt(
+            pp * (1 - pp) * (1 / n + 1 / (nn - n)))
+        zg = min(round(abs(z) * 10.0), 80)
+        ps[brand] = round(math.erfc((zg / 10.0) / math.sqrt(2.0)) * 1e9)
+    order = sorted(ps, key=lambda b: (ps[b], b))
+    k_star = max((i + 1 for i, b in enumerate(order)
+                  if m * ps[b] <= (i + 1) * 50_000_000), default=0)
+    want_bh = set(order[:k_star])
+    got_bh = {r["brand"] for r in rows if r["bh_reject"] == 1}
+    got_bonf = {r["brand"] for r in rows if r["bonf_reject"] == 1}
+    assert got_bh == want_bh
+    assert got_bonf <= got_bh            # Bonferroni is strictly stricter
+    # rejection set is a prefix of p_rank order
+    ranks = sorted(r["p_rank"] for r in rows if r["bh_reject"] == 1)
+    assert ranks == list(range(1, len(ranks) + 1))
+    for r in rows:
+        assert r["p_nano"] == ps[r["brand"]]
+    # at least one discovery at this alpha on the synthetic skew is not
+    # guaranteed — but the table and m must cover all 25 brands
+    assert len(rows) == m == 25
