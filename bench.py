@@ -206,6 +206,7 @@ HEADLINE = [
     "did_brand_quantity",
     "mannkendall_sen_trend",
     "fdr_brand_returns",
+    "boruvka_msf_rounds",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

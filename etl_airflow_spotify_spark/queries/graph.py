@@ -6,7 +6,7 @@ hash check pins every rank value, not just the ordering."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..operators import graph as G
@@ -1097,3 +1097,163 @@ def percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "scenario STRING, n_nodes BIGINT, n_edges BIGINT, "
              "n_components BIGINT, largest_cc BIGINT")
+
+
+# --------------------------------------------------------------------------
+# X161: minimum spanning forest by distributed Boruvka — the
+# log-round MST algorithm every parallel-graph framework ships
+# (clustering backbone, single-link HAC, network design). Weights are
+# a pure integer function of the canonical endpoints (replayable on
+# any engine) and the total order (w, lo, hi) is DISTINCT per edge,
+# so the MSF is unique and every round deterministic. Each round:
+# (1) every component picks its minimum outgoing edge (one window
+# argmin over the label-joined edge list — the cut property makes
+# every pick a true MSF edge), (2) picked edges are deduped, (3) the
+# component graph contracts by CONTRACT_ROUNDS synchronous min-label
+# rounds (the X157 fixed-prefix discipline: deterministic whether or
+# not converged; the law test replays Python union-find to verify it
+# converged, and Kruskal to verify every picked edge is in the true
+# MSF). Rounds halve the component count at worst, so
+# BORUVKA_ROUNDS = 3 contracts >= 8x; the per-round output row
+# (components before/after, edges picked, weight added) is the
+# trajectory a scheduler would monitor.
+# --------------------------------------------------------------------------
+BORUVKA_ROUNDS = 3
+CONTRACT_ROUNDS = 5
+
+
+def _boruvka_oracle_sql() -> str:
+    parts = ["""WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    eu AS MATERIALIZED (
+        SELECT DISTINCT a.i AS lo, b.i AS hi,
+               1 + (a.i + b.i) % 7 AS w
+        FROM op a JOIN op b ON a.g = b.g AND a.i < b.i),
+    ed AS MATERIALIZED (
+        SELECT lo AS u, hi AS v, w, lo, hi FROM eu
+        UNION ALL
+        SELECT hi AS u, lo AS v, w, lo, hi FROM eu),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT u AS node, u AS lab FROM ed)"""]
+    for r in range(BORUVKA_ROUNDS):
+        parts.append(f"""me{r} AS MATERIALIZED (
+        SELECT lu, lv, w, lo, hi FROM (
+            SELECT lu.lab AS lu, lv.lab AS lv, e.w, e.lo, e.hi,
+                   ROW_NUMBER() OVER (PARTITION BY lu.lab
+                                      ORDER BY e.w, e.lo, e.hi) AS rn
+            FROM ed e
+            JOIN l{r} lu ON lu.node = e.u
+            JOIN l{r} lv ON lv.node = e.v
+            WHERE lu.lab <> lv.lab)
+        WHERE rn = 1)""")
+        parts.append(f"""pk{r} AS MATERIALIZED (
+        SELECT DISTINCT lo, hi, w FROM me{r})""")
+        parts.append(f"""cp{r} AS MATERIALIZED (
+        SELECT DISTINCT lu AS a, lv AS b FROM me{r}
+        UNION
+        SELECT DISTINCT lv AS a, lu AS b FROM me{r})""")
+        parts.append(f"""c{r}_0 AS MATERIALIZED (
+        SELECT DISTINCT lab AS node, lab FROM l{r})""")
+        for j in range(1, CONTRACT_ROUNDS + 1):
+            parts.append(f"""c{r}_{j} AS MATERIALIZED (
+        SELECT c.node,
+               LEAST(c.lab, COALESCE(MIN(n.lab), c.lab)) AS lab
+        FROM c{r}_{j - 1} c
+        LEFT JOIN cp{r} e ON e.a = c.node
+        LEFT JOIN c{r}_{j - 1} n ON n.node = e.b
+        GROUP BY c.node, c.lab)""")
+        parts.append(f"""l{r + 1} AS MATERIALIZED (
+        SELECT l.node, c.lab
+        FROM l{r} l JOIN c{r}_{CONTRACT_ROUNDS} c ON c.node = l.lab)""")
+    rows = []
+    for r in range(BORUVKA_ROUNDS):
+        rows.append(f"""SELECT CAST({r + 1} AS BIGINT) AS round,
+           (SELECT CAST(COUNT(DISTINCT lab) AS BIGINT) FROM l{r})
+               AS components_before,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pk{r}) AS edges_picked,
+           (SELECT CAST(SUM(w) AS BIGINT) FROM pk{r}) AS weight_added,
+           (SELECT CAST(COUNT(DISTINCT lab) AS BIGINT) FROM l{r + 1})
+               AS components_after""")
+    return (",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+            + "\nORDER BY round")
+
+
+@register(
+    "boruvka_msf_rounds",
+    _boruvka_oracle_sql(),
+    doc=f"X161 distributed Boruvka minimum spanning forest over the "
+        f"co-purchase graph ({BORUVKA_ROUNDS} rounds): per-component "
+        "min outgoing edge by one window argmin over the distinct "
+        "total order (w, lo, hi) — the cut property makes every pick "
+        f"a true MSF edge — then {CONTRACT_ROUNDS} fixed synchronous "
+        "min-label contraction rounds (X157 discipline; convergence + "
+        "MSF membership law-verified vs Python union-find/Kruskal). "
+        "Output: per-round components before/after, edges picked, "
+        "weight added.",
+    tags=("X161", "X30", "X42", "X3", "X7", "X10"),
+)
+def boruvka_msf_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    eu = persist_tracked(
+        e0.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("lo"), F.col("dst").alias("hi"),
+                (F.lit(1) + (F.col("src") + F.col("dst")) % 7)
+                .cast("long").alias("w")))
+    ed = (eu.select(F.col("lo").alias("u"), F.col("hi").alias("v"),
+                    "w", "lo", "hi")
+          .unionByName(eu.select(F.col("hi").alias("u"),
+                                 F.col("lo").alias("v"),
+                                 "w", "lo", "hi"))
+          .localCheckpoint())
+    lab = (ed.select(F.col("u").alias("node")).distinct()
+           .withColumn("lab", F.col("node")).localCheckpoint())
+    out = []
+    for r in range(BORUVKA_ROUNDS):
+        comp_before = lab.select("lab").distinct().count()
+        le = (ed.join(lab.select(F.col("node").alias("u"),
+                                 F.col("lab").alias("lu")), "u")
+              .join(lab.select(F.col("node").alias("v"),
+                               F.col("lab").alias("lv")), "v")
+              .filter(F.col("lu") != F.col("lv")))
+        me = (le.withColumn(
+                  "rn", F.row_number().over(
+                      Window.partitionBy("lu")
+                      .orderBy("w", "lo", "hi")))
+              .filter(F.col("rn") == 1)
+              .select("lu", "lv", "w", "lo", "hi")
+              .localCheckpoint())
+        pk = me.select("lo", "hi", "w").distinct()
+        stats = pk.agg(F.count("*").alias("n"),
+                       F.sum("w").alias("sw")).collect()[0]
+        cp = (me.select(F.col("lu").alias("a"), F.col("lv").alias("b"))
+              .union(me.select(F.col("lv").alias("a"),
+                               F.col("lu").alias("b")))
+              .distinct().localCheckpoint())
+        clab = (lab.select(F.col("lab").alias("node")).distinct()
+                .withColumn("clab", F.col("node")))
+        for _ in range(CONTRACT_ROUNDS):
+            nbr = (cp.join(clab.select(F.col("node").alias("b"),
+                                       F.col("clab").alias("nlab")), "b")
+                   .groupBy(F.col("a").alias("node"))
+                   .agg(F.min("nlab").alias("min_nlab")))
+            clab = (clab.join(nbr, "node", "left")
+                    .select("node",
+                            F.least(F.col("clab"),
+                                    F.coalesce(F.col("min_nlab"),
+                                               F.col("clab")))
+                            .alias("clab"))
+                    .localCheckpoint())
+        lab = (lab.join(clab.select(F.col("node").alias("lab"),
+                                    "clab"), "lab")
+               .select("node", F.col("clab").alias("lab"))
+               .localCheckpoint())
+        comp_after = lab.select("lab").distinct().count()
+        out.append((r + 1, comp_before, int(stats["n"]),
+                    int(stats["sw"]), comp_after))
+    return spark.createDataFrame(
+        out, "round BIGINT, components_before BIGINT, "
+             "edges_picked BIGINT, weight_added BIGINT, "
+             "components_after BIGINT")

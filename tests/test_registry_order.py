@@ -112,6 +112,7 @@ NEW_R4: dict[str, str] = {
     "did_brand_quantity": "X158",
     "mannkendall_sen_trend": "X159",
     "fdr_brand_returns": "X160",
+    "boruvka_msf_rounds": "X161",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -1840,3 +1840,69 @@ def test_fdr_bh_matches_replay_and_dominates_bonferroni(spark, sf_dir):
     # at least one discovery at this alpha on the synthetic skew is not
     # guaranteed — but the table and m must cover all 25 brands
     assert len(rows) == m == 25
+
+
+def test_boruvka_picks_true_msf_edges_and_contracts(spark, sf_dir):
+    """X161: replay Boruvka in Python with TRUE union-find contraction
+    (no fixed-round cap): the per-round pick counts/weights must match
+    (proving the fixed contraction rounds converged), every picked
+    edge must be in Kruskal's MSF under the same (w, lo, hi) order,
+    and components must strictly decrease while edges are picked."""
+    import duckdb
+
+    rows = _rows("boruvka_msf_rounds", spark, sf_dir)
+    edges = duckdb.sql(
+        f"WITH op AS (SELECT DISTINCT l_orderkey g, l_partkey i "
+        f"FROM '{sf_dir}/lineitem.parquet') "
+        f"SELECT DISTINCT a.i, b.i, 1 + (a.i + b.i) % 7 "
+        f"FROM op a JOIN op b ON a.g = b.g AND a.i < b.i").fetchall()
+    edges = [(w, lo, hi) for lo, hi, w in edges]
+
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = {lo for _, lo, _ in edges} | {hi for _, _, hi in edges}
+    for n in nodes:
+        parent[n] = n
+    # Kruskal under the same distinct total order
+    kruskal = set()
+    for w, lo, hi in sorted(edges):
+        a, b = find(lo), find(hi)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+            kruskal.add((lo, hi))
+    # Boruvka replay with exact union-find contraction
+    for n in nodes:
+        parent[n] = n
+    got = {r["round"]: r for r in rows}
+    all_picked = set()
+    for rnd in range(1, len(rows) + 1):
+        comp_before = len({find(n) for n in nodes})
+        best = {}
+        for w, lo, hi in edges:
+            a, b = find(lo), find(hi)
+            if a == b:
+                continue
+            for c in (a, b):
+                if c not in best or (w, lo, hi) < best[c]:
+                    best[c] = (w, lo, hi)
+        picked = {(lo, hi, w) for w, lo, hi in best.values()}
+        for lo, hi, _ in picked:
+            a, b = find(lo), find(hi)
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        r = got[rnd]
+        assert r["components_before"] == comp_before
+        assert r["edges_picked"] == len(picked)
+        assert r["weight_added"] == sum(w for _, _, w in picked)
+        assert r["components_after"] == len({find(n) for n in nodes})
+        all_picked |= {(lo, hi) for lo, hi, _ in picked}
+        if r["edges_picked"]:
+            assert r["components_after"] < r["components_before"]
+    # cut property: every picked edge is a true MSF edge
+    assert all_picked <= kruskal
