@@ -207,6 +207,7 @@ HEADLINE = [
     "mannkendall_sen_trend",
     "fdr_brand_returns",
     "boruvka_msf_rounds",
+    "dbscan_rfm_segments",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -1084,3 +1084,163 @@ def fdr_brand_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("m") * F.col("p_nano") <= FDR_ALPHA_NANO, 1)
         .otherwise(0).cast("long").alias("bonf_reject"))
         .orderBy("p_rank"))
+
+
+# --------------------------------------------------------------------------
+# X162: density-based clustering (DBSCAN) over the customer
+# (frequency, monetary) plane — the clustering family X54/X35
+# (centroid-based) cannot express: clusters are density-connected
+# regions of ARBITRARY shape, and low-density points are explicitly
+# NOISE rather than being forced into a nearest centroid.
+#
+# Everything is exact integer geometry: x = order count, y = lifetime
+# cents DIV 4e6 (decimal-exact cents, never a float division), and
+# the epsilon test is squared-L2 <= EPS2 on BIGINTs. The Spark plan
+# is the scalable shape: grid cells of side eps + a 3x3 neighbor
+# probe bound candidate pairs by occupied-cell density (the X104
+# pigeonhole), neighbor counts/core flags are one aggregate,
+# core-core components run on the X30 star-contraction operator
+# (O(log^2 n) rounds, converged — not a fixed prefix), and border
+# points attach to their minimum core neighbor's cluster. The oracle
+# brute-forces all pairs (point count is customer-bounded) and
+# closes components with a recursive CTE, so LSH-free recall, the CC
+# fixpoint, core/border/noise classification and every cluster size
+# are all hash-checked.
+# --------------------------------------------------------------------------
+DBSCAN_EPS2 = 4       # squared epsilon (eps = 2 grid units)
+DBSCAN_MINPTS = 8     # neighbors incl. self needed for a core point
+DBSCAN_Y_DIV = 4_000_000  # cents per y grid unit
+
+
+@register(
+    "dbscan_rfm_segments",
+    f"""
+    WITH RECURSIVE pts AS (
+        SELECT o_custkey AS id,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) // {DBSCAN_Y_DIV} AS y
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.id AS ia, b.id AS ib
+        FROM pts a JOIN pts b
+          ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= {DBSCAN_EPS2}
+    ),
+    ncnt AS (SELECT ia AS id, CAST(COUNT(*) AS BIGINT) AS n
+             FROM pairs GROUP BY ia),
+    core AS (SELECT id FROM ncnt WHERE n >= {DBSCAN_MINPTS}),
+    ce AS (
+        SELECT p.ia AS src, p.ib AS dst FROM pairs p
+        JOIN core ca ON ca.id = p.ia JOIN core cb ON cb.id = p.ib
+    ),
+    reach(v, r) AS (
+        SELECT id, id FROM core
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN ce e ON e.src = reach.v
+    ),
+    lab AS (SELECT v AS id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+    border AS (
+        SELECT p.ia AS id, MIN(l.cluster_id) AS cluster_id
+        FROM pairs p
+        JOIN lab l ON l.id = p.ib
+        LEFT JOIN core c ON c.id = p.ia
+        WHERE c.id IS NULL
+        GROUP BY p.ia
+    ),
+    assigned AS (
+        SELECT id, cluster_id, 1 AS is_core FROM lab
+        UNION ALL
+        SELECT id, cluster_id, 0 FROM border
+    ),
+    summary AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(is_core) AS BIGINT) AS n_core,
+               CAST(SUM(1 - is_core) AS BIGINT) AS n_border
+        FROM assigned GROUP BY cluster_id
+    )
+    SELECT * FROM summary
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pts)
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM assigned),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    ORDER BY cluster_id
+    """,
+    doc=f"X162 DBSCAN (eps^2 = {DBSCAN_EPS2}, minPts = {DBSCAN_MINPTS}) "
+        "over customer (order-count, lifetime-cents/4e6) integer "
+        "space: grid-cell + 3x3 probe candidate pairs, one aggregate "
+        "for core flags, X30 star-contraction components over "
+        "core-core edges, min-core-neighbor border attachment, "
+        "explicit noise. Oracle brute-forces pairs and closes "
+        "components recursively — shape, sizes and noise all "
+        "hash-checked.",
+    tags=("X162", "X104", "X30", "X54", "X3", "X7"),
+)
+def dbscan_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+    from ..operators.dedup import connected_components_star
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                  .cast("long")).cast("long")
+    pts = persist_tracked(
+        orders.groupBy(F.col("o_custkey").alias("id"))
+        .agg(F.count("*").cast("long").alias("x"),
+             cents.alias("cents"))
+        .select("id", "x", F.expr(f"cents DIV {DBSCAN_Y_DIV}").alias("y")))
+    eps = 2  # ceil(sqrt(EPS2)); grid side
+    cells = pts.select(
+        "id", "x", "y",
+        F.expr(f"x DIV {eps}").alias("cx"),
+        F.expr(f"y DIV {eps}").alias("cy"))
+    off = F.explode(F.array(*[F.lit(o) for o in (-1, 0, 1)]))
+    probe = (cells.select("id", "x", "y", "cx", "cy", off.alias("dx"))
+             .select("id", "x", "y",
+                     (F.col("cx") + F.col("dx")).alias("cx"), "cy",
+                     off.alias("dy"))
+             .select("id", "x", "y", "cx",
+                     (F.col("cy") + F.col("dy")).alias("cy")))
+    a = probe.select(F.col("id").alias("ia"), F.col("x").alias("xa"),
+                     F.col("ya" if False else "y").alias("ya"),
+                     "cx", "cy")
+    b = cells.select(F.col("id").alias("ib"), F.col("x").alias("xb"),
+                     F.col("y").alias("yb"), "cx", "cy")
+    pairs = persist_tracked(
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+                + (F.col("ya") - F.col("yb"))
+                * (F.col("ya") - F.col("yb")) <= DBSCAN_EPS2)
+        .select("ia", "ib").distinct())
+    ncnt = pairs.groupBy(F.col("ia").alias("id")) \
+        .agg(F.count("*").cast("long").alias("n"))
+    core = persist_tracked(
+        ncnt.filter(F.col("n") >= DBSCAN_MINPTS).select("id"))
+    ce = (pairs
+          .join(core.select(F.col("id").alias("ia")), "ia")
+          .join(core.select(F.col("id").alias("ib")), "ib")
+          .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b")))
+    lab = connected_components_star(ce).select(
+        "id", F.col("cluster_id"))
+    border = (pairs
+              .join(core.select(F.col("id").alias("ia")), "ia",
+                    "left_anti")
+              .join(lab.select(F.col("id").alias("ib"),
+                               F.col("cluster_id")), "ib")
+              .groupBy(F.col("ia").alias("id"))
+              .agg(F.min("cluster_id").alias("cluster_id")))
+    assigned = (lab.withColumn("is_core", F.lit(1))
+                .unionByName(border.withColumn("is_core", F.lit(0))))
+    summary = (assigned.groupBy("cluster_id")
+               .agg(F.count("*").cast("long").alias("n_points"),
+                    F.sum("is_core").cast("long").alias("n_core"),
+                    F.sum(1 - F.col("is_core")).cast("long")
+                    .alias("n_border")))
+    n_total = pts.count()
+    n_assigned = assigned.count()
+    noise = spark.createDataFrame(
+        [(-1, n_total - n_assigned, 0, 0)],
+        "cluster_id BIGINT, n_points BIGINT, n_core BIGINT, "
+        "n_border BIGINT")
+    return summary.unionByName(noise).orderBy("cluster_id")

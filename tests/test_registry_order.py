@@ -113,6 +113,7 @@ NEW_R4: dict[str, str] = {
     "mannkendall_sen_trend": "X159",
     "fdr_brand_returns": "X160",
     "boruvka_msf_rounds": "X161",
+    "dbscan_rfm_segments": "X162",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -1906,3 +1906,68 @@ def test_boruvka_picks_true_msf_edges_and_contracts(spark, sf_dir):
             assert r["components_after"] < r["components_before"]
     # cut property: every picked edge is a true MSF edge
     assert all_picked <= kruskal
+
+
+def test_dbscan_matches_bruteforce_python(spark, sf_dir):
+    """X162: cluster sizes, core/border split and noise count equal a
+    brute-force O(n^2) Python DBSCAN with true union-find components
+    (proving grid recall and star-CC convergence), and the
+    core/border/noise partition covers every customer exactly once."""
+    import duckdb
+
+    rows = _rows("dbscan_rfm_segments", spark, sf_dir)
+    pts = duckdb.sql(
+        f"SELECT o_custkey, COUNT(*), "
+        f"SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))"
+        f" // 4000000 "
+        f"FROM '{sf_dir}/orders.parquet' GROUP BY 1").fetchall()
+    ids = [p[0] for p in pts]
+    xy = {p[0]: (p[1], p[2]) for p in pts}
+    nbrs = {i: [j for j in ids
+                if (xy[i][0] - xy[j][0]) ** 2
+                + (xy[i][1] - xy[j][1]) ** 2 <= 4]
+            for i in ids}
+    core = {i for i in ids if len(nbrs[i]) >= 8}
+    parent = {i: i for i in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in core:
+        for j in nbrs[i]:
+            if j in core:
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    # canonical label = min id in component
+    comp = {}
+    for i in core:
+        comp.setdefault(find(i), []).append(i)
+    lab = {i: min(members) for root, members in comp.items()
+           for i in members}
+    border = {}
+    for i in ids:
+        if i in core:
+            continue
+        cs = [lab[j] for j in nbrs[i] if j in core]
+        if cs:
+            border[i] = min(cs)
+    noise = [i for i in ids if i not in core and i not in border]
+    from collections import Counter
+    want = Counter()
+    for i, c in lab.items():
+        want[c] += 1
+    wantb = Counter(border.values())
+    got = {r["cluster_id"]: r for r in rows}
+    assert got[-1]["n_points"] == len(noise)
+    clusters = {c for c in got if c != -1}
+    assert clusters == set(want) | set(wantb)
+    for c in clusters:
+        assert got[c]["n_core"] == want.get(c, 0)
+        assert got[c]["n_border"] == wantb.get(c, 0)
+        assert got[c]["n_points"] == want.get(c, 0) + wantb.get(c, 0)
+    # partition covers every customer once
+    assert sum(r["n_points"] for r in rows) == len(ids)
