@@ -208,6 +208,7 @@ HEADLINE = [
     "fdr_brand_returns",
     "boruvka_msf_rounds",
     "dbscan_rfm_segments",
+    "ams_f2_partkey",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

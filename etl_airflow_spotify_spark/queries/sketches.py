@@ -235,3 +235,116 @@ def sliding_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("window_start") + F.expr("INTERVAL 1 HOUR"))
                     .alias("window_end"),
                     "n_users"))
+
+
+# --------------------------------------------------------------------------
+# X163: AMS (Alon-Matias-Szegedy) F2 sketch — the second frequency
+# moment Sum f_v^2 ("join self-size" / skew measure, the quantity
+# Selinger-style planners and salting heuristics actually need) from
+# ONE pass of O(K) integer counters, no per-key state. Unlike the
+# HLL/theta family above, this sketch is EXACTLY replayable: the
+# +-1 signs come from md5 bits, every X_k = Sum s_k(v) is a BIGINT
+# fold, estimates are X_k^2, groups-of-4 sums and a median-of-3 (as
+# a+b+c - greatest - least, exact integers) — so the DuckDB oracle
+# hash-checks the full estimator pipeline, not just its shape. The
+# exact F2 (one groupBy) rides along: E[X^2] = F2 is the AMS
+# identity and the law test pins the realized ratio.
+# --------------------------------------------------------------------------
+AMS_K = 12       # estimators
+AMS_GROUP = 4    # estimators per mean group -> 3 groups, median of 3
+
+
+@register(
+    "ams_f2_partkey",
+    f"""
+    WITH x AS (
+        SELECT k.k,
+               CAST(SUM(CASE WHEN ('0x' || substr(
+                             md5('ams:' || k.k || ':' || l_partkey),
+                             1, 15))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END) AS BIGINT) AS x_sum
+        FROM lineitem
+        CROSS JOIN (SELECT UNNEST(generate_series(0, {AMS_K - 1})) AS k) k
+        GROUP BY k.k
+    ),
+    grp AS (
+        SELECT k // {AMS_GROUP} AS g,
+               CAST(SUM(x_sum * x_sum) AS BIGINT) AS sum_sq
+        FROM x GROUP BY 1
+    ),
+    med AS (
+        SELECT CAST(SUM(sum_sq) - MAX(sum_sq) - MIN(sum_sq) AS BIGINT)
+               AS med4
+        FROM grp
+    ),
+    exact AS (
+        SELECT CAST(SUM(c * c) AS BIGINT) AS f2
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+              FROM lineitem GROUP BY l_partkey)
+    )
+    SELECT 'x' AS kind, CAST(k AS BIGINT) AS k, x_sum AS value,
+           CAST(NULL AS DOUBLE) AS est_ratio
+    FROM x
+    UNION ALL
+    SELECT 'group{AMS_GROUP}sum', CAST(g AS BIGINT), sum_sq,
+           CAST(NULL AS DOUBLE)
+    FROM grp
+    UNION ALL
+    SELECT 'median', CAST(-1 AS BIGINT), med4,
+           ROUND(CAST(med4 AS DOUBLE) / ({AMS_GROUP} * exact.f2), 6)
+    FROM med CROSS JOIN exact
+    UNION ALL
+    SELECT 'exact', CAST(-1 AS BIGINT), f2, CAST(1.0 AS DOUBLE)
+    FROM exact
+    ORDER BY kind, k
+    """,
+    doc=f"X163 AMS F2 sketch over l_partkey: {AMS_K} md5-signed +-1 "
+        f"BIGINT folds, squared, mean groups of {AMS_GROUP} and a "
+        "median-of-3 (a+b+c-max-min, exact) — one corpus pass with "
+        "O(K) state; exact F2 alongside. The fully-replayable "
+        "frequency-moment sketch (unlike engine-internal HLL/theta), "
+        "so the driver hash-checks the whole estimator, and the law "
+        "test pins the realized estimate/exact ratio.",
+    tags=("X163", "X29", "X7", "X77"),
+)
+def ams_f2_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    ks = F.explode(F.array(*[F.lit(k) for k in range(AMS_K)]))
+    sign = F.when(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("ams:"), F.col("k"), F.lit(":"),
+                           F.col("l_partkey"))), 1, 15), 16, 10)
+        .cast("long") % 2 == 0, 1).otherwise(-1)
+    x = (li.select("l_partkey", ks.alias("k"))
+         .groupBy("k")
+         .agg(F.sum(sign).cast("long").alias("x_sum")))
+    grp = (x.groupBy(F.expr(f"k DIV {AMS_GROUP}").alias("g"))
+           .agg(F.sum(F.col("x_sum") * F.col("x_sum")).cast("long")
+                .alias("sum_sq")))
+    med = grp.agg((F.sum("sum_sq") - F.max("sum_sq") - F.min("sum_sq"))
+                  .cast("long").alias("med4"))
+    exact = (li.groupBy("l_partkey")
+             .agg(F.count("*").cast("long").alias("c"))
+             .agg(F.sum(F.col("c") * F.col("c")).cast("long")
+                  .alias("f2")))
+    out_x = x.select(F.lit("x").alias("kind"),
+                     F.col("k").cast("long").alias("k"),
+                     F.col("x_sum").alias("value"),
+                     F.lit(None).cast("double").alias("est_ratio"))
+    out_g = grp.select(F.lit(f"group{AMS_GROUP}sum").alias("kind"),
+                       F.col("g").cast("long").alias("k"),
+                       F.col("sum_sq").alias("value"),
+                       F.lit(None).cast("double").alias("est_ratio"))
+    out_m = (med.crossJoin(exact)
+             .select(F.lit("median").alias("kind"),
+                     F.lit(-1).cast("long").alias("k"),
+                     F.col("med4").alias("value"),
+                     F.round(F.col("med4").cast("double")
+                             / (AMS_GROUP * F.col("f2")), 6)
+                     .alias("est_ratio")))
+    out_e = exact.select(F.lit("exact").alias("kind"),
+                         F.lit(-1).cast("long").alias("k"),
+                         F.col("f2").alias("value"),
+                         F.lit(1.0).alias("est_ratio"))
+    return (out_x.unionByName(out_g).unionByName(out_m)
+            .unionByName(out_e).orderBy("kind", "k"))

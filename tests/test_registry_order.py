@@ -114,6 +114,7 @@ NEW_R4: dict[str, str] = {
     "fdr_brand_returns": "X160",
     "boruvka_msf_rounds": "X161",
     "dbscan_rfm_segments": "X162",
+    "ams_f2_partkey": "X163",
 }
 DEFERRED |= set(NEW_R4)
 

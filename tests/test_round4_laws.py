@@ -1971,3 +1971,40 @@ def test_dbscan_matches_bruteforce_python(spark, sf_dir):
         assert got[c]["n_points"] == want.get(c, 0) + wantb.get(c, 0)
     # partition covers every customer once
     assert sum(r["n_points"] for r in rows) == len(ids)
+
+
+def test_ams_f2_replay_and_estimator_quality(spark, sf_dir):
+    """X163: every X_k matches a Python md5 replay, group sums and the
+    median-of-3 are internally consistent, and the realized
+    median-of-means estimate lands within 3x of exact F2 (the AMS
+    E[X^2] = F2 identity with 3 groups of 4)."""
+    import duckdb
+    import hashlib
+
+    rows = _rows("ams_f2_partkey", spark, sf_dir)
+    keys = [r[0] for r in duckdb.sql(
+        f"SELECT l_partkey FROM '{sf_dir}/lineitem.parquet'").fetchall()]
+    xs = {}
+    for k in range(12):
+        s = 0
+        for v in keys:
+            h = hashlib.md5(f"ams:{k}:{v}".encode()).hexdigest()
+            s += 1 if int(h[:15], 16) % 2 == 0 else -1
+        xs[k] = s
+    got_x = {r["k"]: r["value"] for r in rows if r["kind"] == "x"}
+    assert got_x == xs
+    grp = {g: sum(xs[k] ** 2 for k in range(g * 4, g * 4 + 4))
+           for g in range(3)}
+    got_g = {r["k"]: r["value"] for r in rows
+             if r["kind"] == "group4sum"}
+    assert got_g == grp
+    med = sorted(grp.values())[1]
+    got_m = [r for r in rows if r["kind"] == "median"][0]
+    assert got_m["value"] == med
+    from collections import Counter
+    f2 = sum(c * c for c in Counter(keys).values())
+    got_e = [r for r in rows if r["kind"] == "exact"][0]
+    assert got_e["value"] == f2
+    ratio = med / (4 * f2)
+    assert abs(got_m["est_ratio"] - round(ratio, 6)) <= 1e-9
+    assert 1 / 3 <= ratio <= 3
