@@ -209,6 +209,7 @@ HEADLINE = [
     "boruvka_msf_rounds",
     "dbscan_rfm_segments",
     "ams_f2_partkey",
+    "dp_noisy_daily_counts",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

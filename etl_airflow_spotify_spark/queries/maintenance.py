@@ -1259,3 +1259,96 @@ def join_order_cost_explorer(spark: SparkSession,
     return spark.createDataFrame(
         rows, "plan STRING, est_first BIGINT, est_cost BIGINT, "
               "actual_first BIGINT, rank BIGINT")
+
+
+# --------------------------------------------------------------------------
+# X164: differential-privacy release — the daily event-type histogram
+# published with discrete-Laplace noise (epsilon = 1, sensitivity 1:
+# each count changes by at most 1 when one event is added/removed).
+# The noise channel is FULLY deterministic and engine-portable: the
+# per-cell uniform is 60 md5 bits, and the discrete-Laplace inverse
+# CDF is precomputed ONCE in Python as 2^60-unit integer thresholds
+# inlined into BOTH engines (the X103 Poisson-bootstrap pattern —
+# neither engine evaluates exp, so there is nothing to disagree
+# about). z = min level whose threshold exceeds the uniform: one
+# broadcast range join against the 80-row table. True counts, noise,
+# released counts and |error| are all hash-checked; the law test
+# replays the channel and pins the empirical noise scale to the
+# epsilon = 1 discrete-Laplace variance.
+# --------------------------------------------------------------------------
+DP_EPS_LABEL = "eps1"
+DP_Z_MAX = 40
+
+
+def _dlap_cuts_2p60() -> list[tuple[int, int]]:
+    """(z, floor(CDF(z) * 2^60)) for the discrete Laplace with
+    a = e^-1: p(z) = (1-a)/(1+a) * a^|z|, z in [-40, 39]."""
+    import math
+
+    a = math.exp(-1.0)
+    cdf, cuts = 0.0, []
+    for z in range(-DP_Z_MAX, DP_Z_MAX):
+        cdf += (1 - a) / (1 + a) * a ** abs(z)
+        cuts.append((z, math.floor(cdf * (1 << 60))))
+    return cuts
+
+
+_DLAP_SQL = "VALUES " + ", ".join(f"({z}, {c})"
+                                  for z, c in _dlap_cuts_2p60())
+
+
+@register(
+    "dp_noisy_daily_counts",
+    f"""
+    WITH cuts(z, cut) AS ({_DLAP_SQL}),
+    cells AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM events GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT event_type, d, true_n,
+               ('0x' || substr(md5('dp:{DP_EPS_LABEL}:' || event_type
+                                   || ':' || d), 1, 15))::BIGINT AS u60
+        FROM cells
+    ),
+    noise AS (
+        SELECT event_type, d, true_n,
+               COALESCE((SELECT MIN(z) FROM cuts
+                         WHERE cut > u.u60), {DP_Z_MAX}) AS z
+        FROM u
+    )
+    SELECT event_type, d, true_n, CAST(z AS BIGINT) AS noise,
+           CAST(true_n + z AS BIGINT) AS released_n,
+           CAST(ABS(z) AS BIGINT) AS abs_err
+    FROM noise ORDER BY event_type, d
+    """,
+    doc="X164 differential-privacy histogram release (discrete "
+        "Laplace, eps = 1, sensitivity 1) of daily event-type counts: "
+        "per-cell md5 60-bit uniform -> inverse CDF via an 80-row "
+        "Python-precomputed 2^60-unit threshold table inlined into "
+        "both engines -> released = true + z. No float RNG, no "
+        "transcendental in either engine; the channel, the release "
+        "and the realized |error| all hash-check.",
+    tags=("X164", "X72", "X74", "X103", "X7"),
+)
+def dp_noisy_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = (ev.groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.count("*").cast("long").alias("true_n")))
+    u60 = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"dp:{DP_EPS_LABEL}:"), F.col("event_type"),
+                       F.lit(":"), F.col("d").cast("string"))),
+        1, 15), 16, 10).cast("long")
+    cuts = spark.createDataFrame(_dlap_cuts_2p60(), "z INT, cut LONG")
+    noise = (cells.withColumn("u60", u60)
+             .join(F.broadcast(cuts), F.col("cut") > F.col("u60"),
+                   "left")
+             .groupBy("event_type", "d", "true_n", "u60")
+             .agg(F.coalesce(F.min("z"), F.lit(DP_Z_MAX)).alias("z")))
+    return (noise.select(
+        "event_type", "d", "true_n",
+        F.col("z").cast("long").alias("noise"),
+        (F.col("true_n") + F.col("z")).cast("long").alias("released_n"),
+        F.abs(F.col("z")).cast("long").alias("abs_err"))
+        .orderBy("event_type", "d"))

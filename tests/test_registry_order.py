@@ -115,6 +115,7 @@ NEW_R4: dict[str, str] = {
     "boruvka_msf_rounds": "X161",
     "dbscan_rfm_segments": "X162",
     "ams_f2_partkey": "X163",
+    "dp_noisy_daily_counts": "X164",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -2008,3 +2008,34 @@ def test_ams_f2_replay_and_estimator_quality(spark, sf_dir):
     ratio = med / (4 * f2)
     assert abs(got_m["est_ratio"] - round(ratio, 6)) <= 1e-9
     assert 1 / 3 <= ratio <= 3
+
+
+def test_dp_release_channel_replay_and_scale(spark, sf_dir):
+    """X164: the noise equals a Python replay of the md5 -> inverse-CDF
+    channel, released = true + noise everywhere, and the empirical
+    noise second moment is within 4x of the discrete-Laplace variance
+    2a/(1-a)^2 at eps = 1 (150 cells of slack)."""
+    import hashlib
+    import math
+
+    rows = _rows("dp_noisy_daily_counts", spark, sf_dir)
+    assert rows
+    a = math.exp(-1.0)
+    cdf, cuts = 0.0, []
+    for z in range(-40, 40):
+        cdf += (1 - a) / (1 + a) * a ** abs(z)
+        cuts.append((z, math.floor(cdf * (1 << 60))))
+    for r in rows:
+        u = int(hashlib.md5(
+            f"dp:eps1:{r['event_type']}:{r['d']}".encode())
+            .hexdigest()[:15], 16)
+        want = next((z for z, c in cuts if c > u), 40)
+        assert r["noise"] == want
+        assert r["released_n"] == r["true_n"] + r["noise"]
+        assert r["abs_err"] == abs(r["noise"])
+    var = 2 * a / (1 - a) ** 2
+    emp = sum(r["noise"] ** 2 for r in rows) / len(rows)
+    assert emp <= 4 * var + 1
+    # unbiasedness in aggregate: mean noise near 0
+    mean = sum(r["noise"] for r in rows) / len(rows)
+    assert abs(mean) <= 1.0
