@@ -210,6 +210,7 @@ HEADLINE = [
     "dbscan_rfm_segments",
     "ams_f2_partkey",
     "dp_noisy_daily_counts",
+    "itemitem_cf_recommend",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -2270,3 +2270,139 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                                / (K * N_QUERIES), 6).alias("mean_recall")))
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+# --------------------------------------------------------------------------
+# X165: item-item collaborative filtering — the classic neighborhood
+# recommender (Sarwar et al. 2001; "customers who bought X also
+# bought Y") on implicit basket feedback. sim(i, j) =
+# cooc(i, j) / sqrt(n_i * n_j) (cosine over binary order vectors):
+# candidate pairs are basket-bounded (the X51 discipline — only
+# items SHARING an order ever pair, never item^2), n_i / cooc are
+# exact BIGINTs, and the cosine is one IEEE sqrt + division of
+# identical integers, so both engines rank neighbors identically
+# (ties broken by item id). Per-item top-NEIGH_K truncation caps
+# neighbor lists before scoring — the standard serving layout.
+# User scores then SNAP each similarity to integer micro-units and
+# fold BIGINTs (order-independent — float summation dust cannot
+# flip the hash), anti-join already-owned items, and emit the
+# top-TOP_N per sampled customer.
+# --------------------------------------------------------------------------
+CF_NEIGH_K = 5
+CF_TOP_N = 3
+CF_USER_MOD = 100  # score customers with custkey % mod == 0
+
+
+@register(
+    "itemitem_cf_recommend",
+    f"""
+    WITH oi AS (
+        SELECT DISTINCT l.l_orderkey AS g, l.l_partkey AS i,
+               o.o_custkey AS cust
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    ni AS (SELECT i, CAST(COUNT(DISTINCT g) AS BIGINT) AS n
+           FROM oi GROUP BY i),
+    cooc AS (
+        SELECT a.i AS ia, b.i AS ib, CAST(COUNT(*) AS BIGINT) AS c
+        FROM oi a JOIN oi b ON a.g = b.g AND a.i <> b.i
+        GROUP BY a.i, b.i
+    ),
+    sim AS (
+        SELECT cooc.ia, cooc.ib,
+               CAST(cooc.c AS DOUBLE) / sqrt(CAST(na.n * nb.n AS DOUBLE))
+                   AS s
+        FROM cooc JOIN ni na ON na.i = cooc.ia
+                  JOIN ni nb ON nb.i = cooc.ib
+    ),
+    nbr AS (
+        SELECT ia, ib, s FROM (
+            SELECT ia, ib, s,
+                   ROW_NUMBER() OVER (PARTITION BY ia
+                                      ORDER BY s DESC, ib) AS rn
+            FROM sim)
+        WHERE rn <= {CF_NEIGH_K}
+    ),
+    users AS (
+        SELECT DISTINCT cust, i FROM oi WHERE cust % {CF_USER_MOD} = 0
+    ),
+    cand AS (
+        SELECT u.cust, n.ia AS item,
+               CAST(SUM(CAST(ROUND(n.s * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS score_micro
+        FROM users u JOIN nbr n ON n.ib = u.i
+        LEFT JOIN users own ON own.cust = u.cust AND own.i = n.ia
+        WHERE own.i IS NULL
+        GROUP BY u.cust, n.ia
+    )
+    SELECT cust AS custkey, CAST(rn AS BIGINT) AS rank,
+           item AS partkey, score_micro
+    FROM (SELECT cust, item, score_micro,
+                 ROW_NUMBER() OVER (PARTITION BY cust
+                                    ORDER BY score_micro DESC, item) AS rn
+          FROM cand)
+    WHERE rn <= {CF_TOP_N}
+    ORDER BY custkey, rank
+    """,
+    doc=f"X165 item-item collaborative filtering: basket-bounded "
+        f"cosine cooc/sqrt(n_i*n_j) from exact BIGINTs, per-item "
+        f"top-{CF_NEIGH_K} neighbor truncation (double ordering is "
+        "IEEE-identical; ties by item id), then user scoring as a "
+        "BIGINT fold of micro-snapped similarities with owned items "
+        f"anti-joined out; top-{CF_TOP_N} per sampled customer "
+        f"(custkey % {CF_USER_MOD} = 0).",
+    tags=("X165", "X51", "X17", "X3", "X7", "X10"),
+)
+def itemitem_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    oi = persist_tracked(
+        li.join(orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                              "o_custkey"), "l_orderkey")
+        .select(F.col("l_orderkey").alias("g"),
+                F.col("l_partkey").alias("i"),
+                F.col("o_custkey").alias("cust"))
+        .distinct())
+    ni = (oi.groupBy("i")
+          .agg(F.countDistinct("g").cast("long").alias("n")))
+    b = oi.select(F.col("g"), F.col("i").alias("ib"))
+    cooc = (oi.join(b, "g")
+            .filter(F.col("i") != F.col("ib"))
+            .groupBy(F.col("i").alias("ia"), "ib")
+            .agg(F.count("*").cast("long").alias("c")))
+    sim = (cooc
+           .join(ni.select(F.col("i").alias("ia"),
+                           F.col("n").alias("na")), "ia")
+           .join(ni.select(F.col("i").alias("ib"),
+                           F.col("n").alias("nb")), "ib")
+           .select("ia", "ib",
+                   (F.col("c").cast("double")
+                    / F.sqrt((F.col("na") * F.col("nb")).cast("double")))
+                   .alias("s")))
+    nbr = (sim.withColumn(
+               "rn", F.row_number().over(
+                   Window.partitionBy("ia").orderBy(F.desc("s"), "ib")))
+           .filter(F.col("rn") <= CF_NEIGH_K)
+           .select("ia", "ib", "s"))
+    users = (oi.filter(F.col("cust") % CF_USER_MOD == 0)
+             .select("cust", "i").distinct().localCheckpoint())
+    scored = (users.join(nbr, users.i == nbr.ib)
+              .select("cust", F.col("ia").alias("item"), "s"))
+    owned = users.select("cust", F.col("i").alias("item"))
+    cand = (scored.join(owned, ["cust", "item"], "left_anti")
+            .groupBy("cust", "item")
+            .agg(F.sum(F.round(F.col("s") * 1000000, 0).cast("long"))
+                 .cast("long").alias("score_micro")))
+    top = (cand.withColumn(
+               "rn", F.row_number().over(
+                   Window.partitionBy("cust")
+                   .orderBy(F.desc("score_micro"), "item")))
+           .filter(F.col("rn") <= CF_TOP_N))
+    return (top.select(F.col("cust").alias("custkey"),
+                       F.col("rn").cast("long").alias("rank"),
+                       F.col("item").alias("partkey"), "score_micro")
+            .orderBy("custkey", "rank"))

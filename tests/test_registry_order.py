@@ -116,6 +116,7 @@ NEW_R4: dict[str, str] = {
     "dbscan_rfm_segments": "X162",
     "ams_f2_partkey": "X163",
     "dp_noisy_daily_counts": "X164",
+    "itemitem_cf_recommend": "X165",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -2039,3 +2039,62 @@ def test_dp_release_channel_replay_and_scale(spark, sf_dir):
     # unbiasedness in aggregate: mean noise near 0
     mean = sum(r["noise"] for r in rows) / len(rows)
     assert abs(mean) <= 1.0
+
+
+def test_itemitem_cf_replay_and_no_owned_leakage(spark, sf_dir):
+    """X165: a full Python replay (cosine neighbors, top-5 truncation,
+    micro-snap scoring, top-3 selection) reproduces every
+    recommendation; no user is ever recommended an item they already
+    own; ranks are 1..k dense per user."""
+    import duckdb
+    import math
+    from collections import defaultdict
+
+    rows = _rows("itemitem_cf_recommend", spark, sf_dir)
+    oi = duckdb.sql(
+        f"SELECT DISTINCT l.l_orderkey, l.l_partkey, o.o_custkey "
+        f"FROM '{sf_dir}/lineitem.parquet' l "
+        f"JOIN '{sf_dir}/orders.parquet' o "
+        f"ON o.o_orderkey = l.l_orderkey").fetchall()
+    baskets = defaultdict(set)
+    items_n = defaultdict(set)
+    user_items = defaultdict(set)
+    for g, i, cust in oi:
+        baskets[g].add(i)
+        items_n[i].add(g)
+        if cust % 100 == 0:
+            user_items[cust].add(i)
+    cooc = defaultdict(int)
+    for g, its in baskets.items():
+        its = sorted(its)
+        for a in its:
+            for b in its:
+                if a != b:
+                    cooc[(a, b)] += 1
+    sims = defaultdict(list)
+    for (a, b), c in cooc.items():
+        s = c / math.sqrt(len(items_n[a]) * len(items_n[b]))
+        sims[a].append((-s, b, s))
+    nbr = {a: sorted(v)[:5] for a, v in sims.items()}
+    want = {}
+    for cust, its in user_items.items():
+        score = defaultdict(int)
+        for a, lst in nbr.items():
+            if a in its:
+                continue
+            for _, b, s in lst:
+                if b in its:
+                    score[a] += round(s * 1000000)
+        top = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rk, (item, sc) in enumerate(top, 1):
+            want[(cust, rk)] = (item, sc)
+    got = {(r["custkey"], r["rank"]): (r["partkey"], r["score_micro"])
+           for r in rows}
+    assert got == want
+    for r in rows:
+        assert r["partkey"] not in user_items[r["custkey"]]
+    ranks = defaultdict(list)
+    for r in rows:
+        ranks[r["custkey"]].append(r["rank"])
+    for v in ranks.values():
+        assert sorted(v) == list(range(1, len(v) + 1))
