@@ -211,6 +211,7 @@ HEADLINE = [
     "ams_f2_partkey",
     "dp_noisy_daily_counts",
     "itemitem_cf_recommend",
+    "zipf_rank_frequency",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

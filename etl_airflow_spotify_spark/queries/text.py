@@ -1671,3 +1671,117 @@ def source_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("weighted_jaccard",
                         F.round(F.col("w_inter").cast("double")
                                 / F.col("w_union"), 6)))
+
+
+# --------------------------------------------------------------------------
+# X166: Zipf rank-frequency power-law fit — the corpus-health
+# diagnostic (natural text follows count ~ C * rank^-s with s ~ 1;
+# machine-generated or template-heavy corpora bend the curve) and
+# the vocabulary-size forecaster behind tokenizer budgeting.
+# log2(count) is regressed on log2(rank) for the top-ZIPF_R words by
+# closed-form OLS: both logs take INTEGER arguments (global counts,
+# ranks), snap to the 1e-6-bit grid (the X41 micro discipline), and
+# every OLS moment (Sxx, Sxy, ...) is then an exact BIGINT fold —
+# slope, intercept and R^2 are single divisions of identical
+# integers. Two fits ship: ranks 1..100 and the head-corrected
+# 10..100 (Zipf's law famously bends at the head). One corpus pass
+# for the word histogram; the fit frame is 100 rows.
+# --------------------------------------------------------------------------
+ZIPF_R = 100
+ZIPF_TAIL_FROM = 10
+
+
+@register(
+    "zipf_rank_frequency",
+    f"""
+    WITH wc AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+                                               '\\s+')) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    top AS (
+        SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS r
+        FROM wc ORDER BY n DESC, w LIMIT {ZIPF_R}
+    ),
+    pts AS (
+        SELECT r, n,
+               CAST(ROUND(log2(r) * 1000000) AS BIGINT) AS x,
+               CAST(ROUND(log2(n) * 1000000) AS BIGINT) AS y
+        FROM top
+    ),
+    fits AS (
+        SELECT 'all' AS fit, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pts
+        UNION ALL
+        SELECT 'tail', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(x) AS BIGINT), CAST(SUM(y) AS BIGINT),
+               CAST(SUM(x * x) AS BIGINT), CAST(SUM(x * y) AS BIGINT),
+               CAST(SUM(y * y) AS BIGINT)
+        FROM pts WHERE r >= {ZIPF_TAIL_FROM}
+    )
+    SELECT fit, k AS n_points,
+           ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / (k * sxx - sx * sx), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(k * sxy - sx * sy AS DOUBLE)
+                     / (k * sxx - sx * sx)) * sx)
+                 / k / 1000000.0, 6) AS intercept_log2,
+           ROUND((CAST(k * sxy - sx * sy AS DOUBLE)
+                  * (k * sxy - sx * sy))
+                 / (CAST(k * sxx - sx * sx AS DOUBLE)
+                    * (k * syy - sy * sy)), 6) AS r2
+    FROM fits ORDER BY fit
+    """,
+    doc=f"X166 Zipf rank-frequency fit: top-{ZIPF_R} word counts, "
+        "log2(count) ~ log2(rank) by closed-form OLS on micro-grid "
+        "BIGINT moments (logs of integer args snapped to 1e-6 bits, "
+        "every moment an exact integer fold, slope/intercept/R^2 "
+        f"single divisions); 'all' (1..{ZIPF_R}) and head-corrected "
+        f"'tail' ({ZIPF_TAIL_FROM}..{ZIPF_R}) fits.",
+    tags=("X166", "X44", "X60", "X18", "X7", "X12"),
+)
+def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    wc = (d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                     r"\s+")).alias("w"))
+          .groupBy("w").agg(F.count("*").cast("long").alias("n")))
+    top = (wc.orderBy(F.desc("n"), "w").limit(ZIPF_R)
+           .withColumn("r", F.row_number().over(
+               Window.orderBy(F.desc("n"), "w"))))
+    pts = top.select(
+        "r", "n",
+        F.round(F.log2("r") * 1e6, 0).cast("long").alias("x"),
+        F.round(F.log2("n") * 1e6, 0).cast("long").alias("y"))
+
+    def moments(df, label):
+        return df.agg(
+            F.lit(label).alias("fit"),
+            F.count("*").cast("long").alias("k"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+
+    fits = moments(pts, "all").unionByName(
+        moments(pts.filter(F.col("r") >= ZIPF_TAIL_FROM), "tail"))
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num.cast("double") / den
+    return (fits.select(
+        "fit", F.col("k").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy").cast("double") - slope * F.col("sx"))
+                / F.col("k") / 1e6, 6).alias("intercept_log2"),
+        F.round(num.cast("double") * num
+                / (den.cast("double") * deny), 6).alias("r2"))
+        .orderBy("fit"))

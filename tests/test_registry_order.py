@@ -117,6 +117,7 @@ NEW_R4: dict[str, str] = {
     "ams_f2_partkey": "X163",
     "dp_noisy_daily_counts": "X164",
     "itemitem_cf_recommend": "X165",
+    "zipf_rank_frequency": "X166",
 }
 DEFERRED |= set(NEW_R4)
 

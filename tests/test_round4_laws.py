@@ -2098,3 +2098,46 @@ def test_itemitem_cf_replay_and_no_owned_leakage(spark, sf_dir):
         ranks[r["custkey"]].append(r["rank"])
     for v in ranks.values():
         assert sorted(v) == list(range(1, len(v) + 1))
+
+
+def test_zipf_fit_matches_python_ols(spark, sf_dir):
+    """X166: slope/intercept/R^2 match a Python replay of the
+    micro-grid OLS; the slope is negative (frequency decays with
+    rank); R^2 in [0, 1]; tail fit uses exactly ranks 10..100."""
+    import duckdb
+    import math
+
+    rows = {r["fit"]: r for r in _rows("zipf_rank_frequency",
+                                       spark, sf_dir)}
+    wc = duckdb.sql(
+        f"SELECT w, COUNT(*) n FROM (SELECT unnest(string_split_regex("
+        f"trim(lower(text)), '\\s+')) w FROM "
+        f"'{sf_dir}/documents.parquet') GROUP BY w "
+        f"ORDER BY n DESC, w LIMIT 100").fetchall()
+    pts = [(round(math.log2(r) * 1e6), round(math.log2(n) * 1e6))
+           for r, (w, n) in enumerate(wc, 1)]
+
+    def fit(sel):
+        k = len(sel)
+        sx = sum(x for x, _ in sel)
+        sy = sum(y for _, y in sel)
+        sxx = sum(x * x for x, _ in sel)
+        sxy = sum(x * y for x, y in sel)
+        syy = sum(y * y for _, y in sel)
+        num = k * sxy - sx * sy
+        den = k * sxx - sx * sx
+        slope = num / den
+        return (round(slope, 6),
+                round((sy - slope * sx) / k / 1e6, 6),
+                round(num * num / (den * (k * syy - sy * sy)), 6))
+
+    for label, sel in (("all", pts), ("tail", pts[9:])):
+        s, i, r2 = fit(sel)
+        r = rows[label]
+        assert abs(r["slope"] - s) <= 1e-9
+        assert abs(r["intercept_log2"] - i) <= 1e-9
+        assert abs(r["r2"] - r2) <= 1e-9
+        assert r["slope"] < 0
+        assert 0.0 <= r["r2"] <= 1.0
+    assert rows["all"]["n_points"] == len(pts)
+    assert rows["tail"]["n_points"] == len(pts) - 9
