@@ -212,6 +212,7 @@ HEADLINE = [
     "dp_noisy_daily_counts",
     "itemitem_cf_recommend",
     "zipf_rank_frequency",
+    "clustering_coefficient_profile",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -1257,3 +1257,129 @@ def boruvka_msf_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, "round BIGINT, components_before BIGINT, "
              "edges_picked BIGINT, weight_added BIGINT, "
              "components_after BIGINT")
+
+
+# --------------------------------------------------------------------------
+# X167: clustering-coefficient profile + global transitivity — the
+# local-density lens X39's raw triangle counts don't give: per node,
+# c_v = 2*T_v / (d_v*(d_v-1)), plus transitivity = 3*triangles /
+# #wedges. Triangle enumeration uses the DEGREE-ORIENTED wedge join
+# (each undirected edge points from its (degree, id)-smaller to
+# -larger endpoint, so every triangle is generated EXACTLY ONCE from
+# its minimum vertex and wedge fan-out is bounded by out-degree ~
+# O(sqrt(m)), never raw hub degree — the standard scalable triangle
+# plan). Histogram buckets are computed as (20*T_v) DIV (d_v*(d_v-1))
+# — pure BIGINT division, no float anywhere in the bucketing; the
+# only double in the output is the final transitivity ratio.
+# --------------------------------------------------------------------------
+@register(
+    "clustering_coefficient_profile",
+    """
+    WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    e AS MATERIALIZED (
+        SELECT DISTINCT a.i AS src, b.i AS dst
+        FROM op a JOIN op b ON a.g = b.g AND a.i <> b.i),
+    deg AS MATERIALIZED (
+        SELECT src AS n, CAST(COUNT(*) AS BIGINT) AS d
+        FROM e GROUP BY src),
+    eo AS MATERIALIZED (
+        SELECT e.src AS u, e.dst AS v, db.d AS dd
+        FROM e JOIN deg da ON da.n = e.src JOIN deg db ON db.n = e.dst
+        WHERE (da.d, e.src) < (db.d, e.dst)),
+    tri AS MATERIALIZED (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM eo e1 JOIN eo e2
+          ON e1.u = e2.u AND (e1.dd, e1.v) < (e2.dd, e2.v)
+        JOIN eo e3 ON e3.u = e1.v AND e3.v = e2.v),
+    tv AS MATERIALIZED (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS t
+        FROM (SELECT a AS n FROM tri UNION ALL
+              SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        GROUP BY n),
+    cc AS MATERIALIZED (
+        SELECT deg.n, deg.d, COALESCE(tv.t, 0) AS t
+        FROM deg LEFT JOIN tv ON tv.n = deg.n),
+    hist AS (
+        SELECT (20 * t) // (d * (d - 1)) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cc WHERE d >= 2 GROUP BY 1),
+    wedges AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w
+               FROM deg),
+    ntri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tri)
+    SELECT 'bucket' AS kind, CAST(bucket AS BIGINT) AS bucket, n,
+           CAST(NULL AS DOUBLE) AS value
+    FROM hist
+    UNION ALL
+    SELECT 'deg1', CAST(-1 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cc WHERE d = 1),
+           CAST(NULL AS DOUBLE)
+    UNION ALL
+    SELECT 'triangles', CAST(-1 AS BIGINT), ntri.t,
+           CAST(NULL AS DOUBLE) FROM ntri
+    UNION ALL
+    SELECT 'global', CAST(-1 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg),
+           ROUND(3.0 * ntri.t / wedges.w, 6)
+    FROM ntri CROSS JOIN wedges
+    ORDER BY kind, bucket
+    """,
+    doc="X167 clustering-coefficient histogram (buckets of 0.05*k via "
+        "pure BIGINT (20*T) DIV (d*(d-1))) + global transitivity "
+        "3*tri/wedges over the co-purchase graph. Degree-oriented "
+        "wedge join generates each triangle exactly once from its "
+        "minimum vertex — fan-out bounded by out-degree O(sqrt(m)), "
+        "hub-proof. The only float is the final transitivity ratio.",
+    tags=("X167", "X39", "X42", "X3", "X7"),
+)
+def clustering_coefficient_profile(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = persist_tracked(G.cooccurrence_edges(li, "l_orderkey",
+                                             "l_partkey"))
+    deg = persist_tracked(
+        e.groupBy(F.col("src").alias("n"))
+        .agg(F.count("*").cast("long").alias("d")))
+    eo = persist_tracked(
+        e.join(deg.select(F.col("n").alias("src"),
+                          F.col("d").alias("da")), "src")
+        .join(deg.select(F.col("n").alias("dst"),
+                         F.col("d").alias("db")), "dst")
+        .filter((F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db"))
+                   & (F.col("src") < F.col("dst"))))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                F.col("db").alias("dd")))
+    e1 = eo.select("u", F.col("v").alias("v1"), F.col("dd").alias("d1"))
+    e2 = eo.select("u", F.col("v").alias("v2"), F.col("dd").alias("d2"))
+    wedge = e1.join(e2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2"))))
+    closing = eo.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = persist_tracked(
+        wedge.join(closing, ["v1", "v2"]).select("u", "v1", "v2"))
+    tv = (tri.select(F.col("u").alias("n"))
+          .unionByName(tri.select(F.col("v1").alias("n")))
+          .unionByName(tri.select(F.col("v2").alias("n")))
+          .groupBy("n").agg(F.count("*").cast("long").alias("t")))
+    cc = (deg.join(tv, "n", "left")
+          .select("n", "d", F.coalesce(F.col("t"), F.lit(0)).alias("t")))
+    hist = (cc.filter(F.col("d") >= 2)
+            .groupBy(F.expr("(20 * t) DIV (d * (d - 1))").alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n"))
+            .select(F.lit("bucket").alias("kind"),
+                    F.col("bucket").cast("long"), "n",
+                    F.lit(None).cast("double").alias("value")))
+    n_deg1 = cc.filter(F.col("d") == 1).count()
+    n_tri = tri.count()
+    n_nodes = deg.count()
+    n_wedges = (deg.agg(F.sum(F.expr("d * (d - 1) DIV 2"))
+                        .cast("long").alias("w")).collect()[0]["w"])
+    extra = spark.createDataFrame(
+        [("deg1", -1, n_deg1, None),
+         ("triangles", -1, n_tri, None),
+         ("global", -1, n_nodes, round(3.0 * n_tri / n_wedges, 6))],
+        "kind STRING, bucket BIGINT, n BIGINT, value DOUBLE")
+    return hist.unionByName(extra).orderBy("kind", "bucket")

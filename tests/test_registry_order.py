@@ -118,6 +118,7 @@ NEW_R4: dict[str, str] = {
     "dp_noisy_daily_counts": "X164",
     "itemitem_cf_recommend": "X165",
     "zipf_rank_frequency": "X166",
+    "clustering_coefficient_profile": "X167",
 }
 DEFERRED |= set(NEW_R4)
 

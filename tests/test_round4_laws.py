@@ -2141,3 +2141,56 @@ def test_zipf_fit_matches_python_ols(spark, sf_dir):
         assert 0.0 <= r["r2"] <= 1.0
     assert rows["all"]["n_points"] == len(pts)
     assert rows["tail"]["n_points"] == len(pts) - 9
+
+
+def test_clustering_coefficient_matches_bruteforce(spark, sf_dir):
+    """X167: triangle total, per-bucket histogram and transitivity
+    match a brute-force Python count over adjacency sets; the
+    histogram covers every node of degree >= 2 exactly once; all
+    coefficients are in [0, 1] (bucket <= 20 means c <= 1)."""
+    import duckdb
+    from collections import Counter, defaultdict
+
+    rows = _rows("clustering_coefficient_profile", spark, sf_dir)
+    edges = duckdb.sql(
+        f"WITH op AS (SELECT DISTINCT l_orderkey g, l_partkey i FROM "
+        f"'{sf_dir}/lineitem.parquet') "
+        f"SELECT DISTINCT a.i, b.i FROM op a JOIN op b "
+        f"ON a.g = b.g AND a.i < b.i").fetchall()
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    # each triangle is seen from each of its 3 edges via the third
+    # node, so the edge sweep counts every triangle 3x in total and
+    # node v's count tv[v] (via its one non-incident edge) is exact
+    tv = Counter()
+    n_tri = 0
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            tv[c] += 1
+            n_tri += 1
+    n_tri //= 3
+    hist = Counter()
+    deg1 = 0
+    for v, nb in adj.items():
+        d = len(nb)
+        if d == 1:
+            deg1 += 1
+            continue
+        hist[(20 * tv[v]) // (d * (d - 1))] += 1
+    got = {(r["kind"], r["bucket"]): r for r in rows}
+    for bkt, n in hist.items():
+        assert got[("bucket", bkt)]["n"] == n
+    assert sum(r["n"] for r in rows if r["kind"] == "bucket") \
+        == sum(hist.values())
+    assert got[("deg1", -1)]["n"] == deg1
+    assert got[("triangles", -1)]["n"] == n_tri
+    g = got[("global", -1)]
+    wedges = sum(len(nb) * (len(nb) - 1) // 2 for nb in adj.values())
+    assert g["n"] == len(adj)
+    assert abs(g["value"] - round(3.0 * n_tri / wedges, 6)) <= 1e-9
+    assert 0.0 <= g["value"] <= 1.0
+    for r in rows:
+        if r["kind"] == "bucket":
+            assert 0 <= r["bucket"] <= 20
