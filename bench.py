@@ -213,6 +213,7 @@ HEADLINE = [
     "itemitem_cf_recommend",
     "zipf_rank_frequency",
     "clustering_coefficient_profile",
+    "stump_learning_curve",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

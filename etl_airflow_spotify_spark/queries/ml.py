@@ -1244,3 +1244,187 @@ def dbscan_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id BIGINT, n_points BIGINT, n_core BIGINT, "
         "n_border BIGINT")
     return summary.unionByName(noise).orderBy("cluster_id")
+
+
+# --------------------------------------------------------------------------
+# X168: learning-curve audit — sample-efficiency measurement, the
+# first question before buying more labels: train the X125 stump on
+# NESTED md5 fractions (10/20/40/80% of train rows; nested so each
+# bigger model sees a superset) and score each on the SAME held-out
+# 20% test split. ONE histogram pass (feature, value, tier) powers
+# all four fits: per-fraction counts are tier-filtered folds of the
+# same 1.2k-cell frame, the split search is the X125 prefix-sum
+# window per (fraction, feature), and each side predicts its train
+# majority (2*pos > n, integer compare). Accuracy is a division of
+# BIGINT test counts. Corpus cost is one histogram + one test-side
+# join regardless of how many fractions are audited.
+# --------------------------------------------------------------------------
+LC_TIERS = (1, 2, 4, 8)  # tiers of 10% -> 10/20/40/80% of train rows
+
+
+def _lc_oracle_sql() -> str:
+    ks = ", ".join(str(k) for k in LC_TIERS)
+    return f"""
+    WITH base AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty,
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc,
+               CASE WHEN l_returnflag = '{STUMP_LABEL}' THEN 1 ELSE 0 END
+                   AS pos,
+               ('0x' || substr(md5('lc:' || l_orderkey || ':'
+                                   || l_linenumber), 1, 15))::BIGINT % 10
+                   AS split10,
+               ('0x' || substr(md5('lct:' || l_orderkey || ':'
+                                   || l_linenumber), 1, 15))::BIGINT % 10
+                   AS tier
+        FROM lineitem
+    ),
+    train AS (SELECT * FROM base WHERE split10 < 8),
+    test AS (SELECT * FROM base WHERE split10 >= 8),
+    long AS (
+        SELECT 'qty' AS feature, qty AS v, pos, tier FROM train
+        UNION ALL
+        SELECT 'disc', disc, pos, tier FROM train
+    ),
+    hist AS (
+        SELECT feature, v, tier, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS p
+        FROM long GROUP BY feature, v, tier
+    ),
+    kh AS (
+        SELECT k.k, feature, v, CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(p) AS BIGINT) AS p
+        FROM hist CROSS JOIN (SELECT UNNEST([{ks}]) AS k) k
+        WHERE tier < k.k GROUP BY k.k, feature, v
+    ),
+    cum AS (
+        SELECT k, feature, v,
+               SUM(n) OVER (PARTITION BY k, feature ORDER BY v) AS nl,
+               SUM(p) OVER (PARTITION BY k, feature ORDER BY v) AS pl,
+               SUM(n) OVER (PARTITION BY k, feature) AS nt,
+               SUM(p) OVER (PARTITION BY k, feature) AS pt
+        FROM kh
+    ),
+    cand AS (
+        SELECT k, feature, v AS split_at, nl, pl,
+               nt - nl AS nr, pt - pl AS pr, nt,
+               (CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE) / nl)
+               + (CAST((pt - pl) * (pt - pl)
+                       + ((nt - nl) - (pt - pl)) * ((nt - nl) - (pt - pl))
+                       AS DOUBLE) / (nt - nl)) AS score
+        FROM cum WHERE nl > 0 AND nt - nl > 0
+    ),
+    best AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                         ORDER BY score DESC, feature,
+                                                  split_at) AS rn
+            FROM cand) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT b.k, b.feature, b.split_at, b.nt,
+               CAST(COUNT(*) AS BIGINT) AS test_n,
+               CAST(SUM(CASE WHEN (CASE WHEN (CASE b.feature
+                                              WHEN 'qty' THEN t.qty
+                                              ELSE t.disc END)
+                                             <= b.split_at
+                                   THEN CASE WHEN 2 * b.pl > b.nl
+                                             THEN 1 ELSE 0 END
+                                   ELSE CASE WHEN 2 * b.pr > b.nr
+                                             THEN 1 ELSE 0 END END)
+                                  = t.pos THEN 1 ELSE 0 END)
+                    AS BIGINT) AS correct
+        FROM best b CROSS JOIN test t
+        GROUP BY b.k, b.feature, b.split_at, b.nt
+    )
+    SELECT CAST(k * 10 AS BIGINT) AS train_pct, feature, split_at,
+           CAST(nt AS BIGINT) AS train_n, test_n,
+           ROUND(CAST(correct AS DOUBLE) / test_n, 6) AS accuracy
+    FROM scored ORDER BY train_pct
+    """
+
+
+@register(
+    "stump_learning_curve",
+    _lc_oracle_sql(),
+    doc="X168 learning curve: X125 stumps trained on nested md5 "
+        "fractions (10/20/40/80% of an 80% train split) from ONE "
+        "(feature, value, tier) histogram pass, each scored on the "
+        "same held-out 20% by train-majority side prediction. "
+        "Fraction count never re-touches the corpus; accuracy is a "
+        "BIGINT division.",
+    tags=("X168", "X125", "X81", "X28", "X7", "X11"),
+)
+def stump_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def md5mod(salt):
+        return F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("l_orderkey"),
+                           F.lit(":"), F.col("l_linenumber"))),
+            1, 15), 16, 10).cast("long") % 10
+
+    base = persist_tracked(li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc"),
+        F.when(F.col("l_returnflag") == STUMP_LABEL, 1).otherwise(0)
+        .alias("pos"),
+        md5mod("lc:").alias("split10"),
+        md5mod("lct:").alias("tier")))
+    train = base.filter(F.col("split10") < 8)
+    test = persist_tracked(base.filter(F.col("split10") >= 8))
+    long_ = train.selectExpr(
+        "stack(2, 'qty', qty, 'disc', disc) AS (feature, v)",
+        "pos", "tier")
+    hist = (long_.groupBy("feature", "v", "tier")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("pos").cast("long").alias("p")))
+    ks = spark.createDataFrame([(k,) for k in LC_TIERS], "k INT")
+    kh = (hist.crossJoin(F.broadcast(ks))
+          .filter(F.col("tier") < F.col("k"))
+          .groupBy("k", "feature", "v")
+          .agg(F.sum("n").cast("long").alias("n"),
+               F.sum("p").cast("long").alias("p")))
+    w_cum = Window.partitionBy("k", "feature").orderBy("v")
+    w_all = Window.partitionBy("k", "feature")
+    cum = kh.select(
+        "k", "feature", "v",
+        F.sum("n").over(w_cum).alias("nl"),
+        F.sum("p").over(w_cum).alias("pl"),
+        F.sum("n").over(w_all).alias("nt"),
+        F.sum("p").over(w_all).alias("pt"))
+    cand = (cum.filter((F.col("nl") > 0)
+                       & (F.col("nt") - F.col("nl") > 0))
+            .withColumn("nr", F.col("nt") - F.col("nl"))
+            .withColumn("pr", F.col("pt") - F.col("pl"))
+            .withColumn(
+                "score",
+                F.expr("cast(pl*pl + (nl-pl)*(nl-pl) as double)")
+                / F.col("nl")
+                + F.expr("cast(pr*pr + (nr-pr)*(nr-pr) as double)")
+                / F.col("nr")))
+    best = (cand.withColumn(
+                "rn", F.row_number().over(
+                    Window.partitionBy("k")
+                    .orderBy(F.desc("score"), "feature", "v")))
+            .filter(F.col("rn") == 1)
+            .select("k", "feature", F.col("v").alias("split_at"),
+                    "nl", "pl", "nr", "pr", "nt"))
+    pred = F.when(
+        F.when(F.col("feature") == "qty", F.col("qty"))
+        .otherwise(F.col("disc")) <= F.col("split_at"),
+        F.when(2 * F.col("pl") > F.col("nl"), 1).otherwise(0)) \
+        .otherwise(F.when(2 * F.col("pr") > F.col("nr"), 1).otherwise(0))
+    scored = (F.broadcast(best).crossJoin(test)
+              .groupBy("k", "feature", "split_at", "nt")
+              .agg(F.count("*").cast("long").alias("test_n"),
+                   F.sum(F.when(pred == F.col("pos"), 1).otherwise(0))
+                   .cast("long").alias("correct")))
+    return (scored.select(
+        (F.col("k") * 10).cast("long").alias("train_pct"),
+        "feature", "split_at", F.col("nt").cast("long").alias("train_n"),
+        "test_n",
+        F.round(F.col("correct").cast("double") / F.col("test_n"), 6)
+        .alias("accuracy"))
+        .orderBy("train_pct"))

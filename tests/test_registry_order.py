@@ -119,6 +119,7 @@ NEW_R4: dict[str, str] = {
     "itemitem_cf_recommend": "X165",
     "zipf_rank_frequency": "X166",
     "clustering_coefficient_profile": "X167",
+    "stump_learning_curve": "X168",
 }
 DEFERRED |= set(NEW_R4)
 

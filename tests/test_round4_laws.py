@@ -2194,3 +2194,72 @@ def test_clustering_coefficient_matches_bruteforce(spark, sf_dir):
     for r in rows:
         if r["kind"] == "bucket":
             assert 0 <= r["bucket"] <= 20
+
+
+def test_learning_curve_replay_and_nesting(spark, sf_dir):
+    """X168: full Python replay (md5 splits, nested tier fractions,
+    exhaustive split search, majority prediction, held-out accuracy)
+    matches every row; train sizes are strictly increasing and nested
+    by construction; accuracies are valid proportions."""
+    import duckdb
+    import hashlib
+    from collections import Counter
+
+    rows = {r["train_pct"]: r
+            for r in _rows("stump_learning_curve", spark, sf_dir)}
+    data = duckdb.sql(
+        f"SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT), "
+        f"CAST(ROUND(l_discount * 100, 0) AS BIGINT), "
+        f"CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END "
+        f"FROM '{sf_dir}/lineitem.parquet'").fetchall()
+
+    def m10(salt, ok, ln):
+        return int(hashlib.md5(f"{salt}{ok}:{ln}".encode())
+                   .hexdigest()[:15], 16) % 10
+
+    train, test = [], []
+    for ok, ln, qty, disc, pos in data:
+        row = (qty, disc, pos, m10("lct:", ok, ln))
+        if m10("lc:", ok, ln) < 8:
+            train.append(row)
+        else:
+            test.append(row)
+    prev_n = 0
+    for k in (1, 2, 4, 8):
+        sub = [r for r in train if r[3] < k]
+        best = None
+        for fi, fname in ((0, "qty"), (1, "disc")):
+            hist = Counter()
+            hp = Counter()
+            for r in sub:
+                hist[r[fi]] += 1
+                hp[r[fi]] += r[2]
+            vals = sorted(hist)
+            nt = sum(hist.values())
+            pt = sum(hp.values())
+            nl = pl = 0
+            for v in vals:
+                nl += hist[v]
+                pl += hp[v]
+                if nl == 0 or nt - nl == 0:
+                    continue
+                nr, pr = nt - nl, pt - pl
+                score = (pl * pl + (nl - pl) * (nl - pl)) / nl \
+                    + (pr * pr + (nr - pr) * (nr - pr)) / nr
+                key = (-score, fname, v)
+                if best is None or key < best[0]:
+                    best = (key, fname, v, nl, pl, nr, pr, nt)
+        _, fname, split, nl, pl, nr, pr, nt = best
+        fi = 0 if fname == "qty" else 1
+        left_pred = 1 if 2 * pl > nl else 0
+        right_pred = 1 if 2 * pr > nr else 0
+        correct = sum(
+            1 for r in test
+            if (left_pred if r[fi] <= split else right_pred) == r[2])
+        r = rows[k * 10]
+        assert r["feature"] == fname and r["split_at"] == split
+        assert r["train_n"] == nt and r["test_n"] == len(test)
+        assert abs(r["accuracy"] - round(correct / len(test), 6)) <= 1e-9
+        assert nt > prev_n
+        prev_n = nt
+        assert 0.0 <= r["accuracy"] <= 1.0
