@@ -214,6 +214,7 @@ HEADLINE = [
     "zipf_rank_frequency",
     "clustering_coefficient_profile",
     "stump_learning_curve",
+    "uplift_qini_segments",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

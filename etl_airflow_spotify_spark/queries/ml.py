@@ -1428,3 +1428,125 @@ def stump_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("correct").cast("double") / F.col("test_n"), 6)
         .alias("accuracy"))
         .orderBy("train_pct"))
+
+
+# --------------------------------------------------------------------------
+# X169: uplift modeling (two-model T-learner by segment) + Qini-style
+# cumulative incremental gains — the heterogeneous-treatment-effect
+# report marketing/growth teams run after X56's single ATE: WHO
+# responds to treatment, and in what priority order should the next
+# campaign target segments? Users get an md5 treatment coin, segments
+# are per-user mean-value bands (micro-snapped BIGINT sums compared
+# against cutoff*n — no float average anywhere), outcome is purchase;
+# per segment the uplift is conv_t/n_t - conv_c/n_c (divisions of
+# identical BIGINT cells), segments are ranked by observed uplift
+# (double ordering IEEE-identical; ties by segment), and the Qini
+# accumulation folds EXACT per-segment incremental numerators
+# (conv_t*n_c - conv_c*n_t as BIGINT, scaled by the segment's n_t)
+# down the ranking. One events scan; everything after is 4 rows.
+# --------------------------------------------------------------------------
+UPLIFT_TIERS = 4
+
+
+@register(
+    "uplift_qini_segments",
+    f"""
+    WITH users AS (
+        SELECT user_id,
+               CASE WHEN sv < 45000000 * n THEN 0
+                    WHEN sv < 49000000 * n THEN 1
+                    WHEN sv < 53000000 * n THEN 2 ELSE 3 END AS seg,
+               CASE WHEN ('0x' || substr(md5('promo:' || user_id),
+                                         1, 15))::BIGINT % 2 = 0
+                    THEN 1 ELSE 0 END AS treated,
+               conv
+        FROM (SELECT user_id,
+                     CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT))
+                          AS BIGINT) AS sv,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     MAX(CASE WHEN event_type = 'purchase' THEN 1
+                         ELSE 0 END) AS conv
+              FROM events GROUP BY user_id)
+    ),
+    cells AS (
+        SELECT seg,
+               CAST(SUM(treated) AS BIGINT) AS n_t,
+               CAST(SUM(treated * conv) AS BIGINT) AS conv_t,
+               CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+               CAST(SUM((1 - treated) * conv) AS BIGINT) AS conv_c
+        FROM users GROUP BY seg
+    ),
+    ranked AS (
+        SELECT *,
+               CAST(conv_t AS DOUBLE) / NULLIF(n_t, 0)
+               - CAST(conv_c AS DOUBLE) / NULLIF(n_c, 0) AS uplift,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(conv_t AS DOUBLE) / NULLIF(n_t, 0)
+                            - CAST(conv_c AS DOUBLE) / NULLIF(n_c, 0)
+                            DESC NULLS LAST,
+                            seg) AS rk
+        FROM cells
+    )
+    SELECT CAST(rk AS BIGINT) AS rank, seg AS segment,
+           n_t, conv_t, n_c, conv_c,
+           ROUND(uplift, 6) AS uplift,
+           ROUND(SUM(CAST(conv_t * n_c - conv_c * n_t AS DOUBLE)
+                     / NULLIF(n_c, 0))
+                 OVER (ORDER BY rk), 6) AS qini_cum_incremental
+    FROM ranked ORDER BY rank
+    """,
+    doc="X169 uplift T-learner by per-user value band with Qini "
+        "accumulation: md5 treatment coin, per-segment conversion "
+        "cells as one aggregate, uplift = two IEEE divisions of "
+        "identical BIGINTs, segments ranked by uplift, cumulative "
+        "incremental conversions folded down the ranking from exact "
+        "integer numerators (conv_t*n_c - conv_c*n_t).",
+    tags=("X169", "X56", "X158", "X146", "X7", "X10"),
+)
+def uplift_qini_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.sum(F.round(F.col("value") * 1000000, 0)
+                        .cast("long")).cast("long").alias("sv"),
+                  F.count("*").cast("long").alias("n"),
+                  F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("conv"))
+             .withColumn(
+                 "seg",
+                 F.when(F.col("sv") < 45000000 * F.col("n"), 0)
+                 .when(F.col("sv") < 49000000 * F.col("n"), 1)
+                 .when(F.col("sv") < 53000000 * F.col("n"), 2)
+                 .otherwise(3))
+             .withColumn(
+                 "treated",
+                 F.when(F.conv(F.substring(
+                     F.md5(F.concat(F.lit("promo:"), F.col("user_id"))),
+                     1, 15), 16, 10).cast("long") % 2 == 0, 1)
+                 .otherwise(0)))
+    cells = (users.groupBy("seg")
+             .agg(F.sum("treated").cast("long").alias("n_t"),
+                  F.sum(F.col("treated") * F.col("conv")).cast("long")
+                  .alias("conv_t"),
+                  F.sum(1 - F.col("treated")).cast("long").alias("n_c"),
+                  F.sum((1 - F.col("treated")) * F.col("conv"))
+                  .cast("long").alias("conv_c")))
+    uplift = (F.col("conv_t").cast("double")
+              / F.nullif(F.col("n_t"), F.lit(0))
+              - F.col("conv_c").cast("double")
+              / F.nullif(F.col("n_c"), F.lit(0)))
+    ranked = cells.withColumn("uplift", uplift).withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.col("uplift").desc_nulls_last(), "seg")))
+    inc = ((F.col("conv_t") * F.col("n_c")
+            - F.col("conv_c") * F.col("n_t")).cast("double")
+           / F.nullif(F.col("n_c"), F.lit(0)))
+    return (ranked.select(
+        F.col("rk").cast("long").alias("rank"),
+        F.col("seg").alias("segment"),
+        "n_t", "conv_t", "n_c", "conv_c",
+        F.round("uplift", 6).alias("uplift"),
+        F.round(F.sum(inc).over(
+            Window.orderBy("rk")
+            .rowsBetween(Window.unboundedPreceding, 0)), 6)
+        .alias("qini_cum_incremental"))
+        .orderBy("rank"))

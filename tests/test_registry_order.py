@@ -120,6 +120,7 @@ NEW_R4: dict[str, str] = {
     "zipf_rank_frequency": "X166",
     "clustering_coefficient_profile": "X167",
     "stump_learning_curve": "X168",
+    "uplift_qini_segments": "X169",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -2263,3 +2263,55 @@ def test_learning_curve_replay_and_nesting(spark, sf_dir):
         assert nt > prev_n
         prev_n = nt
         assert 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_uplift_qini_replay_and_conservation(spark, sf_dir):
+    """X169: cells, uplift ordering and the Qini accumulation match a
+    Python replay; segment cells partition the user base; the final
+    Qini value equals the sum of all per-segment increments."""
+    import duckdb
+    import hashlib
+
+    rows = _rows("uplift_qini_segments", spark, sf_dir)
+    users = duckdb.sql(
+        f"SELECT user_id, SUM(CAST(ROUND(value * 1000000, 0) AS "
+        f"BIGINT)), COUNT(*), MAX(CASE WHEN event_type = 'purchase' "
+        f"THEN 1 ELSE 0 END) FROM '{sf_dir}/events.parquet' "
+        f"GROUP BY user_id").fetchall()
+    from collections import defaultdict
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for uid, sv, n, conv in users:
+        seg = (0 if sv < 45000000 * n else
+               1 if sv < 49000000 * n else
+               2 if sv < 53000000 * n else 3)
+        t = 1 if int(hashlib.md5(f"promo:{uid}".encode())
+                     .hexdigest()[:15], 16) % 2 == 0 else 0
+        c = cells[seg]
+        if t:
+            c[0] += 1
+            c[1] += conv
+        else:
+            c[2] += 1
+            c[3] += conv
+    got = {r["segment"]: r for r in rows}
+    assert set(got) == set(cells)
+    for seg, (nt, ct, nc, cc) in cells.items():
+        r = got[seg]
+        assert (r["n_t"], r["conv_t"], r["n_c"], r["conv_c"]) \
+            == (nt, ct, nc, cc)
+        if nt and nc:
+            assert abs(r["uplift"] - round(ct / nt - cc / nc, 6)) <= 1e-9
+    assert sum(r["n_t"] + r["n_c"] for r in rows) == len(users)
+    # ranking is descending in uplift (None last)
+    ups = [r["uplift"] for r in sorted(rows, key=lambda r: r["rank"])]
+    non_null = [u for u in ups if u is not None]
+    assert non_null == sorted(non_null, reverse=True)
+    # Qini telescopes: the last rank's cumulative equals the sum of
+    # every segment's increment (segments with an empty control arm
+    # contribute NULL, which SUM skips on both engines)
+    ordered = sorted(rows, key=lambda r: r["rank"])
+    incs = [(r["conv_t"] * r["n_c"] - r["conv_c"] * r["n_t"]) / r["n_c"]
+            for r in ordered if r["n_c"]]
+    last = ordered[-1]["qini_cum_incremental"]
+    if last is not None:
+        assert abs(last - round(sum(incs), 6)) <= 2e-6
