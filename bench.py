@@ -215,6 +215,7 @@ HEADLINE = [
     "clustering_coefficient_profile",
     "stump_learning_curve",
     "uplift_qini_segments",
+    "sequence_triple_support",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

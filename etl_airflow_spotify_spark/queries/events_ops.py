@@ -3309,3 +3309,81 @@ def mannkendall_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s_adj < -1.959964 * sd, "decreasing")
         .otherwise("no_trend").alias("trend"))
         .orderBy("event_type"))
+
+
+# --------------------------------------------------------------------------
+# X170: sequential-pattern support mining — for every ordered
+# event-type triple (a, b, c), how many users' streams contain it as
+# a (strictly time-increasing) subsequence? The GSP/PrefixSpan
+# support-counting core, and the exploratory sibling of X128's
+# fixed-pattern CEP matcher. The earliest-occurrence greedy is exact
+# for existence ("is there an a, then a b after it, then a c after
+# that?" succeeds iff the subsequence exists when each step takes its
+# MINIMUM qualifying timestamp), so the whole search is three keyed
+# min-aggregates/joins — per-user fan-out is bounded by the 5x5 type
+# alphabet, never by stream length, and no per-user sequence is ever
+# materialized. Timestamps compare as epoch microseconds (session-tz
+# offset cancels in comparisons and is never output).
+# --------------------------------------------------------------------------
+@register(
+    "sequence_triple_support",
+    """
+    WITH ev AS (
+        SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+        FROM events
+    ),
+    nu AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n FROM ev),
+    fa AS (SELECT u, t AS a, MIN(us) AS t1 FROM ev GROUP BY u, t),
+    t2 AS (
+        SELECT fa.u, fa.a, b.t AS b, MIN(b.us) AS t2
+        FROM fa JOIN ev b ON b.u = fa.u AND b.us > fa.t1
+        GROUP BY fa.u, fa.a, b.t
+    ),
+    sup AS (
+        SELECT t2.a, t2.b, c.t AS c,
+               CAST(COUNT(DISTINCT t2.u) AS BIGINT) AS support
+        FROM t2 JOIN ev c ON c.u = t2.u AND c.us > t2.t2
+        GROUP BY t2.a, t2.b, c.t
+    )
+    SELECT a, b, c, support,
+           ROUND(CAST(support AS DOUBLE) / nu.n, 6) AS support_frac
+    FROM sup CROSS JOIN nu
+    ORDER BY a, b, c
+    """,
+    doc="X170 sequential-pattern support: users containing each "
+        "ordered event-type triple as a strict-time subsequence, via "
+        "the exact earliest-occurrence greedy (first a -> first b "
+        "after it -> any c after that) as three keyed min/exists "
+        "aggregates. Per-user fan-out bounded by the 25-cell (a, b) "
+        "alphabet, independent of stream length; support counts and "
+        "fractions hash-checked.",
+    tags=("X170", "X128", "X57", "X71", "X7", "X3"),
+)
+def sequence_triple_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    ev = persist_tracked(
+        _ev(spark, sf_dir).select(
+            F.col("user_id").alias("u"),
+            F.col("event_type").alias("t"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us")))
+    nu = ev.select("u").distinct().count()
+    fa = (ev.groupBy("u", F.col("t").alias("a"))
+          .agg(F.min("us").alias("t1")))
+    b = ev.select(F.col("u"), F.col("t").alias("b"),
+                  F.col("us").alias("usb"))
+    t2 = (fa.join(b, "u")
+          .filter(F.col("usb") > F.col("t1"))
+          .groupBy("u", "a", "b")
+          .agg(F.min("usb").alias("t2")))
+    c = ev.select(F.col("u"), F.col("t").alias("c"),
+                  F.col("us").alias("usc"))
+    sup = (t2.join(c, "u")
+           .filter(F.col("usc") > F.col("t2"))
+           .groupBy("a", "b", "c")
+           .agg(F.countDistinct("u").cast("long").alias("support")))
+    return (sup.select(
+        "a", "b", "c", "support",
+        F.round(F.col("support").cast("double") / nu, 6)
+        .alias("support_frac"))
+        .orderBy("a", "b", "c"))

@@ -121,6 +121,7 @@ NEW_R4: dict[str, str] = {
     "clustering_coefficient_profile": "X167",
     "stump_learning_curve": "X168",
     "uplift_qini_segments": "X169",
+    "sequence_triple_support": "X170",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -2315,3 +2315,55 @@ def test_uplift_qini_replay_and_conservation(spark, sf_dir):
     last = ordered[-1]["qini_cum_incremental"]
     if last is not None:
         assert abs(last - round(sum(incs), 6)) <= 2e-6
+
+
+def test_sequence_support_bruteforce_and_antimonotone(spark, sf_dir):
+    """X170: support of every triple equals a brute-force subsequence
+    check over per-user sorted streams, and anti-monotonicity holds:
+    supp(a,b,c) <= supp of both embedded pairs."""
+    import duckdb
+    from collections import defaultdict
+
+    rows = _rows("sequence_triple_support", spark, sf_dir)
+    evs = duckdb.sql(
+        f"SELECT user_id, event_type, ts FROM "
+        f"'{sf_dir}/events.parquet' ORDER BY user_id, ts").fetchall()
+    streams = defaultdict(list)
+    for u, t, ts in evs:
+        streams[u].append((ts, t))
+    for s in streams.values():
+        s.sort()
+    types = sorted({t for _, t, _ in evs})
+
+    def contains(seq, pat):
+        i = 0
+        last = None
+        for ts, t in seq:
+            if t == pat[i] and (last is None or ts > last):
+                last = ts
+                i += 1
+                if i == len(pat):
+                    return True
+        return False
+
+    supp3 = {}
+    supp2 = defaultdict(int)
+    for a in types:
+        for b2 in types:
+            for u, s in streams.items():
+                if contains(s, (a, b2)):
+                    supp2[(a, b2)] += 1
+            for c in types:
+                supp3[(a, b2, c)] = sum(
+                    1 for s in streams.values()
+                    if contains(s, (a, b2, c)))
+    got = {(r["a"], r["b"], r["c"]): r["support"] for r in rows}
+    for pat, s in supp3.items():
+        assert got.get(pat, 0) == s
+    for (a, b2, c), s in supp3.items():
+        assert s <= supp2[(a, b2)]
+        assert s <= supp2[(b2, c)]
+    n = len(streams)
+    for r in rows:
+        assert abs(r["support_frac"]
+                   - round(r["support"] / n, 6)) <= 1e-9
