@@ -216,6 +216,7 @@ HEADLINE = [
     "stump_learning_curve",
     "uplift_qini_segments",
     "sequence_triple_support",
+    "containment_subset_join",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -819,3 +819,141 @@ def ppjoin_prefix_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.col("size_a") + F.col("size_b")
                                - F.col("n_inter")), 6)
                     .alias("jaccard")))
+
+
+# --------------------------------------------------------------------------
+# X171: containment join — the ASYMMETRIC sibling of X155's
+# resemblance join: C(a -> b) = |a n b| / |a| >= 9/10 finds documents
+# mostly CONTAINED in another (templates, quoted excerpts, subset
+# crawls) that symmetric Jaccard misses whenever |b| >> |a|. The
+# prefix filter adapts: if b covers >= t of a, it can miss at most
+# floor((1-t)*n_a) of a's shingles, so a's floor(n_a/10)+1 RAREST
+# (df-ordered) shingles must hit b — candidates are a-prefix x b-FULL
+# equi-joins (the probe side cannot be prefixed without a size bound;
+# df ordering keeps the prefix side rare, which is what bounds the
+# fan-out). Verification is candidate-only intersection counting and
+# the integer test 10*i >= 9*n_a — never a float ratio. Law-tested
+# lossless against the all-pairs join.
+# --------------------------------------------------------------------------
+CONT_K = 3               # token-shingle width (shares X155's shingling)
+CONT_T_NUM, CONT_T_DEN = 9, 10
+
+
+def _containment_oracle_sql() -> str:
+    k = CONT_K
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(sg), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                         generate_series(1, GREATEST(len(ts) - {k - 1}, 1)),
+                         i -> array_to_string(
+                             ts[CAST(i AS INTEGER):CAST(i AS INTEGER) + {k - 1}],
+                             ' ')))) AS sg
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(lower(text)), '\\s+')
+                               AS ts
+                    FROM documents))
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM sh GROUP BY doc_id),
+    df AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY h),
+    ranked AS (
+        SELECT sh.doc_id, sh.h,
+               ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+                                  ORDER BY df.df, sh.h) AS rk,
+               s.n
+        FROM sh JOIN df ON df.h = sh.h
+        JOIN sizes s ON s.doc_id = sh.doc_id
+    ),
+    prefix AS (
+        SELECT doc_id, h FROM ranked
+        WHERE rk <= (n - (({CONT_T_NUM} * n + {CONT_T_DEN} - 1)
+                          // {CONT_T_DEN})) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM prefix a JOIN sh b
+          ON b.h = a.h AND b.doc_id <> a.doc_id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT t.id_a, t.id_b, t.i AS n_inter,
+           na.n AS size_a, nb.n AS size_b,
+           ROUND(CAST(t.i AS DOUBLE) / na.n, 6) AS containment,
+           ROUND(CAST(t.i AS DOUBLE) / (na.n + nb.n - t.i), 6)
+               AS jaccard
+    FROM inter t
+    JOIN sizes na ON na.doc_id = t.id_a
+    JOIN sizes nb ON nb.doc_id = t.id_b
+    WHERE {CONT_T_DEN} * t.i >= {CONT_T_NUM} * na.n
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "containment_subset_join",
+    _containment_oracle_sql(),
+    doc=f"X171 asymmetric containment join at C = |a n b|/|a| >= "
+        f"{CONT_T_NUM}/{CONT_T_DEN}: a-side df-ordered prefix of "
+        "floor(n/10)+1 rarest shingles joined against FULL shingle "
+        "sets (lossless by pigeonhole on the misses budget; law-tested "
+        "vs all-pairs), candidate-only intersection counting, integer "
+        "verify 10*i >= 9*n_a. Jaccard reported alongside to show the "
+        "pairs resemblance misses.",
+    tags=("X171", "X155", "X16", "X3", "X7"),
+)
+def containment_subset_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..caching import persist_tracked
+    from ..operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sh = persist_tracked(
+        d.select("doc_id", F.explode(D.token_shingles(ts, CONT_K))
+                 .alias("sg"))
+        .select("doc_id",
+                F.conv(F.substring(F.md5("sg"), 1, 15), 16, 10)
+                .cast("long").alias("h"))
+        .distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    df = sh.groupBy("h").agg(F.count("*").cast("long").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    ranked = (sh.join(df, "h").join(sizes, "doc_id")
+              .withColumn("rk", F.row_number().over(w)))
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n")
+        - F.expr(f"({CONT_T_NUM} * n + {CONT_T_DEN} - 1) "
+                 f"div {CONT_T_DEN}") + 1).select("doc_id", "h")
+    a = prefix.select(F.col("doc_id").alias("id_a"), "h")
+    b = sh.select(F.col("doc_id").alias("id_b"), "h")
+    cand = (a.join(b, "h").filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    sa = sh.select(F.col("doc_id").alias("id_a"), "h")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "h")
+    inter = (cand.join(sa, "id_a").join(sb, ["id_b", "h"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").cast("long").alias("i")))
+    na = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("n").alias("size_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("n").alias("size_b"))
+    return (inter.join(na, "id_a").join(nb, "id_b")
+            .filter(CONT_T_DEN * F.col("i")
+                    >= CONT_T_NUM * F.col("size_a"))
+            .select("id_a", "id_b", F.col("i").alias("n_inter"),
+                    "size_a", "size_b",
+                    F.round(F.col("i").cast("double")
+                            / F.col("size_a"), 6).alias("containment"),
+                    F.round(F.col("i").cast("double")
+                            / (F.col("size_a") + F.col("size_b")
+                               - F.col("i")), 6).alias("jaccard"))
+            .orderBy("id_a", "id_b"))

@@ -122,6 +122,7 @@ NEW_R4: dict[str, str] = {
     "stump_learning_curve": "X168",
     "uplift_qini_segments": "X169",
     "sequence_triple_support": "X170",
+    "containment_subset_join": "X171",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -2367,3 +2367,36 @@ def test_sequence_support_bruteforce_and_antimonotone(spark, sf_dir):
     for r in rows:
         assert abs(r["support_frac"]
                    - round(r["support"] / n, 6)) <= 1e-9
+
+
+def test_containment_join_lossless_vs_allpairs(spark, sf_dir):
+    """X171: the prefix-filtered containment join returns EXACTLY the
+    all-pairs result at C >= 9/10 (losslessness of the misses-budget
+    prefix), containment >= 0.9 on every row, and containment >=
+    jaccard always (|a| <= |a| + |b| - |i|)."""
+    import duckdb
+
+    rows = _rows("containment_subset_join", spark, sf_dir)
+    brute = duckdb.sql(f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, ('0x' || substr(md5(sg),1,15))::BIGINT h
+          FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, GREATEST(len(ts)-2,1)),
+                i -> array_to_string(
+                    ts[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ')))) sg
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(lower(text)), '\\s+') ts
+                      FROM '{sf_dir}/documents.parquet'))),
+        sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+                  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
+                  GROUP BY 1, 2)
+        SELECT ia, ib, i FROM inter JOIN sizes sa ON sa.doc_id = inter.ia
+        WHERE 10 * i >= 9 * sa.n""").fetchall()
+    want = {(ia, ib): i for ia, ib, i in brute}
+    got = {(r["id_a"], r["id_b"]): r["n_inter"] for r in rows}
+    assert got == want
+    for r in rows:
+        assert r["containment"] >= 0.9 - 1e-9
+        assert r["containment"] >= r["jaccard"] - 1e-9
+        assert 10 * r["n_inter"] >= 9 * r["size_a"]
