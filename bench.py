@@ -217,6 +217,7 @@ HEADLINE = [
     "uplift_qini_segments",
     "sequence_triple_support",
     "containment_subset_join",
+    "multimodal_scene_changes",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -508,3 +508,127 @@ def multimodal_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").cast("long").alias("seg_len"))
             .filter(F.col("seg_len") >= SILENCE_MIN_LEN)
             .select("media_id", "seg_start", "seg_end", "seg_len"))
+
+
+# --------------------------------------------------------------------------
+# X172: scene-change detection on MEDIA columns — the video-curation
+# primitive (shot segmentation before frame sampling; X19's frame
+# sampler emits every k-th frame, this finds the CUT points): frames
+# are fixed-width chunks of the decoded payload, per-frame
+# "brightness" is the integer sum of code units (computed in the
+# Arrow-batched decode UDF — the real-decoder slot), and a cut fires
+# where consecutive frame MEANS differ by more than SCENE_THRESH
+# units, decided by exact cross-multiplication
+# |s_f * n_prev - s_prev * n_f| > SCENE_THRESH * n_f * n_prev —
+# no float means anywhere, so the whole detector is SQL-replayable
+# on the text twin of the payload (ASCII corpus: byte == code point,
+# the X89 equivalence). Per media: frames, cuts, scenes, the largest
+# jump. Windows are per-media (frame_no ordered) — never global.
+# --------------------------------------------------------------------------
+SCENE_FRAME = 64   # payload chars per frame
+SCENE_THRESH = 4   # mean code-unit jump that opens a new scene
+
+
+@register(
+    "multimodal_scene_changes",
+    f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents
+               WHERE length(text) > 0),
+    ch AS (SELECT doc_id, unnest(range(1, L + 1)) AS i, text FROM d),
+    fr AS (
+        SELECT doc_id, (i - 1) // {SCENE_FRAME} AS f,
+               CAST(SUM(unicode(substr(text, CAST(i AS INTEGER), 1)))
+                    AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ch GROUP BY doc_id, (i - 1) // {SCENE_FRAME}
+    ),
+    lagged AS (
+        SELECT doc_id, f, s, n,
+               LAG(s) OVER (PARTITION BY doc_id ORDER BY f) AS sp,
+               LAG(n) OVER (PARTITION BY doc_id ORDER BY f) AS np
+        FROM fr
+    ),
+    cuts AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(CASE WHEN sp IS NOT NULL
+                              AND ABS(s * np - sp * n)
+                                  > {SCENE_THRESH} * n * np
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+               MAX(CASE WHEN sp IS NOT NULL
+                        THEN ROUND(ABS(CAST(s AS DOUBLE) / n
+                                       - CAST(sp AS DOUBLE) / np), 6)
+                        END) AS max_jump
+        FROM lagged GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id, n_frames, n_cuts,
+           n_cuts + 1 AS n_scenes, max_jump
+    FROM cuts ORDER BY media_id
+    """,
+    doc=f"X172 scene-change detection: {SCENE_FRAME}-char payload "
+        "frames from the Arrow decode UDF, integer frame sums, cuts "
+        f"where consecutive means differ > {SCENE_THRESH} units via "
+        "exact cross-multiplication (no float means), per-media "
+        "windows. Frames/cuts/scenes hash-checked; max_jump is the "
+        "only double (a ROUNDed division of identical BIGINTs).",
+    tags=("X172", "X19", "X24", "X89", "X10"),
+)
+def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (LongType, StructField, StructType)
+
+    from ..catalog import load_table
+    from ..operators.multimodal import build_media_from_documents
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.length("text") > 0)
+    media = build_media_from_documents(docs)
+
+    frame_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("f", LongType()),
+        StructField("s", LongType()),
+        StructField("n", LongType()),
+    ])
+
+    def frame_stats(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fs, ss, ns = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                payload = content[12:]
+                for f in range(-(-len(payload) // SCENE_FRAME)):
+                    chunk = payload[f * SCENE_FRAME:(f + 1) * SCENE_FRAME]
+                    ids.append(mid)
+                    fs.append(f)
+                    ss.append(sum(chunk))
+                    ns.append(len(chunk))
+            yield pd.DataFrame({"media_id": ids, "f": fs,
+                                "s": ss, "n": ns})
+
+    fr = media.select("media_id", "content") \
+        .mapInPandas(frame_stats, frame_schema)
+    from pyspark.sql import Window
+    w = Window.partitionBy("media_id").orderBy("f")
+    lagged = fr.select(
+        "media_id", "f", "s", "n",
+        F.lag("s").over(w).alias("sp"),
+        F.lag("n").over(w).alias("np"))
+    cut = (F.col("sp").isNotNull()
+           & (F.abs(F.col("s") * F.col("np") - F.col("sp") * F.col("n"))
+              > SCENE_THRESH * F.col("n") * F.col("np")))
+    jump = F.when(F.col("sp").isNotNull(),
+                  F.round(F.abs(F.col("s").cast("double") / F.col("n")
+                                - F.col("sp").cast("double")
+                                / F.col("np")), 6))
+    out = (lagged.groupBy("media_id")
+           .agg(F.count("*").cast("long").alias("n_frames"),
+                F.sum(F.when(cut, 1).otherwise(0)).cast("long")
+                .alias("n_cuts"),
+                F.max(jump).alias("max_jump")))
+    return (out.select("media_id", "n_frames", "n_cuts",
+                       (F.col("n_cuts") + 1).cast("long")
+                       .alias("n_scenes"), "max_jump")
+            .orderBy("media_id"))

@@ -123,6 +123,7 @@ NEW_R4: dict[str, str] = {
     "uplift_qini_segments": "X169",
     "sequence_triple_support": "X170",
     "containment_subset_join": "X171",
+    "multimodal_scene_changes": "X172",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -2400,3 +2400,41 @@ def test_containment_join_lossless_vs_allpairs(spark, sf_dir):
         assert r["containment"] >= 0.9 - 1e-9
         assert r["containment"] >= r["jaccard"] - 1e-9
         assert 10 * r["n_inter"] >= 9 * r["size_a"]
+
+
+def test_scene_changes_python_replay(spark, sf_dir):
+    """X172: frames/cuts/scenes/max_jump match a pure-Python replay of
+    the payload chunking; scenes = cuts + 1; frame count equals
+    ceil(len/64); every media row appears exactly once."""
+    import duckdb
+
+    rows = {r["media_id"]: r
+            for r in _rows("multimodal_scene_changes", spark, sf_dir)}
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE length(text) > 0").fetchall()
+    assert set(rows) == {d for d, _ in docs}
+    for doc_id, text in docs:
+        b = text.encode()
+        frames = [b[i:i + 64] for i in range(0, len(b), 64)]
+        sums = [sum(f) for f in frames]
+        lens = [len(f) for f in frames]
+        cuts = 0
+        max_jump = None
+        for k in range(1, len(frames)):
+            d = abs(sums[k] * lens[k - 1] - sums[k - 1] * lens[k])
+            if d > 4 * lens[k] * lens[k - 1]:
+                cuts += 1
+            j = round(abs(sums[k] / lens[k]
+                          - sums[k - 1] / lens[k - 1]), 6)
+            if max_jump is None or j > max_jump:
+                max_jump = j
+        r = rows[doc_id]
+        assert r["n_frames"] == len(frames)
+        assert r["n_frames"] == -(-len(b) // 64)
+        assert r["n_cuts"] == cuts
+        assert r["n_scenes"] == cuts + 1
+        if max_jump is None:
+            assert r["max_jump"] is None
+        else:
+            assert abs(r["max_jump"] - max_jump) <= 1e-9
