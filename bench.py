@@ -218,6 +218,7 @@ HEADLINE = [
     "sequence_triple_support",
     "containment_subset_join",
     "multimodal_scene_changes",
+    "bcubed_linkage_eval",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -670,3 +670,169 @@ def snm_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
           round(n_recovered / max(n_planted, 1), 6))],
         "n_records BIGINT, n_candidates BIGINT, n_predicted BIGINT, "
         "n_planted BIGINT, n_recovered BIGINT, planted_recall DOUBLE")
+
+
+# --------------------------------------------------------------------------
+# X173: B-cubed cluster evaluation — the standard ER/coreference
+# metric (Bagga & Baldwin) that X118's pair recall cannot express:
+# pair metrics ignore HOW predictions partition the records, B-cubed
+# scores every ITEM's cluster against its truth entity
+# (P_i = |C(i) n T(i)|/|C(i)|, R_i likewise over T(i)) and averages.
+# The harness reuses X118's planted-typo universe (truth entity =
+# {original, its typo}); predictions are connected components over
+# the SAME blocked fuzzy pairs (min-label closure — components are
+# near-identical-name cliques). Every per-item fraction is snapped to
+# micro units (a single IEEE division of cell integers) and folded as
+# BIGINT cell-count x micro products, so the averages are
+# summation-order-proof; F1 is one final expression. Cells =
+# (pred_cluster x truth_entity) intersection counts — one aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "bcubed_linkage_eval",
+    f"""
+    WITH RECURSIVE names AS (
+        SELECT p_name AS nm, CAST(COUNT(*) AS BIGINT) AS n
+        FROM part GROUP BY p_name
+    ),
+    plants AS (
+        SELECT nm,
+               substr(nm, 1, length(nm) - 2)
+               || chr(unicode(substr(nm, length(nm) - 1, 1)) + 1)
+               || substr(nm, length(nm), 1) AS typo
+        FROM names
+        WHERE (('0x' || substr(md5('lk:' || nm), 1, 15))::BIGINT % 100)
+              < {LKEV_PLANT_PCT}
+    ),
+    items AS (
+        SELECT nm, nm AS te FROM names
+        UNION ALL
+        SELECT typo, nm FROM plants
+    ),
+    vals AS (SELECT DISTINCT nm FROM items),
+    blocked AS (
+        SELECT split_part(nm, ' ', 1) AS blk, nm FROM vals
+        UNION ALL
+        SELECT split_part(nm, ' ', 2) AS blk, nm FROM vals
+    ),
+    pred AS (
+        SELECT DISTINCT a.nm AS va, b.nm AS vb
+        FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.nm < b.nm
+        WHERE levenshtein(a.nm, b.nm) <= {MAX_EDIT}
+    ),
+    edges AS (
+        SELECT va AS src, vb AS dst FROM pred
+        UNION SELECT vb, va FROM pred
+    ),
+    reach(v, r) AS (
+        SELECT nm, nm FROM vals
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
+    ),
+    lab AS (SELECT v AS nm, MIN(r) AS pc FROM reach GROUP BY v),
+    joined AS (
+        SELECT i.nm, i.te, l.pc FROM items i JOIN lab l ON l.nm = i.nm
+    ),
+    cells AS (
+        SELECT pc, te, CAST(COUNT(*) AS BIGINT) AS o
+        FROM joined GROUP BY pc, te
+    ),
+    csize AS (SELECT pc, CAST(SUM(o) AS BIGINT) AS c FROM cells
+              GROUP BY pc),
+    tsize AS (SELECT te, CAST(SUM(o) AS BIGINT) AS t FROM cells
+              GROUP BY te),
+    folds AS (
+        SELECT CAST(SUM(cells.o) AS BIGINT) AS n_items,
+               CAST(SUM(cells.o * CAST(ROUND(1000000.0 * cells.o
+                                             / csize.c, 0) AS BIGINT))
+                    AS BIGINT) AS p_fold,
+               CAST(SUM(cells.o * CAST(ROUND(1000000.0 * cells.o
+                                             / tsize.t, 0) AS BIGINT))
+                    AS BIGINT) AS r_fold
+        FROM cells JOIN csize ON csize.pc = cells.pc
+        JOIN tsize ON tsize.te = cells.te
+    )
+    SELECT n_items,
+           (SELECT CAST(COUNT(DISTINCT pc) AS BIGINT) FROM lab)
+               AS n_pred_clusters,
+           (SELECT CAST(COUNT(DISTINCT te) AS BIGINT) FROM items)
+               AS n_truth_entities,
+           ROUND(CAST(p_fold AS DOUBLE) / n_items / 1000000.0, 6)
+               AS bcubed_p,
+           ROUND(CAST(r_fold AS DOUBLE) / n_items / 1000000.0, 6)
+               AS bcubed_r,
+           ROUND(2.0 * (CAST(p_fold AS DOUBLE) / n_items)
+                     * (CAST(r_fold AS DOUBLE) / n_items)
+                 / ((CAST(p_fold AS DOUBLE) / n_items)
+                    + (CAST(r_fold AS DOUBLE) / n_items))
+                 / 1000000.0, 6) AS bcubed_f1
+    FROM folds
+    """,
+    doc="X173 B-cubed P/R/F1 of the blocked-fuzzy ER clusters against "
+        "the X118 planted-typo truth: min-label closure components as "
+        "predictions, (cluster x entity) intersection cells in one "
+        "aggregate, per-item fractions micro-snapped and folded as "
+        "BIGINT products — order-proof averages, one final F1 "
+        "expression.",
+    tags=("X173", "X118", "X33", "X30", "X7"),
+)
+def bcubed_linkage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+    from ..operators.dedup import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    names = (part.groupBy(F.col("p_name").alias("nm"))
+             .agg(F.count("*").cast("long").alias("n")))
+    bucket = (F.conv(F.substring(F.md5(F.concat(F.lit("lk:"),
+                                                F.col("nm"))), 1, 15),
+                     16, 10).cast("long") % 100)
+    typo = F.expr(
+        "concat(substr(nm, 1, length(nm) - 2), "
+        "char(ascii(substr(nm, length(nm) - 1, 1)) + 1), "
+        "substr(nm, length(nm), 1))")
+    plants = (names.filter(bucket < LKEV_PLANT_PCT)
+              .select("nm", typo.alias("typo")))
+    items = persist_tracked(
+        names.select("nm", F.col("nm").alias("te"))
+        .unionByName(plants.select(F.col("typo").alias("nm"),
+                                   F.col("nm").alias("te"))))
+    vals = items.select("nm").distinct() \
+        .withColumn("n", F.lit(1).cast("long"))
+    pred = blocked_fuzzy_pairs(
+        vals, value_col="nm", weight_col="n",
+        block_fns=[lambda c: F.split_part(c, F.lit(" "), F.lit(1)),
+                   lambda c: F.split_part(c, F.lit(" "), F.lit(2))],
+        max_dist=MAX_EDIT).select(F.col("value_a").alias("id_a"),
+                                  F.col("value_b").alias("id_b"))
+    # CC only over names that actually pair up (near-dup components
+    # are tiny cliques); every unmatched name is its own cluster via
+    # an anti-join — the CC loop never touches the singleton majority
+    cc = connected_components(pred).select(
+        F.col("id").alias("nm"), F.col("cluster_id").alias("pc"))
+    singles = (vals.select("nm")
+               .join(cc.select("nm"), "nm", "left_anti")
+               .select("nm", F.col("nm").alias("pc")))
+    lab = persist_tracked(cc.unionByName(singles))
+    joined = items.join(lab, "nm")
+    cells = joined.groupBy("pc", "te") \
+        .agg(F.count("*").cast("long").alias("o"))
+    csize = cells.groupBy("pc").agg(F.sum("o").cast("long").alias("c"))
+    tsize = cells.groupBy("te").agg(F.sum("o").cast("long").alias("t"))
+    folds = (cells.join(csize, "pc").join(tsize, "te")
+             .agg(F.sum("o").cast("long").alias("n_items"),
+                  F.sum(F.col("o")
+                        * F.round(1000000.0 * F.col("o") / F.col("c"), 0)
+                        .cast("long")).cast("long").alias("p_fold"),
+                  F.sum(F.col("o")
+                        * F.round(1000000.0 * F.col("o") / F.col("t"), 0)
+                        .cast("long")).cast("long").alias("r_fold")))
+    n_pc = lab.select("pc").distinct().count()
+    n_te = items.select("te").distinct().count()
+    p = F.col("p_fold").cast("double") / F.col("n_items")
+    r = F.col("r_fold").cast("double") / F.col("n_items")
+    return folds.select(
+        "n_items",
+        F.lit(n_pc).cast("long").alias("n_pred_clusters"),
+        F.lit(n_te).cast("long").alias("n_truth_entities"),
+        F.round(p / 1000000.0, 6).alias("bcubed_p"),
+        F.round(r / 1000000.0, 6).alias("bcubed_r"),
+        F.round(2.0 * p * r / (p + r) / 1000000.0, 6).alias("bcubed_f1"))

@@ -124,6 +124,7 @@ NEW_R4: dict[str, str] = {
     "sequence_triple_support": "X170",
     "containment_subset_join": "X171",
     "multimodal_scene_changes": "X172",
+    "bcubed_linkage_eval": "X173",
 }
 DEFERRED |= set(NEW_R4)
 

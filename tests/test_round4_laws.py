@@ -2438,3 +2438,86 @@ def test_scene_changes_python_replay(spark, sf_dir):
             assert r["max_jump"] is None
         else:
             assert abs(r["max_jump"] - max_jump) <= 1e-9
+
+
+def test_bcubed_matches_python_and_bounds(spark, sf_dir):
+    """X173: B-cubed P/R/F1 match a full Python replay (same typo
+    plants, same blocked levenshtein pairs, true union-find
+    components, micro-snapped per-item fractions); all three metrics
+    in (0, 1]; recall is 1.0 iff no truth entity is split."""
+    import duckdb
+    import hashlib
+    from collections import defaultdict
+
+    r = _rows("bcubed_linkage_eval", spark, sf_dir)[0]
+    names = [n for (n,) in duckdb.sql(
+        f"SELECT DISTINCT p_name FROM '{sf_dir}/part.parquet'")
+        .fetchall()]
+    items = [(n, n) for n in names]
+    for n in names:
+        if int(hashlib.md5(f"lk:{n}".encode()).hexdigest()[:15],
+               16) % 100 < 10:
+            typo = n[:-2] + chr(ord(n[-2]) + 1) + n[-1]
+            items.append((typo, n))
+    vals = sorted({nm for nm, _ in items})
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > 4:
+            return 99
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    blocks = defaultdict(set)
+    for nm in vals:
+        parts = nm.split(" ")
+        blocks[parts[0]].add(nm)
+        if len(parts) > 1:
+            blocks[parts[1]].add(nm)
+    pairs = set()
+    for blk in blocks.values():
+        bl = sorted(blk)
+        for i, a in enumerate(bl):
+            for b in bl[i + 1:]:
+                if lev(a, b) <= 4:
+                    pairs.add((a, b))
+    parent = {nm: nm for nm in vals}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    cells = defaultdict(int)
+    csize = defaultdict(int)
+    tsize = defaultdict(int)
+    for nm, te in items:
+        pc = find(nm)
+        cells[(pc, te)] += 1
+        csize[pc] += 1
+        tsize[te] += 1
+    n = len(items)
+    p_fold = sum(o * round(1e6 * o / csize[pc])
+                 for (pc, te), o in cells.items())
+    r_fold = sum(o * round(1e6 * o / tsize[te])
+                 for (pc, te), o in cells.items())
+    P, R = p_fold / n, r_fold / n
+    assert r["n_items"] == n
+    assert r["n_truth_entities"] == len(tsize)
+    assert abs(r["bcubed_p"] - round(P / 1e6, 6)) <= 1e-9
+    assert abs(r["bcubed_r"] - round(R / 1e6, 6)) <= 1e-9
+    assert abs(r["bcubed_f1"] - round(2 * P * R / (P + R) / 1e6, 6)) \
+        <= 1e-9
+    assert 0 < r["bcubed_p"] <= 1 and 0 < r["bcubed_r"] <= 1
+    assert min(r["bcubed_p"], r["bcubed_r"]) <= r["bcubed_f1"] \
+        <= max(r["bcubed_p"], r["bcubed_r"])
