@@ -219,6 +219,7 @@ HEADLINE = [
     "containment_subset_join",
     "multimodal_scene_changes",
     "bcubed_linkage_eval",
+    "bigram_greedy_decode",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -1785,3 +1785,105 @@ def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num.cast("double") * num
                 / (den.cast("double") * deny), 6).alias("r2"))
         .orderBy("fit"))
+
+
+# --------------------------------------------------------------------------
+# X174: greedy LM decoding — deterministic text generation from the
+# corpus bigram model (the X67 LM turned around: not "how surprising
+# is this text" but "what does the model SAY"), the smoke test every
+# LM-data pipeline wants after building n-gram stats: follow
+# next(w) = argmax_b count(w, b) (ties -> lexicographically smallest
+# b) for DECODE_STEPS steps from the top-DECODE_SEEDS most frequent
+# seed words. The next-word function is ONE aggregate + window argmax
+# (count DESC, word ASC — integer counts, deterministic on both
+# engines); generation is then DECODE_STEPS tiny hash joins of the
+# seed frame against the persisted next table — corpus is touched
+# once, the chain never re-scans. Dead ends stop the walk (inner
+# join); cycles are allowed and deterministic.
+# --------------------------------------------------------------------------
+DECODE_STEPS = 12
+DECODE_SEEDS = 5
+
+
+@register(
+    "bigram_greedy_decode",
+    f"""
+    WITH RECURSIVE d AS (
+        SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT bg[1] AS a, bg[2] AS b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(list_transform(
+                  range(1, len(toks)),
+                  i -> [toks[i], toks[i + 1]])) AS bg
+              FROM d)
+        GROUP BY bg[1], bg[2]
+    ),
+    nxt AS (
+        SELECT a, b FROM (
+            SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a
+                                            ORDER BY c DESC, b) AS rn
+            FROM bg) WHERE rn = 1
+    ),
+    uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w
+    ),
+    seeds AS (
+        SELECT w AS seed FROM uni
+        ORDER BY n DESC, w LIMIT {DECODE_SEEDS}
+    ),
+    walk(seed, step, word) AS (
+        SELECT seed, 0, seed FROM seeds
+        UNION ALL
+        SELECT walk.seed, walk.step + 1, nxt.b
+        FROM walk JOIN nxt ON nxt.a = walk.word
+        WHERE walk.step < {DECODE_STEPS}
+    )
+    SELECT seed, CAST(step AS BIGINT) AS step, word
+    FROM walk ORDER BY seed, step
+    """,
+    doc=f"X174 greedy bigram decoding: next(w) = argmax count (ties "
+        f"min word) as one aggregate + window; {DECODE_SEEDS} most "
+        f"frequent seeds walk {DECODE_STEPS} steps through "
+        "DECODE_STEPS tiny hash joins against the persisted next "
+        "table — one corpus pass total. Dead ends stop; cycles are "
+        "deterministic. The generation smoke test of the corpus LM.",
+    tags=("X174", "X67", "X57", "X7", "X10"),
+)
+def bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..caching import persist_tracked
+
+    d = _docs(spark, sf_dir).select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(toks[i - 1] AS a, toks[i] AS b))")
+    bg = (d.filter(F.size("toks") > 1)
+          .select(F.explode(bigrams).alias("p"))
+          .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+          .agg(F.count("*").cast("long").alias("c")))
+    nxt = persist_tracked(
+        bg.withColumn("rn", F.row_number().over(
+            Window.partitionBy("a").orderBy(F.desc("c"), "b")))
+        .filter(F.col("rn") == 1).select("a", "b"))
+    uni = (d.select(F.explode("toks").alias("w"))
+           .groupBy("w").agg(F.count("*").cast("long").alias("n")))
+    seeds = (uni.orderBy(F.desc("n"), "w").limit(DECODE_SEEDS)
+             .select(F.col("w").alias("seed")))
+    out = seeds.select("seed", F.lit(0).alias("step"),
+                       F.col("seed").alias("word")).localCheckpoint()
+    frontier = out
+    for step in range(1, DECODE_STEPS + 1):
+        frontier = (frontier.join(nxt, frontier.word == nxt.a)
+                    .select("seed", F.lit(step).alias("step"),
+                            F.col("b").alias("word"))
+                    .localCheckpoint())
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier)
+    return out.select("seed", F.col("step").cast("long"), "word") \
+        .orderBy("seed", "step")

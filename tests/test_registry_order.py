@@ -125,6 +125,7 @@ NEW_R4: dict[str, str] = {
     "containment_subset_join": "X171",
     "multimodal_scene_changes": "X172",
     "bcubed_linkage_eval": "X173",
+    "bigram_greedy_decode": "X174",
 }
 DEFERRED |= set(NEW_R4)
 

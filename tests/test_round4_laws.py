@@ -2521,3 +2521,40 @@ def test_bcubed_matches_python_and_bounds(spark, sf_dir):
     assert 0 < r["bcubed_p"] <= 1 and 0 < r["bcubed_r"] <= 1
     assert min(r["bcubed_p"], r["bcubed_r"]) <= r["bcubed_f1"] \
         <= max(r["bcubed_p"], r["bcubed_r"])
+
+
+def test_greedy_decode_python_replay(spark, sf_dir):
+    """X174: the generated walks equal a Python replay of the greedy
+    argmax chain; step 0 is the seed; every consecutive pair is the
+    corpus argmax successor; walks are over the top-5 seeds."""
+    import duckdb
+    from collections import Counter, defaultdict
+
+    rows = _rows("bigram_greedy_decode", spark, sf_dir)
+    docs = duckdb.sql(f"SELECT trim(lower(text)) FROM "
+                      f"'{sf_dir}/documents.parquet'").fetchall()
+    import re
+    uni = Counter()
+    bg = Counter()
+    for (t,) in docs:
+        toks = re.split(r"\s+", t) if t else []
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+    nxt = {}
+    byw = defaultdict(list)
+    for (a, b), c in bg.items():
+        byw[a].append((-c, b))
+    for a, lst in byw.items():
+        nxt[a] = min(lst)[1]
+    seeds = sorted(uni, key=lambda w: (-uni[w], w))[:5]
+    want = []
+    for s in seeds:
+        w = s
+        want.append((s, 0, s))
+        for step in range(1, 13):
+            if w not in nxt:
+                break
+            w = nxt[w]
+            want.append((s, step, w))
+    got = sorted((r["seed"], r["step"], r["word"]) for r in rows)
+    assert got == sorted(want)
