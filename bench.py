@@ -220,6 +220,7 @@ HEADLINE = [
     "multimodal_scene_changes",
     "bcubed_linkage_eval",
     "bigram_greedy_decode",
+    "quantile_treatment_effects",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

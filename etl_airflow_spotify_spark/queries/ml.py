@@ -1550,3 +1550,86 @@ def uplift_qini_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, 0)), 6)
         .alias("qini_cum_incremental"))
         .orderBy("rank"))
+
+
+# --------------------------------------------------------------------------
+# X175: quantile treatment effects — where X56's ATE answers "did the
+# mean move", QTE answers "WHERE in the distribution did it move"
+# (discounts compress the tail, premium features lift the median):
+# per-arm exact linear-interpolation quantiles of order value at
+# deciles 0.1..0.9, differenced. Spark exact `percentile` and DuckDB
+# `quantile_cont` are bit-identical on identical multisets (the X36
+# equivalence), the md5 arm coin is engine-portable, and the
+# difference of two identical doubles needs only a final ROUND. One
+# scan; per-arm quantile state is the only aggregate.
+# --------------------------------------------------------------------------
+QTE_QS = tuple(q / 10 for q in range(1, 10))
+
+
+def _qte_oracle_sql() -> str:
+    rows = []
+    for q in QTE_QS:
+        rows.append(f"""SELECT CAST({q} AS DOUBLE) AS q,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM arms WHERE t = 1)
+               AS n_treated,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM arms WHERE t = 0)
+               AS n_control,
+           ROUND((SELECT quantile_cont(v, {q}) FROM arms WHERE t = 1),
+                 4) AS q_treated,
+           ROUND((SELECT quantile_cont(v, {q}) FROM arms WHERE t = 0),
+                 4) AS q_control,
+           ROUND((SELECT quantile_cont(v, {q}) FROM arms WHERE t = 1)
+                 - (SELECT quantile_cont(v, {q}) FROM arms WHERE t = 0),
+                 4) AS qte""")
+    return ("""
+    WITH arms AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN ('0x' || substr(md5('qte:' || o_orderkey),
+                                         1, 15))::BIGINT % 2 = 0
+                    THEN 1 ELSE 0 END AS t
+        FROM orders
+    )
+    """ + "\nUNION ALL\n".join(rows) + "\nORDER BY q")
+
+
+@register(
+    "quantile_treatment_effects",
+    _qte_oracle_sql(),
+    doc="X175 quantile treatment effects at deciles 0.1..0.9: md5 arm "
+        "coin on orders, per-arm exact interpolated quantiles of "
+        "order value (Spark percentile == DuckDB quantile_cont "
+        "bit-for-bit on identical multisets), differenced and ROUNDed "
+        "once. The distributional lens on an experiment that a mean "
+        "ATE cannot give.",
+    tags=("X175", "X56", "X36", "X7"),
+)
+def quantile_treatment_effects(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    arms = orders.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.conv(F.substring(
+            F.md5(F.concat(F.lit("qte:"), F.col("o_orderkey"))),
+            1, 15), 16, 10).cast("long") % 2 == 0, 1)
+        .otherwise(0).alias("t"))
+    qs = list(QTE_QS)
+    agg = (arms.groupBy("t")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.percentile("v", F.array(*[F.lit(q) for q in qs]))
+                .alias("ps")))
+    ex = (agg.select("t", "n", F.posexplode("ps")
+                     .alias("pos", "p")))
+    tr = ex.filter(F.col("t") == 1).select(
+        "pos", F.col("n").alias("n_treated"),
+        F.col("p").alias("pt"))
+    ct = ex.filter(F.col("t") == 0).select(
+        "pos", F.col("n").alias("n_control"),
+        F.col("p").alias("pc"))
+    qcol = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qs)], "pos INT, q DOUBLE")
+    return (tr.join(ct, "pos").join(F.broadcast(qcol), "pos")
+            .select("q", "n_treated", "n_control",
+                    F.round("pt", 4).alias("q_treated"),
+                    F.round("pc", 4).alias("q_control"),
+                    F.round(F.col("pt") - F.col("pc"), 4).alias("qte"))
+            .orderBy("q"))

@@ -126,6 +126,7 @@ NEW_R4: dict[str, str] = {
     "multimodal_scene_changes": "X172",
     "bcubed_linkage_eval": "X173",
     "bigram_greedy_decode": "X174",
+    "quantile_treatment_effects": "X175",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -2558,3 +2558,37 @@ def test_greedy_decode_python_replay(spark, sf_dir):
             want.append((s, step, w))
     got = sorted((r["seed"], r["step"], r["word"]) for r in rows)
     assert got == sorted(want)
+
+
+def test_qte_matches_numpy_and_monotone(spark, sf_dir):
+    """X175: per-arm deciles match numpy's linear-interpolation
+    quantiles of the md5-assigned arms; quantiles are monotone in q
+    within each arm; qte = q_treated - q_control on every row."""
+    import duckdb
+    import hashlib
+
+    import numpy as np
+
+    rows = sorted(_rows("quantile_treatment_effects", spark, sf_dir),
+                  key=lambda r: r["q"])
+    orders = duckdb.sql(
+        f"SELECT o_orderkey, o_totalprice FROM "
+        f"'{sf_dir}/orders.parquet'").fetchall()
+    t, c = [], []
+    for ok, v in orders:
+        if int(hashlib.md5(f"qte:{ok}".encode()).hexdigest()[:15],
+               16) % 2 == 0:
+            t.append(v)
+        else:
+            c.append(v)
+    qs = [r["q"] for r in rows]
+    qt = np.quantile(t, qs, method="linear")
+    qc = np.quantile(c, qs, method="linear")
+    for r, wt, wc in zip(rows, qt, qc):
+        assert r["n_treated"] == len(t) and r["n_control"] == len(c)
+        assert abs(r["q_treated"] - round(float(wt), 4)) <= 1e-6
+        assert abs(r["q_control"] - round(float(wc), 4)) <= 1e-6
+        assert abs(r["qte"] - round(float(wt) - float(wc), 4)) <= 1e-6
+    for col in ("q_treated", "q_control"):
+        vals = [r[col] for r in rows]
+        assert vals == sorted(vals)
