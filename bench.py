@@ -221,6 +221,7 @@ HEADLINE = [
     "bcubed_linkage_eval",
     "bigram_greedy_decode",
     "quantile_treatment_effects",
+    "cohort_ltv_curves",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -3387,3 +3387,105 @@ def sequence_triple_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("support").cast("double") / nu, 6)
         .alias("support_frac"))
         .orderBy("a", "b", "c"))
+
+
+# --------------------------------------------------------------------------
+# X176: cohort LTV accumulation — the growth-accounting sibling of
+# cohort_retention (X8): per weekly signup cohort, the retention
+# curve AND the cumulative per-capita purchase value ("LTV curve")
+# that payback-period decisions read. Weeks are integer epoch-day
+# arithmetic from the corpus min day (gap-safe, engine-portable);
+# purchase values snap to micro units per event and fold as BIGINTs;
+# per-capita week value is ONE IEEE division of identical integers
+# snapped back to micro, so the cumulative sum is again an exact
+# BIGINT fold (order-proof). k = 0 retention is 1.0 by construction
+# (the law test pins it); windows are per-cohort, never global.
+# --------------------------------------------------------------------------
+@register(
+    "cohort_ltv_curves",
+    """
+    WITH ev AS (
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(value * 1000000, 0) AS BIGINT)
+                    ELSE 0 END AS vmicro
+        FROM events
+    ),
+    m AS (SELECT MIN(d) AS d0 FROM ev),
+    wk AS (
+        SELECT user_id, (d - m.d0) // 7 AS w, vmicro
+        FROM ev CROSS JOIN m
+    ),
+    first AS (SELECT user_id, MIN(w) AS c FROM wk GROUP BY user_id),
+    size_ AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cohort_size
+              FROM first GROUP BY c),
+    cell AS (
+        SELECT f.c, wk.w - f.c AS k,
+               CAST(COUNT(DISTINCT wk.user_id) AS BIGINT) AS n_active,
+               CAST(SUM(wk.vmicro) AS BIGINT) AS v_micro
+        FROM wk JOIN first f ON f.user_id = wk.user_id
+        GROUP BY f.c, wk.w - f.c
+    ),
+    percap AS (
+        SELECT cell.c, cell.k, s.cohort_size, cell.n_active,
+               ROUND(CAST(cell.n_active AS DOUBLE) / s.cohort_size, 6)
+                   AS retention,
+               CAST(ROUND(CAST(cell.v_micro AS DOUBLE) / s.cohort_size,
+                          0) AS BIGINT) AS percap_micro
+        FROM cell JOIN size_ s ON s.c = cell.c
+    )
+    SELECT CAST(c AS BIGINT) AS cohort_week, CAST(k AS BIGINT) AS week_k,
+           cohort_size, n_active, retention, percap_micro,
+           CAST(SUM(percap_micro) OVER (PARTITION BY c ORDER BY k)
+                AS BIGINT) AS cum_ltv_micro
+    FROM percap ORDER BY cohort_week, week_k
+    """,
+    doc="X176 cohort LTV curves: weekly cohorts by integer epoch-day "
+        "arithmetic, retention + per-capita purchase micro-value per "
+        "offset week, cumulative LTV as a BIGINT window fold of "
+        "micro-snapped per-capita values (order-proof). One events "
+        "scan; per-cohort windows only.",
+    tags=("X176", "X8", "X21", "X7", "X10"),
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    ev = _ev(spark, sf_dir).select(
+        "user_id",
+        F.datediff(F.to_date("ts"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("d"),
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 1000000, 0).cast("long"))
+        .otherwise(0).alias("vmicro"))
+    m = ev.agg(F.min("d").alias("d0"))
+    wk = persist_tracked(
+        ev.crossJoin(F.broadcast(m))
+        .select("user_id", F.expr("(d - d0) DIV 7").alias("w"),
+                "vmicro"))
+    first = wk.groupBy("user_id").agg(F.min("w").alias("c"))
+    size = first.groupBy("c").agg(F.count("*").cast("long")
+                                  .alias("cohort_size"))
+    cell = (wk.join(first, "user_id")
+            .groupBy("c", (F.col("w") - F.col("c")).alias("k"))
+            .agg(F.countDistinct("user_id").cast("long")
+                 .alias("n_active"),
+                 F.sum("vmicro").cast("long").alias("v_micro")))
+    percap = (cell.join(size, "c")
+              .select("c", "k", "cohort_size", "n_active",
+                      F.round(F.col("n_active").cast("double")
+                              / F.col("cohort_size"), 6)
+                      .alias("retention"),
+                      F.round(F.col("v_micro").cast("double")
+                              / F.col("cohort_size"), 0).cast("long")
+                      .alias("percap_micro")))
+    w = Window.partitionBy("c").orderBy("k") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (percap.select(
+        F.col("c").cast("long").alias("cohort_week"),
+        F.col("k").cast("long").alias("week_k"),
+        "cohort_size", "n_active", "retention", "percap_micro",
+        F.sum("percap_micro").over(w).cast("long")
+        .alias("cum_ltv_micro"))
+        .orderBy("cohort_week", "week_k"))

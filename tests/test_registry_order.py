@@ -127,6 +127,7 @@ NEW_R4: dict[str, str] = {
     "bcubed_linkage_eval": "X173",
     "bigram_greedy_decode": "X174",
     "quantile_treatment_effects": "X175",
+    "cohort_ltv_curves": "X176",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -2592,3 +2592,54 @@ def test_qte_matches_numpy_and_monotone(spark, sf_dir):
     for col in ("q_treated", "q_control"):
         vals = [r[col] for r in rows]
         assert vals == sorted(vals)
+
+
+def test_cohort_ltv_replay_and_invariants(spark, sf_dir):
+    """X176: cells match a Python replay; retention at k=0 is 1.0;
+    cumulative LTV is the running sum of per-capita values and is
+    nondecreasing; retention never exceeds 1."""
+    import duckdb
+    from collections import defaultdict
+
+    rows = _rows("cohort_ltv_curves", spark, sf_dir)
+    evs = duckdb.sql(
+        f"SELECT user_id, CAST(ts AS DATE), event_type, "
+        f"CAST(ROUND(value * 1000000, 0) AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet'").fetchall()
+    d0 = min(d for _, d, _, _ in evs).toordinal()
+    wk = defaultdict(lambda: [set(), 0])
+    first = {}
+    for u, d, t, vm in evs:
+        w = (d.toordinal() - d0) // 7
+        first[u] = min(first.get(u, w), w)
+    sizes = defaultdict(int)
+    for u, c in first.items():
+        sizes[c] += 1
+    for u, d, t, vm in evs:
+        w = (d.toordinal() - d0) // 7
+        cell = wk[(first[u], w - first[u])]
+        cell[0].add(u)
+        if t == "purchase":
+            cell[1] += vm
+    got = {(r["cohort_week"], r["week_k"]): r for r in rows}
+    assert set(got) == set(wk)
+    cum = defaultdict(int)
+    for (c, k) in sorted(wk):
+        users, vm = wk[(c, k)]
+        r = got[(c, k)]
+        assert r["cohort_size"] == sizes[c]
+        assert r["n_active"] == len(users)
+        assert abs(r["retention"]
+                   - round(len(users) / sizes[c], 6)) <= 1e-9
+        assert r["retention"] <= 1.0 + 1e-9
+        pc = round(vm / sizes[c])
+        assert r["percap_micro"] == pc
+        cum[c] += pc
+        assert r["cum_ltv_micro"] == cum[c]
+        if k == 0:
+            assert r["retention"] == 1.0
+    for c in {r["cohort_week"] for r in rows}:
+        vals = [r["cum_ltv_micro"] for r in sorted(
+            (r for r in rows if r["cohort_week"] == c),
+            key=lambda r: r["week_k"])]
+        assert vals == sorted(vals)
