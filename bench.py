@@ -222,6 +222,8 @@ HEADLINE = [
     "bigram_greedy_decode",
     "quantile_treatment_effects",
     "cohort_ltv_curves",
+    "naive_bayes_lang",
+    "heaps_vocab_growth",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

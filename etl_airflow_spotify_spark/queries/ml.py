@@ -1633,3 +1633,193 @@ def quantile_treatment_effects(spark: SparkSession,
                     F.round("pc", 4).alias("q_control"),
                     F.round(F.col("pt") - F.col("pc"), 4).alias("qte"))
             .orderBy("q"))
+
+
+# --------------------------------------------------------------------------
+# X177: multinomial naive Bayes text classification — the classical
+# supervised baseline every corpus pipeline fits before anything
+# neural (spam gates, language verification, source tagging). Train
+# on a deterministic md5 80% split of documents, classify the held-out
+# 20% by lang, report the confusion matrix. Exactness: with add-one
+# smoothing every log argument is an INTEGER (c_wc + 1, tot_c + V,
+# doc counts), so each log2 snaps to the 1e-6 micro grid (the X166
+# discipline) and a document's class score is a pure BIGINT fold:
+# prior + sum_w tf * lw(w,c) - m_d * den(c), where the zero-count
+# words contribute exactly -den(c) each because log2(0 + 1) = 0 —
+# the algebraic trick that keeps the score join restricted to the
+# OBSERVED (word, class) pairs instead of the dense vocab x class
+# grid. Argmax over BIGINT scores (ties -> min lang) is
+# bit-identical on both engines. One corpus pass for counts; the
+# scoring join is test-tokens x classes-seen-per-word.
+# --------------------------------------------------------------------------
+NB_TRAIN_PCT = 80
+
+
+def _nb_oracle_sql() -> str:
+    return f"""
+    WITH d AS (
+        SELECT doc_id, lang, text,
+               (('0x' || substr(md5('nb:' || doc_id), 1, 15))::BIGINT
+                % 100) < {NB_TRAIN_PCT} AS tr
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, lang, tr,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM d
+    ),
+    cw AS (
+        SELECT lang AS cls, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE tr GROUP BY lang, w
+    ),
+    totc AS (
+        SELECT cls, CAST(SUM(c) AS BIGINT) AS tot FROM cw GROUP BY cls
+    ),
+    vocab AS (SELECT DISTINCT w FROM cw),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    ndc AS (
+        SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS nd
+        FROM d WHERE tr GROUP BY lang
+    ),
+    ntr AS (SELECT CAST(SUM(nd) AS BIGINT) AS n FROM ndc),
+    cc AS (
+        SELECT ndc.cls,
+               CAST(ROUND(log2(ndc.nd) * 1000000) AS BIGINT)
+               - CAST(ROUND(log2(ntr.n) * 1000000) AS BIGINT) AS prior,
+               CAST(ROUND(log2(totc.tot + nv.v) * 1000000) AS BIGINT)
+                   AS den
+        FROM ndc JOIN totc ON totc.cls = ndc.cls
+        CROSS JOIN nv CROSS JOIN ntr
+    ),
+    lw AS (
+        SELECT cls, w,
+               CAST(ROUND(log2(c + 1) * 1000000) AS BIGINT) AS lw
+        FROM cw
+    ),
+    tf AS (
+        SELECT t.doc_id, t.lang AS true_lang, t.w,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok t JOIN vocab v ON v.w = t.w
+        WHERE NOT t.tr GROUP BY t.doc_id, t.lang, t.w
+    ),
+    md AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS m FROM tf
+        GROUP BY doc_id
+    ),
+    sp AS (
+        SELECT tf.doc_id, lw.cls, CAST(SUM(tf.tf * lw.lw) AS BIGINT)
+                   AS s
+        FROM tf JOIN lw ON lw.w = tf.w
+        GROUP BY tf.doc_id, lw.cls
+    ),
+    td AS (
+        SELECT doc_id, lang AS true_lang FROM d WHERE NOT tr
+    ),
+    score AS (
+        SELECT td.doc_id, td.true_lang, cc.cls,
+               cc.prior + COALESCE(sp.s, 0)
+               - COALESCE(md.m, 0) * cc.den AS score
+        FROM td CROSS JOIN cc
+        LEFT JOIN sp ON sp.doc_id = td.doc_id AND sp.cls = cc.cls
+        LEFT JOIN md ON md.doc_id = td.doc_id
+    ),
+    pred AS (
+        SELECT doc_id, true_lang, cls AS pred_lang FROM (
+            SELECT doc_id, true_lang, cls,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, cls) AS rn
+            FROM score
+        ) WHERE rn = 1
+    ),
+    tt AS (
+        SELECT true_lang, CAST(COUNT(*) AS BIGINT) AS nt
+        FROM td GROUP BY true_lang
+    )
+    SELECT p.true_lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MIN(tt.nt), 6) AS frac
+    FROM pred p JOIN tt ON tt.true_lang = p.true_lang
+    GROUP BY p.true_lang, p.pred_lang
+    ORDER BY p.true_lang, p.pred_lang
+    """
+
+
+@register(
+    "naive_bayes_lang",
+    _nb_oracle_sql(),
+    doc=f"X177 multinomial naive Bayes: train on a deterministic md5 "
+        f"{NB_TRAIN_PCT}% document split, add-one smoothing, classify "
+        "held-out docs by lang; confusion matrix with per-true-class "
+        "fractions. All log arguments are integers snapped to the "
+        "1e-6 micro grid, scores are exact BIGINT folds, and the "
+        "zero-count algebra keeps the scoring join on observed "
+        "(word, class) pairs only (log2(0+1) = 0).",
+    tags=("X177", "X18", "X44", "X7", "X3"),
+)
+def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+    from ..catalog import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "lang", "text",
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit("nb:"),
+                           F.col("doc_id").cast("string"))),
+            1, 15), 16, 10).cast("long") % 100
+         < NB_TRAIN_PCT).alias("tr"))
+    tok = persist_tracked(d.select(
+        "doc_id", "lang", "tr",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                          r"\s+")).alias("w")))
+    cw = persist_tracked(
+        tok.filter("tr")
+        .groupBy(F.col("lang").alias("cls"), "w")
+        .agg(F.count("*").cast("long").alias("c")))
+    totc = cw.groupBy("cls").agg(F.sum("c").cast("long").alias("tot"))
+    vocab = cw.select("w").distinct()
+    nv = vocab.agg(F.count("*").cast("long").alias("v"))
+    ndc = (d.filter("tr").groupBy(F.col("lang").alias("cls"))
+           .agg(F.count("*").cast("long").alias("nd")))
+    ntr = ndc.agg(F.sum("nd").cast("long").alias("n"))
+
+    def l2m(c):
+        return F.round(F.log2(c) * 1e6, 0).cast("long")
+
+    cc = (ndc.join(totc, "cls")
+          .crossJoin(F.broadcast(nv)).crossJoin(F.broadcast(ntr))
+          .select("cls",
+                  (l2m(F.col("nd")) - l2m(F.col("n"))).alias("prior"),
+                  l2m(F.col("tot") + F.col("v")).alias("den")))
+    lw = cw.select("cls", "w", l2m(F.col("c") + 1).alias("lw"))
+    tf = (tok.filter(~F.col("tr"))
+          .join(vocab, "w")
+          .groupBy("doc_id", F.col("lang").alias("true_lang"), "w")
+          .agg(F.count("*").cast("long").alias("tf")))
+    tf = persist_tracked(tf)
+    md = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("m"))
+    sp = (tf.join(lw, "w")
+          .groupBy("doc_id", "cls")
+          .agg(F.sum(F.col("tf") * F.col("lw")).cast("long")
+               .alias("s")))
+    td = d.filter(~F.col("tr")).select(
+        "doc_id", F.col("lang").alias("true_lang"))
+    score = (td.crossJoin(F.broadcast(cc))
+             .join(sp, ["doc_id", "cls"], "left")
+             .join(md, "doc_id", "left")
+             .select("doc_id", "true_lang", "cls",
+                     (F.col("prior") + F.coalesce("s", F.lit(0))
+                      - F.coalesce("m", F.lit(0)) * F.col("den"))
+                     .alias("score")))
+    w_pred = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("cls"))
+    pred = (score.withColumn("rn", F.row_number().over(w_pred))
+            .filter("rn = 1")
+            .select("doc_id", "true_lang",
+                    F.col("cls").alias("pred_lang")))
+    tt = td.groupBy("true_lang").agg(F.count("*").cast("long")
+                                     .alias("nt"))
+    return (pred.join(tt, "true_lang")
+            .groupBy("true_lang", "pred_lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.round(F.count("*").cast("double") / F.min("nt"), 6)
+                 .alias("frac"))
+            .orderBy("true_lang", "pred_lang"))

@@ -1887,3 +1887,164 @@ def bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(frontier)
     return out.select("seed", F.col("step").cast("long"), "word") \
         .orderBy("seed", "step")
+
+
+# --------------------------------------------------------------------------
+# X178: Heaps'-law vocabulary growth — the companion diagnostic to the
+# X166 Zipf fit (Zipf reads the frequency head; Heaps forecasts how
+# vocabulary grows with corpus size, V(n) ~ K * n^beta, the number
+# tokenizer-budget and OOV-rate planning needs). The cumulative-
+# distinct curve is computed the scale-safe way: each word contributes
+# ONE row at its first-occurrence document (min doc_id), documents
+# bucket into HEAPS_BUCKETS ordered prefix buckets by pure integer
+# arithmetic on doc_id (never a global per-doc window), per-bucket
+# new-word and token counts fold cumulatively over the 64-row bucket
+# frame, and log2 of the integer (cum_tokens, cum_vocab) pairs snaps
+# to the 1e-6 micro grid so the closed-form OLS moments are exact
+# BIGINT folds — beta, intercept and R^2 are single divisions.
+# 'all' fits every bucket; 'tail' skips the first 8 (Heaps bends at
+# tiny n exactly like Zipf bends at the head).
+# --------------------------------------------------------------------------
+HEAPS_BUCKETS = 64
+HEAPS_TAIL_FROM = 9
+
+
+@register(
+    "heaps_vocab_growth",
+    f"""
+    WITH mx AS (
+        SELECT MAX(doc_id) + 1 AS m FROM documents
+    ),
+    tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    tokb AS (
+        SELECT (doc_id * {HEAPS_BUCKETS}) // mx.m AS b,
+               CAST(COUNT(*) AS BIGINT) AS ntok
+        FROM tok CROSS JOIN mx GROUP BY 1
+    ),
+    fw AS (SELECT w, MIN(doc_id) AS fd FROM tok GROUP BY w),
+    newb AS (
+        SELECT (fd * {HEAPS_BUCKETS}) // mx.m AS b,
+               CAST(COUNT(*) AS BIGINT) AS nnew
+        FROM fw CROSS JOIN mx GROUP BY 1
+    ),
+    cum AS (
+        SELECT tokb.b,
+               CAST(SUM(tokb.ntok) OVER (ORDER BY tokb.b) AS BIGINT)
+                   AS cum_n,
+               CAST(SUM(COALESCE(newb.nnew, 0)) OVER (ORDER BY tokb.b)
+                    AS BIGINT) AS cum_v,
+               ROW_NUMBER() OVER (ORDER BY tokb.b) AS r
+        FROM tokb LEFT JOIN newb ON newb.b = tokb.b
+    ),
+    pts AS (
+        SELECT r,
+               CAST(ROUND(log2(cum_n) * 1000000) AS BIGINT) AS x,
+               CAST(ROUND(log2(cum_v) * 1000000) AS BIGINT) AS y
+        FROM cum
+    ),
+    fits AS (
+        SELECT 'all' AS fit, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pts
+        UNION ALL
+        SELECT 'tail', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(x) AS BIGINT), CAST(SUM(y) AS BIGINT),
+               CAST(SUM(x * x) AS BIGINT), CAST(SUM(x * y) AS BIGINT),
+               CAST(SUM(y * y) AS BIGINT)
+        FROM pts WHERE r >= {HEAPS_TAIL_FROM}
+    ),
+    tot AS (
+        SELECT MAX(cum_n) AS total_tokens, MAX(cum_v) AS total_vocab
+        FROM cum
+    )
+    SELECT fit, k AS n_points,
+           ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / (k * sxx - sx * sx), 6) AS beta,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(k * sxy - sx * sy AS DOUBLE)
+                     / (k * sxx - sx * sx)) * sx)
+                 / k / 1000000.0, 6) AS intercept_log2,
+           ROUND((CAST(k * sxy - sx * sy AS DOUBLE)
+                  * (k * sxy - sx * sy))
+                 / NULLIF(CAST(k * sxx - sx * sx AS DOUBLE)
+                          * (k * syy - sy * sy), 0.0), 6) AS r2,
+           tot.total_tokens, tot.total_vocab
+    FROM fits CROSS JOIN tot ORDER BY fit
+    """,
+    doc=f"X178 Heaps'-law vocabulary growth: {HEAPS_BUCKETS} ordered "
+        "prefix buckets by integer doc_id arithmetic, per-bucket token "
+        "+ first-occurrence-word counts, cumulative fold over the "
+        "bucket frame only, log2 of integer (cum_tokens, cum_vocab) "
+        "on the 1e-6 micro grid, closed-form OLS from exact BIGINT "
+        "moments; 'all' and head-corrected 'tail' fits.",
+    tags=("X178", "X166", "X18", "X44", "X7", "X10"),
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    d = _docs(spark, sf_dir)
+    mx = d.agg((F.max("doc_id") + 1).alias("m"))
+    tok = persist_tracked(
+        d.crossJoin(F.broadcast(mx)).select(
+            "doc_id", "m",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                              r"\s+")).alias("w")))
+    tokb = (tok.groupBy(F.expr(f"(doc_id * {HEAPS_BUCKETS}) DIV m")
+                        .alias("b"))
+            .agg(F.count("*").cast("long").alias("ntok")))
+    fw = tok.groupBy("w").agg(F.min("doc_id").alias("fd"),
+                              F.min("m").alias("m2"))
+    newb = (fw.groupBy(F.expr(f"(fd * {HEAPS_BUCKETS}) DIV m2")
+                       .alias("b"))
+            .agg(F.count("*").cast("long").alias("nnew")))
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (tokb.join(newb, "b", "left")
+           .select("b", "ntok",
+                   F.coalesce("nnew", F.lit(0)).alias("nnew"))
+           .select("b",
+                   F.sum("ntok").over(wc).cast("long").alias("cum_n"),
+                   F.sum("nnew").over(wc).cast("long").alias("cum_v"),
+                   F.row_number().over(Window.orderBy("b")).alias("r")))
+    cum = persist_tracked(cum)
+
+    def l2m(c):
+        return F.round(F.log2(c) * 1e6, 0).cast("long")
+
+    pts = cum.select("r", l2m(F.col("cum_n")).alias("x"),
+                     l2m(F.col("cum_v")).alias("y"))
+
+    def moments(df, label):
+        return df.agg(
+            F.lit(label).alias("fit"),
+            F.count("*").cast("long").alias("k"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+
+    fits = moments(pts, "all").unionByName(
+        moments(pts.filter(F.col("r") >= HEAPS_TAIL_FROM), "tail"))
+    tot = cum.agg(F.max("cum_n").alias("total_tokens"),
+                  F.max("cum_v").alias("total_vocab"))
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num.cast("double") / den
+    return (fits.crossJoin(F.broadcast(tot)).select(
+        "fit", F.col("k").alias("n_points"),
+        F.round(slope, 6).alias("beta"),
+        F.round((F.col("sy").cast("double") - slope * F.col("sx"))
+                / F.col("k") / 1e6, 6).alias("intercept_log2"),
+        F.round(num.cast("double") * num
+                / F.nullif(den.cast("double") * deny, F.lit(0.0)),
+                6).alias("r2"),
+        "total_tokens", "total_vocab")
+        .orderBy("fit"))

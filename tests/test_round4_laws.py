@@ -2643,3 +2643,145 @@ def test_cohort_ltv_replay_and_invariants(spark, sf_dir):
             (r for r in rows if r["cohort_week"] == c),
             key=lambda r: r["week_k"])]
         assert vals == sorted(vals)
+
+
+def test_naive_bayes_matches_python_replay(spark, sf_dir):
+    """X177: confusion matrix matches a full Python NB replay (same
+    md5 split, add-one smoothing, integer micro-grid log2 scores,
+    min-lang ties); fractions sum to 1 per true class."""
+    import duckdb
+    import hashlib
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from etl_airflow_spotify_spark.queries.ml import NB_TRAIN_PCT
+
+    rows = _rows("naive_bayes_lang", spark, sf_dir)
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang, text "
+        f"FROM '{sf_dir}/documents.parquet'").fetchall()
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def l2m(n):
+        return round(math.log2(n) * 1e6)
+
+    train, test = [], []
+    for doc_id, lang, text in docs:
+        (train if md5_60(f"nb:{doc_id}") % 100 < NB_TRAIN_PCT
+         else test).append((doc_id, lang, text))
+    cw = Counter()
+    ndc = Counter()
+    for _, lang, text in train:
+        ndc[lang] += 1
+        for w in re.split(r"\s+", text.strip().lower()):
+            cw[(lang, w)] += 1
+    vocab = {w for _, w in cw}
+    totc = Counter()
+    for (lang, w), c in cw.items():
+        totc[lang] += c
+    n_train = sum(ndc.values())
+    classes = sorted(ndc)
+    prior = {c: l2m(ndc[c]) - l2m(n_train) for c in classes}
+    den = {c: l2m(totc[c] + len(vocab)) for c in classes}
+
+    conf = Counter()
+    per_true = Counter()
+    for _, true_lang, text in test:
+        tf = Counter(w for w in re.split(r"\s+", text.strip().lower())
+                     if w in vocab)
+        m = sum(tf.values())
+        best = None
+        for c in classes:
+            s = prior[c] - m * den[c] + sum(
+                n * l2m(cw[(c, w)] + 1)
+                for w, n in tf.items() if (c, w) in cw)
+            if best is None or s > best[0]:
+                best = (s, c)
+        conf[(true_lang, best[1])] += 1
+        per_true[true_lang] += 1
+
+    got = {(r["true_lang"], r["pred_lang"]): r for r in rows}
+    assert set(got) == set(conf)
+    for (t, p), n in conf.items():
+        assert got[(t, p)]["n_docs"] == n
+        assert abs(got[(t, p)]["frac"]
+                   - round(n / per_true[t], 6)) <= 1e-9
+    # fractions partition each true class
+    by_true = defaultdict(float)
+    for r in rows:
+        by_true[r["true_lang"]] += r["frac"]
+    for t, s in by_true.items():
+        assert abs(s - 1.0) <= 1e-4
+
+
+def test_heaps_growth_matches_python_replay(spark, sf_dir):
+    """X178: bucketed cumulative (tokens, vocab) curve and the OLS fit
+    match a full Python replay; totals equal corpus token/vocab counts;
+    beta falls in (0, 1] (vocabulary grows sublinearly)."""
+    import duckdb
+    import math
+    import re
+
+    from etl_airflow_spotify_spark.queries.text import (
+        HEAPS_BUCKETS, HEAPS_TAIL_FROM)
+
+    rows = {r["fit"]: r for r in _rows("heaps_vocab_growth",
+                                       spark, sf_dir)}
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    m = max(d for d, _ in docs) + 1
+    ntok = {}
+    first = {}
+    for doc_id, text in docs:
+        b = (doc_id * HEAPS_BUCKETS) // m
+        ws = re.split(r"\s+", text.strip().lower())
+        ntok[b] = ntok.get(b, 0) + len(ws)
+        for w in ws:
+            first[w] = min(first.get(w, doc_id), doc_id)
+    nnew = {}
+    for w, fd in first.items():
+        b = (fd * HEAPS_BUCKETS) // m
+        nnew[b] = nnew.get(b, 0) + 1
+    pts = []
+    cn = cv = 0
+    for r, b in enumerate(sorted(ntok), start=1):
+        cn += ntok[b]
+        cv += nnew.get(b, 0)
+        pts.append((r, round(math.log2(cn) * 1e6),
+                    round(math.log2(cv) * 1e6)))
+    assert rows["all"]["total_tokens"] == cn
+    assert rows["all"]["total_vocab"] == cv == len(first)
+
+    def fit(sel):
+        k = len(sel)
+        sx = sum(x for _, x, _ in sel)
+        sy = sum(y for _, _, y in sel)
+        sxx = sum(x * x for _, x, _ in sel)
+        sxy = sum(x * y for _, x, y in sel)
+        syy = sum(y * y for _, _, y in sel)
+        num = k * sxy - sx * sy
+        den = k * sxx - sx * sx
+        deny = k * syy - sy * sy
+        beta = round(num / den, 6)
+        r2 = (round(num * num / (den * deny), 6)
+              if den * deny != 0 else None)
+        return k, beta, r2
+
+    for name, sel in [("all", pts),
+                      ("tail", [p for p in pts
+                                if p[0] >= HEAPS_TAIL_FROM])]:
+        k, beta, r2 = fit(sel)
+        assert rows[name]["n_points"] == k
+        assert abs(rows[name]["beta"] - beta) <= 1e-9
+        if r2 is None:
+            assert rows[name]["r2"] is None
+        else:
+            assert abs(rows[name]["r2"] - r2) <= 1e-9
+    # tiny fixtures can saturate the vocabulary inside the first
+    # bucket (constant y -> beta exactly 0), so the lower bound is
+    # inclusive; the replay equality above is the exact check.
+    assert 0.0 <= rows["all"]["beta"] <= 1.0
