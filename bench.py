@@ -224,6 +224,7 @@ HEADLINE = [
     "cohort_ltv_curves",
     "naive_bayes_lang",
     "heaps_vocab_growth",
+    "jackknife_ratio_se",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

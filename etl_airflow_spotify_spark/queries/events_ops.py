@@ -3489,3 +3489,117 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("percap_micro").over(w).cast("long")
         .alias("cum_ltv_micro"))
         .orderBy("cohort_week", "week_k"))
+
+
+# --------------------------------------------------------------------------
+# X179: jackknife variance of a ratio estimator — the classical
+# delete-one resampling sibling of the X103 Poisson bootstrap, and
+# the standard error experiment platforms quote for ratio metrics
+# (revenue per click, CTR, value per session) where the i.i.d.-unit
+# CLT does not apply directly. Units are DAYS (delete-one-day, the
+# cluster-robust choice for serially-correlated event streams):
+# theta = S/C over all days, theta_(i) = (S - s_i)/(C - c_i) per
+# left-out day. Each replicate is ONE IEEE division of identical
+# BIGINTs (purchase value folds in exact micro units, click counts
+# integer), snapped back to the micro grid, so the jackknife moments
+# (sum r_i, sum r_i^2) are exact BIGINT folds and the SE/bias are
+# single closed-form expressions of those integers — no float
+# accumulation anywhere. One events scan; the replicate frame is
+# day-cardinality.
+# --------------------------------------------------------------------------
+@register(
+    "jackknife_ratio_se",
+    """
+    WITH ev AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(value * 1000000, 0) AS BIGINT)
+                    ELSE 0 END AS vmicro,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS clk
+        FROM events
+    ),
+    byday AS (
+        SELECT d, CAST(SUM(vmicro) AS BIGINT) AS s,
+               CAST(SUM(clk) AS BIGINT) AS c
+        FROM ev GROUP BY d
+    ),
+    tot AS (
+        SELECT CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(c) AS BIGINT) AS ct,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM byday
+    ),
+    reps AS (
+        SELECT CAST(ROUND(CAST(tot.st - byday.s AS DOUBLE)
+                          / NULLIF(tot.ct - byday.c, 0), 0) AS BIGINT)
+                   AS r
+        FROM byday CROSS JOIN tot
+    ),
+    mom AS (
+        SELECT CAST(SUM(r) AS BIGINT) AS r1,
+               CAST(SUM(r * r) AS BIGINT) AS r2,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM reps
+    ),
+    th AS (
+        SELECT CAST(ROUND(CAST(st AS DOUBLE) / ct, 0) AS BIGINT)
+                   AS theta, n FROM tot
+    )
+    SELECT th.n AS n_days,
+           ROUND(th.theta / 1000000.0, 6) AS theta_hat,
+           ROUND(CAST(mom.r1 AS DOUBLE) / mom.n / 1000000.0, 6)
+               AS jk_mean,
+           ROUND((th.n - 1) * (CAST(mom.r1 AS DOUBLE) / mom.n
+                               - th.theta) / 1000000.0, 6) AS jk_bias,
+           ROUND(SQRT(CAST((th.n - 1)
+                           * (mom.n * mom.r2 - mom.r1 * mom.r1)
+                           AS DOUBLE)) / mom.n / 1000000.0, 6) AS jk_se
+    FROM th CROSS JOIN mom
+    """,
+    doc="X179 jackknife (delete-one-day) SE of the revenue-per-click "
+        "ratio: per-day (value micro, clicks) cells, each replicate "
+        "one IEEE division of identical BIGINTs snapped to micro, "
+        "jackknife moments exact BIGINT folds, SE/bias closed-form. "
+        "Day-cardinality replicate frame; cluster-robust units.",
+    tags=("X179", "X103", "X56", "X7"),
+)
+def jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select(
+        F.datediff(F.to_date("ts"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("d"),
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 1000000, 0).cast("long"))
+        .otherwise(0).alias("vmicro"),
+        F.when(F.col("event_type") == "click", 1)
+        .otherwise(0).alias("clk"))
+    byday = ev.groupBy("d").agg(
+        F.sum("vmicro").cast("long").alias("s"),
+        F.sum("clk").cast("long").alias("c"))
+    tot = byday.agg(F.sum("s").cast("long").alias("st"),
+                    F.sum("c").cast("long").alias("ct"),
+                    F.count("*").cast("long").alias("n"))
+    reps = (byday.crossJoin(F.broadcast(tot))
+            .select(F.round((F.col("st") - F.col("s")).cast("double")
+                            / F.nullif(F.col("ct") - F.col("c"),
+                                       F.lit(0)), 0)
+                    .cast("long").alias("r")))
+    mom = reps.agg(F.sum("r").cast("long").alias("r1"),
+                   F.sum(F.col("r") * F.col("r")).cast("long")
+                   .alias("r2"),
+                   F.count("*").cast("long").alias("mn"))
+    th = tot.select(F.round(F.col("st").cast("double") / F.col("ct"),
+                            0).cast("long").alias("theta"),
+                    F.col("n"))
+    return (th.crossJoin(mom).select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("theta") / F.lit(1e6), 6).alias("theta_hat"),
+        F.round(F.col("r1").cast("double") / F.col("mn") / 1e6, 6)
+        .alias("jk_mean"),
+        F.round((F.col("n") - 1)
+                * (F.col("r1").cast("double") / F.col("mn")
+                   - F.col("theta")) / 1e6, 6).alias("jk_bias"),
+        F.round(F.sqrt(((F.col("n") - 1)
+                        * (F.col("mn") * F.col("r2")
+                           - F.col("r1") * F.col("r1")))
+                       .cast("double")) / F.col("mn") / 1e6, 6)
+        .alias("jk_se")))

@@ -2785,3 +2785,36 @@ def test_heaps_growth_matches_python_replay(spark, sf_dir):
     # bucket (constant y -> beta exactly 0), so the lower bound is
     # inclusive; the replay equality above is the exact check.
     assert 0.0 <= rows["all"]["beta"] <= 1.0
+
+
+def test_jackknife_matches_python_replay(spark, sf_dir):
+    """X179: theta, jackknife mean/bias/SE match an exact Python
+    replay of the delete-one-day algebra; SE is nonnegative."""
+    import duckdb
+    import math
+
+    [r] = _rows("jackknife_ratio_se", spark, sf_dir)
+    days = {}
+    for d, t, v in duckdb.sql(
+            f"SELECT CAST(ts AS DATE), event_type, "
+            f"CAST(ROUND(value * 1000000, 0) AS BIGINT) "
+            f"FROM '{sf_dir}/events.parquet'").fetchall():
+        s, c = days.get(d, (0, 0))
+        days[d] = (s + (v if t == "purchase" else 0),
+                   c + (1 if t == "click" else 0))
+    st = sum(s for s, _ in days.values())
+    ct = sum(c for _, c in days.values())
+    n = len(days)
+    theta = round(st / ct)
+    reps = [round((st - s) / (ct - c)) for s, c in days.values()
+            if ct - c != 0]
+    r1, r2 = sum(reps), sum(x * x for x in reps)
+    mn = len(reps)
+    assert r["n_days"] == n
+    assert abs(r["theta_hat"] - round(theta / 1e6, 6)) <= 1e-12
+    assert abs(r["jk_mean"] - round(r1 / mn / 1e6, 6)) <= 1e-12
+    assert abs(r["jk_bias"]
+               - round((n - 1) * (r1 / mn - theta) / 1e6, 6)) <= 1e-12
+    se = round(math.sqrt((n - 1) * (mn * r2 - r1 * r1)) / mn / 1e6, 6)
+    assert abs(r["jk_se"] - se) <= 1e-12
+    assert r["jk_se"] >= 0.0
