@@ -225,6 +225,7 @@ HEADLINE = [
     "naive_bayes_lang",
     "heaps_vocab_growth",
     "jackknife_ratio_se",
+    "knn_label_spread",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -2406,3 +2406,171 @@ def itemitem_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("rn").cast("long").alias("rank"),
                        F.col("item").alias("partkey"), "score_micro")
             .orderBy("custkey", "rank"))
+
+
+# --------------------------------------------------------------------------
+# X180: semi-supervised label spreading on the kNN graph — the
+# classic "a few labels, many vectors" bootstrap (Zhu & Ghahramani
+# label propagation, the transductive sibling of the X35 supervised
+# Rocchio): seed nodes (deterministic vec_id % 10 == 0) keep their
+# true label, every other node takes the MAJORITY label of its
+# already-labeled graph neighbors (ties -> min label), for exactly
+# LSPREAD_ROUNDS synchronous rounds. The neighbor graph is the
+# symmetrized IVF top-K cosine graph (cell-bounded candidate
+# generation — never all-pairs), votes are BIGINT counts so the
+# argmax is bit-identical on both engines, and the seeded codebook
+# is inlined into the oracle so the graph AND both propagation
+# rounds hash-check end to end. Per-node output: held-out accuracy
+# is then measurable against the withheld true labels (the law test
+# pins it); unreached nodes stay NULL by design.
+# --------------------------------------------------------------------------
+LSPREAD_ROUNDS = 2
+LSPREAD_SEED_MOD = 10
+
+
+def _lspread_oracle_sql() -> str:
+    cents = S._unit_centroids(16, 64, 7)
+    vals = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents(ci, cv) AS (VALUES
+        {vals}
+    ),
+    assign AS (
+        SELECT vec_id, v, ci AS cell FROM (
+            SELECT c.vec_id, c.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_inner_product(c.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus c CROSS JOIN cents ce
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, ci AS cell FROM (
+            SELECT q.vec_id, q.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_inner_product(q.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus q CROSS JOIN cents ce
+        ) WHERE rn <= 4
+    ),
+    topk AS (
+        SELECT query_id, cand_id FROM (
+            SELECT p.query_id, a.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY ROUND(list_cosine_similarity(p.qv, a.v), 6)
+                                DESC, a.vec_id) AS rn
+            FROM probes p JOIN assign a ON a.cell = p.cell
+            WHERE a.vec_id <> p.query_id
+        ) WHERE rn <= {K}
+    ),
+    edges AS (
+        SELECT query_id AS a, cand_id AS b FROM topk
+        UNION
+        SELECT cand_id, query_id FROM topk
+    ),
+    nodes AS (SELECT vec_id, label FROM embeddings),
+    l0 AS (
+        SELECT vec_id, label AS lab FROM nodes
+        WHERE vec_id % {LSPREAD_SEED_MOD} = 0
+    ),
+    a1 AS (
+        SELECT a AS vec_id, lab, 1 AS rnd FROM (
+            SELECT e.a, l.lab,
+                   ROW_NUMBER() OVER (PARTITION BY e.a
+                                      ORDER BY COUNT(*) DESC, l.lab)
+                       AS rn
+            FROM edges e
+            JOIN l0 l ON l.vec_id = e.b
+            WHERE e.a NOT IN (SELECT vec_id FROM l0)
+            GROUP BY e.a, l.lab
+        ) WHERE rn = 1
+    ),
+    l1 AS (
+        SELECT vec_id, lab, 0 AS rnd FROM l0
+        UNION ALL SELECT vec_id, lab, rnd FROM a1
+    ),
+    a2 AS (
+        SELECT a AS vec_id, lab, 2 AS rnd FROM (
+            SELECT e.a, l.lab,
+                   ROW_NUMBER() OVER (PARTITION BY e.a
+                                      ORDER BY COUNT(*) DESC, l.lab)
+                       AS rn
+            FROM edges e
+            JOIN l1 l ON l.vec_id = e.b
+            WHERE e.a NOT IN (SELECT vec_id FROM l1)
+            GROUP BY e.a, l.lab
+        ) WHERE rn = 1
+    ),
+    lf AS (SELECT * FROM l1 UNION ALL SELECT * FROM a2)
+    SELECT n.vec_id, n.label AS true_label,
+           CASE WHEN n.vec_id % {LSPREAD_SEED_MOD} = 0 THEN 1 ELSE 0 END
+               AS seed,
+           lf.lab AS pred_label,
+           CAST(lf.rnd AS BIGINT) AS assigned_round,
+           CASE WHEN lf.lab IS NULL THEN NULL
+                WHEN lf.lab = n.label THEN 1 ELSE 0 END AS correct
+    FROM nodes n LEFT JOIN lf ON lf.vec_id = n.vec_id
+    ORDER BY n.vec_id
+    """
+
+
+@register(
+    "knn_label_spread",
+    _lspread_oracle_sql(),
+    doc=f"X180 semi-supervised label spreading: vec_id % "
+        f"{LSPREAD_SEED_MOD} seeds keep true labels, "
+        f"{LSPREAD_ROUNDS} synchronous majority-vote rounds over the "
+        f"symmetrized IVF top-{K} cosine graph (ties -> min label); "
+        "BIGINT votes make every argmax bit-identical, the seeded "
+        "codebook is inlined in the oracle, unreached nodes stay "
+        "NULL. Per-node verdicts enable held-out accuracy.",
+    tags=("X180", "X86", "X17", "X35", "X3"),
+)
+def knn_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..caching import persist_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = S.ivf_topk_cosine(emb, emb, K)
+    edges = persist_tracked(
+        topk.select(F.col("query_id").alias("a"),
+                    F.col("cand_id").alias("b"))
+        .union(topk.select(F.col("cand_id").alias("a"),
+                           F.col("query_id").alias("b")))
+        .distinct())
+    nodes = emb.select("vec_id", "label")
+    labeled = persist_tracked(
+        nodes.filter(F.col("vec_id") % LSPREAD_SEED_MOD == 0)
+        .select("vec_id", F.col("label").alias("lab"),
+                F.lit(0).alias("rnd")))
+    for rnd in range(1, LSPREAD_ROUNDS + 1):
+        votes = (edges
+                 .join(labeled.select(F.col("vec_id").alias("b"),
+                                      "lab"), "b")
+                 .join(labeled.select(F.col("vec_id").alias("a")),
+                       "a", "left_anti")
+                 .groupBy("a", "lab").agg(F.count("*").alias("n")))
+        w = Window.partitionBy("a").orderBy(F.desc("n"), F.asc("lab"))
+        newly = (votes.withColumn("rn", F.row_number().over(w))
+                 .filter("rn = 1")
+                 .select(F.col("a").alias("vec_id"), "lab",
+                         F.lit(rnd).alias("rnd")))
+        labeled = persist_tracked(labeled.unionByName(newly))
+    return (nodes.join(labeled, "vec_id", "left")
+            .select("vec_id", F.col("label").alias("true_label"),
+                    F.when(F.col("vec_id") % LSPREAD_SEED_MOD == 0, 1)
+                    .otherwise(0).alias("seed"),
+                    F.col("lab").alias("pred_label"),
+                    F.col("rnd").cast("long").alias("assigned_round"),
+                    F.when(F.col("lab").isNull(), F.lit(None))
+                    .when(F.col("lab") == F.col("label"), 1)
+                    .otherwise(0).alias("correct"))
+            .orderBy("vec_id"))

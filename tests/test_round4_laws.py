@@ -2818,3 +2818,53 @@ def test_jackknife_matches_python_replay(spark, sf_dir):
     se = round(math.sqrt((n - 1) * (mn * r2 - r1 * r1)) / mn / 1e6, 6)
     assert abs(r["jk_se"] - se) <= 1e-12
     assert r["jk_se"] >= 0.0
+
+
+def test_label_spread_python_replay(spark, sf_dir):
+    """X180: seeds keep their own label at round 0; both propagation
+    rounds match a Python majority-vote replay over the same IVF
+    graph; unreached nodes are NULL."""
+    from collections import Counter, defaultdict
+
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators import similarity as S
+    from etl_airflow_spotify_spark.queries.similarity import (
+        K, LSPREAD_ROUNDS, LSPREAD_SEED_MOD)
+
+    rows = _rows("knn_label_spread", spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = S.ivf_topk_cosine(emb, emb, K).collect()
+    true = {r["vec_id"]: r["true_label"] for r in rows}
+
+    nbrs = defaultdict(set)
+    for t in topk:
+        nbrs[t["query_id"]].add(t["cand_id"])
+        nbrs[t["cand_id"]].add(t["query_id"])
+    lab = {v: (l, 0) for v, l in true.items()
+           if v % LSPREAD_SEED_MOD == 0}
+    for rnd in range(1, LSPREAD_ROUNDS + 1):
+        new = {}
+        for v in true:
+            if v in lab:
+                continue
+            votes = Counter(lab[b][0] for b in nbrs[v] if b in lab)
+            if votes:
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                # ties -> min label
+                top = min(l for l, n in votes.items()
+                          if n == best[1])
+                new[v] = (top, rnd)
+        lab.update(new)
+
+    for r in rows:
+        v = r["vec_id"]
+        if v % LSPREAD_SEED_MOD == 0:
+            assert r["seed"] == 1 and r["assigned_round"] == 0
+            assert r["pred_label"] == true[v] and r["correct"] == 1
+        elif v in lab:
+            assert r["pred_label"] == lab[v][0]
+            assert r["assigned_round"] == lab[v][1]
+            assert r["correct"] == int(lab[v][0] == true[v])
+        else:
+            assert r["pred_label"] is None
+            assert r["assigned_round"] is None and r["correct"] is None
