@@ -226,6 +226,7 @@ HEADLINE = [
     "heaps_vocab_growth",
     "jackknife_ratio_se",
     "knn_label_spread",
+    "twonn_intrinsic_dim",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -2574,3 +2574,171 @@ def knn_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .when(F.col("lab") == F.col("label"), 1)
                     .otherwise(0).alias("correct"))
             .orderBy("vec_id"))
+
+
+# --------------------------------------------------------------------------
+# X181: two-NN intrinsic-dimension estimate (Facco et al. 2017) — the
+# embedding-quality probe that tells a pipeline whether its vectors
+# actually occupy the ambient 64 dims or collapse onto a low-dim
+# manifold (a leading indicator for recall cliffs in IVF/PQ indexes
+# and for over-aggressive random-projection compression, X58/X75).
+# Estimator: with mu_i = r2/r1 the ratio of each point's 2nd/1st NN
+# distances, d_hat = n / sum ln(mu_i). Exactness: embeddings
+# quantize to 1e-6 integer grids, so squared L2 distances are exact
+# BIGINT folds; ln(mu_i) = (log2(r2sq) - log2(r1sq)) / 2 * ln2 has
+# INTEGER log arguments, so each term snaps to the micro-bit grid
+# and the sum is a BIGINT fold; ln2 is one inlined constant. NN
+# candidates come from the probed IVF cells (cell-bounded, never
+# all-pairs) with the seeded codebook inlined in the oracle;
+# zero-distance (duplicate) neighbors are excluded — the estimator
+# is undefined at r1 = 0 — and points without two positive-distance
+# candidates are counted in n_dropped.
+# --------------------------------------------------------------------------
+TWONN_LN2 = 0.6931471805599453
+
+
+def _twonn_oracle_sql() -> str:
+    cents = S._unit_centroids(16, 64, 7)
+    vals = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(ROUND(x * 1000000, 0) AS BIGINT))
+                   AS e
+        FROM embeddings
+    ),
+    cents(ci, cv) AS (VALUES
+        {vals}
+    ),
+    assign AS (
+        SELECT vec_id, e, ci AS cell FROM (
+            SELECT c.vec_id, c.e, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_inner_product(c.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus c CROSS JOIN cents ce
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, e AS qe, ci AS cell FROM (
+            SELECT q.vec_id, q.e, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_inner_product(q.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus q CROSS JOIN cents ce
+        ) WHERE rn <= 4
+    ),
+    pos AS (
+        SELECT query_id, cand_id, d2 FROM (
+            SELECT p.query_id, a.vec_id AS cand_id,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> (p.qe[i] - a.e[i]) * (p.qe[i] - a.e[i])))
+                        AS BIGINT) AS d2
+            FROM probes p JOIN assign a ON a.cell = p.cell
+            WHERE a.vec_id <> p.query_id
+        ) WHERE d2 > 0
+    ),
+    nn AS (
+        SELECT query_id,
+               MIN(CASE WHEN rn = 1 THEN d2 END) AS r1,
+               MIN(CASE WHEN rn = 2 THEN d2 END) AS r2
+        FROM (SELECT query_id, d2,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY d2, cand_id) AS rn
+              FROM pos)
+        WHERE rn <= 2 GROUP BY query_id
+    ),
+    terms AS (
+        SELECT CAST(ROUND(log2(r2) * 1000000) AS BIGINT)
+               - CAST(ROUND(log2(r1) * 1000000) AS BIGINT) AS t
+        FROM nn WHERE r2 IS NOT NULL
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM corpus)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(tot.n_all - COUNT(*) AS BIGINT) AS n_dropped,
+           CAST(SUM(t) AS BIGINT) AS sum_log2_micro,
+           ROUND(2000000.0 * COUNT(*)
+                 / ({TWONN_LN2} * CAST(SUM(t) AS BIGINT)), 4)
+               AS id_hat
+    FROM terms CROSS JOIN tot GROUP BY tot.n_all
+    """
+
+
+@register(
+    "twonn_intrinsic_dim",
+    _twonn_oracle_sql(),
+    doc="X181 two-NN intrinsic dimension (Facco): per-point 1st/2nd "
+        "NN squared distances as exact BIGINT folds over 1e-6 "
+        "integer-quantized embeddings, candidates from probed IVF "
+        "cells (codebook inlined in the oracle), per-point "
+        "log2-ratio terms snapped to the micro-bit grid, estimator "
+        "one division with ln2 inlined; duplicates excluded, "
+        "short-candidate points counted in n_dropped.",
+    tags=("X181", "X17", "X58", "X54", "X7"),
+)
+def twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..catalog import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = S._codebook_df(spark, S._unit_centroids(16, 64, 7))
+    micro = F.transform(
+        S.as_double(F.col("embedding")),
+        lambda x: F.round(x * 1e6, 0).cast("long"))
+    c = (spread(emb.select(F.col("vec_id").alias("cand_id"),
+                           S.as_double(F.col("embedding")).alias("cv"),
+                           micro.alias("ce")), "cand_id")
+         .crossJoin(F.broadcast(book))
+         .select("cand_id", "ce",
+                 F.array_max(S._cell_scores(F.col("cv"), 16, 64))["i"]
+                 .alias("cell")))
+    q = (emb.select(F.col("vec_id").alias("query_id"),
+                    S.as_double(F.col("embedding")).alias("qv"),
+                    micro.alias("qe"))
+         .crossJoin(F.broadcast(book))
+         .select("query_id", "qe",
+                 F.slice(F.reverse(F.array_sort(
+                     S._cell_scores(F.col("qv"), 16, 64))),
+                     1, 4).alias("probes"))
+         .select("query_id", "qe",
+                 F.explode(F.transform(
+                     "probes", lambda s: s["i"])).alias("cell")))
+    d2 = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    pos = (c.join(F.broadcast(q), "cell")
+           .filter(F.col("cand_id") != F.col("query_id"))
+           .select("query_id", "cand_id", d2.alias("d2"))
+           .filter(F.col("d2") > 0))
+    w = Window.partitionBy("query_id").orderBy("d2", "cand_id")
+    nn = (pos.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= 2)
+          .groupBy("query_id")
+          .agg(F.min(F.when(F.col("rn") == 1, F.col("d2")))
+               .alias("r1"),
+               F.min(F.when(F.col("rn") == 2, F.col("d2")))
+               .alias("r2")))
+
+    def l2m(col):
+        return F.round(F.log2(col) * 1e6, 0).cast("long")
+
+    terms = (nn.filter(F.col("r2").isNotNull())
+             .select((l2m(F.col("r2")) - l2m(F.col("r1"))).alias("t")))
+    tot = emb.agg(F.count("*").cast("long").alias("n_all"))
+    return (terms.crossJoin(F.broadcast(tot))
+            .groupBy("n_all")
+            .agg(F.count("*").cast("long").alias("n_points"),
+                 F.sum("t").cast("long").alias("sum_log2_micro"))
+            .select("n_points",
+                    (F.col("n_all") - F.col("n_points")).cast("long")
+                    .alias("n_dropped"),
+                    "sum_log2_micro",
+                    F.round(F.lit(2000000.0) * F.col("n_points")
+                            / (F.lit(TWONN_LN2)
+                               * F.col("sum_log2_micro")), 4)
+                    .alias("id_hat")))

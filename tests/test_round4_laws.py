@@ -2868,3 +2868,61 @@ def test_label_spread_python_replay(spark, sf_dir):
         else:
             assert r["pred_label"] is None
             assert r["assigned_round"] is None and r["correct"] is None
+
+
+def test_twonn_matches_python_replay(spark, sf_dir):
+    """X181: the estimate matches a Python replay of the exact
+    integer two-NN algebra over the same IVF-probed candidates, and
+    a sanity band: 0 < id_hat <= ambient dim (64)."""
+    import math
+    from collections import defaultdict
+
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators import similarity as S
+    from etl_airflow_spotify_spark.queries.similarity import TWONN_LN2
+
+    [row] = _rows("twonn_intrinsic_dim", spark, sf_dir)
+    emb = {r["vec_id"]: [round(x * 1e6) for x in r["embedding"]]
+           for r in load_table(spark, sf_dir, "embeddings").collect()}
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in load_table(spark, sf_dir, "embeddings").collect()}
+    cents = S._unit_centroids(16, 64, 7)
+
+    def cell_scores(v):
+        return [(sum(a * b for a, b in zip(v, c)), i)
+                for i, c in enumerate(cents)]
+
+    assign = {}
+    probes = defaultdict(list)
+    for vid, v in vecs.items():
+        sc = sorted(cell_scores(v), reverse=True)
+        assign[vid] = sc[0][1]
+        probes[vid] = [i for _, i in sc[:4]]
+    by_cell = defaultdict(list)
+    for vid, cell in assign.items():
+        by_cell[cell].append(vid)
+
+    terms = []
+    for vid in emb:
+        cands = []
+        for cell in probes[vid]:
+            for cid in by_cell[cell]:
+                if cid == vid:
+                    continue
+                d2 = sum((a - b) * (a - b)
+                         for a, b in zip(emb[vid], emb[cid]))
+                if d2 > 0:
+                    cands.append((d2, cid))
+        cands.sort()
+        if len(cands) >= 2:
+            r1, r2 = cands[0][0], cands[1][0]
+            terms.append(round(math.log2(r2) * 1e6)
+                         - round(math.log2(r1) * 1e6))
+    n = len(terms)
+    t = sum(terms)
+    assert row["n_points"] == n
+    assert row["n_dropped"] == len(emb) - n
+    assert row["sum_log2_micro"] == t
+    assert abs(row["id_hat"] - round(2e6 * n / (TWONN_LN2 * t), 4)) \
+        <= 1e-9
+    assert 0.0 < row["id_hat"] <= 64.0
