@@ -227,6 +227,7 @@ HEADLINE = [
     "jackknife_ratio_se",
     "knn_label_spread",
     "twonn_intrinsic_dim",
+    "neyman_stratified_sample",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

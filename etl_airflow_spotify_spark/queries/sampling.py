@@ -340,3 +340,155 @@ def stratum_seat_apportionment(spark: SparkSession,
                     (F.col("floor_seats")
                      + F.when(F.col("rk") <= k, 1).otherwise(0))
                     .cast("long").alias("seats")))
+
+
+# --------------------------------------------------------------------------
+# X182: Neyman-allocation stratified sampling — survey sampling's
+# optimal design (allocate n_h proportional to N_h * sd_h, so noisy
+# strata get more budget) followed by the content-keyed md5 draw
+# this module is built on. Exactness: per-stratum variance comes
+# from ONE exact BIGINT moment fold over acctbal cents
+# (N*s2 - s1^2 identical integers), sd is one correctly-rounded
+# sqrt of identical doubles, the Neyman weight N_h * sd_h snaps to
+# the micro grid, and the allocation is Hamilton largest-remainder
+# entirely in BIGINT arithmetic (the X148 machinery: floor quotas
+# via integer DIV, leftovers to the largest integer remainders,
+# segment-name ties). The sample itself is the md5 bottom-n_h rank
+# per stratum; the emitted per-stratum key/cents checksums make the
+# 500 sampled rows hash-checkable without shipping them.
+# --------------------------------------------------------------------------
+NEYMAN_N = 500
+
+
+@register(
+    "neyman_stratified_sample",
+    f"""
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+        FROM customer
+    ),
+    mom AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_pop,
+               CAST(SUM(cents) AS BIGINT) AS s1,
+               CAST(SUM(cents * cents) AS BIGINT) AS s2
+        FROM base GROUP BY segment
+    ),
+    wgt AS (
+        SELECT segment, n_pop,
+               SQRT(CAST(n_pop * s2 - s1 * s1 AS DOUBLE)
+                    / (CAST(n_pop AS DOUBLE) * (n_pop - 1))) AS sd,
+               CAST(ROUND(n_pop * SQRT(
+                        CAST(n_pop * s2 - s1 * s1 AS DOUBLE)
+                        / (CAST(n_pop AS DOUBLE) * (n_pop - 1)))
+                    * 1000000, 0) AS BIGINT) AS wm
+        FROM mom
+    ),
+    tot AS (SELECT CAST(SUM(wm) AS BIGINT) AS w FROM wgt),
+    quota AS (
+        SELECT segment, n_pop, sd, wm,
+               ({NEYMAN_N} * wm) // tot.w AS base_n,
+               {NEYMAN_N} * wm - (({NEYMAN_N} * wm) // tot.w) * tot.w
+                   AS rem
+        FROM wgt CROSS JOIN tot
+    ),
+    left_ AS (
+        SELECT {NEYMAN_N} - CAST(SUM(base_n) AS BIGINT) AS k FROM quota
+    ),
+    alloc AS (
+        SELECT segment, n_pop, sd,
+               CAST(base_n + CASE WHEN rnk <= left_.k THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_n
+        FROM (SELECT q.*, ROW_NUMBER() OVER (ORDER BY rem DESC, segment)
+                     AS rnk
+              FROM quota q)
+        CROSS JOIN left_
+    ),
+    ranked AS (
+        SELECT b.segment, b.c_custkey, b.cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.segment
+                   ORDER BY md5('ney:' || b.c_custkey), b.c_custkey)
+                   AS rn
+        FROM base b
+    ),
+    samp AS (
+        SELECT r.segment,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(r.c_custkey) AS BIGINT) AS samp_key_sum,
+               CAST(SUM(r.cents) AS BIGINT) AS samp_cents_sum
+        FROM ranked r JOIN alloc a ON a.segment = r.segment
+        WHERE r.rn <= a.alloc_n
+        GROUP BY r.segment
+    )
+    SELECT a.segment, a.n_pop, ROUND(a.sd, 4) AS sd_cents, a.alloc_n,
+           COALESCE(s.n_sampled, 0) AS n_sampled,
+           COALESCE(s.samp_key_sum, 0) AS samp_key_sum,
+           COALESCE(s.samp_cents_sum, 0) AS samp_cents_sum
+    FROM alloc a LEFT JOIN samp s ON s.segment = a.segment
+    ORDER BY a.segment
+    """,
+    doc=f"X182 Neyman stratified sampling: per-stratum sd from one "
+        "exact BIGINT moment fold, weight N_h*sd_h micro-snapped, "
+        f"Hamilton largest-remainder allocation of {NEYMAN_N} in pure "
+        "integer arithmetic, md5 bottom-n_h content-keyed draw; "
+        "per-stratum checksums make the sample hash-checkable.",
+    tags=("X182", "X28", "X148", "X106", "X7"),
+)
+def neyman_stratified_sample(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long")
+        .alias("cents"))
+    mom = base.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_pop"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long")
+        .alias("s2"))
+    sd = F.sqrt((F.col("n_pop") * F.col("s2")
+                 - F.col("s1") * F.col("s1")).cast("double")
+                / (F.col("n_pop").cast("double")
+                   * (F.col("n_pop") - 1)))
+    wgt = mom.select("segment", "n_pop", sd.alias("sd"),
+                     F.round(F.col("n_pop") * sd * 1e6, 0)
+                     .cast("long").alias("wm"))
+    tot = wgt.agg(F.sum("wm").cast("long").alias("w"))
+    quota = (wgt.crossJoin(F.broadcast(tot))
+             .select("segment", "n_pop", "sd", "wm",
+                     F.expr(f"({NEYMAN_N} * wm) DIV w").alias("base_n"),
+                     F.expr(f"{NEYMAN_N} * wm"
+                            f" - (({NEYMAN_N} * wm) DIV w) * w")
+                     .alias("rem")))
+    leftk = quota.agg((F.lit(NEYMAN_N)
+                       - F.sum("base_n")).cast("long").alias("k"))
+    wr = Window.orderBy(F.desc("rem"), F.asc("segment"))
+    alloc = (quota.withColumn("rnk", F.row_number().over(wr))
+             .crossJoin(F.broadcast(leftk))
+             .select("segment", "n_pop", "sd",
+                     (F.col("base_n")
+                      + F.when(F.col("rnk") <= F.col("k"), 1)
+                      .otherwise(0)).cast("long").alias("alloc_n")))
+    ws = Window.partitionBy("segment").orderBy(
+        F.md5(F.concat(F.lit("ney:"),
+                       F.col("c_custkey").cast("string"))),
+        F.asc("c_custkey"))
+    ranked = base.withColumn("rn", F.row_number().over(ws))
+    samp = (ranked.join(alloc.select("segment", "alloc_n"), "segment")
+            .filter(F.col("rn") <= F.col("alloc_n"))
+            .groupBy("segment")
+            .agg(F.count("*").cast("long").alias("n_sampled"),
+                 F.sum("c_custkey").cast("long").alias("samp_key_sum"),
+                 F.sum("cents").cast("long").alias("samp_cents_sum")))
+    return (alloc.join(samp, "segment", "left")
+            .select("segment", "n_pop", F.round("sd", 4)
+                    .alias("sd_cents"), "alloc_n",
+                    F.coalesce("n_sampled", F.lit(0)).cast("long")
+                    .alias("n_sampled"),
+                    F.coalesce("samp_key_sum", F.lit(0)).cast("long")
+                    .alias("samp_key_sum"),
+                    F.coalesce("samp_cents_sum", F.lit(0)).cast("long")
+                    .alias("samp_cents_sum"))
+            .orderBy("segment"))

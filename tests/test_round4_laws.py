@@ -2926,3 +2926,54 @@ def test_twonn_matches_python_replay(spark, sf_dir):
     assert abs(row["id_hat"] - round(2e6 * n / (TWONN_LN2 * t), 4)) \
         <= 1e-9
     assert 0.0 < row["id_hat"] <= 64.0
+
+
+def test_neyman_allocation_replay_and_quota(spark, sf_dir):
+    """X182: allocation matches a Python Hamilton replay of the exact
+    Neyman weights; allocations sum to NEYMAN_N and satisfy the quota
+    property; the md5 bottom-n_h sample checksums match."""
+    import duckdb
+    import hashlib
+    import math
+
+    from etl_airflow_spotify_spark.queries.sampling import NEYMAN_N
+
+    rows = {r["segment"]: r
+            for r in _rows("neyman_stratified_sample", spark, sf_dir)}
+    cust = duckdb.sql(
+        f"SELECT c_custkey, c_mktsegment, "
+        f"CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) "
+        f"FROM '{sf_dir}/customer.parquet'").fetchall()
+    strata = {}
+    for key, seg, cents in cust:
+        strata.setdefault(seg, []).append((key, cents))
+    wm = {}
+    for seg, mem in strata.items():
+        n = len(mem)
+        s1 = sum(c for _, c in mem)
+        s2 = sum(c * c for _, c in mem)
+        sd = math.sqrt((n * s2 - s1 * s1) / (n * (n - 1)))
+        wm[seg] = round(n * sd * 1e6)
+        assert abs(rows[seg]["sd_cents"] - round(sd, 4)) <= 1e-9
+        assert rows[seg]["n_pop"] == n
+    w = sum(wm.values())
+    base = {seg: (NEYMAN_N * x) // w for seg, x in wm.items()}
+    rem = {seg: NEYMAN_N * x - base[seg] * w for seg, x in wm.items()}
+    k = NEYMAN_N - sum(base.values())
+    order = sorted(rem, key=lambda s: (-rem[s], s))
+    alloc = {seg: base[seg] + (1 if order.index(seg) < k else 0)
+             for seg in wm}
+    assert sum(alloc.values()) == NEYMAN_N
+    for seg in wm:
+        assert rows[seg]["alloc_n"] == alloc[seg]
+        # Hamilton quota property: within 1 of the exact quota
+        exact = NEYMAN_N * wm[seg] / w
+        assert math.floor(exact) <= alloc[seg] <= math.ceil(exact)
+        picked = sorted(
+            strata[seg],
+            key=lambda kc: (hashlib.md5(f"ney:{kc[0]}".encode())
+                            .hexdigest(), kc[0]))[:alloc[seg]]
+        assert rows[seg]["n_sampled"] == min(alloc[seg],
+                                             len(strata[seg]))
+        assert rows[seg]["samp_key_sum"] == sum(kk for kk, _ in picked)
+        assert rows[seg]["samp_cents_sum"] == sum(c for _, c in picked)
