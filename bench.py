@@ -228,6 +228,7 @@ HEADLINE = [
     "knn_label_spread",
     "twonn_intrinsic_dim",
     "neyman_stratified_sample",
+    "ransac_daily_trend",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

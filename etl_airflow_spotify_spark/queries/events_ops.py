@@ -3603,3 +3603,138 @@ def jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
                            - F.col("r1") * F.col("r1")))
                        .cast("double")) / F.col("mn") / 1e6, 6)
         .alias("jk_se")))
+
+
+# --------------------------------------------------------------------------
+# X183: RANSAC-style robust line fit (maximum-consensus estimation) —
+# the model-fitting answer to outliers that OLS (X60) cannot give and
+# rank methods (X159 Theil-Sen) only give for slope: hypothesize a
+# line through every pair of points, count inliers within a fixed
+# tolerance band, keep the maximum-consensus line, then refit OLS on
+# its inliers. The point set is the CALENDAR-BOUNDED daily purchase
+# series, so the pair-candidate frame is days^2 — scale-independent
+# of event volume (the same boundedness argument as X124/X148); the
+# corpus is touched once for the daily histogram. Exactness: the
+# inlier test is one cross-multiplied BIGINT inequality
+# 1000*|(y-y1)(x2-x1) - (x-x1)(y2-y1)| <= tol_milli*(x2-x1) with
+# tol_milli = round(10% of the mean daily count * 1000) — a single
+# snap of one exact division; consensus argmax ties break on
+# (x1, x2); the refit moments are exact BIGINT folds.
+# --------------------------------------------------------------------------
+RANSAC_TOL_PCT = 10
+
+
+@register(
+    "ransac_daily_trend",
+    f"""
+    WITH pts AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    tol AS (
+        SELECT CAST(ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*)
+                          * {RANSAC_TOL_PCT} * 10, 0) AS BIGINT) AS tm
+        FROM pts
+    ),
+    cand AS (
+        SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        FROM pts a JOIN pts b ON b.x > a.x
+    ),
+    scored AS (
+        SELECT c.x1, c.y1, c.x2, c.y2,
+               CAST(SUM(CASE WHEN
+                    1000 * ABS((p.y - c.y1) * (c.x2 - c.x1)
+                               - (p.x - c.x1) * (c.y2 - c.y1))
+                    <= tol.tm * (c.x2 - c.x1) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_in
+        FROM cand c CROSS JOIN tol JOIN pts p ON TRUE
+        GROUP BY c.x1, c.y1, c.x2, c.y2
+    ),
+    best AS (
+        SELECT * FROM scored
+        ORDER BY n_in DESC, x1, x2 LIMIT 1
+    ),
+    inl AS (
+        SELECT p.x, p.y FROM pts p CROSS JOIN best b CROSS JOIN tol
+        WHERE 1000 * ABS((p.y - b.y1) * (b.x2 - b.x1)
+                         - (p.x - b.x1) * (b.y2 - b.y1))
+              <= tol.tm * (b.x2 - b.x1)
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM inl
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts)
+    SELECT np.n AS n_days, best.x1, best.x2, best.n_in AS n_inliers,
+           ROUND(CAST(best.y2 - best.y1 AS DOUBLE)
+                 / (best.x2 - best.x1), 6) AS cand_slope,
+           ROUND(CAST(mom.k * mom.sxy - mom.sx * mom.sy AS DOUBLE)
+                 / NULLIF(mom.k * mom.sxx - mom.sx * mom.sx, 0), 6)
+               AS refit_slope,
+           ROUND((CAST(mom.sy AS DOUBLE)
+                  - (CAST(mom.k * mom.sxy - mom.sx * mom.sy AS DOUBLE)
+                     / NULLIF(mom.k * mom.sxx - mom.sx * mom.sx, 0))
+                    * mom.sx) / mom.k, 6) AS refit_intercept
+    FROM best CROSS JOIN mom CROSS JOIN np
+    """,
+    doc="X183 RANSAC robust daily-trend fit: every day pair is a "
+        "candidate line, inliers counted by one cross-multiplied "
+        "BIGINT inequality against a 10%-of-mean tolerance, maximum "
+        "consensus wins (ties -> min pair), OLS refit on the inliers "
+        "from exact BIGINT moments. Candidate frame is calendar^2, "
+        "independent of event volume; one corpus pass.",
+    tags=("X183", "X159", "X60", "X49", "X7"),
+)
+def ransac_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    pts = persist_tracked(
+        _ev(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.datediff(F.to_date("ts"),
+                            F.lit("1970-01-01").cast("date"))
+                 .cast("long").alias("x"))
+        .agg(F.count("*").cast("long").alias("y")))
+    tol = pts.agg(
+        F.round(F.sum("y").cast("double") / F.count("*")
+                * RANSAC_TOL_PCT * 10, 0).cast("long").alias("tm"))
+    a = pts.select(F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = pts.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    cand = a.join(b, F.col("x2") > F.col("x1"))
+    resid = (1000 * F.abs((F.col("y") - F.col("y1"))
+                          * (F.col("x2") - F.col("x1"))
+                          - (F.col("x") - F.col("x1"))
+                          * (F.col("y2") - F.col("y1"))))
+    is_in = F.when(resid <= F.col("tm")
+                   * (F.col("x2") - F.col("x1")), 1).otherwise(0)
+    scored = (cand.crossJoin(F.broadcast(tol)).crossJoin(pts)
+              .groupBy("x1", "y1", "x2", "y2")
+              .agg(F.sum(is_in).cast("long").alias("n_in")))
+    best = scored.orderBy(F.desc("n_in"), "x1", "x2").limit(1)
+    inl = (pts.crossJoin(F.broadcast(best)).crossJoin(F.broadcast(tol))
+           .filter(resid <= F.col("tm") * (F.col("x2") - F.col("x1")))
+           .select("x", "y"))
+    mom = inl.agg(F.count("*").cast("long").alias("k"),
+                  F.sum("x").cast("long").alias("sx"),
+                  F.sum("y").cast("long").alias("sy"),
+                  F.sum(F.col("x") * F.col("x")).cast("long")
+                  .alias("sxx"),
+                  F.sum(F.col("x") * F.col("y")).cast("long")
+                  .alias("sxy"))
+    np_ = pts.agg(F.count("*").cast("long").alias("n"))
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.nullif(F.col("k") * F.col("sxx")
+                   - F.col("sx") * F.col("sx"), F.lit(0))
+    slope = num.cast("double") / den
+    return (best.crossJoin(mom).crossJoin(np_).select(
+        F.col("n").alias("n_days"), "x1", "x2",
+        F.col("n_in").alias("n_inliers"),
+        F.round((F.col("y2") - F.col("y1")).cast("double")
+                / (F.col("x2") - F.col("x1")), 6).alias("cand_slope"),
+        F.round(slope, 6).alias("refit_slope"),
+        F.round((F.col("sy").cast("double") - slope * F.col("sx"))
+                / F.col("k"), 6).alias("refit_intercept")))

@@ -2977,3 +2977,58 @@ def test_neyman_allocation_replay_and_quota(spark, sf_dir):
                                              len(strata[seg]))
         assert rows[seg]["samp_key_sum"] == sum(kk for kk, _ in picked)
         assert rows[seg]["samp_cents_sum"] == sum(c for _, c in picked)
+
+
+def test_ransac_consensus_replay(spark, sf_dir):
+    """X183: the consensus line matches a Python exhaustive replay
+    (same integer tolerance algebra, same tie order), the refit OLS
+    matches, and no candidate beats the winner's inlier count."""
+    import duckdb
+
+    from etl_airflow_spotify_spark.queries.events_ops import (
+        RANSAC_TOL_PCT)
+
+    [r] = _rows("ransac_daily_trend", spark, sf_dir)
+    pts = duckdb.sql(
+        f"SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT),"
+        f" CAST(COUNT(*) AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet' "
+        f"WHERE event_type = 'purchase' GROUP BY 1").fetchall()
+    pts = [(int(x), int(y)) for x, y in pts]
+    tm = round(sum(y for _, y in pts) / len(pts) * RANSAC_TOL_PCT * 10)
+
+    def inliers(x1, y1, x2, y2):
+        return [(x, y) for x, y in pts
+                if 1000 * abs((y - y1) * (x2 - x1)
+                              - (x - x1) * (y2 - y1))
+                <= tm * (x2 - x1)]
+
+    best = None
+    for x1, y1 in pts:
+        for x2, y2 in pts:
+            if x2 <= x1:
+                continue
+            n = len(inliers(x1, y1, x2, y2))
+            key = (-n, x1, x2)
+            if best is None or key < best[0]:
+                best = (key, (x1, y1, x2, y2))
+    (negn, bx1, bx2), (x1, y1, x2, y2) = best[0], best[1]
+    assert r["n_days"] == len(pts)
+    assert (r["x1"], r["x2"], r["n_inliers"]) == (x1, x2, -negn)
+    assert abs(r["cand_slope"]
+               - round((y2 - y1) / (x2 - x1), 6)) <= 1e-9
+    inl = inliers(x1, y1, x2, y2)
+    k = len(inl)
+    sx = sum(x for x, _ in inl)
+    sy = sum(y for _, y in inl)
+    sxx = sum(x * x for x, _ in inl)
+    sxy = sum(x * y for x, y in inl)
+    num, den = k * sxy - sx * sy, k * sxx - sx * sx
+    assert abs(r["refit_slope"] - round(num / den, 6)) <= 1e-9
+    assert abs(r["refit_intercept"]
+               - round((sy - num / den * sx) / k, 6)) <= 1e-9
+    # consensus dominates: the OLS-refit inlier set is what RANSAC
+    # protects; every candidate's count <= the winner's
+    assert all(len(inliers(a, b, c, d)) <= -negn
+               for a, b in pts for c, d in pts if c > a
+               for d_ in [0])
