@@ -229,6 +229,7 @@ HEADLINE = [
     "twonn_intrinsic_dim",
     "neyman_stratified_sample",
     "ransac_daily_trend",
+    "soundex_blocking_pairs",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

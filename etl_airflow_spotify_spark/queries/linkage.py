@@ -836,3 +836,116 @@ def bcubed_linkage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p / 1000000.0, 6).alias("bcubed_p"),
         F.round(r / 1000000.0, 6).alias("bcubed_r"),
         F.round(2.0 * p * r / (p + r) / 1000000.0, 6).alias("bcubed_f1"))
+
+
+# --------------------------------------------------------------------------
+# X184: phonetic (soundex) blocking — the classical ER blocking key
+# for NAME-shaped dirt (typos that token-equality blocking (X33)
+# misses still collide phonetically: 'gear'/'geer', 'bolt'/'boldt').
+# The soundex function itself is GENERATED SQL shared VERBATIM by
+# both engines (the X145 discipline): translate() maps letters to
+# the classic digit codes, consecutive-duplicate collapse is a chain
+# of bounded replace() passes (RE2 has no pattern backreferences, so
+# the usual regex dedup is not portable), zero-drop + rpad complete
+# the 4-char code — a pure string function, bit-identical anywhere.
+# Candidates block on (token position, soundex) for both name
+# tokens; Levenshtein verifies; each surviving pair also reports
+# whether plain token-equality blocking would have found it, making
+# the phonetic lift directly measurable.
+# --------------------------------------------------------------------------
+_SOUNDEX_MAP = "01230120022455012623010202"
+
+
+def soundex_sql(t: str) -> str:
+    """Classic-soundex SQL over expression ``t`` (lowercase alpha),
+    valid verbatim in Spark SQL and DuckDB: translate -> bounded
+    replace-chain dedup -> drop first code + zeros -> rpad to 3."""
+    code = f"translate({t}, 'abcdefghijklmnopqrstuvwxyz', '{_SOUNDEX_MAP}')"
+    for d in "0123456":
+        for _ in range(3):  # collapses runs up to length 8
+            code = f"replace({code}, '{d}{d}', '{d}')"
+    return (f"upper(substr({t}, 1, 1)) || "
+            f"rpad(substr(replace(substr({code}, 2), '0', ''), 1, 3),"
+            f" 3, '0')")
+
+
+def _soundex_pairs_sql() -> str:
+    s1 = soundex_sql("split_part(nm, ' ', 1)")
+    s2 = soundex_sql("split_part(nm, ' ', 2)")
+    return f"""
+    WITH names AS (
+        SELECT p_name AS nm, CAST(COUNT(*) AS BIGINT) AS n
+        FROM part GROUP BY p_name
+    ),
+    blocked AS (
+        SELECT 1 AS pos, {s1} AS blk, nm, n FROM names
+        UNION ALL
+        SELECT 2 AS pos, {s2} AS blk, nm, n FROM names
+    ),
+    cand AS (
+        SELECT DISTINCT a.nm AS value_a, b.nm AS value_b,
+                        a.n AS n_a, b.n AS n_b
+        FROM blocked a JOIN blocked b
+          ON a.pos = b.pos AND a.blk = b.blk AND a.nm < b.nm
+    )
+    SELECT value_a, value_b,
+           CAST(levenshtein(value_a, value_b) AS BIGINT) AS edit_dist,
+           n_a * n_b AS pair_weight,
+           CASE WHEN split_part(value_a, ' ', 1)
+                     = split_part(value_b, ' ', 1)
+                  OR split_part(value_a, ' ', 2)
+                     = split_part(value_b, ' ', 2)
+                THEN 1 ELSE 0 END AS token_blocked
+    FROM cand
+    WHERE levenshtein(value_a, value_b) <= {MAX_EDIT}
+    ORDER BY value_a, value_b
+    """
+
+
+@register(
+    "soundex_blocking_pairs",
+    _soundex_pairs_sql(),
+    doc="X184 phonetic ER blocking: per-token classic soundex keys "
+        "from generated SQL shared verbatim by both engines "
+        "(translate + bounded replace-chain dedup — no RE2 "
+        "backreferences), distinct-first candidates, Levenshtein "
+        "verify, and a token_blocked flag quantifying the lift over "
+        "X33's token-equality blocking.",
+    tags=("X184", "X33", "X14", "X3"),
+)
+def soundex_blocking_pairs(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from ..catalog import spread
+
+    part = load_table(spark, sf_dir, "part")
+    names = spread(
+        part.groupBy(F.col("p_name").alias("nm"))
+        .agg(F.count("*").cast("long").alias("n")), "nm")
+    blocked = (names.select(
+        F.lit(1).alias("pos"),
+        F.expr(soundex_sql("split_part(nm, ' ', 1)")).alias("blk"),
+        "nm", "n")
+        .unionByName(names.select(
+            F.lit(2).alias("pos"),
+            F.expr(soundex_sql("split_part(nm, ' ', 2)")).alias("blk"),
+            "nm", "n")))
+    a = blocked.select("pos", "blk", F.col("nm").alias("value_a"),
+                       F.col("n").alias("n_a"))
+    b = blocked.select("pos", "blk", F.col("nm").alias("value_b"),
+                       F.col("n").alias("n_b"))
+    cand = (a.join(b, ["pos", "blk"])
+            .filter(F.col("value_a") < F.col("value_b"))
+            .select("value_a", "value_b", "n_a", "n_b")
+            .distinct())
+    tok = lambda c, i: F.split_part(F.col(c), F.lit(" "), F.lit(i))
+    return (cand
+            .withColumn("edit_dist",
+                        F.levenshtein("value_a", "value_b")
+                        .cast("long"))
+            .filter(F.col("edit_dist") <= MAX_EDIT)
+            .select("value_a", "value_b", "edit_dist",
+                    (F.col("n_a") * F.col("n_b")).alias("pair_weight"),
+                    F.when((tok("value_a", 1) == tok("value_b", 1))
+                           | (tok("value_a", 2) == tok("value_b", 2)),
+                           1).otherwise(0).alias("token_blocked"))
+            .orderBy("value_a", "value_b"))

@@ -3032,3 +3032,61 @@ def test_ransac_consensus_replay(spark, sf_dir):
     assert all(len(inliers(a, b, c, d)) <= -negn
                for a, b in pts for c, d in pts if c > a
                for d_ in [0])
+
+
+def test_soundex_blocking_replay_and_superset(spark, sf_dir):
+    """X184: pairs match a Python replay (same soundex variant, same
+    blocking + verify), and phonetic blocking finds every pair that
+    token-equality blocking finds among verified pairs (token-equal
+    tokens have equal soundex), i.e. token_blocked pairs are a
+    subset."""
+    import duckdb
+    from itertools import combinations
+
+    from etl_airflow_spotify_spark.queries.linkage import (
+        MAX_EDIT, _SOUNDEX_MAP)
+
+    def soundex_py(t):
+        code = t.translate(str.maketrans(
+            "abcdefghijklmnopqrstuvwxyz", _SOUNDEX_MAP))
+        out = []
+        for ch in code:
+            if not out or out[-1] != ch:
+                out.append(ch)
+        s = "".join(out)[1:].replace("0", "")
+        return t[:1].upper() + (s[:3] + "000")[:3]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = _rows("soundex_blocking_pairs", spark, sf_dir)
+    names = {}
+    for nm, n in duckdb.sql(
+            f"SELECT p_name, CAST(COUNT(*) AS BIGINT) "
+            f"FROM '{sf_dir}/part.parquet' GROUP BY 1").fetchall():
+        names[nm] = n
+    want = {}
+    for a, b in combinations(sorted(names), 2):
+        ta, tb = a.split(" "), b.split(" ")
+        if not any(soundex_py(ta[i]) == soundex_py(tb[i])
+                   for i in range(2)):
+            continue
+        d = lev(a, b)
+        if d <= MAX_EDIT:
+            want[(a, b)] = (d, names[a] * names[b],
+                            int(ta[0] == tb[0] or ta[1] == tb[1]))
+    got = {(r["value_a"], r["value_b"]):
+           (r["edit_dist"], r["pair_weight"], r["token_blocked"])
+           for r in rows}
+    assert got == want
+    # token-equality candidates are a subset of phonetic candidates
+    # (equal tokens have equal soundex; the clean synthetic names have
+    # no typos, so phonetic-ONLY pairs need not exist at this edit cap)
+    assert all(v[2] == 0 or k in got for k, v in want.items())
