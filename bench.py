@@ -230,6 +230,7 @@ HEADLINE = [
     "neyman_stratified_sample",
     "ransac_daily_trend",
     "soundex_blocking_pairs",
+    "absorbing_markov_steps",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

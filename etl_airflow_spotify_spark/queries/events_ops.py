@@ -3738,3 +3738,135 @@ def ransac_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("refit_slope"),
         F.round((F.col("sy").cast("double") - slope * F.col("sx"))
                 / F.col("k"), 6).alias("refit_intercept")))
+
+
+# --------------------------------------------------------------------------
+# X185: absorbing-Markov expected steps to conversion — the funnel
+# question X57's one-step argmax cannot answer: starting from state
+# i, how many events until 'purchase' absorbs the user? The chain is
+# estimated from consecutive event pairs (one corpus pass); purchase
+# is MODELED absorbing (its outgoing transitions are ignored), and
+# t = (I - Q)^-1 * 1 is evaluated as the truncated fixed point
+# v_{k+1} = 1 + Q v_k for MARKOV_ABS_T rounds — the inverse never
+# materializes, each round is one join+agg over the STATE-ALPHABET-
+# sized Q (16 cells here), and the iterate lives on the integer
+# micro grid: Q entries snap once (round(1e6 c_ij / r_i)), each
+# update sums exact BIGINT products and re-snaps via one division of
+# a <2^53 integer — bit-identical on both engines, so the oracle
+# replays all rounds as generated chained CTEs. Spark localCheckpoints
+# the 4-row iterate per round to keep plan depth constant.
+# --------------------------------------------------------------------------
+MARKOV_ABS_T = 16
+MARKOV_ABSORB = "purchase"
+
+
+def _absorbing_markov_oracle() -> str:
+    head = f"""
+    WITH ev AS (
+        SELECT user_id, event_type, ts, event_id FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS i,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS j
+        FROM ev
+    ),
+    c AS (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs WHERE j IS NOT NULL AND i <> '{MARKOV_ABSORB}'
+        GROUP BY i, j
+    ),
+    r AS (SELECT i, CAST(SUM(n) AS BIGINT) AS r FROM c GROUP BY i),
+    q AS (
+        SELECT c.i, c.j,
+               CAST(ROUND(1000000.0 * c.n / r.r, 0) AS BIGINT) AS qm
+        FROM c JOIN r ON r.i = c.i WHERE c.j <> '{MARKOV_ABSORB}'
+    ),
+    s AS (SELECT i FROM r),
+    v0 AS (SELECT i, CAST(0 AS BIGINT) AS v FROM s)"""
+    steps = []
+    for t in range(1, MARKOV_ABS_T + 1):
+        steps.append(f"""
+    v{t} AS (
+        SELECT s.i,
+               1000000 + COALESCE(CAST(ROUND(SUM(q.qm * v.v)
+                                             / 1000000.0, 0) AS BIGINT),
+                                  0) AS v
+        FROM s LEFT JOIN q ON q.i = s.i
+        LEFT JOIN v{t-1} v ON v.i = q.j
+        GROUP BY s.i
+    )""")
+    return (head + "," + ",".join(steps) + f"""
+    SELECT r.i AS state, r.r AS n_out,
+           ROUND(COALESCE((SELECT CAST(c.n AS DOUBLE) FROM c
+                           WHERE c.i = r.i
+                             AND c.j = '{MARKOV_ABSORB}'), 0.0)
+                 / r.r, 6) AS p_absorb_1step,
+           v.v AS steps_micro,
+           ROUND(v.v / 1000000.0, 4) AS expected_steps
+    FROM r JOIN v{MARKOV_ABS_T} v ON v.i = r.i
+    ORDER BY state
+    """)
+
+
+@register(
+    "absorbing_markov_steps",
+    _absorbing_markov_oracle(),
+    doc=f"X185 absorbing-Markov expected steps to '{MARKOV_ABSORB}': "
+        f"transition counts from one corpus pass, truncated fixed "
+        f"point v=1+Qv for {MARKOV_ABS_T} rounds on the integer micro "
+        "grid (Q snapped once, each update one exact-BIGINT fold + "
+        "one sub-2^53 re-snap division); oracle replays every round "
+        "as generated chained CTEs; per-round frames are state-"
+        "alphabet-sized.",
+    tags=("X185", "X57", "X71", "X42", "X7"),
+)
+def absorbing_markov_steps(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    ev = _ev(spark, sf_dir)
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("i"),
+        F.lead("event_type").over(wseq).alias("j"))
+    c = persist_tracked(
+        pairs.filter(F.col("j").isNotNull()
+                     & (F.col("i") != MARKOV_ABSORB))
+        .groupBy("i", "j").agg(F.count("*").cast("long").alias("n")))
+    r = persist_tracked(
+        c.groupBy("i").agg(F.sum("n").cast("long").alias("r")))
+    q = persist_tracked(
+        c.join(r, "i")
+        .filter(F.col("j") != MARKOV_ABSORB)
+        .select("i", "j",
+                F.round(F.lit(1000000.0) * F.col("n") / F.col("r"), 0)
+                .cast("long").alias("qm")))
+    s = r.select("i")
+    v = s.select("i", F.lit(0).cast("long").alias("v")) \
+        .localCheckpoint()
+    for _ in range(MARKOV_ABS_T):
+        v = (s.join(q, "i", "left")
+             .join(v.select(F.col("i").alias("j"),
+                            F.col("v").alias("vj")),
+                   "j", "left")
+             .groupBy("i")
+             .agg((F.lit(1000000)
+                   + F.coalesce(
+                       F.round(F.sum(F.col("qm") * F.col("vj"))
+                               / 1000000.0, 0).cast("long"),
+                       F.lit(0))).alias("v"))
+             .localCheckpoint())
+    absorb = (c.filter(F.col("j") == MARKOV_ABSORB)
+              .select("i", F.col("n").alias("na")))
+    return (r.join(absorb, "i", "left")
+            .join(v, "i")
+            .select(F.col("i").alias("state"),
+                    F.col("r").alias("n_out"),
+                    F.round(F.coalesce(F.col("na").cast("double"),
+                                       F.lit(0.0)) / F.col("r"), 6)
+                    .alias("p_absorb_1step"),
+                    F.col("v").alias("steps_micro"),
+                    F.round(F.col("v") / 1000000.0, 4)
+                    .alias("expected_steps"))
+            .orderBy("state"))

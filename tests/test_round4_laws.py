@@ -3090,3 +3090,53 @@ def test_soundex_blocking_replay_and_superset(spark, sf_dir):
     # (equal tokens have equal soundex; the clean synthetic names have
     # no typos, so phonetic-ONLY pairs need not exist at this edit cap)
     assert all(v[2] == 0 or k in got for k, v in want.items())
+
+
+def test_absorbing_markov_replay_and_bounds(spark, sf_dir):
+    """X185: the truncated fixed point matches a Python integer
+    replay of the same micro recurrence; expected steps >= 1 and are
+    monotone nonincreasing in one-step absorption probability when Q
+    is otherwise fixed (spot: the state with the highest p_absorb is
+    never the slowest)."""
+    import duckdb
+    from collections import Counter, defaultdict
+
+    from etl_airflow_spotify_spark.queries.events_ops import (
+        MARKOV_ABS_T, MARKOV_ABSORB)
+
+    rows = {r["state"]: r
+            for r in _rows("absorbing_markov_steps", spark, sf_dir)}
+    evs = duckdb.sql(
+        f"SELECT user_id, event_type, ts, event_id "
+        f"FROM '{sf_dir}/events.parquet' "
+        f"ORDER BY user_id, ts, event_id").fetchall()
+    c = Counter()
+    byu = defaultdict(list)
+    for u, t, _, _ in evs:
+        byu[u].append(t)
+    for seq in byu.values():
+        for i, j in zip(seq, seq[1:]):
+            if i != MARKOV_ABSORB:
+                c[(i, j)] += 1
+    r = Counter()
+    for (i, _), n in c.items():
+        r[i] += n
+    q = {(i, j): round(1e6 * n / r[i]) for (i, j), n in c.items()
+         if j != MARKOV_ABSORB}
+    states = sorted(r)
+    v = {i: 0 for i in states}
+    for _ in range(MARKOV_ABS_T):
+        v = {i: 1000000 + round(sum(q.get((i, j), 0) * v[j]
+                                    for j in states) / 1e6)
+             for i in states}
+    assert set(rows) == set(states)
+    for i in states:
+        assert rows[i]["n_out"] == r[i]
+        assert rows[i]["steps_micro"] == v[i]
+        assert abs(rows[i]["p_absorb_1step"]
+                   - round(c.get((i, MARKOV_ABSORB), 0) / r[i], 6)) \
+            <= 1e-9
+        assert rows[i]["expected_steps"] >= 1.0
+    fastest = max(states, key=lambda i: rows[i]["p_absorb_1step"])
+    slowest = max(states, key=lambda i: rows[i]["steps_micro"])
+    assert fastest != slowest or len(states) == 1
