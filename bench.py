@@ -231,6 +231,7 @@ HEADLINE = [
     "ransac_daily_trend",
     "soundex_blocking_pairs",
     "absorbing_markov_steps",
+    "kmv_distinct_sketch",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -348,3 +348,139 @@ def ams_f2_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.lit(1.0).alias("est_ratio"))
     return (out_x.unionByName(out_g).unionByName(out_m)
             .unionByName(out_e).orderBy("kind", "k"))
+
+
+# --------------------------------------------------------------------------
+# X186: KMV (k-minimum-values) distinct sketch — the ONLY mergeable
+# distinct-count sketch whose every bit both engines can replay:
+# where HLL/theta estimates above are DataSketches internals
+# (rows-only checks), KMV is just "keep the K smallest md5 hashes",
+# so the sketch rows, the merge, and the estimator
+# (K-1) * 2^60 / h_(K) all hash-check against DuckDB. Per-group
+# sketches build in one distinct + window pass; the merged sketch is
+# re-ranking the UNION of per-group sketch rows (mergeability is the
+# bottom-k lattice property the law test pins: merged == sketch of
+# the union). Estimator arithmetic stays exact: h_(K) < 2^60 is a
+# sub-2^53-error-free double, one division, one multiply, one ROUND.
+# Groups smaller than K report their exact count (the sketch IS the
+# set there).
+# --------------------------------------------------------------------------
+KMV_K = 64
+
+
+def _kmv_sql() -> str:
+    two60 = 1 << 60
+    return f"""
+    WITH dv AS (
+        SELECT DISTINCT event_type AS g, user_id AS u FROM events
+    ),
+    h AS (
+        SELECT g, u,
+               ('0x' || substr(md5('kmv:' || u), 1, 15))::BIGINT AS hv
+        FROM dv
+    ),
+    rk AS (
+        SELECT g, u, hv,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY hv, u) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT)
+                   AS n_exact
+        FROM h
+    ),
+    sk AS (SELECT * FROM rk WHERE rn <= {KMV_K}),
+    per AS (
+        SELECT g AS scope, MIN(n_exact) AS n_exact,
+               CAST(COUNT(*) AS BIGINT) AS n_sketch,
+               MAX(CASE WHEN rn = {KMV_K} THEN hv END) AS kth_hash
+        FROM sk GROUP BY g
+    ),
+    mu AS (
+        SELECT DISTINCT u, hv FROM sk
+    ),
+    mrk AS (
+        SELECT u, hv, ROW_NUMBER() OVER (ORDER BY hv, u) AS rn
+        FROM mu
+    ),
+    uex AS (
+        SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n FROM dv
+    ),
+    merged AS (
+        SELECT 'ALL(merged)' AS scope, uex.n AS n_exact,
+               CAST(COUNT(*) AS BIGINT) AS n_sketch,
+               MAX(CASE WHEN rn = {KMV_K} THEN hv END) AS kth_hash
+        FROM mrk CROSS JOIN uex WHERE rn <= {KMV_K} GROUP BY uex.n
+    ),
+    allrows AS (
+        SELECT * FROM per UNION ALL SELECT * FROM merged
+    )
+    SELECT scope, n_exact, n_sketch, kth_hash,
+           CASE WHEN kth_hash IS NULL THEN n_sketch
+                ELSE CAST(ROUND(({KMV_K} - 1)
+                          * ({two60}.0 / kth_hash), 0) AS BIGINT)
+           END AS est,
+           ROUND(100.0 * (CASE WHEN kth_hash IS NULL THEN n_sketch
+                 ELSE CAST(ROUND(({KMV_K} - 1)
+                           * ({two60}.0 / kth_hash), 0) AS BIGINT)
+                 END - n_exact) / n_exact, 2) AS rel_err_pct
+    FROM allrows ORDER BY scope
+    """
+
+
+@register(
+    "kmv_distinct_sketch",
+    _kmv_sql(),
+    doc=f"X186 KMV distinct sketch (K={KMV_K}): per-event-type bottom-"
+        "K md5 hashes, estimator (K-1)*2^60/h_K with error-free "
+        "double arithmetic, merged sketch = re-ranked union of "
+        "per-group sketch rows (the bottom-k lattice merge), exact "
+        "counts and relative errors alongside — a fully SQL-"
+        "replayable alternative to the rows-only HLL/theta paths.",
+    tags=("X186", "X29", "X8", "X10"),
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..caching import persist_tracked
+
+    two60 = float(1 << 60)
+    ev = load_table(spark, sf_dir, "events")
+    dv = ev.select(F.col("event_type").alias("g"),
+                   F.col("user_id").alias("u")).distinct()
+    h = persist_tracked(dv.select(
+        "g", "u",
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col("u").cast("string"))),
+            1, 15), 16, 10).cast("long").alias("hv")))
+    wg = Window.partitionBy("g").orderBy("hv", "u")
+    rk = h.select(
+        "g", "u", "hv", F.row_number().over(wg).alias("rn"),
+        F.count("*").over(Window.partitionBy("g")).cast("long")
+        .alias("n_exact"))
+    sk = persist_tracked(rk.filter(F.col("rn") <= KMV_K))
+    per = (sk.groupBy(F.col("g").alias("scope"))
+           .agg(F.min("n_exact").alias("n_exact"),
+                F.count("*").cast("long").alias("n_sketch"),
+                F.max(F.when(F.col("rn") == KMV_K, F.col("hv")))
+                .alias("kth_hash")))
+    mu = sk.select("u", "hv").distinct()
+    mrk = mu.withColumn("rn", F.row_number().over(
+        Window.orderBy("hv", "u")))
+    uex = dv.select("u").distinct().agg(
+        F.count("*").cast("long").alias("n"))
+    merged = (mrk.filter(F.col("rn") <= KMV_K)
+              .crossJoin(F.broadcast(uex))
+              .groupBy(F.col("n").alias("n_exact"))
+              .agg(F.count("*").cast("long").alias("n_sketch"),
+                   F.max(F.when(F.col("rn") == KMV_K, F.col("hv")))
+                   .alias("kth_hash"))
+              .select(F.lit("ALL(merged)").alias("scope"),
+                      "n_exact", "n_sketch", "kth_hash"))
+    allrows = per.unionByName(merged)
+    est = F.when(F.col("kth_hash").isNull(), F.col("n_sketch")) \
+        .otherwise(F.round((KMV_K - 1)
+                           * (F.lit(two60) / F.col("kth_hash")), 0)
+                   .cast("long"))
+    return (allrows.select(
+        "scope", "n_exact", "n_sketch", "kth_hash",
+        est.alias("est"),
+        F.round(100.0 * (est - F.col("n_exact")) / F.col("n_exact"),
+                2).alias("rel_err_pct"))
+        .orderBy("scope"))

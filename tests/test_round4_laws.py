@@ -3140,3 +3140,54 @@ def test_absorbing_markov_replay_and_bounds(spark, sf_dir):
     fastest = max(states, key=lambda i: rows[i]["p_absorb_1step"])
     slowest = max(states, key=lambda i: rows[i]["steps_micro"])
     assert fastest != slowest or len(states) == 1
+
+
+def test_kmv_merge_law_and_accuracy(spark, sf_dir):
+    """X186: the merged sketch equals the bottom-K of the FULL
+    distinct-user hash set (bottom-k lattice merge law), per-group
+    rows match a Python replay, and the estimator lands within the
+    ~1/sqrt(K-1) error regime (generous 5-sigma band)."""
+    import duckdb
+    import hashlib
+
+    from etl_airflow_spotify_spark.queries.sketches import KMV_K
+
+    rows = {r["scope"]: r
+            for r in _rows("kmv_distinct_sketch", spark, sf_dir)}
+    dv = duckdb.sql(
+        f"SELECT DISTINCT event_type, user_id "
+        f"FROM '{sf_dir}/events.parquet'").fetchall()
+
+    def hv(u):
+        return int(hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:15],
+                   16)
+
+    groups = {}
+    users = set()
+    for g, u in dv:
+        groups.setdefault(g, set()).add(u)
+        users.add(u)
+    for g, mem in groups.items():
+        ranked = sorted((hv(u), u) for u in mem)[:KMV_K]
+        r = rows[g]
+        assert r["n_exact"] == len(mem)
+        assert r["n_sketch"] == min(KMV_K, len(mem))
+        if len(mem) >= KMV_K:
+            assert r["kth_hash"] == ranked[KMV_K - 1][0]
+            est = round((KMV_K - 1) * ((1 << 60) / r["kth_hash"]))
+            assert r["est"] == est
+            assert abs(est - len(mem)) / len(mem) \
+                <= 5.0 / (KMV_K - 1) ** 0.5
+        else:
+            assert r["kth_hash"] is None and r["est"] == len(mem)
+    # merge law: union-of-sketches bottom-K == bottom-K of the union
+    union_sketch = set()
+    for mem in groups.values():
+        union_sketch |= set(sorted((hv(u), u) for u in mem)[:KMV_K])
+    merged = sorted(union_sketch)[:KMV_K]
+    full = sorted((hv(u), u) for u in users)[:KMV_K]
+    assert merged == full
+    rm = rows["ALL(merged)"]
+    assert rm["n_exact"] == len(users)
+    if len(users) >= KMV_K:
+        assert rm["kth_hash"] == full[KMV_K - 1][0]
