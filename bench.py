@@ -232,6 +232,7 @@ HEADLINE = [
     "soundex_blocking_pairs",
     "absorbing_markov_steps",
     "kmv_distinct_sketch",
+    "mutual_best_matching",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

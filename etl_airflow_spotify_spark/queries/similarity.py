@@ -2742,3 +2742,160 @@ def twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.lit(TWONN_LN2)
                                * F.col("sum_log2_micro")), 4)
                     .alias("id_hat")))
+
+
+# --------------------------------------------------------------------------
+# X187: mutual-best greedy matching — the 1-1 ALIGNMENT operator that
+# turns near-duplicate evidence into an injective mapping (dataset
+# alignment, cross-snapshot entity matching, A/B pairing). X86's
+# mutual k-NN emits a RELATION (a node may appear in many reciprocal
+# pairs); alignment needs a MATCHING. The classic greedy: in each
+# round, among still-unmatched nodes, (a, b) match iff each is the
+# other's best available candidate (highest cosine, ties -> smaller
+# partner id) — the same "local minimum/mutual argmin" round Boruvka
+# (X161) uses for MSF edges, here on the symmetrized IVF top-K graph.
+# MATCH_ROUNDS synchronous rounds replay on both engines: scores are
+# the 6-dp-rounded cosines both engines already agree on, argmax
+# tie-breaks are total orders, and the matched set grows
+# monotonically (anti-joins per round, localCheckpoint keeps plan
+# depth constant; the oracle is generated per-round CTEs).
+# --------------------------------------------------------------------------
+MATCH_ROUNDS = 3
+
+
+def _mutual_match_oracle() -> str:
+    cents = S._unit_centroids(16, 64, 7)
+    vals = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    head = f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents(ci, cv) AS (VALUES
+        {vals}
+    ),
+    assign AS (
+        SELECT vec_id, v, ci AS cell FROM (
+            SELECT c.vec_id, c.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_inner_product(c.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus c CROSS JOIN cents ce
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, ci AS cell FROM (
+            SELECT q.vec_id, q.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_inner_product(q.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus q CROSS JOIN cents ce
+        ) WHERE rn <= 4
+    ),
+    topk AS (
+        SELECT query_id, cand_id, score FROM (
+            SELECT p.query_id, a.vec_id AS cand_id,
+                   ROUND(list_cosine_similarity(p.qv, a.v), 6) AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY ROUND(list_cosine_similarity(p.qv, a.v), 6)
+                                DESC, a.vec_id) AS rn
+            FROM probes p JOIN assign a ON a.cell = p.cell
+            WHERE a.vec_id <> p.query_id
+        ) WHERE rn <= {K}
+    ),
+    edges AS MATERIALIZED (
+        SELECT query_id AS a, cand_id AS b, score FROM topk
+        UNION
+        SELECT cand_id, query_id, score FROM topk
+    )"""
+    parts = []
+    prev_filter = ""
+    matched_union = []
+    for r in range(1, MATCH_ROUNDS + 1):
+        parts.append(f"""
+    avail{r} AS MATERIALIZED (
+        SELECT a, b, score FROM edges
+        {prev_filter}
+    ),
+    best{r} AS MATERIALIZED (
+        SELECT a, b, score FROM (
+            SELECT a, b, score,
+                   ROW_NUMBER() OVER (PARTITION BY a
+                                      ORDER BY score DESC, b) AS rn
+            FROM avail{r}
+        ) WHERE rn = 1
+    ),
+    pairs{r} AS MATERIALIZED (
+        SELECT x.a, x.b, x.score, {r} AS match_round
+        FROM best{r} x JOIN best{r} y ON y.a = x.b AND y.b = x.a
+        WHERE x.a < x.b
+    ),
+    mn{r} AS (
+        SELECT a AS n FROM pairs{r} UNION ALL SELECT b FROM pairs{r}
+    )""")
+        matched_union.append(f"SELECT n FROM mn{r}")
+        all_m = " UNION ALL ".join(matched_union)
+        prev_filter = (f"WHERE a NOT IN ({all_m}) "
+                       f"AND b NOT IN ({all_m})")
+    final = " UNION ALL ".join(
+        f"SELECT a AS id_a, b AS id_b, score, "
+        f"CAST(match_round AS BIGINT) AS match_round FROM pairs{r}"
+        for r in range(1, MATCH_ROUNDS + 1))
+    return (head + "," + ",".join(parts)
+            + f" SELECT * FROM ({final}) ORDER BY id_a")
+
+
+@register(
+    "mutual_best_matching",
+    _mutual_match_oracle(),
+    doc=f"X187 greedy mutual-best 1-1 matching over the symmetrized "
+        f"IVF top-{K} cosine graph: {MATCH_ROUNDS} synchronous rounds "
+        "of 'match iff each is the other's best available candidate' "
+        "(6-dp scores, min-partner ties) — the alignment operator "
+        "that X86's many-to-many reciprocal relation cannot provide. "
+        "Anti-joins shrink the graph per round; generated per-round "
+        "CTE oracle.",
+    tags=("X187", "X86", "X161", "X17", "X3"),
+)
+def mutual_best_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..caching import persist_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = S.ivf_topk_cosine(emb, emb, K)
+    edges = persist_tracked(
+        topk.select(F.col("query_id").alias("a"),
+                    F.col("cand_id").alias("b"), "score")
+        .union(topk.select(F.col("cand_id").alias("a"),
+                           F.col("query_id").alias("b"), "score"))
+        .distinct())
+    avail = edges
+    out = None
+    for r in range(1, MATCH_ROUNDS + 1):
+        w = Window.partitionBy("a").orderBy(F.desc("score"), F.asc("b"))
+        best = (avail.withColumn("rn", F.row_number().over(w))
+                .filter("rn = 1").select("a", "b", "score"))
+        pairs = (best.alias("x")
+                 .join(best.alias("y"),
+                       (F.col("y.a") == F.col("x.b"))
+                       & (F.col("y.b") == F.col("x.a")))
+                 .filter(F.col("x.a") < F.col("x.b"))
+                 .select(F.col("x.a").alias("id_a"),
+                         F.col("x.b").alias("id_b"),
+                         F.col("x.score").alias("score"),
+                         F.lit(r).cast("long").alias("match_round"))
+                 .localCheckpoint())
+        out = pairs if out is None else out.unionByName(pairs)
+        matched = (pairs.select(F.col("id_a").alias("n"))
+                   .unionByName(pairs.select(F.col("id_b").alias("n"))))
+        avail = (avail
+                 .join(matched.select(F.col("n").alias("a")), "a",
+                       "left_anti")
+                 .join(matched.select(F.col("n").alias("b")), "b",
+                       "left_anti")
+                 .localCheckpoint())
+    return out.orderBy("id_a")

@@ -3191,3 +3191,53 @@ def test_kmv_merge_law_and_accuracy(spark, sf_dir):
     assert rm["n_exact"] == len(users)
     if len(users) >= KMV_K:
         assert rm["kth_hash"] == full[KMV_K - 1][0]
+
+
+def test_mutual_matching_is_valid_and_replays(spark, sf_dir):
+    """X187: the output is a valid matching (each node in at most one
+    pair), every pair is mutual-best among available nodes at its
+    round (full Python replay over the same IVF graph), and matched
+    pairs exist on this corpus."""
+    from collections import defaultdict
+
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators import similarity as S
+    from etl_airflow_spotify_spark.queries.similarity import (
+        K, MATCH_ROUNDS)
+
+    rows = _rows("mutual_best_matching", spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = S.ivf_topk_cosine(emb, emb, K).collect()
+    edges = {}
+    for t in topk:
+        for a, b in [(t["query_id"], t["cand_id"]),
+                     (t["cand_id"], t["query_id"])]:
+            edges[(a, b)] = t["score"]
+
+    matched = set()
+    want = []
+    for rnd in range(1, MATCH_ROUNDS + 1):
+        best = {}
+        cand = defaultdict(list)
+        for (a, b), s in edges.items():
+            if a in matched or b in matched:
+                continue
+            cand[a].append((-s, b))
+        for a, lst in cand.items():
+            best[a] = min(lst)[1]
+        new = [(a, b, edges[(a, b)], rnd) for a, b in best.items()
+               if a < b and best.get(b) == a]
+        for a, b, _, _ in new:
+            matched.add(a)
+            matched.add(b)
+        want.extend(new)
+
+    got = [(r["id_a"], r["id_b"], r["score"], r["match_round"])
+           for r in rows]
+    assert sorted(got) == sorted(want)
+    seen = set()
+    for a, b, _, _ in got:
+        assert a not in seen and b not in seen
+        seen.add(a)
+        seen.add(b)
+    assert len(got) > 0
