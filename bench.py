@@ -233,6 +233,7 @@ HEADLINE = [
     "absorbing_markov_steps",
     "kmv_distinct_sketch",
     "mutual_best_matching",
+    "ind_discovery",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

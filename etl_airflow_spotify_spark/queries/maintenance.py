@@ -1352,3 +1352,104 @@ def dp_noisy_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("true_n") + F.col("z")).cast("long").alias("released_n"),
         F.abs(F.col("z")).cast("long").alias("abs_err"))
         .orderBy("event_type", "d"))
+
+
+# --------------------------------------------------------------------------
+# X188: inclusion-dependency discovery (SPIDER-style IND mining) —
+# the data-catalog operator that finds JOINABLE columns nobody
+# documented: for every ordered pair of integer-typed columns across
+# ALL ten tables, what fraction of A's distinct values appear in B?
+# containment(A, B) = |dv(A) n dv(B)| / |dv(A)| = 1.0 exactly on
+# true FK -> PK edges and exposes accidental small-domain overlaps
+# (linenumber-like columns) that naive schema matching trips on.
+# Scale shape: distinct-first per column (the X33 discipline), one
+# melt of (column_id, value) rows, one self-equi-join on value —
+# candidate volume is bounded by per-value column co-occurrence,
+# never |table| x |table|. Both engines generate their scan from the
+# SAME static column list, and every count is BIGINT so containment
+# is a single division of identical integers.
+# --------------------------------------------------------------------------
+IND_COLS: tuple[tuple[str, str], ...] = (
+    ("region", "r_regionkey"), ("nation", "n_nationkey"),
+    ("nation", "n_regionkey"), ("customer", "c_custkey"),
+    ("customer", "c_nationkey"), ("supplier", "s_suppkey"),
+    ("supplier", "s_nationkey"), ("part", "p_partkey"),
+    ("part", "p_size"), ("orders", "o_orderkey"),
+    ("orders", "o_custkey"), ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"), ("lineitem", "l_suppkey"),
+    ("lineitem", "l_linenumber"), ("events", "event_id"),
+    ("events", "user_id"), ("documents", "doc_id"),
+    ("embeddings", "vec_id"), ("embeddings", "label"),
+)
+IND_MIN_CONTAIN = 0.25
+IND_FK_THRESHOLD = 0.95
+
+
+def _ind_oracle_sql() -> str:
+    scans = "\n        UNION ALL\n".join(
+        f"        SELECT '{t}.{c}' AS col, CAST({c} AS BIGINT) AS v "
+        f"FROM {t} GROUP BY {c}"
+        for t, c in IND_COLS)
+    return f"""
+    WITH dv AS (
+{scans}
+    ),
+    nd AS (
+        SELECT col, CAST(COUNT(*) AS BIGINT) AS n FROM dv GROUP BY col
+    ),
+    inter AS (
+        SELECT a.col AS col_a, b.col AS col_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM dv a JOIN dv b ON b.v = a.v AND b.col <> a.col
+        GROUP BY a.col, b.col
+    )
+    SELECT i.col_a, i.col_b, na.n AS n_a, i.n_inter,
+           ROUND(CAST(i.n_inter AS DOUBLE) / na.n, 6) AS containment,
+           CASE WHEN CAST(i.n_inter AS DOUBLE) / na.n
+                     >= {IND_FK_THRESHOLD} THEN 1 ELSE 0 END
+               AS fk_like
+    FROM inter i JOIN nd na ON na.col = i.col_a
+    WHERE CAST(i.n_inter AS DOUBLE) / na.n >= {IND_MIN_CONTAIN}
+    ORDER BY col_a, col_b
+    """
+
+
+@register(
+    "ind_discovery",
+    _ind_oracle_sql(),
+    doc=f"X188 inclusion-dependency discovery over "
+        f"{len(IND_COLS)} integer columns of all ten tables: "
+        "distinct-first melt, one self-equi-join on value, "
+        "containment = |dv(A) n dv(B)|/|dv(A)| as one division of "
+        f"identical BIGINTs; pairs >= {IND_MIN_CONTAIN} emitted, "
+        f">= {IND_FK_THRESHOLD} flagged fk_like. The data-catalog "
+        "joinability scanner.",
+    tags=("X188", "X47", "X77", "X33", "X3"),
+)
+def ind_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    dv = None
+    for t, c in IND_COLS:
+        part = (load_table(spark, sf_dir, t)
+                .groupBy(F.col(c).cast("long").alias("v"))
+                .agg(F.lit(1).alias("_one"))
+                .select(F.lit(f"{t}.{c}").alias("col"), "v"))
+        dv = part if dv is None else dv.unionByName(part)
+    dv = persist_tracked(dv)
+    nd = dv.groupBy("col").agg(F.count("*").cast("long").alias("n"))
+    a = dv.select(F.col("col").alias("col_a"), "v")
+    b = dv.select(F.col("col").alias("col_b"), "v")
+    inter = (a.join(b, "v")
+             .filter(F.col("col_b") != F.col("col_a"))
+             .groupBy("col_a", "col_b")
+             .agg(F.count("*").cast("long").alias("n_inter")))
+    contain = F.col("n_inter").cast("double") / F.col("n_a")
+    return (inter.join(nd.select(F.col("col").alias("col_a"),
+                                 F.col("n").alias("n_a")), "col_a")
+            .filter(contain >= IND_MIN_CONTAIN)
+            .select("col_a", "col_b", "n_a", "n_inter",
+                    F.round(contain, 6).alias("containment"),
+                    F.when(contain >= IND_FK_THRESHOLD, 1)
+                    .otherwise(0).alias("fk_like"))
+            .orderBy("col_a", "col_b"))

@@ -3241,3 +3241,39 @@ def test_mutual_matching_is_valid_and_replays(spark, sf_dir):
         seen.add(a)
         seen.add(b)
     assert len(got) > 0
+
+
+def test_ind_discovery_finds_known_fks(spark, sf_dir):
+    """X188: every true FK -> PK edge of the star schema surfaces
+    with containment exactly 1.0 and fk_like = 1; containment values
+    match a DuckDB set-algebra replay."""
+    import duckdb
+
+    rows = {(r["col_a"], r["col_b"]): r
+            for r in _rows("ind_discovery", spark, sf_dir)}
+    known = [
+        ("nation.n_regionkey", "region.r_regionkey"),
+        ("customer.c_nationkey", "nation.n_nationkey"),
+        ("supplier.s_nationkey", "nation.n_nationkey"),
+        ("orders.o_custkey", "customer.c_custkey"),
+        ("lineitem.l_orderkey", "orders.o_orderkey"),
+        ("lineitem.l_partkey", "part.p_partkey"),
+        ("lineitem.l_suppkey", "supplier.s_suppkey"),
+    ]
+    for a, b in known:
+        assert (a, b) in rows, f"missing FK edge {a} -> {b}"
+        assert rows[(a, b)]["containment"] == 1.0
+        assert rows[(a, b)]["fk_like"] == 1
+    con = duckdb.connect()
+    for (a, b), r in list(rows.items())[:20]:
+        ta, ca = a.split(".")
+        tb, cb = b.split(".")
+        na, ni = con.sql(
+            f"SELECT (SELECT COUNT(DISTINCT {ca}) FROM "
+            f"'{sf_dir}/{ta}.parquet'), "
+            f"(SELECT COUNT(*) FROM "
+            f"(SELECT DISTINCT {ca} AS v FROM '{sf_dir}/{ta}.parquet') x "
+            f"JOIN (SELECT DISTINCT {cb} AS v FROM "
+            f"'{sf_dir}/{tb}.parquet') y ON y.v = x.v)").fetchone()
+        assert r["n_a"] == na and r["n_inter"] == ni
+        assert abs(r["containment"] - round(ni / na, 6)) <= 1e-9
