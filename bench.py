@@ -234,6 +234,7 @@ HEADLINE = [
     "kmv_distinct_sketch",
     "mutual_best_matching",
     "ind_discovery",
+    "single_link_dendrogram",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -949,3 +949,124 @@ def soundex_blocking_pairs(spark: SparkSession,
                            | (tok("value_a", 2) == tok("value_b", 2)),
                            1).otherwise(0).alias("token_blocked"))
             .orderBy("value_a", "value_b"))
+
+
+# --------------------------------------------------------------------------
+# X189: single-link hierarchical clustering profile (dendrogram cut
+# sweep) — agglomerative clustering's workhorse, read off its
+# defining equivalence: the single-link clusters at distance
+# threshold t are EXACTLY the connected components of the
+# "distance <= t" graph, so sweeping t over the edit-distance ladder
+# 1..MAX_EDIT yields the whole dendrogram profile (cluster counts,
+# singleton counts, largest cluster) without ever materializing a
+# merge tree. Edges are computed ONCE at the loosest threshold
+# (distinct-first blocked candidates + Levenshtein verify, the X33
+# plan) and each cut only filters them; components run min-label to
+# convergence on Spark and as a recursive-CTE closure in the oracle
+# (the X107 twin pattern). Nodes outside every edge are singleton
+# clusters by definition — the left-join completion both engines
+# replay.
+# --------------------------------------------------------------------------
+def _dendrogram_oracle() -> str:
+    per_t = []
+    for t in range(1, MAX_EDIT + 1):
+        per_t.append(f"""
+    edges{t} AS (
+        SELECT va, vb FROM fpairs WHERE d <= {t}
+        UNION ALL
+        SELECT vb, va FROM fpairs WHERE d <= {t}
+    ),
+    reach{t}(id, lab) AS (
+        SELECT DISTINCT va, va FROM edges{t}
+        UNION
+        SELECT e.vb, r.lab FROM reach{t} r JOIN edges{t} e
+            ON e.va = r.id
+    ),
+    cc{t} AS (
+        SELECT id AS nm, MIN(lab) AS lab FROM reach{t} GROUP BY id
+    ),
+    asg{t} AS (
+        SELECT n.nm, COALESCE(cc{t}.lab, n.nm) AS lab
+        FROM names n LEFT JOIN cc{t} ON cc{t}.nm = n.nm
+    ),
+    sz{t} AS (
+        SELECT lab, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM asg{t} GROUP BY lab
+    ),
+    row{t} AS (
+        SELECT CAST({t} AS BIGINT) AS threshold,
+               CAST(SUM(sz) AS BIGINT) AS n_values,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_singletons,
+               CAST(MAX(sz) AS BIGINT) AS max_cluster_size
+        FROM sz{t}
+    )""")
+    final = " UNION ALL ".join(f"SELECT * FROM row{t}"
+                               for t in range(1, MAX_EDIT + 1))
+    return (f"""
+    WITH RECURSIVE names AS (
+        SELECT p_name AS nm FROM part GROUP BY p_name
+    ),
+    blocked AS (
+        SELECT split_part(nm, ' ', 1) AS blk, nm FROM names
+        UNION ALL
+        SELECT split_part(nm, ' ', 2) AS blk, nm FROM names
+    ),
+    fpairs AS (
+        SELECT DISTINCT a.nm AS va, b.nm AS vb,
+                        levenshtein(a.nm, b.nm) AS d
+        FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.nm < b.nm
+        WHERE levenshtein(a.nm, b.nm) <= {MAX_EDIT}
+    ),""" + ",".join(per_t)
+            + f" SELECT * FROM ({final}) ORDER BY threshold")
+
+
+@register(
+    "single_link_dendrogram",
+    _dendrogram_oracle(),
+    doc=f"X189 single-link dendrogram profile: clusters at edit "
+        f"thresholds 1..{MAX_EDIT} as connected components of the "
+        "'distance <= t' graph (edges verified once at the loosest "
+        "cut, each sweep step only filters), min-label CC vs "
+        "recursive-CTE closure twin, singleton completion via left "
+        "join; per-cut cluster/singleton/max-size counts.",
+    tags=("X189", "X33", "X30", "X161", "X7"),
+)
+def single_link_dendrogram(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+    from ..operators.dedup import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    names = persist_tracked(
+        part.groupBy(F.col("p_name").alias("nm"))
+        .agg(F.count("*").cast("long").alias("n")))
+    pairs = persist_tracked(blocked_fuzzy_pairs(
+        names, value_col="nm", weight_col="n",
+        block_fns=[lambda c: F.split_part(c, F.lit(" "), F.lit(1)),
+                   lambda c: F.split_part(c, F.lit(" "), F.lit(2))],
+        max_dist=MAX_EDIT).select(
+            F.col("value_a").alias("va"), F.col("value_b").alias("vb"),
+            F.col("edit_dist").alias("d")))
+    out = None
+    for t in range(1, MAX_EDIT + 1):
+        et = (pairs.filter(F.col("d") <= t)
+              .select(F.col("va").alias("id_a"),
+                      F.col("vb").alias("id_b")))
+        cc = connected_components(et).select(
+            F.col("id").alias("nm"), F.col("cluster_id").alias("lab"))
+        asg = (names.select("nm").join(cc, "nm", "left")
+               .select("nm", F.coalesce("lab", F.col("nm"))
+                       .alias("lab")))
+        sz = asg.groupBy("lab").agg(F.count("*").cast("long")
+                                    .alias("sz"))
+        row = sz.agg(
+            F.lit(t).cast("long").alias("threshold"),
+            F.sum("sz").cast("long").alias("n_values"),
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum(F.when(F.col("sz") == 1, 1).otherwise(0))
+            .cast("long").alias("n_singletons"),
+            F.max("sz").cast("long").alias("max_cluster_size"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("threshold")

@@ -3277,3 +3277,68 @@ def test_ind_discovery_finds_known_fks(spark, sf_dir):
             f"'{sf_dir}/{tb}.parquet') y ON y.v = x.v)").fetchone()
         assert r["n_a"] == na and r["n_inter"] == ni
         assert abs(r["containment"] - round(ni / na, 6)) <= 1e-9
+
+
+def test_dendrogram_matches_unionfind_and_nests(spark, sf_dir):
+    """X189: per-threshold cluster stats match a Python union-find
+    replay, and the hierarchy laws hold: n_clusters nonincreasing,
+    max cluster size nondecreasing as the threshold loosens."""
+    import duckdb
+    from itertools import combinations
+
+    from etl_airflow_spotify_spark.queries.linkage import MAX_EDIT
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = {r["threshold"]: r
+            for r in _rows("single_link_dendrogram", spark, sf_dir)}
+    names = sorted(n for (n,) in duckdb.sql(
+        f"SELECT DISTINCT p_name FROM '{sf_dir}/part.parquet'"
+    ).fetchall())
+    # blocked candidates, exactly as the query blocks
+    pairs = []
+    for a, b in combinations(names, 2):
+        ta, tb = a.split(" "), b.split(" ")
+        if ta[0] != tb[0] and ta[1] != tb[1]:
+            continue
+        d = lev(a, b)
+        if d <= MAX_EDIT:
+            pairs.append((a, b, d))
+
+    prev = None
+    for t in range(1, MAX_EDIT + 1):
+        parent = {n: n for n in names}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b, d in pairs:
+            if d <= t:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+        sizes = {}
+        for n in names:
+            r = find(n)
+            sizes[r] = sizes.get(r, 0) + 1
+        row = rows[t]
+        assert row["n_values"] == len(names)
+        assert row["n_clusters"] == len(sizes)
+        assert row["n_singletons"] == sum(
+            1 for s in sizes.values() if s == 1)
+        assert row["max_cluster_size"] == max(sizes.values())
+        if prev is not None:
+            assert row["n_clusters"] <= prev["n_clusters"]
+            assert row["max_cluster_size"] >= prev["max_cluster_size"]
+        prev = row
