@@ -235,6 +235,7 @@ HEADLINE = [
     "mutual_best_matching",
     "ind_discovery",
     "single_link_dendrogram",
+    "distributional_word_sim",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

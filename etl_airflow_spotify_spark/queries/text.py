@@ -2048,3 +2048,176 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6).alias("r2"),
         "total_tokens", "total_vocab")
         .orderBy("fit"))
+
+
+# --------------------------------------------------------------------------
+# X190: distributional word similarity — count-based word embeddings
+# (PPMI-weighted context vectors + sparse cosine), the pre-neural
+# embedding baseline (Levy & Goldberg showed skip-gram factorizes
+# exactly this matrix) and the cheapest "what behaves like X" tool a
+# corpus pipeline owns. Co-occurrence pairs come from a +-2 token
+# window via four (doc, pos+off) equi-joins (linear fan-out, the
+# X87 positional-join discipline — never a per-doc self-join);
+# PPMI lands on the micro-bit grid because every log2 argument is an
+# integer (pair count, marginals, total), so context vectors are
+# BIGINT-valued and the cosine numerator is an exact integer fold
+# over the shared-context join; norms are correctly-rounded sqrts of
+# identical integers. Similarity is evaluated among the SIM_TOP_W
+# most frequent words (frequency ties -> lexicographic), top
+# SIM_TOP_K neighbors each.
+# --------------------------------------------------------------------------
+SIM_TOP_W = 50
+SIM_TOP_K = 5
+
+
+@register(
+    "distributional_word_sim",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+               unnest(toks) AS w
+        FROM d
+    ),
+    pairs AS (
+        SELECT a.w AS w, b.w AS c
+        FROM tok a
+        JOIN (SELECT unnest([-2, -1, 1, 2]) AS off) o ON TRUE
+        JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + o.off
+    ),
+    nwc AS (
+        SELECT w, c, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs GROUP BY w, c
+    ),
+    nw AS (SELECT w, CAST(SUM(n) AS BIGINT) AS nw FROM nwc GROUP BY w),
+    nc AS (SELECT c, CAST(SUM(n) AS BIGINT) AS nc FROM nwc GROUP BY c),
+    nn AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM nwc),
+    ppmi AS (
+        SELECT nwc.w, nwc.c,
+               GREATEST(CAST(0 AS BIGINT),
+                   CAST(ROUND(log2(nwc.n) * 1000000) AS BIGINT)
+                   + CAST(ROUND(log2(nn.nn) * 1000000) AS BIGINT)
+                   - CAST(ROUND(log2(nw.nw) * 1000000) AS BIGINT)
+                   - CAST(ROUND(log2(nc.nc) * 1000000) AS BIGINT))
+                   AS p
+        FROM nwc JOIN nw ON nw.w = nwc.w
+        JOIN nc ON nc.c = nwc.c CROSS JOIN nn
+    ),
+    vec AS (SELECT w, c, p FROM ppmi WHERE p > 0),
+    top AS (
+        SELECT w FROM (
+            SELECT w, ROW_NUMBER() OVER (ORDER BY nw DESC, w) AS r
+            FROM nw
+        ) WHERE r <= {SIM_TOP_W}
+    ),
+    nrm AS (
+        SELECT v.w, CAST(SUM(v.p * v.p) AS BIGINT) AS n2
+        FROM vec v JOIN top t ON t.w = v.w GROUP BY v.w
+    ),
+    dots AS (
+        SELECT a.w AS wa, b.w AS wb, CAST(SUM(a.p * b.p) AS BIGINT)
+                   AS num
+        FROM vec a JOIN top ta ON ta.w = a.w
+        JOIN vec b ON b.c = a.c AND b.w <> a.w
+        JOIN top tb ON tb.w = b.w
+        GROUP BY a.w, b.w
+    ),
+    sims AS (
+        SELECT d.wa AS word, d.wb AS neighbor,
+               ROUND(d.num / (SQRT(CAST(na.n2 AS DOUBLE))
+                              * SQRT(CAST(nb.n2 AS DOUBLE))), 6)
+                   AS sim
+        FROM dots d JOIN nrm na ON na.w = d.wa
+        JOIN nrm nb ON nb.w = d.wb
+    )
+    SELECT word, CAST(rk AS BIGINT) AS rank, neighbor, sim FROM (
+        SELECT word, neighbor, sim,
+               ROW_NUMBER() OVER (PARTITION BY word
+                                  ORDER BY sim DESC, neighbor) AS rk
+        FROM sims
+    ) WHERE rk <= {SIM_TOP_K}
+    ORDER BY word, rank
+    """,
+    doc=f"X190 distributional word similarity: +-2-window "
+        "co-occurrence via positional equi-joins, PPMI on the "
+        "micro-bit grid (all log2 args integer), sparse-cosine "
+        f"neighbors among the top-{SIM_TOP_W} words (exact BIGINT "
+        "dot products over the shared-context join, correctly-"
+        f"rounded norms), top-{SIM_TOP_K} each.",
+    tags=("X190", "X41", "X100", "X17", "X87"),
+)
+def distributional_word_sim(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    d = _docs(spark, sf_dir)
+    tok = persist_tracked(
+        d.select("doc_id",
+                 F.posexplode(F.split(F.trim(F.lower(F.col("text"))),
+                                      r"\s+")).alias("pos0", "w"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w"))
+    offs = spark.createDataFrame([(-2,), (-1,), (1,), (2,)],
+                                 "off INT")
+    b = tok.select(F.col("doc_id"), F.col("pos").alias("bpos"),
+                   F.col("w").alias("c"))
+    pairs = (tok.crossJoin(F.broadcast(offs))
+             .withColumn("bpos", F.col("pos") + F.col("off"))
+             .join(b, ["doc_id", "bpos"])
+             .select("w", "c"))
+    nwc = persist_tracked(
+        pairs.groupBy("w", "c").agg(F.count("*").cast("long")
+                                    .alias("n")))
+    nw = persist_tracked(
+        nwc.groupBy("w").agg(F.sum("n").cast("long").alias("nw")))
+    nc = nwc.groupBy("c").agg(F.sum("n").cast("long").alias("nc"))
+    nn = nwc.agg(F.sum("n").cast("long").alias("nn"))
+
+    def l2m(c):
+        return F.round(F.log2(c) * 1e6, 0).cast("long")
+
+    ppmi = (nwc.join(nw, "w").join(nc, "c")
+            .crossJoin(F.broadcast(nn))
+            .select("w", "c",
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        l2m(F.col("n")) + l2m(F.col("nn"))
+                        - l2m(F.col("nw")) - l2m(F.col("nc")))
+                    .alias("p")))
+    vec = persist_tracked(ppmi.filter(F.col("p") > 0))
+    top = (nw.withColumn("r", F.row_number().over(
+        Window.orderBy(F.desc("nw"), F.asc("w"))))
+        .filter(F.col("r") <= SIM_TOP_W).select("w"))
+    tvec = persist_tracked(vec.join(F.broadcast(top), "w"))
+    nrm = tvec.groupBy("w").agg(
+        F.sum(F.col("p") * F.col("p")).cast("long").alias("n2"))
+    a = tvec.select(F.col("w").alias("wa"), "c",
+                    F.col("p").alias("pa"))
+    bb = tvec.select(F.col("w").alias("wb"), "c",
+                     F.col("p").alias("pb"))
+    dots = (a.join(bb, "c")
+            .filter(F.col("wb") != F.col("wa"))
+            .groupBy("wa", "wb")
+            .agg(F.sum(F.col("pa") * F.col("pb")).cast("long")
+                 .alias("num")))
+    sims = (dots
+            .join(nrm.select(F.col("w").alias("wa"),
+                             F.col("n2").alias("na2")), "wa")
+            .join(nrm.select(F.col("w").alias("wb"),
+                             F.col("n2").alias("nb2")), "wb")
+            .select(F.col("wa").alias("word"),
+                    F.col("wb").alias("neighbor"),
+                    F.round(F.col("num")
+                            / (F.sqrt(F.col("na2").cast("double"))
+                               * F.sqrt(F.col("nb2").cast("double"))),
+                            6).alias("sim")))
+    wr = Window.partitionBy("word").orderBy(F.desc("sim"),
+                                            F.asc("neighbor"))
+    return (sims.withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") <= SIM_TOP_K)
+            .select("word", F.col("rk").cast("long").alias("rank"),
+                    "neighbor", "sim")
+            .orderBy("word", "rank"))

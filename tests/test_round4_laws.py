@@ -3342,3 +3342,67 @@ def test_dendrogram_matches_unionfind_and_nests(spark, sf_dir):
             assert row["n_clusters"] <= prev["n_clusters"]
             assert row["max_cluster_size"] >= prev["max_cluster_size"]
         prev = row
+
+
+def test_word_sim_matches_python_replay(spark, sf_dir):
+    """X190: PPMI vectors and top-k cosine neighbors match a full
+    Python replay; sims lie in [0, 1] (PPMI vectors are
+    nonnegative)."""
+    import duckdb
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from etl_airflow_spotify_spark.queries.text import (
+        SIM_TOP_K, SIM_TOP_W)
+
+    rows = _rows("distributional_word_sim", spark, sf_dir)
+    docs = duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'").fetchall()
+    nwc = Counter()
+    for (text,) in docs:
+        ws = re.split(r"\s+", text.strip().lower())
+        for i, w in enumerate(ws):
+            for off in (-2, -1, 1, 2):
+                j = i + off
+                if 0 <= j < len(ws):
+                    nwc[(w, ws[j])] += 1
+    nw = Counter()
+    nc = Counter()
+    for (w, c), n in nwc.items():
+        nw[w] += n
+        nc[c] += n
+    nn = sum(nwc.values())
+
+    def l2m(x):
+        return round(math.log2(x) * 1e6)
+
+    vec = defaultdict(dict)
+    for (w, c), n in nwc.items():
+        p = max(0, l2m(n) + l2m(nn) - l2m(nw[w]) - l2m(nc[c]))
+        if p > 0:
+            vec[w][c] = p
+    top = sorted(nw, key=lambda w: (-nw[w], w))[:SIM_TOP_W]
+    want = {}
+    for wa in top:
+        sims = []
+        for wb in top:
+            if wb == wa:
+                continue
+            num = sum(p * vec[wb].get(c, 0)
+                      for c, p in vec[wa].items())
+            if num == 0:
+                continue
+            na = math.sqrt(sum(p * p for p in vec[wa].values()))
+            nb = math.sqrt(sum(p * p for p in vec[wb].values()))
+            sims.append((round(num / (na * nb), 6), wb))
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (s, wb) in enumerate(sims[:SIM_TOP_K], 1):
+            want[(wa, rk)] = (wb, s)
+    got = {(r["word"], r["rank"]): (r["neighbor"], r["sim"])
+           for r in rows}
+    assert set(got) == set(want)
+    for k, (nb, s) in want.items():
+        assert got[k][0] == nb
+        assert abs(got[k][1] - s) <= 1e-9
+        assert 0.0 <= got[k][1] <= 1.0 + 1e-9
