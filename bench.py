@@ -236,6 +236,7 @@ HEADLINE = [
     "ind_discovery",
     "single_link_dendrogram",
     "distributional_word_sim",
+    "temperature_mix_plan",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

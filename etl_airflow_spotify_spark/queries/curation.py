@@ -1048,3 +1048,123 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("ntok").cast("long").alias("tokens_selected"),
                  F.min("qm").cast("long").alias("min_quality_micro"))
             .withColumn("budget_tokens", F.lit(budget).cast("long")))
+
+
+# --------------------------------------------------------------------------
+# X191: temperature-scaled corpus mixing — the multilingual sampling
+# law every LLM data recipe quotes (sample language l with
+# probability ~ share_l^alpha, upsampling the tail): here at
+# alpha = 1/2, deliberately, because sqrt is IEEE-754
+# correctly-rounded (pow(x, 0.7) is libm-dependent and would need a
+# micro-snap; sqrt of identical doubles is bit-identical for free).
+# One documents pass counts per-lang docs/tokens; weights
+# sqrt(tokens) snap to the micro grid; sampling probabilities are
+# single divisions of those BIGINTs; and the concrete BATCH-example
+# plan is Hamilton largest-remainder apportionment in pure integer
+# arithmetic (the X148/X182 machinery). The boost column
+# (sample_prob / raw_share) is the up/down-sampling factor training
+# actually applies.
+# --------------------------------------------------------------------------
+MIX_BATCH = 1000
+
+
+@register(
+    "temperature_mix_plan",
+    f"""
+    WITH lt AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split_regex(trim(lower(text)),
+                                               '\\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM lt
+    ),
+    wgt AS (
+        SELECT lang, n_docs, n_tokens,
+               CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000, 0)
+                    AS BIGINT) AS wm
+        FROM lt
+    ),
+    wtot AS (SELECT CAST(SUM(wm) AS BIGINT) AS w FROM wgt),
+    quota AS (
+        SELECT lang, n_docs, n_tokens, wm,
+               ({MIX_BATCH} * wm) // wtot.w AS base_n,
+               {MIX_BATCH} * wm
+                 - (({MIX_BATCH} * wm) // wtot.w) * wtot.w AS rem
+        FROM wgt CROSS JOIN wtot
+    ),
+    left_ AS (
+        SELECT {MIX_BATCH} - CAST(SUM(base_n) AS BIGINT) AS k
+        FROM quota
+    ),
+    alloc AS (
+        SELECT lang, n_docs, n_tokens, wm,
+               CAST(base_n + CASE WHEN rnk <= left_.k THEN 1 ELSE 0 END
+                    AS BIGINT) AS batch_n
+        FROM (SELECT q.*, ROW_NUMBER() OVER (ORDER BY rem DESC, lang)
+                     AS rnk FROM quota q)
+        CROSS JOIN left_
+    )
+    SELECT a.lang, a.n_docs, a.n_tokens,
+           ROUND(CAST(a.n_tokens AS DOUBLE) / tot.t, 6) AS raw_share,
+           a.wm AS weight_micro,
+           ROUND(CAST(a.wm AS DOUBLE) / wtot.w, 6) AS sample_prob,
+           a.batch_n,
+           ROUND((CAST(a.wm AS DOUBLE) / wtot.w)
+                 / (CAST(a.n_tokens AS DOUBLE) / tot.t), 4) AS boost
+    FROM alloc a CROSS JOIN tot CROSS JOIN wtot
+    ORDER BY a.lang
+    """,
+    doc=f"X191 temperature mixing (alpha=1/2): per-lang token counts "
+        "from one pass, sqrt-of-tokens weights micro-snapped (sqrt "
+        "is correctly rounded — no libm pow), sampling probs single "
+        f"divisions, {MIX_BATCH}-example batch plan via Hamilton "
+        "integer apportionment, boost = up/down-sampling factor.",
+    tags=("X191", "X28", "X148", "X182", "X18"),
+)
+def temperature_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..catalog import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents")
+    lt = (d.groupBy("lang")
+          .agg(F.count("*").cast("long").alias("n_docs"),
+               F.sum(F.size(F.split(F.trim(F.lower(F.col("text"))),
+                                    r"\s+"))).cast("long")
+               .alias("n_tokens")))
+    tot = lt.agg(F.sum("n_tokens").cast("long").alias("t"))
+    wgt = lt.select("lang", "n_docs", "n_tokens",
+                    F.round(F.sqrt(F.col("n_tokens").cast("double"))
+                            * 1e6, 0).cast("long").alias("wm"))
+    wtot = wgt.agg(F.sum("wm").cast("long").alias("w"))
+    quota = (wgt.crossJoin(F.broadcast(wtot))
+             .select("*",
+                     F.expr(f"({MIX_BATCH} * wm) DIV w").alias("base_n"),
+                     F.expr(f"{MIX_BATCH} * wm"
+                            f" - (({MIX_BATCH} * wm) DIV w) * w")
+                     .alias("rem")))
+    leftk = quota.agg((F.lit(MIX_BATCH) - F.sum("base_n"))
+                      .cast("long").alias("k"))
+    alloc = (quota.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("rem"),
+                                                  F.asc("lang"))))
+        .crossJoin(F.broadcast(leftk))
+        .select("lang", "n_docs", "n_tokens", "wm", "w",
+                (F.col("base_n")
+                 + F.when(F.col("rnk") <= F.col("k"), 1).otherwise(0))
+                .cast("long").alias("batch_n")))
+    return (alloc.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs", "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("t"), 6)
+        .alias("raw_share"),
+        F.col("wm").alias("weight_micro"),
+        F.round(F.col("wm").cast("double") / F.col("w"), 6)
+        .alias("sample_prob"),
+        "batch_n",
+        F.round((F.col("wm").cast("double") / F.col("w"))
+                / (F.col("n_tokens").cast("double") / F.col("t")), 4)
+        .alias("boost"))
+        .orderBy("lang"))

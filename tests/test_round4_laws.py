@@ -3406,3 +3406,50 @@ def test_word_sim_matches_python_replay(spark, sf_dir):
         assert got[k][0] == nb
         assert abs(got[k][1] - s) <= 1e-9
         assert 0.0 <= got[k][1] <= 1.0 + 1e-9
+
+
+def test_temperature_mix_replay_and_flattening(spark, sf_dir):
+    """X191: plan matches a Python replay; batch sums to MIX_BATCH;
+    temperature flattens (minority langs boosted >= 1, the largest
+    lang's boost <= 1); probs sum to 1."""
+    import duckdb
+    import math
+    import re
+
+    from etl_airflow_spotify_spark.queries.curation import MIX_BATCH
+
+    rows = {r["lang"]: r
+            for r in _rows("temperature_mix_plan", spark, sf_dir)}
+    docs = duckdb.sql(
+        f"SELECT lang, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    tok = {}
+    nd = {}
+    for lang, text in docs:
+        tok[lang] = tok.get(lang, 0) + len(
+            re.split(r"\s+", text.strip().lower()))
+        nd[lang] = nd.get(lang, 0) + 1
+    t = sum(tok.values())
+    wm = {l: round(math.sqrt(n) * 1e6) for l, n in tok.items()}
+    w = sum(wm.values())
+    base = {l: (MIX_BATCH * x) // w for l, x in wm.items()}
+    rem = {l: MIX_BATCH * x - base[l] * w for l, x in wm.items()}
+    k = MIX_BATCH - sum(base.values())
+    order = sorted(rem, key=lambda l: (-rem[l], l))
+    alloc = {l: base[l] + (1 if order.index(l) < k else 0)
+             for l in wm}
+    assert sum(r["batch_n"] for r in rows.values()) == MIX_BATCH
+    assert abs(sum(r["sample_prob"] for r in rows.values()) - 1.0) \
+        <= 1e-4
+    for l in wm:
+        r = rows[l]
+        assert r["n_docs"] == nd[l] and r["n_tokens"] == tok[l]
+        assert r["weight_micro"] == wm[l]
+        assert r["batch_n"] == alloc[l]
+        assert abs(r["sample_prob"] - round(wm[l] / w, 6)) <= 1e-9
+        assert abs(r["boost"]
+                   - round((wm[l] / w) / (tok[l] / t), 4)) <= 1e-9
+    biggest = max(tok, key=lambda l: (tok[l], l))
+    smallest = min(tok, key=lambda l: (tok[l], l))
+    assert rows[biggest]["boost"] <= 1.0 + 1e-9
+    assert rows[smallest]["boost"] >= 1.0 - 1e-9
