@@ -237,6 +237,7 @@ HEADLINE = [
     "single_link_dendrogram",
     "distributional_word_sim",
     "temperature_mix_plan",
+    "ot_transport_plan",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -2221,3 +2221,121 @@ def distributional_word_sim(spark: SparkSession,
             .select("word", F.col("rk").cast("long").alias("rank"),
                     "neighbor", "sim")
             .orderBy("word", "rank"))
+
+
+# --------------------------------------------------------------------------
+# X192: optimal-transport PLAN between histograms — X122 ships the
+# 1-D Wasserstein DISTANCE; rebalancing decisions need the PLAN
+# (which mass moves from which bucket to which: the curriculum /
+# re-binning recipe). In 1-D the Monge plan is the monotone coupling
+# of the two CDFs, and it is EXACT in integers: scale A's cumulative
+# interval [loA_i, hiA_i) by nB and B's by nA, and the coupled mass
+# is interval intersection
+#   m_ij = max(0, min(hiA_i*nB, hiB_j*nA) - max(loA_i*nB, loB_j*nA))
+# in units of 1/(nA*nB) — pure BIGINT, no fractions anywhere. The
+# histogram frames are bucket-bounded, so the overlap theta-join is
+# bucket^2 at worst (its true size is O(binsA + binsB) because the
+# monotone coupling is staircase-shaped — each row overlaps O(1)
+# intervals amortized).
+# --------------------------------------------------------------------------
+OT_SRC_A = "src0"
+OT_SRC_B = "src1"
+OT_BIN_W = 200
+
+
+@register(
+    "ot_transport_plan",
+    f"""
+    WITH ha AS (
+        SELECT n_chars // {OT_BIN_W} AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents WHERE source = '{OT_SRC_A}' GROUP BY 1
+    ),
+    hb AS (
+        SELECT n_chars // {OT_BIN_W} AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents WHERE source = '{OT_SRC_B}' GROUP BY 1
+    ),
+    na AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ha),
+    nb AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hb),
+    ca AS (
+        SELECT bin, CAST(SUM(c) OVER (ORDER BY bin) - c AS BIGINT)
+                   AS lo,
+               CAST(SUM(c) OVER (ORDER BY bin) AS BIGINT) AS hi
+        FROM ha
+    ),
+    cb AS (
+        SELECT bin, CAST(SUM(c) OVER (ORDER BY bin) - c AS BIGINT)
+                   AS lo,
+               CAST(SUM(c) OVER (ORDER BY bin) AS BIGINT) AS hi
+        FROM hb
+    ),
+    plan AS (
+        SELECT ca.bin AS from_bin, cb.bin AS to_bin,
+               LEAST(ca.hi * nb.n, cb.hi * na.n)
+               - GREATEST(ca.lo * nb.n, cb.lo * na.n) AS mass_units
+        FROM ca CROSS JOIN na CROSS JOIN nb
+        JOIN cb ON cb.lo * na.n < ca.hi * nb.n
+               AND ca.lo * nb.n < cb.hi * na.n
+    )
+    SELECT p.from_bin, p.to_bin, p.mass_units,
+           ROUND(CAST(p.mass_units AS DOUBLE) / (na.n * nb.n), 6)
+               AS mass_frac,
+           CAST(ABS(p.from_bin - p.to_bin) * p.mass_units AS BIGINT)
+               AS cost_units
+    FROM plan p CROSS JOIN na CROSS JOIN nb
+    WHERE p.mass_units > 0
+    ORDER BY from_bin, to_bin
+    """,
+    doc=f"X192 exact 1-D optimal-transport plan between "
+        f"'{OT_SRC_A}' and '{OT_SRC_B}' length histograms "
+        f"({OT_BIN_W}-char bins): monotone CDF coupling via integer "
+        "interval intersection on the nA*nB common-denominator grid "
+        "— pure BIGINT mass, bucket-bounded staircase join; per-cell "
+        "mass and |i-j| cost contributions.",
+    tags=("X192", "X122", "X129", "X5", "X7"),
+)
+def ot_transport_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+
+    def hist(src):
+        return (d.filter(F.col("source") == src)
+                .groupBy(F.expr(f"n_chars DIV {OT_BIN_W}").alias("bin"))
+                .agg(F.count("*").cast("long").alias("c")))
+
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0)
+
+    def cum(h, lo, hi):
+        return h.select(
+            "bin",
+            (F.sum("c").over(wcum) - F.col("c")).cast("long")
+            .alias(lo),
+            F.sum("c").over(wcum).cast("long").alias(hi))
+
+    ha, hb = hist(OT_SRC_A), hist(OT_SRC_B)
+    na = ha.agg(F.sum("c").cast("long").alias("na"))
+    nb = hb.agg(F.sum("c").cast("long").alias("nb"))
+    ca = cum(ha, "loa", "hia").withColumnRenamed("bin", "from_bin")
+    cb = cum(hb, "lob", "hib").withColumnRenamed("bin", "to_bin")
+    plan = (ca.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
+            .join(cb,
+                  (F.col("lob") * F.col("na") < F.col("hia")
+                   * F.col("nb"))
+                  & (F.col("loa") * F.col("nb") < F.col("hib")
+                     * F.col("na")))
+            .select("from_bin", "to_bin", "na", "nb",
+                    (F.least(F.col("hia") * F.col("nb"),
+                             F.col("hib") * F.col("na"))
+                     - F.greatest(F.col("loa") * F.col("nb"),
+                                  F.col("lob") * F.col("na")))
+                    .alias("mass_units")))
+    return (plan.filter(F.col("mass_units") > 0)
+            .select("from_bin", "to_bin", "mass_units",
+                    F.round(F.col("mass_units").cast("double")
+                            / (F.col("na") * F.col("nb")), 6)
+                    .alias("mass_frac"),
+                    (F.abs(F.col("from_bin") - F.col("to_bin"))
+                     * F.col("mass_units")).cast("long")
+                    .alias("cost_units"))
+            .orderBy("from_bin", "to_bin"))

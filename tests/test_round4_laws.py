@@ -3453,3 +3453,64 @@ def test_temperature_mix_replay_and_flattening(spark, sf_dir):
     smallest = min(tok, key=lambda l: (tok[l], l))
     assert rows[biggest]["boost"] <= 1.0 + 1e-9
     assert rows[smallest]["boost"] >= 1.0 - 1e-9
+
+
+def test_ot_plan_is_valid_coupling(spark, sf_dir):
+    """X192: the plan is a valid coupling — row marginals equal
+    A's histogram x nB, column marginals equal B's histogram x nA,
+    total mass = nA*nB — and matches a Python monotone-coupling
+    replay; total cost / (nA*nB) equals the scalar 1-D EMD."""
+    import duckdb
+    from collections import Counter
+
+    from etl_airflow_spotify_spark.queries.text import (
+        OT_BIN_W, OT_SRC_A, OT_SRC_B)
+
+    rows = _rows("ot_transport_plan", spark, sf_dir)
+    hist = {OT_SRC_A: Counter(), OT_SRC_B: Counter()}
+    for src, nc in duckdb.sql(
+            f"SELECT source, n_chars FROM "
+            f"'{sf_dir}/documents.parquet' "
+            f"WHERE source IN ('{OT_SRC_A}', '{OT_SRC_B}')"
+    ).fetchall():
+        hist[src][nc // OT_BIN_W] += 1
+    na = sum(hist[OT_SRC_A].values())
+    nb = sum(hist[OT_SRC_B].values())
+
+    # python monotone coupling replay
+    want = {}
+    loa = 0
+    for i in sorted(hist[OT_SRC_A]):
+        hia = loa + hist[OT_SRC_A][i]
+        lob = 0
+        for j in sorted(hist[OT_SRC_B]):
+            hib = lob + hist[OT_SRC_B][j]
+            m = min(hia * nb, hib * na) - max(loa * nb, lob * na)
+            if m > 0:
+                want[(i, j)] = m
+            lob = hib
+        loa = hia
+    got = {(r["from_bin"], r["to_bin"]): r["mass_units"]
+           for r in rows}
+    assert got == want
+    assert sum(got.values()) == na * nb
+    rowm = Counter()
+    colm = Counter()
+    for (i, j), m in got.items():
+        rowm[i] += m
+        colm[j] += m
+    for i, c in hist[OT_SRC_A].items():
+        assert rowm[i] == c * nb
+    for j, c in hist[OT_SRC_B].items():
+        assert colm[j] == c * na
+    # scalar EMD cross-check: sum |cumA*nB - cumB*nA| over the merged
+    # support equals total plan cost (both in 1/(nA*nB) units per bin)
+    cost = sum(r["cost_units"] for r in rows)
+    bins = sorted(set(hist[OT_SRC_A]) | set(hist[OT_SRC_B]))
+    emd = 0
+    ca = cb = 0
+    for b in range(bins[0], bins[-1]):
+        ca += hist[OT_SRC_A].get(b, 0)
+        cb += hist[OT_SRC_B].get(b, 0)
+        emd += abs(ca * nb - cb * na)
+    assert cost == emd
