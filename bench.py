@@ -238,6 +238,7 @@ HEADLINE = [
     "distributional_word_sim",
     "temperature_mix_plan",
     "ot_transport_plan",
+    "deepwalk_corpus",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -1383,3 +1383,119 @@ def clustering_coefficient_profile(spark: SparkSession,
          ("global", -1, n_nodes, round(3.0 * n_tri / n_wedges, 6))],
         "kind STRING, bucket BIGINT, n BIGINT, value DOUBLE")
     return hist.unionByName(extra).orderBy("kind", "bucket")
+
+
+# --------------------------------------------------------------------------
+# X193: random-walk corpus generation (DeepWalk/node2vec stage 1) —
+# graph-embedding pipelines never train on edges directly: they
+# train a word2vec-style model on WALK SEQUENCES. This op generates
+# those sequences deterministically: every hop draws the next
+# neighbor by an md5 of (walk, step, current node) modulo the node's
+# degree, over a per-node neighbor INDEX (row_number over sorted
+# neighbors) — so the draw is a pure hash-join lookup, exactly
+# uniform over neighbors, and bit-identical on both engines (no RNG
+# state anywhere, the X103/X106 discipline). Walks start at the
+# DW_SEEDS highest-degree nodes; each of DW_LEN hops is one join
+# against the persisted index, localCheckpointed so plan depth stays
+# constant; the oracle replays every hop as generated MATERIALIZED
+# CTEs.
+# --------------------------------------------------------------------------
+DW_SEEDS = 20
+DW_LEN = 8
+
+
+def _deepwalk_oracle() -> str:
+    head = f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                FROM lineitem),
+    e AS MATERIALIZED (
+        SELECT DISTINCT a.i AS src, b.i AS dst
+        FROM op a JOIN op b ON a.g = b.g AND a.i <> b.i
+    ),
+    nbr AS MATERIALIZED (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+        FROM e
+    ),
+    deg AS MATERIALIZED (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src
+    ),
+    seeds AS (
+        SELECT src AS wid FROM (
+            SELECT src, ROW_NUMBER() OVER (ORDER BY deg DESC, src)
+                       AS r
+            FROM deg
+        ) WHERE r <= {DW_SEEDS}
+    ),
+    w0 AS (SELECT wid, 0 AS step, wid AS cur FROM seeds)"""
+    steps = []
+    for t in range(1, DW_LEN + 1):
+        steps.append(f"""
+    w{t} AS MATERIALIZED (
+        SELECT w.wid, {t} AS step, nbr.dst AS cur
+        FROM w{t-1} w
+        JOIN deg ON deg.src = w.cur
+        JOIN nbr ON nbr.src = w.cur
+               AND nbr.rn = ('0x' || substr(md5('dw:' || w.wid || ':'
+                             || {t} || ':' || w.cur), 1, 15))::BIGINT
+                             % deg.deg + 1
+    )""")
+    final = " UNION ALL ".join(
+        f"SELECT wid, CAST(step AS BIGINT) AS step, cur AS node "
+        f"FROM w{t}" for t in range(0, DW_LEN + 1))
+    return (head + "," + ",".join(steps)
+            + f" SELECT * FROM ({final}) ORDER BY wid, step")
+
+
+@register(
+    "deepwalk_corpus",
+    _deepwalk_oracle(),
+    doc=f"X193 DeepWalk corpus: {DW_SEEDS} walks of length {DW_LEN} "
+        "from the highest-degree co-purchase nodes; each hop draws "
+        "next = neighbor[md5(walk, step, cur) % degree + 1] over a "
+        "sorted neighbor index — exactly uniform, RNG-free, one "
+        "hash join per hop (localCheckpoint keeps plan depth "
+        "constant); generated MATERIALIZED-CTE oracle replays every "
+        "hop.",
+    tags=("X193", "X42", "X78", "X106", "X3"),
+)
+def deepwalk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = persist_tracked(
+        G.cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+    nbr = persist_tracked(
+        edges.withColumn("rn", F.row_number().over(
+            Window.partitionBy("src").orderBy("dst")))
+        .select(F.col("src").alias("nsrc"), "dst", "rn"))
+    deg = persist_tracked(
+        edges.groupBy("src").agg(F.count("*").cast("long")
+                                 .alias("deg"))
+        .select(F.col("src").alias("dsrc"), "deg"))
+    seeds = (deg.withColumn("r", F.row_number().over(
+        Window.orderBy(F.desc("deg"), F.asc("dsrc"))))
+        .filter(F.col("r") <= DW_SEEDS)
+        .select(F.col("dsrc").alias("wid")))
+    cur = seeds.select("wid", F.lit(0).alias("step"),
+                       F.col("wid").alias("cur")).localCheckpoint()
+    out = cur
+    for t in range(1, DW_LEN + 1):
+        h = F.conv(F.substring(F.md5(F.concat(
+            F.lit("dw:"), F.col("wid").cast("string"), F.lit(":"),
+            F.lit(t).cast("string"), F.lit(":"),
+            F.col("cur").cast("string"))), 1, 15), 16, 10) \
+            .cast("long")
+        step = (cur.join(deg, F.col("dsrc") == F.col("cur"))
+                .withColumn("pick", h % F.col("deg") + 1)
+                .join(nbr, (F.col("nsrc") == F.col("cur"))
+                      & (F.col("rn") == F.col("pick")))
+                .select("wid", F.lit(t).alias("step"),
+                        F.col("dst").alias("cur"))
+                .localCheckpoint())
+        out = out.unionByName(step)
+        cur = step
+    return (out.select("wid", F.col("step").cast("long").alias("step"),
+                       F.col("cur").alias("node"))
+            .orderBy("wid", "step"))

@@ -3514,3 +3514,48 @@ def test_ot_plan_is_valid_coupling(spark, sf_dir):
         cb += hist[OT_SRC_B].get(b, 0)
         emd += abs(ca * nb - cb * na)
     assert cost == emd
+
+
+def test_deepwalk_replay_and_edge_validity(spark, sf_dir):
+    """X193: walks match an exact Python replay (md5 draws over the
+    sorted neighbor index); every consecutive hop is a real edge;
+    every walk starts at its seed and has full length."""
+    import duckdb
+    import hashlib
+    from collections import defaultdict
+
+    from etl_airflow_spotify_spark.queries.graph import DW_LEN, DW_SEEDS
+
+    rows = _rows("deepwalk_corpus", spark, sf_dir)
+    op = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey "
+        f"FROM '{sf_dir}/lineitem.parquet'").fetchall()
+    bask = defaultdict(set)
+    for o, p in op:
+        bask[o].add(p)
+    nbrs = defaultdict(set)
+    for mem in bask.values():
+        for a in mem:
+            for b in mem:
+                if a != b:
+                    nbrs[a].add(b)
+    deg = {n: len(v) for n, v in nbrs.items()}
+    seeds = sorted(deg, key=lambda n: (-deg[n], n))[:DW_SEEDS]
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for wid in seeds:
+        cur = wid
+        want[(wid, 0)] = cur
+        for t in range(1, DW_LEN + 1):
+            idx = md5_60(f"dw:{wid}:{t}:{cur}") % deg[cur]
+            cur = sorted(nbrs[cur])[idx]
+            want[(wid, t)] = cur
+    got = {(r["wid"], r["step"]): r["node"] for r in rows}
+    assert got == want
+    for wid in seeds:
+        assert got[(wid, 0)] == wid
+        for t in range(1, DW_LEN + 1):
+            assert got[(wid, t)] in nbrs[got[(wid, t - 1)]]
