@@ -239,6 +239,7 @@ HEADLINE = [
     "temperature_mix_plan",
     "ot_transport_plan",
     "deepwalk_corpus",
+    "winnowing_fingerprints",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

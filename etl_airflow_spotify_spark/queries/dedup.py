@@ -957,3 +957,132 @@ def containment_subset_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.col("size_a") + F.col("size_b")
                                - F.col("i")), 6).alias("jaccard"))
             .orderBy("id_a", "id_b"))
+
+
+# --------------------------------------------------------------------------
+# X194: winnowing fingerprints (Schleimer/Wilkerson/Aiken — the MOSS
+# algorithm) — the POSITION-AWARE near-dup detector the MinHash (X16)
+# and SimHash families lack: winnowing guarantees that any shared
+# run of at least w+k-1 tokens produces at least one shared selected
+# fingerprint (the coverage guarantee plagiarism detection relies
+# on). Per doc: md5 hashes of word k-grams at every position, then
+# each length-w window selects its MINIMUM hash (ties by position —
+# md5 makes real ties negligible); the distinct selected hashes are
+# the doc's fingerprint set. Pairing is a hash-join on fingerprints
+# with the X16 bucket cap (fingerprints shared by more than
+# WIN_MAX_DOCS docs are template noise, dropped — the MOSS "common
+# code" rule); overlap scores are exact integer Jaccards.
+# --------------------------------------------------------------------------
+WIN_K = 4        # k-gram width (words)
+WIN_W = 4        # winnowing window (k-gram positions)
+WIN_MAX_DOCS = 20
+WIN_MIN_SHARED = 3
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    gram AS (
+        SELECT doc_id, p,
+               ('0x' || substr(md5(
+                    array_to_string(toks[p:p+{WIN_K}-1], ' ')), 1, 15)
+                )::BIGINT AS h,
+               len(toks) - {WIN_K} + 1 AS ng
+        FROM (SELECT doc_id, toks,
+                     unnest(range(1, len(toks) - {WIN_K} + 2)) AS p
+              FROM d WHERE len(toks) >= {WIN_K})
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, mh AS h FROM (
+            SELECT doc_id, p, ng,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                                ROWS BETWEEN CURRENT ROW
+                                AND {WIN_W - 1} FOLLOWING) AS mh
+            FROM gram
+        ) WHERE p <= ng - {WIN_W} + 1
+    ),
+    nfp AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf
+        FROM sel GROUP BY doc_id
+    ),
+    rare AS (
+        SELECT h FROM sel GROUP BY h
+        HAVING COUNT(*) <= {WIN_MAX_DOCS}
+    ),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sel a JOIN rare r ON r.h = a.h
+        JOIN sel b ON b.h = a.h AND b.doc_id > a.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= {WIN_MIN_SHARED}
+    )
+    SELECT s.doc_a, s.doc_b, s.n_shared, na.nf AS nf_a, nb.nf AS nf_b,
+           ROUND(CAST(s.n_shared AS DOUBLE)
+                 / (na.nf + nb.nf - s.n_shared), 6) AS jaccard
+    FROM shared s JOIN nfp na ON na.doc_id = s.doc_a
+    JOIN nfp nb ON nb.doc_id = s.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+    doc=f"X194 winnowing (MOSS) fingerprints: md5 {WIN_K}-gram hashes "
+        f"per position, each {WIN_W}-window selects its minimum, "
+        "distinct selections form the doc fingerprint set (coverage "
+        "guarantee: any shared run of w+k-1 tokens shares a "
+        "fingerprint); pairs via fingerprint hash-join with the "
+        f"{WIN_MAX_DOCS}-doc template-noise cap; exact integer "
+        "Jaccard scores.",
+    tags=("X194", "X16", "X36", "X87", "X3"),
+)
+def winnowing_fingerprints(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..caching import persist_tracked
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))),
+                          r"\s+").alias("toks"))
+    d = d.filter(F.size("toks") >= WIN_K).select(
+        "doc_id", "toks",
+        (F.size("toks") - WIN_K + 1).alias("ng"))
+    gram = d.select(
+        "doc_id", "ng",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.col("ng")),
+            lambda p: F.conv(F.substring(F.md5(F.array_join(
+                F.slice(F.col("toks"), p, WIN_K), " ")), 1, 15),
+                16, 10).cast("long"))).alias("p0", "h")) \
+        .select("doc_id", "ng", (F.col("p0") + 1).alias("p"), "h")
+    wwin = (Window.partitionBy("doc_id").orderBy("p")
+            .rowsBetween(0, WIN_W - 1))
+    sel = persist_tracked(
+        gram.withColumn("mh", F.min("h").over(wwin))
+        .filter(F.col("p") <= F.col("ng") - WIN_W + 1)
+        .select("doc_id", F.col("mh").alias("h"))
+        .distinct())
+    nfp = sel.groupBy("doc_id").agg(F.count("*").cast("long")
+                                    .alias("nf"))
+    rare = (sel.groupBy("h").agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") <= WIN_MAX_DOCS).select("h"))
+    a = sel.join(rare, "h").select(F.col("doc_id").alias("doc_a"), "h")
+    b = sel.select(F.col("doc_id").alias("doc_b"), "h")
+    shared = (a.join(b, "h")
+              .filter(F.col("doc_b") > F.col("doc_a"))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count("*").cast("long").alias("n_shared"))
+              .filter(F.col("n_shared") >= WIN_MIN_SHARED))
+    return (shared
+            .join(nfp.select(F.col("doc_id").alias("doc_a"),
+                             F.col("nf").alias("nf_a")), "doc_a")
+            .join(nfp.select(F.col("doc_id").alias("doc_b"),
+                             F.col("nf").alias("nf_b")), "doc_b")
+            .select("doc_a", "doc_b", "n_shared", "nf_a", "nf_b",
+                    F.round(F.col("n_shared").cast("double")
+                            / (F.col("nf_a") + F.col("nf_b")
+                               - F.col("n_shared")), 6)
+                    .alias("jaccard"))
+            .orderBy("doc_a", "doc_b"))

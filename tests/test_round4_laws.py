@@ -3559,3 +3559,57 @@ def test_deepwalk_replay_and_edge_validity(spark, sf_dir):
         assert got[(wid, 0)] == wid
         for t in range(1, DW_LEN + 1):
             assert got[(wid, t)] in nbrs[got[(wid, t - 1)]]
+
+
+def test_winnowing_replay_and_coverage(spark, sf_dir):
+    """X194: pairs match a full Python winnowing replay, Jaccards are
+    exact, and the coverage guarantee holds on a synthetic check:
+    a doc always shares fingerprints with itself (sanity) and
+    selected sets are nonempty for docs with >= w+k-1 tokens."""
+    import duckdb
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from etl_airflow_spotify_spark.queries.dedup import (
+        WIN_K, WIN_MAX_DOCS, WIN_MIN_SHARED, WIN_W)
+
+    rows = _rows("winnowing_fingerprints", spark, sf_dir)
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    fps = {}
+    for doc_id, text in docs:
+        toks = re.split(r"\s+", text.strip().lower())
+        if len(toks) < WIN_K:
+            continue
+        hs = [md5_60(" ".join(toks[p:p + WIN_K]))
+              for p in range(len(toks) - WIN_K + 1)]
+        sel = {min(hs[p:p + WIN_W])
+               for p in range(len(hs) - WIN_W + 1)}
+        if sel:
+            fps[doc_id] = sel
+        if len(toks) >= WIN_W + WIN_K - 1:
+            assert sel, f"doc {doc_id} long enough but no fingerprints"
+    docs_per_h = defaultdict(int)
+    for sel in fps.values():
+        for h in sel:
+            docs_per_h[h] += 1
+    want = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = sum(1 for h in fps[a] & fps[b]
+                         if docs_per_h[h] <= WIN_MAX_DOCS)
+            if shared >= WIN_MIN_SHARED:
+                want[(a, b)] = (shared, len(fps[a]), len(fps[b]))
+    got = {(r["doc_a"], r["doc_b"]):
+           (r["n_shared"], r["nf_a"], r["nf_b"]) for r in rows}
+    assert got == want
+    for r in rows:
+        j = r["n_shared"] / (r["nf_a"] + r["nf_b"] - r["n_shared"])
+        assert abs(r["jaccard"] - round(j, 6)) <= 1e-9
