@@ -240,6 +240,7 @@ HEADLINE = [
     "ot_transport_plan",
     "deepwalk_corpus",
     "winnowing_fingerprints",
+    "label_noise_audit",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

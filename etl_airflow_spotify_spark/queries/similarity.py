@@ -2899,3 +2899,137 @@ def mutual_best_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "left_anti")
                  .localCheckpoint())
     return out.orderBy("id_a")
+
+
+# --------------------------------------------------------------------------
+# X195: label-noise audit (confident learning, Northcutt-style) —
+# the dataset-quality question supervised training always hits:
+# which LABELS are wrong? Each vector is scored against per-class
+# Rocchio centroids where its OWN class centroid is leave-one-out
+# (subtract the vector's integer-micro values from the class sum
+# before the mean — exact, no refit pass), killing the self-bias
+# that makes naive centroid audits blind. A point is flagged when it
+# predicts a different class AND its score there clears that class's
+# confidence threshold (the mean own-class score of that class's
+# members — micro-snapped per point, so the mean is an exact BIGINT
+# fold and the comparison is integer). Centroids are rounded micro
+# vectors (division of identical integers per dim), scores 6-dp
+# cosines — the established Rocchio exactness stack.
+# --------------------------------------------------------------------------
+def _label_noise_oracle() -> str:
+    return f"""
+    WITH v AS (
+        SELECT vec_id, label, pos,
+               CAST(ROUND(embedding[pos] * 1000000, 0) AS BIGINT) AS x
+        FROM embeddings, generate_series(1, {DIM}) AS g(pos)
+    ),
+    csum AS (
+        SELECT label AS cls, pos, CAST(SUM(x) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v GROUP BY label, pos
+    ),
+    cent AS (
+        SELECT v.vec_id, v.label, c.cls, c.pos,
+               CASE WHEN c.cls = v.label
+                    THEN CAST(ROUND(CAST(c.s - v.x AS DOUBLE)
+                                    / (c.n - 1), 0) AS BIGINT)
+                    ELSE CAST(ROUND(CAST(c.s AS DOUBLE) / c.n, 0)
+                              AS BIGINT)
+               END AS cv,
+               v.x
+        FROM v JOIN csum c ON c.pos = v.pos
+    ),
+    score AS (
+        SELECT vec_id, label, cls,
+               CAST(ROUND(ROUND(SUM(x * cv)
+                     / (SQRT(CAST(SUM(x * x) AS DOUBLE))
+                        * SQRT(CAST(SUM(cv * cv) AS DOUBLE))), 6)
+                     * 1000000, 0) AS BIGINT) AS sm
+        FROM cent GROUP BY vec_id, label, cls
+    ),
+    pred AS (
+        SELECT vec_id, label, cls AS pred, sm FROM (
+            SELECT vec_id, label, cls, sm,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY sm DESC, cls) AS rn
+            FROM score
+        ) WHERE rn = 1
+    ),
+    thr AS (
+        SELECT label AS cls,
+               CAST(ROUND(CAST(SUM(sm) AS DOUBLE) / COUNT(*), 0)
+                    AS BIGINT) AS t
+        FROM score WHERE cls = label GROUP BY label
+    )
+    SELECT p.label, p.pred AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CASE WHEN p.pred <> p.label AND p.sm >= thr.t
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM pred p JOIN thr ON thr.cls = p.pred
+    GROUP BY p.label, p.pred
+    ORDER BY p.label, p.pred
+    """
+
+
+@register(
+    "label_noise_audit",
+    _label_noise_oracle(),
+    doc="X195 confident-learning label audit: per-class Rocchio "
+        "centroids with exact leave-one-out own-class correction "
+        "(integer sum minus own vector), 6-dp cosine scores "
+        "micro-snapped so class confidence thresholds are exact "
+        "BIGINT means; flags = confidently-other-class points, "
+        "reported per (label, pred) cell.",
+    tags=("X195", "X35", "X76", "X92", "X7"),
+)
+def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..caching import persist_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = persist_tracked(
+        emb.select("vec_id", "label",
+                   F.posexplode(S.as_double(F.col("embedding")))
+                   .alias("pos0", "val"))
+        .select("vec_id", "label", (F.col("pos0") + 1).alias("pos"),
+                F.round(F.col("val") * 1e6, 0).cast("long")
+                .alias("x")))
+    csum = persist_tracked(
+        v.groupBy(F.col("label").alias("cls"), "pos")
+        .agg(F.sum("x").cast("long").alias("s"),
+             F.count("*").cast("long").alias("n")))
+    cent = (v.join(csum, "pos")
+            .select("vec_id", "label", "cls", "pos", "x",
+                    F.when(F.col("cls") == F.col("label"),
+                           F.round((F.col("s") - F.col("x"))
+                                   .cast("double")
+                                   / (F.col("n") - 1), 0)
+                           .cast("long"))
+                    .otherwise(F.round(F.col("s").cast("double")
+                                       / F.col("n"), 0).cast("long"))
+                    .alias("cv")))
+    score = persist_tracked(
+        cent.groupBy("vec_id", "label", "cls")
+        .agg(F.round(F.round(
+            F.sum(F.col("x") * F.col("cv"))
+            / (F.sqrt(F.sum(F.col("x") * F.col("x")).cast("double"))
+               * F.sqrt(F.sum(F.col("cv") * F.col("cv"))
+                        .cast("double"))), 6) * 1e6, 0)
+            .cast("long").alias("sm")))
+    wp = Window.partitionBy("vec_id").orderBy(F.desc("sm"),
+                                              F.asc("cls"))
+    pred = (score.withColumn("rn", F.row_number().over(wp))
+            .filter("rn = 1")
+            .select("vec_id", "label", F.col("cls").alias("pred"),
+                    "sm"))
+    thr = (score.filter(F.col("cls") == F.col("label"))
+           .groupBy(F.col("label").alias("cls"))
+           .agg(F.round(F.sum("sm").cast("double") / F.count("*"), 0)
+                .cast("long").alias("t")))
+    return (pred.join(thr, pred.pred == thr.cls)
+            .groupBy("label", F.col("pred").alias("pred_label"))
+            .agg(F.count("*").cast("long").alias("n_points"),
+                 F.sum(F.when((F.col("pred") != F.col("label"))
+                              & (F.col("sm") >= F.col("t")), 1)
+                       .otherwise(0)).cast("long").alias("n_flagged"))
+            .orderBy("label", "pred_label"))

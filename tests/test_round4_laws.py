@@ -3613,3 +3613,63 @@ def test_winnowing_replay_and_coverage(spark, sf_dir):
     for r in rows:
         j = r["n_shared"] / (r["nf_a"] + r["nf_b"] - r["n_shared"])
         assert abs(r["jaccard"] - round(j, 6)) <= 1e-9
+
+
+def test_label_noise_matches_python_replay(spark, sf_dir):
+    """X195: flags match a full Python replay of the LOO-centroid
+    confident-learning algebra; diagonal cells are never flagged;
+    cell counts partition the corpus."""
+    import math
+    from collections import defaultdict
+
+    from etl_airflow_spotify_spark.catalog import load_table
+
+    rows = _rows("label_noise_audit", spark, sf_dir)
+    emb = [(r["vec_id"], r["label"],
+            [round(float(x) * 1e6) for x in r["embedding"]])
+           for r in load_table(spark, sf_dir, "embeddings").collect()]
+    dim = len(emb[0][2])
+    csum = defaultdict(lambda: [0] * dim)
+    cnt = defaultdict(int)
+    for _, lab, x in emb:
+        cnt[lab] += 1
+        for i, xi in enumerate(x):
+            csum[lab][i] += xi
+    classes = sorted(cnt)
+
+    def cosine_m(x, cv):
+        num = sum(a * b for a, b in zip(x, cv))
+        nx = math.sqrt(sum(a * a for a in x))
+        ncv = math.sqrt(sum(b * b for b in cv))
+        return round(round(num / (nx * ncv), 6) * 1e6)
+
+    scores = {}
+    for vid, lab, x in emb:
+        for c in classes:
+            if c == lab:
+                cv = [round((csum[c][i] - x[i]) / (cnt[c] - 1))
+                      for i in range(dim)]
+            else:
+                cv = [round(csum[c][i] / cnt[c]) for i in range(dim)]
+            scores[(vid, c)] = cosine_m(x, cv)
+    thr = {}
+    for c in classes:
+        own = [scores[(vid, c)] for vid, lab, _ in emb if lab == c]
+        thr[c] = round(sum(own) / len(own))
+    cells = defaultdict(lambda: [0, 0])
+    for vid, lab, _ in emb:
+        pred = max(classes,
+                   key=lambda c: (scores[(vid, c)], -c))
+        pred = min(c for c in classes
+                   if scores[(vid, c)] == scores[(vid, pred)])
+        cell = cells[(lab, pred)]
+        cell[0] += 1
+        if pred != lab and scores[(vid, pred)] >= thr[pred]:
+            cell[1] += 1
+    got = {(r["label"], r["pred_label"]):
+           (r["n_points"], r["n_flagged"]) for r in rows}
+    assert got == {k: tuple(v) for k, v in cells.items()}
+    for (lab, pred), (n, fl) in got.items():
+        if lab == pred:
+            assert fl == 0
+    assert sum(n for n, _ in got.values()) == len(emb)
