@@ -128,6 +128,25 @@ NEW_R4: dict[str, str] = {
     "bigram_greedy_decode": "X174",
     "quantile_treatment_effects": "X175",
     "cohort_ltv_curves": "X176",
+    "naive_bayes_lang": "X177",
+    "heaps_vocab_growth": "X178",
+    "jackknife_ratio_se": "X179",
+    "knn_label_spread": "X180",
+    "twonn_intrinsic_dim": "X181",
+    "neyman_stratified_sample": "X182",
+    "ransac_daily_trend": "X183",
+    "soundex_blocking_pairs": "X184",
+    "absorbing_markov_steps": "X185",
+    "kmv_distinct_sketch": "X186",
+    "mutual_best_matching": "X187",
+    "ind_discovery": "X188",
+    "single_link_dendrogram": "X189",
+    "distributional_word_sim": "X190",
+    "temperature_mix_plan": "X191",
+    "ot_transport_plan": "X192",
+    "deepwalk_corpus": "X193",
+    "winnowing_fingerprints": "X194",
+    "label_noise_audit": "X195",
 }
 DEFERRED |= set(NEW_R4)
 
