@@ -241,6 +241,7 @@ HEADLINE = [
     "deepwalk_corpus",
     "winnowing_fingerprints",
     "label_noise_audit",
+    "markov_removal_attribution",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

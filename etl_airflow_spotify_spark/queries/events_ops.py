@@ -3870,3 +3870,230 @@ def absorbing_markov_steps(spark: SparkSession,
                     F.round(F.col("v") / 1000000.0, 4)
                     .alias("expected_steps"))
             .orderBy("state"))
+
+
+# --------------------------------------------------------------------------
+# X196: Markov removal-effect attribution — the data-driven
+# attribution model (Anderl et al.) that X124's Shapley answers from
+# coalition VALUES, answered instead from the JOURNEY GRAPH: build
+# the start -> channel -> conversion chain, compute the absorption
+# probability into 'purchase', then re-compute it with each channel
+# REMOVED (transitions into it become non-converting exits — no
+# renormalization, the standard removal semantics); a channel's
+# credit is its relative conversion drop. All five scenarios
+# (baseline + 4 removals) iterate in ONE scenario-keyed truncated
+# fixed point p = b + Q'p (MARKOV_ATTR_T rounds, X185's integer
+# micro machinery: snapped Q/b, exact BIGINT folds, sub-2^53 re-snap
+# divisions), so the whole model is one corpus pass + T joins over a
+# scenario x state frame (25 rows). Oracle replays every round as
+# generated chained CTEs.
+# --------------------------------------------------------------------------
+MARKOV_ATTR_T = 12
+
+
+def _markov_attr_oracle() -> str:
+    head = f"""
+    WITH ev AS (
+        SELECT user_id, event_type, ts, event_id FROM events
+    ),
+    seq AS (
+        SELECT user_id, event_type AS j,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM ev
+    ),
+    pairs AS (
+        SELECT 'start' AS i, j FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT a.j AS i, b.j
+        FROM seq a JOIN seq b ON b.user_id = a.user_id
+                            AND b.rn = a.rn + 1
+        WHERE a.j <> '{MARKOV_ABSORB}'
+    ),
+    occ AS (
+        SELECT i, CAST(COUNT(*) AS BIGINT) AS occ FROM (
+            SELECT 'start' AS i FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT j FROM seq WHERE j <> '{MARKOV_ABSORB}'
+        ) GROUP BY i
+    ),
+    c AS (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs GROUP BY i, j
+    ),
+    bvec AS (
+        SELECT occ.i,
+               COALESCE(CAST(ROUND(1000000.0 * c.n / occ.occ, 0)
+                             AS BIGINT), 0) AS b
+        FROM occ LEFT JOIN c ON c.i = occ.i
+                            AND c.j = '{MARKOV_ABSORB}'
+    ),
+    q AS (
+        SELECT c.i, c.j,
+               CAST(ROUND(1000000.0 * c.n / occ.occ, 0) AS BIGINT)
+                   AS qm
+        FROM c JOIN occ ON occ.i = c.i
+        WHERE c.j <> '{MARKOV_ABSORB}'
+    ),
+    chans AS (
+        SELECT DISTINCT i AS ch FROM occ WHERE i <> 'start'
+    ),
+    scen AS (
+        SELECT 'base' AS s FROM (SELECT 1)
+        UNION ALL SELECT ch FROM chans
+    ),
+    ss AS (
+        SELECT scen.s, occ.i FROM scen JOIN occ ON occ.i <> scen.s
+    ),
+    sq AS (
+        SELECT scen.s, q.i, q.j, q.qm
+        FROM scen JOIN q ON q.i <> scen.s AND q.j <> scen.s
+    ),
+    sb AS (
+        SELECT ss.s, ss.i, bvec.b
+        FROM ss JOIN bvec ON bvec.i = ss.i
+    ),
+    p0 AS (SELECT s, i, CAST(0 AS BIGINT) AS p FROM ss)"""
+    steps = []
+    for t in range(1, MARKOV_ATTR_T + 1):
+        steps.append(f"""
+    p{t} AS MATERIALIZED (
+        SELECT sb.s, sb.i,
+               sb.b + COALESCE(CAST(ROUND(SUM(sq.qm * pp.p)
+                                          / 1000000.0, 0) AS BIGINT),
+                               0) AS p
+        FROM sb
+        LEFT JOIN sq ON sq.s = sb.s AND sq.i = sb.i
+        LEFT JOIN p{t-1} pp ON pp.s = sq.s AND pp.i = sq.j
+        GROUP BY sb.s, sb.i, sb.b
+    )""")
+    return (head + "," + ",".join(steps) + f"""
+    , conv AS (
+        SELECT s, p AS pm FROM p{MARKOV_ATTR_T} WHERE i = 'start'
+    ),
+    base AS (SELECT pm AS pb FROM conv WHERE s = 'base'),
+    eff AS (
+        SELECT c2.s, c2.pm,
+               CASE WHEN c2.s = 'base' THEN NULL
+                    ELSE base.pb - c2.pm END AS drop_
+        FROM conv c2 CROSS JOIN base
+    ),
+    tot AS (
+        SELECT CAST(SUM(drop_) AS BIGINT) AS te FROM eff
+        WHERE drop_ IS NOT NULL
+    )
+    SELECT eff.s AS scenario, eff.pm AS p_start_micro,
+           ROUND(eff.pm / 1000000.0, 6) AS conv_prob,
+           ROUND(CAST(eff.drop_ AS DOUBLE) / base.pb, 6)
+               AS removal_effect,
+           ROUND(CAST(eff.drop_ AS DOUBLE) / NULLIF(tot.te, 0), 6)
+               AS attribution_share
+    FROM eff CROSS JOIN base CROSS JOIN tot
+    ORDER BY scenario
+    """)
+
+
+@register(
+    "markov_removal_attribution",
+    _markov_attr_oracle(),
+    doc=f"X196 Markov removal-effect attribution: start->channel->"
+        f"purchase chain from one corpus pass, absorption probability "
+        f"via a scenario-keyed truncated fixed point p=b+Q'p "
+        f"({MARKOV_ATTR_T} rounds, integer micro grid), each channel's "
+        "credit = its relative conversion drop when removed "
+        "(transitions into it become exits, no renormalization); "
+        "baseline + per-channel shares; generated chained-CTE oracle.",
+    tags=("X196", "X185", "X124", "X71", "X57"),
+)
+def markov_removal_attribution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    ev = _ev(spark, sf_dir)
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = persist_tracked(
+        ev.select("user_id", F.col("event_type").alias("j"),
+                  F.row_number().over(wseq).alias("rn")))
+    firsts = seq.filter("rn = 1").select(F.lit("start").alias("i"),
+                                         "j")
+    nxt = (seq.alias("a")
+           .join(seq.alias("b"),
+                 (F.col("b.user_id") == F.col("a.user_id"))
+                 & (F.col("b.rn") == F.col("a.rn") + 1))
+           .filter(F.col("a.j") != MARKOV_ABSORB)
+           .select(F.col("a.j").alias("i"), F.col("b.j").alias("j")))
+    pairs = firsts.unionByName(nxt)
+    occ = persist_tracked(
+        firsts.select("i")
+        .unionByName(seq.filter(F.col("j") != MARKOV_ABSORB)
+                     .select(F.col("j").alias("i")))
+        .groupBy("i").agg(F.count("*").cast("long").alias("occ")))
+    c = persist_tracked(
+        pairs.groupBy("i", "j").agg(F.count("*").cast("long")
+                                    .alias("n")))
+    bvec = (occ.join(c.filter(F.col("j") == MARKOV_ABSORB)
+                     .select("i", "n"), "i", "left")
+            .select("i", F.coalesce(
+                F.round(F.lit(1000000.0) * F.col("n") / F.col("occ"),
+                        0).cast("long"), F.lit(0)).alias("b")))
+    q = (c.filter(F.col("j") != MARKOV_ABSORB)
+         .join(occ, "i")
+         .select("i", "j",
+                 F.round(F.lit(1000000.0) * F.col("n") / F.col("occ"),
+                         0).cast("long").alias("qm")))
+    chans = occ.filter(F.col("i") != "start") \
+        .select(F.col("i").alias("s"))
+    scen = chans.unionByName(
+        spark.createDataFrame([("base",)], "s STRING"))
+    # scenario x state frames are alphabet-sized (<= ~120 rows);
+    # coalesce(1) before persisting — a crossJoin of two shuffled
+    # frames otherwise multiplies partitions (64 x 32 = 2048 empty
+    # tasks dragged through every fixed-point round)
+    ss = persist_tracked(
+        scen.crossJoin(occ.select("i"))
+        .filter(F.col("i") != F.col("s")).coalesce(1))
+    sq = persist_tracked(
+        scen.crossJoin(q.select(F.col("i").alias("qi"),
+                                F.col("j").alias("qj"), "qm"))
+        .filter((F.col("qi") != F.col("s"))
+                & (F.col("qj") != F.col("s"))).coalesce(1))
+    sb = persist_tracked(ss.join(bvec, "i").select("s", "i", "b")
+                         .coalesce(1))
+    p = ss.select("s", "i", F.lit(0).cast("long").alias("p")) \
+        .coalesce(1).localCheckpoint()
+    for _ in range(MARKOV_ATTR_T):
+        contrib = (sq.join(p.select(F.col("s").alias("ps"),
+                                    F.col("i").alias("qj2"),
+                                    F.col("p").alias("pj")),
+                           (F.col("ps") == F.col("s"))
+                           & (F.col("qj2") == F.col("qj")))
+                   .groupBy(F.col("s"), F.col("qi").alias("i"))
+                   .agg(F.round(F.sum(F.col("qm") * F.col("pj"))
+                                / 1000000.0, 0).cast("long")
+                        .alias("add")))
+        p = (sb.join(contrib, ["s", "i"], "left")
+             .select("s", "i",
+                     (F.col("b") + F.coalesce("add", F.lit(0)))
+                     .alias("p"))
+             .coalesce(1).localCheckpoint())
+    conv = p.filter(F.col("i") == "start").select("s", F.col("p")
+                                                  .alias("pm"))
+    base = conv.filter(F.col("s") == "base") \
+        .select(F.col("pm").alias("pb"))
+    eff = (conv.crossJoin(F.broadcast(base))
+           .select("s", "pm", "pb",
+                   F.when(F.col("s") == "base", F.lit(None))
+                   .otherwise(F.col("pb") - F.col("pm"))
+                   .alias("drop_")))
+    eff = persist_tracked(eff)
+    tot = eff.agg(F.sum("drop_").cast("long").alias("te"))
+    return (eff.crossJoin(F.broadcast(tot)).select(
+        F.col("s").alias("scenario"),
+        F.col("pm").alias("p_start_micro"),
+        F.round(F.col("pm") / 1000000.0, 6).alias("conv_prob"),
+        F.round(F.col("drop_").cast("double") / F.col("pb"), 6)
+        .alias("removal_effect"),
+        F.round(F.col("drop_").cast("double")
+                / F.nullif(F.col("te"), F.lit(0)), 6)
+        .alias("attribution_share"))
+        .orderBy("scenario"))

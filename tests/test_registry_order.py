@@ -147,6 +147,7 @@ NEW_R4: dict[str, str] = {
     "deepwalk_corpus": "X193",
     "winnowing_fingerprints": "X194",
     "label_noise_audit": "X195",
+    "markov_removal_attribution": "X196",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -3673,3 +3673,69 @@ def test_label_noise_matches_python_replay(spark, sf_dir):
         if lab == pred:
             assert fl == 0
     assert sum(n for n, _ in got.values()) == len(emb)
+
+
+def test_markov_attribution_replay_and_laws(spark, sf_dir):
+    """X196: all five scenario fixed points match a Python integer
+    replay; removal effects are nonnegative (removing a channel never
+    raises conversion in this chain) and shares sum to 1."""
+    import duckdb
+    from collections import Counter, defaultdict
+
+    from etl_airflow_spotify_spark.queries.events_ops import (
+        MARKOV_ABSORB, MARKOV_ATTR_T)
+
+    rows = {r["scenario"]: r
+            for r in _rows("markov_removal_attribution",
+                           spark, sf_dir)}
+    evs = duckdb.sql(
+        f"SELECT user_id, event_type FROM '{sf_dir}/events.parquet' "
+        f"ORDER BY user_id, ts, event_id").fetchall()
+    byu = defaultdict(list)
+    for u, t in evs:
+        byu[u].append(t)
+    pairs = Counter()
+    occ = Counter()
+    for seqq in byu.values():
+        pairs[("start", seqq[0])] += 1
+        occ["start"] += 1
+        for a, b in zip(seqq, seqq[1:]):
+            if a != MARKOV_ABSORB:
+                pairs[(a, b)] += 1
+        for a in seqq:
+            if a != MARKOV_ABSORB:
+                occ[a] += 1
+    b = {i: round(1e6 * pairs.get((i, MARKOV_ABSORB), 0) / occ[i])
+         for i in occ}
+    q = {(i, j): round(1e6 * n / occ[i])
+         for (i, j), n in pairs.items() if j != MARKOV_ABSORB}
+    chans = sorted(i for i in occ if i != "start")
+
+    def solve(removed):
+        states = [i for i in occ if i != removed]
+        p = {i: 0 for i in states}
+        for _ in range(MARKOV_ATTR_T):
+            p = {i: b[i] + round(sum(
+                q.get((i, j), 0) * p[j]
+                for j in states if (i, j) in q and j != removed)
+                / 1e6) for i in states}
+        return p["start"]
+
+    pb = solve(None)
+    assert rows["base"]["p_start_micro"] == pb
+    drops = {}
+    for ch in chans:
+        pm = solve(ch)
+        assert rows[ch]["p_start_micro"] == pm
+        drops[ch] = pb - pm
+        assert drops[ch] >= 0
+        assert abs(rows[ch]["removal_effect"]
+                   - round(drops[ch] / pb, 6)) <= 1e-9
+    te = sum(drops.values())
+    share_sum = 0.0
+    for ch in chans:
+        assert abs(rows[ch]["attribution_share"]
+                   - round(drops[ch] / te, 6)) <= 1e-9
+        share_sum += rows[ch]["attribution_share"]
+    assert abs(share_sum - 1.0) <= 1e-4
+    assert rows["base"]["removal_effect"] is None
