@@ -242,6 +242,7 @@ HEADLINE = [
     "winnowing_fingerprints",
     "label_noise_audit",
     "markov_removal_attribution",
+    "offpolicy_ips_eval",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

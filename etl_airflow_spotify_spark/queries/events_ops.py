@@ -4097,3 +4097,139 @@ def markov_removal_attribution(spark: SparkSession,
                 / F.nullif(F.col("te"), F.lit(0)), 6)
         .alias("attribution_share"))
         .orderBy("scenario"))
+
+
+# --------------------------------------------------------------------------
+# X197: off-policy evaluation (IPS / SNIPS) — the counterfactual
+# question every recommender/ranking team asks of logged data:
+# "what WOULD policy pi have earned?" Logged bandit feedback is
+# constructed deterministically (each event was 'shown' arm
+# md5(event_id) % 5 under the uniform logging policy, reward =
+# micro value iff the shown arm equals the event's own type), so
+# propensities are the exact rational 1/5 and the inverse-propensity
+# weight is the INTEGER 5 — IPS and self-normalized SNIPS estimates
+# are pure BIGINT folds with single final divisions. Because the
+# reward function is known, the TRUE value of each target policy is
+# also computed exactly, making the estimator's unbiasedness
+# directly visible (the law test pins |IPS - truth| inside a
+# 5-sigma band and SNIPS's weight identity). Policies evaluated:
+# always-purchase, play-own-type (oracle), and an md5 uniform.
+# --------------------------------------------------------------------------
+OPE_ARMS = 5
+
+
+@register(
+    "offpolicy_ips_eval",
+    f"""
+    WITH types AS (
+        SELECT event_type,
+               CAST(DENSE_RANK() OVER (ORDER BY event_type) - 1
+                    AS BIGINT) AS idx
+        FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    base AS (
+        SELECT e.event_id, t.idx AS own,
+               CAST(ROUND(e.value * 1000000, 0) AS BIGINT) AS vmicro,
+               ('0x' || substr(md5('log:' || e.event_id), 1, 15))
+                   ::BIGINT % {OPE_ARMS} AS a_log,
+               ('0x' || substr(md5('tgt:' || e.event_id), 1, 15))
+                   ::BIGINT % {OPE_ARMS} AS a_rand,
+               (SELECT idx FROM types WHERE event_type = 'purchase')
+                   AS a_purch
+        FROM events e JOIN types t ON t.event_type = e.event_type
+    ),
+    logged AS (
+        SELECT *,
+               CASE WHEN a_log = own THEN vmicro ELSE 0 END AS r_log
+        FROM base
+    ),
+    pol AS (
+        SELECT 'always_purchase' AS policy, event_id, own, vmicro,
+               a_log, r_log, a_purch AS a_pi
+        FROM logged
+        UNION ALL
+        SELECT 'play_own_type', event_id, own, vmicro, a_log, r_log,
+               own
+        FROM logged
+        UNION ALL
+        SELECT 'uniform_md5', event_id, own, vmicro, a_log, r_log,
+               a_rand
+        FROM logged
+    )
+    SELECT policy,
+           CAST(COUNT(*) AS BIGINT) AS n_logs,
+           CAST(SUM(CASE WHEN a_pi = a_log THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           ROUND(CAST({OPE_ARMS} * SUM(CASE WHEN a_pi = a_log
+                                  THEN r_log ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) / 1000000.0, 6) AS ips_value,
+           ROUND(CAST(SUM(CASE WHEN a_pi = a_log THEN r_log ELSE 0
+                          END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN a_pi = a_log THEN 1 ELSE 0
+                              END), 0) / 1000000.0, 6) AS snips_value,
+           ROUND(CAST(SUM(CASE WHEN a_pi = own THEN vmicro ELSE 0
+                          END) AS DOUBLE)
+                 / COUNT(*) / 1000000.0, 6) AS true_value
+    FROM pol GROUP BY policy
+    ORDER BY policy
+    """,
+    doc=f"X197 off-policy evaluation: uniform md5 logging policy over "
+        f"{OPE_ARMS} arms (propensity exactly 1/{OPE_ARMS} -> integer "
+        "IPS weights), rewards in exact micro units, IPS and SNIPS "
+        "as BIGINT folds with single divisions; the known reward "
+        "function also yields each policy's TRUE value, so estimator "
+        "bias is directly measurable.",
+    tags=("X197", "X56", "X103", "X7"),
+)
+def offpolicy_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    ev = _ev(spark, sf_dir)
+    types = (ev.select("event_type").distinct()
+             .withColumn("idx", (F.dense_rank().over(
+                 Window.orderBy("event_type")) - 1).cast("long")))
+    purch = types.filter(F.col("event_type") == MARKOV_ABSORB) \
+        .select(F.col("idx").alias("a_purch"))
+
+    def h60(salt):
+        return F.conv(F.substring(F.md5(F.concat(
+            F.lit(salt), F.col("event_id").cast("string"))),
+            1, 15), 16, 10).cast("long")
+
+    base = persist_tracked(
+        ev.join(F.broadcast(types), "event_type")
+        .crossJoin(F.broadcast(purch))
+        .select(F.col("idx").alias("own"),
+                F.round(F.col("value") * 1000000, 0).cast("long")
+                .alias("vmicro"),
+                (h60("log:") % OPE_ARMS).alias("a_log"),
+                (h60("tgt:") % OPE_ARMS).alias("a_rand"),
+                "a_purch"))
+    logged = base.withColumn(
+        "r_log", F.when(F.col("a_log") == F.col("own"),
+                        F.col("vmicro")).otherwise(0))
+    pol = None
+    for name, col in [("always_purchase", "a_purch"),
+                      ("play_own_type", "own"),
+                      ("uniform_md5", "a_rand")]:
+        p = logged.select(F.lit(name).alias("policy"), "own",
+                          "vmicro", "a_log", "r_log",
+                          F.col(col).alias("a_pi"))
+        pol = p if pol is None else pol.unionByName(p)
+    match = F.when(F.col("a_pi") == F.col("a_log"), 1).otherwise(0)
+    mr = F.when(F.col("a_pi") == F.col("a_log"),
+                F.col("r_log")).otherwise(0)
+    tr = F.when(F.col("a_pi") == F.col("own"),
+                F.col("vmicro")).otherwise(0)
+    return (pol.groupBy("policy")
+            .agg(F.count("*").cast("long").alias("n_logs"),
+                 F.sum(match).cast("long").alias("n_matched"),
+                 F.round((OPE_ARMS * F.sum(mr)).cast("double")
+                         / F.count("*") / 1e6, 6).alias("ips_value"),
+                 F.round(F.sum(mr).cast("double")
+                         / F.nullif(F.sum(match).cast("long"),
+                                    F.lit(0)) / 1e6, 6)
+                 .alias("snips_value"),
+                 F.round(F.sum(tr).cast("double") / F.count("*")
+                         / 1e6, 6).alias("true_value"))
+            .orderBy("policy"))

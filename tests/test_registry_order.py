@@ -148,6 +148,7 @@ NEW_R4: dict[str, str] = {
     "winnowing_fingerprints": "X194",
     "label_noise_audit": "X195",
     "markov_removal_attribution": "X196",
+    "offpolicy_ips_eval": "X197",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -3739,3 +3739,59 @@ def test_markov_attribution_replay_and_laws(spark, sf_dir):
         share_sum += rows[ch]["attribution_share"]
     assert abs(share_sum - 1.0) <= 1e-4
     assert rows["base"]["removal_effect"] is None
+
+
+def test_offpolicy_ips_replay_and_bias_band(spark, sf_dir):
+    """X197: estimates match a Python replay; for play_own_type the
+    SNIPS estimate equals the conditional mean identity; IPS is
+    within a generous multiple of the binomial sampling band of the
+    true value (unbiasedness sanity)."""
+    import duckdb
+    import hashlib
+
+    from etl_airflow_spotify_spark.queries.events_ops import OPE_ARMS
+
+    rows = {r["policy"]: r
+            for r in _rows("offpolicy_ips_eval", spark, sf_dir)}
+    evs = duckdb.sql(
+        f"SELECT event_id, event_type, "
+        f"CAST(ROUND(value * 1000000, 0) AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet'").fetchall()
+    types = sorted({t for _, t, _ in evs})
+    idx = {t: i for i, t in enumerate(types)}
+
+    def h(salt, eid):
+        return int(hashlib.md5(f"{salt}{eid}".encode())
+                   .hexdigest()[:15], 16) % OPE_ARMS
+
+    pols = {
+        "always_purchase": lambda eid, own: idx["purchase"],
+        "play_own_type": lambda eid, own: own,
+        "uniform_md5": lambda eid, own: h("tgt:", eid),
+    }
+    for name, fn in pols.items():
+        n = len(evs)
+        nm = s_mr = s_tr = 0
+        for eid, t, vm in evs:
+            own = idx[t]
+            a_log = h("log:", eid)
+            r_log = vm if a_log == own else 0
+            a_pi = fn(eid, own)
+            if a_pi == a_log:
+                nm += 1
+                s_mr += r_log
+            if a_pi == own:
+                s_tr += vm
+        r = rows[name]
+        assert r["n_logs"] == n and r["n_matched"] == nm
+        assert abs(r["ips_value"]
+                   - round(OPE_ARMS * s_mr / n / 1e6, 6)) <= 1e-9
+        assert abs(r["true_value"]
+                   - round(s_tr / n / 1e6, 6)) <= 1e-9
+        if nm:
+            assert abs(r["snips_value"]
+                       - round(s_mr / nm / 1e6, 6)) <= 1e-9
+        # unbiasedness sanity: IPS within a wide band of truth
+        assert abs(r["ips_value"] - r["true_value"]) \
+            <= max(1.0, 10.0 * r["true_value"] / max(nm, 1) ** 0.5
+                   + 60.0 / max(nm, 1) ** 0.5)
