@@ -243,6 +243,7 @@ HEADLINE = [
     "label_noise_audit",
     "markov_removal_attribution",
     "offpolicy_ips_eval",
+    "stream_kmv_distinct",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -476,3 +476,118 @@ def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name",
         F.round("c_acctbal", 2).alias("c_acctbal"),
         "c_mktsegment", "valid_from", "valid_to", "is_current")
+
+
+# --------------------------------------------------------------------------
+# X198: streaming KMV distinct sketch — X186's exact-replayable
+# bottom-K sketch fitted to the mergeable-rollup streaming shape of
+# X61: each micro-batch appends its OWN bottom-K per event type to a
+# parquet sketch store (K rows per group per batch — the store grows
+# with groups x batches, never events), and the final read re-ranks
+# the union and keeps the global bottom-K. Because bottom-k is a
+# lattice (merge = min-k of unions, associative and commutative),
+# batch boundaries cannot change the merged sketch, so the batch
+# GROUP BY oracle is EXACT — the only distinct-count sketch in the
+# registry whose STREAMING variant hash-checks end to end (the HLL
+# sliding path is rows-only).
+# --------------------------------------------------------------------------
+def _stream_kmv_sql() -> str:
+    from .sketches import KMV_K
+    two60 = 1 << 60
+    return f"""
+    WITH dv AS (
+        SELECT DISTINCT event_type AS scope, user_id AS u FROM events
+    ),
+    h AS (
+        SELECT scope, u,
+               ('0x' || substr(md5('kmv:' || u), 1, 15))::BIGINT AS hv
+        FROM dv
+    ),
+    rk AS (
+        SELECT scope, hv,
+               ROW_NUMBER() OVER (PARTITION BY scope
+                                  ORDER BY hv, u) AS rn
+        FROM h
+    )
+    SELECT scope, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+           MAX(CASE WHEN rn = {KMV_K} THEN hv END) AS kth_hash,
+           CASE WHEN MAX(CASE WHEN rn = {KMV_K} THEN hv END) IS NULL
+                THEN CAST(COUNT(*) AS BIGINT)
+                ELSE CAST(ROUND(({KMV_K} - 1)
+                     * ({two60}.0 / MAX(CASE WHEN rn = {KMV_K}
+                                        THEN hv END)), 0) AS BIGINT)
+           END AS est
+    FROM rk WHERE rn <= {KMV_K}
+    GROUP BY scope ORDER BY scope
+    """
+
+
+@register(
+    "stream_kmv_distinct",
+    _stream_kmv_sql(),
+    doc="X198 streaming KMV distinct: 4 micro-batches each append "
+        "their per-type bottom-K md5 sketch rows to a parquet store "
+        "(groups x K x batches, never events); the final read "
+        "re-ranks the union to the global bottom-K. Bottom-k is a "
+        "lattice, so the merge is batch-boundary-proof and the batch "
+        "oracle is exact — the registry's only hash-checked "
+        "STREAMING distinct sketch.",
+    tags=("X198", "X186", "X61", "X20"),
+)
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..catalog import load_table
+    from ..streaming.windows import fold_stream_foreachbatch
+    from .sketches import KMV_K
+
+    two60 = float(1 << 60)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id")
+    suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    feed = os.path.join("spark-warehouse", f"kmv_feed_{suffix}")
+    store = os.path.join("spark-warehouse", f"kmv_store_{suffix}")
+    ckpt = os.path.join("spark-warehouse", f"kmv_ckpt_{suffix}")
+    for d in (feed, store, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    for i in range(4):
+        (ev.filter(F.pmod("event_id", F.lit(4)) == i)
+         .coalesce(1).write.mode("append").parquet(feed))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    wg = Window.partitionBy("scope").orderBy("hv", "u")
+
+    def fold(state, batch_df):
+        sk = (batch_df
+              .select(F.col("event_type").alias("scope"),
+                      F.col("user_id").alias("u"))
+              .distinct()
+              .withColumn("hv", F.conv(F.substring(
+                  F.md5(F.concat(F.lit("kmv:"),
+                                 F.col("u").cast("string"))),
+                  1, 15), 16, 10).cast("long"))
+              .withColumn("rn", F.row_number().over(wg))
+              .filter(F.col("rn") <= KMV_K)
+              .select("scope", "u", "hv"))
+        sk.write.mode("append").parquet(store)
+        return (state or 0) + 1
+
+    fold_stream_foreachbatch(stream, fold, ckpt)
+    merged = (spark.read.parquet(store)
+              .select("scope", "u", "hv").distinct()
+              .withColumn("rn", F.row_number().over(wg))
+              .filter(F.col("rn") <= KMV_K))
+    est = F.when(F.col("kth_hash").isNull(), F.col("n_sketch")) \
+        .otherwise(F.round((KMV_K - 1)
+                           * (F.lit(two60) / F.col("kth_hash")), 0)
+                   .cast("long"))
+    return (merged.groupBy("scope")
+            .agg(F.count("*").cast("long").alias("n_sketch"),
+                 F.max(F.when(F.col("rn") == KMV_K, F.col("hv")))
+                 .alias("kth_hash"))
+            .select("scope", "n_sketch", "kth_hash", est.alias("est"))
+            .orderBy("scope"))

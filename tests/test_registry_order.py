@@ -149,6 +149,7 @@ NEW_R4: dict[str, str] = {
     "label_noise_audit": "X195",
     "markov_removal_attribution": "X196",
     "offpolicy_ips_eval": "X197",
+    "stream_kmv_distinct": "X198",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -3795,3 +3795,15 @@ def test_offpolicy_ips_replay_and_bias_band(spark, sf_dir):
         assert abs(r["ips_value"] - r["true_value"]) \
             <= max(1.0, 10.0 * r["true_value"] / max(nm, 1) ** 0.5
                    + 60.0 / max(nm, 1) ** 0.5)
+
+
+def test_stream_kmv_matches_batch_sketch(spark, sf_dir):
+    """X198: the streamed merged sketch equals the batch KMV of the
+    full data (bottom-k lattice law across micro-batch boundaries),
+    and agrees with X186's per-group rows."""
+    g186 = {r["scope"]: (r["n_sketch"], r["kth_hash"], r["est"])
+            for r in _rows("kmv_distinct_sketch", spark, sf_dir)
+            if r["scope"] != "ALL(merged)"}
+    g198 = {r["scope"]: (r["n_sketch"], r["kth_hash"], r["est"])
+            for r in _rows("stream_kmv_distinct", spark, sf_dir)}
+    assert g198 == g186
