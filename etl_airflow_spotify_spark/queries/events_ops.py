@@ -4043,22 +4043,26 @@ def markov_removal_attribution(spark: SparkSession,
                          0).cast("long").alias("qm")))
     chans = occ.filter(F.col("i") != "start") \
         .select(F.col("i").alias("s"))
+    # Repartition every alphabet-sized input to ONE partition BEFORE
+    # the crossJoins: cartesian partitioning is left x right, so two
+    # shuffled frames (64 x 32) would spawn thousands of near-empty
+    # tasks — and a trailing coalesce(1) would then execute them all
+    # SERIALLY inside one task (measured: 177s to build three
+    # <100-row frames; 1x1 partitioning builds them in <1s).
     scen = chans.unionByName(
-        spark.createDataFrame([("base",)], "s STRING"))
-    # scenario x state frames are alphabet-sized (<= ~120 rows);
-    # coalesce(1) before persisting — a crossJoin of two shuffled
-    # frames otherwise multiplies partitions (64 x 32 = 2048 empty
-    # tasks dragged through every fixed-point round)
+        spark.createDataFrame([("base",)], "s STRING")).repartition(1)
+    occ1 = occ.select("i").repartition(1)
+    q1 = q.select(F.col("i").alias("qi"), F.col("j").alias("qj"),
+                  "qm").repartition(1)
     ss = persist_tracked(
-        scen.crossJoin(occ.select("i"))
-        .filter(F.col("i") != F.col("s")).coalesce(1))
+        scen.crossJoin(occ1)
+        .filter(F.col("i") != F.col("s")))
     sq = persist_tracked(
-        scen.crossJoin(q.select(F.col("i").alias("qi"),
-                                F.col("j").alias("qj"), "qm"))
+        scen.crossJoin(q1)
         .filter((F.col("qi") != F.col("s"))
-                & (F.col("qj") != F.col("s"))).coalesce(1))
-    sb = persist_tracked(ss.join(bvec, "i").select("s", "i", "b")
-                         .coalesce(1))
+                & (F.col("qj") != F.col("s"))))
+    sb = persist_tracked(ss.join(F.broadcast(bvec), "i")
+                         .select("s", "i", "b"))
     p = ss.select("s", "i", F.lit(0).cast("long").alias("p")) \
         .coalesce(1).localCheckpoint()
     for _ in range(MARKOV_ATTR_T):
