@@ -244,6 +244,7 @@ HEADLINE = [
     "markov_removal_attribution",
     "offpolicy_ips_eval",
     "stream_kmv_distinct",
+    "ucb_bandit_replay",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -4237,3 +4237,199 @@ def offpolicy_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(tr).cast("double") / F.count("*")
                          / 1e6, 6).alias("true_value"))
             .orderBy("policy"))
+
+
+# --------------------------------------------------------------------------
+# X199: UCB1 bandit replay — offline replay of an ONLINE learning
+# policy (the standard way to evaluate a bandit algorithm on logged
+# data, complementing X197's static-policy IPS): arms are event
+# types, epochs are 3-day windows, an epoch's arm reward is its mean
+# event value in exact micro units. The replay is the textbook UCB1:
+# first |arms| epochs initialize round-robin (alphabetical), then
+# each epoch plays argmax(mean + sqrt(2 ln t / n)) — ln t comes from
+# a Python-precomputed micro table inlined into BOTH engines (the
+# X99/X103 irrational-constant rule), means are single divisions of
+# exact BIGINTs, the bonus is one correctly-rounded sqrt of
+# identical doubles snapped to micro, so every argmax is an integer
+# comparison (arm-name ties). State is |arms| rows; epochs are
+# calendar-bounded (10), each one tiny join — the oracle replays all
+# of them as generated MATERIALIZED CTEs. Cumulative regret is
+# reported against the hindsight-best fixed arm.
+# --------------------------------------------------------------------------
+UCB_EPOCH_DAYS = 3
+UCB_EPOCHS = 10
+# round(ln(t) * 1e6) for t = 1..UCB_EPOCHS, precomputed in Python
+UCB_LN_MICRO = (0, 693147, 1098612, 1386294, 1609438,
+                1791759, 1945910, 2079442, 2197225, 2302585)
+
+
+def _ucb_oracle() -> str:
+    ln_rows = ", ".join(f"({t}, {v})"
+                        for t, v in enumerate(UCB_LN_MICRO, start=1))
+    head = f"""
+    WITH ev AS (
+        SELECT event_type AS arm,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS d,
+               CAST(ROUND(value * 1000000, 0) AS BIGINT) AS vm
+        FROM events
+    ),
+    m AS (SELECT MIN(d) AS d0 FROM ev),
+    wr AS MATERIALIZED (
+        SELECT arm, (d - m.d0) // {UCB_EPOCH_DAYS} + 1 AS t,
+               CAST(ROUND(CAST(SUM(vm) AS DOUBLE) / COUNT(*), 0)
+                    AS BIGINT) AS r
+        FROM ev CROSS JOIN m GROUP BY arm, (d - m.d0)
+                                           // {UCB_EPOCH_DAYS} + 1
+    ),
+    arms AS MATERIALIZED (
+        SELECT arm, ROW_NUMBER() OVER (ORDER BY arm) AS ai
+        FROM (SELECT DISTINCT arm FROM wr)
+    ),
+    na AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM arms),
+    lnt(t, lnm) AS (VALUES {ln_rows}),
+    s0 AS (SELECT arm, CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT)
+               AS sm FROM arms)"""
+    steps = []
+    for t in range(1, UCB_EPOCHS + 1):
+        steps.append(f"""
+    pick{t} AS MATERIALIZED (
+        SELECT arm FROM (
+            SELECT s.arm,
+                   ROW_NUMBER() OVER (ORDER BY
+                       CASE WHEN (SELECT k FROM na) >= {t}
+                            THEN CASE WHEN a.ai = {t} THEN 0 ELSE 1 END
+                            WHEN s.n = 0 THEN 0
+                            ELSE 1 END,
+                       CASE WHEN s.n = 0 THEN 0
+                            ELSE -((s.sm // s.n)
+                                   + CAST(ROUND(SQRT(
+                                       2.0 * (SELECT lnm FROM lnt
+                                              WHERE t = {t})
+                                       / 1000000.0 / s.n) * 1000000,
+                                       0) AS BIGINT)) END,
+                       s.arm) AS rn
+            FROM s{t-1} s JOIN arms a ON a.arm = s.arm
+        ) WHERE rn = 1
+    ),
+    obs{t} AS MATERIALIZED (
+        SELECT p.arm, COALESCE(wr.r, 0) AS r
+        FROM pick{t} p LEFT JOIN wr ON wr.arm = p.arm AND wr.t = {t}
+    ),
+    s{t} AS MATERIALIZED (
+        SELECT s.arm,
+               s.n + CASE WHEN o.arm IS NULL THEN 0 ELSE 1 END AS n,
+               s.sm + COALESCE(o.r, 0) AS sm
+        FROM s{t-1} s LEFT JOIN obs{t} o ON o.arm = s.arm
+    )""")
+    plays = " UNION ALL ".join(
+        f"SELECT {t} AS t, arm, r FROM obs{t}"
+        for t in range(1, UCB_EPOCHS + 1))
+    return (head + "," + ",".join(steps) + f"""
+    , plays AS (SELECT * FROM ({plays})),
+    best AS (
+        SELECT arm FROM (
+            SELECT wr.arm, SUM(wr.r) AS tot
+            FROM wr WHERE wr.t <= {UCB_EPOCHS} GROUP BY wr.arm
+            ORDER BY tot DESC, arm LIMIT 1
+        )
+    )
+    SELECT p.t AS epoch, p.arm AS played, p.r AS reward_micro,
+           COALESCE(bw.r, 0) AS best_reward_micro,
+           CAST(SUM(COALESCE(bw.r, 0) - p.r)
+                OVER (ORDER BY p.t) AS BIGINT) AS cum_regret_micro
+    FROM plays p
+    CROSS JOIN best b
+    LEFT JOIN wr bw ON bw.arm = b.arm AND bw.t = p.t
+    ORDER BY epoch
+    """)
+
+
+@register(
+    "ucb_bandit_replay",
+    _ucb_oracle(),
+    doc=f"X199 UCB1 replay over {UCB_EPOCHS} {UCB_EPOCH_DAYS}-day "
+        "epochs: round-robin init then argmax(mean + sqrt(2 ln t / "
+        "n)) with ln t from an inlined Python micro table, means as "
+        "integer divisions, bonuses one correctly-rounded sqrt "
+        "snapped to micro — every decision an integer argmax "
+        "(arm-name ties); cumulative regret vs the hindsight-best "
+        "fixed arm; state frames are arm-alphabet-sized.",
+    tags=("X199", "X197", "X56", "X12"),
+)
+def ucb_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    ev = _ev(spark, sf_dir).select(
+        F.col("event_type").alias("arm"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("d"),
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("vm"))
+    m = ev.agg(F.min("d").alias("d0"))
+    wr = persist_tracked(
+        ev.crossJoin(F.broadcast(m))
+        .groupBy("arm",
+                 (F.expr(f"(d - d0) DIV {UCB_EPOCH_DAYS}") + 1)
+                 .alias("t"))
+        .agg(F.round(F.sum("vm").cast("double") / F.count("*"), 0)
+             .cast("long").alias("r"))
+        .repartition(1))
+    arms = persist_tracked(
+        wr.select("arm").distinct()
+        .withColumn("ai", F.row_number().over(Window.orderBy("arm")))
+        .repartition(1))
+    k = arms.count()  # arm alphabet size — bounded metadata
+    s = arms.select("arm",
+                    F.lit(0).cast("long").alias("n"),
+                    F.lit(0).cast("long").alias("sm")) \
+        .localCheckpoint()
+    plays = None
+    for t in range(1, UCB_EPOCHS + 1):
+        lnm = UCB_LN_MICRO[t - 1]
+        if t <= k:
+            prio = F.when(F.col("ai") == t, 0).otherwise(1)
+        else:
+            prio = F.when(F.col("n") == 0, 0).otherwise(1)
+        ucb = F.when(F.col("n") == 0, F.lit(0)).otherwise(
+            -(F.expr("sm DIV n")
+              + F.round(F.sqrt(F.lit(2.0) * F.lit(lnm) / 1e6
+                               / F.col("n")) * 1e6, 0).cast("long")))
+        pick = (s.join(arms.select("arm", "ai"), "arm")
+                .withColumn("rn", F.row_number().over(
+                    Window.orderBy(prio, ucb, F.asc("arm"))))
+                .filter("rn = 1").select("arm"))
+        obs = (pick.join(wr.filter(F.col("t") == t)
+                         .select("arm", "r"), "arm", "left")
+               .select("arm", F.coalesce("r", F.lit(0)).alias("r"))
+               .localCheckpoint())
+        row = obs.select(F.lit(t).cast("long").alias("epoch"),
+                         F.col("arm").alias("played"),
+                         F.col("r").alias("reward_micro"))
+        plays = row if plays is None else plays.unionByName(row)
+        s = (s.join(obs.select(F.col("arm").alias("oarm"), "r"),
+                    s.arm == F.col("oarm"), "left")
+             .select("arm",
+                     (F.col("n") + F.when(F.col("oarm").isNull(), 0)
+                      .otherwise(1)).alias("n"),
+                     (F.col("sm") + F.coalesce("r", F.lit(0)))
+                     .alias("sm"))
+             .localCheckpoint())
+    best = (wr.filter(F.col("t") <= UCB_EPOCHS)
+            .groupBy("arm").agg(F.sum("r").alias("tot"))
+            .orderBy(F.desc("tot"), F.asc("arm")).limit(1)
+            .select(F.col("arm").alias("barm")))
+    wcum = Window.orderBy("epoch").rowsBetween(
+        Window.unboundedPreceding, 0)
+    return (plays.crossJoin(F.broadcast(best))
+            .join(wr.select(F.col("arm").alias("barm"),
+                            F.col("t").alias("epoch"),
+                            F.col("r").alias("br")),
+                  ["barm", "epoch"], "left")
+            .select("epoch", "played", "reward_micro",
+                    F.coalesce("br", F.lit(0))
+                    .alias("best_reward_micro"))
+            .withColumn("cum_regret_micro",
+                        F.sum(F.col("best_reward_micro")
+                              - F.col("reward_micro")).over(wcum)
+                        .cast("long"))
+            .orderBy("epoch"))

@@ -150,6 +150,7 @@ NEW_R4: dict[str, str] = {
     "markov_removal_attribution": "X196",
     "offpolicy_ips_eval": "X197",
     "stream_kmv_distinct": "X198",
+    "ucb_bandit_replay": "X199",
 }
 DEFERRED |= set(NEW_R4)
 

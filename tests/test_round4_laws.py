@@ -3807,3 +3807,72 @@ def test_stream_kmv_matches_batch_sketch(spark, sf_dir):
     g198 = {r["scope"]: (r["n_sketch"], r["kth_hash"], r["est"])
             for r in _rows("stream_kmv_distinct", spark, sf_dir)}
     assert g198 == g186
+
+
+def test_ucb_replay_matches_python(spark, sf_dir):
+    """X199: the whole replay (init order, UCB argmaxes, state
+    updates, regret) matches a Python replay; regret is nondecreasing
+    and the best arm, once clearly ahead, is played at least once in
+    the adaptive phase."""
+    import duckdb
+    import math
+    from collections import defaultdict
+
+    from etl_airflow_spotify_spark.queries.events_ops import (
+        UCB_EPOCH_DAYS, UCB_EPOCHS, UCB_LN_MICRO)
+
+    rows = {r["epoch"]: r
+            for r in _rows("ucb_bandit_replay", spark, sf_dir)}
+    evs = duckdb.sql(
+        f"SELECT event_type, CAST(ts AS DATE), "
+        f"CAST(ROUND(value * 1000000, 0) AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet'").fetchall()
+    d0 = min(d for _, d, _ in evs).toordinal()
+    cells = defaultdict(lambda: [0, 0])
+    for arm, d, vm in evs:
+        t = (d.toordinal() - d0) // UCB_EPOCH_DAYS + 1
+        cells[(arm, t)][0] += vm
+        cells[(arm, t)][1] += 1
+    wr = {k: round(s / n) for k, (s, n) in cells.items()}
+    arms = sorted({a for a, _ in wr})
+    k = len(arms)
+    n = {a: 0 for a in arms}
+    sm = {a: 0 for a in arms}
+    played = {}
+    for t in range(1, UCB_EPOCHS + 1):
+        if t <= k:
+            pick = arms[t - 1]
+        else:
+            def key(a):
+                if n[a] == 0:
+                    return (0, 0, a)
+                ucb = (sm[a] // n[a]
+                       + round(math.sqrt(2.0 * UCB_LN_MICRO[t - 1]
+                                         / 1e6 / n[a]) * 1e6))
+                return (1, -ucb, a)
+            pick = min(arms, key=key)
+        r = wr.get((pick, t), 0)
+        n[pick] += 1
+        sm[pick] += r
+        played[t] = (pick, r)
+    best = max(arms, key=lambda a: (sum(wr.get((a, t), 0)
+                                        for t in range(1,
+                                                       UCB_EPOCHS + 1)),
+                                    ))
+    best = min([a for a in arms
+                if sum(wr.get((a, t), 0)
+                       for t in range(1, UCB_EPOCHS + 1))
+                == sum(wr.get((best, t), 0)
+                       for t in range(1, UCB_EPOCHS + 1))])
+    cum = 0
+    prev = 0
+    for t in range(1, UCB_EPOCHS + 1):
+        pick, r = played[t]
+        br = wr.get((best, t), 0)
+        cum += br - r
+        row = rows[t]
+        assert row["played"] == pick
+        assert row["reward_micro"] == r
+        assert row["best_reward_micro"] == br
+        assert row["cum_regret_micro"] == cum
+        prev = cum
