@@ -245,6 +245,7 @@ HEADLINE = [
     "offpolicy_ips_eval",
     "stream_kmv_distinct",
     "ucb_bandit_replay",
+    "recsys_quality_metrics",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -2293,9 +2293,10 @@ CF_TOP_N = 3
 CF_USER_MOD = 100  # score customers with custkey % mod == 0
 
 
-@register(
-    "itemitem_cf_recommend",
-    f"""
+def _cf_recs_sql() -> str:
+    """The full X165 recommendation SELECT (no trailing ORDER BY) —
+    shared verbatim by the X165 oracle and X200's metrics oracle."""
+    return f"""
     WITH oi AS (
         SELECT DISTINCT l.l_orderkey AS g, l.l_partkey AS i,
                o.o_custkey AS cust
@@ -2342,8 +2343,12 @@ CF_USER_MOD = 100  # score customers with custkey % mod == 0
                                     ORDER BY score_micro DESC, item) AS rn
           FROM cand)
     WHERE rn <= {CF_TOP_N}
-    ORDER BY custkey, rank
-    """,
+    """
+
+
+@register(
+    "itemitem_cf_recommend",
+    _cf_recs_sql() + " ORDER BY custkey, rank",
     doc=f"X165 item-item collaborative filtering: basket-bounded "
         f"cosine cooc/sqrt(n_i*n_j) from exact BIGINTs, per-item "
         f"top-{CF_NEIGH_K} neighbor truncation (double ordering is "
@@ -3033,3 +3038,120 @@ def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                               & (F.col("sm") >= F.col("t")), 1)
                        .otherwise(0)).cast("long").alias("n_flagged"))
             .orderBy("label", "pred_label"))
+
+
+# --------------------------------------------------------------------------
+# X200: recommender quality metrics — the serving-side dashboard
+# every recsys team reads before shipping a model: CATALOG COVERAGE
+# (what fraction of items the system can ever surface), mean NOVELTY
+# (the -log2 popularity of what it recommends — high means it digs
+# past bestsellers; integer log args -> micro-bit grid, the X166
+# discipline), and EXPOSURE GINI (how concentrated recommendation
+# slots are across items — the X139 pure-integer rank-ratio form).
+# Input is exactly the X165 recommendation output: the Spark side
+# reuses the registered query function, the oracle embeds the SAME
+# factored SQL text as a CTE, so the metrics stay hash-exact end to
+# end without duplicating the pipeline.
+# --------------------------------------------------------------------------
+@register(
+    "recsys_quality_metrics",
+    f"""
+    WITH recs AS ({_cf_recs_sql()}),
+    oi2 AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+    ),
+    pop AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM oi2 GROUP BY i),
+    nb AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS nb FROM oi2),
+    cat AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_catalog FROM pop),
+    nov AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_recs,
+               CAST(COUNT(DISTINCT r.custkey) AS BIGINT) AS n_users,
+               CAST(COUNT(DISTINCT r.partkey) AS BIGINT)
+                   AS n_distinct_items,
+               CAST(SUM(CAST(ROUND(log2(nb.nb) * 1000000) AS BIGINT)
+                        - CAST(ROUND(log2(pop.n) * 1000000) AS BIGINT))
+                    AS BIGINT) AS nov_sum
+        FROM recs r JOIN pop ON pop.i = r.partkey CROSS JOIN nb
+    ),
+    expo AS (
+        SELECT partkey, CAST(COUNT(*) AS BIGINT) AS e
+        FROM recs GROUP BY partkey
+    ),
+    ranked AS (
+        SELECT e, CAST(ROW_NUMBER() OVER (ORDER BY e, partkey)
+                       AS BIGINT) AS rk
+        FROM expo
+    ),
+    gini AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(e) AS BIGINT) AS se,
+               CAST(SUM(rk * e) AS BIGINT) AS sre
+        FROM ranked
+    )
+    SELECT nov.n_users, nov.n_recs, nov.n_distinct_items,
+           cat.n_catalog,
+           ROUND(CAST(nov.n_distinct_items AS DOUBLE) / cat.n_catalog,
+                 6) AS coverage,
+           ROUND(CAST(nov.nov_sum AS DOUBLE) / nov.n_recs / 1000000.0,
+                 6) AS mean_novelty_bits,
+           ROUND(CAST(2 * gini.sre - (gini.n + 1) * gini.se AS DOUBLE)
+                 / (gini.n * gini.se), 6) AS exposure_gini
+    FROM nov CROSS JOIN cat CROSS JOIN gini
+    """,
+    doc="X200 recommender quality metrics over the X165 output "
+        "(oracle embeds the factored X165 SQL): catalog coverage, "
+        "mean novelty as micro-grid -log2 popularity (integer log "
+        "args), exposure Gini as the X139 pure-integer rank ratio — "
+        "single divisions only.",
+    tags=("X200", "X165", "X139", "X166", "X7"),
+)
+def recsys_quality_metrics(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..caching import persist_tracked
+
+    recs = persist_tracked(itemitem_cf_recommend(spark, sf_dir))
+    li = load_table(spark, sf_dir, "lineitem")
+    oi2 = li.select(F.col("l_orderkey").alias("g"),
+                    F.col("l_partkey").alias("i")).distinct()
+    pop = persist_tracked(
+        oi2.groupBy("i").agg(F.count("*").cast("long").alias("n")))
+    nb = oi2.select("g").distinct().agg(
+        F.count("*").cast("long").alias("nb"))
+    cat = pop.agg(F.count("*").cast("long").alias("n_catalog"))
+
+    def l2m(c):
+        return F.round(F.log2(c) * 1e6, 0).cast("long")
+
+    nov = (recs.join(pop, recs.partkey == pop.i)
+           .crossJoin(F.broadcast(nb))
+           .agg(F.count("*").cast("long").alias("n_recs"),
+                F.countDistinct("custkey").cast("long")
+                .alias("n_users"),
+                F.countDistinct("partkey").cast("long")
+                .alias("n_distinct_items"),
+                F.sum(l2m(F.col("nb")) - l2m(F.col("n")))
+                .cast("long").alias("nov_sum")))
+    expo = recs.groupBy("partkey").agg(F.count("*").cast("long")
+                                       .alias("e"))
+    ranked = expo.withColumn(
+        "rk", F.row_number().over(Window.orderBy("e", "partkey"))
+        .cast("long"))
+    gini = ranked.agg(F.count("*").cast("long").alias("n"),
+                      F.sum("e").cast("long").alias("se"),
+                      F.sum(F.col("rk") * F.col("e")).cast("long")
+                      .alias("sre"))
+    return (nov.crossJoin(F.broadcast(cat))
+            .crossJoin(F.broadcast(gini))
+            .select("n_users", "n_recs", "n_distinct_items",
+                    "n_catalog",
+                    F.round(F.col("n_distinct_items").cast("double")
+                            / F.col("n_catalog"), 6).alias("coverage"),
+                    F.round(F.col("nov_sum").cast("double")
+                            / F.col("n_recs") / 1e6, 6)
+                    .alias("mean_novelty_bits"),
+                    F.round((2 * F.col("sre")
+                             - (F.col("n") + 1) * F.col("se"))
+                            .cast("double")
+                            / (F.col("n") * F.col("se")), 6)
+                    .alias("exposure_gini")))

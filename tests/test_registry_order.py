@@ -151,6 +151,7 @@ NEW_R4: dict[str, str] = {
     "offpolicy_ips_eval": "X197",
     "stream_kmv_distinct": "X198",
     "ucb_bandit_replay": "X199",
+    "recsys_quality_metrics": "X200",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -3876,3 +3876,47 @@ def test_ucb_replay_matches_python(spark, sf_dir):
         assert row["best_reward_micro"] == br
         assert row["cum_regret_micro"] == cum
         prev = cum
+
+
+def test_recsys_metrics_replay_and_bounds(spark, sf_dir):
+    """X200: metrics match a Python replay over the X165
+    recommendations; coverage and Gini lie in [0, 1]; novelty is
+    positive (recommended items are never the whole corpus)."""
+    import duckdb
+    import math
+    from collections import Counter
+
+    rows = _rows("recsys_quality_metrics", spark, sf_dir)
+    [r] = rows
+    recs = [(x["custkey"], x["partkey"])
+            for x in _rows("itemitem_cf_recommend", spark, sf_dir)]
+    oi = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey "
+        f"FROM '{sf_dir}/lineitem.parquet'").fetchall()
+    pop = Counter(i for _, i in oi)
+    nb = len({g for g, _ in oi})
+
+    def l2m(x):
+        return round(math.log2(x) * 1e6)
+
+    nov_sum = sum(l2m(nb) - l2m(pop[i]) for _, i in recs)
+    assert r["n_recs"] == len(recs)
+    assert r["n_users"] == len({c for c, _ in recs})
+    assert r["n_distinct_items"] == len({i for _, i in recs})
+    assert r["n_catalog"] == len(pop)
+    assert abs(r["coverage"]
+               - round(r["n_distinct_items"] / len(pop), 6)) <= 1e-9
+    assert abs(r["mean_novelty_bits"]
+               - round(nov_sum / len(recs) / 1e6, 6)) <= 1e-9
+    expo = Counter(i for _, i in recs)
+    xs = sorted(expo.values())
+    # rank ties broken by partkey in the query; values-only replay is
+    # rank-stable because equal e contribute symmetrically to the sum
+    n = len(xs)
+    se = sum(xs)
+    sre = sum(rk * x for rk, x in enumerate(xs, 1))
+    assert abs(r["exposure_gini"]
+               - round((2 * sre - (n + 1) * se) / (n * se), 6)) <= 1e-9
+    assert 0.0 <= r["coverage"] <= 1.0
+    assert 0.0 <= r["exposure_gini"] <= 1.0
+    assert r["mean_novelty_bits"] > 0.0
