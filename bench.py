@@ -246,6 +246,7 @@ HEADLINE = [
     "stream_kmv_distinct",
     "ucb_bandit_replay",
     "recsys_quality_metrics",
+    "gale_shapley_matching",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

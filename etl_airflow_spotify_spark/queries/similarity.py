@@ -3155,3 +3155,204 @@ def recsys_quality_metrics(spark: SparkSession,
                             .cast("double")
                             / (F.col("n") * F.col("se")), 6)
                     .alias("exposure_gini")))
+
+
+# --------------------------------------------------------------------------
+# X201: Gale-Shapley deferred acceptance — the TWO-SIDED matching
+# X187's symmetric mutual-argmax cannot express: proposers (odd
+# vec_ids) hold truncated preference lists, reviewers (even vec_ids)
+# rank ALL scored candidates, and each synchronous round every free
+# proposer proposes to its best not-yet-tried reviewer while each
+# reviewer defers-and-keeps the best proposal seen (the mechanism
+# behind residency matching and ad-auction pairing). Preferences are
+# the 6-dp IVF cosines (proposers probe cells, reviewers are the
+# indexed corpus — candidate generation stays cell-bounded); both
+# rank directions are ROW_NUMBERs over (score DESC, id), so every
+# decision is an integer comparison. GS_ROUNDS synchronous rounds
+# replay on both engines (generated MATERIALIZED CTEs; Spark
+# anti-joins + localCheckpoint). The deferred-acceptance invariant —
+# a matched reviewer always holds the best proposal ever received —
+# is law-tested along with a full Python replay.
+# --------------------------------------------------------------------------
+GS_ROUNDS = 5
+GS_PREF_K = 5
+
+
+def _gs_pairs_cte() -> str:
+    cents = S._unit_centroids(16, 64, 7)
+    vals = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    return f"""
+    corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents(ci, cv) AS (VALUES
+        {vals}
+    ),
+    assign AS (
+        SELECT vec_id, v, ci AS cell FROM (
+            SELECT c.vec_id, c.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_inner_product(c.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus c CROSS JOIN cents ce
+            WHERE c.vec_id % 2 = 0
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS p, v AS qv, ci AS cell FROM (
+            SELECT q.vec_id, q.v, ce.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_inner_product(q.v, ce.cv) DESC, ce.ci DESC
+                   ) AS rn
+            FROM corpus q CROSS JOIN cents ce
+            WHERE q.vec_id % 2 = 1
+        ) WHERE rn <= 4
+    ),
+    sp AS MATERIALIZED (
+        SELECT p, r, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p
+                                       ORDER BY score DESC, r)
+                    AS BIGINT) AS prank,
+               CAST(ROW_NUMBER() OVER (PARTITION BY r
+                                       ORDER BY score DESC, p)
+                    AS BIGINT) AS rrank
+        FROM (
+            SELECT pr.p, a.vec_id AS r,
+                   ROUND(list_cosine_similarity(pr.qv, a.v), 6)
+                       AS score
+            FROM probes pr JOIN assign a ON a.cell = pr.cell
+        )
+    ),
+    plist AS MATERIALIZED (
+        SELECT p, r, score, prank, rrank FROM sp
+        WHERE prank <= {GS_PREF_K}
+    )"""
+
+
+def _gs_oracle() -> str:
+    head = ("WITH RECURSIVE " + _gs_pairs_cte() + """,
+    pm0 AS (SELECT p, r FROM plist WHERE FALSE),
+    tv0 AS (SELECT r, p, rrank FROM plist WHERE FALSE)""")
+    steps = []
+    for t in range(1, GS_ROUNDS + 1):
+        steps.append(f"""
+    free{t} AS MATERIALIZED (
+        SELECT DISTINCT p FROM plist
+        WHERE p NOT IN (SELECT p FROM tv{t-1})
+    ),
+    nextp{t} AS MATERIALIZED (
+        SELECT p, r, rrank FROM (
+            SELECT pl.p, pl.r, pl.rrank,
+                   ROW_NUMBER() OVER (PARTITION BY pl.p
+                                      ORDER BY pl.prank) AS q
+            FROM plist pl
+            JOIN free{t} f ON f.p = pl.p
+            WHERE NOT EXISTS (SELECT 1 FROM pm{t-1} m
+                              WHERE m.p = pl.p AND m.r = pl.r)
+        ) WHERE q = 1
+    ),
+    pm{t} AS MATERIALIZED (
+        SELECT p, r FROM pm{t-1}
+        UNION ALL SELECT p, r FROM nextp{t}
+    ),
+    tv{t} AS MATERIALIZED (
+        SELECT r, p, rrank FROM (
+            SELECT r, p, rrank,
+                   ROW_NUMBER() OVER (PARTITION BY r
+                                      ORDER BY rrank, p) AS rn
+            FROM (SELECT r, p, rrank FROM tv{t-1}
+                  UNION ALL
+                  SELECT r, p, rrank FROM nextp{t})
+        ) WHERE rn = 1
+    )""")
+    return (head + "," + ",".join(steps) + f"""
+    SELECT tv.r AS reviewer, tv.p AS proposer,
+           pl.prank AS proposer_rank, tv.rrank AS reviewer_rank,
+           pl.score
+    FROM tv{GS_ROUNDS} tv
+    JOIN plist pl ON pl.p = tv.p AND pl.r = tv.r
+    ORDER BY reviewer
+    """)
+
+
+@register(
+    "gale_shapley_matching",
+    _gs_oracle(),
+    doc=f"X201 Gale-Shapley deferred acceptance: odd vec_ids propose "
+        f"down truncated top-{GS_PREF_K} IVF-cosine preference lists, "
+        f"even vec_ids defer-and-keep the best proposal, "
+        f"{GS_ROUNDS} synchronous rounds — every decision an integer "
+        "ROW_NUMBER comparison; candidate generation cell-bounded; "
+        "MATERIALIZED per-round CTE oracle; deferred-acceptance "
+        "invariant law-tested.",
+    tags=("X201", "X187", "X86", "X17", "X3"),
+)
+def gale_shapley_matching(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..caching import persist_tracked
+    from ..catalog import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = S._codebook_df(spark, S._unit_centroids(16, 64, 7))
+    rev = (spread(emb.filter(F.col("vec_id") % 2 == 0)
+                  .select(F.col("vec_id").alias("r"),
+                          S.as_double(F.col("embedding")).alias("cv")),
+                  "r")
+           .crossJoin(F.broadcast(book))
+           .select("r", "cv", S.norm(F.col("cv")).alias("cn"),
+                   F.array_max(S._cell_scores(F.col("cv"), 16, 64))["i"]
+                   .alias("cell")))
+    prop = (emb.filter(F.col("vec_id") % 2 == 1)
+            .select(F.col("vec_id").alias("p"),
+                    S.as_double(F.col("embedding")).alias("qv"))
+            .crossJoin(F.broadcast(book))
+            .select("p", "qv", S.norm(F.col("qv")).alias("qn"),
+                    F.slice(F.reverse(F.array_sort(
+                        S._cell_scores(F.col("qv"), 16, 64))),
+                        1, 4).alias("probes"))
+            .select("p", "qv", "qn",
+                    F.explode(F.transform("probes",
+                                          lambda s: s["i"]))
+                    .alias("cell")))
+    scored = (rev.join(F.broadcast(prop), "cell")
+              .select("p", "r",
+                      F.round(S.dot(F.col("qv"), F.col("cv"))
+                              / (F.col("qn") * F.col("cn")), 6)
+                      .alias("score")))
+    wp = Window.partitionBy("p").orderBy(F.desc("score"), F.asc("r"))
+    wr = Window.partitionBy("r").orderBy(F.desc("score"), F.asc("p"))
+    sp = scored.select(
+        "p", "r", "score",
+        F.row_number().over(wp).cast("long").alias("prank"),
+        F.row_number().over(wr).cast("long").alias("rrank"))
+    plist = persist_tracked(sp.filter(F.col("prank") <= GS_PREF_K))
+    pm = plist.select("p", "r").limit(0).localCheckpoint()
+    tv = plist.select("r", "p", "rrank").limit(0).localCheckpoint()
+    for _ in range(GS_ROUNDS):
+        free = (plist.select("p").distinct()
+                .join(tv.select("p"), "p", "left_anti"))
+        nextp = (plist.join(free, "p")
+                 .join(pm, ["p", "r"], "left_anti")
+                 .withColumn("q", F.row_number().over(
+                     Window.partitionBy("p").orderBy("prank")))
+                 .filter("q = 1").select("p", "r", "rrank"))
+        nextp = nextp.localCheckpoint()
+        pm = pm.unionByName(nextp.select("p", "r")).localCheckpoint()
+        cont = tv.unionByName(nextp.select("r", "p", "rrank"))
+        tv = (cont.withColumn("rn", F.row_number().over(
+            Window.partitionBy("r").orderBy("rrank", "p")))
+            .filter("rn = 1").select("r", "p", "rrank")
+            .localCheckpoint())
+    return (tv.join(plist.select("p", "r",
+                                 F.col("prank").alias("proposer_rank"),
+                                 "score"), ["p", "r"])
+            .select(F.col("r").alias("reviewer"),
+                    F.col("p").alias("proposer"),
+                    "proposer_rank",
+                    F.col("rrank").alias("reviewer_rank"), "score")
+            .orderBy("reviewer"))

@@ -152,6 +152,7 @@ NEW_R4: dict[str, str] = {
     "stream_kmv_distinct": "X198",
     "ucb_bandit_replay": "X199",
     "recsys_quality_metrics": "X200",
+    "gale_shapley_matching": "X201",
 }
 DEFERRED |= set(NEW_R4)
 

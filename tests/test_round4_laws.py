@@ -3920,3 +3920,88 @@ def test_recsys_metrics_replay_and_bounds(spark, sf_dir):
     assert 0.0 <= r["coverage"] <= 1.0
     assert 0.0 <= r["exposure_gini"] <= 1.0
     assert r["mean_novelty_bits"] > 0.0
+
+
+def test_gale_shapley_replay_and_invariants(spark, sf_dir):
+    """X201: the matching matches a Python deferred-acceptance replay
+    over the same preference lists; it is a valid matching; every
+    matched reviewer holds the best (lowest reviewer-rank) proposal
+    she ever received."""
+    from collections import defaultdict
+
+    from etl_airflow_spotify_spark.catalog import load_table, spread
+    from etl_airflow_spotify_spark.operators import similarity as S
+    from etl_airflow_spotify_spark.queries.similarity import (
+        GS_PREF_K, GS_ROUNDS)
+
+    rows = _rows("gale_shapley_matching", spark, sf_dir)
+    emb = {r["vec_id"]: [float(x) for x in r["embedding"]]
+           for r in load_table(spark, sf_dir, "embeddings").collect()}
+    cents = S._unit_centroids(16, 64, 7)
+
+    def cell_scores(v):
+        return [(sum(a * b for a, b in zip(v, c)), i)
+                for i, c in enumerate(cents)]
+
+    by_cell = defaultdict(list)
+    for vid, v in emb.items():
+        if vid % 2 == 0:
+            sc = sorted(cell_scores(v), reverse=True)
+            by_cell[sc[0][1]].append(vid)
+    scored = {}
+    for vid, v in emb.items():
+        if vid % 2 == 1:
+            probes = [i for _, i in
+                      sorted(cell_scores(v), reverse=True)[:4]]
+            nq = sum(x * x for x in v) ** 0.5
+            for cell in probes:
+                for r in by_cell[cell]:
+                    w = emb[r]
+                    nr = sum(x * x for x in w) ** 0.5
+                    s = round(sum(a * b for a, b in zip(v, w))
+                              / (nq * nr), 6)
+                    scored[(vid, r)] = s
+    pranks = defaultdict(list)
+    rranks = defaultdict(list)
+    for (p, r), s in scored.items():
+        pranks[p].append((-s, r))
+        rranks[r].append((-s, p))
+    plist = {}
+    for p, lst in pranks.items():
+        lst.sort()
+        plist[p] = [r for _, r in lst[:GS_PREF_K]]
+    rrank = {}
+    for r, lst in rranks.items():
+        lst.sort()
+        for i, (_, p) in enumerate(lst, 1):
+            rrank[(r, p)] = i
+
+    proposed = set()
+    tv = {}
+    received = defaultdict(list)
+    for _ in range(GS_ROUNDS):
+        matched_p = {p for p, _ in tv.values()}
+        props = defaultdict(list)
+        for p in plist:
+            if p in matched_p:
+                continue
+            nxt = [r for r in plist[p] if (p, r) not in proposed]
+            if nxt:
+                r = nxt[0]
+                proposed.add((p, r))
+                received[r].append(p)
+                props[r].append((rrank[(r, p)], p))
+        for r, group in props.items():
+            if r in tv:
+                group.append((tv[r][1], tv[r][0]))
+            rk, p = min(group)
+            tv[r] = (p, rk)
+
+    got = {r["reviewer"]: (r["proposer"], r["reviewer_rank"])
+           for r in rows}
+    assert got == tv
+    matched_p = [p for p, _ in got.values()]
+    assert len(matched_p) == len(set(matched_p))
+    for r, (p, rk) in got.items():
+        assert rk == rrank[(r, p)]
+        assert all(rrank[(r, q)] >= rk for q in received[r])
