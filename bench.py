@@ -247,6 +247,7 @@ HEADLINE = [
     "ucb_bandit_replay",
     "recsys_quality_metrics",
     "gale_shapley_matching",
+    "dp_exponential_selection",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -1823,3 +1823,117 @@ def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.count("*").cast("double") / F.min("nt"), 6)
                  .alias("frac"))
             .orderBy("true_lang", "pred_lang"))
+
+
+# --------------------------------------------------------------------------
+# X202: DP selection (exponential mechanism) — X164 released noisy
+# COUNTS; this releases a noisy ARGMAX ("which brand has the best
+# return record?") with the McSherry-Talwar exponential mechanism.
+# The trick that makes it bit-exact: at epsilon = 2 ln 2 the
+# selection weight exp(eps * u / 2) equals 2^u EXACTLY, so with
+# integer utilities (return-free rate in decipoints, 0..10) the
+# weights are exact BIGINT powers of two, the normalizer is their
+# sum, and each of EM_DRAWS independent md5 draws selects the brand
+# whose cumulative-weight interval contains h % W — pure integer
+# arithmetic end to end (no transcendental is ever evaluated, the
+# X103/X164 channel discipline). Exact selection probabilities ship
+# alongside the empirical histogram.
+# --------------------------------------------------------------------------
+EM_DRAWS = 64
+
+
+@register(
+    "dp_exponential_selection",
+    f"""
+    WITH br AS (
+        SELECT p.p_brand AS brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0
+                        END) AS BIGINT) AS r
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    ),
+    util AS (
+        SELECT brand,
+               CAST(ROUND(10.0 * (n - r) / n, 0) AS BIGINT) AS u
+        FROM br
+    ),
+    wgt AS (
+        SELECT brand, u, CAST(1 AS BIGINT) << u AS w FROM util
+    ),
+    cum AS (
+        SELECT brand, u, w,
+               CAST(SUM(w) OVER (ORDER BY brand) - w AS BIGINT) AS lo,
+               CAST(SUM(w) OVER (ORDER BY brand) AS BIGINT) AS hi
+        FROM wgt
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM wgt),
+    draws AS (
+        SELECT t, ('0x' || substr(md5('em:' || t), 1, 15))::BIGINT
+                  % tot.wt AS x
+        FROM generate_series(1, {EM_DRAWS}) AS g(t) CROSS JOIN tot
+    ),
+    sel AS (
+        SELECT c.brand, CAST(COUNT(*) AS BIGINT) AS n_selected
+        FROM draws d JOIN cum c ON d.x >= c.lo AND d.x < c.hi
+        GROUP BY c.brand
+    )
+    SELECT c.brand, c.u AS utility, c.w AS weight,
+           ROUND(CAST(c.w AS DOUBLE) / tot.wt, 6) AS exact_prob,
+           COALESCE(s.n_selected, 0) AS n_selected
+    FROM cum c CROSS JOIN tot
+    LEFT JOIN sel s ON s.brand = c.brand
+    ORDER BY c.brand
+    """,
+    doc=f"X202 DP exponential-mechanism selection at eps = 2 ln 2: "
+        "integer utilities (return-free decipoints) make the "
+        "exp(eps*u/2) weights EXACT BIGINT powers of two; "
+        f"{EM_DRAWS} independent md5 draws pick by cumulative-weight "
+        "interval (pure integer channel, no transcendental); exact "
+        "probabilities reported beside the empirical histogram.",
+    tags=("X202", "X164", "X72", "X106"),
+)
+def dp_exponential_selection(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    br = (li.join(pt, li.l_partkey == pt.p_partkey)
+          .groupBy(F.col("p_brand").alias("brand"))
+          .agg(F.count("*").cast("long").alias("n"),
+               F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                     .otherwise(0)).cast("long").alias("r")))
+    wgt = br.select(
+        "brand",
+        F.round(10.0 * (F.col("n") - F.col("r")) / F.col("n"), 0)
+        .cast("long").alias("u")) \
+        .withColumn("w", F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(u AS INT))"))
+    wcum = Window.orderBy("brand").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = persist_tracked(wgt.select(
+        "brand", "u", "w",
+        (F.sum("w").over(wcum) - F.col("w")).cast("long").alias("lo"),
+        F.sum("w").over(wcum).cast("long").alias("hi")))
+    tot = cum.agg(F.sum("w").cast("long").alias("wt"))
+    draws = (spark.range(1, EM_DRAWS + 1).toDF("t")
+             .crossJoin(F.broadcast(tot))
+             .select((F.conv(F.substring(
+                 F.md5(F.concat(F.lit("em:"),
+                                F.col("t").cast("string"))),
+                 1, 15), 16, 10).cast("long") % F.col("wt"))
+                 .alias("x")))
+    sel = (draws.join(cum, (F.col("x") >= F.col("lo"))
+                      & (F.col("x") < F.col("hi")))
+           .groupBy("brand")
+           .agg(F.count("*").cast("long").alias("n_selected")))
+    return (cum.crossJoin(F.broadcast(tot))
+            .join(sel, "brand", "left")
+            .select("brand", F.col("u").alias("utility"),
+                    F.col("w").alias("weight"),
+                    F.round(F.col("w").cast("double") / F.col("wt"),
+                            6).alias("exact_prob"),
+                    F.coalesce("n_selected", F.lit(0)).cast("long")
+                    .alias("n_selected"))
+            .orderBy("brand"))

@@ -153,6 +153,7 @@ NEW_R4: dict[str, str] = {
     "ucb_bandit_replay": "X199",
     "recsys_quality_metrics": "X200",
     "gale_shapley_matching": "X201",
+    "dp_exponential_selection": "X202",
 }
 DEFERRED |= set(NEW_R4)
 

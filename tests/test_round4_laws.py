@@ -4005,3 +4005,52 @@ def test_gale_shapley_replay_and_invariants(spark, sf_dir):
     for r, (p, rk) in got.items():
         assert rk == rrank[(r, p)]
         assert all(rrank[(r, q)] >= rk for q in received[r])
+
+
+def test_exponential_mechanism_replay_and_laws(spark, sf_dir):
+    """X202: weights, probabilities and the draw histogram match a
+    Python replay; probs sum to 1; selection probability is monotone
+    in utility; draws total EM_DRAWS."""
+    import duckdb
+    import hashlib
+
+    from etl_airflow_spotify_spark.queries.ml import EM_DRAWS
+
+    rows = {r["brand"]: r
+            for r in _rows("dp_exponential_selection", spark, sf_dir)}
+    br = duckdb.sql(
+        f"SELECT p.p_brand, COUNT(*), "
+        f"SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) "
+        f"FROM '{sf_dir}/lineitem.parquet' l "
+        f"JOIN '{sf_dir}/part.parquet' p "
+        f"ON p.p_partkey = l.l_partkey GROUP BY 1").fetchall()
+    u = {b: round(10.0 * (n - r) / n) for b, n, r in br}
+    brands = sorted(u)
+    w = {b: 1 << u[b] for b in brands}
+    wt = sum(w.values())
+    lo = {}
+    acc = 0
+    for b in brands:
+        lo[b] = acc
+        acc += w[b]
+    hist = {b: 0 for b in brands}
+    for t in range(1, EM_DRAWS + 1):
+        x = int(hashlib.md5(f"em:{t}".encode()).hexdigest()[:15],
+                16) % wt
+        for b in brands:
+            if lo[b] <= x < lo[b] + w[b]:
+                hist[b] += 1
+                break
+    assert sum(hist.values()) == EM_DRAWS
+    psum = 0.0
+    for b in brands:
+        r = rows[b]
+        assert r["utility"] == u[b] and r["weight"] == w[b]
+        assert abs(r["exact_prob"] - round(w[b] / wt, 6)) <= 1e-9
+        assert r["n_selected"] == hist[b]
+        psum += r["exact_prob"]
+    assert abs(psum - 1.0) <= 1e-4
+    for a in brands:
+        for b in brands:
+            if u[a] > u[b]:
+                assert rows[a]["exact_prob"] >= rows[b]["exact_prob"]
