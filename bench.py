@@ -248,6 +248,7 @@ HEADLINE = [
     "recsys_quality_metrics",
     "gale_shapley_matching",
     "dp_exponential_selection",
+    "stylometry_burrows_delta",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -2339,3 +2339,135 @@ def ot_transport_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * F.col("mass_units")).cast("long")
                     .alias("cost_units"))
             .orderBy("from_bin", "to_bin"))
+
+
+# --------------------------------------------------------------------------
+# X203: Burrows' Delta stylometry — the classical authorship /
+# provenance fingerprint (Burrows 2002): z-score the top-M
+# most-frequent-word rates across sources, Delta(a, b) = mean_w
+# |z_a - z_b|. The algebraic simplification that makes it exact
+# cross-engine: the per-word mean CANCELS in the difference, so
+# Delta needs only |f_a - f_b| / sd_w — rates are integer micro
+# (one snapped division per cell over the DENSE source x top-word
+# grid, zeros included), sd_w is one correctly-rounded sqrt of exact
+# BIGINT moments, each word term snaps back to micro, and the pair
+# sum is a BIGINT fold. Grid size is sources x M (bounded metadata);
+# the corpus is scanned once for the word histogram.
+# --------------------------------------------------------------------------
+DELTA_TOP_W = 30
+
+
+@register(
+    "stylometry_burrows_delta",
+    f"""
+    WITH tok AS (
+        SELECT source,
+               unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                   AS w
+        FROM documents
+    ),
+    cnt AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, w
+    ),
+    tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS t
+        FROM cnt GROUP BY source
+    ),
+    topw AS (
+        SELECT w FROM (
+            SELECT w, ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, w)
+                       AS r
+            FROM cnt GROUP BY w
+        ) WHERE r <= {DELTA_TOP_W}
+    ),
+    grid AS (
+        SELECT tot.source, topw.w, tot.t,
+               COALESCE(cnt.c, 0) AS c
+        FROM tot CROSS JOIN topw
+        LEFT JOIN cnt ON cnt.source = tot.source AND cnt.w = topw.w
+    ),
+    f AS (
+        SELECT source, w,
+               CAST(ROUND(1000000.0 * c / t, 0) AS BIGINT) AS fm
+        FROM grid
+    ),
+    sd AS (
+        SELECT w,
+               SQRT(CAST(COUNT(*) * SUM(fm * fm) - SUM(fm) * SUM(fm)
+                         AS DOUBLE)
+                    / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1)))
+                   AS sd
+        FROM f GROUP BY w
+    ),
+    terms AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(ROUND(ABS(a.fm - b.fm) / NULLIF(sd.sd, 0.0)
+                          * 1000000, 0) AS BIGINT) AS term
+        FROM f a JOIN f b ON b.w = a.w AND b.source > a.source
+        JOIN sd ON sd.w = a.w
+    )
+    SELECT src_a, src_b,
+           CAST(COUNT(term) AS BIGINT) AS n_words,
+           CAST(ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(term), 0)
+                AS BIGINT) / 1000000.0 AS delta
+    FROM terms GROUP BY src_a, src_b
+    ORDER BY src_a, src_b
+    """,
+    doc=f"X203 Burrows' Delta over the top-{DELTA_TOP_W} words: "
+        "dense source x word rate grid (zeros included, rates "
+        "snapped to micro), per-word sd one correctly-rounded sqrt "
+        "of exact moments, Delta = mean |f_a - f_b|/sd with the mean "
+        "cancellation making every term a micro-snapped integer; "
+        "pairwise source distances from one corpus pass.",
+    tags=("X203", "X18", "X129", "X122", "X7"),
+)
+def stylometry_burrows_delta(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    d = _docs(spark, sf_dir)
+    cnt = persist_tracked(
+        d.select("source",
+                 F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                   r"\s+")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c")))
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    topw = (cnt.groupBy("w").agg(F.sum("c").alias("tc"))
+            .withColumn("r", F.row_number().over(
+                Window.orderBy(F.desc("tc"), F.asc("w"))))
+            .filter(F.col("r") <= DELTA_TOP_W).select("w"))
+    grid = (tot.crossJoin(F.broadcast(topw))
+            .join(cnt, ["source", "w"], "left")
+            .select("source", "w", "t",
+                    F.coalesce("c", F.lit(0)).alias("c")))
+    f = persist_tracked(grid.select(
+        "source", "w",
+        F.round(F.lit(1000000.0) * F.col("c") / F.col("t"), 0)
+        .cast("long").alias("fm")))
+    sd = f.groupBy("w").agg(
+        F.sqrt((F.count("*") * F.sum(F.col("fm") * F.col("fm"))
+                - F.sum("fm") * F.sum("fm")).cast("double")
+               / (F.count("*").cast("double")
+                  * (F.count("*") - 1))).alias("sd"))
+    a = f.select(F.col("source").alias("src_a"), "w",
+                 F.col("fm").alias("fa"))
+    b = f.select(F.col("source").alias("src_b"), "w",
+                 F.col("fm").alias("fb"))
+    terms = (a.join(b, "w")
+             .filter(F.col("src_b") > F.col("src_a"))
+             .join(sd, "w")
+             .select("src_a", "src_b",
+                     F.round(F.abs(F.col("fa") - F.col("fb"))
+                             / F.nullif(F.col("sd"), F.lit(0.0))
+                             * 1e6, 0).cast("long").alias("term")))
+    # snap the mean to integer micro FIRST (ROUND(x, 6) on a double
+    # that lands exactly on a 5e-7 boundary flips between engines —
+    # the X41/pareto lesson), then one exact division
+    return (terms.groupBy("src_a", "src_b")
+            .agg(F.count("term").cast("long").alias("n_words"),
+                 (F.round(F.sum("term").cast("double")
+                          / F.count("term"), 0).cast("long")
+                  / F.lit(1000000.0)).alias("delta"))
+            .orderBy("src_a", "src_b"))

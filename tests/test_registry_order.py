@@ -154,6 +154,7 @@ NEW_R4: dict[str, str] = {
     "recsys_quality_metrics": "X200",
     "gale_shapley_matching": "X201",
     "dp_exponential_selection": "X202",
+    "stylometry_burrows_delta": "X203",
 }
 DEFERRED |= set(NEW_R4)
 

@@ -4054,3 +4054,52 @@ def test_exponential_mechanism_replay_and_laws(spark, sf_dir):
         for b in brands:
             if u[a] > u[b]:
                 assert rows[a]["exact_prob"] >= rows[b]["exact_prob"]
+
+
+def test_burrows_delta_replay_and_metric_laws(spark, sf_dir):
+    """X203: deltas match a full Python replay; Delta is symmetric by
+    construction, nonnegative, and zero only for identical rate
+    profiles."""
+    import duckdb
+    import math
+    import re
+    from collections import Counter
+
+    from etl_airflow_spotify_spark.queries.text import DELTA_TOP_W
+
+    rows = {(r["src_a"], r["src_b"]): r
+            for r in _rows("stylometry_burrows_delta", spark, sf_dir)}
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    cnt = Counter()
+    tot = Counter()
+    allw = Counter()
+    for src, text in docs:
+        for w in re.split(r"\s+", text.strip().lower()):
+            cnt[(src, w)] += 1
+            tot[src] += 1
+            allw[w] += 1
+    topw = sorted(allw, key=lambda w: (-allw[w], w))[:DELTA_TOP_W]
+    sources = sorted(tot)
+
+    def rhu(x):  # engines ROUND half-up; Python round() is banker's
+        return math.floor(x + 0.5)
+
+    f = {(s, w): rhu(1e6 * cnt.get((s, w), 0) / tot[s])
+         for s in sources for w in topw}
+    sd = {}
+    n = len(sources)
+    for w in topw:
+        xs = [f[(s, w)] for s in sources]
+        sd[w] = math.sqrt((n * sum(x * x for x in xs)
+                           - sum(xs) ** 2) / (n * (n - 1)))
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            terms = [rhu(abs(f[(a, w)] - f[(b, w)]) / sd[w] * 1e6)
+                     for w in topw if sd[w] != 0]
+            delta = rhu(sum(terms) / len(terms)) / 1e6
+            r = rows[(a, b)]
+            assert r["n_words"] == len(terms)
+            assert abs(r["delta"] - delta) <= 1e-9
+            assert r["delta"] >= 0.0
