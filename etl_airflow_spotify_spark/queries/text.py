@@ -2471,3 +2471,168 @@ def stylometry_burrows_delta(spark: SparkSession,
                           / F.count("term"), 0).cast("long")
                   / F.lit(1000000.0)).alias("delta"))
             .orderBy("src_a", "src_b"))
+
+
+# --------------------------------------------------------------------------
+# X204: Kneser-Ney smoothed bigram perplexity — the smoothing that
+# actually ships in LM-based corpus filters (KenLM/CCNet), next to
+# X67's pedagogical add-k: absolute discounting plus the
+# continuation-probability backoff ("how many contexts has this word
+# completed?"). Exactness without a single transcendental of a
+# non-integer: with discount d = 3/4, multiply through by 4*Nbt so
+#   p(b|a) = [max(4c(ab) - 3, 0) * Nbt + 3 * N1+(a.) * N1+(.b)]
+#            / [4 * c(a.) * Nbt]
+# is an exact INTEGER rational — surprisal = l2m(den) - l2m(num),
+# both log2 args integers on the micro-bit grid, and per-doc sums
+# are BIGINT folds. The model trains on the md5 80% document split
+# and scores the held-out 20% (so the backoff term genuinely fires
+# on unseen bigrams); bigrams whose context or word lacks trained
+# statistics are skipped and counted (n_oov).
+# --------------------------------------------------------------------------
+KN_TRAIN_PCT = 80
+
+
+@register(
+    "kneser_ney_perplexity",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS ts,
+               (('0x' || substr(md5('kn:' || doc_id), 1, 15))::BIGINT
+                % 100) < {KN_TRAIN_PCT} AS tr
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, tr,
+               unnest(ts[1:len(ts) - 1]) AS a,
+               unnest(ts[2:len(ts)]) AS b
+        FROM d WHERE len(ts) >= 2
+    ),
+    cnt AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bg WHERE tr GROUP BY a, b
+    ),
+    ctx AS (
+        SELECT a, CAST(SUM(c) AS BIGINT) AS ca,
+               CAST(COUNT(*) AS BIGINT) AS cont_a
+        FROM cnt GROUP BY a
+    ),
+    hist AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS hist_b
+        FROM cnt GROUP BY b
+    ),
+    nbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbt FROM cnt),
+    tb AS (
+        SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bg WHERE NOT tr GROUP BY doc_id, a, b
+    ),
+    joined AS (
+        SELECT tb.doc_id, tb.n,
+               ctx.a IS NOT NULL AND hist.b IS NOT NULL AS known,
+               CASE WHEN ctx.a IS NOT NULL AND hist.b IS NOT NULL
+                    THEN GREATEST(4 * COALESCE(cnt.c, 0) - 3,
+                                  CAST(0 AS BIGINT)) * nbt.nbt
+                         + 3 * ctx.cont_a * hist.hist_b
+               END AS num4,
+               CASE WHEN ctx.a IS NOT NULL AND hist.b IS NOT NULL
+                    THEN 4 * ctx.ca * nbt.nbt
+               END AS den4
+        FROM tb
+        LEFT JOIN ctx ON ctx.a = tb.a
+        LEFT JOIN hist ON hist.b = tb.b
+        LEFT JOIN cnt ON cnt.a = tb.a AND cnt.b = tb.b
+        CROSS JOIN nbt
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN known THEN n ELSE 0 END) AS BIGINT)
+                   AS n_bigrams,
+               CAST(SUM(CASE WHEN known THEN 0 ELSE n END) AS BIGINT)
+                   AS n_oov,
+               CAST(SUM(CASE WHEN known THEN
+                    n * (CAST(ROUND(log2(den4) * 1000000) AS BIGINT)
+                         - CAST(ROUND(log2(num4) * 1000000) AS BIGINT))
+                    ELSE 0 END) AS BIGINT) AS nll_micro
+        FROM joined GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, n_oov,
+           CASE WHEN n_bigrams > 0
+                THEN ROUND(nll_micro / (n_bigrams * 1000000.0), 6)
+                ELSE 0.0 END AS avg_nll_bits,
+           CASE WHEN n_bigrams > 0
+                THEN ROUND(POWER(2.0, nll_micro
+                                 / (n_bigrams * 1000000.0)), 3)
+                ELSE 1.0 END AS ppl
+    FROM scored ORDER BY doc_id
+    """,
+    doc=f"X204 Kneser-Ney bigram perplexity (d=3/4) on the md5 "
+        f"{KN_TRAIN_PCT}/20 split: p(b|a) multiplied through by "
+        "4*Nbt is an exact integer rational, so surprisal is "
+        "l2m(den)-l2m(num) with INTEGER log args and per-doc sums "
+        "are BIGINT folds; continuation/history counts give the KN "
+        "backoff; OOV-context bigrams skipped and counted.",
+    tags=("X204", "X67", "X44", "X18", "X7"),
+)
+def kneser_ney_perplexity(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ts"),
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit("kn:"),
+                           F.col("doc_id").cast("string"))),
+            1, 15), 16, 10).cast("long") % 100
+         < KN_TRAIN_PCT).alias("tr"))
+    bigrams = F.expr(
+        "transform(slice(ts, 1, size(ts) - 1), "
+        "(t, i) -> struct(t AS a, element_at(ts, i + 2) AS b))")
+    bg = persist_tracked(
+        d.filter(F.size("ts") >= 2)
+        .select("doc_id", "tr", F.explode(bigrams).alias("p"))
+        .select("doc_id", "tr", F.col("p.a").alias("a"),
+                F.col("p.b").alias("b")))
+    cnt = persist_tracked(
+        bg.filter("tr").groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("c")))
+    ctx = cnt.groupBy("a").agg(
+        F.sum("c").cast("long").alias("ca"),
+        F.count("*").cast("long").alias("cont_a"))
+    hist = cnt.groupBy("b").agg(
+        F.count("*").cast("long").alias("hist_b"))
+    nbt = cnt.agg(F.count("*").cast("long").alias("nbt"))
+    tb = (bg.filter(~F.col("tr"))
+          .groupBy("doc_id", "a", "b")
+          .agg(F.count("*").cast("long").alias("n")))
+    known = F.col("ca").isNotNull() & F.col("hist_b").isNotNull()
+    num4 = (F.greatest(4 * F.coalesce("c", F.lit(0)) - 3,
+                       F.lit(0).cast("long")) * F.col("nbt")
+            + 3 * F.col("cont_a") * F.col("hist_b"))
+    den4 = 4 * F.col("ca") * F.col("nbt")
+
+    def l2m(c):
+        return F.round(F.log2(c) * 1e6, 0).cast("long")
+
+    joined = (tb.join(ctx, "a", "left")
+              .join(hist, "b", "left")
+              .join(cnt, ["a", "b"], "left")
+              .crossJoin(F.broadcast(nbt)))
+    scored = (joined.groupBy("doc_id")
+              .agg(F.sum(F.when(known, F.col("n")).otherwise(0))
+                   .cast("long").alias("n_bigrams"),
+                   F.sum(F.when(known, 0).otherwise(F.col("n")))
+                   .cast("long").alias("n_oov"),
+                   F.sum(F.when(known,
+                                F.col("n") * (l2m(den4) - l2m(num4)))
+                         .otherwise(0)).cast("long")
+                   .alias("nll_micro")))
+    avg = F.col("nll_micro") / (F.col("n_bigrams") * 1e6)
+    return (scored.select(
+        "doc_id", "n_bigrams", "n_oov",
+        F.when(F.col("n_bigrams") > 0, F.round(avg, 6))
+        .otherwise(0.0).alias("avg_nll_bits"),
+        F.when(F.col("n_bigrams") > 0,
+               F.round(F.pow(F.lit(2.0), avg), 3))
+        .otherwise(1.0).alias("ppl"))
+        .orderBy("doc_id"))

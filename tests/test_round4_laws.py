@@ -4103,3 +4103,80 @@ def test_burrows_delta_replay_and_metric_laws(spark, sf_dir):
             assert r["n_words"] == len(terms)
             assert abs(r["delta"] - delta) <= 1e-9
             assert r["delta"] >= 0.0
+
+
+def test_kneser_ney_matches_python_replay(spark, sf_dir):
+    """X204: per-doc NLL matches an exact-rational Python replay of
+    the KN algebra (d = 3/4 via the 4*Nbt common denominator);
+    probabilities are a proper distribution: for a trained context a,
+    sum_b p(b|a) over the trained vocab equals 1 exactly (checked in
+    Fractions for a few contexts)."""
+    import duckdb
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+    from fractions import Fraction
+
+    from etl_airflow_spotify_spark.queries.text import KN_TRAIN_PCT
+
+    rows = {r["doc_id"]: r
+            for r in _rows("kneser_ney_perplexity", spark, sf_dir)}
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    train_bg = Counter()
+    test_bg = {}
+    for doc_id, text in docs:
+        ts = re.split(r"\s+", text.strip().lower())
+        bgs = list(zip(ts, ts[1:]))
+        if md5_60(f"kn:{doc_id}") % 100 < KN_TRAIN_PCT:
+            train_bg.update(bgs)
+        elif bgs:
+            test_bg[doc_id] = Counter(bgs)
+    ca = Counter()
+    cont_a = Counter()
+    hist_b = Counter()
+    for (a, b), c in train_bg.items():
+        ca[a] += c
+        cont_a[a] += 1
+        hist_b[b] += 1
+    nbt = len(train_bg)
+
+    def l2m(x):
+        return round(math.log2(x) * 1e6)
+
+    assert set(rows) == set(test_bg)
+    for doc_id, bgs in test_bg.items():
+        nb = oov = nll = 0
+        for (a, b), n in bgs.items():
+            if a in ca and b in hist_b:
+                c = train_bg.get((a, b), 0)
+                num4 = max(4 * c - 3, 0) * nbt + 3 * cont_a[a] * hist_b[b]
+                den4 = 4 * ca[a] * nbt
+                nb += n
+                nll += n * (l2m(den4) - l2m(num4))
+            else:
+                oov += n
+        r = rows[doc_id]
+        assert r["n_bigrams"] == nb and r["n_oov"] == oov
+        if nb:
+            assert abs(r["avg_nll_bits"]
+                       - round(nll / (nb * 1e6), 6)) <= 1e-9
+            assert r["avg_nll_bits"] > 0.0
+
+    # distribution law: sum_b p(b|a) == 1 exactly over the trained
+    # vocab of completions, for the 3 highest-count contexts
+    tops = [a for a, _ in ca.most_common(3)]
+    vocab_b = set(hist_b)
+    for a in tops:
+        tot = Fraction(0)
+        for b in vocab_b:
+            c = train_bg.get((a, b), 0)
+            num4 = max(4 * c - 3, 0) * nbt + 3 * cont_a[a] * hist_b[b]
+            tot += Fraction(num4, 4 * ca[a] * nbt)
+        assert tot == 1
