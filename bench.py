@@ -249,6 +249,7 @@ HEADLINE = [
     "gale_shapley_matching",
     "dp_exponential_selection",
     "stylometry_burrows_delta",
+    "kneser_ney_perplexity",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

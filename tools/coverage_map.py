@@ -166,6 +166,52 @@ X_TITLES = {
     "X156": "Degree assortativity (graph mixing audit)",
     "X157": "Percolation robustness sweep (attack vs failure)",
     "X158": "Difference-in-differences (panel causal design)",
+    "X159": "Mann-Kendall / Theil-Sen trend",
+    "X160": "Multiple-testing correction (BH FDR)",
+    "X161": "Minimum spanning forest (Boruvka)",
+    "X162": "Density clustering (DBSCAN)",
+    "X163": "Frequency moments (AMS F2 sketch)",
+    "X164": "Differential-privacy release (discrete Laplace)",
+    "X165": "Item-item collaborative filtering",
+    "X166": "Power-law fit (Zipf rank-frequency)",
+    "X167": "Clustering coefficient / transitivity",
+    "X168": "Learning-curve audit (sample efficiency)",
+    "X169": "Uplift modeling (T-learner + Qini)",
+    "X170": "Sequential-pattern mining (GSP support)",
+    "X171": "Containment join (asymmetric subset dedup)",
+    "X172": "Scene-change detection (video shot segmentation)",
+    "X173": "B-cubed ER cluster evaluation",
+    "X174": "Greedy LM decoding (generation)",
+    "X175": "Quantile treatment effects",
+    "X176": "Cohort LTV accumulation",
+    "X177": "Naive Bayes text classification",
+    "X178": "Heaps'-law vocabulary growth",
+    "X179": "Jackknife ratio SE",
+    "X180": "Semi-supervised label spreading",
+    "X181": "Two-NN intrinsic dimension",
+    "X182": "Neyman stratified sampling",
+    "X183": "RANSAC robust fit (max consensus)",
+    "X184": "Phonetic (soundex) blocking",
+    "X185": "Absorbing-Markov conversion time",
+    "X186": "KMV distinct sketch",
+    "X187": "Mutual-best greedy 1-1 matching",
+    "X188": "Inclusion-dependency discovery",
+    "X189": "Single-link dendrogram profile",
+    "X190": "Distributional word similarity",
+    "X191": "Temperature-scaled corpus mixing",
+    "X192": "Optimal-transport plan (1-D Monge)",
+    "X193": "Random-walk corpus (DeepWalk stage 1)",
+    "X194": "Winnowing fingerprints (MOSS)",
+    "X195": "Label-noise audit (confident learning)",
+    "X196": "Markov removal-effect attribution",
+    "X197": "Off-policy evaluation (IPS/SNIPS)",
+    "X198": "Streaming KMV distinct sketch",
+    "X199": "UCB1 bandit replay",
+    "X200": "Recommender quality metrics",
+    "X201": "Gale-Shapley deferred acceptance",
+    "X202": "DP selection (exponential mechanism)",
+    "X203": "Burrows' Delta stylometry",
+    "X204": "Kneser-Ney LM perplexity",
 }
 
 
