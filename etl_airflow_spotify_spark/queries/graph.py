@@ -1032,6 +1032,40 @@ def _percolation_oracle_sql() -> str:
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
 
 
+def percolation_scenario_edges(e0: DataFrame, rm: DataFrame) -> DataFrame:
+    """Drop every edge touching a removed node, engine-side.
+
+    The removal set stays a DataFrame (never a collected ``isin`` list:
+    at 100 TB the top-1% hub set is millions of nodes, which would be
+    inlined into the plan as literals). Two LEFT ANTI joins — one per
+    endpoint — let Spark pick broadcast/shuffled anti-join by size;
+    plan pinned in tests/test_plans.py and dumped in PLANS.md.
+    """
+    return (e0.join(rm, e0["src"] == rm["node"], "left_anti")
+            .join(rm, e0["dst"] == rm["node"], "left_anti"))
+
+
+def boruvka_min_edges(ed: DataFrame, lab: DataFrame) -> DataFrame:
+    """One Boruvka round's per-component minimum outgoing edge.
+
+    Label both endpoints by component, drop intra-component edges, and
+    take the window argmin over the DISTINCT total order (w, lo, hi) —
+    the cut property makes every pick a true MSF edge. One window over
+    one hash-partitioned exchange on the component key; plan dumped in
+    PLANS.md (per-round shape; rounds are chained via localCheckpoint).
+    """
+    le = (ed.join(lab.select(F.col("node").alias("u"),
+                             F.col("lab").alias("lu")), "u")
+          .join(lab.select(F.col("node").alias("v"),
+                           F.col("lab").alias("lv")), "v")
+          .filter(F.col("lu") != F.col("lv")))
+    return (le.withColumn(
+                "rn", F.row_number().over(
+                    Window.partitionBy("lu").orderBy("w", "lo", "hi")))
+            .filter(F.col("rn") == 1)
+            .select("lu", "lv", "w", "lo", "hi"))
+
+
 @register(
     "percolation_robustness",
     _percolation_oracle_sql(),
@@ -1057,23 +1091,27 @@ def percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("d"))
     n_nodes = deg.count()
     h = math.ceil(n_nodes / 100.0)
-    attack_rm = [r["node"] for r in
-                 deg.orderBy(F.desc("d"), F.asc("node")).limit(h)
-                 .collect()]
-    random_rm = [r["node"] for r in
-                 deg.select("node",
-                            F.conv(F.substring(
-                                F.md5(F.concat(F.lit("rm:"),
-                                               F.col("node"))), 1, 15),
-                                16, 10).cast("long").alias("k"))
-                 .orderBy("k", "node").limit(h).collect()]
+    # Removal sets stay DISTRIBUTED (r4 verdict item 3): at 100 TB the
+    # top-1% hub list is millions of nodes — materializing it into an
+    # `isin(...)` literal list would inline them all into the plan.
+    # TakeOrderedAndProject bounds each selection to h rows; two LEFT
+    # ANTI joins (src, dst) drop the removed endpoints engine-side.
+    attack_rm = persist_tracked(
+        deg.orderBy(F.desc("d"), F.asc("node")).limit(h)
+        .select("node"))
+    random_rm = persist_tracked(
+        deg.select("node",
+                   F.conv(F.substring(
+                       F.md5(F.concat(F.lit("rm:"),
+                                      F.col("node"))), 1, 15),
+                       16, 10).cast("long").alias("k"))
+        .orderBy("k", "node").limit(h).select("node"))
     out = []
-    for scen, rm in (("intact", []), ("attack", attack_rm),
+    for scen, rm in (("intact", None), ("attack", attack_rm),
                      ("random", random_rm)):
         e = e0
-        if rm:
-            e = e0.filter(~F.col("src").isin(rm)
-                          & ~F.col("dst").isin(rm))
+        if rm is not None:
+            e = percolation_scenario_edges(e0, rm)
         e = e.localCheckpoint()
         lab = e.select(F.col("src").alias("node")).distinct() \
             .withColumn("lab", F.col("node"))
@@ -1213,18 +1251,7 @@ def boruvka_msf_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = []
     for r in range(BORUVKA_ROUNDS):
         comp_before = lab.select("lab").distinct().count()
-        le = (ed.join(lab.select(F.col("node").alias("u"),
-                                 F.col("lab").alias("lu")), "u")
-              .join(lab.select(F.col("node").alias("v"),
-                               F.col("lab").alias("lv")), "v")
-              .filter(F.col("lu") != F.col("lv")))
-        me = (le.withColumn(
-                  "rn", F.row_number().over(
-                      Window.partitionBy("lu")
-                      .orderBy("w", "lo", "hi")))
-              .filter(F.col("rn") == 1)
-              .select("lu", "lv", "w", "lo", "hi")
-              .localCheckpoint())
+        me = boruvka_min_edges(ed, lab).localCheckpoint()
         pk = me.select("lo", "hi", "w").distinct()
         stats = pk.agg(F.count("*").alias("n"),
                        F.sum("w").alias("sw")).collect()[0]

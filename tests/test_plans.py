@@ -630,3 +630,84 @@ def test_incremental_dedup_probe_is_increment_sided(spark, sf_dir):
     no corpus-vs-corpus self-join."""
     df = _df("incremental_corpus_dedup", spark, sf_dir)
     assert not has_cartesian_product(df)
+
+
+# ---- round 5: the five most expensive bench queries (r4 verdict 6) ----
+
+def _percolation_edges_df(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators import graph as G
+    from etl_airflow_spotify_spark.queries.graph import (
+        percolation_scenario_edges)
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    deg = e0.groupBy(F.col("src").alias("node")) \
+        .agg(F.count("*").alias("d"))
+    rm = deg.orderBy(F.desc("d"), F.asc("node")).limit(10).select("node")
+    return percolation_scenario_edges(e0, rm)
+
+
+def test_percolation_removal_is_anti_join_not_literal_list(spark, sf_dir):
+    """X157 (r4 verdict item 3): removal sets must reach the plan as
+    LEFT ANTI joins against a distributed frame — at 100 TB the top-1%
+    hub set is millions of nodes, so a collected isin() list would
+    inline them all as plan literals (INSET)."""
+    df = _percolation_edges_df(spark, sf_dir)
+    plan = plan_string(df)
+    # one anti join per endpoint; the formatted plan lists each node
+    # in both the tree and the detail section (and Catalyst may push
+    # the anti join below the pair-generating join, one per branch)
+    assert plan.count("LeftAnti") >= 2
+    assert "INSET" not in plan and " IN (" not in plan
+    assert not has_cartesian_product(df)
+
+
+def test_boruvka_round_pick_single_window(spark, sf_dir):
+    """X161: one Boruvka round's per-component argmin is exactly one
+    ranking window (two label hash joins feed it) — never a
+    min-subquery rejoin or a per-component loop."""
+    import pyspark.sql.functions as F
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators import graph as G
+    from etl_airflow_spotify_spark.queries.graph import boruvka_min_edges
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    eu = (e0.filter(F.col("src") < F.col("dst"))
+          .select(F.col("src").alias("lo"), F.col("dst").alias("hi"),
+                  (F.lit(1) + (F.col("src") + F.col("dst")) % 7)
+                  .cast("long").alias("w")))
+    ed = (eu.select(F.col("lo").alias("u"), F.col("hi").alias("v"),
+                    "w", "lo", "hi")
+          .unionByName(eu.select(F.col("hi").alias("u"),
+                                 F.col("lo").alias("v"),
+                                 "w", "lo", "hi")))
+    lab = (ed.select(F.col("u").alias("node")).distinct()
+           .withColumn("lab", F.col("node")))
+    df = boruvka_min_edges(ed, lab)
+    from etl_airflow_spotify_spark.plans import num_nodes
+    assert num_nodes(df, "Window") == 1
+    assert not has_cartesian_product(df)
+
+
+def test_dbscan_no_cartesian_product(spark, sf_dir):
+    """X162: candidate pairs come from the integer grid's 3x3 probe
+    join, never an all-pairs product (the quadratic lives only in the
+    DuckDB oracle)."""
+    assert not has_cartesian_product(_df("dbscan_rfm_segments",
+                                         spark, sf_dir))
+
+
+def test_deepwalk_no_cartesian_product(spark, sf_dir):
+    """X193: each hop is a hash join against the sorted neighbor
+    index; walk state never cross-joins the graph."""
+    assert not has_cartesian_product(_df("deepwalk_corpus",
+                                         spark, sf_dir))
+
+
+def test_bagged_stump_forest_broadcast_only_fanout(spark, sf_dir):
+    """X142: the only nested-loop joins are crossJoin(broadcast(...))
+    against tiny constant frames (bag list, OOB row) — no
+    CartesianProduct over data-sized inputs."""
+    df = _df("bagged_stump_forest", spark, sf_dir)
+    assert not has_cartesian_product(df)

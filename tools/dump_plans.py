@@ -82,7 +82,75 @@ SHOW = [
     "source_weighted_jaccard",   # histogram-first pair merge
     "simpson_paradox_audit",     # decimal moment aggregate + pooled broadcast
     "sequential_ab_obf_monitor",  # day-table prefix windows, const boundaries
+    # round 5: the five most expensive bench queries (r4 verdict item 6)
+    "deepwalk_corpus",           # per-hop hash join vs sorted neighbor index
+    "dbscan_rfm_segments",       # grid + 3x3 probe candidates, never all-pairs
+    "bagged_stump_forest",       # one histogram trains all bags; broadcast OOB
 ]
+
+
+def _percolation_scenario_edges(spark, sf_dir):
+    """Representative intermediate for percolation_robustness (its
+    returned DF is a locally-assembled stats table): one scenario's
+    edge set after hub removal — two LEFT ANTI joins against the
+    DISTRIBUTED removal frame, no literal isin list in the plan."""
+    import pyspark.sql.functions as F
+
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators import graph as G
+    from etl_airflow_spotify_spark.queries.graph import (
+        percolation_scenario_edges)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    deg = e0.groupBy(F.col("src").alias("node")) \
+        .agg(F.count("*").alias("d"))
+    rm = deg.orderBy(F.desc("d"), F.asc("node")).limit(10).select("node")
+    return percolation_scenario_edges(e0, rm)
+
+
+def _boruvka_round_pick(spark, sf_dir):
+    """Representative intermediate for boruvka_msf_rounds (its returned
+    DF is a locally-assembled per-round trajectory): one round's
+    per-component minimum outgoing edge — two label joins + ONE
+    ranking window over one exchange on the component key."""
+    import pyspark.sql.functions as F
+
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators import graph as G
+    from etl_airflow_spotify_spark.queries.graph import boruvka_min_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    eu = (e0.filter(F.col("src") < F.col("dst"))
+          .select(F.col("src").alias("lo"), F.col("dst").alias("hi"),
+                  (F.lit(1) + (F.col("src") + F.col("dst")) % 7)
+                  .cast("long").alias("w")))
+    ed = (eu.select(F.col("lo").alias("u"), F.col("hi").alias("v"),
+                    "w", "lo", "hi")
+          .unionByName(eu.select(F.col("hi").alias("u"),
+                                 F.col("lo").alias("v"),
+                                 "w", "lo", "hi")))
+    lab = (ed.select(F.col("u").alias("node")).distinct()
+           .withColumn("lab", F.col("node")))
+    return boruvka_min_edges(ed, lab)
+
+
+# Intermediate plans for iterative queries whose registered DF is a
+# driver-assembled summary: title -> (builder, doc).
+EXTRA = {
+    "percolation_robustness (scenario edge set)": (
+        _percolation_scenario_edges,
+        "X157 inner plan: removal set applied via two LEFT ANTI joins "
+        "(src, dst) against the distributed top-h frame — no collected "
+        "isin literal list (r4 verdict item 3)."),
+    "boruvka_msf_rounds (per-round min edge pick)": (
+        _boruvka_round_pick,
+        "X161 inner plan: per-component min outgoing edge = two hash "
+        "joins + one ROW_NUMBER window over one exchange on the "
+        "component key (cut property => every pick is a true MSF "
+        "edge)."),
+}
 
 
 def main() -> None:
@@ -101,9 +169,13 @@ def main() -> None:
         df = specs[name].spark_fn(spark, sf_dir)
         parts += [f"## {name}", "", f"_{specs[name].doc.strip()}_", "",
                   "```", plan_string(df).rstrip(), "```", ""]
+    for title, (builder, doc) in EXTRA.items():
+        df = builder(spark, sf_dir)
+        parts += [f"## {title}", "", f"_{doc}_", "",
+                  "```", plan_string(df).rstrip(), "```", ""]
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(parts) + "\n")
-    print(f"wrote PLANS.md with {len(SHOW)} plans")
+    print(f"wrote PLANS.md with {len(SHOW) + len(EXTRA)} plans")
     spark.stop()
 
 
