@@ -250,6 +250,10 @@ HEADLINE = [
     "dp_exponential_selection",
     "stylometry_burrows_delta",
     "kneser_ney_perplexity",
+    # round 5
+    "louvain_phase1_communities",
+    "weisfeiler_lehman_profile",
+    "power_iteration_hubs",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

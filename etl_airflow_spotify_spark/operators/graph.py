@@ -27,7 +27,7 @@ engines.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..caching import persist_tracked
 
@@ -267,3 +267,121 @@ def ppr_oracle_sql(edge_cte: str, seed_mod: int, iters: int = 4) -> str:
             f"FROM e JOIN r{k - 1} r ON e.src = r.node "
             f"JOIN deg ON deg.src = e.src) GROUP BY node)")
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, pr FROM r{iters}"
+
+
+def louvain_phase1(edges: DataFrame, m2: int, rounds: int) -> DataFrame:
+    """One Louvain phase-1 pass: ``rounds`` SYNCHRONOUS best-move
+    steps, every node evaluated against the same snapshot.
+
+    The classic sequential sweep is order-dependent (not replayable
+    across engines); the synchronous variant is deterministic: node i
+    moves to the neighbor community maximizing the exact INTEGER
+    modularity-gain numerator
+
+        gain = 2m*(k_iC - k_iO) - k_i*(tot_C - (tot_O - k_i))
+
+    (2m^2 * deltaQ for unit weights; ``m2`` = 2m = len(edges)), moves
+    only on gain > 0, ties broken by min community id. Every round is
+    three keyed aggregates + one ranking window — no driver loop over
+    nodes, no collected state. Returns (node, c).
+    """
+    deg = edges.groupBy(F.col("src").alias("node")) \
+        .agg(F.count("*").cast("long").alias("k"))
+    c = deg.select("node", F.col("node").cast("long").alias("c")) \
+        .localCheckpoint()
+    for _ in range(rounds):
+        tot = (c.join(deg, "node").groupBy("c")
+               .agg(F.sum("k").cast("long").alias("tot")))
+        kic = (edges.join(c.select(F.col("node").alias("dst"),
+                                   F.col("c").alias("cand")), "dst")
+               .groupBy(F.col("src").alias("node"), "cand")
+               .agg(F.count("*").cast("long").alias("kic")))
+        kio = (kic.join(c, "node")
+               .filter(F.col("cand") == F.col("c"))
+               .select("node", F.col("kic").alias("kio")))
+        best = (kic.join(c, "node")
+                .filter(F.col("cand") != F.col("c"))
+                .join(kio, "node", "left")
+                .join(deg, "node")
+                .join(tot.select(F.col("c").alias("cand"),
+                                 F.col("tot").alias("tot_c")), "cand")
+                .join(tot.select("c", F.col("tot").alias("tot_o")), "c")
+                .withColumn(
+                    "gain",
+                    F.lit(int(m2)).cast("long")
+                    * (F.col("kic") - F.coalesce("kio", F.lit(0)))
+                    - F.col("k")
+                    * (F.col("tot_c") - (F.col("tot_o") - F.col("k"))))
+                .filter(F.col("gain") > 0)
+                .withColumn(
+                    "rn", F.row_number().over(
+                        Window.partitionBy("node")
+                        .orderBy(F.desc("gain"), F.asc("cand"))))
+                .filter(F.col("rn") == 1)
+                .select("node", "cand"))
+        c = (c.join(best, "node", "left")
+             .select("node", F.coalesce("cand", "c").cast("long")
+                     .alias("c"))
+             .localCheckpoint())
+    return c
+
+
+def louvain_oracle_sql(edge_cte: str, rounds: int) -> str:
+    """DuckDB twin of :func:`louvain_phase1` plus the per-community
+    summary (size, internal directed edges, total degree, exact
+    modularity numerator q_num = 2m*in2_c - tot_c^2, i.e. Q*4m^2
+    summed over communities), unrolled as chained CTEs."""
+    parts = [edge_cte,
+             "m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM e)",
+             "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k "
+             "FROM e GROUP BY src)",
+             "c0 AS MATERIALIZED (SELECT node, CAST(node AS BIGINT) AS c "
+             "FROM deg)"]
+    for r in range(rounds):
+        parts.append(
+            f"tot{r} AS MATERIALIZED (SELECT c, CAST(SUM(k) AS BIGINT) "
+            f"AS tot FROM c{r} JOIN deg USING (node) GROUP BY c)")
+        parts.append(
+            f"kic{r} AS MATERIALIZED (SELECT e.src AS node, cj.c AS cand, "
+            f"CAST(COUNT(*) AS BIGINT) AS kic "
+            f"FROM e JOIN c{r} cj ON cj.node = e.dst GROUP BY 1, 2)")
+        parts.append(
+            f"kio{r} AS (SELECT k.node, k.kic AS kio FROM kic{r} k "
+            f"JOIN c{r} o ON o.node = k.node AND o.c = k.cand)")
+        parts.append(f"""best{r} AS (
+        SELECT node, cand FROM (
+            SELECT k.node, k.cand,
+                   (SELECT m2 FROM m2) * (k.kic - COALESCE(io.kio, 0))
+                   - d.k * (tc.tot - (t_o.tot - d.k)) AS gain,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY k.node
+                       ORDER BY (SELECT m2 FROM m2)
+                                * (k.kic - COALESCE(io.kio, 0))
+                                - d.k * (tc.tot - (t_o.tot - d.k)) DESC,
+                                k.cand) AS rn
+            FROM kic{r} k
+            JOIN c{r} o ON o.node = k.node AND o.c <> k.cand
+            LEFT JOIN kio{r} io ON io.node = k.node
+            JOIN deg d ON d.node = k.node
+            JOIN tot{r} tc ON tc.c = k.cand
+            JOIN tot{r} t_o ON t_o.c = o.c)
+        WHERE rn = 1 AND gain > 0)""")
+        parts.append(f"""c{r + 1} AS MATERIALIZED (
+        SELECT o.node, CAST(COALESCE(b.cand, o.c) AS BIGINT) AS c
+        FROM c{r} o LEFT JOIN best{r} b ON b.node = o.node)""")
+    last = f"c{rounds}"
+    parts.append(
+        f"ftot AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+        f"CAST(SUM(k) AS BIGINT) AS tot "
+        f"FROM {last} JOIN deg USING (node) GROUP BY c)")
+    parts.append(
+        f"fin AS (SELECT ci.c, CAST(COUNT(*) AS BIGINT) AS in2 "
+        f"FROM e JOIN {last} ci ON ci.node = e.src "
+        f"JOIN {last} cj ON cj.node = e.dst AND cj.c = ci.c "
+        f"GROUP BY ci.c)")
+    return ("WITH " + ",\n".join(parts) + """
+    SELECT f.c AS community, f.n_nodes, COALESCE(i.in2, 0) AS in2,
+           f.tot,
+           (SELECT m2 FROM m2) * COALESCE(i.in2, 0) - f.tot * f.tot
+               AS q_num
+    FROM ftot f LEFT JOIN fin i ON i.c = f.c""")

@@ -1526,3 +1526,237 @@ def deepwalk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("wid", F.col("step").cast("long").alias("step"),
                        F.col("cur").alias("node"))
             .orderBy("wid", "step"))
+
+
+# --------------------------------------------------------------------------
+# X205: Louvain phase 1 — modularity-OPTIMIZING community detection,
+# the quality-driven counterpart to X97's label propagation (which
+# optimizes nothing). The sequential Louvain sweep is order-dependent
+# and unreplayable across engines, so this is the standard synchronous
+# variant: every node evaluates its best neighbor-community move
+# against the same snapshot; the modularity gain is kept as the exact
+# INTEGER numerator 2m*(k_iC - k_iO) - k_i*(tot_C - (tot_O - k_i))
+# (= 2m^2 * deltaQ for unit weights), so the argmax and the gain>0
+# cutoff are bit-exact in both engines. Output is the community
+# summary a curriculum planner reads: size, internal edge count, total
+# degree and the exact per-community modularity numerator
+# q_num = 2m*in2_c - tot_c^2 (sum = Q * 4m^2). BIGINT holds q_num
+# through sf100 (tot_c < 3e9); past that the folds move to
+# DECIMAL(38,0) unchanged.
+# --------------------------------------------------------------------------
+LOUVAIN_ROUNDS = 2
+
+
+@register(
+    "louvain_phase1_communities",
+    G.louvain_oracle_sql(_EDGE_CTE, LOUVAIN_ROUNDS),
+    doc=f"X205 synchronous Louvain phase 1 ({LOUVAIN_ROUNDS} best-move "
+        "rounds, exact integer modularity-gain numerators, min-id "
+        "ties) over the co-purchase graph; per-community size, "
+        "internal edges, degree mass and exact modularity numerator "
+        "q_num = 2m*in2 - tot^2. Each round: three keyed aggregates + "
+        "one ranking window; no driver loop, no collected state.",
+    tags=("X205", "X97", "X42", "X3", "X7", "X10"),
+)
+def louvain_phase1_communities(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = persist_tracked(
+        G.cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+    m2 = edges.count()
+    deg = edges.groupBy(F.col("src").alias("node")) \
+        .agg(F.count("*").cast("long").alias("k"))
+    c = G.louvain_phase1(edges, m2, LOUVAIN_ROUNDS)
+    ftot = (c.join(deg, "node").groupBy("c")
+            .agg(F.count("*").cast("long").alias("n_nodes"),
+                 F.sum("k").cast("long").alias("tot")))
+    fin = (edges
+           .join(c.select(F.col("node").alias("src"),
+                          F.col("c").alias("ci")), "src")
+           .join(c.select(F.col("node").alias("dst"),
+                          F.col("c").alias("cj")), "dst")
+           .filter(F.col("ci") == F.col("cj"))
+           .groupBy(F.col("ci").alias("c"))
+           .agg(F.count("*").cast("long").alias("in2")))
+    return (ftot.join(fin, "c", "left")
+            .select(F.col("c").alias("community"), "n_nodes",
+                    F.coalesce("in2", F.lit(0)).cast("long").alias("in2"),
+                    "tot",
+                    (F.lit(int(m2)).cast("long")
+                     * F.coalesce("in2", F.lit(0)).cast("long")
+                     - F.col("tot") * F.col("tot")).cast("long")
+                    .alias("q_num")))
+
+
+# --------------------------------------------------------------------------
+# X206: Weisfeiler-Lehman refinement profile — the structural-role
+# fingerprint behind graph kernels and GNN expressiveness tests:
+# lab_0 = H(degree); lab_{r+1}(v) = H(lab_r(v), aggregate of neighbor
+# labels). The textbook aggregate (sorted multiset concat) builds
+# hub-degree-sized strings, so this uses the standard hash-sum form:
+# neighbor signature = (SUM(h9(lab)), COUNT) with h9 = 60-bit md5
+# prefix mod 1e9 — commutative, partial-aggregatable, exact BIGINT up
+# to 9e9 neighbors per node. Output: per-round class counts (classes,
+# largest class, singletons) — the refinement trajectory. WL law:
+# partitions only REFINE, so n_classes is non-decreasing (law test).
+# --------------------------------------------------------------------------
+WL_ROUNDS = 3
+
+
+def _wl_oracle_sql() -> str:
+    parts = [_EDGE_CTE,
+             "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k "
+             "FROM e GROUP BY src)",
+             "w0 AS MATERIALIZED (SELECT node, "
+             "md5('wl0:' || CAST(k AS VARCHAR)) AS lab FROM deg)"]
+    for r in range(WL_ROUNDS):
+        parts.append(
+            f"h{r} AS (SELECT node, ('0x' || substr(md5(lab), 1, 15))"
+            f"::BIGINT % 1000000000 AS h9 FROM w{r})")
+        parts.append(
+            f"a{r} AS (SELECT e.src AS node, CAST(SUM(h.h9) AS BIGINT) "
+            f"AS s, CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM e JOIN h{r} h ON h.node = e.dst GROUP BY e.src)")
+        parts.append(
+            f"w{r + 1} AS MATERIALIZED (SELECT w.node, "
+            f"md5(w.lab || ':' || CAST(a.s AS VARCHAR) || ':' "
+            f"|| CAST(a.n AS VARCHAR)) AS lab "
+            f"FROM w{r} w JOIN a{r} a ON a.node = w.node)")
+    stats = []
+    for r in range(WL_ROUNDS + 1):
+        stats.append(f"""SELECT CAST({r} AS BIGINT) AS round,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MAX(cnt) AS BIGINT) AS max_class,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons
+        FROM (SELECT lab, COUNT(*) AS cnt FROM w{r} GROUP BY lab)""")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(stats))
+
+
+@register(
+    "weisfeiler_lehman_profile",
+    _wl_oracle_sql(),
+    doc=f"X206 Weisfeiler-Lehman color refinement ({WL_ROUNDS} rounds, "
+        "hash-sum neighbor signatures: commutative SUM/COUNT of 1e9-"
+        "bounded md5 ints, never a hub-sized sorted concat) over the "
+        "co-purchase graph; per-round structural-class profile "
+        "(classes, largest class, singletons). The graph-kernel / "
+        "GNN-expressiveness fingerprint; refinement monotonicity "
+        "law-tested.",
+    tags=("X206", "X42", "X3", "X7", "X14"),
+)
+def weisfeiler_lehman_profile(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = persist_tracked(
+        G.cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+    deg = edges.groupBy(F.col("src").alias("node")) \
+        .agg(F.count("*").cast("long").alias("k"))
+    lab = deg.select(
+        "node",
+        F.md5(F.concat(F.lit("wl0:"), F.col("k").cast("string")))
+        .alias("lab")).localCheckpoint()
+    labs = [lab]
+    for _ in range(WL_ROUNDS):
+        h9 = lab.select(
+            "node",
+            (F.conv(F.substring(F.md5("lab"), 1, 15), 16, 10)
+             .cast("long") % 1000000000).alias("h9"))
+        agg = (edges.join(h9.select(F.col("node").alias("dst"), "h9"),
+                          "dst")
+               .groupBy(F.col("src").alias("node"))
+               .agg(F.sum("h9").cast("long").alias("s"),
+                    F.count("*").cast("long").alias("n")))
+        lab = (lab.join(agg, "node")
+               .select("node",
+                       F.md5(F.concat(
+                           F.col("lab"), F.lit(":"),
+                           F.col("s").cast("string"), F.lit(":"),
+                           F.col("n").cast("string"))).alias("lab"))
+               .localCheckpoint())
+        labs.append(lab)
+    out = None
+    for r, w in enumerate(labs):
+        st = (w.groupBy("lab").agg(F.count("*").alias("cnt"))
+              .agg(F.lit(r).cast("long").alias("round"),
+                   F.count("*").cast("long").alias("n_classes"),
+                   F.max("cnt").cast("long").alias("max_class"),
+                   F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+                   .cast("long").alias("n_singletons")))
+        out = st if out is None else out.unionByName(st)
+    return out
+
+
+# --------------------------------------------------------------------------
+# X207: power iteration for the dominant adjacency eigenvector — the
+# spectral centrality (eigenvector centrality) that PageRank (X42)
+# approximates with teleportation, and the first step of spectral
+# embedding/clustering. Each iteration is one matvec (edge join +
+# SUM) followed by an exact integer max-normalization snap
+# x' = (y * 1e5) DIV max(y), so trajectories are bit-identical across
+# engines (no float norms). max(y) rides along as a broadcast 1-row
+# frame, never a collected scalar. BIGINT headroom: y*1e5 <
+# deg_max * 1e10 — fine through sf100; DECIMAL(38,0) drop-in past it.
+# --------------------------------------------------------------------------
+POWER_ITERS = 4
+POWER_SCALE = 100000
+POWER_TOPK = 20
+
+
+def _power_iteration_oracle_sql() -> str:
+    parts = [_EDGE_CTE,
+             "nodes AS (SELECT DISTINCT src AS node FROM e)",
+             f"x0 AS (SELECT node, CAST({POWER_SCALE} AS BIGINT) AS x "
+             "FROM nodes)"]
+    for r in range(POWER_ITERS):
+        parts.append(
+            f"y{r} AS MATERIALIZED (SELECT e.src AS node, "
+            f"CAST(SUM(x.x) AS BIGINT) AS y "
+            f"FROM e JOIN x{r} x ON x.node = e.dst GROUP BY e.src)")
+        parts.append(
+            f"x{r + 1} AS MATERIALIZED (SELECT node, "
+            f"CAST((y * {POWER_SCALE}) // (SELECT MAX(y) FROM y{r}) "
+            f"AS BIGINT) AS x FROM y{r})")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, x AS score FROM x{POWER_ITERS} "
+            f"ORDER BY score DESC, node LIMIT {POWER_TOPK}")
+
+
+@register(
+    "power_iteration_hubs",
+    _power_iteration_oracle_sql(),
+    doc=f"X207 dominant-eigenvector centrality by {POWER_ITERS} power "
+        "iterations over the co-purchase adjacency: matvec = one edge "
+        "join + SUM per iteration; exact integer max-normalization "
+        f"snap (y*{POWER_SCALE} DIV max) keeps both engines "
+        "bit-identical with zero float norms; top-20 spectral hubs "
+        "via TakeOrderedAndProject. Python-replay law-tested.",
+    tags=("X207", "X42", "X3", "X7", "X12"),
+)
+def power_iteration_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = persist_tracked(
+        G.cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+    x = (edges.select(F.col("src").alias("node")).distinct()
+         .withColumn("x", F.lit(POWER_SCALE).cast("long"))
+         .localCheckpoint())
+    for _ in range(POWER_ITERS):
+        y = (edges.join(x.select(F.col("node").alias("dst"),
+                                 F.col("x").alias("xv")), "dst")
+             .groupBy(F.col("src").alias("node"))
+             .agg(F.sum("xv").cast("long").alias("y")))
+        mx = y.agg(F.max("y").alias("mx"))
+        x = (y.crossJoin(F.broadcast(mx))
+             .select("node",
+                     F.expr(f"(y * {POWER_SCALE}) DIV mx")
+                     .cast("long").alias("x"))
+             .localCheckpoint())
+    return (x.orderBy(F.desc("x"), F.asc("node")).limit(POWER_TOPK)
+            .select("node", F.col("x").alias("score")))

@@ -74,7 +74,11 @@ R6_BACKLOG: dict[str, str] = {
 # locally oracle-green at sf0.001 AND sf0.01 under the strict gate,
 # first eligible for a driver slot in the r6 window.
 # Maps query name -> class tag.
-NEW_R5: dict[str, str] = {}
+NEW_R5: dict[str, str] = {
+    "louvain_phase1_communities": "X205",
+    "weisfeiler_lehman_profile": "X206",
+    "power_iteration_hubs": "X207",
+}
 
 
 def _attested() -> set[str]:

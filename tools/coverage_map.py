@@ -212,6 +212,9 @@ X_TITLES = {
     "X202": "DP selection (exponential mechanism)",
     "X203": "Burrows' Delta stylometry",
     "X204": "Kneser-Ney LM perplexity",
+    "X205": "Louvain phase 1 (modularity communities)",
+    "X206": "Weisfeiler-Lehman refinement profile",
+    "X207": "Power-iteration eigenvector centrality",
 }
 
 
