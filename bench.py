@@ -254,6 +254,10 @@ HEADLINE = [
     "louvain_phase1_communities",
     "weisfeiler_lehman_profile",
     "power_iteration_hubs",
+    "viterbi_state_decode",
+    "holt_linear_daily",
+    "sax_daily_words",
+    "matrix_profile_daily",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -4433,3 +4433,407 @@ def ucb_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                               - F.col("reward_micro")).over(wcum)
                         .cast("long"))
             .orderBy("epoch"))
+
+
+# --------------------------------------------------------------------------
+# X208: Viterbi decoding — max-likelihood hidden-state inference for a
+# fixed 2-state HMM over each user's event sequence (the
+# sessionization-with-semantics primitive: casual vs engaged browsing
+# phases). Max-plus algebra over integer micro-log2 probabilities
+# (Python-precomputed constants inlined into BOTH engines, the X160
+# table pattern) makes the whole DP exact: no exp, no logsumexp, no
+# floats anywhere. ONE shuffle per user: collect_list sorted by
+# (ts, event_id) -> F.aggregate left fold carrying the 2-score state;
+# the oracle replays the identical fold with DuckDB list_reduce. The
+# uniform init term (log 0.5 per state) shifts every score equally
+# and is dropped on both sides.
+# --------------------------------------------------------------------------
+def _l2micro(p: float) -> int:
+    import math
+    return round(math.log2(p) * 1000000)
+
+
+_HMM_EMIT = {  # event_type -> (state0 "casual", state1 "engaged")
+    "view": (0.35, 0.20),
+    "click": (0.30, 0.25),
+    "error": (0.15, 0.10),
+    "signup": (0.15, 0.10),
+    "purchase": (0.05, 0.35),
+}
+_HMM_STAY, _HMM_SWITCH = 0.75, 0.25
+
+
+def _hmm_case(state: int, var: str) -> str:
+    """Shared CASE expression mapping event_type -> micro emission."""
+    whens = " ".join(
+        f"WHEN '{et}' THEN {_l2micro(ps[state])}"
+        for et, ps in sorted(_HMM_EMIT.items()))
+    return f"CASE {var} {whens} ELSE -20000000 END"
+
+
+@register(
+    "viterbi_state_decode",
+    f"""
+    WITH seq AS (
+        SELECT user_id,
+               list(struct_pack(
+                        v0 := {_hmm_case(0, 'event_type')},
+                        v1 := {_hmm_case(1, 'event_type')})
+                    ORDER BY ts, event_id) AS em
+        FROM events GROUP BY user_id
+    ),
+    folded AS (
+        SELECT user_id, len(em) AS n,
+               list_reduce(
+                   em,
+                   (acc, x) -> struct_pack(
+                       v0 := x.v0 + greatest(
+                           acc.v0 + {_l2micro(_HMM_STAY)},
+                           acc.v1 + {_l2micro(_HMM_SWITCH)}),
+                       v1 := x.v1 + greatest(
+                           acc.v0 + {_l2micro(_HMM_SWITCH)},
+                           acc.v1 + {_l2micro(_HMM_STAY)}))) AS v
+        FROM seq
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(greatest(v.v0, v.v1) AS BIGINT) AS viterbi_micro,
+           CAST(CASE WHEN v.v1 > v.v0 THEN 1 ELSE 0 END
+                AS BIGINT) AS end_state
+    FROM folded
+    """,
+    doc="X208 Viterbi decoding of a fixed 2-state HMM (casual/engaged) "
+        "over per-user event sequences: exact max-plus DP on integer "
+        "micro-log2 emissions/transitions (shared Python-precomputed "
+        "constants), one collect_list+fold per user — no per-step "
+        "joins, no floats. Output: per-user sequence length, best "
+        "path score, decoded end state. Python-replay law-tested.",
+    tags=("X208", "X14", "X11", "X57"),
+)
+def viterbi_state_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("user_id", "ts", "event_id",
+                                   "event_type")
+    stay, sw = _l2micro(_HMM_STAY), _l2micro(_HMM_SWITCH)
+    e0c, e1c = _hmm_case(0, "x.et"), _hmm_case(1, "x.et")
+    seq = (ev.groupBy("user_id")
+           .agg(F.array_sort(F.collect_list(
+               F.struct("ts", "event_id", "event_type"))).alias("evs"))
+           .select(
+               "user_id",
+               F.expr(f"""transform(evs, x -> named_struct(
+                   'v0', CAST({e0c.replace('x.et', 'x.event_type')}
+                              AS BIGINT),
+                   'v1', CAST({e1c.replace('x.et', 'x.event_type')}
+                              AS BIGINT)))""").alias("em")))
+    folded = seq.select(
+        "user_id",
+        F.size("em").cast("long").alias("n_events"),
+        F.expr(f"""aggregate(
+            slice(em, 2, greatest(size(em) - 1, 0)),
+            named_struct('v0', em[0].v0, 'v1', em[0].v1),
+            (acc, x) -> named_struct(
+                'v0', x.v0 + greatest(acc.v0 + {stay}L,
+                                      acc.v1 + {sw}L),
+                'v1', x.v1 + greatest(acc.v0 + {sw}L,
+                                      acc.v1 + {stay}L)))""").alias("v"))
+    return folded.select(
+        "user_id", "n_events",
+        F.greatest("v.v0", "v.v1").cast("long").alias("viterbi_micro"),
+        F.when(F.col("v.v1") > F.col("v.v0"), 1).otherwise(0)
+        .cast("long").alias("end_state"))
+
+
+# --------------------------------------------------------------------------
+# X209: Holt linear-trend exponential smoothing — the forecasting
+# recurrence (level + trend, alpha=1/2, beta=1/4) a naive/seasonal
+# baseline (X130) can't express. The recurrence is order-dependent,
+# so both engines run the IDENTICAL left fold over the day-ordered
+# series; dyadic smoothing weights make every step one exact integer
+# floor-division, snapped via the subtract-pmod identity
+# fdiv(a, d) = (a - ((a % d) + d) % d) DIV d, which is exact for
+# NEGATIVE trend values too (Spark DIV truncates, DuckDB // floors —
+# the divisible numerator makes them agree). The series is
+# calendar-bounded, so the fold state is ~30 elements at ANY data
+# scale; the daily aggregate underneath is the only data-sized pass.
+# --------------------------------------------------------------------------
+def _fdiv(a: str, d: int) -> str:
+    return f"(({a}) - ((({a}) % {d}) + {d}) % {d}) DIV {d}"
+
+
+def _fdiv_duck(a: str, d: int) -> str:
+    return f"(({a}) - ((({a}) % {d}) + {d}) % {d}) // {d}"
+
+
+@register(
+    "holt_linear_daily",
+    f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) * 1000000 AS xm
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, xm, ROW_NUMBER() OVER (ORDER BY day) AS rn
+        FROM daily
+    ),
+    -- sequential recurrence as a recursive CTE (DuckDB 1.0
+    -- list_reduce lambdas mis-evaluate repeated subexpressions
+    -- across struct fields, so the fold form is off-limits here)
+    hw(rn, day, xm, l, b, err) AS (
+        SELECT rn, day, xm, xm, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+        FROM idx WHERE rn = 1
+        UNION ALL
+        SELECT i.rn, i.day, i.xm,
+               ((i.xm + h.l + h.b) - (((i.xm + h.l + h.b) % 2) + 2) % 2) // 2,
+               ((((i.xm + h.l + h.b) - (((i.xm + h.l + h.b) % 2) + 2) % 2) // 2 - h.l + 3 * h.b) - (((((i.xm + h.l + h.b) - (((i.xm + h.l + h.b) % 2) + 2) % 2) // 2 - h.l + 3 * h.b) % 4) + 4) % 4) // 4,
+               i.xm - (h.l + h.b)
+        FROM hw h JOIN idx i ON i.rn = h.rn + 1
+    )
+    SELECT day, CAST(xm // 1000000 AS BIGINT) AS n,
+           CAST(l AS BIGINT) AS level_micro,
+           CAST(b AS BIGINT) AS trend_micro,
+           CAST(err AS BIGINT) AS err_micro
+    FROM hw WHERE rn >= 2
+    """,
+    doc="X209 Holt linear-trend smoothing (alpha=1/2, beta=1/4) of the "
+        "daily event series: level/trend recurrence as one exact "
+        "integer fold (dyadic weights -> floor divisions via the "
+        "subtract-pmod identity, negative-trend-safe cross-engine); "
+        "Spark runs it as ONE aggregate-HOF fold, the oracle as a "
+        "recursive CTE (DuckDB 1.0 list_reduce lambdas mis-evaluate "
+        "repeated struct-field subexpressions); per-day level, trend "
+        "and one-step forecast error in micro units. Fold state is "
+        "calendar-bounded (~30 steps) at any data scale; the daily "
+        "aggregate is the only data pass.",
+    tags=("X209", "X130", "X14", "X7", "X49"),
+)
+def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date")
+                        .alias("day"))
+             .agg((F.count("*") * 1000000).cast("long").alias("xm")))
+    l2 = _fdiv("e.x + acc.l + acc.b", 2)
+    b2 = _fdiv(f"{l2} - acc.l + 3 * acc.b", 4)
+    arr = daily.agg(F.array_sort(F.collect_list(
+        F.struct("day", "xm"))).alias("ds"))
+    folded = arr.select(F.expr(f"""aggregate(
+        slice(ds, 2, greatest(size(ds) - 1, 0)),
+        named_struct(
+            'd', ds[0].day, 'x', ds[0].xm, 'l', ds[0].xm,
+            'b', CAST(0 AS BIGINT),
+            'out', CAST(array() AS ARRAY<STRUCT<
+                day DATE, n BIGINT, level_micro BIGINT,
+                trend_micro BIGINT, err_micro BIGINT>>)),
+        (acc, ee) -> named_struct(
+            'd', ee.day, 'x', ee.xm,
+            'l', CAST({l2.replace('e.x', 'ee.xm')} AS BIGINT),
+            'b', CAST({b2.replace('e.x', 'ee.xm')} AS BIGINT),
+            'out', array_append(acc.out, named_struct(
+                'day', ee.day,
+                'n', ee.xm DIV 1000000,
+                'level_micro',
+                    CAST({l2.replace('e.x', 'ee.xm')} AS BIGINT),
+                'trend_micro',
+                    CAST({b2.replace('e.x', 'ee.xm')} AS BIGINT),
+                'err_micro', ee.xm - (acc.l + acc.b)))))""").alias("v"))
+    return (folded.select(F.explode("v.out").alias("u"))
+            .select("u.day", "u.n", "u.level_micro", "u.trend_micro",
+                    "u.err_micro"))
+
+
+# --------------------------------------------------------------------------
+# X210: SAX symbolic aggregate approximation — the symbolic index for
+# time-series motif/novelty search (Lin et al.): PAA-compress the
+# daily series into fixed-width segments, discretize each segment into
+# an alphabet symbol, read off sliding words. The classic breakpoints
+# are Gaussian quantiles of a z-normalized series (floats); this uses
+# the RANK-based equivalent — symbol = quartile of the PAA value's
+# rank, sym = ((rank-1)*4) DIV n_segments — so the whole pipeline is
+# integer/string exact in both engines. Words repeat => motifs.
+# --------------------------------------------------------------------------
+SAX_SEG_DAYS = 2
+SAX_WORD = 3
+
+
+@register(
+    "sax_daily_words",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) - 1 AS rn
+        FROM daily
+    ),
+    paa AS (
+        SELECT rn // {SAX_SEG_DAYS} AS seg,
+               CAST(SUM(n) AS BIGINT) AS v,
+               MIN(day) AS seg_start,
+               COUNT(*) AS width
+        FROM idx GROUP BY 1
+        HAVING COUNT(*) = {SAX_SEG_DAYS}
+    ),
+    sym AS (
+        SELECT seg, seg_start, v,
+               ((ROW_NUMBER() OVER (ORDER BY v, seg) - 1) * 4)
+                   // (SELECT COUNT(*) FROM paa) AS s
+        FROM paa
+    ),
+    words AS (
+        SELECT s1.seg,
+               s1.seg_start,
+               chr(97 + CAST(s1.s AS INT)) || chr(97 + CAST(s2.s AS INT))
+                   || chr(97 + CAST(s3.s AS INT)) AS word
+        FROM sym s1
+        JOIN sym s2 ON s2.seg = s1.seg + 1
+        JOIN sym s3 ON s3.seg = s1.seg + 2
+    )
+    SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(seg_start) AS first_seg_start,
+           CAST(MIN(seg) AS BIGINT) AS first_seg
+    FROM words GROUP BY word
+    """,
+    doc=f"X210 SAX symbolic words over the daily event series: PAA "
+        f"({SAX_SEG_DAYS}-day segment sums), rank-quartile alphabet "
+        "(sym = (rank-1)*4 DIV n_segments — the integer-exact stand-in "
+        f"for Gaussian breakpoints), sliding {SAX_WORD}-symbol words; "
+        "per-word occurrence counts (repeats = motifs). Calendar-"
+        "bounded frames everywhere; the daily aggregate is the only "
+        "data-sized pass.",
+    tags=("X210", "X49", "X11", "X7", "X14"),
+)
+def sax_daily_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date")
+                        .alias("day"))
+             .agg(F.count("*").cast("long").alias("n")))
+    idx = daily.select(
+        "day", "n",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("rn"))
+    paa = (idx.groupBy((F.col("rn") / SAX_SEG_DAYS).cast("long")
+                       .alias("seg"))
+           .agg(F.sum("n").cast("long").alias("v"),
+                F.min("day").alias("seg_start"),
+                F.count("*").alias("width"))
+           .filter(F.col("width") == SAX_SEG_DAYS))
+    nseg = paa.agg(F.count("*").alias("nseg"))
+    sym = (paa.crossJoin(F.broadcast(nseg))
+           .select("seg", "seg_start", "v",
+                   F.expr("((ROW_NUMBER() OVER (ORDER BY v, seg) - 1)"
+                          " * 4) DIV nseg").alias("s")))
+    w = Window.orderBy("seg")
+    words = (sym.select(
+        "seg", "seg_start", "s",
+        F.lead("s", 1).over(w).alias("s2"),
+        F.lead("s", 2).over(w).alias("s3"),
+        F.lead("seg", 1).over(w).alias("n1"),
+        F.lead("seg", 2).over(w).alias("n2"))
+        .filter(F.col("n1") == F.col("seg") + 1)
+        .filter(F.col("n2") == F.col("seg") + 2)
+        .select("seg", "seg_start",
+                F.concat(F.chr(F.col("s") + 97),
+                         F.chr(F.col("s2") + 97),
+                         F.chr(F.col("s3") + 97)).alias("word")))
+    return (words.groupBy("word")
+            .agg(F.count("*").cast("long").alias("n_occurrences"),
+                 F.min("seg_start").alias("first_seg_start"),
+                 F.min("seg").cast("long").alias("first_seg")))
+
+
+# --------------------------------------------------------------------------
+# X211: matrix profile — each sliding window's distance to its nearest
+# non-overlapping neighbor (Yeh et al.), THE time-series primitive for
+# motif + discord discovery. Distances are exact integer squared
+# Euclidean (no z-normalization floats); candidate pairs come from a
+# position-aligned equi-join of the exploded window table (k = offset
+# in window), so the pair fan-out is calendar^2 * w — volume-
+# independent, like X183's candidate frame. Exclusion zone |i-j| >= w.
+# --------------------------------------------------------------------------
+MP_W = 5
+
+
+@register(
+    "matrix_profile_daily",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS rn
+        FROM daily
+    ),
+    nwin AS (SELECT COUNT(*) - {MP_W} + 1 AS nw FROM idx),
+    win AS (
+        SELECT w.i, i2.rn - w.i AS k, i2.n, i2.day
+        FROM (SELECT rn AS i FROM idx
+              WHERE rn <= (SELECT nw FROM nwin)) w
+        JOIN idx i2 ON i2.rn >= w.i AND i2.rn < w.i + {MP_W}
+    ),
+    sed AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(SUM((a.n - b.n) * (a.n - b.n)) AS BIGINT) AS d2
+        FROM win a JOIN win b ON a.k = b.k
+        WHERE b.i >= a.i + {MP_W} OR b.i <= a.i - {MP_W}
+        GROUP BY a.i, b.i
+    ),
+    prof AS (
+        SELECT i, j, d2, ROW_NUMBER() OVER (
+                   PARTITION BY i ORDER BY d2, j) AS rnk
+        FROM sed
+    ),
+    st AS (SELECT i, MIN(day) AS start_day FROM win GROUP BY i)
+    SELECT CAST(p.i AS BIGINT) AS window_i, s.start_day,
+           CAST(p.j AS BIGINT) AS nn_j, p.d2 AS sed
+    FROM prof p JOIN st s ON s.i = p.i
+    WHERE p.rnk = 1
+    """,
+    doc=f"X211 matrix profile of the daily event series (window w="
+        f"{MP_W}, exclusion zone |i-j| >= w): nearest-neighbor exact "
+        "integer squared-Euclidean distance per window via a position-"
+        "aligned equi-join of the exploded window table — candidate "
+        "volume = calendar^2 * w, independent of event volume. Profile "
+        "minima = motifs, maxima = discords. Python-replay law-tested.",
+    tags=("X211", "X49", "X11", "X7"),
+)
+def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date")
+                        .alias("day"))
+             .agg(F.count("*").cast("long").alias("n")))
+    idx = persist_tracked(daily.select(
+        "day", "n",
+        F.row_number().over(Window.orderBy("day")).alias("rn")))
+    nw = idx.agg((F.count("*") - MP_W + 1).alias("nw"))
+    starts = (idx.crossJoin(F.broadcast(nw))
+              .filter(F.col("rn") <= F.col("nw"))
+              .select(F.col("rn").alias("i")))
+    win = persist_tracked(
+        starts.join(idx, (F.col("rn") >= F.col("i"))
+                    & (F.col("rn") < F.col("i") + MP_W))
+        .select("i", (F.col("rn") - F.col("i")).alias("k"), "n", "day"))
+    a = win.select(F.col("i").alias("ai"), "k", F.col("n").alias("an"))
+    b = win.select(F.col("i").alias("bi"), "k", F.col("n").alias("bn"))
+    sed = (a.join(b, "k")
+           .filter((F.col("bi") >= F.col("ai") + MP_W)
+                   | (F.col("bi") <= F.col("ai") - MP_W))
+           .groupBy("ai", "bi")
+           .agg(F.sum((F.col("an") - F.col("bn"))
+                      * (F.col("an") - F.col("bn")))
+                .cast("long").alias("d2")))
+    prof = (sed.withColumn(
+                "rnk", F.row_number().over(
+                    Window.partitionBy("ai").orderBy("d2", "bi")))
+            .filter(F.col("rnk") == 1))
+    st = win.groupBy("i").agg(F.min("day").alias("start_day"))
+    return (prof.join(st, prof["ai"] == st["i"])
+            .select(F.col("ai").cast("long").alias("window_i"),
+                    "start_day",
+                    F.col("bi").cast("long").alias("nn_j"),
+                    "d2")
+            .withColumnRenamed("d2", "sed"))

@@ -78,6 +78,10 @@ NEW_R5: dict[str, str] = {
     "louvain_phase1_communities": "X205",
     "weisfeiler_lehman_profile": "X206",
     "power_iteration_hubs": "X207",
+    "viterbi_state_decode": "X208",
+    "holt_linear_daily": "X209",
+    "sax_daily_words": "X210",
+    "matrix_profile_daily": "X211",
 }
 
 

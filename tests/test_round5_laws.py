@@ -169,3 +169,120 @@ def test_power_iteration_matches_python_replay(spark, sf_dir):
     got = [(r["node"], r["score"]) for r in rows]
     assert got == want
     assert got[0][1] == POWER_SCALE  # argmax node snaps to the scale
+
+
+def test_viterbi_matches_python_dp(spark, sf_dir):
+    """X208: full Viterbi DP replay (including best-path argmax over
+    both end states) in pure Python over DuckDB-fetched sequences."""
+    from etl_airflow_spotify_spark.queries.events_ops import (
+        _HMM_EMIT, _HMM_STAY, _HMM_SWITCH, _l2micro)
+    seqs = duckdb.sql(f"""
+        SELECT user_id, list(event_type ORDER BY ts, event_id)
+        FROM '{sf_dir}/events.parquet' GROUP BY user_id""").fetchall()
+    stay, sw = _l2micro(_HMM_STAY), _l2micro(_HMM_SWITCH)
+    want = {}
+    for uid, evs in seqs:
+        e = [(_l2micro(_HMM_EMIT[t][0]), _l2micro(_HMM_EMIT[t][1]))
+             for t in evs]
+        v0, v1 = e[0]
+        for x0, x1 in e[1:]:
+            v0, v1 = (x0 + max(v0 + stay, v1 + sw),
+                      x1 + max(v0 + sw, v1 + stay))
+        want[uid] = (len(evs), max(v0, v1), 1 if v1 > v0 else 0)
+    rows = _rows("viterbi_state_decode", spark, sf_dir)
+    got = {r["user_id"]: (r["n_events"], r["viterbi_micro"],
+                          r["end_state"]) for r in rows}
+    assert got == want
+    # Viterbi dominance: score <= per-step max emission sum + 0 trans
+    for uid, evs in seqs:
+        ub = sum(max(_l2micro(_HMM_EMIT[t][0]), _l2micro(_HMM_EMIT[t][1]))
+                 for t in evs)
+        assert got[uid][1] <= ub
+
+
+def test_holt_matches_python_recurrence(spark, sf_dir):
+    """X209: exact Python replay of the integer Holt recurrence, plus
+    the telescoping law err_t = x_t - forecast_t."""
+    daily = duckdb.sql(f"""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) * 1000000 AS xm
+        FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY 1""").fetchall()
+
+    def fdiv(a, d):
+        return (a - ((a % d) + d) % d) // d
+
+    l, b = daily[0][1], 0
+    want = []
+    for day, x in daily[1:]:
+        err = x - (l + b)
+        l2 = fdiv(x + l + b, 2)
+        b2 = fdiv(l2 - l + 3 * b, 4)
+        want.append((day, x // 1000000, l2, b2, err))
+        l, b = l2, b2
+    rows = sorted(_rows("holt_linear_daily", spark, sf_dir),
+                  key=lambda r: r["day"])
+    got = [(r["day"], r["n"], r["level_micro"], r["trend_micro"],
+            r["err_micro"]) for r in rows]
+    assert got == want
+
+
+def _daily_counts(sf_dir):
+    return duckdb.sql(f"""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*)
+        FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY 1""").fetchall()
+
+
+def test_sax_words_conserve_and_replay(spark, sf_dir):
+    """X210: word occurrences sum to n_segments - 2; full Python
+    replay of PAA + rank-quartile symbols + sliding words."""
+    from collections import Counter
+    from etl_airflow_spotify_spark.queries.events_ops import (
+        SAX_SEG_DAYS, SAX_WORD)
+    daily = _daily_counts(sf_dir)
+    segs = []
+    for s in range(len(daily) // SAX_SEG_DAYS):
+        chunk = daily[s * SAX_SEG_DAYS:(s + 1) * SAX_SEG_DAYS]
+        segs.append((s, sum(c for _, c in chunk), chunk[0][0]))
+    order = sorted(segs, key=lambda t: (t[1], t[0]))
+    sym = {}
+    for rank, (s, v, d) in enumerate(order):
+        sym[s] = (rank * 4) // len(segs)
+    words = Counter()
+    first = {}
+    for s in range(len(segs) - SAX_WORD + 1):
+        w = "".join(chr(97 + sym[s + k]) for k in range(SAX_WORD))
+        words[w] += 1
+        first.setdefault(w, (segs[s][2], s))
+    rows = _rows("sax_daily_words", spark, sf_dir)
+    got = {r["word"]: (r["n_occurrences"], r["first_seg_start"],
+                       r["first_seg"]) for r in rows}
+    want = {w: (c, first[w][0], first[w][1]) for w, c in words.items()}
+    assert got == want
+    assert sum(words.values()) == len(segs) - SAX_WORD + 1
+
+
+def test_matrix_profile_matches_python(spark, sf_dir):
+    """X211: brute-force Python matrix profile (exact integer SED,
+    same exclusion zone and tie-break) matches."""
+    from etl_airflow_spotify_spark.queries.events_ops import MP_W
+    daily = _daily_counts(sf_dir)
+    xs = [c for _, c in daily]
+    nw = len(xs) - MP_W + 1
+    want = {}
+    for i in range(1, nw + 1):
+        best = None
+        for j in range(1, nw + 1):
+            if abs(i - j) < MP_W:
+                continue
+            d2 = sum((xs[i - 1 + k] - xs[j - 1 + k]) ** 2
+                     for k in range(MP_W))
+            if best is None or (d2, j) < best:
+                best = (d2, j)
+        want[i] = (daily[i - 1][0], best[1], best[0])
+    rows = _rows("matrix_profile_daily", spark, sf_dir)
+    got = {r["window_i"]: (r["start_day"], r["nn_j"], r["sed"])
+           for r in rows}
+    assert got == want
+    # symmetry law: if j is i's NN with distance d, then profile(j)<=d
+    for i, (_, j, d) in got.items():
+        assert got[j][2] <= d

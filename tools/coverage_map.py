@@ -215,6 +215,10 @@ X_TITLES = {
     "X205": "Louvain phase 1 (modularity communities)",
     "X206": "Weisfeiler-Lehman refinement profile",
     "X207": "Power-iteration eigenvector centrality",
+    "X208": "Viterbi HMM decoding",
+    "X209": "Holt linear-trend smoothing",
+    "X210": "SAX symbolic words (motifs)",
+    "X211": "Matrix profile (motif/discord)",
 }
 
 
