@@ -258,6 +258,9 @@ HEADLINE = [
     "holt_linear_daily",
     "sax_daily_words",
     "matrix_profile_daily",
+    "encoding_efficiency_audit",
+    "cox_score_click_hazard",
+    "lof_rfm_outliers",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -4837,3 +4837,154 @@ def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("bi").cast("long").alias("nn_j"),
                     "d2")
             .withColumnRenamed("d2", "sed"))
+
+
+# --------------------------------------------------------------------------
+# X213: Cox proportional-hazards score test — the REGRESSION lens on
+# time-to-convert that X83's Kaplan-Meier (nonparametric, covariate-
+# free) can't give: does click volume associate with conversion
+# hazard? The partial-likelihood score at beta=0 (the log-rank family)
+# needs only risk-set moments: U = sum_events (x_i - S1/n),
+# I = sum_events (n*S2 - S1^2)/n^2, with (n, S1, S2) = suffix sums of
+# (1, x, x^2) over the duration-ordered per-time aggregates — one
+# descending window, no per-event loop. Breslow tie handling. Every
+# term is micro-snapped integer division of non-negative BIGINTs
+# (trunc == floor), summed exactly; z^2 = U^2/I is the single final
+# float, computed from identical doubles in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "cox_score_click_hazard",
+    """
+    WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS s_us
+               FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+          FROM events e JOIN s ON e.user_id = s.user_id
+                            AND epoch_us(e.ts) > s.s_us
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    horizon AS (SELECT MAX(epoch_us(ts)) AS h_us FROM events),
+    clicks AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+               FROM events WHERE event_type = 'click' GROUP BY user_id),
+    durs AS (
+        SELECT s.user_id,
+               CAST(CASE WHEN p.p_us IS NOT NULL
+                         THEN (p.p_us - s.s_us) // 3600000000
+                         ELSE (h.h_us - s.s_us) // 3600000000 END
+                    AS BIGINT) AS t_hours,
+               CASE WHEN p.p_us IS NOT NULL THEN 1 ELSE 0 END AS ev,
+               COALESCE(c.x, 0) AS x
+        FROM s LEFT JOIN p ON s.user_id = p.user_id
+        LEFT JOIN clicks c ON s.user_id = c.user_id
+        CROSS JOIN horizon h
+    ),
+    grouped AS (
+        SELECT t_hours,
+               CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(ev * x) AS BIGINT) AS sx,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS s1g,
+               CAST(SUM(x * x) AS BIGINT) AS s2g
+        FROM durs GROUP BY t_hours
+    ),
+    risk AS (
+        SELECT t_hours, d, sx,
+               CAST(SUM(m) OVER (ORDER BY t_hours DESC) AS BIGINT) AS n,
+               CAST(SUM(s1g) OVER (ORDER BY t_hours DESC) AS BIGINT)
+                   AS s1,
+               CAST(SUM(s2g) OVER (ORDER BY t_hours DESC) AS BIGINT)
+                   AS s2
+        FROM grouped
+    ),
+    terms AS (
+        SELECT SUM(sx * 1000000 - d * ((s1 * 1000000) // n)) AS u_micro,
+               SUM(d * ((1000000 * (n * s2 - s1 * s1)) // (n * n)))
+                   AS i_micro
+        FROM risk WHERE d > 0
+    ),
+    counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(ev) AS BIGINT) AS n_events,
+               CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+        FROM durs
+    )
+    SELECT c.n_users, c.n_events, c.n_censored,
+           CAST(t.u_micro AS BIGINT) AS score_micro,
+           CAST(t.i_micro AS BIGINT) AS info_micro,
+           ROUND((CAST(t.u_micro AS DOUBLE) * CAST(t.u_micro AS DOUBLE))
+                 / (CAST(t.i_micro AS DOUBLE) * 1000000.0), 6) AS z2
+    FROM counts c, terms t
+    """,
+    doc="X213 Cox proportional-hazards score test (beta=0, Breslow "
+        "ties) of click volume vs time-to-purchase hazard: risk-set "
+        "moments (n, S1, S2) as ONE descending suffix-sum window over "
+        "per-time aggregates; score and information as micro-snapped "
+        "BIGINT folds (non-negative divisions, trunc==floor); z^2 the "
+        "single final float from identical doubles. The covariate-"
+        "aware counterpart to X83's Kaplan-Meier.",
+    tags=("X213", "X83", "X11", "X7"),
+)
+def cox_score_click_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    ev = _ev(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    s = persist_tracked(
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min(us).alias("s_us")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", us.alias("e_us"))
+         .join(s, "user_id")
+         .filter(F.col("e_us") > F.col("s_us"))
+         .groupBy("user_id").agg(F.min("e_us").alias("p_us")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id")
+              .agg(F.count("*").cast("long").alias("x")))
+    horizon = ev.agg(F.max(us).alias("h_us"))
+    durs = persist_tracked(
+        s.join(p, "user_id", "left")
+        .join(clicks, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.expr("CAST(CASE WHEN p_us IS NOT NULL"
+                   " THEN (p_us - s_us) DIV 3600000000"
+                   " ELSE (h_us - s_us) DIV 3600000000 END AS BIGINT)")
+            .alias("t_hours"),
+            F.when(F.col("p_us").isNotNull(), 1).otherwise(0)
+            .alias("ev"),
+            F.coalesce("x", F.lit(0)).cast("long").alias("x")))
+    grouped = (durs.groupBy("t_hours")
+               .agg(F.sum("ev").cast("long").alias("d"),
+                    F.sum(F.col("ev") * F.col("x")).cast("long")
+                    .alias("sx"),
+                    F.count("*").cast("long").alias("m"),
+                    F.sum("x").cast("long").alias("s1g"),
+                    F.sum(F.col("x") * F.col("x")).cast("long")
+                    .alias("s2g")))
+    wd = Window.orderBy(F.desc("t_hours")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    risk = grouped.select(
+        "t_hours", "d", "sx",
+        F.sum("m").over(wd).cast("long").alias("n"),
+        F.sum("s1g").over(wd).cast("long").alias("s1"),
+        F.sum("s2g").over(wd).cast("long").alias("s2"))
+    terms = (risk.filter(F.col("d") > 0)
+             .agg(F.sum(F.col("sx") * 1000000
+                        - F.col("d")
+                        * F.expr("(s1 * 1000000) DIV n"))
+                  .cast("long").alias("u_micro"),
+                  F.sum(F.col("d")
+                        * F.expr("(1000000 * (n * s2 - s1 * s1))"
+                                 " DIV (n * n)"))
+                  .cast("long").alias("i_micro")))
+    counts = durs.agg(F.count("*").cast("long").alias("n_users"),
+                      F.sum("ev").cast("long").alias("n_events"),
+                      F.sum(1 - F.col("ev")).cast("long")
+                      .alias("n_censored"))
+    return (counts.crossJoin(terms)
+            .select("n_users", "n_events", "n_censored",
+                    F.col("u_micro").alias("score_micro"),
+                    F.col("i_micro").alias("info_micro"),
+                    F.round((F.col("u_micro").cast("double")
+                             * F.col("u_micro").cast("double"))
+                            / (F.col("i_micro").cast("double")
+                               * F.lit(1000000.0)), 6).alias("z2")))

@@ -1937,3 +1937,165 @@ def dp_exponential_selection(spark: SparkSession,
                     F.coalesce("n_selected", F.lit(0)).cast("long")
                     .alias("n_selected"))
             .orderBy("brand"))
+
+
+# --------------------------------------------------------------------------
+# X214: Local Outlier Factor — the density-RATIO outlier lens DBSCAN
+# (X162, hard eps threshold) can't give: LOF(a) ~ mean neighbor
+# density / own density, scoring HOW anomalous each customer is on
+# the same (order-count, lifetime-value) integer plane. Exact-and-
+# scalable construction: candidate pairs from the X162 grid probe
+# (never all-pairs — the quadratic lives only in the oracle), k-NN by
+# (d2, id) rank inside the eps ball, and the textbook k-distance is
+# CENSORED at eps for points with < k eps-neighbors (kdist2 := EPS2+1
+# — their true k-distance exceeds eps; documented variant, no
+# cascading definitions). reach2 gets +1 so duplicate points can't
+# zero the denominator; lrd and LOF are micro-snapped non-negative
+# BIGINT divisions. Output: top-20 outliers.
+# --------------------------------------------------------------------------
+LOF_K = 5
+LOF_EPS2 = 8          # squared epsilon; grid cell side 3 covers it
+LOF_TOPK = 20
+
+
+@register(
+    "lof_rfm_outliers",
+    f"""
+    WITH pts AS (
+        SELECT o_custkey AS id,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT)
+                   // {DBSCAN_Y_DIV} AS y
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.id AS ia, b.id AS ib,
+               CAST((a.x - b.x) * (a.x - b.x)
+                    + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+        FROM pts a JOIN pts b ON a.id <> b.id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= {LOF_EPS2}
+    ),
+    ranked AS (
+        SELECT ia, ib, d2,
+               ROW_NUMBER() OVER (PARTITION BY ia ORDER BY d2, ib)
+                   AS rnk,
+               COUNT(*) OVER (PARTITION BY ia) AS n_nb
+        FROM pairs
+    ),
+    kdist AS (
+        SELECT id,
+               COALESCE(MAX(CASE WHEN rnk = {LOF_K} THEN d2 END),
+                        {LOF_EPS2} + 1) AS kd2
+        FROM (SELECT ia AS id, rnk, d2 FROM ranked) GROUP BY id
+    ),
+    knn AS (
+        SELECT r.ia, r.ib, r.n_nb,
+               GREATEST(k.kd2, r.d2) + 1 AS reach2
+        FROM ranked r JOIN kdist k ON k.id = r.ib
+        WHERE r.rnk <= {LOF_K}
+    ),
+    lrd AS (
+        SELECT ia AS id, MIN(n_nb) AS n_nb,
+               (CAST(COUNT(*) AS BIGINT) * 1000000000000)
+                   // CAST(SUM(reach2) AS BIGINT) AS lrd_micro
+        FROM knn GROUP BY ia
+    ),
+    lof AS (
+        SELECT k.ia AS id, MIN(l.n_nb) AS n_nb,
+               MIN(l.lrd_micro) AS lrd_micro,
+               (CAST(SUM(nb.lrd_micro) AS BIGINT) * 1000000)
+                   // ({LOF_K} * MIN(l.lrd_micro)) AS lof_micro
+        FROM knn k
+        JOIN lrd l ON l.id = k.ia
+        JOIN lrd nb ON nb.id = k.ib
+        WHERE l.n_nb >= {LOF_K}
+        GROUP BY k.ia
+    )
+    SELECT id, CAST(n_nb AS BIGINT) AS n_nb,
+           CAST(lrd_micro AS BIGINT) AS lrd_micro,
+           CAST(lof_micro AS BIGINT) AS lof_micro
+    FROM lof
+    ORDER BY lof_micro DESC, id LIMIT {LOF_TOPK}
+    """,
+    doc=f"X214 Local Outlier Factor (k={LOF_K}, eps^2={LOF_EPS2}, "
+        "censored k-distance at the eps ceiling) over customer "
+        "(order-count, lifetime-cents/4e6) integer space: grid-probe "
+        "candidate pairs, rank-k neighbors, micro-snapped lrd and LOF "
+        "ratios — every division non-negative BIGINT. Top-20 "
+        "outliers; oracle brute-forces the pairs. Python-replay "
+        "law-tested.",
+    tags=("X214", "X162", "X104", "X3", "X7", "X11", "X12"),
+)
+def lof_rfm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..caching import persist_tracked
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                  .cast("long")).cast("long")
+    pts = persist_tracked(
+        orders.groupBy(F.col("o_custkey").alias("id"))
+        .agg(F.count("*").cast("long").alias("x"),
+             cents.alias("cents"))
+        .select("id", "x",
+                F.expr(f"cents DIV {DBSCAN_Y_DIV}").alias("y")))
+    side = 3  # covers eps = sqrt(8) < 3
+    cells = pts.select("id", "x", "y",
+                       F.expr(f"x DIV {side}").alias("cx"),
+                       F.expr(f"y DIV {side}").alias("cy"))
+    off = F.explode(F.array(*[F.lit(o) for o in (-1, 0, 1)]))
+    probe = (cells.select("id", "x", "y", "cx", "cy", off.alias("dx"))
+             .select("id", "x", "y",
+                     (F.col("cx") + F.col("dx")).alias("cx"), "cy",
+                     off.alias("dy"))
+             .select("id", "x", "y", "cx",
+                     (F.col("cy") + F.col("dy")).alias("cy")))
+    a = probe.select(F.col("id").alias("ia"), F.col("x").alias("xa"),
+                     F.col("y").alias("ya"), "cx", "cy")
+    b = cells.select(F.col("id").alias("ib"), F.col("x").alias("xb"),
+                     F.col("y").alias("yb"), "cx", "cy")
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    pairs = persist_tracked(
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("ia") != F.col("ib"))
+        .filter(d2 <= LOF_EPS2)
+        .select("ia", "ib", d2.cast("long").alias("d2")).distinct())
+    ranked = persist_tracked(pairs.select(
+        "ia", "ib", "d2",
+        F.row_number().over(W.partitionBy("ia").orderBy("d2", "ib"))
+        .alias("rnk"),
+        F.count("*").over(W.partitionBy("ia")).alias("n_nb")))
+    kdist = (ranked.groupBy(F.col("ia").alias("id"))
+             .agg(F.coalesce(
+                 F.max(F.when(F.col("rnk") == LOF_K, F.col("d2"))),
+                 F.lit(LOF_EPS2 + 1)).cast("long").alias("kd2")))
+    knn = (ranked.filter(F.col("rnk") <= LOF_K)
+           .join(kdist.select(F.col("id").alias("ib"), "kd2"), "ib")
+           .select("ia", "ib", "n_nb",
+                   (F.greatest("kd2", "d2") + 1).cast("long")
+                   .alias("reach2")))
+    lrd = persist_tracked(
+        knn.groupBy(F.col("ia").alias("id"))
+        .agg(F.min("n_nb").cast("long").alias("n_nb"),
+             F.expr("(COUNT(*) * 1000000000000) DIV SUM(reach2)")
+             .cast("long").alias("lrd_micro")))
+    lof = (knn
+           .join(lrd.select(F.col("id").alias("ia"),
+                            F.col("n_nb").alias("a_nb"),
+                            F.col("lrd_micro").alias("a_lrd")), "ia")
+           .join(lrd.select(F.col("id").alias("ib"),
+                            F.col("lrd_micro").alias("b_lrd")), "ib")
+           .filter(F.col("a_nb") >= LOF_K)
+           .groupBy(F.col("ia").alias("id"))
+           .agg(F.min("a_nb").cast("long").alias("n_nb"),
+                F.min("a_lrd").cast("long").alias("lrd_micro"),
+                F.expr(f"(SUM(b_lrd) * 1000000)"
+                       f" DIV ({LOF_K} * MIN(a_lrd))")
+                .cast("long").alias("lof_micro")))
+    return (lof.orderBy(F.desc("lof_micro"), F.asc("id"))
+            .limit(LOF_TOPK)
+            .select("id", "n_nb", "lrd_micro", "lof_micro"))

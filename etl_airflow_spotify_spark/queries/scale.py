@@ -570,3 +570,118 @@ def curve_layout_fragmentation(spark: SparkSession,
             .withColumn("avg_run_len",
                         F.round(F.col("n_cells").cast("double")
                                 / F.col("n_runs"), 6)))
+
+
+# --------------------------------------------------------------------------
+# X212: encoding-efficiency audit — the storage planner's question at
+# 100 TB: which parquet encoding (dictionary, delta, RLE-ish runs,
+# plain) pays for each column, before rewriting anything. Bit widths
+# are EXACT integers via binary-string length (ceil_log2(n) =
+# length(bin(n-1)), no float log2 near power-of-two boundaries), and
+# runs/deltas are computed WITHIN row groups (l_orderkey DIV 1000) —
+# exactly how parquet encodes, and it keeps every window shuffle-
+# partitioned instead of a global single-partition sort.
+# --------------------------------------------------------------------------
+ENC_RG_DIV = 1000
+_ENC_COLS = (
+    ("l_orderkey", "l_orderkey"),
+    ("l_partkey", "l_partkey"),
+    ("l_suppkey", "l_suppkey"),
+    ("l_linenumber", "l_linenumber"),
+    ("l_quantity", "CAST(l_quantity AS BIGINT)"),
+    ("ship_day", "CAST(l_shipdate AS DATE) - DATE '1970-01-01'"),
+)
+
+
+def _enc_melt_sql() -> str:
+    sel = []
+    for name, expr in _ENC_COLS:
+        sel.append(
+            f"SELECT l_orderkey // {ENC_RG_DIV} AS rg, l_orderkey AS ok, "
+            f"l_linenumber AS ln, '{name}' AS col, "
+            f"CAST({expr} AS BIGINT) AS val FROM lineitem")
+    return "\nUNION ALL\n".join(sel)
+
+
+def _ceil_log2_sql(arg: str) -> str:
+    return (f"CASE WHEN ({arg}) <= 1 THEN 0 "
+            f"ELSE length(bin(CAST(({arg}) - 1 AS BIGINT))) END")
+
+
+@register(
+    "encoding_efficiency_audit",
+    f"""
+    WITH melt AS ({_enc_melt_sql()}),
+    runs AS (
+        SELECT col, rg, val,
+               lag(val) OVER (PARTITION BY col, rg
+                              ORDER BY ok, ln, val) AS prev
+        FROM melt
+    ),
+    per_col AS (
+        SELECT col,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT val) AS BIGINT) AS ndv,
+               CAST(MIN(val) AS BIGINT) AS vmin,
+               CAST(MAX(val) AS BIGINT) AS vmax,
+               CAST(SUM(CASE WHEN prev IS NULL OR prev <> val
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+               CAST(COALESCE(MAX(ABS(val - prev)), 0) AS BIGINT)
+                   AS max_delta
+        FROM runs GROUP BY col
+    )
+    SELECT col,
+           n, ndv, n_runs,
+           CAST({_ceil_log2_sql('ndv')} AS BIGINT) AS dict_bits,
+           CAST({_ceil_log2_sql('vmax - vmin + 1')} AS BIGINT)
+               AS range_bits,
+           CAST({_ceil_log2_sql('max_delta + 1')} + 1 AS BIGINT)
+               AS delta_bits,
+           CAST((n_runs * 1000000) // n AS BIGINT) AS run_frac_micro
+    FROM per_col
+    """,
+    doc="X212 per-column encoding audit of lineitem: exact dictionary/"
+        "range/delta bit widths via binary-string lengths (ceil_log2 "
+        "with zero float logs), run counts and max deltas computed "
+        "row-group-locally (l_orderkey DIV 1000) like parquet itself — "
+        "windows stay hash-partitioned, no global sort. The OPTIMIZE-"
+        "time planner that decides which rewrite pays at 100 TB.",
+    tags=("X212", "X14", "X7", "X11", "X1"),
+)
+def encoding_efficiency_audit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    melt = None
+    for name, expr in _ENC_COLS:
+        if name == "ship_day":  # Spark spells date-minus-date differently
+            expr = "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')"
+        part = li.selectExpr(
+            f"l_orderkey DIV {ENC_RG_DIV} AS rg", "l_orderkey AS ok",
+            "l_linenumber AS ln", f"'{name}' AS col",
+            f"CAST({expr} AS BIGINT) AS val")
+        melt = part if melt is None else melt.unionByName(part)
+    from pyspark.sql import Window as W
+    w = W.partitionBy("col", "rg").orderBy("ok", "ln", "val")
+    runs = melt.withColumn("prev", F.lag("val").over(w))
+    per_col = (runs.groupBy("col")
+               .agg(F.count("*").cast("long").alias("n"),
+                    F.countDistinct("val").cast("long").alias("ndv"),
+                    F.min("val").cast("long").alias("vmin"),
+                    F.max("val").cast("long").alias("vmax"),
+                    F.sum(F.when(F.col("prev").isNull()
+                                 | (F.col("prev") != F.col("val")), 1)
+                          .otherwise(0)).cast("long").alias("n_runs"),
+                    F.coalesce(F.max(F.abs(F.col("val")
+                                           - F.col("prev"))), F.lit(0))
+                    .cast("long").alias("max_delta")))
+
+    def cl2(arg: str) -> str:
+        return (f"CASE WHEN ({arg}) <= 1 THEN 0 "
+                f"ELSE length(bin(CAST(({arg}) - 1 AS BIGINT))) END")
+
+    return per_col.selectExpr(
+        "col", "n", "ndv", "n_runs",
+        f"CAST({cl2('ndv')} AS BIGINT) AS dict_bits",
+        f"CAST({cl2('vmax - vmin + 1')} AS BIGINT) AS range_bits",
+        f"CAST({cl2('max_delta + 1')} + 1 AS BIGINT) AS delta_bits",
+        "CAST((n_runs * 1000000) DIV n AS BIGINT) AS run_frac_micro")

