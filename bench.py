@@ -261,6 +261,8 @@ HEADLINE = [
     "encoding_efficiency_audit",
     "cox_score_click_hazard",
     "lof_rfm_outliers",
+    "textrank_keywords",
+    "dtw_event_type_distance",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

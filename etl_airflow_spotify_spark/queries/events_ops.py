@@ -4988,3 +4988,136 @@ def cox_score_click_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
                              * F.col("u_micro").cast("double"))
                             / (F.col("i_micro").cast("double")
                                * F.lit(1000000.0)), 6).alias("z2")))
+
+
+# --------------------------------------------------------------------------
+# X216: Dynamic Time Warping distance (Sakoe-Chiba band) between the
+# per-event-type daily series — the alignment-aware series distance
+# (X129's KS and X152's CCF compare distributions/fixed lags; DTW
+# matches SHAPES under local time shifts). The DP is inherently
+# sequential in both matrix dimensions, so this is the repo's
+# canonical applyInPandas showcase: one Arrow batch per series pair,
+# numpy int64 DP inside (exact squared-difference costs, band cells
+# only), never a row-at-a-time Python UDF. The oracle replays the DP
+# as an anti-diagonal recursive CTE (each diagonal depends only on
+# the previous two — border cells take the min over whichever
+# predecessors exist, which IS the INF-border DP). Series are
+# calendar x event-type bounded: the DP state is ~30x30 per pair at
+# ANY data scale; the daily aggregate is the only data-sized pass.
+# --------------------------------------------------------------------------
+DTW_BAND = 7
+
+
+def _dtw_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    types AS (SELECT DISTINCT event_type AS et FROM daily),
+    spine AS (
+        SELECT t.et, d.day,
+               ROW_NUMBER() OVER (PARTITION BY t.et ORDER BY d.day)
+                   AS idx,
+               COALESCE(x.n, 0) AS n
+        FROM types t CROSS JOIN days d
+        LEFT JOIN daily x ON x.event_type = t.et AND x.day = d.day
+    ),
+    costs AS (
+        SELECT a.et AS ta, b.et AS tb, a.idx AS i, b.idx AS j,
+               (a.n - b.n) * (a.n - b.n) AS c
+        FROM spine a JOIN spine b ON a.idx - b.idx BETWEEN
+             -{DTW_BAND} AND {DTW_BAND}
+        WHERE a.et < b.et
+    ),
+    dp(it, d, ta, tb, i, j, cost) AS (
+        SELECT 1, 2, ta, tb, 1, 1, c FROM costs WHERE i = 1 AND j = 1
+        UNION ALL
+        (
+        SELECT p.it + 1, p.d, p.ta, p.tb, p.i, p.j, p.cost FROM dp p
+        WHERE p.it < (SELECT MAX(i + j) FROM costs)
+        UNION ALL
+        SELECT p.it + 1, p.it + 2, c.ta, c.tb, c.i, c.j,
+               c.c + MIN(p.cost)
+        FROM dp p JOIN costs c ON c.ta = p.ta AND c.tb = p.tb
+          AND c.i + c.j = p.it + 2
+          AND ((c.i = p.i + 1 AND c.j = p.j)
+            OR (c.i = p.i AND c.j = p.j + 1)
+            OR (c.i = p.i + 1 AND c.j = p.j + 1))
+        GROUP BY p.it, c.ta, c.tb, c.i, c.j, c.c
+        )
+    ),
+    nmax AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM days)
+    SELECT ta, tb, (SELECT n FROM nmax) AS n_days,
+           CAST(MIN(cost) AS BIGINT) AS dtw
+    FROM dp, nmax
+    WHERE i = nmax.n AND j = nmax.n
+    GROUP BY ta, tb
+    """
+
+
+@register(
+    "dtw_event_type_distance",
+    _dtw_oracle_sql(),
+    doc=f"X216 banded DTW (Sakoe-Chiba r={DTW_BAND}) between every "
+        "pair of per-event-type daily series: exact integer squared-"
+        "difference costs; Spark side = ONE applyInPandas Arrow batch "
+        "per pair running the numpy int64 DP (the canonical custom-"
+        "operator slow path, never row-at-a-time); oracle = anti-"
+        "diagonal recursive-CTE DP. Series are calendar-bounded, so "
+        "DP state is ~30x30 per pair at any scale.",
+    tags=("X216", "X24", "X49", "X7", "X3"),
+)
+def dtw_event_type_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..caching import persist_tracked
+
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", "ts").cast("date")
+                        .alias("day"))
+             .agg(F.count("*").cast("long").alias("n")))
+    days = daily.select("day").distinct()
+    types = daily.select(F.col("event_type").alias("et")).distinct()
+    spine = persist_tracked(
+        types.crossJoin(days)
+        .join(daily.withColumnRenamed("event_type", "et"),
+              ["et", "day"], "left")
+        .select("et", "day", F.coalesce("n", F.lit(0)).cast("long")
+                .alias("n")))
+    a = spine.select(F.col("et").alias("ta"), "day",
+                     F.col("n").alias("na"))
+    b = spine.select(F.col("et").alias("tb"), "day",
+                     F.col("n").alias("nb"))
+    pairs = (a.join(b, "day")
+             .filter(F.col("ta") < F.col("tb"))
+             .select("ta", "tb", "day", "na", "nb"))
+    band = DTW_BAND
+
+    def dtw_pair(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        pdf = pdf.sort_values("day")
+        x = pdf["na"].to_numpy(dtype="int64")
+        y = pdf["nb"].to_numpy(dtype="int64")
+        n = len(x)
+        inf = np.int64(1) << 50
+        dmat = np.full((n + 1, n + 1), inf, dtype="int64")
+        dmat[0, 0] = 0
+        for i in range(1, n + 1):
+            lo = max(1, i - band)
+            hi = min(n, i + band)
+            for j in range(lo, hi + 1):
+                c = (x[i - 1] - y[j - 1]) ** 2
+                best = min(dmat[i - 1, j], dmat[i, j - 1],
+                           dmat[i - 1, j - 1])
+                dmat[i, j] = c + best
+        return pd.DataFrame(
+            [[pdf["ta"].iloc[0], pdf["tb"].iloc[0], n,
+              int(dmat[n, n])]],
+            columns=["ta", "tb", "n_days", "dtw"])
+
+    return pairs.groupBy("ta", "tb").applyInPandas(
+        dtw_pair, "ta string, tb string, n_days long, dtw long")

@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table, spread
+from ..operators import graph as G_GRAPH
 from ..operators import text as T
 from ..registry import register
 
@@ -2636,3 +2637,86 @@ def kneser_ney_perplexity(spark: SparkSession,
                F.round(F.pow(F.lit(2.0), avg), 3))
         .otherwise(1.0).alias("ppl"))
         .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X215: TextRank keyword extraction — graph-BASED keyword ranking
+# (Mihalcea & Tarau): build the word co-occurrence graph (+-2 window),
+# run PageRank, read the top words. Complements X135 RAKE (frequency/
+# degree scoring) and X100 log-odds (corpus contrast) with the random-
+# walk centrality lens. Reuses the X42 integer fixed-point PageRank
+# operator verbatim — same SCALE, damping and DIV discipline — over a
+# vocabulary bounded to words with count >= TEXTRANK_MIN_COUNT, so
+# the graph is vocab-sized, never corpus-sized.
+# --------------------------------------------------------------------------
+TEXTRANK_MIN_COUNT = 30
+TEXTRANK_ITERS = 5
+TEXTRANK_TOPK = 20
+
+_TEXTRANK_EDGE_CTE = f"""d AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+               unnest(toks) AS w
+        FROM d
+    ),
+    vocab AS (
+        SELECT w FROM tok GROUP BY w
+        HAVING COUNT(*) >= {TEXTRANK_MIN_COUNT}
+    ),
+    e AS (
+        SELECT DISTINCT a.w AS src, b.w AS dst
+        FROM tok a
+        JOIN (SELECT unnest([-2, -1, 1, 2]) AS off) o ON TRUE
+        JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + o.off
+        JOIN vocab va ON va.w = a.w
+        JOIN vocab vb ON vb.w = b.w
+        WHERE a.w <> b.w
+    )"""
+
+
+@register(
+    "textrank_keywords",
+    G_GRAPH.pagerank_oracle_sql(_TEXTRANK_EDGE_CTE, TEXTRANK_ITERS)
+    .replace("SELECT node, pr, d AS degree",
+             "SELECT node AS word, pr, d AS degree")
+    + f"\nORDER BY pr DESC, word LIMIT {TEXTRANK_TOPK}",
+    doc=f"X215 TextRank keywords: integer fixed-point PageRank "
+        f"({TEXTRANK_ITERS} iterations, X42 operator) over the +-2-"
+        f"window word co-occurrence graph, vocabulary bounded to "
+        f"count >= {TEXTRANK_MIN_COUNT} words; top-{TEXTRANK_TOPK} by "
+        "rank. The random-walk keyword lens next to RAKE (X135) and "
+        "Dirichlet log-odds (X100); graph is vocab x window sized, "
+        "never corpus-sized.",
+    tags=("X215", "X42", "X18", "X41", "X12"),
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+    from ..operators import graph as G_OP
+
+    d = _docs(spark, sf_dir)
+    tok = persist_tracked(
+        d.select("doc_id",
+                 F.posexplode(F.split(F.trim(F.lower(F.col("text"))),
+                                      r"\s+")).alias("pos0", "w"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w"))
+    vocab = (tok.groupBy("w").agg(F.count("*").alias("c"))
+             .filter(F.col("c") >= TEXTRANK_MIN_COUNT).select("w"))
+    offs = spark.createDataFrame([(-2,), (-1,), (1,), (2,)], "off INT")
+    b = tok.select("doc_id", F.col("pos").alias("bpos"),
+                   F.col("w").alias("bw"))
+    edges = (tok.crossJoin(F.broadcast(offs))
+             .join(b, (b["doc_id"] == tok["doc_id"])
+                   & (b["bpos"] == tok["pos"] + F.col("off")))
+             .filter(F.col("w") != F.col("bw"))
+             .join(vocab.select(F.col("w")), "w")
+             .join(vocab.select(F.col("w").alias("bw")), "bw")
+             .select(F.col("w").alias("src"), F.col("bw").alias("dst"))
+             .distinct())
+    pr = G_OP.pagerank_fixed(edges, iters=TEXTRANK_ITERS)
+    return (pr.orderBy(F.desc("pr"), F.asc("node"))
+            .limit(TEXTRANK_TOPK)
+            .select(F.col("node").alias("word"), "pr", "degree"))

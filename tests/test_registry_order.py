@@ -85,6 +85,8 @@ NEW_R5: dict[str, str] = {
     "encoding_efficiency_audit": "X212",
     "cox_score_click_hazard": "X213",
     "lof_rfm_outliers": "X214",
+    "textrank_keywords": "X215",
+    "dtw_event_type_distance": "X216",
 }
 
 

@@ -419,3 +419,96 @@ def test_lof_matches_python_bruteforce(spark, sf_dir):
     got = [(r["id"], r["n_nb"], r["lrd_micro"], r["lof_micro"])
            for r in rows]
     assert got == top20
+
+
+def test_textrank_matches_python_pagerank(spark, sf_dir):
+    """X215: Python replay of the integer PageRank over the
+    independently-rebuilt word co-occurrence graph."""
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.operators.graph import DAMP_NUM, SCALE
+    from etl_airflow_spotify_spark.queries.text import (
+        TEXTRANK_ITERS, TEXTRANK_MIN_COUNT, TEXTRANK_TOPK)
+    toks = duckdb.sql(f"""
+        WITH d AS (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t
+                   FROM '{sf_dir}/documents.parquet')
+        SELECT doc_id, unnest(range(1, len(t) + 1)), unnest(t)
+        FROM d""").fetchall()
+    from collections import Counter
+    cnt = Counter(w for _, _, w in toks)
+    vocab = {w for w, c in cnt.items() if c >= TEXTRANK_MIN_COUNT}
+    bydoc = defaultdict(dict)
+    for doc, pos, w in toks:
+        bydoc[doc][pos] = w
+    edges = set()
+    for doc, posw in bydoc.items():
+        for pos, w in posw.items():
+            for off in (-2, -1, 1, 2):
+                w2 = posw.get(pos + off)
+                if (w2 is not None and w2 != w
+                        and w in vocab and w2 in vocab):
+                    edges.add((w, w2))
+    adj = defaultdict(list)
+    for s, dd in edges:
+        adj[s].append(dd)
+    deg = {w: len(v) for w, v in adj.items()}
+    n = len(deg)
+    pr = {w: SCALE // n for w in deg}
+    tele = (15 * SCALE) // (100 * n)
+    for _ in range(TEXTRANK_ITERS):
+        nxt = defaultdict(int)
+        for s, ds in adj.items():
+            c = pr[s] // deg[s]
+            for dd in ds:
+                nxt[dd] += c
+        pr = {w: tele + (DAMP_NUM * v) // 100 for w, v in nxt.items()}
+    want = sorted(((w, p, deg[w]) for w, p in pr.items()),
+                  key=lambda t: (-t[1], t[0]))[:TEXTRANK_TOPK]
+    rows = _rows("textrank_keywords", spark, sf_dir)
+    got = [(r["word"], r["pr"], r["degree"]) for r in rows]
+    assert got == want
+
+
+def test_dtw_matches_python_and_bounds(spark, sf_dir):
+    """X216 laws: full-matrix Python DP (same band) matches, DTW is
+    symmetric in the pair orientation, DTW(a,a) = 0, and banded DTW
+    >= unbanded DTW (band only restricts the warping path)."""
+    from etl_airflow_spotify_spark.queries.events_ops import DTW_BAND
+    series = duckdb.sql(f"""
+        WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts)
+                       AS DATE) AS day, COUNT(*) AS n
+                       FROM '{sf_dir}/events.parquet' GROUP BY 1, 2),
+        days AS (SELECT DISTINCT day FROM daily),
+        types AS (SELECT DISTINCT event_type AS et FROM daily)
+        SELECT t.et, d.day, COALESCE(x.n, 0)
+        FROM types t CROSS JOIN days d
+        LEFT JOIN daily x ON x.event_type = t.et AND x.day = d.day
+        ORDER BY t.et, d.day""").fetchall()
+    from collections import defaultdict
+    ser = defaultdict(list)
+    for et, _, n in series:
+        ser[et].append(n)
+
+    def dtw(x, y, band):
+        n = len(x)
+        inf = 1 << 50
+        dm = [[inf] * (n + 1) for _ in range(n + 1)]
+        dm[0][0] = 0
+        for i in range(1, n + 1):
+            for j in range(max(1, i - band), min(n, i + band) + 1):
+                c = (x[i - 1] - y[j - 1]) ** 2
+                dm[i][j] = c + min(dm[i - 1][j], dm[i][j - 1],
+                                   dm[i - 1][j - 1])
+        return dm[n][n]
+
+    rows = _rows("dtw_event_type_distance", spark, sf_dir)
+    ets = sorted(ser)
+    assert {(r["ta"], r["tb"]) for r in rows} \
+        == {(a, b) for a in ets for b in ets if a < b}
+    for r in rows:
+        x, y = ser[r["ta"]], ser[r["tb"]]
+        assert r["n_days"] == len(x)
+        assert r["dtw"] == dtw(x, y, DTW_BAND)
+        assert r["dtw"] == dtw(y, x, DTW_BAND)       # symmetry
+        assert r["dtw"] >= dtw(x, y, len(x))          # band >= unbanded
+        assert dtw(x, x, DTW_BAND) == 0

@@ -222,6 +222,8 @@ X_TITLES = {
     "X212": "Encoding-efficiency audit",
     "X213": "Cox PH score test",
     "X214": "Local Outlier Factor",
+    "X215": "TextRank keyword extraction",
+    "X216": "DTW series distance (banded)",
 }
 
 
