@@ -263,6 +263,10 @@ HEADLINE = [
     "lof_rfm_outliers",
     "textrank_keywords",
     "dtw_event_type_distance",
+    "hierarchical_heavy_hitters",
+    "theil_nation_decomposition",
+    "lsh_parameter_planner",
+    "iforest_rfm_outliers",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -1086,3 +1086,165 @@ def winnowing_fingerprints(spark: SparkSession,
                                - F.col("n_shared")), 6)
                     .alias("jaccard"))
             .orderBy("doc_a", "doc_b"))
+
+
+# --------------------------------------------------------------------------
+# X219: MinHash-LSH parameter planner — the tuning tool every near-dup
+# pipeline (X16/X84/X101/X116) needs BEFORE committing a (bands, rows)
+# choice at 100 TB: for each candidate configuration, the collision
+# S-curve p(s) = 1 - (1 - s^r)^b evaluated as SNAPPED integer power
+# chains (every multiply re-snapped to the micro grid — identical op
+# sequence in both engines, zero libm pow), folded against the
+# corpus's OBSERVED candidate-pair similarity histogram (16 md5
+# minhashes, estimated Jaccard = matching-signature fraction). Output
+# per config: transition points p(0.5)/p(0.75) and the expected
+# caught-pair mass — the recall/cost trade the operator buys.
+# --------------------------------------------------------------------------
+LSHP_K = 3            # shingle length (words)
+LSHP_H = 16           # minhash signatures
+LSHP_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+
+def _pow_snap(x: str, e: int, div: str) -> str:
+    p = x
+    for _ in range(e - 1):
+        p = f"((({p}) * ({x})) {div} 1000000)"
+    return f"({p})"
+
+
+def _scurve(smicro: str, b: int, r: int, div: str) -> str:
+    sr = _pow_snap(smicro, r, div)
+    q = f"(1000000 - {sr})"
+    qq = _pow_snap(q, b, div)
+    return f"(1000000 - {qq})"
+
+
+def _lshp_oracle_sql() -> str:
+    mins = ", ".join(
+        "MIN(('0x' || substr(md5('mh%d:' || g), 1, 15))::BIGINT) AS m%d"
+        % (j, j) for j in range(LSHP_H))
+    keycols = ", ".join(
+        f"md5('{i}:' || m{4 * i} || ':' || m{4 * i + 1} || ':' "
+        f"|| m{4 * i + 2} || ':' || m{4 * i + 3}) AS k{i}"
+        for i in range(4))
+    keyrows = " UNION ALL ".join(
+        f"SELECT doc_id, k{i} AS k FROM keys" for i in range(4))
+    eqsum = " + ".join(
+        f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END"
+        for j in range(LSHP_H))
+    cfg_rows = []
+    for b_, r_ in LSHP_CONFIGS:
+        curve = _scurve("CAST(s.s_idx AS BIGINT) * 62500", b_, r_, "//")
+        p50 = _scurve("CAST(500000 AS BIGINT)", b_, r_, "//")
+        p75 = _scurve("CAST(750000 AS BIGINT)", b_, r_, "//")
+        cfg_rows.append(f"""SELECT CAST({b_} AS BIGINT) AS bands,
+           CAST({r_} AS BIGINT) AS rows_per_band,
+           CAST({p50} AS BIGINT) AS p50_micro,
+           CAST({p75} AS BIGINT) AS p75_micro,
+           CAST(SUM(s.n) AS BIGINT) AS n_candidates,
+           CAST(SUM(s.n * {curve}) // 1000000 AS BIGINT)
+               AS est_caught
+        FROM hist s""")
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    gram AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(toks[p:p+{LSHP_K}-1], ' ') AS g
+        FROM (SELECT doc_id, toks,
+                     unnest(range(1, len(toks) - {LSHP_K} + 2)) AS p
+              FROM d WHERE len(toks) >= {LSHP_K})
+    ),
+    sig AS (SELECT doc_id, {mins} FROM gram GROUP BY doc_id),
+    keys AS (SELECT doc_id, {keycols} FROM sig),
+    kr AS ({keyrows}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        FROM kr a JOIN kr b ON a.k = b.k AND a.doc_id < b.doc_id
+    ),
+    hist AS (
+        SELECT ({eqsum}) AS s_idx, CAST(COUNT(*) AS BIGINT) AS n
+        FROM cand c JOIN sig a ON a.doc_id = c.ia
+        JOIN sig b ON b.doc_id = c.ib
+        GROUP BY 1
+    )
+    {" UNION ALL ".join(cfg_rows)}
+    """
+
+
+@register(
+    "lsh_parameter_planner",
+    _lshp_oracle_sql(),
+    doc=f"X219 LSH (bands, rows) planner: {LSHP_H} md5 minhash "
+        "signatures, banded candidates, observed estimated-Jaccard "
+        "histogram, and per-config S-curves p(s) = 1-(1-s^r)^b as "
+        "snapped integer power chains (identical multiply/DIV "
+        "sequence both engines, no libm pow); outputs p(0.5), "
+        "p(0.75) and expected caught-pair mass per configuration — "
+        "the recall/cost dial for every near-dup pass. S-curve "
+        "monotonicity laws tested.",
+    tags=("X219", "X16", "X14", "X7", "X3"),
+)
+def lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+    from ..catalog import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))),
+                          r"\s+").alias("toks"))
+    d = d.filter(F.size("toks") >= LSHP_K)
+    gram = (d.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(slice(toks, 1, size(toks) - {LSHP_K} + 1), "
+            f"(t, i) -> array_join(slice(toks, i + 1, {LSHP_K}), ' '))"))
+        .alias("g")).distinct())
+    h60 = ("conv(substring(md5(concat('mh{j}:', g)), 1, 15), 16, 10)"
+           "::long")
+    sig = persist_tracked(gram.groupBy("doc_id").agg(*[
+        F.expr(f"MIN(CAST(conv(substring(md5(concat('mh{j}:', g)), "
+               f"1, 15), 16, 10) AS BIGINT))").alias(f"m{j}")
+        for j in range(LSHP_H)]))
+    keys = sig.select("doc_id", *[
+        F.md5(F.concat_ws(":", F.lit(str(i)),
+                          *[F.col(f"m{4 * i + t}").cast("string")
+                            for t in range(4)])).alias(f"k{i}")
+        for i in range(4)])
+    kr = None
+    for i in range(4):
+        part = keys.select("doc_id", F.col(f"k{i}").alias("k"))
+        kr = part if kr is None else kr.unionByName(part)
+    a = kr.select(F.col("doc_id").alias("ia"), "k")
+    b = kr.select(F.col("doc_id").alias("ib"), "k")
+    cand = (a.join(b, "k").filter(F.col("ia") < F.col("ib"))
+            .select("ia", "ib").distinct())
+    sa = sig.select(F.col("doc_id").alias("ia"),
+                    *[F.col(f"m{j}").alias(f"a{j}")
+                      for j in range(LSHP_H)])
+    sb = sig.select(F.col("doc_id").alias("ib"),
+                    *[F.col(f"m{j}").alias(f"b{j}")
+                      for j in range(LSHP_H)])
+    eq = sum([F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+              for j in range(LSHP_H)], F.lit(0))
+    hist = persist_tracked(
+        cand.join(sa, "ia").join(sb, "ib")
+        .select(eq.alias("s_idx"))
+        .groupBy("s_idx").agg(F.count("*").cast("long").alias("n")))
+    out = None
+    for b_, r_ in LSHP_CONFIGS:
+        curve = _scurve("CAST(s_idx AS BIGINT) * 62500", b_, r_, " DIV ")
+        p50 = _scurve("CAST(500000 AS BIGINT)", b_, r_, " DIV ")
+        p75 = _scurve("CAST(750000 AS BIGINT)", b_, r_, " DIV ")
+        row = hist.agg(
+            F.lit(b_).cast("long").alias("bands"),
+            F.lit(r_).cast("long").alias("rows_per_band"),
+            F.expr(f"CAST({p50} AS BIGINT)").alias("p50_micro"),
+            F.expr(f"CAST({p75} AS BIGINT)").alias("p75_micro"),
+            F.sum("n").cast("long").alias("n_candidates"),
+            F.expr(f"CAST(SUM(n * {curve}) DIV 1000000 AS BIGINT)")
+            .alias("est_caught"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2099,3 +2099,172 @@ def lof_rfm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (lof.orderBy(F.desc("lof_micro"), F.asc("id"))
             .limit(LOF_TOPK)
             .select("id", "n_nb", "lrd_micro", "lof_micro"))
+
+
+# --------------------------------------------------------------------------
+# X220: isolation forest — the tree-ensemble anomaly lens next to
+# X214's LOF (density ratios) and X49's series detectors: anomalous
+# points isolate in FEW random splits, so score = average isolation
+# depth over trees. Randomness is the md5 channel (axis and split
+# drawn from md5(tree, node) — identical in both engines), splits are
+# integer uniform in [lo, hi-1] of the node's actual axis range so
+# both children are non-empty by construction; a node leafs when it
+# is a singleton or its chosen axis has zero range. Each level is ONE
+# (tree, node) aggregate + ONE broadcast-joined route — never a
+# per-point loop; tree state is level-bounded. Output: top-20 most
+# isolated customers by exact mean-depth micro units.
+# --------------------------------------------------------------------------
+IFOREST_TREES = 8
+IFOREST_DEPTH = 6
+IFOREST_TOPK = 20
+
+
+def _if_h60(tag: str, duck: bool) -> str:
+    arg = f"'{tag}:' || CAST(tree AS VARCHAR) || ':' || CAST(node AS VARCHAR)"
+    if duck:
+        return f"(('0x' || substr(md5({arg}), 1, 15))::BIGINT)"
+    sarg = (f"concat('{tag}:', CAST(tree AS STRING), ':', "
+            f"CAST(node AS STRING))")
+    return f"CAST(conv(substring(md5({sarg}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _iforest_oracle_sql() -> str:
+    parts = [f"""pts AS (
+        SELECT o_custkey AS id,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT)
+                   // {DBSCAN_Y_DIV} AS y
+        FROM orders GROUP BY 1
+    ),
+    trees AS (SELECT unnest(range(0, {IFOREST_TREES})) AS tree),
+    l0 AS (
+        SELECT t.tree, p.id, p.x, p.y, CAST(1 AS BIGINT) AS node,
+               CAST(NULL AS BIGINT) AS depth
+        FROM pts p CROSS JOIN trees t
+    )"""]
+    for k in range(IFOREST_DEPTH):
+        h_ax = _if_h60("ax", True)
+        h_sp = _if_h60("sp", True)
+        parts.append(f"""st{k} AS (
+        SELECT tree, node, COUNT(*) AS cnt,
+               MIN(x) AS mnx, MAX(x) AS mxx,
+               MIN(y) AS mny, MAX(y) AS mxy
+        FROM l{k} WHERE depth IS NULL GROUP BY tree, node
+    )""")
+        parts.append(f"""sp{k} AS (
+        SELECT tree, node,
+               CASE WHEN cnt <= 1 THEN NULL
+                    WHEN {h_ax} % 2 = 0 AND mxx > mnx THEN 0
+                    WHEN {h_ax} % 2 = 1 AND mxy > mny THEN 1
+                    ELSE NULL END AS axis,
+               CASE WHEN cnt > 1 AND {h_ax} % 2 = 0 AND mxx > mnx
+                    THEN mnx + {h_sp} % (mxx - mnx)
+                    WHEN cnt > 1 AND {h_ax} % 2 = 1 AND mxy > mny
+                    THEN mny + {h_sp} % (mxy - mny)
+                    END AS s
+        FROM st{k}
+    )""")
+        parts.append(f"""l{k + 1} AS (
+        SELECT l.tree, l.id, l.x, l.y,
+               CASE WHEN l.depth IS NOT NULL THEN l.node
+                    WHEN sp.axis IS NULL THEN l.node
+                    WHEN sp.axis = 0 AND l.x <= sp.s THEN 2 * l.node
+                    WHEN sp.axis = 0 THEN 2 * l.node + 1
+                    WHEN l.y <= sp.s THEN 2 * l.node
+                    ELSE 2 * l.node + 1 END AS node,
+               CASE WHEN l.depth IS NOT NULL THEN l.depth
+                    WHEN sp.axis IS NULL THEN CAST({k} AS BIGINT)
+                    END AS depth
+        FROM l{k} l
+        LEFT JOIN sp{k} sp ON sp.tree = l.tree AND sp.node = l.node
+    )""")
+    last = f"l{IFOREST_DEPTH}"
+    return ("WITH " + ",\n".join(parts) + f"""
+    SELECT id,
+           CAST(SUM(COALESCE(depth, {IFOREST_DEPTH})) AS BIGINT)
+               AS depth_sum,
+           CAST(SUM(COALESCE(depth, {IFOREST_DEPTH})) * 1000000
+                // {IFOREST_TREES} AS BIGINT) AS mean_depth_micro
+    FROM {last}
+    GROUP BY id
+    ORDER BY mean_depth_micro, id LIMIT {IFOREST_TOPK}""")
+
+
+@register(
+    "iforest_rfm_outliers",
+    _iforest_oracle_sql(),
+    doc=f"X220 isolation forest ({IFOREST_TREES} trees, depth "
+        f"{IFOREST_DEPTH}) over customer (order-count, lifetime-"
+        "cents/4e6) integer space: md5-channel axis/split draws, "
+        "integer-uniform splits inside the node's true range (both "
+        "children non-empty), one aggregate + one broadcast route per "
+        "level. Top-20 by exact mean isolation depth. Python forest "
+        "replay law-tested.",
+    tags=("X220", "X214", "X162", "X7", "X3", "X12"),
+)
+def iforest_rfm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                  .cast("long")).cast("long")
+    pts = (orders.groupBy(F.col("o_custkey").alias("id"))
+           .agg(F.count("*").cast("long").alias("x"),
+                cents.alias("cents"))
+           .select("id", "x",
+                   F.expr(f"cents DIV {DBSCAN_Y_DIV}").alias("y")))
+    trees = spark.range(IFOREST_TREES).select(
+        F.col("id").cast("long").alias("tree"))
+    lvl = persist_tracked(
+        pts.crossJoin(F.broadcast(trees))
+        .select("tree", "id", "x", "y",
+                F.lit(1).cast("long").alias("node"),
+                F.lit(None).cast("long").alias("depth")))
+    h_ax = _if_h60("ax", False)
+    h_sp = _if_h60("sp", False)
+    for k in range(IFOREST_DEPTH):
+        st = (lvl.filter(F.col("depth").isNull())
+              .groupBy("tree", "node")
+              .agg(F.count("*").alias("cnt"),
+                   F.min("x").alias("mnx"), F.max("x").alias("mxx"),
+                   F.min("y").alias("mny"), F.max("y").alias("mxy")))
+        sp = st.selectExpr(
+            "tree", "node",
+            f"""CASE WHEN cnt <= 1 THEN NULL
+                 WHEN {h_ax} % 2 = 0 AND mxx > mnx THEN 0
+                 WHEN {h_ax} % 2 = 1 AND mxy > mny THEN 1
+                 ELSE NULL END AS axis""",
+            f"""CASE WHEN cnt > 1 AND {h_ax} % 2 = 0 AND mxx > mnx
+                 THEN mnx + {h_sp} % (mxx - mnx)
+                 WHEN cnt > 1 AND {h_ax} % 2 = 1 AND mxy > mny
+                 THEN mny + {h_sp} % (mxy - mny)
+                 END AS s""")
+        lvl = (lvl.join(F.broadcast(
+                   sp.withColumnRenamed("tree", "sptree")
+                   .withColumnRenamed("node", "spnode")),
+                   (F.col("sptree") == F.col("tree"))
+                   & (F.col("spnode") == F.col("node")), "left")
+               .select(
+                   "tree", "id", "x", "y",
+                   F.expr(f"""CASE
+                       WHEN depth IS NOT NULL THEN node
+                       WHEN axis IS NULL THEN node
+                       WHEN axis = 0 AND x <= s THEN 2 * node
+                       WHEN axis = 0 THEN 2 * node + 1
+                       WHEN y <= s THEN 2 * node
+                       ELSE 2 * node + 1 END""").cast("long")
+                   .alias("node"),
+                   F.expr(f"""CASE WHEN depth IS NOT NULL THEN depth
+                       WHEN axis IS NULL THEN CAST({k} AS BIGINT)
+                       END""").cast("long").alias("depth"))
+               .localCheckpoint())
+    out = (lvl.groupBy("id")
+           .agg(F.sum(F.coalesce("depth", F.lit(IFOREST_DEPTH)))
+                .cast("long").alias("depth_sum"),
+                F.expr(f"SUM(COALESCE(depth, {IFOREST_DEPTH}))"
+                       f" * 1000000 DIV {IFOREST_TREES}")
+                .cast("long").alias("mean_depth_micro")))
+    return (out.orderBy(F.asc("mean_depth_micro"), F.asc("id"))
+            .limit(IFOREST_TOPK)
+            .select("id", "depth_sum", "mean_depth_micro"))

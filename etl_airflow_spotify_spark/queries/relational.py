@@ -2524,3 +2524,254 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sign("p_cov").alias("pooled_sign"),
                     F.when(sign("cov_num") * sign("p_cov") == -1, 1)
                     .otherwise(0).cast("long").alias("reversed")))
+
+
+# --------------------------------------------------------------------------
+# X217: hierarchical heavy hitters — the multi-resolution frequency
+# miner (Cormode et al.): a day can be quiet while its month is hot;
+# plain heavy hitters (X29's count-min, the two-pass exact top-k)
+# see only one granularity. Bottom-up conditioned counts over the
+# day -> month -> year order-date hierarchy: a node is an HHH iff its
+# count MINUS the counts already claimed by its HHH descendants still
+# clears the threshold (total DIV 50). Three aggregates + two keyed
+# joins — no iteration, hierarchy depth is the only fan-out.
+# --------------------------------------------------------------------------
+HHH_DIV = 50
+
+
+@register(
+    "hierarchical_heavy_hitters",
+    f"""
+    WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) // {HHH_DIV} AS theta
+                 FROM orders),
+    d AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+               CAST(date_trunc('year', o_orderdate) AS DATE) AS yr,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2, 3
+    ),
+    hd AS (SELECT day, mon, yr, c FROM d, tot WHERE c >= tot.theta),
+    m AS (
+        SELECT d.mon, d.yr, CAST(SUM(d.c) AS BIGINT) AS c,
+               CAST(COALESCE(SUM(CASE WHEN h.day IS NOT NULL
+                                      THEN d.c END), 0) AS BIGINT)
+                   AS claimed
+        FROM d LEFT JOIN hd h ON h.day = d.day
+        GROUP BY d.mon, d.yr
+    ),
+    hm AS (
+        SELECT mon, yr, c, c - claimed AS residual
+        FROM m, tot WHERE c - claimed >= tot.theta
+    ),
+    y AS (
+        SELECT m.yr, CAST(SUM(m.c) AS BIGINT) AS c,
+               CAST(COALESCE(SUM(h.c), 0) AS BIGINT) AS claimed_m,
+               CAST(COALESCE(SUM(CASE WHEN h.mon IS NULL
+                                      THEN m.claimed END), 0)
+                    AS BIGINT) AS claimed_d
+        FROM m LEFT JOIN hm h ON h.mon = m.mon
+        GROUP BY m.yr
+    ),
+    hy AS (
+        SELECT yr, c, c - claimed_m - claimed_d AS residual
+        FROM y, tot WHERE c - claimed_m - claimed_d >= tot.theta
+    )
+    SELECT 'day' AS level, CAST(day AS VARCHAR) AS key, c,
+           c AS residual
+    FROM hd
+    UNION ALL
+    SELECT 'month', CAST(mon AS VARCHAR), c, residual FROM hm
+    UNION ALL
+    SELECT 'year', CAST(yr AS VARCHAR), c, residual FROM hy
+    """,
+    doc=f"X217 hierarchical heavy hitters over the order-date "
+        f"day->month->year hierarchy (theta = total DIV {HHH_DIV}): "
+        "a node is an HHH iff its count minus the mass claimed by "
+        "HHH descendants clears theta (conditioned counts, Cormode-"
+        "style). Three aggregates + keyed joins, depth-bounded "
+        "fan-out; multi-resolution hot-spot detection for partition "
+        "and cache planning. Python-replay law-tested.",
+    tags=("X217", "X29", "X7", "X13", "X14"),
+)
+def hierarchical_heavy_hitters(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = persist_tracked(
+        orders.groupBy(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("day"),
+            F.date_trunc("month", "o_orderdate").cast("date")
+            .alias("mon"),
+            F.date_trunc("year", "o_orderdate").cast("date").alias("yr"))
+        .agg(F.count("*").cast("long").alias("c")))
+    tot = d.agg(F.expr(f"SUM(c) DIV {HHH_DIV}").cast("long")
+                .alias("theta"))
+    dt = d.crossJoin(F.broadcast(tot))
+    hd = persist_tracked(dt.filter(F.col("c") >= F.col("theta"))
+                         .select("day", "mon", "yr", "c"))
+    m = (d.join(hd.select(F.col("day"), F.lit(1).alias("is_h")),
+                "day", "left")
+         .groupBy("mon", "yr")
+         .agg(F.sum("c").cast("long").alias("c"),
+              F.coalesce(F.sum(F.when(F.col("is_h") == 1, F.col("c"))),
+                         F.lit(0)).cast("long").alias("claimed")))
+    hm = persist_tracked(
+        m.crossJoin(F.broadcast(tot))
+        .filter(F.col("c") - F.col("claimed") >= F.col("theta"))
+        .select("mon", "yr", "c",
+                (F.col("c") - F.col("claimed")).alias("residual")))
+    yy = (m.join(hm.select(F.col("mon"), F.col("c").alias("hm_c")),
+                 "mon", "left")
+          .groupBy("yr")
+          .agg(F.sum("c").cast("long").alias("c"),
+               F.coalesce(F.sum("hm_c"), F.lit(0)).cast("long")
+               .alias("claimed_m"),
+               F.coalesce(F.sum(F.when(F.col("hm_c").isNull(),
+                                       F.col("claimed"))), F.lit(0))
+               .cast("long").alias("claimed_d")))
+    hy = (yy.crossJoin(F.broadcast(tot))
+          .filter(F.col("c") - F.col("claimed_m") - F.col("claimed_d")
+                  >= F.col("theta"))
+          .select("yr", "c",
+                  (F.col("c") - F.col("claimed_m")
+                   - F.col("claimed_d")).alias("residual")))
+    return (hd.select(F.lit("day").alias("level"),
+                      F.col("day").cast("string").alias("key"),
+                      "c", F.col("c").alias("residual"))
+            .unionByName(hm.select(F.lit("month").alias("level"),
+                                   F.col("mon").cast("string")
+                                   .alias("key"), "c", "residual"))
+            .unionByName(hy.select(F.lit("year").alias("level"),
+                                   F.col("yr").cast("string")
+                                   .alias("key"), "c", "residual")))
+
+
+# --------------------------------------------------------------------------
+# X218: Theil index decomposition — the inequality lens X139's Gini
+# can't give: Theil is ADDITIVELY decomposable, T = T_between +
+# sum_g share_g * T_g, so it answers "how much revenue concentration
+# lives BETWEEN nations vs WITHIN them". With customer revenue in
+# integer cents, every log argument is an integer: l2m(x) =
+# ROUND(log2(x)*1e6) (the established micro-bit grid), group means
+# enter as l2m(X_g) - l2m(n_g), and both the within numerator
+# N_g = sum x*l2m(x) - X_g*(l2m(X_g)-l2m(n_g)) and the between term
+# X_g*(l2m(X_g)-l2m(n_g)-l2m(X)+l2m(N)) are exact integer folds
+# (DECIMAL(38,0) headroom) divided once by X_g / X via the
+# subtract-pmod floor division (terms can be slightly negative on
+# the micro grid). Output: one row per nation.
+# --------------------------------------------------------------------------
+def _theil_fdiv(a: str, d: str) -> str:
+    return f"(({a}) - ((({a}) % ({d})) + ({d})) % ({d})) // ({d})"
+
+
+@register(
+    "theil_nation_decomposition",
+    f"""
+    WITH cust AS (
+        SELECT o.o_custkey AS ck, MIN(c.c_nationkey) AS nk,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS x
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY o.o_custkey
+        HAVING SUM(o.o_totalprice) > 0
+    ),
+    lx AS (
+        SELECT nk, x,
+               CAST(ROUND(log2(x) * 1000000) AS BIGINT) AS l2x
+        FROM cust
+    ),
+    g AS (
+        SELECT n.n_name AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(x) AS BIGINT) AS xg,
+               CAST(SUM(CAST(x AS HUGEINT) * l2x) AS DECIMAL(38,0))
+                   AS sxl
+        FROM lx JOIN nation n ON n.n_nationkey = lx.nk
+        GROUP BY n.n_name
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_customers) AS BIGINT) AS n,
+               CAST(SUM(xg) AS BIGINT) AS x
+        FROM g
+    ),
+    terms AS (
+        SELECT nation, n_customers, xg,
+               CAST(g.sxl - CAST(xg AS DECIMAL(38,0))
+                    * (CAST(ROUND(log2(xg) * 1000000) AS BIGINT)
+                       - CAST(ROUND(log2(n_customers) * 1000000)
+                              AS BIGINT)) AS BIGINT) AS ng,
+               CAST(CAST(xg AS DECIMAL(38,0))
+                    * (CAST(ROUND(log2(xg) * 1000000) AS BIGINT)
+                       - CAST(ROUND(log2(n_customers) * 1000000)
+                              AS BIGINT)
+                       - CAST(ROUND(log2(tot.x) * 1000000) AS BIGINT)
+                       + CAST(ROUND(log2(tot.n) * 1000000) AS BIGINT))
+                    AS BIGINT) AS bt,
+               tot.x AS xtot
+        FROM g, tot
+    )
+    SELECT nation, n_customers, xg AS revenue_cents,
+           CAST({_theil_fdiv('ng', 'xg')} AS BIGINT)
+               AS theil_within_micro,
+           CAST({_theil_fdiv('bt', 'xtot')} AS BIGINT)
+               AS between_term_micro
+    FROM terms
+    """,
+    doc="X218 Theil inequality decomposition of customer lifetime "
+        "revenue by nation: within-nation Theil and per-nation "
+        "between-group term, all on the integer micro-bit grid "
+        "(l2m of integer cents only), exact DECIMAL(38,0) folds, one "
+        "negative-safe floor division per output value. The additive "
+        "complement to X139's Gini. Python-replay law-tested, "
+        "including the decomposition identity on the micro grid.",
+    tags=("X218", "X139", "X7", "X3", "X14"),
+)
+def theil_nation_decomposition(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = (orders.join(customer,
+                        orders["o_custkey"] == customer["c_custkey"])
+            .groupBy(F.col("o_custkey").alias("ck"))
+            .agg(F.min("c_nationkey").alias("nk"),
+                 F.sum((F.col("o_totalprice").cast("decimal(18,2)")
+                        * 100).cast("long")).cast("long").alias("x"))
+            .filter(F.col("x") > 0))
+    lx = cust.select(
+        "nk", "x",
+        F.round(F.log2("x") * 1000000).cast("long").alias("l2x"))
+    g = persist_tracked(
+        lx.join(F.broadcast(nation),
+                lx["nk"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").cast("long").alias("n_customers"),
+             F.sum("x").cast("long").alias("xg"),
+             F.sum(F.col("x").cast("decimal(38,0)") * F.col("l2x"))
+             .cast("decimal(38,0)").alias("sxl")))
+    tot = g.agg(F.sum("n_customers").cast("long").alias("n"),
+                F.sum("xg").cast("long").alias("x"))
+    l2m = lambda c: F.round(F.log2(c) * 1000000).cast("long")
+    terms = (g.crossJoin(F.broadcast(tot))
+             .select(
+                 "nation", "n_customers", "xg",
+                 (F.col("sxl")
+                  - F.col("xg").cast("decimal(38,0)")
+                  * (l2m("xg") - l2m("n_customers")))
+                 .cast("long").alias("ng"),
+                 (F.col("xg").cast("decimal(38,0)")
+                  * (l2m("xg") - l2m("n_customers")
+                     - l2m("x") + l2m("n")))
+                 .cast("long").alias("bt"),
+                 F.col("x").alias("xtot")))
+    fd = _theil_fdiv
+    return terms.selectExpr(
+        "nation", "n_customers", "xg AS revenue_cents",
+        f"CAST({fd('ng', 'xg').replace('//', 'DIV')} AS BIGINT)"
+        " AS theil_within_micro",
+        f"CAST({fd('bt', 'xtot').replace('//', 'DIV')} AS BIGINT)"
+        " AS between_term_micro")

@@ -87,6 +87,10 @@ NEW_R5: dict[str, str] = {
     "lof_rfm_outliers": "X214",
     "textrank_keywords": "X215",
     "dtw_event_type_distance": "X216",
+    "hierarchical_heavy_hitters": "X217",
+    "theil_nation_decomposition": "X218",
+    "lsh_parameter_planner": "X219",
+    "iforest_rfm_outliers": "X220",
 }
 
 

@@ -512,3 +512,179 @@ def test_dtw_matches_python_and_bounds(spark, sf_dir):
         assert r["dtw"] == dtw(y, x, DTW_BAND)       # symmetry
         assert r["dtw"] >= dtw(x, y, len(x))          # band >= unbanded
         assert dtw(x, x, DTW_BAND) == 0
+
+
+def test_hhh_matches_python(spark, sf_dir):
+    """X217: Python replay of conditioned hierarchical heavy hitters
+    over day -> month -> year, plus the threshold law that every
+    emitted residual clears theta."""
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.queries.relational import HHH_DIV
+    days = duckdb.sql(f"""
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE),
+               CAST(date_trunc('month', o_orderdate) AS DATE),
+               CAST(date_trunc('year', o_orderdate) AS DATE), COUNT(*)
+        FROM '{sf_dir}/orders.parquet' GROUP BY 1, 2, 3""").fetchall()
+    total = sum(c for *_, c in days)
+    theta = total // HHH_DIV
+    hd = {d: c for d, m, y, c in days if c >= theta}
+    mon = defaultdict(lambda: [0, 0])  # c, claimed
+    for d, m, y, c in days:
+        mon[(m, y)][0] += c
+        if d in hd:
+            mon[(m, y)][1] += c
+    hm = {m: (c, c - cl) for (m, y), (c, cl) in mon.items()
+          if c - cl >= theta}
+    yr = defaultdict(lambda: [0, 0, 0])  # c, claimed_m, claimed_d
+    for (m, y), (c, cl) in mon.items():
+        yr[y][0] += c
+        if m in hm:
+            yr[y][1] += hm[m][0]
+        else:
+            yr[y][2] += cl
+    hy = {y: (c, c - cm - cd) for y, (c, cm, cd) in yr.items()
+          if c - cm - cd >= theta}
+    want = ({("day", str(d), c, c) for d, c in hd.items()}
+            | {("month", str(m), c, r) for m, (c, r) in hm.items()}
+            | {("year", str(y), c, r) for y, (c, r) in hy.items()})
+    rows = _rows("hierarchical_heavy_hitters", spark, sf_dir)
+    got = {(r["level"], r["key"], r["c"], r["residual"]) for r in rows}
+    assert got == want
+    for _, _, _, res in got:
+        assert res >= theta
+
+
+def test_theil_matches_python_and_decomposes(spark, sf_dir):
+    """X218: Python replay on the same micro-bit grid, plus the exact
+    float-side decomposition identity T ~ T_between + sum share*T_g
+    (checked in true floats within micro-grid tolerance)."""
+    import math
+    from collections import defaultdict
+    cust = duckdb.sql(f"""
+        SELECT o.o_custkey, MIN(c.c_nationkey),
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT)
+        FROM '{sf_dir}/orders.parquet' o
+        JOIN '{sf_dir}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        GROUP BY o.o_custkey HAVING SUM(o.o_totalprice) > 0""").fetchall()
+    names = dict(duckdb.sql(
+        f"SELECT n_nationkey, n_name FROM '{sf_dir}/nation.parquet'")
+        .fetchall())
+
+    def l2m(v):
+        return round(math.log2(v) * 1000000)
+
+    def fdiv(a, d):
+        return (a - ((a % d) + d) % d) // d
+
+    groups = defaultdict(list)
+    for _, nk, x in cust:
+        groups[names[nk]].append(x)
+    N = sum(len(v) for v in groups.values())
+    X = sum(sum(v) for v in groups.values())
+    want = {}
+    for nat, xs in groups.items():
+        xg, ng_n = sum(xs), len(xs)
+        ngr = (sum(x * l2m(x) for x in xs)
+               - xg * (l2m(xg) - l2m(ng_n)))
+        bt = xg * (l2m(xg) - l2m(ng_n) - l2m(X) + l2m(N))
+        want[nat] = (ng_n, xg, fdiv(ngr, xg), fdiv(bt, X))
+    rows = _rows("theil_nation_decomposition", spark, sf_dir)
+    got = {r["nation"]: (r["n_customers"], r["revenue_cents"],
+                         r["theil_within_micro"],
+                         r["between_term_micro"]) for r in rows}
+    assert got == want
+    # decomposition identity in true floats (micro grid ~1e-5 slack)
+    mu = X / N
+    t_total = sum(x / X * math.log2(x / mu)
+                  for xs in groups.values() for x in xs)
+    t_b = sum(r[1] / X * r[2] / 1e6 for r in got.values())  # within part
+    t_between = sum(r[3] / 1e6 for r in got.values())
+    assert abs(t_total - (t_b + t_between)) < 1e-3
+
+
+def test_lsh_planner_scurve_laws(spark, sf_dir):
+    """X219 laws: the snapped S-curve replays exactly in Python; for a
+    fixed signature budget, more rows per band => a SHARPER curve
+    (lower p at s=0.5 once r > 1); est_caught <= n_candidates; and
+    the (b=16, r=1) config catches the most (p is monotone in b at
+    fixed r=1)."""
+    from etl_airflow_spotify_spark.queries.dedup import LSHP_CONFIGS
+
+    def pow_snap(x, e):
+        p = x
+        for _ in range(e - 1):
+            p = (p * x) // 1000000
+        return p
+
+    def curve(s_micro, b, r):
+        return 1000000 - pow_snap(1000000 - pow_snap(s_micro, r), b)
+
+    rows = {(r["bands"], r["rows_per_band"]): r
+            for r in _rows("lsh_parameter_planner", spark, sf_dir)}
+    assert set(rows) == set(LSHP_CONFIGS)
+    for (b, r), row in rows.items():
+        assert row["p50_micro"] == curve(500000, b, r)
+        assert row["p75_micro"] == curve(750000, b, r)
+        assert 0 <= row["est_caught"] <= row["n_candidates"]
+    p50s = [rows[c]["p50_micro"] for c in LSHP_CONFIGS]
+    assert p50s == sorted(p50s, reverse=True)  # more rows => sharper
+    assert rows[(16, 1)]["est_caught"] == max(
+        r["est_caught"] for r in rows.values())
+
+
+def test_iforest_matches_python_forest(spark, sf_dir):
+    """X220: full Python replay of the md5-split forest (same axis/
+    split channel, same leaf rules), plus depth bounds."""
+    import hashlib
+    from etl_airflow_spotify_spark.queries.ml import (
+        DBSCAN_Y_DIV, IFOREST_DEPTH, IFOREST_TOPK, IFOREST_TREES)
+    pts = duckdb.sql(f"""
+        SELECT o_custkey, COUNT(*),
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) // {DBSCAN_Y_DIV}
+        FROM '{sf_dir}/orders.parquet' GROUP BY 1""").fetchall()
+
+    def h60(tag, tree, node):
+        s = f"{tag}:{tree}:{node}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    depth_sum = {pid: 0 for pid, _, _ in pts}
+    for tree in range(IFOREST_TREES):
+        groups = {1: [(pid, x, y) for pid, x, y in pts]}
+        for level in range(IFOREST_DEPTH):
+            nxt = {}
+            for node, members in groups.items():
+                xs = [x for _, x, _ in members]
+                ys = [y for _, _, y in members]
+                axis = h60("ax", tree, node) % 2
+                ok = len(members) > 1 and (
+                    (axis == 0 and max(xs) > min(xs))
+                    or (axis == 1 and max(ys) > min(ys)))
+                if not ok:
+                    for pid, _, _ in members:
+                        depth_sum[pid] += level
+                    continue
+                vals = xs if axis == 0 else ys
+                lo, hi = min(vals), max(vals)
+                s = lo + h60("sp", tree, node) % (hi - lo)
+                left = [m for m in members
+                        if (m[1] if axis == 0 else m[2]) <= s]
+                right = [m for m in members
+                         if (m[1] if axis == 0 else m[2]) > s]
+                nxt[2 * node] = left
+                nxt[2 * node + 1] = right
+            groups = nxt
+        for members in groups.values():
+            for pid, _, _ in members:
+                depth_sum[pid] += IFOREST_DEPTH
+    want = sorted(
+        ((pid, ds, ds * 1000000 // IFOREST_TREES)
+         for pid, ds in depth_sum.items()),
+        key=lambda t: (t[2], t[0]))[:IFOREST_TOPK]
+    rows = _rows("iforest_rfm_outliers", spark, sf_dir)
+    got = [(r["id"], r["depth_sum"], r["mean_depth_micro"])
+           for r in rows]
+    assert got == want
+    for _, ds, _ in got:
+        assert 0 <= ds <= IFOREST_TREES * IFOREST_DEPTH

@@ -224,6 +224,10 @@ X_TITLES = {
     "X214": "Local Outlier Factor",
     "X215": "TextRank keyword extraction",
     "X216": "DTW series distance (banded)",
+    "X217": "Hierarchical heavy hitters",
+    "X218": "Theil inequality decomposition",
+    "X219": "MinHash-LSH parameter planner",
+    "X220": "Isolation forest",
 }
 
 
