@@ -267,6 +267,9 @@ HEADLINE = [
     "theil_nation_decomposition",
     "lsh_parameter_planner",
     "iforest_rfm_outliers",
+    "voptimal_daily_histogram",
+    "offpolicy_dr_eval",
+    "multimodal_phash_dedup",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

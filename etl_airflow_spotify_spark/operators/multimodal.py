@@ -284,3 +284,60 @@ def ahash_band_cols(h1: Column, h2: Column) -> list[Column]:
         F.shiftrightunsigned(h1, 48).bitwiseAND(F.lit(0xFFF))
         .bitwiseOR(F.shiftleft(h2, 12)),
     ]
+
+
+# DCT-II cosine table round(cos(pi*(2x+1)*u/16)*1000), u=0..3, x=0..7 —
+# Python-precomputed integers inlined into BOTH engines (X160 pattern).
+PHASH_DCT = (
+    (1000, 1000, 1000, 1000, 1000, 1000, 1000, 1000),
+    (981, 831, 556, 195, -195, -556, -831, -981),
+    (924, 383, -383, -924, -924, -383, 383, 924),
+    (831, -195, -981, -556, 556, 981, 195, -831),
+)
+PHASH_SCHEMA = "media_id long, ph long"
+
+
+def perceptual_phash(media: DataFrame,
+                     content_col: str = "content") -> DataFrame:
+    """DCT perceptual hash (pHash) of the decoded payload via
+    Arrow-batched mapInPandas: 64 contiguous chunk sums form an 8x8
+    "image", a scaled-integer 2-D DCT keeps the top-left 4x4
+    low-frequency block, the DC coefficient is dropped, and bit i is
+    set when coefficient i exceeds the 8th-smallest of the 15 (an
+    exact integer threshold). Coefficients are LINEAR in pixel values,
+    so contrast scaling preserves every bit exactly — the invariance
+    aHash (X89, mean-threshold) does not have. 15-bit hash here
+    because the fake decode yields 8x8 pixels; a real 32x32 decode
+    gives the classic 63-bit pHash with identical structure."""
+    cols = media.select(F.col("media_id"), F.col(content_col).alias("c"))
+    T = PHASH_DCT
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf["c"]:
+                codes = [ord(ch) for ch in bytes(b)[12:].decode("utf-8")]
+                L = len(codes)
+                if L == 0:
+                    out.append(0)
+                    continue
+                px = [0] * 64
+                for i, c in enumerate(codes):
+                    px[(i * 64) // L] += c
+                coeffs = []
+                for u in range(4):
+                    for v in range(4):
+                        if u == 0 and v == 0:
+                            continue
+                        s = sum(px[k] * T[u][k % 8] * T[v][k // 8]
+                                for k in range(64))
+                        coeffs.append((s, u, v))
+                theta = sorted(coeffs)[7][0]
+                ph = 0
+                for s, u, v in coeffs:
+                    if s > theta:
+                        ph |= 1 << (u * 4 + v - 1)
+                out.append(ph)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "ph": out})
+
+    return cols.mapInPandas(run, PHASH_SCHEMA)

@@ -5121,3 +5121,312 @@ def dtw_event_type_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return pairs.groupBy("ta", "tb").applyInPandas(
         dtw_pair, "ta string, tb string, n_days long, dtw long")
+
+
+# --------------------------------------------------------------------------
+# X221: V-optimal histogram construction — the synopsis every
+# cardinality estimator wants (Jagadish et al.): partition the daily
+# series into B buckets minimizing total within-bucket SSE, solved
+# EXACTLY by DP over interval costs. sse_micro(i,j) =
+# (1e6*(m*S2 - S1^2)) DIV m is a non-negative integer from prefix
+# sums; the DP table is (B x calendar) — volume-independent like
+# X211's window table. Argmin ties break to the smallest split, so
+# the bucket layout itself (not just the cost) is deterministic and
+# hash-checked after an exact backtrack.
+# --------------------------------------------------------------------------
+VOPT_B = 5
+
+
+def _vopt_oracle_sql() -> str:
+    parts = ["""daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn
+        FROM daily
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+    iv AS (
+        SELECT a.rn AS i, b.rn AS j,
+               (b.rn - a.rn + 1) AS m,
+               CAST(SUM(c.x) AS BIGINT) AS s1,
+               CAST(SUM(c.x * c.x) AS BIGINT) AS s2
+        FROM idx a JOIN idx b ON b.rn >= a.rn
+        JOIN idx c ON c.rn BETWEEN a.rn AND b.rn
+        GROUP BY a.rn, b.rn
+    ),
+    sse AS (
+        SELECT i, j,
+               (1000000 * (m * s2 - s1 * s1)) // m AS c
+        FROM iv
+    ),
+    d1 AS (
+        SELECT j, c AS cost, CAST(0 AS BIGINT) AS arg
+        FROM sse WHERE i = 1
+    )"""]
+    for b in range(2, VOPT_B + 1):
+        parts.append(f"""d{b} AS (
+        SELECT j, cost, arg FROM (
+            SELECT s.j, p.cost + s.c AS cost, p.j AS arg,
+                   ROW_NUMBER() OVER (PARTITION BY s.j
+                       ORDER BY p.cost + s.c, p.j) AS rk
+            FROM d{b - 1} p JOIN sse s ON s.i = p.j + 1
+            WHERE p.j >= {b - 1}
+        ) WHERE rk = 1
+    )""")
+    # backtrack: p{B} is the last bucket (arg+1 .. n), then walk left
+    parts.append(f"""p{VOPT_B} AS (
+        SELECT CAST({VOPT_B} AS BIGINT) AS bucket, d.arg + 1 AS i,
+               d.j, d.arg
+        FROM d{VOPT_B} d, nn WHERE d.j = nn.n
+    )""")
+    for b in range(VOPT_B - 1, 0, -1):
+        parts.append(f"""p{b} AS (
+        SELECT CAST({b} AS BIGINT) AS bucket, d.arg + 1 AS i,
+               d.j, d.arg
+        FROM d{b} d JOIN p{b + 1} nxt ON d.j = nxt.arg
+    )""")
+    sel = " UNION ALL ".join(
+        f"SELECT bucket, i, j FROM p{b}" for b in range(1, VOPT_B + 1))
+    return ("WITH " + ",\n".join(parts) + f""",
+    path AS ({sel})
+    SELECT p.bucket,
+           CAST(p.i AS BIGINT) AS start_idx,
+           CAST(p.j AS BIGINT) AS end_idx,
+           di.day AS start_day, dj.day AS end_day,
+           CAST(s.c AS BIGINT) AS sse_micro
+    FROM path p
+    JOIN sse s ON s.i = p.i AND s.j = p.j
+    JOIN idx di ON di.rn = p.i
+    JOIN idx dj ON dj.rn = p.j""")
+
+
+@register(
+    "voptimal_daily_histogram",
+    _vopt_oracle_sql(),
+    doc=f"X221 V-optimal histogram of the daily event series (B="
+        f"{VOPT_B}): exact DP over integer interval SSEs (micro-"
+        "snapped, non-negative), smallest-split tie-breaks, exact "
+        "backtrack — bucket boundaries AND costs hash-checked. All "
+        "frames are calendar-bounded; the daily aggregate is the only "
+        "data-sized pass. The synopsis construction behind optimizer "
+        "histograms and range-pruning statistics. DP replay + "
+        "optimality laws tested.",
+    tags=("X221", "X49", "X7", "X11", "X12"),
+)
+def voptimal_daily_histogram(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date")
+                        .alias("day"))
+             .agg(F.count("*").cast("long").alias("x")))
+    idx = persist_tracked(daily.select(
+        "day", "x",
+        F.row_number().over(Window.orderBy("day")).alias("rn")))
+    a = idx.select(F.col("rn").alias("i"))
+    b = idx.select(F.col("rn").alias("j"))
+    c = idx.select(F.col("rn").alias("k"), "x")
+    sse = persist_tracked(
+        a.join(b, F.col("j") >= F.col("i"))
+        .join(c, (F.col("k") >= F.col("i")) & (F.col("k") <= F.col("j")))
+        .groupBy("i", "j")
+        .agg(F.sum("x").cast("long").alias("s1"),
+             F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"))
+        .selectExpr(
+            "i", "j",
+            "CAST((1000000 * (CAST(j - i + 1 AS BIGINT) * s2"
+            " - s1 * s1)) DIV (j - i + 1) AS BIGINT) AS c"))
+    levels = {1: sse.filter(F.col("i") == 1)
+              .select("j", F.col("c").alias("cost"),
+                      F.lit(0).cast("long").alias("arg"))
+              .localCheckpoint()}
+    for bb in range(2, VOPT_B + 1):
+        prev = levels[bb - 1].select(F.col("j").alias("pj"), "cost")
+        cand = (prev.filter(F.col("pj") >= bb - 1)
+                .join(sse, sse["i"] == F.col("pj") + 1)
+                .select("j", (F.col("cost") + F.col("c")).alias("cost"),
+                        F.col("pj").alias("arg")))
+        levels[bb] = (cand.withColumn(
+            "rk", F.row_number().over(
+                Window.partitionBy("j").orderBy("cost", "arg")))
+            .filter(F.col("rk") == 1)
+            .select("j", "cost", "arg").localCheckpoint())
+    nn = idx.agg(F.max("rn").alias("n"))
+    path = (levels[VOPT_B].crossJoin(F.broadcast(nn))
+            .filter(F.col("j") == F.col("n"))
+            .select(F.lit(VOPT_B).cast("long").alias("bucket"),
+                    (F.col("arg") + 1).alias("i"), "j", "arg"))
+    paths = [path]
+    for bb in range(VOPT_B - 1, 0, -1):
+        nxt = paths[-1].select(F.col("arg").alias("nj"))
+        step = (levels[bb].join(F.broadcast(nxt),
+                                levels[bb]["j"] == F.col("nj"))
+                .select(F.lit(bb).cast("long").alias("bucket"),
+                        (F.col("arg") + 1).alias("i"), "j", "arg"))
+        paths.append(step)
+    allp = paths[0]
+    for p in paths[1:]:
+        allp = allp.unionByName(p)
+    di = idx.select(F.col("rn").alias("i"), F.col("day").alias("start_day"))
+    dj = idx.select(F.col("rn").alias("j"), F.col("day").alias("end_day"))
+    return (allp.join(sse, ["i", "j"])
+            .join(di, "i").join(dj, "j")
+            .select("bucket",
+                    F.col("i").cast("long").alias("start_idx"),
+                    F.col("j").cast("long").alias("end_idx"),
+                    "start_day", "end_day",
+                    F.col("c").cast("long").alias("sse_micro")))
+
+
+# --------------------------------------------------------------------------
+# X222: doubly-robust off-policy evaluation — the estimator that fixes
+# both of X197's failure modes at once: IPS is unbiased but high-
+# variance, the direct method (a reward model Q-hat) is low-variance
+# but biased; DR = Q-hat(x, pi(x)) + 1{pi=a_log} * K * (r - Q-hat(x,
+# a_log)) is unbiased whenever EITHER is right (Dudik et al.). Q-hat
+# is the per-(context, action) logged-reward mean snapped to micro
+# (SUM DIV cnt, non-negative), so every DR term is an exact BIGINT;
+# the per-policy sums divide once into ROUND(...,6) doubles. Same md5
+# logging channel and the same three target policies as X197, so DM /
+# DR / true values are directly comparable across the two queries.
+# --------------------------------------------------------------------------
+@register(
+    "offpolicy_dr_eval",
+    f"""
+    WITH types AS (
+        SELECT event_type,
+               CAST(DENSE_RANK() OVER (ORDER BY event_type) - 1
+                    AS BIGINT) AS idx
+        FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    base AS (
+        SELECT e.event_id, t.idx AS own,
+               CAST(ROUND(e.value * 1000000, 0) AS BIGINT) AS vmicro,
+               ('0x' || substr(md5('log:' || e.event_id), 1, 15))
+                   ::BIGINT % {OPE_ARMS} AS a_log,
+               ('0x' || substr(md5('tgt:' || e.event_id), 1, 15))
+                   ::BIGINT % {OPE_ARMS} AS a_rand,
+               (SELECT idx FROM types WHERE event_type = 'purchase')
+                   AS a_purch
+        FROM events e JOIN types t ON t.event_type = e.event_type
+    ),
+    logged AS (
+        SELECT *,
+               CASE WHEN a_log = own THEN vmicro ELSE 0 END AS r_log
+        FROM base
+    ),
+    qhat AS (
+        SELECT own, a_log AS a,
+               CAST(SUM(r_log) AS BIGINT)
+                   // CAST(COUNT(*) AS BIGINT) AS q
+        FROM logged GROUP BY own, a_log
+    ),
+    pol AS (
+        SELECT 'always_purchase' AS policy, l.*, l.a_purch AS a_pi
+        FROM logged l
+        UNION ALL
+        SELECT 'play_own_type', l.*, l.own FROM logged l
+        UNION ALL
+        SELECT 'uniform_md5', l.*, l.a_rand FROM logged l
+    ),
+    terms AS (
+        SELECT p.policy,
+               COALESCE(qp.q, 0) AS q_pi,
+               CASE WHEN p.a_pi = p.a_log
+                    THEN {OPE_ARMS} * (p.r_log - COALESCE(ql.q, 0))
+                    ELSE 0 END AS corr,
+               CASE WHEN p.a_pi = p.own THEN p.vmicro ELSE 0 END
+                   AS r_true
+        FROM pol p
+        LEFT JOIN qhat qp ON qp.own = p.own AND qp.a = p.a_pi
+        LEFT JOIN qhat ql ON ql.own = p.own AND ql.a = p.a_log
+    )
+    SELECT policy,
+           CAST(COUNT(*) AS BIGINT) AS n_logs,
+           ROUND(CAST(SUM(q_pi) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+               AS dm_value,
+           ROUND(CAST(SUM(q_pi + corr) AS DOUBLE) / COUNT(*)
+                 / 1000000.0, 6) AS dr_value,
+           ROUND(CAST(SUM(r_true) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+               AS true_value
+    FROM terms GROUP BY policy
+    ORDER BY policy
+    """,
+    doc=f"X222 doubly-robust OPE over the X197 logging channel "
+        f"({OPE_ARMS} md5 arms, propensity 1/{OPE_ARMS}): Q-hat = "
+        "per-(context, action) logged-reward mean micro-snapped to an "
+        "integer, DR terms exact BIGINTs, one final division per "
+        "policy. DM, DR and true values side by side — the "
+        "bias/variance companion to X197's IPS/SNIPS. DR identity "
+        "and replay laws tested.",
+    tags=("X222", "X197", "X56", "X7", "X3"),
+)
+def offpolicy_dr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    ev = _ev(spark, sf_dir)
+    types = (ev.select("event_type").distinct()
+             .withColumn("idx", (F.dense_rank().over(
+                 Window.orderBy("event_type")) - 1).cast("long")))
+    purch = types.filter(F.col("event_type") == MARKOV_ABSORB) \
+        .select(F.col("idx").alias("a_purch"))
+
+    def h60(salt):
+        return F.conv(F.substring(F.md5(F.concat(
+            F.lit(salt), F.col("event_id").cast("string"))),
+            1, 15), 16, 10).cast("long")
+
+    logged = persist_tracked(
+        ev.join(F.broadcast(types), "event_type")
+        .crossJoin(F.broadcast(purch))
+        .select(
+            "event_id", F.col("idx").alias("own"),
+            F.round(F.col("value") * 1000000, 0).cast("long")
+            .alias("vmicro"),
+            (h60("log:") % OPE_ARMS).alias("a_log"),
+            (h60("tgt:") % OPE_ARMS).alias("a_rand"), "a_purch")
+        .withColumn("r_log", F.when(F.col("a_log") == F.col("own"),
+                                    F.col("vmicro")).otherwise(0)))
+    qhat = (logged.groupBy("own", F.col("a_log").alias("a"))
+            .agg(F.expr("SUM(r_log) DIV COUNT(*)").cast("long")
+                 .alias("q")))
+    pol = None
+    for policy, api in (("always_purchase", F.col("a_purch")),
+                        ("play_own_type", F.col("own")),
+                        ("uniform_md5", F.col("a_rand"))):
+        part = logged.select(
+            F.lit(policy).alias("policy"), "own", "vmicro", "a_log",
+            "r_log", api.alias("a_pi"))
+        pol = part if pol is None else pol.unionByName(part)
+    terms = (pol
+             .join(F.broadcast(qhat.select(F.col("own"),
+                                           F.col("a").alias("a_pi"),
+                                           F.col("q").alias("q_pi"))),
+                   ["own", "a_pi"], "left")
+             .join(F.broadcast(qhat.select(F.col("own"),
+                                           F.col("a").alias("a_log"),
+                                           F.col("q").alias("q_log"))),
+                   ["own", "a_log"], "left")
+             .select(
+                 "policy",
+                 F.coalesce("q_pi", F.lit(0)).alias("q_pi"),
+                 F.when(F.col("a_pi") == F.col("a_log"),
+                        OPE_ARMS * (F.col("r_log")
+                                    - F.coalesce("q_log", F.lit(0))))
+                 .otherwise(0).alias("corr"),
+                 F.when(F.col("a_pi") == F.col("own"), F.col("vmicro"))
+                 .otherwise(0).alias("r_true")))
+    return (terms.groupBy("policy")
+            .agg(F.count("*").cast("long").alias("n_logs"),
+                 F.round(F.sum("q_pi").cast("double") / F.count("*")
+                         / 1000000.0, 6).alias("dm_value"),
+                 F.round((F.sum(F.col("q_pi") + F.col("corr")))
+                         .cast("double") / F.count("*") / 1000000.0, 6)
+                 .alias("dr_value"),
+                 F.round(F.sum("r_true").cast("double") / F.count("*")
+                         / 1000000.0, 6).alias("true_value"))
+            .orderBy("policy"))

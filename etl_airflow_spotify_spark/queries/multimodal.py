@@ -632,3 +632,135 @@ def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.col("n_cuts") + 1).cast("long")
                        .alias("n_scenes"), "max_jump")
             .orderBy("media_id"))
+
+
+# --------------------------------------------------------------------------
+# X223: DCT perceptual hash (pHash) dedup — the frequency-domain
+# upgrade over X89's aHash: aHash thresholds chunk means (robust to
+# uniform brightness shifts), pHash thresholds low-frequency DCT
+# coefficients against their own median (robust to CONTRAST scaling —
+# coefficients are linear in pixels, so scaling preserves every bit
+# exactly; the planted x2-contrast copies must surface at hamming 0
+# while header-level md5 matching can never find them). 3 x 5-bit
+# bands make candidate generation lossless at hamming <= 2 by
+# pigeonhole; a real 32x32 decode gives the 63-bit classic with 4x16
+# bands — identical structure.
+# --------------------------------------------------------------------------
+PHASH_N_PLANT = 40
+PHASH_PLANT_OFFSET = 2_000_000
+PHASH_MAX_HAMMING = 2
+
+
+def _phash_oracle() -> str:
+    tvals = ", ".join(
+        f"({u}, {x}, {M.PHASH_DCT[u][x]})"
+        for u in range(4) for x in range(8))
+    bands = " OR ".join(
+        f"((a.ph >> {5 * i}) & 31) = ((b.ph >> {5 * i}) & 31)"
+        for i in range(3))
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text, 1 AS mult FROM documents
+        UNION ALL
+        SELECT doc_id + {PHASH_PLANT_OFFSET}, text, 2 FROM documents
+        WHERE doc_id < {PHASH_N_PLANT}
+    ),
+    d AS (SELECT doc_id, text, mult, length(text) AS L FROM corpus
+          WHERE length(text) > 0),
+    ch AS (
+        SELECT doc_id, L, mult, unnest(range(1, L + 1)) AS i, text
+        FROM d
+    ),
+    cs AS (
+        SELECT doc_id, ((i - 1) * 64) // L AS k,
+               CAST(SUM(unicode(substr(text, CAST(i AS INTEGER), 1))
+                        * mult) AS BIGINT) AS s
+        FROM ch GROUP BY doc_id, ((i - 1) * 64) // L
+    ),
+    t(u, x, t) AS (VALUES {tvals}),
+    co AS (
+        SELECT cs.doc_id, tu.u, tv.u AS v,
+               CAST(SUM(cs.s * tu.t * tv.t) AS BIGINT) AS c
+        FROM cs
+        JOIN t tu ON tu.x = cs.k % 8
+        JOIN t tv ON tv.x = cs.k // 8
+        WHERE NOT (tu.u = 0 AND tv.u = 0)
+        GROUP BY cs.doc_id, tu.u, tv.u
+    ),
+    th AS (
+        SELECT doc_id, c AS theta FROM (
+            SELECT doc_id, c, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY c, u, v) AS rn
+            FROM co
+        ) WHERE rn = 8
+    ),
+    h AS (
+        SELECT co.doc_id,
+               CAST(SUM(CASE WHEN co.c > th.theta
+                             THEN 1::BIGINT << (co.u * 4 + co.v - 1)
+                             ELSE 0 END) AS BIGINT) AS ph
+        FROM co JOIN th ON th.doc_id = co.doc_id
+        GROUP BY co.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= {PHASH_MAX_HAMMING}
+      AND ({bands})
+    """
+
+
+@register(
+    "multimodal_phash_dedup",
+    _phash_oracle(),
+    doc=f"X223 DCT perceptual-hash near-dup media pairs: 8x8 chunk-sum "
+        "pixels from the Arrow decode UDF, scaled-integer 2-D DCT "
+        "(shared Python-precomputed cosine table), low-frequency 4x4 "
+        "block thresholded at its exact integer 8th-smallest "
+        f"coefficient; 3x5-bit bands (lossless at hamming <= "
+        f"{PHASH_MAX_HAMMING}); {PHASH_N_PLANT} planted x2-CONTRAST "
+        "copies must surface at hamming 0 — the invariance class "
+        "aHash lacks. Oracle brute-forces pairs under the identical "
+        "band + hamming predicate.",
+    tags=("X223", "X89", "X19", "X16", "X24"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import StringType
+
+    from ..caching import persist_tracked
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+
+    @pandas_udf(StringType())
+    def contrast2(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: "".join(chr(ord(c) * 2) for c in t))
+
+    plants = (docs.filter(F.col("doc_id") < PHASH_N_PLANT)
+              .select((F.col("doc_id") + PHASH_PLANT_OFFSET)
+                      .alias("doc_id"),
+                      contrast2(F.col("text")).alias("text"),
+                      "source", "lang", "n_chars"))
+    corpus = docs.select("doc_id", "text", "source", "lang", "n_chars") \
+        .unionByName(plants)
+    media = M.build_media_from_documents(corpus)
+    sig = persist_tracked(M.perceptual_phash(media))
+    keyed = sig.select(
+        "media_id", "ph",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     ((F.col("ph").bitwiseAND(F.lit(31 << (5 * i))))
+                      ).alias("key"))
+            for i in range(3)])).alias("bk")) \
+        .select("media_id", "ph", F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"))
+    a = keyed.select(F.col("media_id").alias("id_a"),
+                     F.col("ph").alias("pha"), "band", "key")
+    b = keyed.select(F.col("media_id").alias("id_b"),
+                     F.col("ph").alias("phb"), "band", "key")
+    ham = F.bit_count(F.col("pha").bitwiseXOR(F.col("phb")))
+    return (a.join(b, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= PHASH_MAX_HAMMING))

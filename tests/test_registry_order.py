@@ -91,6 +91,9 @@ NEW_R5: dict[str, str] = {
     "theil_nation_decomposition": "X218",
     "lsh_parameter_planner": "X219",
     "iforest_rfm_outliers": "X220",
+    "voptimal_daily_histogram": "X221",
+    "offpolicy_dr_eval": "X222",
+    "multimodal_phash_dedup": "X223",
 }
 
 

@@ -688,3 +688,138 @@ def test_iforest_matches_python_forest(spark, sf_dir):
     assert got == want
     for _, ds, _ in got:
         assert 0 <= ds <= IFOREST_TREES * IFOREST_DEPTH
+
+
+def test_voptimal_matches_python_dp(spark, sf_dir):
+    """X221: exact Python DP replay (same micro SSE, same smallest-
+    split tie-break), plus optimality: the returned partition's total
+    cost equals the DP optimum, buckets tile 1..n."""
+    from etl_airflow_spotify_spark.queries.events_ops import VOPT_B
+    daily = _daily_counts(sf_dir)
+    xs = [c for _, c in daily]
+    n = len(xs)
+
+    def sse(i, j):  # 1-based inclusive
+        seg = xs[i - 1:j]
+        m, s1, s2 = len(seg), sum(seg), sum(v * v for v in seg)
+        return (1000000 * (m * s2 - s1 * s1)) // m
+
+    INF = 1 << 62
+    d = {(1, j): (sse(1, j), 0) for j in range(1, n + 1)}
+    for b in range(2, VOPT_B + 1):
+        for j in range(b, n + 1):
+            best = (INF, -1)
+            for i in range(b - 1, j):
+                cand = (d[(b - 1, i)][0] + sse(i + 1, j), i)
+                if cand < best:
+                    best = cand
+            d[(b, j)] = best
+    path = []
+    j = n
+    for b in range(VOPT_B, 0, -1):
+        arg = d[(b, j)][1]
+        path.append((b, arg + 1, j))
+        j = arg
+    want = {(b, i, j, daily[i - 1][0], daily[j - 1][0], sse(i, j))
+            for b, i, j in path}
+    rows = _rows("voptimal_daily_histogram", spark, sf_dir)
+    got = {(r["bucket"], r["start_idx"], r["end_idx"], r["start_day"],
+            r["end_day"], r["sse_micro"]) for r in rows}
+    assert got == want
+    idxs = sorted((i, j) for _, i, j, *_ in got)
+    assert idxs[0][0] == 1 and idxs[-1][1] == n
+    for (a, bnd), (c, _) in zip(idxs, idxs[1:]):
+        assert c == bnd + 1  # buckets tile the series
+    assert sum(r["sse_micro"] for r in rows) == d[(VOPT_B, n)][0]
+
+
+def test_dr_ope_matches_python_and_identities(spark, sf_dir):
+    """X222: Python replay of the DR estimator with the identical md5
+    channel and micro-snapped Q-hat; DR identity law: for the
+    'play_own_type' policy, matched corrections use the policy's own
+    Q-hat cells."""
+    import hashlib
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.queries.events_ops import OPE_ARMS
+    ev = duckdb.sql(f"""
+        SELECT event_id, event_type, value
+        FROM '{sf_dir}/events.parquet'""").fetchall()
+    types = sorted({t for _, t, _ in ev})
+    tix = {t: i for i, t in enumerate(types)}
+    a_purch = tix["purchase"]
+
+    def h(salt, eid):
+        return int(hashlib.md5(f"{salt}{eid}".encode())
+                   .hexdigest()[:15], 16)
+
+    logged = []
+    for eid, et, v in ev:
+        own = tix[et]
+        vm = round(v * 1000000)
+        a_log = h("log:", eid) % OPE_ARMS
+        a_rand = h("tgt:", eid) % OPE_ARMS
+        r = vm if a_log == own else 0
+        logged.append((own, vm, a_log, a_rand, r))
+    qs = defaultdict(lambda: [0, 0])
+    for own, vm, a_log, _, r in logged:
+        qs[(own, a_log)][0] += r
+        qs[(own, a_log)][1] += 1
+    qhat = {k: s // c for k, (s, c) in qs.items()}
+    want = {}
+    for policy in ("always_purchase", "play_own_type", "uniform_md5"):
+        sq = sdr = st = 0
+        for own, vm, a_log, a_rand, r in logged:
+            a_pi = {"always_purchase": a_purch, "play_own_type": own,
+                    "uniform_md5": a_rand}[policy]
+            qp = qhat.get((own, a_pi), 0)
+            corr = (OPE_ARMS * (r - qhat.get((own, a_log), 0))
+                    if a_pi == a_log else 0)
+            sq += qp
+            sdr += qp + corr
+            st += vm if a_pi == own else 0
+        n = len(logged)
+        want[policy] = (n, round(sq / n / 1e6, 6),
+                        round(sdr / n / 1e6, 6), round(st / n / 1e6, 6))
+    rows = _rows("offpolicy_dr_eval", spark, sf_dir)
+    got = {r["policy"]: (r["n_logs"], r["dm_value"], r["dr_value"],
+                         r["true_value"]) for r in rows}
+    assert got == want
+
+
+def test_phash_plants_and_invariance(spark, sf_dir):
+    """X223 laws: every planted x2-contrast copy surfaces at hamming 0
+    (pHash bits are exactly contrast-invariant: coefficients are
+    linear in pixels, the median threshold scales along); Python
+    replay of the hash for a sample of docs."""
+    from etl_airflow_spotify_spark.operators.multimodal import PHASH_DCT
+    from etl_airflow_spotify_spark.queries.multimodal import (
+        PHASH_N_PLANT, PHASH_PLANT_OFFSET)
+    rows = _rows("multimodal_phash_dedup", spark, sf_dir)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    for d in range(PHASH_N_PLANT):
+        assert pairs.get((d, d + PHASH_PLANT_OFFSET)) == 0, \
+            f"plant {d} not found at hamming 0"
+
+    def phash(codes):
+        L = len(codes)
+        px = [0] * 64
+        for i, c in enumerate(codes):
+            px[(i * 64) // L] += c
+        coeffs = []
+        for u in range(4):
+            for v in range(4):
+                if u == v == 0:
+                    continue
+                s = sum(px[k] * PHASH_DCT[u][k % 8] * PHASH_DCT[v][k // 8]
+                        for k in range(64))
+                coeffs.append((s, u, v))
+        theta = sorted(coeffs)[7][0]
+        return sum(1 << (u * 4 + v - 1)
+                   for s, u, v in coeffs if s > theta)
+
+    docs = duckdb.sql(f"""SELECT doc_id, text
+        FROM '{sf_dir}/documents.parquet'
+        ORDER BY doc_id LIMIT 5""").fetchall()
+    for _, text in docs:
+        codes = [ord(c) for c in text]
+        assert phash(codes) == phash([2 * c for c in codes])

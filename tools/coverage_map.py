@@ -228,6 +228,9 @@ X_TITLES = {
     "X218": "Theil inequality decomposition",
     "X219": "MinHash-LSH parameter planner",
     "X220": "Isolation forest",
+    "X221": "V-optimal histogram construction",
+    "X222": "Doubly-robust off-policy evaluation",
+    "X223": "DCT perceptual hash (pHash) dedup",
 }
 
 
