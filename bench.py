@@ -270,6 +270,9 @@ HEADLINE = [
     "voptimal_daily_histogram",
     "offpolicy_dr_eval",
     "multimodal_phash_dedup",
+    "fd_discovery",
+    "ktruss_peeling_profile",
+    "cka_quantization_fidelity",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -1760,3 +1760,137 @@ def power_iteration_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .localCheckpoint())
     return (x.orderBy(F.desc("x"), F.asc("node")).limit(POWER_TOPK)
             .select("node", F.col("x").alias("score")))
+
+
+# --------------------------------------------------------------------------
+# X225: k-truss peeling — the EDGE-granular cohesion decomposition
+# next to X123's k-core (vertex degrees) and X167's clustering
+# coefficients (vertex ratios): an edge survives the k-truss iff it
+# participates in >= k-2 triangles among surviving edges, so trusses
+# isolate the community-grade cores k-core over-approximates. Each
+# round re-enumerates triangles with the X167 degree-oriented wedge
+# join (each triangle once from its (orig-degree, id)-minimum vertex —
+# orientation only needs SOME consistent total order, so the original
+# degrees serve every round), explodes them to their 3 canonical
+# edges, and keeps edges with support >= k-2. Fixed 3 rounds (the
+# X157 deterministic-prefix discipline; convergence law-verified in
+# Python). Output: the per-round peeling trajectory.
+# --------------------------------------------------------------------------
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 3
+
+
+def _ktruss_oracle_sql() -> str:
+    parts = [_EDGE_CTE,
+             "deg AS (SELECT src AS n, CAST(COUNT(*) AS BIGINT) AS d "
+             "FROM e GROUP BY src)",
+             "eu0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) "
+             "AS lo, GREATEST(src, dst) AS hi FROM e)"]
+    sup_min = KTRUSS_K - 2
+    for r in range(KTRUSS_ROUNDS):
+        parts.append(f"""eo{r} AS MATERIALIZED (
+        SELECT CASE WHEN (da.d, eu.lo) < (db.d, eu.hi)
+                    THEN eu.lo ELSE eu.hi END AS u,
+               CASE WHEN (da.d, eu.lo) < (db.d, eu.hi)
+                    THEN eu.hi ELSE eu.lo END AS v,
+               CASE WHEN (da.d, eu.lo) < (db.d, eu.hi)
+                    THEN db.d ELSE da.d END AS dv
+        FROM eu{r} eu
+        JOIN deg da ON da.n = eu.lo JOIN deg db ON db.n = eu.hi)""")
+        parts.append(f"""tri{r} AS MATERIALIZED (
+        SELECT w.u, w.v1, w.v2
+        FROM (SELECT a.u, a.v AS v1, b.v AS v2
+              FROM eo{r} a JOIN eo{r} b ON a.u = b.u
+              WHERE (a.dv, a.v) < (b.dv, b.v)) w
+        JOIN eo{r} c ON c.u = w.v1 AND c.v = w.v2)""")
+        parts.append(f"""sup{r} AS (
+        SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS s FROM (
+            SELECT LEAST(u, v1) AS lo, GREATEST(u, v1) AS hi FROM tri{r}
+            UNION ALL
+            SELECT LEAST(u, v2), GREATEST(u, v2) FROM tri{r}
+            UNION ALL
+            SELECT LEAST(v1, v2), GREATEST(v1, v2) FROM tri{r}
+        ) GROUP BY lo, hi)""")
+        parts.append(f"""eu{r + 1} AS MATERIALIZED (
+        SELECT eu.lo, eu.hi FROM eu{r} eu
+        JOIN sup{r} s ON s.lo = eu.lo AND s.hi = eu.hi
+        WHERE s.s >= {sup_min})""")
+    rows = []
+    for r in range(KTRUSS_ROUNDS):
+        rows.append(f"""SELECT CAST({r + 1} AS BIGINT) AS round,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM eu{r})
+               AS edges_before,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM eu{r})
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM eu{r + 1})
+               AS edges_removed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM eu{r + 1})
+               AS edges_after,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tri{r}) AS triangles""")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@register(
+    "ktruss_peeling_profile",
+    _ktruss_oracle_sql(),
+    doc=f"X225 {KTRUSS_K}-truss peeling of the co-purchase graph "
+        f"({KTRUSS_ROUNDS} fixed rounds): per round, triangles via "
+        "the X167 degree-oriented wedge join (each counted once), "
+        "exploded to canonical edges, edges kept iff support >= "
+        f"{KTRUSS_K - 2}. Edge-granular cohesion the k-core (X123) "
+        "over-approximates; per-round trajectory (edges before/"
+        "removed/after, triangles). Convergence + replay laws.",
+    tags=("X225", "X123", "X167", "X39", "X3", "X7"),
+)
+def ktruss_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    deg = persist_tracked(
+        e.groupBy(F.col("src").alias("n"))
+        .agg(F.count("*").cast("long").alias("d")))
+    eu = (e.select(F.least("src", "dst").alias("lo"),
+                   F.greatest("src", "dst").alias("hi")).distinct()
+          .localCheckpoint())
+    sup_min = KTRUSS_K - 2
+    out = None
+    for r in range(KTRUSS_ROUNDS):
+        eo = (eu.join(deg.select(F.col("n").alias("lo"),
+                                 F.col("d").alias("da")), "lo")
+              .join(deg.select(F.col("n").alias("hi"),
+                               F.col("d").alias("db")), "hi")
+              .select(
+                  F.expr("CASE WHEN (da, lo) < (db, hi)"
+                         " THEN lo ELSE hi END").alias("u"),
+                  F.expr("CASE WHEN (da, lo) < (db, hi)"
+                         " THEN hi ELSE lo END").alias("v"),
+                  F.expr("CASE WHEN (da, lo) < (db, hi)"
+                         " THEN db ELSE da END").alias("dv"))
+              .localCheckpoint())
+        w = (eo.select("u", F.col("v").alias("v1"),
+                       F.col("dv").alias("d1"))
+             .join(eo.select("u", F.col("v").alias("v2"),
+                             F.col("dv").alias("d2")), "u")
+             .filter(F.expr("(d1, v1) < (d2, v2)")))
+        tri = (w.join(eo.select(F.col("u").alias("v1"),
+                                F.col("v").alias("v2")), ["v1", "v2"])
+               .select("u", "v1", "v2").localCheckpoint())
+        sup = (tri.select(F.least("u", "v1").alias("lo"),
+                          F.greatest("u", "v1").alias("hi"))
+               .unionByName(tri.select(F.least("u", "v2").alias("lo"),
+                                       F.greatest("u", "v2").alias("hi")))
+               .unionByName(tri.select(F.least("v1", "v2").alias("lo"),
+                                       F.greatest("v1", "v2").alias("hi")))
+               .groupBy("lo", "hi")
+               .agg(F.count("*").cast("long").alias("s")))
+        eu_next = (eu.join(sup.filter(F.col("s") >= sup_min),
+                           ["lo", "hi"])
+                   .select("lo", "hi").localCheckpoint())
+        nb, na, nt = eu.count(), eu_next.count(), tri.count()
+        row = spark.createDataFrame(
+            [(r + 1, nb, nb - na, na, nt)],
+            "round BIGINT, edges_before BIGINT, edges_removed BIGINT, "
+            "edges_after BIGINT, triangles BIGINT")
+        out = row if out is None else out.unionByName(row)
+        eu = eu_next
+    return out

@@ -1453,3 +1453,78 @@ def ind_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(contain >= IND_FK_THRESHOLD, 1)
                     .otherwise(0).alias("fk_like"))
             .orderBy("col_a", "col_b"))
+
+
+# --------------------------------------------------------------------------
+# X224: functional-dependency discovery — the column-profiling
+# complement to X188's inclusion dependencies (INDs find joinable
+# columns ACROSS tables; FDs find determinant structure WITHIN one):
+# A -> B holds iff ndv(A) = ndv(A,B). One melted pass per table (pair
+# fan-out is the column-pair count, not data volume re-reads), exact
+# distinct counts, violations = ndv(A,B) - ndv(A). Key columns
+# determine everything, so every key->attr pair must surface as
+# holds=1 — law-pinned, alongside near-FD violation counts.
+# --------------------------------------------------------------------------
+_FD_PAIRS = (
+    ("part", "p_partkey", "p_brand"),
+    ("part", "p_partkey", "p_type"),
+    ("part", "p_name", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_type", "p_brand"),
+    ("part", "p_size", "p_brand"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderdate", "o_orderstatus"),
+    ("orders", "o_orderstatus", "o_orderpriority"),
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+)
+
+
+def _fd_oracle_sql() -> str:
+    parts = []
+    for tbl, a, b in _FD_PAIRS:
+        parts.append(f"""SELECT '{tbl}' AS tbl, '{a}' AS lhs,
+           '{b}' AS rhs,
+           CAST(COUNT(DISTINCT CAST({a} AS VARCHAR)) AS BIGINT)
+               AS ndv_lhs,
+           CAST(COUNT(DISTINCT CAST({a} AS VARCHAR) || '|' ||
+                      CAST({b} AS VARCHAR)) AS BIGINT) AS ndv_pair
+        FROM {tbl}""")
+    return ("WITH raw AS (" + "\nUNION ALL\n".join(parts) + """)
+    SELECT tbl, lhs, rhs, ndv_lhs, ndv_pair,
+           CAST(CASE WHEN ndv_lhs = ndv_pair THEN 1 ELSE 0 END
+                AS BIGINT) AS holds,
+           ndv_pair - ndv_lhs AS violations
+    FROM raw""")
+
+
+@register(
+    "fd_discovery",
+    _fd_oracle_sql(),
+    doc="X224 functional-dependency discovery over part/orders/"
+        "customer column pairs: A->B iff ndv(A)=ndv(A,B); exact "
+        "distinct counts, violation counts for near-FDs. The within-"
+        "table complement to X188's SPIDER IND mining; the key-"
+        "determines-all FDs must surface as holds=1 (law-pinned).",
+    tags=("X224", "X188", "X8", "X7", "X14"),
+)
+def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl, a, b in _FD_PAIRS:
+        t = load_table(spark, sf_dir, tbl)
+        row = t.agg(
+            F.lit(tbl).alias("tbl"), F.lit(a).alias("lhs"),
+            F.lit(b).alias("rhs"),
+            F.countDistinct(F.col(a).cast("string")).cast("long")
+            .alias("ndv_lhs"),
+            F.countDistinct(F.concat(F.col(a).cast("string"),
+                                     F.lit("|"),
+                                     F.col(b).cast("string")))
+            .cast("long").alias("ndv_pair"))
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "tbl", "lhs", "rhs", "ndv_lhs", "ndv_pair",
+        F.when(F.col("ndv_lhs") == F.col("ndv_pair"), 1).otherwise(0)
+        .cast("long").alias("holds"),
+        (F.col("ndv_pair") - F.col("ndv_lhs")).alias("violations"))

@@ -3356,3 +3356,161 @@ def gale_shapley_matching(spark: SparkSession,
                     "proposer_rank",
                     F.col("rrank").alias("reviewer_rank"), "score")
             .orderBy("reviewer"))
+
+
+# --------------------------------------------------------------------------
+# X226: CKA quantization-fidelity — the representation-geometry answer
+# to "how much does compressing the embedding column distort the
+# space?" that X75's recall@k (a top-k symptom) can't give: linear
+# CKA(X, Y) = ||X'Y||_F^2 / (||X'X||_F ||Y'Y||_F) between the raw
+# embeddings and their SQ4-style reconstruction compares ALL pairwise
+# geometry at once (Kornblith et al.). Exactness: embeddings snap to
+# the centi grid, centering multiplies through by n (CKA is per-matrix
+# scale-invariant, so n*x - colsum is exact integer centering), the
+# SQ4 code/reconstruction is pure integer rounding arithmetic, Gram
+# entries are BIGINT folds and Frobenius squares DECIMAL(38,0) folds;
+# the single division + two sqrts at the end are computed from
+# identical doubles. Grid/width chosen for BIGINT headroom through
+# sf1; shrink the grid as n grows (documented).
+# --------------------------------------------------------------------------
+CKA_Q = 100       # centi quantization grid
+CKA_LEVELS = 15   # SQ4: 16 levels
+
+
+@register(
+    "cka_quantization_fidelity",
+    f"""
+    WITH flatq AS (
+        SELECT vec_id, pos,
+               CAST(ROUND(val * {CKA_Q}, 0) AS BIGINT) AS xq
+        FROM (SELECT vec_id,
+                     unnest(range(1, {DIM} + 1)) AS pos,
+                     unnest(CAST(embedding AS DOUBLE[])) AS val
+              FROM embeddings)
+    ),
+    stats AS (
+        SELECT pos, MIN(xq) AS mnq, MAX(xq) AS mxq
+        FROM flatq GROUP BY pos
+    ),
+    recon AS (
+        SELECT f.vec_id, f.pos, f.xq,
+               CASE WHEN s.mxq = s.mnq THEN s.mnq
+                    ELSE s.mnq + (((f.xq - s.mnq) * {2 * CKA_LEVELS}
+                                   + (s.mxq - s.mnq))
+                                  // (2 * (s.mxq - s.mnq)))
+                         * (s.mxq - s.mnq) * 2 // {2 * CKA_LEVELS}
+                    END AS yq
+        FROM flatq f JOIN stats s ON s.pos = f.pos
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+           FROM flatq),
+    colsum AS (
+        SELECT pos, CAST(SUM(xq) AS BIGINT) AS sx,
+               CAST(SUM(yq) AS BIGINT) AS sy
+        FROM recon GROUP BY pos
+    ),
+    z AS (
+        SELECT r.vec_id, r.pos,
+               nn.n * r.xq - c.sx AS zx,
+               nn.n * r.yq - c.sy AS zy
+        FROM recon r JOIN colsum c ON c.pos = r.pos CROSS JOIN nn
+    ),
+    gram AS (
+        SELECT a.pos AS p, b.pos AS q,
+               CAST(SUM(a.zx * b.zx) AS BIGINT) AS gxx,
+               CAST(SUM(a.zx * b.zy) AS BIGINT) AS gxy,
+               CAST(SUM(a.zy * b.zy) AS BIGINT) AS gyy
+        FROM z a JOIN z b ON a.vec_id = b.vec_id
+        GROUP BY a.pos, b.pos
+    ),
+    fro AS (
+        SELECT CAST(SUM(CAST(gxx AS DECIMAL(38,0))
+                        * CAST(gxx AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS fxx,
+               CAST(SUM(CAST(gxy AS DECIMAL(38,0))
+                        * CAST(gxy AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS fxy,
+               CAST(SUM(CAST(gyy AS DECIMAL(38,0))
+                        * CAST(gyy AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS fyy
+        FROM gram
+    )
+    SELECT nn.n AS n_vecs, CAST({DIM} AS BIGINT) AS dim,
+           ROUND(CAST(fxy AS DOUBLE)
+                 / (sqrt(CAST(fxx AS DOUBLE))
+                    * sqrt(CAST(fyy AS DOUBLE))), 6) AS cka
+    FROM fro CROSS JOIN nn
+    """,
+    doc=f"X226 linear CKA between the raw embedding space and its "
+        f"integer SQ4 reconstruction (centi grid, {CKA_LEVELS + 1} "
+        "levels): exact n-multiplied centering, BIGINT Gram folds, "
+        "DECIMAL(38,0) Frobenius squares, one final division + two "
+        "sqrts from identical doubles. The whole-geometry compression-"
+        "fidelity metric next to X75's recall@k. CKA(X,X)=1 and "
+        "Python-replay laws tested.",
+    tags=("X226", "X75", "X17", "X7", "X14"),
+)
+def cka_quantization_fidelity(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+    from ..catalog import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flatq = persist_tracked(
+        spread(emb, "vec_id")
+        .select("vec_id",
+                F.posexplode(S.as_double(F.col("embedding")))
+                .alias("pos0", "val"))
+        .select("vec_id", (F.col("pos0") + 1).alias("pos"),
+                F.round(F.col("val") * CKA_Q, 0).cast("long")
+                .alias("xq")))
+    stats = (flatq.groupBy("pos")
+             .agg(F.min("xq").alias("mnq"), F.max("xq").alias("mxq")))
+    recon = (flatq.join(F.broadcast(stats), "pos")
+             .selectExpr(
+                 "vec_id", "pos", "xq",
+                 f"""CASE WHEN mxq = mnq THEN mnq
+                     ELSE mnq + (((xq - mnq) * {2 * CKA_LEVELS}
+                                  + (mxq - mnq))
+                                 DIV (2 * (mxq - mnq)))
+                          * (mxq - mnq) * 2 DIV {2 * CKA_LEVELS}
+                     END AS yq"""))
+    nn = recon.agg(F.countDistinct("vec_id").cast("long").alias("n"))
+    colsum = (recon.groupBy("pos")
+              .agg(F.sum("xq").cast("long").alias("sx"),
+                   F.sum("yq").cast("long").alias("sy")))
+    z = persist_tracked(
+        recon.join(F.broadcast(colsum), "pos")
+        .crossJoin(F.broadcast(nn))
+        .select("vec_id", "pos",
+                (F.col("n") * F.col("xq") - F.col("sx")).alias("zx"),
+                (F.col("n") * F.col("yq") - F.col("sy")).alias("zy")))
+    a = z.select("vec_id", F.col("pos").alias("p"),
+                 F.col("zx").alias("axx"), F.col("zy").alias("ayy"))
+    b = z.select("vec_id", F.col("pos").alias("q"),
+                 F.col("zx").alias("bxx"), F.col("zy").alias("byy"))
+    gram = (a.join(b, "vec_id")
+            .groupBy("p", "q")
+            .agg(F.sum(F.col("axx") * F.col("bxx")).cast("long")
+                 .alias("gxx"),
+                 F.sum(F.col("axx") * F.col("byy")).cast("long")
+                 .alias("gxy"),
+                 F.sum(F.col("ayy") * F.col("byy")).cast("long")
+                 .alias("gyy")))
+    fro = gram.agg(
+        F.sum(F.col("gxx").cast("decimal(38,0)")
+              * F.col("gxx").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("fxx"),
+        F.sum(F.col("gxy").cast("decimal(38,0)")
+              * F.col("gxy").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("fxy"),
+        F.sum(F.col("gyy").cast("decimal(38,0)")
+              * F.col("gyy").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("fyy"))
+    return (fro.crossJoin(F.broadcast(nn))
+            .select(F.col("n").alias("n_vecs"),
+                    F.lit(DIM).cast("long").alias("dim"),
+                    F.round(F.col("fxy").cast("double")
+                            / (F.sqrt(F.col("fxx").cast("double"))
+                               * F.sqrt(F.col("fyy").cast("double"))),
+                            6).alias("cka")))

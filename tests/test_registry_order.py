@@ -94,6 +94,9 @@ NEW_R5: dict[str, str] = {
     "voptimal_daily_histogram": "X221",
     "offpolicy_dr_eval": "X222",
     "multimodal_phash_dedup": "X223",
+    "fd_discovery": "X224",
+    "ktruss_peeling_profile": "X225",
+    "cka_quantization_fidelity": "X226",
 }
 
 

@@ -823,3 +823,119 @@ def test_phash_plants_and_invariance(spark, sf_dir):
     for _, text in docs:
         codes = [ord(c) for c in text]
         assert phash(codes) == phash([2 * c for c in codes])
+
+
+def test_fd_discovery_matches_python_and_key_laws(spark, sf_dir):
+    """X224: exact ndv replay per pair; key->attr FDs must hold;
+    holds=1 iff violations=0."""
+    from etl_airflow_spotify_spark.queries.maintenance import _FD_PAIRS
+    rows = {(r["tbl"], r["lhs"], r["rhs"]): r
+            for r in _rows("fd_discovery", spark, sf_dir)}
+    assert set(rows) == set(_FD_PAIRS)
+    for tbl, a, b in _FD_PAIRS:
+        nl, np_ = duckdb.sql(f"""
+            SELECT COUNT(DISTINCT CAST({a} AS VARCHAR)),
+                   COUNT(DISTINCT CAST({a} AS VARCHAR) || '|'
+                         || CAST({b} AS VARCHAR))
+            FROM '{sf_dir}/{tbl}.parquet'""").fetchone()
+        r = rows[(tbl, a, b)]
+        assert (r["ndv_lhs"], r["ndv_pair"]) == (nl, np_)
+        assert r["holds"] == (1 if nl == np_ else 0)
+        assert (r["violations"] == 0) == (r["holds"] == 1)
+        assert r["violations"] >= 0
+    for key_pair in (("part", "p_partkey", "p_brand"),
+                     ("orders", "o_orderkey", "o_custkey"),
+                     ("customer", "c_custkey", "c_nationkey")):
+        assert rows[key_pair]["holds"] == 1
+
+
+def test_ktruss_matches_python_and_converges(spark, sf_dir):
+    """X225: Python replay of the peeling rounds (true triangle counts
+    per edge, same support threshold), monotone edge counts, and
+    convergence check: the fixed 3 rounds reach the true 4-truss
+    fixpoint on this graph."""
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.queries.graph import (
+        KTRUSS_K, KTRUSS_ROUNDS)
+    edges = _copurchase_edges(sf_dir)
+    eu = {(min(s, d), max(s, d)) for s, d in edges}
+
+    def peel_once(es):
+        adj = defaultdict(set)
+        for lo, hi in es:
+            adj[lo].add(hi)
+            adj[hi].add(lo)
+        sup = defaultdict(int)
+        ntri = 0
+        for lo, hi in es:
+            common = adj[lo] & adj[hi]
+            sup[(lo, hi)] = len(common)
+            ntri += len(common)
+        ntri //= 3
+        kept = {e for e in es if sup[e] >= KTRUSS_K - 2}
+        return kept, ntri
+
+    want = []
+    cur = eu
+    for r in range(KTRUSS_ROUNDS):
+        nxt, ntri = peel_once(cur)
+        want.append((r + 1, len(cur), len(cur) - len(nxt), len(nxt),
+                     ntri))
+        cur = nxt
+    rows = sorted(_rows("ktruss_peeling_profile", spark, sf_dir),
+                  key=lambda r: r["round"])
+    got = [(r["round"], r["edges_before"], r["edges_removed"],
+            r["edges_after"], r["triangles"]) for r in rows]
+    assert got == want
+    # convergence: one more round removes nothing
+    nxt, _ = peel_once(cur)
+    assert nxt == cur
+    for a, b in zip(got, got[1:]):
+        assert b[1] == a[3]          # chaining
+        assert b[3] <= a[3]          # monotone shrink
+
+
+def test_cka_matches_python_and_bounds(spark, sf_dir):
+    """X226: Python replay of the whole integer pipeline; 0 < CKA <= 1
+    (Cauchy-Schwarz), and CKA(X, X) = 1 exactly."""
+    import math
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.queries.similarity import (
+        CKA_LEVELS, CKA_Q, DIM)
+    rows = _rows("cka_quantization_fidelity", spark, sf_dir)
+    assert len(rows) == 1
+    r = rows[0]
+    vecs = duckdb.sql(f"""
+        SELECT vec_id, CAST(embedding AS DOUBLE[])
+        FROM '{sf_dir}/embeddings.parquet'""").fetchall()
+    n = len(vecs)
+    xq = {v: [round(val * CKA_Q) for val in emb] for v, emb in vecs}
+    mn = [min(x[p] for x in xq.values()) for p in range(DIM)]
+    mx = [max(x[p] for x in xq.values()) for p in range(DIM)]
+
+    def recon(v, p):
+        if mx[p] == mn[p]:
+            return mn[p]
+        rng = mx[p] - mn[p]
+        code = ((xq[v][p] - mn[p]) * 2 * CKA_LEVELS + rng) // (2 * rng)
+        return mn[p] + code * rng * 2 // (2 * CKA_LEVELS)
+
+    yq = {v: [recon(v, p) for p in range(DIM)] for v in xq}
+    sx = [sum(x[p] for x in xq.values()) for p in range(DIM)]
+    sy = [sum(y[p] for y in yq.values()) for p in range(DIM)]
+    zx = {v: [n * xq[v][p] - sx[p] for p in range(DIM)] for v in xq}
+    zy = {v: [n * yq[v][p] - sy[p] for p in range(DIM)] for v in yq}
+    fxx = fxy = fyy = 0
+    for p in range(DIM):
+        for q in range(DIM):
+            gxx = sum(zx[v][p] * zx[v][q] for v in zx)
+            gxy = sum(zx[v][p] * zy[v][q] for v in zx)
+            gyy = sum(zy[v][p] * zy[v][q] for v in zx)
+            fxx += gxx * gxx
+            fxy += gxy * gxy
+            fyy += gyy * gyy
+    want = round(float(fxy) / (math.sqrt(float(fxx))
+                               * math.sqrt(float(fyy))), 6)
+    assert r["n_vecs"] == n and r["dim"] == DIM
+    assert r["cka"] == want
+    assert 0 < r["cka"] <= 1.000001
