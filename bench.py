@@ -273,6 +273,7 @@ HEADLINE = [
     "fd_discovery",
     "ktruss_peeling_profile",
     "cka_quantization_fidelity",
+    "funnel_alignment_scores",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -5430,3 +5430,103 @@ def offpolicy_dr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("r_true").cast("double") / F.count("*")
                          / 1000000.0, 6).alias("true_value"))
             .orderBy("policy"))
+
+
+# --------------------------------------------------------------------------
+# X227: Needleman-Wunsch global alignment of each user's event
+# sequence against the canonical funnel template — the GAP-PENALTY
+# edit alignment the DTW family (X216, elastic, gap-free) and the
+# conformance checker (X113, counting) don't give: how close is each
+# journey to signup -> view -> click -> purchase, allowing insertions
+# (extra events) and deletions (skipped stages) at integer cost? The
+# DP row is template-width (5 cells), so the per-user state is
+# constant: Spark folds the token array with an aggregate HOF whose
+# row cells are substituted inline (r1..r4 reference their left
+# neighbor — safe in Spark, and exactly the shared-subexpression shape
+# DuckDB 1.0 lambdas mis-evaluate, so the oracle replays the DP as a
+# recursive CTE over (user, step)). All integer max-plus.
+# --------------------------------------------------------------------------
+NW_TEMPLATE = ("signup", "view", "click", "purchase")
+NW_MATCH = 3
+NW_MISMATCH = -1
+NW_GAP = -1
+
+
+def _nw_oracle_sql() -> str:
+    tpl = NW_TEMPLATE
+    g, mm, mt = NW_GAP, NW_MISMATCH, NW_MATCH
+    sub = {j: (f"CASE WHEN s.event_type = '{tpl[j - 1]}' "
+               f"THEN {mt} ELSE {mm} END") for j in range(1, 5)}
+    # new row cells with inline left-neighbor substitution
+    cells = {0: f"h.r0 + {g}"}
+    for j in range(1, 5):
+        cells[j] = (f"GREATEST(h.r{j} + {g}, ({cells[j - 1]}) + {g}, "
+                    f"h.r{j - 1} + ({sub[j]}))")
+    init = ", ".join(f"CAST({j * g} AS BIGINT)" for j in range(5))
+    steps = ",\n               ".join(
+        f"CAST({cells[j]} AS BIGINT)" for j in range(5))
+    return f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t
+        FROM events
+    ),
+    nu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM seq GROUP BY user_id),
+    dp(user_id, t, r0, r1, r2, r3, r4) AS (
+        SELECT user_id, CAST(0 AS BIGINT), {init}
+        FROM nu
+        UNION ALL
+        SELECT h.user_id, h.t + 1,
+               {steps}
+        FROM dp h JOIN seq s ON s.user_id = h.user_id
+                            AND s.t = h.t + 1
+    )
+    SELECT d.user_id, nu.n AS n_events,
+           CAST(d.r4 AS BIGINT) AS align_score
+    FROM dp d JOIN nu ON nu.user_id = d.user_id AND d.t = nu.n
+    """
+
+
+@register(
+    "funnel_alignment_scores",
+    _nw_oracle_sql(),
+    doc=f"X227 Needleman-Wunsch alignment of per-user event sequences "
+        f"to the {' -> '.join(NW_TEMPLATE)} funnel template (match "
+        f"{NW_MATCH}, mismatch {NW_MISMATCH}, gap {NW_GAP}): exact "
+        "integer max-plus DP with a template-width (5-cell) state — "
+        "ONE collect_list + aggregate-HOF fold per user in Spark, "
+        "recursive-CTE DP in the oracle. The gap-penalty journey-"
+        "similarity lens next to X216 DTW and X113 conformance. "
+        "Python DP replay + score-bound laws.",
+    tags=("X227", "X216", "X113", "X14", "X11"),
+)
+def funnel_alignment_scores(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("user_id", "ts", "event_id",
+                                   "event_type")
+    tpl = NW_TEMPLATE
+    g, mm, mt = NW_GAP, NW_MISMATCH, NW_MATCH
+    sub = {j: (f"CASE WHEN x.event_type = '{tpl[j - 1]}' "
+               f"THEN {mt} ELSE {mm} END") for j in range(1, 5)}
+    cells = {0: f"acc.r0 + {g}"}
+    for j in range(1, 5):
+        cells[j] = (f"GREATEST(acc.r{j} + {g}, ({cells[j - 1]}) + {g}, "
+                    f"acc.r{j - 1} + ({sub[j]}))")
+    init = ", ".join(
+        f"'r{j}', CAST({j * g} AS BIGINT)" for j in range(5))
+    step = ", ".join(
+        f"'r{j}', CAST({cells[j]} AS BIGINT)" for j in range(5))
+    seq = (ev.groupBy("user_id")
+           .agg(F.array_sort(F.collect_list(
+               F.struct("ts", "event_id", "event_type"))).alias("evs")))
+    folded = seq.select(
+        "user_id",
+        F.size("evs").cast("long").alias("n_events"),
+        F.expr(f"""aggregate(
+            evs,
+            named_struct({init}),
+            (acc, x) -> named_struct({step}))""").alias("v"))
+    return folded.select("user_id", "n_events",
+                         F.col("v.r4").cast("long").alias("align_score"))

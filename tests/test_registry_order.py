@@ -97,6 +97,7 @@ NEW_R5: dict[str, str] = {
     "fd_discovery": "X224",
     "ktruss_peeling_profile": "X225",
     "cka_quantization_fidelity": "X226",
+    "funnel_alignment_scores": "X227",
 }
 
 

@@ -939,3 +939,36 @@ def test_cka_matches_python_and_bounds(spark, sf_dir):
     assert r["n_vecs"] == n and r["dim"] == DIM
     assert r["cka"] == want
     assert 0 < r["cka"] <= 1.000001
+
+
+def test_nw_alignment_matches_python(spark, sf_dir):
+    """X227: full-matrix Python NW replay, plus score bounds: score
+    <= 4*match (perfect alignment ceiling) and score >= gap*(n+4)
+    (align nothing floor)."""
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.queries.events_ops import (
+        NW_GAP, NW_MATCH, NW_MISMATCH, NW_TEMPLATE)
+    seqs = duckdb.sql(f"""
+        SELECT user_id, list(event_type ORDER BY ts, event_id)
+        FROM '{sf_dir}/events.parquet' GROUP BY user_id""").fetchall()
+
+    def nw(tokens):
+        m = len(NW_TEMPLATE)
+        row = [j * NW_GAP for j in range(m + 1)]
+        for t in tokens:
+            new = [row[0] + NW_GAP]
+            for j in range(1, m + 1):
+                s = NW_MATCH if t == NW_TEMPLATE[j - 1] else NW_MISMATCH
+                new.append(max(row[j] + NW_GAP, new[j - 1] + NW_GAP,
+                               row[j - 1] + s))
+            row = new
+        return row[m]
+
+    want = {uid: (len(toks), nw(toks)) for uid, toks in seqs}
+    rows = _rows("funnel_alignment_scores", spark, sf_dir)
+    got = {r["user_id"]: (r["n_events"], r["align_score"])
+           for r in rows}
+    assert got == want
+    for uid, toks in seqs:
+        assert got[uid][1] <= 4 * NW_MATCH
+        assert got[uid][1] >= NW_GAP * (len(toks) + 4)
