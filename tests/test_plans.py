@@ -711,3 +711,33 @@ def test_bagged_stump_forest_broadcast_only_fanout(spark, sf_dir):
     CartesianProduct over data-sized inputs."""
     df = _df("bagged_stump_forest", spark, sf_dir)
     assert not has_cartesian_product(df)
+
+
+def test_lof_no_cartesian_product(spark, sf_dir):
+    """X214: LOF candidates come from the grid probe, never an
+    all-pairs product (the quadratic lives only in the oracle)."""
+    assert not has_cartesian_product(_df("lof_rfm_outliers",
+                                         spark, sf_dir))
+
+
+def test_ktruss_round_no_cartesian(spark, sf_dir):
+    """X225: each peeling round's triangle enumeration is wedge hash
+    joins; no cartesian product anywhere in the trajectory."""
+    assert not has_cartesian_product(_df("ktruss_peeling_profile",
+                                         spark, sf_dir))
+
+
+def test_phash_pipeline_no_cartesian(spark, sf_dir):
+    """X223: candidates come from band-key equi-joins over the Arrow
+    UDF signatures — never an all-pairs hamming scan."""
+    assert not has_cartesian_product(_df("multimodal_phash_dedup",
+                                         spark, sf_dir))
+
+
+def test_funnel_alignment_single_shuffle(spark, sf_dir):
+    """X227: the whole DP is one collect_list aggregate per user — a
+    single hash-partitioning exchange, zero joins."""
+    df = _df("funnel_alignment_scores", spark, sf_dir)
+    plan = plan_string(df)
+    assert "Join" not in plan
+    assert num_exchanges(df) == 1

@@ -86,6 +86,12 @@ SHOW = [
     "deepwalk_corpus",           # per-hop hash join vs sorted neighbor index
     "dbscan_rfm_segments",       # grid + 3x3 probe candidates, never all-pairs
     "bagged_stump_forest",       # one histogram trains all bags; broadcast OOB
+    # round-5 additions with non-trivial plans
+    "lof_rfm_outliers",          # grid-probe kNN, no all-pairs product
+    "lsh_parameter_planner",     # banded candidates + S-curve constant folds
+    "textrank_keywords",         # bounded word graph + fixed-point PR joins
+    "multimodal_phash_dedup",    # Arrow decode UDF + banded hamming verify
+    "funnel_alignment_scores",   # one fold per user, no per-step joins
 ]
 
 
