@@ -274,6 +274,7 @@ HEADLINE = [
     "ktruss_peeling_profile",
     "cka_quantization_fidelity",
     "funnel_alignment_scores",
+    "link_prediction_eval",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -1894,3 +1894,152 @@ def ktruss_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionByName(row)
         eu = eu_next
     return out
+
+
+# --------------------------------------------------------------------------
+# X228: link-prediction evaluation — the temporal-split recommender
+# eval for graphs: score candidate non-edges of the TRAIN co-purchase
+# graph (orders with even l_orderkey) by common-neighbors /
+# Adamic-Adar / resource-allocation, label them by whether the edge
+# APPEARS in the test half (odd orders), and measure each scorer's
+# exact Mann-Whitney AUC (the X92 midrank identity — 2U in BIGINT,
+# one float division per method). Candidates are the train graph's
+# 2-hop pairs (the standard LP candidate set: wedge-join bounded,
+# never all-pairs); AA/RA fold per-neighbor weights on the micro grid
+# (deg >= 2 for any common neighbor, so l2m(deg) >= 1e6 — no zero
+# denominators).
+# --------------------------------------------------------------------------
+def _lp_oracle_sql() -> str:
+    methods = (("cn", "cn"), ("aa", "aa"), ("ra", "ra"))
+    per_method = []
+    for name, col in methods:
+        per_method.append(f"""SELECT '{name}' AS method, {col} AS s,
+               CAST(SUM(lbl) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - lbl) AS BIGINT) AS n_neg
+        FROM scored GROUP BY {col}""")
+    vals = "\nUNION ALL\n".join(per_method)
+    return f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                FROM lineitem),
+    etr AS (SELECT DISTINCT a.i AS src, b.i AS dst
+            FROM op a JOIN op b ON a.g = b.g AND a.i <> b.i
+            WHERE a.g % 2 = 0),
+    ete AS (SELECT DISTINCT LEAST(a.i, b.i) AS lo,
+                   GREATEST(a.i, b.i) AS hi
+            FROM op a JOIN op b ON a.g = b.g AND a.i < b.i
+            WHERE a.g % 2 = 1),
+    deg AS (SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS d
+            FROM etr GROUP BY src),
+    cand AS (
+        SELECT LEAST(a.dst, b.dst) AS lo, GREATEST(a.dst, b.dst) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS cn,
+               CAST(SUM(1000000000000 //
+                        CAST(ROUND(log2(d.d) * 1000000) AS BIGINT))
+                    AS BIGINT) AS aa,
+               CAST(SUM(1000000000 // d.d) AS BIGINT) AS ra
+        FROM etr a JOIN etr b ON a.src = b.src AND a.dst < b.dst
+        JOIN deg d ON d.z = a.src
+        GROUP BY 1, 2
+    ),
+    nonedge AS (
+        SELECT c.* FROM cand c
+        LEFT JOIN etr e ON e.src = c.lo AND e.dst = c.hi
+        WHERE e.src IS NULL
+    ),
+    scored AS (
+        SELECT n.cn, n.aa, n.ra,
+               CASE WHEN t.lo IS NOT NULL THEN 1 ELSE 0 END AS lbl
+        FROM nonedge n LEFT JOIN ete t ON t.lo = n.lo AND t.hi = n.hi
+    ),
+    vals AS ({vals}),
+    cum AS (
+        SELECT method, s, n_pos, n_neg,
+               CAST(COALESCE(SUM(n_neg) OVER (
+                   PARTITION BY method ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS neg_below
+        FROM vals
+    )
+    SELECT method,
+           CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+           ROUND(SUM(n_pos * (2 * neg_below + n_neg))
+                 / (2.0 * SUM(n_pos) * SUM(n_neg)), 6) AS auc
+    FROM cum GROUP BY method
+    """
+
+
+@register(
+    "link_prediction_eval",
+    _lp_oracle_sql(),
+    doc="X228 link-prediction evaluation on a temporal co-purchase "
+        "split (even l_orderkey train / odd test): 2-hop candidate "
+        "non-edges scored by common-neighbors, Adamic-Adar (micro-grid "
+        "1/log2 deg) and resource-allocation (integer 1/deg); labels = "
+        "edge appears in test; per-method exact Mann-Whitney AUC (2U "
+        "in BIGINT, X92 midrank identity, one final division). The "
+        "graph-recommender eval loop, wedge-join bounded end to end. "
+        "Python replay + CN<=min-degree laws.",
+    tags=("X228", "X92", "X42", "X3", "X7", "X11"),
+)
+def link_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("g"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    etr = persist_tracked(
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.i") != F.col("b.i")))
+        .filter(F.col("a.g") % 2 == 0)
+        .select(F.col("a.i").alias("src"), F.col("b.i").alias("dst"))
+        .distinct())
+    ete = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                  & (F.col("a.i") < F.col("b.i")))
+           .filter(F.col("a.g") % 2 == 1)
+           .select(F.col("a.i").alias("lo"), F.col("b.i").alias("hi"))
+           .distinct())
+    deg = etr.groupBy(F.col("src").alias("z")) \
+        .agg(F.count("*").cast("long").alias("d"))
+    wa = etr.select(F.col("src").alias("z"), F.col("dst").alias("na"))
+    wb = etr.select(F.col("src").alias("z"), F.col("dst").alias("nb"))
+    cand = (wa.join(wb, "z").filter(F.col("na") < F.col("nb"))
+            .join(deg, "z")
+            .groupBy(F.col("na").alias("lo"), F.col("nb").alias("hi"))
+            .agg(F.count("*").cast("long").alias("cn"),
+                 F.sum(F.expr(
+                     "1000000000000 DIV CAST(ROUND(log2(d) * 1000000)"
+                     " AS BIGINT)")).cast("long").alias("aa"),
+                 F.sum(F.expr("1000000000 DIV d")).cast("long")
+                 .alias("ra")))
+    nonedge = cand.join(
+        etr.select(F.col("src").alias("lo"), F.col("dst").alias("hi")),
+        ["lo", "hi"], "left_anti")
+    scored = persist_tracked(
+        nonedge.join(ete.withColumn("lbl", F.lit(1)), ["lo", "hi"],
+                     "left")
+        .select("cn", "aa", "ra",
+                F.coalesce("lbl", F.lit(0)).alias("lbl")))
+    out = None
+    for method in ("cn", "aa", "ra"):
+        vals = (scored.groupBy(F.col(method).alias("s"))
+                .agg(F.sum("lbl").cast("long").alias("n_pos"),
+                     F.sum(1 - F.col("lbl")).cast("long")
+                     .alias("n_neg")))
+        cum = vals.select(
+            "s", "n_pos", "n_neg",
+            F.coalesce(F.sum("n_neg").over(
+                Window.orderBy("s")
+                .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+            .cast("long").alias("neg_below"))
+        row = cum.agg(
+            F.lit(method).alias("method"),
+            F.sum("n_pos").cast("long").alias("n_pos"),
+            F.sum("n_neg").cast("long").alias("n_neg"),
+            F.round(F.sum(F.col("n_pos")
+                          * (2 * F.col("neg_below") + F.col("n_neg")))
+                    / (2.0 * F.sum("n_pos") * F.sum("n_neg")), 6)
+            .alias("auc"))
+        out = row if out is None else out.unionByName(row)
+    return out

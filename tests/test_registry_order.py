@@ -98,6 +98,7 @@ NEW_R5: dict[str, str] = {
     "ktruss_peeling_profile": "X225",
     "cka_quantization_fidelity": "X226",
     "funnel_alignment_scores": "X227",
+    "link_prediction_eval": "X228",
 }
 
 

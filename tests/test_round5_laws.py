@@ -972,3 +972,66 @@ def test_nw_alignment_matches_python(spark, sf_dir):
     for uid, toks in seqs:
         assert got[uid][1] <= 4 * NW_MATCH
         assert got[uid][1] >= NW_GAP * (len(toks) + 4)
+
+
+def test_link_prediction_matches_python(spark, sf_dir):
+    """X228: Python replay of candidates, scores and midrank AUC; plus
+    CN <= min(deg) law and AUC in (0, 1)."""
+    from collections import defaultdict
+    import math
+    li = duckdb.sql(f"""
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM '{sf_dir}/lineitem.parquet'""").fetchall()
+    by_order = defaultdict(set)
+    for g, i in li:
+        by_order[g].add(i)
+    etr, ete = set(), set()
+    for g, items in by_order.items():
+        items = sorted(items)
+        for x in range(len(items)):
+            for y in range(x + 1, len(items)):
+                e = (items[x], items[y])
+                (etr if g % 2 == 0 else ete).add(e)
+    adj = defaultdict(set)
+    for lo, hi in etr:
+        adj[lo].add(hi)
+        adj[hi].add(lo)
+    deg = {z: len(v) for z, v in adj.items()}
+    cand = defaultdict(lambda: [0, 0, 0])
+    for z, ns in adj.items():
+        ns = sorted(ns)
+        for x in range(len(ns)):
+            for y in range(x + 1, len(ns)):
+                k = (ns[x], ns[y])
+                cand[k][0] += 1
+                cand[k][1] += 10 ** 12 // round(
+                    math.log2(deg[z]) * 1000000)
+                cand[k][2] += 10 ** 9 // deg[z]
+    nonedge = {k: v for k, v in cand.items() if k not in etr}
+    labels = {k: (1 if k in ete else 0) for k in nonedge}
+
+    def auc(scores):
+        vals = defaultdict(lambda: [0, 0])
+        for k, s in scores.items():
+            vals[s][labels[k]] += 1
+        p = sum(v[1] for v in vals.values())
+        n = sum(v[0] for v in vals.values())
+        u2 = 0
+        neg_below = 0
+        for s in sorted(vals):
+            nn, np_ = vals[s][0], vals[s][1]
+            u2 += np_ * (2 * neg_below + nn)
+            neg_below += nn
+        return p, n, round(u2 / (2.0 * p * n), 6)
+
+    want = {}
+    for mi, m in ((0, "cn"), (1, "aa"), (2, "ra")):
+        want[m] = auc({k: v[mi] for k, v in nonedge.items()})
+    rows = _rows("link_prediction_eval", spark, sf_dir)
+    got = {r["method"]: (r["n_pos"], r["n_neg"], r["auc"])
+           for r in rows}
+    assert got == want
+    for k, (cn, _, _) in nonedge.items():
+        assert cn <= min(deg[k[0]], deg[k[1]])
+    for m in got:
+        assert 0 < got[m][2] < 1.000001
