@@ -275,6 +275,15 @@ HEADLINE = [
     "cka_quantization_fidelity",
     "funnel_alignment_scores",
     "link_prediction_eval",
+    "page_hinkley_drift",
+    "group_split_assignment",
+    "ldiversity_tcloseness",
+    "beam_search_decode",
+    "luby_mis",
+    "goodturing_vocab",
+    "kcenter_coreset",
+    "spc_control_chart",
+    "huber_irls_trend",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -5530,3 +5530,392 @@ def funnel_alignment_scores(spark: SparkSession,
             (acc, x) -> named_struct({step}))""").alias("v"))
     return folded.select("user_id", "n_events",
                          F.col("v.r4").cast("long").alias("align_score"))
+
+
+# --------------------------------------------------------------------------
+# X229: Page-Hinkley drift detection on the daily event series.
+# Distinct from CUSUM (X85, fixed global-mean target): Page-Hinkley
+# tests each observation against the RUNNING mean of everything seen
+# so far, which is the form streaming drift monitors (river/MOA) ship.
+# The sequential statistic PH_t = U_t - min_{i<=t} U_i with
+# U_t = sum_{i<=t} (x_i - xbar_i - delta) is two ordered windows once
+# xbar_i is written as a prefix-sum ratio; the whole detector stays on
+# the BIGINT micro grid (xbar via floor division of positive sums), so
+# both engines agree bit-for-bit. Mirrored side catches downward drift.
+# The reference has no drift surface at all; [EXT] north-star op.
+# --------------------------------------------------------------------------
+PH_DELTA_MICRO = 2_000_000    # slack: 2 events/day on the micro grid
+PH_LAMBDA_MICRO = 30_000_000  # alarm threshold: 30 event-days
+
+
+@register(
+    "page_hinkley_drift",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT day, n,
+               SUM(n) OVER (ORDER BY day) AS cs,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM daily
+    ),
+    terms AS (
+        SELECT day, n,
+               n * 1000000 - (cs * 1000000) // t AS up_term,
+               n * 1000000 - (cs * 1000000) // t AS dn_term
+        FROM cum
+    ),
+    u AS (
+        SELECT day, n,
+               CAST(SUM(up_term - {PH_DELTA_MICRO})
+                    OVER (ORDER BY day) AS BIGINT) AS u_up,
+               CAST(SUM(dn_term + {PH_DELTA_MICRO})
+                    OVER (ORDER BY day) AS BIGINT) AS u_dn
+        FROM terms
+    )
+    SELECT day, n,
+           CAST(u_up - MIN(u_up) OVER (ORDER BY day) AS BIGINT)
+               AS ph_up_micro,
+           CAST(MAX(u_dn) OVER (ORDER BY day) - u_dn AS BIGINT)
+               AS ph_dn_micro,
+           CASE WHEN u_up - MIN(u_up) OVER (ORDER BY day)
+                     > {PH_LAMBDA_MICRO}
+                  OR MAX(u_dn) OVER (ORDER BY day) - u_dn
+                     > {PH_LAMBDA_MICRO}
+                THEN 1 ELSE 0 END AS alarm
+    FROM u
+    """,
+    doc="X229 Page-Hinkley drift detector (delta=2/day, lambda=30 "
+        "event-days) over daily event counts: deviation from the "
+        "RUNNING mean (prefix-sum floor-divided on the BIGINT micro "
+        "grid), cumulative U, PH = U - running min (mirrored max for "
+        "downward drift). Streaming-monitor semantics expressed as "
+        "three ordered windows on the calendar-bounded daily table — "
+        "no per-row loop, exact cross-engine. Python-recurrence "
+        "replay law in tests/test_round5_laws.py.",
+    tags=("X229", "X49", "X11"),
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+             .agg(F.count("*").cast("long").alias("n")))
+    w = Window.orderBy("day") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "day", "n",
+        F.sum("n").over(w).alias("cs"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"))
+    terms = cum.select(
+        "day", "n",
+        F.expr("n * 1000000 - (cs * 1000000) DIV t").alias("dev"))
+    u = terms.select(
+        "day", "n",
+        F.sum(F.col("dev") - PH_DELTA_MICRO).over(w).cast("long")
+        .alias("u_up"),
+        F.sum(F.col("dev") + PH_DELTA_MICRO).over(w).cast("long")
+        .alias("u_dn"))
+    ph_up = (F.col("u_up") - F.min("u_up").over(w)).cast("long")
+    ph_dn = (F.max("u_dn").over(w) - F.col("u_dn")).cast("long")
+    return u.select(
+        "day", "n",
+        ph_up.alias("ph_up_micro"),
+        ph_dn.alias("ph_dn_micro"),
+        F.when((ph_up > PH_LAMBDA_MICRO) | (ph_dn > PH_LAMBDA_MICRO), 1)
+        .otherwise(0).alias("alarm"))
+
+
+# --------------------------------------------------------------------------
+# X236: statistical process control — the X-bar chart with Western
+# Electric run rules, the shop-floor ancestor of every alerting
+# pipeline: a baseline window fixes the center line and sigma, then
+# each day trips R1 (beyond 3-sigma), R2 (2 of 3 consecutive beyond
+# 2-sigma, same side), R3 (4 of 5 beyond 1-sigma, same side), or R4
+# (8 consecutive on one side). Daily means fold exactly (values
+# micro-snapped BEFORE summing so the fold is BIGINT), sigma comes
+# from one exact moment fold + a correctly-rounded sqrt (X182
+# discipline), and every rule is an integer comparison over a bounded
+# ROWS window — four rolling sums, no state machine, no UDF.
+# Complements X85/X229 (cumulative detectors) with the zone-rule
+# family. Western Electric SQC Handbook (1956); [EXT].
+# --------------------------------------------------------------------------
+SPC_BASELINE_DAYS = 12
+
+
+@register(
+    "spc_control_chart",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS sv
+        FROM events GROUP BY 1
+    ),
+    seq AS (
+        SELECT day, sv // n AS x,
+               ROW_NUMBER() OVER (ORDER BY day) AS rn
+        FROM daily
+    ),
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS bn,
+               CAST(SUM(x) AS BIGINT) AS bs,
+               CAST(SUM(x * x) AS BIGINT) AS bss
+        FROM seq WHERE rn <= {SPC_BASELINE_DAYS}
+    ),
+    lim AS (
+        SELECT bs // bn AS center,
+               CAST(ROUND(SQRT(CAST(bss * bn - bs * bs AS DOUBLE))
+                          / bn, 0) AS BIGINT) AS sigma
+        FROM base
+    ),
+    dev AS (
+        SELECT s.day, s.x, s.x - l.center AS d, l.sigma
+        FROM seq s CROSS JOIN lim l
+    ),
+    flags AS (
+        SELECT day, x, d, sigma,
+               CASE WHEN ABS(d) > 3 * sigma THEN 1 ELSE 0 END AS b3,
+               CASE WHEN d > 2 * sigma THEN 1 ELSE 0 END AS u2,
+               CASE WHEN d < -2 * sigma THEN 1 ELSE 0 END AS d2,
+               CASE WHEN d > sigma THEN 1 ELSE 0 END AS u1,
+               CASE WHEN d < -sigma THEN 1 ELSE 0 END AS d1,
+               CASE WHEN d > 0 THEN 1 ELSE 0 END AS u0,
+               CASE WHEN d < 0 THEN 1 ELSE 0 END AS d0
+        FROM dev
+    ),
+    rules AS (
+        SELECT day, x AS x_micro, d AS dev_micro,
+               b3 AS r1,
+               CASE WHEN SUM(u2) OVER w3 >= 2
+                      OR SUM(d2) OVER w3 >= 2 THEN 1 ELSE 0 END AS r2,
+               CASE WHEN SUM(u1) OVER w5 >= 4
+                      OR SUM(d1) OVER w5 >= 4 THEN 1 ELSE 0 END AS r3,
+               CASE WHEN SUM(u0) OVER w8 = 8
+                      OR SUM(d0) OVER w8 = 8 THEN 1 ELSE 0 END AS r4
+        FROM flags
+        WINDOW w3 AS (ORDER BY day ROWS BETWEEN 2 PRECEDING
+                      AND CURRENT ROW),
+               w5 AS (ORDER BY day ROWS BETWEEN 4 PRECEDING
+                      AND CURRENT ROW),
+               w8 AS (ORDER BY day ROWS BETWEEN 7 PRECEDING
+                      AND CURRENT ROW)
+    )
+    SELECT day, x_micro, dev_micro, r1, r2, r3, r4,
+           CASE WHEN r1 + r2 + r3 + r4 > 0 THEN 1 ELSE 0 END AS alarm
+    FROM rules
+    """,
+    doc=f"X236 SPC X-bar chart with Western Electric rules over daily "
+        "mean event value (micro-snapped before the fold so the mean "
+        f"is a BIGINT floor division): first {SPC_BASELINE_DAYS} days "
+        "fix center + sigma (exact moments, correctly-rounded sqrt); "
+        "R1 3-sigma, R2 2-of-3 beyond 2-sigma one-sided, R3 4-of-5 "
+        "beyond 1-sigma, R4 8-in-a-row one side — four bounded ROWS "
+        "windows, all-integer comparisons. Python replay law.",
+    tags=("X236", "X49", "X11", "X85"),
+)
+def spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date")
+                        .alias("day"))
+             .agg(F.count("*").cast("long").alias("n"),
+                  F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+                  .cast("long").alias("sv")))
+    seq = daily.select(
+        "day", F.expr("sv DIV n").alias("x"),
+        F.row_number().over(Window.orderBy("day")).alias("rn"))
+    base = (seq.filter(F.col("rn") <= SPC_BASELINE_DAYS)
+            .agg(F.count("*").cast("long").alias("bn"),
+                 F.sum("x").cast("long").alias("bs"),
+                 F.sum(F.col("x") * F.col("x")).cast("long")
+                 .alias("bss")))
+    lim = base.select(
+        F.expr("bs DIV bn").alias("center"),
+        F.round(F.sqrt((F.col("bss") * F.col("bn")
+                        - F.col("bs") * F.col("bs")).cast("double"))
+                / F.col("bn"), 0).cast("long").alias("sigma"))
+    dev = (seq.crossJoin(F.broadcast(lim))
+           .select("day", "x", (F.col("x") - F.col("center")).alias("d"),
+                   "sigma"))
+    flags = dev.select(
+        "day", "x", "d", "sigma",
+        F.when(F.abs("d") > 3 * F.col("sigma"), 1).otherwise(0)
+        .alias("b3"),
+        F.when(F.col("d") > 2 * F.col("sigma"), 1).otherwise(0)
+        .alias("u2"),
+        F.when(F.col("d") < -2 * F.col("sigma"), 1).otherwise(0)
+        .alias("d2"),
+        F.when(F.col("d") > F.col("sigma"), 1).otherwise(0).alias("u1"),
+        F.when(F.col("d") < -F.col("sigma"), 1).otherwise(0).alias("d1"),
+        F.when(F.col("d") > 0, 1).otherwise(0).alias("u0"),
+        F.when(F.col("d") < 0, 1).otherwise(0).alias("d0"))
+    w3 = Window.orderBy("day").rowsBetween(-2, 0)
+    w5 = Window.orderBy("day").rowsBetween(-4, 0)
+    w8 = Window.orderBy("day").rowsBetween(-7, 0)
+    rules = flags.select(
+        "day", F.col("x").alias("x_micro"), F.col("d").alias("dev_micro"),
+        F.col("b3").alias("r1"),
+        F.when((F.sum("u2").over(w3) >= 2)
+               | (F.sum("d2").over(w3) >= 2), 1).otherwise(0).alias("r2"),
+        F.when((F.sum("u1").over(w5) >= 4)
+               | (F.sum("d1").over(w5) >= 4), 1).otherwise(0).alias("r3"),
+        F.when((F.sum("u0").over(w8) == 8)
+               | (F.sum("d0").over(w8) == 8), 1).otherwise(0).alias("r4"))
+    return rules.select(
+        "day", "x_micro", "dev_micro", "r1", "r2", "r3", "r4",
+        F.when(F.col("r1") + F.col("r2") + F.col("r3") + F.col("r4") > 0,
+               1).otherwise(0).alias("alarm"))
+
+
+# --------------------------------------------------------------------------
+# X237: Huber M-estimation via IRLS — the third robust-regression
+# family next to RANSAC (X183, consensus) and Theil-Sen (X159, rank):
+# iteratively reweighted least squares on the daily event-count trend,
+# weights w = min(1, c/|r|) from the previous iterate's residuals.
+# Every iteration's moments are exact BIGINT folds of micro-grid
+# weights; the closed-form (a, b) solve is the ONLY float step, two
+# correctly-rounded divisions per iteration snapped straight back to
+# the micro grid (X60 discipline), so both engines walk the identical
+# trajectory. c is data-derived (10% of the mean daily count) so the
+# detector is scale-honest. Output: the 5-step trajectory with
+# downweighted-day counts — convergence is visible, not asserted.
+# Huber (1964); [EXT] — the reference fits nothing.
+# --------------------------------------------------------------------------
+HUBER_ITERS = 5
+
+
+def _huber_oracle_sql() -> str:
+    solve = """
+        SELECT CAST(ROUND((CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+                    - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+                   / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                      - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE))
+                   * 1000000, 0) AS BIGINT) AS b_micro,
+               sw, swx, swy
+        FROM m{i}"""
+    ctes = ["""daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    )""", """seq AS MATERIALIZED (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT)
+                   AS x, y
+        FROM daily
+    )""", """cpar AS MATERIALIZED (
+        SELECT ((SUM(y) * 1000000) // COUNT(*)) // 10 AS c_micro
+        FROM seq
+    )""", """w1 AS MATERIALIZED (
+        SELECT x, y, CAST(1000000 AS BIGINT) AS w FROM seq
+    )"""]
+    rows = []
+    for i in range(1, HUBER_ITERS + 1):
+        ctes.append(f"""m{i} AS MATERIALIZED (
+        SELECT CAST(SUM(w) AS BIGINT) AS sw,
+               CAST(SUM(w * x) AS BIGINT) AS swx,
+               CAST(SUM(w * y) AS BIGINT) AS swy,
+               CAST(SUM(w * x * x) AS BIGINT) AS swxx,
+               CAST(SUM(w * x * y) AS BIGINT) AS swxy,
+               CAST(SUM(CASE WHEN w = 1000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_full,
+               CAST(SUM(CASE WHEN w < 1000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_down
+        FROM w{i}
+    )""")
+        ctes.append(f"""s{i} AS MATERIALIZED (
+        SELECT b_micro,
+               CAST(ROUND((CAST(swy AS DOUBLE) * 1000000
+                           - CAST(b_micro AS DOUBLE)
+                             * CAST(swx AS DOUBLE))
+                          / CAST(sw AS DOUBLE), 0) AS BIGINT) AS a_micro
+        FROM ({solve.format(i=i)})
+    )""")
+        if i < HUBER_ITERS:
+            ctes.append(f"""w{i + 1} AS MATERIALIZED (
+        SELECT q.x, q.y,
+               CASE WHEN ABS(q.y * 1000000 - (s.a_micro
+                         + s.b_micro * q.x)) <= c.c_micro
+                    THEN CAST(1000000 AS BIGINT)
+                    ELSE CAST((c.c_micro * 1000000)
+                         // ABS(q.y * 1000000 - (s.a_micro
+                                + s.b_micro * q.x)) AS BIGINT)
+               END AS w
+        FROM seq q CROSS JOIN s{i} s CROSS JOIN cpar c
+    )""")
+        rows.append(
+            f"SELECT CAST({i} AS BIGINT) AS iter, s.a_micro, s.b_micro,"
+            f" m.n_full, m.n_down, m.sw AS sum_w\n"
+            f"FROM s{i} s CROSS JOIN m{i} m")
+    return ("WITH " + ",\n    ".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(rows))
+
+
+@register(
+    "huber_irls_trend",
+    _huber_oracle_sql(),
+    doc=f"X237 Huber IRLS robust trend ({HUBER_ITERS} iterations) on "
+        "daily event counts: micro-grid weights min(1, c/|r|) with "
+        "data-derived c (10% of mean daily count), exact BIGINT "
+        "weighted moments per iteration, closed-form solve as two "
+        "correctly-rounded double divisions snapped back to the grid. "
+        "Trajectory output (a, b, downweighted days per step); "
+        "Python IRLS replay + weight-range laws.",
+    tags=("X237", "X183", "X60", "X49", "X7"),
+)
+def huber_irls_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date")
+                        .alias("day"))
+             .agg(F.count("*").cast("long").alias("y")))
+    seq = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).cast("long")
+        .alias("x"), "y").localCheckpoint()
+    cpar = seq.agg(F.expr("((SUM(y) * 1000000) DIV COUNT(*)) DIV 10")
+                   .cast("long").alias("c_micro")).localCheckpoint()
+    w = seq.select("x", "y", F.lit(1000000).cast("long").alias("w"))
+    out = None
+    for i in range(1, HUBER_ITERS + 1):
+        m = w.agg(
+            F.sum("w").cast("long").alias("sw"),
+            F.sum(F.col("w") * F.col("x")).cast("long").alias("swx"),
+            F.sum(F.col("w") * F.col("y")).cast("long").alias("swy"),
+            F.sum(F.col("w") * F.col("x") * F.col("x")).cast("long")
+            .alias("swxx"),
+            F.sum(F.col("w") * F.col("x") * F.col("y")).cast("long")
+            .alias("swxy"),
+            F.sum(F.when(F.col("w") == 1000000, 1).otherwise(0))
+            .cast("long").alias("n_full"),
+            F.sum(F.when(F.col("w") < 1000000, 1).otherwise(0))
+            .cast("long").alias("n_down")).localCheckpoint()
+        s = m.select(
+            F.expr(
+                "CAST(ROUND((CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)"
+                " - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))"
+                " / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)"
+                " - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE))"
+                " * 1000000, 0) AS BIGINT)").alias("b_micro"),
+            "sw", "swx", "swy").select(
+            F.expr(
+                "CAST(ROUND((CAST(swy AS DOUBLE) * 1000000"
+                " - CAST(b_micro AS DOUBLE) * CAST(swx AS DOUBLE))"
+                " / CAST(sw AS DOUBLE), 0) AS BIGINT)").alias("a_micro"),
+            "b_micro").localCheckpoint()
+        row = (s.crossJoin(m.select("n_full", "n_down",
+                                    F.col("sw").alias("sum_w")))
+               .select(F.lit(i).cast("long").alias("iter"),
+                       "a_micro", "b_micro", "n_full", "n_down",
+                       "sum_w"))
+        out = row if out is None else out.unionByName(row)
+        if i < HUBER_ITERS:
+            resid = F.expr("ABS(y * 1000000 - (a_micro + b_micro * x))")
+            w = (seq.crossJoin(F.broadcast(s))
+                 .crossJoin(F.broadcast(cpar))
+                 .select("x", "y",
+                         F.when(resid <= F.col("c_micro"),
+                                F.lit(1000000).cast("long"))
+                         .otherwise(F.expr(
+                             "CAST((c_micro * 1000000) DIV "
+                             "ABS(y * 1000000 - (a_micro + b_micro * x))"
+                             " AS BIGINT)")).alias("w")))
+    return out

@@ -2043,3 +2043,124 @@ def link_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("auc"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# X233: Luby's maximal independent set — THE canonical symmetry-breaking
+# primitive of distributed graph computing (Luby 1986): each round every
+# active vertex draws a priority (md5 of round:vertex, so task retries
+# and both engines re-derive it), joins the MIS iff its priority beats
+# every active neighbor's, then winners and their neighborhoods leave
+# the graph. Expected O(log n) rounds; the profile below runs a fixed
+# LUBY_ROUNDS and reports per-round selected / id-checksum / remaining
+# (law test asserts the graph empties at test scale, plus independence
+# and maximality of the final set). Each round is two hash joins and an
+# aggregate on the shrinking active edge set — no driver-side vertex
+# lists, the anti-joins stay distributed.
+# --------------------------------------------------------------------------
+LUBY_ROUNDS = 8
+
+
+def _luby_oracle_sql() -> str:
+    def md5p(r: str) -> str:
+        return (f"CAST(('0x' || substr(md5('luby:{r}:' || "
+                f"CAST(v AS VARCHAR)), 1, 15)) AS BIGINT)")
+
+    ctes = []
+    rows = []
+    prev = "a0"
+    for r in range(1, LUBY_ROUNDS + 1):
+        ctes.append(f"""p{r} AS MATERIALIZED (
+        SELECT v, {md5p(str(r))} AS p FROM {prev}
+    ),
+    e{r} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM edges e
+        JOIN {prev} x ON x.v = e.src JOIN {prev} y ON y.v = e.dst
+    ),
+    nm{r} AS MATERIALIZED (
+        SELECT e.src AS v, MIN(p.p) AS mp
+        FROM e{r} e JOIN p{r} p ON p.v = e.dst GROUP BY e.src
+    ),
+    s{r} AS MATERIALIZED (
+        SELECT p.v FROM p{r} p LEFT JOIN nm{r} n ON n.v = p.v
+        WHERE n.mp IS NULL OR p.p < n.mp
+    ),
+    rm{r} AS MATERIALIZED (
+        SELECT DISTINCT e.dst AS v
+        FROM e{r} e JOIN s{r} s ON s.v = e.src
+    ),
+    a{r} AS MATERIALIZED (
+        SELECT a.v FROM {prev} a
+        LEFT JOIN s{r} s ON s.v = a.v
+        LEFT JOIN rm{r} m ON m.v = a.v
+        WHERE s.v IS NULL AND m.v IS NULL
+    )""")
+        rows.append(
+            f"SELECT CAST({r} AS BIGINT) AS round,\n"
+            f"  (SELECT CAST(COUNT(*) AS BIGINT) FROM s{r})"
+            f" AS n_selected,\n"
+            f"  (SELECT CAST(COALESCE(SUM(v), 0) AS BIGINT) FROM s{r})"
+            f" AS sel_id_sum,\n"
+            f"  (SELECT CAST(COUNT(*) AS BIGINT) FROM a{r})"
+            f" AS n_remaining")
+        prev = f"a{r}"
+    cte_sql = ",\n    ".join(ctes)
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                FROM lineitem),
+    edges AS MATERIALIZED (SELECT DISTINCT a.i AS src, b.i AS dst
+              FROM op a JOIN op b ON a.g = b.g AND a.i <> b.i),
+    a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges),
+    {cte_sql}
+    {union}
+    """
+
+
+@register(
+    "luby_mis",
+    _luby_oracle_sql(),
+    doc=f"X233 Luby maximal independent set ({LUBY_ROUNDS} rounds) on "
+        "the part co-purchase graph: per-round md5 priorities, select "
+        "iff strictly below every active neighbor (isolated vertices "
+        "self-select), remove winners + neighborhoods via distributed "
+        "anti-joins. Output: per-round selected count, selected-id "
+        "checksum, remaining actives. Independence + maximality + "
+        "empties-at-test-scale laws in tests/test_round5_laws.py.",
+    tags=("X233", "X30", "X3", "X7"),
+)
+def luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey") \
+        .localCheckpoint()
+    active = edges.select(F.col("src").alias("v")).distinct() \
+        .localCheckpoint()
+    eact = edges.localCheckpoint()
+    results = []
+    for r in range(1, LUBY_ROUNDS + 1):
+        pri = active.select(
+            "v",
+            F.expr(f"CAST(conv(substring(md5(concat('luby:{r}:', "
+                   "CAST(v AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+            .alias("p"))
+        nbmin = (eact.join(pri.select(F.col("v").alias("dst"),
+                                      F.col("p").alias("pd")), "dst")
+                 .groupBy(F.col("src").alias("v"))
+                 .agg(F.min("pd").alias("mp")))
+        sel = (pri.join(nbmin, "v", "left")
+               .filter(F.col("mp").isNull() | (F.col("p") < F.col("mp")))
+               .select("v").localCheckpoint())
+        removed = (eact.join(sel.select(F.col("v").alias("src")), "src")
+                   .select(F.col("dst").alias("v")).distinct())
+        active = (active.join(sel, "v", "left_anti")
+                  .join(removed, "v", "left_anti").localCheckpoint())
+        eact = (eact.join(active.select(F.col("v").alias("src")), "src")
+                .join(active.select(F.col("v").alias("dst")), "dst")
+                .select("src", "dst").localCheckpoint())
+        stats = sel.agg(F.count("*").cast("long"),
+                        F.coalesce(F.sum("v"), F.lit(0)).cast("long")
+                        ).first()
+        results.append((r, stats[0], stats[1], active.count()))
+    return spark.createDataFrame(
+        results,
+        "round long, n_selected long, sel_id_sum long, n_remaining long")

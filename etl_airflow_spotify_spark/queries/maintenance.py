@@ -1528,3 +1528,112 @@ def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("ndv_lhs") == F.col("ndv_pair"), 1).otherwise(0)
         .cast("long").alias("holds"),
         (F.col("ndv_pair") - F.col("ndv_lhs")).alias("violations"))
+
+
+# --------------------------------------------------------------------------
+# X231: l-diversity / t-closeness audit — the privacy checks k-anonymity
+# (X72) cannot see. A QI group can be k-anonymous yet reveal everyone's
+# sensitive value when the group is homogeneous (l=1), or skew far from
+# the corpus base rate (t-closeness, measured here as total-variation
+# distance on the BIGINT micro grid). QI = (c_nationkey,
+# o_orderpriority), sensitive = o_orderstatus; missing statuses in a
+# group contribute the full global mass |0 - p(s)| via the
+# group x status scaffold (cross join against the tiny status dim).
+# Machanavajjhala et al. (l-diversity, ICDE 2006) / Li et al.
+# (t-closeness, ICDE 2007); [EXT] — the reference has no privacy ops.
+# --------------------------------------------------------------------------
+LDIV_MIN_K = 5
+LDIV_MIN_L = 2
+TCLOSE_MAX_MICRO = 200_000  # t <= 0.2
+
+
+@register(
+    "ldiversity_tcloseness",
+    f"""
+    WITH joined AS (
+        SELECT c.c_nationkey AS nation, o.o_orderpriority AS priority,
+               o.o_orderstatus AS s
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    gdist AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS sn FROM joined GROUP BY s
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM joined),
+    grp AS (
+        SELECT nation, priority,
+               CAST(COUNT(*) AS BIGINT) AS k_count,
+               CAST(COUNT(DISTINCT s) AS BIGINT) AS l_distinct
+        FROM joined GROUP BY nation, priority
+    ),
+    gs AS (
+        SELECT nation, priority, s, CAST(COUNT(*) AS BIGINT) AS gn
+        FROM joined GROUP BY nation, priority, s
+    ),
+    scaffold AS (
+        SELECT g.nation, g.priority, g.k_count, gdist.s, gdist.sn,
+               COALESCE(gs.gn, 0) AS gn
+        FROM grp g CROSS JOIN gdist
+        LEFT JOIN gs ON gs.nation = g.nation
+                    AND gs.priority = g.priority AND gs.s = gdist.s
+    ),
+    tvd AS (
+        SELECT nation, priority,
+               CAST(SUM(ABS((gn * 1000000) // k_count
+                            - (sn * 1000000) // n)) // 2 AS BIGINT)
+                   AS tvd_micro
+        FROM scaffold CROSS JOIN tot
+        GROUP BY nation, priority
+    )
+    SELECT g.nation, g.priority, g.k_count, g.l_distinct, t.tvd_micro,
+           CASE WHEN g.k_count >= {LDIV_MIN_K} THEN 1 ELSE 0 END
+               AS meets_k,
+           CASE WHEN g.l_distinct >= {LDIV_MIN_L} THEN 1 ELSE 0 END
+               AS meets_l,
+           CASE WHEN t.tvd_micro <= {TCLOSE_MAX_MICRO} THEN 1 ELSE 0 END
+               AS meets_t
+    FROM grp g JOIN tvd t ON t.nation = g.nation
+                         AND t.priority = g.priority
+    """,
+    doc="X231 l-diversity + t-closeness audit over QI groups "
+        "(c_nationkey, o_orderpriority) with sensitive o_orderstatus: "
+        "per group k (anonymity), l (distinct sensitive values), and "
+        "total-variation distance to the global sensitive distribution "
+        "on the BIGINT micro grid (group x status scaffold so absent "
+        "statuses pay the full global mass), plus pass flags for "
+        f"k>={LDIV_MIN_K}, l>={LDIV_MIN_L}, t<=0.2. Three aggregates + "
+        "one broadcast-size scaffold join; no UDF, exact cross-engine. "
+        "Python-replay + TVD-bounds laws.",
+    tags=("X231", "X72", "X7", "X3"),
+)
+def ldiversity_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = (o.join(c, o.o_custkey == c.c_custkey)
+              .select(F.col("c_nationkey").alias("nation"),
+                      F.col("o_orderpriority").alias("priority"),
+                      F.col("o_orderstatus").alias("s")))
+    glob = joined.groupBy("s").agg(F.count("*").cast("long").alias("sn"))
+    tot = joined.agg(F.count("*").cast("long").alias("n"))
+    grp = (joined.groupBy("nation", "priority")
+           .agg(F.count("*").cast("long").alias("k_count"),
+                F.countDistinct("s").cast("long").alias("l_distinct")))
+    gs = (joined.groupBy("nation", "priority", "s")
+          .agg(F.count("*").cast("long").alias("gn")))
+    scaffold = (grp.crossJoin(F.broadcast(glob))
+                .join(gs, ["nation", "priority", "s"], "left")
+                .select("nation", "priority", "k_count", "s", "sn",
+                        F.coalesce("gn", F.lit(0)).alias("gn")))
+    tvd = (scaffold.crossJoin(F.broadcast(tot))
+           .groupBy("nation", "priority")
+           .agg(F.expr("SUM(ABS((gn * 1000000) DIV k_count"
+                       " - (sn * 1000000) DIV n)) DIV 2")
+                .cast("long").alias("tvd_micro")))
+    return (grp.join(tvd, ["nation", "priority"])
+            .select("nation", "priority", "k_count", "l_distinct",
+                    "tvd_micro",
+                    F.when(F.col("k_count") >= LDIV_MIN_K, 1).otherwise(0)
+                    .alias("meets_k"),
+                    F.when(F.col("l_distinct") >= LDIV_MIN_L, 1)
+                    .otherwise(0).alias("meets_l"),
+                    F.when(F.col("tvd_micro") <= TCLOSE_MAX_MICRO, 1)
+                    .otherwise(0).alias("meets_t")))

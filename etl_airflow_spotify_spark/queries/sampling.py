@@ -492,3 +492,118 @@ def neyman_stratified_sample(spark: SparkSession,
                     F.coalesce("samp_cents_sum", F.lit(0)).cast("long")
                     .alias("samp_cents_sum"))
             .orderBy("segment"))
+
+
+# --------------------------------------------------------------------------
+# X230: group-aware split assignment — the leakage-safe form of the
+# train/valid/test split. Row-level hashing (dataset_split, X28-family)
+# scatters one user's events across splits, leaking per-user signal
+# from train into test; the production fix keys the split on the GROUP
+# (user_id) so every row of a group lands in the same fold. This query
+# assigns both ways and audits the difference: per scenario, the rows /
+# groups per split, the achieved train fraction (group sizes are
+# lumpy, so the grouped scenario deviates from 80/10/10 at the row
+# level — that deviation is the price of hygiene), and the number of
+# straddling groups (>1 split), provably 0 for the grouped scenario.
+# The reference splits nothing ([EXT]); cf. Kaufman et al., "Leakage
+# in data mining" (TKDD 2012) for the grouped-split discipline.
+# --------------------------------------------------------------------------
+def _gsplit_oracle_sql() -> str:
+    def bucket(expr: str, salt: str) -> str:
+        return (f"CAST(('0x' || substr(md5(concat('{salt}:', "
+                f"CAST({expr} AS VARCHAR))), 1, 15)) AS BIGINT) % 10")
+
+    def split_case(b: str) -> str:
+        return (f"CASE WHEN ({b}) < 8 THEN 'train' "
+                f"WHEN ({b}) = 8 THEN 'valid' ELSE 'test' END")
+
+    return f"""
+    WITH assigned AS (
+        SELECT 'group' AS scenario, user_id,
+               {split_case(bucket('user_id', 'gsplit'))} AS split
+        FROM events
+        UNION ALL
+        SELECT 'row' AS scenario, user_id,
+               {split_case(bucket('event_id', 'rsplit'))} AS split
+        FROM events
+    ),
+    per_split AS (
+        SELECT scenario, split,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_groups
+        FROM assigned GROUP BY scenario, split
+    ),
+    straddle AS (
+        SELECT scenario,
+               CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_straddle_groups
+        FROM (SELECT scenario, user_id,
+                     COUNT(DISTINCT split) AS n_splits
+              FROM assigned GROUP BY scenario, user_id)
+        GROUP BY scenario
+    ),
+    tot AS (
+        SELECT scenario, SUM(n_rows) AS all_rows FROM per_split
+        GROUP BY scenario
+    )
+    SELECT p.scenario, p.split, p.n_rows, p.n_groups,
+           CAST((p.n_rows * 1000000) // t.all_rows AS BIGINT)
+               AS row_frac_micro,
+           s.n_straddle_groups
+    FROM per_split p
+    JOIN tot t ON t.scenario = p.scenario
+    JOIN straddle s ON s.scenario = p.scenario
+    """
+
+
+@register(
+    "group_split_assignment",
+    _gsplit_oracle_sql(),
+    doc="X230 group-aware split assignment: events split 80/10/10 two "
+        "ways — keyed on md5(user_id) (grouped, leakage-safe) vs "
+        "md5(event_id) (row-level) — then audited per scenario x "
+        "split: rows, groups touched, achieved row fraction (micro "
+        "grid), and straddling groups (appearing in >1 split). The "
+        "grouped scenario's straddle count is 0 by construction (law "
+        "test); the row scenario's is the leakage the grouped split "
+        "buys out of. Pure hash-classify + two aggregates — "
+        "scale-free, no shuffle beyond the groupBys.",
+    tags=("X230", "X28", "X65", "X7"),
+)
+def group_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def bucket(col: str, salt: str) -> F.Column:
+        return (F.expr(
+            f"CAST(conv(substring(md5(concat('{salt}:', "
+            f"CAST({col} AS STRING))), 1, 15), 16, 10) AS BIGINT)") % 10)
+
+    def split_of(b: F.Column) -> F.Column:
+        return (F.when(b < 8, "train")
+                .when(b == 8, "valid").otherwise("test"))
+
+    grouped = ev.select(
+        F.lit("group").alias("scenario"), "user_id",
+        split_of(bucket("user_id", "gsplit")).alias("split"))
+    rowwise = ev.select(
+        F.lit("row").alias("scenario"), "user_id",
+        split_of(bucket("event_id", "rsplit")).alias("split"))
+    assigned = grouped.unionByName(rowwise)
+    per_split = (assigned.groupBy("scenario", "split")
+                 .agg(F.count("*").cast("long").alias("n_rows"),
+                      F.countDistinct("user_id").cast("long")
+                      .alias("n_groups")))
+    straddle = (assigned.groupBy("scenario", "user_id")
+                .agg(F.countDistinct("split").alias("n_splits"))
+                .groupBy("scenario")
+                .agg(F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+                     .cast("long").alias("n_straddle_groups")))
+    tot = (per_split.groupBy("scenario")
+           .agg(F.sum("n_rows").alias("all_rows")))
+    return (per_split
+            .join(tot, "scenario")
+            .join(straddle, "scenario")
+            .select("scenario", "split", "n_rows", "n_groups",
+                    F.expr("(n_rows * 1000000) DIV all_rows")
+                    .cast("long").alias("row_frac_micro"),
+                    "n_straddle_groups"))

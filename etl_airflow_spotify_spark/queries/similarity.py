@@ -3514,3 +3514,100 @@ def cka_quantization_fidelity(spark: SparkSession,
                             / (F.sqrt(F.col("fxx").cast("double"))
                                * F.sqrt(F.col("fyy").cast("double"))),
                             6).alias("cka")))
+
+
+# --------------------------------------------------------------------------
+# X235: k-center coreset selection (Gonzalez farthest-first traversal)
+# — the 2-approximation that picks the most geometry-covering k
+# exemplars from an embedding set, the standard coreset/diversity
+# subroutine of training-data selection (pick the next point farthest
+# from everything already chosen). Embeddings snap to the 1e-6 integer
+# grid (X181 discipline) so every squared distance is an exact BIGINT
+# fold; each of the K rounds is one map over the table (update the
+# running min-distance against the single new center, a broadcast
+# 1-row frame) + one TakeOrderedAndProject argmax (ties -> min
+# vec_id). The per-round argmax is the only driver handoff (1 row,
+# same bound as the BPE argmax). Oracle: the identical recursion
+# unrolled as MATERIALIZED CTE stages. Gonzalez (1985).
+# --------------------------------------------------------------------------
+KCENTER_K = 8
+
+
+def _kcenter_oracle_sql() -> str:
+    d2 = ("CAST(list_sum(list_transform(range(1, len(qe) + 1), "
+          "i -> (qe[i] - {c}[i]) * (qe[i] - {c}[i]))) AS BIGINT)")
+    ctes = ["""q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(ROUND(x * 1000000, 0) AS BIGINT))
+                   AS qe
+        FROM embeddings
+    )""", """c1 AS MATERIALIZED (
+        SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT 1
+    )""", f"""d1 AS MATERIALIZED (
+        SELECT vec_id, qe, {d2.format(c='cqe')} AS d
+        FROM q CROSS JOIN (SELECT qe AS cqe FROM c1)
+    )"""]
+    rows = ["SELECT CAST(1 AS BIGINT) AS k,\n"
+            "  (SELECT vec_id FROM c1) AS center_id,\n"
+            "  (SELECT CAST(MAX(d) AS BIGINT) FROM d1) AS radius2"]
+    for r in range(2, KCENTER_K + 1):
+        ctes.append(f"""c{r} AS MATERIALIZED (
+        SELECT vec_id, qe FROM d{r - 1}
+        ORDER BY d DESC, vec_id LIMIT 1
+    )""")
+        ctes.append(f"""d{r} AS MATERIALIZED (
+        SELECT vec_id, qe, LEAST(d, {d2.format(c='cqe')}) AS d
+        FROM d{r - 1} CROSS JOIN (SELECT qe AS cqe FROM c{r})
+    )""")
+        rows.append(
+            f"SELECT CAST({r} AS BIGINT) AS k,\n"
+            f"  (SELECT vec_id FROM c{r}) AS center_id,\n"
+            f"  (SELECT CAST(MAX(d) AS BIGINT) FROM d{r}) AS radius2")
+    cte_sql = ",\n    ".join(ctes)
+    union = "\nUNION ALL\n".join(rows)
+    return f"WITH {cte_sql}\n{union}"
+
+
+@register(
+    "kcenter_coreset",
+    _kcenter_oracle_sql(),
+    doc=f"X235 Gonzalez farthest-first k-center coreset (K="
+        f"{KCENTER_K}) over 1e-6-grid-quantized embeddings: per round "
+        "ONE map updating the running min-squared-distance against the "
+        "new center (broadcast 1-row frame) and one top-1 argmax "
+        "(d DESC, vec_id) — K passes total, never an all-pairs "
+        "matrix. Output: per-k chosen center + exact BIGINT coverage "
+        "radius^2 (non-increasing in k: law). Python replay law.",
+    tags=("X235", "X17", "X54", "X126", "X12"),
+)
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        S.as_double(F.col("embedding")),
+        lambda x: F.round(x * 1e6, 0).cast("long"))
+    q = emb.select("vec_id", micro.alias("qe")).localCheckpoint()
+    first = q.orderBy("vec_id").limit(1).first()
+    centers = [(1, first["vec_id"], first["qe"])]
+
+    def d2_to(vec):
+        lit = F.array(*[F.lit(int(v)) for v in vec])
+        return F.aggregate(
+            F.zip_with("qe", lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    cur = q.select("vec_id", "qe",
+                   d2_to(first["qe"]).alias("d")).localCheckpoint()
+    results = []
+    radius = cur.agg(F.max("d").cast("long")).first()[0]
+    results.append((1, first["vec_id"], radius))
+    for k in range(2, KCENTER_K + 1):
+        nxt = cur.orderBy(F.desc("d"), "vec_id").limit(1).first()
+        cur = cur.select(
+            "vec_id", "qe",
+            F.least("d", d2_to(nxt["qe"])).alias("d")).localCheckpoint()
+        radius = cur.agg(F.max("d").cast("long")).first()[0]
+        results.append((k, nxt["vec_id"], radius))
+        centers.append((k, nxt["vec_id"], nxt["qe"]))
+    return spark.createDataFrame(
+        results, "k long, center_id long, radius2 long")

@@ -2720,3 +2720,247 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pr.orderBy(F.desc("pr"), F.asc("node"))
             .limit(TEXTRANK_TOPK)
             .select(F.col("node").alias("word"), "pr", "degree"))
+
+
+# --------------------------------------------------------------------------
+# X232: beam-search LM decoding — the width-B generalization of the
+# X174 greedy walk: keep the B best-scoring hypotheses per step under
+# the bigram log-likelihood instead of one. Scores live on the BIGINT
+# micro grid (lp(a->b) = l2m(c_ab) - l2m(tot_a), the X67 discipline),
+# hypotheses are ranked (score DESC, sequence ASC) so ties are
+# deterministic, and each step is one tiny hash join of the <=B-row
+# beam frame against the persisted scored-bigram table — the corpus is
+# scanned once, the search never re-reads it. Beams reaching the same
+# word via different prefixes stay distinct (textbook beam search, no
+# hypothesis recombination). Oracle: the same B-best recursion
+# unrolled as a QUALIFY-ranked CTE chain.
+# --------------------------------------------------------------------------
+BEAM_WIDTH = 4
+BEAM_STEPS = 8
+
+
+def _beam_oracle_sql() -> str:
+    steps = []
+    prev = "s0"
+    for i in range(1, BEAM_STEPS + 1):
+        steps.append(f"""s{i} AS (
+        SELECT {i} AS step, s.seq || ' ' || bg.b AS seq,
+               s.score + bg.lp AS score, bg.b AS last
+        FROM {prev} s JOIN bg_lp bg ON bg.a = s.last
+        QUALIFY ROW_NUMBER() OVER (ORDER BY s.score + bg.lp DESC,
+                                   s.seq || ' ' || bg.b) <= {BEAM_WIDTH}
+    )""")
+        prev = f"s{i}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT step, seq, score FROM s{i}"
+        for i in range(0, BEAM_STEPS + 1))
+    step_ctes = ",\n    ".join(steps)
+    return f"""
+    WITH d AS (
+        SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT bg[1] AS a, bg[2] AS b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(list_transform(
+                  range(1, len(toks)),
+                  i -> [toks[i], toks[i + 1]])) AS bg
+              FROM d)
+        GROUP BY bg[1], bg[2]
+    ),
+    bg_lp AS (
+        SELECT a, b,
+               CAST(ROUND(log2(c) * 1000000, 0) AS BIGINT)
+               - CAST(ROUND(log2(SUM(c) OVER (PARTITION BY a))
+                            * 1000000, 0) AS BIGINT) AS lp
+        FROM bg
+    ),
+    uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w
+    ),
+    s0 AS (
+        SELECT 0 AS step, w AS seq, CAST(0 AS BIGINT) AS score, w AS last
+        FROM uni ORDER BY n DESC, w LIMIT 1
+    ),
+    {step_ctes},
+    trace AS ({union})
+    SELECT CAST(step AS BIGINT) AS step,
+           CAST(ROW_NUMBER() OVER (PARTITION BY step
+                                   ORDER BY score DESC, seq)
+                AS BIGINT) AS rank,
+           seq, score AS score_micro
+    FROM trace
+    """
+
+
+@register(
+    "beam_search_decode",
+    _beam_oracle_sql(),
+    doc=f"X232 beam-search decoding (width {BEAM_WIDTH}, "
+        f"{BEAM_STEPS} steps) from the most frequent seed word under "
+        "the bigram LM: per-step B-best by micro-grid log2 conditional "
+        "likelihood (ties broken on the sequence string), each step "
+        "one <=B-row hash join against the persisted scored-bigram "
+        "table. Full trace (step, rank, hypothesis, score) output; "
+        "greedy = width-1 special case (law test: top beam's prefix "
+        "scores dominate every surviving hypothesis).",
+    tags=("X232", "X174", "X67", "X12", "X10"),
+)
+def beam_search_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..caching import persist_tracked
+
+    d = _docs(spark, sf_dir).select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(toks[i - 1] AS a, toks[i] AS b))")
+    bg = (d.filter(F.size("toks") > 1)
+          .select(F.explode(bigrams).alias("p"))
+          .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+          .agg(F.count("*").cast("long").alias("c")))
+
+    def l2m(col):
+        return F.round(F.log2(col) * 1e6, 0).cast("long")
+
+    wa = Window.partitionBy("a")
+    bg_lp = persist_tracked(
+        bg.select("a", "b",
+                  (l2m(F.col("c")) - l2m(F.sum("c").over(wa)))
+                  .alias("lp")))
+    uni = (d.select(F.explode("toks").alias("w"))
+           .groupBy("w").agg(F.count("*").cast("long").alias("n")))
+    seed = (uni.orderBy(F.desc("n"), "w").limit(1)
+            .select(F.lit(0).alias("step"), F.col("w").alias("seq"),
+                    F.lit(0).cast("long").alias("score"),
+                    F.col("w").alias("last")))
+    frontier = seed.localCheckpoint()
+    out = frontier
+    for step in range(1, BEAM_STEPS + 1):
+        cand = (frontier.join(bg_lp, frontier.last == bg_lp.a)
+                .select(F.lit(step).alias("step"),
+                        F.concat_ws(" ", "seq", "b").alias("seq"),
+                        (F.col("score") + F.col("lp")).alias("score"),
+                        F.col("b").alias("last")))
+        frontier = (cand.withColumn(
+            "rn", F.row_number().over(
+                Window.orderBy(F.desc("score"), "seq")))
+            .filter(F.col("rn") <= BEAM_WIDTH)
+            .drop("rn").localCheckpoint())
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier)
+    return out.select(
+        F.col("step").cast("long"),
+        F.row_number().over(
+            Window.partitionBy("step").orderBy(F.desc("score"), "seq"))
+        .cast("long").alias("rank"),
+        "seq", F.col("score").alias("score_micro"))
+
+
+# --------------------------------------------------------------------------
+# X234: Good-Turing / Chao1 unseen-vocabulary estimation — the
+# frequency-of-frequencies diagnostics corpus planning runs before
+# committing a tokenizer budget: how much probability mass belongs to
+# words never seen (Good-Turing p0 = N1/N), how many types the corpus
+# is still hiding (bias-corrected Chao1 richness), and the smoothed
+# counts r* = (r+1) N_{r+1} / N_r whose dip below r is the classic
+# singleton-noise signature. Everything folds from the word-count
+# histogram (one aggregate over token counts — the corpus is scanned
+# once, the estimators run on the <=10-row frequency table), all
+# ratios floor-divided on the BIGINT micro grid. Complements X178
+# Heaps (growth curve) with the capture-theoretic view; Good (1953),
+# Chao (1984); [EXT] — the reference tokenizes nothing.
+# --------------------------------------------------------------------------
+GT_MAX_R = 10
+
+
+@register(
+    "goodturing_vocab",
+    f"""
+    WITH d AS (
+        SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    wc AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(list_transform(
+                  range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i + 1] || ' '
+                       || toks[i + 2])) AS w
+              FROM d WHERE len(toks) >= 3) GROUP BY w
+    ),
+    fof AS (
+        SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+        FROM wc GROUP BY c
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS v,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2
+        FROM wc
+    )
+    SELECT f.r, f.n_r,
+           CASE WHEN nx.n_r IS NULL THEN NULL
+                ELSE CAST(((f.r + 1) * nx.n_r * 1000000) // f.n_r
+                          AS BIGINT) END AS rstar_micro,
+           t.v AS v_total, t.n AS n_tokens,
+           CAST((t.n1 * 1000000) // t.n AS BIGINT) AS p0_micro,
+           CAST(t.v * 1000000
+                + (t.n1 * (t.n1 - 1) * 1000000) // (2 * (t.n2 + 1))
+                AS BIGINT) AS chao1_micro
+    FROM fof f
+    LEFT JOIN fof nx ON nx.r = f.r + 1
+    CROSS JOIN tot t
+    WHERE f.r <= {GT_MAX_R}
+    """,
+    doc=f"X234 Good-Turing / Chao1 vocabulary estimation: "
+        "frequency-of-frequencies N_r of word TRIGRAMS (r <= "
+        f"{GT_MAX_R}) from one token-count aggregate, smoothed "
+        "r* = (r+1)N_(r+1)/N_r, unseen mass p0 = N1/N, bias-corrected "
+        "Chao1 = V + N1(N1-1)/(2(N2+1)) — all floor-divided on the "
+        "BIGINT micro grid, scalar estimators broadcast onto the "
+        "<=10-row histogram frame. Python replay + Chao1>=V + "
+        "mass-conservation laws.",
+    tags=("X234", "X178", "X166", "X18", "X7"),
+)
+def goodturing_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"))
+    tris = F.expr(
+        "transform(sequence(1, size(toks) - 2), "
+        "i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1]))")
+    wc = (d.filter(F.size("toks") >= 3)
+          .select(F.explode(tris).alias("w"))
+          .groupBy("w").agg(F.count("*").cast("long").alias("c")))
+    fof = wc.groupBy(F.col("c").alias("r")) \
+        .agg(F.count("*").cast("long").alias("n_r"))
+    tot = wc.agg(
+        F.count("*").cast("long").alias("v"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long")
+        .alias("n2"))
+    nx = fof.select((F.col("r") - 1).alias("r"),
+                    F.col("n_r").alias("n_next"))
+    return (fof.filter(F.col("r") <= GT_MAX_R)
+            .join(nx, "r", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "r", "n_r",
+                F.expr("CASE WHEN n_next IS NULL THEN NULL ELSE "
+                       "CAST(((r + 1) * n_next * 1000000) DIV n_r "
+                       "AS BIGINT) END").alias("rstar_micro"),
+                F.col("v").alias("v_total"),
+                F.col("n").alias("n_tokens"),
+                F.expr("(n1 * 1000000) DIV n").cast("long")
+                .alias("p0_micro"),
+                F.expr("v * 1000000 + (n1 * (n1 - 1) * 1000000) "
+                       "DIV (2 * (n2 + 1))").cast("long")
+                .alias("chao1_micro")))

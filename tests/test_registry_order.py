@@ -99,6 +99,15 @@ NEW_R5: dict[str, str] = {
     "cka_quantization_fidelity": "X226",
     "funnel_alignment_scores": "X227",
     "link_prediction_eval": "X228",
+    "page_hinkley_drift": "X229",
+    "group_split_assignment": "X230",
+    "ldiversity_tcloseness": "X231",
+    "beam_search_decode": "X232",
+    "luby_mis": "X233",
+    "goodturing_vocab": "X234",
+    "kcenter_coreset": "X235",
+    "spc_control_chart": "X236",
+    "huber_irls_trend": "X237",
 }
 
 

@@ -1035,3 +1035,337 @@ def test_link_prediction_matches_python(spark, sf_dir):
         assert cn <= min(deg[k[0]], deg[k[1]])
     for m in got:
         assert 0 < got[m][2] < 1.000001
+
+
+def test_page_hinkley_matches_python_recurrence(spark, sf_dir):
+    """X229: replay the Page-Hinkley recurrence (running mean on the
+    floor-divided micro grid, cumulative U, PH = U - running min) in
+    pure Python; PH is nonnegative and alarm iff PH > lambda."""
+    from etl_airflow_spotify_spark.queries.events_ops import (
+        PH_DELTA_MICRO, PH_LAMBDA_MICRO)
+    daily = duckdb.sql(f"""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n
+        FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY 1""").fetchall()
+    want = {}
+    cs = u_up = u_dn = 0
+    min_up, max_dn = None, None
+    for t, (day, n) in enumerate(daily, start=1):
+        cs += n
+        dev = n * 1000000 - (cs * 1000000) // t
+        u_up += dev - PH_DELTA_MICRO
+        u_dn += dev + PH_DELTA_MICRO
+        min_up = u_up if min_up is None else min(min_up, u_up)
+        max_dn = u_dn if max_dn is None else max(max_dn, u_dn)
+        ph_up, ph_dn = u_up - min_up, max_dn - u_dn
+        alarm = 1 if (ph_up > PH_LAMBDA_MICRO
+                      or ph_dn > PH_LAMBDA_MICRO) else 0
+        want[day] = (n, ph_up, ph_dn, alarm)
+    rows = _rows("page_hinkley_drift", spark, sf_dir)
+    got = {r["day"]: (r["n"], r["ph_up_micro"], r["ph_dn_micro"],
+                      r["alarm"]) for r in rows}
+    assert got == want
+    for day, (_, ph_up, ph_dn, _) in want.items():
+        assert ph_up >= 0 and ph_dn >= 0
+
+
+def test_group_split_laws(spark, sf_dir):
+    """X230: grouped scenario never straddles; rows conserve per
+    scenario; md5 bucket replay for a sample of users; row fractions
+    sum to ~1e6 (floor-division dust only)."""
+    import hashlib
+    rows = _rows("group_split_assignment", spark, sf_dir)
+    n_events = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+    by_scen = {}
+    for r in rows:
+        by_scen.setdefault(r["scenario"], []).append(r)
+    assert set(by_scen) == {"group", "row"}
+    for scen, rs in by_scen.items():
+        assert sum(r["n_rows"] for r in rs) == n_events
+        frac = sum(r["row_frac_micro"] for r in rs)
+        assert 1000000 - len(rs) <= frac <= 1000000
+        straddles = {r["n_straddle_groups"] for r in rs}
+        assert len(straddles) == 1
+        if scen == "group":
+            assert straddles == {0}
+    # md5 bucket replay: the grouped split of each user matches
+    users = duckdb.sql(f"""
+        SELECT user_id, COUNT(*) FROM '{sf_dir}/events.parquet'
+        GROUP BY 1""").fetchall()
+    want_rows = {"train": 0, "valid": 0, "test": 0}
+    for uid, cnt in users:
+        b = int(hashlib.md5(f"gsplit:{uid}".encode())
+                .hexdigest()[:15], 16) % 10
+        split = "train" if b < 8 else ("valid" if b == 8 else "test")
+        want_rows[split] += cnt
+    got_rows = {r["split"]: r["n_rows"] for r in by_scen["group"]}
+    assert all(got_rows.get(s, 0) == n for s, n in want_rows.items()
+               if n > 0)
+
+
+def test_ldiversity_matches_python(spark, sf_dir):
+    """X231: full Python replay of k / l / TVD per QI group; TVD
+    bounded in [0, 1e6]; k sums to the join size."""
+    from collections import Counter, defaultdict
+    trip = duckdb.sql(f"""
+        SELECT c.c_nationkey, o.o_orderpriority, o.o_orderstatus
+        FROM '{sf_dir}/orders.parquet' o
+        JOIN '{sf_dir}/customer.parquet' c
+          ON o.o_custkey = c.c_custkey""").fetchall()
+    n = len(trip)
+    gl = Counter(s for _, _, s in trip)
+    grp = defaultdict(Counter)
+    for nat, pri, s in trip:
+        grp[(nat, pri)][s] += 1
+    want = {}
+    for (nat, pri), cnt in grp.items():
+        k = sum(cnt.values())
+        tvd = sum(abs((cnt.get(s, 0) * 1000000) // k
+                      - (gl[s] * 1000000) // n) for s in gl) // 2
+        want[(nat, pri)] = (k, len(cnt), tvd)
+    rows = _rows("ldiversity_tcloseness", spark, sf_dir)
+    got = {(r["nation"], r["priority"]):
+           (r["k_count"], r["l_distinct"], r["tvd_micro"]) for r in rows}
+    assert got == want
+    assert sum(v[0] for v in got.values()) == n
+    for r in rows:
+        assert 0 <= r["tvd_micro"] <= 1000000
+        assert r["meets_l"] == (1 if r["l_distinct"] >= 2 else 0)
+
+
+def test_beam_search_matches_python(spark, sf_dir):
+    """X232: full Python beam-search replay over the bigram LM with
+    micro-grid log2 conditionals; per-step count <= width; scores
+    non-increasing within a step's ranking."""
+    import math
+    from collections import Counter, defaultdict
+    from etl_airflow_spotify_spark.queries.text import (
+        BEAM_STEPS, BEAM_WIDTH)
+    texts = duckdb.sql(f"""
+        SELECT string_split_regex(trim(lower(text)), '\\s+')
+        FROM '{sf_dir}/documents.parquet'""").fetchall()
+    bg = Counter()
+    uni = Counter()
+    for (toks,) in texts:
+        uni.update(toks)
+        for i in range(len(toks) - 1):
+            bg[(toks[i], toks[i + 1])] += 1
+    tot = defaultdict(int)
+    for (a, b), c in bg.items():
+        tot[a] += c
+    lp = {(a, b): round(math.log2(c) * 1000000)
+          - round(math.log2(tot[a]) * 1000000)
+          for (a, b), c in bg.items()}
+    succ = defaultdict(list)
+    for (a, b) in bg:
+        succ[a].append(b)
+    seed = min(uni, key=lambda w: (-uni[w], w))
+    beams = [(seed, 0, seed)]
+    want = {(0, 1): (seed, 0)}
+    for step in range(1, BEAM_STEPS + 1):
+        cand = []
+        for seq, score, last in beams:
+            for b in succ.get(last, ()):
+                cand.append((seq + " " + b, score + lp[(last, b)], b))
+        cand.sort(key=lambda x: (-x[1], x[0]))
+        beams = cand[:BEAM_WIDTH]
+        for rank, (seq, score, _) in enumerate(beams, start=1):
+            want[(step, rank)] = (seq, score)
+        if not beams:
+            break
+    rows = _rows("beam_search_decode", spark, sf_dir)
+    got = {(r["step"], r["rank"]): (r["seq"], r["score_micro"])
+           for r in rows}
+    assert got == want
+    by_step = defaultdict(list)
+    for (step, rank), (_, score) in got.items():
+        by_step[step].append((rank, score))
+    for step, rs in by_step.items():
+        assert len(rs) <= BEAM_WIDTH
+        scores = [s for _, s in sorted(rs)]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_luby_mis_laws(spark, sf_dir):
+    """X233: full Python replay of the md5-priority Luby rounds;
+    final selected set is independent AND maximal; graph empties
+    within the fixed round budget at test scale."""
+    import hashlib
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.queries.graph import LUBY_ROUNDS
+    edges = _copurchase_edges(sf_dir)
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    active = set(adj)
+    mis = set()
+    want = []
+    for r in range(1, LUBY_ROUNDS + 1):
+        pri = {v: int(hashlib.md5(f"luby:{r}:{v}".encode())
+                      .hexdigest()[:15], 16) for v in active}
+        sel = {v for v in active
+               if all(pri[v] < pri[u] for u in adj[v] if u in active)}
+        removed = {u for v in sel for u in adj[v] if u in active}
+        active = active - sel - removed
+        mis |= sel
+        want.append((r, len(sel), sum(sel), len(active)))
+    rows = _rows("luby_mis", spark, sf_dir)
+    got = [(r["round"], r["n_selected"], r["sel_id_sum"],
+            r["n_remaining"]) for r in sorted(rows,
+                                              key=lambda x: x["round"])]
+    assert got == want
+    # independence: no edge inside the MIS
+    for v in mis:
+        assert not (adj[v] & mis)
+    # the budget empties the graph at test scale -> maximality holds
+    assert want[-1][3] == 0
+    for v in set(adj) - mis:
+        assert adj[v] & mis
+
+
+def test_goodturing_matches_python(spark, sf_dir):
+    """X234: Python replay of the trigram frequency-of-frequencies and
+    every estimator; Chao1 >= V; Good-Turing mass of seen types plus
+    p0 conserves (sum over r of r*·N_r approx N on the micro grid)."""
+    from collections import Counter
+    from etl_airflow_spotify_spark.queries.text import GT_MAX_R
+    texts = duckdb.sql(f"""
+        SELECT string_split_regex(trim(lower(text)), '\\s+')
+        FROM '{sf_dir}/documents.parquet'""").fetchall()
+    tc = Counter()
+    for (toks,) in texts:
+        for i in range(len(toks) - 2):
+            tc[(toks[i], toks[i + 1], toks[i + 2])] += 1
+    fof = Counter(tc.values())
+    v = len(tc)
+    n = sum(tc.values())
+    n1, n2 = fof.get(1, 0), fof.get(2, 0)
+    p0 = (n1 * 1000000) // n
+    chao1 = v * 1000000 + (n1 * (n1 - 1) * 1000000) // (2 * (n2 + 1))
+    want = {}
+    for r, n_r in fof.items():
+        if r > GT_MAX_R:
+            continue
+        nx = fof.get(r + 1)
+        rstar = None if nx is None else ((r + 1) * nx * 1000000) // n_r
+        want[r] = (n_r, rstar, v, n, p0, chao1)
+    rows = _rows("goodturing_vocab", spark, sf_dir)
+    got = {r["r"]: (r["n_r"], r["rstar_micro"], r["v_total"],
+                    r["n_tokens"], r["p0_micro"], r["chao1_micro"])
+           for r in rows}
+    assert got == want
+    assert chao1 >= v * 1000000
+    assert 0 <= p0 <= 1000000
+
+
+def test_kcenter_matches_python(spark, sf_dir):
+    """X235: brute-force Python Gonzalez replay on the quantized grid;
+    radius is non-increasing in k; centers are distinct."""
+    vecs = duckdb.sql(f"""
+        SELECT vec_id, CAST(embedding AS DOUBLE[])
+        FROM '{sf_dir}/embeddings.parquet'""").fetchall()
+    from etl_airflow_spotify_spark.queries.similarity import KCENTER_K
+    pts = {vid: [round(x * 1000000) for x in e] for vid, e in vecs}
+
+    def d2(a, b):
+        return sum((u - v) * (u - v) for u, v in zip(a, b))
+
+    c0 = min(pts)
+    dist = {vid: d2(p, pts[c0]) for vid, p in pts.items()}
+    want = [(1, c0, max(dist.values()))]
+    for k in range(2, KCENTER_K + 1):
+        nxt = min(pts, key=lambda vid: (-dist[vid], vid))
+        for vid in pts:
+            dist[vid] = min(dist[vid], d2(pts[vid], pts[nxt]))
+        want.append((k, nxt, max(dist.values())))
+    rows = _rows("kcenter_coreset", spark, sf_dir)
+    got = sorted((r["k"], r["center_id"], r["radius2"]) for r in rows)
+    assert got == want
+    radii = [r for _, _, r in got]
+    assert radii == sorted(radii, reverse=True)
+    assert len({c for _, c, _ in got}) == KCENTER_K
+
+
+def test_spc_matches_python(spark, sf_dir):
+    """X236: Python replay of center/sigma and all four Western
+    Electric rules over the ordered daily means."""
+    import math
+    from etl_airflow_spotify_spark.queries.events_ops import (
+        SPC_BASELINE_DAYS)
+    daily = duckdb.sql(f"""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS sv
+        FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY 1""").fetchall()
+    xs = [(day, sv // n) for day, n, sv in daily]
+    base = [x for _, x in xs[:SPC_BASELINE_DAYS]]
+    bn, bs = len(base), sum(base)
+    bss = sum(x * x for x in base)
+    center = bs // bn
+    sigma = round(math.sqrt(bss * bn - bs * bs) / bn)
+    devs = [x - center for _, x in xs]
+    want = {}
+    for i, (day, x) in enumerate(xs):
+        d = devs[i]
+        last = lambda k: devs[max(0, i - k + 1):i + 1]
+        r1 = 1 if abs(d) > 3 * sigma else 0
+        r2 = 1 if (sum(1 for v in last(3) if v > 2 * sigma) >= 2
+                   or sum(1 for v in last(3) if v < -2 * sigma) >= 2) \
+            else 0
+        r3 = 1 if (sum(1 for v in last(5) if v > sigma) >= 4
+                   or sum(1 for v in last(5) if v < -sigma) >= 4) else 0
+        r4 = 1 if (sum(1 for v in last(8) if v > 0) == 8
+                   or sum(1 for v in last(8) if v < 0) == 8) else 0
+        want[day] = (x, d, r1, r2, r3, r4,
+                     1 if r1 + r2 + r3 + r4 > 0 else 0)
+    rows = _rows("spc_control_chart", spark, sf_dir)
+    got = {r["day"]: (r["x_micro"], r["dev_micro"], r["r1"], r["r2"],
+                      r["r3"], r["r4"], r["alarm"]) for r in rows}
+    assert got == want
+
+
+def test_huber_matches_python(spark, sf_dir):
+    """X237: full Python IRLS replay (exact integer moments, double
+    solve, micro snap); weights in (0, 1e6]; n_full + n_down = days."""
+    from etl_airflow_spotify_spark.queries.events_ops import HUBER_ITERS
+    daily = duckdb.sql(f"""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*)
+        FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY 1""").fetchall()
+    ys = [int(n) for _, n in daily]
+    nd = len(ys)
+    c_micro = ((sum(ys) * 1000000) // nd) // 10
+
+    def snap(x):
+        import math
+        return int(math.floor(x + 0.5)) if x >= 0 \
+            else -int(math.floor(-x + 0.5))
+
+    w = [1000000] * nd
+    want = []
+    for it in range(1, HUBER_ITERS + 1):
+        sw = sum(w)
+        swx = sum(wi * x for x, wi in enumerate(w))
+        swy = sum(wi * y for wi, y in zip(w, ys))
+        swxx = sum(wi * x * x for x, wi in enumerate(w))
+        swxy = sum(wi * x * y for x, (wi, y) in enumerate(zip(w, ys)))
+        n_full = sum(1 for wi in w if wi == 1000000)
+        n_down = nd - n_full
+        b = snap((float(sw) * float(swxy) - float(swx) * float(swy))
+                 / (float(sw) * float(swxx) - float(swx) * float(swx))
+                 * 1000000)
+        a = snap((float(swy) * 1000000 - float(b) * float(swx))
+                 / float(sw))
+        want.append((it, a, b, n_full, n_down, sw))
+        if it < HUBER_ITERS:
+            w = [1000000 if abs(y * 1000000 - (a + b * x)) <= c_micro
+                 else (c_micro * 1000000)
+                 // abs(y * 1000000 - (a + b * x))
+                 for x, y in enumerate(ys)]
+    rows = _rows("huber_irls_trend", spark, sf_dir)
+    got = [(r["iter"], r["a_micro"], r["b_micro"], r["n_full"],
+            r["n_down"], r["sum_w"])
+           for r in sorted(rows, key=lambda x: x["iter"])]
+    assert got == want
+    for r in rows:
+        assert r["n_full"] + r["n_down"] == nd
