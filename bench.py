@@ -284,6 +284,10 @@ HEADLINE = [
     "kcenter_coreset",
     "spc_control_chart",
     "huber_irls_trend",
+    "gmm_em_values",
+    "langid_rank_profile",
+    "pca_closed_form",
+    "densest_subgraph_peel",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -2164,3 +2164,97 @@ def luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         results,
         "round long, n_selected long, sel_id_sum long, n_remaining long")
+
+
+# --------------------------------------------------------------------------
+# X241: densest-subgraph peeling (Charikar's greedy, Bahmani's
+# distributed batch form): each round removes EVERY vertex whose
+# degree is at most the current average (deg * V <= 2E — the epsilon=0
+# batch rule; at least the min-degree vertex always qualifies, so the
+# graph strictly shrinks), and the densest prefix over rounds is the
+# 2-approximation answer. Per-round trajectory (V, E, density, peeled)
+# is the output — integer comparisons only, density on the micro grid.
+# Unlike X123 k-core (fixed threshold k) the peel threshold here moves
+# with the surviving subgraph. Charikar (2000), Bahmani et al.
+# (VLDB 2012); [EXT].
+# --------------------------------------------------------------------------
+DSG_ROUNDS = 8
+
+
+def _dsg_oracle_sql() -> str:
+    ctes = []
+    rows = []
+    prev_e = "edges"
+    for r in range(1, DSG_ROUNDS + 1):
+        ctes.append(f"""deg{r} AS MATERIALIZED (
+        SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d
+        FROM {prev_e} GROUP BY src
+    )""")
+        ctes.append(f"""st{r} AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+               CAST(COALESCE(SUM(d), 0) AS BIGINT) AS e2
+        FROM deg{r}
+    )""")
+        ctes.append(f"""keep{r} AS MATERIALIZED (
+        SELECT g.v FROM deg{r} g CROSS JOIN st{r} s
+        WHERE g.d * s.nv > s.e2
+    )""")
+        ctes.append(f"""e{r} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM {prev_e} e
+        JOIN keep{r} a ON a.v = e.src
+        JOIN keep{r} b ON b.v = e.dst
+    )""")
+        rows.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, s.nv AS n_nodes,"
+            f" s.e2 // 2 AS n_edges,\n"
+            f"  CASE WHEN s.nv > 0 THEN (s.e2 * 500000) // s.nv"
+            f" ELSE 0 END AS density_micro,\n"
+            f"  s.nv - (SELECT COUNT(*) FROM keep{r}) AS n_peeled\n"
+            f"FROM st{r} s")
+        prev_e = f"e{r}"
+    return ("WITH op AS (SELECT DISTINCT l_orderkey AS g, l_partkey"
+            " AS i FROM lineitem),\n"
+            "    edges AS MATERIALIZED (SELECT DISTINCT a.i AS src,"
+            " b.i AS dst\n"
+            "        FROM op a JOIN op b ON a.g = b.g AND a.i <> b.i),\n"
+            "    " + ",\n    ".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(rows))
+
+
+@register(
+    "densest_subgraph_peel",
+    _dsg_oracle_sql(),
+    doc=f"X241 densest-subgraph batch peeling ({DSG_ROUNDS} rounds) on "
+        "the part co-purchase graph: per round drop every vertex with "
+        "deg * V <= 2E (integer comparison against the live average), "
+        "re-derive the induced edge set with two hash joins, record "
+        "(V, E, density_micro, peeled). max density over rounds is "
+        "Charikar's 2-approx answer. Python replay + strict-shrink + "
+        "density-identity laws.",
+    tags=("X241", "X123", "X225", "X7", "X3"),
+)
+def densest_subgraph_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    eact = G.cooccurrence_edges(li, "l_orderkey", "l_partkey") \
+        .localCheckpoint()
+    results = []
+    for r in range(1, DSG_ROUNDS + 1):
+        deg = (eact.groupBy(F.col("src").alias("v"))
+               .agg(F.count("*").cast("long").alias("d"))
+               .localCheckpoint())
+        st = deg.agg(F.count("*").cast("long"),
+                     F.coalesce(F.sum("d"), F.lit(0)).cast("long")
+                     ).first()
+        nv, e2 = st[0], st[1]
+        keep = (deg.filter(F.col("d") * nv > e2).select("v")
+                .localCheckpoint())
+        n_keep = keep.count()
+        eact = (eact.join(keep.withColumnRenamed("v", "src"), "src")
+                .join(keep.withColumnRenamed("v", "dst"), "dst")
+                .select("src", "dst").localCheckpoint())
+        results.append((r, nv, e2 // 2,
+                        (e2 * 500000) // nv if nv > 0 else 0,
+                        nv - n_keep))
+    return spark.createDataFrame(
+        results, "round long, n_nodes long, n_edges long, "
+                 "density_micro long, n_peeled long")

@@ -2268,3 +2268,203 @@ def iforest_rfm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.orderBy(F.asc("mean_depth_micro"), F.asc("id"))
             .limit(IFOREST_TOPK)
             .select("id", "depth_sum", "mean_depth_micro"))
+
+
+# --------------------------------------------------------------------------
+# X238: EM for a two-component 1-D Gaussian mixture — the algorithmic
+# family (expectation-maximization / latent-variable fitting) none of
+# the other ML queries touch. Scale design: EM runs over the VALUE
+# HISTOGRAM, not the rows — the E-step's float density evaluation
+# happens once per distinct centi-snapped value (bounded domain), and
+# the M-step folds histogram counts x micro-snapped responsibilities
+# into DECIMAL(38,0)-safe moments, so a 100 TB fit costs one groupBy
+# plus EM_ITERS tiny passes over the histogram frame. Init is the
+# integer type-1 25th/75th percentile split read off the cumulative
+# histogram (pure BIGINT comparisons) + pooled variance;
+# responsibilities snap to the micro grid so both engines walk the
+# same trajectory. Dempster-Laird-Rubin (1977); [EXT].
+# --------------------------------------------------------------------------
+EM_ITERS = 4
+
+_GMM_RESP_EXPR = """CAST(ROUND(1000000 / (1 +
+    EXP((LN(CAST(w2 AS DOUBLE) / 1000000)
+         - 0.5 * LN(CAST(var2 AS DOUBLE))
+         - CAST((v - mu2) * (v - mu2) AS DOUBLE)
+           / (2 * CAST(var2 AS DOUBLE)))
+      - (LN(CAST(w1 AS DOUBLE) / 1000000)
+         - 0.5 * LN(CAST(var1 AS DOUBLE))
+         - CAST((v - mu1) * (v - mu1) AS DOUBLE)
+           / (2 * CAST(var1 AS DOUBLE))))), 0) AS BIGINT)"""
+
+
+def _gmm_oracle_sql() -> str:
+    mstep = """
+        SELECT CAST(SUM(CAST(r AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0))
+                   AS r1s,
+               CAST(SUM(CAST(1000000 - r AS DECIMAL(38,0)) * cnt)
+                    AS DECIMAL(38,0)) AS r2s,
+               CAST(SUM(CAST(r AS DECIMAL(38,0)) * cnt * v)
+                    AS DECIMAL(38,0)) AS r1v,
+               CAST(SUM(CAST(1000000 - r AS DECIMAL(38,0)) * cnt * v)
+                    AS DECIMAL(38,0)) AS r2v,
+               CAST(SUM(CAST(r AS DECIMAL(38,0)) * cnt * v * v)
+                    AS DECIMAL(38,0)) AS r1vv,
+               CAST(SUM(CAST(1000000 - r AS DECIMAL(38,0)) * cnt * v * v)
+                    AS DECIMAL(38,0)) AS r2vv,
+               CAST(SUM(cnt) AS BIGINT) AS n
+        FROM e{i}"""
+    newpar = """
+        SELECT CAST(ROUND(CAST(r1s AS DOUBLE) / CAST(n AS DOUBLE), 0)
+                    AS BIGINT) AS w1,
+               CAST(1000000 - ROUND(CAST(r1s AS DOUBLE)
+                    / CAST(n AS DOUBLE), 0) AS BIGINT) AS w2,
+               CAST(ROUND(CAST(r1v AS DOUBLE) / CAST(r1s AS DOUBLE), 0)
+                    AS BIGINT) AS mu1,
+               CAST(ROUND(CAST(r2v AS DOUBLE) / CAST(r2s AS DOUBLE), 0)
+                    AS BIGINT) AS mu2,
+               GREATEST(CAST(ROUND(CAST(r1vv AS DOUBLE)
+                    / CAST(r1s AS DOUBLE)
+                    - POW(CAST(r1v AS DOUBLE) / CAST(r1s AS DOUBLE), 2),
+                    0) AS BIGINT), 1) AS var1,
+               GREATEST(CAST(ROUND(CAST(r2vv AS DOUBLE)
+                    / CAST(r2s AS DOUBLE)
+                    - POW(CAST(r2v AS DOUBLE) / CAST(r2s AS DOUBLE), 2),
+                    0) AS BIGINT), 1) AS var2
+        FROM m{i}"""
+    ctes = ["""hist AS MATERIALIZED (
+        SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    )""", """cum AS MATERIALIZED (
+        SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cc
+        FROM hist
+    )""", """tot AS MATERIALIZED (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(cnt * v) AS BIGINT) AS sv,
+               CAST(SUM(cnt * v * v) AS BIGINT) AS svv
+        FROM hist
+    )""", """p0 AS MATERIALIZED (
+        SELECT CAST(500000 AS BIGINT) AS w1,
+               CAST(500000 AS BIGINT) AS w2,
+               (SELECT MIN(v) FROM cum CROSS JOIN tot
+                WHERE cc >= (n + 3) // 4) AS mu1,
+               (SELECT MIN(v) FROM cum CROSS JOIN tot
+                WHERE cc >= (3 * n + 3) // 4) AS mu2,
+               GREATEST(CAST(ROUND((CAST(svv AS DOUBLE)
+                    - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0)
+                    AS BIGINT), 1) AS var1,
+               GREATEST(CAST(ROUND((CAST(svv AS DOUBLE)
+                    - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0)
+                    AS BIGINT), 1) AS var2
+        FROM tot
+    )"""]
+    rows = []
+    prev = "p0"
+    for i in range(1, EM_ITERS + 1):
+        ctes.append(f"""e{i} AS MATERIALIZED (
+        SELECT h.v, h.cnt, {_GMM_RESP_EXPR} AS r
+        FROM hist h CROSS JOIN {prev}
+    )""")
+        ctes.append(f"m{i} AS MATERIALIZED ({mstep.format(i=i)}\n    )")
+        ctes.append(f"p{i} AS MATERIALIZED ({newpar.format(i=i)}\n    )")
+        rows.append(
+            f"SELECT CAST({i} AS BIGINT) AS iter, w1 AS w1_micro,"
+            f" mu1 AS mu1_centi, var1 AS var1_centi2,"
+            f" mu2 AS mu2_centi, var2 AS var2_centi2 FROM p{i}")
+        prev = f"p{i}"
+    return ("WITH " + ",\n    ".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(rows))
+
+
+@register(
+    "gmm_em_values",
+    _gmm_oracle_sql(),
+    doc=f"X238 two-component 1-D Gaussian-mixture EM ({EM_ITERS} "
+        "iterations) over centi-snapped event values: E-step densities "
+        "evaluated once per HISTOGRAM bucket (never per row) with "
+        "responsibilities snapped to the micro grid, M-step folds "
+        "cnt x responsibility moments in DECIMAL(38,0), parameter "
+        "updates are correctly-rounded double divisions snapped back "
+        "to integer grids; init = integer type-1 quartile split + "
+        "pooled variance. Trajectory output; Python EM replay + "
+        "weight/variance-bound laws.",
+    tags=("X238", "X60", "X7", "X49"),
+)
+def gmm_em_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hist = (ev.select(F.round(F.col("value") * 100, 0).cast("long")
+                      .alias("v"))
+            .groupBy("v").agg(F.count("*").cast("long").alias("cnt"))
+            .localCheckpoint())
+    w = Window.orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select("v", "cnt", F.sum("cnt").over(w).alias("cc"))
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n"),
+                   F.sum(F.col("cnt") * F.col("v")).cast("long")
+                   .alias("sv"),
+                   F.sum(F.col("cnt") * F.col("v") * F.col("v"))
+                   .cast("long").alias("svv"))
+    q = cum.crossJoin(F.broadcast(tot))
+    mu1 = q.filter(F.expr("cc >= (n + 3) DIV 4")) \
+        .agg(F.min("v").alias("mu1"))
+    mu2 = q.filter(F.expr("cc >= (3 * n + 3) DIV 4")) \
+        .agg(F.min("v").alias("mu2"))
+    var0 = tot.select(F.expr(
+        "GREATEST(CAST(ROUND((CAST(svv AS DOUBLE)"
+        " - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0)"
+        " AS BIGINT), 1)").alias("v0"))
+    params = (mu1.crossJoin(mu2).crossJoin(var0)
+              .select(F.lit(500000).cast("long").alias("w1"),
+                      F.lit(500000).cast("long").alias("w2"),
+                      "mu1", "mu2",
+                      F.col("v0").alias("var1"),
+                      F.col("v0").alias("var2"))
+              .localCheckpoint())
+    out = None
+    for i in range(1, EM_ITERS + 1):
+        e = (hist.crossJoin(F.broadcast(params))
+             .select("v", "cnt", F.expr(_GMM_RESP_EXPR).alias("r")))
+        m = e.agg(
+            F.expr("CAST(SUM(CAST(r AS DECIMAL(38,0)) * cnt)"
+                   " AS DECIMAL(38,0))").alias("r1s"),
+            F.expr("CAST(SUM(CAST(1000000 - r AS DECIMAL(38,0)) * cnt)"
+                   " AS DECIMAL(38,0))").alias("r2s"),
+            F.expr("CAST(SUM(CAST(r AS DECIMAL(38,0)) * cnt * v)"
+                   " AS DECIMAL(38,0))").alias("r1v"),
+            F.expr("CAST(SUM(CAST(1000000 - r AS DECIMAL(38,0)) * cnt"
+                   " * v) AS DECIMAL(38,0))").alias("r2v"),
+            F.expr("CAST(SUM(CAST(r AS DECIMAL(38,0)) * cnt * v * v)"
+                   " AS DECIMAL(38,0))").alias("r1vv"),
+            F.expr("CAST(SUM(CAST(1000000 - r AS DECIMAL(38,0)) * cnt"
+                   " * v * v) AS DECIMAL(38,0))").alias("r2vv"),
+            F.sum("cnt").cast("long").alias("n"))
+        params = m.select(
+            F.expr("CAST(ROUND(CAST(r1s AS DOUBLE) / CAST(n AS DOUBLE),"
+                   " 0) AS BIGINT)").alias("w1"),
+            F.expr("CAST(1000000 - ROUND(CAST(r1s AS DOUBLE)"
+                   " / CAST(n AS DOUBLE), 0) AS BIGINT)").alias("w2"),
+            F.expr("CAST(ROUND(CAST(r1v AS DOUBLE)"
+                   " / CAST(r1s AS DOUBLE), 0) AS BIGINT)").alias("mu1"),
+            F.expr("CAST(ROUND(CAST(r2v AS DOUBLE)"
+                   " / CAST(r2s AS DOUBLE), 0) AS BIGINT)").alias("mu2"),
+            F.expr("GREATEST(CAST(ROUND(CAST(r1vv AS DOUBLE)"
+                   " / CAST(r1s AS DOUBLE)"
+                   " - POW(CAST(r1v AS DOUBLE) / CAST(r1s AS DOUBLE),"
+                   " 2), 0) AS BIGINT), 1)").alias("var1"),
+            F.expr("GREATEST(CAST(ROUND(CAST(r2vv AS DOUBLE)"
+                   " / CAST(r2s AS DOUBLE)"
+                   " - POW(CAST(r2v AS DOUBLE) / CAST(r2s AS DOUBLE),"
+                   " 2), 0) AS BIGINT), 1)").alias("var2")
+        ).localCheckpoint()
+        row = params.select(
+            F.lit(i).cast("long").alias("iter"),
+            F.col("w1").alias("w1_micro"),
+            F.col("mu1").alias("mu1_centi"),
+            F.col("var1").alias("var1_centi2"),
+            F.col("mu2").alias("mu2_centi"),
+            F.col("var2").alias("var2_centi2"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2775,3 +2775,114 @@ def theil_nation_decomposition(spark: SparkSession,
         " AS theil_within_micro",
         f"CAST({fd('bt', 'xtot').replace('//', 'DIV')} AS BIGINT)"
         " AS between_term_micro")
+
+
+# --------------------------------------------------------------------------
+# X240: closed-form PCA — the 2x2 eigendecomposition of the
+# (quantity, price) covariance per return flag, the dimensionality-
+# reduction family X58's data-oblivious random projection deliberately
+# avoids (this one LOOKS at the data). Single-pass exact moments
+# (second-order folds in DECIMAL(38,0) — price_centi^2 overflows
+# BIGINT at warehouse scale), covariance assembled in double from the
+# exact folds, eigenvalues by the quadratic formula, principal-axis
+# slope and explained-variance ratio snapped to the micro grid. One
+# aggregate per group, no iteration, no library solver — at 100 TB
+# this is one shuffle. Pearson (1901); [EXT].
+# --------------------------------------------------------------------------
+_PCA_EIG = """
+    CAST(n AS DOUBLE) AS nd,
+    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cxx,
+    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cyy,
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cxy"""
+
+
+@register(
+    "pca_closed_form",
+    f"""
+    WITH pts AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    mom AS (
+        SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+                   AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                   AS syy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                   AS sxy
+        FROM pts GROUP BY flag
+    ),
+    cov AS (
+        SELECT flag, n,{_PCA_EIG}
+        FROM mom
+    ),
+    eig AS (
+        SELECT flag, n, cxx, cyy, cxy,
+               (cxx + cyy + SQRT((cxx - cyy) * (cxx - cyy)
+                                 + 4 * cxy * cxy)) / 2 AS lam1,
+               (cxx + cyy - SQRT((cxx - cyy) * (cxx - cyy)
+                                 + 4 * cxy * cxy)) / 2 AS lam2
+        FROM cov
+    )
+    SELECT flag, n,
+           ROUND(lam1, 4) AS lam1,
+           ROUND(lam2, 4) AS lam2,
+           CAST(ROUND(lam1 / (lam1 + lam2) * 1000000, 0) AS BIGINT)
+               AS evr_micro,
+           CAST(ROUND((lam1 - cxx) / cxy * 1000000, 0) AS BIGINT)
+               AS slope_micro
+    FROM eig
+    """,
+    doc="X240 grouped closed-form 2-D PCA over (quantity, price_centi) "
+        "per return flag: exact single-pass moments (DECIMAL(38,0) "
+        "second-order folds), covariance + quadratic-formula "
+        "eigenvalues in double from the exact folds, principal-axis "
+        "slope (lam1 - cxx)/cxy and explained-variance ratio on the "
+        "micro grid. One shuffle total. Python replay + trace/det "
+        "identity laws.",
+    tags=("X240", "X80", "X60", "X7"),
+)
+def pca_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("y"))
+    mom = pts.groupBy("flag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0)) * x)"
+               " AS DECIMAL(38,0))").alias("sxx"),
+        F.expr("CAST(SUM(CAST(y AS DECIMAL(38,0)) * y)"
+               " AS DECIMAL(38,0))").alias("syy"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0)) * y)"
+               " AS DECIMAL(38,0))").alias("sxy"))
+    cov = mom.selectExpr("flag", "n", *[
+        e.strip() for e in _PCA_EIG.split(",\n")])
+    eig = cov.selectExpr(
+        "flag", "n", "cxx", "cyy", "cxy",
+        "(cxx + cyy + SQRT((cxx - cyy) * (cxx - cyy)"
+        " + 4 * cxy * cxy)) / 2 AS lam1",
+        "(cxx + cyy - SQRT((cxx - cyy) * (cxx - cyy)"
+        " + 4 * cxy * cxy)) / 2 AS lam2")
+    return eig.selectExpr(
+        "flag", "n",
+        "ROUND(lam1, 4) AS lam1",
+        "ROUND(lam2, 4) AS lam2",
+        "CAST(ROUND(lam1 / (lam1 + lam2) * 1000000, 0) AS BIGINT)"
+        " AS evr_micro",
+        "CAST(ROUND((lam1 - cxx) / cxy * 1000000, 0) AS BIGINT)"
+        " AS slope_micro")

@@ -2964,3 +2964,125 @@ def goodturing_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("v * 1000000 + (n1 * (n1 - 1) * 1000000) "
                        "DIV (2 * (n2 + 1))").cast("long")
                 .alias("chao1_micro")))
+
+
+# --------------------------------------------------------------------------
+# X239: Cavnar-Trenkle rank-order n-gram language ID — the classic
+# profile-based language identifier (TextCat): per-language character-
+# trigram RANK profiles from a train split, documents classified by
+# out-of-place distance (sum over the doc's top-K trigrams of
+# |doc_rank - profile_rank|, missing trigram = K penalty), argmin over
+# languages. Complements X177 (word-feature naive Bayes) with the
+# rank-statistics family — no probabilities anywhere, pure integer
+# ranks, so the whole pipeline is exact. Shape at scale: profiles are
+# a tiny broadcast (langs x K), doc ranking windows are bounded by
+# doc length, and the scoring join is doc-trigrams x langs (linear,
+# posting-style). Cavnar & Trenkle (1994); [EXT].
+# --------------------------------------------------------------------------
+CT_PROFILE_K = 40
+
+
+@register(
+    "langid_rank_profile",
+    f"""
+    WITH d AS (
+        SELECT doc_id, lang, lower(text) AS t,
+               doc_id % 2 = 0 AS is_train
+        FROM documents WHERE length(text) >= 3
+    ),
+    grams AS (
+        SELECT doc_id, lang, is_train, g
+        FROM (SELECT doc_id, lang, is_train,
+                     unnest(list_transform(
+                         range(1, length(t) - 1),
+                         i -> t[i:i + 2])) AS g
+              FROM d)
+    ),
+    prof AS (
+        SELECT lang, g,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, g) AS lr
+        FROM (SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM grams WHERE is_train GROUP BY lang, g)
+        QUALIFY lr <= {CT_PROFILE_K}
+    ),
+    langs AS (SELECT DISTINCT lang AS cand FROM prof),
+    docprof AS (
+        SELECT doc_id, lang AS true_lang, g,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, g) AS dr
+        FROM (SELECT doc_id, lang, g, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM grams WHERE NOT is_train GROUP BY doc_id, lang, g)
+        QUALIFY dr <= {CT_PROFILE_K}
+    ),
+    dist AS (
+        SELECT dp.doc_id, dp.true_lang, l.cand,
+               CAST(SUM(COALESCE(ABS(dp.dr - p.lr),
+                                 {CT_PROFILE_K})) AS BIGINT) AS d
+        FROM docprof dp CROSS JOIN langs l
+        LEFT JOIN prof p ON p.lang = l.cand AND p.g = dp.g
+        GROUP BY dp.doc_id, dp.true_lang, l.cand
+    ),
+    pred AS (
+        SELECT doc_id, true_lang, cand AS pred_lang, d
+        FROM dist
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY d, cand) = 1
+    )
+    SELECT true_lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d) AS BIGINT) AS total_dist
+    FROM pred GROUP BY true_lang, pred_lang
+    """,
+    doc=f"X239 Cavnar-Trenkle rank-order language ID: per-lang char-"
+        f"trigram top-{CT_PROFILE_K} rank profiles from the even-doc "
+        "train split, odd docs scored by out-of-place distance "
+        f"(missing trigram = {CT_PROFILE_K}), argmin lang (ties "
+        "lexicographic); confusion-matrix output with distance mass. "
+        "All-integer ranks; bounded per-doc windows, broadcast-size "
+        "profiles, linear scoring join. Python replay law.",
+    tags=("X239", "X177", "X18", "X11", "X12"),
+)
+def langid_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..caching import persist_tracked
+
+    d = (_docs(spark, sf_dir)
+         .filter(F.length("text") >= 3)
+         .select("doc_id", "lang", F.lower(F.col("text")).alias("t"),
+                 (F.col("doc_id") % 2 == 0).alias("is_train")))
+    grams = d.select(
+        "doc_id", "lang", "is_train",
+        F.explode(F.expr(
+            "transform(sequence(1, length(t) - 2), "
+            "i -> substring(t, i, 3))")).alias("g"))
+    prof = persist_tracked(
+        grams.filter("is_train")
+        .groupBy("lang", "g").agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("lr", F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.desc("cnt"), "g")))
+        .filter(F.col("lr") <= CT_PROFILE_K).select("lang", "g", "lr"))
+    langs = prof.select(F.col("lang").alias("cand")).distinct()
+    docprof = (grams.filter(~F.col("is_train"))
+               .groupBy("doc_id", F.col("lang").alias("true_lang"), "g")
+               .agg(F.count("*").cast("long").alias("cnt"))
+               .withColumn("dr", F.row_number().over(
+                   Window.partitionBy("doc_id")
+                   .orderBy(F.desc("cnt"), "g")))
+               .filter(F.col("dr") <= CT_PROFILE_K))
+    dist = (docprof.crossJoin(F.broadcast(langs))
+            .join(F.broadcast(prof),
+                  (F.col("lang") == F.col("cand"))
+                  & (prof.g == docprof.g), "left")
+            .groupBy("doc_id", "true_lang", "cand")
+            .agg(F.sum(F.coalesce(F.abs(F.col("dr") - F.col("lr")),
+                                  F.lit(CT_PROFILE_K)))
+                 .cast("long").alias("d")))
+    pred = (dist.withColumn("rn", F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("d", "cand")))
+        .filter(F.col("rn") == 1))
+    return (pred.groupBy("true_lang",
+                         F.col("cand").alias("pred_lang"))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("d").cast("long").alias("total_dist")))

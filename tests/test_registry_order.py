@@ -108,6 +108,10 @@ NEW_R5: dict[str, str] = {
     "kcenter_coreset": "X235",
     "spc_control_chart": "X236",
     "huber_irls_trend": "X237",
+    "gmm_em_values": "X238",
+    "langid_rank_profile": "X239",
+    "pca_closed_form": "X240",
+    "densest_subgraph_peel": "X241",
 }
 
 

@@ -1369,3 +1369,192 @@ def test_huber_matches_python(spark, sf_dir):
     assert got == want
     for r in rows:
         assert r["n_full"] + r["n_down"] == nd
+
+
+def test_gmm_em_matches_python(spark, sf_dir):
+    """X238: full Python replay of the histogram EM trajectory
+    (identical double expressions, micro snaps); weights conserve,
+    variances respect the floor, mu1 <= mu2 ordering from init."""
+    import math
+    from collections import Counter
+    from etl_airflow_spotify_spark.queries.ml import EM_ITERS
+    vals = duckdb.sql(f"""
+        SELECT CAST(ROUND(value * 100, 0) AS BIGINT)
+        FROM '{sf_dir}/events.parquet'""").fetchall()
+    hist = Counter(v for (v,) in vals)
+
+    def snap(x):
+        return int(math.floor(x + 0.5)) if x >= 0 \
+            else -int(math.floor(-x + 0.5))
+
+    n = sum(hist.values())
+    sv = sum(c * v for v, c in hist.items())
+    svv = sum(c * v * v for v, c in hist.items())
+    cc = 0
+    mu1 = mu2 = None
+    for v in sorted(hist):
+        cc += hist[v]
+        if mu1 is None and cc >= (n + 3) // 4:
+            mu1 = v
+        if mu2 is None and cc >= (3 * n + 3) // 4:
+            mu2 = v
+    var0 = max(snap((float(svv) - float(sv) * float(sv) / float(n))
+                    / float(n)), 1)
+    w1, w2, var1, var2 = 500000, 500000, var0, var0
+    want = []
+    for it in range(1, EM_ITERS + 1):
+        r1s = r1v = r1vv = r2s = r2v = r2vv = 0
+        for v, cnt in hist.items():
+            ll2 = (math.log(float(w2) / 1000000)
+                   - 0.5 * math.log(float(var2))
+                   - float((v - mu2) * (v - mu2)) / (2 * float(var2)))
+            ll1 = (math.log(float(w1) / 1000000)
+                   - 0.5 * math.log(float(var1))
+                   - float((v - mu1) * (v - mu1)) / (2 * float(var1)))
+            r = snap(1000000 / (1 + math.exp(ll2 - ll1)))
+            r1s += r * cnt
+            r2s += (1000000 - r) * cnt
+            r1v += r * cnt * v
+            r2v += (1000000 - r) * cnt * v
+            r1vv += r * cnt * v * v
+            r2vv += (1000000 - r) * cnt * v * v
+        w1 = snap(float(r1s) / float(n))
+        w2 = 1000000 - w1
+        mu1 = snap(float(r1v) / float(r1s))
+        mu2 = snap(float(r2v) / float(r2s))
+        var1 = max(snap(float(r1vv) / float(r1s)
+                        - (float(r1v) / float(r1s)) ** 2), 1)
+        var2 = max(snap(float(r2vv) / float(r2s)
+                        - (float(r2v) / float(r2s)) ** 2), 1)
+        want.append((it, w1, mu1, var1, mu2, var2))
+    rows = _rows("gmm_em_values", spark, sf_dir)
+    got = [(r["iter"], r["w1_micro"], r["mu1_centi"], r["var1_centi2"],
+            r["mu2_centi"], r["var2_centi2"])
+           for r in sorted(rows, key=lambda x: x["iter"])]
+    assert got == want
+    for _, w1g, _, v1g, _, v2g in got:
+        assert 0 <= w1g <= 1000000
+        assert v1g >= 1 and v2g >= 1
+
+
+def test_langid_matches_python(spark, sf_dir):
+    """X239: full Python replay of profiles, out-of-place distances
+    and argmin predictions; confusion counts conserve the test split."""
+    from collections import Counter, defaultdict
+    from etl_airflow_spotify_spark.queries.text import CT_PROFILE_K
+    docs = duckdb.sql(f"""
+        SELECT doc_id, lang, lower(text)
+        FROM '{sf_dir}/documents.parquet'
+        WHERE length(text) >= 3""").fetchall()
+
+    def grams(t):
+        return [t[i:i + 3] for i in range(len(t) - 2)]
+
+    def topk(cnt):
+        order = sorted(cnt, key=lambda g: (-cnt[g], g))[:CT_PROFILE_K]
+        return {g: i + 1 for i, g in enumerate(order)}
+
+    lang_cnt = defaultdict(Counter)
+    for did, lang, t in docs:
+        if did % 2 == 0:
+            lang_cnt[lang].update(grams(t))
+    prof = {lang: topk(c) for lang, c in lang_cnt.items()}
+    conf = Counter()
+    dist_mass = Counter()
+    for did, lang, t in docs:
+        if did % 2 == 0:
+            continue
+        dp = topk(Counter(grams(t)))
+        best = None
+        for cand in sorted(prof):
+            d = sum(abs(dr - prof[cand][g]) if g in prof[cand]
+                    else CT_PROFILE_K for g, dr in dp.items())
+            if best is None or (d, cand) < best:
+                best = (d, cand)
+        conf[(lang, best[1])] += 1
+        dist_mass[(lang, best[1])] += best[0]
+    rows = _rows("langid_rank_profile", spark, sf_dir)
+    got = {(r["true_lang"], r["pred_lang"]): (r["n_docs"],
+                                              r["total_dist"])
+           for r in rows}
+    want = {k: (conf[k], dist_mass[k]) for k in conf}
+    assert got == want
+    n_test = sum(1 for did, _, _ in docs if did % 2 == 1)
+    assert sum(v[0] for v in got.values()) == n_test
+
+
+def test_pca_matches_python(spark, sf_dir):
+    """X240: Python replay of moments -> covariance -> eigenvalues;
+    trace and determinant identities (lam1+lam2 = cxx+cyy,
+    lam1*lam2 = det) and lam1 >= lam2 >= 0 (PSD covariance)."""
+    import math
+    from collections import defaultdict
+    pts = duckdb.sql(f"""
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT),
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+        FROM '{sf_dir}/lineitem.parquet'""").fetchall()
+    by = defaultdict(list)
+    for f, x, y in pts:
+        by[f].append((x, y))
+
+    def snap(x):
+        return int(math.floor(x + 0.5)) if x >= 0 \
+            else -int(math.floor(-x + 0.5))
+
+    rows = _rows("pca_closed_form", spark, sf_dir)
+    got = {r["flag"]: r for r in rows}
+    assert set(got) == set(by)
+    for f, xs in by.items():
+        n = len(xs)
+        sx = sum(x for x, _ in xs)
+        sy = sum(y for _, y in xs)
+        sxx = sum(x * x for x, _ in xs)
+        syy = sum(y * y for _, y in xs)
+        sxy = sum(x * y for x, y in xs)
+        nd = float(n)
+        cxx = (nd * float(sxx) - float(sx) * float(sx)) / (nd * nd)
+        cyy = (nd * float(syy) - float(sy) * float(sy)) / (nd * nd)
+        cxy = (nd * float(sxy) - float(sx) * float(sy)) / (nd * nd)
+        disc = math.sqrt((cxx - cyy) * (cxx - cyy) + 4 * cxy * cxy)
+        lam1 = (cxx + cyy + disc) / 2
+        lam2 = (cxx + cyy - disc) / 2
+        r = got[f]
+        assert r["n"] == n
+        assert r["lam1"] == round(lam1, 4)
+        assert r["lam2"] == round(lam2, 4)
+        assert r["evr_micro"] == snap(lam1 / (lam1 + lam2) * 1000000)
+        assert r["slope_micro"] == snap((lam1 - cxx) / cxy * 1000000)
+        assert r["lam1"] >= r["lam2"] >= 0
+        assert abs((lam1 + lam2) - (cxx + cyy)) < 1e-6 * abs(cxx + cyy)
+
+
+def test_densest_subgraph_matches_python(spark, sf_dir):
+    """X241: Python replay of the batch peeling; graph strictly
+    shrinks every non-empty round; density identity 2E/2V."""
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.queries.graph import DSG_ROUNDS
+    edges = _copurchase_edges(sf_dir)
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    active = set(adj)
+    want = []
+    for r in range(1, DSG_ROUNDS + 1):
+        deg = {v: sum(1 for u in adj[v] if u in active)
+               for v in active}
+        nv = len(active)
+        e2 = sum(deg.values())
+        keep = {v for v in active if deg[v] * nv > e2}
+        want.append((r, nv, e2 // 2,
+                     (e2 * 500000) // nv if nv > 0 else 0,
+                     nv - len(keep)))
+        active = keep
+    rows = _rows("densest_subgraph_peel", spark, sf_dir)
+    got = [(r["round"], r["n_nodes"], r["n_edges"], r["density_micro"],
+            r["n_peeled"]) for r in sorted(rows,
+                                           key=lambda x: x["round"])]
+    assert got == want
+    for i in range(1, len(got)):
+        prev_nodes = got[i - 1][1]
+        if prev_nodes > 0:
+            assert got[i][1] < prev_nodes or got[i][1] == 0
