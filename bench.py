@@ -288,6 +288,11 @@ HEADLINE = [
     "langid_rank_profile",
     "pca_closed_form",
     "densest_subgraph_peel",
+    "betweenness_kseeds",
+    "temporal_triangle_census",
+    "propensity_stratified_att",
+    "kruskal_wallis_values",
+    "zonemap_skip_audit",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -5919,3 +5919,130 @@ def huber_irls_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "ABS(y * 1000000 - (a_micro + b_micro * x))"
                              " AS BIGINT)")).alias("w")))
     return out
+
+
+# --------------------------------------------------------------------------
+# X245: Kruskal-Wallis k-sample rank test — the rank-based ANOVA the
+# drift family lacked (X73 chi2 tests categories, X129 KS tests two
+# samples; this tests k groups' locations at once, distribution-free).
+# Scale design: ranks NEVER touch rows — midranks come off the
+# cumulative value histogram (2x-midrank M2 = 2*cum_before + cnt + 1
+# keeps everything integer), per-group rank mass folds exactly, and
+# the H statistic works on CENTERED masses D_i = R2_i - n_i(N+1) whose
+# squared-over-n terms evaluate in pure BIGINT via the split identity
+# A^2 DIV n = q^2 n + 2qr + (r^2 DIV n), A = qn + r — no int128, no
+# doubles. Tie correction applied at milli precision (documented).
+# Kruskal & Wallis (1952); [EXT].
+# --------------------------------------------------------------------------
+@register(
+    "kruskal_wallis_values",
+    """
+    WITH pts AS (
+        SELECT event_type AS grp,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+        FROM events
+    ),
+    hist AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM pts GROUP BY v
+    ),
+    ranks AS (
+        SELECT v, cnt,
+               2 * (SUM(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS m2
+        FROM hist
+    ),
+    bytype AS (
+        SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS ct
+        FROM pts GROUP BY grp, v
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        FROM hist
+    ),
+    g AS (
+        SELECT b.grp,
+               CAST(SUM(b.ct) AS BIGINT) AS n_i,
+               CAST(SUM(b.ct * r.m2) AS BIGINT) AS r2
+        FROM bytype b JOIN ranks r ON r.v = b.v
+        GROUP BY b.grp
+    ),
+    d AS (
+        SELECT grp, n_i, r2,
+               ABS(r2 - n_i * (t.n + 1)) AS a, t.n
+        FROM g CROSS JOIN tot t
+    ),
+    terms AS (
+        SELECT grp, n_i, r2, a,
+               (a // n_i) * (a // n_i) * n_i
+               + 2 * (a // n_i) * (a % n_i)
+               + ((a % n_i) * (a % n_i)) // n_i AS t_i
+        FROM d
+    ),
+    h AS (
+        SELECT CAST((3 * SUM(t_i)) // (t.n * (t.n + 1)) * 1000000
+                    + (((3 * SUM(t_i)) % (t.n * (t.n + 1))) * 1000000)
+                      // (t.n * (t.n + 1)) AS BIGINT) AS h_micro,
+               CAST(((t.n * t.n * t.n - t.n - t.ties) * 1000)
+                    // (t.n * t.n * t.n - t.n) AS BIGINT) AS c_milli
+        FROM terms CROSS JOIN tot t GROUP BY t.n, t.ties
+    )
+    SELECT tm.grp, tm.n_i, tm.r2 AS rank_mass2,
+           h.h_micro,
+           CAST((h.h_micro * 1000) // h.c_milli AS BIGINT)
+               AS h_adj_micro
+    FROM terms tm CROSS JOIN h
+    """,
+    doc="X245 Kruskal-Wallis rank test over centi-snapped event "
+        "values by event type: integer 2x-midranks from the cumulative "
+        "value histogram (rows never individually ranked), centered "
+        "rank masses, BIGINT split-division identity for the "
+        "squared-over-n fold, milli-precision tie correction. "
+        "Per-group exact rank mass + shared H / adjusted H. "
+        "Python replay + rank-mass conservation laws.",
+    tags=("X245", "X129", "X92", "X11", "X7"),
+)
+def kruskal_wallis_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    pts = ev.select(F.col("event_type").alias("grp"),
+                    F.round(F.col("value") * 100, 0).cast("long")
+                    .alias("v"))
+    hist = pts.groupBy("v").agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranks = hist.select(
+        "v", "cnt",
+        (2 * (F.sum("cnt").over(w) - F.col("cnt"))
+         + F.col("cnt") + 1).alias("m2"))
+    bytype = pts.groupBy("grp", "v") \
+        .agg(F.count("*").cast("long").alias("ct"))
+    tot = hist.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt")
+              - F.col("cnt")).cast("long").alias("ties"))
+    g = (bytype.join(ranks.select("v", "m2"), "v")
+         .groupBy("grp")
+         .agg(F.sum("ct").cast("long").alias("n_i"),
+              F.sum(F.col("ct") * F.col("m2")).cast("long")
+              .alias("r2")))
+    d = g.crossJoin(F.broadcast(tot)).select(
+        "grp", "n_i", "r2",
+        F.abs(F.col("r2") - F.col("n_i") * (F.col("n") + 1)).alias("a"),
+        "n", "ties")
+    terms = d.select(
+        "grp", "n_i", "r2", "n", "ties",
+        F.expr("(a DIV n_i) * (a DIV n_i) * n_i"
+               " + 2 * (a DIV n_i) * (a % n_i)"
+               " + ((a % n_i) * (a % n_i)) DIV n_i").alias("t_i")
+        ).localCheckpoint()
+    h = terms.groupBy("n", "ties").agg(
+        F.expr("CAST((3 * SUM(t_i)) DIV (n * (n + 1)) * 1000000"
+               " + (((3 * SUM(t_i)) % (n * (n + 1))) * 1000000)"
+               " DIV (n * (n + 1)) AS BIGINT)").alias("h_micro"),
+        F.expr("CAST(((n * n * n - n - ties) * 1000)"
+               " DIV (n * n * n - n) AS BIGINT)").alias("c_milli"))
+    return (terms.crossJoin(F.broadcast(
+        h.select("h_micro", "c_milli")))
+        .select("grp", "n_i", F.col("r2").alias("rank_mass2"),
+                "h_micro",
+                F.expr("CAST((h_micro * 1000) DIV c_milli AS BIGINT)")
+                .alias("h_adj_micro")))

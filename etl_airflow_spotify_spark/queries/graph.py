@@ -2258,3 +2258,250 @@ def densest_subgraph_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         results, "round long, n_nodes long, n_edges long, "
                  "density_micro long, n_peeled long")
+
+
+# --------------------------------------------------------------------------
+# X242: betweenness centrality (k-seed Brandes) — the one classic
+# centrality the registry lacked (vs degree X156, PageRank X42,
+# HITS X127, k-core X123): how much shortest-path traffic flows
+# THROUGH a node. Exact Brandes from BC_SEEDS seed sources to radius
+# BC_LEVELS (the standard pivot-sampled estimator, Brandes 2001 /
+# Bader-Madduri pivots): forward level-synchronous BFS accumulates
+# path counts sigma (exact BIGINT — level frames keyed by (seed, v),
+# ALL seeds advance in the same join, one pass per level, never one
+# job per seed); backward dependency accumulation folds
+# delta(v) = sum_w sigma_v (1 + delta_w) / sigma_w on the micro grid
+# (one correctly-rounded double per edge term). Output: top-20 nodes
+# by accumulated dependency. The oracle unrolls both sweeps as
+# MATERIALIZED CTEs.
+# --------------------------------------------------------------------------
+BC_SEEDS = 4
+BC_LEVELS = 4
+
+_BC_TERM = ("CAST(ROUND(CAST({sv} AS DOUBLE) * (1000000 + {dw})"
+            " / {sw}, 0) AS BIGINT)")
+
+
+def _bc_oracle_sql() -> str:
+    ctes = [f"""seeds AS MATERIALIZED (
+        SELECT i AS seed FROM (SELECT DISTINCT src AS i FROM edges)
+        ORDER BY i LIMIT {BC_SEEDS}
+    )""", """lv0 AS MATERIALIZED (
+        SELECT seed, seed AS v, CAST(1 AS BIGINT) AS sigma FROM seeds
+    )""", """vis0 AS MATERIALIZED (
+        SELECT seed, v FROM lv0
+    )"""]
+    for l in range(1, BC_LEVELS + 1):
+        ctes.append(f"""lv{l} AS MATERIALIZED (
+        SELECT p.seed, e.dst AS v, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+        FROM lv{l - 1} p JOIN edges e ON e.src = p.v
+        LEFT JOIN vis{l - 1} x ON x.seed = p.seed AND x.v = e.dst
+        WHERE x.v IS NULL
+        GROUP BY p.seed, e.dst
+    )""")
+        ctes.append(f"""vis{l} AS MATERIALIZED (
+        SELECT seed, v FROM vis{l - 1}
+        UNION ALL SELECT seed, v FROM lv{l}
+    )""")
+    ctes.append(f"""d{BC_LEVELS} AS MATERIALIZED (
+        SELECT seed, v, sigma, CAST(0 AS BIGINT) AS delta
+        FROM lv{BC_LEVELS}
+    )""")
+    for l in range(BC_LEVELS - 1, 0, -1):
+        term = _BC_TERM.format(sv="c2.sigma", dw="w.delta", sw="w.sigma")
+        ctes.append(f"""d{l} AS MATERIALIZED (
+        SELECT c.seed, c.v, c.sigma, COALESCE(t.s, 0) AS delta
+        FROM lv{l} c LEFT JOIN (
+            SELECT c2.seed, c2.v, CAST(SUM({term}) AS BIGINT) AS s
+            FROM lv{l} c2
+            JOIN edges e ON e.src = c2.v
+            JOIN d{l + 1} w ON w.seed = c2.seed AND w.v = e.dst
+            GROUP BY c2.seed, c2.v
+        ) t ON t.seed = c.seed AND t.v = c.v
+    )""")
+    union = "\nUNION ALL\n        ".join(
+        f"SELECT seed, v, delta FROM d{l}"
+        for l in range(1, BC_LEVELS + 1))
+    cte_sql = ",\n    ".join(ctes)
+    return f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                FROM lineitem),
+    edges AS MATERIALIZED (SELECT DISTINCT a.i AS src, b.i AS dst
+              FROM op a JOIN op b ON a.g = b.g AND a.i <> b.i),
+    {cte_sql},
+    allv AS ({union})
+    SELECT v, CAST(SUM(delta) AS BIGINT) AS bc_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_seed_paths
+    FROM allv GROUP BY v
+    ORDER BY bc_micro DESC, v LIMIT 20
+    """
+
+
+@register(
+    "betweenness_kseeds",
+    _bc_oracle_sql(),
+    doc=f"X242 k-seed Brandes betweenness ({BC_SEEDS} seeds, radius "
+        f"{BC_LEVELS}) on the part co-purchase graph: multi-source "
+        "level-synchronous forward BFS (exact BIGINT path counts, all "
+        "seeds share each level's join), backward dependency "
+        "accumulation with micro-grid edge terms, top-20 by "
+        "accumulated dependency. Python Brandes replay + "
+        "sigma-composition law.",
+    tags=("X242", "X78", "X42", "X3", "X7"),
+)
+def betweenness_kseeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey") \
+        .localCheckpoint()
+    seeds = (edges.select(F.col("src").alias("seed")).distinct()
+             .orderBy("seed").limit(BC_SEEDS))
+    lv = {0: seeds.select("seed", F.col("seed").alias("v"),
+                          F.lit(1).cast("long").alias("sigma"))
+          .localCheckpoint()}
+    vis = lv[0].select("seed", "v").localCheckpoint()
+    for l in range(1, BC_LEVELS + 1):
+        nxt = (lv[l - 1].join(edges, lv[l - 1].v == edges.src)
+               .join(vis.withColumnRenamed("v", "dst"), ["seed", "dst"],
+                     "left_anti")
+               .groupBy("seed", F.col("dst").alias("v"))
+               .agg(F.sum("sigma").cast("long").alias("sigma"))
+               .localCheckpoint())
+        lv[l] = nxt
+        vis = vis.unionByName(nxt.select("seed", "v")).localCheckpoint()
+    delta = {BC_LEVELS: lv[BC_LEVELS].withColumn(
+        "delta", F.lit(0).cast("long")).localCheckpoint()}
+    for l in range(BC_LEVELS - 1, 0, -1):
+        succ = delta[l + 1].select(
+            "seed", F.col("v").alias("dst"),
+            F.col("sigma").alias("sw"), F.col("delta").alias("dw"))
+        contrib = (lv[l].join(edges, lv[l].v == edges.src)
+                   .join(succ, ["seed", "dst"])
+                   .groupBy("seed", "v")
+                   .agg(F.sum(F.expr(
+                       "CAST(ROUND(CAST(sigma AS DOUBLE)"
+                       " * (1000000 + dw) / sw, 0) AS BIGINT)"))
+                       .cast("long").alias("s")))
+        delta[l] = (lv[l].join(contrib, ["seed", "v"], "left")
+                    .select("seed", "v", "sigma",
+                            F.coalesce("s", F.lit(0)).alias("delta"))
+                    .localCheckpoint())
+    allv = None
+    for l in range(1, BC_LEVELS + 1):
+        part = delta[l].select("seed", "v", "delta")
+        allv = part if allv is None else allv.unionByName(part)
+    return (allv.groupBy("v")
+            .agg(F.sum("delta").cast("long").alias("bc_micro"),
+                 F.count("*").cast("long").alias("n_seed_paths"))
+            .orderBy(F.desc("bc_micro"), "v").limit(20))
+
+
+# --------------------------------------------------------------------------
+# X243: temporal motif census — triangles of the co-purchase graph
+# classified by the TIME ORDER of their edges (Paranjape et al., WSDM
+# 2017): each undirected edge carries its first-co-purchase date (MIN
+# order date over shared orders, exact integer epoch days), each
+# id-oriented triangle classifies by (a) how many of its three edge
+# dates are distinct (strict sequence / one tie / all simultaneous)
+# and (b) which edge formed first (argmin index, ties lowest), with a
+# span bucket (max-min <= TM_WINDOW_DAYS or beyond). Static triangle
+# counting (X39/X167) sees structure; this sees FORMATION DYNAMICS —
+# the difference between a clique that grew and one that appeared.
+# All-integer: dates are epoch days, census cells are exact counts.
+# --------------------------------------------------------------------------
+TM_WINDOW_DAYS = 60
+
+
+@register(
+    "temporal_triangle_census",
+    f"""
+    WITH og AS (
+        SELECT DISTINCT o.o_orderkey AS g,
+               CAST(date_diff('day', DATE '1992-01-01',
+                    CAST(o.o_orderdate AS DATE)) AS BIGINT) AS t,
+               l.l_partkey AS i
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    ed AS MATERIALIZED (
+        SELECT LEAST(a.i, b.i) AS lo, GREATEST(a.i, b.i) AS hi,
+               CAST(MIN(a.t) AS BIGINT) AS t
+        FROM og a JOIN og b ON a.g = b.g AND a.i < b.i
+        GROUP BY 1, 2
+    ),
+    tri AS (
+        SELECT e1.t AS t1, e2.t AS t2, e3.t AS t3
+        FROM ed e1
+        JOIN ed e2 ON e2.lo = e1.hi
+        JOIN ed e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ),
+    cls AS (
+        SELECT CASE WHEN t1 <> t2 AND t2 <> t3 AND t1 <> t3
+                    THEN 'strict'
+                    WHEN t1 = t2 AND t2 = t3 THEN 'tie3'
+                    ELSE 'tie2' END
+               || ':' ||
+               CASE WHEN t1 <= t2 AND t1 <= t3 THEN '1'
+                    WHEN t2 <= t3 THEN '2' ELSE '3' END AS pattern,
+               CASE WHEN GREATEST(t1, t2, t3) - LEAST(t1, t2, t3)
+                         <= {TM_WINDOW_DAYS}
+                    THEN 'within' ELSE 'beyond' END AS span_bucket,
+               GREATEST(t1, t2, t3) - LEAST(t1, t2, t3) AS span
+        FROM tri
+    )
+    SELECT pattern, span_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST(SUM(span) AS BIGINT) AS sum_span_days
+    FROM cls GROUP BY pattern, span_bucket
+    """,
+    doc=f"X243 temporal triangle census: co-purchase edges dated by "
+        "first shared order (integer epoch days), id-oriented "
+        "triangle join, cells = (tie-structure : first-edge argmin) x "
+        f"(span <= {TM_WINDOW_DAYS}d or beyond) with exact counts and "
+        "span mass. Formation-dynamics view of X39/X167's static "
+        "triangles. Python replay + census-conservation laws.",
+    tags=("X243", "X39", "X167", "X3", "X7"),
+)
+def temporal_triangle_census(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    og = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(F.col("l_orderkey").alias("g"),
+                  F.datediff(F.col("o_orderdate").cast("date"),
+                             F.lit("1992-01-01").cast("date"))
+                  .cast("long").alias("t"),
+                  F.col("l_partkey").alias("i"))
+          .distinct())
+    a, b = og.alias("a"), og.alias("b")
+    ed = persist_tracked(
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("lo"), F.col("b.i").alias("hi"))
+        .agg(F.min(F.col("a.t")).cast("long").alias("t")))
+    e1 = ed.select(F.col("lo").alias("x"), F.col("hi").alias("y"),
+                   F.col("t").alias("t1"))
+    e2 = ed.select(F.col("lo").alias("y"), F.col("hi").alias("z"),
+                   F.col("t").alias("t2"))
+    e3 = ed.select(F.col("lo").alias("x"), F.col("hi").alias("z"),
+                   F.col("t").alias("t3"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    pattern = (
+        F.when((F.col("t1") != F.col("t2")) & (F.col("t2") != F.col("t3"))
+               & (F.col("t1") != F.col("t3")), "strict")
+        .when((F.col("t1") == F.col("t2"))
+              & (F.col("t2") == F.col("t3")), "tie3")
+        .otherwise("tie2"))
+    first = (F.when((F.col("t1") <= F.col("t2"))
+                    & (F.col("t1") <= F.col("t3")), "1")
+             .when(F.col("t2") <= F.col("t3"), "2").otherwise("3"))
+    span = (F.greatest("t1", "t2", "t3")
+            - F.least("t1", "t2", "t3"))
+    cls = tri.select(
+        F.concat(pattern, F.lit(":"), first).alias("pattern"),
+        F.when(span <= TM_WINDOW_DAYS, "within").otherwise("beyond")
+        .alias("span_bucket"),
+        span.alias("span"))
+    return (cls.groupBy("pattern", "span_bucket")
+            .agg(F.count("*").cast("long").alias("n_triangles"),
+                 F.sum("span").cast("long").alias("sum_span_days")))

@@ -2468,3 +2468,117 @@ def gmm_em_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("var2").alias("var2_centi2"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# X244: propensity-score stratification (Rosenbaum-Rubin
+# subclassification) — the fourth causal estimator family next to
+# g-formula standardization (X146), difference-in-differences (X158)
+# and quantile treatment effects (X175): estimate each unit's
+# propensity to receive treatment (deep discount) from its covariate
+# cell (part brand), subclassify units into fixed-width propensity
+# strata, take the within-stratum treated-minus-control outcome gap,
+# and weight gaps by treated counts (the ATT weighting). Exact
+# arithmetic throughout: cell propensities and stratum means are
+# BIGINT micro floor-divisions, the final ATT is one weighted fold.
+# Rosenbaum & Rubin (1983/84); [EXT].
+# --------------------------------------------------------------------------
+PS_STRATA = 5
+
+
+@register(
+    "propensity_stratified_att",
+    f"""
+    WITH units AS (
+        SELECT p.p_brand AS brand,
+               CASE WHEN l.l_discount > 0.05 THEN 1 ELSE 0 END AS tr,
+               CAST(l.l_quantity AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    prop AS (
+        SELECT brand,
+               CAST((SUM(tr) * 1000000) // COUNT(*) AS BIGINT) AS e
+        FROM units GROUP BY brand
+    ),
+    strat AS (
+        SELECT u.tr, u.y,
+               LEAST({PS_STRATA - 1}, (p.e * {PS_STRATA}) // 1000000)
+                   AS stratum
+        FROM units u JOIN prop p ON p.brand = u.brand
+    ),
+    per AS (
+        SELECT stratum,
+               CAST(SUM(tr) AS BIGINT) AS n_treated,
+               CAST(SUM(1 - tr) AS BIGINT) AS n_control,
+               CAST(SUM(CASE WHEN tr = 1 THEN y ELSE 0 END)
+                    AS BIGINT) AS yt,
+               CAST(SUM(CASE WHEN tr = 0 THEN y ELSE 0 END)
+                    AS BIGINT) AS yc
+        FROM strat GROUP BY stratum
+    ),
+    gaps AS (
+        SELECT stratum, n_treated, n_control,
+               CAST((yt * 1000000) // n_treated
+                    - (yc * 1000000) // n_control AS BIGINT)
+                   AS gap_micro
+        FROM per WHERE n_treated > 0 AND n_control > 0
+    )
+    SELECT CAST(stratum AS BIGINT) AS stratum, n_treated, n_control,
+           gap_micro AS att_micro
+    FROM gaps
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(SUM(n_treated) AS BIGINT),
+           CAST(SUM(n_control) AS BIGINT),
+           CAST(SUM(n_treated * gap_micro) // SUM(n_treated)
+                AS BIGINT)
+    FROM gaps
+    """,
+    doc=f"X244 propensity-score subclassification ATT: propensity per "
+        "covariate cell (brand) as exact micro floor-division, "
+        f"{PS_STRATA} fixed-width strata, within-stratum treated-minus-"
+        "control quantity gap (micro), treated-count-weighted overall "
+        "ATT as the stratum = -1 row. Two aggregates + one broadcast "
+        "join; all-integer. Python replay + conservation laws.",
+    tags=("X244", "X146", "X158", "X7", "X3"),
+)
+def propensity_stratified_att(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    units = (li.join(p, p.p_partkey == li.l_partkey)
+             .select(F.col("p_brand").alias("brand"),
+                     F.when(F.col("l_discount") > 0.05, 1).otherwise(0)
+                     .alias("tr"),
+                     F.col("l_quantity").cast("long").alias("y")))
+    prop = (units.groupBy("brand")
+            .agg(F.expr("(SUM(tr) * 1000000) DIV COUNT(*)")
+                 .cast("long").alias("e")))
+    strat = (units.join(F.broadcast(prop), "brand")
+             .select("tr", "y",
+                     F.least(F.lit(PS_STRATA - 1),
+                             F.expr(f"(e * {PS_STRATA}) DIV 1000000"))
+                     .alias("stratum")))
+    per = (strat.groupBy("stratum")
+           .agg(F.sum("tr").cast("long").alias("n_treated"),
+                F.sum(1 - F.col("tr")).cast("long").alias("n_control"),
+                F.sum(F.when(F.col("tr") == 1, F.col("y")).otherwise(0))
+                .cast("long").alias("yt"),
+                F.sum(F.when(F.col("tr") == 0, F.col("y")).otherwise(0))
+                .cast("long").alias("yc")))
+    gaps = (per.filter((F.col("n_treated") > 0)
+                       & (F.col("n_control") > 0))
+            .select("stratum", "n_treated", "n_control",
+                    F.expr("(yt * 1000000) DIV n_treated"
+                           " - (yc * 1000000) DIV n_control")
+                    .cast("long").alias("gap_micro"))
+            .localCheckpoint())
+    strata_rows = gaps.select(
+        F.col("stratum").cast("long"), "n_treated", "n_control",
+        F.col("gap_micro").alias("att_micro"))
+    total = gaps.agg(
+        F.lit(-1).cast("long").alias("stratum"),
+        F.sum("n_treated").cast("long").alias("n_treated"),
+        F.sum("n_control").cast("long").alias("n_control"),
+        F.expr("SUM(n_treated * gap_micro) DIV SUM(n_treated)")
+        .cast("long").alias("att_micro"))
+    return strata_rows.unionByName(total)

@@ -685,3 +685,156 @@ def encoding_efficiency_audit(spark: SparkSession,
         f"CAST({cl2('vmax - vmin + 1')} AS BIGINT) AS range_bits",
         f"CAST({cl2('max_delta + 1')} + 1 AS BIGINT) AS delta_bits",
         "CAST((n_runs * 1000000) DIV n AS BIGINT) AS run_frac_micro")
+
+
+# --------------------------------------------------------------------------
+# X246: zone-map skip-rate audit — min/max data skipping is THE first
+# line of defense at 100 TB (parquet row-group stats, Delta/Iceberg
+# file pruning, ORC stripe indexes); this measures how well it works
+# on this layout for a fixed predicate battery. Rows bucket into
+# synthetic row groups (l_orderkey DIV ZM_RG_DIV — the natural insert
+# order), each group keeps (min, max, count) per column, and every
+# predicate reports groups skipped (max < lo OR min > hi), rows
+# scanned vs rows actually matched (the scan waste a sorted/z-ordered
+# layout would reclaim — X32/X145's metrics from the pruning side).
+# Zone-map soundness (no matched row inside a skipped group) is the
+# law test. All-integer: dates as epoch days, prices centi.
+# --------------------------------------------------------------------------
+ZM_RG_DIV = 1000
+ZM_PREDS = (
+    ("p1", "ship", 730, 1095),     # shipdate year ~1994
+    ("p2", "ship", 1460, 1825),    # ~1996
+    ("p3", "ship", 2400, 2555),    # tail of the calendar
+    ("p4", "price", 100000, 200000),    # 1000.00-2000.00
+    ("p5", "price", 9000000, 10500000), # the price ceiling
+    ("p6", "qty", 1, 5),
+    ("p7", "qty", 45, 50),
+    ("p8", "price", 0, 50000),
+)
+
+
+def _zm_pred_values() -> str:
+    return ", ".join(f"('{p}', '{c}', {lo}, {hi})"
+                     for p, c, lo, hi in ZM_PREDS)
+
+
+@register(
+    "zonemap_skip_audit",
+    f"""
+    WITH rows_ AS (
+        SELECT l_orderkey // {ZM_RG_DIV} AS rg,
+               CAST(date_diff('day', DATE '1992-01-01',
+                    CAST(l_shipdate AS DATE)) AS BIGINT) AS ship,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ),
+    rg AS (
+        SELECT rg, CAST(COUNT(*) AS BIGINT) AS cnt,
+               MIN(ship) AS lo_ship, MAX(ship) AS hi_ship,
+               MIN(price) AS lo_price, MAX(price) AS hi_price,
+               MIN(qty) AS lo_qty, MAX(qty) AS hi_qty
+        FROM rows_ GROUP BY rg
+    ),
+    preds(pid, col, lo, hi) AS (VALUES {_zm_pred_values()}),
+    dec AS (
+        SELECT p.pid, p.col, g.rg, g.cnt,
+               CASE p.col
+                    WHEN 'ship' THEN
+                        CASE WHEN g.hi_ship < p.lo OR g.lo_ship > p.hi
+                             THEN 1 ELSE 0 END
+                    WHEN 'price' THEN
+                        CASE WHEN g.hi_price < p.lo OR g.lo_price > p.hi
+                             THEN 1 ELSE 0 END
+                    ELSE CASE WHEN g.hi_qty < p.lo OR g.lo_qty > p.hi
+                              THEN 1 ELSE 0 END
+               END AS skipped
+        FROM preds p CROSS JOIN rg g
+    ),
+    matches AS (
+        SELECT p.pid, r.rg, CAST(COUNT(*) AS BIGINT) AS m
+        FROM preds p JOIN rows_ r
+          ON (p.col = 'ship' AND r.ship BETWEEN p.lo AND p.hi)
+          OR (p.col = 'price' AND r.price BETWEEN p.lo AND p.hi)
+          OR (p.col = 'qty' AND r.qty BETWEEN p.lo AND p.hi)
+        GROUP BY p.pid, r.rg
+    )
+    SELECT d.pid, d.col,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(d.skipped) AS BIGINT) AS n_skipped,
+           CAST(SUM(d.cnt) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN d.skipped = 0 THEN d.cnt ELSE 0 END)
+                AS BIGINT) AS rows_scanned,
+           CAST(COALESCE(SUM(m.m), 0) AS BIGINT) AS rows_matched,
+           CAST((SUM(d.skipped) * 1000000) // COUNT(*) AS BIGINT)
+               AS skip_frac_micro,
+           CAST(CASE WHEN SUM(CASE WHEN d.skipped = 0 THEN d.cnt
+                                   ELSE 0 END) > 0
+                THEN ((SUM(CASE WHEN d.skipped = 0 THEN d.cnt ELSE 0
+                           END) - COALESCE(SUM(m.m), 0)) * 1000000)
+                     // SUM(CASE WHEN d.skipped = 0 THEN d.cnt
+                            ELSE 0 END)
+                ELSE 0 END AS BIGINT) AS waste_micro
+    FROM dec d
+    LEFT JOIN matches m ON m.pid = d.pid AND m.rg = d.rg
+    GROUP BY d.pid, d.col
+    """,
+    doc=f"X246 zone-map skip audit: {ZM_RG_DIV}-key row groups keep "
+        "min/max/count for shipdate (epoch days), price (centi), "
+        "quantity; an 8-predicate battery reports groups skipped, "
+        "rows scanned vs matched, skip fraction and scan waste "
+        "(micro). The pruning-side twin of the X32/X145 layout "
+        "queries. Soundness law: no matched row in a skipped group.",
+    tags=("X246", "X32", "X145", "X38", "X7"),
+)
+def zonemap_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_ = li.select(
+        F.expr(f"l_orderkey DIV {ZM_RG_DIV}").alias("rg"),
+        F.datediff(F.col("l_shipdate").cast("date"),
+                   F.lit("1992-01-01").cast("date")).cast("long")
+        .alias("ship"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"))
+    rg = rows_.groupBy("rg").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.min("ship").alias("lo_ship"), F.max("ship").alias("hi_ship"),
+        F.min("price").alias("lo_price"),
+        F.max("price").alias("hi_price"),
+        F.min("qty").alias("lo_qty"), F.max("qty").alias("hi_qty"))
+    preds = li.sparkSession.createDataFrame(
+        list(ZM_PREDS), "pid string, col string, lo long, hi long")
+    skip_case = F.expr(
+        "CASE col WHEN 'ship' THEN CASE WHEN hi_ship < lo"
+        " OR lo_ship > hi THEN 1 ELSE 0 END"
+        " WHEN 'price' THEN CASE WHEN hi_price < lo"
+        " OR lo_price > hi THEN 1 ELSE 0 END"
+        " ELSE CASE WHEN hi_qty < lo OR lo_qty > hi THEN 1 ELSE 0 END"
+        " END")
+    dec = (rg.crossJoin(F.broadcast(preds))
+           .select("pid", "col", "rg", "cnt", skip_case.alias("skipped")))
+    matches = (rows_.crossJoin(F.broadcast(preds))
+               .filter("(col = 'ship' AND ship BETWEEN lo AND hi)"
+                       " OR (col = 'price' AND price BETWEEN lo AND hi)"
+                       " OR (col = 'qty' AND qty BETWEEN lo AND hi)")
+               .groupBy("pid", "rg")
+               .agg(F.count("*").cast("long").alias("m")))
+    return (dec.join(matches, ["pid", "rg"], "left")
+            .groupBy("pid", "col")
+            .agg(F.count("*").cast("long").alias("n_groups"),
+                 F.sum("skipped").cast("long").alias("n_skipped"),
+                 F.sum("cnt").cast("long").alias("rows_total"),
+                 F.sum(F.when(F.col("skipped") == 0, F.col("cnt"))
+                       .otherwise(0)).cast("long").alias("rows_scanned"),
+                 F.coalesce(F.sum("m"), F.lit(0)).cast("long")
+                 .alias("rows_matched"),
+                 F.expr("CAST((SUM(skipped) * 1000000) DIV COUNT(*)"
+                        " AS BIGINT)").alias("skip_frac_micro"),
+                 F.expr(
+                     "CAST(CASE WHEN SUM(CASE WHEN skipped = 0 THEN cnt"
+                     " ELSE 0 END) > 0 THEN ((SUM(CASE WHEN skipped = 0"
+                     " THEN cnt ELSE 0 END) - COALESCE(SUM(m), 0))"
+                     " * 1000000) DIV SUM(CASE WHEN skipped = 0"
+                     " THEN cnt ELSE 0 END) ELSE 0 END AS BIGINT)")
+                 .alias("waste_micro")))

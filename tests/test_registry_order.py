@@ -112,6 +112,11 @@ NEW_R5: dict[str, str] = {
     "langid_rank_profile": "X239",
     "pca_closed_form": "X240",
     "densest_subgraph_peel": "X241",
+    "betweenness_kseeds": "X242",
+    "temporal_triangle_census": "X243",
+    "propensity_stratified_att": "X244",
+    "kruskal_wallis_values": "X245",
+    "zonemap_skip_audit": "X246",
 }
 
 
