@@ -293,6 +293,10 @@ HEADLINE = [
     "propensity_stratified_att",
     "kruskal_wallis_values",
     "zonemap_skip_audit",
+    "funnel_local_alignment",
+    "platt_scaling_calibration",
+    "rank_correlation_brands",
+    "daily_periodogram",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

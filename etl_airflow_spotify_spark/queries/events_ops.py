@@ -6046,3 +6046,190 @@ def kruskal_wallis_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "h_micro",
                 F.expr("CAST((h_micro * 1000) DIV c_milli AS BIGINT)")
                 .alias("h_adj_micro")))
+
+
+# --------------------------------------------------------------------------
+# X247: Smith-Waterman LOCAL alignment — the companion to X227's
+# global NW: instead of charging the whole journey, find the
+# best-scoring SEGMENT that matches the funnel template (cells floor
+# at 0, answer is the max over all cells), which is the right lens
+# when sessions embed one clean funnel pass inside hours of noise.
+# Same constant-width integer max-plus DP state (template-width cells
+# + a running best), same engine split: Spark folds each user's token
+# array with one aggregate HOF (left-neighbor cells substituted
+# inline), the oracle replays the DP as a recursive CTE. Smith &
+# Waterman (1981); [EXT].
+# --------------------------------------------------------------------------
+SW_TEMPLATE = NW_TEMPLATE
+SW_MATCH = 3
+SW_MISMATCH = -2
+SW_GAP = -1
+
+
+def _sw_oracle_sql() -> str:
+    tpl = SW_TEMPLATE
+    g, mm, mt = SW_GAP, SW_MISMATCH, SW_MATCH
+    sub = {j: (f"CASE WHEN s.event_type = '{tpl[j - 1]}' "
+               f"THEN {mt} ELSE {mm} END") for j in range(1, 5)}
+    cells = {0: "0"}
+    for j in range(1, 5):
+        cells[j] = (f"GREATEST(0, h.r{j - 1} + ({sub[j]}), "
+                    f"h.r{j} + {g}, ({cells[j - 1]}) + {g})")
+    init = ", ".join("CAST(0 AS BIGINT)" for _ in range(5))
+    steps = ",\n               ".join(
+        f"CAST({cells[j]} AS BIGINT)" for j in range(5))
+    bests = ", ".join(f"({cells[j]})" for j in range(1, 5))
+    return f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t
+        FROM events
+    ),
+    nu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM seq GROUP BY user_id),
+    dp(user_id, t, r0, r1, r2, r3, r4, b) AS (
+        SELECT user_id, CAST(0 AS BIGINT), {init}, CAST(0 AS BIGINT)
+        FROM nu
+        UNION ALL
+        SELECT h.user_id, h.t + 1,
+               {steps},
+               CAST(GREATEST(h.b, {bests}) AS BIGINT)
+        FROM dp h JOIN seq s ON s.user_id = h.user_id
+                            AND s.t = h.t + 1
+    )
+    SELECT d.user_id, nu.n AS n_events,
+           CAST(d.b AS BIGINT) AS local_score
+    FROM dp d JOIN nu ON nu.user_id = d.user_id AND d.t = nu.n
+    """
+
+
+@register(
+    "funnel_local_alignment",
+    _sw_oracle_sql(),
+    doc=f"X247 Smith-Waterman local alignment of per-user event "
+        f"sequences to the {' -> '.join(SW_TEMPLATE)} template (match "
+        f"{SW_MATCH}, mismatch {SW_MISMATCH}, gap {SW_GAP}): cells "
+        "floor at 0, answer is the running max over all cells — the "
+        "best funnel SEGMENT inside a noisy session, vs X227's "
+        "whole-journey charge. One aggregate-HOF fold per user; "
+        "recursive-CTE oracle. Python DP replay + 0 <= score <= "
+        "4*match laws.",
+    tags=("X247", "X227", "X216", "X14", "X11"),
+)
+def funnel_local_alignment(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    tpl = SW_TEMPLATE
+    g, mm, mt = SW_GAP, SW_MISMATCH, SW_MATCH
+    sub = {j: (f"CASE WHEN x.event_type = '{tpl[j - 1]}' "
+               f"THEN {mt} ELSE {mm} END") for j in range(1, 5)}
+    cells = {0: "CAST(0 AS BIGINT)"}
+    for j in range(1, 5):
+        cells[j] = (f"GREATEST(0, acc.r{j - 1} + ({sub[j]}), "
+                    f"acc.r{j} + {g}, ({cells[j - 1]}) + {g})")
+    init = ", ".join(f"'r{j}', CAST(0 AS BIGINT)" for j in range(5)) \
+        + ", 'b', CAST(0 AS BIGINT)"
+    step = ", ".join(f"'r{j}', CAST({cells[j]} AS BIGINT)"
+                     for j in range(5))
+    bests = ", ".join(f"({cells[j]})" for j in range(1, 5))
+    step += f", 'b', CAST(GREATEST(acc.b, {bests}) AS BIGINT)"
+    seq = (ev.groupBy("user_id")
+           .agg(F.array_sort(F.collect_list(
+               F.struct("ts", "event_id", "event_type"))).alias("evs")))
+    folded = seq.select(
+        "user_id",
+        F.size("evs").cast("long").alias("n_events"),
+        F.expr(f"""aggregate(
+            evs,
+            named_struct({init}),
+            (acc, x) -> named_struct({step}))""").alias("v"))
+    return folded.select("user_id", "n_events",
+                         F.col("v.b").cast("long").alias("local_score"))
+
+
+# --------------------------------------------------------------------------
+# X250: periodogram at fixed periods — the frequency-domain
+# seasonality detector next to X136 (ACF, lag domain), X153 (Haar,
+# scale domain) and X82 (STL, decomposition): DFT power of the daily
+# count series at candidate periods (weekly / biweekly / monthly).
+# Exactness: the series is centered by the x n trick (y = n*x_t - S,
+# integer), each cos/sin coefficient snaps to the micro grid with its
+# ANGLE REDUCED FIRST (t % p before the division, so both engines'
+# libm sees the same small argument), and the a/b folds are exact
+# BIGINT; power is one double expression from the exact folds.
+# Schuster (1898); [EXT].
+# --------------------------------------------------------------------------
+PGRAM_PERIODS = (7, 14, 30)
+
+
+@register(
+    "daily_periodogram",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    seq AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT)
+                   AS t, x
+        FROM daily
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s FROM seq),
+    periods(p) AS (VALUES {", ".join(f"({p})" for p in PGRAM_PERIODS)}),
+    terms AS (
+        SELECT pr.p, q.t,
+               q.x * tt.n - tt.s AS y,
+               CAST(ROUND(COS(2 * PI() * (q.t % pr.p) / pr.p)
+                          * 1000000, 0) AS BIGINT) AS c,
+               CAST(ROUND(SIN(2 * PI() * (q.t % pr.p) / pr.p)
+                          * 1000000, 0) AS BIGINT) AS sn
+        FROM seq q CROSS JOIN tot tt CROSS JOIN periods pr
+    )
+    SELECT p AS period,
+           CAST(SUM(y * c) AS BIGINT) AS a_fold,
+           CAST(SUM(y * sn) AS BIGINT) AS b_fold,
+           ROUND((CAST(SUM(y * c) AS DOUBLE) * SUM(y * c)
+                  + CAST(SUM(y * sn) AS DOUBLE) * SUM(y * sn))
+                 / 1e12, 4) AS power
+    FROM terms GROUP BY p
+    """,
+    doc=f"X250 periodogram at periods {PGRAM_PERIODS} over daily "
+        "event counts: n-scaled centering (integer), per-day cos/sin "
+        "micro-snapped on the REDUCED angle (t % p), exact BIGINT a/b "
+        "folds, power one double expression. Weekly-seasonality "
+        "detection in the frequency domain. Python replay + "
+        "power >= 0 laws.",
+    tags=("X250", "X136", "X153", "X82", "X7"),
+)
+def daily_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date")
+                        .alias("day"))
+             .agg(F.count("*").cast("long").alias("x")))
+    seq = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).cast("long")
+        .alias("t"), "x")
+    tot = seq.agg(F.count("*").cast("long").alias("n"),
+                  F.sum("x").cast("long").alias("s"))
+    periods = ev.sparkSession.createDataFrame(
+        [(p,) for p in PGRAM_PERIODS], "p long")
+    terms = (seq.crossJoin(F.broadcast(tot))
+             .crossJoin(F.broadcast(periods))
+             .select(
+                 "p", "t",
+                 (F.col("x") * F.col("n") - F.col("s")).alias("y"),
+                 F.expr("CAST(ROUND(COS(2 * PI() * (t % p) / p)"
+                        " * 1000000, 0) AS BIGINT)").alias("c"),
+                 F.expr("CAST(ROUND(SIN(2 * PI() * (t % p) / p)"
+                        " * 1000000, 0) AS BIGINT)").alias("sn")))
+    return (terms.groupBy(F.col("p").alias("period"))
+            .agg(F.sum(F.col("y") * F.col("c")).cast("long")
+                 .alias("a_fold"),
+                 F.sum(F.col("y") * F.col("sn")).cast("long")
+                 .alias("b_fold"),
+                 F.expr("ROUND((CAST(SUM(y * c) AS DOUBLE) * SUM(y * c)"
+                        " + CAST(SUM(y * sn) AS DOUBLE) * SUM(y * sn))"
+                        " / 1e12, 4)").alias("power")))

@@ -2886,3 +2886,169 @@ def pca_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS evr_micro",
         "CAST(ROUND((lam1 - cxx) / cxy * 1000000, 0) AS BIGINT)"
         " AS slope_micro")
+
+
+# --------------------------------------------------------------------------
+# X249: rank correlation — Kendall tau-b and tie-aware Spearman
+# between two period rankings of the SAME dimension (brand revenue
+# 1993 vs 1995): the rank-stability lens X80's Pearson matrix (values,
+# not ranks) doesn't give. Revenue is per-row centi-rounded BEFORE the
+# fold so each period's ranking is exact-integer; the pair join runs
+# over the BOUNDED dimension frame (|brands|^2 rows — dimension-sized,
+# scale-free), concordant/discordant/tie counts are exact, and tau-b /
+# Spearman are single correctly-rounded double divisions from exact
+# folds (Spearman = Pearson on integer 2x-midranks). Kendall (1945);
+# [EXT].
+# --------------------------------------------------------------------------
+RC_YEAR_A = 1996
+RC_YEAR_B = 2000
+
+
+@register(
+    "rank_correlation_brands",
+    f"""
+    WITH rev AS (
+        SELECT p.p_brand AS brand,
+               EXTRACT(year FROM l.l_shipdate) AS yr,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice
+                    * (1 - l.l_discount) * 100, 0) AS BIGINT))
+                    AS BIGINT) AS r
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE EXTRACT(year FROM l.l_shipdate)
+              IN ({RC_YEAR_A}, {RC_YEAR_B})
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT brand,
+               COALESCE(MAX(CASE WHEN yr = {RC_YEAR_A} THEN r END), 0)
+                   AS x,
+               COALESCE(MAX(CASE WHEN yr = {RC_YEAR_B} THEN r END), 0)
+                   AS y
+        FROM rev GROUP BY brand
+    ),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN a.x = b.x AND a.y <> b.y
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+               CAST(SUM(CASE WHEN a.y = b.y AND a.x <> b.x
+                        THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+               CAST(COUNT(*) AS BIGINT) AS np
+        FROM wide a JOIN wide b ON a.brand < b.brand
+    ),
+    rx AS (
+        SELECT brand, y,
+               CAST(2 * (RANK() OVER (ORDER BY x) - 1)
+                    + COUNT(*) OVER (PARTITION BY x) + 1 AS BIGINT)
+                   AS mrx
+        FROM wide
+    ),
+    rxy AS (
+        SELECT mrx,
+               CAST(2 * (RANK() OVER (ORDER BY y) - 1)
+                    + COUNT(*) OVER (PARTITION BY y) + 1 AS BIGINT)
+                   AS mry
+        FROM rx
+    ),
+    sp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(mrx) AS BIGINT) AS sx,
+               CAST(SUM(mry) AS BIGINT) AS sy,
+               CAST(SUM(mrx * mrx) AS BIGINT) AS sxx,
+               CAST(SUM(mry * mry) AS BIGINT) AS syy,
+               CAST(SUM(mrx * mry) AS BIGINT) AS sxy
+        FROM rxy
+    )
+    SELECT p.np AS n_pairs, p.c AS concordant, p.d AS discordant,
+           p.tx AS ties_x, p.ty AS ties_y,
+           CAST(ROUND(CAST(p.c - p.d AS DOUBLE)
+                / SQRT(CAST(p.c + p.d + p.tx AS DOUBLE)
+                       * CAST(p.c + p.d + p.ty AS DOUBLE))
+                * 1000000, 0) AS BIGINT) AS tau_b_micro,
+           CAST(ROUND((CAST(s.n AS DOUBLE) * s.sxy
+                       - CAST(s.sx AS DOUBLE) * s.sy)
+                / SQRT((CAST(s.n AS DOUBLE) * s.sxx
+                        - CAST(s.sx AS DOUBLE) * s.sx)
+                       * (CAST(s.n AS DOUBLE) * s.syy
+                          - CAST(s.sy AS DOUBLE) * s.sy))
+                * 1000000, 0) AS BIGINT) AS spearman_micro
+    FROM pairs p CROSS JOIN sp s
+    """,
+    doc=f"X249 rank correlation of brand revenue rankings "
+        f"{RC_YEAR_A} vs {RC_YEAR_B}: per-row centi-rounded revenue "
+        "folds give exact integer rankings; Kendall tau-b from exact "
+        "concordant/discordant/tie counts over the bounded dimension "
+        "pair join; tie-aware Spearman as Pearson on integer "
+        "2x-midranks; both snapped micro from single double "
+        "divisions. Python replay + tau/Spearman range laws.",
+    tags=("X249", "X80", "X12", "X7"),
+)
+def rank_correlation_brands(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (li.join(p, p.p_partkey == li.l_partkey)
+           .filter(F.year("l_shipdate").isin(RC_YEAR_A, RC_YEAR_B))
+           .groupBy(F.col("p_brand").alias("brand"),
+                    F.year("l_shipdate").alias("yr"))
+           .agg(F.sum(F.round(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")) * 100, 0)
+                      .cast("long")).cast("long").alias("r")))
+    wide = (rev.groupBy("brand")
+            .agg(F.coalesce(F.max(F.when(F.col("yr") == RC_YEAR_A,
+                                         F.col("r"))), F.lit(0))
+                 .alias("x"),
+                 F.coalesce(F.max(F.when(F.col("yr") == RC_YEAR_B,
+                                         F.col("r"))), F.lit(0))
+                 .alias("y")).localCheckpoint())
+    a, b = wide.alias("a"), wide.alias("b")
+    pairs = (a.join(b, F.col("a.brand") < F.col("b.brand"))
+             .agg(F.sum(F.when((F.col("a.x") - F.col("b.x"))
+                               * (F.col("a.y") - F.col("b.y")) > 0, 1)
+                        .otherwise(0)).cast("long").alias("c"),
+                  F.sum(F.when((F.col("a.x") - F.col("b.x"))
+                               * (F.col("a.y") - F.col("b.y")) < 0, 1)
+                        .otherwise(0)).cast("long").alias("d"),
+                  F.sum(F.when((F.col("a.x") == F.col("b.x"))
+                               & (F.col("a.y") != F.col("b.y")), 1)
+                        .otherwise(0)).cast("long").alias("tx"),
+                  F.sum(F.when((F.col("a.y") == F.col("b.y"))
+                               & (F.col("a.x") != F.col("b.x")), 1)
+                        .otherwise(0)).cast("long").alias("ty"),
+                  F.count("*").cast("long").alias("np")))
+    wx = Window.orderBy("x")
+    rx = wide.select(
+        "y",
+        (2 * (F.rank().over(wx) - 1)
+         + F.count("*").over(Window.partitionBy("x")) + 1)
+        .cast("long").alias("mrx"))
+    wy = Window.orderBy("y")
+    rxy = rx.select(
+        "mrx",
+        (2 * (F.rank().over(wy) - 1)
+         + F.count("*").over(Window.partitionBy("y")) + 1)
+        .cast("long").alias("mry"))
+    sp = rxy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("mrx").cast("long").alias("sx"),
+        F.sum("mry").cast("long").alias("sy"),
+        F.sum(F.col("mrx") * F.col("mrx")).cast("long").alias("sxx"),
+        F.sum(F.col("mry") * F.col("mry")).cast("long").alias("syy"),
+        F.sum(F.col("mrx") * F.col("mry")).cast("long").alias("sxy"))
+    return (pairs.crossJoin(F.broadcast(sp))
+            .selectExpr(
+                "np AS n_pairs", "c AS concordant", "d AS discordant",
+                "tx AS ties_x", "ty AS ties_y",
+                "CAST(ROUND(CAST(c - d AS DOUBLE)"
+                " / SQRT(CAST(c + d + tx AS DOUBLE)"
+                " * CAST(c + d + ty AS DOUBLE)) * 1000000, 0)"
+                " AS BIGINT) AS tau_b_micro",
+                "CAST(ROUND((CAST(n AS DOUBLE) * sxy"
+                " - CAST(sx AS DOUBLE) * sy)"
+                " / SQRT((CAST(n AS DOUBLE) * sxx"
+                " - CAST(sx AS DOUBLE) * sx)"
+                " * (CAST(n AS DOUBLE) * syy"
+                " - CAST(sy AS DOUBLE) * sy)) * 1000000, 0)"
+                " AS BIGINT) AS spearman_micro"))

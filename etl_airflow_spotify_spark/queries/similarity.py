@@ -3611,3 +3611,158 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         centers.append((k, nxt["vec_id"], nxt["qe"]))
     return spark.createDataFrame(
         results, "k long, center_id long, radius2 long")
+
+
+# --------------------------------------------------------------------------
+# X248: Platt scaling — the PARAMETRIC probability calibration next to
+# isotonic (X90, shape-free) and raw reliability bins (X76): fit
+# p(correct | score) = sigmoid(A*s + B) by Newton-Raphson on the SAME
+# binned reliability cells the isotonic query pools (scale shape: the
+# float sigmoid evaluates once per bin, never per row; gradients and
+# the observed information fold from micro-snapped per-bin
+# probabilities in exact BIGINT; the 2x2 Newton solve is four
+# correctly-rounded double ratios snapped back to the micro grid).
+# Probabilities clamp to [1, 999999] micro so log-likelihood terms
+# stay finite and identical cross-engine. Platt (1999); [EXT].
+# --------------------------------------------------------------------------
+PLATT_ITERS = 4
+
+_PLATT_P = ("LEAST(999999, GREATEST(1, CAST(ROUND(1000000 / (1 + "
+            "EXP((CAST(a AS DOUBLE) * bin + b) / 1000000)), 0) "
+            "AS BIGINT)))")
+
+_PLATT_MOM = """
+        SELECT CAST(SUM(bin * (n_correct * 1000000 - n * pm))
+                    AS BIGINT) AS ga,
+               CAST(SUM(n_correct * 1000000 - n * pm) AS BIGINT) AS gb,
+               CAST(SUM(n * ((pm * (1000000 - pm)) // 1000000)
+                        * bin * bin) AS BIGINT) AS haa,
+               CAST(SUM(n * ((pm * (1000000 - pm)) // 1000000)
+                        * bin) AS BIGINT) AS hab,
+               CAST(SUM(n * ((pm * (1000000 - pm)) // 1000000))
+                    AS BIGINT) AS hbb,
+               CAST(SUM(CAST(ROUND((n_correct
+                        * LN(CAST(pm AS DOUBLE) / 1000000)
+                        + (n - n_correct)
+                          * LN(1 - CAST(pm AS DOUBLE) / 1000000))
+                        * 1000000, 0) AS BIGINT)) AS BIGINT) AS ll"""
+
+_PLATT_STEP = """
+        SELECT CAST(a - ROUND((CAST(hbb AS DOUBLE) * ga
+                    - CAST(hab AS DOUBLE) * gb)
+                   / (CAST(haa AS DOUBLE) * hbb
+                      - CAST(hab AS DOUBLE) * hab) * 1000000, 0)
+                   AS BIGINT) AS a,
+               CAST(b - ROUND((CAST(haa AS DOUBLE) * gb
+                    - CAST(hab AS DOUBLE) * ga)
+                   / (CAST(haa AS DOUBLE) * hbb
+                      - CAST(hab AS DOUBLE) * hab) * 1000000, 0)
+                   AS BIGINT) AS b,
+               ll"""
+
+
+def _platt_oracle_sql() -> str:
+    ctes = [f"""q0 AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS a,
+               CAST(ROUND(LN(CAST(SUM(n - n_correct) AS DOUBLE)
+                             / SUM(n_correct)) * 1000000, 0) AS BIGINT)
+                   AS b
+        FROM cells
+    )"""]
+    rows = []
+    prev = "q0"
+    for i in range(1, PLATT_ITERS + 1):
+        ctes.append(f"""e{i} AS MATERIALIZED (
+        SELECT c.bin, c.n, c.n_correct, p.a, p.b, {_PLATT_P} AS pm
+        FROM cells c CROSS JOIN {prev} p
+    )""")
+        ctes.append(f"""m{i} AS MATERIALIZED ({_PLATT_MOM},
+               MIN(a) AS a, MIN(b) AS b
+        FROM e{i}
+    )""")
+        ctes.append(f"q{i} AS MATERIALIZED ({_PLATT_STEP}\n"
+                    f"        FROM m{i}\n    )")
+        rows.append(f"SELECT CAST({i} AS BIGINT) AS iter,"
+                    f" a AS a_micro, b AS b_micro, ll AS ll_micro"
+                    f" FROM q{i}")
+        prev = f"q{i}"
+    return ("WITH " + _iso_bins_sql() + ",\n    "
+            + ",\n    ".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(rows))
+
+
+@register(
+    "platt_scaling_calibration",
+    _platt_oracle_sql(),
+    doc=f"X248 Platt scaling ({PLATT_ITERS} Newton iterations) on the "
+        "X90 reliability cells: sigmoid(A*s + B) fit to binned "
+        "correctness, per-bin probabilities micro-snapped and clamped "
+        "[1, 999999], gradient/information folds exact BIGINT, 2x2 "
+        "Newton solve as correctly-rounded double ratios. Trajectory "
+        "(A, B, log-likelihood) output; Python Newton replay + "
+        "net-ll-improvement law.",
+    tags=("X248", "X90", "X76", "X60", "X35"),
+)
+def platt_scaling_calibration(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(e, "label", "embedding", digits=6)
+    best = S.assign_nearest_centroid(
+        e, cents, id_col="vec_id", vec_col="embedding",
+        label_col="label", score_digits=4)
+    correct = F.when(F.col("pred") == F.col("label"), 1).otherwise(0)
+    cells = persist_tracked(
+        best.groupBy(F.floor(F.col("score") / ISO_BIN_W).cast("long")
+                     .alias("bin"))
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum(correct).cast("long").alias("n_correct")))
+    params = cells.agg(
+        F.lit(0).cast("long").alias("a"),
+        F.expr("CAST(ROUND(LN(CAST(SUM(n - n_correct) AS DOUBLE)"
+               " / SUM(n_correct)) * 1000000, 0) AS BIGINT)").alias("b")
+    ).localCheckpoint()
+    out = None
+    for i in range(1, PLATT_ITERS + 1):
+        ebins = (cells.crossJoin(F.broadcast(params))
+                 .select("bin", "n", "n_correct", "a", "b",
+                         F.expr(_PLATT_P).alias("pm")))
+        m = ebins.agg(
+            F.expr("CAST(SUM(bin * (n_correct * 1000000 - n * pm))"
+                   " AS BIGINT)").alias("ga"),
+            F.expr("CAST(SUM(n_correct * 1000000 - n * pm) AS BIGINT)")
+            .alias("gb"),
+            F.expr("CAST(SUM(n * ((pm * (1000000 - pm)) DIV 1000000)"
+                   " * bin * bin) AS BIGINT)").alias("haa"),
+            F.expr("CAST(SUM(n * ((pm * (1000000 - pm)) DIV 1000000)"
+                   " * bin) AS BIGINT)").alias("hab"),
+            F.expr("CAST(SUM(n * ((pm * (1000000 - pm)) DIV 1000000))"
+                   " AS BIGINT)").alias("hbb"),
+            F.expr("CAST(SUM(CAST(ROUND((n_correct"
+                   " * LN(CAST(pm AS DOUBLE) / 1000000)"
+                   " + (n - n_correct)"
+                   " * LN(1 - CAST(pm AS DOUBLE) / 1000000))"
+                   " * 1000000, 0) AS BIGINT)) AS BIGINT)").alias("ll"),
+            F.min("a").alias("a"), F.min("b").alias("b"))
+        params = m.select(
+            F.expr("CAST(a - ROUND((CAST(hbb AS DOUBLE) * ga"
+                   " - CAST(hab AS DOUBLE) * gb)"
+                   " / (CAST(haa AS DOUBLE) * hbb"
+                   " - CAST(hab AS DOUBLE) * hab) * 1000000, 0)"
+                   " AS BIGINT)")
+            .alias("a"),
+            F.expr("CAST(b - ROUND((CAST(haa AS DOUBLE) * gb"
+                   " - CAST(hab AS DOUBLE) * ga)"
+                   " / (CAST(haa AS DOUBLE) * hbb"
+                   " - CAST(hab AS DOUBLE) * hab) * 1000000, 0)"
+                   " AS BIGINT)")
+            .alias("b"),
+            "ll").localCheckpoint()
+        row = params.select(F.lit(i).cast("long").alias("iter"),
+                            F.col("a").alias("a_micro"),
+                            F.col("b").alias("b_micro"),
+                            F.col("ll").alias("ll_micro"))
+        out = row if out is None else out.unionByName(row)
+        params = params.select("a", "b")
+    return out

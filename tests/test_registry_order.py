@@ -117,6 +117,10 @@ NEW_R5: dict[str, str] = {
     "propensity_stratified_att": "X244",
     "kruskal_wallis_values": "X245",
     "zonemap_skip_audit": "X246",
+    "funnel_local_alignment": "X247",
+    "platt_scaling_calibration": "X248",
+    "rank_correlation_brands": "X249",
+    "daily_periodogram": "X250",
 }
 
 

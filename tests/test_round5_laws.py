@@ -1818,3 +1818,203 @@ def test_zonemap_soundness_and_replay(spark, sf_dir):
     assert got == want
     for pid, t in got.items():
         assert t[5] <= t[4]
+
+
+def test_smith_waterman_matches_python(spark, sf_dir):
+    """X247: full-matrix Python SW replay; 0 <= score <= 4*match;
+    local >= 0 always (vs NW which can go negative)."""
+    from etl_airflow_spotify_spark.queries.events_ops import (
+        SW_GAP, SW_MATCH, SW_MISMATCH, SW_TEMPLATE)
+    seqs = duckdb.sql(f"""
+        SELECT user_id, list(event_type ORDER BY ts, event_id)
+        FROM '{sf_dir}/events.parquet' GROUP BY user_id""").fetchall()
+
+    def sw(tokens):
+        m = len(SW_TEMPLATE)
+        row = [0] * (m + 1)
+        best = 0
+        for t in tokens:
+            new = [0]
+            for j in range(1, m + 1):
+                s = (SW_MATCH if t == SW_TEMPLATE[j - 1]
+                     else SW_MISMATCH)
+                new.append(max(0, row[j - 1] + s, row[j] + SW_GAP,
+                               new[j - 1] + SW_GAP))
+                best = max(best, new[j])
+            row = new
+        return best
+
+    want = {uid: (len(toks), sw(toks)) for uid, toks in seqs}
+    rows = _rows("funnel_local_alignment", spark, sf_dir)
+    got = {r["user_id"]: (r["n_events"], r["local_score"])
+           for r in rows}
+    assert got == want
+    for uid, (_, sc) in got.items():
+        assert 0 <= sc <= 4 * SW_MATCH
+
+
+def test_platt_matches_python(spark, sf_dir):
+    """X248: Python Newton replay on the reliability cells; clamped
+    probabilities; A negative (higher score -> more correct)."""
+    import math
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.queries.similarity import (
+        ISO_BIN_W, PLATT_ITERS)
+    # reliability cells via the oracle's own rocchio construction is
+    # heavy to replay; read them from the Spark-side helper instead.
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators import similarity as S
+    import pyspark.sql.functions as FF
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(e, "label", "embedding", digits=6)
+    best = S.assign_nearest_centroid(
+        e, cents, id_col="vec_id", vec_col="embedding",
+        label_col="label", score_digits=4)
+    correct = FF.when(FF.col("pred") == FF.col("label"), 1).otherwise(0)
+    cells = (best.groupBy(FF.floor(FF.col("score") / ISO_BIN_W)
+                          .cast("long").alias("bin"))
+             .agg(FF.count("*").cast("long").alias("n"),
+                  FF.sum(correct).cast("long").alias("nc"))).collect()
+    cells = [(r["bin"], r["n"], r["nc"]) for r in cells]
+
+    def snap(x):
+        return int(math.floor(x + 0.5)) if x >= 0 \
+            else -int(math.floor(-x + 0.5))
+
+    npos = sum(nc for _, _, nc in cells)
+    nneg = sum(n - nc for _, n, nc in cells)
+    a, b = 0, snap(math.log(float(nneg) / npos) * 1000000)
+    want = []
+    for it in range(1, PLATT_ITERS + 1):
+        ga = gb = haa = hab = hbb = ll = 0
+        for s, n, nc in cells:
+            pm = min(999999, max(1, snap(
+                1000000 / (1 + math.exp((float(a) * s + b)
+                                        / 1000000)))))
+            w = (pm * (1000000 - pm)) // 1000000
+            ga += s * (nc * 1000000 - n * pm)
+            gb += nc * 1000000 - n * pm
+            haa += n * w * s * s
+            hab += n * w * s
+            hbb += n * w
+            ll += snap((nc * math.log(float(pm) / 1000000)
+                        + (n - nc) * math.log(1 - float(pm) / 1000000))
+                       * 1000000)
+        det = float(haa) * hbb - float(hab) * hab
+        a = a - snap((float(hbb) * ga - float(hab) * gb) / det * 1000000)
+        b = b - snap((float(haa) * gb - float(hab) * ga) / det * 1000000)
+        want.append((it, a, b, ll))
+    rows = _rows("platt_scaling_calibration", spark, sf_dir)
+    got = [(r["iter"], r["a_micro"], r["b_micro"], r["ll_micro"])
+           for r in sorted(rows, key=lambda x: x["iter"])]
+    assert got == want
+    assert got[-1][1] < 0  # higher score -> higher correctness
+    lls = [r[3] for r in got]
+    # Newton can overshoot on step 1 and the micro-snapped params
+    # jitter a few micro-nats at the optimum; require net improvement
+    # and late-stage convergence instead of per-step monotonicity.
+    assert lls[-1] >= lls[0]
+    assert abs(lls[-1] - lls[-2]) <= 1000
+
+
+def test_rank_correlation_matches_python(spark, sf_dir):
+    """X249: Python replay of pair counts, tau-b and tie-aware
+    Spearman; both inside [-1, 1] micro."""
+    import math
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.queries.relational import (
+        RC_YEAR_A, RC_YEAR_B)
+    rev = duckdb.sql(f"""
+        SELECT p.p_brand, EXTRACT(year FROM l.l_shipdate),
+               SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                   * 100, 0) AS BIGINT))
+        FROM '{sf_dir}/lineitem.parquet' l
+        JOIN '{sf_dir}/part.parquet' p ON p.p_partkey = l.l_partkey
+        WHERE EXTRACT(year FROM l.l_shipdate)
+              IN ({RC_YEAR_A}, {RC_YEAR_B})
+        GROUP BY 1, 2""").fetchall()
+    wide = defaultdict(lambda: [0, 0])
+    for brand, yr, r in rev:
+        wide[brand][0 if yr == RC_YEAR_A else 1] = int(r)
+    items = sorted(wide.items())
+    c = d = tx = ty = np_ = 0
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            (xa, ya), (xb, yb) = items[i][1], items[j][1]
+            np_ += 1
+            prod = (xa - xb) * (ya - yb)
+            if prod > 0:
+                c += 1
+            elif prod < 0:
+                d += 1
+            elif xa == xb and ya != yb:
+                tx += 1
+            elif ya == yb and xa != xb:
+                ty += 1
+    tau = round((c - d) / math.sqrt(float(c + d + tx)
+                                    * (c + d + ty)) * 1000000)
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        out = [0] * len(vals)
+        from collections import Counter
+        cnt = Counter(vals)
+        rank = {}
+        seen = 0
+        for v in sorted(cnt):
+            rank[v] = 2 * seen + cnt[v] + 1
+            seen += cnt[v]
+        return [rank[v] for v in vals]
+
+    xs = [v[0] for _, v in items]
+    ys = [v[1] for _, v in items]
+    mx, my = midranks(xs), midranks(ys)
+    n = len(mx)
+    sx, sy = sum(mx), sum(my)
+    sxx = sum(a * a for a in mx)
+    syy = sum(a * a for a in my)
+    sxy = sum(a * b for a, b in zip(mx, my))
+    rho = round((float(n) * sxy - float(sx) * sy)
+                / math.sqrt((float(n) * sxx - float(sx) * sx)
+                            * (float(n) * syy - float(sy) * sy))
+                * 1000000)
+    r = _rows("rank_correlation_brands", spark, sf_dir)[0]
+    assert (r["n_pairs"], r["concordant"], r["discordant"],
+            r["ties_x"], r["ties_y"]) == (np_, c, d, tx, ty)
+    assert r["tau_b_micro"] == tau
+    assert r["spearman_micro"] == rho
+    assert -1000000 <= tau <= 1000000
+    assert -1000000 <= rho <= 1000000
+
+
+def test_periodogram_matches_python(spark, sf_dir):
+    """X250: Python replay of centered folds and power; power >= 0;
+    centering exactness (sum of y over days = 0)."""
+    import math
+    from etl_airflow_spotify_spark.queries.events_ops import (
+        PGRAM_PERIODS)
+    daily = duckdb.sql(f"""
+        SELECT CAST(date_trunc('day', ts) AS DATE), COUNT(*)
+        FROM '{sf_dir}/events.parquet'
+        GROUP BY 1 ORDER BY 1""").fetchall()
+    xs = [int(n) for _, n in daily]
+    n = len(xs)
+    s = sum(xs)
+    ys = [x * n - s for x in xs]
+    assert sum(ys) == 0
+
+    def snap(x):
+        return int(math.floor(x + 0.5)) if x >= 0 \
+            else -int(math.floor(-x + 0.5))
+
+    rows = _rows("daily_periodogram", spark, sf_dir)
+    got = {r["period"]: (r["a_fold"], r["b_fold"], r["power"])
+           for r in rows}
+    for p in PGRAM_PERIODS:
+        a = sum(y * snap(math.cos(2 * math.pi * (t % p) / p) * 1000000)
+                for t, y in enumerate(ys))
+        b = sum(y * snap(math.sin(2 * math.pi * (t % p) / p) * 1000000)
+                for t, y in enumerate(ys))
+        power = round((float(a) * a + float(b) * b) / 1e12, 4)
+        assert got[p] == (a, b, power)
+        assert got[p][2] >= 0
