@@ -741,3 +741,65 @@ def test_funnel_alignment_single_shuffle(spark, sf_dir):
     plan = plan_string(df)
     assert "Join" not in plan
     assert num_exchanges(df) == 1
+
+
+def test_betweenness_no_cartesian(spark, sf_dir):
+    """X242: both Brandes sweeps are (seed, v)-keyed hash joins
+    against the edge table — no cartesian product anywhere."""
+    assert not has_cartesian_product(_df("betweenness_kseeds",
+                                         spark, sf_dir))
+
+
+def test_beam_search_no_cartesian(spark, sf_dir):
+    """X232: each beam step is a <=B-row hash join against the scored
+    bigram table; the corpus is never cross-joined."""
+    assert not has_cartesian_product(_df("beam_search_decode",
+                                         spark, sf_dir))
+
+
+def test_temporal_census_no_cartesian(spark, sf_dir):
+    """X243: triangle enumeration is two dated-edge hash joins; no
+    all-pairs product."""
+    assert not has_cartesian_product(_df("temporal_triangle_census",
+                                         spark, sf_dir))
+
+
+def test_langid_profiles_broadcast(spark, sf_dir):
+    """X239: the lang-profile side of the scoring join is broadcast
+    (profiles are langs x K rows); no data-sized cartesian."""
+    df = _df("langid_rank_profile", spark, sf_dir)
+    assert not has_cartesian_product(df)
+    assert has_broadcast_hash_join(df)
+
+
+def test_kruskal_ranks_from_histogram(spark, sf_dir):
+    """X245: ranks come off the value histogram — the per-row table
+    is aggregated before any window; no cartesian, no row-level
+    global sort (the only ordered window runs on the histogram)."""
+    df = _df("kruskal_wallis_values", spark, sf_dir)
+    assert not has_cartesian_product(df)
+
+
+def test_zonemap_predicates_broadcast(spark, sf_dir):
+    """X246: the predicate battery joins rows/groups via broadcast
+    (8-row frame); no data-sized cartesian."""
+    assert not has_cartesian_product(_df("zonemap_skip_audit",
+                                         spark, sf_dir))
+
+
+def test_gmm_em_histogram_folded(spark, sf_dir):
+    """X238: every EM iteration touches only the value histogram —
+    the raw event rows aggregate ONCE (one exchange feeding the
+    histogram localCheckpoint); iterations are scans of that
+    checkpoint, no cartesian over data-sized frames."""
+    assert not has_cartesian_product(_df("gmm_em_values",
+                                         spark, sf_dir))
+
+
+def test_smith_waterman_single_shuffle(spark, sf_dir):
+    """X247: like X227 — the whole local-alignment DP is one
+    collect_list aggregate per user: single exchange, zero joins."""
+    df = _df("funnel_local_alignment", spark, sf_dir)
+    plan = plan_string(df)
+    assert "Join" not in plan
+    assert num_exchanges(df) == 1

@@ -92,6 +92,15 @@ SHOW = [
     "textrank_keywords",         # bounded word graph + fixed-point PR joins
     "multimodal_phash_dedup",    # Arrow decode UDF + banded hamming verify
     "funnel_alignment_scores",   # one fold per user, no per-step joins
+    # round-5 continuation (X229-X250)
+    "betweenness_kseeds",        # (seed,v)-keyed two-sweep Brandes, hash joins only
+    "beam_search_decode",        # <=B-row beam joins vs persisted scored bigrams
+    "temporal_triangle_census",  # dated-edge wedge joins, no all-pairs
+    "langid_rank_profile",       # broadcast lang profiles, bounded doc windows
+    "kruskal_wallis_values",     # histogram midranks, no row-level sort
+    "zonemap_skip_audit",        # broadcast 8-row predicate battery
+    "gmm_em_values",             # EM over the value histogram checkpoint
+    "funnel_local_alignment",    # one collect_list exchange, zero joins
 ]
 
 
