@@ -297,6 +297,8 @@ HEADLINE = [
     "platt_scaling_calibration",
     "rank_correlation_brands",
     "daily_periodogram",
+    "borda_condorcet_brands",
+    "randomization_test_discount",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

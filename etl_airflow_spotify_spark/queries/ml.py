@@ -2582,3 +2582,120 @@ def propensity_stratified_att(spark: SparkSession,
         F.expr("SUM(n_treated * gap_micro) DIV SUM(n_treated)")
         .cast("long").alias("att_micro"))
     return strata_rows.unionByName(total)
+
+
+# --------------------------------------------------------------------------
+# X252: randomization significance test — the TESTING member of the
+# resampling family (X103 bootstrap builds CIs, X179 jackknife builds
+# SEs; this builds a NULL DISTRIBUTION): is the deep-discount effect
+# on quantity distinguishable from label noise? The observed
+# treated-vs-control gap is compared against RT_PERMS md5-seeded
+# pseudo-assignments that preserve the treated fraction in
+# expectation (binomial randomization — the standard Monte Carlo
+# stand-in for the exact permutation test, Dwass 1957); every
+# reassignment is a pure hash of (perm, row key), so both engines and
+# task retries draw the identical null. p = (1 + #{|null| >= |obs|})
+# / (K + 1), all folds exact BIGINT, gaps micro floor-divided.
+# Fisher (1935), Dwass (1957); [EXT].
+# --------------------------------------------------------------------------
+RT_PERMS = 32
+
+
+@register(
+    "randomization_test_discount",
+    f"""
+    WITH units AS (
+        SELECT l_orderkey * 10 + l_linenumber AS rid,
+               CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS tr,
+               CAST(l_quantity AS BIGINT) AS y
+        FROM lineitem
+    ),
+    frac AS (
+        SELECT CAST((SUM(tr) * 1000000) // COUNT(*) AS BIGINT) AS pt
+        FROM units
+    ),
+    perms AS (SELECT unnest(range(0, {RT_PERMS + 1})) AS k),
+    assigned AS (
+        SELECT p.k, u.y,
+               CASE WHEN p.k = 0 THEN u.tr
+                    WHEN CAST(('0x' || substr(md5('rt:' ||
+                         CAST(p.k AS VARCHAR) || ':' ||
+                         CAST(u.rid AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % 1000000 < f.pt
+                    THEN 1 ELSE 0 END AS a
+        FROM units u CROSS JOIN perms p CROSS JOIN frac f
+    ),
+    gaps AS (
+        SELECT k,
+               CAST(SUM(a) AS BIGINT) AS nt,
+               CAST(SUM(1 - a) AS BIGINT) AS nc,
+               CAST((SUM(CASE WHEN a = 1 THEN y ELSE 0 END) * 1000000)
+                    // SUM(a)
+                    - (SUM(CASE WHEN a = 0 THEN y ELSE 0 END)
+                       * 1000000) // SUM(1 - a) AS BIGINT) AS gap_micro
+        FROM assigned GROUP BY k
+    ),
+    obs AS (SELECT ABS(gap_micro) AS og FROM gaps WHERE k = 0)
+    SELECT g.k AS perm, g.nt, g.nc, g.gap_micro,
+           CASE WHEN g.k > 0 AND ABS(g.gap_micro) >= o.og
+                THEN 1 ELSE 0 END AS exceeds,
+           CAST((1 + (SELECT SUM(CASE WHEN k2.k > 0
+                          AND ABS(k2.gap_micro) >= o.og THEN 1 ELSE 0
+                          END) FROM gaps k2)) * 1000000
+                // ({RT_PERMS} + 1) AS BIGINT) AS p_value_micro
+    FROM gaps g CROSS JOIN obs o
+    """,
+    doc=f"X252 randomization test of the deep-discount quantity "
+        f"effect: observed gap vs {RT_PERMS} md5-seeded binomial "
+        "pseudo-assignments (treated fraction preserved in "
+        "expectation; hash-of-(perm, row) so the null is identical "
+        "cross-engine and under retries); exact BIGINT folds, "
+        "micro gaps, Monte Carlo p = (1 + exceed count)/(K+1). "
+        "ONE scan fans out to all K+1 labelings via a broadcast perm "
+        "frame. Python replay + p-in-(0,1] + observed-row laws.",
+    tags=("X252", "X103", "X179", "X56", "X7"),
+)
+def randomization_test_discount(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    units = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        F.when(F.col("l_discount") > 0.05, 1).otherwise(0).alias("tr"),
+        F.col("l_quantity").cast("long").alias("y"))
+    frac = units.agg(F.expr("(SUM(tr) * 1000000) DIV COUNT(*)")
+                     .cast("long").alias("pt"))
+    perms = li.sparkSession.range(0, RT_PERMS + 1) \
+        .select(F.col("id").alias("k"))
+    assigned = (units.crossJoin(F.broadcast(perms))
+                .crossJoin(F.broadcast(frac))
+                .select(
+                    "k", "y",
+                    F.expr("CASE WHEN k = 0 THEN tr WHEN "
+                           "CAST(conv(substring(md5(concat('rt:', "
+                           "CAST(k AS STRING), ':', "
+                           "CAST(rid AS STRING))), 1, 15), 16, 10) "
+                           "AS BIGINT) % 1000000 < pt "
+                           "THEN 1 ELSE 0 END").alias("a")))
+    gaps = (assigned.groupBy("k")
+            .agg(F.sum("a").cast("long").alias("nt"),
+                 F.sum(1 - F.col("a")).cast("long").alias("nc"),
+                 F.expr("CAST((SUM(CASE WHEN a = 1 THEN y ELSE 0 END)"
+                        " * 1000000) DIV SUM(a)"
+                        " - (SUM(CASE WHEN a = 0 THEN y ELSE 0 END)"
+                        " * 1000000) DIV SUM(1 - a) AS BIGINT)")
+                 .alias("gap_micro")).localCheckpoint())
+    obs = gaps.filter(F.col("k") == 0) \
+        .select(F.abs("gap_micro").alias("og"))
+    exc = (gaps.crossJoin(F.broadcast(obs))
+           .agg(F.sum(F.when((F.col("k") > 0)
+                             & (F.abs("gap_micro") >= F.col("og")), 1)
+                      .otherwise(0)).cast("long").alias("ne")))
+    return (gaps.crossJoin(F.broadcast(obs))
+            .crossJoin(F.broadcast(exc))
+            .select(F.col("k").alias("perm"), "nt", "nc", "gap_micro",
+                    F.when((F.col("k") > 0)
+                           & (F.abs("gap_micro") >= F.col("og")), 1)
+                    .otherwise(0).alias("exceeds"),
+                    F.expr(f"CAST((1 + ne) * 1000000"
+                           f" DIV ({RT_PERMS} + 1) AS BIGINT)")
+                    .alias("p_value_micro")))

@@ -3052,3 +3052,110 @@ def rank_correlation_brands(spark: SparkSession,
                 " * (CAST(n AS DOUBLE) * syy"
                 " - CAST(sy AS DOUBLE) * sy)) * 1000000, 0)"
                 " AS BIGINT) AS spearman_micro"))
+
+
+# --------------------------------------------------------------------------
+# X251: rank aggregation (Borda + Condorcet) — the social-choice
+# family: brands ranked by three incommensurable criteria (revenue,
+# quantity, part variety) fused into one consensus ranking without
+# inventing weights. Borda score sums (n - position) across criteria;
+# the Condorcet matrix counts pairwise majority wins over the BOUNDED
+# dimension join (|brands|^2); the Condorcet winner (beats every
+# rival in >= 2 of 3 criteria) is flagged when one exists. Rankings
+# are exact: per-row centi-rounded revenue folds + deterministic
+# (value DESC, brand) tiebreak. Borda (1781), Condorcet (1785); [EXT]
+# — distinct from X63 RRF (retrieval-score fusion, reciprocal-rank
+# weighting) in both weighting and the pairwise-majority semantics.
+# --------------------------------------------------------------------------
+@register(
+    "borda_condorcet_brands",
+    """
+    WITH stats AS (
+        SELECT p.p_brand AS brand,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice
+                    * (1 - l.l_discount) * 100, 0) AS BIGINT))
+                    AS BIGINT) AS rev,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                   AS qty,
+               CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS variety
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT brand, rev, qty, variety,
+               CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, brand)
+                    AS BIGINT) AS r_rev,
+               CAST(ROW_NUMBER() OVER (ORDER BY qty DESC, brand)
+                    AS BIGINT) AS r_qty,
+               CAST(ROW_NUMBER() OVER (ORDER BY variety DESC, brand)
+                    AS BIGINT) AS r_var,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM stats
+    ),
+    duels AS (
+        SELECT a.brand,
+               CAST(SUM(CASE WHEN
+                   (CASE WHEN a.r_rev < b.r_rev THEN 1 ELSE 0 END
+                    + CASE WHEN a.r_qty < b.r_qty THEN 1 ELSE 0 END
+                    + CASE WHEN a.r_var < b.r_var THEN 1 ELSE 0 END)
+                   >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS wins
+        FROM ranked a JOIN ranked b ON a.brand <> b.brand
+        GROUP BY a.brand
+    )
+    SELECT r.brand, r.r_rev, r.r_qty, r.r_var,
+           CAST(3 * r.n - r.r_rev - r.r_qty - r.r_var AS BIGINT)
+               AS borda,
+           d.wins,
+           CASE WHEN d.wins = r.n - 1 THEN 1 ELSE 0 END
+               AS is_condorcet_winner
+    FROM ranked r JOIN duels d ON d.brand = r.brand
+    """,
+    doc="X251 Borda + Condorcet rank aggregation of brand rankings by "
+        "revenue (per-row centi-rounded exact folds), quantity and "
+        "part variety: deterministic row_number ranks, Borda = "
+        "sum(n - position), pairwise majority duel matrix over the "
+        "bounded brand join, Condorcet winner flag. Python replay + "
+        "Borda-sum conservation + at-most-one-winner laws.",
+    tags=("X251", "X63", "X12", "X7"),
+)
+def borda_condorcet_brands(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    stats = (li.join(p, p.p_partkey == li.l_partkey)
+             .groupBy(F.col("p_brand").alias("brand"))
+             .agg(F.sum(F.round(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount")) * 100, 0)
+                        .cast("long")).cast("long").alias("rev"),
+                  F.sum(F.col("l_quantity").cast("long")).cast("long")
+                  .alias("qty"),
+                  F.countDistinct("l_partkey").cast("long")
+                  .alias("variety")))
+    ranked = stats.select(
+        "brand", "rev", "qty", "variety",
+        F.row_number().over(Window.orderBy(F.desc("rev"), "brand"))
+        .cast("long").alias("r_rev"),
+        F.row_number().over(Window.orderBy(F.desc("qty"), "brand"))
+        .cast("long").alias("r_qty"),
+        F.row_number().over(Window.orderBy(F.desc("variety"), "brand"))
+        .cast("long").alias("r_var"),
+        F.count("*").over(Window.partitionBy()).cast("long")
+        .alias("n")).localCheckpoint()
+    a, b = ranked.alias("a"), ranked.alias("b")
+    beats = ((F.when(F.col("a.r_rev") < F.col("b.r_rev"), 1)
+              .otherwise(0))
+             + (F.when(F.col("a.r_qty") < F.col("b.r_qty"), 1)
+                .otherwise(0))
+             + (F.when(F.col("a.r_var") < F.col("b.r_var"), 1)
+                .otherwise(0)))
+    duels = (a.join(b, F.col("a.brand") != F.col("b.brand"))
+             .groupBy(F.col("a.brand").alias("brand"))
+             .agg(F.sum(F.when(beats >= 2, 1).otherwise(0))
+                  .cast("long").alias("wins")))
+    return (ranked.join(duels, "brand")
+            .select("brand", "r_rev", "r_qty", "r_var",
+                    (3 * F.col("n") - F.col("r_rev") - F.col("r_qty")
+                     - F.col("r_var")).cast("long").alias("borda"),
+                    "wins",
+                    F.when(F.col("wins") == F.col("n") - 1, 1)
+                    .otherwise(0).alias("is_condorcet_winner")))

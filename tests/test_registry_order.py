@@ -121,6 +121,8 @@ NEW_R5: dict[str, str] = {
     "platt_scaling_calibration": "X248",
     "rank_correlation_brands": "X249",
     "daily_periodogram": "X250",
+    "borda_condorcet_brands": "X251",
+    "randomization_test_discount": "X252",
 }
 
 

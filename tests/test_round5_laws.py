@@ -2018,3 +2018,88 @@ def test_periodogram_matches_python(spark, sf_dir):
         power = round((float(a) * a + float(b) * b) / 1e12, 4)
         assert got[p] == (a, b, power)
         assert got[p][2] >= 0
+
+
+def test_borda_condorcet_matches_python(spark, sf_dir):
+    """X251: Python replay of rankings, Borda scores and the duel
+    matrix; Borda total conserves (sum = 3*n(n-1)/2); at most one
+    Condorcet winner."""
+    from collections import defaultdict
+    stats = duckdb.sql(f"""
+        SELECT p.p_brand,
+               SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                   * 100, 0) AS BIGINT)),
+               SUM(CAST(l.l_quantity AS BIGINT)),
+               COUNT(DISTINCT l.l_partkey)
+        FROM '{sf_dir}/lineitem.parquet' l
+        JOIN '{sf_dir}/part.parquet' p ON p.p_partkey = l.l_partkey
+        GROUP BY 1""").fetchall()
+    n = len(stats)
+
+    def rank_of(ix):
+        order = sorted(stats, key=lambda r: (-int(r[ix]), r[0]))
+        return {r[0]: i + 1 for i, r in enumerate(order)}
+
+    r1, r2, r3 = rank_of(1), rank_of(2), rank_of(3)
+    want = {}
+    for b, *_ in stats:
+        wins = sum(
+            1 for o, *_ in stats if o != b
+            and ((r1[b] < r1[o]) + (r2[b] < r2[o])
+                 + (r3[b] < r3[o])) >= 2)
+        want[b] = (r1[b], r2[b], r3[b],
+                   3 * n - r1[b] - r2[b] - r3[b], wins,
+                   1 if wins == n - 1 else 0)
+    rows = _rows("borda_condorcet_brands", spark, sf_dir)
+    got = {r["brand"]: (r["r_rev"], r["r_qty"], r["r_var"], r["borda"],
+                        r["wins"], r["is_condorcet_winner"])
+           for r in rows}
+    assert got == want
+    assert sum(v[3] for v in got.values()) == 3 * n * (n - 1) // 2
+    assert sum(v[5] for v in got.values()) <= 1
+
+
+def test_randomization_test_matches_python(spark, sf_dir):
+    """X252: md5 replay of every pseudo-assignment, gap and the
+    Monte Carlo p-value; perm 0 is the observed assignment; counts
+    conserve per permutation."""
+    import hashlib
+    from etl_airflow_spotify_spark.queries.ml import RT_PERMS
+    units = duckdb.sql(f"""
+        SELECT l_orderkey * 10 + l_linenumber,
+               CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END,
+               CAST(l_quantity AS BIGINT)
+        FROM '{sf_dir}/lineitem.parquet'""").fetchall()
+    ntr = sum(tr for _, tr, _ in units)
+    pt = (ntr * 1000000) // len(units)
+    want = {}
+    for k in range(RT_PERMS + 1):
+        nt = nc = yt = yc = 0
+        for rid, tr, y in units:
+            if k == 0:
+                a = tr
+            else:
+                h = int(hashlib.md5(f"rt:{k}:{rid}".encode())
+                        .hexdigest()[:15], 16) % 1000000
+                a = 1 if h < pt else 0
+            if a:
+                nt += 1
+                yt += y
+            else:
+                nc += 1
+                yc += y
+        gap = (yt * 1000000) // nt - (yc * 1000000) // nc
+        want[k] = (nt, nc, gap)
+    og = abs(want[0][2])
+    ne = sum(1 for k in range(1, RT_PERMS + 1)
+             if abs(want[k][2]) >= og)
+    pv = ((1 + ne) * 1000000) // (RT_PERMS + 1)
+    rows = _rows("randomization_test_discount", spark, sf_dir)
+    got = {r["perm"]: (r["nt"], r["nc"], r["gap_micro"]) for r in rows}
+    assert got == want
+    for r in rows:
+        assert r["p_value_micro"] == pv
+        assert r["exceeds"] == (1 if r["perm"] > 0
+                                and abs(r["gap_micro"]) >= og else 0)
+        assert r["nt"] + r["nc"] == len(units)
+    assert 0 < pv <= 1000000
