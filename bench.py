@@ -299,6 +299,7 @@ HEADLINE = [
     "daily_periodogram",
     "borda_condorcet_brands",
     "randomization_test_discount",
+    "disparity_backbone",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -2505,3 +2505,127 @@ def temporal_triangle_census(spark: SparkSession,
     return (cls.groupBy("pattern", "span_bucket")
             .agg(F.count("*").cast("long").alias("n_triangles"),
                  F.sum("span").cast("long").alias("sum_span_days")))
+
+
+# --------------------------------------------------------------------------
+# X253: disparity-filter backbone extraction — statistical graph
+# sparsification (Serrano-Boguna-Vespignani, PNAS 2009): an edge
+# survives if its weight is TOO LARGE to be a uniform split of its
+# endpoint's strength — alpha = (1 - w/s)^(k-1) below the
+# significance threshold. Where percolation (X157) removes nodes and
+# k-core/k-truss (X123/X225) filter by raw structure, this filters by
+# weight significance, which is what a 100 TB co-purchase graph needs
+# before any expensive downstream analytics (keep the 5% of edges
+# that carry the signal). Weighted edges = co-purchase counts (exact
+# BIGINT); alpha is one POW per edge direction, micro-snapped; the
+# operating curve reports four thresholds from ONE alpha computation.
+# Degree-1 edges pin alpha = 1e6 (never significant) to dodge the
+# engine-dependent 0^0.
+# --------------------------------------------------------------------------
+DF_ALPHAS = (10_000, 50_000, 100_000, 200_000)  # micro thresholds
+
+
+@register(
+    "disparity_backbone",
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                FROM lineitem),
+    we AS (
+        SELECT a.i AS src, b.i AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM op a JOIN op b ON a.g = b.g AND a.i <> b.i
+        GROUP BY 1, 2
+    ),
+    st AS (
+        SELECT src AS v, CAST(SUM(w) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM we GROUP BY src
+    ),
+    alpha AS (
+        SELECT e.src, e.dst, e.w,
+               CASE WHEN n.k <= 1 THEN CAST(1000000 AS BIGINT)
+                    ELSE CAST(ROUND(POW(1 - CAST(e.w AS DOUBLE) / n.s,
+                                        n.k - 1) * 1000000, 0)
+                              AS BIGINT) END AS a_micro
+        FROM we e JOIN st n ON n.v = e.src
+    ),
+    und AS (
+        SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
+               MAX(w) AS w, MIN(a_micro) AS a_min
+        FROM alpha GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(w) AS BIGINT) AS w_total
+        FROM und
+    ),
+    th(t) AS (VALUES {", ".join(f"({t})" for t in DF_ALPHAS)})
+    SELECT CAST(th.t AS BIGINT) AS alpha_micro,
+           CAST(SUM(CASE WHEN u.a_min < th.t THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN u.a_min < th.t THEN u.w ELSE 0 END)
+                AS BIGINT) AS w_kept,
+           CAST((SUM(CASE WHEN u.a_min < th.t THEN 1 ELSE 0 END)
+                 * 1000000) // t2.n_edges AS BIGINT)
+               AS edge_frac_micro,
+           CAST((SUM(CASE WHEN u.a_min < th.t THEN u.w ELSE 0 END)
+                 * 1000000) // t2.w_total AS BIGINT)
+               AS weight_frac_micro
+    FROM und u CROSS JOIN th CROSS JOIN tot t2
+    GROUP BY th.t, t2.n_edges, t2.w_total
+    """,
+    doc="X253 disparity-filter backbone (Serrano et al. 2009) on the "
+        "weighted co-purchase graph: per-direction alpha = "
+        "(1 - w/s)^(k-1) micro-snapped (degree-1 pins 1e6 to dodge "
+        "0^0), an edge enters the backbone when EITHER endpoint finds "
+        "it significant (min alpha); operating curve over four "
+        "thresholds from one alpha pass — edges/weight retained, the "
+        "sparsification a 100 TB graph runs before any downstream "
+        "analytics. Python replay + monotone-curve + weight-"
+        "concentration laws.",
+    tags=("X253", "X157", "X123", "X7", "X3"),
+)
+def disparity_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("g"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    we = persist_tracked(
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.i") != F.col("b.i")))
+        .groupBy(F.col("a.i").alias("src"), F.col("b.i").alias("dst"))
+        .agg(F.count("*").cast("long").alias("w")))
+    st = (we.groupBy(F.col("src").alias("v"))
+          .agg(F.sum("w").cast("long").alias("s"),
+               F.count("*").cast("long").alias("k")))
+    alpha = (we.join(st, we.src == st.v)
+             .select("src", "dst", "w",
+                     F.expr("CASE WHEN k <= 1 THEN"
+                            " CAST(1000000 AS BIGINT)"
+                            " ELSE CAST(ROUND(POW(1 -"
+                            " CAST(w AS DOUBLE) / s, k - 1)"
+                            " * 1000000, 0) AS BIGINT) END")
+                     .alias("a_micro")))
+    und = (alpha.groupBy(F.least("src", "dst").alias("lo"),
+                         F.greatest("src", "dst").alias("hi"))
+           .agg(F.max("w").alias("w"),
+                F.min("a_micro").alias("a_min")).localCheckpoint())
+    tot = und.agg(F.count("*").cast("long").alias("n_edges"),
+                  F.sum("w").cast("long").alias("w_total"))
+    th = li.sparkSession.createDataFrame(
+        [(t,) for t in DF_ALPHAS], "t long")
+    return (und.crossJoin(F.broadcast(th))
+            .crossJoin(F.broadcast(tot))
+            .groupBy(F.col("t").alias("alpha_micro"),
+                     "n_edges", "w_total")
+            .agg(F.sum(F.when(F.col("a_min") < F.col("t"), 1)
+                       .otherwise(0)).cast("long").alias("n_kept"),
+                 F.sum(F.when(F.col("a_min") < F.col("t"), F.col("w"))
+                       .otherwise(0)).cast("long").alias("w_kept"))
+            .select("alpha_micro", "n_kept", "w_kept",
+                    F.expr("(n_kept * 1000000) DIV n_edges")
+                    .cast("long").alias("edge_frac_micro"),
+                    F.expr("(w_kept * 1000000) DIV w_total")
+                    .cast("long").alias("weight_frac_micro")))

@@ -123,6 +123,7 @@ NEW_R5: dict[str, str] = {
     "daily_periodogram": "X250",
     "borda_condorcet_brands": "X251",
     "randomization_test_discount": "X252",
+    "disparity_backbone": "X253",
 }
 
 

@@ -2103,3 +2103,60 @@ def test_randomization_test_matches_python(spark, sf_dir):
                                 and abs(r["gap_micro"]) >= og else 0)
         assert r["nt"] + r["nc"] == len(units)
     assert 0 < pv <= 1000000
+
+
+def test_disparity_backbone_matches_python(spark, sf_dir):
+    """X253: Python replay of per-direction alphas, the either-
+    endpoint rule and the threshold curve; curve is monotone in the
+    threshold; backbone concentrates weight (weight frac >= edge
+    frac at every threshold)."""
+    import math
+    from collections import defaultdict
+    from etl_airflow_spotify_spark.queries.graph import DF_ALPHAS
+    edges = _copurchase_edges(sf_dir)
+    w = defaultdict(int)
+    li = duckdb.sql(f"""
+        WITH op AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                    FROM '{sf_dir}/lineitem.parquet')
+        SELECT a.i, b.i, COUNT(*)
+        FROM op a JOIN op b ON a.g = b.g AND a.i <> b.i
+        GROUP BY 1, 2""").fetchall()
+    for s_, d_, c in li:
+        w[(s_, d_)] = int(c)
+    st = defaultdict(lambda: [0, 0])
+    for (s_, d_), wt in w.items():
+        st[s_][0] += wt
+        st[s_][1] += 1
+
+    def snap(x):
+        return int(math.floor(x + 0.5)) if x >= 0 \
+            else -int(math.floor(-x + 0.5))
+
+    a_min = {}
+    und_w = {}
+    for (s_, d_), wt in w.items():
+        s_tot, k = st[s_]
+        if k <= 1:
+            am = 1000000
+        else:
+            am = snap(math.pow(1 - float(wt) / s_tot, k - 1) * 1000000)
+        key = (min(s_, d_), max(s_, d_))
+        a_min[key] = min(a_min.get(key, 10**9), am)
+        und_w[key] = max(und_w.get(key, 0), wt)
+    n_edges = len(und_w)
+    w_total = sum(und_w.values())
+    want = {}
+    for t in DF_ALPHAS:
+        nk = sum(1 for k_ in und_w if a_min[k_] < t)
+        wk = sum(und_w[k_] for k_ in und_w if a_min[k_] < t)
+        want[t] = (nk, wk, (nk * 1000000) // n_edges,
+                   (wk * 1000000) // w_total)
+    rows = _rows("disparity_backbone", spark, sf_dir)
+    got = {r["alpha_micro"]: (r["n_kept"], r["w_kept"],
+                              r["edge_frac_micro"],
+                              r["weight_frac_micro"]) for r in rows}
+    assert got == want
+    curve = [got[t][0] for t in sorted(got)]
+    assert curve == sorted(curve)  # monotone in the threshold
+    for t, (nk, wk, ef, wf) in got.items():
+        assert wf >= ef  # the backbone concentrates weight
