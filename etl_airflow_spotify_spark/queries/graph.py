@@ -2521,6 +2521,18 @@ def temporal_triangle_census(spark: SparkSession,
 # operating curve reports four thresholds from ONE alpha computation.
 # Degree-1 edges pin alpha = 1e6 (never significant) to dodge the
 # engine-dependent 0^0.
+#
+# Known residual cross-engine risk (round-6 ADVICE, accepted): ROUND
+# snaps POW(...) to the micro grid and the thresholds then compare the
+# snapped value strictly. A half-ulp libm difference between DuckDB
+# and the JVM at an exact .5 micro boundary would flip a_micro by 1
+# and could flip n_kept at some other data scale (the same class of
+# risk exists for EXP in gmm_em_values/platt_scaling and SIN/COS in
+# daily_periodogram). Verified green at sf0.001/sf0.01; the DF_ALPHAS
+# thresholds (1e4..2e5) sit far from any observed a_micro boundary,
+# and the alternative (rational-arithmetic POW) is not expressible in
+# either engine, so the boundary risk is documented rather than
+# re-planned.
 # --------------------------------------------------------------------------
 DF_ALPHAS = (10_000, 50_000, 100_000, 200_000)  # micro thresholds
 

@@ -208,20 +208,32 @@ def _threshold_oracle_sql() -> str:
         SELECT c.s, c.tp, c.fp, t.p - c.tp AS fn, t.neg - c.fp AS tn,
                c.tp * t.neg - c.fp * t.p AS j_num,
                t.p * t.neg AS j_den,
-               CAST(2 * c.tp AS DOUBLE) / (2 * c.tp + c.fp + (t.p - c.tp))
-                   AS f1
+               2 * c.tp + c.fp + (t.p - c.tp) AS f1_den
         FROM cand c CROSS JOIN tot t
+    ),
+    keyed AS (
+        -- exact f1 ordering key: floor(2*tp*10^18 / f1_den) via
+        -- three-level BIGINT long division (q1*10^12 + q2*10^6 + q3);
+        -- no float touches the argmax, so no half-ulp can flip it.
+        SELECT *,
+               CAST((2 * tp * 1000000) // f1_den AS BIGINT) * 1000000000000
+             + CAST(((2 * tp * 1000000) % f1_den) * 1000000 // f1_den
+                    AS BIGINT) * 1000000
+             + CAST((((2 * tp * 1000000) % f1_den) * 1000000 % f1_den)
+                    * 1000000 // f1_den AS BIGINT) AS f1_key
+        FROM scored
     ),
     youden AS (
         SELECT 'youden' AS criterion, s, tp, fp, fn, tn,
-               CAST(ROUND(1000000.0 * j_num / j_den, 0) AS BIGINT)
-                   AS metric_micro
-        FROM scored ORDER BY j_num DESC, s LIMIT 1
+               CAST((2 * 1000000 * j_num + j_den) // (2 * j_den)
+                    AS BIGINT) AS metric_micro
+        FROM keyed ORDER BY j_num DESC, s LIMIT 1
     ),
     f1best AS (
         SELECT 'f1' AS criterion, s, tp, fp, fn, tn,
-               CAST(ROUND(1000000.0 * f1, 0) AS BIGINT) AS metric_micro
-        FROM scored ORDER BY f1 DESC, s LIMIT 1
+               CAST((4 * tp * 1000000 + f1_den) // (2 * f1_den)
+                    AS BIGINT) AS metric_micro
+        FROM keyed ORDER BY f1_key DESC, s LIMIT 1
     )
     SELECT criterion, s AS threshold_cents, tp, fp, fn, tn, metric_micro
     FROM youden
@@ -235,11 +247,14 @@ def _threshold_oracle_sql() -> str:
     _threshold_oracle_sql(),
     doc="X137 operating-threshold selection for the price-cents score "
         "predicting l_returnflag='R': Youden's J argmax runs on the "
-        "cross-multiplied BIGINT TP*N - FP*P (never a float before "
-        "the winner is chosen), F1 argmax on IEEE-identical divisions "
-        "of identical integers. Score histogram + suffix-sum windows "
-        "evaluate every candidate threshold in one pass over the "
-        "distinct-score table; full confusion matrix at each winner.",
+        "cross-multiplied BIGINT TP*N - FP*P, and the F1 argmax on "
+        "floor(2*tp*10^18/den) built by three-level BIGINT long "
+        "division — NO float is ordered on either side (the r5 driver "
+        "hash-flip was the float-F1 ORDER BY; X88 discipline applied). "
+        "metric_micro is snapped round-half-up in the integer domain. "
+        "Score histogram + suffix-sum windows evaluate every candidate "
+        "threshold in one pass over the distinct-score table; full "
+        "confusion matrix at each winner.",
     tags=("X137", "X92", "X11", "X7", "X12"),
 )
 def optimal_threshold_selection(spark: SparkSession,
@@ -264,21 +279,29 @@ def optimal_threshold_selection(spark: SparkSession,
                       (F.col("tp") * F.col("neg")
                        - F.col("fp") * F.col("p")).alias("j_num"),
                       (F.col("p") * F.col("neg")).alias("j_den"),
-                      ((2 * F.col("tp")).cast("double")
-                       / (2 * F.col("tp") + F.col("fp")
-                          + (F.col("p") - F.col("tp")))).alias("f1")))
-    youden = (scored.orderBy(F.desc("j_num"), F.asc("s")).limit(1)
+                      (2 * F.col("tp") + F.col("fp")
+                       + (F.col("p") - F.col("tp"))).alias("f1_den")))
+    # Exact f1 ordering key: floor(2*tp*10^18 / f1_den) by three-level
+    # BIGINT long division — every argmax stays in the integer domain.
+    keyed = scored.withColumn(
+        "f1_key",
+        F.expr("((2*tp*1000000) DIV f1_den) * 1000000000000"
+               " + (((2*tp*1000000) % f1_den) * 1000000 DIV f1_den)"
+               "   * 1000000"
+               " + ((((2*tp*1000000) % f1_den) * 1000000 % f1_den)"
+               "    * 1000000 DIV f1_den)"))
+    youden = (keyed.orderBy(F.desc("j_num"), F.asc("s")).limit(1)
               .select(F.lit("youden").alias("criterion"),
                       F.col("s").alias("threshold_cents"),
                       "tp", "fp", "fn", "tn",
-                      F.round(1000000.0 * F.col("j_num") / F.col("j_den"),
-                              0).cast("long").alias("metric_micro")))
-    f1best = (scored.orderBy(F.desc("f1"), F.asc("s")).limit(1)
+                      F.expr("(2*1000000*j_num + j_den) DIV (2*j_den)")
+                      .cast("long").alias("metric_micro")))
+    f1best = (keyed.orderBy(F.desc("f1_key"), F.asc("s")).limit(1)
               .select(F.lit("f1").alias("criterion"),
                       F.col("s").alias("threshold_cents"),
                       "tp", "fp", "fn", "tn",
-                      F.round(1000000.0 * F.col("f1"), 0).cast("long")
-                      .alias("metric_micro")))
+                      F.expr("(4*tp*1000000 + f1_den) DIV (2*f1_den)")
+                      .cast("long").alias("metric_micro")))
     return youden.unionByName(f1best)
 
 

@@ -2838,10 +2838,12 @@ _PCA_EIG = """
     SELECT flag, n,
            ROUND(lam1, 4) AS lam1,
            ROUND(lam2, 4) AS lam2,
-           CAST(ROUND(lam1 / (lam1 + lam2) * 1000000, 0) AS BIGINT)
-               AS evr_micro,
-           CAST(ROUND((lam1 - cxx) / cxy * 1000000, 0) AS BIGINT)
-               AS slope_micro
+           CASE WHEN lam1 + lam2 > 0 THEN
+               CAST(ROUND(lam1 / (lam1 + lam2) * 1000000, 0) AS BIGINT)
+           ELSE 0 END AS evr_micro,
+           CASE WHEN cxy <> 0 THEN
+               CAST(ROUND((lam1 - cxx) / cxy * 1000000, 0) AS BIGINT)
+           ELSE 0 END AS slope_micro
     FROM eig
     """,
     doc="X240 grouped closed-form 2-D PCA over (quantity, price_centi) "
@@ -2882,16 +2884,20 @@ def pca_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flag", "n",
         "ROUND(lam1, 4) AS lam1",
         "ROUND(lam2, 4) AS lam2",
-        "CAST(ROUND(lam1 / (lam1 + lam2) * 1000000, 0) AS BIGINT)"
-        " AS evr_micro",
-        "CAST(ROUND((lam1 - cxx) / cxy * 1000000, 0) AS BIGINT)"
-        " AS slope_micro")
+        # constant-column / zero-covariance guards (match the oracle):
+        # Inf/NaN -> BIGINT casts diverge across engines, so degrade to 0
+        "CASE WHEN lam1 + lam2 > 0 THEN"
+        " CAST(ROUND(lam1 / (lam1 + lam2) * 1000000, 0) AS BIGINT)"
+        " ELSE 0L END AS evr_micro",
+        "CASE WHEN cxy <> 0 THEN"
+        " CAST(ROUND((lam1 - cxx) / cxy * 1000000, 0) AS BIGINT)"
+        " ELSE 0L END AS slope_micro")
 
 
 # --------------------------------------------------------------------------
 # X249: rank correlation — Kendall tau-b and tie-aware Spearman
-# between two period rankings of the SAME dimension (brand revenue
-# 1993 vs 1995): the rank-stability lens X80's Pearson matrix (values,
+# between two period rankings of the SAME dimension (brand revenue,
+# RC_YEAR_A=1996 vs RC_YEAR_B=2000): the rank-stability lens X80's Pearson matrix (values,
 # not ranks) doesn't give. Revenue is per-row centi-rounded BEFORE the
 # fold so each period's ranking is exact-integer; the pair join runs
 # over the BOUNDED dimension frame (|brands|^2 rows — dimension-sized,
@@ -2963,17 +2969,22 @@ RC_YEAR_B = 2000
     )
     SELECT p.np AS n_pairs, p.c AS concordant, p.d AS discordant,
            p.tx AS ties_x, p.ty AS ties_y,
-           CAST(ROUND(CAST(p.c - p.d AS DOUBLE)
-                / SQRT(CAST(p.c + p.d + p.tx AS DOUBLE)
-                       * CAST(p.c + p.d + p.ty AS DOUBLE))
-                * 1000000, 0) AS BIGINT) AS tau_b_micro,
-           CAST(ROUND((CAST(s.n AS DOUBLE) * s.sxy
-                       - CAST(s.sx AS DOUBLE) * s.sy)
-                / SQRT((CAST(s.n AS DOUBLE) * s.sxx
-                        - CAST(s.sx AS DOUBLE) * s.sx)
-                       * (CAST(s.n AS DOUBLE) * s.syy
-                          - CAST(s.sy AS DOUBLE) * s.sy))
-                * 1000000, 0) AS BIGINT) AS spearman_micro
+           CASE WHEN (p.c + p.d + p.tx) * (p.c + p.d + p.ty) > 0 THEN
+               CAST(ROUND(CAST(p.c - p.d AS DOUBLE)
+                    / SQRT(CAST(p.c + p.d + p.tx AS DOUBLE)
+                           * CAST(p.c + p.d + p.ty AS DOUBLE))
+                    * 1000000, 0) AS BIGINT)
+           ELSE 0 END AS tau_b_micro,
+           CASE WHEN (s.n * s.sxx - s.sx * s.sx) > 0
+                 AND (s.n * s.syy - s.sy * s.sy) > 0 THEN
+               CAST(ROUND((CAST(s.n AS DOUBLE) * s.sxy
+                           - CAST(s.sx AS DOUBLE) * s.sy)
+                    / SQRT((CAST(s.n AS DOUBLE) * s.sxx
+                            - CAST(s.sx AS DOUBLE) * s.sx)
+                           * (CAST(s.n AS DOUBLE) * s.syy
+                              - CAST(s.sy AS DOUBLE) * s.sy))
+                    * 1000000, 0) AS BIGINT)
+           ELSE 0 END AS spearman_micro
     FROM pairs p CROSS JOIN sp s
     """,
     doc=f"X249 rank correlation of brand revenue rankings "
@@ -3041,17 +3052,22 @@ def rank_correlation_brands(spark: SparkSession,
             .selectExpr(
                 "np AS n_pairs", "c AS concordant", "d AS discordant",
                 "tx AS ties_x", "ty AS ties_y",
-                "CAST(ROUND(CAST(c - d AS DOUBLE)"
+                # degenerate-ranking guard (fully-tied year -> 0, not
+                # NaN): mirrors the oracle's CASE exactly
+                "CASE WHEN (c + d + tx) * (c + d + ty) > 0 THEN"
+                " CAST(ROUND(CAST(c - d AS DOUBLE)"
                 " / SQRT(CAST(c + d + tx AS DOUBLE)"
                 " * CAST(c + d + ty AS DOUBLE)) * 1000000, 0)"
-                " AS BIGINT) AS tau_b_micro",
-                "CAST(ROUND((CAST(n AS DOUBLE) * sxy"
+                " AS BIGINT) ELSE 0L END AS tau_b_micro",
+                "CASE WHEN (n * sxx - sx * sx) > 0"
+                " AND (n * syy - sy * sy) > 0 THEN"
+                " CAST(ROUND((CAST(n AS DOUBLE) * sxy"
                 " - CAST(sx AS DOUBLE) * sy)"
                 " / SQRT((CAST(n AS DOUBLE) * sxx"
                 " - CAST(sx AS DOUBLE) * sx)"
                 " * (CAST(n AS DOUBLE) * syy"
                 " - CAST(sy AS DOUBLE) * sy)) * 1000000, 0)"
-                " AS BIGINT) AS spearman_micro"))
+                " AS BIGINT) ELSE 0L END AS spearman_micro"))
 
 
 # --------------------------------------------------------------------------
