@@ -5,16 +5,22 @@ in dict order (round 1 evidence: CORRECTNESS_r01.json is exactly the
 first 50 registrations). These tests guarantee the curated order gets
 every query a driver row at least once across rounds: everything never
 attested by a prior round's CORRECTNESS file must sit inside the
-window, be explicitly queued for a later window (R6_BACKLOG), or be a
-round-5 addition (NEW_R5) that post-dates this round's fixed window.
+window, be explicitly queued for a later window (R7_BACKLOG), or be a
+round-6 addition (NEW_R6) that post-dates this round's fixed window.
 
-Round 5: CORRECTNESS_r01-04 together attest 195 queries (182 hash-green
-+ 13 declared rows-only; r4 was the first fully green 50/50 window).
-115 queries covering 114 operator classes remained driver-dark at the
-r4 snapshot. The r5 window is a greedy max-coverage set-cover over the
-112 dark oracle-checked queries — 77 classes is the provable 50-slot
-ceiling (randomized-restart search plateaus there) — so 37 classes
-stay dark one more round, each queued below with its representative.
+Round 6: CORRECTNESS_r01-05 together attest 244 queries (231 hash-green
++ 13 declared rows-only; r5 went 49/50 with one hash-red row, X137's
+float-F1 argmax, hardened to integer-domain this round and given the
+window's forced first slot). 115 queries covering 87 operator classes
+remained driver-dark at the r5 snapshot. The r6 window: 1 forced X137
+slot + 46 greedy max-coverage slots over the 112 dark oracle-checked
+queries (59 classes is the 47-slot ceiling — after the 11 disjoint
+multi-tag dark queries are taken every remaining dark class is
+single-tag, so greedy = optimal) + the 3 rows-only queries (X45/X69
+BPE, X112 compression — r5 verdict item 4, deferred twice) in the
+final slots. 25 classes stay dark one more round, each queued below
+with its representative; 25 + len(NEW_R6) fits a single r7 window, so
+attestation converges next round.
 """
 
 import json
@@ -24,107 +30,48 @@ from etl_airflow_spotify_spark.registry import DRIVER_ORDER, all_queries
 
 WINDOW = 50
 
-# Operator classes deliberately left dark until the r6 window, each
+# Rows-only-by-design queries allowed to hold (late) window slots this
+# round: the r5 verdict explicitly ordered a driver `err: no_oracle`
+# row for each (item 4) after two rounds of deferral.
+ROWS_ONLY_WINDOW = {"bpe_merge_table", "bpe_encode_stats",
+                    "compression_quality"}
+
+# Operator classes deliberately left dark until the r7 window, each
 # with the oracle-checked representative that will claim its slot.
-# 37 classes = 114 dark - 77 covered by the r5 set-cover. Three of
-# them are rows-only by design (X45/X69 BPE: exact pure-Python pytest
-# goldens; X112 compression proxy: pytest golden) — a window slot
-# would only buy an `err: no_oracle` row, so they queue last.
-R6_BACKLOG: dict[str, str] = {
-    "X45": "bpe_merge_table",             # rows-only + exact pytest golden
-    "X69": "bpe_encode_stats",            # rows-only + exact pytest golden
-    "X84": "dedup_keep_best",             # judge-verified green (r3)
+# 25 classes = 84 coverable darks - 59 covered by the r6 set-cover.
+R7_BACKLOG: dict[str, str] = {
     "X96": "copurchase_weighted_sssp",
-    "X97": "copurchase_communities",
-    "X99": "ivf_ranking_metrics",
-    "X101": "incremental_corpus_dedup",
     "X109": "compaction_plan",
-    "X111": "ivf_probe_sweep",
-    "X112": "compression_quality",        # rows-only + pytest golden
-    "X114": "corpus_datasheet",
-    "X115": "als_user_factors",
     "X116": "dedup_threshold_sweep",
     "X117": "conformal_interval_coverage",
-    "X120": "fellegi_sunter_bands",
-    "X126": "greedy_source_cover",
     "X127": "hits_supplier_part",
-    "X130": "forecast_backtest_naive",
-    "X131": "allen_interval_profile",
     "X132": "consistent_hash_rebalance",
-    "X133": "frequent_brand_triples",
     "X142": "bagged_stump_forest",
-    "X143": "boosted_stumps_l2",
-    "X145": "curve_layout_fragmentation",
     "X147": "capture_recapture_daily",
     "X150": "bradley_terry_suppliers",
-    "X152": "event_ccf_leadlag",
-    "X156": "copurchase_assortativity",
-    "X160": "fdr_brand_returns",
-    "X163": "ams_f2_partkey",
-    "X167": "clustering_coefficient_profile",
     "X173": "bcubed_linkage_eval",
-    "X174": "bigram_greedy_decode",
-    "X176": "cohort_ltv_curves",
-    "X178": "heaps_vocab_growth",
-    "X188": "ind_discovery",              # judge-verified green (r4)
-    "X193": "deepwalk_corpus",            # judge-verified green (r4)
+    "X207": "power_iteration_hubs",
+    "X208": "viterbi_state_decode",
+    "X211": "matrix_profile_daily",
+    "X212": "encoding_efficiency_audit",
+    "X215": "textrank_keywords",
+    "X218": "theil_nation_decomposition",
+    "X221": "voptimal_daily_histogram",
+    "X222": "offpolicy_dr_eval",
+    "X228": "link_prediction_eval",
+    "X229": "page_hinkley_drift",
+    "X238": "gmm_em_values",
+    "X242": "betweenness_kseeds",
+    "X245": "kruskal_wallis_values",
+    "X248": "platt_scaling_calibration",
+    "X251": "borda_condorcet_brands",
 }
 
-# Operator classes ADDED in round 5 (after the r5 window was fixed):
+# Operator classes ADDED in round 6 (after the r6 window was fixed):
 # locally oracle-green at sf0.001 AND sf0.01 under the strict gate,
-# first eligible for a driver slot in the r6 window.
+# first eligible for a driver slot in the r7 window.
 # Maps query name -> class tag.
-NEW_R5: dict[str, str] = {
-    "louvain_phase1_communities": "X205",
-    "weisfeiler_lehman_profile": "X206",
-    "power_iteration_hubs": "X207",
-    "viterbi_state_decode": "X208",
-    "holt_linear_daily": "X209",
-    "sax_daily_words": "X210",
-    "matrix_profile_daily": "X211",
-    "encoding_efficiency_audit": "X212",
-    "cox_score_click_hazard": "X213",
-    "lof_rfm_outliers": "X214",
-    "textrank_keywords": "X215",
-    "dtw_event_type_distance": "X216",
-    "hierarchical_heavy_hitters": "X217",
-    "theil_nation_decomposition": "X218",
-    "lsh_parameter_planner": "X219",
-    "iforest_rfm_outliers": "X220",
-    "voptimal_daily_histogram": "X221",
-    "offpolicy_dr_eval": "X222",
-    "multimodal_phash_dedup": "X223",
-    "fd_discovery": "X224",
-    "ktruss_peeling_profile": "X225",
-    "cka_quantization_fidelity": "X226",
-    "funnel_alignment_scores": "X227",
-    "link_prediction_eval": "X228",
-    "page_hinkley_drift": "X229",
-    "group_split_assignment": "X230",
-    "ldiversity_tcloseness": "X231",
-    "beam_search_decode": "X232",
-    "luby_mis": "X233",
-    "goodturing_vocab": "X234",
-    "kcenter_coreset": "X235",
-    "spc_control_chart": "X236",
-    "huber_irls_trend": "X237",
-    "gmm_em_values": "X238",
-    "langid_rank_profile": "X239",
-    "pca_closed_form": "X240",
-    "densest_subgraph_peel": "X241",
-    "betweenness_kseeds": "X242",
-    "temporal_triangle_census": "X243",
-    "propensity_stratified_att": "X244",
-    "kruskal_wallis_values": "X245",
-    "zonemap_skip_audit": "X246",
-    "funnel_local_alignment": "X247",
-    "platt_scaling_calibration": "X248",
-    "rank_correlation_brands": "X249",
-    "daily_periodogram": "X250",
-    "borda_condorcet_brands": "X251",
-    "randomization_test_discount": "X252",
-    "disparity_backbone": "X253",
-}
+NEW_R6: dict[str, str] = {}
 
 
 def _attested() -> set[str]:
@@ -134,7 +81,8 @@ def _attested() -> set[str]:
     root = os.path.join(os.path.dirname(__file__), "..")
     out: set[str] = set()
     for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
-                  "CORRECTNESS_r03.json", "CORRECTNESS_r04.json"):
+                  "CORRECTNESS_r03.json", "CORRECTNESS_r04.json",
+                  "CORRECTNESS_r05.json"):
         path = os.path.join(root, fname)
         if not os.path.exists(path):
             continue
@@ -151,7 +99,7 @@ def test_driver_order_no_duplicates():
 
 
 def test_driver_order_fills_window_exactly():
-    """Round 5 allocates every one of the 50 slots explicitly."""
+    """Round 6 allocates every one of the 50 slots explicitly."""
     assert len(DRIVER_ORDER) == WINDOW
 
 
@@ -164,28 +112,32 @@ def test_driver_order_names_exist():
 def test_every_query_attested_or_windowed():
     """Query-level invariant: anything without a driver row in a prior
     round must be inside this round's checked window, be the queued
-    representative of an R6_BACKLOG class, share every class with an
-    evidenced query, or be a NEW_R5 addition."""
+    representative of an R7_BACKLOG class, share every class with an
+    evidenced query, or be a NEW_R6 addition."""
     qs = all_queries()
     window = set(list(qs)[:WINDOW])
     attested = _attested()
-    backlogged = set(R6_BACKLOG.values())
+    backlogged = set(R7_BACKLOG.values())
     evidenced_tags = {t for n, s in qs.items()
                       if n in attested or n in window for t in s.tags}
-    allowed_tags = evidenced_tags | set(R6_BACKLOG) | set(NEW_R5.values())
+    allowed_tags = evidenced_tags | set(R7_BACKLOG) | set(NEW_R6.values())
     dark = [n for n in qs
             if n not in attested and n not in window
-            and n not in backlogged and n not in NEW_R5
+            and n not in backlogged and n not in NEW_R6
             and not set(qs[n].tags) <= allowed_tags]
     assert not dark, f"never-attested queries with unqueued classes: {dark}"
 
 
-def test_window_all_oracle_checked():
-    """Every window slot buys a hash-checked row — no rows-only
-    entries inside the window (oracle-checked darks outnumber slots)."""
+def test_window_rows_only_is_exactly_the_sanctioned_trio():
+    """Rows-only queries hold window slots only by explicit verdict
+    order (X45/X69/X112 this round), and they sit at the window's END
+    so every hash-checkable slot precedes them."""
     qs = all_queries()
     rows_only = [n for n in list(qs)[:WINDOW] if qs[n].oracle is None]
-    assert not rows_only, f"rows-only queries burning window slots: {rows_only}"
+    assert set(rows_only) == ROWS_ONLY_WINDOW, (
+        f"unexpected rows-only window set: {rows_only}")
+    assert list(qs)[WINDOW - len(ROWS_ONLY_WINDOW):WINDOW] == [
+        "bpe_merge_table", "bpe_encode_stats", "compression_quality"]
 
 
 def test_window_is_all_dark():
@@ -198,13 +150,13 @@ def test_window_is_all_dark():
 
 def test_first_window_covers_every_tag():
     """Tag-level invariant: every operator class has a driver row this
-    round, an attested row from a prior round, an explicit R6_BACKLOG
-    slot, or is a NEW_R5 class queued for r6."""
+    round, an attested row from a prior round, an explicit R7_BACKLOG
+    slot, or is a NEW_R6 class queued for r7."""
     qs = all_queries()
     attested = _attested()
     covered = {t for s in list(qs.values())[:WINDOW] for t in s.tags}
     covered |= {t for n, s in qs.items() if n in attested for t in s.tags}
-    covered |= set(R6_BACKLOG) | set(NEW_R5.values())
+    covered |= set(R7_BACKLOG) | set(NEW_R6.values())
     all_tags = {t for s in qs.values() for t in s.tags}
     assert covered >= all_tags, (
         f"tags with no attestation, window slot, or backlog entry: "
@@ -217,7 +169,7 @@ def test_backlog_representatives_registered():
     the class tag, and is genuinely dark (not already attested)."""
     qs = all_queries()
     attested = _attested()
-    for tag, name in R6_BACKLOG.items():
+    for tag, name in R7_BACKLOG.items():
         assert name in qs, f"backlog rep {name} not registered"
         assert tag in qs[name].tags, f"{name} does not carry {tag}"
         assert name not in attested, (
@@ -225,15 +177,15 @@ def test_backlog_representatives_registered():
 
 
 def test_backlog_fits_next_window():
-    """The r6 window (50 slots) must be able to finish the backlog:
-    37 carried classes + one representative per NEW_R5 class must not
-    exceed ~2 windows (the r6+r7 capacity)."""
-    assert len(R6_BACKLOG) + len(set(NEW_R5.values())) <= 2 * WINDOW
+    """The r7 window (50 slots) must be able to FINISH attestation:
+    25 carried classes + one representative per NEW_R6 class must fit
+    a single window."""
+    assert len(R7_BACKLOG) + len(set(NEW_R6.values())) <= WINDOW
 
 
-def test_new_r5_names_registered():
+def test_new_r6_names_registered():
     qs = all_queries()
-    missing = [n for n in NEW_R5 if n not in qs]
-    assert not missing, f"NEW_R5 references unregistered queries: {missing}"
-    for name, tag in NEW_R5.items():
+    missing = [n for n in NEW_R6 if n not in qs]
+    assert not missing, f"NEW_R6 references unregistered queries: {missing}"
+    for name, tag in NEW_R6.items():
         assert tag in qs[name].tags, f"{name} does not carry {tag}"
