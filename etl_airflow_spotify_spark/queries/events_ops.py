@@ -5547,10 +5547,10 @@ def funnel_alignment_scores(spark: SparkSession,
 PH_DELTA_MICRO = 2_000_000    # slack: 2 events/day on the micro grid
 PH_LAMBDA_MICRO = 30_000_000  # alarm threshold: 30 event-days
 
-
-@register(
-    "page_hinkley_drift",
-    f"""
+# Shared by page_hinkley_drift (X229) and stream_page_hinkley (X261):
+# the streaming variant merges per-batch daily partials into the same
+# daily table, so the SAME recurrence is its exact oracle.
+PH_ORACLE_SQL = f"""
     WITH daily AS (
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                CAST(COUNT(*) AS BIGINT) AS n
@@ -5587,7 +5587,12 @@ PH_LAMBDA_MICRO = 30_000_000  # alarm threshold: 30 event-days
                      > {PH_LAMBDA_MICRO}
                 THEN 1 ELSE 0 END AS alarm
     FROM u
-    """,
+    """
+
+
+@register(
+    "page_hinkley_drift",
+    PH_ORACLE_SQL,
     doc="X229 Page-Hinkley drift detector (delta=2/day, lambda=30 "
         "event-days) over daily event counts: deviation from the "
         "RUNNING mean (prefix-sum floor-divided on the BIGINT micro "
@@ -5602,6 +5607,13 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
     daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
              .agg(F.count("*").cast("long").alias("n")))
+    return ph_from_daily(daily)
+
+
+def ph_from_daily(daily: DataFrame) -> DataFrame:
+    """The X229 Page-Hinkley recurrence over a (day, n) frame — shared
+    with the X261 streaming variant, whose merged per-batch partials
+    reduce to the identical daily table."""
     w = Window.orderBy("day") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = daily.select(
@@ -6233,3 +6245,319 @@ def daily_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("ROUND((CAST(SUM(y * c) AS DOUBLE) * SUM(y * c)"
                         " + CAST(SUM(y * sn) AS DOUBLE) * SUM(y * sn))"
                         " / 1e12, 4)").alias("power")))
+
+
+# --------------------------------------------------------------------------
+# X257: sliding-window funnel depth (ClickHouse windowFunnel parity) —
+# the product-analytics primitive none of the existing funnel lenses
+# covers: X113 checks CONFORMANCE to a model, X227/X247 ALIGN whole
+# journeys; this measures, per user, HOW DEEP the canonical
+# signup -> view -> click -> purchase chain gets inside a bounded time
+# window. Semantics (documented, deterministic): the chain anchors at
+# the user's EARLIEST step-1 event; each later step is the earliest
+# strictly-later event of the right type still inside WINDOW of the
+# anchor. Every step is a per-user MIN aggregate over an epoch-micros
+# integer — four chained conditional folds, no state machine, no UDF,
+# and the per-user work is one shuffle regardless of history length.
+# Output: users per reached depth (0 = active user, no signup).
+# ClickHouse windowFunnel; [EXT].
+# --------------------------------------------------------------------------
+WF_STEPS = ("signup", "view", "click", "purchase")
+WF_WINDOW_US = 14 * 86_400 * 1_000_000
+
+
+def _window_funnel_oracle_sql() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    u0 AS (SELECT DISTINCT user_id FROM ev),
+    s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+           WHERE event_type = '{WF_STEPS[0]}' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.us) AS t2
+           FROM ev e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = '{WF_STEPS[1]}' AND e.us > s1.t1
+             AND e.us <= s1.t1 + {WF_WINDOW_US}
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.us) AS t3
+           FROM ev e JOIN s1 ON s1.user_id = e.user_id
+           JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = '{WF_STEPS[2]}' AND e.us > s2.t2
+             AND e.us <= s1.t1 + {WF_WINDOW_US}
+           GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, MIN(e.us) AS t4
+           FROM ev e JOIN s1 ON s1.user_id = e.user_id
+           JOIN s3 ON s3.user_id = e.user_id
+           WHERE e.event_type = '{WF_STEPS[3]}' AND e.us > s3.t3
+             AND e.us <= s1.t1 + {WF_WINDOW_US}
+           GROUP BY e.user_id),
+    depth AS (
+        SELECT u0.user_id,
+               CASE WHEN s4.user_id IS NOT NULL THEN 4
+                    WHEN s3.user_id IS NOT NULL THEN 3
+                    WHEN s2.user_id IS NOT NULL THEN 2
+                    WHEN s1.user_id IS NOT NULL THEN 1
+                    ELSE 0 END AS depth
+        FROM u0
+        LEFT JOIN s1 ON s1.user_id = u0.user_id
+        LEFT JOIN s2 ON s2.user_id = u0.user_id
+        LEFT JOIN s3 ON s3.user_id = u0.user_id
+        LEFT JOIN s4 ON s4.user_id = u0.user_id
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM depth GROUP BY depth
+    """
+
+
+@register(
+    "window_funnel_depths",
+    _window_funnel_oracle_sql(),
+    doc=f"X257 sliding-window funnel (ClickHouse windowFunnel parity): "
+        f"max depth of {' -> '.join(WF_STEPS)} anchored at each user's "
+        f"earliest {WF_STEPS[0]} with a {WF_WINDOW_US // 86_400_000_000}"
+        "-day window; each step the earliest strictly-later matching "
+        "event (exact epoch-micros integers). Four chained conditional "
+        "MIN folds per user — one shuffle, no UDF, no per-row state "
+        "machine; output is the users-per-depth histogram. Python "
+        "replay + monotone-depth laws.",
+    tags=("X257", "X113", "X21", "X7", "X14"),
+)
+def window_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    u0 = ev.select("user_id").distinct()
+    s1 = (ev.filter(F.col("event_type") == WF_STEPS[0])
+          .groupBy("user_id").agg(F.min("us").alias("t1")))
+    s2 = (ev.filter(F.col("event_type") == WF_STEPS[1])
+          .join(s1, "user_id")
+          .filter((F.col("us") > F.col("t1"))
+                  & (F.col("us") <= F.col("t1") + WF_WINDOW_US))
+          .groupBy("user_id").agg(F.min("us").alias("t2")))
+    s3 = (ev.filter(F.col("event_type") == WF_STEPS[2])
+          .join(s1, "user_id").join(s2, "user_id")
+          .filter((F.col("us") > F.col("t2"))
+                  & (F.col("us") <= F.col("t1") + WF_WINDOW_US))
+          .groupBy("user_id").agg(F.min("us").alias("t3")))
+    s4 = (ev.filter(F.col("event_type") == WF_STEPS[3])
+          .join(s1, "user_id").join(s3, "user_id")
+          .filter((F.col("us") > F.col("t3"))
+                  & (F.col("us") <= F.col("t1") + WF_WINDOW_US))
+          .groupBy("user_id").agg(F.min("us").alias("t4")))
+    depth = (u0.join(s1, "user_id", "left")
+             .join(s2, "user_id", "left")
+             .join(s3, "user_id", "left")
+             .join(s4, "user_id", "left")
+             .select(F.when(F.col("t4").isNotNull(), 4)
+                     .when(F.col("t3").isNotNull(), 3)
+                     .when(F.col("t2").isNotNull(), 2)
+                     .when(F.col("t1").isNotNull(), 1)
+                     .otherwise(0).cast("long").alias("depth")))
+    return (depth.groupBy("depth")
+            .agg(F.count("*").cast("long").alias("n_users")))
+
+
+# --------------------------------------------------------------------------
+# X259: peak detection with topographic prominence — the time-series
+# lens the detector family (X85 CUSUM, X229 Page-Hinkley, X236 SPC)
+# does NOT give: those flag level SHIFTS; this ranks local MAXIMA by
+# how far they rise above their surrounding terrain, scipy
+# find_peaks(prominence=...) semantics made exact-integer. A day is a
+# peak iff strictly higher than both neighbors; its prominence is
+# height minus the HIGHER of the two valley floors, where each valley
+# runs to the nearest strictly-higher day on that side (or the series
+# edge). The nearest-higher-day search is a self-join on the
+# CALENDAR-BOUNDED daily table (|days|^2 pairs, scale-free in rows —
+# the repo's bounded-dimension join discipline), everything else is
+# two ordered windows; all heights are exact BIGINT event counts.
+# scipy.signal peak prominence; [EXT].
+# --------------------------------------------------------------------------
+PEAK_MIN_PROM = 5
+
+
+@register(
+    "daily_peak_prominence",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    seq AS (
+        SELECT day, n,
+               LAG(n) OVER (ORDER BY day) AS pv,
+               LEAD(n) OVER (ORDER BY day) AS nx
+        FROM daily
+    ),
+    peaks AS (
+        SELECT day, n FROM seq
+        WHERE pv IS NOT NULL AND nx IS NOT NULL AND n > pv AND n > nx
+    ),
+    lb AS (
+        SELECT p.day, p.n, MAX(d.day) AS lhi
+        FROM peaks p LEFT JOIN daily d
+          ON d.day < p.day AND d.n > p.n
+        GROUP BY p.day, p.n
+    ),
+    rb AS (
+        SELECT p.day, MIN(d.day) AS rhi
+        FROM peaks p LEFT JOIN daily d
+          ON d.day > p.day AND d.n > p.n
+        GROUP BY p.day
+    ),
+    valleys AS (
+        SELECT l.day, l.n,
+               (SELECT MIN(d.n) FROM daily d
+                WHERE d.day < l.day
+                  AND (l.lhi IS NULL OR d.day > l.lhi)) AS lmin,
+               (SELECT MIN(d.n) FROM daily d
+                WHERE d.day > l.day
+                  AND (r.rhi IS NULL OR d.day < r.rhi)) AS rmin
+        FROM lb l JOIN rb r ON r.day = l.day
+    )
+    SELECT day, n,
+           CAST(n - GREATEST(lmin, rmin) AS BIGINT) AS prominence
+    FROM valleys
+    WHERE n - GREATEST(lmin, rmin) >= {PEAK_MIN_PROM}
+    """,
+    doc="X259 topographic peak prominence over daily event counts "
+        "(scipy find_peaks parity, exact integers): peaks are strict "
+        "local maxima; each side's valley floor is the MIN between the "
+        "peak and the nearest strictly-higher day (or the edge); "
+        f"prominence = height - higher floor, reported when >= "
+        f"{PEAK_MIN_PROM}. Nearest-higher search + valley mins are "
+        "calendar-bounded joins (|days|^2, scale-free); heights are "
+        "BIGINT counts. Python replay + prominence-bound laws.",
+    tags=("X259", "X49", "X11", "X5"),
+)
+def daily_peak_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date")
+                        .alias("day"))
+             .agg(F.count("*").cast("long").alias("n"))
+             .localCheckpoint())
+    w = Window.orderBy("day")
+    seq = daily.select("day", "n",
+                       F.lag("n").over(w).alias("pv"),
+                       F.lead("n").over(w).alias("nx"))
+    peaks = (seq.filter(F.col("pv").isNotNull()
+                        & F.col("nx").isNotNull()
+                        & (F.col("n") > F.col("pv"))
+                        & (F.col("n") > F.col("nx")))
+             .select("day", "n"))
+    d = daily.select(F.col("day").alias("dd"), F.col("n").alias("dn"))
+    lb = (peaks.join(d, (F.col("dd") < F.col("day"))
+                     & (F.col("dn") > F.col("n")), "left")
+          .groupBy("day", "n").agg(F.max("dd").alias("lhi")))
+    rb = (peaks.join(d, (F.col("dd") > F.col("day"))
+                     & (F.col("dn") > F.col("n")), "left")
+          .groupBy("day").agg(F.min("dd").alias("rhi")))
+    lmin = (lb.join(d, (F.col("dd") < F.col("day"))
+                    & (F.col("lhi").isNull()
+                       | (F.col("dd") > F.col("lhi"))))
+            .groupBy("day").agg(F.min("dn").alias("lmin")))
+    rmin = (rb.join(d, (F.col("dd") > F.col("day"))
+                    & (F.col("rhi").isNull()
+                       | (F.col("dd") < F.col("rhi"))))
+            .groupBy("day").agg(F.min("dn").alias("rmin")))
+    return (peaks.join(lmin, "day").join(rmin, "day")
+            .select("day", "n",
+                    (F.col("n") - F.greatest("lmin", "rmin"))
+                    .cast("long").alias("prominence"))
+            .filter(F.col("prominence") >= PEAK_MIN_PROM))
+
+
+# --------------------------------------------------------------------------
+# X260: generalized ESD outlier rounds (Rosner 1983) — the ITERATIVE
+# re-estimation outlier test the point detectors lack: X236 SPC fixes
+# limits once from a baseline, X214/X220 score by local geometry;
+# generalized ESD removes the most extreme point and RE-ESTIMATES mean
+# and s.d. from the remainder, so one gross outlier cannot mask the
+# next (the masking problem Grubbs' single-shot test suffers). Fixed
+# ESD_ROUNDS rounds over the daily mean-value series: exact BIGINT
+# micro folds give mean and SSD, the test statistic R = max|x - xbar|
+# / s snaps to the micro grid through one correctly-rounded sqrt, and
+# the argmax is an integer-ordered limit (X88 discipline: never order
+# by a float). The removed day feeds the next round via an anti-join.
+# Rosner, Technometrics 25(2); [EXT].
+# --------------------------------------------------------------------------
+ESD_ROUNDS = 3
+
+
+def _esd_oracle_sql() -> str:
+    parts = ["""d0 AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1)"""]
+    rows = []
+    for r in range(ESD_ROUNDS):
+        parts.append(f"""m{r} AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM d{r})""")
+        parts.append(f"""top{r} AS (
+        SELECT d.day, d.x,
+               ABS(d.x * m.n - m.sx) AS dev_n,
+               m.n AS n, m.sx AS sx, m.sxx AS sxx
+        FROM d{r} d CROSS JOIN m{r} m
+        ORDER BY ABS(d.x * m.n - m.sx) DESC, d.day
+        LIMIT 1)""")
+        parts.append(f"""d{r + 1} AS (
+        SELECT d.day, d.x FROM d{r} d
+        WHERE d.day <> (SELECT day FROM top{r}))""")
+        rows.append(f"""SELECT CAST({r + 1} AS BIGINT) AS round,
+           day, x AS x_micro,
+           CAST((dev_n * 1000000) //
+                CAST(CEIL(SQRT(CAST(n AS DOUBLE)
+                               * (n * sxx - sx * sx))) AS BIGINT)
+                AS BIGINT) AS r_micro
+        FROM top{r}""")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@register(
+    "esd_outlier_rounds",
+    _esd_oracle_sql(),
+    doc=f"X260 generalized ESD (Rosner) outlier test, {ESD_ROUNDS} "
+        "rounds over daily mean event values (micro grid): each round "
+        "folds exact BIGINT moments of the REMAINING days, flags the "
+        "max-|x*n - sx| day (integer argmax, day tiebreak), reports "
+        "R = |x - xbar|/s micro-snapped through one ceil'd sqrt, and "
+        "removes the day before re-estimating. The masking-proof "
+        "iterative outlier family next to X236's fixed-limit chart. "
+        "Python replay + monotone-R laws.",
+    tags=("X260", "X49", "X36", "X7", "X12"),
+)
+def esd_outlier_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    d = (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+         .agg(F.expr("CAST(SUM(CAST(ROUND(value * 1000000, 0) AS"
+                     " BIGINT)) DIV COUNT(*) AS BIGINT)").alias("x"))
+         .localCheckpoint())
+    out = None
+    for r in range(ESD_ROUNDS):
+        m = d.agg(F.count("*").cast("long").alias("n"),
+                  F.sum("x").cast("long").alias("sx"),
+                  F.sum(F.col("x") * F.col("x")).cast("long")
+                  .alias("sxx"))
+        top = (d.crossJoin(F.broadcast(m))
+               .select("day", "x",
+                       F.abs(F.col("x") * F.col("n") - F.col("sx"))
+                       .alias("dev_n"), "n", "sx", "sxx")
+               .orderBy(F.desc("dev_n"), F.asc("day")).limit(1)
+               .localCheckpoint())
+        row = top.select(
+            F.lit(r + 1).cast("long").alias("round"),
+            "day", F.col("x").alias("x_micro"),
+            F.expr("CAST((dev_n * 1000000) DIV"
+                   " CAST(CEIL(SQRT(CAST(n AS DOUBLE)"
+                   " * (n * sxx - sx * sx))) AS BIGINT) AS BIGINT)")
+            .alias("r_micro"))
+        out = row if out is None else out.unionByName(row)
+        if r + 1 < ESD_ROUNDS:
+            d = (d.join(top.select("day"), "day", "left_anti")
+                 .localCheckpoint())
+    return out

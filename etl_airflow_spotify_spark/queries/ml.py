@@ -2722,3 +2722,188 @@ def randomization_test_discount(spark: SparkSession,
                     F.expr(f"CAST((1 + ne) * 1000000"
                            f" DIV ({RT_PERMS} + 1) AS BIGINT)")
                     .alias("p_value_micro")))
+
+
+# --------------------------------------------------------------------------
+# X255: local differential privacy — randomized response (Warner 1965,
+# the k-ary RAPPOR core). The privacy family's third mechanism class:
+# X164 adds CENTRAL noise to exact aggregates, X202 selects privately;
+# randomized response perturbs EACH ROW before aggregation, so the
+# collector never sees a true record — the trust model edge devices /
+# telemetry actually need. Each event keeps its true type w.p. q=3/4
+# (md5 coin) else reports an md5-uniform type among the k=5; the
+# debiased estimator n_hat = (obs - n(1-q)/k) / q then recovers the
+# true histogram. Coins are md5-derived so BOTH engines replay the
+# identical mechanism; the estimator is pure BIGINT floor division.
+# Epsilon = ln(1 + k*q/(1-q)) = ln 16 here, reported for the audit.
+# --------------------------------------------------------------------------
+RR_KEEP_PCT = 75
+RR_CATS = ("click", "error", "purchase", "signup", "view")
+
+
+def _rr_case(duck: bool) -> str:
+    h = ("(('0x' || substr(md5('rrf:' || CAST(event_id AS VARCHAR)), "
+         "1, 15))::BIGINT)") if duck else \
+        ("CAST(conv(substring(md5(concat('rrf:', CAST(event_id AS "
+         "STRING))), 1, 15), 16, 10) AS BIGINT)")
+    coin = ("(('0x' || substr(md5('rrc:' || CAST(event_id AS VARCHAR)), "
+            "1, 15))::BIGINT)") if duck else \
+           ("CAST(conv(substring(md5(concat('rrc:', CAST(event_id AS "
+            "STRING))), 1, 15), 16, 10) AS BIGINT)")
+    fake = "CASE " + " ".join(
+        f"WHEN {h} % 5 = {i} THEN '{c}'" for i, c in enumerate(RR_CATS)
+    ) + " END"
+    return (f"CASE WHEN {coin} % 100 < {RR_KEEP_PCT} "
+            f"THEN event_type ELSE {fake} END")
+
+
+@register(
+    "randomized_response_freq",
+    f"""
+    WITH rep AS (
+        SELECT event_type AS true_type,
+               {_rr_case(True)} AS rep_type
+        FROM events
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rep),
+    t AS (SELECT true_type, CAST(COUNT(*) AS BIGINT) AS true_n
+          FROM rep GROUP BY 1),
+    o AS (SELECT rep_type, CAST(COUNT(*) AS BIGINT) AS obs_n
+          FROM rep GROUP BY 1)
+    SELECT t.true_type AS event_type, t.true_n, o.obs_n,
+           CAST(((o.obs_n * 1000000 - (tot.n * 1000000) // 20) * 4)
+                // 3 AS BIGINT) AS est_micro,
+           CAST(ABS(((o.obs_n * 1000000 - (tot.n * 1000000) // 20) * 4)
+                    // 3 - t.true_n * 1000000) AS BIGINT)
+               AS abs_err_micro
+    FROM t JOIN o ON o.rep_type = t.true_type CROSS JOIN tot
+    """,
+    doc=f"X255 k-ary randomized response (Warner 1965) over event "
+        f"types: each row keeps its true type w.p. {RR_KEEP_PCT}/100 "
+        "(md5 coin) else reports an md5-uniform type; the debiased "
+        "estimator (obs - n/20)*4/3 recovers the histogram in pure "
+        "BIGINT floor division. LOCAL privacy (rows perturbed before "
+        "collection) next to X164's central Laplace and X202's "
+        "exponential selection; both engines replay the identical "
+        "md5 mechanism. Python replay + unbiasedness-bound laws.",
+    tags=("X255", "X164", "X26", "X7", "X14"),
+)
+def randomized_response_freq(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rep = ev.selectExpr("event_type AS true_type",
+                        f"{_rr_case(False)} AS rep_type")
+    tot = rep.agg(F.count("*").cast("long").alias("n"))
+    t = (rep.groupBy("true_type")
+         .agg(F.count("*").cast("long").alias("true_n")))
+    o = (rep.groupBy("rep_type")
+         .agg(F.count("*").cast("long").alias("obs_n")))
+    return (t.join(o, t.true_type == o.rep_type)
+            .crossJoin(F.broadcast(tot))
+            .selectExpr(
+                "true_type AS event_type", "true_n", "obs_n",
+                "CAST(((obs_n * 1000000 - (n * 1000000) DIV 20) * 4)"
+                " DIV 3 AS BIGINT) AS est_micro",
+                "CAST(ABS(((obs_n * 1000000 - (n * 1000000) DIV 20)"
+                " * 4) DIV 3 - true_n * 1000000) AS BIGINT)"
+                " AS abs_err_micro"))
+
+
+# --------------------------------------------------------------------------
+# X262: Mondrian k-anonymity partitioning (LeFevre et al., ICDE 2006)
+# — the CONSTRUCTIVE side of the privacy audits: X72 walks a fixed
+# generalization ladder and X231 AUDITS l-diversity/t-closeness;
+# Mondrian BUILDS the partition, recursively median-splitting the
+# (quantity, price) quasi-identifier space so every leaf stays
+# k-anonymous-sized. MONDRIAN_ROUNDS fixed rounds, alternating split
+# dimension; each round's per-cell median comes from a VALUE-HISTOGRAM
+# prefix sum (groupBy (cell, value) + running count — never a full
+# data sort, the 100 TB-safe exact-median plan), and rows route
+# left/right by integer comparison. Output: per-leaf extent, size,
+# and k-anonymity flag.
+# --------------------------------------------------------------------------
+MONDRIAN_ROUNDS = 3
+MONDRIAN_K = 25
+
+
+def _mondrian_oracle_sql() -> str:
+    parts = ["""c0 AS (
+        SELECT '' AS cell,
+               CAST(l_quantity AS BIGINT) AS q,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS pr
+        FROM lineitem)"""]
+    for r in range(MONDRIAN_ROUNDS):
+        dim = "q" if r % 2 == 0 else "pr"
+        parts.append(f"""h{r} AS (
+        SELECT cell, {dim} AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM c{r} GROUP BY 1, 2)""")
+        parts.append(f"""m{r} AS (
+        SELECT cell, MIN(v) AS med FROM (
+            SELECT cell, v,
+                   SUM(c) OVER (PARTITION BY cell ORDER BY v) AS cum,
+                   SUM(c) OVER (PARTITION BY cell) AS tot
+            FROM h{r})
+        WHERE cum >= (tot + 1) // 2 GROUP BY cell)""")
+        parts.append(f"""c{r + 1} AS (
+        SELECT c.cell || CASE WHEN c.{dim} <= m.med
+                              THEN 'L' ELSE 'R' END AS cell,
+               c.q, c.pr
+        FROM c{r} c JOIN m{r} m ON m.cell = c.cell)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(q) AS BIGINT) AS q_min,
+           CAST(MAX(q) AS BIGINT) AS q_max,
+           CAST(MIN(pr) AS BIGINT) AS pr_min,
+           CAST(MAX(pr) AS BIGINT) AS pr_max,
+           CASE WHEN COUNT(*) >= {MONDRIAN_K} THEN 1 ELSE 0 END
+               AS k_anon_ok
+    FROM c{MONDRIAN_ROUNDS} GROUP BY cell""")
+
+
+@register(
+    "mondrian_kanon_partition",
+    _mondrian_oracle_sql(),
+    doc=f"X262 Mondrian k-anonymity partitioning (LeFevre 2006), "
+        f"{MONDRIAN_ROUNDS} alternating median splits over the "
+        "(quantity, price-cents) quasi-identifier space: per-cell "
+        "exact lower medians via value-histogram prefix sums (groupBy "
+        "+ running count — no full sort at any scale), integer "
+        f"left/right routing, per-leaf extents and k>={MONDRIAN_K} "
+        "flags. The constructive partitioner next to X72's ladder "
+        "and X231's audits. Python replay + leaf-partition + "
+        "median-balance laws.",
+    tags=("X262", "X72", "X231", "X7", "X11"),
+)
+def mondrian_kanon_partition(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.lit("").alias("cell"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("pr"))
+    for r in range(MONDRIAN_ROUNDS):
+        dim = "q" if r % 2 == 0 else "pr"
+        h = (c.groupBy("cell", F.col(dim).alias("v"))
+             .agg(F.count("*").cast("long").alias("cnt")))
+        wc = (Window.partitionBy("cell").orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, 0))
+        wt = Window.partitionBy("cell")
+        m = (h.select("cell", "v",
+                      F.sum("cnt").over(wc).alias("cum"),
+                      F.sum("cnt").over(wt).alias("tot"))
+             .filter(F.col("cum") >= F.expr("(tot + 1) DIV 2"))
+             .groupBy("cell").agg(F.min("v").alias("med")))
+        c = (c.join(m, "cell")
+             .select(F.concat(F.col("cell"),
+                              F.when(F.col(dim) <= F.col("med"),
+                                     F.lit("L")).otherwise(F.lit("R")))
+                     .alias("cell"), "q", "pr"))
+    return (c.groupBy("cell")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min("q").cast("long").alias("q_min"),
+                 F.max("q").cast("long").alias("q_max"),
+                 F.min("pr").cast("long").alias("pr_min"),
+                 F.max("pr").cast("long").alias("pr_max"),
+                 F.when(F.count("*") >= MONDRIAN_K, 1).otherwise(0)
+                 .cast("int").alias("k_anon_ok")))

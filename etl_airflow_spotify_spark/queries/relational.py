@@ -3175,3 +3175,228 @@ def borda_condorcet_brands(spark: SparkSession,
                     "wins",
                     F.when(F.col("wins") == F.col("n") - 1, 1)
                     .otherwise(0).alias("is_condorcet_winner")))
+
+
+# --------------------------------------------------------------------------
+# X254: rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) — the
+# TOP-WEIGHTED ranking-agreement measure X249's Kendall/Spearman are
+# not: those weight every pair equally, RBO geometrically discounts
+# depth (p^(d-1)), which is what retrieval/recsys ranking comparisons
+# actually use (agreement at rank 1 matters more than at rank 25).
+# Rankings: brands by revenue vs by quantity, both exact-integer with
+# deterministic (value DESC, brand) tiebreaks. The prefix-overlap
+# curve comes from ONE histogram of max(rank_x, rank_y) + a running
+# sum (no per-depth set intersection); the only float is the
+# geometric weight POW(0.9, d-1), snapped to the micro grid at points
+# verified far from .5 boundaries, after which every fold is BIGINT
+# (a_micro and the partial RBO are integer floor-divisions).
+# --------------------------------------------------------------------------
+RBO_P_MICRO = 900_000  # p = 0.9 on the micro grid
+RBO_DEPTH = 10
+
+
+@register(
+    "rbo_rank_overlap",
+    f"""
+    WITH stats AS (
+        SELECT p.p_brand AS brand,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice
+                    * (1 - l.l_discount) * 100, 0) AS BIGINT))
+                    AS BIGINT) AS rev,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT brand,
+               ROW_NUMBER() OVER (ORDER BY rev DESC, brand) AS rx,
+               ROW_NUMBER() OVER (ORDER BY qty DESC, brand) AS ry
+        FROM stats
+    ),
+    depths AS (SELECT UNNEST(RANGE(1, {RBO_DEPTH} + 1)) AS d),
+    inter AS (
+        SELECT t.d,
+               CAST((SELECT COUNT(*) FROM ranked r
+                     WHERE GREATEST(r.rx, r.ry) <= t.d) AS BIGINT)
+                   AS inter_d
+        FROM depths t
+    ),
+    terms AS (
+        SELECT d, inter_d,
+               CAST(ROUND(POW(0.9, d - 1) * 1000000, 0) AS BIGINT)
+                   AS w_micro
+        FROM inter
+    )
+    SELECT CAST(d AS BIGINT) AS d, inter_d,
+           (inter_d * 1000000) // d AS a_micro,
+           CAST(SUM((w_micro * inter_d) // d)
+                OVER (ORDER BY d) // 10 AS BIGINT)
+               AS rbo_partial_micro
+    FROM terms
+    """,
+    doc="X254 rank-biased overlap (Webber et al. 2010, p=0.9, depth "
+        f"{RBO_DEPTH}) between brand-by-revenue and brand-by-quantity "
+        "rankings: exact-integer rankings with deterministic "
+        "tiebreaks; prefix overlap via one max(rank,rank) histogram + "
+        "running sum; geometric weights micro-snapped off .5 "
+        "boundaries; agreement curve and partial RBO all BIGINT floor "
+        "division (X88 discipline). The top-weighted complement to "
+        "X249's pair-symmetric rank correlations. Python replay + "
+        "[0,1]-bound + final-depth-overlap laws.",
+    tags=("X254", "X249", "X12", "X7", "X11"),
+)
+def rbo_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    stats = (li.join(p, p.p_partkey == li.l_partkey)
+             .groupBy(F.col("p_brand").alias("brand"))
+             .agg(F.sum(F.round(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount")) * 100, 0)
+                        .cast("long")).cast("long").alias("rev"),
+                  F.sum(F.col("l_quantity").cast("long")).cast("long")
+                  .alias("qty")))
+    ranked = stats.select(
+        "brand",
+        F.row_number().over(Window.orderBy(F.desc("rev"), F.asc("brand")))
+        .alias("rx"),
+        F.row_number().over(Window.orderBy(F.desc("qty"), F.asc("brand")))
+        .alias("ry"))
+    md = ranked.select(F.greatest("rx", "ry").alias("md"))
+    depths = spark.createDataFrame([(d,) for d in range(1, RBO_DEPTH + 1)],
+                                   "d long")
+    inter = (depths.join(F.broadcast(md), F.col("md") <= F.col("d"),
+                         "left")
+             .groupBy("d")
+             .agg(F.count("md").cast("long").alias("inter_d")))
+    terms = inter.select(
+        "d", "inter_d",
+        F.expr("CAST(ROUND(POW(0.9, d - 1) * 1000000, 0) AS BIGINT)")
+        .alias("w_micro"))
+    wsum = (Window.orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    return terms.select(
+        F.col("d").cast("long").alias("d"), "inter_d",
+        F.expr("(inter_d * 1000000) DIV d").alias("a_micro"),
+        (F.sum(F.expr("(w_micro * inter_d) DIV d")).over(wsum) / 10)
+        .cast("long").alias("rbo_partial_micro"))
+
+
+# --------------------------------------------------------------------------
+# X263: leave-one-group-out influence (grouped DFBETA) — the model-
+# diagnostics lens the OLS family lacks: X60 fits, X81 cross-
+# validates, X179 jackknifes a RATIO; this measures how much each
+# GROUP (brand) moves the global price~quantity slope when deleted —
+# Belsley/Kuh/Welsch DFBETA lifted to group granularity, the "which
+# data source is steering my model" audit a 100 TB training pipeline
+# runs before trusting a fit. One pass folds exact BIGINT moments per
+# brand; the global fold is their sum (broadcast back), so every
+# leave-one-out slope is a closed-form double from exact integer
+# differences — no refit, no second scan. Slopes micro-snapped with
+# degenerate-denominator guards (round-6 ADVICE discipline).
+# --------------------------------------------------------------------------
+@register(
+    "loo_group_influence",
+    """
+    WITH pts AS (
+        SELECT p.p_brand AS brand,
+               CAST(l.l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    g AS (
+        SELECT brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pts GROUP BY brand
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(sx) AS BIGINT) AS sx,
+               CAST(SUM(sy) AS BIGINT) AS sy,
+               CAST(SUM(sxx) AS BIGINT) AS sxx,
+               CAST(SUM(sxy) AS BIGINT) AS sxy
+        FROM g
+    ),
+    bt AS (
+        SELECT g.brand, g.n AS n_g,
+               CAST(t.n AS DOUBLE) * t.sxy
+                   - CAST(t.sx AS DOUBLE) * t.sy AS num_f,
+               CAST(t.n AS DOUBLE) * t.sxx
+                   - CAST(t.sx AS DOUBLE) * t.sx AS den_f,
+               CAST(t.n - g.n AS DOUBLE) * (t.sxy - g.sxy)
+                   - CAST(t.sx - g.sx AS DOUBLE) * (t.sy - g.sy)
+                   AS num_l,
+               CAST(t.n - g.n AS DOUBLE) * (t.sxx - g.sxx)
+                   - CAST(t.sx - g.sx AS DOUBLE) * (t.sx - g.sx)
+                   AS den_l
+        FROM g CROSS JOIN tot t
+    )
+    SELECT brand, n_g,
+           CASE WHEN den_f > 0 THEN
+               CAST(ROUND(num_f / den_f * 1000000, 0) AS BIGINT)
+           ELSE 0 END AS b_full_micro,
+           CASE WHEN den_l > 0 THEN
+               CAST(ROUND(num_l / den_l * 1000000, 0) AS BIGINT)
+           ELSE 0 END AS b_loo_micro,
+           CASE WHEN den_f > 0 AND den_l > 0 THEN
+               CAST(ROUND(num_l / den_l * 1000000, 0) AS BIGINT)
+               - CAST(ROUND(num_f / den_f * 1000000, 0) AS BIGINT)
+           ELSE 0 END AS dfbeta_micro
+    FROM bt
+    """,
+    doc="X263 leave-one-group-out slope influence (grouped DFBETA, "
+        "Belsley et al. 1980) for the global price~quantity OLS: one "
+        "pass folds exact BIGINT moments per brand, the global fold "
+        "is their sum, and every brand's deleted-slope is closed-form "
+        "from integer differences in double (X240 exact-fold "
+        "discipline) — no refit, no second scan. Micro-snapped with "
+        "zero-variance guards. The which-source-steers-the-model "
+        "audit next to X81/X179. Python replay + sum-of-moments + "
+        "small-group-small-influence laws.",
+    tags=("X263", "X60", "X80", "X7"),
+)
+def loo_group_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pts = (li.join(p, p.p_partkey == li.l_partkey)
+           .select(F.col("p_brand").alias("brand"),
+                   F.col("l_quantity").cast("long").alias("x"),
+                   F.round(F.col("l_extendedprice") * 100, 0)
+                   .cast("long").alias("y")))
+    g = pts.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"))
+    tot = g.agg(F.sum("n").cast("long").alias("tn"),
+                F.sum("sx").cast("long").alias("tsx"),
+                F.sum("sy").cast("long").alias("tsy"),
+                F.sum("sxx").cast("long").alias("tsxx"),
+                F.sum("sxy").cast("long").alias("tsxy"))
+    both = (g.crossJoin(F.broadcast(tot))
+            .selectExpr(
+                "brand", "n AS n_g",
+                "CAST(tn AS DOUBLE) * tsxy"
+                " - CAST(tsx AS DOUBLE) * tsy AS num_f",
+                "CAST(tn AS DOUBLE) * tsxx"
+                " - CAST(tsx AS DOUBLE) * tsx AS den_f",
+                "CAST(tn - n AS DOUBLE) * (tsxy - sxy)"
+                " - CAST(tsx - sx AS DOUBLE) * (tsy - sy) AS num_l",
+                "CAST(tn - n AS DOUBLE) * (tsxx - sxx)"
+                " - CAST(tsx - sx AS DOUBLE) * (tsx - sx) AS den_l"))
+    return both.selectExpr(
+        "brand", "n_g",
+        "CASE WHEN den_f > 0 THEN"
+        " CAST(ROUND(num_f / den_f * 1000000, 0) AS BIGINT)"
+        " ELSE 0L END AS b_full_micro",
+        "CASE WHEN den_l > 0 THEN"
+        " CAST(ROUND(num_l / den_l * 1000000, 0) AS BIGINT)"
+        " ELSE 0L END AS b_loo_micro",
+        "CASE WHEN den_f > 0 AND den_l > 0 THEN"
+        " CAST(ROUND(num_l / den_l * 1000000, 0) AS BIGINT)"
+        " - CAST(ROUND(num_f / den_f * 1000000, 0) AS BIGINT)"
+        " ELSE 0L END AS dfbeta_micro")

@@ -607,3 +607,98 @@ def group_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("(n_rows * 1000000) DIV all_rows")
                     .cast("long").alias("row_frac_micro"),
                     "n_straddle_groups"))
+
+
+# --------------------------------------------------------------------------
+# X258: Horvitz-Thompson estimation under probability-proportional-to-
+# size sampling — the UNEQUAL-probability estimator the sampling
+# family lacks: X106 races weighted tickets for a FIXED-k sample,
+# X182 allocates strata; PPS+HT is how a 100 TB pipeline estimates a
+# total from a cheap biased sample with zero bias: include order i
+# w.p. pi_i ∝ its size (capped at 1), estimate the total as
+# sum(x_i / pi_i) over the sample. Inclusion coins are md5-derived on
+# the micro grid, so both engines draw the IDENTICAL sample; the HT
+# fold is BIGINT floor division; per-region rows compare the estimate
+# against the exact total (|err| in permille, integer-safe — no
+# negative floor-division, the DuckDB-floors-Spark-truncates trap).
+# Horvitz & Thompson, JASA 1952; [EXT].
+# --------------------------------------------------------------------------
+HT_PI_DIVISOR = 200  # pi_micro = min(1e6, cents/200): $2M+ certain
+
+
+@register(
+    "horvitz_thompson_regions",
+    f"""
+    WITH o AS (
+        SELECT r.r_name AS region,
+               CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+               (('0x' || substr(md5('ht:' ||
+                   CAST(o.o_orderkey AS VARCHAR)), 1, 15))::BIGINT)
+                   % 1000000 AS coin
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    p AS (
+        SELECT region, cents, coin,
+               LEAST(1000000, cents // {HT_PI_DIVISOR}) AS pi_micro
+        FROM o
+    )
+    SELECT region,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS true_cents,
+           CAST(SUM(CASE WHEN coin < pi_micro THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN coin < pi_micro
+                    THEN (cents * 1000000) // pi_micro ELSE 0 END)
+                AS BIGINT) AS ht_est_cents,
+           CAST((ABS(SUM(CASE WHEN coin < pi_micro
+                         THEN (cents * 1000000) // pi_micro ELSE 0 END)
+                     - SUM(cents)) * 1000) // SUM(cents) AS BIGINT)
+               AS abs_err_permille
+    FROM p GROUP BY region
+    """,
+    doc="X258 Horvitz-Thompson total estimation under PPS sampling: "
+        f"pi_micro = min(1e6, order-cents/{HT_PI_DIVISOR}) (orders of "
+        "$2M+ certain; ~7% sampled at TPC-H prices), md5 micro-coins draw the identical sample "
+        "in both engines, HT fold sum(x/pi) in BIGINT floor division; "
+        "per-region exact total vs estimate with |err| permille "
+        "(ABS before the floor division — negative integer division "
+        "diverges across engines). The unbiased unequal-probability "
+        "estimator next to X106/X182. Python replay + unbiasedness + "
+        "certainty-stratum laws.",
+    tags=("X258", "X106", "X182", "X7", "X3"),
+)
+def horvitz_thompson_regions(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    base = (o.join(c, c.c_custkey == o.o_custkey)
+            .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+            .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+            .selectExpr(
+                "r_name AS region",
+                "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents",
+                "CAST(conv(substring(md5(concat('ht:', "
+                "CAST(o_orderkey AS STRING))), 1, 15), 16, 10)"
+                " AS BIGINT) % 1000000 AS coin")
+            .selectExpr(
+                "region", "cents", "coin",
+                f"LEAST(1000000L, cents DIV {HT_PI_DIVISOR})"
+                " AS pi_micro"))
+    return (base.groupBy("region")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("cents").cast("long").alias("true_cents"),
+                 F.sum(F.when(F.col("coin") < F.col("pi_micro"), 1)
+                       .otherwise(0)).cast("long").alias("n_sampled"),
+                 F.sum(F.when(F.col("coin") < F.col("pi_micro"),
+                              F.expr("(cents * 1000000) DIV pi_micro"))
+                       .otherwise(0)).cast("long")
+                 .alias("ht_est_cents"))
+            .withColumn("abs_err_permille",
+                        F.expr("CAST((ABS(ht_est_cents - true_cents)"
+                               " * 1000) DIV true_cents AS BIGINT)")))

@@ -3766,3 +3766,130 @@ def platt_scaling_calibration(spark: SparkSession,
         out = row if out is None else out.unionByName(row)
         params = params.select("a", "b")
     return out
+
+
+# --------------------------------------------------------------------------
+# X256: Brier score with the Murphy (1973) decomposition — the
+# FORECAST-QUALITY decomposition the calibration family doesn't give:
+# X76 bins reliability, X90/X248 FIT calibrators, X92 ranks; Murphy
+# splits the Brier score into reliability (calibration error),
+# resolution (how much the forecasts separate outcomes), and
+# uncertainty (the irreducible base-rate term): B = REL - RES + UNC
+# (exact for discrete forecasts; decile-binned continuous forecasts
+# leave a small within-bin-variance residual, reported as a column).
+# Forecast f = the user's historical purchase rate (exact rational ->
+# micro grid), outcome y = the event is a purchase, bins = forecast
+# deciles. EVERYTHING after the per-user rate is BIGINT: squared
+# micro deviations fold exactly, each component snaps by one floor
+# division, and the decomposition gap (identity residual, pure
+# flooring dust) is REPORTED as a column so the oracle pins it.
+# --------------------------------------------------------------------------
+@register(
+    "brier_decomposition",
+    """
+    WITH urate AS (
+        SELECT user_id,
+               (CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+                   // CAST(COUNT(*) AS BIGINT) AS f_micro
+        FROM events GROUP BY user_id
+    ),
+    scored AS (
+        SELECT u.f_micro,
+               LEAST(9, u.f_micro // 100000) AS bin,
+               CASE WHEN e.event_type = 'purchase'
+                    THEN 1000000 ELSE 0 END AS y_micro
+        FROM events e JOIN urate u ON u.user_id = e.user_id
+    ),
+    b AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM(f_micro) AS BIGINT) AS sf,
+               CAST(SUM(y_micro) AS BIGINT) AS sy,
+               CAST(SUM((f_micro - y_micro) * (f_micro - y_micro))
+                    AS BIGINT) AS sq
+        FROM scored GROUP BY bin
+    ),
+    g AS (
+        SELECT CAST(SUM(nb) AS BIGINT) AS n,
+               CAST(SUM(sy) AS BIGINT) AS sy,
+               CAST(SUM(sq) AS BIGINT) AS sq
+        FROM b
+    ),
+    comp AS (
+        SELECT g.n,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_bins,
+               g.sq // (g.n * 1000000) AS brier_micro,
+               CAST((SELECT SUM(nb * ((sf // nb - sy // nb)
+                                      * (sf // nb - sy // nb)))
+                     FROM b) AS BIGINT)
+                   // (g.n * 1000000) AS rel_micro,
+               CAST((SELECT SUM(nb * ((sy // nb - g.sy // g.n)
+                                      * (sy // nb - g.sy // g.n)))
+                     FROM b) AS BIGINT)
+                   // (g.n * 1000000) AS res_micro,
+               ((g.sy // g.n) * (1000000 - g.sy // g.n)) // 1000000
+                   AS unc_micro
+        FROM g
+    )
+    SELECT n, n_bins, brier_micro, rel_micro, res_micro, unc_micro,
+           CAST(brier_micro - (rel_micro - res_micro + unc_micro)
+                AS BIGINT) AS decomp_gap_micro
+    FROM comp
+    """,
+    doc="X256 Brier score + Murphy (1973) decomposition for the "
+        "user-rate forecast of purchases: forecast deciles, exact "
+        "BIGINT squared-micro folds, REL - RES + UNC components each "
+        "snapped by one floor division, and the identity residual "
+        "reported as decomp_gap_micro (within-bin forecast variance, "
+        "Stephenson et al. 2008, plus flooring dust — the exact "
+        "identity holds only for discrete forecasts). The "
+        "forecast-quality decomposition next to X76's reliability "
+        "bins and X92's AUC. Python replay + identity-gap-bound + "
+        "component-nonnegativity laws.",
+    tags=("X256", "X76", "X92", "X7"),
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    urate = (ev.groupBy("user_id")
+             .agg(F.expr("(CAST(SUM(CASE WHEN event_type = 'purchase'"
+                         " THEN 1 ELSE 0 END) AS BIGINT) * 1000000)"
+                         " DIV CAST(COUNT(*) AS BIGINT)")
+                  .alias("f_micro")))
+    scored = (ev.join(urate, "user_id")
+              .selectExpr(
+                  "f_micro",
+                  "LEAST(9L, f_micro DIV 100000) AS bin",
+                  "CASE WHEN event_type = 'purchase' THEN 1000000L"
+                  " ELSE 0L END AS y_micro"))
+    b = (scored.groupBy("bin")
+         .agg(F.count("*").cast("long").alias("nb"),
+              F.sum("f_micro").cast("long").alias("sf"),
+              F.sum("y_micro").cast("long").alias("sy"),
+              F.sum(F.expr("(f_micro - y_micro) * (f_micro - y_micro)"))
+              .cast("long").alias("sq"))
+         .localCheckpoint())
+    g = b.agg(F.sum("nb").cast("long").alias("n"),
+              F.sum("sy").cast("long").alias("gsy"),
+              F.sum("sq").cast("long").alias("gsq"),
+              F.count("*").cast("long").alias("n_bins"))
+    comp = (b.crossJoin(F.broadcast(g))
+            .agg(F.first("n").alias("n"),
+                 F.first("n_bins").alias("n_bins"),
+                 F.expr("first(gsq DIV (n * 1000000))")
+                 .alias("brier_micro"),
+                 F.expr("CAST(SUM(nb * ((sf DIV nb - sy DIV nb)"
+                        " * (sf DIV nb - sy DIV nb))) AS BIGINT)")
+                 .alias("rel_fold"),
+                 F.expr("CAST(SUM(nb * ((sy DIV nb - gsy DIV n)"
+                        " * (sy DIV nb - gsy DIV n))) AS BIGINT)")
+                 .alias("res_fold"),
+                 F.expr("first(((gsy DIV n) * (1000000 - gsy DIV n))"
+                        " DIV 1000000)").alias("unc_micro")))
+    return comp.selectExpr(
+        "n", "n_bins", "brier_micro",
+        "CAST(rel_fold DIV (n * 1000000) AS BIGINT) AS rel_micro",
+        "CAST(res_fold DIV (n * 1000000) AS BIGINT) AS res_micro",
+        "unc_micro",
+        "CAST(brier_micro - (CAST(rel_fold DIV (n * 1000000) AS"
+        " BIGINT) - CAST(res_fold DIV (n * 1000000) AS BIGINT)"
+        " + unc_micro) AS BIGINT) AS decomp_gap_micro")

@@ -591,3 +591,66 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("kth_hash"))
             .select("scope", "n_sketch", "kth_hash", est.alias("est"))
             .orderBy("scope"))
+
+
+# --------------------------------------------------------------------------
+# X261: streaming Page-Hinkley drift monitoring — the r5-verdict
+# stretch item: X229's detector lifted onto the X70/X198 mergeable-
+# partial pattern. The PH recurrence is sequential in DAYS, so the
+# streaming form keeps a MERGEABLE store of per-day partial counts
+# (foreachBatch appends each micro-batch's (day, n) histogram; late
+# batches for the same day merge by SUM — order-free, exactly the
+# property that makes the detector replayable), then folds the X229
+# recurrence over the merged dailies once the feed drains. Same
+# output, same oracle as X229 — which is the point: a drift monitor
+# whose batch and streaming answers are bit-identical.
+# --------------------------------------------------------------------------
+from . import events_ops as _events_ops  # noqa: E402
+
+
+@register(
+    "stream_page_hinkley",
+    _events_ops.PH_ORACLE_SQL,  # bit-identical to X229 -> same oracle
+    doc="X261 streaming Page-Hinkley: 4-batch event feed, foreachBatch "
+        "appends per-batch (day, n) partials to a mergeable store "
+        "(order-free SUM merge), final fold runs the exact X229 "
+        "recurrence over merged dailies — bit-identical to the batch "
+        "detector, attested by the SAME DuckDB oracle. The X70/X198 "
+        "mergeable-rollup pattern applied to drift monitoring. "
+        "Batch-equals-stream law in tests/test_round6_laws.py.",
+    tags=("X261", "X229", "X23", "X20", "X49", "X11"),
+)
+def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..catalog import load_table
+    from ..streaming.windows import fold_stream_foreachbatch
+    from .events_ops import ph_from_daily
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    feed = os.path.join("spark-warehouse", f"ph_feed_{suffix}")
+    store = os.path.join("spark-warehouse", f"ph_store_{suffix}")
+    ckpt = os.path.join("spark-warehouse", f"ph_ckpt_{suffix}")
+    for d in (feed, store, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    for i in range(4):
+        (ev.filter(F.pmod("event_id", F.lit(4)) == i)
+         .coalesce(1).write.mode("append").parquet(feed))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+
+    def fold(state, batch_df):
+        part = (batch_df
+                .groupBy(F.date_trunc("day", "ts").cast("date")
+                         .alias("day"))
+                .agg(F.count("*").cast("long").alias("n")))
+        part.write.mode("append").parquet(store)
+        return (state or 0) + 1
+
+    fold_stream_foreachbatch(stream, fold, ckpt)
+    daily = (spark.read.parquet(store)
+             .groupBy("day").agg(F.sum("n").cast("long").alias("n")))
+    return ph_from_daily(daily)

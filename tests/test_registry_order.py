@@ -71,7 +71,18 @@ R7_BACKLOG: dict[str, str] = {
 # locally oracle-green at sf0.001 AND sf0.01 under the strict gate,
 # first eligible for a driver slot in the r7 window.
 # Maps query name -> class tag.
-NEW_R6: dict[str, str] = {}
+NEW_R6: dict[str, str] = {
+    "rbo_rank_overlap": "X254",
+    "randomized_response_freq": "X255",
+    "brier_decomposition": "X256",
+    "window_funnel_depths": "X257",
+    "horvitz_thompson_regions": "X258",
+    "daily_peak_prominence": "X259",
+    "esd_outlier_rounds": "X260",
+    "stream_page_hinkley": "X261",
+    "mondrian_kanon_partition": "X262",
+    "loo_group_influence": "X263",
+}
 
 
 def _attested() -> set[str]:
