@@ -300,6 +300,17 @@ HEADLINE = [
     "borda_condorcet_brands",
     "randomization_test_discount",
     "disparity_backbone",
+    # round-6 additions (X254-X263)
+    "rbo_rank_overlap",
+    "randomized_response_freq",
+    "brier_decomposition",
+    "window_funnel_depths",
+    "horvitz_thompson_regions",
+    "daily_peak_prominence",
+    "esd_outlier_rounds",
+    "stream_page_hinkley",
+    "mondrian_kanon_partition",
+    "loo_group_influence",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

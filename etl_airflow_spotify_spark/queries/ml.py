@@ -429,25 +429,42 @@ def bagged_stump_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import persist_tracked
 
     li = load_table(spark, sf_dir, "lineitem")
+    # Round-6 re-plan (r5 verdict perf-watch item): the BAGS-way
+    # membership explode (and the BAGS-way OOB crossJoin) are gone.
+    # Membership bits m_k are computed ONCE per row (one md5 per bag);
+    # training folds them as 2*BAGS conditional aggregates per
+    # (feature, value) and unpivots the dimension-sized histogram;
+    # OOB voting reuses the SAME bits (oob_k = 1 - m_k) against the
+    # collected BOUNDED model (BAGS rows), so no row is ever fanned
+    # out and the pointless per-rid shuffle (rid is unique) is gone.
+    mcols = [
+        F.expr(f"CASE WHEN CAST(conv(substring(md5(concat('bag{k}:', "
+               f"rid)), 1, 15), 16, 10) AS BIGINT) % 100 "
+               f"< {FOREST_BAG_PCT} THEN 1 ELSE 0 END")
+        .alias(f"m_{k}") for k in range(FOREST_BAGS)]
     base = persist_tracked(li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
         .alias("rid"),
         F.col("l_quantity").cast("long").alias("qty"),
         F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc"),
         F.when(F.col("l_returnflag") == STUMP_LABEL, 1).otherwise(0)
-        .alias("pos")))
-    bags = spark.range(FOREST_BAGS).select(F.col("id").alias("bag"))
-    coin = F.conv(F.substring(
-        F.md5(F.concat(F.lit("bag"), F.col("bag"), F.lit(":"),
-                       F.col("rid"))), 1, 15), 16, 10).cast("long") % 100
-    member = (base.crossJoin(F.broadcast(bags))
-              .filter(coin < FOREST_BAG_PCT))
-    long_ = member.selectExpr(
-        "bag", "stack(2, 'qty', qty, 'disc', disc) AS (feature, v)",
-        "pos")
-    hist = (long_.groupBy("bag", "feature", "v")
-            .agg(F.count("*").cast("long").alias("n"),
-                 F.sum("pos").cast("long").alias("p")))
+        .alias("pos")).select("*", *mcols))
+    long_ = base.selectExpr(
+        "stack(2, 'qty', qty, 'disc', disc) AS (feature, v)", "pos",
+        *[f"m_{k}" for k in range(FOREST_BAGS)])
+    aggs = []
+    for k in range(FOREST_BAGS):
+        aggs.append(F.sum(f"m_{k}").cast("long").alias(f"n_{k}"))
+        aggs.append(F.sum(F.col(f"m_{k}") * F.col("pos")).cast("long")
+                    .alias(f"p_{k}"))
+    histw = long_.groupBy("feature", "v").agg(*aggs)
+    stack_args = ", ".join(
+        f"{k}L, n_{k}, p_{k}" for k in range(FOREST_BAGS))
+    # filter n > 0 keeps exactly the rows the exploded plan produced
+    hist = (histw.selectExpr(
+        "feature", "v",
+        f"stack({FOREST_BAGS}, {stack_args}) AS (bag, n, p)")
+        .filter(F.col("n") > 0))
     w_cum = Window.partitionBy("bag", "feature").orderBy("v")
     w_all = Window.partitionBy("bag", "feature")
     cum = hist.select(
@@ -478,23 +495,30 @@ def bagged_stump_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .otherwise(0).alias("left_pred"),
                       F.when(F.col("pos_right") * 2 > F.col("n_right"), 1)
                       .otherwise(0).alias("right_pred")))
-    s = stumps.select(F.col("bag").alias("s_bag"),
-                      F.col("feature").alias("s_feature"),
-                      F.col("split_at").alias("s_split"),
-                      F.col("left_pred").alias("s_left"),
-                      F.col("right_pred").alias("s_right"))
-    oob_coin = F.conv(F.substring(
-        F.md5(F.concat(F.lit("bag"), F.col("s_bag"), F.lit(":"),
-                       F.col("rid"))), 1, 15), 16, 10).cast("long") % 100
-    fv = F.when(F.col("s_feature") == "qty", F.col("qty")) \
-        .otherwise(F.col("disc"))
-    pred = F.when(fv <= F.col("s_split"), F.col("s_left")) \
-        .otherwise(F.col("s_right"))
-    votes = (base.crossJoin(F.broadcast(s))
-             .filter(oob_coin >= FOREST_BAG_PCT)
-             .groupBy("rid", "pos")
-             .agg(F.count("*").cast("long").alias("n_votes"),
-                  F.sum(pred).cast("long").alias("votes1")))
+    # The model is BOUNDED (FOREST_BAGS rows) — collect it and inline
+    # each stump as constants; every row then computes its OOB votes
+    # in one projection from the SAME m_k bits that trained the
+    # forest (oob_k = 1 - m_k), so no row is fanned out BAGS-way.
+    # The (rid, pos) grouping is LOAD-BEARING: the synthetic lineitem
+    # carries duplicate (orderkey, linenumber) pairs, and the spec
+    # (like the oracle) pools their votes per key.
+    model = {r["bag"]: r for r in stumps.collect()}
+    n_terms, v_terms = [], []
+    for k in range(FOREST_BAGS):
+        r = model[k]
+        fv = "qty" if r["feature"] == "qty" else "disc"
+        pred = (f"(CASE WHEN {fv} <= {r['split_at']} "
+                f"THEN {r['left_pred']} ELSE {r['right_pred']} END)")
+        n_terms.append(f"(1 - m_{k})")
+        v_terms.append(f"(1 - m_{k}) * {pred}")
+    votes = (base.selectExpr(
+        "rid", "pos",
+        f"CAST({' + '.join(n_terms)} AS BIGINT) AS nv",
+        f"CAST({' + '.join(v_terms)} AS BIGINT) AS v1")
+        .groupBy("rid", "pos")
+        .agg(F.sum("nv").cast("long").alias("n_votes"),
+             F.sum("v1").cast("long").alias("votes1"))
+        .filter(F.col("n_votes") > 0))
     oob = votes.agg(
         F.count("*").cast("long").alias("oob_n"),
         F.sum(F.when(
@@ -2674,8 +2698,11 @@ RT_PERMS = 32
         "expectation; hash-of-(perm, row) so the null is identical "
         "cross-engine and under retries); exact BIGINT folds, "
         "micro gaps, Monte Carlo p = (1 + exceed count)/(K+1). "
-        "ONE scan fans out to all K+1 labelings via a broadcast perm "
-        "frame. Python replay + p-in-(0,1] + observed-row laws.",
+        "ONE scan, ZERO row fan-out (round-6 re-plan): all K+1 "
+        "labelings fold as 2(K+1) conditional aggregates in a single "
+        "pass — the K+1-way row explode the r5 plan shuffled is gone; "
+        "the per-perm table unpivots from the 1-row fold via stack. "
+        "Python replay + p-in-(0,1] + observed-row laws.",
     tags=("X252", "X103", "X179", "X56", "X7"),
 )
 def randomization_test_discount(spark: SparkSession,
@@ -2687,26 +2714,35 @@ def randomization_test_discount(spark: SparkSession,
         F.col("l_quantity").cast("long").alias("y"))
     frac = units.agg(F.expr("(SUM(tr) * 1000000) DIV COUNT(*)")
                      .cast("long").alias("pt"))
-    perms = li.sparkSession.range(0, RT_PERMS + 1) \
-        .select(F.col("id").alias("k"))
-    assigned = (units.crossJoin(F.broadcast(perms))
-                .crossJoin(F.broadcast(frac))
-                .select(
-                    "k", "y",
-                    F.expr("CASE WHEN k = 0 THEN tr WHEN "
-                           "CAST(conv(substring(md5(concat('rt:', "
-                           "CAST(k AS STRING), ':', "
-                           "CAST(rid AS STRING))), 1, 15), 16, 10) "
-                           "AS BIGINT) % 1000000 < pt "
-                           "THEN 1 ELSE 0 END").alias("a")))
-    gaps = (assigned.groupBy("k")
-            .agg(F.sum("a").cast("long").alias("nt"),
-                 F.sum(1 - F.col("a")).cast("long").alias("nc"),
-                 F.expr("CAST((SUM(CASE WHEN a = 1 THEN y ELSE 0 END)"
-                        " * 1000000) DIV SUM(a)"
-                        " - (SUM(CASE WHEN a = 0 THEN y ELSE 0 END)"
-                        " * 1000000) DIV SUM(1 - a) AS BIGINT)")
-                 .alias("gap_micro")).localCheckpoint())
+    # All K+1 labelings in ONE aggregation pass: per perm k only
+    # sum(a_k) and sum(a_k * y) are needed (control side = global
+    # totals minus treated side), so the K+1-way row explode becomes
+    # 2(K+1) conditional BIGINT folds over the single scan.
+    proj = [F.col("y"), F.col("tr").alias("a_0")]
+    for k in range(1, RT_PERMS + 1):
+        proj.append(F.expr(
+            f"CASE WHEN CAST(conv(substring(md5(concat('rt:{k}:', "
+            f"CAST(rid AS STRING))), 1, 15), 16, 10) AS BIGINT) "
+            f"% 1000000 < pt THEN 1 ELSE 0 END").alias(f"a_{k}"))
+    assigned = units.crossJoin(F.broadcast(frac)).select(*proj)
+    aggs = [F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy")]
+    for k in range(RT_PERMS + 1):
+        aggs.append(F.sum(f"a_{k}").cast("long").alias(f"nt_{k}"))
+        aggs.append(F.sum(F.col(f"a_{k}") * F.col("y")).cast("long")
+                    .alias(f"syt_{k}"))
+    fold = assigned.agg(*aggs)
+    stack_args = ", ".join(
+        f"{k}L, nt_{k}, syt_{k}" for k in range(RT_PERMS + 1))
+    gaps = (fold.selectExpr(
+        "n", "sy",
+        f"stack({RT_PERMS + 1}, {stack_args}) AS (k, nt, syt)")
+        .selectExpr(
+            "k", "nt", "CAST(n - nt AS BIGINT) AS nc",
+            "CAST((syt * 1000000) DIV nt"
+            " - ((sy - syt) * 1000000) DIV (n - nt) AS BIGINT)"
+            " AS gap_micro")
+        .localCheckpoint())
     obs = gaps.filter(F.col("k") == 0) \
         .select(F.abs("gap_micro").alias("og"))
     exc = (gaps.crossJoin(F.broadcast(obs))
