@@ -803,3 +803,50 @@ def test_smith_waterman_single_shuffle(spark, sf_dir):
     plan = plan_string(df)
     assert "Join" not in plan
     assert num_exchanges(df) == 1
+
+
+def test_randomization_test_single_pass_no_fanout(spark, sf_dir):
+    """X252 (round-6 re-plan): all K+1 labelings fold as conditional
+    aggregates over ONE scan — the plan contains no Expand/Generate
+    row fan-out and exactly one lineitem scan feeds the fold (the
+    stack unpivot runs on the 1-row aggregate, after it)."""
+    df = _df("randomization_test_discount", spark, sf_dir)
+    plan = plan_string(df)
+    assert not has_cartesian_product(df)
+    # the only Generate/Expand allowed is the post-aggregate stack on
+    # the single-row fold; no data-sized explode before the aggregate
+    agg_pos = plan.find("HashAggregate")
+    gen_pos = plan.find("Generate")
+    assert agg_pos != -1
+    if gen_pos != -1:
+        # formatted plans list operators leaf-last: the stack Generate
+        # must sit ABOVE (before) the aggregate in the printed tree
+        assert gen_pos < agg_pos
+
+
+def test_bagged_forest_no_bag_fanout(spark, sf_dir):
+    """X142 (round-6 re-plan): membership bits fold as conditional
+    aggregates — no BAGS-way crossJoin against the bag/stump frames
+    anywhere (the model is a collected bounded constant)."""
+    df = _df("bagged_stump_forest", spark, sf_dir)
+    plan = plan_string(df)
+    assert not has_cartesian_product(df)
+    # exactly one BNLJ — stumps(8 rows) x oob(1 row); the formatted
+    # plan prints each operator twice (tree + detail section)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_window_funnel_pushdown(spark, sf_dir):
+    """X257: each step scan prunes to the step's event type (filters
+    reach the parquet scan) and joins stay hash equi-joins."""
+    df = _df("window_funnel_depths", spark, sf_dir)
+    assert not has_cartesian_product(df)
+    pf = " ".join(pushed_filters(df))
+    assert "event_type" in pf
+
+
+def test_horvitz_thompson_broadcast_dims(spark, sf_dir):
+    """X258: nation/region joins broadcast; no cartesian product."""
+    df = _df("horvitz_thompson_regions", spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    assert not has_cartesian_product(df)
