@@ -442,13 +442,18 @@ def bagged_stump_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
                f"rid)), 1, 15), 16, 10) AS BIGINT) % 100 "
                f"< {FOREST_BAG_PCT} THEN 1 ELSE 0 END")
         .alias(f"m_{k}") for k in range(FOREST_BAGS)]
+    # repartition before the BAGS md5s per row: a tiny parquet arrives
+    # as 1-3 splits, which would serialize the hash work on a few
+    # cores (at real scale the scan provides the parallelism itself)
     base = persist_tracked(li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
         .alias("rid"),
         F.col("l_quantity").cast("long").alias("qty"),
         F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc"),
         F.when(F.col("l_returnflag") == STUMP_LABEL, 1).otherwise(0)
-        .alias("pos")).select("*", *mcols))
+        .alias("pos"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("*", *mcols))
     long_ = base.selectExpr(
         "stack(2, 'qty', qty, 'disc', disc) AS (feature, v)", "pos",
         *[f"m_{k}" for k in range(FOREST_BAGS)])
@@ -2724,7 +2729,14 @@ def randomization_test_discount(spark: SparkSession,
             f"CASE WHEN CAST(conv(substring(md5(concat('rt:{k}:', "
             f"CAST(rid AS STRING))), 1, 15), 16, 10) AS BIGINT) "
             f"% 1000000 < pt THEN 1 ELSE 0 END").alias(f"a_{k}"))
-    assigned = units.crossJoin(F.broadcast(frac)).select(*proj)
+    # K+1 md5s per row is CPU-bound; a tiny parquet arrives as 1-3
+    # input splits, which would serialize the hashing on a few cores.
+    # Redistribute the narrow unit rows first (cheap: 3 small columns)
+    # so the hash work uses the whole executor pool — at real scale
+    # the scan already provides this parallelism.
+    nparts = spark.sparkContext.defaultParallelism
+    assigned = (units.repartition(nparts)
+                .crossJoin(F.broadcast(frac)).select(*proj))
     aggs = [F.count("*").cast("long").alias("n"),
             F.sum("y").cast("long").alias("sy")]
     for k in range(RT_PERMS + 1):
