@@ -311,6 +311,9 @@ HEADLINE = [
     "stream_page_hinkley",
     "mondrian_kanon_partition",
     "loo_group_influence",
+    "scc_pivot_fwbw",
+    "roaring_container_plan",
+    "fagin_ta_depth",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

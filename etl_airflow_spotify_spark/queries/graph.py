@@ -2711,3 +2711,136 @@ def disparity_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("long").alias("edge_frac_micro"),
                     F.expr("(w_kept * 1000000) DIV w_total")
                     .cast("long").alias("weight_frac_micro")))
+
+
+# --------------------------------------------------------------------------
+# X264: strongly connected components (FW-BW pivot decomposition) —
+# the DIRECTED-graph cohesion primitive the family lacks: X30's
+# connected components ignore direction, X123/X225 peel undirected
+# structure; SCCs answer "which parts co-occur in purchase ORDER
+# cycles", the question on any directed flow graph. Graph: part A ->
+# part B when A sits on the line directly above B in a deep-quantity
+# order (l_quantity >= SCC_QMIN keeps the graph sparse enough to
+# have real structure — the full transition graph is one giant SCC).
+# Algorithm: the Fleischer-Hendrickson-Pinar FW-BW step — forward and
+# backward frontier BFS from the minimum-id pivot run to FIXPOINT
+# (each round is one edge join + anti-join vs the reached set; the
+# driver reads a 1-row count to stop, the repo's bounded-scalar
+# discipline), pivot SCC = FW ∩ BW; trim counts (no-in / no-out
+# nodes, singleton SCCs by construction) quantify the classic trim
+# step. The oracle replays reachability as recursive CTEs — exact
+# fixpoint on both sides at ANY scale. FHP, J. Parallel Distrib.
+# Comput. 2000; [EXT].
+# --------------------------------------------------------------------------
+SCC_QMIN = 30
+
+
+def _scc_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE seq AS (
+        SELECT l_orderkey AS o, l_linenumber AS ln, l_partkey AS p
+        FROM lineitem WHERE l_quantity >= {SCC_QMIN}
+    ),
+    e AS (
+        SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM seq a JOIN seq b ON a.o = b.o AND b.ln = a.ln + 1
+        WHERE a.p <> b.p
+    ),
+    -- explicit DISTINCT: under WITH RECURSIVE, DuckDB 1.0 evaluates a
+    -- plain UNION in a NON-recursive CTE as UNION ALL
+    nodes AS (SELECT DISTINCT v FROM (
+        SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+    piv AS (SELECT MIN(v) AS pv FROM nodes),
+    fw AS (
+        SELECT pv AS v FROM piv
+        UNION
+        SELECT e.dst FROM fw JOIN e ON e.src = fw.v
+    ),
+    bw AS (
+        SELECT pv AS v FROM piv
+        UNION
+        SELECT e.src FROM bw JOIN e ON e.dst = bw.v
+    )
+    SELECT 'n_nodes' AS metric,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS value
+    UNION ALL
+    SELECT 'n_edges', (SELECT CAST(COUNT(*) AS BIGINT) FROM e)
+    UNION ALL
+    SELECT 'trim_no_out',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes n
+            WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = n.v))
+    UNION ALL
+    SELECT 'trim_no_in',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes n
+            WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.dst = n.v))
+    UNION ALL
+    SELECT 'fw_size', (SELECT CAST(COUNT(*) AS BIGINT) FROM fw)
+    UNION ALL
+    SELECT 'bw_size', (SELECT CAST(COUNT(*) AS BIGINT) FROM bw)
+    UNION ALL
+    SELECT 'pivot_scc_size',
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM fw JOIN bw ON bw.v = fw.v)
+    """
+
+
+@register(
+    "scc_pivot_fwbw",
+    _scc_oracle_sql(),
+    doc=f"X264 strongly connected components, FW-BW pivot step "
+        f"(Fleischer et al. 2000) on the deep-quantity (>= {SCC_QMIN}) "
+        "part-transition digraph: forward/backward frontier BFS from "
+        "the min-id pivot to FIXPOINT (per round: one edge hash join "
+        "+ one anti-join vs reached; 1-row driver count stops the "
+        "loop), pivot SCC = FW ∩ BW, plus the trim-step counts "
+        "(no-in/no-out singleton SCCs). Oracle = recursive-CTE "
+        "reachability — exact at any scale. Tarjan-replay law in "
+        "tests/test_round6_laws.py.",
+    tags=("X264", "X30", "X37", "X3", "X7"),
+)
+def scc_pivot_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    seq = (li.filter(F.col("l_quantity") >= SCC_QMIN)
+           .select(F.col("l_orderkey").alias("o"),
+                   F.col("l_linenumber").alias("ln"),
+                   F.col("l_partkey").alias("p")))
+    a, b = seq.alias("a"), seq.alias("b")
+    e = (a.join(b, (F.col("a.o") == F.col("b.o"))
+                & (F.col("b.ln") == F.col("a.ln") + 1)
+                & (F.col("a.p") != F.col("b.p")))
+         .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+         .distinct().localCheckpoint())
+    nodes = (e.select(F.col("src").alias("v"))
+             .union(e.select(F.col("dst").alias("v")))
+             .distinct().localCheckpoint())
+    pivot = nodes.agg(F.min("v").alias("pv")).collect()[0]["pv"]
+
+    def reach(edges_from: str, edges_to: str):
+        reached = (e.sparkSession.createDataFrame([(pivot,)], "v long")
+                   .localCheckpoint())
+        frontier = reached
+        while True:
+            nxt = (e.join(frontier.withColumnRenamed("v", edges_from),
+                          edges_from)
+                   .select(F.col(edges_to).alias("v")).distinct()
+                   .join(reached, "v", "left_anti").localCheckpoint())
+            if nxt.count() == 0:
+                break
+            reached = reached.union(nxt).localCheckpoint()
+            frontier = nxt
+        return reached
+
+    fw = reach("src", "dst")
+    bw = reach("dst", "src")
+    scc = fw.join(bw, "v")
+    no_out = nodes.join(e.select(F.col("src").alias("v")).distinct(),
+                        "v", "left_anti")
+    no_in = nodes.join(e.select(F.col("dst").alias("v")).distinct(),
+                       "v", "left_anti")
+    rows = [
+        ("n_nodes", nodes.count()), ("n_edges", e.count()),
+        ("trim_no_out", no_out.count()), ("trim_no_in", no_in.count()),
+        ("fw_size", fw.count()), ("bw_size", bw.count()),
+        ("pivot_scc_size", scc.count()),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long")

@@ -838,3 +838,213 @@ def zonemap_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      " * 1000000) DIV SUM(CASE WHEN skipped = 0"
                      " THEN cnt ELSE 0 END) ELSE 0 END AS BIGINT)")
                  .alias("waste_micro")))
+
+
+# --------------------------------------------------------------------------
+# X265: Roaring-style bitmap-index container planning — the INDEX-
+# SIZING audit next to X246's zone maps and X212's encoding audit:
+# given a low-cardinality predicate column over a sorted key space
+# (l_returnflag over orderkeys), a roaring bitmap chunks the key
+# space into 2^16-key containers and stores each as whichever of
+# array (2 bytes/key), bitmap (8 KiB flat), or run-length (4 bytes/
+# run) is smallest — the decision rule that makes secondary indexes
+# viable at 100 TB. This query computes, per (flag, container), the
+# EXACT member count and run count (LAG over the sorted distinct
+# keys — one window), prices all three encodings, picks the winner,
+# and reports per-flag totals: containers by winning type and total
+# bytes vs the flat-bitmap strawman. Chambi et al., Roaring Bitmaps
+# (2016); [EXT].
+# --------------------------------------------------------------------------
+ROARING_CHUNK = 1 << 16
+
+
+@register(
+    "roaring_container_plan",
+    f"""
+    WITH keys AS (
+        SELECT DISTINCT l.l_returnflag AS flag, o.o_orderkey AS k
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    runs AS (
+        SELECT flag, k // {ROARING_CHUNK} AS chunk, k,
+               CASE WHEN LAG(k) OVER (PARTITION BY flag,
+                        k // {ROARING_CHUNK} ORDER BY k) = k - 1
+                    THEN 0 ELSE 1 END AS run_start
+        FROM keys
+    ),
+    cont AS (
+        SELECT flag, chunk,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(run_start) AS BIGINT) AS n_runs
+        FROM runs GROUP BY 1, 2
+    ),
+    priced AS (
+        SELECT flag, chunk, n, n_runs,
+               2 * n AS array_bytes,
+               8192 AS bitmap_bytes,
+               4 * n_runs AS run_bytes,
+               CASE WHEN 4 * n_runs <= 2 * n
+                         AND 4 * n_runs <= 8192 THEN 'run'
+                    WHEN 2 * n <= 8192 THEN 'array'
+                    ELSE 'bitmap' END AS winner
+        FROM cont
+    )
+    SELECT flag, winner,
+           CAST(COUNT(*) AS BIGINT) AS n_containers,
+           CAST(SUM(n) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE winner WHEN 'run' THEN 4 * n_runs
+                    WHEN 'array' THEN 2 * n ELSE 8192 END)
+                AS BIGINT) AS bytes_chosen,
+           CAST(SUM(8192) AS BIGINT) AS bytes_flat_bitmap
+    FROM priced GROUP BY flag, winner
+    """,
+    doc=f"X265 roaring bitmap-index container plan (Chambi 2016) for "
+        "l_returnflag over the orderkey space: 2^16-key containers, "
+        "exact member and run counts (one LAG window over sorted "
+        "distinct keys), array/bitmap/run priced per container "
+        "(ties break run > array > bitmap like the format), per-"
+        "(flag, winner) container counts and bytes vs the flat-"
+        "bitmap strawman. The index-sizing lens next to X246/X212. "
+        "Python replay + pricing-optimality laws.",
+    tags=("X265", "X246", "X212", "X7", "X11"),
+)
+def roaring_container_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    keys = (li.join(o, o.o_orderkey == li.l_orderkey)
+            .select(F.col("l_returnflag").alias("flag"),
+                    F.col("o_orderkey").alias("k")).distinct())
+    from pyspark.sql import Window
+    wr = Window.partitionBy("flag", F.expr(f"k DIV {ROARING_CHUNK}")) \
+        .orderBy("k")
+    runs = keys.select(
+        "flag", F.expr(f"k DIV {ROARING_CHUNK}").alias("chunk"), "k",
+        F.when(F.lag("k").over(wr) == F.col("k") - 1, 0).otherwise(1)
+        .alias("run_start"))
+    cont = (runs.groupBy("flag", "chunk")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("run_start").cast("long").alias("n_runs")))
+    priced = cont.selectExpr(
+        "flag", "n", "n_runs",
+        "CASE WHEN 4 * n_runs <= 2 * n AND 4 * n_runs <= 8192"
+        " THEN 'run' WHEN 2 * n <= 8192 THEN 'array'"
+        " ELSE 'bitmap' END AS winner")
+    return (priced.groupBy("flag", "winner")
+            .agg(F.count("*").cast("long").alias("n_containers"),
+                 F.sum("n").cast("long").alias("n_keys"),
+                 F.sum(F.expr("CASE winner WHEN 'run' THEN 4 * n_runs"
+                              " WHEN 'array' THEN 2 * n"
+                              " ELSE 8192 END")).cast("long")
+                 .alias("bytes_chosen"),
+                 F.expr("CAST(SUM(8192) AS BIGINT)")
+                 .alias("bytes_flat_bitmap")))
+
+
+# --------------------------------------------------------------------------
+# X266: Fagin's Threshold Algorithm early-termination audit — the
+# top-k QUERY-PROCESSING economics none of the ranking family
+# measures: X12 computes top-k outright; TA (Fagin-Lotem-Naor 2001)
+# reads two rank-sorted lists in parallel and STOPS at the first
+# depth where the k-th best fully-scored item seen beats the
+# threshold (sum of the current list frontiers) — the reason a
+# distributed top-k over per-attribute indexes touches thousands of
+# rows, not billions. Items: parts; lists: quantity-sold and
+# centi-revenue, deterministically ranked; combined score = q + r
+# (monotone, the only TA requirement). For each audit depth d the
+# query reports the exact threshold, the k-th best score among items
+# ENTERED by depth d (min(rank_q, rank_r) <= d), and whether TA has
+# stopped — the operating curve of index-backed top-k. All BIGINT.
+# --------------------------------------------------------------------------
+TA_DEPTHS = (5, 10, 25, 50, 100, 250)
+TA_K = 10
+
+
+@register(
+    "fagin_ta_depth",
+    f"""
+    WITH s AS (
+        SELECT l_partkey AS item,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0)
+                             AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+        SELECT item, q, r, q + r AS f,
+               ROW_NUMBER() OVER (ORDER BY q DESC, item) AS rq,
+               ROW_NUMBER() OVER (ORDER BY r DESC, item) AS rr
+        FROM s
+    ),
+    depths AS (SELECT UNNEST(ARRAY{list(TA_DEPTHS)}) AS d),
+    thresh AS (
+        SELECT t.d,
+               (SELECT q FROM ranked WHERE rq = t.d)
+               + (SELECT r FROM ranked WHERE rr = t.d) AS threshold
+        FROM depths t
+    ),
+    kth AS (
+        SELECT t.d,
+               (SELECT MIN(f) FROM (
+                    SELECT f FROM ranked
+                    WHERE LEAST(rq, rr) <= t.d
+                    ORDER BY f DESC LIMIT {TA_K})) AS kth_best,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ranked
+                WHERE LEAST(rq, rr) <= t.d) AS n_seen
+        FROM depths t
+    )
+    SELECT CAST(t.d AS BIGINT) AS depth, t.threshold, k.kth_best,
+           k.n_seen,
+           CASE WHEN k.n_seen >= {TA_K}
+                     AND k.kth_best >= t.threshold
+                THEN 1 ELSE 0 END AS stopped
+    FROM thresh t JOIN kth k ON k.d = t.d
+    """,
+    doc=f"X266 Fagin TA early-termination audit (top-{TA_K} parts by "
+        "quantity + centi-revenue, two deterministically-ranked "
+        "lists): per audit depth, the exact TA threshold (sum of "
+        "list frontiers), the k-th best fully-scored entered item "
+        "(min(rank,rank) <= d — one histogram, no per-depth set "
+        "build), and the stop flag. Measures WHY index-backed top-k "
+        "touches thousands of rows at 100 TB, not billions. All "
+        "BIGINT. Python replay + monotone-stop laws.",
+    tags=("X266", "X12", "X63", "X7", "X11"),
+)
+def fagin_ta_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    li = load_table(spark, sf_dir, "lineitem")
+    s = (li.groupBy(F.col("l_partkey").alias("item"))
+         .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+              .alias("q"),
+              F.sum(F.round(F.col("l_extendedprice") * 100, 0)
+                    .cast("long")).cast("long").alias("r")))
+    ranked = (s.select(
+        "item", "q", "r", (F.col("q") + F.col("r")).alias("f"),
+        F.row_number().over(Window.orderBy(F.desc("q"), F.asc("item")))
+        .alias("rq"),
+        F.row_number().over(Window.orderBy(F.desc("r"), F.asc("item")))
+        .alias("rr")).localCheckpoint())
+    depths = spark.createDataFrame([(d,) for d in TA_DEPTHS], "d long")
+    # LEFT joins: an audit depth beyond the item count keeps its row
+    # with a NULL threshold (matching the oracle's scalar subqueries)
+    qd = (ranked.select(F.col("rq").alias("d"), F.col("q").alias("tq"))
+          .join(F.broadcast(depths), "d", "right"))
+    rd = (ranked.select(F.col("rr").alias("d"), F.col("r").alias("tr"))
+          .join(F.broadcast(depths), "d", "right")
+          .withColumnRenamed("d", "d2"))
+    thresh = (qd.join(rd, qd.d == rd.d2)
+              .select("d", (F.col("tq") + F.col("tr")).alias("threshold")))
+    entered = (ranked.select(F.least("rq", "rr").alias("m"), "f")
+               .crossJoin(F.broadcast(depths.withColumnRenamed("d", "dd")))
+               .filter(F.col("m") <= F.col("dd")))
+    wk = Window.partitionBy("dd").orderBy(F.desc("f"))
+    kth = (entered.withColumn("rn", F.row_number().over(wk))
+           .groupBy("dd")
+           .agg(F.min(F.when(F.col("rn") <= TA_K, F.col("f")))
+                .alias("kth_best"),
+                F.count("*").cast("long").alias("n_seen")))
+    return (thresh.join(kth, thresh.d == kth.dd)
+            .select(F.col("d").cast("long").alias("depth"),
+                    "threshold", "kth_best", "n_seen",
+                    F.when((F.col("n_seen") >= TA_K)
+                           & (F.col("kth_best") >= F.col("threshold")),
+                           1).otherwise(0).alias("stopped")))

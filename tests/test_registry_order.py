@@ -82,6 +82,9 @@ NEW_R6: dict[str, str] = {
     "stream_page_hinkley": "X261",
     "mondrian_kanon_partition": "X262",
     "loo_group_influence": "X263",
+    "scc_pivot_fwbw": "X264",
+    "roaring_container_plan": "X265",
+    "fagin_ta_depth": "X266",
 }
 
 

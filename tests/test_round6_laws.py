@@ -293,3 +293,128 @@ def test_loo_influence_replay(spark, sf_dir):
         assert row["b_full_micro"] == b_full
         assert row["b_loo_micro"] == b_loo
         assert row["dfbeta_micro"] == b_loo - b_full
+
+
+# ---------------------------------------------------------------- X264
+def test_scc_tarjan_replay(spark, sf_dir):
+    from collections import defaultdict, deque
+
+    from etl_airflow_spotify_spark.queries.graph import SCC_QMIN
+
+    rows = duckdb.sql(f"""
+        WITH seq AS (SELECT l_orderkey AS o, l_linenumber AS ln,
+                            l_partkey AS p
+                     FROM '{sf_dir}/lineitem.parquet'
+                     WHERE l_quantity >= {SCC_QMIN})
+        SELECT DISTINCT a.p, b.p FROM seq a
+        JOIN seq b ON a.o = b.o AND b.ln = a.ln + 1
+        WHERE a.p <> b.p""").fetchall()
+    adj = defaultdict(list)
+    radj = defaultdict(list)
+    nodes = set()
+    for s, d in rows:
+        adj[s].append(d)
+        radj[d].append(s)
+        nodes.update((s, d))
+    pivot = min(nodes)
+
+    def bfs(start, g):
+        seen = {start}
+        q = deque([start])
+        while q:
+            u = q.popleft()
+            for v in g[u]:
+                if v not in seen:
+                    seen.add(v)
+                    q.append(v)
+        return seen
+
+    fw, bw = bfs(pivot, adj), bfs(pivot, radj)
+    got = {r["metric"]: r["value"]
+           for r in _rows("scc_pivot_fwbw", spark, sf_dir)}
+    assert got["n_nodes"] == len(nodes)
+    assert got["n_edges"] == len(rows)
+    assert got["fw_size"] == len(fw)
+    assert got["bw_size"] == len(bw)
+    assert got["pivot_scc_size"] == len(fw & bw)
+    assert got["trim_no_out"] == sum(1 for v in nodes if not adj[v])
+    assert got["trim_no_in"] == sum(1 for v in nodes if not radj[v])
+    # FW ∩ BW really is the pivot's SCC: mutually reachable via pivot
+    assert got["pivot_scc_size"] <= min(got["fw_size"], got["bw_size"])
+
+
+# ---------------------------------------------------------------- X265
+def test_roaring_pricing_replay(spark, sf_dir):
+    from etl_airflow_spotify_spark.queries.scale import ROARING_CHUNK
+
+    keys = duckdb.sql(f"""
+        SELECT DISTINCT l.l_returnflag, o.o_orderkey
+        FROM '{sf_dir}/lineitem.parquet' l
+        JOIN '{sf_dir}/orders.parquet' o
+          ON o.o_orderkey = l.l_orderkey""").fetchall()
+    by_cont: dict = {}
+    for flag, k in keys:
+        by_cont.setdefault((flag, k // ROARING_CHUNK), []).append(k)
+    agg: dict = {}
+    for (flag, _), ks in by_cont.items():
+        ks.sort()
+        n = len(ks)
+        n_runs = 1 + sum(1 for a, b in zip(ks, ks[1:]) if b != a + 1)
+        run_b, arr_b = 4 * n_runs, 2 * n
+        if run_b <= arr_b and run_b <= 8192:
+            w, chosen = "run", run_b
+        elif arr_b <= 8192:
+            w, chosen = "array", arr_b
+        else:
+            w, chosen = "bitmap", 8192
+        a = agg.setdefault((flag, w), [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += n
+        a[2] += chosen
+        a[3] += 8192
+    got = {(r["flag"], r["winner"]): (r["n_containers"], r["n_keys"],
+                                      r["bytes_chosen"],
+                                      r["bytes_flat_bitmap"])
+           for r in _rows("roaring_container_plan", spark, sf_dir)}
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # the chosen encoding never loses to the flat-bitmap strawman
+    for (nc, nk, chosen, flat) in got.values():
+        assert chosen <= flat
+
+
+# ---------------------------------------------------------------- X266
+def test_fagin_ta_replay(spark, sf_dir):
+    from etl_airflow_spotify_spark.queries.scale import TA_DEPTHS, TA_K
+
+    s = duckdb.sql(f"""
+        SELECT l_partkey,
+               SUM(CAST(l_quantity AS BIGINT)),
+               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+        FROM '{sf_dir}/lineitem.parquet' GROUP BY 1""").fetchall()
+    by_q = sorted(s, key=lambda r: (-r[1], r[0]))
+    by_r = sorted(s, key=lambda r: (-r[2], r[0]))
+    rq = {r[0]: i + 1 for i, r in enumerate(by_q)}
+    rr = {r[0]: i + 1 for i, r in enumerate(by_r)}
+    f = {r[0]: r[1] + r[2] for r in s}
+    got = {r["depth"]: r for r in _rows("fagin_ta_depth", spark, sf_dir)}
+    assert set(got) == set(TA_DEPTHS)
+    prev_stopped = 0
+    for d in sorted(TA_DEPTHS):
+        row = got[d]
+        thr = (by_q[d - 1][1] + by_r[d - 1][2]) if d <= len(s) else None
+        assert row["threshold"] == thr
+        seen = [i for i in f if min(rq[i], rr[i]) <= d]
+        assert row["n_seen"] == len(seen)
+        top = sorted((f[i] for i in seen), reverse=True)[:TA_K]
+        kth = top[TA_K - 1] if len(top) >= TA_K else (
+            min(top) if top else None)
+        assert row["kth_best"] == kth
+        exp_stop = 1 if (len(seen) >= TA_K and thr is not None
+                         and kth >= thr) else 0
+        assert row["stopped"] == exp_stop
+        # once TA stops it stays stopped at deeper audit depths
+        # (threshold is nonincreasing, kth-best nondecreasing) —
+        # unless the threshold goes NULL past the list end
+        if thr is not None:
+            assert row["stopped"] >= prev_stopped
+            prev_stopped = row["stopped"]
