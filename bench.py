@@ -314,6 +314,8 @@ HEADLINE = [
     "scc_pivot_fwbw",
     "roaring_container_plan",
     "fagin_ta_depth",
+    "knn_shapley_valuation",
+    "mmr_diverse_topk",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -3893,3 +3893,332 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(brier_micro - (CAST(rel_fold DIV (n * 1000000) AS"
         " BIGINT) - CAST(res_fold DIV (n * 1000000) AS BIGINT)"
         " + unc_micro) AS BIGINT) AS decomp_gap_micro")
+
+
+# --------------------------------------------------------------------------
+# X267: KNN-Shapley data valuation (Jia et al., PVLDB 2019) — the
+# training-data CURATION primitive the registry lacks: an exact
+# per-example value of each training point for a held-out test set,
+# the quantity behind "which 10% of the corpus should we drop/keep"
+# decisions that X126/X140 make by coarse source-level proxies. For
+# K-NN utility the Shapley value has a CLOSED FORM over each test
+# point's distance ranking: with train points sorted by distance to
+# test t (rank j = 1..N, ties by vec_id) and m_j = 1[label_j =
+# label_t],  s_N = m_N / N  and  s_j = s_{j+1} + (m_j - m_{j+1}) *
+# min(K, j) / (K * j)  — a SUFFIX SUM over the ranking, i.e. one
+# window fold, no coalition enumeration (contrast exact-enumeration
+# X124 Shapley over 16 coalitions). Exactness: embeddings quantize to
+# the 1e-6 integer grid so squared L2 distances (and therefore the
+# ranking) are exact BIGINT; each rational term gets ONE correctly-
+# rounded division snapped to the nano grid with the textually
+# identical expression on both engines, so the suffix sums are BIGINT
+# folds. Scale: |tests| is fixed and broadcast, so the pair fan-out is
+# |train| x |tests| (linear in the corpus) and the per-test ranking is
+# a keyed window over |tests| partitions; at 100 TB the exact global
+# ranking per test is the cost — the documented scale path truncates
+# ranks via IVF cells (terms decay as 1/j), which this operator's
+# suffix-sum form makes a pure prefix of the same plan.
+# --------------------------------------------------------------------------
+KSV_TEST_MOD = 25   # vec_id % 25 == 0 -> held-out test point
+KSV_K = 5           # KNN classifier size being valued
+KSV_NANO = 1_000_000_000
+
+
+def _ksv_d2_sql(a: str, b: str) -> str:
+    return (f"CAST(list_sum(list_transform(range(1, 65), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)")
+
+
+@register(
+    "knn_shapley_valuation",
+    f"""
+    WITH corpus AS (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(ROUND(x * 1000000, 0) AS BIGINT))
+                   AS e
+        FROM embeddings
+    ),
+    tests AS (
+        SELECT vec_id AS t_id, label AS t_label, e AS t_e
+        FROM corpus WHERE vec_id % {KSV_TEST_MOD} = 0
+    ),
+    train AS (
+        SELECT vec_id, label, e FROM corpus
+        WHERE vec_id % {KSV_TEST_MOD} <> 0
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM train),
+    d AS (
+        SELECT t.t_id, c.vec_id, c.label,
+               CASE WHEN c.label = t.t_label THEN 1 ELSE 0 END AS m,
+               {_ksv_d2_sql('t.t_e', 'c.e')} AS d2
+        FROM tests t CROSS JOIN train c
+    ),
+    r AS (
+        SELECT t_id, vec_id, label, m,
+               ROW_NUMBER() OVER (PARTITION BY t_id
+                                  ORDER BY d2, vec_id) AS j
+        FROM d
+    ),
+    lk AS (
+        SELECT t_id, vec_id, label, m, j,
+               LEAD(m) OVER (PARTITION BY t_id ORDER BY j) AS m_next
+        FROM r
+    ),
+    tn AS (
+        SELECT t_id, vec_id, label, m, j,
+               CASE WHEN m_next IS NULL
+                    THEN CAST(ROUND(m * {KSV_NANO}.0 / n_train, 0)
+                              AS BIGINT)
+                    ELSE CAST(ROUND((m - m_next) * LEAST({KSV_K}, j)
+                              * {KSV_NANO}.0 / ({KSV_K} * j), 0)
+                              AS BIGINT)
+               END AS term
+        FROM lk CROSS JOIN nt
+    ),
+    sv AS (
+        SELECT t_id, vec_id, label, m,
+               SUM(term) OVER (PARTITION BY t_id ORDER BY j DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS s_nano
+        FROM tn
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_tests,
+           CAST(SUM(m) AS BIGINT) AS n_match_tests,
+           CAST(SUM(s_nano) AS BIGINT) AS sv_nano
+    FROM sv GROUP BY 1, 2
+    """,
+    doc=f"X267 KNN-Shapley data valuation (Jia 2019 closed form): "
+        f"every vec_id % {KSV_TEST_MOD} = 0 point is held out as a "
+        f"test query; train points rank by exact BIGINT squared L2 "
+        f"on the 1e-6 grid; the K={KSV_K} Shapley recurrence becomes "
+        "a suffix-sum window of nano-snapped rational terms (one "
+        "correctly-rounded division each, textually identical both "
+        "engines); per-point values sum over tests. Efficiency law "
+        "(sum of values = full-set KNN utility) pinned in exact "
+        "Fractions; pure-Python replay law.",
+    tags=("X267", "X17", "X35", "X3", "X11"),
+)
+def knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        S.as_double(F.col("embedding")),
+        lambda x: F.round(x * 1e6, 0).cast("long"))
+    c = emb.select("vec_id", "label", micro.alias("e"))
+    tests = (c.filter(F.col("vec_id") % KSV_TEST_MOD == 0)
+             .select(F.col("vec_id").alias("t_id"),
+                     F.col("label").alias("t_label"),
+                     F.col("e").alias("t_e")))
+    train = c.filter(F.col("vec_id") % KSV_TEST_MOD != 0)
+    nt = train.agg(F.count("*").cast("long").alias("n_train"))
+    d2 = F.aggregate(
+        F.zip_with("t_e", "e", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    d = (train.crossJoin(F.broadcast(tests))
+         .select("t_id", "vec_id", "label",
+                 F.when(F.col("label") == F.col("t_label"), 1)
+                 .otherwise(0).alias("m"),
+                 d2.alias("d2")))
+    wj = Window.partitionBy("t_id").orderBy("d2", "vec_id")
+    r = d.withColumn("j", F.row_number().over(wj)).drop("d2")
+    wl = Window.partitionBy("t_id").orderBy("j")
+    lk = r.withColumn("m_next", F.lead("m").over(wl))
+    tn = (lk.crossJoin(F.broadcast(nt))
+          .withColumn(
+              "term",
+              F.when(F.col("m_next").isNull(),
+                     F.expr(f"CAST(ROUND(m * {KSV_NANO}.0 / n_train, 0)"
+                            " AS BIGINT)"))
+              .otherwise(F.expr(
+                  f"CAST(ROUND((m - m_next) * LEAST({KSV_K}, j)"
+                  f" * {KSV_NANO}.0 / ({KSV_K} * j), 0) AS BIGINT)"))))
+    ws = (Window.partitionBy("t_id").orderBy(F.desc("j"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sv = tn.withColumn("s_nano", F.sum("term").over(ws))
+    return (sv.groupBy("vec_id", F.col("label").cast("long").alias("label"))
+            .agg(F.count("*").cast("long").alias("n_tests"),
+                 F.sum("m").cast("long").alias("n_match_tests"),
+                 F.sum("s_nano").cast("long").alias("sv_nano")))
+
+
+# --------------------------------------------------------------------------
+# X268: MMR diversified retrieval (Carbonell-Goldstein 1998) — the
+# RESULT-DIVERSIFICATION stage between raw top-k (X12/X17) and
+# downstream consumers: greedily re-rank a bounded candidate pool so
+# each pick trades relevance against redundancy with what's already
+# selected. With lambda = 1/2 and similarity = negative squared L2 on
+# the 1e-6 integer grid, the argmax of lambda*rel - (1-lambda)*maxsim
+# is EXACTLY the argmax of  min_{s in S} d2(i, s) - d2(q, i)  — pure
+# BIGINT, zero rounding anywhere (contrast X235 k-center, which is
+# pure diversity with no relevance term, and X63 fusion, which mixes
+# rankers but never penalizes redundancy). Pool = exact top-24 by
+# rel d2; 6 greedy rounds, each an anti-join + min-aggregate + argmax
+# over per-query frames bounded by the pool size. Scale: the pool cap
+# makes every round's state O(|queries| * 24) regardless of corpus
+# size — candidate generation is the only corpus-sized stage (IVF at
+# 100 TB); the oracle unrolls the rounds as MATERIALIZED CTEs.
+# --------------------------------------------------------------------------
+MMR_QUERY_MOD = 125  # vec_id % 125 == 0 -> query vector
+MMR_POOL = 24        # relevance candidate pool per query
+MMR_K = 6            # diversified picks per query
+
+
+def _mmr_oracle_sql() -> str:
+    rounds = []
+    for r in range(2, MMR_K + 1):
+        prev = f"sel{r - 1}"
+        rounds.append(f"""
+    pick{r} AS MATERIALIZED (
+        SELECT query_id, vec_id, rel_d2, mmr_score,
+               {r} AS pick_rank
+        FROM (
+            SELECT s.query_id, s.vec_id, s.rel_d2, s.mmr_score,
+                   ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                      ORDER BY s.mmr_score DESC,
+                                               s.vec_id) AS rn
+            FROM (
+                SELECT p.query_id, p.vec_id, p.rel_d2,
+                       MIN(pr.pd2) - p.rel_d2 AS mmr_score
+                FROM pool p
+                JOIN {prev} s0 ON s0.query_id = p.query_id
+                JOIN pairs pr ON pr.query_id = p.query_id
+                             AND pr.a = p.vec_id AND pr.b = s0.vec_id
+                WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                                  WHERE x.query_id = p.query_id
+                                    AND x.vec_id = p.vec_id)
+                GROUP BY p.query_id, p.vec_id, p.rel_d2
+            ) s
+        ) WHERE rn = 1
+    ),
+    sel{r} AS MATERIALIZED (
+        SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM pick{r}
+    )""")
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(ROUND(x * 1000000, 0) AS BIGINT))
+                   AS e
+        FROM embeddings
+    ),
+    qs AS (
+        SELECT vec_id AS query_id, e AS qe FROM corpus
+        WHERE vec_id % {MMR_QUERY_MOD} = 0
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_ksv_d2_sql('q.qe', 'c.e')} AS rel_d2
+        FROM qs q JOIN corpus c ON c.vec_id <> q.query_id
+    ),
+    pool AS MATERIALIZED (
+        SELECT query_id, vec_id, rel_d2, rel_rank FROM (
+            SELECT query_id, vec_id, rel_d2,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rel_d2, vec_id)
+                       AS rel_rank
+            FROM scored
+        ) WHERE rel_rank <= {MMR_POOL}
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+               {_ksv_d2_sql('ca.e', 'cb.e')} AS pd2
+        FROM pool a
+        JOIN pool b ON b.query_id = a.query_id
+                   AND b.vec_id <> a.vec_id
+        JOIN corpus ca ON ca.vec_id = a.vec_id
+        JOIN corpus cb ON cb.vec_id = b.vec_id
+    ),
+    pick1 AS MATERIALIZED (
+        SELECT query_id, vec_id, rel_d2, CAST(NULL AS BIGINT) AS mmr_score,
+               1 AS pick_rank
+        FROM pool WHERE rel_rank = 1
+    ),
+    sel1 AS MATERIALIZED (SELECT * FROM pick1),
+    {','.join(rounds)}
+    SELECT query_id, CAST(pick_rank AS BIGINT) AS pick_rank,
+           vec_id, rel_d2, mmr_score
+    FROM sel{MMR_K}
+    """
+
+
+@register(
+    "mmr_diverse_topk",
+    _mmr_oracle_sql(),
+    doc=f"X268 MMR diversified retrieval (Carbonell-Goldstein, "
+        f"lambda=1/2): per query (vec_id % {MMR_QUERY_MOD} = 0) the "
+        f"exact top-{MMR_POOL} pool by BIGINT squared L2 on the 1e-6 "
+        f"grid, then {MMR_K} greedy picks maximizing min-d2-to-"
+        "selected minus d2-to-query — all-integer, zero rounding; "
+        "per-round state bounded by the pool, oracle unrolls rounds "
+        "as MATERIALIZED CTEs. Laws: Python replay, first pick = "
+        "nearest neighbor, picks distinct, MMR min pairwise distance "
+        ">= plain top-k's.",
+    tags=("X268", "X17", "X12", "X63", "X3"),
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        S.as_double(F.col("embedding")),
+        lambda x: F.round(x * 1e6, 0).cast("long"))
+    c = emb.select("vec_id", micro.alias("e"))
+    qs = (c.filter(F.col("vec_id") % MMR_QUERY_MOD == 0)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("e").alias("qe")))
+    d2 = F.aggregate(
+        F.zip_with("qe", "e", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (c.crossJoin(F.broadcast(qs))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id", d2.alias("rel_d2")))
+    wr = Window.partitionBy("query_id").orderBy("rel_d2", "vec_id")
+    # The pool is bounded (|queries| x MMR_POOL rows): collapse it to one
+    # partition BEFORE the round loop so the 6 rounds of per-query joins
+    # and argmaxes don't schedule 32 mostly-empty shuffle tasks each
+    # (the X196 tiny-frame lesson; corpus-sized work ends at the window).
+    # localCheckpoint (not just persist): it truncates the LOGICAL plan,
+    # without which the 6-round union re-inlines the 64-lambda micro
+    # arrays into an explain string big enough to OOM a default driver.
+    pool = (scored.withColumn("rel_rank", F.row_number().over(wr))
+            .filter(F.col("rel_rank") <= MMR_POOL).repartition(1)
+            .localCheckpoint())
+    pe = pool.join(c, "vec_id").select("query_id", "vec_id", "e")
+    a = pe.select("query_id", F.col("vec_id").alias("a"),
+                  F.col("e").alias("ea"))
+    b = pe.select(F.col("query_id").alias("qb"),
+                  F.col("vec_id").alias("b"), F.col("e").alias("eb"))
+    pd2 = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    pairs = (a.join(b, (a.query_id == b.qb) & (a.a != b.b))
+             .select("query_id", "a", "b", pd2.alias("pd2")).repartition(1)
+             .localCheckpoint())
+    sel = (pool.filter(F.col("rel_rank") == 1)
+           .select("query_id", "vec_id", "rel_d2",
+                   F.lit(None).cast("long").alias("mmr_score"),
+                   F.lit(1).alias("pick_rank")))
+    wm = Window.partitionBy("query_id").orderBy(
+        F.desc("mmr_score"), F.asc("vec_id"))
+    for r in range(2, MMR_K + 1):
+        selb = sel.select("query_id", F.col("vec_id").alias("b"))
+        mind = (pairs.join(selb, ["query_id", "b"])
+                .groupBy("query_id", F.col("a").alias("vec_id"))
+                .agg(F.min("pd2").alias("mind")))
+        cand = (mind.join(sel.select("query_id", "vec_id"),
+                          ["query_id", "vec_id"], "left_anti")
+                .join(pool.select("query_id", "vec_id", "rel_d2"),
+                      ["query_id", "vec_id"])
+                .withColumn("mmr_score",
+                            F.col("mind") - F.col("rel_d2")))
+        pick = (cand.withColumn("rn", F.row_number().over(wm))
+                .filter(F.col("rn") == 1)
+                .select("query_id", "vec_id", "rel_d2", "mmr_score",
+                        F.lit(r).alias("pick_rank")))
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select("query_id",
+                      F.col("pick_rank").cast("long").alias("pick_rank"),
+                      "vec_id", "rel_d2", "mmr_score")

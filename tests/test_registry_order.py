@@ -85,6 +85,8 @@ NEW_R6: dict[str, str] = {
     "scc_pivot_fwbw": "X264",
     "roaring_container_plan": "X265",
     "fagin_ta_depth": "X266",
+    "knn_shapley_valuation": "X267",
+    "mmr_diverse_topk": "X268",
 }
 
 

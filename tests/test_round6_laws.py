@@ -418,3 +418,122 @@ def test_fagin_ta_replay(spark, sf_dir):
         if thr is not None:
             assert row["stopped"] >= prev_stopped
             prev_stopped = row["stopped"]
+
+
+def _quantized_embeddings(sf_dir):
+    """Integer 1e-6-grid embeddings + labels, quantized by DuckDB so
+    the replay starts from the exact arrays both engines use."""
+    return duckdb.sql(f"""
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(ROUND(x * 1000000, 0) AS BIGINT))
+        FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id""").fetchall()
+
+
+def _d2(a, b):
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+def _half_away(x: float) -> int:
+    import math
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
+# ---------------------------------------------------------------- X267
+def test_knn_shapley_replay_and_efficiency(spark, sf_dir):
+    from fractions import Fraction
+
+    from etl_airflow_spotify_spark.queries.similarity import (
+        KSV_K, KSV_NANO, KSV_TEST_MOD)
+
+    pts = _quantized_embeddings(sf_dir)
+    tests = [(v, l, e) for v, l, e in pts if v % KSV_TEST_MOD == 0]
+    train = [(v, l, e) for v, l, e in pts if v % KSV_TEST_MOD != 0]
+    n = len(train)
+    sv_nano: dict = {}
+    match_tests: dict = {}
+    for t_id, t_label, t_e in tests:
+        ranked = sorted(((_d2(t_e, e), v, l) for v, l, e in train))
+        ms = [1 if l == t_label else 0 for _, _, l in ranked]
+        # nano-snapped per-rank terms, replayed with half-away rounding
+        terms = []
+        for j0 in range(n):
+            j = j0 + 1
+            if j == n:
+                terms.append(_half_away(ms[j0] * KSV_NANO / n))
+            else:
+                terms.append(_half_away(
+                    (ms[j0] - ms[j0 + 1]) * min(KSV_K, j)
+                    * KSV_NANO / (KSV_K * j)))
+        suffix = 0
+        svs = [0] * n
+        for j0 in range(n - 1, -1, -1):
+            suffix += terms[j0]
+            svs[j0] = suffix
+        for (d, v, l), s, m in zip(ranked, svs, ms):
+            sv_nano[v] = sv_nano.get(v, 0) + s
+            match_tests[v] = match_tests.get(v, 0) + m
+        # efficiency axiom in EXACT Fractions (unsnapped recurrence):
+        # the values sum to the full-set KNN utility = matches@K / K
+        s_exact = Fraction(ms[-1], n)
+        total = s_exact
+        for j0 in range(n - 2, -1, -1):
+            j = j0 + 1
+            s_exact = s_exact + Fraction(
+                (ms[j0] - ms[j0 + 1]) * min(KSV_K, j), KSV_K * j)
+            total += s_exact
+        assert total == Fraction(sum(ms[:KSV_K]), KSV_K)
+    got = {r["vec_id"]: r
+           for r in _rows("knn_shapley_valuation", spark, sf_dir)}
+    assert set(got) == set(sv_nano)
+    for v, row in got.items():
+        assert row["sv_nano"] == sv_nano[v]
+        assert row["n_tests"] == len(tests)
+        assert row["n_match_tests"] == match_tests[v]
+
+
+# ---------------------------------------------------------------- X268
+def test_mmr_replay_first_pick_and_diversity(spark, sf_dir):
+    from etl_airflow_spotify_spark.queries.similarity import (
+        MMR_K, MMR_POOL, MMR_QUERY_MOD)
+
+    pts = _quantized_embeddings(sf_dir)
+    emb = {v: e for v, _, e in pts}
+    queries = [v for v in emb if v % MMR_QUERY_MOD == 0]
+    got: dict = {}
+    for r in _rows("mmr_diverse_topk", spark, sf_dir):
+        got.setdefault(r["query_id"], []).append(r)
+    assert set(got) == set(queries)
+    for q in queries:
+        rel = sorted((_d2(emb[q], emb[v]), v) for v in emb if v != q)
+        pool = rel[:MMR_POOL]
+        rel_d2 = {v: d for d, v in pool}
+        sel = [pool[0][1]]  # first pick = nearest neighbor
+        scores = {sel[0]: None}
+        while len(sel) < MMR_K:
+            best = None
+            for d, v in pool:
+                if v in sel:
+                    continue
+                mind = min(_d2(emb[v], emb[s]) for s in sel)
+                key = (-(mind - d), v)
+                if best is None or key < best[0]:
+                    best = (key, v, mind - d)
+            sel.append(best[1])
+            scores[best[1]] = best[2]
+        rows = sorted(got[q], key=lambda r: r["pick_rank"])
+        assert [r["vec_id"] for r in rows] == sel
+        assert [r["pick_rank"] for r in rows] == list(range(1, MMR_K + 1))
+        for r in rows:
+            assert r["rel_d2"] == rel_d2[r["vec_id"]]
+            assert r["mmr_score"] == scores[r["vec_id"]]
+        # diversity: the MMR picks' min pairwise distance is at least
+        # the plain top-k picks' (the operator's raison d'etre;
+        # holds on this corpus, pinned as a regression tripwire)
+        topk = [v for _, v in pool[:MMR_K]]
+
+        def min_pair(vs):
+            return min(_d2(emb[a], emb[b])
+                       for i, a in enumerate(vs) for b in vs[i + 1:])
+
+        assert min_pair(sel) >= min_pair(topk)
