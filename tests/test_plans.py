@@ -850,3 +850,24 @@ def test_horvitz_thompson_broadcast_dims(spark, sf_dir):
     df = _df("horvitz_thompson_regions", spark, sf_dir)
     assert has_broadcast_hash_join(df)
     assert not has_cartesian_product(df)
+
+
+def test_knn_shapley_broadcast_tests_no_cartesian(spark, sf_dir):
+    """X267: the held-out test set fans out via a BROADCAST nested-loop
+    (corpus-scan x bounded test frame), never a shuffled cartesian; the
+    ranking is a keyed window, so exchanges stay O(1) regardless of
+    corpus size."""
+    df = _df("knn_shapley_valuation", spark, sf_dir)
+    assert not has_cartesian_product(df)
+    s = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s
+
+
+def test_mmr_rounds_bounded_no_cartesian(spark, sf_dir):
+    """X268: candidate generation is the only corpus-sized stage; the
+    6 greedy rounds run over localCheckpointed pool/pairs frames (scan
+    reuse, no cartesian, no corpus re-read per round)."""
+    df = _df("mmr_diverse_topk", spark, sf_dir)
+    assert not has_cartesian_product(df)
+    # the returned plan reads checkpointed round state, not 6x parquet
+    assert plan_string(df).count("Scan parquet") == 0

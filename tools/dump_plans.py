@@ -101,6 +101,8 @@ SHOW = [
     "zonemap_skip_audit",        # broadcast 8-row predicate battery
     "gmm_em_values",             # EM over the value histogram checkpoint
     "funnel_local_alignment",    # one collect_list exchange, zero joins
+    # round 6
+    "knn_shapley_valuation",     # broadcast test fan-out + keyed suffix windows
 ]
 
 
