@@ -1106,35 +1106,47 @@ def percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       F.col("node"))), 1, 15),
                        16, 10).cast("long").alias("k"))
         .orderBy("k", "node").limit(h).select("node"))
-    out = []
+    # ONE scenario-keyed fixed point (the X196 all-scenarios-in-one-
+    # frame shape): the three scenarios' edge sets union under a
+    # scenario key, so the 6 min-label rounds run ONCE over
+    # (scenario, node) instead of 3 sequential 6-round loops — 6
+    # checkpoint barriers instead of 18, and the result assembles
+    # engine-side (no per-scenario driver collects).
+    scens = []
     for scen, rm in (("intact", None), ("attack", attack_rm),
                      ("random", random_rm)):
-        e = e0
-        if rm is not None:
-            e = percolation_scenario_edges(e0, rm)
-        e = e.localCheckpoint()
-        lab = e.select(F.col("src").alias("node")).distinct() \
-            .withColumn("lab", F.col("node"))
-        for _ in range(LPCC_ROUNDS):
-            nbr = (e.join(lab.select(F.col("node").alias("dst"),
-                                     F.col("lab").alias("nlab")), "dst")
-                   .groupBy(F.col("src").alias("node"))
-                   .agg(F.min("nlab").alias("min_nlab")))
-            lab = (lab.join(nbr, "node", "left")
-                   .select("node",
-                           F.least(F.col("lab"),
-                                   F.coalesce(F.col("min_nlab"),
-                                              F.col("lab")))
-                           .alias("lab"))
-                   .localCheckpoint())
-        comp = lab.groupBy("lab").count()
-        stats = comp.agg(F.count("*").alias("nc"),
-                         F.max("count").alias("big")).collect()[0]
-        out.append((scen, lab.count(), e.count(),
-                    stats["nc"], stats["big"]))
-    return spark.createDataFrame(
-        out, "scenario STRING, n_nodes BIGINT, n_edges BIGINT, "
-             "n_components BIGINT, largest_cc BIGINT")
+        e = e0 if rm is None else percolation_scenario_edges(e0, rm)
+        scens.append(e.select(F.lit(scen).alias("scenario"),
+                              "src", "dst"))
+    se = (scens[0].unionByName(scens[1]).unionByName(scens[2])
+          .localCheckpoint())
+    lab = (se.select("scenario", F.col("src").alias("node")).distinct()
+           .withColumn("lab", F.col("node")))
+    for _ in range(LPCC_ROUNDS):
+        nbr = (se.join(lab.select("scenario",
+                                  F.col("node").alias("dst"),
+                                  F.col("lab").alias("nlab")),
+                       ["scenario", "dst"])
+               .groupBy("scenario", F.col("src").alias("node"))
+               .agg(F.min("nlab").alias("min_nlab")))
+        lab = (lab.join(nbr, ["scenario", "node"], "left")
+               .select("scenario", "node",
+                       F.least(F.col("lab"),
+                               F.coalesce(F.col("min_nlab"),
+                                          F.col("lab")))
+                       .alias("lab"))
+               .localCheckpoint())
+    nodes = (lab.groupBy("scenario")
+             .agg(F.count("*").cast("long").alias("n_nodes")))
+    edges = (se.groupBy("scenario")
+             .agg(F.count("*").cast("long").alias("n_edges")))
+    comp = lab.groupBy("scenario", "lab").agg(F.count("*").alias("c"))
+    cst = (comp.groupBy("scenario")
+           .agg(F.count("*").cast("long").alias("n_components"),
+                F.max("c").cast("long").alias("largest_cc")))
+    return (nodes.join(edges, "scenario").join(cst, "scenario")
+            .select("scenario", "n_nodes", "n_edges",
+                    "n_components", "largest_cc"))
 
 
 # --------------------------------------------------------------------------
