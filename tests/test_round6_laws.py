@@ -537,3 +537,60 @@ def test_mmr_replay_first_pick_and_diversity(spark, sf_dir):
                        for i, a in enumerate(vs) for b in vs[i + 1:])
 
         assert min_pair(sel) >= min_pair(topk)
+
+
+def test_knn_shapley_closed_form_equals_bruteforce():
+    """X267 formula validation: for tiny point sets, the Jia closed-form
+    recurrence must equal the DEFINITIONAL Shapley value — exact
+    Fractions enumeration of all 2^n coalitions with utility
+    v(S) = (1/K) * sum_{j <= min(K,|S|)} 1[label of S's j-th nearest
+    = test label] — for every point, every K, and several label
+    patterns. This pins the math itself, independent of any engine."""
+    from fractions import Fraction
+    from itertools import combinations
+    from math import factorial
+
+    def closed_form(ms, k):
+        n = len(ms)
+        s = [Fraction(0)] * n
+        s[n - 1] = Fraction(ms[n - 1], n)
+        for j0 in range(n - 2, -1, -1):
+            j = j0 + 1
+            s[j0] = s[j0 + 1] + Fraction(
+                (ms[j0] - ms[j0 + 1]) * min(k, j), k * j)
+        return s
+
+    def brute_force(ms, k):
+        # ms[i] = 1 iff train point with distance-rank i+1 matches the
+        # test label; nearer rank = smaller index, so a coalition's
+        # j-th nearest is just its j-th smallest index.
+        n = len(ms)
+        idx = list(range(n))
+
+        def v(coal):
+            chosen = sorted(coal)[:k]
+            return Fraction(sum(ms[i] for i in chosen), k)
+
+        out = []
+        for i in idx:
+            rest = [j for j in idx if j != i]
+            sv = Fraction(0)
+            for r in range(n):
+                w = Fraction(factorial(r) * factorial(n - r - 1),
+                             factorial(n))
+                for coal in combinations(rest, r):
+                    sv += w * (v(coal + (i,)) - v(coal))
+            out.append(sv)
+        return out
+
+    patterns = [
+        (1, 0, 1, 1, 0, 0),
+        (0, 0, 0, 0, 0, 1),
+        (1, 1, 1, 1, 1, 1),
+        (0, 1, 0, 1, 0, 1),
+        (1, 0, 0, 0, 0, 0),
+    ]
+    for ms in patterns:
+        for k in (1, 2, 3, 5):
+            assert closed_form(list(ms), k) == brute_force(list(ms), k), \
+                (ms, k)
