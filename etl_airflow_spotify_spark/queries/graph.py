@@ -1144,9 +1144,27 @@ def percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     cst = (comp.groupBy("scenario")
            .agg(F.count("*").cast("long").alias("n_components"),
                 F.max("c").cast("long").alias("largest_cc")))
-    return (nodes.join(edges, "scenario").join(cst, "scenario")
-            .select("scenario", "n_nodes", "n_edges",
-                    "n_components", "largest_cc"))
+    # Output contract (r7 ADVICE): one row PER SCENARIO even if a
+    # scenario's edge set empties out — left-join from the literal
+    # 3-row scenario frame with counts coalesced to 0 (largest_cc
+    # stays NULL for an empty graph, matching the oracle's scalar
+    # MAX over zero rows). Inner joins here would silently drop the
+    # scenario instead.
+    scen_frame = spark.createDataFrame(
+        [("intact",), ("attack",), ("random",)], "scenario string")
+    return (scen_frame
+            .join(nodes, "scenario", "left")
+            .join(edges, "scenario", "left")
+            .join(cst, "scenario", "left")
+            .select("scenario",
+                    F.coalesce("n_nodes", F.lit(0)).cast("long")
+                    .alias("n_nodes"),
+                    F.coalesce("n_edges", F.lit(0)).cast("long")
+                    .alias("n_edges"),
+                    F.coalesce("n_components", F.lit(0)).cast("long")
+                    .alias("n_components"),
+                    F.col("largest_cc").cast("long")
+                    .alias("largest_cc")))
 
 
 # --------------------------------------------------------------------------

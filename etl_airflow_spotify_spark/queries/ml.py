@@ -189,7 +189,7 @@ STUMP_THRESH_LABEL = "R"
 def _threshold_oracle_sql() -> str:
     return f"""
     WITH h AS (
-        SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS s,
+        SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS s,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CASE WHEN l_returnflag = '{STUMP_THRESH_LABEL}'
                              THEN 1 ELSE 0 END) AS BIGINT) AS pos
@@ -251,7 +251,9 @@ def _threshold_oracle_sql() -> str:
         "floor(2*tp*10^18/den) built by three-level BIGINT long "
         "division — NO float is ordered on either side (the r5 driver "
         "hash-flip was the float-F1 ORDER BY; X88 discipline applied). "
-        "metric_micro is snapped round-half-up in the integer domain. "
+        "metric_micro is snapped round-half-up in the integer domain, "
+        "and (r7) the histogram key itself is the repo-standard "
+        "FLOOR(price*100 + 0.5) snap instead of ROUND-on-double. "
         "Score histogram + suffix-sum windows evaluate every candidate "
         "threshold in one pass over the distinct-score table; full "
         "confusion matrix at each winner.",
@@ -259,9 +261,16 @@ def _threshold_oracle_sql() -> str:
 )
 def optimal_threshold_selection(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
+    # r7 hardening (third X137 attempt): the histogram key was the one
+    # remaining engine-sensitive expression — ROUND on a parquet DOUBLE
+    # is where half-up / half-even / decimal-string conventions can
+    # disagree at a boundary cent. Snap with the repo-standard
+    # FLOOR(x*100 + 0.5) (prices are positive; FLOOR on a double is
+    # correctly-rounded IEEE in both engines), textually identical to
+    # the oracle's FLOOR(l_extendedprice * 100 + 0.5).
     h = (load_table(spark, sf_dir, "lineitem")
-         .groupBy(F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-                  .alias("s"))
+         .groupBy(F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) "
+                         "AS BIGINT)").alias("s"))
          .agg(F.count("*").cast("long").alias("n"),
               F.sum(F.when(F.col("l_returnflag") == STUMP_THRESH_LABEL,
                            1).otherwise(0)).cast("long").alias("pos")))
@@ -2335,6 +2344,15 @@ def iforest_rfm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # histogram (pure BIGINT comparisons) + pooled variance;
 # responsibilities snap to the micro grid so both engines walk the
 # same trajectory. Dempster-Laird-Rubin (1977); [EXT].
+# Residual cross-engine risk (documented, same class as
+# disparity_backbone's POW note): the E-step EXP/LN density is libm
+# float math snapped by ROUND — a half-ulp JVM-vs-DuckDB difference at
+# an exact .5 micro boundary would shift one responsibility by 1e-6.
+# Mitigations: the snap happens ONCE per distinct centi-value (bounded
+# domain, not per row), all downstream folds are exact
+# DECIMAL(38,0)/BIGINT so a hit cannot compound, and no observed value
+# sits on a boundary at sf0.001-0.1 (law test replays the trajectory).
+# A rational-arithmetic EXP is not SQL-expressible; accepted as-is.
 # --------------------------------------------------------------------------
 EM_ITERS = 4
 

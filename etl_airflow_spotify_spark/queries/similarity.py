@@ -3624,6 +3624,14 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctly-rounded double ratios snapped back to the micro grid).
 # Probabilities clamp to [1, 999999] micro so log-likelihood terms
 # stay finite and identical cross-engine. Platt (1999); [EXT].
+# Residual cross-engine risk (documented, same class as
+# disparity_backbone's POW note): the sigmoid EXP is libm float math
+# snapped by ROUND — a half-ulp JVM-vs-DuckDB difference at an exact
+# .5 micro boundary would shift one per-bin pm by 1e-6. Mitigations:
+# EXP evaluates once per BIN (bounded domain), every downstream fold
+# is exact BIGINT from the snapped pm so a hit cannot compound, and
+# the law test replays the full Newton trajectory in Python at every
+# tested SF. A rational sigmoid is not SQL-expressible; accepted.
 # --------------------------------------------------------------------------
 PLATT_ITERS = 4
 
@@ -3968,10 +3976,12 @@ def _ksv_d2_sql(a: str, b: str) -> str:
     tn AS (
         SELECT t_id, vec_id, label, m, j,
                CASE WHEN m_next IS NULL
-                    THEN CAST(ROUND(m * {KSV_NANO}.0 / n_train, 0)
-                              AS BIGINT)
-                    ELSE CAST(ROUND((m - m_next) * LEAST({KSV_K}, j)
-                              * {KSV_NANO}.0 / ({KSV_K} * j), 0)
+                    THEN CAST(ROUND(CAST(m * CAST({KSV_NANO} AS BIGINT)
+                              AS DOUBLE) / n_train, 0) AS BIGINT)
+                    ELSE CAST(ROUND(CAST((m - m_next)
+                              * LEAST({KSV_K}, j)
+                              * CAST({KSV_NANO} AS BIGINT)
+                              AS DOUBLE) / ({KSV_K} * j), 0)
                               AS BIGINT)
                END AS term
         FROM lk CROSS JOIN nt
@@ -4029,12 +4039,19 @@ def knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tn = (lk.crossJoin(F.broadcast(nt))
           .withColumn(
               "term",
+              # r7 (ADVICE): the dividend is built in exact BIGINT and
+              # CAST ... AS DOUBLE before the division so BOTH engines
+              # provably execute one IEEE double division — the former
+              # `{NANO}.0` literal was DECIMAL in Spark (HALF_UP
+              # DECIMAL(38,6) divide) but DOUBLE in DuckDB.
               F.when(F.col("m_next").isNull(),
-                     F.expr(f"CAST(ROUND(m * {KSV_NANO}.0 / n_train, 0)"
+                     F.expr(f"CAST(ROUND(CAST(m * CAST({KSV_NANO}"
+                            " AS BIGINT) AS DOUBLE) / n_train, 0)"
                             " AS BIGINT)"))
               .otherwise(F.expr(
-                  f"CAST(ROUND((m - m_next) * LEAST({KSV_K}, j)"
-                  f" * {KSV_NANO}.0 / ({KSV_K} * j), 0) AS BIGINT)"))))
+                  f"CAST(ROUND(CAST((m - m_next) * LEAST({KSV_K}, j)"
+                  f" * CAST({KSV_NANO} AS BIGINT) AS DOUBLE)"
+                  f" / ({KSV_K} * j), 0) AS BIGINT)"))))
     ws = (Window.partitionBy("t_id").orderBy(F.desc("j"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     sv = tn.withColumn("s_nano", F.sum("term").over(ws))
@@ -4064,6 +4081,7 @@ def knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
 MMR_QUERY_MOD = 125  # vec_id % 125 == 0 -> query vector
 MMR_POOL = 24        # relevance candidate pool per query
 MMR_K = 6            # diversified picks per query
+MMR_STATE_PARTS = 4  # query_id-hashed partitions for round state
 
 
 def _mmr_oracle_sql() -> str:
@@ -4176,15 +4194,21 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id", d2.alias("rel_d2")))
     wr = Window.partitionBy("query_id").orderBy("rel_d2", "vec_id")
-    # The pool is bounded (|queries| x MMR_POOL rows): collapse it to one
-    # partition BEFORE the round loop so the 6 rounds of per-query joins
-    # and argmaxes don't schedule 32 mostly-empty shuffle tasks each
-    # (the X196 tiny-frame lesson; corpus-sized work ends at the window).
+    # The pool is bounded (|queries| x MMR_POOL rows): collapse it to a
+    # HANDFUL of query_id-hashed partitions BEFORE the round loop so the
+    # 6 rounds of per-query joins and argmaxes don't schedule 32 mostly-
+    # empty shuffle tasks each (the X196 tiny-frame lesson; corpus-sized
+    # work ends at the window), while round-state parallelism still
+    # scales with |queries| instead of serializing through one task
+    # (r7 ADVICE: repartition(1) capped the loop at query-count x pool
+    # rows in a single task). All 6 rounds reuse this partitioning —
+    # the joins inside the loop are co-partitioned on query_id.
     # localCheckpoint (not just persist): it truncates the LOGICAL plan,
     # without which the 6-round union re-inlines the 64-lambda micro
     # arrays into an explain string big enough to OOM a default driver.
     pool = (scored.withColumn("rel_rank", F.row_number().over(wr))
-            .filter(F.col("rel_rank") <= MMR_POOL).repartition(1)
+            .filter(F.col("rel_rank") <= MMR_POOL)
+            .repartition(MMR_STATE_PARTS, "query_id")
             .localCheckpoint())
     pe = pool.join(c, "vec_id").select("query_id", "vec_id", "e")
     a = pe.select("query_id", F.col("vec_id").alias("a"),
@@ -4195,7 +4219,8 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with("ea", "eb", lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
     pairs = (a.join(b, (a.query_id == b.qb) & (a.a != b.b))
-             .select("query_id", "a", "b", pd2.alias("pd2")).repartition(1)
+             .select("query_id", "a", "b", pd2.alias("pd2"))
+             .repartition(MMR_STATE_PARTS, "query_id")
              .localCheckpoint())
     sel = (pool.filter(F.col("rel_rank") == 1)
            .select("query_id", "vec_id", "rel_d2",

@@ -908,8 +908,8 @@ def test_threshold_selection_beats_all_candidates(spark, sf_dir):
     import pyspark.sql.functions as F
 
     li = (load_table(spark, sf_dir, "lineitem")
-          .select(F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-                  .alias("s"),
+          .select(F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) "
+                         "AS BIGINT)").alias("s"),
                   (F.col("l_returnflag") == "R").cast("int").alias("y"))
           .collect())
     hist = defaultdict(lambda: [0, 0])
