@@ -274,6 +274,8 @@ X_TITLES = {
     "X264": "Strongly connected components (FW-BW pivot)",
     "X265": "Roaring bitmap-index container planning",
     "X266": "Fagin TA early-termination audit",
+    "X267": "KNN-Shapley data valuation",
+    "X268": "MMR diversified retrieval",
 }
 
 
@@ -283,6 +285,18 @@ def main() -> None:
     for q in specs.values():
         for t in q.tags:
             by_tag[t].append(q)
+
+    # Fail loudly on any X-tag missing from the class dict: a silently
+    # dropped tag made COVERAGE.md omit X267/X268 in round 6 — the
+    # exact truncation this inventory exists to prevent (r6 verdict
+    # item 2). tests/test_coverage_map.py pins this invariant too.
+    unknown = sorted(
+        t for t in by_tag
+        if t.startswith("X") and t[1:].isdigit() and t not in X_TITLES)
+    if unknown:
+        raise SystemExit(
+            f"coverage_map: registered X-tags missing from X_TITLES "
+            f"(add entries before regenerating): {unknown}")
 
     lines = [
         "# COVERAGE — SURVEY.md §2 inventory -> registered queries",
