@@ -58,75 +58,64 @@ def register(name: str, oracle: str | None, doc: str = "",
 # class in SURVEY.md §2; queries not listed here keep their registration
 # order after the listed ones.  tests/test_registry_order.py pins the
 # invariant that the first 50 cover every tag in the registry.
-# Round 6 (r5 verdict items 1/2/4): CORRECTNESS_r01-05 attest 244
-# queries; 115 remain driver-dark (112 oracle-checked + 3 rows-only),
-# jointly covering 87 never-attested operator classes (84 coverable by
-# oracle-checked queries + the rows-only X45/X69/X112).  The window:
-# one forced slot re-attests the hardened X137 (r5's only red row),
-# 46 greedy max-coverage slots over the dark oracle-checked queries
-# (59 classes is the 47-slot ceiling — the remaining darks are
-# single-tag, so greedy = optimal once the 11 disjoint multi-tag
-# queries are taken), and — per the r5 verdict, deferred twice — the
-# 3 rows-only queries (X45/X69 BPE, X112 compression) take the final
-# slots for their best-possible `err: no_oracle` + row-count rows.
-# The 25 classes left dark rotate into the r7 window (R7_BACKLOG in
-# tests/test_registry_order.py).
+# Round 7 (r6 verdict items 1/2/5): CORRECTNESS_r01-06 attest 294
+# queries covering all but 40 operator classes.  This window FINISHES
+# the ledger: one forced slot re-attests X137 (hash-red in r5 AND r6;
+# the histogram key is now the repo-standard FLOOR(x*100+0.5) integer
+# snap — the last ROUND-on-double in the query), then one
+# representative for each of the 25 R7_BACKLOG classes and each of
+# the 15 NEW_R6 classes (X254-X268).  41 slots; the remaining <=9
+# slots go to this round's NEW_R7 classes so r7 additions are
+# driver-attested the same round they land (window load stays <= 50
+# per the r6 verdict cap).  After this window, zero driver-dark
+# classes remain.
 DRIVER_ORDER: tuple[str, ...] = (
-    # forced re-attestation (r5 hash-red, argmax hardened this round)
+    # forced re-attestation (hash-red r5+r6; key snap hardened r7)
     "optimal_threshold_selection",  # X137
-    # multi-class slots (greedy order, 3..2 new classes each)
-    "funnel_local_alignment",       # X216 X227 X247
-    "zonemap_skip_audit",           # X145 X246
-    "kcenter_coreset",              # X126 X235
-    "beam_search_decode",           # X174 X232
-    "louvain_phase1_communities",   # X205 X97
-    "holt_linear_daily",            # X130 X209
-    "iforest_rfm_outliers",         # X214 X220
-    "temporal_triangle_census",     # X167 X243
-    "goodturing_vocab",             # X178 X234
-    "densest_subgraph_peel",        # X225 X241
-    "fd_discovery",                 # X188 X224
-    # single-class representatives
-    "rank_correlation_brands",      # X249
-    "huber_irls_trend",             # X237
-    "cohort_ltv_curves",            # X176
-    "allen_interval_profile",       # X131
-    "disparity_backbone",           # X253
-    "copurchase_assortativity",     # X156
-    "incremental_corpus_dedup",     # X101
-    "deepwalk_corpus",              # X193
-    "corpus_datasheet",             # X114
-    "cox_score_click_hazard",       # X213
-    "pca_closed_form",              # X240
-    "ldiversity_tcloseness",        # X231
-    "spc_control_chart",            # X236
-    "weisfeiler_lehman_profile",    # X206
-    "frequent_brand_triples",       # X133
-    "propensity_stratified_att",    # X244
-    "langid_rank_profile",          # X239
-    "daily_periodogram",            # X250
-    "ams_f2_partkey",               # X163
-    "fellegi_sunter_bands",         # X120
-    "randomization_test_discount",  # X252
-    "sax_daily_words",              # X210
-    "lsh_parameter_planner",        # X219
-    "fdr_brand_returns",            # X160
-    "cka_quantization_fidelity",    # X226
-    "event_ccf_leadlag",            # X152
-    "ivf_probe_sweep",              # X111
-    "group_split_assignment",       # X230
-    "hierarchical_heavy_hitters",   # X217
-    "als_user_factors",             # X115
-    "multimodal_phash_dedup",       # X223
-    "boosted_stumps_l2",            # X143
-    "dedup_keep_best",              # X84
-    "luby_mis",                     # X233
-    "ivf_ranking_metrics",          # X99
-    # rows-only trio (r5 verdict item 4): `err: no_oracle` rows +
-    # exact pytest goldens are the best attestation these can get
-    "bpe_merge_table",              # X45  (rows-only by design)
-    "bpe_encode_stats",             # X69  (rows-only by design)
-    "compression_quality",          # X112 (rows-only by design)
+    # R7_BACKLOG representatives (25 classes queued by the r6 window)
+    "copurchase_weighted_sssp",     # X96
+    "compaction_plan",              # X109
+    "dedup_threshold_sweep",        # X116
+    "conformal_interval_coverage",  # X117
+    "hits_supplier_part",           # X127
+    "consistent_hash_rebalance",    # X132
+    "bagged_stump_forest",          # X142
+    "capture_recapture_daily",      # X147
+    "bradley_terry_suppliers",      # X150
+    "bcubed_linkage_eval",          # X173
+    "power_iteration_hubs",         # X207
+    "viterbi_state_decode",         # X208
+    "matrix_profile_daily",         # X211
+    "encoding_efficiency_audit",    # X212
+    "textrank_keywords",            # X215
+    "theil_nation_decomposition",   # X218
+    "voptimal_daily_histogram",     # X221
+    "offpolicy_dr_eval",            # X222
+    "link_prediction_eval",         # X228
+    "page_hinkley_drift",           # X229
+    "gmm_em_values",                # X238
+    "betweenness_kseeds",           # X242
+    "kruskal_wallis_values",        # X245
+    "platt_scaling_calibration",    # X248
+    "borda_condorcet_brands",       # X251
+    # NEW_R6 representatives (15 classes added after the r6 window)
+    "rbo_rank_overlap",             # X254
+    "randomized_response_freq",     # X255
+    "brier_decomposition",          # X256
+    "window_funnel_depths",         # X257
+    "horvitz_thompson_regions",     # X258
+    "daily_peak_prominence",        # X259
+    "esd_outlier_rounds",           # X260
+    "stream_page_hinkley",          # X261
+    "mondrian_kanon_partition",     # X262
+    "loo_group_influence",          # X263
+    "scc_pivot_fwbw",               # X264
+    "roaring_container_plan",       # X265
+    "fagin_ta_depth",               # X266
+    "knn_shapley_valuation",        # X267
+    "mmr_diverse_topk",             # X268
+    # NEW_R7 representatives (this round's additions — appended as
+    # they land, capped so len(DRIVER_ORDER) <= 50)
 )
 
 

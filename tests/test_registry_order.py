@@ -5,22 +5,17 @@ in dict order (round 1 evidence: CORRECTNESS_r01.json is exactly the
 first 50 registrations). These tests guarantee the curated order gets
 every query a driver row at least once across rounds: everything never
 attested by a prior round's CORRECTNESS file must sit inside the
-window, be explicitly queued for a later window (R7_BACKLOG), or be a
-round-6 addition (NEW_R6) that post-dates this round's fixed window.
+window, or share every operator class with an evidenced query.
 
-Round 6: CORRECTNESS_r01-05 together attest 244 queries (231 hash-green
-+ 13 declared rows-only; r5 went 49/50 with one hash-red row, X137's
-float-F1 argmax, hardened to integer-domain this round and given the
-window's forced first slot). 115 queries covering 87 operator classes
-remained driver-dark at the r5 snapshot. The r6 window: 1 forced X137
-slot + 46 greedy max-coverage slots over the 112 dark oracle-checked
-queries (59 classes is the 47-slot ceiling — after the 11 disjoint
-multi-tag dark queries are taken every remaining dark class is
-single-tag, so greedy = optimal) + the 3 rows-only queries (X45/X69
-BPE, X112 compression — r5 verdict item 4, deferred twice) in the
-final slots. 25 classes stay dark one more round, each queued below
-with its representative; 25 + len(NEW_R6) fits a single r7 window, so
-attestation converges next round.
+Round 7: CORRECTNESS_r01-06 together attest 294 queries (277
+hash-green + 16 rows-only + X137's repeat hash-red row, which does NOT
+count). The r7 window closes the ledger: 1 forced X137 slot (histogram
+key re-snapped to FLOOR(x*100+0.5) this round) + one representative
+per r6-queued backlog class (25) + one per NEW_R6 class (15) = 41
+slots, with the remaining <= 9 slots taken by NEW_R7 — this round's
+additions, attested the SAME round they land per the r6 verdict's
+<= 9 new-family cap. After this window, zero driver-dark classes
+remain and every future round only needs slots for its own additions.
 """
 
 import json
@@ -30,16 +25,9 @@ from etl_airflow_spotify_spark.registry import DRIVER_ORDER, all_queries
 
 WINDOW = 50
 
-# Rows-only-by-design queries allowed to hold (late) window slots this
-# round: the r5 verdict explicitly ordered a driver `err: no_oracle`
-# row for each (item 4) after two rounds of deferral.
-ROWS_ONLY_WINDOW = {"bpe_merge_table", "bpe_encode_stats",
-                    "compression_quality"}
-
-# Operator classes deliberately left dark until the r7 window, each
-# with the oracle-checked representative that will claim its slot.
-# 25 classes = 84 coverable darks - 59 covered by the r6 set-cover.
-R7_BACKLOG: dict[str, str] = {
+# The 25 operator classes queued by the r6 window (R7_BACKLOG there),
+# each with the oracle-checked representative that claims its slot.
+R7_CARRIED: dict[str, str] = {
     "X96": "copurchase_weighted_sssp",
     "X109": "compaction_plan",
     "X116": "dedup_threshold_sweep",
@@ -67,10 +55,8 @@ R7_BACKLOG: dict[str, str] = {
     "X251": "borda_condorcet_brands",
 }
 
-# Operator classes ADDED in round 6 (after the r6 window was fixed):
-# locally oracle-green at sf0.001 AND sf0.01 under the strict gate,
-# first eligible for a driver slot in the r7 window.
-# Maps query name -> class tag.
+# Operator classes added in round 6 after that round's window was
+# fixed; their first driver slot is this window.
 NEW_R6: dict[str, str] = {
     "rbo_rank_overlap": "X254",
     "randomized_response_freq": "X255",
@@ -89,6 +75,15 @@ NEW_R6: dict[str, str] = {
     "mmr_diverse_topk": "X268",
 }
 
+# Operator classes ADDED in round 7. Unlike prior rounds these do NOT
+# queue for the next window: the r6 verdict caps them at 9 so they fit
+# this window's spare slots and are attested the round they land.
+# Maps query name -> class tag.
+NEW_R7: dict[str, str] = {
+}
+
+MAX_NEW_R7 = 9  # r6 verdict item 5
+
 
 def _attested() -> set[str]:
     """Queries with a USABLE driver row (hash-green or declared
@@ -96,10 +91,8 @@ def _attested() -> set[str]:
     hash FAILED (hash_match false) is not an attestation."""
     root = os.path.join(os.path.dirname(__file__), "..")
     out: set[str] = set()
-    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
-                  "CORRECTNESS_r03.json", "CORRECTNESS_r04.json",
-                  "CORRECTNESS_r05.json"):
-        path = os.path.join(root, fname)
+    for rnd in range(1, 7):
+        path = os.path.join(root, f"CORRECTNESS_r{rnd:02d}.json")
         if not os.path.exists(path):
             continue
         with open(path) as f:
@@ -114,9 +107,19 @@ def test_driver_order_no_duplicates():
     assert len(DRIVER_ORDER) == len(set(DRIVER_ORDER))
 
 
-def test_driver_order_fills_window_exactly():
-    """Round 6 allocates every one of the 50 slots explicitly."""
-    assert len(DRIVER_ORDER) == WINDOW
+def test_driver_order_is_exactly_the_planned_window():
+    """The r7 window is fully enumerated: forced X137 + 25 carried +
+    15 NEW_R6 + one representative per NEW_R7 class, within 50."""
+    expected = (["optimal_threshold_selection"]
+                + list(R7_CARRIED.values())
+                + list(NEW_R6)
+                + list(NEW_R7))
+    assert list(DRIVER_ORDER) == expected
+    assert len(DRIVER_ORDER) <= WINDOW
+
+
+def test_new_r7_respects_verdict_cap():
+    assert len(set(NEW_R7.values())) <= MAX_NEW_R7
 
 
 def test_driver_order_names_exist():
@@ -127,81 +130,64 @@ def test_driver_order_names_exist():
 
 def test_every_query_attested_or_windowed():
     """Query-level invariant: anything without a driver row in a prior
-    round must be inside this round's checked window, be the queued
-    representative of an R7_BACKLOG class, share every class with an
-    evidenced query, or be a NEW_R6 addition."""
+    round must be inside this round's checked window or share every
+    operator class with an evidenced query."""
     qs = all_queries()
     window = set(list(qs)[:WINDOW])
     attested = _attested()
-    backlogged = set(R7_BACKLOG.values())
     evidenced_tags = {t for n, s in qs.items()
                       if n in attested or n in window for t in s.tags}
-    allowed_tags = evidenced_tags | set(R7_BACKLOG) | set(NEW_R6.values())
     dark = [n for n in qs
             if n not in attested and n not in window
-            and n not in backlogged and n not in NEW_R6
-            and not set(qs[n].tags) <= allowed_tags]
-    assert not dark, f"never-attested queries with unqueued classes: {dark}"
+            and not set(qs[n].tags) <= evidenced_tags]
+    assert not dark, f"never-attested queries with uncovered classes: {dark}"
 
 
-def test_window_rows_only_is_exactly_the_sanctioned_trio():
-    """Rows-only queries hold window slots only by explicit verdict
-    order (X45/X69/X112 this round), and they sit at the window's END
-    so every hash-checkable slot precedes them."""
+def test_window_has_no_rows_only_slots():
+    """Every rows-only-by-design query (X45/X69/X112) got its
+    `err: no_oracle` driver row in round 6 — no window slot may be
+    spent on one this round."""
     qs = all_queries()
     rows_only = [n for n in list(qs)[:WINDOW] if qs[n].oracle is None]
-    assert set(rows_only) == ROWS_ONLY_WINDOW, (
-        f"unexpected rows-only window set: {rows_only}")
-    assert list(qs)[WINDOW - len(ROWS_ONLY_WINDOW):WINDOW] == [
-        "bpe_merge_table", "bpe_encode_stats", "compression_quality"]
+    assert not rows_only, (
+        f"rows-only queries holding r7 window slots: {rows_only}")
 
 
 def test_window_is_all_dark():
-    """No window slot is wasted re-attesting an already-green query."""
-    qs = all_queries()
+    """No CURATED slot is wasted re-attesting an already-green query
+    (X137's prior rows are hash-red, so it is dark by definition).
+    Window slots beyond len(DRIVER_ORDER) spill to registration order
+    — harmless re-attestation of r1-green queries until NEW_R7 claims
+    them."""
     attested = _attested()
-    wasted = [n for n in list(qs)[:WINDOW] if n in attested]
-    assert not wasted, f"already-attested queries in the window: {wasted}"
+    wasted = [n for n in DRIVER_ORDER if n in attested]
+    assert not wasted, f"already-attested queries in DRIVER_ORDER: {wasted}"
 
 
 def test_first_window_covers_every_tag():
     """Tag-level invariant: every operator class has a driver row this
-    round, an attested row from a prior round, an explicit R7_BACKLOG
-    slot, or is a NEW_R6 class queued for r7."""
+    round or an attested row from a prior round — the ledger CLOSES
+    with this window (no backlog set may remain)."""
     qs = all_queries()
     attested = _attested()
     covered = {t for s in list(qs.values())[:WINDOW] for t in s.tags}
     covered |= {t for n, s in qs.items() if n in attested for t in s.tags}
-    covered |= set(R7_BACKLOG) | set(NEW_R6.values())
     all_tags = {t for s in qs.values() for t in s.tags}
     assert covered >= all_tags, (
-        f"tags with no attestation, window slot, or backlog entry: "
+        f"tags with neither an attestation nor a window slot: "
         f"{sorted(all_tags - covered)}"
     )
 
 
-def test_backlog_representatives_registered():
-    """Every backlogged class's queued representative exists, carries
-    the class tag, and is genuinely dark (not already attested)."""
+def test_carried_representatives_are_dark_and_tagged():
+    """Every carried class's representative exists, carries the class
+    tag, and is genuinely dark (not already attested)."""
     qs = all_queries()
     attested = _attested()
-    for tag, name in R7_BACKLOG.items():
-        assert name in qs, f"backlog rep {name} not registered"
+    for tag, name in {**R7_CARRIED,
+                      **{v: k for k, v in NEW_R6.items()},
+                      **{v: k for k, v in NEW_R7.items()}}.items():
+        assert name in qs, f"window rep {name} not registered"
         assert tag in qs[name].tags, f"{name} does not carry {tag}"
         assert name not in attested, (
-            f"{name} already attested; backlog entry for {tag} is stale")
-
-
-def test_backlog_fits_next_window():
-    """The r7 window (50 slots) must be able to FINISH attestation:
-    25 carried classes + one representative per NEW_R6 class must fit
-    a single window."""
-    assert len(R7_BACKLOG) + len(set(NEW_R6.values())) <= WINDOW
-
-
-def test_new_r6_names_registered():
-    qs = all_queries()
-    missing = [n for n in NEW_R6 if n not in qs]
-    assert not missing, f"NEW_R6 references unregistered queries: {missing}"
-    for name, tag in NEW_R6.items():
-        assert tag in qs[name].tags, f"{name} does not carry {tag}"
+            f"{name} already attested; window slot for {tag} is wasted")
