@@ -1799,20 +1799,30 @@ def power_iteration_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # participates in >= k-2 triangles among surviving edges, so trusses
 # isolate the community-grade cores k-core over-approximates.
 #
-# Plan (round-6 re-plan, r5 verdict item 5): triangles are enumerated
-# ONCE, in round 1, with the X167 degree-oriented wedge join (each
-# triangle once from its (orig-degree, id)-minimum vertex). Rounds 2+
-# never re-enumerate: a triangle survives iff none of its 3 edges was
-# peeled (edges are only ever REMOVED, so round-r triangles == round-1
-# triangles whose edges all survive), so the maintained triangle list
-# is filtered by 3 anti-joins against the edge-DELTA (the removed
-# set), and per-edge supports are DECREMENTED by the dropped
-# triangles' edge counts — edge-delta-sized work instead of a full
-# O(m^1.5) wedge join per round. At 100 TB this turns 3 triangle
-# enumerations into 1. Fixed 3 rounds (the X157 deterministic-prefix
-# discipline; convergence law-verified in Python). Output: the
-# per-round peeling trajectory, value-identical to the re-enumeration
-# oracle.
+# Plan (round-7 re-plan, r6 verdict item 6; round-6 re-plan was r5
+# item 5): triangles are enumerated ONCE, in round 1, by the
+# ADJACENCY-INTERSECT shape: orient each edge by (degree, id), build
+# per-node sorted out-neighbor arrays, and explode
+# array_intersect(N+(u), N+(v)) per oriented edge — each triangle
+# found exactly once (at its lowest-ordered edge), with ZERO
+# wedge-sized shuffle. The former degree-oriented wedge join
+# materialized 41M wedge rows at sf0.1 (a ~1.6 GB exchange) to keep
+# 1.9M triangles; the intersect does the same candidate filtering
+# inside whole-stage codegen against a broadcast adjacency
+# (array total == |oriented edges|, i.e. part-dimension-bounded here;
+# on a graph too big to broadcast the identical plan runs as two
+# sort-merge joins on u and v — still strictly less exchange than the
+# wedge join). Measured −25% on the full query at sf0.1.
+# Rounds 2+ never re-enumerate: a triangle survives iff none of its 3
+# edges was peeled (edges are only ever REMOVED, so round-r triangles
+# == round-1 triangles whose edges all survive), so the maintained
+# triangle list is filtered by 3 anti-joins against the edge-DELTA
+# (the removed set), and per-edge supports are DECREMENTED by the
+# dropped triangles' edge counts — edge-delta-sized work instead of a
+# full O(m^1.5) enumeration per round. Fixed 3 rounds (the X157
+# deterministic-prefix discipline; convergence law-verified in
+# Python). Output: the per-round peeling trajectory, value-identical
+# to the re-enumeration oracle.
 # --------------------------------------------------------------------------
 KTRUSS_K = 4
 KTRUSS_ROUNDS = 3
@@ -1871,8 +1881,9 @@ def _ktruss_oracle_sql() -> str:
     "ktruss_peeling_profile",
     _ktruss_oracle_sql(),
     doc=f"X225 {KTRUSS_K}-truss peeling of the co-purchase graph "
-        f"({KTRUSS_ROUNDS} fixed rounds): ONE degree-oriented wedge-"
-        "join triangle enumeration (round 1), then support "
+        f"({KTRUSS_ROUNDS} fixed rounds): ONE degree-oriented "
+        "adjacency-intersect triangle enumeration (round 1, broadcast "
+        "neighbor arrays — zero wedge-sized shuffle), then support "
         "MAINTENANCE — surviving triangles filtered by anti-joins "
         "against the removed-edge delta, per-edge supports "
         "decremented by the dropped triangles (edge-delta-sized "
@@ -1887,40 +1898,49 @@ def ktruss_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     e = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    deg = persist_tracked(
-        e.groupBy(F.col("src").alias("n"))
-        .agg(F.count("*").cast("long").alias("d")))
-    eu = (e.select(F.least("src", "dst").alias("lo"),
-                   F.greatest("src", "dst").alias("hi")).distinct()
+    # Canonical edges checkpoint FIRST; degrees then derive from the
+    # checkpointed frame instead of re-running the co-occurrence
+    # self-join a second time.
+    eu = (e.filter(F.col("src") < F.col("dst"))
+          .select(F.col("src").alias("lo"), F.col("dst").alias("hi"))
           .localCheckpoint())
+    deg = persist_tracked(
+        eu.select(F.col("lo").alias("n"))
+        .unionByName(eu.select(F.col("hi").alias("n")))
+        .groupBy("n").agg(F.count("*").cast("long").alias("d")))
     sup_min = KTRUSS_K - 2
-    # Round 1: the ONLY full triangle enumeration (degree-oriented
-    # wedge join). Triangles carry their 3 canonical edge keys so
-    # later rounds filter/decrement without recomputing least/greatest.
-    eo = (eu.join(deg.select(F.col("n").alias("lo"),
-                             F.col("d").alias("da")), "lo")
-          .join(deg.select(F.col("n").alias("hi"),
-                           F.col("d").alias("db")), "hi")
+    # Round 1: the ONLY full triangle enumeration — adjacency
+    # intersect over (degree, id)-oriented edges. Triangles carry
+    # their 3 canonical edge keys so later rounds filter/decrement
+    # without recomputing least/greatest.
+    eo = (eu.join(F.broadcast(deg.select(F.col("n").alias("lo"),
+                                         F.col("d").alias("da"))), "lo")
+          .join(F.broadcast(deg.select(F.col("n").alias("hi"),
+                                       F.col("d").alias("db"))), "hi")
           .select(
               F.expr("CASE WHEN (da, lo) < (db, hi)"
                      " THEN lo ELSE hi END").alias("u"),
               F.expr("CASE WHEN (da, lo) < (db, hi)"
-                     " THEN hi ELSE lo END").alias("v"),
-              F.expr("CASE WHEN (da, lo) < (db, hi)"
-                     " THEN db ELSE da END").alias("dv")))
-    w = (eo.select("u", F.col("v").alias("v1"),
-                   F.col("dv").alias("d1"))
-         .join(eo.select("u", F.col("v").alias("v2"),
-                         F.col("dv").alias("d2")), "u")
-         .filter(F.expr("(d1, v1) < (d2, v2)")))
-    tri = (w.join(eo.select(F.col("u").alias("v1"),
-                            F.col("v").alias("v2")), ["v1", "v2"])
-           .select(F.least("u", "v1").alias("e1_lo"),
-                   F.greatest("u", "v1").alias("e1_hi"),
-                   F.least("u", "v2").alias("e2_lo"),
-                   F.greatest("u", "v2").alias("e2_hi"),
-                   F.least("v1", "v2").alias("e3_lo"),
-                   F.greatest("v1", "v2").alias("e3_hi"))
+                     " THEN hi ELSE lo END").alias("v")))
+    adj = (eo.groupBy(F.col("u").alias("n"))
+           .agg(F.array_sort(F.collect_list("v")).alias("nbrs")))
+    # w in N+(u) & N+(v) closes triangle (u, v, w) exactly once at its
+    # lowest-ordered edge; the intersect runs in whole-stage codegen
+    # against the broadcast adjacency — no wedge-sized exchange.
+    tri = (eo.join(F.broadcast(adj.select(F.col("n").alias("u"),
+                                          F.col("nbrs").alias("nu"))),
+                   "u")
+           .join(F.broadcast(adj.select(F.col("n").alias("v"),
+                                        F.col("nbrs").alias("nv"))),
+                 "v")
+           .select("u", "v",
+                   F.explode(F.array_intersect("nu", "nv")).alias("w"))
+           .select(F.least("u", "v").alias("e1_lo"),
+                   F.greatest("u", "v").alias("e1_hi"),
+                   F.least("u", "w").alias("e2_lo"),
+                   F.greatest("u", "w").alias("e2_hi"),
+                   F.least("v", "w").alias("e3_lo"),
+                   F.greatest("v", "w").alias("e3_hi"))
            .localCheckpoint())
 
     def edge_uses(t):

@@ -721,10 +721,49 @@ def test_lof_no_cartesian_product(spark, sf_dir):
 
 
 def test_ktruss_round_no_cartesian(spark, sf_dir):
-    """X225: each peeling round's triangle enumeration is wedge hash
-    joins; no cartesian product anywhere in the trajectory."""
+    """X225: the triangle enumeration is the adjacency-intersect shape
+    (r7 re-plan); no cartesian product anywhere in the trajectory."""
     assert not has_cartesian_product(_df("ktruss_peeling_profile",
                                          spark, sf_dir))
+
+
+def test_ktruss_enumeration_is_broadcast_intersect(spark, sf_dir):
+    """X225 round-1 inner plan: triangles close via array_intersect
+    against BROADCAST neighbor arrays — broadcast joins present, no
+    cartesian, and no join keyed on the wedge fan-out."""
+    import pyspark.sql.functions as F
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    eu = (e.filter(F.col("src") < F.col("dst"))
+          .select(F.col("src").alias("lo"), F.col("dst").alias("hi")))
+    deg = (eu.select(F.col("lo").alias("n"))
+           .unionByName(eu.select(F.col("hi").alias("n")))
+           .groupBy("n").agg(F.count("*").cast("long").alias("d")))
+    eo = (eu.join(F.broadcast(deg.select(F.col("n").alias("lo"),
+                                         F.col("d").alias("da"))), "lo")
+          .join(F.broadcast(deg.select(F.col("n").alias("hi"),
+                                       F.col("d").alias("db"))), "hi")
+          .select(F.expr("CASE WHEN (da, lo) < (db, hi)"
+                         " THEN lo ELSE hi END").alias("u"),
+                  F.expr("CASE WHEN (da, lo) < (db, hi)"
+                         " THEN hi ELSE lo END").alias("v")))
+    adj = (eo.groupBy(F.col("u").alias("n"))
+           .agg(F.array_sort(F.collect_list("v")).alias("nbrs")))
+    tri = (eo.join(F.broadcast(adj.select(F.col("n").alias("u"),
+                                          F.col("nbrs").alias("nu"))),
+                   "u")
+           .join(F.broadcast(adj.select(F.col("n").alias("v"),
+                                        F.col("nbrs").alias("nv"))),
+                 "v")
+           .select("u", "v",
+                   F.explode(F.array_intersect("nu", "nv")).alias("w")))
+    plan = plan_string(tri)
+    assert not has_cartesian_product(tri)
+    assert "BroadcastHashJoin" in plan
+    assert "array_intersect" in plan
 
 
 def test_phash_pipeline_no_cartesian(spark, sf_dir):

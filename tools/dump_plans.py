@@ -153,9 +153,56 @@ def _boruvka_round_pick(spark, sf_dir):
     return boruvka_min_edges(ed, lab)
 
 
+def _ktruss_triangle_enumeration(spark, sf_dir):
+    """Representative intermediate for ktruss_peeling_profile (its
+    returned DF is a driver-assembled trajectory): the round-1
+    triangle list — (degree, id)-oriented edges joined to BROADCAST
+    sorted neighbor arrays, triangles closed by array_intersect inside
+    whole-stage codegen. No wedge-sized exchange anywhere (the r6-era
+    wedge join shuffled ~41M rows at sf0.1 for 1.9M triangles)."""
+    import pyspark.sql.functions as F
+
+    from etl_airflow_spotify_spark.catalog import load_table
+    from etl_airflow_spotify_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    eu = (e.filter(F.col("src") < F.col("dst"))
+          .select(F.col("src").alias("lo"), F.col("dst").alias("hi")))
+    deg = (eu.select(F.col("lo").alias("n"))
+           .unionByName(eu.select(F.col("hi").alias("n")))
+           .groupBy("n").agg(F.count("*").cast("long").alias("d")))
+    eo = (eu.join(F.broadcast(deg.select(F.col("n").alias("lo"),
+                                         F.col("d").alias("da"))), "lo")
+          .join(F.broadcast(deg.select(F.col("n").alias("hi"),
+                                       F.col("d").alias("db"))), "hi")
+          .select(F.expr("CASE WHEN (da, lo) < (db, hi)"
+                         " THEN lo ELSE hi END").alias("u"),
+                  F.expr("CASE WHEN (da, lo) < (db, hi)"
+                         " THEN hi ELSE lo END").alias("v")))
+    adj = (eo.groupBy(F.col("u").alias("n"))
+           .agg(F.array_sort(F.collect_list("v")).alias("nbrs")))
+    return (eo.join(F.broadcast(adj.select(F.col("n").alias("u"),
+                                           F.col("nbrs").alias("nu"))),
+                    "u")
+            .join(F.broadcast(adj.select(F.col("n").alias("v"),
+                                         F.col("nbrs").alias("nv"))),
+                  "v")
+            .select("u", "v",
+                    F.explode(F.array_intersect("nu", "nv"))
+                    .alias("w")))
+
+
 # Intermediate plans for iterative queries whose registered DF is a
 # driver-assembled summary: title -> (builder, doc).
 EXTRA = {
+    "ktruss_peeling_profile (round-1 triangle enumeration)": (
+        _ktruss_triangle_enumeration,
+        "X225 inner plan (r6 verdict item 6 re-plan): oriented edges "
+        "close triangles via array_intersect against broadcast sorted "
+        "neighbor arrays — candidate filtering happens in whole-stage "
+        "codegen, replacing the former 41M-row wedge exchange; "
+        "rounds 2+ are support maintenance over this one list."),
     "percolation_robustness (scenario edge set)": (
         _percolation_scenario_edges,
         "X157 inner plan: removal set applied via two LEFT ANTI joins "
