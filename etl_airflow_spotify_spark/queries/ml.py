@@ -2973,3 +2973,145 @@ def mondrian_kanon_partition(spark: SparkSession,
                  F.max("pr").cast("long").alias("pr_max"),
                  F.when(F.count("*") >= MONDRIAN_K, 1).otherwise(0)
                  .cast("int").alias("k_anon_ok")))
+
+
+# --------------------------------------------------------------------------
+# X272: group-fairness audit — the evaluation family none of the
+# other ML-eval classes cover: X92/X76/X256 score a classifier
+# GLOBALLY, X137 picks its threshold, but a 100 TB training-data
+# platform must also report HOW THE ERROR IS DISTRIBUTED across
+# protected groups before the model (or the dataset) ships. Audits
+# the fixed-threshold price classifier (pred = cents >= FAIR_THRESH,
+# target l_returnflag = 'R') per customer nation: selection rate
+# (demographic parity), TPR (equal opportunity) and FPR gaps vs the
+# pooled rates — Hardt et al. (NeurIPS 2016) equalized-odds metrics.
+# Exactness: every rate is ONE correctly-rounded division of exact
+# BIGINT confusion counts snapped to the micro grid; gaps are integer
+# subtractions of the snapped rates; the pooled row broadcasts.
+# Scale: one fact pass -> per-nation counts (dimension-sized);
+# everything after is arithmetic on 25 rows. [EXT]
+# --------------------------------------------------------------------------
+FAIR_THRESH = 5300000  # centi-price classifier threshold (~median)
+FAIR_LABEL = "R"
+
+
+@register(
+    "fairness_group_audit",
+    f"""
+    WITH base AS (
+        SELECT n.n_name AS grp,
+               CASE WHEN l.l_returnflag = '{FAIR_LABEL}' THEN 1 ELSE 0
+                    END AS y,
+               CASE WHEN CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                         AS BIGINT) >= {FAIR_THRESH} THEN 1 ELSE 0
+                    END AS p
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    g AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(p) AS BIGINT) AS n_sel,
+               CAST(SUM(y * p) AS BIGINT) AS tp,
+               CAST(SUM((1 - y) * p) AS BIGINT) AS fp
+        FROM base GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+               CAST(SUM(n_sel) AS BIGINT) AS n_sel,
+               CAST(SUM(tp) AS BIGINT) AS tp,
+               CAST(SUM(fp) AS BIGINT) AS fp
+        FROM g
+    )
+    SELECT g.grp, g.n, g.n_pos, g.n_sel, g.tp, g.fp,
+           CAST(ROUND(g.n_sel * 1000000.0 / g.n, 0) AS BIGINT)
+               AS sel_micro,
+           CASE WHEN g.n_pos > 0 THEN
+               CAST(ROUND(g.tp * 1000000.0 / g.n_pos, 0) AS BIGINT)
+           ELSE 0 END AS tpr_micro,
+           CASE WHEN g.n - g.n_pos > 0 THEN
+               CAST(ROUND(g.fp * 1000000.0 / (g.n - g.n_pos), 0)
+                    AS BIGINT)
+           ELSE 0 END AS fpr_micro,
+           CAST(ROUND(g.n_sel * 1000000.0 / g.n, 0) AS BIGINT)
+           - CAST(ROUND(t.n_sel * 1000000.0 / t.n, 0) AS BIGINT)
+               AS dp_gap_micro,
+           CASE WHEN g.n_pos > 0 THEN
+               CAST(ROUND(g.tp * 1000000.0 / g.n_pos, 0) AS BIGINT)
+           ELSE 0 END
+           - CAST(ROUND(t.tp * 1000000.0 / t.n_pos, 0) AS BIGINT)
+               AS tpr_gap_micro,
+           CASE WHEN g.n - g.n_pos > 0 THEN
+               CAST(ROUND(g.fp * 1000000.0 / (g.n - g.n_pos), 0)
+                    AS BIGINT)
+           ELSE 0 END
+           - CAST(ROUND(t.fp * 1000000.0 / (t.n - t.n_pos), 0)
+                  AS BIGINT)
+               AS fpr_gap_micro
+    FROM g CROSS JOIN tot t
+    """,
+    doc=f"X272 group-fairness audit of the fixed-threshold price "
+        f"classifier (cents >= {FAIR_THRESH} predicting "
+        f"l_returnflag='{FAIR_LABEL}') across customer nations: "
+        "per-group selection rate, TPR, FPR plus demographic-parity / "
+        "equalized-odds gaps vs the pooled rates (Hardt 2016). Exact "
+        "BIGINT confusion counts; each rate is one correctly-rounded "
+        "micro-snapped division; gaps subtract snapped integers. One "
+        "fact pass, dimension-sized everything after. Python replay + "
+        "confusion-consistency laws.",
+    tags=("X272", "X92", "X76", "X3", "X7"),
+)
+def fairness_group_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    base = (li.join(o, o.o_orderkey == li.l_orderkey)
+            .join(c, c.c_custkey == o.o_custkey)
+            .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+            .select(
+                F.col("n_name").alias("grp"),
+                F.when(F.col("l_returnflag") == FAIR_LABEL, 1)
+                .otherwise(0).alias("y"),
+                F.when(F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5)"
+                              " AS BIGINT)") >= FAIR_THRESH, 1)
+                .otherwise(0).alias("p")))
+    g = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("p").cast("long").alias("n_sel"),
+        F.sum(F.col("y") * F.col("p")).cast("long").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("p")).cast("long").alias("fp"))
+    tot = g.agg(F.sum("n").cast("long").alias("tn_"),
+                F.sum("n_pos").cast("long").alias("tpos"),
+                F.sum("n_sel").cast("long").alias("tsel"),
+                F.sum("tp").cast("long").alias("ttp"),
+                F.sum("fp").cast("long").alias("tfp"))
+    return (g.crossJoin(F.broadcast(tot))
+            .selectExpr(
+                "grp", "n", "n_pos", "n_sel", "tp", "fp",
+                "CAST(ROUND(n_sel * 1000000.0 / n, 0) AS BIGINT)"
+                " AS sel_micro",
+                "CASE WHEN n_pos > 0 THEN"
+                " CAST(ROUND(tp * 1000000.0 / n_pos, 0) AS BIGINT)"
+                " ELSE 0L END AS tpr_micro",
+                "CASE WHEN n - n_pos > 0 THEN"
+                " CAST(ROUND(fp * 1000000.0 / (n - n_pos), 0)"
+                " AS BIGINT) ELSE 0L END AS fpr_micro",
+                "CAST(ROUND(n_sel * 1000000.0 / n, 0) AS BIGINT)"
+                " - CAST(ROUND(tsel * 1000000.0 / tn_, 0) AS BIGINT)"
+                " AS dp_gap_micro",
+                "CASE WHEN n_pos > 0 THEN"
+                " CAST(ROUND(tp * 1000000.0 / n_pos, 0) AS BIGINT)"
+                " ELSE 0L END"
+                " - CAST(ROUND(ttp * 1000000.0 / tpos, 0) AS BIGINT)"
+                " AS tpr_gap_micro",
+                "CASE WHEN n - n_pos > 0 THEN"
+                " CAST(ROUND(fp * 1000000.0 / (n - n_pos), 0)"
+                " AS BIGINT) ELSE 0L END"
+                " - CAST(ROUND(tfp * 1000000.0 / (tn_ - tpos), 0)"
+                " AS BIGINT) AS fpr_gap_micro"))

@@ -3400,3 +3400,155 @@ def loo_group_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(ROUND(num_l / den_l * 1000000, 0) AS BIGINT)"
         " - CAST(ROUND(num_f / den_f * 1000000, 0) AS BIGINT)"
         " ELSE 0L END AS dfbeta_micro")
+
+
+# --------------------------------------------------------------------------
+# X273: Cochran-Mantel-Haenszel stratified 2x2 association — the
+# meta-analytic test X73's chi-square cannot do: X73 tests MARGINAL
+# independence (one pooled table, Simpson-vulnerable — exactly the
+# reversal X144 audits), CMH tests the COMMON association of
+# (discount exposure) x (return outcome) across order-priority strata,
+# pooling per-stratum evidence with inverse-variance weights plus the
+# Mantel-Haenszel common odds ratio. Exactness: per-stratum counts
+# are exact BIGINT; each stratum's expectation / variance / MH terms
+# are ONE textually-identical arithmetic expression over those counts
+# (DOUBLE products so a 100 TB stratum cannot overflow BIGINT
+# multiplication; IEEE ops are deterministic cross-engine) snapped to
+# the nano grid; the statistic folds the SNAPPED integers, so float
+# summation order never matters. Mantel-Haenszel (1959); [EXT].
+# Scale: one fact pass -> 5 stratum rows; everything after is
+# arithmetic on those rows.
+# --------------------------------------------------------------------------
+CMH_DISC_CENTI = 6  # exposure: discount >= 6 centi-units
+CMH_LABEL = "R"
+
+
+@register(
+    "cmh_stratified_assoc",
+    f"""
+    WITH base AS (
+        SELECT o.o_orderpriority AS stratum,
+               CASE WHEN CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)
+                         >= {CMH_DISC_CENTI} THEN 1 ELSE 0 END AS x,
+               CASE WHEN l.l_returnflag = '{CMH_LABEL}' THEN 1 ELSE 0
+                    END AS y
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    st AS (
+        SELECT stratum,
+               CAST(SUM(x * y) AS BIGINT) AS a,
+               CAST(SUM(x * (1 - y)) AS BIGINT) AS b,
+               CAST(SUM((1 - x) * y) AS BIGINT) AS c,
+               CAST(SUM((1 - x) * (1 - y)) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY stratum
+    ),
+    terms AS (
+        SELECT stratum, a, b, c, d, n,
+               CAST(ROUND(CAST(a + b AS DOUBLE) * (a + c)
+                    * 1000000000.0 / n, 0) AS BIGINT) AS e_nano,
+               CAST(ROUND(CAST(a + b AS DOUBLE) * (c + d) * (a + c)
+                    * (b + d) * 1000000000.0
+                    / (CAST(n AS DOUBLE) * n * (n - 1)), 0) AS BIGINT)
+                   AS v_nano,
+               CAST(ROUND(CAST(a AS DOUBLE) * d * 1000000000.0 / n, 0)
+                    AS BIGINT) AS ad_nano,
+               CAST(ROUND(CAST(b AS DOUBLE) * c * 1000000000.0 / n, 0)
+                    AS BIGINT) AS bc_nano
+        FROM st
+    ),
+    summary AS (
+        SELECT CAST(SUM(a * 1000000000 - e_nano) AS BIGINT) AS s_nano,
+               CAST(SUM(v_nano) AS BIGINT) AS v_sum_nano,
+               CAST(SUM(ad_nano) AS BIGINT) AS ad_sum_nano,
+               CAST(SUM(bc_nano) AS BIGINT) AS bc_sum_nano,
+               CAST(SUM(a) AS BIGINT) AS a, CAST(SUM(b) AS BIGINT) AS b,
+               CAST(SUM(c) AS BIGINT) AS c, CAST(SUM(d) AS BIGINT) AS d,
+               CAST(SUM(n) AS BIGINT) AS n
+        FROM terms
+    )
+    SELECT stratum, a, b, c, d, n, e_nano, v_nano, ad_nano, bc_nano,
+           CAST(0 AS BIGINT) AS chi2_micro, CAST(0 AS BIGINT) AS or_micro
+    FROM terms
+    UNION ALL
+    SELECT 'ALL', a, b, c, d, n,
+           s_nano AS e_nano, v_sum_nano AS v_nano,
+           ad_sum_nano AS ad_nano, bc_sum_nano AS bc_nano,
+           CASE WHEN v_sum_nano > 0 THEN
+               CAST(ROUND(CAST(s_nano AS DOUBLE) * s_nano
+                    / v_sum_nano / 1000.0, 0) AS BIGINT)
+           ELSE 0 END AS chi2_micro,
+           CASE WHEN bc_sum_nano > 0 THEN
+               CAST(ROUND(CAST(ad_sum_nano AS DOUBLE) * 1000000.0
+                    / bc_sum_nano, 0) AS BIGINT)
+           ELSE 0 END AS or_micro
+    FROM summary
+    """,
+    doc=f"X273 Cochran-Mantel-Haenszel test of (discount >= "
+        f"{CMH_DISC_CENTI} centi) x (l_returnflag='{CMH_LABEL}') "
+        "association stratified by order priority: exact BIGINT 2x2 "
+        "counts per stratum, expectation/variance/MH-odds terms as "
+        "single textually-identical DOUBLE expressions snapped to the "
+        "nano grid, statistic and common odds ratio folded from the "
+        "snapped integers (no float summation). Per-stratum rows + "
+        "'ALL' summary row. Complements X73 (marginal chi2) and X144 "
+        "(Simpson audit). Python replay + marginal-consistency laws.",
+    tags=("X273", "X73", "X144", "X3", "X7"),
+)
+def cmh_stratified_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    base = (li.join(o, o.o_orderkey == li.l_orderkey)
+            .select(
+                F.col("o_orderpriority").alias("stratum"),
+                F.when(F.expr("CAST(FLOOR(l_discount * 100 + 0.5)"
+                              " AS BIGINT)") >= CMH_DISC_CENTI, 1)
+                .otherwise(0).alias("x"),
+                F.when(F.col("l_returnflag") == CMH_LABEL, 1)
+                .otherwise(0).alias("y")))
+    st = base.groupBy("stratum").agg(
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("a"),
+        F.sum(F.col("x") * (1 - F.col("y"))).cast("long").alias("b"),
+        F.sum((1 - F.col("x")) * F.col("y")).cast("long").alias("c"),
+        F.sum((1 - F.col("x")) * (1 - F.col("y"))).cast("long")
+        .alias("d"),
+        F.count("*").cast("long").alias("n"))
+    terms = st.selectExpr(
+        "stratum", "a", "b", "c", "d", "n",
+        "CAST(ROUND(CAST(a + b AS DOUBLE) * (a + c) * 1000000000.0"
+        " / n, 0) AS BIGINT) AS e_nano",
+        "CAST(ROUND(CAST(a + b AS DOUBLE) * (c + d) * (a + c)"
+        " * (b + d) * 1000000000.0"
+        " / (CAST(n AS DOUBLE) * n * (n - 1)), 0) AS BIGINT) AS v_nano",
+        "CAST(ROUND(CAST(a AS DOUBLE) * d * 1000000000.0 / n, 0)"
+        " AS BIGINT) AS ad_nano",
+        "CAST(ROUND(CAST(b AS DOUBLE) * c * 1000000000.0 / n, 0)"
+        " AS BIGINT) AS bc_nano")
+    per = terms.selectExpr(
+        "stratum", "a", "b", "c", "d", "n", "e_nano", "v_nano",
+        "ad_nano", "bc_nano", "CAST(0 AS BIGINT) AS chi2_micro",
+        "CAST(0 AS BIGINT) AS or_micro")
+    summary = (terms.agg(
+        F.sum(F.col("a") * F.lit(1000000000) - F.col("e_nano"))
+        .cast("long").alias("s_nano"),
+        F.sum("v_nano").cast("long").alias("v_sum_nano"),
+        F.sum("ad_nano").cast("long").alias("ad_sum_nano"),
+        F.sum("bc_nano").cast("long").alias("bc_sum_nano"),
+        F.sum("a").cast("long").alias("a"),
+        F.sum("b").cast("long").alias("b"),
+        F.sum("c").cast("long").alias("c"),
+        F.sum("d").cast("long").alias("d"),
+        F.sum("n").cast("long").alias("n"))
+        .selectExpr(
+            "'ALL' AS stratum", "a", "b", "c", "d", "n",
+            "s_nano AS e_nano", "v_sum_nano AS v_nano",
+            "ad_sum_nano AS ad_nano", "bc_sum_nano AS bc_nano",
+            "CASE WHEN v_sum_nano > 0 THEN"
+            " CAST(ROUND(CAST(s_nano AS DOUBLE) * s_nano"
+            " / v_sum_nano / 1000.0, 0) AS BIGINT)"
+            " ELSE 0L END AS chi2_micro",
+            "CASE WHEN bc_sum_nano > 0 THEN"
+            " CAST(ROUND(CAST(ad_sum_nano AS DOUBLE) * 1000000.0"
+            " / bc_sum_nano, 0) AS BIGINT)"
+            " ELSE 0L END AS or_micro"))
+    return per.unionByName(summary)

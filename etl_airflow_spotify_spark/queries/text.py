@@ -3086,3 +3086,106 @@ def langid_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("cand").alias("pred_lang"))
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("d").cast("long").alias("total_dist")))
+
+
+# --------------------------------------------------------------------------
+# X274: readability scoring (Flesch-Kincaid grade) — the SURFACE-FORM
+# quality axis the existing text-quality gates miss: X44/X67/X204
+# score words against corpus language models (which word), X34/X112
+# measure repetition/compressibility (how redundant); FK grade
+# measures STRUCTURAL complexity (sentence length x syllables/word),
+# the curriculum/difficulty signal a pretraining mix planner bins on.
+# Syllables use the deterministic vowel-run heuristic (runs of
+# [aeiouy], min 1/word) — both engines run the IDENTICAL regex
+# pipeline, so counts are exact integers; each document's grade is
+# TWO micro-snapped single divisions combined in integer space
+# (0.39*W/S + 11.8*syl/W - 15.59, Kincaid 1975). Scale: the per-doc
+# map is one pass; output is source-dimension-sized. [EXT]
+# --------------------------------------------------------------------------
+@register(
+    "readability_fk_profile",
+    r"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(GREATEST(len(string_split_regex(trim(lower(text)),
+                    '\s+')), 1) AS BIGINT) AS w,
+               CAST(GREATEST(length(regexp_replace(text, '[.!?]+', '|',
+                        'g'))
+                    - length(replace(regexp_replace(text, '[.!?]+',
+                        '|', 'g'), '|', '')), 1) AS BIGINT) AS s,
+               CAST(list_sum(list_transform(
+                    string_split_regex(trim(lower(text)), '\s+'),
+                    x -> GREATEST(1,
+                         length(regexp_replace(x, '[aeiouy]+', '#',
+                             'g'))
+                         - length(replace(regexp_replace(x,
+                             '[aeiouy]+', '#', 'g'), '#', '')))))
+                    AS BIGINT) AS y
+        FROM documents
+    ),
+    graded AS (
+        SELECT source, w, s, y,
+               CAST(ROUND(390000.0 * w / s, 0) AS BIGINT)
+               + CAST(ROUND(11800000.0 * y / w, 0) AS BIGINT)
+               - 15590000 AS grade_micro
+        FROM per_doc
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS sum_words,
+           CAST(SUM(s) AS BIGINT) AS sum_sentences,
+           CAST(SUM(y) AS BIGINT) AS sum_syllables,
+           CAST(SUM(grade_micro) AS BIGINT) AS sum_grade_micro,
+           CAST(MIN(grade_micro) AS BIGINT) AS min_grade_micro,
+           CAST(MAX(grade_micro) AS BIGINT) AS max_grade_micro,
+           CAST(ROUND(CAST(SUM(grade_micro) AS DOUBLE) / COUNT(*), 0)
+                AS BIGINT) AS mean_grade_micro
+    FROM graded GROUP BY source
+    """,
+    doc="X274 Flesch-Kincaid readability profile per source: words by "
+        "whitespace split, sentences as [.!?]+ runs (min 1), "
+        "syllables by the deterministic vowel-run heuristic (min "
+        "1/word) — identical regex pipeline in both engines, exact "
+        "integer counts; per-doc grade = two micro-snapped divisions "
+        "combined in integer space (Kincaid 1975); per-source sums, "
+        "min/max, and mean from one more snapped division. The "
+        "structural-difficulty axis next to X44 (LM fit) and X112 "
+        "(compressibility). Python replay + per-word-bound laws.",
+    tags=("X274", "X18", "X44", "X14", "X7"),
+)
+def readability_fk_profile(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    runs = ("length(regexp_replace(x, '[aeiouy]+', '#'))"
+            " - length(replace(regexp_replace(x, '[aeiouy]+', '#'),"
+            " '#', ''))")
+    per_doc = d.select(
+        "source",
+        F.expr(r"CAST(GREATEST(size(split(trim(lower(text)), '\\s+')),"
+               " 1) AS BIGINT)").alias("w"),
+        F.expr("CAST(GREATEST(length(regexp_replace(text, '[.!?]+',"
+               " '|')) - length(replace(regexp_replace(text, '[.!?]+',"
+               " '|'), '|', '')), 1) AS BIGINT)").alias("s"),
+        F.expr(r"CAST(aggregate(transform("
+               r"split(trim(lower(text)), '\\s+'),"
+               f" x -> GREATEST(1, {runs})), 0,"
+               " (acc, v) -> acc + v) AS BIGINT)").alias("y"))
+    graded = per_doc.selectExpr(
+        "source", "w", "s", "y",
+        "CAST(ROUND(390000.0 * w / s, 0) AS BIGINT)"
+        " + CAST(ROUND(11800000.0 * y / w, 0) AS BIGINT)"
+        " - 15590000 AS grade_micro")
+    return (graded.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("w").cast("long").alias("sum_words"),
+                 F.sum("s").cast("long").alias("sum_sentences"),
+                 F.sum("y").cast("long").alias("sum_syllables"),
+                 F.sum("grade_micro").cast("long")
+                 .alias("sum_grade_micro"),
+                 F.min("grade_micro").cast("long")
+                 .alias("min_grade_micro"),
+                 F.max("grade_micro").cast("long")
+                 .alias("max_grade_micro"),
+                 F.expr("CAST(ROUND(CAST(SUM(grade_micro) AS DOUBLE)"
+                        " / COUNT(*), 0) AS BIGINT)")
+                 .alias("mean_grade_micro")))

@@ -116,6 +116,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "mmr_diverse_topk",             # X268
     # NEW_R7 representatives (this round's additions — appended as
     # they land, capped so len(DRIVER_ORDER) <= 50)
+    "fairness_group_audit",         # X272
+    "cmh_stratified_assoc",         # X273
+    "readability_fk_profile",       # X274
 )
 
 

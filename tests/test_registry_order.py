@@ -80,6 +80,9 @@ NEW_R6: dict[str, str] = {
 # this window's spare slots and are attested the round they land.
 # Maps query name -> class tag.
 NEW_R7: dict[str, str] = {
+    "fairness_group_audit": "X272",
+    "cmh_stratified_assoc": "X273",
+    "readability_fk_profile": "X274",
 }
 
 MAX_NEW_R7 = 9  # r6 verdict item 5

@@ -276,6 +276,9 @@ X_TITLES = {
     "X266": "Fagin TA early-termination audit",
     "X267": "KNN-Shapley data valuation",
     "X268": "MMR diversified retrieval",
+    "X272": "Group-fairness audit (parity / equalized odds)",
+    "X273": "Cochran-Mantel-Haenszel stratified association",
+    "X274": "Readability scoring (Flesch-Kincaid)",
 }
 
 
