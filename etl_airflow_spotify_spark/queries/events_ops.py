@@ -6561,3 +6561,295 @@ def esd_outlier_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             d = (d.join(top.select("day"), "day", "left_anti")
                  .localCheckpoint())
     return out
+
+
+# --------------------------------------------------------------------------
+# X269: Holt-Winters additive seasonal smoothing — the seasonal third
+# of the exponential-smoothing family: X209 (Holt) tracks level+trend
+# but cannot carry a weekly shape, X82 (STL) decomposes offline with
+# no forecast recurrence; Holt-Winters is what a daily-operations
+# forecaster actually runs. Season m=7, alpha=1/2, beta=1/4,
+# gamma=1/2 — all dyadic, so every update is one exact integer floor
+# division via the subtract-pmod identity (negative-seasonal-safe:
+# Spark DIV truncates, DuckDB // floors; the identity makes both
+# compute floor). Init: level = floor-mean of the first season,
+# trend 0, seasonals = first-season deviations. The fold state is
+# (l, b, s1..s7) — calendar-bounded at ANY data scale; the daily
+# aggregate is the only data-sized pass. Spark runs the recurrence as
+# ONE aggregate-HOF fold, the oracle as a recursive CTE (the X209
+# engine-placement). Winters (1960); [EXT].
+# --------------------------------------------------------------------------
+HW_SEASON = 7
+
+
+def _hw_exprs(fdiv, x, l, b, s1):
+    """The three Holt-Winters updates as strings, fully inlined so
+    both engines evaluate textually identical arithmetic. fdiv is the
+    engine's exact floor-division builder (_fdiv / _fdiv_duck)."""
+    l_new = fdiv(f"{x} - {s1} + {l} + {b}", 2)
+    b_new = fdiv(f"({l_new}) - {l} + 3 * {b}", 4)
+    s_new = fdiv(f"{x} - ({l_new}) + {s1}", 2)
+    return l_new, b_new, s_new
+
+
+def _hw_oracle_sql() -> str:
+    m = HW_SEASON
+    xs = " + ".join(f"x{i}" for i in range(1, m + 1))
+    l0 = _fdiv_duck(xs, m)
+    seed_s = ", ".join(
+        f"x{i} - ({l0}) AS s{i}" for i in range(1, m + 1))
+    l_new, b_new, s_new = _hw_exprs(
+        _fdiv_duck, "i.xm", "h.l", "h.b", "h.s1")
+    rot = ", ".join(f"h.s{i + 1}" for i in range(1, m))
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) * 1000000 AS xm
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, xm, ROW_NUMBER() OVER (ORDER BY day) AS rn
+        FROM daily
+    ),
+    init AS (
+        SELECT {", ".join(f"MAX(CASE WHEN rn = {i} THEN xm END) AS x{i}"
+                          for i in range(1, m + 1))}
+        FROM idx WHERE rn <= {m}
+    ),
+    seed AS (
+        SELECT CAST({m} AS BIGINT) AS rn,
+               CAST(({l0}) AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+               {seed_s}
+        FROM init
+    ),
+    hw(rn, day, xm, l, b, {", ".join(f"s{i}" for i in range(1, m + 1))},
+       err) AS (
+        SELECT rn, CAST(NULL AS DATE), CAST(NULL AS BIGINT), l, b,
+               {", ".join(f"s{i}" for i in range(1, m + 1))},
+               CAST(NULL AS BIGINT)
+        FROM seed
+        UNION ALL
+        SELECT i.rn, i.day, i.xm,
+               CAST(({l_new}) AS BIGINT),
+               CAST(({b_new}) AS BIGINT),
+               {rot}, CAST(({s_new}) AS BIGINT),
+               i.xm - (h.l + h.b + h.s1)
+        FROM hw h JOIN idx i ON i.rn = h.rn + 1
+    )
+    SELECT day, CAST(xm // 1000000 AS BIGINT) AS n,
+           CAST(l AS BIGINT) AS level_micro,
+           CAST(b AS BIGINT) AS trend_micro,
+           CAST(s{m} AS BIGINT) AS seasonal_micro,
+           CAST(err AS BIGINT) AS err_micro
+    FROM hw WHERE rn > {m}
+    """
+
+
+@register(
+    "holt_winters_daily",
+    _hw_oracle_sql(),
+    doc=f"X269 Holt-Winters additive seasonal smoothing (m={HW_SEASON},"
+        " alpha=1/2, beta=1/4, gamma=1/2) of the daily event series: "
+        "level/trend/seasonal recurrence as exact integer floor "
+        "divisions (subtract-pmod identity, negative-seasonal-safe "
+        "cross-engine); init = floor-mean level + first-season "
+        "deviations; per-day level, trend, updated seasonal and "
+        "one-step forecast error in micro units. Spark folds ONE "
+        "aggregate HOF, the oracle a recursive CTE; fold state is "
+        "calendar-bounded at any scale. Extends X209 (trend-only) "
+        "with the seasonal component X82 only decomposes offline. "
+        "Python replay + seasonal-rotation laws.",
+    tags=("X269", "X209", "X82", "X14", "X7"),
+)
+def holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = HW_SEASON
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date")
+                        .alias("day"))
+             .agg((F.count("*") * 1000000).cast("long").alias("xm")))
+    l_new, b_new, s_new = _hw_exprs(
+        _fdiv, "ee.xm", "acc.l", "acc.b", "acc.s1")
+    xs = " + ".join(f"ds[{i}].xm" for i in range(m))
+    l0 = _fdiv(xs, m)
+    seed_s = ", ".join(
+        f"'s{i + 1}', ds[{i}].xm - CAST(({l0}) AS BIGINT)"
+        for i in range(m))
+    rot = ", ".join(f"'s{i}', acc.s{i + 1}" for i in range(1, m))
+    arr = daily.agg(F.array_sort(F.collect_list(
+        F.struct("day", "xm"))).alias("ds"))
+    folded = arr.select(F.expr(f"""aggregate(
+        slice(ds, {m + 1}, greatest(size(ds) - {m}, 0)),
+        named_struct(
+            'l', CAST(({l0}) AS BIGINT), 'b', CAST(0 AS BIGINT),
+            {seed_s},
+            'out', CAST(array() AS ARRAY<STRUCT<
+                day DATE, n BIGINT, level_micro BIGINT,
+                trend_micro BIGINT, seasonal_micro BIGINT,
+                err_micro BIGINT>>)),
+        (acc, ee) -> named_struct(
+            'l', CAST(({l_new}) AS BIGINT),
+            'b', CAST(({b_new}) AS BIGINT),
+            {rot}, 's{m}', CAST(({s_new}) AS BIGINT),
+            'out', array_append(acc.out, named_struct(
+                'day', ee.day,
+                'n', ee.xm DIV 1000000,
+                'level_micro', CAST(({l_new}) AS BIGINT),
+                'trend_micro', CAST(({b_new}) AS BIGINT),
+                'seasonal_micro', CAST(({s_new}) AS BIGINT),
+                'err_micro', ee.xm - (acc.l + acc.b + acc.s1)))))""")
+        .alias("v"))
+    return (folded.select(F.explode("v.out").alias("u"))
+            .select("u.day", "u.n", "u.level_micro", "u.trend_micro",
+                    "u.seasonal_micro", "u.err_micro"))
+
+
+# --------------------------------------------------------------------------
+# X275: binary-segmentation changepoint detection — the MULTIPLE-
+# changepoint extension of the single-shift detectors (X85 CUSUM one
+# level shift, X229/X261 Page-Hinkley one drift alarm): greedily add
+# the split with the largest between-segment contrast, then recurse
+# into the segments (Scott-Knott / binseg, the standard first pass
+# before PELT). Gain of splitting segment [s, e] at k is the SSE drop
+# n1*n2/(n1+n2) * (mean1 - mean2)^2, evaluated exactly as
+# A = S1*n2 - S2*n1 over prefix sums, gain = A^2/(n1*n2*n) snapped to
+# the micro grid by ONE textually-identical DOUBLE expression (A^2
+# can pass 2^63 at large SF, so the square is computed in IEEE double
+# on both engines); argmax over snapped integers, (gain DESC, day)
+# tiebreak. BINSEG_SPLITS fixed greedy rounds (X157 deterministic-
+# prefix discipline). The series is calendar-bounded, so every
+# candidate frame is tiny at any data scale; the daily aggregate is
+# the only data-sized pass. [EXT]
+# --------------------------------------------------------------------------
+BINSEG_SPLITS = 3
+
+
+def _binseg_gain(a: str, n1: str, n2: str, n: str) -> str:
+    return (f"CAST(ROUND(CAST({a} AS DOUBLE) * ({a}) * 1000000.0"
+            f" / (CAST({n1} AS DOUBLE) * ({n2}) * ({n})), 0)"
+            " AS BIGINT)")
+
+
+def _binseg_oracle_sql() -> str:
+    gain = _binseg_gain(
+        "(d.cum - g.cum_lo) * (g.e - d.rn)"
+        " - (g.cum_hi - d.cum) * (d.rn - g.s + 1)",
+        "d.rn - g.s + 1", "g.e - d.rn", "g.e - g.s + 1")
+    parts = ["""daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+               SUM(x) OVER (ORDER BY day) AS cum
+        FROM daily
+    ),
+    nn AS (SELECT MAX(rn) AS n, MAX(cum) AS total FROM idx),
+    cps0 AS (
+        SELECT CAST(NULL AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS cum
+        WHERE 1 = 0
+    )"""]
+    for r in range(1, BINSEG_SPLITS + 1):
+        parts.append(f"""bounds{r} AS (
+        SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS cb
+        UNION ALL SELECT rn, cum FROM cps{r - 1}
+        UNION ALL SELECT n, total FROM nn
+    ),
+    segs{r} AS (
+        SELECT b + 1 AS s, LEAD(b) OVER (ORDER BY b) AS e,
+               cb AS cum_lo, LEAD(cb) OVER (ORDER BY b) AS cum_hi
+        FROM bounds{r}
+    ),
+    pick{r} AS (
+        SELECT rn, cum, day, s, e, n_left, n_right, sum_left,
+               sum_right, gain_micro
+        FROM (
+            SELECT d.rn, d.cum, d.day, g.s, g.e,
+                   d.rn - g.s + 1 AS n_left, g.e - d.rn AS n_right,
+                   d.cum - g.cum_lo AS sum_left,
+                   g.cum_hi - d.cum AS sum_right,
+                   {gain} AS gain_micro
+            FROM segs{r} g
+            JOIN idx d ON d.rn >= g.s AND d.rn < g.e
+            WHERE g.e IS NOT NULL
+        ) ORDER BY gain_micro DESC, rn LIMIT 1
+    ),
+    cps{r} AS (
+        SELECT rn, cum FROM cps{r - 1}
+        UNION ALL SELECT rn, cum FROM pick{r}
+    )""")
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round, day AS split_day,
+           CAST(rn AS BIGINT) AS k, CAST(s AS BIGINT) AS seg_start,
+           CAST(e AS BIGINT) AS seg_end,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(sum_left AS BIGINT) AS sum_left,
+           CAST(sum_right AS BIGINT) AS sum_right,
+           CAST(gain_micro AS BIGINT) AS gain_micro
+    FROM pick{r}""" for r in range(1, BINSEG_SPLITS + 1))
+    return "WITH " + ",\n    ".join(parts) + "\n" + rows
+
+
+@register(
+    "binseg_changepoints",
+    _binseg_oracle_sql(),
+    doc=f"X275 binary-segmentation changepoints of the daily event "
+        f"series ({BINSEG_SPLITS} greedy rounds): each round splits "
+        "the segment with the largest exact between-segment contrast "
+        "gain A^2/(n1*n2*n) (A = S1*n2 - S2*n1 over prefix sums), "
+        "snapped micro by one identical DOUBLE expression, argmax "
+        "with (gain DESC, day) tiebreak. Extends X85/X229 single-"
+        "shift detection to multiple changepoints; candidate frames "
+        "are calendar-bounded at any scale. Python brute-force "
+        "replay + SSE-decomposition laws.",
+    tags=("X275", "X85", "X49", "X11", "X7"),
+)
+def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date")
+                        .alias("day"))
+             .agg(F.count("*").cast("long").alias("x")))
+    wd = Window.orderBy("day")
+    idx = (daily.select("day", "x",
+                        F.row_number().over(wd).cast("long").alias("rn"),
+                        F.sum("x").over(wd).cast("long").alias("cum"))
+           # calendar-bounded frame drives every round: one partition,
+           # plan truncated (X196/X268 tiny-frame + plan-text lessons)
+           .repartition(1).localCheckpoint())
+    top = idx.agg(F.max("rn").alias("n"), F.max("cum").alias("t")) \
+        .first()
+    n, total = int(top["n"]), int(top["t"])
+    gain = _binseg_gain(
+        "(cum - cum_lo) * (e - rn) - (cum_hi - cum) * (rn - s + 1)",
+        "rn - s + 1", "e - rn", "e - s + 1")
+    bounds = [(0, 0), (n, total)]
+    out_rows = []
+    for r in range(1, BINSEG_SPLITS + 1):
+        bs = sorted(bounds)
+        segs = spark.createDataFrame(
+            [(lo + 1, hi, clo, chi)
+             for (lo, clo), (hi, chi) in zip(bs, bs[1:])],
+            "s long, e long, cum_lo long, cum_hi long")
+        pick = (idx.join(F.broadcast(segs),
+                         (F.col("rn") >= F.col("s"))
+                         & (F.col("rn") < F.col("e")))
+                .selectExpr("rn", "cum", "day", "s", "e",
+                            "rn - s + 1 AS n_left", "e - rn AS n_right",
+                            "cum - cum_lo AS sum_left",
+                            "cum_hi - cum AS sum_right",
+                            f"{gain} AS gain_micro")
+                .orderBy(F.desc("gain_micro"), F.asc("rn")).limit(1)
+                .first())
+        out_rows.append((r, pick["day"], pick["rn"], pick["s"],
+                         pick["e"], pick["n_left"], pick["n_right"],
+                         pick["sum_left"], pick["sum_right"],
+                         pick["gain_micro"]))
+        bounds.append((int(pick["rn"]), int(pick["cum"])))
+    return spark.createDataFrame(
+        out_rows,
+        "round BIGINT, split_day DATE, k BIGINT, seg_start BIGINT, "
+        "seg_end BIGINT, n_left BIGINT, n_right BIGINT, "
+        "sum_left BIGINT, sum_right BIGINT, gain_micro BIGINT")

@@ -484,3 +484,105 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(100.0 * (est - F.col("n_exact")) / F.col("n_exact"),
                 2).alias("rel_err_pct"))
         .orderBy("scope"))
+
+
+# --------------------------------------------------------------------------
+# X271: lossy counting (Manku-Motwani VLDB 2002) — the DETERMINISTIC
+# frequency sketch next to count-min (X29, probabilistic overcount)
+# and KMV (X186, distinct only): one pass over a stream in epsilon-
+# width buckets, pruning candidates whose (count + first-bucket slack)
+# falls behind the bucket index, with the classic guarantees —
+# true_f - eps*N <= f <= true_f, and NO false negatives above eps*N.
+# Pruning happens only at bucket boundaries, so the per-bucket counts
+# are order-free aggregates and the sequential part is exactly
+# LC_BUCKETS merge+prune rounds over the (bounded) candidate frame —
+# both engines run the identical 10-round fold. The stream order is
+# the deterministic (ts, event_id) rank; bucket = rank decile. Exact
+# oracle (the algorithm is deterministic, unlike the DataSketches
+# rollups above). [EXT]
+# Scale note: rank-decile bucketing keeps the oracle replayable; a
+# production deployment buckets by arrival batch (file/offset range),
+# which needs no global rank — the merge+prune recurrence is
+# unchanged.
+# --------------------------------------------------------------------------
+LC_BUCKETS = 10  # eps = 1/10 of the stream per bucket
+
+
+def _lossy_oracle_sql() -> str:
+    parts = [f"""base AS (
+        SELECT user_id AS item,
+               ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM events
+    ),
+    bc AS (
+        SELECT ((rn - 1) * {LC_BUCKETS}) // n + 1 AS bucket, item,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2
+    ),
+    d0 AS (
+        SELECT CAST(NULL AS BIGINT) AS item, CAST(NULL AS BIGINT) AS f,
+               CAST(NULL AS BIGINT) AS delta
+        WHERE 1 = 0
+    )"""]
+    for b in range(1, LC_BUCKETS + 1):
+        parts.append(f"""d{b} AS (
+        SELECT COALESCE(d.item, i.item) AS item,
+               CAST(COALESCE(d.f, 0) + COALESCE(i.c, 0) AS BIGINT)
+                   AS f,
+               CAST(COALESCE(d.delta, {b - 1}) AS BIGINT) AS delta
+        FROM d{b - 1} d
+        FULL JOIN (SELECT item, c FROM bc WHERE bucket = {b}) i
+             ON i.item = d.item
+        WHERE COALESCE(d.f, 0) + COALESCE(i.c, 0)
+              + COALESCE(d.delta, {b - 1}) > {b}
+    )""")
+    return ("WITH " + ",\n    ".join(parts)
+            + f"\nSELECT item AS user_id, f, delta FROM d{LC_BUCKETS}")
+
+
+@register(
+    "lossy_count_users",
+    _lossy_oracle_sql(),
+    doc=f"X271 lossy counting of user frequencies over the "
+        f"(ts, event_id)-ordered event stream in {LC_BUCKETS} rank-"
+        "decile buckets (Manku-Motwani 2002): per-bucket counts are "
+        "order-free aggregates; the sequential part is exactly "
+        f"{LC_BUCKETS} full-join merge + boundary-prune rounds over "
+        "the bounded candidate frame (identical fold both engines). "
+        "Survivors carry (f, delta) with true_f - N/10 <= f <= true_f "
+        "and zero false negatives above N/10 — both law-pinned "
+        "against a per-element Python replay. Deterministic, so it "
+        "gets a real oracle unlike the DataSketches rollups. [EXT]",
+    tags=("X271", "X29", "X186", "X7", "X13"),
+)
+def lossy_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    base = ev.select(
+        F.col("user_id").alias("item"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"))
+    bc = (base.select(F.expr(f"((rn - 1) * {LC_BUCKETS}) DIV n + 1")
+                      .alias("bucket"), "item")
+          .groupBy("bucket", "item")
+          .agg(F.count("*").cast("long").alias("c"))
+          # candidate-dict frames are tiny; keep the 10-round fold off
+          # the 32-partition shuffle grid (X196 tiny-frame lesson)
+          .repartition(4, "item").localCheckpoint())
+    d = spark.createDataFrame([], "item bigint, f bigint, delta bigint")
+    for b in range(1, LC_BUCKETS + 1):
+        inc = bc.filter(F.col("bucket") == b).select("item", "c")
+        d = (d.join(inc, "item", "full")
+             .select(
+                 "item",
+                 (F.coalesce(F.col("f"), F.lit(0))
+                  + F.coalesce(F.col("c"), F.lit(0))).cast("long")
+                 .alias("f"),
+                 F.coalesce(F.col("delta"), F.lit(b - 1)).cast("long")
+                 .alias("delta"))
+             .filter(F.col("f") + F.col("delta") > b)
+             .localCheckpoint())
+    return d.select(F.col("item").alias("user_id"), "f", "delta")

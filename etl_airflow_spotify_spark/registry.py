@@ -119,6 +119,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "fairness_group_audit",         # X272
     "cmh_stratified_assoc",         # X273
     "readability_fk_profile",       # X274
+    "holt_winters_daily",           # X269
+    "lossy_count_users",            # X271
+    "binseg_changepoints",          # X275
 )
 
 

@@ -83,6 +83,9 @@ NEW_R7: dict[str, str] = {
     "fairness_group_audit": "X272",
     "cmh_stratified_assoc": "X273",
     "readability_fk_profile": "X274",
+    "holt_winters_daily": "X269",
+    "lossy_count_users": "X271",
+    "binseg_changepoints": "X275",
 }
 
 MAX_NEW_R7 = 9  # r6 verdict item 5
