@@ -2894,3 +2894,141 @@ def scc_pivot_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pivot_scc_size", scc.count()),
     ]
     return spark.createDataFrame(rows, "metric string, value long")
+
+
+# --------------------------------------------------------------------------
+# X277: distributed greedy graph coloring — the CONFLICT-RESOLUTION
+# primitive next to Luby MIS (X233, one independent set) and the
+# community/label families: color every node so no edge is
+# monochromatic (register allocation / schedule slotting / mutex
+# grouping semantics). Jones-Plassmann rounds on md5 priorities: each
+# round, every uncolored node that is a LOCAL MAX among its uncolored
+# neighbors (priority, id) picks the smallest color absent from its
+# colored neighborhood — the chosen set is independent among
+# uncolored nodes, so rounds commute deterministically on both
+# engines. Inductively, round r can assign at most color r-1, so the
+# candidate range 0..r-1 is provably sufficient. COLOR_ROUNDS fixed
+# rounds (X157 deterministic-prefix discipline; leftover uncolored
+# nodes report as color -1 and the law test verifies properness +
+# Python replay). Graph: co-purchase edges on the p_partkey % 4 == 0
+# subsample (keeps the bench graph ~1/16 of edges while exercising
+# the identical plan shape). Scale: each round is one neighbor join
+# + keyed aggregates — no global structures. Jones-Plassmann (1993);
+# [EXT].
+# --------------------------------------------------------------------------
+COLOR_ROUNDS = 6
+COLOR_MOD = 4  # keep parts with p_partkey % COLOR_MOD == 0
+
+
+def _coloring_oracle_sql() -> str:
+    parts = [f"""op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        WHERE l_partkey % {COLOR_MOD} = 0),
+    eu AS MATERIALIZED (
+        SELECT DISTINCT a.i AS lo, b.i AS hi
+        FROM op a JOIN op b ON a.g = b.g AND a.i < b.i),
+    sym AS MATERIALIZED (
+        SELECT lo AS src, hi AS dst FROM eu
+        UNION ALL SELECT hi, lo FROM eu),
+    lab0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node,
+               ('0x' || substr(md5('col:' || src), 1, 15))::BIGINT
+                   AS pr,
+               CAST(NULL AS BIGINT) AS color
+        FROM sym)"""]
+    for r in range(1, COLOR_ROUNDS + 1):
+        parts.append(f"""lab{r} AS MATERIALIZED (
+        SELECT l.node, l.pr,
+               CASE WHEN l.color IS NOT NULL THEN l.color
+                    WHEN NOT EXISTS (
+                        SELECT 1 FROM sym e JOIN lab{r - 1} x
+                            ON x.node = e.dst
+                        WHERE e.src = l.node AND x.color IS NULL
+                          AND (x.pr, x.node) > (l.pr, l.node))
+                    THEN (
+                        SELECT MIN(cc.c) FROM (
+                            SELECT UNNEST(generate_series(0, {r - 1}))
+                                AS c) cc
+                        WHERE cc.c NOT IN (
+                            SELECT x.color FROM sym e
+                            JOIN lab{r - 1} x ON x.node = e.dst
+                            WHERE e.src = l.node
+                              AND x.color IS NOT NULL))
+                    ELSE NULL END AS color
+        FROM lab{r - 1} l)""")
+    return ("WITH " + ",\n    ".join(parts) + f"""
+    SELECT COALESCE(color, -1) AS color,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM lab{COLOR_ROUNDS} GROUP BY 1
+    """)
+
+
+@register(
+    "greedy_graph_coloring",
+    _coloring_oracle_sql(),
+    doc=f"X277 Jones-Plassmann greedy coloring of the sampled "
+        f"co-purchase graph ({COLOR_ROUNDS} fixed rounds): per round, "
+        "uncolored local maxima by md5 (priority, id) take the "
+        "smallest color absent from their colored neighborhood "
+        "(provably <= r-1 in round r, so the candidate range is "
+        "bounded); leftovers report color -1 (deterministic prefix). "
+        "Output: color histogram with node-range signature. The "
+        "conflict-resolution primitive next to X233's single MIS. "
+        "Properness + Python replay laws.",
+    tags=("X277", "X233", "X30", "X3", "X7"),
+)
+def greedy_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_partkey") % COLOR_MOD == 0))
+    eu = (G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+          .filter(F.col("src") < F.col("dst"))
+          .select(F.col("src").alias("lo"), F.col("dst").alias("hi")))
+    sym = persist_tracked(
+        eu.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .unionByName(eu.select(F.col("hi").alias("src"),
+                               F.col("lo").alias("dst"))))
+    lab = (sym.select(F.col("src").alias("node")).distinct()
+           .select("node",
+                   F.conv(F.substring(
+                       F.md5(F.concat(F.lit("col:"), F.col("node"))),
+                       1, 15), 16, 10).cast("long").alias("pr"),
+                   F.lit(None).cast("long").alias("color"))
+           .localCheckpoint())
+    for r in range(1, COLOR_ROUNDS + 1):
+        unc = lab.filter(F.col("color").isNull())
+        # nodes blocked by a higher-(pr, node) uncolored neighbor
+        blocked = (sym.join(unc.select(F.col("node").alias("dst"),
+                                       F.col("pr").alias("npr")),
+                            "dst")
+                   .join(unc.select(F.col("node").alias("src"),
+                                    F.col("pr").alias("spr")), "src")
+                   .filter((F.col("npr") > F.col("spr"))
+                           | ((F.col("npr") == F.col("spr"))
+                              & (F.col("dst") > F.col("src"))))
+                   .select(F.col("src").alias("node")).distinct())
+        winners = unc.select("node").join(blocked, "node", "left_anti")
+        ncol = (sym.join(lab.filter(F.col("color").isNotNull())
+                         .select(F.col("node").alias("dst"), "color"),
+                         "dst")
+                .select(F.col("src").alias("node"), "color"))
+        picked = (winners.join(ncol, "node", "left")
+                  .groupBy("node")
+                  .agg(F.collect_set("color").alias("used"))
+                  .select("node",
+                          F.expr(f"array_min(array_except("
+                                 f"sequence(0L, {r - 1}L),"
+                                 " coalesce(used, array())))")
+                          .alias("new_color")))
+        lab = (lab.join(picked, "node", "left")
+               .select("node", "pr",
+                       F.coalesce("color", "new_color").cast("long")
+                       .alias("color"))
+               .localCheckpoint())
+    return (lab.groupBy(F.coalesce("color", F.lit(-1)).alias("color"))
+            .agg(F.count("*").cast("long").alias("n_nodes"),
+                 F.min("node").cast("long").alias("min_node"),
+                 F.max("node").cast("long").alias("max_node")))

@@ -702,3 +702,139 @@ def horvitz_thompson_regions(spark: SparkSession,
             .withColumn("abs_err_permille",
                         F.expr("CAST((ABS(ht_est_cents - true_cents)"
                                " * 1000) DIV true_cents AS BIGINT)")))
+
+
+# --------------------------------------------------------------------------
+# X276: iterative proportional fitting (raking) — the survey-weighting
+# workhorse the sampling family is missing: X258 (Horvitz-Thompson)
+# corrects KNOWN inclusion probabilities, X182 (Neyman) plans strata
+# sizes; raking calibrates an OBSERVED cell table to match target
+# margins on both axes when only margins are known (Deming-Stephan
+# 1940) — how a 100 TB platform reweights last year's (priority x
+# returnflag) mix onto this year's marginal totals. Each half-round
+# scales cells by target/current margin: weights live on the micro
+# grid as BIGINT, margins fold exactly, and each cell update is ONE
+# textually-identical DOUBLE expression snapped back to micro —
+# IPF_ROUNDS full (row+column) rounds, trajectory output per round.
+# Cells are dimension-bounded (5x3) at any data scale; the two fact
+# passes (seed year + target year) are the only data-sized work.
+# --------------------------------------------------------------------------
+IPF_ROUNDS = 4
+IPF_SEED_YEAR = 1996
+IPF_TARGET_YEAR = 1997
+
+
+def _ipf_step(axis: str) -> str:
+    """One raking half-step: scale every cell so `axis` margins match
+    the target. axis joins are on priority (row) or flag (col)."""
+    return (f"CAST(ROUND(CAST(w AS DOUBLE) * {axis}_target"
+            f" / {axis}_sum, 0) AS BIGINT)")
+
+
+def _ipf_oracle_sql() -> str:
+    parts = [f"""cells AS (
+        SELECT o.o_orderpriority AS priority, l.l_returnflag AS flag,
+               CAST(COUNT(*) AS BIGINT) AS seed_n
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE EXTRACT(year FROM l.l_shipdate) = {IPF_SEED_YEAR}
+        GROUP BY 1, 2
+    ),
+    tgt AS (
+        SELECT o.o_orderpriority AS priority, l.l_returnflag AS flag,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE EXTRACT(year FROM l.l_shipdate) = {IPF_TARGET_YEAR}
+        GROUP BY 1, 2
+    ),
+    row_t AS (SELECT priority, CAST(SUM(n) * 1000000 AS BIGINT)
+                  AS row_target FROM tgt GROUP BY priority),
+    col_t AS (SELECT flag, CAST(SUM(n) * 1000000 AS BIGINT)
+                  AS col_target FROM tgt GROUP BY flag),
+    w0 AS (
+        SELECT priority, flag, seed_n,
+               CAST(seed_n * 1000000 AS BIGINT) AS w
+        FROM cells
+    )"""]
+    for r in range(1, IPF_ROUNDS + 1):
+        parts.append(f"""wr{r} AS (
+        SELECT c.priority, c.flag, c.seed_n,
+               {_ipf_step('row')} AS w
+        FROM (SELECT w.*, rt.row_target,
+                     SUM(w.w) OVER (PARTITION BY w.priority) AS row_sum
+              FROM w{r - 1} w JOIN row_t rt
+                   ON rt.priority = w.priority) c
+    ),
+    w{r} AS (
+        SELECT c.priority, c.flag, c.seed_n,
+               {_ipf_step('col')} AS w
+        FROM (SELECT w.*, ct.col_target,
+                     SUM(w.w) OVER (PARTITION BY w.flag) AS col_sum
+              FROM wr{r} w JOIN col_t ct ON ct.flag = w.flag) c
+    )""")
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round, priority, flag,
+           seed_n, CAST(w AS BIGINT) AS w_micro
+    FROM w{r}""" for r in range(1, IPF_ROUNDS + 1))
+    return "WITH " + ",\n    ".join(parts) + "\n" + rows
+
+
+@register(
+    "ipf_raking_weights",
+    _ipf_oracle_sql(),
+    doc=f"X276 iterative proportional fitting: rake the "
+        f"{IPF_SEED_YEAR} (priority x returnflag) cell counts onto "
+        f"the {IPF_TARGET_YEAR} row/column marginal totals "
+        f"({IPF_ROUNDS} full rounds, Deming-Stephan 1940). Weights "
+        "are micro-grid BIGINTs; margins fold exactly; each half-step "
+        "scales cells by ONE textually-identical DOUBLE ratio snapped "
+        "back to micro. Per-round trajectory over the dimension-"
+        "bounded 5x3 cell table; two fact passes total. Python "
+        "replay + margin-convergence laws.",
+    tags=("X276", "X258", "X182", "X28", "X7"),
+)
+def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    fact = (li.join(o, o.o_orderkey == li.l_orderkey)
+            .select(F.col("o_orderpriority").alias("priority"),
+                    F.col("l_returnflag").alias("flag"),
+                    F.year("l_shipdate").alias("yr")))
+    cells = (fact.filter(F.col("yr") == IPF_SEED_YEAR)
+             .groupBy("priority", "flag")
+             .agg(F.count("*").cast("long").alias("seed_n")))
+    tgt = (fact.filter(F.col("yr") == IPF_TARGET_YEAR)
+           .groupBy("priority", "flag")
+           .agg(F.count("*").cast("long").alias("n")))
+    row_t = (tgt.groupBy("priority")
+             .agg((F.sum("n") * 1000000).cast("long")
+                  .alias("row_target")))
+    col_t = (tgt.groupBy("flag")
+             .agg((F.sum("n") * 1000000).cast("long")
+                  .alias("col_target")))
+    # 15-cell state frame: one partition, checkpoint per round (plan
+    # text + tiny-frame lessons); margins broadcast.
+    w = (cells.withColumn("w", (F.col("seed_n") * 1000000)
+                          .cast("long"))
+         .repartition(1).localCheckpoint())
+    row_t = F.broadcast(row_t.localCheckpoint())
+    col_t = F.broadcast(col_t.localCheckpoint())
+    out = None
+    for r in range(1, IPF_ROUNDS + 1):
+        wr = (w.join(row_t, "priority")
+              .withColumn("row_sum", F.sum("w").over(
+                  Window.partitionBy("priority")))
+              .selectExpr("priority", "flag", "seed_n",
+                          f"{_ipf_step('row')} AS w"))
+        w = (wr.join(col_t, "flag")
+             .withColumn("col_sum", F.sum("w").over(
+                 Window.partitionBy("flag")))
+             .selectExpr("priority", "flag", "seed_n",
+                         f"{_ipf_step('col')} AS w")
+             .localCheckpoint())
+        step = w.selectExpr(f"CAST({r} AS BIGINT) AS round", "priority",
+                            "flag", "seed_n",
+                            "CAST(w AS BIGINT) AS w_micro")
+        out = step if out is None else out.unionByName(step)
+    return out

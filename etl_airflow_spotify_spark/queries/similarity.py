@@ -4247,3 +4247,192 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("query_id",
                       F.col("pick_rank").cast("long").alias("pick_rank"),
                       "vec_id", "rel_d2", "mmr_score")
+
+
+# --------------------------------------------------------------------------
+# X270: auction-algorithm assignment (Bertsekas 1979) — OPTIMIZING
+# assignment by dual price ascent, the third matching semantics next
+# to X201 (Gale-Shapley: ordinal preferences, stability) and X187
+# (mutual-best greedy: no prices, no optimality): bidders hold
+# CARDINAL payoffs and the auction provably lands within N*eps of the
+# optimal-sum assignment (eps-complementary slackness). Bidders = top
+# AUC_N suppliers by revenue, objects = top AUC_N brands, payoff =
+# exact centi-revenue of (supplier, brand); eps = 1 centi. Jacobi
+# rounds: every unassigned bidder bids best-net-minus-second-net + eps
+# on its favorite object, each object goes to its highest bid
+# (deterministic tiebreaks), the displaced owner re-enters. Fixed
+# AUC_ROUNDS rounds (X157 deterministic-prefix discipline; converged
+# rounds are no-ops because the unassigned set is empty). Everything
+# is BIGINT; the optimality gap vs brute-force (N! enumeration) is
+# law-pinned. Scale: payoffs come from one fact aggregate; the
+# auction state is N^2 = dimension-bounded at any data scale. [EXT]
+# --------------------------------------------------------------------------
+AUC_N = 6
+AUC_EPS = 1  # centi-units
+AUC_ROUNDS = 12
+
+
+def _auction_oracle_sql() -> str:
+    parts = [f"""rev AS (
+        SELECT l.l_suppkey AS sk, p.p_brand AS brand,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                    * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    ts AS (
+        SELECT sk FROM (
+            SELECT sk, ROW_NUMBER() OVER (ORDER BY SUM(v) DESC, sk)
+                AS rn
+            FROM rev GROUP BY sk) WHERE rn <= {AUC_N}
+    ),
+    tb AS (
+        SELECT brand FROM (
+            SELECT brand, ROW_NUMBER() OVER (ORDER BY SUM(v) DESC,
+                brand) AS rn
+            FROM rev GROUP BY brand) WHERE rn <= {AUC_N}
+    ),
+    v AS MATERIALIZED (
+        SELECT ts.sk, tb.brand, CAST(COALESCE(r.v, 0) AS BIGINT) AS v
+        FROM ts CROSS JOIN tb
+        LEFT JOIN rev r ON r.sk = ts.sk AND r.brand = tb.brand
+    ),
+    own0 AS MATERIALIZED (
+        SELECT CAST(NULL AS BIGINT) AS sk, CAST(NULL AS VARCHAR)
+            AS brand, CAST(NULL AS BIGINT) AS bid
+        WHERE 1 = 0
+    ),
+    p0 AS MATERIALIZED (
+        SELECT brand, CAST(0 AS BIGINT) AS price FROM tb
+    )"""]
+    for r in range(1, AUC_ROUNDS + 1):
+        parts.append(f"""rk{r} AS MATERIALIZED (
+        SELECT n.sk, n.brand, n.net,
+               ROW_NUMBER() OVER (PARTITION BY n.sk
+                                  ORDER BY n.net DESC, n.brand) AS rn
+        FROM (SELECT v.sk, v.brand, v.v - p.price AS net
+              FROM v JOIN p{r - 1} p ON p.brand = v.brand
+              WHERE v.sk NOT IN (SELECT sk FROM own{r - 1})) n
+    ),
+    bid{r} AS MATERIALIZED (
+        SELECT r1.sk, r1.brand,
+               p.price + r1.net - r2.net + {AUC_EPS} AS bid
+        FROM rk{r} r1
+        JOIN rk{r} r2 ON r2.sk = r1.sk AND r2.rn = 2
+        JOIN p{r - 1} p ON p.brand = r1.brand
+        WHERE r1.rn = 1
+    ),
+    win{r} AS MATERIALIZED (
+        SELECT brand, sk, bid FROM (
+            SELECT brand, sk, bid,
+                   ROW_NUMBER() OVER (PARTITION BY brand
+                                      ORDER BY bid DESC, sk) AS wn
+            FROM bid{r}) WHERE wn = 1
+    ),
+    own{r} AS MATERIALIZED (
+        SELECT o.sk, o.brand, o.bid FROM own{r - 1} o
+        WHERE o.brand NOT IN (SELECT brand FROM win{r})
+        UNION ALL SELECT sk, brand, bid FROM win{r}
+    ),
+    p{r} AS MATERIALIZED (
+        SELECT p.brand, COALESCE(w.bid, p.price) AS price
+        FROM p{r - 1} p LEFT JOIN win{r} w ON w.brand = p.brand
+    )""")
+    return ("WITH " + ",\n    ".join(parts) + f"""
+    SELECT ts.sk AS suppkey, o.brand,
+           CAST(v.v AS BIGINT) AS payoff_centi,
+           CAST(p.price AS BIGINT) AS price_centi
+    FROM ts
+    LEFT JOIN own{AUC_ROUNDS} o ON o.sk = ts.sk
+    LEFT JOIN v ON v.sk = ts.sk AND v.brand = o.brand
+    LEFT JOIN p{AUC_ROUNDS} p ON p.brand = o.brand
+    """)
+
+
+@register(
+    "auction_assignment",
+    _auction_oracle_sql(),
+    doc=f"X270 Bertsekas auction assignment of the top-{AUC_N} "
+        f"suppliers to the top-{AUC_N} brands by exact centi-revenue "
+        f"payoffs (eps = {AUC_EPS} centi, {AUC_ROUNDS} Jacobi "
+        "rounds): unassigned bidders bid best-net minus second-net "
+        "plus eps, objects take the highest bid, displaced owners "
+        "re-enter; converged rounds are no-ops. All-BIGINT dual "
+        "ascent; within N*eps of the optimal sum by eps-complementary "
+        "slackness — law-pinned against brute-force N! enumeration. "
+        "Completes the matching triptych with X201 (stable ordinal) "
+        "and X187 (greedy mutual-best). Python replay law.",
+    tags=("X270", "X201", "X187", "X3", "X12"),
+)
+def auction_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (li.join(p, p.p_partkey == li.l_partkey)
+           .groupBy(F.col("l_suppkey").alias("sk"),
+                    F.col("p_brand").alias("brand"))
+           .agg(F.sum(F.expr("CAST(FLOOR(l_extendedprice"
+                             " * (1 - l_discount) * 100 + 0.5)"
+                             " AS BIGINT)")).cast("long").alias("v"))
+           .localCheckpoint())
+    ts = (rev.groupBy("sk").agg(F.sum("v").alias("tot"))
+          .withColumn("rn", F.row_number().over(
+              Window.orderBy(F.desc("tot"), F.asc("sk"))))
+          .filter(F.col("rn") <= AUC_N).select("sk"))
+    tb = (rev.groupBy("brand").agg(F.sum("v").alias("tot"))
+          .withColumn("rn", F.row_number().over(
+              Window.orderBy(F.desc("tot"), F.asc("brand"))))
+          .filter(F.col("rn") <= AUC_N).select("brand"))
+    # The distributed part ends here: payoff construction is one fact
+    # aggregate + top-N windows. The auction state is AUC_N^2 = 36
+    # values — CONSTANT in data scale — so the dual ascent runs
+    # driver-side on the bounded collected matrix (the kcenter/SCC
+    # bounded-collect pattern; an engine-side round loop spends ~5
+    # checkpoint jobs per round on 36 rows and GC-thrashes a default
+    # 1g driver). Integer arithmetic replayed identically to the
+    # oracle's 12 unrolled SQL rounds.
+    mat = (ts.crossJoin(tb)
+           .join(rev, ["sk", "brand"], "left")
+           .select("sk", "brand",
+                   F.coalesce("v", F.lit(0)).cast("long").alias("v"))
+           .collect())  # AUC_N^2 rows, bounded
+    vmap = {(r["sk"], r["brand"]): int(r["v"]) for r in mat}
+    bidders = sorted({k[0] for k in vmap})
+    objs = sorted({k[1] for k in vmap})
+    prices = {b: 0 for b in objs}
+    owner: dict = {}   # brand -> (sk, bid)
+    for _ in range(AUC_ROUNDS):
+        held = {sk for sk, _ in owner.values()}
+        unas = [sk for sk in bidders if sk not in held]
+        if not unas:
+            continue  # converged; remaining rounds are no-ops
+        bids = []
+        for sk in unas:
+            nets = sorted(((vmap[(sk, b)] - prices[b], b)
+                           for b in objs),
+                          key=lambda t: (-t[0], t[1]))
+            (n1, b1), (n2, _) = nets[0], nets[1]
+            bids.append((b1, sk, prices[b1] + n1 - n2 + AUC_EPS))
+        best: dict = {}
+        for b, sk, bid in bids:
+            # highest bid wins; ties break to the SMALLEST sk —
+            # matches the oracle's ROW_NUMBER (bid DESC, sk) exactly
+            if b not in best or (bid, -sk) > (best[b][1], -best[b][0]):
+                best[b] = (sk, bid)
+        for b, (sk, bid) in best.items():
+            owner[b] = (sk, bid)
+            prices[b] = bid
+    rows = []
+    for sk in bidders:
+        assigned = [(b, bid) for b, (s2, bid) in owner.items()
+                    if s2 == sk]
+        if assigned:
+            b, _ = assigned[0]
+            rows.append((sk, b, vmap[(sk, b)], prices[b]))
+        else:
+            rows.append((sk, None, None, None))
+    return spark.createDataFrame(
+        rows, "suppkey BIGINT, brand STRING, payoff_centi BIGINT, "
+        "price_centi BIGINT")

@@ -122,6 +122,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "holt_winters_daily",           # X269
     "lossy_count_users",            # X271
     "binseg_changepoints",          # X275
+    "auction_assignment",           # X270
+    "ipf_raking_weights",           # X276
+    "greedy_graph_coloring",        # X277
 )
 
 

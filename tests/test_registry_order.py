@@ -86,6 +86,9 @@ NEW_R7: dict[str, str] = {
     "holt_winters_daily": "X269",
     "lossy_count_users": "X271",
     "binseg_changepoints": "X275",
+    "auction_assignment": "X270",
+    "ipf_raking_weights": "X276",
+    "greedy_graph_coloring": "X277",
 }
 
 MAX_NEW_R7 = 9  # r6 verdict item 5
