@@ -316,6 +316,16 @@ HEADLINE = [
     "fagin_ta_depth",
     "knn_shapley_valuation",
     "mmr_diverse_topk",
+    # round 7
+    "holt_winters_daily",
+    "auction_assignment",
+    "lossy_count_users",
+    "fairness_group_audit",
+    "cmh_stratified_assoc",
+    "readability_fk_profile",
+    "binseg_changepoints",
+    "ipf_raking_weights",
+    "greedy_graph_coloring",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

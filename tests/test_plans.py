@@ -910,3 +910,27 @@ def test_mmr_rounds_bounded_no_cartesian(spark, sf_dir):
     assert not has_cartesian_product(df)
     # the returned plan reads checkpointed round state, not 6x parquet
     assert plan_string(df).count("Scan parquet") == 0
+
+
+def test_fairness_audit_broadcast_dim_no_cartesian(spark, sf_dir):
+    """X272: one fact pass; the nation dim joins broadcast; the pooled
+    row rides a 1-row broadcast cross join — no shuffled cartesian."""
+    df = _df("fairness_group_audit", spark, sf_dir)
+    assert not has_cartesian_product(df)
+    assert has_broadcast_hash_join(df)
+
+
+def test_lossy_counting_rounds_no_cartesian(spark, sf_dir):
+    """X271: per-bucket counts come from one keyed aggregate; the 10
+    merge/prune rounds are keyed full joins over localCheckpointed
+    candidate frames — no cartesian, no parquet re-scan per round."""
+    df = _df("lossy_count_users", spark, sf_dir)
+    assert not has_cartesian_product(df)
+    assert plan_string(df).count("Scan parquet") == 0
+
+
+def test_coloring_rounds_no_cartesian(spark, sf_dir):
+    """X277: each Jones-Plassmann round is neighbor joins + keyed
+    aggregates over the checkpointed label frame; no cartesian."""
+    df = _df("greedy_graph_coloring", spark, sf_dir)
+    assert not has_cartesian_product(df)
