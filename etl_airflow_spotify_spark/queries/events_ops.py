@@ -6843,6 +6843,11 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
                             f"{gain} AS gain_micro")
                 .orderBy(F.desc("gain_micro"), F.asc("rn")).limit(1)
                 .first())
+        # r7 ADVICE (low): with every remaining segment shorter than a
+        # splittable run (tiny SF), no candidate exists — emit only the
+        # completed rounds, matching the oracle's empty pick{r} CTEs.
+        if pick is None:
+            break
         out_rows.append((r, pick["day"], pick["rn"], pick["s"],
                          pick["e"], pick["n_left"], pick["n_right"],
                          pick["sum_left"], pick["sum_right"],

@@ -1877,13 +1877,77 @@ def _ktruss_oracle_sql() -> str:
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
 
 
+# r7 verdict item 3: the broadcast-adjacency intersect is a clear win
+# at sf0.1 (kills the 41M-row wedge exchange) but its payload grows
+# with |oriented edges| — at a 100x co-purchase graph the two forced
+# F.broadcast(adj) hints would OOM the driver rather than fall back
+# (a broadcast hint is hard, not advisory). Gate on the exact oriented
+# edge count (already materialized for the output row): below the cap
+# (~240 MB of packed neighbor arrays, comfortably under executor
+# broadcast budgets) broadcast-intersect; above it, the X167
+# degree-oriented wedge JOIN — identical triangle set, hub-proof
+# O(sqrt(m)) fan-out, shuffle-based. Crossover recorded in PLANS.md.
+KTRUSS_BCAST_EDGE_MAX = 30_000_000
+
+
+def _ktruss_round1_triangles(eu, deg, n_edges: int):
+    """Size-gated round-1 triangle enumeration over canonical edges
+    ``eu(lo, hi)`` with full-graph degrees ``deg(n, d)``: each
+    triangle exactly once from its (degree, id)-minimum vertex, as
+    (u, v, w) with (u, v) and (u, w) oriented edges and w the closing
+    intersect/wedge vertex. Both branches produce the identical set;
+    tests/test_plans.py pins both inner plans."""
+    eo = (eu.join(F.broadcast(deg.select(F.col("n").alias("lo"),
+                                         F.col("d").alias("da"))), "lo")
+          .join(F.broadcast(deg.select(F.col("n").alias("hi"),
+                                       F.col("d").alias("db"))), "hi")
+          .select(
+              F.expr("CASE WHEN (da, lo) < (db, hi)"
+                     " THEN lo ELSE hi END").alias("u"),
+              F.expr("CASE WHEN (da, lo) < (db, hi)"
+                     " THEN hi ELSE lo END").alias("v"),
+              F.expr("CASE WHEN (da, lo) < (db, hi)"
+                     " THEN db ELSE da END").alias("dv")))
+    if n_edges <= KTRUSS_BCAST_EDGE_MAX:
+        # w in N+(u) & N+(v) closes triangle (u, v, w) exactly once at
+        # its lowest-ordered edge; the intersect runs in whole-stage
+        # codegen against the broadcast adjacency — no wedge-sized
+        # exchange.
+        adj = (eo.groupBy(F.col("u").alias("n"))
+               .agg(F.array_sort(F.collect_list("v")).alias("nbrs")))
+        return (eo.join(
+                    F.broadcast(adj.select(F.col("n").alias("u"),
+                                           F.col("nbrs").alias("nu"))),
+                    "u")
+                .join(F.broadcast(adj.select(F.col("n").alias("v"),
+                                             F.col("nbrs").alias("nv"))),
+                      "v")
+                .select("u", "v",
+                        F.explode(F.array_intersect("nu", "nv"))
+                        .alias("w")))
+    # Scale fallback: degree-oriented wedge join (the X167 plan) —
+    # wedges fan out from u bounded by oriented out-degree, closed by
+    # an equi-join against the oriented edge list. Shuffles, but never
+    # broadcasts anything graph-sized.
+    e1 = eo.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    e2 = eo.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedge = e1.join(e2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2"))))
+    closing = eo.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    return (wedge.join(closing, ["v1", "v2"])
+            .select("u", F.col("v1").alias("v"), F.col("v2").alias("w")))
+
+
 @register(
     "ktruss_peeling_profile",
     _ktruss_oracle_sql(),
     doc=f"X225 {KTRUSS_K}-truss peeling of the co-purchase graph "
         f"({KTRUSS_ROUNDS} fixed rounds): ONE degree-oriented "
         "adjacency-intersect triangle enumeration (round 1, broadcast "
-        "neighbor arrays — zero wedge-sized shuffle), then support "
+        "neighbor arrays below KTRUSS_BCAST_EDGE_MAX oriented edges, "
+        "else the X167 wedge JOIN — size-gated because a broadcast "
+        "hint is hard, not advisory), then support "
         "MAINTENANCE — surviving triangles filtered by anti-joins "
         "against the removed-edge delta, per-edge supports "
         "decremented by the dropped triangles (edge-delta-sized "
@@ -1909,32 +1973,14 @@ def ktruss_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(eu.select(F.col("hi").alias("n")))
         .groupBy("n").agg(F.count("*").cast("long").alias("d")))
     sup_min = KTRUSS_K - 2
-    # Round 1: the ONLY full triangle enumeration — adjacency
-    # intersect over (degree, id)-oriented edges. Triangles carry
-    # their 3 canonical edge keys so later rounds filter/decrement
-    # without recomputing least/greatest.
-    eo = (eu.join(F.broadcast(deg.select(F.col("n").alias("lo"),
-                                         F.col("d").alias("da"))), "lo")
-          .join(F.broadcast(deg.select(F.col("n").alias("hi"),
-                                       F.col("d").alias("db"))), "hi")
-          .select(
-              F.expr("CASE WHEN (da, lo) < (db, hi)"
-                     " THEN lo ELSE hi END").alias("u"),
-              F.expr("CASE WHEN (da, lo) < (db, hi)"
-                     " THEN hi ELSE lo END").alias("v")))
-    adj = (eo.groupBy(F.col("u").alias("n"))
-           .agg(F.array_sort(F.collect_list("v")).alias("nbrs")))
-    # w in N+(u) & N+(v) closes triangle (u, v, w) exactly once at its
-    # lowest-ordered edge; the intersect runs in whole-stage codegen
-    # against the broadcast adjacency — no wedge-sized exchange.
-    tri = (eo.join(F.broadcast(adj.select(F.col("n").alias("u"),
-                                          F.col("nbrs").alias("nu"))),
-                   "u")
-           .join(F.broadcast(adj.select(F.col("n").alias("v"),
-                                        F.col("nbrs").alias("nv"))),
-                 "v")
-           .select("u", "v",
-                   F.explode(F.array_intersect("nu", "nv")).alias("w"))
+    # nb doubles as the size estimate for the enumeration gate; edges
+    # without a triangle peel in round 1 either way.
+    nb = eu.count()
+    # Round 1: the ONLY full triangle enumeration — size-gated between
+    # broadcast-adjacency intersect and the X167 wedge join. Triangles
+    # carry their 3 canonical edge keys so later rounds filter/
+    # decrement without recomputing least/greatest.
+    tri = (_ktruss_round1_triangles(eu, deg, nb)
            .select(F.least("u", "v").alias("e1_lo"),
                    F.greatest("u", "v").alias("e1_hi"),
                    F.least("u", "w").alias("e2_lo"),
@@ -1959,7 +2005,6 @@ def ktruss_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = (edge_uses(tri).groupBy("lo", "hi")
            .agg(F.count("*").cast("long").alias("s")).localCheckpoint())
     nt = tri.count()  # maintained arithmetically after round 1
-    nb = eu.count()   # round 1 only; triangle-less edges peel here
     removed_hist: list = []  # per-round removed TRIANGLE-edge deltas
     out = None
     for r in range(KTRUSS_ROUNDS):

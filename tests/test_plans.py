@@ -727,10 +727,7 @@ def test_ktruss_round_no_cartesian(spark, sf_dir):
                                          spark, sf_dir))
 
 
-def test_ktruss_enumeration_is_broadcast_intersect(spark, sf_dir):
-    """X225 round-1 inner plan: triangles close via array_intersect
-    against BROADCAST neighbor arrays — broadcast joins present, no
-    cartesian, and no join keyed on the wedge fan-out."""
+def _ktruss_enumeration_inputs(spark, sf_dir):
     import pyspark.sql.functions as F
     from etl_airflow_spotify_spark.catalog import load_table
     from etl_airflow_spotify_spark.operators import graph as G
@@ -742,28 +739,53 @@ def test_ktruss_enumeration_is_broadcast_intersect(spark, sf_dir):
     deg = (eu.select(F.col("lo").alias("n"))
            .unionByName(eu.select(F.col("hi").alias("n")))
            .groupBy("n").agg(F.count("*").cast("long").alias("d")))
-    eo = (eu.join(F.broadcast(deg.select(F.col("n").alias("lo"),
-                                         F.col("d").alias("da"))), "lo")
-          .join(F.broadcast(deg.select(F.col("n").alias("hi"),
-                                       F.col("d").alias("db"))), "hi")
-          .select(F.expr("CASE WHEN (da, lo) < (db, hi)"
-                         " THEN lo ELSE hi END").alias("u"),
-                  F.expr("CASE WHEN (da, lo) < (db, hi)"
-                         " THEN hi ELSE lo END").alias("v")))
-    adj = (eo.groupBy(F.col("u").alias("n"))
-           .agg(F.array_sort(F.collect_list("v")).alias("nbrs")))
-    tri = (eo.join(F.broadcast(adj.select(F.col("n").alias("u"),
-                                          F.col("nbrs").alias("nu"))),
-                   "u")
-           .join(F.broadcast(adj.select(F.col("n").alias("v"),
-                                        F.col("nbrs").alias("nv"))),
-                 "v")
-           .select("u", "v",
-                   F.explode(F.array_intersect("nu", "nv")).alias("w")))
+    return eu, deg
+
+
+def test_ktruss_enumeration_is_broadcast_intersect(spark, sf_dir):
+    """X225 round-1 inner plan, small-graph branch: triangles close
+    via array_intersect against BROADCAST neighbor arrays — broadcast
+    joins present, no cartesian, no join keyed on the wedge fan-out."""
+    from etl_airflow_spotify_spark.queries.graph import \
+        _ktruss_round1_triangles
+
+    eu, deg = _ktruss_enumeration_inputs(spark, sf_dir)
+    tri = _ktruss_round1_triangles(eu, deg, n_edges=1)
     plan = plan_string(tri)
     assert not has_cartesian_product(tri)
     assert "BroadcastHashJoin" in plan
     assert "array_intersect" in plan
+
+
+def test_ktruss_enumeration_scale_fallback_is_wedge_join(spark, sf_dir):
+    """X225 round-1 inner plan, big-graph branch (r7 verdict item 3):
+    above KTRUSS_BCAST_EDGE_MAX the enumeration must NOT broadcast
+    anything graph-sized — the degree-oriented wedge join closes
+    triangles by equi-join, no cartesian, no neighbor-array build."""
+    from etl_airflow_spotify_spark.queries.graph import (
+        KTRUSS_BCAST_EDGE_MAX, _ktruss_round1_triangles)
+
+    eu, deg = _ktruss_enumeration_inputs(spark, sf_dir)
+    tri = _ktruss_round1_triangles(eu, deg,
+                                   n_edges=KTRUSS_BCAST_EDGE_MAX + 1)
+    plan = plan_string(tri)
+    assert not has_cartesian_product(tri)
+    assert "array_intersect" not in plan
+    assert "collect_list" not in plan
+
+
+def test_ktruss_enumeration_branches_agree(spark, sf_dir):
+    """X225: both enumeration branches produce the identical triangle
+    set (each triangle exactly once, same (u, v, w) orientation)."""
+    from etl_airflow_spotify_spark.queries.graph import (
+        KTRUSS_BCAST_EDGE_MAX, _ktruss_round1_triangles)
+
+    eu, deg = _ktruss_enumeration_inputs(spark, sf_dir)
+    small = _ktruss_round1_triangles(eu, deg, n_edges=1)
+    big = _ktruss_round1_triangles(eu, deg,
+                                   n_edges=KTRUSS_BCAST_EDGE_MAX + 1)
+    assert sorted(map(tuple, small.collect())) \
+        == sorted(map(tuple, big.collect()))
 
 
 def test_phash_pipeline_no_cartesian(spark, sf_dir):

@@ -2,20 +2,26 @@
 
 The correctness driver checks only the first 50 entries of ``queries()``
 in dict order (round 1 evidence: CORRECTNESS_r01.json is exactly the
-first 50 registrations). These tests guarantee the curated order gets
-every query a driver row at least once across rounds: everything never
-attested by a prior round's CORRECTNESS file must sit inside the
-window, or share every operator class with an evidenced query.
+first 50 registrations). Rounds 1-7 used the window to close the
+attestation ledger: CORRECTNESS_r01-07 give every operator class a
+driver row (273 hash-green + 3 rows-only-by-design + X137 red).
 
-Round 7: CORRECTNESS_r01-06 together attest 294 queries (277
-hash-green + 16 rows-only + X137's repeat hash-red row, which does NOT
-count). The r7 window closes the ledger: 1 forced X137 slot (histogram
-key re-snapped to FLOOR(x*100+0.5) this round) + one representative
-per r6-queued backlog class (25) + one per NEW_R6 class (15) = 41
-slots, with the remaining <= 9 slots taken by NEW_R7 — this round's
-additions, attested the SAME round they land per the r6 verdict's
-<= 9 new-family cap. After this window, zero driver-dark classes
-remain and every future round only needs slots for its own additions.
+Round 8 (r7 verdict items 1/4/7) re-purposes the window:
+
+* FORCED      — the X137 channel probe: the thrice-red original plus a
+                BYTE-IDENTICAL twin under a new name. Green twin + red
+                original proves stale per-name driver state.
+* CHANGED_R8  — queries whose bodies/plans changed this round and must
+                be re-attested (ADVICE division fixes, binseg guard,
+                size-gated k-truss enumeration).
+* UPGRADES    — rows-only r3 rows whose DuckDB oracle twins landed in
+                later rounds; a fresh slot upgrades them to hash rows.
+* OLDEST_R1   — bit-rot re-attestation: queries whose LATEST driver row
+                is from round 1 (a 7-rounds-older codebase).
+* NEW_R8      — this round's new classes (<= 9 per the verdict cap),
+                appended as they land so the window stays <= 50.
+
+13 round-1 rows plus the round-2 cohort queue for round 9 (R9_BACKLOG).
 """
 
 import json
@@ -25,91 +31,79 @@ from etl_airflow_spotify_spark.registry import DRIVER_ORDER, all_queries
 
 WINDOW = 50
 
-# The 25 operator classes queued by the r6 window (R7_BACKLOG there),
-# each with the oracle-checked representative that claims its slot.
-R7_CARRIED: dict[str, str] = {
-    "X96": "copurchase_weighted_sssp",
-    "X109": "compaction_plan",
-    "X116": "dedup_threshold_sweep",
-    "X117": "conformal_interval_coverage",
-    "X127": "hits_supplier_part",
-    "X132": "consistent_hash_rebalance",
-    "X142": "bagged_stump_forest",
-    "X147": "capture_recapture_daily",
-    "X150": "bradley_terry_suppliers",
-    "X173": "bcubed_linkage_eval",
-    "X207": "power_iteration_hubs",
-    "X208": "viterbi_state_decode",
-    "X211": "matrix_profile_daily",
-    "X212": "encoding_efficiency_audit",
-    "X215": "textrank_keywords",
-    "X218": "theil_nation_decomposition",
-    "X221": "voptimal_daily_histogram",
-    "X222": "offpolicy_dr_eval",
-    "X228": "link_prediction_eval",
-    "X229": "page_hinkley_drift",
-    "X238": "gmm_em_values",
-    "X242": "betweenness_kseeds",
-    "X245": "kruskal_wallis_values",
-    "X248": "platt_scaling_calibration",
-    "X251": "borda_condorcet_brands",
+FORCED = ["optimal_threshold_selection", "threshold_operating_point"]
+
+CHANGED_R8 = [
+    "fairness_group_audit",   # X272 decimal->DOUBLE division fix
+    "readability_fk_profile",  # X274 decimal->DOUBLE division fix
+    "binseg_changepoints",    # X275 empty-pick guard
+    "ktruss_peeling_profile",  # X225 size-gated round-1 enumeration
+]
+
+# rows-only rows from the r3 window whose oracles exist at HEAD
+UPGRADES = [
+    "hll_sliding_distinct",
+    "vector_topk_ivfpq_residual",
+    "vector_topk_ivfpq_trained",
+]
+
+# latest driver row is CORRECTNESS_r01 — re-attest before they are 8
+# rounds stale (r7 verdict item 4)
+OLDEST_R1 = [
+    "asof_purchase_click", "asof_tolerance_click", "concurrent_orders",
+    "cube_order_status", "customer_order_history",
+    "dedup_cluster_assign", "dedup_exact_groups", "dedup_first_event",
+    "distinct_rows", "doc_fingerprints", "doc_stats",
+    "events_json_stats", "events_trailing_window",
+    "events_variant_stats", "filter_battery", "grouping_sets_sql",
+    "join_left", "join_semi_anti", "language_id", "market_share",
+    "multimodal_decode", "multimodal_frames", "multimodal_metadata",
+    "multimodal_resize", "near_dup_minhash", "ngram_jaccard_blocked",
+    "pivot_event_types", "pricing_summary", "promo_revenue",
+    "range_join_price_band", "resample_gap_fill", "revenue_by_region",
+]
+
+# Round-1-latest rows that did NOT fit this window — first claim on
+# the round-9 window, together with the round-2-latest cohort.
+R9_BACKLOG = [
+    "rollup_returns", "scalar_battery", "segment_stats",
+    "sessionize_events", "setops_customers", "tfidf_cosine_pairs",
+    "tfidf_top_terms", "top_orders_per_customer", "top_revenue_orders",
+    "training_data_prep", "udf_surface_stats", "udf_zscore_groups",
+    "word_frequencies",
+]
+
+# Operator classes ADDED in round 8 — appended to DRIVER_ORDER as they
+# land so they are attested the round they land. Maps query name ->
+# class tag.
+NEW_R8: dict[str, str] = {
 }
 
-# Operator classes added in round 6 after that round's window was
-# fixed; their first driver slot is this window.
-NEW_R6: dict[str, str] = {
-    "rbo_rank_overlap": "X254",
-    "randomized_response_freq": "X255",
-    "brier_decomposition": "X256",
-    "window_funnel_depths": "X257",
-    "horvitz_thompson_regions": "X258",
-    "daily_peak_prominence": "X259",
-    "esd_outlier_rounds": "X260",
-    "stream_page_hinkley": "X261",
-    "mondrian_kanon_partition": "X262",
-    "loo_group_influence": "X263",
-    "scc_pivot_fwbw": "X264",
-    "roaring_container_plan": "X265",
-    "fagin_ta_depth": "X266",
-    "knn_shapley_valuation": "X267",
-    "mmr_diverse_topk": "X268",
-}
-
-# Operator classes ADDED in round 7. Unlike prior rounds these do NOT
-# queue for the next window: the r6 verdict caps them at 9 so they fit
-# this window's spare slots and are attested the round they land.
-# Maps query name -> class tag.
-NEW_R7: dict[str, str] = {
-    "fairness_group_audit": "X272",
-    "cmh_stratified_assoc": "X273",
-    "readability_fk_profile": "X274",
-    "holt_winters_daily": "X269",
-    "lossy_count_users": "X271",
-    "binseg_changepoints": "X275",
-    "auction_assignment": "X270",
-    "ipf_raking_weights": "X276",
-    "greedy_graph_coloring": "X277",
-}
-
-MAX_NEW_R7 = 9  # r6 verdict item 5
+MAX_NEW_R8 = 9  # r7 verdict item 7
 
 
-def _attested() -> set[str]:
-    """Queries with a USABLE driver row (hash-green or declared
-    rows-only) in any prior round's CORRECTNESS file. A row whose value
-    hash FAILED (hash_match false) is not an attestation."""
+def _correctness_rows() -> dict[str, list[tuple[int, dict]]]:
     root = os.path.join(os.path.dirname(__file__), "..")
-    out: set[str] = set()
-    for rnd in range(1, 7):
+    out: dict[str, list[tuple[int, dict]]] = {}
+    for rnd in range(1, 8):
         path = os.path.join(root, f"CORRECTNESS_r{rnd:02d}.json")
         if not os.path.exists(path):
             continue
         with open(path) as f:
             rows = json.load(f)
-        out |= {k for k, v in rows.items()
-                if v.get("err") in (None, "no_oracle")
-                and v.get("hash_match") is not False}
+        for name, row in rows.items():
+            out.setdefault(name, []).append((rnd, row))
     return out
+
+
+def _attested() -> set[str]:
+    """Queries with a USABLE driver row (hash-green or declared
+    rows-only) in any prior round. A hash-failed row is not an
+    attestation."""
+    return {name for name, rows in _correctness_rows().items()
+            if any(r.get("err") in (None, "no_oracle")
+                   and r.get("hash_match") is not False
+                   for _, r in rows)}
 
 
 def test_driver_order_no_duplicates():
@@ -117,24 +111,74 @@ def test_driver_order_no_duplicates():
 
 
 def test_driver_order_is_exactly_the_planned_window():
-    """The r7 window is fully enumerated: forced X137 + 25 carried +
-    15 NEW_R6 + one representative per NEW_R7 class, within 50."""
-    expected = (["optimal_threshold_selection"]
-                + list(R7_CARRIED.values())
-                + list(NEW_R6)
-                + list(NEW_R7))
+    expected = FORCED + CHANGED_R8 + UPGRADES + OLDEST_R1 + list(NEW_R8)
     assert list(DRIVER_ORDER) == expected
     assert len(DRIVER_ORDER) <= WINDOW
 
 
-def test_new_r7_respects_verdict_cap():
-    assert len(set(NEW_R7.values())) <= MAX_NEW_R7
+def test_new_r8_respects_verdict_cap():
+    assert len(set(NEW_R8.values())) <= MAX_NEW_R8
+
+
+def test_new_r8_reps_carry_their_tags():
+    qs = all_queries()
+    for name, tag in NEW_R8.items():
+        assert name in qs, f"window rep {name} not registered"
+        assert tag in qs[name].tags, f"{name} does not carry {tag}"
 
 
 def test_driver_order_names_exist():
     qs = all_queries()
     missing = [n for n in DRIVER_ORDER if n not in qs]
-    assert not missing, f"DRIVER_ORDER references unregistered queries: {missing}"
+    assert not missing, \
+        f"DRIVER_ORDER references unregistered queries: {missing}"
+
+
+def test_x137_twin_is_byte_identical():
+    """The channel probe only proves something if the twin is the SAME
+    computation: same Spark callable object, same oracle SQL string."""
+    qs = all_queries()
+    orig = qs["optimal_threshold_selection"]
+    twin = qs["threshold_operating_point"]
+    assert twin.spark_fn is orig.spark_fn
+    assert twin.oracle == orig.oracle
+
+
+def test_oldest_cohort_is_genuinely_round1_stale():
+    """Every OLDEST_R1 slot re-attests a query whose latest driver row
+    really is from round 1 — no slot wasted on a fresher row."""
+    rows = _correctness_rows()
+    for name in OLDEST_R1 + R9_BACKLOG:
+        assert name in rows, f"{name} has no driver row at all"
+        assert max(r for r, _ in rows[name]) == 1, (
+            f"{name} has a driver row newer than round 1")
+
+
+def test_upgrade_slots_now_have_oracles():
+    """Each UPGRADES slot was rows-only when last checked but exports
+    a DuckDB oracle at HEAD, so the fresh row will be a hash row."""
+    qs = all_queries()
+    rows = _correctness_rows()
+    for name in UPGRADES:
+        assert qs[name].oracle, f"{name} still has no oracle"
+        last_round, last = max(rows[name], key=lambda t: t[0])
+        assert last.get("hash_match") is None, (
+            f"{name} already has a hash row (r{last_round})")
+
+
+def test_changed_queries_all_have_oracles():
+    qs = all_queries()
+    for name in FORCED + CHANGED_R8:
+        assert qs[name].oracle, f"{name} lost its oracle"
+
+
+def test_window_has_no_rows_only_slots():
+    """No slot may be spent on an oracle-less query: every rows-only-
+    by-design query got its `err: no_oracle` row in r6."""
+    qs = all_queries()
+    rows_only = [n for n in list(qs)[:WINDOW] if qs[n].oracle is None]
+    assert not rows_only, (
+        f"rows-only queries holding r8 window slots: {rows_only}")
 
 
 def test_every_query_attested_or_windowed():
@@ -152,31 +196,10 @@ def test_every_query_attested_or_windowed():
     assert not dark, f"never-attested queries with uncovered classes: {dark}"
 
 
-def test_window_has_no_rows_only_slots():
-    """Every rows-only-by-design query (X45/X69/X112) got its
-    `err: no_oracle` driver row in round 6 — no window slot may be
-    spent on one this round."""
-    qs = all_queries()
-    rows_only = [n for n in list(qs)[:WINDOW] if qs[n].oracle is None]
-    assert not rows_only, (
-        f"rows-only queries holding r7 window slots: {rows_only}")
-
-
-def test_window_is_all_dark():
-    """No CURATED slot is wasted re-attesting an already-green query
-    (X137's prior rows are hash-red, so it is dark by definition).
-    Window slots beyond len(DRIVER_ORDER) spill to registration order
-    — harmless re-attestation of r1-green queries until NEW_R7 claims
-    them."""
-    attested = _attested()
-    wasted = [n for n in DRIVER_ORDER if n in attested]
-    assert not wasted, f"already-attested queries in DRIVER_ORDER: {wasted}"
-
-
-def test_first_window_covers_every_tag():
-    """Tag-level invariant: every operator class has a driver row this
-    round or an attested row from a prior round — the ledger CLOSES
-    with this window (no backlog set may remain)."""
+def test_ledger_stays_closed():
+    """Tag-level invariant: every operator class keeps either a prior
+    attestation or a slot in this window (the r7 ledger must not
+    re-open as classes are added)."""
     qs = all_queries()
     attested = _attested()
     covered = {t for s in list(qs.values())[:WINDOW] for t in s.tags}
@@ -186,17 +209,3 @@ def test_first_window_covers_every_tag():
         f"tags with neither an attestation nor a window slot: "
         f"{sorted(all_tags - covered)}"
     )
-
-
-def test_carried_representatives_are_dark_and_tagged():
-    """Every carried class's representative exists, carries the class
-    tag, and is genuinely dark (not already attested)."""
-    qs = all_queries()
-    attested = _attested()
-    for tag, name in {**R7_CARRIED,
-                      **{v: k for k, v in NEW_R6.items()},
-                      **{v: k for k, v in NEW_R7.items()}}.items():
-        assert name in qs, f"window rep {name} not registered"
-        assert tag in qs[name].tags, f"{name} does not carry {tag}"
-        assert name not in attested, (
-            f"{name} already attested; window slot for {tag} is wasted")
