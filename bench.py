@@ -326,6 +326,16 @@ HEADLINE = [
     "binseg_changepoints",
     "ipf_raking_weights",
     "greedy_graph_coloring",
+    # round 8
+    "holt_damped_daily",
+    "prefixspan_top_patterns",
+    "friedman_priority_weeks",
+    "token_bucket_rate_audit",
+    "butterfly_copurchase_census",
+    "ks_two_sample_prices",
+    "brown_forsythe_nations",
+    "sprt_conversion_monitor",
+    "mcnemar_paired_rules",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -6858,3 +6858,528 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round BIGINT, split_day DATE, k BIGINT, seg_start BIGINT, "
         "seg_end BIGINT, n_left BIGINT, n_right BIGINT, "
         "sum_left BIGINT, sum_right BIGINT, gain_micro BIGINT")
+
+
+# --------------------------------------------------------------------------
+# X278: damped-trend exponential smoothing (Gardner-McKenzie 1985) —
+# the third member of the exponential-smoothing family next to X209
+# (linear Holt: trend extrapolates without bound) and X269 (Holt-
+# Winters: adds weekly shape): the damping factor phi < 1 decays the
+# trend geometrically, which is what production forecasters deploy
+# when a linear trend over-shoots beyond a few steps. alpha=1/2,
+# beta=1/4, phi=3/4 — all dyadic, so EVERY update is an exact integer
+# floor division via the subtract-pmod identity (negative-trend-safe
+# cross-engine: Spark DIV truncates, DuckDB // floors, the divisible
+# numerator makes both compute floor):
+#     phib  = fdiv(3*b, 4)                    -- phi * b
+#     l_new = fdiv(x + l + phib, 2)           -- alpha damped-Holt
+#     b_new = fdiv(l_new - l + 3*phib, 4)     -- beta  damped-Holt
+# The h-step forecast is l + sum_{j<=h} phi^j * b, realized as the
+# integer chain inc_1 = fdiv(3*b, 4), inc_{h+1} = fdiv(3*inc_h, 4) —
+# a SECOND tiny fold over h = 1..HD_HORIZON carrying inc as a VALUE
+# (nesting the expression 7 deep would expand 3^7 copies). Fold state
+# is (l, b) — calendar-bounded at any scale; the daily aggregate is
+# the only data-sized pass. Spark = two aggregate-HOF folds, oracle =
+# two recursive CTEs (the X209/X269 engine placement). [EXT]
+# --------------------------------------------------------------------------
+HD_HORIZON = 7
+
+
+def _hd_exprs(fdiv, x: str, l: str, b: str):
+    phib = fdiv(f"3 * ({b})", 4)
+    l_new = fdiv(f"{x} + {l} + ({phib})", 2)
+    b_new = fdiv(f"({l_new}) - ({l}) + 3 * ({phib})", 4)
+    return phib, l_new, b_new
+
+
+def _hd_oracle_sql() -> str:
+    phib, l_new, b_new = _hd_exprs(_fdiv_duck, "i.xm", "h.l", "h.b")
+    inc1 = _fdiv_duck("3 * f.b", 4)
+    incn = _fdiv_duck("3 * fc.inc", 4)
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) * 1000000 AS xm
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, xm, ROW_NUMBER() OVER (ORDER BY day) AS rn
+        FROM daily
+    ),
+    hw(rn, day, xm, l, b, err) AS (
+        SELECT rn, day, xm, xm, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+        FROM idx WHERE rn = 1
+        UNION ALL
+        SELECT i.rn, i.day, i.xm,
+               CAST(({l_new}) AS BIGINT),
+               CAST(({b_new}) AS BIGINT),
+               i.xm - (h.l + ({phib}))
+        FROM hw h JOIN idx i ON i.rn = h.rn + 1
+    ),
+    fin AS (
+        SELECT day, l, b FROM hw
+        WHERE rn = (SELECT MAX(rn) FROM hw)
+    ),
+    fc(h, day, inc, f) AS (
+        SELECT CAST(1 AS BIGINT), f.day,
+               CAST(({inc1}) AS BIGINT),
+               f.l + CAST(({inc1}) AS BIGINT)
+        FROM fin f
+        UNION ALL
+        SELECT fc.h + 1, fc.day,
+               CAST(({incn}) AS BIGINT),
+               fc.f + CAST(({incn}) AS BIGINT)
+        FROM fc WHERE fc.h < {HD_HORIZON}
+    )
+    SELECT 'fit' AS kind, day, CAST(xm // 1000000 AS BIGINT) AS n,
+           CAST(l AS BIGINT) AS level_micro,
+           CAST(b AS BIGINT) AS trend_micro,
+           CAST(err AS BIGINT) AS err_micro
+    FROM hw WHERE rn >= 2
+    UNION ALL
+    SELECT 'forecast', day + CAST(h AS INT), CAST(h AS BIGINT),
+           CAST(f AS BIGINT), CAST(inc AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM fc
+    """
+
+
+@register(
+    "holt_damped_daily",
+    _hd_oracle_sql(),
+    doc="X278 damped-trend exponential smoothing (alpha=1/2, beta=1/4, "
+        "phi=3/4; Gardner-McKenzie 1985) of the daily event series: "
+        "level/trend recurrence with a geometrically damped trend as "
+        "exact integer floor divisions (subtract-pmod identity, "
+        "negative-trend-safe cross-engine), plus the 7-step damped "
+        "forecast fan f_h = l + sum_{j<=h} phi^j b as an integer "
+        "value-carrying chain (fold, not 3^h expression nesting). "
+        "Spark = two aggregate-HOF folds, oracle = two recursive "
+        "CTEs; fold state is calendar-bounded at any scale. Completes "
+        "the smoothing family: X209 linear, X269 seasonal, X278 "
+        "damped. Python replay + damping-monotonicity laws.",
+    tags=("X278", "X209", "X269", "X14", "X7"),
+)
+def holt_damped_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date")
+                        .alias("day"))
+             .agg((F.count("*") * 1000000).cast("long").alias("xm")))
+    phib, l_new, b_new = _hd_exprs(_fdiv, "ee.xm", "acc.l", "acc.b")
+    arr = daily.agg(F.array_sort(F.collect_list(
+        F.struct("day", "xm"))).alias("ds"))
+    folded = arr.select(F.expr(f"""aggregate(
+        slice(ds, 2, greatest(size(ds) - 1, 0)),
+        named_struct(
+            'd', ds[0].day, 'l', ds[0].xm, 'b', CAST(0 AS BIGINT),
+            'out', CAST(array() AS ARRAY<STRUCT<
+                kind STRING, day DATE, n BIGINT, level_micro BIGINT,
+                trend_micro BIGINT, err_micro BIGINT>>)),
+        (acc, ee) -> named_struct(
+            'd', ee.day,
+            'l', CAST(({l_new}) AS BIGINT),
+            'b', CAST(({b_new}) AS BIGINT),
+            'out', array_append(acc.out, named_struct(
+                'kind', 'fit',
+                'day', ee.day,
+                'n', ee.xm DIV 1000000,
+                'level_micro', CAST(({l_new}) AS BIGINT),
+                'trend_micro', CAST(({b_new}) AS BIGINT),
+                'err_micro', ee.xm - (acc.l + ({phib})))))
+        )""").alias("v"))
+    inc1 = _fdiv("3 * v.b", 4)
+    incn = _fdiv("3 * acc.inc", 4)
+    fc = folded.select("v", F.expr(f"""aggregate(
+        sequence(2, {HD_HORIZON}),
+        named_struct(
+            'inc', CAST(({inc1}) AS BIGINT),
+            'f', v.l + CAST(({inc1}) AS BIGINT),
+            'out', array(named_struct(
+                'kind', 'forecast',
+                'day', date_add(v.d, 1),
+                'n', CAST(1 AS BIGINT),
+                'level_micro', v.l + CAST(({inc1}) AS BIGINT),
+                'trend_micro', CAST(({inc1}) AS BIGINT),
+                'err_micro', CAST(NULL AS BIGINT)))),
+        (acc, h) -> named_struct(
+            'inc', CAST(({incn}) AS BIGINT),
+            'f', acc.f + CAST(({incn}) AS BIGINT),
+            'out', array_append(acc.out, named_struct(
+                'kind', 'forecast',
+                'day', date_add(v.d, CAST(h AS INT)),
+                'n', CAST(h AS BIGINT),
+                'level_micro', acc.f + CAST(({incn}) AS BIGINT),
+                'trend_micro', CAST(({incn}) AS BIGINT),
+                'err_micro', CAST(NULL AS BIGINT)))))""").alias("w"))
+    return (fc.select(F.explode(F.concat("v.out", "w.out")).alias("u"))
+            .select("u.kind", "u.day", "u.n", "u.level_micro",
+                    "u.trend_micro", "u.err_micro"))
+
+
+# --------------------------------------------------------------------------
+# X281: token-bucket rate-limiter audit — traffic-shaping simulation,
+# the admission-control family none of the existing stream operators
+# cover (X85/X229 detect drift, X271 counts frequencies; this REPLAYS
+# the canonical rate-limit algorithm): each user owns a bucket of
+# capacity TB_CAP refilled TB_REFILL tokens/day; a day's arrivals are
+# admitted up to the available tokens, the rest rejected. The
+# recurrence per (user, day) is
+#     avail  = least(CAP, tokens + REFILL)
+#     admit  = least(arrivals, avail)
+#     tokens = avail - admit
+# — pure integer min/max algebra, zero rounding anywhere. The day
+# grid is calendar-bounded, so the per-user fold state is O(1) at any
+# data scale; arrivals aggregate is the only data-sized pass, and the
+# fold runs PER USER in parallel (grouped aggregate-HOF over a day->
+# arrivals map), not per event. Oracle = recursive CTE over
+# (user, day-index). Output: per-user admitted/rejected totals,
+# throttled-day count, worst single-day rejection, final tokens. [EXT]
+# --------------------------------------------------------------------------
+TB_CAP = 3
+TB_REFILL = 1
+
+
+def _tb_oracle_sql() -> str:
+    av = f"LEAST({TB_CAP}, s.tokens + {TB_REFILL})"
+    aa = "COALESCE(a.a, 0)"
+    ad = f"LEAST({aa}, {av})"
+    rj = f"({aa} - {ad})"
+    return f"""
+    WITH RECURSIVE bounds AS (
+        SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0,
+               CAST(date_diff('day',
+                    MIN(CAST(date_trunc('day', ts) AS DATE)),
+                    MAX(CAST(date_trunc('day', ts) AS DATE)))
+                    + 1 AS BIGINT) AS nd
+        FROM events
+    ),
+    arr AS (
+        SELECT user_id,
+               CAST(date_diff('day', b.d0,
+                    CAST(date_trunc('day', ts) AS DATE))
+                    + 1 AS BIGINT) AS rn,
+               CAST(COUNT(*) AS BIGINT) AS a
+        FROM events, bounds b GROUP BY 1, 2
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    sim(user_id, rn, tokens, adm, rej, thr, mxr) AS (
+        SELECT user_id, CAST(0 AS BIGINT), CAST({TB_CAP} AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM users
+        UNION ALL
+        SELECT s.user_id, s.rn + 1,
+               CAST({av} - {ad} AS BIGINT),
+               s.adm + {ad},
+               s.rej + {rj},
+               s.thr + CASE WHEN {rj} > 0 THEN 1 ELSE 0 END,
+               GREATEST(s.mxr, {rj})
+        FROM sim s
+        CROSS JOIN bounds b
+        LEFT JOIN arr a ON a.user_id = s.user_id AND a.rn = s.rn + 1
+        WHERE s.rn < b.nd
+    )
+    SELECT s.user_id, s.adm AS admitted, s.rej AS rejected,
+           s.thr AS throttled_days, s.mxr AS max_day_rejected,
+           s.tokens AS end_tokens
+    FROM sim s, bounds b WHERE s.rn = b.nd
+    """
+
+
+@register(
+    "token_bucket_rate_audit",
+    _tb_oracle_sql(),
+    doc=f"X281 token-bucket rate-limiter audit (capacity {TB_CAP}, "
+        f"refill {TB_REFILL}/day) replayed per user over the daily "
+        "arrival series: admitted = least(arrivals, least(cap, "
+        "tokens+refill)), remainder rejected — pure integer min/max "
+        "algebra, no rounding anywhere. Per-user outputs: admitted/"
+        "rejected totals, throttled days, worst-day rejection, final "
+        "tokens. Spark folds a calendar-bounded day grid per user "
+        "(grouped aggregate-HOF over a day->arrivals map; one "
+        "data-sized pass), oracle = recursive CTE over (user, day). "
+        "The admission-control family next to X85/X229's detectors "
+        "and X271's frequency sketch. Python replay + conservation "
+        "laws (admitted + rejected = arrivals; tokens within "
+        "[0, cap]).",
+    tags=("X281", "X85", "X271", "X14", "X7"),
+)
+def token_bucket_rate_audit(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    day = F.date_trunc("day", "ts").cast("date")
+    bounds = (ev.agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+              .select("d0", (F.datediff("d1", "d0") + 1).cast("long")
+                      .alias("nd")))
+    arr = (ev.crossJoin(F.broadcast(bounds))
+           .select("user_id", "nd",
+                   (F.datediff(day, F.col("d0")) + 1).cast("long")
+                   .alias("rn"))
+           .groupBy("user_id", "nd", "rn")
+           .agg(F.count("*").cast("long").alias("a")))
+    per_user = (arr.groupBy("user_id", "nd")
+                .agg(F.map_from_entries(
+                    F.collect_list(F.struct("rn", "a"))).alias("m")))
+    aa = "COALESCE(element_at(m, d), 0L)"
+    av = f"LEAST({TB_CAP}L, acc.tokens + {TB_REFILL}L)"
+    ad = f"LEAST({aa}, {av})"
+    rj = f"({aa} - {ad})"
+    return (per_user.select(
+        "user_id",
+        F.expr(f"""aggregate(
+            sequence(CAST(1 AS BIGINT), nd),
+            named_struct(
+                'tokens', CAST({TB_CAP} AS BIGINT),
+                'adm', CAST(0 AS BIGINT), 'rej', CAST(0 AS BIGINT),
+                'thr', CAST(0 AS BIGINT), 'mxr', CAST(0 AS BIGINT)),
+            (acc, d) -> named_struct(
+                'tokens', CAST({av} - {ad} AS BIGINT),
+                'adm', acc.adm + {ad},
+                'rej', acc.rej + {rj},
+                'thr', acc.thr
+                       + CASE WHEN {rj} > 0 THEN 1L ELSE 0L END,
+                'mxr', GREATEST(acc.mxr, {rj})))""").alias("s"))
+        .select("user_id", F.col("s.adm").alias("admitted"),
+                F.col("s.rej").alias("rejected"),
+                F.col("s.thr").alias("throttled_days"),
+                F.col("s.mxr").alias("max_day_rejected"),
+                F.col("s.tokens").alias("end_tokens")))
+
+
+# --------------------------------------------------------------------------
+# X279: PrefixSpan frequent-sequence DISCOVERY (Pei et al. 2001) —
+# pattern-growth mining, the discovery counterpart of X170's
+# fixed-triple support counter: instead of scoring all 125 triples,
+# grow patterns level-wise from frequent prefixes only (downward
+# closure) and extend each prefix through its PROJECTED database —
+# the per-(user, prefix) frontier timestamp of the prefix's earliest
+# occurrence, which is exact for subsequence existence (greedy
+# first-occurrence argument, X170). Levels 1..3 with a relative
+# minimum support (PS_MINSUP_PCT% of users): L1 = frequent types;
+# L2 grows only frequent 1-prefixes by frequent items; L3 grows only
+# frequent 2-prefixes. Every join is (user)-keyed with fan-out
+# bounded by the frequent alphabet, never stream length; no per-user
+# sequence is materialized. Output: every frequent pattern with its
+# support and level. [EXT]
+# --------------------------------------------------------------------------
+PS_MINSUP_PCT = 30
+
+
+def _ps_oracle_sql() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+        FROM events
+    ),
+    nu AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n FROM ev),
+    ms AS (SELECT (n * {PS_MINSUP_PCT}) // 100 + 1 AS m FROM nu),
+    f1 AS (SELECT u, t AS a, MIN(us) AS t1 FROM ev GROUP BY u, t),
+    l1 AS (
+        SELECT a, CAST(COUNT(*) AS BIGINT) AS support
+        FROM f1 GROUP BY a
+        HAVING COUNT(*) >= (SELECT m FROM ms)
+    ),
+    p2 AS (
+        SELECT f1.u, f1.a, e.t AS b, MIN(e.us) AS t2
+        FROM f1
+        JOIN l1 ON l1.a = f1.a
+        JOIN ev e ON e.u = f1.u AND e.us > f1.t1
+        JOIN l1 lb ON lb.a = e.t
+        GROUP BY f1.u, f1.a, e.t
+    ),
+    l2 AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support
+        FROM p2 GROUP BY a, b
+        HAVING COUNT(*) >= (SELECT m FROM ms)
+    ),
+    p3 AS (
+        SELECT p2.u, p2.a, p2.b, e.t AS c, MIN(e.us) AS t3
+        FROM p2
+        JOIN l2 ON l2.a = p2.a AND l2.b = p2.b
+        JOIN ev e ON e.u = p2.u AND e.us > p2.t2
+        JOIN l1 lc ON lc.a = e.t
+        GROUP BY p2.u, p2.a, p2.b, e.t
+    ),
+    l3 AS (
+        SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS support
+        FROM p3 GROUP BY a, b, c
+        HAVING COUNT(*) >= (SELECT m FROM ms)
+    )
+    SELECT a AS pattern, CAST(1 AS BIGINT) AS length, support FROM l1
+    UNION ALL
+    SELECT a || '->' || b, CAST(2 AS BIGINT), support FROM l2
+    UNION ALL
+    SELECT a || '->' || b || '->' || c, CAST(3 AS BIGINT), support
+    FROM l3
+    """
+
+
+@register(
+    "prefixspan_top_patterns",
+    _ps_oracle_sql(),
+    doc=f"X279 PrefixSpan pattern-growth sequence mining (levels 1-3, "
+        f"minsup {PS_MINSUP_PCT}% of users): frequent prefixes grow "
+        "through projected first-occurrence frontiers (exact for "
+        "subsequence existence), candidates restricted to frequent "
+        "items (downward closure) — the DISCOVERY counterpart of "
+        "X170's fixed-triple support counter. User-keyed joins with "
+        "frequent-alphabet-bounded fan-out; no per-user sequence ever "
+        "materialized; all supports exact BIGINTs. Python replay + "
+        "anti-monotonicity laws (support(p) >= support(p extended); "
+        "every frequent k-pattern's prefix is frequent).",
+    tags=("X279", "X170", "X128", "X7", "X3"),
+)
+def prefixspan_top_patterns(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    ev = persist_tracked(
+        _ev(spark, sf_dir).select(
+            F.col("user_id").alias("u"),
+            F.col("event_type").alias("t"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us")))
+    nu = ev.select("u").distinct().count()
+    minsup = (nu * PS_MINSUP_PCT) // 100 + 1
+    f1 = persist_tracked(
+        ev.groupBy("u", F.col("t").alias("a"))
+        .agg(F.min("us").alias("t1")))
+    l1 = persist_tracked(
+        f1.groupBy("a").agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= minsup))
+    # level-2 growth: frequent 1-prefixes extended by frequent items
+    # through the projected frontier t1
+    p2 = persist_tracked(
+        f1.join(F.broadcast(l1.select("a")), "a")
+        .join(ev.select("u", F.col("t").alias("b"),
+                        F.col("us").alias("usb")), "u")
+        .join(F.broadcast(l1.select(F.col("a").alias("b"))), "b")
+        .filter(F.col("usb") > F.col("t1"))
+        .groupBy("u", "a", "b").agg(F.min("usb").alias("t2")))
+    l2 = persist_tracked(
+        p2.groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= minsup))
+    p3 = (p2.join(F.broadcast(l2.select("a", "b")), ["a", "b"])
+          .join(ev.select("u", F.col("t").alias("c"),
+                          F.col("us").alias("usc")), "u")
+          .join(F.broadcast(l1.select(F.col("a").alias("c"))), "c")
+          .filter(F.col("usc") > F.col("t2"))
+          .groupBy("u", "a", "b", "c").agg(F.min("usc").alias("t3")))
+    l3 = (p3.groupBy("a", "b", "c")
+          .agg(F.count("*").cast("long").alias("support"))
+          .filter(F.col("support") >= minsup))
+    out1 = l1.select(F.col("a").alias("pattern"),
+                     F.lit(1).cast("long").alias("length"), "support")
+    out2 = l2.select(
+        F.concat_ws("->", "a", "b").alias("pattern"),
+        F.lit(2).cast("long").alias("length"), "support")
+    out3 = l3.select(
+        F.concat_ws("->", "a", "b", "c").alias("pattern"),
+        F.lit(3).cast("long").alias("length"), "support")
+    return out1.unionByName(out2).unionByName(out3)
+
+
+# --------------------------------------------------------------------------
+# X285: Wald sequential probability ratio test (SPRT, Wald 1945) —
+# sequential hypothesis testing, the family the batch tests (X245/
+# X280/X283/X284 all fix n first) and the drift detectors (X85/X229
+# alarm without error guarantees) both miss: monitor the daily
+# purchase fraction and STOP the experiment the first day the
+# cumulative log-likelihood ratio leaves (B, A), with guaranteed
+# alpha/beta error rates. For Bernoulli H0: p=1/5 vs H1: p=3/10 at
+# alpha=beta=1/20, the LLR after (K successes, N trials) is
+#     LLR = K*ln(p1/p0) + (N-K)*ln((1-p1)/(1-p0))
+# — a BIGINT fold of two Python-precomputed micro constants (the X99
+# irrational-constant pattern; nothing engine-evaluated is
+# transcendental), compared against precomputed micro thresholds
+# ln((1-beta)/alpha), ln(beta/(1-alpha)). Output: the full daily
+# monitoring trajectory with the latched decision state. Everything
+# after the daily aggregate is calendar-bounded. [EXT]
+# --------------------------------------------------------------------------
+SPRT_EVENT = "purchase"
+SPRT_C1_MICRO = 405465    # round(1e6 * ln(0.3 / 0.2))
+SPRT_C2_MICRO = -133531   # round(1e6 * ln(0.7 / 0.8))
+SPRT_A_MICRO = 2944439    # round(1e6 * ln(0.95 / 0.05))
+SPRT_B_MICRO = -2944439   # round(1e6 * ln(0.05 / 0.95))
+
+
+@register(
+    "sprt_conversion_monitor",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = '{SPRT_EVENT}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT day, n, k,
+               SUM(n) OVER (ORDER BY day) AS cum_n,
+               SUM(k) OVER (ORDER BY day) AS cum_k
+        FROM daily
+    ),
+    traj AS (
+        SELECT day, n, k, cum_n, cum_k,
+               cum_k * {SPRT_C1_MICRO}
+               + (cum_n - cum_k) * ({SPRT_C2_MICRO}) AS llr_micro
+        FROM cum
+    ),
+    dec AS (
+        SELECT day AS d_day,
+               CASE WHEN llr_micro >= {SPRT_A_MICRO}
+                    THEN 'accept_h1' ELSE 'accept_h0' END AS d_state
+        FROM traj
+        WHERE llr_micro >= {SPRT_A_MICRO}
+           OR llr_micro <= {SPRT_B_MICRO}
+        ORDER BY day LIMIT 1
+    )
+    SELECT t.day, t.n, t.k, t.cum_n, t.cum_k,
+           CAST(t.llr_micro AS BIGINT) AS llr_micro,
+           CASE WHEN d.d_day IS NULL OR t.day < d.d_day
+                THEN 'continue' ELSE d.d_state END AS state
+    FROM traj t LEFT JOIN dec d ON 1 = 1
+    """,
+    doc="X285 Wald SPRT monitoring of the daily purchase fraction "
+        "(H0 p=1/5 vs H1 p=3/10, alpha=beta=1/20): cumulative LLR as "
+        "a BIGINT fold of Python-precomputed micro log constants (X99 "
+        "pattern — no engine-evaluated transcendental), thresholds "
+        "ln((1-b)/a), ln(b/(1-a)) precomputed the same way, decision "
+        "latched from the first boundary crossing. The SEQUENTIAL "
+        "testing family next to the fixed-n tests (X245/X280/X283/"
+        "X284) and the guarantee-free drift alarms (X85/X229). "
+        "Everything after the daily aggregate is calendar-bounded. "
+        "Python replay + latch-monotonicity laws.",
+    tags=("X285", "X229", "X85", "X7", "X11"),
+)
+def sprt_conversion_monitor(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date")
+                        .alias("day"))
+             .agg(F.count("*").cast("long").alias("n"),
+                  F.sum(F.when(F.col("event_type") == SPRT_EVENT, 1)
+                        .otherwise(0)).cast("long").alias("k")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    traj = (daily.select(
+        "day", "n", "k",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("k").over(w).alias("cum_k"))
+        .withColumn(
+            "llr_micro",
+            (F.col("cum_k") * SPRT_C1_MICRO
+             + (F.col("cum_n") - F.col("cum_k")) * SPRT_C2_MICRO)
+            .cast("long")))
+    dec = (traj.filter((F.col("llr_micro") >= SPRT_A_MICRO)
+                       | (F.col("llr_micro") <= SPRT_B_MICRO))
+           .orderBy("day").limit(1)
+           .select(F.col("day").alias("d_day"),
+                   F.when(F.col("llr_micro") >= SPRT_A_MICRO,
+                          "accept_h1").otherwise("accept_h0")
+                   .alias("d_state")))
+    return (traj.join(F.broadcast(dec), F.lit(True), "left")
+            .select("day", "n", "k", "cum_n", "cum_k", "llr_micro",
+                    F.when(F.col("d_day").isNull()
+                           | (F.col("day") < F.col("d_day")),
+                           "continue").otherwise(F.col("d_state"))
+                    .alias("state")))

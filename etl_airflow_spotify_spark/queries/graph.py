@@ -3077,3 +3077,128 @@ def greedy_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_nodes"),
                  F.min("node").cast("long").alias("min_node"),
                  F.max("node").cast("long").alias("max_node")))
+
+
+# --------------------------------------------------------------------------
+# X282: bipartite butterfly census — motif counting in the RAW
+# order-part bipartite graph, the lens the projected co-purchase
+# queries (X39/X167/X225 triangles, X243 temporal) cannot give: a
+# BUTTERFLY (2x2 biclique, two orders sharing two parts) is the
+# bipartite analogue of the triangle, and 4*B / #caterpillars (paths
+# of length 3) is the standard bipartite clustering coefficient
+# (Robins-Alexander). Exact combinatorics, no projection loss:
+#     s(p, q)      = orders containing both p and q
+#     B            = sum over pairs C(s, 2)
+#     bf(p)        = sum over q C(s(p,q), 2)   (per-part census)
+#     caterpillars = sum over edges (deg_o(g)-1) * (deg_p(i)-1)
+# Pair fan-out is basket-bounded per order (the X51 Apriori shape) —
+# never all-pairs of parts; everything after the pair aggregate is
+# dimension-sized. The only float is the final clustering ratio, one
+# correctly-rounded DOUBLE division of DECIMAL(38,0)/HUGEINT-exact
+# integer products. [EXT]
+# --------------------------------------------------------------------------
+BFLY_TOPK = 10
+
+
+@register(
+    "butterfly_copurchase_census",
+    f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+    ),
+    pp AS (
+        SELECT a.i AS p, b.i AS q, CAST(COUNT(*) AS BIGINT) AS s
+        FROM op a JOIN op b ON a.g = b.g AND a.i < b.i
+        GROUP BY a.i, b.i
+    ),
+    bf AS (
+        SELECT i, CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS b
+        FROM (SELECT p AS i, s FROM pp
+              UNION ALL SELECT q, s FROM pp)
+        GROUP BY i
+    ),
+    tot AS (
+        SELECT CAST(COALESCE(SUM(s * (s - 1) // 2), 0) AS BIGINT) AS b
+        FROM pp
+    ),
+    dg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS d FROM op GROUP BY g),
+    dp AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS d FROM op GROUP BY i),
+    cat AS (
+        SELECT CAST(SUM((dg.d - 1) * (dp.d - 1)) AS BIGINT) AS c
+        FROM op JOIN dg ON dg.g = op.g JOIN dp ON dp.i = op.i
+    ),
+    top AS (
+        SELECT i, b FROM bf
+        ORDER BY b DESC, i LIMIT {BFLY_TOPK}
+    )
+    SELECT 'butterflies' AS kind, CAST(-1 AS BIGINT) AS partkey, b
+        AS value
+    FROM tot
+    UNION ALL
+    SELECT 'caterpillars', CAST(-1 AS BIGINT), c FROM cat
+    UNION ALL
+    SELECT 'bcc_micro', CAST(-1 AS BIGINT),
+           CASE WHEN cat.c > 0 THEN
+               CAST(ROUND(CAST(CAST(4 * tot.b AS HUGEINT) * 1000000
+                    AS DOUBLE) / cat.c, 0) AS BIGINT)
+           ELSE 0 END
+    FROM tot CROSS JOIN cat
+    UNION ALL
+    SELECT 'part', CAST(i AS BIGINT), b FROM top
+    """,
+    doc=f"X282 bipartite butterfly census of the raw order-part graph: "
+        "total butterflies (2x2 bicliques) via basket-bounded pair "
+        "supports sum C(s,2), per-part butterfly counts (top "
+        f"{BFLY_TOPK} by count, partkey tiebreak), caterpillar "
+        "(3-path) count from exact degree products, and the "
+        "Robins-Alexander bipartite clustering coefficient 4B/paths "
+        "as one correctly-rounded DOUBLE division of HUGEINT/DECIMAL-"
+        "exact integers. The unprojected-motif lens next to X39/X167/"
+        "X225 (projected triangles); pair fan-out is basket-bounded "
+        "(X51 shape), never all-pairs. Python replay + identity laws "
+        "(butterfly double-count = per-part sum / 2).",
+    tags=("X282", "X39", "X167", "X51", "X3", "X7"),
+)
+def butterfly_copurchase_census(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = persist_tracked(
+        li.select(F.col("l_orderkey").alias("g"),
+                  F.col("l_partkey").alias("i")).distinct())
+    b = op.select(F.col("g"), F.col("i").alias("q"))
+    pp = persist_tracked(
+        op.select("g", F.col("i").alias("p")).join(b, "g")
+        .filter(F.col("p") < F.col("q"))
+        .groupBy("p", "q").agg(F.count("*").cast("long").alias("s")))
+    bf = (pp.select(F.col("p").alias("i"), "s")
+          .unionByName(pp.select(F.col("q").alias("i"), "s"))
+          .groupBy("i")
+          .agg(F.expr("CAST(SUM(s * (s - 1) DIV 2) AS BIGINT)")
+               .alias("b")))
+    tot = pp.agg(F.expr(
+        "CAST(COALESCE(SUM(s * (s - 1) DIV 2), 0) AS BIGINT)")
+        .alias("b"))
+    dg = op.groupBy("g").agg(F.count("*").cast("long").alias("dgd"))
+    dp = op.groupBy("i").agg(F.count("*").cast("long").alias("dpd"))
+    cat = (op.join(dg, "g").join(dp, "i")
+           .agg(F.sum((F.col("dgd") - 1) * (F.col("dpd") - 1))
+                .cast("long").alias("c")))
+    top = (bf.orderBy(F.desc("b"), F.asc("i")).limit(BFLY_TOPK))
+    r1 = tot.select(F.lit("butterflies").alias("kind"),
+                    F.lit(-1).cast("long").alias("partkey"),
+                    F.col("b").alias("value"))
+    r2 = cat.select(F.lit("caterpillars").alias("kind"),
+                    F.lit(-1).cast("long").alias("partkey"),
+                    F.col("c").alias("value"))
+    r3 = (tot.crossJoin(cat)
+          .selectExpr(
+              "'bcc_micro' AS kind", "CAST(-1 AS BIGINT) AS partkey",
+              "CASE WHEN c > 0 THEN"
+              " CAST(ROUND(CAST(CAST(4 * b AS DECIMAL(38,0)) * 1000000"
+              " AS DOUBLE) / c, 0) AS BIGINT) ELSE 0L END AS value"))
+    r4 = top.select(F.lit("part").alias("kind"),
+                    F.col("i").cast("long").alias("partkey"),
+                    F.col("b").alias("value"))
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4)

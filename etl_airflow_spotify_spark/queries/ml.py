@@ -3151,3 +3151,108 @@ def fairness_group_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " - CAST(ROUND(CAST(tfp * 1000000 AS DOUBLE)"
                 " / (tn_ - tpos), 0)"
                 " AS BIGINT) AS fpr_gap_micro"))
+
+
+# --------------------------------------------------------------------------
+# X286: McNemar paired-classifier test — marginal-homogeneity testing
+# on PAIRED predictions, the model-comparison step the suite lacks:
+# X92/X137 score ONE classifier, X138's kappa measures agreement
+# (two raters can agree and both be wrong); McNemar asks whether two
+# classifiers' ACCURACIES differ, using only the discordant pairs
+# (b = A right/B wrong, c = B right/A wrong; the concordant cells
+# carry no information about the difference). Raters: the price rule
+# (cents >= MCN_PRICE_CENTS) vs the quantity rule (qty >= MCN_QTY),
+# both predicting l_returnflag='R'. chi2 = (b-c)^2/(b+c) and the
+# Edwards continuity-corrected (max(|b-c|-1,0))^2/(b+c), each ONE
+# correctly-rounded DOUBLE division of a DECIMAL(38,0)/HUGEINT-exact
+# dividend; accuracies micro-snapped the same way. One fact pass,
+# one 4-cell aggregate. [EXT]
+# --------------------------------------------------------------------------
+MCN_PRICE_CENTS = 3000000
+MCN_QTY = 25
+
+
+@register(
+    "mcnemar_paired_rules",
+    f"""
+    WITH scored AS (
+        SELECT CASE WHEN (CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                          AS BIGINT) >= {MCN_PRICE_CENTS})
+                         = (l_returnflag = 'R')
+                    THEN 1 ELSE 0 END AS a_ok,
+               CASE WHEN (l_quantity >= {MCN_QTY})
+                         = (l_returnflag = 'R')
+                    THEN 1 ELSE 0 END AS b_ok
+        FROM lineitem
+    ),
+    cells AS (
+        SELECT CAST(SUM(a_ok * b_ok) AS BIGINT) AS cc,
+               CAST(SUM(a_ok * (1 - b_ok)) AS BIGINT) AS b,
+               CAST(SUM((1 - a_ok) * b_ok) AS BIGINT) AS c,
+               CAST(SUM((1 - a_ok) * (1 - b_ok)) AS BIGINT) AS dd,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM scored
+    )
+    SELECT cc AS both_correct, b AS only_price, c AS only_qty,
+           dd AS both_wrong, n,
+           CASE WHEN b + c > 0 THEN
+               CAST(ROUND(CAST(CAST((b - c) * (b - c) AS HUGEINT)
+                    * 1000000 AS DOUBLE) / (b + c), 0) AS BIGINT)
+           ELSE 0 END AS chi2_micro,
+           CASE WHEN b + c > 0 THEN
+               CAST(ROUND(CAST(CAST(GREATEST(ABS(b - c) - 1, 0)
+                    * GREATEST(ABS(b - c) - 1, 0) AS HUGEINT)
+                    * 1000000 AS DOUBLE) / (b + c), 0) AS BIGINT)
+           ELSE 0 END AS chi2_cc_micro,
+           CAST(ROUND(CAST((cc + b) * 1000000 AS DOUBLE) / n, 0)
+                AS BIGINT) AS acc_price_micro,
+           CAST(ROUND(CAST((cc + c) * 1000000 AS DOUBLE) / n, 0)
+                AS BIGINT) AS acc_qty_micro
+    FROM cells
+    """,
+    doc=f"X286 McNemar marginal-homogeneity test of two paired "
+        f"deterministic classifiers (price cents >= {MCN_PRICE_CENTS}"
+        f" vs quantity >= {MCN_QTY}, both predicting "
+        "l_returnflag='R'): discordant-pair chi-square (b-c)^2/(b+c) "
+        "plus the Edwards continuity-corrected variant, each ONE "
+        "correctly-rounded DOUBLE division of a HUGEINT/DECIMAL-exact "
+        "dividend; per-rule accuracies micro-snapped the same way. "
+        "The paired model-COMPARISON test next to X138's agreement "
+        "kappa and X92/X137's single-model scores. One fact pass, "
+        "one 4-cell aggregate. Python replay + cell-partition laws "
+        "(cells sum to n; chi2_cc <= chi2).",
+    tags=("X286", "X138", "X92", "X7", "X2"),
+)
+def mcnemar_paired_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = li.selectExpr(
+        f"CASE WHEN (CAST(FLOOR(l_extendedprice * 100 + 0.5)"
+        f" AS BIGINT) >= {MCN_PRICE_CENTS}) = (l_returnflag = 'R')"
+        " THEN 1 ELSE 0 END AS a_ok",
+        f"CASE WHEN (l_quantity >= {MCN_QTY}) = (l_returnflag = 'R')"
+        " THEN 1 ELSE 0 END AS b_ok")
+    cells = scored.agg(
+        F.sum(F.col("a_ok") * F.col("b_ok")).cast("long").alias("cc"),
+        F.sum(F.col("a_ok") * (1 - F.col("b_ok"))).cast("long")
+        .alias("b"),
+        F.sum((1 - F.col("a_ok")) * F.col("b_ok")).cast("long")
+        .alias("c"),
+        F.sum((1 - F.col("a_ok")) * (1 - F.col("b_ok"))).cast("long")
+        .alias("dd"),
+        F.count("*").cast("long").alias("n"))
+    return cells.selectExpr(
+        "cc AS both_correct", "b AS only_price", "c AS only_qty",
+        "dd AS both_wrong", "n",
+        "CASE WHEN b + c > 0 THEN"
+        " CAST(ROUND(CAST(CAST((b - c) * (b - c) AS DECIMAL(38,0))"
+        " * 1000000 AS DOUBLE) / (b + c), 0) AS BIGINT)"
+        " ELSE 0L END AS chi2_micro",
+        "CASE WHEN b + c > 0 THEN"
+        " CAST(ROUND(CAST(CAST(GREATEST(ABS(b - c) - 1, 0L)"
+        " * GREATEST(ABS(b - c) - 1, 0L) AS DECIMAL(38,0))"
+        " * 1000000 AS DOUBLE) / (b + c), 0) AS BIGINT)"
+        " ELSE 0L END AS chi2_cc_micro",
+        "CAST(ROUND(CAST((cc + b) * 1000000 AS DOUBLE) / n, 0)"
+        " AS BIGINT) AS acc_price_micro",
+        "CAST(ROUND(CAST((cc + c) * 1000000 AS DOUBLE) / n, 0)"
+        " AS BIGINT) AS acc_qty_micro")

@@ -3552,3 +3552,411 @@ def cmh_stratified_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / bc_sum_nano, 0) AS BIGINT)"
             " ELSE 0L END AS or_micro"))
     return per.unionByName(summary)
+
+
+# --------------------------------------------------------------------------
+# X280: Friedman rank test — the repeated-measures / randomized-block
+# complement of X245's one-way Kruskal-Wallis: k = 5 order priorities
+# are the treatments, ISO weeks the blocks, weekly revenue cents the
+# response; ranks are taken WITHIN each block, so between-week level
+# shifts (seasonality, growth) cancel instead of polluting the
+# location comparison. Exactness: ranks live on the DOUBLED grid
+# (dr = 2*#smaller + #equal + 1, so tie-averaged ranks stay integer);
+# the statistic uses the doubled-rank identity
+#     chi2 = (3*sum(Rd_j^2) - 3*n^2*k*(k+1)^2) / (n*k*(k+1))
+# and the tie-corrected variant multiplies by D2/(D2 - T),
+# D2 = n*k*(k^2-1), T = sum(e^3 - e) over tie groups — each final
+# value ONE correctly-rounded DOUBLE division of exact integer
+# products (DECIMAL(38,0)/HUGEINT where the cross-product can pass
+# 2^63). Within-block rank counting is a k x k bounded self-join
+# (5 rows per block), never data-sized. [EXT]
+# --------------------------------------------------------------------------
+FRIEDMAN_K = 5
+
+
+@register(
+    "friedman_priority_weeks",
+    f"""
+    WITH cell AS (
+        SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+               o_orderpriority AS pri,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2
+    ),
+    blocks AS (
+        SELECT wk FROM cell GROUP BY wk
+        HAVING COUNT(*) = {FRIEDMAN_K}
+    ),
+    cb AS (SELECT c.* FROM cell c JOIN blocks b ON b.wk = c.wk),
+    ranked AS (
+        SELECT c1.wk, c1.pri,
+               CAST(2 * SUM(CASE WHEN c2.y < c1.y THEN 1 ELSE 0 END)
+                    + SUM(CASE WHEN c2.y = c1.y THEN 1 ELSE 0 END)
+                    + 1 AS BIGINT) AS dr
+        FROM cb c1 JOIN cb c2 ON c2.wk = c1.wk
+        GROUP BY c1.wk, c1.pri, c1.y
+    ),
+    rsum AS (
+        SELECT pri, CAST(SUM(dr) AS BIGINT) AS rd_sum
+        FROM ranked GROUP BY pri
+    ),
+    ties AS (
+        SELECT COALESCE(CAST(SUM(e * e * e - e) AS BIGINT), 0) AS t
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS e
+              FROM cb GROUP BY wk, y) g
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM blocks),
+    stats AS (
+        SELECT n, t,
+               (SELECT CAST(SUM(rd_sum * rd_sum) AS BIGINT)
+                FROM rsum) AS sq,
+               n * {FRIEDMAN_K} * ({FRIEDMAN_K} + 1) AS d1,
+               n * {FRIEDMAN_K}
+                 * ({FRIEDMAN_K} * {FRIEDMAN_K} - 1) AS d2
+        FROM nn CROSS JOIN ties
+    )
+    SELECT r.pri AS priority, s.n AS n_blocks, r.rd_sum,
+           CAST(ROUND(CAST((3 * s.sq - 3 * s.n * s.n * {FRIEDMAN_K}
+                    * ({FRIEDMAN_K} + 1) * ({FRIEDMAN_K} + 1))
+                    * 1000000 AS DOUBLE) / s.d1, 0) AS BIGINT)
+               AS chi2_micro,
+           s.t AS tie_sum,
+           CAST(ROUND(CAST(CAST(3 * s.sq - 3 * s.n * s.n * {FRIEDMAN_K}
+                    * ({FRIEDMAN_K} + 1) * ({FRIEDMAN_K} + 1)
+                    AS HUGEINT) * s.d2 * 1000000 AS DOUBLE)
+                    / (s.d1 * (s.d2 - s.t)), 0) AS BIGINT)
+               AS chi2_tie_micro
+    FROM rsum r CROSS JOIN stats s
+    """,
+    doc=f"X280 Friedman rank test of the {FRIEDMAN_K} order priorities "
+        "across ISO-week blocks (weekly revenue cents as response): "
+        "within-block doubled ranks (2*#smaller + #equal + 1 — "
+        "tie-averages stay integer), doubled-rank chi-square plus the "
+        "tie-corrected variant, each ONE correctly-rounded DOUBLE "
+        "division of exact integer products (DECIMAL(38,0)/HUGEINT "
+        "cross-products). Rank counting is a k x k bounded join per "
+        "block, never data-sized; the weekly cell aggregate is the "
+        "only fact pass. Repeated-measures complement of X245 "
+        "(one-way KW) and X273 (stratified 2x2 CMH). Python replay + "
+        "rank-sum-identity laws (sum Rd_j = n*k*(k+1)).",
+    tags=("X280", "X245", "X273", "X7", "X3"),
+)
+def friedman_priority_weeks(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    k = FRIEDMAN_K
+    o = load_table(spark, sf_dir, "orders")
+    cell = (o.groupBy(
+        F.date_trunc("week", "o_orderdate").cast("date").alias("wk"),
+        F.col("o_orderpriority").alias("pri"))
+        .agg(F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5)"
+                          " AS BIGINT)")).cast("long").alias("y")))
+    blocks = (cell.groupBy("wk").agg(F.count("*").alias("c"))
+              .filter(F.col("c") == k).select("wk"))
+    cb = cell.join(blocks, "wk")
+    other = cb.select(F.col("wk"), F.col("y").alias("y2"))
+    ranked = (cb.join(other, "wk")
+              .groupBy("wk", "pri", "y")
+              .agg((2 * F.sum(F.when(F.col("y2") < F.col("y"), 1)
+                              .otherwise(0))
+                    + F.sum(F.when(F.col("y2") == F.col("y"), 1)
+                            .otherwise(0)) + 1)
+                   .cast("long").alias("dr")))
+    rsum = ranked.groupBy("pri").agg(
+        F.sum("dr").cast("long").alias("rd_sum"))
+    ties = (cb.groupBy("wk", "y").agg(F.count("*").cast("long")
+                                      .alias("e"))
+            .agg(F.coalesce(
+                F.sum(F.col("e") * F.col("e") * F.col("e")
+                      - F.col("e")), F.lit(0)).cast("long").alias("t")))
+    nn = blocks.agg(F.count("*").cast("long").alias("n"))
+    sq = rsum.agg(F.sum(F.col("rd_sum") * F.col("rd_sum"))
+                  .cast("long").alias("sq"))
+    stats = (nn.crossJoin(ties).crossJoin(sq)
+             .selectExpr(
+                 "n", "t", "sq",
+                 f"n * {k} * ({k} + 1) AS d1",
+                 f"n * {k} * ({k} * {k} - 1) AS d2"))
+    return (rsum.crossJoin(F.broadcast(stats))
+            .selectExpr(
+                "pri AS priority", "n AS n_blocks", "rd_sum",
+                f"CAST(ROUND(CAST((3 * sq - 3 * n * n * {k}"
+                f" * ({k} + 1) * ({k} + 1))"
+                " * 1000000 AS DOUBLE) / d1, 0) AS BIGINT)"
+                " AS chi2_micro",
+                "t AS tie_sum",
+                f"CAST(ROUND(CAST(CAST(3 * sq - 3 * n * n * {k}"
+                f" * ({k} + 1) * ({k} + 1)"
+                " AS DECIMAL(38,0)) * d2 * 1000000 AS DOUBLE)"
+                " / (d1 * (d2 - t)), 0) AS BIGINT)"
+                " AS chi2_tie_micro"))
+
+
+# --------------------------------------------------------------------------
+# X283: two-sample Kolmogorov-Smirnov test — the DISTRIBUTIONAL
+# two-sample test the location/association family lacks (X245 KW and
+# X280 Friedman compare locations, X273 CMH association, X122 EMD is
+# a binned distance, not a test): D = sup |F1 - F2| over the pooled
+# sample detects ANY distributional difference. Exactness: on the
+# pooled distinct-cents table, D's argmax runs entirely on BIGINTs
+# via cross-multiplication |c1*n2 - c2*n1| (no division before the
+# argmax); d_micro is one correctly-rounded DOUBLE division of a
+# DECIMAL(38,0)/HUGEINT-exact dividend; the alpha thresholds
+# c(a)*sqrt((n1+n2)/(n1*n2)) use Python-precomputed integer micro
+# constants for the irrational c(a) (the X99 discount-table pattern)
+# and one textually-identical sqrt expression. The distinct-cents
+# table is VALUE-bounded (price domain), not data-bounded, so the
+# cumulative windows stay fixed-size at any SF (X137 precedent). [EXT]
+# --------------------------------------------------------------------------
+KS_C05_MICRO = 1358102  # round(1e6 * sqrt(ln(2/0.05)/2))
+KS_C01_MICRO = 1627624  # round(1e6 * sqrt(ln(2/0.01)/2))
+
+
+@register(
+    "ks_two_sample_prices",
+    f"""
+    WITH h AS (
+        SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                        END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0
+                        END) AS BIGINT) AS b
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS n1,
+                   CAST(SUM(b) AS BIGINT) AS n2 FROM h),
+    cum AS (
+        SELECT v, SUM(a) OVER (ORDER BY v) AS c1,
+               SUM(b) OVER (ORDER BY v) AS c2
+        FROM h
+    ),
+    best AS (
+        SELECT c.v, ABS(c.c1 * t.n2 - c.c2 * t.n1) AS d_num,
+               t.n1, t.n2
+        FROM cum c CROSS JOIN tot t
+        ORDER BY ABS(c.c1 * t.n2 - c.c2 * t.n1) DESC, c.v
+        LIMIT 1
+    )
+    SELECT n1, n2, d_num, v AS arg_cents,
+           CAST(ROUND(CAST(CAST(d_num AS HUGEINT) * 1000000 AS DOUBLE)
+                / (n1 * n2), 0) AS BIGINT) AS d_micro,
+           CAST(ROUND({KS_C05_MICRO} * SQRT(CAST(n1 + n2 AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) * n2)), 0) AS BIGINT)
+               AS thr05_micro,
+           CAST(ROUND({KS_C01_MICRO} * SQRT(CAST(n1 + n2 AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) * n2)), 0) AS BIGINT)
+               AS thr01_micro,
+           CASE WHEN CAST(ROUND(CAST(CAST(d_num AS HUGEINT) * 1000000
+                    AS DOUBLE) / (n1 * n2), 0) AS BIGINT)
+                > CAST(ROUND({KS_C05_MICRO}
+                    * SQRT(CAST(n1 + n2 AS DOUBLE)
+                    / (CAST(n1 AS DOUBLE) * n2)), 0) AS BIGINT)
+                THEN 1 ELSE 0 END AS reject05,
+           CASE WHEN CAST(ROUND(CAST(CAST(d_num AS HUGEINT) * 1000000
+                    AS DOUBLE) / (n1 * n2), 0) AS BIGINT)
+                > CAST(ROUND({KS_C01_MICRO}
+                    * SQRT(CAST(n1 + n2 AS DOUBLE)
+                    / (CAST(n1 AS DOUBLE) * n2)), 0) AS BIGINT)
+                THEN 1 ELSE 0 END AS reject01
+    FROM best
+    """,
+    doc="X283 two-sample Kolmogorov-Smirnov test of returned (R) vs "
+        "delivered (N) price-cent distributions: D argmax on BIGINT "
+        "cross-products |c1*n2 - c2*n1| over the value-bounded pooled "
+        "distinct-cents table (no float ordered), d_micro one "
+        "correctly-rounded DOUBLE division of a HUGEINT/DECIMAL-exact "
+        "dividend, and 5%/1% large-sample thresholds from Python-"
+        "precomputed c(alpha) micro constants (X99 pattern) times one "
+        "textually-identical sqrt expression. The distribution-level "
+        "two-sample test next to X245/X280 (location) and X122 "
+        "(binned distance). Python replay + D-bound laws "
+        "(0 <= D <= n1*n2; argmax attained).",
+    tags=("X283", "X245", "X122", "X7", "X11"),
+)
+def ks_two_sample_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (li.filter(F.col("l_returnflag").isin("R", "N"))
+         .groupBy(F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5)"
+                         " AS BIGINT)").alias("v"))
+         .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                    .otherwise(0)).cast("long").alias("a"),
+              F.sum(F.when(F.col("l_returnflag") == "N", 1)
+                    .otherwise(0)).cast("long").alias("b")))
+    tot = h.agg(F.sum("a").cast("long").alias("n1"),
+                F.sum("b").cast("long").alias("n2"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select("v", F.sum("a").over(w).alias("c1"),
+                   F.sum("b").over(w).alias("c2"))
+    best = (cum.crossJoin(F.broadcast(tot))
+            .select("v", F.abs(F.col("c1") * F.col("n2")
+                               - F.col("c2") * F.col("n1"))
+                    .alias("d_num"), "n1", "n2")
+            .orderBy(F.desc("d_num"), F.asc("v")).limit(1))
+    d_micro = ("CAST(ROUND(CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000"
+               " AS DOUBLE) / (n1 * n2), 0) AS BIGINT)")
+    thr = ("CAST(ROUND({c} * SQRT(CAST(n1 + n2 AS DOUBLE)"
+           " / (CAST(n1 AS DOUBLE) * n2)), 0) AS BIGINT)")
+    t05 = thr.format(c=KS_C05_MICRO)
+    t01 = thr.format(c=KS_C01_MICRO)
+    return best.selectExpr(
+        "n1", "n2", "d_num", "v AS arg_cents",
+        f"{d_micro} AS d_micro",
+        f"{t05} AS thr05_micro",
+        f"{t01} AS thr01_micro",
+        f"CASE WHEN {d_micro} > {t05} THEN 1 ELSE 0 END AS reject05",
+        f"CASE WHEN {d_micro} > {t01} THEN 1 ELSE 0 END AS reject01")
+
+
+# --------------------------------------------------------------------------
+# X284: Brown-Forsythe variance-homogeneity test — the SPREAD
+# counterpart of the location tests (X245 KW, X280 Friedman): are
+# price dispersions equal across supplier nations? Levene's ANOVA on
+# absolute deviations, with Brown-Forsythe's median centering (robust
+# to heavy tails). Exactness: medians of integer cents live on the
+# DOUBLED grid (med2 = x_(floor((n+1)/2)) + x_(ceil((n+1)/2)), so
+# even-n averages stay integer); deviations z = |2x - med2| are exact
+# BIGINTs; group means of z are micro-snapped (ONE correctly-rounded
+# division each, the fairness/X272 discipline); the between/within
+# sums of squares over snapped micros fold in DECIMAL(38,0)/HUGEINT
+# (per-row squares ~1e26 — no BIGINT overflow, no float summation);
+# the F statistic is ONE final DOUBLE division of deterministically
+# rounded products. Per-group median windows are group-partitioned;
+# the fact scan is the only data-sized pass. [EXT]
+# --------------------------------------------------------------------------
+@register(
+    "brown_forsythe_nations",
+    """
+    WITH base AS (
+        SELECT n.n_name AS grp,
+               CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS x
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ),
+    rk AS (
+        SELECT grp, x,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x) AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM base
+    ),
+    med AS (
+        SELECT grp, CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN x
+                                  ELSE 0 END)
+                       + SUM(CASE WHEN rn = (n + 2) // 2 THEN x
+                                  ELSE 0 END) AS BIGINT) AS med2
+        FROM rk GROUP BY grp
+    ),
+    dev AS (
+        SELECT b.grp, ABS(2 * b.x - m.med2) AS z
+        FROM base b JOIN med m ON m.grp = b.grp
+    ),
+    g AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS nj,
+               CAST(SUM(z) AS BIGINT) AS zj
+        FROM dev GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(nj) AS BIGINT) AS n,
+               CAST(SUM(zj) AS BIGINT) AS z,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g
+    ),
+    gz AS (
+        SELECT g.grp, g.nj, g.zj,
+               CAST(ROUND(CAST(CAST(g.zj AS HUGEINT) * 1000000
+                    AS DOUBLE) / g.nj, 0) AS BIGINT) AS zbar_micro,
+               CAST(ROUND(CAST(CAST(t.z AS HUGEINT) * 1000000
+                    AS DOUBLE) / t.n, 0) AS BIGINT) AS zbar_all_micro
+        FROM g CROSS JOIN tot t
+    ),
+    ssb AS (
+        SELECT CAST(SUM(CAST(nj AS HUGEINT)
+                 * (zbar_micro - zbar_all_micro)
+                 * (zbar_micro - zbar_all_micro)) AS HUGEINT) AS v
+        FROM gz
+    ),
+    ssw AS (
+        SELECT CAST(SUM(CAST(d.z * 1000000 - gz.zbar_micro AS HUGEINT)
+                 * (d.z * 1000000 - gz.zbar_micro)) AS HUGEINT) AS v
+        FROM dev d JOIN gz ON gz.grp = d.grp
+    )
+    SELECT gz.grp, gz.nj, gz.zj, gz.zbar_micro,
+           t.n AS n_total, t.k,
+           CAST(ROUND(CAST(ssb.v AS DOUBLE) * (t.n - t.k) * 1000000
+                / (CAST(ssw.v AS DOUBLE) * (t.k - 1)), 0) AS BIGINT)
+               AS f_micro
+    FROM gz CROSS JOIN tot t CROSS JOIN ssb CROSS JOIN ssw
+    """,
+    doc="X284 Brown-Forsythe variance-homogeneity test of price cents "
+        "across supplier nations: doubled-grid group medians (even-n "
+        "averages stay integer), exact BIGINT absolute deviations, "
+        "micro-snapped deviation means (one correctly-rounded "
+        "division each), DECIMAL(38,0)/HUGEINT between/within sums of "
+        "squares, and ONE final DOUBLE division for F. The spread "
+        "test next to X245/X280 (location) and X283 (distribution). "
+        "Python replay + decomposition laws (SSB + SSW vs total on "
+        "the snapped grid).",
+    tags=("X284", "X245", "X283", "X7", "X10"),
+)
+def brown_forsythe_nations(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    base = (li.join(s, s.s_suppkey == li.l_suppkey)
+            .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+            .select(F.col("n_name").alias("grp"),
+                    F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5)"
+                           " AS BIGINT)").alias("x")))
+    from ..caching import persist_tracked
+
+    base = persist_tracked(base)
+    wr = Window.partitionBy("grp").orderBy("x")
+    wn = Window.partitionBy("grp")
+    rk = base.select("grp", "x",
+                     F.row_number().over(wr).alias("rn"),
+                     F.count("*").over(wn).alias("nw"))
+    med = (rk.selectExpr(
+        "grp",
+        "CASE WHEN rn = (nw + 1) DIV 2 THEN x ELSE 0 END AS mlo",
+        "CASE WHEN rn = (nw + 2) DIV 2 THEN x ELSE 0 END AS mhi")
+        .groupBy("grp")
+        .agg((F.sum("mlo") + F.sum("mhi")).cast("long").alias("med2")))
+    dev = (base.join(F.broadcast(med), "grp")
+           .select("grp", F.abs(2 * F.col("x") - F.col("med2"))
+                   .alias("z")))
+    g = dev.groupBy("grp").agg(
+        F.count("*").cast("long").alias("nj"),
+        F.sum("z").cast("long").alias("zj"))
+    tot = g.agg(F.sum("nj").cast("long").alias("n"),
+                F.sum("zj").cast("long").alias("z"),
+                F.count("*").cast("long").alias("k"))
+    gz = (g.crossJoin(F.broadcast(tot))
+          .selectExpr(
+              "grp", "nj", "zj",
+              "CAST(ROUND(CAST(CAST(zj AS DECIMAL(38,0)) * 1000000"
+              " AS DOUBLE) / nj, 0) AS BIGINT) AS zbar_micro",
+              "CAST(ROUND(CAST(CAST(z AS DECIMAL(38,0)) * 1000000"
+              " AS DOUBLE) / n, 0) AS BIGINT) AS zbar_all_micro"))
+    gz = persist_tracked(gz)
+    ssb = gz.selectExpr(
+        "CAST(nj AS DECIMAL(38,0))"
+        " * (zbar_micro - zbar_all_micro)"
+        " * (zbar_micro - zbar_all_micro) AS sq").agg(
+        F.sum("sq").alias("v"))
+    ssw = (dev.join(F.broadcast(gz.select("grp", "zbar_micro")), "grp")
+           .selectExpr(
+               "CAST(z * 1000000 - zbar_micro AS DECIMAL(38,0))"
+               " * (z * 1000000 - zbar_micro) AS sq")
+           .agg(F.sum("sq").alias("v")))
+    return (gz.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(ssb.selectExpr("v AS ssb_v")))
+            .crossJoin(F.broadcast(ssw.selectExpr("v AS ssw_v")))
+            .selectExpr(
+                "grp", "nj", "zj", "zbar_micro",
+                "n AS n_total", "k",
+                "CAST(ROUND(CAST(ssb_v AS DOUBLE) * (n - k) * 1000000"
+                " / (CAST(ssw_v AS DOUBLE) * (k - 1)), 0) AS BIGINT)"
+                " AS f_micro"))

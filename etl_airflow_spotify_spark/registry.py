@@ -121,6 +121,15 @@ DRIVER_ORDER: tuple[str, ...] = (
     "resample_gap_fill",            # X11
     "revenue_by_region",            # X4
     # (e) NEW_R8 representatives — appended as they land, <= 9
+    "holt_damped_daily",            # X278
+    "prefixspan_top_patterns",      # X279
+    "friedman_priority_weeks",      # X280
+    "token_bucket_rate_audit",      # X281
+    "butterfly_copurchase_census",  # X282
+    "ks_two_sample_prices",         # X283
+    "brown_forsythe_nations",       # X284
+    "sprt_conversion_monitor",      # X285
+    "mcnemar_paired_rules",         # X286
 )
 
 

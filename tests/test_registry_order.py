@@ -77,6 +77,15 @@ R9_BACKLOG = [
 # land so they are attested the round they land. Maps query name ->
 # class tag.
 NEW_R8: dict[str, str] = {
+    "holt_damped_daily": "X278",
+    "prefixspan_top_patterns": "X279",
+    "friedman_priority_weeks": "X280",
+    "token_bucket_rate_audit": "X281",
+    "butterfly_copurchase_census": "X282",
+    "ks_two_sample_prices": "X283",
+    "brown_forsythe_nations": "X284",
+    "sprt_conversion_monitor": "X285",
+    "mcnemar_paired_rules": "X286",
 }
 
 MAX_NEW_R8 = 9  # r7 verdict item 7
