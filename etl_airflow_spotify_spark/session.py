@@ -90,6 +90,30 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _fast_local_dir() -> str | None:
+    """Pick the fastest viable scratch dir for shuffle/localCheckpoint
+    blocks. localCheckpoint-loop queries are bound by local-dir WRITE
+    latency (r8 bisect: the whole r7 +8-17% graph-loop regression was
+    /tmp disk I/O — the same eight queries ran 15% FASTER than their
+    r6 numbers once local dirs moved to tmpfs). On a real cluster this
+    is the standard "point spark.local.dir at local NVMe" deploy
+    setting; in this 128 GiB container /dev/shm is that fast device.
+    Only chosen when it has generous headroom (local-mode scratch at
+    bench SFs is MBs; spills of that size are safe in RAM), and
+    overridable via SPARK_GRAFT_LOCAL_DIRS."""
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIRS")
+    if override:
+        return override
+    import shutil
+    try:
+        if os.path.isdir("/dev/shm") and \
+                shutil.disk_usage("/dev/shm").free > 32 * 1024 ** 3:
+            return "/dev/shm"
+    except OSError:
+        pass
+    return None
+
+
 def get_session(app_name: str = "etl-airflow-spotify-spark",
                 cpus: int | None = None,
                 shuffle_partitions: int | None = None) -> SparkSession:
@@ -104,6 +128,9 @@ def get_session(app_name: str = "etl-airflow-spotify-spark",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    fast_dir = _fast_local_dir()
+    if fast_dir:
+        builder = builder.config("spark.local.dir", fast_dir)
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
