@@ -1399,27 +1399,20 @@ def clustering_coefficient_profile(spark: SparkSession,
     deg = persist_tracked(
         e.groupBy(F.col("src").alias("n"))
         .agg(F.count("*").cast("long").alias("d")))
-    eo = persist_tracked(
-        e.join(deg.select(F.col("n").alias("src"),
-                          F.col("d").alias("da")), "src")
-        .join(deg.select(F.col("n").alias("dst"),
-                         F.col("d").alias("db")), "dst")
-        .filter((F.col("da") < F.col("db"))
-                | ((F.col("da") == F.col("db"))
-                   & (F.col("src") < F.col("dst"))))
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"),
-                F.col("db").alias("dd")))
-    e1 = eo.select("u", F.col("v").alias("v1"), F.col("dd").alias("d1"))
-    e2 = eo.select("u", F.col("v").alias("v2"), F.col("dd").alias("d2"))
-    wedge = e1.join(e2, "u").filter(
-        (F.col("d1") < F.col("d2"))
-        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2"))))
-    closing = eo.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
-    tri = persist_tracked(
-        wedge.join(closing, ["v1", "v2"]).select("u", "v1", "v2"))
+    # r8 re-plan: triangle enumeration moved onto the shared size-gated
+    # helper (r7 lesson 3: adjacency-intersect against broadcast
+    # neighbor arrays beats the degree-oriented wedge JOIN ~25% by
+    # deleting the wedge-sized exchange; above KTRUSS_BCAST_EDGE_MAX it
+    # falls back to exactly the wedge join this used to inline).
+    # Identical triangle set — each triangle once from its
+    # (degree, id)-minimum vertex.
+    eu = (e.filter(F.col("src") < F.col("dst"))
+          .select(F.col("src").alias("lo"), F.col("dst").alias("hi")))
+    nb = eu.count()
+    tri = persist_tracked(_ktruss_round1_triangles(eu, deg, nb))
     tv = (tri.select(F.col("u").alias("n"))
-          .unionByName(tri.select(F.col("v1").alias("n")))
-          .unionByName(tri.select(F.col("v2").alias("n")))
+          .unionByName(tri.select(F.col("v").alias("n")))
+          .unionByName(tri.select(F.col("w").alias("n")))
           .groupBy("n").agg(F.count("*").cast("long").alias("t")))
     cc = (deg.join(tv, "n", "left")
           .select("n", "d", F.coalesce(F.col("t"), F.lit(0)).alias("t")))

@@ -83,6 +83,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "readability_fk_profile",       # X274 (DOUBLE-division fix)
     "binseg_changepoints",          # X275 (empty-pick guard)
     "ktruss_peeling_profile",       # X225 (size-gated enumeration)
+    "clustering_coefficient_profile",  # X167 (intersect re-plan)
     # (c) rows-only r3 rows whose oracle twins landed later
     "hll_sliding_distinct",         # X37
     "vector_topk_ivfpq_residual",   # X17
@@ -119,7 +120,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "promo_revenue",                # X1
     "range_join_price_band",        # X5
     "resample_gap_fill",            # X11
-    "revenue_by_region",            # X4
     # (e) NEW_R8 representatives — appended as they land, <= 9
     "holt_damped_daily",            # X278
     "prefixspan_top_patterns",      # X279

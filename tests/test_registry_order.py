@@ -38,6 +38,7 @@ CHANGED_R8 = [
     "readability_fk_profile",  # X274 decimal->DOUBLE division fix
     "binseg_changepoints",    # X275 empty-pick guard
     "ktruss_peeling_profile",  # X225 size-gated round-1 enumeration
+    "clustering_coefficient_profile",  # X167 intersect re-plan
 ]
 
 # rows-only rows from the r3 window whose oracles exist at HEAD
@@ -60,14 +61,15 @@ OLDEST_R1 = [
     "multimodal_decode", "multimodal_frames", "multimodal_metadata",
     "multimodal_resize", "near_dup_minhash", "ngram_jaccard_blocked",
     "pivot_event_types", "pricing_summary", "promo_revenue",
-    "range_join_price_band", "resample_gap_fill", "revenue_by_region",
+    "range_join_price_band", "resample_gap_fill",
 ]
 
 # Round-1-latest rows that did NOT fit this window — first claim on
 # the round-9 window, together with the round-2-latest cohort.
 R9_BACKLOG = [
-    "rollup_returns", "scalar_battery", "segment_stats",
-    "sessionize_events", "setops_customers", "tfidf_cosine_pairs",
+    "revenue_by_region", "rollup_returns", "scalar_battery",
+    "segment_stats", "sessionize_events", "setops_customers",
+    "tfidf_cosine_pairs",
     "tfidf_top_terms", "top_orders_per_customer", "top_revenue_orders",
     "training_data_prep", "udf_surface_stats", "udf_zscore_groups",
     "word_frequencies",
