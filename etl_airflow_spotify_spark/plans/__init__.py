@@ -62,6 +62,22 @@ def has_cartesian_product(df: DataFrame) -> bool:
     return "CartesianProduct" in plan_string(df)
 
 
+def num_broadcast_hints(df: DataFrame) -> int:
+    """Count HARD broadcast hints in the analyzed logical plan.
+
+    Physical BroadcastHashJoin presence is size-estimate-dependent (a
+    tiny test SF can make Catalyst broadcast without any hint), so
+    gate tests that assert "this path must never FORCE a broadcast"
+    count ResolvedHint nodes instead — those exist iff the code called
+    F.broadcast()/hint("broadcast"), independent of data size.
+    """
+    try:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        analyzed = plan_string(df, mode="extended")
+    return len(re.findall(r"ResolvedHint .*broadcast", analyzed))
+
+
 def wholestage_codegen_ids(df: DataFrame) -> list[int]:
     return sorted({int(m) for m in
                    re.findall(r"WholeStageCodegen \((\d+)\)", plan_string(df))})

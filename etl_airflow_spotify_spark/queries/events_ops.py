@@ -7334,7 +7334,14 @@ SPRT_B_MICRO = -2944439   # round(1e6 * ln(0.05 / 0.95))
            OR llr_micro <= {SPRT_B_MICRO}
         ORDER BY day LIMIT 1
     )
-    SELECT t.day, t.n, t.k, t.cum_n, t.cum_k,
+    SELECT t.day, t.n, t.k,
+           -- cum_n/cum_k are SUM(...) OVER results — HUGEINT in
+           -- DuckDB, LongType in Spark. CAST the OUTPUT columns so the
+           -- attested types match (cum_n <= |events| — int64-safe at
+           -- any SF; the r8 driver hash-red was this uncast HUGEINT,
+           -- values matched throughout).
+           CAST(t.cum_n AS BIGINT) AS cum_n,
+           CAST(t.cum_k AS BIGINT) AS cum_k,
            CAST(t.llr_micro AS BIGINT) AS llr_micro,
            CASE WHEN d.d_day IS NULL OR t.day < d.d_day
                 THEN 'continue' ELSE d.d_state END AS state

@@ -1890,10 +1890,18 @@ def _ktruss_round1_triangles(eu, deg, n_edges: int):
     (u, v, w) with (u, v) and (u, w) oriented edges and w the closing
     intersect/wedge vertex. Both branches produce the identical set;
     tests/test_plans.py pins both inner plans."""
-    eo = (eu.join(F.broadcast(deg.select(F.col("n").alias("lo"),
-                                         F.col("d").alias("da"))), "lo")
-          .join(F.broadcast(deg.select(F.col("n").alias("hi"),
-                                       F.col("d").alias("db"))), "hi")
+    # r8 ADVICE: the degree-orientation joins live BEHIND the same
+    # size gate as the adjacency — a hard F.broadcast(deg) on a 100x
+    # graph (|V| ~ 20M nodes) is the exact hole the gate exists to
+    # close. Below the cap, broadcast (|V| <= 2|E|, tiny at that
+    # scale); above it, plain equi-joins and let AQE pick the
+    # strategy at runtime from the actual build-side size.
+    _hint = (F.broadcast if n_edges <= KTRUSS_BCAST_EDGE_MAX
+             else (lambda df: df))
+    eo = (eu.join(_hint(deg.select(F.col("n").alias("lo"),
+                                   F.col("d").alias("da"))), "lo")
+          .join(_hint(deg.select(F.col("n").alias("hi"),
+                                 F.col("d").alias("db"))), "hi")
           .select(
               F.expr("CASE WHEN (da, lo) < (db, hi)"
                      " THEN lo ELSE hi END").alias("u"),
@@ -3131,8 +3139,11 @@ BFLY_TOPK = 10
     SELECT 'caterpillars', CAST(-1 AS BIGINT), c FROM cat
     UNION ALL
     SELECT 'bcc_micro', CAST(-1 AS BIGINT),
+           -- r8 ADVICE: widen b BEFORE the 4x so the multiply runs in
+           -- HUGEINT — 4*b in int64 would overflow first at scales
+           -- where B approaches 2^61.
            CASE WHEN cat.c > 0 THEN
-               CAST(ROUND(CAST(CAST(4 * tot.b AS HUGEINT) * 1000000
+               CAST(ROUND(CAST(CAST(tot.b AS HUGEINT) * 4 * 1000000
                     AS DOUBLE) / cat.c, 0) AS BIGINT)
            ELSE 0 END
     FROM tot CROSS JOIN cat
@@ -3188,8 +3199,10 @@ def butterfly_copurchase_census(spark: SparkSession,
     r3 = (tot.crossJoin(cat)
           .selectExpr(
               "'bcc_micro' AS kind", "CAST(-1 AS BIGINT) AS partkey",
+              # r8 ADVICE: widen b before the 4x (never int64-multiply
+              # pre-cast).
               "CASE WHEN c > 0 THEN"
-              " CAST(ROUND(CAST(CAST(4 * b AS DECIMAL(38,0)) * 1000000"
+              " CAST(ROUND(CAST(CAST(b AS DECIMAL(38,0)) * 4 * 1000000"
               " AS DOUBLE) / c, 0) AS BIGINT) ELSE 0L END AS value"))
     r4 = top.select(F.lit("part").alias("kind"),
                     F.col("i").cast("long").alias("partkey"),

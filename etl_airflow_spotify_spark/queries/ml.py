@@ -235,10 +235,21 @@ def _threshold_oracle_sql() -> str:
                     AS BIGINT) AS metric_micro
         FROM keyed ORDER BY f1_key DESC, s LIMIT 1
     )
-    SELECT criterion, s AS threshold_cents, tp, fp, fn, tn, metric_micro
+    SELECT criterion, s AS threshold_cents,
+           -- tp/fp/fn/tn descend from SUM(...) OVER windows, which
+           -- DuckDB widens to HUGEINT; Spark emits LongType. CAST in
+           -- the final projection so the attested OUTPUT type matches
+           -- (values are row counts, tp <= |lineitem| — int64-safe at
+           -- any SF; the r5-r8 driver hash-reds were exactly this
+           -- uncast HUGEINT, values always matched).
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           metric_micro
     FROM youden
     UNION ALL
-    SELECT criterion, s, tp, fp, fn, tn, metric_micro FROM f1best
+    SELECT criterion, s, CAST(tp AS BIGINT), CAST(fp AS BIGINT),
+           CAST(fn AS BIGINT), CAST(tn AS BIGINT), metric_micro
+    FROM f1best
     """
 
 
@@ -3195,13 +3206,18 @@ MCN_QTY = 25
     )
     SELECT cc AS both_correct, b AS only_price, c AS only_qty,
            dd AS both_wrong, n,
+           -- r8 ADVICE: cast ONE operand wide BEFORE the square so
+           -- the multiply itself runs in HUGEINT (the brown_forsythe
+           -- gz/ssb pattern) — a 64-bit (b-c)*(b-c) pre-cast would
+           -- overflow before the widening CAST could protect it at
+           -- the 100x scales where b-c can exceed 3e9.
            CASE WHEN b + c > 0 THEN
-               CAST(ROUND(CAST(CAST((b - c) * (b - c) AS HUGEINT)
+               CAST(ROUND(CAST(CAST(b - c AS HUGEINT) * (b - c)
                     * 1000000 AS DOUBLE) / (b + c), 0) AS BIGINT)
            ELSE 0 END AS chi2_micro,
            CASE WHEN b + c > 0 THEN
                CAST(ROUND(CAST(CAST(GREATEST(ABS(b - c) - 1, 0)
-                    * GREATEST(ABS(b - c) - 1, 0) AS HUGEINT)
+                    AS HUGEINT) * GREATEST(ABS(b - c) - 1, 0)
                     * 1000000 AS DOUBLE) / (b + c), 0) AS BIGINT)
            ELSE 0 END AS chi2_cc_micro,
            CAST(ROUND(CAST((cc + b) * 1000000 AS DOUBLE) / n, 0)
@@ -3243,13 +3259,15 @@ def mcnemar_paired_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.selectExpr(
         "cc AS both_correct", "b AS only_price", "c AS only_qty",
         "dd AS both_wrong", "n",
+        # r8 ADVICE: widen one operand BEFORE the square (the
+        # brown_forsythe pattern) so the multiply never runs in int64.
         "CASE WHEN b + c > 0 THEN"
-        " CAST(ROUND(CAST(CAST((b - c) * (b - c) AS DECIMAL(38,0))"
+        " CAST(ROUND(CAST(CAST(b - c AS DECIMAL(38,0)) * (b - c)"
         " * 1000000 AS DOUBLE) / (b + c), 0) AS BIGINT)"
         " ELSE 0L END AS chi2_micro",
         "CASE WHEN b + c > 0 THEN"
         " CAST(ROUND(CAST(CAST(GREATEST(ABS(b - c) - 1, 0L)"
-        " * GREATEST(ABS(b - c) - 1, 0L) AS DECIMAL(38,0))"
+        " AS DECIMAL(38,0)) * GREATEST(ABS(b - c) - 1, 0L)"
         " * 1000000 AS DOUBLE) / (b + c), 0) AS BIGINT)"
         " ELSE 0L END AS chi2_cc_micro",
         "CAST(ROUND(CAST((cc + b) * 1000000 AS DOUBLE) / n, 0)"

@@ -3617,16 +3617,25 @@ FRIEDMAN_K = 5
         FROM nn CROSS JOIN ties
     )
     SELECT r.pri AS priority, s.n AS n_blocks, r.rd_sum,
-           CAST(ROUND(CAST((3 * s.sq - 3 * s.n * s.n * {FRIEDMAN_K}
+           -- r8 ADVICE: widen sq/n BEFORE any multiply (one wide
+           -- operand makes the whole chain HUGEINT) instead of
+           -- casting an already-64-bit product.
+           CAST(ROUND(CAST((CAST(s.sq AS HUGEINT) * 3
+                    - CAST(s.n AS HUGEINT) * s.n * 3 * {FRIEDMAN_K}
                     * ({FRIEDMAN_K} + 1) * ({FRIEDMAN_K} + 1))
                     * 1000000 AS DOUBLE) / s.d1, 0) AS BIGINT)
                AS chi2_micro,
            s.t AS tie_sum,
-           CAST(ROUND(CAST(CAST(3 * s.sq - 3 * s.n * s.n * {FRIEDMAN_K}
-                    * ({FRIEDMAN_K} + 1) * ({FRIEDMAN_K} + 1)
-                    AS HUGEINT) * s.d2 * 1000000 AS DOUBLE)
+           -- r8 ADVICE: fully-tied degenerate case (t = d2, every
+           -- retained block all-equal) would divide by zero with
+           -- divergent engine semantics — guard like mcnemar/fairness.
+           CASE WHEN s.d2 > s.t THEN
+               CAST(ROUND(CAST((CAST(s.sq AS HUGEINT) * 3
+                    - CAST(s.n AS HUGEINT) * s.n * 3 * {FRIEDMAN_K}
+                    * ({FRIEDMAN_K} + 1) * ({FRIEDMAN_K} + 1))
+                    * s.d2 * 1000000 AS DOUBLE)
                     / (s.d1 * (s.d2 - s.t)), 0) AS BIGINT)
-               AS chi2_tie_micro
+           ELSE 0 END AS chi2_tie_micro
     FROM rsum r CROSS JOIN stats s
     """,
     doc=f"X280 Friedman rank test of the {FRIEDMAN_K} order priorities "
@@ -3677,19 +3686,25 @@ def friedman_priority_weeks(spark: SparkSession,
                  "n", "t", "sq",
                  f"n * {k} * ({k} + 1) AS d1",
                  f"n * {k} * ({k} * {k} - 1) AS d2"))
+    # r8 ADVICE: widen sq/n BEFORE any multiply, and guard the
+    # fully-tied t = d2 degenerate case (divide-by-zero otherwise) —
+    # textually mirrored in the oracle.
     return (rsum.crossJoin(F.broadcast(stats))
             .selectExpr(
                 "pri AS priority", "n AS n_blocks", "rd_sum",
-                f"CAST(ROUND(CAST((3 * sq - 3 * n * n * {k}"
+                f"CAST(ROUND(CAST((CAST(sq AS DECIMAL(38,0)) * 3"
+                f" - CAST(n AS DECIMAL(38,0)) * n * 3 * {k}"
                 f" * ({k} + 1) * ({k} + 1))"
                 " * 1000000 AS DOUBLE) / d1, 0) AS BIGINT)"
                 " AS chi2_micro",
                 "t AS tie_sum",
-                f"CAST(ROUND(CAST(CAST(3 * sq - 3 * n * n * {k}"
-                f" * ({k} + 1) * ({k} + 1)"
-                " AS DECIMAL(38,0)) * d2 * 1000000 AS DOUBLE)"
+                "CASE WHEN d2 > t THEN"
+                f" CAST(ROUND(CAST((CAST(sq AS DECIMAL(38,0)) * 3"
+                f" - CAST(n AS DECIMAL(38,0)) * n * 3 * {k}"
+                f" * ({k} + 1) * ({k} + 1))"
+                " * d2 * 1000000 AS DOUBLE)"
                 " / (d1 * (d2 - t)), 0) AS BIGINT)"
-                " AS chi2_tie_micro"))
+                " ELSE 0L END AS chi2_tie_micro"))
 
 
 # --------------------------------------------------------------------------
@@ -3738,7 +3753,14 @@ KS_C01_MICRO = 1627624  # round(1e6 * sqrt(ln(2/0.01)/2))
         ORDER BY ABS(c.c1 * t.n2 - c.c2 * t.n1) DESC, c.v
         LIMIT 1
     )
-    SELECT n1, n2, d_num, v AS arg_cents,
+    SELECT n1, n2,
+           -- d_num = |c1*n2 - c2*n1| over window-sum HUGEINTs; CAST
+           -- the OUTPUT to BIGINT to match Spark's LongType (d_num <=
+           -- n1*n2 ~ 9e10 at sf0.1; int64 headroom holds to sf ~1000,
+           -- where n1*n2 ~ 9e18 approaches 2^63 — re-scale the cents
+           -- grid before then). Values were always correct; the r8
+           -- driver hash-red was the uncast HUGEINT representation.
+           CAST(d_num AS BIGINT) AS d_num, v AS arg_cents,
            CAST(ROUND(CAST(CAST(d_num AS HUGEINT) * 1000000 AS DOUBLE)
                 / (n1 * n2), 0) AS BIGINT) AS d_micro,
            CAST(ROUND({KS_C05_MICRO} * SQRT(CAST(n1 + n2 AS DOUBLE)

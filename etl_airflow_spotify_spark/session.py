@@ -100,15 +100,35 @@ def _fast_local_dir() -> str | None:
     setting; in this 128 GiB container /dev/shm is that fast device.
     Only chosen when it has generous headroom (local-mode scratch at
     bench SFs is MBs; spills of that size are safe in RAM), and
-    overridable via SPARK_GRAFT_LOCAL_DIRS."""
+    overridable via SPARK_GRAFT_LOCAL_DIRS.
+
+    r8 ADVICE hardening: (a) sessions get a NAMED subdirectory
+    (Spark already creates and deletes per-app ``spark-<uuid>``/
+    ``blockmgr-<uuid>`` dirs inside spark.local.dir at shutdown, so
+    the subdir keeps our blocks identifiable and off /dev/shm's
+    root); (b) when SPARK_GRAFT_SF_DIR points at a large input
+    (> 8 GiB of parquet), scratch can be GB-scale and a RAM-backed
+    local dir risks an OOM-kill instead of a slow spill — fall back
+    to the default disk path for those runs."""
     override = os.environ.get("SPARK_GRAFT_LOCAL_DIRS")
     if override:
         return override
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if sf_dir and os.path.isdir(sf_dir):
+        try:
+            total = sum(e.stat().st_size for e in os.scandir(sf_dir)
+                        if e.is_file())
+            if total > 8 * 1024 ** 3:
+                return None
+        except OSError:
+            pass
     import shutil
     try:
         if os.path.isdir("/dev/shm") and \
                 shutil.disk_usage("/dev/shm").free > 32 * 1024 ** 3:
-            return "/dev/shm"
+            sub = "/dev/shm/spark-graft-local"
+            os.makedirs(sub, exist_ok=True)
+            return sub
     except OSError:
         pass
     return None

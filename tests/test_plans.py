@@ -755,6 +755,11 @@ def test_ktruss_enumeration_is_broadcast_intersect(spark, sf_dir):
     assert not has_cartesian_product(tri)
     assert "BroadcastHashJoin" in plan
     assert "array_intersect" in plan
+    # Below the gate the broadcasts are intentional hard hints (deg
+    # orientation + adjacency arrays); the exact count in the analyzed
+    # tree string is repetition-sensitive, so assert presence only.
+    from etl_airflow_spotify_spark.plans import num_broadcast_hints
+    assert num_broadcast_hints(tri) > 0
 
 
 def test_ktruss_enumeration_scale_fallback_is_wedge_join(spark, sf_dir):
@@ -772,6 +777,14 @@ def test_ktruss_enumeration_scale_fallback_is_wedge_join(spark, sf_dir):
     assert not has_cartesian_product(tri)
     assert "array_intersect" not in plan
     assert "collect_list" not in plan
+    # r8 ADVICE: the degree-orientation pre-stage must not hard-hint a
+    # broadcast of deg either — above the gate NOTHING graph-sized
+    # (adjacency OR the |V|-row degree table) carries a forced
+    # broadcast; AQE picks the strategy from runtime sizes. Hints are
+    # counted in the analyzed logical plan because physical
+    # BroadcastHashJoin at a tiny test SF is legitimate.
+    from etl_airflow_spotify_spark.plans import num_broadcast_hints
+    assert num_broadcast_hints(tri) == 0
 
 
 def test_ktruss_enumeration_branches_agree(spark, sf_dir):
