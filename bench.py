@@ -424,13 +424,19 @@ def main() -> None:
         "timing": "min_of_2_steady_state_runs",
         "sf": sf_val,
     }
-    # Full per-query payload goes to a repo file; stdout carries a line
-    # capped well under the driver's 2000-char output-tail window (rounds
-    # 2-3 proved a 100+-query dict overflows it -> "parsed": null).
-    # stdout's "queries" holds the slowest queries that fit the budget;
-    # "value" is still the total over ALL headline queries.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+    # Full per-query payload goes to a SCRATCH file; stdout carries a
+    # line capped well under the driver's 2000-char output-tail window
+    # (rounds 2-3 proved a 100+-query dict overflows it -> "parsed":
+    # null). stdout's "queries" holds the slowest queries that fit the
+    # budget; "value" is still the total over ALL headline queries.
+    # r8 verdict item 3: bench.py never writes the repo's canonical
+    # BENCH_DETAIL.json — single sessions land in a scratch path
+    # (override: SPARK_GRAFT_BENCH_DETAIL) and ONLY
+    # tools/bench_merge.py writes the committed detail file, so a
+    # post-commit bench run can no longer dirty the canonical numbers.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join("/tmp", f"BENCH_DETAIL_session_{os.getpid()}.json"))
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     shown: dict[str, float] = {}
@@ -440,7 +446,7 @@ def main() -> None:
         "unit": "sec",
         "queries": shown,
         "n_queries": len(timings),
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_path,
         "runs_per_query": 3,
         "timing": "min_of_2_steady_state_runs",
         "sf": sf_val,

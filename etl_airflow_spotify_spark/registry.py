@@ -58,78 +58,67 @@ def register(name: str, oracle: str | None, doc: str = "",
 # class in SURVEY.md §2; queries not listed here keep their registration
 # order after the listed ones.  tests/test_registry_order.py pins the
 # invariant that the first 50 cover every tag in the registry.
-# Round 8 (r7 verdict items 1/4/7): the attestation ledger CLOSED in
-# r7 (every class has a driver row), so this window re-purposes its
-# slots per the verdict: (a) the X137 channel probe — the forced
-# original plus a BYTE-IDENTICAL twin under a new name (green twin +
-# red original proves stale per-name driver state; the query itself is
-# integer-exact and green in every local/judge check since r5);
-# (b) re-attest the four queries whose bodies or plans changed this
-# round (two ADVICE decimal-vs-double division fixes, the binseg
-# empty-pick guard, the size-gated k-truss enumeration); (c) upgrade
-# three early rows-only rows whose oracles landed after their r3
-# window slot; (d) bit-rot re-attestation of the oldest rows — queries
-# whose LATEST driver row is from round 1, attested on a 7-rounds-older
-# codebase; (e) <=9 slots for this round's NEW_R8 classes, appended as
-# they land so len(DRIVER_ORDER) <= 50.  13 round-1 rows plus the
-# round-2 cohort queue for the r9 window (R9_BACKLOG in
-# tests/test_registry_order.py).
+# Round 9 (r8 verdict items 1/2): the four driver-red rows all shared one
+# in-repo defect — the oracle's RESULT schema carried HUGEINT columns
+# (uncast window SUMs) while Spark emitted LongType; values always
+# matched, the driver's type-sensitive hash did not.  The casts are in,
+# the registry-wide DESCRIBE type-parity gate (tests/test_oracle_types)
+# guards recurrence, and all FOUR rows hold forced slots until green.
+# The rest of the window continues the re-attestation rotation:
+# (b) queries whose bodies changed this round (ADVICE widen-before-
+# multiply + the friedman tie-division guard + the k-truss deg-gate);
+# (c) the 14 remaining round-1-latest rows (R9_BACKLOG from r8);
+# (d) the first 18 of the round-2-latest cohort (oracle-bearing,
+# alphabetical); the other 23 queue as R10_BACKLOG in
+# tests/test_registry_order.py; (e) <=9 slots for NEW_R9 classes,
+# appended as they land so len(DRIVER_ORDER) <= 50.
 DRIVER_ORDER: tuple[str, ...] = (
-    # (a) X137 channel probe: forced original + byte-identical twin
-    "optimal_threshold_selection",  # X137 (hash-red r5/r6/r7)
+    # (a) forced: the four r8-red rows, now with BIGINT-cast oracles
+    "optimal_threshold_selection",  # X137 (hash-red r5-r8, typing fix)
     "threshold_operating_point",    # X137 twin (same fn, same oracle)
+    "ks_two_sample_prices",         # X283 (same typing fix)
+    "sprt_conversion_monitor",      # X285 (same typing fix)
     # (b) changed this round -> re-attest
-    "fairness_group_audit",         # X272 (DOUBLE-division fix)
-    "readability_fk_profile",       # X274 (DOUBLE-division fix)
-    "binseg_changepoints",          # X275 (empty-pick guard)
-    "ktruss_peeling_profile",       # X225 (size-gated enumeration)
-    "clustering_coefficient_profile",  # X167 (intersect re-plan)
-    # (c) rows-only r3 rows whose oracle twins landed later
-    "hll_sliding_distinct",         # X37
-    "vector_topk_ivfpq_residual",   # X17
-    "vector_topk_ivfpq_trained",    # X17
-    # (d) oldest rows: latest driver row is round 1 (bit-rot check)
-    "asof_purchase_click",          # X6
-    "asof_tolerance_click",         # X6
-    "concurrent_orders",            # X5
-    "cube_order_status",            # X9
-    "customer_order_history",       # X11
-    "dedup_cluster_assign",         # X15/X16
-    "dedup_exact_groups",           # X15
-    "dedup_first_event",            # X15
-    "distinct_rows",                # X8
-    "doc_fingerprints",             # X18
-    "doc_stats",                    # X18
-    "events_json_stats",            # X14
-    "events_trailing_window",       # X11
-    "events_variant_stats",         # X14
-    "filter_battery",               # X2
-    "grouping_sets_sql",            # X9
-    "join_left",                    # X3
-    "join_semi_anti",               # X13
-    "language_id",                  # X40
-    "market_share",                 # X4/X7
-    "multimodal_decode",            # X19/X24
-    "multimodal_frames",            # X19
-    "multimodal_metadata",          # X19
-    "multimodal_resize",            # X19
-    "near_dup_minhash",             # X16
-    "ngram_jaccard_blocked",        # X16
-    "pivot_event_types",            # X14
-    "pricing_summary",              # X1
-    "promo_revenue",                # X1
-    "range_join_price_band",        # X5
-    "resample_gap_fill",            # X11
-    # (e) NEW_R8 representatives — appended as they land, <= 9
-    "holt_damped_daily",            # X278
-    "prefixspan_top_patterns",      # X279
-    "friedman_priority_weeks",      # X280
-    "token_bucket_rate_audit",      # X281
-    "butterfly_copurchase_census",  # X282
-    "ks_two_sample_prices",         # X283
-    "brown_forsythe_nations",       # X284
-    "sprt_conversion_monitor",      # X285
-    "mcnemar_paired_rules",         # X286
+    "mcnemar_paired_rules",         # X286 (widen-before-multiply)
+    "friedman_priority_weeks",      # X280 (tie guard + widening)
+    "butterfly_copurchase_census",  # X282 (widen-before-multiply)
+    "ktruss_peeling_profile",       # X225 (deg broadcast gated)
+    "clustering_coefficient_profile",  # X167 (shares the helper)
+    # (c) oldest rows: latest driver row is round 1 (bit-rot check)
+    "revenue_by_region",            # X4
+    "rollup_returns",               # X9
+    "scalar_battery",               # X14
+    "segment_stats",                # X7
+    "sessionize_events",            # X21
+    "setops_customers",             # X13
+    "tfidf_cosine_pairs",           # X18
+    "tfidf_top_terms",              # X18
+    "top_orders_per_customer",      # X10/X12
+    "top_revenue_orders",           # X12
+    "training_data_prep",           # X27
+    "udf_surface_stats",            # X24
+    "udf_zscore_groups",            # X24
+    "word_frequencies",             # X18
+    # (d) round-2-latest cohort, first 18 oracle-bearing
+    "agg_lists",
+    "array_battery",
+    "bloom_join_pruning",
+    "bucketed_zero_shuffle_join",
+    "cdc_merge_incremental",
+    "cdc_merge_upsert",
+    "countmin_heavy_hitters",
+    "customer_order_distribution",
+    "dataset_split",
+    "decontaminate_ngram",
+    "dedup_cluster_assign_star",
+    "important_part_value",
+    "late_ship_priority",
+    "lateral_recent_orders",
+    "map_battery",
+    "multimodal_embed",
+    "nullsafe_join_counts",
+    "part_supplier_variety",
+    # (e) NEW_R9 representatives — appended as they land, <= 9
 )
 
 
