@@ -7390,3 +7390,277 @@ def sprt_conversion_monitor(spark: SparkSession,
                            | (F.col("day") < F.col("d_day")),
                            "continue").otherwise(F.col("d_state"))
                     .alias("state")))
+
+
+# --------------------------------------------------------------------------
+# X290: Little's-law flow audit — OPERATIONAL FLOW analytics, the lens
+# the interval family lacks (X46 unions intervals, X131 classifies
+# pair relations, X176 accumulates cohort value): treat each order as
+# a job active from o_orderdate to its last line shipment and audit
+# L = lambda * W per calendar month. With lambda = A/D (arrivals per
+# day) and W = sum(dur)/A (mean flow days of the month's arrivals),
+# lambda*W = sum(dur)/D EXACTLY — so the audit reduces to two integer
+# day-sums over the month: total flow-days of arrivals vs total
+# active-days observed in the month (the boundary residual measures
+# edge effects, zero in steady state). Exactness: durations and
+# interval overlaps are exact integer day arithmetic; each output is
+# ONE correctly-rounded division. The month table is CALENDAR-bounded
+# and broadcast; each order joins only its few overlapping months —
+# no data-sized shuffle beyond the per-order MAX(shipdate). [EXT]
+# --------------------------------------------------------------------------
+@register(
+    "littles_law_flow_audit",
+    """
+    WITH jobs AS (
+        SELECT o.o_orderkey, o.o_orderdate AS d0,
+               MAX(l.l_shipdate) AS d1
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT date_trunc('month', MIN(d0)) AS lo,
+               date_trunc('month', MAX(d1)) AS hi
+        FROM jobs
+    ),
+    months AS (
+        SELECT CAST(unnest(generate_series(lo, hi,
+                    INTERVAL 1 MONTH)) AS DATE) AS m
+        FROM span
+    ),
+    md AS (
+        SELECT m, CAST(date_diff('day', m, m + INTERVAL 1 MONTH)
+                       AS BIGINT) AS d
+        FROM months
+    ),
+    arr AS (
+        SELECT date_trunc('month', d0) AS m,
+               CAST(COUNT(*) AS BIGINT) AS a,
+               CAST(SUM(date_diff('day', d0, d1) + 1) AS BIGINT)
+                   AS wsum
+        FROM jobs GROUP BY 1
+    ),
+    act AS (
+        SELECT md.m,
+               CAST(SUM(GREATEST(0,
+                   date_diff('day',
+                       GREATEST(j.d0, md.m),
+                       LEAST(j.d1, CAST(md.m + INTERVAL 1 MONTH
+                             AS DATE) - 1)) + 1)) AS BIGINT) AS ov
+        FROM md JOIN jobs j
+          ON j.d0 < CAST(md.m + INTERVAL 1 MONTH AS DATE)
+         AND j.d1 >= md.m
+        GROUP BY 1
+    )
+    SELECT md.m AS month, md.d AS days,
+           COALESCE(arr.a, 0) AS arrivals,
+           CAST(ROUND(CAST(COALESCE(arr.a, 0) * 1000000 AS DOUBLE)
+                / md.d, 0) AS BIGINT) AS lam_micro,
+           CASE WHEN COALESCE(arr.a, 0) > 0 THEN
+               CAST(ROUND(CAST(arr.wsum * 1000000 AS DOUBLE) / arr.a,
+                    0) AS BIGINT)
+           ELSE 0 END AS w_micro,
+           CAST(ROUND(CAST(COALESCE(act.ov, 0) * 1000000 AS DOUBLE)
+                / md.d, 0) AS BIGINT) AS l_micro,
+           CAST(ROUND(CAST(COALESCE(arr.wsum, 0) * 1000000 AS DOUBLE)
+                / md.d, 0) AS BIGINT) AS lw_micro,
+           CAST(ROUND(CAST(COALESCE(act.ov, 0) * 1000000 AS DOUBLE)
+                / md.d, 0) AS BIGINT)
+           - CAST(ROUND(CAST(COALESCE(arr.wsum, 0) * 1000000
+                AS DOUBLE) / md.d, 0) AS BIGINT) AS resid_micro
+    FROM md
+    LEFT JOIN arr ON arr.m = md.m
+    LEFT JOIN act ON act.m = md.m
+    """,
+    doc="X290 Little's-law flow audit of the order pipeline (job = "
+        "orderdate to last line shipdate, month granularity): "
+        "arrivals/day lambda, mean flow-time W of the month's "
+        "arrivals, observed mean WIP L from exact interval-overlap "
+        "day counts, and the lambda*W vs L residual — using the "
+        "identity lambda*W = sum(flow days)/days so every output is "
+        "ONE correctly-rounded division of exact integer day sums. "
+        "The operational-flow family next to X46 (interval union), "
+        "X131 (Allen relations), X176 (cohort LTV). Calendar-bounded "
+        "month table broadcast against the per-order span aggregate. "
+        "Python replay + steady-state identity laws.",
+    tags=("X290", "X46", "X131", "X7", "X3"),
+)
+def littles_law_flow_audit(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    jobs = persist_tracked(
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderkey"), F.col("o_orderdate").alias("d0"))
+        .agg(F.max("l_shipdate").alias("d1")))
+    span = jobs.agg(
+        F.date_trunc("month", F.min("d0")).cast("date").alias("lo"),
+        F.date_trunc("month", F.max("d1")).cast("date").alias("hi"))
+    md = (span.selectExpr(
+        "explode(sequence(lo, hi, interval 1 month)) AS m")
+        .selectExpr("m",
+                    "CAST(datediff(add_months(m, 1), m) AS BIGINT)"
+                    " AS d"))
+    arr = (jobs.groupBy(F.date_trunc("month", "d0").cast("date")
+                        .alias("m"))
+           .agg(F.count("*").cast("long").alias("a"),
+                F.sum(F.expr("datediff(d1, d0) + 1")).cast("long")
+                .alias("wsum")))
+    act = (F.broadcast(md).join(
+        jobs,
+        (jobs.d0 < F.expr("add_months(m, 1)"))
+        & (jobs.d1 >= F.col("m")))
+        .groupBy("m")
+        .agg(F.sum(F.expr(
+            "GREATEST(0, datediff(LEAST(d1, date_sub(add_months(m, 1),"
+            " 1)), GREATEST(d0, m)) + 1)")).cast("long").alias("ov")))
+    return (md.join(arr, "m", "left").join(act, "m", "left")
+            .selectExpr(
+                "m AS month", "d AS days",
+                "COALESCE(a, 0L) AS arrivals",
+                "CAST(ROUND(CAST(COALESCE(a, 0L) * 1000000 AS DOUBLE)"
+                " / d, 0) AS BIGINT) AS lam_micro",
+                "CASE WHEN COALESCE(a, 0L) > 0 THEN"
+                " CAST(ROUND(CAST(wsum * 1000000 AS DOUBLE) / a,"
+                " 0) AS BIGINT)"
+                " ELSE 0L END AS w_micro",
+                "CAST(ROUND(CAST(COALESCE(ov, 0L) * 1000000"
+                " AS DOUBLE) / d, 0) AS BIGINT) AS l_micro",
+                "CAST(ROUND(CAST(COALESCE(wsum, 0L) * 1000000"
+                " AS DOUBLE) / d, 0) AS BIGINT) AS lw_micro",
+                "CAST(ROUND(CAST(COALESCE(ov, 0L) * 1000000"
+                " AS DOUBLE) / d, 0) AS BIGINT)"
+                " - CAST(ROUND(CAST(COALESCE(wsum, 0L) * 1000000"
+                " AS DOUBLE) / d, 0) AS BIGINT) AS resid_micro"))
+
+
+# --------------------------------------------------------------------------
+# X291: Gumbel block-maxima fit — EXTREME-VALUE analysis, the tail
+# family the center-focused series stack misses (X82/X209/X269 model
+# means, X49/X236/X260 flag outliers but never EXTRAPOLATE them):
+# weekly maxima of order totals are Gumbel-distributed under EVT
+# type-I, and the method-of-moments fit (scale = sqrt(6)/pi * sd,
+# loc = mean - gamma*scale) yields return levels
+# RL(T) = loc - scale*ln(-ln(1 - 1/T)) — "the largest weekly order
+# expected once per T weeks", the capacity-planning number. Exactness:
+# block maxima are exact cents; mean is one correctly-rounded
+# division; sd is one textually-identical SQRT of a DECIMAL/HUGEINT-
+# exact sum of squares; the irrational constants sqrt(6)/pi, gamma,
+# -ln(-ln(1-1/T)) are Python-precomputed micro integers (X99
+# pattern), applied by exact half-up integer division on the widened
+# product. Block table is CALENDAR-bounded. [EXT]
+# --------------------------------------------------------------------------
+GUM_SQRT6_PI_MICRO = 779697   # round(1e6 * sqrt(6)/pi)
+GUM_GAMMA_MICRO = 577216      # round(1e6 * 0.5772156649...)
+GUM_C10_MICRO = 2250367       # round(-1e6 * ln(-ln(0.90)))
+GUM_C100_MICRO = 4600149      # round(-1e6 * ln(-ln(0.99)))
+
+
+def _gum_halfup(prod: str, wide: str) -> str:
+    # exact half-up division by 1e6 of a widened positive product
+    return (f"(CAST({prod} AS {wide}) + 500000) "
+            "{div} 1000000")
+
+
+@register(
+    "gumbel_weekly_maxima",
+    f"""
+    WITH blocks AS (
+        SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+               CAST(MAX(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS m
+        FROM orders GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS b,
+               CAST(SUM(m) AS BIGINT) AS sm
+        FROM blocks
+    ),
+    mean AS (
+        SELECT b, CAST(ROUND(CAST(CAST(sm AS HUGEINT) * 1000000
+                    AS DOUBLE) / b, 0) AS BIGINT) AS mean_micro
+        FROM agg
+    ),
+    ssq AS (
+        SELECT CAST(SUM(CAST(bl.m * 1000000 - mn.mean_micro
+                 AS HUGEINT) * (bl.m * 1000000 - mn.mean_micro))
+                 AS HUGEINT) AS v
+        FROM blocks bl CROSS JOIN mean mn
+    ),
+    fit AS (
+        SELECT mn.b, mn.mean_micro,
+               CAST(ROUND({GUM_SQRT6_PI_MICRO}
+                    * SQRT(CAST(ssq.v AS DOUBLE) / (mn.b - 1))
+                    / 1000000, 0) AS BIGINT) AS scale_micro
+        FROM mean mn CROSS JOIN ssq
+    )
+    SELECT b AS n_blocks, mean_micro, scale_micro,
+           CAST(mean_micro - (CAST(scale_micro AS HUGEINT)
+               * {GUM_GAMMA_MICRO} + 500000) // 1000000 AS BIGINT)
+               AS loc_micro,
+           CAST(mean_micro - (CAST(scale_micro AS HUGEINT)
+               * {GUM_GAMMA_MICRO} + 500000) // 1000000
+             + (CAST(scale_micro AS HUGEINT)
+                * {GUM_C10_MICRO} + 500000) // 1000000 AS BIGINT)
+               AS rl10_micro,
+           CAST(mean_micro - (CAST(scale_micro AS HUGEINT)
+               * {GUM_GAMMA_MICRO} + 500000) // 1000000
+             + (CAST(scale_micro AS HUGEINT)
+                * {GUM_C100_MICRO} + 500000) // 1000000 AS BIGINT)
+               AS rl100_micro
+    FROM fit
+    """,
+    doc="X291 Gumbel block-maxima fit of weekly maximum order totals "
+        "(method of moments): exact cents maxima per calendar week, "
+        "mean one correctly-rounded division, sd one textually-"
+        "identical SQRT of a HUGEINT/DECIMAL-exact sum of squares, "
+        "irrational constants sqrt(6)/pi, Euler gamma, "
+        "-ln(-ln(1-1/T)) as Python-precomputed micro integers applied "
+        "by exact half-up division of the widened product; 10- and "
+        "100-week return levels. The EXTREME-VALUE tail family next "
+        "to X82/X209/X269 (center models) and X49/X260 (outlier "
+        "flags). Python replay + monotonicity laws (rl100 > rl10 > "
+        "loc; scale > 0).",
+    tags=("X291", "X260", "X82", "X7", "X14"),
+)
+def gumbel_weekly_maxima(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    blocks = (o.groupBy(F.date_trunc("week", "o_orderdate")
+                        .cast("date").alias("wk"))
+              .agg(F.max(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5)"
+                                " AS BIGINT)")).cast("long")
+                   .alias("m")))
+    from ..caching import persist_tracked
+
+    blocks = persist_tracked(blocks)
+    agg = blocks.agg(F.count("*").cast("long").alias("b"),
+                     F.sum("m").cast("long").alias("sm"))
+    mean = agg.selectExpr(
+        "b",
+        "CAST(ROUND(CAST(CAST(sm AS DECIMAL(38,0)) * 1000000"
+        " AS DOUBLE) / b, 0) AS BIGINT) AS mean_micro")
+    ssq = (blocks.crossJoin(F.broadcast(mean))
+           .selectExpr(
+               "CAST(m * 1000000 - mean_micro AS DECIMAL(38,0))"
+               " * (m * 1000000 - mean_micro) AS sq")
+           .agg(F.sum("sq").alias("v")))
+    fit = (mean.crossJoin(F.broadcast(ssq))
+           .selectExpr(
+               "b", "mean_micro",
+               f"CAST(ROUND({GUM_SQRT6_PI_MICRO}"
+               " * SQRT(CAST(v AS DOUBLE) / (b - 1))"
+               " / 1000000, 0) AS BIGINT) AS scale_micro"))
+    return fit.selectExpr(
+        "b AS n_blocks", "mean_micro", "scale_micro",
+        "mean_micro - (CAST(scale_micro AS DECIMAL(38,0))"
+        f" * {GUM_GAMMA_MICRO} + 500000) DIV 1000000 AS loc_micro",
+        "mean_micro - (CAST(scale_micro AS DECIMAL(38,0))"
+        f" * {GUM_GAMMA_MICRO} + 500000) DIV 1000000"
+        " + (CAST(scale_micro AS DECIMAL(38,0))"
+        f" * {GUM_C10_MICRO} + 500000) DIV 1000000 AS rl10_micro",
+        "mean_micro - (CAST(scale_micro AS DECIMAL(38,0))"
+        f" * {GUM_GAMMA_MICRO} + 500000) DIV 1000000"
+        " + (CAST(scale_micro AS DECIMAL(38,0))"
+        f" * {GUM_C100_MICRO} + 500000) DIV 1000000 AS rl100_micro")

@@ -3274,3 +3274,211 @@ def mcnemar_paired_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS BIGINT) AS acc_price_micro",
         "CAST(ROUND(CAST((cc + c) * 1000000 AS DOUBLE) / n, 0)"
         " AS BIGINT) AS acc_qty_micro")
+
+
+# --------------------------------------------------------------------------
+# X288: instrumental-variable Wald estimator — the IDENTIFICATION
+# strategy the causal family lacks (X146 g-formula and X244 propensity
+# assume no unmeasured confounding; X158 DiD needs parallel trends;
+# X169 uplift needs randomization): when treatment is confounded but
+# an INSTRUMENT shifts it exogenously, the Wald ratio
+#     (E[Y|Z=1] - E[Y|Z=0]) / (E[X|Z=1] - E[X|Z=0])
+# identifies the local average treatment effect. Here Z = urgent/high
+# order priority (assigned at order time), X = shipped within 60 days,
+# Y = line returned. Exactness: both mean differences are EXACT
+# BIGINT cross-multiplications (sy1*n0 - sy0*n1 over n1*n0), so the
+# Wald ratio needs ONE correctly-rounded division of HUGEINT-exact
+# integers — no ratio-of-rounded-ratios. First-stage strength and
+# intent-to-treat effect emitted alongside (a weak instrument makes
+# the ratio explode; fs_x_micro IS the denominator's scale). One fact
+# pass, one 6-cell aggregate; everything after is O(1). [EXT]
+# --------------------------------------------------------------------------
+IV_FAST_DAYS = 60
+
+
+@register(
+    "iv_wald_estimate",
+    f"""
+    WITH cells AS (
+        SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS z,
+               CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                    <= {IV_FAST_DAYS} THEN 1 ELSE 0 END AS x,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    agg AS (
+        SELECT CAST(SUM(z) AS BIGINT) AS n1,
+               CAST(COUNT(*) - SUM(z) AS BIGINT) AS n0,
+               CAST(SUM(z * y) AS BIGINT) AS sy1,
+               CAST(SUM((1 - z) * y) AS BIGINT) AS sy0,
+               CAST(SUM(z * x) AS BIGINT) AS sx1,
+               CAST(SUM((1 - z) * x) AS BIGINT) AS sx0
+        FROM cells
+    )
+    SELECT n1, n0, sy1, sy0, sx1, sx0,
+           CAST(ROUND(CAST((CAST(sy1 AS HUGEINT) * n0
+                - CAST(sy0 AS HUGEINT) * n1) * 1000000 AS DOUBLE)
+                / (CAST(n1 AS HUGEINT) * n0), 0) AS BIGINT)
+               AS itt_y_micro,
+           CAST(ROUND(CAST((CAST(sx1 AS HUGEINT) * n0
+                - CAST(sx0 AS HUGEINT) * n1) * 1000000 AS DOUBLE)
+                / (CAST(n1 AS HUGEINT) * n0), 0) AS BIGINT)
+               AS fs_x_micro,
+           CASE WHEN CAST(sx1 AS HUGEINT) * n0
+                     - CAST(sx0 AS HUGEINT) * n1 <> 0 THEN
+               CAST(ROUND(CAST((CAST(sy1 AS HUGEINT) * n0
+                    - CAST(sy0 AS HUGEINT) * n1) * 1000000 AS DOUBLE)
+                    / (CAST(sx1 AS HUGEINT) * n0
+                       - CAST(sx0 AS HUGEINT) * n1), 0) AS BIGINT)
+           ELSE 0 END AS wald_micro
+    FROM agg
+    """,
+    doc=f"X288 instrumental-variable Wald estimator of the effect of "
+        f"fast shipping (<= {IV_FAST_DAYS} days) on returns, "
+        "instrumented by urgent/high order priority: intent-to-treat "
+        "and first-stage mean differences as EXACT BIGINT cross-"
+        "multiplications, the Wald LATE ratio ONE correctly-rounded "
+        "division of HUGEINT-exact integers (never a ratio of rounded "
+        "ratios), zero-denominator guarded. The IV identification "
+        "strategy next to X146 (g-formula), X244 (propensity), X158 "
+        "(DiD), X169 (uplift). Python replay + ratio-consistency law "
+        "(wald = itt/fs on exact rationals).",
+    tags=("X288", "X146", "X158", "X7", "X3"),
+)
+def iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cells = (li.join(o, o.o_orderkey == li.l_orderkey)
+             .selectExpr(
+                 "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                 " THEN 1 ELSE 0 END AS z",
+                 f"CASE WHEN datediff(l_shipdate, o_orderdate)"
+                 f" <= {IV_FAST_DAYS} THEN 1 ELSE 0 END AS x",
+                 "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
+                 " AS y"))
+    agg = cells.agg(
+        F.sum("z").cast("long").alias("n1"),
+        (F.count("*") - F.sum("z")).cast("long").alias("n0"),
+        F.sum(F.col("z") * F.col("y")).cast("long").alias("sy1"),
+        F.sum((1 - F.col("z")) * F.col("y")).cast("long").alias("sy0"),
+        F.sum(F.col("z") * F.col("x")).cast("long").alias("sx1"),
+        F.sum((1 - F.col("z")) * F.col("x")).cast("long").alias("sx0"))
+    return agg.selectExpr(
+        "n1", "n0", "sy1", "sy0", "sx1", "sx0",
+        "CAST(ROUND(CAST((CAST(sy1 AS DECIMAL(38,0)) * n0"
+        " - CAST(sy0 AS DECIMAL(38,0)) * n1) * 1000000 AS DOUBLE)"
+        " / (CAST(n1 AS DECIMAL(38,0)) * n0), 0) AS BIGINT)"
+        " AS itt_y_micro",
+        "CAST(ROUND(CAST((CAST(sx1 AS DECIMAL(38,0)) * n0"
+        " - CAST(sx0 AS DECIMAL(38,0)) * n1) * 1000000 AS DOUBLE)"
+        " / (CAST(n1 AS DECIMAL(38,0)) * n0), 0) AS BIGINT)"
+        " AS fs_x_micro",
+        "CASE WHEN CAST(sx1 AS DECIMAL(38,0)) * n0"
+        " - CAST(sx0 AS DECIMAL(38,0)) * n1 <> 0 THEN"
+        " CAST(ROUND(CAST((CAST(sy1 AS DECIMAL(38,0)) * n0"
+        " - CAST(sy0 AS DECIMAL(38,0)) * n1) * 1000000 AS DOUBLE)"
+        " / (CAST(sx1 AS DECIMAL(38,0)) * n0"
+        " - CAST(sx0 AS DECIMAL(38,0)) * n1), 0) AS BIGINT)"
+        " ELSE 0L END AS wald_micro")
+
+
+# --------------------------------------------------------------------------
+# X289: Cochran's Q test — the k-classifier generalization of X286's
+# McNemar (exactly the relationship X245 Kruskal-Wallis bears to the
+# two-sample rank test, or X280 Friedman to the paired comparison):
+# do k >= 3 paired deterministic rules have equal marginal accuracy
+# on the SAME items? Q = k*(k-1) * (k*sum(G_j^2) - T^2) /
+# (k*T - sum(L_i^2)), with G_j the per-rule correct totals, L_i the
+# per-item number of correct rules (0..k), T their common sum.
+# Exactness: G_j, T, and the L-histogram are one-pass BIGINT
+# aggregates; the numerator widens BEFORE multiplying (G_j^2 passes
+# 2^63 at ~3e9 correct rows); Q is ONE correctly-rounded DOUBLE
+# division. Under H0, Q ~ chi2(k-1). The L_i^2 sum folds from the
+# (k+1)-row L-histogram, never the fact table. [EXT]
+# --------------------------------------------------------------------------
+CQ_PRICE_CENTS = 3000000
+CQ_QTY = 25
+CQ_DISC_MILLI = 50  # l_discount >= 0.05
+
+
+@register(
+    "cochran_q_rules",
+    f"""
+    WITH scored AS (
+        SELECT CASE WHEN (CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                          AS BIGINT) >= {CQ_PRICE_CENTS})
+                         = (l_returnflag = 'R')
+                    THEN 1 ELSE 0 END AS a,
+               CASE WHEN (l_quantity >= {CQ_QTY})
+                         = (l_returnflag = 'R')
+                    THEN 1 ELSE 0 END AS b,
+               CASE WHEN (CAST(FLOOR(l_discount * 1000 + 0.5)
+                          AS BIGINT) >= {CQ_DISC_MILLI})
+                         = (l_returnflag = 'R')
+                    THEN 1 ELSE 0 END AS c
+        FROM lineitem
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a) AS BIGINT) AS g1,
+               CAST(SUM(b) AS BIGINT) AS g2,
+               CAST(SUM(c) AS BIGINT) AS g3,
+               CAST(SUM((a + b + c) * (a + b + c)) AS BIGINT) AS l2
+        FROM scored
+    )
+    SELECT n, g1, g2, g3, g1 + g2 + g3 AS t_total, l2 AS sum_l_sq,
+           CASE WHEN 3 * (g1 + g2 + g3) - l2 > 0 THEN
+               CAST(ROUND(CAST(6 * (CAST(g1 AS HUGEINT) * g1
+                    + CAST(g2 AS HUGEINT) * g2
+                    + CAST(g3 AS HUGEINT) * g3) * 3
+                    - 6 * CAST(g1 + g2 + g3 AS HUGEINT)
+                      * (g1 + g2 + g3) AS DOUBLE) * 1000000
+                    / (3 * (g1 + g2 + g3) - l2), 0) AS BIGINT)
+           ELSE 0 END AS q_micro
+    FROM agg
+    """,
+    doc=f"X289 Cochran's Q test of three paired deterministic rules "
+        f"(price cents >= {CQ_PRICE_CENTS}, quantity >= {CQ_QTY}, "
+        f"discount >= 0.05) predicting l_returnflag='R' on the same "
+        "line items: per-rule correct totals and the per-item "
+        "correct-count squares in ONE fact pass, numerator "
+        "k(k-1)(k*sum G^2 - T^2) widened BEFORE multiplying, Q ONE "
+        "correctly-rounded DOUBLE division, degenerate denominator "
+        "(all items all-correct/all-wrong) guarded. The k-sample "
+        "marginal-homogeneity test over X286's paired McNemar, as "
+        "X245 KW generalizes the two-sample rank test. Python replay "
+        "+ reduction law (Q >= 0; k=2 algebra = McNemar chi2 without "
+        "continuity correction).",
+    tags=("X289", "X286", "X138", "X7", "X2"),
+)
+def cochran_q_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = li.selectExpr(
+        f"CASE WHEN (CAST(FLOOR(l_extendedprice * 100 + 0.5)"
+        f" AS BIGINT) >= {CQ_PRICE_CENTS}) = (l_returnflag = 'R')"
+        " THEN 1 ELSE 0 END AS a",
+        f"CASE WHEN (l_quantity >= {CQ_QTY}) = (l_returnflag = 'R')"
+        " THEN 1 ELSE 0 END AS b",
+        f"CASE WHEN (CAST(FLOOR(l_discount * 1000 + 0.5)"
+        f" AS BIGINT) >= {CQ_DISC_MILLI}) = (l_returnflag = 'R')"
+        " THEN 1 ELSE 0 END AS c")
+    agg = scored.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("a").cast("long").alias("g1"),
+        F.sum("b").cast("long").alias("g2"),
+        F.sum("c").cast("long").alias("g3"),
+        F.sum((F.col("a") + F.col("b") + F.col("c"))
+              * (F.col("a") + F.col("b") + F.col("c")))
+        .cast("long").alias("l2"))
+    return agg.selectExpr(
+        "n", "g1", "g2", "g3", "g1 + g2 + g3 AS t_total",
+        "l2 AS sum_l_sq",
+        "CASE WHEN 3 * (g1 + g2 + g3) - l2 > 0 THEN"
+        " CAST(ROUND(CAST(6 * (CAST(g1 AS DECIMAL(38,0)) * g1"
+        " + CAST(g2 AS DECIMAL(38,0)) * g2"
+        " + CAST(g3 AS DECIMAL(38,0)) * g3) * 3"
+        " - 6 * CAST(g1 + g2 + g3 AS DECIMAL(38,0))"
+        " * (g1 + g2 + g3) AS DOUBLE) * 1000000"
+        " / (3 * (g1 + g2 + g3) - l2), 0) AS BIGINT)"
+        " ELSE 0L END AS q_micro")

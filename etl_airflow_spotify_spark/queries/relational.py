@@ -3982,3 +3982,139 @@ def brown_forsythe_nations(spark: SparkSession,
                 "CAST(ROUND(CAST(ssb_v AS DOUBLE) * (n - k) * 1000000"
                 " / (CAST(ssw_v AS DOUBLE) * (k - 1)), 0) AS BIGINT)"
                 " AS f_micro"))
+
+
+# --------------------------------------------------------------------------
+# X287: Wald-Wolfowitz runs test — the RANDOMNESS family the test
+# battery lacks (X245/X280/X283/X284 compare groups, X159 tests
+# monotone trend, X236 alarms on control limits): is the sequence of
+# above/below-median daily revenues random, or does it cluster into
+# runs (momentum) / alternate (mean reversion)? Exactness: the day
+# median lives on the DOUBLED cents grid (X284 pattern), signs are
+# exact comparisons, the run count is an integer lag fold, and
+# E[R] = 1 + 2*n1*n2/N, Var[R] = 2*n1*n2*(2*n1*n2 - N) /
+# (N^2 * (N-1)) are each ONE correctly-rounded division of
+# HUGEINT-exact products; z is one textually-identical SQRT + one
+# division. The daily aggregate is the only data-sized pass; all
+# windows run over the CALENDAR-bounded day table. [EXT]
+# --------------------------------------------------------------------------
+@register(
+    "runs_test_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ),
+    rk AS (
+        SELECT day, rev,
+               ROW_NUMBER() OVER (ORDER BY rev, day) AS rn,
+               COUNT(*) OVER () AS nd
+        FROM daily
+    ),
+    med AS (
+        SELECT CAST(SUM(CASE WHEN rn = (nd + 1) // 2 THEN rev
+                             ELSE 0 END)
+                  + SUM(CASE WHEN rn = (nd + 2) // 2 THEN rev
+                             ELSE 0 END) AS BIGINT) AS med2
+        FROM rk
+    ),
+    signs AS (
+        SELECT d.day, CASE WHEN 2 * d.rev > m.med2 THEN 1 ELSE 0 END
+                   AS s
+        FROM daily d CROSS JOIN med m
+        WHERE 2 * d.rev <> m.med2
+    ),
+    runs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS n1,
+               CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2,
+               CAST(1 + SUM(CASE WHEN s <> prev THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r
+        FROM (SELECT s, LAG(s) OVER (ORDER BY day) AS prev
+              FROM signs)
+    ),
+    stats AS (
+        SELECT n, n1, n2, r,
+               1000000 + CAST(ROUND(CAST(CAST(2 * n1 AS HUGEINT) * n2
+                   * 1000000 AS DOUBLE) / n, 0) AS BIGINT) AS e_micro,
+               CAST(ROUND(CAST(CAST(2 * n1 AS HUGEINT) * n2
+                   * (2 * n1 * n2 - n) * 1000000000 AS DOUBLE)
+                   / (CAST(n AS HUGEINT) * n * (n - 1)), 0) AS BIGINT)
+                   AS var_nano
+        FROM runs
+    )
+    SELECT s.n AS n_days, s.n1 AS n_above, s.n2 AS n_below, s.r
+               AS runs,
+           m.med2 AS median_cents2, s.e_micro, s.var_nano,
+           CASE WHEN s.var_nano > 0 THEN
+               CAST(ROUND(CAST(s.r * 1000000 - s.e_micro AS DOUBLE)
+                    / SQRT(CAST(s.var_nano AS DOUBLE) / 1000000000.0),
+                    0) AS BIGINT)
+           ELSE 0 END AS z_micro
+    FROM stats s CROSS JOIN med m
+    """,
+    doc="X287 Wald-Wolfowitz runs test of the daily-revenue sign "
+        "sequence (above/below the doubled-grid day median; "
+        "exact-median days dropped per the standard convention): "
+        "integer run count from a calendar-bounded lag fold, "
+        "E[R]/Var[R] as single correctly-rounded divisions of "
+        "HUGEINT-exact products, z one textually-identical SQRT + "
+        "division. The RANDOMNESS test next to the group-comparison "
+        "battery (X245/X280/X283/X284) and the trend/drift detectors "
+        "(X159/X229). Python replay + run-count-bounds laws "
+        "(1 <= R <= N; R parity ties to n1/n2).",
+    tags=("X287", "X284", "X159", "X7", "X11"),
+)
+def runs_test_daily_revenue(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderdate").alias("day"))
+             .agg(F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5)"
+                               " AS BIGINT)")).cast("long")
+                  .alias("rev")))
+    from ..caching import persist_tracked
+
+    daily = persist_tracked(daily)
+    rk = daily.select(
+        "day", "rev",
+        F.row_number().over(Window.orderBy("rev", "day")).alias("rn"),
+        F.count("*").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)).alias("nd"))
+    med = (rk.selectExpr(
+        "CASE WHEN rn = (nd + 1) DIV 2 THEN rev ELSE 0 END AS mlo",
+        "CASE WHEN rn = (nd + 2) DIV 2 THEN rev ELSE 0 END AS mhi")
+        .agg((F.sum("mlo") + F.sum("mhi")).cast("long").alias("med2")))
+    signs = (daily.crossJoin(F.broadcast(med))
+             .filter(F.expr("2 * rev <> med2"))
+             .selectExpr("day",
+                         "CASE WHEN 2 * rev > med2 THEN 1 ELSE 0 END"
+                         " AS s"))
+    lagged = signs.select(
+        "s", F.lag("s").over(Window.orderBy("day")).alias("prev"))
+    runs = lagged.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("n1"),
+        (F.count("*") - F.sum("s")).cast("long").alias("n2"),
+        (1 + F.sum(F.when(F.col("s") != F.col("prev"), 1)
+                   .otherwise(0))).cast("long").alias("r"))
+    stats = runs.selectExpr(
+        "n", "n1", "n2", "r",
+        "1000000 + CAST(ROUND(CAST(CAST(2 * n1 AS DECIMAL(38,0)) * n2"
+        " * 1000000 AS DOUBLE) / n, 0) AS BIGINT) AS e_micro",
+        "CAST(ROUND(CAST(CAST(2 * n1 AS DECIMAL(38,0)) * n2"
+        " * (2 * n1 * n2 - n) * 1000000000 AS DOUBLE)"
+        " / (CAST(n AS DECIMAL(38,0)) * n * (n - 1)), 0) AS BIGINT)"
+        " AS var_nano")
+    return (stats.crossJoin(F.broadcast(med))
+            .selectExpr(
+                "n AS n_days", "n1 AS n_above", "n2 AS n_below",
+                "r AS runs", "med2 AS median_cents2", "e_micro",
+                "var_nano",
+                "CASE WHEN var_nano > 0 THEN"
+                " CAST(ROUND(CAST(r * 1000000 - e_micro AS DOUBLE)"
+                " / SQRT(CAST(var_nano AS DOUBLE) / 1000000000.0),"
+                " 0) AS BIGINT)"
+                " ELSE 0 END AS z_micro"))
