@@ -336,6 +336,16 @@ HEADLINE = [
     "brown_forsythe_nations",
     "sprt_conversion_monitor",
     "mcnemar_paired_rules",
+    # round 9 (X287-X295)
+    "runs_test_daily_revenue",
+    "iv_wald_estimate",
+    "cochran_q_rules",
+    "littles_law_flow_audit",
+    "gumbel_weekly_maxima",
+    "logrank_purchase_groups",
+    "jonckheere_priority_trend",
+    "dgim_purchase_hours",
+    "hdbscan_mutual_reachability",
 ]
 
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).

@@ -7664,3 +7664,173 @@ def gumbel_weekly_maxima(spark: SparkSession,
         f" * {GUM_GAMMA_MICRO} + 500000) DIV 1000000"
         " + (CAST(scale_micro AS DECIMAL(38,0))"
         f" * {GUM_C100_MICRO} + 500000) DIV 1000000 AS rl100_micro")
+
+
+# --------------------------------------------------------------------------
+# X292: log-rank survival test — the two-group COMPARISON the survival
+# family lacks (X83 Kaplan-Meier ESTIMATES one curve, X213 Cox scores
+# a continuous covariate): do two user cohorts (deterministic
+# user_id-parity split) differ in time from first event to first
+# purchase, honoring right-censoring at stream end? The Mantel-Cox
+# statistic folds the hypergeometric risk-set identity at each
+# distinct event second: O1 - E1 with E1 = d*n1/n and
+# V = d*n1*n0*(n-d) / (n^2*(n-1)). Exactness: durations snap to whole
+# SECONDS (the duration grid is VALUE-bounded by the stream span, so
+# the risk-set suffix windows stay fixed-size at any user count —
+# X137/X283 precedent); per-time E1/V terms are each ONE correctly-
+# rounded nano division of HUGEINT-widened products; the chi-square
+# is ONE final DOUBLE division of the HUGEINT-exact squared
+# difference. [EXT]
+# --------------------------------------------------------------------------
+@register(
+    "logrank_purchase_groups",
+    """
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS g,
+               MIN(epoch_us(ts)) AS t0_us,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) AS tp_us
+        FROM events GROUP BY 1, 2
+    ),
+    wend AS (SELECT MAX(epoch_us(ts)) AS w_us FROM events),
+    subj AS (
+        SELECT u.g,
+               CAST((COALESCE(u.tp_us, w.w_us) - u.t0_us) // 1000000
+                    AS BIGINT) AS dur,
+               CASE WHEN u.tp_us IS NULL THEN 0 ELSE 1 END AS ev
+        FROM u CROSS JOIN wend w
+    ),
+    grid AS (
+        SELECT dur,
+               CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+               CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c0,
+               CAST(SUM(CASE WHEN g = 1 AND ev = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS e1,
+               CAST(SUM(CASE WHEN g = 0 AND ev = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS e0
+        FROM subj GROUP BY 1
+    ),
+    risk AS (
+        SELECT dur, e1, e0,
+               CAST(SUM(c1) OVER (ORDER BY dur DESC) AS BIGINT) AS n1,
+               CAST(SUM(c0) OVER (ORDER BY dur DESC) AS BIGINT) AS n0
+        FROM grid
+    ),
+    terms AS (
+        SELECT e1, e0, n1, n0, e1 + e0 AS d, n1 + n0 AS n,
+               CAST(ROUND(CAST(CAST(e1 + e0 AS HUGEINT) * n1
+                    * 1000000000 AS DOUBLE) / (n1 + n0), 0) AS BIGINT)
+                   AS e1_nano_t,
+               CASE WHEN n1 + n0 > 1 THEN
+                   CAST(ROUND(CAST(CAST(e1 + e0 AS HUGEINT) * n1 * n0
+                        * (n1 + n0 - e1 - e0) * 1000000000 AS DOUBLE)
+                        / (CAST(n1 + n0 AS HUGEINT) * (n1 + n0)
+                           * (n1 + n0 - 1)), 0) AS BIGINT)
+               ELSE 0 END AS v_nano_t
+        FROM risk WHERE e1 + e0 > 0
+    ),
+    folded AS (
+        SELECT CAST(SUM(e1) AS BIGINT) AS o1,
+               CAST(SUM(e0) AS BIGINT) AS o0,
+               CAST(SUM(e1_nano_t) AS BIGINT) AS e1_nano,
+               CAST(SUM(v_nano_t) AS BIGINT) AS v_nano
+        FROM terms
+    ),
+    counts AS (
+        SELECT CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1_users,
+               CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0_users
+        FROM subj
+    )
+    SELECT c.n1_users, c.n0_users, f.o1, f.o0, f.e1_nano, f.v_nano,
+           CASE WHEN f.v_nano > 0 THEN
+               CAST(ROUND(CAST(CAST(f.o1 * 1000000000 - f.e1_nano
+                    AS HUGEINT) * (f.o1 * 1000000000 - f.e1_nano)
+                    AS DOUBLE) / (CAST(f.v_nano AS DOUBLE) * 1000.0),
+                    0) AS BIGINT)
+           ELSE 0 END AS chi2_micro
+    FROM folded f CROSS JOIN counts c
+    """,
+    doc="X292 Mantel-Cox log-rank test comparing time-to-first-"
+        "purchase between the user_id-parity cohorts with right-"
+        "censoring at stream end: whole-second duration grid "
+        "(VALUE-bounded by the stream span, so risk-set suffix "
+        "windows stay fixed-size at any user count), hypergeometric "
+        "E1/V terms one correctly-rounded nano division each over "
+        "HUGEINT-widened products, chi-square one final DOUBLE "
+        "division of the HUGEINT-exact squared difference. The "
+        "two-group comparison next to X83 (KM estimation) and X213 "
+        "(Cox score). Python replay + conservation laws "
+        "(O1+O0 = total events; E1 <= sum d).",
+    tags=("X292", "X83", "X213", "X7", "X11"),
+)
+def logrank_purchase_groups(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    ev = _ev(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = (ev.groupBy("user_id", (F.col("user_id") % 2).alias("g"))
+         .agg(F.min(us).alias("t0_us"),
+              F.min(F.when(F.col("event_type") == "purchase", us))
+              .alias("tp_us")))
+    wend = ev.agg(F.max(us).alias("w_us"))
+    subj = persist_tracked(
+        u.crossJoin(F.broadcast(wend))
+        .selectExpr(
+            "g",
+            "CAST((COALESCE(tp_us, w_us) - t0_us) DIV 1000000"
+            " AS BIGINT) AS dur",
+            "CASE WHEN tp_us IS NULL THEN 0 ELSE 1 END AS ev"))
+    grid = (subj.groupBy("dur")
+            .agg(F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+                 .cast("long").alias("c1"),
+                 F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+                 .cast("long").alias("c0"),
+                 F.sum(F.when((F.col("g") == 1) & (F.col("ev") == 1),
+                              1).otherwise(0)).cast("long").alias("e1"),
+                 F.sum(F.when((F.col("g") == 0) & (F.col("ev") == 1),
+                              1).otherwise(0)).cast("long")
+                 .alias("e0")))
+    w = (Window.orderBy(F.desc("dur"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    risk = grid.select(
+        "dur", "e1", "e0",
+        F.sum("c1").over(w).cast("long").alias("n1"),
+        F.sum("c0").over(w).cast("long").alias("n0"))
+    terms = (risk.filter(F.expr("e1 + e0 > 0"))
+             .selectExpr(
+                 "e1", "e0",
+                 "CAST(ROUND(CAST(CAST(e1 + e0 AS DECIMAL(38,0)) * n1"
+                 " * 1000000000 AS DOUBLE) / (n1 + n0), 0) AS BIGINT)"
+                 " AS e1_nano_t",
+                 "CASE WHEN n1 + n0 > 1 THEN"
+                 " CAST(ROUND(CAST(CAST(e1 + e0 AS DECIMAL(38,0))"
+                 " * n1 * n0"
+                 " * (n1 + n0 - e1 - e0) * 1000000000 AS DOUBLE)"
+                 " / (CAST(n1 + n0 AS DECIMAL(38,0)) * (n1 + n0)"
+                 " * (n1 + n0 - 1)), 0) AS BIGINT)"
+                 " ELSE 0L END AS v_nano_t"))
+    folded = terms.agg(
+        F.sum("e1").cast("long").alias("o1"),
+        F.sum("e0").cast("long").alias("o0"),
+        F.sum("e1_nano_t").cast("long").alias("e1_nano"),
+        F.sum("v_nano_t").cast("long").alias("v_nano"))
+    counts = subj.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long")
+        .alias("n1_users"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long")
+        .alias("n0_users"))
+    return (folded.crossJoin(F.broadcast(counts))
+            .selectExpr(
+                "n1_users", "n0_users", "o1", "o0", "e1_nano",
+                "v_nano",
+                "CASE WHEN v_nano > 0 THEN"
+                " CAST(ROUND(CAST(CAST(o1 * 1000000000 - e1_nano"
+                " AS DECIMAL(38,0)) * (o1 * 1000000000 - e1_nano)"
+                " AS DOUBLE) / (CAST(v_nano AS DOUBLE) * 1000.0),"
+                " 0) AS BIGINT)"
+                " ELSE 0L END AS chi2_micro"))

@@ -3429,10 +3429,10 @@ CQ_DISC_MILLI = 50  # l_discount >= 0.05
     )
     SELECT n, g1, g2, g3, g1 + g2 + g3 AS t_total, l2 AS sum_l_sq,
            CASE WHEN 3 * (g1 + g2 + g3) - l2 > 0 THEN
-               CAST(ROUND(CAST(6 * (CAST(g1 AS HUGEINT) * g1
+               CAST(ROUND(CAST(2 * (CAST(g1 AS HUGEINT) * g1
                     + CAST(g2 AS HUGEINT) * g2
                     + CAST(g3 AS HUGEINT) * g3) * 3
-                    - 6 * CAST(g1 + g2 + g3 AS HUGEINT)
+                    - 2 * CAST(g1 + g2 + g3 AS HUGEINT)
                       * (g1 + g2 + g3) AS DOUBLE) * 1000000
                     / (3 * (g1 + g2 + g3) - l2), 0) AS BIGINT)
            ELSE 0 END AS q_micro
@@ -3475,10 +3475,248 @@ def cochran_q_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "g1", "g2", "g3", "g1 + g2 + g3 AS t_total",
         "l2 AS sum_l_sq",
         "CASE WHEN 3 * (g1 + g2 + g3) - l2 > 0 THEN"
-        " CAST(ROUND(CAST(6 * (CAST(g1 AS DECIMAL(38,0)) * g1"
+        " CAST(ROUND(CAST(2 * (CAST(g1 AS DECIMAL(38,0)) * g1"
         " + CAST(g2 AS DECIMAL(38,0)) * g2"
         " + CAST(g3 AS DECIMAL(38,0)) * g3) * 3"
-        " - 6 * CAST(g1 + g2 + g3 AS DECIMAL(38,0))"
+        " - 2 * CAST(g1 + g2 + g3 AS DECIMAL(38,0))"
         " * (g1 + g2 + g3) AS DOUBLE) * 1000000"
         " / (3 * (g1 + g2 + g3) - l2), 0) AS BIGINT)"
         " ELSE 0L END AS q_micro")
+
+
+# --------------------------------------------------------------------------
+# X295: HDBSCAN-lite mutual-reachability clustering profile — the
+# DENSITY-ADAPTIVE hierarchy the flat clusterers miss (X162 DBSCAN
+# fixes ONE eps for every region; X161/X189 single-linkage chains
+# through noise): reweighting edges to the mutual reachability
+# distance mr(a,b) = max(core_k(a), core_k(b), d(a,b)) — HDBSCAN's
+# core transform (Campello et al. 2013) — makes sparse-region points
+# expensive to reach, so the single-linkage hierarchy over mr is
+# robust to chaining, and cutting it at several levels profiles
+# cluster structure ACROSS densities in one pass. Everything is
+# exact integer geometry: squared L2 on the X162 (order-count,
+# cents-bucket) plane, core_k = the k-th-smallest squared candidate
+# distance (an exact BIGINT — no sqrt anywhere), mr2 = GREATEST of
+# three BIGINTs, cuts at fixed squared thresholds. Candidates come
+# from the X104 grid probe (side >= eps, pigeonhole-complete), points
+# with < k eps-neighbors are explicit noise, and components run on
+# the X30 star operator per cut. The all-pairs quadratic exists ONLY
+# in the oracle. [EXT]
+# --------------------------------------------------------------------------
+HDB_EPS2 = 8        # candidate radius (squared); eps = ceil(sqrt) = 3
+HDB_K = 4           # core distance = squared dist to 4th-nearest
+HDB_CUTS = (2, 4, 8)  # single-linkage cut levels (squared mr)
+HDB_Y_DIV = 4_000_000
+
+
+def _hdbscan_oracle_sql() -> str:
+    blocks = []
+    rows = []
+    # assembled below; f-string bodies cannot hold backslashes.
+    # Components per cut via a recursive min-label flood seeded ONLY
+    # at LOCAL-MINIMUM ids (nodes with no smaller neighbor): each
+    # component's global-min id is a local minimum whose flood reaches
+    # every member, so MIN(label) per node is the component min — but
+    # total recursive state is sum over components of
+    # (#local minima x size) (~1.7M tuples at sf0.1) instead of the
+    # |C|^2 (~2.2e8) a seed-everywhere flood materializes, and the
+    # fixpoint is ADAPTIVE (a fixed unrolled round count under-
+    # converged at sf0.1: the cut-2 graph needs 52 label-prop rounds).
+    for t in HDB_CUTS:
+        blocks.append(f"""e{t} AS MATERIALIZED (
+        SELECT ia AS s, ib AS d FROM mr WHERE mr2 <= {t}
+        UNION ALL
+        SELECT ib, ia FROM mr WHERE mr2 <= {t})""")
+        blocks.append(f"""lm{t} AS MATERIALIZED (
+        SELECT c.id FROM cd c
+        WHERE NOT EXISTS (SELECT 1 FROM e{t} e
+                          WHERE e.d = c.id AND e.s < c.id))""")
+        blocks.append(f"""reach{t}(v, r) AS (
+        SELECT id, id FROM lm{t}
+        UNION
+        SELECT e.d, rc.r FROM reach{t} rc JOIN e{t} e ON e.s = rc.v)""")
+        blocks.append(f"""lab{t} AS (
+        SELECT v AS id, MIN(r) AS cid FROM reach{t} GROUP BY v)""")
+        blocks.append(f"""cl{t} AS (
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lab{t} GROUP BY cid)""")
+        rows.append(f"""SELECT CAST({t} AS BIGINT) AS cut2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cl{t} WHERE cnt >= 2)
+               AS n_clusters,
+           (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) FROM cl{t}
+            WHERE cnt >= 2) AS clustered_pts,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cl{t} WHERE cnt = 1)
+               AS singleton_pts,
+           (SELECT CAST(COALESCE(MAX(cnt), 0) AS BIGINT) FROM cl{t})
+               AS largest""")
+    rows.append("""SELECT CAST(-1 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pts)
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM cd),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)""")
+    blocks_sql = ",\n    ".join(blocks)
+    rows_sql = "\n    UNION ALL\n    ".join(rows)
+    return f"""
+    WITH RECURSIVE pts AS (
+        SELECT o_custkey AS id,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) // {HDB_Y_DIV} AS y
+        FROM orders GROUP BY 1
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.id AS ia, b.id AS ib,
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                   AS d2
+        FROM pts a JOIN pts b
+          ON a.id <> b.id
+         AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= {HDB_EPS2}
+    ),
+    cd AS (
+        SELECT ia AS id, CAST(MAX(d2) AS BIGINT) AS cd2
+        FROM (SELECT ia, d2,
+                     ROW_NUMBER() OVER (PARTITION BY ia ORDER BY d2)
+                         AS rk
+              FROM pairs)
+        WHERE rk <= {HDB_K} GROUP BY ia
+        HAVING COUNT(*) = {HDB_K}
+    ),
+    mr AS (
+        SELECT p.ia, p.ib, GREATEST(ca.cd2, cb.cd2, p.d2) AS mr2
+        FROM pairs p
+        JOIN cd ca ON ca.id = p.ia JOIN cd cb ON cb.id = p.ib
+        WHERE p.ia < p.ib
+    ),
+    {blocks_sql}
+    {rows_sql}
+    """
+
+
+@register(
+    "hdbscan_mutual_reachability",
+    _hdbscan_oracle_sql(),
+    doc=f"X295 HDBSCAN-lite mutual-reachability profile over the X162 "
+        f"customer plane: core_k (k={HDB_K}) as the exact k-th-"
+        "smallest squared candidate distance within the eps "
+        f"(eps^2={HDB_EPS2}) grid probe, mr2 = GREATEST(core_a, "
+        "core_b, d2) on BIGINTs, single-linkage components at cuts "
+        f"{HDB_CUTS} via the X30 star operator, points with < k "
+        "eps-neighbors explicit noise. Density-adaptive hierarchy vs "
+        "X162 (single eps) and X161/X189 (chaining-prone raw "
+        "single-link); all-pairs only in the oracle. Python replay + "
+        "monotonicity laws (clusters merge as the cut rises).",
+    tags=("X295", "X162", "X161", "X104", "X30", "X3", "X7"),
+)
+def hdbscan_mutual_reachability(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+    from ..operators.dedup import connected_components_star
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                  .cast("long")).cast("long")
+    pts = persist_tracked(
+        orders.groupBy(F.col("o_custkey").alias("id"))
+        .agg(F.count("*").cast("long").alias("x"),
+             cents.alias("cents"))
+        .select("id", "x",
+                F.expr(f"cents DIV {HDB_Y_DIV}").alias("y")))
+    side = 3  # grid side = ceil(sqrt(HDB_EPS2))
+    cells = pts.select(
+        "id", "x", "y",
+        F.expr(f"x DIV {side}").alias("cx"),
+        F.expr(f"y DIV {side}").alias("cy"))
+    off = F.explode(F.array(*[F.lit(o) for o in (-1, 0, 1)]))
+    probe = (cells.select("id", "x", "y", "cx", "cy", off.alias("dx"))
+             .select("id", "x", "y",
+                     (F.col("cx") + F.col("dx")).alias("cx"), "cy",
+                     off.alias("dy"))
+             .select("id", "x", "y", "cx",
+                     (F.col("cy") + F.col("dy")).alias("cy")))
+    a = probe.select(F.col("id").alias("ia"), F.col("x").alias("xa"),
+                     F.col("y").alias("ya"), "cx", "cy")
+    b = cells.select(F.col("id").alias("ib"), F.col("x").alias("xb"),
+                     F.col("y").alias("yb"), "cx", "cy")
+    pairs = persist_tracked(
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("ia") != F.col("ib"))
+        .select("ia", "ib",
+                ((F.col("xa") - F.col("xb"))
+                 * (F.col("xa") - F.col("xb"))
+                 + (F.col("ya") - F.col("yb"))
+                 * (F.col("ya") - F.col("yb"))).alias("d2"))
+        .filter(F.col("d2") <= HDB_EPS2)
+        .distinct())
+    wk = Window.partitionBy("ia").orderBy("d2")
+    cd = persist_tracked(
+        pairs.select("ia", "d2", F.row_number().over(wk).alias("rk"))
+        .filter(F.col("rk") <= HDB_K)
+        .groupBy(F.col("ia").alias("id"))
+        .agg(F.max("d2").cast("long").alias("cd2"),
+             F.count("*").alias("kn"))
+        .filter(F.col("kn") == HDB_K)
+        .select("id", "cd2"))
+    mr = persist_tracked(
+        pairs.filter(F.col("ia") < F.col("ib"))
+        .join(cd.selectExpr("id AS ia", "cd2 AS ca"), "ia")
+        .join(cd.selectExpr("id AS ib", "cd2 AS cb"), "ib")
+        .select("ia", "ib",
+                F.greatest("ca", "cb", "d2").alias("mr2")))
+    outs = []
+    core_ids = cd.select("id")
+    # Nested cuts: edges(t1) is a subset of edges(t2) for t1 < t2, so
+    # only the FIRST (sparsest) cut runs components over points; each
+    # later cut contracts the previous labels to super-nodes and runs
+    # the X30 operator on the tiny quotient graph (1-2 rounds) — one
+    # full-size CC instead of len(HDB_CUTS).
+    lab = None  # point id -> cluster_id at the previous (finer) cut
+    for t in HDB_CUTS:
+        if lab is None:
+            edges = (mr.filter(F.col("mr2") <= t)
+                     .select(F.col("ia").alias("id_a"),
+                             F.col("ib").alias("id_b"))
+                     .unionByName(core_ids.select(
+                         F.col("id").alias("id_a"),
+                         F.col("id").alias("id_b"))))
+            lab = connected_components_star(edges)
+        else:
+            sup = (mr.filter(F.col("mr2") <= t)
+                   .join(lab.selectExpr("id AS ia",
+                                        "cluster_id AS la"), "ia")
+                   .join(lab.selectExpr("id AS ib",
+                                        "cluster_id AS lb"), "ib")
+                   .select(F.col("la").alias("id_a"),
+                           F.col("lb").alias("id_b"))
+                   .unionByName(lab.select(
+                       F.col("cluster_id").alias("id_a"),
+                       F.col("cluster_id").alias("id_b"))
+                       .distinct()))
+            relab = connected_components_star(sup)
+            lab = (lab.join(relab.selectExpr(
+                "id AS cluster_id", "cluster_id AS new_label"),
+                "cluster_id")
+                .select("id", F.col("new_label").alias("cluster_id")))
+        lab = lab.localCheckpoint()
+        cl = lab.groupBy("cluster_id").agg(
+            F.count("*").cast("long").alias("cnt"))
+        outs.append(cl.agg(
+            F.lit(t).cast("long").alias("cut2"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_clusters"),
+            F.coalesce(F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))),
+                       F.lit(0)).cast("long").alias("clustered_pts"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("long").alias("singleton_pts"),
+            F.coalesce(F.max("cnt"), F.lit(0)).cast("long")
+            .alias("largest")))
+    noise = (pts.agg(F.count("*").alias("np"))
+             .crossJoin(F.broadcast(cd.agg(F.count("*").alias("nc"))))
+             .selectExpr("CAST(-1 AS BIGINT) AS cut2",
+                         "CAST(np - nc AS BIGINT) AS n_clusters",
+                         "CAST(0 AS BIGINT) AS clustered_pts",
+                         "CAST(0 AS BIGINT) AS singleton_pts",
+                         "CAST(0 AS BIGINT) AS largest"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.unionByName(noise)

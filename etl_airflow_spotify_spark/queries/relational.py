@@ -4118,3 +4118,186 @@ def runs_test_daily_revenue(spark: SparkSession,
                 " / SQRT(CAST(var_nano AS DOUBLE) / 1000000000.0),"
                 " 0) AS BIGINT)"
                 " ELSE 0 END AS z_micro"))
+
+
+# --------------------------------------------------------------------------
+# X293: Jonckheere-Terpstra ordered-alternative trend test — the
+# ORDERED-GROUPS member of the k-sample family (X245 KW is omnibus —
+# it cannot use the priority ORDERING; X280 Friedman blocks; X159
+# Mann-Kendall trends a single series): does order revenue shift
+# monotonically across the five ordered priorities? J doubles to
+# J2 = sum over ordered pairs (i < j) of [2*#(a < b) + #(a = b)], an
+# EXACT BIGINT counted from per-group value histograms on the
+# VALUE-bounded distinct-cents grid (exclusive prefix window per
+# group, then one grid self-join over the bounded 5x5 group pairs —
+# never a data-sized pair join). E[J2] = (N^2 - sum n_i^2)/2 exactly;
+# the tie-corrected null variance (SAS PROC FREQ formula, ~N^3/72)
+# exceeds 2^63 at large N, so it is folded as ONE textually-
+# identical DOUBLE expression over HUGEINT-exact moment sums and
+# emitted as a float-exact DOUBLE column; z is one textually-
+# identical SQRT + division. [EXT]
+# --------------------------------------------------------------------------
+@register(
+    "jonckheere_priority_trend",
+    """
+    WITH h AS (
+        SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS g,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2
+    ),
+    vals AS (SELECT DISTINCT v FROM h),
+    grps AS (SELECT DISTINCT g FROM h),
+    grid AS (
+        SELECT vl.v, gr.g, COALESCE(h.c, 0) AS c
+        FROM vals vl CROSS JOIN grps gr
+        LEFT JOIN h ON h.v = vl.v AND h.g = gr.g
+    ),
+    pre AS (
+        SELECT v, g, c,
+               COALESCE(CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS BIGINT), 0) AS lt
+        FROM grid
+    ),
+    j2s AS (
+        SELECT CAST(SUM(CAST(b.c AS HUGEINT)
+                        * (2 * a.lt + a.c)) AS HUGEINT) AS j2w
+        FROM pre a JOIN pre b ON a.v = b.v AND a.g < b.g
+    ),
+    sizes AS (
+        SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY g
+    ),
+    gs AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(n * n) AS BIGINT) AS sn2,
+               CAST(SUM(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5))
+                    AS HUGEINT) AS gn25,
+               CAST(SUM(CAST(n AS HUGEINT) * (n - 1) * (n - 2))
+                    AS HUGEINT) AS gn3,
+               CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) AS HUGEINT)
+                    AS gn2
+        FROM sizes
+    ),
+    ts AS (
+        SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+                    AS HUGEINT) AS tn25,
+               CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2))
+                    AS HUGEINT) AS tn3,
+               CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT)
+                    AS tn2
+        FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM h GROUP BY v)
+    ),
+    var_final AS (
+        SELECT g.nt, g.sn2,
+               CAST(CAST(g.nt AS HUGEINT) * (g.nt - 1)
+                    * (2 * g.nt + 5) - g.gn25 - t.tn25 AS DOUBLE) / 72
+               + (CAST(g.gn3 AS DOUBLE)
+                  / (6.0 * g.nt * (g.nt - 1.0)))
+                 * (CAST(t.tn3 AS DOUBLE) / (6.0 * (g.nt - 2.0)))
+               + (CAST(g.gn2 AS DOUBLE) / (4.0 * g.nt))
+                 * (CAST(t.tn2 AS DOUBLE) / (2.0 * (g.nt - 1.0)))
+                   AS var_j
+        FROM gs g CROSS JOIN ts t
+    )
+    SELECT v.nt AS n_total, CAST(j.j2w AS BIGINT) AS j2,
+           CAST((CAST(v.nt AS HUGEINT) * v.nt - v.sn2) // 2
+                AS BIGINT) AS e_j2,
+           v.var_j,
+           CASE WHEN v.var_j > 0 THEN
+               CAST(ROUND(CAST(j.j2w - (CAST(v.nt AS HUGEINT) * v.nt
+                    - v.sn2) // 2 AS DOUBLE) * 1000000
+                    / (2 * SQRT(v.var_j)), 0) AS BIGINT)
+           ELSE 0 END AS z_micro
+    FROM var_final v CROSS JOIN j2s j
+    """,
+    doc="X293 Jonckheere-Terpstra ordered-alternative test of revenue "
+        "across the five ORDERED priorities: doubled pair statistic "
+        "J2 = sum 2*#less + #equal counted exactly from per-group "
+        "histograms on the value-bounded distinct-cents grid "
+        "(exclusive prefix window per group + bounded 5x5 pair join "
+        "on value — never a data-sized pair join), exact "
+        "E[J2] = (N^2 - sum n^2)/2, SAS-formula tie-corrected "
+        "variance folded in a single textually-identical DOUBLE "
+        "expression over HUGEINT-exact moment sums (the variance "
+        "VALUE itself passes 2^63 at large N, so no fixed integer "
+        "grid can hold it), z one textually-identical SQRT + "
+        "division. The ordered-groups member next to X245 (omnibus "
+        "KW), X280 (blocked), X159 (single-series trend). Python "
+        "replay + pair-count conservation laws.",
+    tags=("X293", "X245", "X280", "X7", "X11"),
+)
+def jonckheere_priority_trend(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from ..caching import persist_tracked
+
+    o = load_table(spark, sf_dir, "orders")
+    h = persist_tracked(
+        o.groupBy(
+            F.expr("CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT)")
+            .alias("g"),
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .alias("v"))
+        .agg(F.count("*").cast("long").alias("c")))
+    vals = h.select("v").distinct()
+    grps = h.select("g").distinct()
+    grid = (vals.crossJoin(F.broadcast(grps))
+            .join(h, ["v", "g"], "left")
+            .select("v", "g", F.coalesce("c", F.lit(0)).alias("c")))
+    wpre = (Window.partitionBy("g").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    pre = persist_tracked(grid.select(
+        "v", "g", "c",
+        F.coalesce(F.sum("c").over(wpre), F.lit(0)).cast("long")
+        .alias("lt")))
+    a = pre.select(F.col("v"), F.col("g").alias("ga"),
+                   F.col("c").alias("ca"), F.col("lt").alias("lta"))
+    b = pre.select(F.col("v"), F.col("g").alias("gb"),
+                   F.col("c").alias("cb"))
+    j2s = (a.join(b, "v").filter(F.col("ga") < F.col("gb"))
+           .selectExpr("CAST(cb AS DECIMAL(38,0))"
+                       " * (2 * lta + ca) AS w")
+           .agg(F.sum("w").alias("j2w")))
+    sizes = h.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    gs = sizes.selectExpr(
+        "n",
+        "CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5) AS w25",
+        "CAST(n AS DECIMAL(38,0)) * (n - 1) * (n - 2) AS w3",
+        "CAST(n AS DECIMAL(38,0)) * (n - 1) AS w2").agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sn2"),
+        F.sum("w25").alias("gn25"),
+        F.sum("w3").alias("gn3"),
+        F.sum("w2").alias("gn2"))
+    ts = (h.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
+          .selectExpr(
+              "CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)"
+              " AS w25",
+              "CAST(t AS DECIMAL(38,0)) * (t - 1) * (t - 2) AS w3",
+              "CAST(t AS DECIMAL(38,0)) * (t - 1) AS w2")
+          .agg(F.sum("w25").alias("tn25"),
+               F.sum("w3").alias("tn3"),
+               F.sum("w2").alias("tn2")))
+    var_final = (gs.crossJoin(F.broadcast(ts))
+                 .selectExpr(
+                     "nt", "sn2",
+                     "CAST(CAST(nt AS DECIMAL(38,0)) * (nt - 1)"
+                     " * (2 * nt + 5) - gn25 - tn25 AS DOUBLE) / 72"
+                     " + (CAST(gn3 AS DOUBLE)"
+                     " / (6.0 * nt * (nt - 1.0)))"
+                     " * (CAST(tn3 AS DOUBLE) / (6.0 * (nt - 2.0)))"
+                     " + (CAST(gn2 AS DOUBLE) / (4.0 * nt))"
+                     " * (CAST(tn2 AS DOUBLE) / (2.0 * (nt - 1.0)))"
+                     " AS var_j"))
+    return (var_final.crossJoin(F.broadcast(j2s))
+            .selectExpr(
+                "nt AS n_total", "CAST(j2w AS BIGINT) AS j2",
+                "CAST((CAST(nt AS DECIMAL(38,0)) * nt - sn2) DIV 2"
+                " AS BIGINT) AS e_j2",
+                "var_j",
+                "CASE WHEN var_j > 0 THEN"
+                " CAST(ROUND(CAST(j2w - (CAST(nt AS DECIMAL(38,0))"
+                " * nt"
+                " - sn2) DIV 2 AS DOUBLE) * 1000000"
+                " / (2 * SQRT(var_j)), 0) AS BIGINT)"
+                " ELSE 0L END AS z_micro"))

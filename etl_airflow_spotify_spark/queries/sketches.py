@@ -591,3 +591,179 @@ def lossy_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("f") + F.col("delta") > b)
              .localCheckpoint())
     return d.select(F.col("item").alias("user_id"), "f", "delta")
+
+
+# --------------------------------------------------------------------------
+# X294: DGIM sliding-window bit counting (Datar-Gionis-Indyk-Motwani,
+# SIAM J. Comput. 2002) — the SLIDING-WINDOW sketch family the
+# whole-stream sketches miss (X29 count-min, X163 AMS, X186 KMV and
+# the HLL/KLL rollups all summarize everything seen; DGIM answers
+# "how many 1s in the last N ticks" in O(log^2 N) memory with a
+# guaranteed <= 50% error). Key insight making it exactly testable:
+# the DGIM bucket SIZES after C ones are the unique {1,2}-ary binary
+# decomposition C = sum (1 + e_i) * 2^i with e = C - 2^L + 1,
+# L = floor(log2(C+1)) (verified against a step-by-step merge
+# simulation in the law test), and buckets partition the ones
+# CONTIGUOUSLY by recency — so bucket ends come from rank arithmetic,
+# no sequential fold at all. Estimates live on the DOUBLED grid
+# (half the oldest bucket stays integer). The hour grid is
+# CALENDAR-bounded; shifts/masks are exact integer ops textually
+# identical in both engines. This is the non-expiring DGIM variant
+# windowed at query time (expiry only drops buckets, it never merges
+# them, so the estimate guarantee is unchanged). [EXT]
+# --------------------------------------------------------------------------
+DGIM_WINDOW_HOURS = 256
+DGIM_MAX_LEVELS = 40
+
+
+@register(
+    "dgim_purchase_hours",
+    f"""
+    WITH hrs AS (
+        SELECT epoch_us(ts) // 3600000000 AS hid,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS bit
+        FROM events GROUP BY 1
+    ),
+    now_t AS (SELECT MAX(hid) AS t_now FROM hrs),
+    ones AS (
+        SELECT hid,
+               ROW_NUMBER() OVER (ORDER BY hid DESC) AS r
+        FROM hrs WHERE bit = 1
+    ),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM ones),
+    lev AS (
+        SELECT MAX(p) AS l FROM (
+            SELECT unnest(generate_series(0, {DGIM_MAX_LEVELS})) AS p
+        ), c
+        WHERE (CAST(1 AS BIGINT) << p) <= c.c + 1
+    ),
+    e AS (
+        SELECT c.c, lev.l,
+               c.c - (CAST(1 AS BIGINT) << lev.l) + 1 AS e
+        FROM c CROSS JOIN lev
+    ),
+    buckets AS (
+        SELECT i, s,
+               CAST(1 AS BIGINT) << i AS size,
+               ((CAST(1 AS BIGINT) << i) - 1 + (e.e % (CAST(1
+                   AS BIGINT) << i))) + s * (CAST(1 AS BIGINT) << i)
+                   + 1 AS end_rank
+        FROM e, (SELECT unnest(generate_series(0,
+                     {DGIM_MAX_LEVELS})) AS i),
+             (SELECT unnest(generate_series(0, 1)) AS s)
+        WHERE i < e.l AND s < 1 + ((e.e >> i) & 1)
+    ),
+    placed AS (
+        SELECT b.i AS level, b.s AS slot, b.size, o.hid AS end_hid,
+               CASE WHEN o.hid > n.t_now - {DGIM_WINDOW_HOURS}
+                    THEN 1 ELSE 0 END AS in_window
+        FROM buckets b
+        JOIN ones o ON o.r = b.end_rank
+        CROSS JOIN now_t n
+    ),
+    est AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN in_window = 1
+                   THEN 2 * size ELSE 0 END), 0)
+               - COALESCE(MAX(CASE WHEN in_window = 1 THEN size
+                   ELSE 0 END), 0) AS BIGINT) AS est2
+        FROM placed
+    ),
+    exact AS (
+        SELECT CAST(2 * COUNT(*) AS BIGINT) AS exact2
+        FROM ones o CROSS JOIN now_t n
+        WHERE o.hid > n.t_now - {DGIM_WINDOW_HOURS}
+    )
+    SELECT 'bucket' AS kind, CAST(level AS BIGINT) AS level,
+           CAST(slot AS BIGINT) AS slot, size,
+           CAST(end_hid AS BIGINT) AS end_hid,
+           CAST(in_window AS BIGINT) AS value
+    FROM placed
+    UNION ALL
+    SELECT 'est2', -1, -1, -1, -1, est2 FROM est
+    UNION ALL
+    SELECT 'exact2', -1, -1, -1, -1, exact2 FROM exact
+    UNION ALL
+    SELECT 'total_ones', -1, -1, -1, -1, c FROM c
+    """,
+    doc=f"X294 DGIM sliding-window bit count of purchase-active hours "
+        f"(window {DGIM_WINDOW_HOURS}h): bucket sizes from the closed-"
+        "form {{1,2}}-ary decomposition of the ones count (equal to "
+        "the step-by-step DGIM merge state — law-verified), bucket "
+        "ends by rank arithmetic over the recency-contiguous "
+        "partition, doubled-grid estimate (all-but-oldest + half "
+        "oldest) vs exact count. The SLIDING-WINDOW sketch next to "
+        "the whole-stream X29/X163/X186; calendar-bounded hour grid, "
+        "exact shifts/masks textually identical in both engines. "
+        "Python replay + merge-simulation + <=50%-error laws.",
+    tags=("X294", "X186", "X163", "X7", "X11"),
+)
+def dgim_purchase_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..caching import persist_tracked
+
+    ev = load_table(spark, sf_dir, "events")
+    # exact integer hour id (Spark "/" would be double division)
+    hrs = (ev.selectExpr(
+        "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+        " AS BIGINT) AS hid",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b")
+        .groupBy("hid").agg(F.max("b").alias("bit")))
+    hrs = persist_tracked(hrs)
+    now_t = hrs.agg(F.max("hid").alias("t_now"))
+    ones = persist_tracked(
+        hrs.filter(F.col("bit") == 1)
+        .select("hid",
+                F.row_number().over(Window.orderBy(F.desc("hid")))
+                .alias("r")))
+    c = ones.agg(F.count("*").cast("long").alias("c"))
+    pows = spark.range(DGIM_MAX_LEVELS + 1).selectExpr("id AS p")
+    lev = (pows.crossJoin(F.broadcast(c))
+           .filter(F.expr("(CAST(1 AS BIGINT) << p) <= c + 1"))
+           .agg(F.max("p").alias("l")))
+    e = (c.crossJoin(F.broadcast(lev))
+         .selectExpr("c", "l",
+                     "c - (CAST(1 AS BIGINT) << l) + 1 AS e"))
+    lvl = spark.range(DGIM_MAX_LEVELS + 1).selectExpr("id AS i")
+    slt = spark.range(2).selectExpr("id AS s")
+    buckets = (lvl.crossJoin(slt).crossJoin(F.broadcast(e))
+               .filter(F.expr("i < l AND s < 1 + ((e >> i) & 1)"))
+               .selectExpr(
+                   "i", "s",
+                   "CAST(1 AS BIGINT) << i AS size",
+                   "((CAST(1 AS BIGINT) << i) - 1 + (e % (CAST(1"
+                   " AS BIGINT) << i))) + s * (CAST(1 AS BIGINT)"
+                   " << i) + 1 AS end_rank"))
+    placed = (buckets.join(ones, buckets.end_rank == ones.r)
+              .crossJoin(F.broadcast(now_t))
+              .selectExpr(
+                  "i AS level", "s AS slot", "size",
+                  "hid AS end_hid",
+                  f"CASE WHEN hid > t_now - {DGIM_WINDOW_HOURS}"
+                  " THEN 1 ELSE 0 END AS in_window"))
+    placed = persist_tracked(placed)
+    est = placed.selectExpr(
+        "CASE WHEN in_window = 1 THEN 2 * size ELSE 0 END AS w",
+        "CASE WHEN in_window = 1 THEN size ELSE 0 END AS m").agg(
+        (F.coalesce(F.sum("w"), F.lit(0))
+         - F.coalesce(F.max("m"), F.lit(0))).cast("long")
+        .alias("est2"))
+    exact = (ones.crossJoin(F.broadcast(now_t))
+             .filter(F.expr(f"hid > t_now - {DGIM_WINDOW_HOURS}"))
+             .agg((2 * F.count("*")).cast("long").alias("exact2")))
+    r1 = placed.selectExpr(
+        "'bucket' AS kind", "CAST(level AS BIGINT) AS level",
+        "CAST(slot AS BIGINT) AS slot", "size",
+        "CAST(end_hid AS BIGINT) AS end_hid",
+        "CAST(in_window AS BIGINT) AS value")
+    r2 = est.selectExpr("'est2' AS kind", "-1L AS level",
+                        "-1L AS slot", "-1L AS size",
+                        "-1L AS end_hid", "est2 AS value")
+    r3 = exact.selectExpr("'exact2' AS kind", "-1L AS level",
+                          "-1L AS slot", "-1L AS size",
+                          "-1L AS end_hid", "exact2 AS value")
+    r4 = c.selectExpr("'total_ones' AS kind", "-1L AS level",
+                      "-1L AS slot", "-1L AS size",
+                      "-1L AS end_hid", "c AS value")
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4)

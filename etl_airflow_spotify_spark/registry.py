@@ -119,6 +119,15 @@ DRIVER_ORDER: tuple[str, ...] = (
     "nullsafe_join_counts",
     "part_supplier_variety",
     # (e) NEW_R9 representatives — appended as they land, <= 9
+    "runs_test_daily_revenue",      # X287
+    "iv_wald_estimate",             # X288
+    "cochran_q_rules",              # X289
+    "littles_law_flow_audit",       # X290
+    "gumbel_weekly_maxima",         # X291
+    "logrank_purchase_groups",      # X292
+    "jonckheere_priority_trend",    # X293
+    "dgim_purchase_hours",          # X294
+    "hdbscan_mutual_reachability",  # X295
 )
 
 

@@ -89,6 +89,15 @@ R10_BACKLOG = [
 # land so they are attested the round they land. Maps query name ->
 # class tag.
 NEW_R9: dict[str, str] = {
+    "runs_test_daily_revenue": "X287",
+    "iv_wald_estimate": "X288",
+    "cochran_q_rules": "X289",
+    "littles_law_flow_audit": "X290",
+    "gumbel_weekly_maxima": "X291",
+    "logrank_purchase_groups": "X292",
+    "jonckheere_priority_trend": "X293",
+    "dgim_purchase_hours": "X294",
+    "hdbscan_mutual_reachability": "X295",
 }
 
 MAX_NEW_R9 = 9  # r8 verdict item 6
