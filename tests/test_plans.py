@@ -969,3 +969,29 @@ def test_coloring_rounds_no_cartesian(spark, sf_dir):
     aggregates over the checkpointed label frame; no cartesian."""
     df = _df("greedy_graph_coloring", spark, sf_dir)
     assert not has_cartesian_product(df)
+
+
+def test_hdbscan_no_cartesian(spark, sf_dir):
+    """X295: candidates come from the grid probe (equi-join on cell
+    keys); the all-pairs quadratic lives only in the oracle. The only
+    nested-loop joins are crossJoin(broadcast) against 1-row frames."""
+    assert not has_cartesian_product(_df("hdbscan_mutual_reachability",
+                                         spark, sf_dir))
+
+
+def test_jonckheere_no_cartesian_and_bounded_pairs(spark, sf_dir):
+    """X293: the pair statistic joins per-group prefix tables on the
+    VALUE key (equi-join over the bounded 5x5 group pairs) — never a
+    data-sized pair join; the only cross joins are broadcast scalars
+    and the 5-row group list against the distinct-value grid."""
+    assert not has_cartesian_product(_df("jonckheere_priority_trend",
+                                         spark, sf_dir))
+
+
+def test_logrank_riskset_is_value_bounded_window(spark, sf_dir):
+    """X292: the risk-set suffix sums run over the whole-second
+    duration grid — one window, no self-join of subjects."""
+    df = _df("logrank_purchase_groups", spark, sf_dir)
+    assert not has_cartesian_product(df)
+    plan = plan_string(df)
+    assert plan.count("Window") >= 1
