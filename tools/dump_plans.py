@@ -103,6 +103,9 @@ SHOW = [
     "funnel_local_alignment",    # one collect_list exchange, zero joins
     # round 6
     "knn_shapley_valuation",     # broadcast test fan-out + keyed suffix windows
+    # round 9
+    "hdbscan_mutual_reachability",  # grid-probe core dists + contracted CC cuts
+    "jonckheere_priority_trend",    # value-grid prefix windows + 5x5 pair join
 ]
 
 
@@ -202,7 +205,17 @@ EXTRA = {
         "close triangles via array_intersect against broadcast sorted "
         "neighbor arrays — candidate filtering happens in whole-stage "
         "codegen, replacing the former 41M-row wedge exchange; "
-        "rounds 2+ are support maintenance over this one list."),
+        "rounds 2+ are support maintenance over this one list. "
+        "r8 (r7 verdict item 3): the broadcast-intersect shape is "
+        "gated on the exact oriented-edge count vs "
+        "KTRUSS_BCAST_EDGE_MAX = 30M (~240 MB packed arrays); above "
+        "it the X167 degree-oriented wedge JOIN produces the "
+        "identical set (a broadcast hint is HARD — Spark OOMs rather "
+        "than falls back). r9 (r8 verdict item 5): the deg-orientation "
+        "joins sit behind the SAME gate; the fallback carries ZERO "
+        "broadcast hints, pinned via analyzed-plan ResolvedHint count "
+        "(physical BroadcastHashJoin at tiny SFs is legitimate "
+        "size-estimate behavior, so hints are what the test counts)."),
     "percolation_robustness (scenario edge set)": (
         _percolation_scenario_edges,
         "X157 inner plan: removal set applied via two LEFT ANTI joins "
