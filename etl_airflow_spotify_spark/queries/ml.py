@@ -3637,6 +3637,8 @@ def hdbscan_mutual_reachability(spark: SparkSession,
                      F.col("y").alias("ya"), "cx", "cy")
     b = cells.select(F.col("id").alias("ib"), F.col("x").alias("xb"),
                      F.col("y").alias("yb"), "cx", "cy")
+    # No distinct needed: b carries its single home cell, so each
+    # (ia, ib) pair matches exactly one of a's nine probe rows.
     pairs = persist_tracked(
         a.join(b, ["cx", "cy"])
         .filter(F.col("ia") != F.col("ib"))
@@ -3645,8 +3647,7 @@ def hdbscan_mutual_reachability(spark: SparkSession,
                  * (F.col("xa") - F.col("xb"))
                  + (F.col("ya") - F.col("yb"))
                  * (F.col("ya") - F.col("yb"))).alias("d2"))
-        .filter(F.col("d2") <= HDB_EPS2)
-        .distinct())
+        .filter(F.col("d2") <= HDB_EPS2))
     wk = Window.partitionBy("ia").orderBy("d2")
     cd = persist_tracked(
         pairs.select("ia", "d2", F.row_number().over(wk).alias("rk"))
