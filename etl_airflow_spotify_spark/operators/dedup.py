@@ -497,7 +497,6 @@ def duplicated_ngram_coverage(docs: DataFrame, id_col: str, text_col: str,
     dup_frac 0.0 (left join keeps them).
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    d = docs.select(F.col(id_col), toks.alias("_toks"))
     # 60-bit md5 ints, not 32-char hex strings: the hash is the shuffle
     # key of BOTH the count aggregate and the join back, so key width
     # sets the shuffle byte volume (4x narrower as a BIGINT), and the
@@ -507,12 +506,21 @@ def duplicated_ngram_coverage(docs: DataFrame, id_col: str, text_col: str,
         f"ELSE transform(sequence(1, size(_toks) - {n - 1}), "
         f"i -> CAST(conv(substring(md5(array_join(slice(_toks, i, {n}), "
         f"' ')), 1, 15), 16, 10) AS BIGINT)) END")
-    # The exploded hashes feed both the count aggregate and the join
-    # probe; the explode+md5 runs once per consumer (measured: caching
-    # the 10M-row exploded frame costs as much as recomputing it — the
-    # shuffles, not the hash CPU, dominate — so no persist here).
-    sh = (_spread(d.select(id_col, shingle_hashes.alias("_hs")), id_col)
-          .select(id_col, F.explode("_hs").alias("_h")))
+    # Stage order matters twice here (r9 optimization, guide §2.3/§4):
+    # (a) tokenize BELOW the spread exchange and hash ABOVE it, so the
+    # lambda references the materialized _toks column — projected into
+    # one Project, Catalyst inlines the split() into every transform
+    # element (O(tokens^2) per doc, measured 10x);
+    # (b) persist the hash-array frame: it feeds two consumers (count
+    # aggregate + join probe), and InferFiltersFromGenerate clones the
+    # generator input into a size()>0 filter that predicate pushdown
+    # would otherwise inline below the exchange — against the cache the
+    # inferred filter tests the stored array, not a re-evaluation.
+    d_tok = _spread(docs.select(F.col(id_col), toks.alias("_toks")),
+                    id_col)
+    hs = persist_tracked(
+        d_tok.select(id_col, shingle_hashes.alias("_hs")))
+    sh = hs.select(id_col, F.explode("_hs").alias("_h"))
     counts = sh.groupBy("_h").agg(F.count("*").alias("_c"))
     per_doc = (sh.join(counts, "_h")
                .groupBy(id_col)

@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..registry import register
 
 LG_K = 14  # 2^14 registers -> ~0.8% HLL standard error
@@ -308,7 +308,14 @@ AMS_GROUP = 4    # estimators per mean group -> 3 groups, median of 3
     tags=("X163", "X29", "X7", "X77"),
 )
 def ams_f2_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    # Fan out the scan before the x-branch's 12-way explode + per-row
+    # md5 (the CPU of this query): a single-row-group input file reads
+    # as one task, serializing ~7M hash evaluations (r9 optimization,
+    # guide §2.5 input skew). spread() is a no-op shape at real scale,
+    # and the exact-F2 branch's groupBy(l_partkey) reuses the same hash
+    # partitioning, so the shuffle is shared, not added.
+    li = spread(load_table(spark, sf_dir, "lineitem")
+                .select("l_partkey"), "l_partkey")
     ks = F.explode(F.array(*[F.lit(k) for k in range(AMS_K)]))
     sign = F.when(
         F.conv(F.substring(
