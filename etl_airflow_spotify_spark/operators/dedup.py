@@ -38,6 +38,29 @@ def token_shingles(tokens: Column, k: int = 3) -> Column:
     )
 
 
+def exploded_token_shingles(df: DataFrame, key_col: str, text_col: str,
+                            k: int, spread_col: str | None = None,
+                            out: str = "sg") -> DataFrame:
+    """(key, shingle) rows with the tokenizer materialized BELOW a
+    spread exchange and the shingle transform ABOVE it (r9
+    optimization). Written as one projection, Catalyst's
+    CollapseProject inlines split(text) into every element of the
+    shingle lambda (O(tokens^2) per doc) and
+    InferFiltersFromGenerate pushes a clone of the whole expression
+    into the scan — the exchange pins the tokens as a materialized
+    column, so the lambda and the inferred filter both reference it.
+    ``spread_col`` lets low-cardinality keys (e.g. source) spread on a
+    high-cardinality sibling instead."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    sc = spread_col or key_col
+    cols = [F.col(key_col)] if sc == key_col else [F.col(key_col),
+                                                   F.col(sc)]
+    base = _spread(df.select(*cols, toks.alias("_toks")), sc)
+    return base.select(F.col(key_col),
+                       F.explode(token_shingles(F.col("_toks"), k))
+                       .alias(out))
+
+
 def char_ngrams(text: Column, n: int = 4) -> Column:
     """Distinct character n-grams of the text."""
     positions = F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1)))

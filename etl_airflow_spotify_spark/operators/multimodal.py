@@ -247,26 +247,34 @@ def perceptual_ahash(media: DataFrame,
     chunking, packing and banding stay identical."""
     cols = media.select(F.col("media_id"), F.col(content_col).alias("c"))
 
+    # Vectorized kernel (r9 optimization, guide §4.2): the original
+    # per-character Python loop dominated the stage; NumPy reproduces
+    # the identical integer arithmetic. Code points via a utf-32-le
+    # round-trip (== ord() per char); chunk sums/counts via bincount
+    # (integer-valued float64, exact below 2^53 — payload sums here are
+    # ~1e7); the bit rule stays the cross-multiplied int64 compare.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        w1 = np.int64(1) << np.arange(60, dtype=np.int64)
+        w2 = np.int64(1) << np.arange(4, dtype=np.int64)
         for pdf in batches:
             h1s, h2s = [], []
             for b in pdf["c"]:
-                codes = [ord(ch) for ch in bytes(b)[12:].decode("utf-8")]
+                codes = np.frombuffer(
+                    bytes(b)[12:].decode("utf-8").encode("utf-32-le"),
+                    dtype="<u4").astype(np.int64)
                 L = len(codes)
                 if L == 0:
                     h1s.append(0); h2s.append(0)
                     continue
-                sums = [0] * 64
-                cnts = [0] * 64
-                for i, c in enumerate(codes):
-                    k = (i * 64) // L
-                    sums[k] += c
-                    cnts[k] += 1
-                ts, tn = sum(sums), L
-                bits = [1 if sums[k] * tn > ts * cnts[k] else 0
-                        for k in range(64)]
-                h1s.append(sum(bits[k] << k for k in range(60)))
-                h2s.append(sum(bits[60 + k] << k for k in range(4)))
+                idx = (np.arange(L, dtype=np.int64) * 64) // L
+                sums = np.bincount(idx, weights=codes,
+                                   minlength=64).astype(np.int64)
+                cnts = np.bincount(idx, minlength=64).astype(np.int64)
+                ts = int(sums.sum())
+                bits = (sums * L > ts * cnts).astype(np.int64)
+                h1s.append(int((bits[:60] * w1).sum()))
+                h2s.append(int((bits[60:] * w2).sum()))
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "h1": h1s, "h2": h2s})
 
@@ -312,32 +320,39 @@ def perceptual_phash(media: DataFrame,
     cols = media.select(F.col("media_id"), F.col(content_col).alias("c"))
     T = PHASH_DCT
 
+    # Vectorized kernel (r9 optimization, guide §4.2): same integer
+    # math as the original per-character loop — code points via a
+    # utf-32-le round-trip (== ord()), chunk sums via bincount (exact
+    # below 2^53), the 15 DCT coefficients as one int64 matvec against
+    # the precomputed (15, 64) basis (|term| <= px * 1e6, far inside
+    # int64), theta as the 8th-smallest coefficient VALUE (ties in s
+    # give the same value whatever (u, v) order broke them).
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        basis = np.array(
+            [[T[u][k % 8] * T[v][k // 8] for k in range(64)]
+             for u in range(4) for v in range(4) if (u, v) != (0, 0)],
+            dtype=np.int64)
+        shifts = np.array([u * 4 + v - 1
+                           for u in range(4) for v in range(4)
+                           if (u, v) != (0, 0)], dtype=np.int64)
         for pdf in batches:
             out = []
             for b in pdf["c"]:
-                codes = [ord(ch) for ch in bytes(b)[12:].decode("utf-8")]
+                codes = np.frombuffer(
+                    bytes(b)[12:].decode("utf-8").encode("utf-32-le"),
+                    dtype="<u4").astype(np.int64)
                 L = len(codes)
                 if L == 0:
                     out.append(0)
                     continue
-                px = [0] * 64
-                for i, c in enumerate(codes):
-                    px[(i * 64) // L] += c
-                coeffs = []
-                for u in range(4):
-                    for v in range(4):
-                        if u == 0 and v == 0:
-                            continue
-                        s = sum(px[k] * T[u][k % 8] * T[v][k // 8]
-                                for k in range(64))
-                        coeffs.append((s, u, v))
-                theta = sorted(coeffs)[7][0]
-                ph = 0
-                for s, u, v in coeffs:
-                    if s > theta:
-                        ph |= 1 << (u * 4 + v - 1)
-                out.append(ph)
+                idx = (np.arange(L, dtype=np.int64) * 64) // L
+                px = np.bincount(idx, weights=codes,
+                                 minlength=64).astype(np.int64)
+                s = basis @ px
+                theta = np.partition(s, 7)[7]
+                out.append(int(((s > theta).astype(np.int64)
+                                << shifts).sum()))
             yield pd.DataFrame({"media_id": pdf["media_id"], "ph": out})
 
     return cols.mapInPandas(run, PHASH_SCHEMA)

@@ -799,10 +799,11 @@ def greedy_source_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
     d = load_table(spark, sf_dir, "documents")
-    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # r9: tokens below the spread exchange, shingles above; spread on
+    # doc_id (source is low-cardinality). See exploded_token_shingles.
     sh = persist_tracked(
-        d.select("source",
-                 F.explode(D.token_shingles(ts, COVER_K)).alias("sg"))
+        D.exploded_token_shingles(d, "source", "text", COVER_K,
+                                  spread_col="doc_id")
         .select("source",
                 F.conv(F.substring(F.md5("sg"), 1, 15), 16, 10)
                 .cast("long").alias("h"))

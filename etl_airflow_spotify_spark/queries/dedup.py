@@ -778,10 +778,11 @@ def ppjoin_prefix_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
     d = load_table(spark, sf_dir, "documents")
-    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # r9: shared helper — tokens below the spread exchange, shingles
+    # above (kills the CollapseProject/InferFiltersFromGenerate
+    # double-evaluation and the single-split scan stage).
     sh = persist_tracked(
-        d.select("doc_id", F.explode(D.token_shingles(ts, PPJ_K))
-                 .alias("sg"))
+        D.exploded_token_shingles(d, "doc_id", "text", PPJ_K)
         .select("doc_id",
                 F.conv(F.substring(F.md5("sg"), 1, 15), 16, 10)
                 .cast("long").alias("h"))
@@ -916,10 +917,9 @@ def containment_subset_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
     d = load_table(spark, sf_dir, "documents")
-    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # r9: same helper as ppjoin — see exploded_token_shingles.
     sh = persist_tracked(
-        d.select("doc_id", F.explode(D.token_shingles(ts, CONT_K))
-                 .alias("sg"))
+        D.exploded_token_shingles(d, "doc_id", "text", CONT_K)
         .select("doc_id",
                 F.conv(F.substring(F.md5("sg"), 1, 15), 16, 10)
                 .cast("long").alias("h"))
@@ -1192,9 +1192,16 @@ def lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import persist_tracked
     from ..catalog import load_table as _lt
 
-    d = _lt(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.trim(F.lower(F.col("text"))),
-                          r"\s+").alias("toks"))
+    # r9 optimization (same two Catalyst traps as dup_ngram_coverage):
+    # spread BELOW the tokenizer so the single-split scan fans out, and
+    # keep the shingle lambda ABOVE the exchange so it references the
+    # materialized toks column — collapsed into one Project, the
+    # split() is inlined into every lambda element (O(tokens^2)/doc).
+    from ..catalog import spread as _spread
+    d = _spread(
+        _lt(spark, sf_dir, "documents").select(
+            "doc_id", F.split(F.trim(F.lower(F.col("text"))),
+                              r"\s+").alias("toks")), "doc_id")
     d = d.filter(F.size("toks") >= LSHP_K)
     gram = (d.select(
         "doc_id",

@@ -487,16 +487,24 @@ def multimodal_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("amp", IntegerType()),
     ])
 
+    # Vectorized expansion (r9 optimization, guide §4.2): one NumPy
+    # repeat/concatenate per batch instead of a Python append per
+    # sample; code points via the utf-32-le round-trip (== ord()).
     def run(batches):
+        import numpy as np
         for pdf in batches:
-            ids, poss, amps = [], [], []
-            for mid, b in zip(pdf["media_id"], pdf["content"]):
-                codes = bytes(b)[12:].decode("utf-8")
-                for i, c in enumerate(codes, start=1):
-                    ids.append(mid)
-                    poss.append(i)
-                    amps.append(ord(c))
-            yield pd.DataFrame({"media_id": ids, "pos": poss, "amp": amps})
+            codes = [np.frombuffer(
+                bytes(b)[12:].decode("utf-8").encode("utf-32-le"),
+                dtype="<u4").astype(np.int32) for b in pdf["content"]]
+            lens = np.array([len(c) for c in codes])
+            yield pd.DataFrame({
+                "media_id": np.repeat(pdf["media_id"].to_numpy(), lens),
+                "pos": np.concatenate(
+                    [np.arange(1, n + 1, dtype=np.int64)
+                     for n in lens]) if len(lens) else
+                np.array([], dtype=np.int64),
+                "amp": np.concatenate(codes) if codes else
+                np.array([], dtype=np.int32)})
 
     samples = media.select("media_id", "content").mapInPandas(run, out_schema)
     quiet = samples.filter(F.col("amp") < SILENCE_THRESHOLD)

@@ -921,11 +921,12 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
     d = _docs(spark, sf_dir)
-    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # r9: tokens below the spread exchange, shingles above; spread on
+    # doc_id (source is low-cardinality). See exploded_token_shingles.
     sh = persist_tracked(
-        d.select("source",
-                 F.explode(D.token_shingles(ts, OVERLAP_SHINGLE_K))
-                 .alias("sg"))
+        D.exploded_token_shingles(d, "source", "text",
+                                  OVERLAP_SHINGLE_K,
+                                  spread_col="doc_id")
         .select("source",
                 F.conv(F.substring(F.md5("sg"), 1, 15), 16, 10)
                 .cast("long").alias("h"))
@@ -1578,10 +1579,10 @@ def source_venn_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
     d = _docs(spark, sf_dir).filter(F.col("source").isin(*VENN_SOURCES))
-    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    sh = (d.select("source",
-                   F.explode(D.token_shingles(ts, OVERLAP_SHINGLE_K))
-                   .alias("sg"))
+    # r9: same helper — see exploded_token_shingles.
+    sh = (D.exploded_token_shingles(d, "source", "text",
+                                    OVERLAP_SHINGLE_K,
+                                    spread_col="doc_id")
           .select("source",
                   F.conv(F.substring(F.md5("sg"), 1, 15), 16, 10)
                   .cast("long").alias("h"))
