@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -348,6 +349,103 @@ HEADLINE = [
     "hdbscan_mutual_reachability",
 ]
 
+# r9 verdict item 1b: the driver's round-over-round compare only sees
+# queries present in BOTH rounds' stdout lines, so a query that IMPROVES
+# falls out of the top-slowest window and its win disappears from the
+# per-query comparison (r9: four 2-7x wins read as "dropped_from_bench").
+# Make the shown set comparison-stable: last round's shown queries are
+# listed first (they are the driver's compare base), then the remaining
+# char budget is filled with the slowest of the rest. This only changes
+# WHICH entries appear in stdout's capped "queries" dict; "value" still
+# totals every headline query and the detail file carries all of them.
+SHOWN_CARRYOVER = [
+    "link_prediction_eval", "percolation_robustness", "deepwalk_corpus",
+    "hdbscan_mutual_reachability", "dbscan_rfm_segments",
+    "copurchase_communities", "ktruss_peeling_profile",
+    "louvain_phase1_communities", "boruvka_msf_rounds", "luby_mis",
+    "scc_pivot_fwbw", "clustering_coefficient_profile",
+    "weisfeiler_lehman_profile", "copurchase_weighted_sssp",
+    "power_iteration_hubs", "part_pagerank", "betweenness_kseeds",
+    "hits_supplier_part", "temporal_triangle_census",
+    "bradley_terry_suppliers", "copurchase_hop_distance",
+    "personalized_pagerank", "disparity_backbone", "kcore_peeling_profile",
+    "densest_subgraph_peel", "recsys_quality_metrics", "lof_rfm_outliers",
+    "semantic_dedup_clusters", "single_link_dendrogram",
+    "dedup_cluster_assign_star", "bpe_merge_table",
+    "markov_removal_attribution", "frequent_brand_triples",
+    "bootstrap_ci_mean", "dedup_keep_best", "greedy_graph_coloring",
+    "greedy_source_cover", "copurchase_assortativity",
+    "bagged_stump_forest", "bcubed_linkage_eval", "itemitem_cf_recommend",
+    "incremental_corpus_dedup", "stream_cdc_scd2", "gale_shapley_matching",
+    "mondrian_kanon_partition", "ind_discovery",
+    "butterfly_copurchase_census", "mutual_best_matching",
+    "ppjoin_prefix_similarity", "stump_learning_curve", "knn_label_spread",
+    "randomization_test_discount", "brown_forsythe_nations",
+]
+
+
+class _LoadTrace:
+    """r9 verdict item 1a: sample host load DURING the bench so external
+    contention is measured, not asserted. Pure /proc reads from a daemon
+    thread every few seconds — zero interaction with the timed work.
+    ``idle_pct`` is the whole-box idle fraction between samples (includes
+    our own Spark load); ``load1`` spikes with zero of our jobs running
+    is the external-contention signature."""
+
+    def __init__(self, interval: float = 5.0) -> None:
+        self.interval = interval
+        self.samples: list[dict] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._prev: tuple[int, int] | None = None
+
+    @staticmethod
+    def _read_stat() -> tuple[int, int]:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+        return idle, sum(vals)
+
+    def _sample(self) -> None:
+        try:
+            with open("/proc/loadavg") as f:
+                load1 = float(f.read().split()[0])
+            idle, total = self._read_stat()
+        except (OSError, ValueError, IndexError):
+            return
+        rec: dict = {"t": round(time.time(), 1), "load1": load1}
+        if self._prev is not None:
+            didle, dtotal = idle - self._prev[0], total - self._prev[1]
+            if dtotal > 0:
+                rec["idle_pct"] = round(100.0 * didle / dtotal, 1)
+        self._prev = (idle, total)
+        self.samples.append(rec)
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.interval):
+            self._sample()
+
+    def start(self) -> None:
+        self._sample()
+        self._thread.start()
+
+    def stop(self) -> dict:
+        self._stop.set()
+        self._thread.join(timeout=2 * self.interval)
+        self._sample()
+        loads = [s["load1"] for s in self.samples]
+        idles = [s["idle_pct"] for s in self.samples if "idle_pct" in s]
+        out: dict = {"n_samples": len(self.samples),
+                     "interval_sec": self.interval}
+        if loads:
+            out["load1_mean"] = round(sum(loads) / len(loads), 2)
+            out["load1_max"] = max(loads)
+        if idles:
+            out["idle_pct_mean"] = round(sum(idles) / len(idles), 1)
+            out["idle_pct_min"] = min(idles)
+        return out
+
+
 # name -> (build_fn(spark, sf_dir), probe_fn(spark, sf_dir) -> DataFrame).
 # Build runs (and is timed) once; cold/steady timings below time the probe.
 BUILD_PROBE = {
@@ -384,6 +482,8 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_session("bench")
     specs = all_queries()
+    trace = _LoadTrace()
+    trace.start()
 
     # warm the JVM + parquet footers with the cheapest query once
     specs["pricing_summary"].spark_fn(spark, sf_dir).count()
@@ -422,7 +522,10 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    env_load = trace.stop()
     detail = {
+        "env_load": env_load,
+        "env_load_samples": trace.samples,
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -462,7 +565,10 @@ def main() -> None:
         "sf": sf_val,
     }
     budget = 1800
-    for name in sorted(timings, key=timings.get, reverse=True):
+    order = sorted(timings, key=timings.get, reverse=True)
+    carry_set = set(SHOWN_CARRYOVER)
+    for name in ([n for n in order if n in carry_set]
+                 + [n for n in order if n not in carry_set]):
         shown[name] = timings[name]
         if len(json.dumps(base, separators=(",", ":"))) > budget:
             del shown[name]

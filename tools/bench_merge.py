@@ -35,6 +35,14 @@ def main() -> int:
     base["queries"] = dict(sorted(merged.items()))
     base["cold_queries"] = dict(sorted(cold.items()))
     base["index_build"] = dict(sorted(builds.items()))
+    # r9 verdict item 1a: keep each session's in-run load trace summary
+    # with the merged file so external contention at measurement time is
+    # recorded, not asserted. Raw samples stay in the session files.
+    base.pop("env_load", None)
+    base.pop("env_load_samples", None)
+    base["env_load_sessions"] = [
+        {"session": p, "env_load": d.get("env_load")}
+        for p, d in zip(sessions, details)]
     base["value"] = round(sum(merged.values()), 3)
     base["cold_total"] = round(sum(cold.values()), 3)
     base["timing"] = (f"per-query min over {len(sessions)} sessions of "
