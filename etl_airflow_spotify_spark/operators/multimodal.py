@@ -183,16 +183,22 @@ def sample_frames(media: DataFrame, frame_bytes: int = 256,
     ``every``-th frame is emitted — the UDTF batch shape a real video
     frame sampler (per-keyframe decode) uses."""
 
+    # Vectorized expansion (r10, guide §4.2): the per-frame Python loop
+    # becomes one repeat/arange pass per batch — identical rows (every
+    # ``every``-th frame number, tail frame length clipped), only the
+    # O(1)-per-row len() survives in Python.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
         for pdf in batches:
-            ids, fnos, flens = [], [], []
-            for mid, b in zip(pdf["media_id"], pdf["content"]):
-                payload = max(len(b) - 12, 0)
-                n_frames = -(-payload // frame_bytes)  # ceil
-                for fno in range(0, n_frames, every):
-                    ids.append(mid)
-                    fnos.append(fno)
-                    flens.append(min(frame_bytes, payload - fno * frame_bytes))
+            plens = np.array([max(len(b) - 12, 0) for b in pdf["content"]],
+                             dtype=np.int64)
+            n_frames = -(-plens // frame_bytes)          # ceil
+            n_sel = -(-n_frames // every)                # emitted per media
+            ids = np.repeat(pdf["media_id"].to_numpy(), n_sel)
+            starts = np.repeat(np.cumsum(n_sel) - n_sel, n_sel)
+            fnos = (np.arange(len(ids), dtype=np.int64) - starts) * every
+            flens = np.minimum(frame_bytes,
+                               np.repeat(plens, n_sel) - fnos * frame_bytes)
             yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
                                 "frame_no": pd.Series(fnos, dtype="int32"),
                                 "frame_len": pd.Series(flens, dtype="int32")})
@@ -267,6 +273,15 @@ def perceptual_ahash(media: DataFrame,
                 if L == 0:
                     h1s.append(0); h2s.append(0)
                     continue
+                if L > 2_500_000:
+                    # Exactness bound (r9 ADVICE): the bit rule
+                    # sums * L > ts * cnts is int64-exact only while
+                    # L^2 * max_codepoint < 2^63 (L <~ 2.9e6). The old
+                    # per-char loop used arbitrary-precision ints; fail
+                    # loudly rather than wrap silently past the bound.
+                    raise ValueError(
+                        f"perceptual_ahash payload of {L} chars exceeds "
+                        "the int64 exactness bound (2.5e6)")
                 idx = (np.arange(L, dtype=np.int64) * 64) // L
                 sums = np.bincount(idx, weights=codes,
                                    minlength=64).astype(np.int64)
@@ -346,6 +361,13 @@ def perceptual_phash(media: DataFrame,
                 if L == 0:
                     out.append(0)
                     continue
+                if L > 7_000_000:
+                    # Exactness bound (r9 ADVICE): |basis @ px| <=
+                    # 1e6 * L * max_codepoint must stay inside int64
+                    # (L <~ 8.4e6); raise instead of wrapping silently.
+                    raise ValueError(
+                        f"perceptual_phash payload of {L} chars exceeds "
+                        "the int64 exactness bound (7e6)")
                 idx = (np.arange(L, dtype=np.int64) * 64) // L
                 px = np.bincount(idx, weights=codes,
                                  minlength=64).astype(np.int64)

@@ -201,6 +201,10 @@ def copurchase_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (edges.filter(F.col("src") % BFS_SEED_MOD == 0)
              .select("src").distinct()
              .select(F.col("src").alias("node"), F.lit(0).alias("dist")))
+    # r10 (r9 verdict item 3, guide §2): one job per hop instead of
+    # three — checkpoints are lazy, the per-hop emptiness check is a
+    # count() that materializes the frontier, and ``labels``
+    # materializes inside the next hop's count job (its anti-join).
     labels = seeds.localCheckpoint()
     frontier = labels
     for hop in range(1, BFS_MAX_HOPS + 1):
@@ -208,10 +212,10 @@ def copurchase_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("dst").alias("node")).distinct()
                .join(labels.select("node"), "node", "left_anti")
                .select("node", F.lit(hop).alias("dist")))
-        nxt = nxt.localCheckpoint()
-        if nxt.isEmpty():
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
-        labels = labels.unionByName(nxt).localCheckpoint()
+        labels = labels.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return labels.select("node", F.col("dist").cast("long").alias("dist"))
 
@@ -484,13 +488,16 @@ def kcore_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg = edges.groupBy("src").agg(F.count("*").alias("d"))
         # Survivors are consumed 3x (count + both semi-joins);
         # checkpointing runs the degree aggregate once per round.
+        # r10 (r9 verdict item 3): checkpoints lazy, the two per-round
+        # counts are the materializing actions — two jobs per round
+        # instead of four, identical peel profile.
         surv = (deg.filter(F.col("d") >= KCORE_K).select("src")
-                .localCheckpoint())
+                .localCheckpoint(eager=False))
+        n_nodes = surv.count()
         edges = (edges.join(surv, "src", "left_semi")
                  .join(surv.select(F.col("src").alias("dst")),
                        "dst", "left_semi")
-                 .select("src", "dst").localCheckpoint())
-        n_nodes = surv.count()
+                 .select("src", "dst").localCheckpoint(eager=False))
         n_edges = edges.count()
         summaries.append((r, n_nodes, n_edges))
         # Peeling only removes rows, so an unchanged (nodes, edges)
@@ -580,17 +587,26 @@ def hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("l_partkey").alias("auth")).distinct())
     h = e.select("hub").distinct().withColumn("h", F.lit(1).cast("long"))
     a = None
+    # r10 (r9 verdict item 3): each half-step ran TWO jobs and computed
+    # the join+aggregate TWICE (once for the 1-row max collect, again
+    # for the eager checkpoint of the normalized frame). Checkpoint the
+    # aggregate itself lazily — the max collect materializes it — and
+    # derive the normalized frame as a plain select over the cached
+    # blocks (constant plan depth either way). One job per half-step,
+    # the recurrence and every score unchanged.
     for _ in range(HITS_ITERS):
         ar = (e.join(h, "hub")
-              .groupBy("auth").agg(F.sum("h").cast("long").alias("a")))
+              .groupBy("auth").agg(F.sum("h").cast("long").alias("a"))
+              .localCheckpoint(eager=False))
         max_a = ar.agg(F.max("a")).collect()[0][0]
         a = ar.select("auth", F.expr(f"a * {HITS_SCALE} div {max_a}")
-                      .alias("a")).localCheckpoint()
+                      .alias("a"))
         hr = (e.join(a, "auth")
-              .groupBy("hub").agg(F.sum("a").cast("long").alias("h")))
+              .groupBy("hub").agg(F.sum("a").cast("long").alias("h"))
+              .localCheckpoint(eager=False))
         max_h = hr.agg(F.max("h")).collect()[0][0]
         h = hr.select("hub", F.expr(f"h * {HITS_SCALE} div {max_h}")
-                      .alias("h")).localCheckpoint()
+                      .alias("h"))
     top_a = (a.select(F.lit("authority").alias("kind"),
                       F.col("auth").alias("node"), F.col("a").alias("score"))
              .orderBy(F.desc("score"), F.asc("node")).limit(HITS_TOPK))
@@ -1278,17 +1294,23 @@ def boruvka_msf_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
           .localCheckpoint())
     lab = (ed.select(F.col("u").alias("node")).distinct()
            .withColumn("lab", F.col("node")).localCheckpoint())
+    # r10 (r9 verdict item 3, guide §2): this loop ran ~8 jobs per
+    # round. Now two: checkpoints are lazy and the two unavoidable
+    # collects (pick stats, post-contraction component count)
+    # materialize everything between them; comp_before is carried from
+    # the previous round's comp_after (the label frame is untouched in
+    # between — identical value, one count instead of two).
     out = []
+    comp_before = lab.select("lab").distinct().count()
     for r in range(BORUVKA_ROUNDS):
-        comp_before = lab.select("lab").distinct().count()
-        me = boruvka_min_edges(ed, lab).localCheckpoint()
+        me = boruvka_min_edges(ed, lab).localCheckpoint(eager=False)
         pk = me.select("lo", "hi", "w").distinct()
         stats = pk.agg(F.count("*").alias("n"),
                        F.sum("w").alias("sw")).collect()[0]
         cp = (me.select(F.col("lu").alias("a"), F.col("lv").alias("b"))
               .union(me.select(F.col("lv").alias("a"),
                                F.col("lu").alias("b")))
-              .distinct().localCheckpoint())
+              .distinct().localCheckpoint(eager=False))
         clab = (lab.select(F.col("lab").alias("node")).distinct()
                 .withColumn("clab", F.col("node")))
         for _ in range(CONTRACT_ROUNDS):
@@ -1302,14 +1324,15 @@ def boruvka_msf_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     F.coalesce(F.col("min_nlab"),
                                                F.col("clab")))
                             .alias("clab"))
-                    .localCheckpoint())
+                    .localCheckpoint(eager=False))
         lab = (lab.join(clab.select(F.col("node").alias("lab"),
                                     "clab"), "lab")
                .select("node", F.col("clab").alias("lab"))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
         comp_after = lab.select("lab").distinct().count()
         out.append((r + 1, comp_before, int(stats["n"]),
                     int(stats["sw"]), comp_after))
+        comp_before = comp_after
     return spark.createDataFrame(
         out, "round BIGINT, components_before BIGINT, "
              "edges_picked BIGINT, weight_added BIGINT, "
@@ -1422,11 +1445,23 @@ def clustering_coefficient_profile(spark: SparkSession,
             .select(F.lit("bucket").alias("kind"),
                     F.col("bucket").cast("long"), "n",
                     F.lit(None).cast("double").alias("value")))
-    n_deg1 = cc.filter(F.col("d") == 1).count()
-    n_tri = tri.count()
-    n_nodes = deg.count()
-    n_wedges = (deg.agg(F.sum(F.expr("d * (d - 1) DIV 2"))
-                        .cast("long").alias("w")).collect()[0]["w"])
+    # r10 (r9 verdict item 3): four scalar jobs folded into ONE collect
+    # — deg1/nodes/wedges come from a single pass over the persisted
+    # degree frame (cc's left join against the grouped tv cannot drop
+    # or duplicate deg rows, so counting d == 1 on deg is identical),
+    # crossJoined with the triangle count. Python round() kept so the
+    # one double is bit-identical to before.
+    srow = (deg.agg(
+                F.coalesce(F.sum(F.when(F.col("d") == 1, 1)
+                                 .otherwise(0)), F.lit(0))
+                .cast("long").alias("n_deg1"),
+                F.count("*").cast("long").alias("n_nodes"),
+                F.sum(F.expr("d * (d - 1) DIV 2")).cast("long")
+                .alias("n_wedges"))
+            .crossJoin(tri.agg(F.count("*").cast("long").alias("n_tri")))
+            ).collect()[0]
+    n_deg1, n_tri = srow["n_deg1"], srow["n_tri"]
+    n_nodes, n_wedges = srow["n_nodes"], srow["n_wedges"]
     extra = spark.createDataFrame(
         [("deg1", -1, n_deg1, None),
          ("triangles", -1, n_tri, None),
@@ -2023,8 +2058,12 @@ def ktruss_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             # only ever leave). Deltas are small -> every join below
             # broadcasts over checkpointed `tri`; nothing triangle- or
             # edge-sized is ever re-shuffled or re-materialized.
+            # r10 (r9 verdict item 3): both per-round checkpoints are
+            # lazy; the triangle-count collect below materializes them
+            # — two jobs per round (keep-count + dropped-count)
+            # instead of four.
             removed = (cur.filter(F.col("s") < sup_min)
-                       .select("lo", "hi").localCheckpoint())
+                       .select("lo", "hi").localCheckpoint(eager=False))
             dropped = None
             for i in (1, 2, 3):
                 hit = tri.join(
@@ -2044,7 +2083,7 @@ def ktruss_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("lo").alias(f"e{i}_lo"),
                             F.col("hi").alias(f"e{i}_hi"))),
                         [f"e{i}_lo", f"e{i}_hi"], "left_anti")
-            dropped = dropped.localCheckpoint()
+            dropped = dropped.localCheckpoint(eager=False)
             nt -= dropped.count()
             dec = (edge_uses(dropped).groupBy("lo", "hi")
                    .agg(F.count("*").cast("long").alias("dec")))
@@ -2135,6 +2174,15 @@ def _lp_oracle_sql() -> str:
     """
 
 
+# r10 (guide §3.1): every small side broadcast below this cap is a
+# projection of the training edge set (edges + two term columns, ~48 B
+# per row in the built relation, so ~300 MB at the cap — inside the
+# executor broadcast budget, far under the 8 GB relation cap). Above
+# it the hints are identity and the planner/AQE keep shuffled joins —
+# the r9 ungated attempt is the documented cliff this gate closes.
+LINKPRED_BCAST_EDGE_MAX = 6_000_000
+
+
 @register(
     "link_prediction_eval",
     _lp_oracle_sql(),
@@ -2166,21 +2214,47 @@ def link_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.col("a.g") % 2 == 1)
            .select(F.col("a.i").alias("lo"), F.col("b.i").alias("hi"))
            .distinct())
+    # r10 optimization (guide §3.1, r9 verdict item 2): every join in
+    # this query has a small side that is a pure projection of the
+    # training edge set (directed edges, per-center degree terms, test
+    # edges), but all of them are aggregate outputs with no usable size
+    # estimate, so the planner picked SortMergeJoin everywhere — two
+    # full exchanges+sorts of etr by z, an SMJ pass over the 77.6M-row
+    # wedge stream, and two more sorts of the 33M-row candidate set.
+    # Below the size gate (mirroring KTRUSS_BCAST_EDGE_MAX; the r9
+    # UNGATED pre-attach attempt flipped everything to SMJ and tripled
+    # the runtime — the documented cliff) we broadcast those small
+    # sides; above it the hint is identity and AQE keeps the shuffled
+    # plan. The count materializes the persist the query pays anyway.
+    n_edges = etr.count()
+    _hint = (F.broadcast if n_edges <= LINKPRED_BCAST_EDGE_MAX
+             else (lambda df: df))
     deg = etr.groupBy(F.col("src").alias("z")) \
         .agg(F.count("*").cast("long").alias("d"))
+    # Per-center AA/RA terms: the IDENTICAL integer expressions the
+    # aggregate evaluated per wedge row, computed once per center and
+    # attached before the wedge fan-out — SUM(term) over the same
+    # multiset of rows, so the totals are bit-equal. d = 1 centers
+    # produce no na < nb wedge, so the old code never evaluated their
+    # term; guard them to NULL here (under ANSI mode DIV 0 would THROW,
+    # not yield NULL — caught by tests/test_round10_laws.py).
+    degw = deg.select(
+        "z",
+        F.expr("CASE WHEN d < 2 THEN CAST(NULL AS BIGINT) ELSE "
+               "1000000000000 DIV CAST(ROUND(log2(d) * 1000000)"
+               " AS BIGINT) END").alias("aat"),
+        F.expr("1000000000 DIV d").alias("rat"))
     wa = etr.select(F.col("src").alias("z"), F.col("dst").alias("na"))
     wb = etr.select(F.col("src").alias("z"), F.col("dst").alias("nb"))
-    cand = (wa.join(wb, "z").filter(F.col("na") < F.col("nb"))
-            .join(deg, "z")
+    wbt = wb.join(_hint(degw), "z")
+    cand = (wa.join(_hint(wbt), "z").filter(F.col("na") < F.col("nb"))
             .groupBy(F.col("na").alias("lo"), F.col("nb").alias("hi"))
             .agg(F.count("*").cast("long").alias("cn"),
-                 F.sum(F.expr(
-                     "1000000000000 DIV CAST(ROUND(log2(d) * 1000000)"
-                     " AS BIGINT)")).cast("long").alias("aa"),
-                 F.sum(F.expr("1000000000 DIV d")).cast("long")
-                 .alias("ra")))
+                 F.sum("aat").cast("long").alias("aa"),
+                 F.sum("rat").cast("long").alias("ra")))
     nonedge = cand.join(
-        etr.select(F.col("src").alias("lo"), F.col("dst").alias("hi")),
+        _hint(etr.select(F.col("src").alias("lo"),
+                         F.col("dst").alias("hi"))),
         ["lo", "hi"], "left_anti")
     # r9 optimization (guide §2.3 aggregate-before-shuffle): the scored
     # candidate set is tens of millions of rows, but the three AUC
@@ -2192,8 +2266,8 @@ def link_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist becomes a KB-scale cached frame. Exact: n_pos(s) =
     # Σ w over rows with method-score s and lbl=1, identically.
     compact = persist_tracked(
-        nonedge.join(ete.withColumn("lbl", F.lit(1)), ["lo", "hi"],
-                     "left")
+        nonedge.join(_hint(ete.withColumn("lbl", F.lit(1))),
+                     ["lo", "hi"], "left")
         .select("cn", "aa", "ra",
                 F.coalesce("lbl", F.lit(0)).alias("lbl"))
         .groupBy("cn", "aa", "ra", "lbl")
@@ -2309,11 +2383,20 @@ def _luby_oracle_sql() -> str:
 )
 def luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # r10 (r9 verdict item 3, guide §2): this loop ran FIVE jobs per
+    # round (three eager checkpoints + the stats collect + the active
+    # count) and is scheduler-bound at bench scale. Checkpoints are now
+    # LAZY and ordered so each round's two unavoidable collects are the
+    # actions that materialize them: the stats collect materializes
+    # ``sel`` (and the previous round's ``eact`` via nbmin), the
+    # remaining-count materializes ``active`` — two jobs per round,
+    # same checkpointed lineage truncation, identical results. The
+    # final round's ``eact`` is never consumed and is no longer built.
     edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey") \
         .localCheckpoint()
     active = edges.select(F.col("src").alias("v")).distinct() \
-        .localCheckpoint()
-    eact = edges.localCheckpoint()
+        .localCheckpoint(eager=False)
+    eact = edges
     results = []
     for r in range(1, LUBY_ROUNDS + 1):
         pri = active.select(
@@ -2327,18 +2410,20 @@ def luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.min("pd").alias("mp")))
         sel = (pri.join(nbmin, "v", "left")
                .filter(F.col("mp").isNull() | (F.col("p") < F.col("mp")))
-               .select("v").localCheckpoint())
-        removed = (eact.join(sel.select(F.col("v").alias("src")), "src")
-                   .select(F.col("dst").alias("v")).distinct())
-        active = (active.join(sel, "v", "left_anti")
-                  .join(removed, "v", "left_anti").localCheckpoint())
-        eact = (eact.join(active.select(F.col("v").alias("src")), "src")
-                .join(active.select(F.col("v").alias("dst")), "dst")
-                .select("src", "dst").localCheckpoint())
+               .select("v").localCheckpoint(eager=False))
         stats = sel.agg(F.count("*").cast("long"),
                         F.coalesce(F.sum("v"), F.lit(0)).cast("long")
                         ).first()
-        results.append((r, stats[0], stats[1], active.count()))
+        removed = (eact.join(sel.select(F.col("v").alias("src")), "src")
+                   .select(F.col("dst").alias("v")).distinct())
+        active = (active.join(sel, "v", "left_anti")
+                  .join(removed, "v", "left_anti")
+                  .localCheckpoint(eager=False))
+        n_remaining = active.count()
+        eact = (eact.join(active.select(F.col("v").alias("src")), "src")
+                .join(active.select(F.col("v").alias("dst")), "dst")
+                .select("src", "dst").localCheckpoint(eager=False))
+        results.append((r, stats[0], stats[1], n_remaining))
     return spark.createDataFrame(
         results,
         "round long, n_selected long, sel_id_sum long, n_remaining long")
@@ -2413,23 +2498,29 @@ def _dsg_oracle_sql() -> str:
 )
 def densest_subgraph_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # r10 (r9 verdict item 3, guide §2): five jobs per round (three
+    # eager checkpoints + two collects) folded into the two collects —
+    # checkpoints are lazy; the stats collect materializes ``deg`` (and
+    # the previous round's ``eact``), the keep-count materializes
+    # ``keep``. Identical peel trajectory; the final round's ``eact``
+    # has no consumer and is no longer built.
     eact = G.cooccurrence_edges(li, "l_orderkey", "l_partkey") \
         .localCheckpoint()
     results = []
     for r in range(1, DSG_ROUNDS + 1):
         deg = (eact.groupBy(F.col("src").alias("v"))
                .agg(F.count("*").cast("long").alias("d"))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
         st = deg.agg(F.count("*").cast("long"),
                      F.coalesce(F.sum("d"), F.lit(0)).cast("long")
                      ).first()
         nv, e2 = st[0], st[1]
         keep = (deg.filter(F.col("d") * nv > e2).select("v")
-                .localCheckpoint())
+                .localCheckpoint(eager=False))
         n_keep = keep.count()
         eact = (eact.join(keep.withColumnRenamed("v", "src"), "src")
                 .join(keep.withColumnRenamed("v", "dst"), "dst")
-                .select("src", "dst").localCheckpoint())
+                .select("src", "dst").localCheckpoint(eager=False))
         results.append((r, nv, e2 // 2,
                         (e2 * 500000) // nv if nv > 0 else 0,
                         nv - n_keep))
@@ -2923,6 +3014,12 @@ def scc_pivot_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
              .distinct().localCheckpoint())
     pivot = nodes.agg(F.min("v").alias("pv")).collect()[0]["pv"]
 
+    # r10 (r9 verdict item 3, guide §2): the BFS loop ran three jobs
+    # per hop (eager nxt checkpoint + count + eager reached
+    # checkpoint); checkpoints are now lazy and the per-hop frontier
+    # count is the action that materializes them — one job per hop.
+    # ``reached`` materializes inside the NEXT hop's count job (its
+    # first consumer, the anti-join); identical frontier sets.
     def reach(edges_from: str, edges_to: str):
         reached = (e.sparkSession.createDataFrame([(pivot,)], "v long")
                    .localCheckpoint())
@@ -2931,10 +3028,11 @@ def scc_pivot_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt = (e.join(frontier.withColumnRenamed("v", edges_from),
                           edges_from)
                    .select(F.col(edges_to).alias("v")).distinct()
-                   .join(reached, "v", "left_anti").localCheckpoint())
+                   .join(reached, "v", "left_anti")
+                   .localCheckpoint(eager=False))
             if nxt.count() == 0:
                 break
-            reached = reached.union(nxt).localCheckpoint()
+            reached = reached.union(nxt).localCheckpoint(eager=False)
             frontier = nxt
         return reached
 
@@ -2945,13 +3043,20 @@ def scc_pivot_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "v", "left_anti")
     no_in = nodes.join(e.select(F.col("dst").alias("v")).distinct(),
                        "v", "left_anti")
-    rows = [
-        ("n_nodes", nodes.count()), ("n_edges", e.count()),
-        ("trim_no_out", no_out.count()), ("trim_no_in", no_in.count()),
-        ("fw_size", fw.count()), ("bw_size", bw.count()),
-        ("pivot_scc_size", scc.count()),
-    ]
-    return spark.createDataFrame(rows, "metric string, value long")
+
+    # Seven driver-side .count() jobs folded into ONE union-of-
+    # aggregates action over the cached/checkpointed frames — the same
+    # seven integers, computed when the caller's action runs.
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.lit(name).alias("metric"),
+                      F.count("*").cast("long").alias("value"))
+
+    out = cnt(nodes, "n_nodes")
+    for df, name in ((e, "n_edges"), (no_out, "trim_no_out"),
+                     (no_in, "trim_no_in"), (fw, "fw_size"),
+                     (bw, "bw_size"), (scc, "pivot_scc_size")):
+        out = out.unionByName(cnt(df, name))
+    return out
 
 
 # --------------------------------------------------------------------------

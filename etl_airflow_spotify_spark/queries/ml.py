@@ -3648,15 +3648,25 @@ def hdbscan_mutual_reachability(spark: SparkSession,
                  + (F.col("ya") - F.col("yb"))
                  * (F.col("ya") - F.col("yb"))).alias("d2"))
         .filter(F.col("d2") <= HDB_EPS2))
-    wk = Window.partitionBy("ia").orderBy("d2")
+    # r10 optimization (guide §2.3, r9 verdict item 4): core_k is the
+    # k-th smallest d2 WITH multiplicity — the old row_number window
+    # sorted all 10.4M candidate pairs. d2 is already filtered to
+    # <= HDB_EPS2, so its domain is the integers 0..HDB_EPS2 and the
+    # k-th order statistic is the smallest v with cum_count(v) >= k:
+    # one hash aggregate over HDB_EPS2+1 conditional counters, fully
+    # map-side combinable, no sort anywhere. Tie behavior is identical
+    # by construction (the VALUE of the k-th order statistic does not
+    # depend on how row_number broke ties) — law-tested against the
+    # window form in tests/test_round9_laws.py.
+    cum = [F.sum(F.when(F.col("d2") <= v, 1).otherwise(0))
+           .cast("long").alias(f"le{v}") for v in range(HDB_EPS2 + 1)]
+    kth = F.lit(None).cast("long")
+    for v in range(HDB_EPS2, -1, -1):
+        kth = F.when(F.col(f"le{v}") >= HDB_K, F.lit(v)).otherwise(kth)
     cd = persist_tracked(
-        pairs.select("ia", "d2", F.row_number().over(wk).alias("rk"))
-        .filter(F.col("rk") <= HDB_K)
-        .groupBy(F.col("ia").alias("id"))
-        .agg(F.max("d2").cast("long").alias("cd2"),
-             F.count("*").alias("kn"))
-        .filter(F.col("kn") == HDB_K)
-        .select("id", "cd2"))
+        pairs.groupBy(F.col("ia").alias("id")).agg(*cum)
+        .filter(F.col(f"le{HDB_EPS2}") >= HDB_K)
+        .select("id", kth.cast("long").alias("cd2")))
     mr = persist_tracked(
         pairs.filter(F.col("ia") < F.col("ib"))
         .join(cd.selectExpr("id AS ia", "cd2 AS ca"), "ia")

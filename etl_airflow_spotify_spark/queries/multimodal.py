@@ -496,7 +496,9 @@ def multimodal_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes = [np.frombuffer(
                 bytes(b)[12:].decode("utf-8").encode("utf-32-le"),
                 dtype="<u4").astype(np.int32) for b in pdf["content"]]
-            lens = np.array([len(c) for c in codes])
+            # dtype pinned (r9 ADVICE): np.array([]) defaults to float64,
+            # and np.repeat then raises on an empty batch.
+            lens = np.array([len(c) for c in codes], dtype=np.int64)
             yield pd.DataFrame({
                 "media_id": np.repeat(pdf["media_id"].to_numpy(), lens),
                 "pos": np.concatenate(
@@ -601,18 +603,32 @@ def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("n", LongType()),
     ])
 
+    # Vectorized kernel (r10, guide §4.2): frame sums via one
+    # np.add.reduceat over the batch's concatenated payload bytes
+    # instead of a Python sum() per frame — exact integer arithmetic
+    # (uint8 -> int64), identical (media_id, f, s, n) rows. Frames are
+    # contiguous within a media and medias contiguous in the joined
+    # buffer, so the global frame-start offsets are reduceat boundaries.
     def frame_stats(batches: Iterator[pd.DataFrame]) \
             -> Iterator[pd.DataFrame]:
+        import numpy as np
         for pdf in batches:
-            ids, fs, ss, ns = [], [], [], []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                payload = content[12:]
-                for f in range(-(-len(payload) // SCENE_FRAME)):
-                    chunk = payload[f * SCENE_FRAME:(f + 1) * SCENE_FRAME]
-                    ids.append(mid)
-                    fs.append(f)
-                    ss.append(sum(chunk))
-                    ns.append(len(chunk))
+            payloads = [bytes(b)[12:] for b in pdf["content"]]
+            plens = np.array([len(p) for p in payloads], dtype=np.int64)
+            nfs = -(-plens // SCENE_FRAME)               # ceil
+            ids = np.repeat(pdf["media_id"].to_numpy(), nfs)
+            starts = np.repeat(np.cumsum(nfs) - nfs, nfs)
+            fs = np.arange(len(ids), dtype=np.int64) - starts
+            if len(ids):
+                arr = np.frombuffer(b"".join(payloads),
+                                    dtype=np.uint8).astype(np.int64)
+                offs = np.repeat(np.cumsum(plens) - plens, nfs)
+                ss = np.add.reduceat(arr, offs + fs * SCENE_FRAME)
+                ns = np.minimum(SCENE_FRAME,
+                                np.repeat(plens, nfs) - fs * SCENE_FRAME)
+            else:
+                ss = np.array([], dtype=np.int64)
+                ns = ss
             yield pd.DataFrame({"media_id": ids, "f": fs,
                                 "s": ss, "n": ns})
 
