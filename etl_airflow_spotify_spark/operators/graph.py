@@ -118,7 +118,7 @@ def sssp_bounded(edges_w: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame
                            (F.col("d") + F.col("w")).alias("d")))
         labels = (labels.unionByName(relaxed)
                   .groupBy("node").agg(F.min("d").cast("long").alias("d"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
     return labels
 
 
@@ -167,7 +167,7 @@ def label_propagation(edges_w: DataFrame, rounds: int) -> DataFrame:
                             & (cand["s"] == mx["ms"]))
                   .groupBy(F.col("n").alias("node"))
                   .agg(F.min("lab").cast("long").alias("lab"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
     return labels
 
 
@@ -241,7 +241,7 @@ def ppr_fixed(edges: DataFrame, seeds: DataFrame, iters: int = 4) -> DataFrame:
                            .cast("long").alias("v")))
         r = (tele.unionByName(contrib)
              .groupBy("node").agg(F.sum("v").cast("long").alias("pr"))
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     return r
 
 
@@ -322,7 +322,7 @@ def louvain_phase1(edges: DataFrame, m2: int, rounds: int) -> DataFrame:
         c = (c.join(best, "node", "left")
              .select("node", F.coalesce("cand", "c").cast("long")
                      .alias("c"))
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     return c
 
 
