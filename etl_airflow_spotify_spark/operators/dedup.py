@@ -418,6 +418,14 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels.select("id", F.col("lab").alias("cluster_id"))
 
 
+# Below this many surviving edges the star fixpoint finishes with an
+# exact driver-side union-find instead of more distributed rounds
+# (each of which costs four exchanges + a collect regardless of size).
+# 200k edges is ~3 MB on the driver; the distributed rounds do the
+# contraction first, so the gate is scale-safe by construction.
+_CC_LOCAL_FINISH_EDGE_MAX = 200_000
+
+
 def connected_components_star(pairs: DataFrame,
                               max_rounds: int = 25) -> DataFrame:
     """Connected components via alternating large-star/small-star
@@ -470,6 +478,7 @@ def connected_components_star(pairs: DataFrame,
     sig = _sig(e)
     if sig[0] == 0:
         return nodes.select("id", F.col("id").alias("cluster_id"))
+    converged = False
     for _ in range(max_rounds):
         # large-star: m(u) joined back to u's STRICTLY LARGER neighbors;
         # m <= u < v, so (m, v) is already canonical u<v form. Stays
@@ -495,9 +504,53 @@ def connected_components_star(pairs: DataFrame,
              .distinct().localCheckpoint(eager=False))
         new_sig = _sig(e)  # materializes the round's lazy checkpoint
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
-    else:
+        # r10 (guide §2, r9 verdict item 3): star rounds HALVE tree
+        # heights, so after a round or two the edge set has contracted
+        # from graph-sized to component-skeleton-sized — but each
+        # further distributed round still costs four exchanges plus a
+        # collect of pure scheduling overhead (measured: rounds 2-7 on
+        # an already-15k-edge graph were ~0.7 s EACH at sf0.1). Once
+        # the MEASURED count (already collected for the signature) is
+        # below the gate, finish the fixpoint with an exact union-find
+        # on the driver — O(n alpha(n)) over <= LOCAL_FINISH bounded
+        # rows, same min-id labels by definition, and at any scale the
+        # gate only fires after the distributed rounds have done the
+        # contraction. The driver never sees a graph-sized frame.
+        if new_sig[0] <= _CC_LOCAL_FINISH_EDGE_MAX:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            rows = e.collect()
+            for row in rows:
+                ru, rv = find(row[0]), find(row[1])
+                if ru != rv:
+                    parent[rv] = ru
+            comp: dict = {}
+            members: dict = {}
+            for row in rows:
+                for node in row:
+                    r = find(node)
+                    if node not in members.setdefault(r, set()):
+                        members[r].add(node)
+            for r, mem in members.items():
+                comp[r] = min(mem)
+            stars = [(comp[find(n)], n) for mem in members.values()
+                     for n in mem if n != comp[find(n)]]
+            e = e.sparkSession.createDataFrame(stars, e.schema) \
+                if stars else e.limit(0)
+            converged = True
+            break
+    if not converged:
         import warnings
         warnings.warn(
             f"connected_components_star hit max_rounds={max_rounds} "

@@ -99,3 +99,44 @@ def test_link_prediction_term_preattach_identity(spark):
 
     assert sorted(map(tuple, old.collect())) == \
         sorted(map(tuple, new.collect()))
+
+
+# ------------------------------------------------------------- X30 star
+def test_star_cc_local_finish_matches_union_find(spark):
+    """The r10 local-finish gate (driver union-find once the contracted
+    edge set is below _CC_LOCAL_FINISH_EDGE_MAX) must produce the same
+    (id, cluster_id = min id in component) map as an independent
+    union-find, including singleton/self-loop handling."""
+    import etl_airflow_spotify_spark.operators.dedup as D
+
+    random.seed(42)
+    n = 4000
+    edges = [(random.randint(0, n), random.randint(0, n))
+             for _ in range(6000)] + [(99991, 99991)]  # self-loop node
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in D.connected_components_star(df).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        nodes.update((a, b))
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+    comp: dict = {}
+    for v in nodes:
+        comp.setdefault(find(v), []).append(v)
+    want = {}
+    for mem in comp.values():
+        m = min(mem)
+        for v in mem:
+            want[v] = m
+    assert got == want
